@@ -1,0 +1,12 @@
+package graft.queries
+
+/** Registry of all verifiable queries. Each module contributes a Seq[Q];
+  * SparkEntry exposes the union to the driver harness.
+  */
+object Catalog {
+  lazy val all: Seq[Q] = CoreQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  lazy val headline: Seq[String] = all.filter(_.headline).map(_.name)
+}
