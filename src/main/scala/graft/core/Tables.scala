@@ -21,6 +21,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** `ts` is LongType epoch-ns (GraftSession nanosAsLong). */
   def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+
+  /** `events` with ts truncated to µs-grained ns (`ts div 1000 * 1000`).
+    * The engine is ns-native, but DuckDB (the correctness oracle) reads
+    * parquet TIMESTAMP(NANOS) as µs TIMESTAMP, truncating sub-µs digits
+    * — oracle-checked queries must start from the same truncated values.
+    * Integer `div` (not double /) — doubles can't represent 1.7e18 ns.
+    */
+  def eventsUs(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("ts",
+      org.apache.spark.sql.functions.expr("ts div 1000 * 1000"))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
