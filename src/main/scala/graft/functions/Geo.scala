@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geodesic helpers — the reference's `SpatialCalculator` /
+  * `map_longitudes` / circular-search machinery (obsplus
+  * `utils/geodetics.py:160-245`, `events/get_events.py:50-145`).
+  *
+  * Distances/azimuths are composed from built-in trig `Column`s so the
+  * whole computation stays inside whole-stage codegen — no UDF in the
+  * hot path. Haversine on the mean-Earth sphere (R = 6371008.8 m) is
+  * the engine's distance kernel; the reference's WGS84 Vincenty differs
+  * by <0.5 % which callers can correct with a geodesic UDF where
+  * survey-grade accuracy matters.
+  */
+object Geo {
+
+  val EarthRadiusM = 6371008.8
+  /** Mean degree length used by `kilometers2degrees` (obspy parity). */
+  val KmPerDeg = 111.19492664455873 // 2*pi*R/360 / 1000
+
+  /** Great-circle distance in meters (haversine). */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dlat = radians(lat2 - lat1) / 2.0
+    val dlon = radians(lon2 - lon1) / 2.0
+    val a = pow(sin(dlat), 2.0) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlon), 2.0)
+    lit(2.0 * EarthRadiusM) * asin(sqrt(a))
+  }
+
+  /** Initial bearing (azimuth) in degrees [0, 360). */
+  def initialBearingDeg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dlon = radians(lon2 - lon1)
+    val y = sin(dlon) * cos(radians(lat2))
+    val x = cos(radians(lat1)) * sin(radians(lat2)) -
+      sin(radians(lat1)) * cos(radians(lat2)) * cos(dlon)
+    val deg = degrees(atan2(y, x))
+    deg - lit(360.0) * floor(deg / 360.0)
+  }
+
+  /** Wrap any longitude into [-180, 180) — obsplus `map_longitudes`
+    * (`utils/geodetics.py:223-245`): ((lon+180) mod 360) - 180 with
+    * floored modulo, exact for the double grid used.
+    */
+  def wrapLongitude(lon: Column): Column =
+    lon - lit(360.0) * floor((lon + lit(180.0)) / lit(360.0))
+
+  def kilometers2degrees(km: Double): Double = km / KmPerDeg
+
+  /** Bounding-box predicate with the reference's dateline rewrite
+    * (obsplus `utils/bank.py:349-363`): if the wrapped min longitude
+    * exceeds the max, the box crosses ±180 and the longitude condition
+    * becomes an OR of the two half-boxes. Lat/lon bounds push down to
+    * parquet min/max stats either way.
+    */
+  def bboxPredicate(latCol: Column, lonCol: Column,
+                    minLat: Double, maxLat: Double,
+                    minLon: Double, maxLon: Double): Column = {
+    val latOk = latCol >= lit(minLat) && latCol <= lit(maxLat)
+    val lonOk =
+      if (minLon > maxLon) lonCol >= lit(minLon) || lonCol <= lit(maxLon)
+      else lonCol >= lit(minLon) && lonCol <= lit(maxLon)
+    latOk && lonOk
+  }
+
+  /** Circular (radius) search — obsplus `get_events.py:50-145`: a
+    * coarse bounding box 1.2× the outer radius prefilters (cheap,
+    * pushdown-friendly), then the exact distance refines with STRICT
+    * inequalities minM < d < maxM. Returns df with `dist_m` appended.
+    */
+  def radiusSearch(df: DataFrame, latCol: String, lonCol: String,
+                   lat0: Double, lon0: Double,
+                   minM: Double, maxM: Double): DataFrame = {
+    val degR = kilometers2degrees(maxM / 1000.0) * 1.2
+    val minLon = wrapLonScalar(lon0 - degR)
+    val maxLon = wrapLonScalar(lon0 + degR)
+    val coarse = df.filter(bboxPredicate(col(latCol), col(lonCol),
+      lat0 - degR, lat0 + degR, minLon, maxLon))
+    coarse
+      .withColumn("dist_m",
+        haversineMeters(col(latCol), col(lonCol), lit(lat0), lit(lon0)))
+      .filter(col("dist_m") > lit(minM) && col("dist_m") < lit(maxM))
+  }
+
+  def wrapLonScalar(lon: Double): Double =
+    lon - 360.0 * math.floor((lon + 180.0) / 360.0)
+}

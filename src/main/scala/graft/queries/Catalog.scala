@@ -4,7 +4,7 @@ package graft.queries
   * SparkEntry exposes the union to the driver harness.
   */
 object Catalog {
-  lazy val all: Seq[Q] = CoreQueries.all ++ WindowQueries.all
+  lazy val all: Seq[Q] = CoreQueries.all ++ WindowQueries.all ++ GeoQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
