@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over `array<float>` columns, written as
+  * higher-order Column expressions (`zip_with`/`aggregate`) so they run
+  * inside codegen with zero UDF/serialization cost.
+  *
+  * Floats are widened to double BEFORE multiplication and accumulated
+  * left-to-right — deterministic and engine-portable (matches a
+  * sequential C++ accumulator bit-for-bit, which the oracle relies on).
+  */
+object VectorFunctions {
+
+  /** Dot product of two float-array columns, double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity: dot / (|a|·|b|), op order fixed. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-pattern LSH bucket over the first `bits` dimensions: the
+    * cheapest hyperplane family (axis-aligned). At scale the bucket is
+    * the shuffle/partition key, so ANN probes touch only one bucket.
+    */
+  def signBucket(a: Column, bits: Int): Column =
+    array_join(transform(sequence(lit(1), lit(bits)),
+      i => when(try_element_at(a, i) > 0, "1").otherwise("0")), "")
+}

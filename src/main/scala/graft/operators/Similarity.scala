@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *   - `bruteForceTopK` is the exact baseline: queries × corpus with a
+  *     broadcast query side — O(|Q|·N) dot products but zero shuffle of
+  *     the corpus; right answer, used to grade the approximate paths.
+  *   - `lshTopK` is the scale path: both sides bucketed by sign-LSH,
+  *     candidates only within equal buckets (hash equi join). Probing
+  *     cost drops by the bucket fan-out (~2^bits) at some recall loss.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (self excluded). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .join(q, col("neighbor_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"),
+              round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's sign
+    * bucket.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, bits: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("bucket"),
+              round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket pairs (a < b) above a
+    * cosine threshold (threshold applies to the rounded value so the
+    * cut is reproducible).
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   bits: Int, minCosine: Double): DataFrame = {
+    val e = corpus.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val a = e.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val b = e.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("a", "b", "cosine")
+  }
+}

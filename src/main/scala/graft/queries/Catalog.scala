@@ -6,7 +6,7 @@ package graft.queries
 object Catalog {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ WindowQueries.all ++ GeoQueries.all ++
-      DedupQueries.all ++ TextQueries.all
+      DedupQueries.all ++ TextQueries.all ++ VectorQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

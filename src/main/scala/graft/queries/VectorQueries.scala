@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import graft.operators.Similarity
+
+/** Similarity search over embeddings + multimodal metadata extraction.
+  * Near-dup corpus plants exact copies (vec_id % 10 == 0 → +10000) the
+  * same way on the oracle side.
+  */
+object VectorQueries {
+
+  // SQL building blocks (engine-parity op order: cast-to-double before
+  // multiply, sequential sum, dot/(sqrt·sqrt))
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})))"
+  private def bucketSql(e: String) =
+    s"list_aggregate(list_transform(range(1, 9), i -> CASE WHEN $e[i] > 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 10000))
+  }
+  private val nearDupCorpusSql = """
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id, embedding, label
+    FROM embeddings WHERE vec_id % 10 = 0"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact ANN baseline: brute-force cosine top-5, broadcast
+    //      query side
+    Q("q32_ann_bruteforce", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+      p AS (SELECT q_id, e.vec_id AS neighbor_id,
+              ${cosSql("q_vec", "e.embedding")} AS cos
+            FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+      r AS (SELECT q_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM p)
+      SELECT q_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5"""), headline = true),
+
+    // ---- approximate ANN: sign-LSH bucketed top-3 (the scale path —
+    //      candidates only within the query's bucket)
+    Q("q33_ann_lsh", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", bits = 8, k = 3)
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM e WHERE vec_id < 50),
+      p AS (SELECT q.q_id, e.vec_id AS neighbor_id, q.bucket,
+              ${cosSql("q.q_vec", "e.embedding")} AS cos
+            FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
+      SELECT q_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3""")),
+
+    // ---- embedding near-dup pairs: same-bucket, rounded cosine >= 0.99
+    //      (finds the planted copies)
+    Q("q34_embedding_neardup", (s, dir) => {
+      Similarity.nearDupPairs(nearDupCorpus(s, dir),
+        "vec_id", "embedding", bits = 8, minCosine = 0.99)
+    }, Some(s"""
+      WITH corpus AS ($nearDupCorpusSql),
+      e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM corpus)
+      SELECT a, b, cosine FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROUND(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+        FROM e x JOIN e y USING (bucket) WHERE x.vec_id < y.vec_id)
+      WHERE cosine >= 0.99""")),
+
+    // ---- multimodal metadata: binary payload column decoded
+    //      partition-locally (stub codec reads header bytes)
+    Q("q35_multimodal_meta", (s, dir) => {
+      val withPayload = Multimodal.withSyntheticPayload(Tables.documents(s, dir))
+      Multimodal.decodeMeta(s, withPayload).toDF()
+    }, Some("""
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        ('0x' || substr(md5(text), 1, 4))::BIGINT AS width,
+        ('0x' || substr(md5(text), 5, 4))::BIGINT AS height,
+        CAST(length(md5(text)) / 2 AS BIGINT) AS n_bytes
+      FROM documents"""))
+  )
+}
