@@ -6,7 +6,8 @@ package graft.queries
 object Catalog {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ WindowQueries.all ++ GeoQueries.all ++
-      DedupQueries.all ++ TextQueries.all ++ VectorQueries.all
+      DedupQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      MiscQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

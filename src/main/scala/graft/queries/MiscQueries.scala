@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.core.Tables
+import graft.operators.{MergeOps, Validation}
+
+/** Catalog merge, upsert, validation report, hierarchical rollup and
+  * JSON extraction — SURVEY.md §2.1 (upsert), §2.3 (identity merge),
+  * §2.4 (hierarchical groupby), §2.8 (json), §2.10 (validators).
+  */
+object MiscQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- identity merge of two derived catalog versions
+    Q("q36_identity_merge", (s, dir) => {
+      val e = Tables.eventsUs(s, dir)
+      val oldCat = e.filter(col("event_id") % 3 =!= 0)
+      val newCat = e.filter(col("event_id") % 4 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 5 === 0, round(col("value") * 1.1, 6))
+            .otherwise(col("value")))
+      MergeOps.identityMerge(oldCat, newCat, "event_id", "value")
+    }, Some("""
+      WITH oldc AS (SELECT event_id, value AS val_old FROM events WHERE event_id % 3 <> 0),
+      newc AS (SELECT event_id,
+                 CASE WHEN event_id % 5 = 0 THEN ROUND(value * 1.1, 6) ELSE value END AS val_new
+               FROM events WHERE event_id % 4 <> 0)
+      SELECT COALESCE(oldc.event_id, newc.event_id) AS event_id, val_old, val_new,
+        CASE WHEN val_old IS NULL THEN 'new'
+             WHEN val_new IS NULL THEN 'rejected'
+             WHEN val_old <> val_new THEN 'updated'
+             ELSE 'unchanged' END AS status
+      FROM oldc FULL OUTER JOIN newc ON oldc.event_id = newc.event_id""")),
+
+    // ---- upsert: newest row per key (read-dedup-write index semantics)
+    Q("q37_upsert_latest", (s, dir) => {
+      val e = Tables.eventsUs(s, dir).select("event_id", "ts", "value")
+      val updates = e.filter(col("event_id") % 7 === 0)
+        .withColumn("ts", col("ts") + lit(3_600_000_000_000L))
+        .withColumn("value", col("value") + 100.0)
+      MergeOps.latestByKey(e.unionByName(updates), "event_id",
+        Seq(col("ts"), col("value")))
+    }, Some("""
+      WITH all_rows AS (
+        SELECT event_id, epoch_ns(ts) AS ts, value FROM events
+        UNION ALL
+        SELECT event_id, epoch_ns(ts) + 3600000000000 AS ts, value + 100.0 AS value
+        FROM events WHERE event_id % 7 = 0)
+      SELECT event_id, ts, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                   ORDER BY ts DESC, value DESC) AS rn FROM all_rows)
+      WHERE rn = 1""")),
+
+    // ---- validation rule report (violations per rule)
+    Q("q38_validation", (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val rules = Seq(
+        Validation.Rule("negative_balance", () =>
+          c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("entity_id"))),
+        Validation.Rule("orphan_order", () =>
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+            .select(col("o_orderkey").as("entity_id"))),
+        Validation.Rule("ship_before_order", () =>
+          li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .filter(col("l_shipdate") < col("o_orderdate"))
+            .select(col("l_orderkey").as("entity_id"))),
+        Validation.Rule("bad_quantity", () =>
+          li.filter(col("l_quantity") <= 0 || col("l_quantity") > 60)
+            .select(col("l_orderkey").as("entity_id"))))
+      Validation.summary(rules)
+    }, Some("""
+      SELECT rule, COUNT(*) AS n_violations FROM (
+        SELECT c_custkey AS entity_id, 'negative_balance' AS rule
+        FROM customer WHERE c_acctbal < 0
+        UNION ALL
+        SELECT o_orderkey, 'orphan_order' FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        UNION ALL
+        SELECT l_orderkey, 'ship_before_order'
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate < o_orderdate
+        UNION ALL
+        SELECT l_orderkey, 'bad_quantity' FROM lineitem
+        WHERE l_quantity <= 0 OR l_quantity > 60)
+      GROUP BY rule""")),
+
+    // ---- hierarchical rollup (region → nation levels, null-filled
+    //      supertotals) — the nested-groupby inventory-build shape
+    Q("q39_rollup", (s, dir) => {
+      val r = Tables.region(s, dir); val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      c.select("c_acctbal", "c_nationkey")
+        .join(broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+                col("c_acctbal"))
+        .rollup(col("region"), col("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+             sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+    }, Some("""
+      SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)""")),
+
+    // ---- JSON extraction + re-serialization round trip
+    Q("q40_json_extract", (s, dir) => {
+      val e = Tables.eventsUs(s, dir)
+      e.select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long").as("k"))
+        .withColumn("rt", to_json(struct(col("k").cast(IntegerType).as("k"))))
+    }, Some("""
+      SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS rt
+      FROM events"""))
+  )
+}
