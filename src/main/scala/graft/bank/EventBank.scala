@@ -1,0 +1,90 @@
+package graft.bank
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Schemas
+import graft.functions.Geo
+import graft.operators.MergeOps
+
+/** Event-catalog query surface — the EventBank pillar (obsplus
+  * `bank/eventbank.py` + `events/get_events.py`): the exact kwarg
+  * semantics of `get_events` over a parquet index with
+  * upsert-by-event_id writes.
+  */
+final case class EventQuery(
+    minTime: Option[Long] = None, maxTime: Option[Long] = None,
+    minLatitude: Option[Double] = None, maxLatitude: Option[Double] = None,
+    minLongitude: Option[Double] = None, maxLongitude: Option[Double] = None,
+    minMagnitude: Option[Double] = None, maxMagnitude: Option[Double] = None,
+    minDepth: Option[Double] = None, maxDepth: Option[Double] = None,
+    // circular search
+    latitude: Option[Double] = None, longitude: Option[Double] = None,
+    minRadiusM: Option[Double] = None, maxRadiusM: Option[Double] = None,
+    eventIds: Option[Seq[String]] = None,
+    updatedAfter: Option[Long] = None,
+    limit: Option[Int] = None)
+
+class EventBank(spark: SparkSession, root: String) {
+
+  val indexPath = s"$root/event_index"
+
+  /** Upsert events by id: newest `updated` wins (the delete-then-append
+    * SQLite upsert of `eventbank.py:351-378` as read-dedup-write).
+    */
+  def putEvents(events: DataFrame): Unit = {
+    val conformed = Schemas.conformTo(events, Schemas.eventSummary)
+    val all =
+      try conformed.unionByName(spark.read.parquet(indexPath))
+      catch { case _: Throwable => conformed }
+    MergeOps.latestByKey(all, "event_id", Seq(col("updated")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
+    // atomic-ish swap: parquet dirs are immutable once written
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath.tmp"), p)
+  }
+
+  def readIndex(): DataFrame = spark.read.parquet(indexPath)
+
+  /** get_events filter surface: min/max prefixes are STRICT compares
+    * (`utils/bank.py:371-374`); dateline-crossing longitude boxes
+    * rewrite to OR; circular search = 1.2× bbox coarse + exact refine;
+    * ids → IN; updatedafter; limit.
+    */
+  def getEvents(q: EventQuery): DataFrame = {
+    var df = readIndex()
+    def strict(c: String, lo: Option[Double], hi: Option[Double]): Unit = {
+      lo.foreach(v => df = df.filter(col(c) > v))
+      hi.foreach(v => df = df.filter(col(c) < v))
+    }
+    q.minTime.foreach(v => df = df.filter(col("time") > v))
+    q.maxTime.foreach(v => df = df.filter(col("time") < v))
+    strict("latitude", q.minLatitude, q.maxLatitude)
+    strict("magnitude", q.minMagnitude, q.maxMagnitude)
+    strict("depth", q.minDepth, q.maxDepth)
+    (q.minLongitude, q.maxLongitude) match {
+      case (Some(lo), Some(hi)) =>
+        val wlo = Geo.wrapLonScalar(lo); val whi = Geo.wrapLonScalar(hi)
+        df =
+          if (wlo > whi) df.filter(col("longitude") > wlo || col("longitude") < whi)
+          else df.filter(col("longitude") > wlo && col("longitude") < whi)
+      case (Some(lo), None) => df = df.filter(col("longitude") > Geo.wrapLonScalar(lo))
+      case (None, Some(hi)) => df = df.filter(col("longitude") < Geo.wrapLonScalar(hi))
+      case _ =>
+    }
+    (q.latitude, q.longitude) match {
+      case (Some(lat0), Some(lon0)) =>
+        df = Geo.radiusSearch(df, "latitude", "longitude", lat0, lon0,
+          q.minRadiusM.getOrElse(0.0), q.maxRadiusM.getOrElse(2.0015e7))
+      case _ =>
+    }
+    q.eventIds.foreach(ids => df = df.filter(col("event_id").isin(ids: _*)))
+    q.updatedAfter.foreach(v => df = df.filter(col("updated") > v))
+    q.limit.foreach(n => df = df.limit(n))
+    df
+  }
+
+  def idsInBank(): DataFrame = readIndex().select("event_id").distinct()
+}

@@ -1,0 +1,162 @@
+package graft.bank
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Schemas
+import graft.functions.Fnmatch
+import graft.operators.{IntervalJoin, Intervals, TimeChunks, TraceStitch}
+
+/** Parquet-backed waveform archive — the WaveBank capability pillar
+  * (obsplus `bank/wavebank.py`) re-expressed Spark-first:
+  *
+  *   - physical layout: `root/segments/` holds trace segments
+  *     (NSLC + starttime + sampling_period + samples array) partitioned
+  *     by (network, station); `root/index/` holds the summary index
+  *     (one row per segment, no samples) — the HDF5 index replacement.
+  *   - the index is small relative to data (1 row per segment) and is
+  *     what every query touches first; parquet min/max stats on
+  *     starttime/endtime give the reference's indexed-time-column
+  *     pushdown for free.
+  *   - `updateIndex` is incremental via the files' modification time
+  *     (`_metadata.file_modification_time`) — the mtime watermark
+  *     contract of `_unindexed_iterator` (`bank/core.py:193-210`).
+  */
+class WaveBank(spark: SparkSession, root: String) {
+
+  val segmentsPath = s"$root/segments"
+  val indexPath = s"$root/index"
+  /** WaveBank's ±1 s interval-query buffer (`wavebank.py:173`). */
+  val bufferNs: Long = 1_000_000_000L
+
+  /** Append trace segments to the archive, partitioned by station for
+    * co-located station-local reads (the path-template analog of
+    * `put_waveforms`).
+    */
+  def putWaveforms(segments: DataFrame): Unit = {
+    segments.write.mode(SaveMode.Append)
+      .partitionBy("network", "station")
+      .parquet(segmentsPath)
+    updateIndex()
+  }
+
+  /** (Re)build the summary index from segment files newer than the last
+    * index pass; first call indexes everything.
+    */
+  def updateIndex(): Unit = {
+    val lastIndexed: Long = try {
+      spark.read.parquet(indexPath)
+        .agg(max("indexed_at")).collect()(0).getLong(0)
+    } catch { case _: Throwable => Long.MinValue }
+
+    val segs = spark.read.parquet(segmentsPath)
+      .select(col("network"), col("station"), col("location"), col("channel"),
+        col("starttime"), col("sampling_period"), size(col("samples")).as("n"),
+        col("_metadata.file_path").as("path"),
+        unix_millis(col("_metadata.file_modification_time")).as("mtime_ms"))
+      .filter(col("mtime_ms") > lit(lastIndexed / 1000000L) - 1) // −1 ms slack, as the reference
+    val newIndex = segs.select(
+      Schemas.nslcNormalize(col("network")).as("network"),
+      Schemas.nslcNormalize(col("station")).as("station"),
+      Schemas.nslcNormalize(col("location")).as("location"),
+      Schemas.nslcNormalize(col("channel")).as("channel"),
+      col("starttime"),
+      (col("starttime") + col("n").cast("long") * col("sampling_period")).as("endtime"),
+      col("sampling_period"), col("path"))
+      .withColumn("indexed_at", lit(System.currentTimeMillis() * 1000000L))
+    if (newIndex.limit(1).count() > 0)
+      newIndex.write.mode(SaveMode.Append).parquet(indexPath)
+  }
+
+  /** The filtered index — glob NSLC + interval overlap with the ±1 s
+    * buffer (`read_index` semantics, obsplus `wavebank.py:330-361` +
+    * `utils/pd.py:336-382`). Literal globs become equality (hash-able
+    * predicates); patterns become anchored rlike.
+    */
+  def readIndex(network: String = "*", station: String = "*",
+                location: String = "*", channel: String = "*",
+                starttime: Option[Long] = None,
+                endtime: Option[Long] = None): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val nslc = Seq("network" -> network, "station" -> station,
+      "location" -> location, "channel" -> channel)
+    val globbed = nslc.foldLeft(idx) { case (df, (c, pat)) =>
+      if (pat == "*") df
+      else if (Fnmatch.isLiteral(pat)) df.filter(col(c) === pat)
+      else df.filter(Fnmatch.matches(col(c), pat))
+    }
+    (starttime, endtime) match {
+      case (Some(t1), Some(t2)) =>
+        globbed.filter(Intervals.overlaps(t1, t2, bufferNs))
+      case (Some(t1), None) => globbed.filter(col("endtime") >= t1 - bufferNs)
+      case (None, Some(t2)) =>
+        // endtime-only queries exclude NaT rows (obsplus `_handle_nat`)
+        globbed.filter(col("starttime").isNotNull &&
+          col("starttime") <= t2 + bufferNs)
+      case _ => globbed
+    }
+  }
+
+  def availability(): DataFrame =
+    Intervals.availability(spark.read.parquet(indexPath),
+      Seq("network", "station", "location", "channel"))
+
+  /** Gap rows per (NSLC, sampling_period); a gap must exceed
+    * minGapFactor × sampling_period (reference default 1.5,
+    * `wavebank.py:442-469`).
+    */
+  def gaps(minGapFactor: Double = 1.5): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val keys = Seq("network", "station", "location", "channel", "sampling_period")
+    Intervals.gaps(idx, keys, minGap = 0L)
+      .filter(col("gap_ns").cast("double") >
+        col("sampling_period").cast("double") * minGapFactor)
+  }
+
+  def uptime(): DataFrame =
+    Intervals.uptime(spark.read.parquet(indexPath),
+      Seq("network", "station", "location", "channel"), minGap = 0L)
+
+  /** Bulk fetch: one interval join of (seed glob-free) requests against
+    * the index, then a single read of the matched segment files, trim +
+    * stitch — the single-job reformulation of `get_waveforms_bulk`
+    * (`wavebank.py:581-614`).
+    */
+  def getWaveformsBulk(requests: DataFrame): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+      .withColumn("seed_id", Schemas.seedId(
+        col("network"), col("station"), col("location"), col("channel")))
+    val matched = IntervalJoin.overlapping(
+      idx, requests, keyCols = Seq("seed_id"), buffer = bufferNs)
+      .select(col("path")).distinct() // unique files before the expensive read
+    val segs = spark.read.parquet(segmentsPath)
+      .withColumn("path", col("_metadata.file_path"))
+      .join(matched, Seq("path"), "left_semi")
+      .withColumn("seed_id", Schemas.seedId(
+        Schemas.nslcNormalize(col("network")), Schemas.nslcNormalize(col("station")),
+        Schemas.nslcNormalize(col("location")), Schemas.nslcNormalize(col("channel"))))
+    TraceStitch.mergeTraces(spark,
+      segs.select("seed_id", "sampling_period", "starttime", "samples"))
+  }
+
+  /** Scalar get_waveforms: a one-row bulk request. */
+  def getWaveforms(network: String, station: String, location: String,
+                   channel: String, t1: Long, t2: Long): DataFrame = {
+    import spark.implicits._
+    val seed = Seq(network, station, location, channel).mkString(".")
+    getWaveformsBulk(Seq((seed, t1, t2)).toDF("seed_id", "t1", "t2"))
+  }
+
+  /** Chunked delivery — `yield_waveforms(duration, overlap)`
+    * (`wavebank.py:649-704`) as one job: chunk table × index join.
+    */
+  def yieldWaveforms(t1: Long, t2: Long, durationNs: Long,
+                     overlapNs: Long): DataFrame = {
+    val chunkTable = TimeChunks.chunks(spark, t1, t2,
+      durationNs + overlapNs, durationNs)
+    val idx = spark.read.parquet(indexPath)
+    IntervalJoin.overlapping(idx, chunkTable
+        .withColumnRenamed("chunk_start", "t1")
+        .withColumnRenamed("chunk_end", "t2"),
+      keyCols = Seq(), buffer = bufferNs)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixed output schemas + conformance — the reference's central dtype
+  * dictionaries (obsplus `constants.py:45-302`) and the
+  * `cast_dtypes`/`order_columns` enforcement (`utils/pd.py:152-235`):
+  * missing columns are created null, wrong dtypes are coerced, required
+  * columns come first and extras sort to the end.
+  *
+  * Times are LongType epoch-ns (the reference's int64-ns convention);
+  * human-facing µs views derive via `nsToTimestamp`.
+  */
+object Schemas {
+
+  /** Nullish NSLC spellings normalized to "" (obsplus
+    * `utils/misc.py:325-376`, `constants.py:461`).
+    */
+  val NullishCodes: Seq[String] = Seq("None", "none", "null", "nan", "<NA>", "--")
+
+  val waveformIndex: StructType = StructType(Seq(
+    StructField("network", StringType),
+    StructField("station", StringType),
+    StructField("location", StringType),
+    StructField("channel", StringType),
+    StructField("starttime", LongType),
+    StructField("endtime", LongType),
+    StructField("sampling_period", LongType),
+    StructField("path", StringType)))
+
+  val eventSummary: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("time", LongType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("depth", DoubleType),
+    StructField("magnitude", DoubleType),
+    StructField("magnitude_type", StringType),
+    StructField("updated", LongType),
+    StructField("author", StringType),
+    StructField("agency_id", StringType),
+    StructField("path", StringType)))
+
+  val picks: StructType = StructType(Seq(
+    StructField("resource_id", StringType),
+    StructField("event_id", StringType),
+    StructField("time", LongType),
+    StructField("seed_id", StringType),
+    StructField("network", StringType),
+    StructField("station", StringType),
+    StructField("location", StringType),
+    StructField("channel", StringType),
+    StructField("phase_hint", StringType),
+    StructField("onset", StringType),
+    StructField("polarity", StringType),
+    StructField("evaluation_status", StringType)))
+
+  val stations: StructType = StructType(Seq(
+    StructField("network", StringType),
+    StructField("station", StringType),
+    StructField("location", StringType),
+    StructField("channel", StringType),
+    StructField("seed_id", StringType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("elevation", DoubleType),
+    StructField("sample_rate", DoubleType),
+    StructField("start_date", LongType),
+    StructField("end_date", LongType)))
+
+  val gaps: StructType = StructType(Seq(
+    StructField("network", StringType),
+    StructField("station", StringType),
+    StructField("location", StringType),
+    StructField("channel", StringType),
+    StructField("gap_start", LongType),
+    StructField("gap_end", LongType),
+    StructField("gap_ns", LongType)))
+
+  /** Conform `df` to `schema`: required columns first (created null if
+    * absent, cast if mistyped), extra columns appended sorted by name.
+    */
+  def conformTo(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    val required = schema.fields.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val extras = df.columns.filterNot(schema.fieldNames.contains).sorted.map(col)
+    df.select(required ++ extras: _*)
+  }
+
+  /** NSLC code normalization: nullish → "", integers zero-padded to two
+    * chars (the reference turns numeric location codes into "01";
+    * `_int_column_to_str`, `utils/pd.py:33-47`).
+    */
+  def nslcNormalize(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    when(s.isNull || s.isin(NullishCodes: _*), "")
+      .when(s.rlike("^[0-9]$"), lpad(s, 2, "0"))
+      .otherwise(s)
+  }
+
+  /** seed_id = network.station.location.channel (obsplus
+    * `get_seed_id_series`, `utils/pd.py:278-333`).
+    */
+  def seedId(net: Column, sta: Column, loc: Column, cha: Column): Column =
+    concat_ws(".", net, sta, loc, cha)
+
+  /** Split a seed_id back into NSLC columns. */
+  def splitSeedId(seed: Column): Seq[(String, Column)] = {
+    val parts = split(seed, "\\.")
+    Seq("network" -> parts.getItem(0), "station" -> parts.getItem(1),
+        "location" -> parts.getItem(2), "channel" -> parts.getItem(3))
+  }
+
+  /** ns long column → µs timestamp view (human-facing). Integer `div`
+    * — double division would lose ns precision at 1.7e18.
+    */
+  def nsToTimestamp(colName: String): Column =
+    timestamp_micros(expr(s"$colName div 1000"))
+}

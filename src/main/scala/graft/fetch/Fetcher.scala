@@ -1,0 +1,74 @@
+package graft.fetch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.IntervalJoin
+
+/** Dataset-aware joins — the Fetcher pillar (obsplus
+  * `structures/fetcher.py`): answer "waveforms around each event's
+  * reference time" as ONE distributed job instead of a per-event loop
+  * (§3.3's single-job reformulation).
+  *
+  * Reference-time strategies (`fetcher.py:328, 576-628`):
+  *   - "origin": each event's origin time × every channel (cross join —
+  *     channel table broadcast)
+  *   - "p"/"s": first matching-phase pick per event/station, joined to
+  *     every channel of that station (broadcast equi join)
+  *
+  * Custom strategies register via `registerReference`.
+  */
+class Fetcher(
+    spark: SparkSession,
+    events: DataFrame,   // event_id, time (ns), ...
+    stations: DataFrame, // network, station, location, channel, seed_id, ...
+    picks: DataFrame) {  // event_id, station, phase_hint, time (ns)
+
+  type RefStrategy = () => DataFrame // → (event_id, seed_id, ref_time)
+
+  private var strategies: Map[String, RefStrategy] = Map(
+    "origin" -> originTimes _,
+    "p" -> (() => phaseTimes("P")),
+    "s" -> (() => phaseTimes("S")))
+
+  def registerReference(name: String, s: RefStrategy): Unit =
+    strategies += name.toLowerCase -> s
+
+  /** origin strategy: events × channels (`fetcher.py:576-595`). */
+  def originTimes(): DataFrame =
+    events.select(col("event_id"), col("time").as("ref_time"))
+      .crossJoin(broadcast(stations.select(col("seed_id"))))
+
+  /** p/s strategy: first pick of the phase per (event, station),
+    * broadcast onto the station's channels (`fetcher.py:598-628`).
+    */
+  def phaseTimes(phase: String): DataFrame = {
+    val firstPick = picks
+      .filter(upper(col("phase_hint")) === phase.toUpperCase)
+      .groupBy("event_id", "station")
+      .agg(min("time").as("ref_time")) // first pick = idxmin on time
+    broadcast(firstPick)
+      .join(stations.select(col("station"), col("seed_id")), Seq("station"))
+      .select("event_id", "seed_id", "ref_time")
+  }
+
+  /** Waveform requests for every (event, channel): window
+    * [ref − before, ref + after] — feed to WaveBank.getWaveformsBulk or
+    * join against any segment index.
+    */
+  def eventRequests(reference: String, beforeNs: Long, afterNs: Long): DataFrame =
+    strategies(reference.toLowerCase)()
+      .select(col("event_id"), col("seed_id"),
+        (col("ref_time") - beforeNs).as("t1"),
+        (col("ref_time") + afterNs).as("t2"))
+
+  /** One-job event-waveform fetch: requests interval-joined to a
+    * segment index on seed_id (+ overlap), keyed output
+    * (event_id, seed_id). The reference's per-event Python loop
+    * becomes a single shuffle.
+    */
+  def fetchEventSegments(index: DataFrame, reference: String,
+                         beforeNs: Long, afterNs: Long): DataFrame = {
+    val reqs = eventRequests(reference, beforeNs, afterNs)
+    IntervalJoin.overlapping(index, reqs, keyCols = Seq("seed_id"))
+  }
+}

@@ -47,9 +47,10 @@ object IntervalJoin {
       buffer: Long = 0L,
       broadcastRequests: Boolean = true): DataFrame = {
     val reqs = if (broadcastRequests) broadcast(requests) else requests
-    val cond = keyCols.map(k => segments(k) === reqs(k)).reduce(_ && _) &&
+    val overlap =
       !(segments(endCol) < reqs(t1Col) - lit(buffer) ||
         segments(startCol) > reqs(t2Col) + lit(buffer))
+    val cond = (keyCols.map(k => segments(k) === reqs(k)) :+ overlap).reduce(_ && _)
     segments.join(reqs, cond)
   }
 

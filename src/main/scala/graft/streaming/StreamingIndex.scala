@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Incremental indexing as Structured Streaming — the reference's
+  * mtime-watermark contract (`bank/core.py:193-210`: only files newer
+  * than the last pass are re-scanned) is exactly Spark's file-source
+  * semantics: the checkpoint remembers processed files, each trigger
+  * summarizes only new ones, and `foreachBatch` appends to the index
+  * with exactly-once bookkeeping.
+  *
+  * `Trigger.AvailableNow` drains everything pending then stops — the
+  * batch `update_index()` call; leave the default trigger for a live
+  * continuously-indexing bank.
+  */
+object StreamingIndex {
+
+  /** Segment-file schema expected on the stream. */
+  def segmentSchema: StructType = StructType.fromDDL(
+    "network STRING, station STRING, location STRING, channel STRING, " +
+      "starttime BIGINT, sampling_period BIGINT, samples ARRAY<DOUBLE>")
+
+  /** Start (and by default drain) the incremental indexer: parquet
+    * segment files under segmentsDir → summary rows appended to
+    * indexDir.
+    */
+  def run(spark: SparkSession, segmentsDir: String, indexDir: String,
+          checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(segmentSchema)
+      .option("maxFilesPerTrigger", "1000") // bounded-memory batching
+      .parquet(segmentsDir)
+    val summaries = stream.select(
+      col("network"), col("station"), col("location"), col("channel"),
+      col("starttime"),
+      (col("starttime") + size(col("samples")).cast("long") * col("sampling_period"))
+        .as("endtime"),
+      col("sampling_period"))
+    val writer = summaries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy("network", "station", "location", "channel", "sampling_period")
+          .agg(min("starttime").as("starttime"), max("endtime").as("endtime"),
+               count(lit(1)).as("n_segments"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Streaming availability with watermarked tumbling windows over a
+    * live event stream — the streaming analog of the availability agg.
+    */
+  def windowedCounts(stream: DataFrame, tsCol: String,
+                     window_ : String, watermark: String): DataFrame =
+    stream
+      .withColumn("ts_ts", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("ts_ts", watermark)
+      .groupBy(window(col("ts_ts"), window_), col("network"), col("station"))
+      .agg(count(lit(1)).as("n"), min(tsCol).as("min_ts"), max(tsCol).as("max_ts"))
+}

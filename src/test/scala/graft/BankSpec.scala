@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.bank.{EventBank, EventQuery, WaveBank}
+import graft.core.Schemas
+import graft.fetch.Fetcher
+
+/** End-to-end bank lifecycle on a synthetic archive in a temp dir —
+  * the §3 query lifecycles: index → filter → bulk fetch → stitch, and
+  * event upsert → kwarg queries.
+  */
+class BankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-bank").toString
+
+  private def segmentDf = Seq(
+    // N1.S1..BHZ: two adjacent segments then a gap then one more
+    ("N1", "S1", "", "BHZ", 0L, 10L, Array.fill(100)(1.0)),
+    ("N1", "S1", "", "BHZ", 1000L, 10L, Array.fill(100)(2.0)),
+    ("N1", "S1", "", "BHZ", 5000L, 10L, Array.fill(50)(3.0)),
+    // N1.S2..BHN: single segment
+    ("N1", "S2", "", "BHN", 0L, 10L, Array.fill(200)(4.0))
+  ).toDF("network", "station", "location", "channel",
+         "starttime", "sampling_period", "samples")
+
+  test("wavebank: index, glob+interval readIndex, availability, gaps") {
+    val bank = new WaveBank(spark, tmp())
+    bank.putWaveforms(segmentDf)
+
+    assert(bank.readIndex().count() == 4)
+    assert(bank.readIndex(station = "S?").count() == 4)
+    assert(bank.readIndex(station = "S1").count() == 3)
+    assert(bank.readIndex(channel = "BH[NE]").count() == 1)
+    // interval query touches only overlapping segments (±1 s buffer is
+    // huge vs these times, so restrict with exact window on a far key)
+    val av = bank.availability().orderBy("station", "channel").collect()
+    assert(av.length == 2)
+    assert(av(0).getAs[Long]("starttime") == 0L)
+    assert(av(0).getAs[Long]("endtime") == 5500L)
+    val gaps = bank.gaps().collect()
+    assert(gaps.length == 1) // 2000 → 5000
+    assert(gaps(0).getAs[Long]("gap_start") == 2000L &&
+           gaps(0).getAs[Long]("gap_end") == 5000L)
+  }
+
+  test("wavebank: incremental updateIndex only adds new segments") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segmentDf)
+    assert(bank.readIndex().count() == 4)
+    bank.putWaveforms(Seq(("N2", "S9", "", "HHZ", 0L, 10L, Array.fill(10)(0.0)))
+      .toDF("network", "station", "location", "channel",
+            "starttime", "sampling_period", "samples"))
+    assert(bank.readIndex().count() == 5)
+    assert(bank.readIndex(network = "N2").count() == 1)
+  }
+
+  test("wavebank: bulk fetch stitches adjacent segments, later wins") {
+    val bank = new WaveBank(spark, tmp())
+    bank.putWaveforms(segmentDf)
+    val reqs = Seq(("N1.S1..BHZ", 0L, 1500L)).toDF("seed_id", "t1", "t2")
+    val out = bank.getWaveformsBulk(reqs).orderBy("starttime").collect()
+    // segments at 0 and 1000 are adjacent (0..1000, 1000..2000) → merged;
+    // 5000.. is a separate trace but its file also matched the read
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("starttime") == 0L &&
+           out(0).getAs[Long]("endtime") == 2000L)
+    assert(out(0).getAs[scala.collection.Seq[Double]]("samples").take(100).forall(_ == 1.0))
+    assert(out(0).getAs[scala.collection.Seq[Double]]("samples").drop(100).forall(_ == 2.0))
+  }
+
+  test("eventbank: upsert by id, strict kwarg filters, circular, limit") {
+    val bank = new EventBank(spark, tmp())
+    val ev = Seq(
+      ("e1", 1000L, 10.0, 20.0, 5.0, 2.5, "ML", 1L),
+      ("e2", 2000L, 11.0, 21.0, 6.0, 3.5, "ML", 1L),
+      ("e3", 3000L, 50.0, -170.0, 7.0, 4.5, "MW", 1L)
+    ).toDF("event_id", "time", "latitude", "longitude", "depth",
+           "magnitude", "magnitude_type", "updated")
+    bank.putEvents(ev)
+    assert(bank.readIndex().count() == 3)
+
+    // upsert: e2 with newer updated wins; stale row ignored
+    bank.putEvents(Seq(("e2", 2000L, 11.0, 21.0, 6.0, 9.9, "ML", 5L))
+      .toDF("event_id", "time", "latitude", "longitude", "depth",
+            "magnitude", "magnitude_type", "updated"))
+    val e2 = bank.readIndex().filter(col("event_id") === "e2").collect()
+    assert(e2.length == 1 && e2(0).getAs[Double]("magnitude") == 9.9)
+
+    // strict min: magnitude > 2.5 excludes the 2.5 event
+    assert(bank.getEvents(EventQuery(minMagnitude = Some(2.5))).count() == 2)
+    // circular search around e1
+    val near = bank.getEvents(EventQuery(latitude = Some(10.0),
+      longitude = Some(20.0), maxRadiusM = Some(500000.0)))
+    assert(near.select("event_id").as[String].collect().toSet == Set("e2"))
+    assert(bank.getEvents(EventQuery(limit = Some(1))).count() == 1)
+  }
+
+  test("fetcher: origin cross-expansion and p-phase station join") {
+    val events = Seq(("e1", 1000L), ("e2", 5000L)).toDF("event_id", "time")
+    val stations = Seq(
+      ("N1", "S1", "", "BHZ", "N1.S1..BHZ"),
+      ("N1", "S1", "", "BHN", "N1.S1..BHN"),
+      ("N1", "S2", "", "BHZ", "N1.S2..BHZ"))
+      .toDF("network", "station", "location", "channel", "seed_id")
+    val picks = Seq(("e1", "S1", "P", 900L), ("e1", "S1", "P", 950L),
+        ("e1", "S2", "S", 1100L))
+      .toDF("event_id", "station", "phase_hint", "time")
+    val f = new Fetcher(spark, events, stations, picks)
+
+    assert(f.eventRequests("origin", 10L, 20L).count() == 6) // 2 ev × 3 ch
+    val p = f.eventRequests("p", 0L, 0L).collect()
+    assert(p.length == 2) // first P pick of e1/S1 → both S1 channels
+    assert(p.forall(_.getAs[Long]("t1") == 900L)) // idxmin pick time
+  }
+}

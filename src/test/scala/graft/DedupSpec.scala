@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different words entirely here now ok")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: dup pair collapses, whitespace/case-insensitive") {
+    val g = Dedup.exactGroups(
+      docs.withColumn("text", when(col("doc_id") === 2, upper(col("text")))
+        .otherwise(col("text"))), "text", "doc_id")
+    val dup = g.filter(col("n_docs") === 2).collect()
+    assert(dup.length == 1 && dup(0).getAs[Long]("keeper") == 1L)
+    assert(g.count() == 3)
+  }
+
+  test("minhash LSH: exact+near dups collide, distinct docs don't") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(graft.functions.TextFunctions.tokens(col("text")), 8)
+        .as("sig"))
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(sigs, "sig", "doc_id", 4, 2), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close, found by pairs") {
+    val sigs = Dedup.simhash(docs, "text", "doc_id")
+    val pairs = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 16)
+      .as[(Long, Long, Int)].collect()
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 == 0)
+    val near = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(near.isDefined && near.get._3 <= 16)
+  }
+
+  test("jaccard pairs: thresholds separate near dups from unrelated") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.jaccardPairs(blocked, "text", "doc_id", Seq("blk"), 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("embedding near-dup finds planted copy via sign buckets") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.2f, 0.1f, 0.9f)),
+      (2L, Array(0.5f, -0.2f, 0.1f, 0.9f)),
+      (3L, Array(-0.5f, 0.2f, -0.1f, -0.9f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      bits = 4, minCosine = 0.99).as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L)
+  }
+}

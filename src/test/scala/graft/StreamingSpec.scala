@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.StreamingIndex
+
+/** Incremental-indexing contract: a second run only processes files the
+  * checkpoint hasn't seen (the mtime-watermark semantics of the
+  * reference's `update_index`).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming index drains available files then picks up only new ones") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val segDir = s"$root/segments"; val idxDir = s"$root/index"
+    val ckDir = s"$root/ck"
+
+    def write(station: String, start: Long): Unit =
+      Seq(("N1", station, "", "BHZ", start, 10L, Array.fill(10)(1.0)))
+        .toDF("network", "station", "location", "channel",
+              "starttime", "sampling_period", "samples")
+        .coalesce(1).write.mode("append").parquet(segDir)
+
+    write("S1", 0L); write("S2", 0L)
+    val q1 = StreamingIndex.run(spark, segDir, idxDir, ckDir)
+    q1.awaitTermination(60000)
+    val first = spark.read.parquet(idxDir)
+    assert(first.select("station").distinct().count() == 2)
+    val batches1 = first.select("batch_id").distinct().count()
+
+    write("S3", 100L)
+    val q2 = StreamingIndex.run(spark, segDir, idxDir, ckDir)
+    q2.awaitTermination(60000)
+    val second = spark.read.parquet(idxDir)
+    assert(second.select("station").distinct().count() == 3)
+    // S1/S2 not re-summarized: only one extra batch of rows appended
+    assert(second.count() == first.count() + 1)
+    assert(second.select("batch_id").distinct().count() == batches1 + 1)
+  }
+}
