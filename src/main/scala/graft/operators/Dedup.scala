@@ -26,18 +26,19 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
 
-  /** k-element MinHash signature over 3-token shingles.
+  /** k-element MinHash signature over a MATERIALIZED shingle-array
+    * column. Pass a real column (withColumn), not the shingle
+    * expression inline — an inlined expression is re-evaluated once per
+    * hash lambda (k× the tokenize+shingle work; measured 12× slower).
     *
     * `hasher` maps (salt index, shingle) → orderable value. The default
     * md5 hasher is engine-portable (oracle-checkable); for production
     * scale swap `xxhash64Hasher` — 8 bytes vs 32 and no hex encoding.
     */
-  def minhashSignature(toks: Column, k: Int,
-      hasher: (Column, Column) => Column = md5Hasher): Column = {
-    val sh = TextFunctions.shingles3(toks)
+  def minhashSignature(shingles: Column, k: Int,
+      hasher: (Column, Column) => Column = md5Hasher): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => hasher(i, s))))
-  }
+      i => array_min(transform(shingles, s => hasher(i, s))))
 
   val md5Hasher: (Column, Column) => Column =
     (i, s) => md5(concat(i.cast("string"), lit("|"), s))
@@ -56,17 +57,23 @@ object Dedup {
             slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))))
           .as(Seq("band", "bucket")))
 
-  /** Distinct candidate pairs (a < b) from bucket collisions. The
-    * self-join is equi on (band, bucket) — hash-partitioned, touching
-    * only colliding groups.
+  /** Distinct candidate pairs (a < b) from bucket collisions: ONE
+    * shuffle — group each (band, bucket), expand pairs inside the
+    * group. A self-join would recompute the whole signature lineage
+    * for both sides; this computes it once. Bucket membership lists
+    * are small by construction (that's what banding is for); a bucket
+    * hot enough to matter is a degenerate hash worth surfacing, not
+    * silently grinding through.
     */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-  }
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame =
+    buckets.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
 
   /** Typed Aggregator building a 64-bit SimHash from token hashes:
     * per-bit majority vote over all token hashes of a document.
@@ -114,14 +121,17 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col(idCol).as("a"), col("simhash").as("ha"))
-    val b = banded.select(col("band"), col("bucket"),
-      col(idCol).as("b"), col("simhash").as("hb"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+    // same one-shuffle group-and-expand as candidatePairs (no self-join)
+    banded.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"),
+        col("simhash").as("h")))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + 2, size(col("m"))),
+          y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            bit_count(x.getField("h").bitwiseXOR(y.getField("h")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -44,8 +44,10 @@ object DedupQueries {
     // ---- MinHash(k=8) + LSH(4 bands × 2): candidate pairs from
     //      banded bucket collisions; md5 hasher for engine parity
     Q("q26_dedup_minhash_lsh", (s, dir) => {
-      val sigs = corpus(s, dir).select(col("doc_id"),
-        Dedup.minhashSignature(TextFunctions.tokens(col("text")), k = 8).as("sig"))
+      val sigs = corpus(s, dir)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("sh", TextFunctions.shingles3(col("toks")))
+        .select(col("doc_id"), Dedup.minhashSignature(col("sh"), k = 8).as("sig"))
       Dedup.candidatePairs(
         Dedup.lshBuckets(sigs, "sig", "doc_id", bands = 4, rowsPerBand = 2),
         "doc_id")

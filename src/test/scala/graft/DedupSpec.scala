@@ -23,9 +23,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH: exact+near dups collide, distinct docs don't") {
-    val sigs = docs.select(col("doc_id"),
-      Dedup.minhashSignature(graft.functions.TextFunctions.tokens(col("text")), 8)
-        .as("sig"))
+    val sigs = docs
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("sh", graft.functions.TextFunctions.shingles3(col("toks")))
+      .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 8).as("sig"))
     val pairs = Dedup.candidatePairs(
       Dedup.lshBuckets(sigs, "sig", "doc_id", 4, 2), "doc_id")
       .as[(Long, Long)].collect().toSet
