@@ -146,6 +146,19 @@ class WaveBank(spark: SparkSession, root: String) {
     getWaveformsBulk(Seq((seed, t1, t2)).toDF("seed_id", "t1", "t2"))
   }
 
+  /** SDS-layout export — re-chunk the archive into a day-partitioned
+    * SeisComP-style layout (`utils/waveforms.py:404-472`): the path
+    * template becomes partition columns, the re-chunk one partitioned
+    * write clustered by (NSLC, day).
+    */
+  def exportSds(outDir: String): Unit =
+    spark.read.parquet(segmentsPath)
+      .withColumn("day", expr("starttime div 86400000000000"))
+      .repartition(col("network"), col("station"), col("channel"), col("day"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("network", "station", "channel", "day")
+      .parquet(outDir)
+
   /** Chunked delivery — `yield_waveforms(duration, overlap)`
     * (`wavebank.py:649-704`) as one job: chunk table × index join.
     */

@@ -31,6 +31,20 @@ object Tables {
   def eventsUs(s: SparkSession, d: String): DataFrame =
     events(s, d).withColumn("ts",
       org.apache.spark.sql.functions.expr("ts div 1000 * 1000"))
+
+  /** Any-format loader with CSV fallback + schema conform — the
+    * reference's "every to-df entry point falls back to read_csv"
+    * contract (obsplus `events/pd.py:269-276`).
+    */
+  def readAny(s: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw =
+      if (path.endsWith(".csv"))
+        s.read.option("header", "true").schema(
+          org.apache.spark.sql.types.StructType(schema.fields)).csv(path)
+      else s.read.parquet(path)
+    Schemas.conformTo(raw, schema)
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

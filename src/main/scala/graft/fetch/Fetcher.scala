@@ -33,6 +33,15 @@ class Fetcher(
   def registerReference(name: String, s: RefStrategy): Unit =
     strategies += name.toLowerCase -> s
 
+  /** Post-fetch transform hook — the `stream_processor` extension
+    * point (`fetcher.py:178-197, 491-499`): a user DataFrame→DataFrame
+    * applied to every fetch result.
+    */
+  private var streamProcessor: DataFrame => DataFrame = identity
+  def withStreamProcessor(f: DataFrame => DataFrame): this.type = {
+    streamProcessor = f; this
+  }
+
   /** origin strategy: events × channels (`fetcher.py:576-595`). */
   def originTimes(): DataFrame =
     events.select(col("event_id"), col("time").as("ref_time"))
@@ -69,6 +78,6 @@ class Fetcher(
   def fetchEventSegments(index: DataFrame, reference: String,
                          beforeNs: Long, afterNs: Long): DataFrame = {
     val reqs = eventRequests(reference, beforeNs, afterNs)
-    IntervalJoin.overlapping(index, reqs, keyCols = Seq("seed_id"))
+    streamProcessor(IntervalJoin.overlapping(index, reqs, keyCols = Seq("seed_id")))
   }
 }

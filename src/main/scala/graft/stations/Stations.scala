@@ -1,0 +1,93 @@
+package graft.stations
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Schemas
+import graft.functions.Fnmatch
+
+/** Station-inventory operations — obsplus `stations/get_stations.py`
+  * + `utils/stations.py`: filter the channel-level table with the
+  * FDSN kwarg surface, and rebuild/flatten the nested
+  * network→station→channel hierarchy (the reference's nested groupby
+  * inventory build, `utils/stations.py:98-125, 289-326`).
+  */
+final case class StationQuery(
+    network: String = "*", station: String = "*",
+    location: String = "*", channel: String = "*",
+    startBefore: Option[Long] = None, startAfter: Option[Long] = None,
+    endBefore: Option[Long] = None, endAfter: Option[Long] = None,
+    minLatitude: Option[Double] = None, maxLatitude: Option[Double] = None,
+    minLongitude: Option[Double] = None, maxLongitude: Option[Double] = None)
+
+object Stations {
+
+  /** Channel-level filter. Time kwargs act on start_date/end_date (the
+    * reference's start_date/end_date aliasing, `utils/pd.py:440-442`);
+    * bounds are strict like every min_/max_ kwarg.
+    */
+  def getStations(df: DataFrame, q: StationQuery): DataFrame = {
+    var out = df
+    Seq("network" -> q.network, "station" -> q.station,
+        "location" -> q.location, "channel" -> q.channel).foreach {
+      case (_, "*") =>
+      case (c, pat) if Fnmatch.isLiteral(pat) => out = out.filter(col(c) === pat)
+      case (c, pat) => out = out.filter(Fnmatch.matches(col(c), pat))
+    }
+    q.startBefore.foreach(v => out = out.filter(col("start_date") < v))
+    q.startAfter.foreach(v => out = out.filter(col("start_date") > v))
+    q.endBefore.foreach(v => out = out.filter(col("end_date") < v))
+    q.endAfter.foreach(v => out = out.filter(col("end_date") > v))
+    q.minLatitude.foreach(v => out = out.filter(col("latitude") > v))
+    q.maxLatitude.foreach(v => out = out.filter(col("latitude") < v))
+    q.minLongitude.foreach(v => out = out.filter(col("longitude") > v))
+    q.maxLongitude.foreach(v => out = out.filter(col("longitude") < v))
+    out
+  }
+
+  /** Rebuild the nested inventory: one row per network with
+    * station structs each holding their channel structs — two
+    * `collect_list(struct)` groupBys, deterministic ordering via
+    * array_sort on the struct keys.
+    */
+  def toInventory(channels: DataFrame): DataFrame = {
+    val stationLevel = channels
+      .groupBy("network", "station")
+      .agg(
+        first("latitude").as("latitude"),
+        first("longitude").as("longitude"),
+        array_sort(collect_list(struct(
+          col("location"), col("channel"), col("seed_id"),
+          col("sample_rate"), col("start_date"), col("end_date")))).as("channels"))
+    stationLevel.groupBy("network")
+      .agg(array_sort(collect_list(struct(
+        col("station"), col("latitude"), col("longitude"),
+        col("channels")))).as("stations"))
+  }
+
+  /** Flatten a nested inventory back to the channel-level table —
+    * explode with parent context carried along (the generator-shaped
+    * tree→rows extraction of `dfextractor.py:158-189`).
+    */
+  def flatten(inventory: DataFrame): DataFrame =
+    inventory
+      .select(col("network"), explode(col("stations")).as("st"))
+      .select(col("network"), col("st.station").as("station"),
+        col("st.latitude").as("latitude"), col("st.longitude").as("longitude"),
+        explode(col("st.channels")).as("ch"))
+      .select(col("network"), col("station"),
+        col("ch.location").as("location"), col("ch.channel").as("channel"),
+        col("ch.seed_id").as("seed_id"),
+        col("latitude"), col("longitude"),
+        col("ch.sample_rate").as("sample_rate"),
+        col("ch.start_date").as("start_date"), col("ch.end_date").as("end_date"))
+
+  /** JSON round trip of the nested inventory (catalog↔JSON analog,
+    * obsplus `events/json.py`).
+    */
+  def toJson(inventory: DataFrame): DataFrame =
+    inventory.select(col("network"),
+      to_json(struct(col("network"), col("stations"))).as("json"))
+
+  def fromJson(jsonDf: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    jsonDf.select(from_json(col("json"), schema).as("o")).select("o.*")
+}

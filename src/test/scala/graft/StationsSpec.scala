@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stations.{StationQuery, Stations}
+
+class StationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def channels = Seq(
+    ("N1", "S1", "", "BHZ", "N1.S1..BHZ", 10.0, 20.0, 100.0, 0L, 1000L),
+    ("N1", "S1", "", "BHN", "N1.S1..BHN", 10.0, 20.0, 100.0, 0L, 1000L),
+    ("N1", "S2", "00", "HHZ", "N1.S2.00.HHZ", 11.0, 21.0, 50.0, 500L, 2000L),
+    ("N2", "S3", "", "BHZ", "N2.S3..BHZ", -5.0, 100.0, 25.0, 0L, 2000L)
+  ).toDF("network", "station", "location", "channel", "seed_id",
+         "latitude", "longitude", "sample_rate", "start_date", "end_date")
+
+  test("getStations: glob + strict time/geo kwargs") {
+    assert(Stations.getStations(channels, StationQuery(channel = "BH?")).count() == 3)
+    assert(Stations.getStations(channels,
+      StationQuery(startAfter = Some(0L))).count() == 1)  // strict >
+    assert(Stations.getStations(channels,
+      StationQuery(minLatitude = Some(10.0))).count() == 1) // strict >
+    assert(Stations.getStations(channels,
+      StationQuery(network = "N1", endBefore = Some(1500L))).count() == 2)
+  }
+
+  test("inventory round trip: channel table → nested → flatten") {
+    val inv = Stations.toInventory(channels)
+    assert(inv.count() == 2) // two networks
+    val flat = Stations.flatten(inv)
+    assert(flat.count() == 4)
+    val got = flat.orderBy("seed_id").select("seed_id").as[String].collect()
+    assert(got.toSeq == Seq("N1.S1..BHN", "N1.S1..BHZ", "N1.S2.00.HHZ", "N2.S3..BHZ"))
+  }
+
+  test("inventory JSON round trip preserves the tree") {
+    val inv = Stations.toInventory(channels)
+    val json = Stations.toJson(inv)
+    val back = Stations.fromJson(json, inv.schema)
+    assert(Stations.flatten(back).count() == 4)
+    assert(back.select("network").as[String].collect().toSet == Set("N1", "N2"))
+  }
+}
