@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring for graft's custom expressions.
+  *
+  * Production: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. For an already
+  * running session, `GraftExtensions.register(spark)` installs the
+  * functions in the session's registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.haversineDescriptor)
+  }
+}
+
+object GraftExtensions {
+
+  private def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4, "haversine_m(lat1, lon1, lat2, lon2)")
+    HaversineMeters(exprs(0), exprs(1), exprs(2), exprs(3))
+  }
+
+  val haversineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("haversine_m"),
+      new ExpressionInfo(classOf[HaversineMeters].getName, "haversine_m"),
+      build)
+
+  /** Install on a live session (tests / notebooks). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "haversine_m", build, "built-in")
+}
