@@ -51,7 +51,7 @@ object MiscQueries {
       SELECT event_id, ts, value FROM (
         SELECT *, row_number() OVER (PARTITION BY event_id
                    ORDER BY ts DESC, value DESC) AS rn FROM all_rows)
-      WHERE rn = 1""")),
+      WHERE rn = 1"""), headline = true),
 
     // ---- validation rule report (violations per rule)
     Q("q38_validation", (s, dir) => {
@@ -121,6 +121,57 @@ object MiscQueries {
     }, Some("""
       SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
              '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS rt
-      FROM events"""))
+      FROM events""")),
+
+    // ---- §2.3 association by nearest median (associate_merge,
+    //      `events/merge.py:211-266`): each (user, day) error-group
+    //      matches the per-(user, type) group whose median time is
+    //      nearest, within tolerance
+    Q("q41_associate_median", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.eventsUs(s, dir)
+        .withColumn("ts_ms", expr("ts div 1000000"))
+      val catA = e.groupBy("user_id", "event_type")
+        .agg(expr("percentile(ts_ms, 0.5)").as("a_median_ms"))
+      val catB = e.filter(col("event_type") === "error")
+        .withColumn("day", expr("ts_ms div 86400000"))
+        .groupBy("user_id", "day")
+        .agg(expr("percentile(ts_ms, 0.5)").as("b_median_ms"))
+      val joined = catB.join(broadcast(catA), Seq("user_id"))
+        .withColumn("diff_ms", abs(col("b_median_ms") - col("a_median_ms")))
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy(col("diff_ms").asc, col("event_type").asc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("diff_ms") <= 86400000.0)
+        .select("user_id", "day", "b_median_ms", "event_type",
+                "a_median_ms", "diff_ms")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      catA AS (SELECT user_id, event_type, quantile_cont(ts_ms, 0.5) AS a_median_ms
+               FROM e GROUP BY user_id, event_type),
+      catB AS (SELECT user_id, ts_ms // 86400000 AS day,
+                      quantile_cont(ts_ms, 0.5) AS b_median_ms
+               FROM e WHERE event_type = 'error' GROUP BY user_id, day),
+      j AS (SELECT catB.user_id, day, b_median_ms, event_type, a_median_ms,
+                   ABS(b_median_ms - a_median_ms) AS diff_ms,
+                   row_number() OVER (PARTITION BY catB.user_id, day
+                     ORDER BY ABS(b_median_ms - a_median_ms) ASC, event_type ASC) AS rn
+            FROM catB JOIN catA ON catB.user_id = catA.user_id)
+      SELECT user_id, day, b_median_ms, event_type, a_median_ms, diff_ms
+      FROM j WHERE rn = 1 AND diff_ms <= 86400000.0""")),
+
+    // ---- skew-safe salted aggregation: two-phase sum, exact decimal
+    //      partials → identical to the plain aggregate
+    Q("q42_salted_agg", (s, dir) => {
+      val e = Tables.eventsUs(s, dir)
+      graft.operators.Skew.saltedSum(e, Seq("user_id"),
+          col("value").cast("decimal(18,2)"), "sum_value",
+          pmod(col("event_id"), lit(16)))
+        .withColumn("sum_value", col("sum_value").cast("double"))
+    }, Some("""
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             COUNT(*) AS sum_value_n
+      FROM events GROUP BY user_id"""), headline = true)
   )
 }

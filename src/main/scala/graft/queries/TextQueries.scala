@@ -87,7 +87,7 @@ object TextQueries {
              CAST(SUM(len($toksSql)) AS BIGINT) AS total_ws_tokens,
              CAST(SUM(CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_bpe_est,
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
-      FROM documents GROUP BY lang, source""")),
+      FROM documents GROUP BY lang, source"""), headline = true),
 
     // ---- document fingerprinting: canonical md5 + min-shingle hash
     //      (rolling-hash analog)

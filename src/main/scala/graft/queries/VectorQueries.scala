@@ -65,7 +65,7 @@ object VectorQueries {
             FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.q_id),
       r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
       SELECT q_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
-      FROM r WHERE rank <= 3""")),
+      FROM r WHERE rank <= 3"""), headline = true),
 
     // ---- embedding near-dup pairs: same-bucket, rounded cosine >= 0.99
     //      (finds the planted copies)

@@ -78,7 +78,7 @@ object WindowQueries {
       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              MIN(starttime) AS seg_start, MAX(endtime) AS seg_end,
              COUNT(*) AS n_members
-      FROM s3 GROUP BY user_id, session_id""")),
+      FROM s3 GROUP BY user_id, session_id"""), headline = true),
 
     // ---- §2.4 uptime: availability ⟗ gap totals, fill 0, ratio
     Q("q16_uptime", (s, dir) => {
