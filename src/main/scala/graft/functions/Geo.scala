@@ -85,4 +85,65 @@ object Geo {
 
   def wrapLonScalar(lon: Double): Double =
     lon - 360.0 * math.floor((lon + 180.0) / 360.0)
+
+  /** Duplicate-id coordinate guard — the reference errors when the same
+    * station/event id appears with different coordinates
+    * (`geodetics.py:115-131`). Returns the offending ids.
+    */
+  def duplicateCoordIds(df: DataFrame, idCol: String,
+                        latCol: String, lonCol: String): DataFrame =
+    df.groupBy(col(idCol))
+      .agg(countDistinct(col(latCol), col(lonCol)).as("n_coords"))
+      .filter(col("n_coords") > 1)
+
+  /** WGS84 inverse geodesic (Vincenty) — survey-grade distance for the
+    * reference's `gps2dist_azimuth` parity (`geodetics.py:9-10` WGS84
+    * A/F). Scala UDF (iterative; not expressible as builtin columns);
+    * prefer `haversineMeters` on hot paths, this where the ~0.3%
+    * spheroid correction matters.
+    */
+  val vincentyMeters: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
+        vincentyScalar(lat1, lon1, lat2, lon2))
+
+  def vincentyScalar(lat1: Double, lon1: Double,
+                     lat2: Double, lon2: Double): Double = {
+    val a = 6378137.0; val f = 1.0 / 298.257223563; val b = (1 - f) * a
+    if (lat1 == lat2 && lon1 == lon2) return 0.0
+    val u1 = math.atan((1 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1 - f) * math.tan(math.toRadians(lat2)))
+    val ell = math.toRadians(lon2 - lon1)
+    val (su1, cu1) = (math.sin(u1), math.cos(u1))
+    val (su2, cu2) = (math.sin(u2), math.cos(u2))
+    var lambda = ell; var iter = 0
+    var cosSqAlpha = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var sigma = 0.0; var cos2SigmaM = 0.0
+    var converged = false
+    while (iter < 200 && !converged) {
+      val sl = math.sin(lambda); val cl = math.cos(lambda)
+      sinSigma = math.sqrt(math.pow(cu2 * sl, 2) +
+        math.pow(cu1 * su2 - su1 * cu2 * cl, 2))
+      if (sinSigma == 0.0) return 0.0 // coincident
+      cosSigma = su1 * su2 + cu1 * cu2 * cl
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cu1 * cu2 * sl / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0.0) 0.0
+        else cosSigma - 2 * su1 * su2 / cosSqAlpha
+      val c = f / 16 * cosSqAlpha * (4 + f * (4 - 3 * cosSqAlpha))
+      val prev = lambda
+      lambda = ell + (1 - c) * f * sinAlpha * (sigma + c * sinSigma *
+        (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - prev) < 1e-12) converged = true
+      iter += 1
+    }
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val dSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4 * (cosSigma *
+      (-1 + 2 * cos2SigmaM * cos2SigmaM) - bigB / 6 * cos2SigmaM *
+      (-3 + 4 * sinSigma * sinSigma) * (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+    b * bigA * (sigma - dSigma)
+  }
 }
