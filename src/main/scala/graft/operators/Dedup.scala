@@ -153,7 +153,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"), 4))
+          (size(col("ta")) + size(col("tb")) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }

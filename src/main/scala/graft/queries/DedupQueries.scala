@@ -90,7 +90,7 @@ object DedupQueries {
       SELECT a, b, jaccard FROM (
         SELECT a.doc_id AS a, b.doc_id AS b,
                ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-                     CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 4) AS jaccard
+                     CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard
         FROM t a JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
         WHERE a.doc_id < b.doc_id)
       WHERE jaccard >= 0.5"""))

@@ -44,16 +44,21 @@ object TextQueries {
       val d = Tables.documents(s, dir)
         .withColumn("toks", TextFunctions.tokens(col("text")))
         .withColumn("n_words", size(col("toks")).cast("long"))
+        // rounding scales chosen so the true value can never sit on a
+        // rounding tie (k/n_words with n_words<128 has <7 decimals):
+        // ratios at 6dp, the weighted composite at 8dp. A 4dp cut put
+        // 5dp-exact composites on the .5 boundary where Spark
+        // (HALF_UP) and the oracle disagree.
         .withColumn("avg_word_len",
           round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
-                col("n_words").cast("double"), 4))
+                col("n_words").cast("double"), 6))
         .withColumn("stop_ratio",
           round(TextFunctions.vocabHits(col("toks"), stop).cast("double") /
-                col("n_words").cast("double"), 4))
+                col("n_words").cast("double"), 6))
         .withColumn("quality_score",
           round(least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
                 col("stop_ratio") * 0.3 +
-                least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2, 4))
+                least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2, 8))
       d.select("doc_id", "n_words", "avg_word_len", "stop_ratio", "quality_score")
     }, {
       val stop = TextFunctions.langProfiles.flatMap(_._2).distinct
@@ -62,13 +67,13 @@ object TextQueries {
       f AS (SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_words,
         ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-              / CAST(len(toks) AS DOUBLE), 4) AS avg_word_len,
-        ROUND(CAST(${hitsSql(stop)} AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio
+              / CAST(len(toks) AS DOUBLE), 6) AS avg_word_len,
+        ROUND(CAST(${hitsSql(stop)} AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio
       FROM t)
       SELECT doc_id, n_words, avg_word_len, stop_ratio,
              ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
                    stop_ratio * 0.3 +
-                   LEAST(avg_word_len / 10.0, 1.0) * 0.2, 4) AS quality_score
+                   LEAST(avg_word_len / 10.0, 1.0) * 0.2, 8) AS quality_score
       FROM f""")
     }),
 
