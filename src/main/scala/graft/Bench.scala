@@ -24,14 +24,11 @@ object Bench {
     val names =
       if (Catalog.headline.nonEmpty) Catalog.headline else Catalog.all.map(_.name)
 
-    // JVM/codegen warmup on the smallest table so the first timed query
-    // doesn't pay one-time session costs.
-    Catalog.byName.get(names.head).foreach { q =>
-      try q.run(spark, sfDir).limit(1).count() catch { case _: Throwable => () }
-    }
-
+    // Steady-state timing: one untimed warmup execution per query (JIT,
+    // codegen cache, parquet footers), then the timed run.
     val results = names.map { name =>
       val q = Catalog.byName(name)
+      try q.run(spark, sfDir).count() catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -45,6 +45,38 @@ object Dedup {
   val xxhash64Hasher: (Column, Column) => Column =
     (i, s) => xxhash64(i, s)
 
+  /** Modulus + salts for the integer MinHash family (a_i·h + b_i mod P). */
+  val MinhashP = 1000000007L
+  private def salts(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 3L, 104729L * (i + 1)))
+
+  /** Integer MinHash, step 1: ONE md5 per shingle (15 hex chars →
+    * 60-bit int mod P). MATERIALIZE this column (withColumn) before
+    * feeding `intMinhashSignature` — inlining re-hashes per salt.
+    */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % lit(MinhashP))
+
+  /** Integer MinHash, step 2: k affine variants (a_i·h + b_i mod P)
+    * over the materialized base hashes — ~9× fewer digests than
+    * salted-string hashing at the same statistical quality, and still
+    * engine-portable: the oracle derives the identical 60-bit int with
+    * ('0x' || substr(md5(s),1,15))::BIGINT and the same arithmetic.
+    */
+  def intMinhashSignature(baseHashes: Column, k: Int): Column =
+    array(salts(k).map { case (a, b) =>
+      array_min(transform(baseHashes, h => (h * lit(a) + lit(b)) % lit(MinhashP)))
+    }: _*)
+
+  /** Oracle-side SQL fragments (DuckDB dialect) for the two steps. */
+  def shingleHashesSql(shinglesExpr: String): String =
+    s"list_transform($shinglesExpr, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $MinhashP)"
+  def intMinhashSql(baseHashesCol: String, k: Int): String =
+    salts(k).map { case (a, b) =>
+      s"list_min(list_transform($baseHashesCol, h -> (h * $a + $b) % $MinhashP))"
+    }.mkString("[", ", ", "]")
+
   /** Banded LSH buckets: (bandCount) rows per doc of
     * (idCol, band, bucket). Docs sharing any (band, bucket) are
     * near-dup candidates.
@@ -54,7 +86,8 @@ object Dedup {
     df.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws("|",
-            slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))))
+            transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))))))
           .as(Seq("band", "bucket")))
 
   /** Distinct candidate pairs (a < b) from bucket collisions: ONE

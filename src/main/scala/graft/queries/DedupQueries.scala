@@ -42,12 +42,14 @@ object DedupQueries {
       FROM corpus GROUP BY fp"""), headline = true),
 
     // ---- MinHash(k=8) + LSH(4 bands × 2): candidate pairs from
-    //      banded bucket collisions; md5 hasher for engine parity
+    //      banded bucket collisions. Integer minhash family: one md5
+    //      per shingle, affine variants mod P (engine-portable)
     Q("q26_dedup_minhash_lsh", (s, dir) => {
       val sigs = corpus(s, dir)
         .withColumn("toks", TextFunctions.tokens(col("text")))
         .withColumn("sh", TextFunctions.shingles3(col("toks")))
-        .select(col("doc_id"), Dedup.minhashSignature(col("sh"), k = 8).as("sig"))
+        .withColumn("hs", Dedup.shingleHashes(col("sh")))
+        .select(col("doc_id"), Dedup.intMinhashSignature(col("hs"), k = 8).as("sig"))
       Dedup.candidatePairs(
         Dedup.lshBuckets(sigs, "sig", "doc_id", bands = 4, rowsPerBand = 2),
         "doc_id")
@@ -56,13 +58,13 @@ object DedupQueries {
       // shingle i = toks[i] toks[i+1] toks[i+2], i in 1..max(n-2, 1)
       val shSql = s"""list_transform(range(1, greatest(len($toks) - 2, 1) + 1),
         i -> concat_ws(' ', $toks[i], $toks[i + 1], $toks[i + 2]))"""
-      def mh(i: Int) = s"list_min(list_transform(sh, s -> md5('$i' || '|' || s)))"
-      def bucket(b: Int) = s"md5(sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])"
+      def bucket(b: Int) =
+        s"md5(CAST(sig[${2 * b + 1}] AS VARCHAR) || '|' || CAST(sig[${2 * b + 2}] AS VARCHAR))"
       Some(s"""
       WITH corpus AS ($corpusSql),
       shingled AS (SELECT doc_id, $shSql AS sh FROM corpus),
-      sigs AS (SELECT doc_id,
-        [${(0 until 8).map(mh).mkString(", ")}] AS sig FROM shingled),
+      hashed AS (SELECT doc_id, ${Dedup.shingleHashesSql("sh")} AS hs FROM shingled),
+      sigs AS (SELECT doc_id, ${Dedup.intMinhashSql("hs", 8)} AS sig FROM hashed),
       buckets AS (${(0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM sigs")
         .mkString("\n        UNION ALL ")})
