@@ -73,16 +73,27 @@ object Intervals {
   }
 
   /** Uptime = availability span minus total gap time — obsplus
-    * `get_uptime_df` (`wavebank.py:487-521`): availability left-joined
-    * to per-key gap totals, missing gap totals filled with 0.
+    * `get_uptime_df` (`wavebank.py:487-521`). The reference joins an
+    * availability frame to gap totals; here both derive from ONE window
+    * pass: the running-max/lead columns feed a groupBy on the same
+    * keys, which reuses the window's hash partitioning — a single
+    * shuffle end to end, no join, gapless keys naturally total 0.
     */
   def uptime(df: DataFrame, keys: Seq[String], minGap: Long): DataFrame = {
-    val avail = availability(df, keys)
-    val gapTotals = gaps(df, keys, minGap)
+    val win = w(keys)
+    val runmax = max(col("endtime"))
+      .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val nextStart = lead(col("starttime"), 1).over(win)
+    val gapNs = when(col("_next").isNotNull &&
+        col("_runmax") + lit(minGap) < col("_next"),
+      col("_next") - col("_runmax")).otherwise(0L)
+    df.withColumn("_runmax", runmax)
+      .withColumn("_next", nextStart)
       .groupBy(keys.map(col): _*)
-      .agg(sum("gap_ns").as("gap_total_ns"))
-    avail.join(gapTotals, keys, "left")
-      .na.fill(0L, Seq("gap_total_ns"))
+      .agg(min("starttime").as("starttime"),
+           max("endtime").as("endtime"),
+           count(lit(1)).as("n_segments"),
+           sum(gapNs).as("gap_total_ns"))
       .withColumn("duration_ns", col("endtime") - col("starttime"))
       .withColumn("uptime_ns", col("duration_ns") - col("gap_total_ns"))
       .withColumn("availability_frac",
