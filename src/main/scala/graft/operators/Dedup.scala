@@ -145,14 +145,39 @@ object Dedup {
       .agg(agg(col("h")).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: block on 4×16-bit bands (a true near
-    * pair with Hamming ≤ maxHamming ≤ 16 shares at least one exact
-    * band by pigeonhole when maxHamming < 4), refine with bit_count.
+  /** Portable SimHash: token hash = md5-derived 60-bit int (same
+    * derivation as [[shingleHashes]] minus the modulus), per-bit
+    * majority via grouped sums. Heavier than [[simhash]]'s single
+    * Aggregator (60 agg expressions vs one buffer) but reproducible in
+    * any engine — used by the oracle-checked query; production uses
+    * the Aggregator.
     */
-  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def mdSimhash(df: DataFrame, textCol: String, idCol: String,
+                bits: Int = 60): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val sums = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_b$j"))
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"_b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: block on `bands` bands of `bandBits`
+    * bits (a true pair with Hamming < bands shares at least one exact
+    * band by pigeonhole), refine with bit_count.
+    */
+  def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
+                   bands: Int = 4, bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = sigs.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
     // same one-shuffle group-and-expand as candidatePairs (no self-join)
     banded.groupBy("band", "bucket")

@@ -73,12 +73,35 @@ object DedupQueries {
       WHERE a.doc_id < b.doc_id""")
     }, headline = true),
 
-    // ---- SimHash near-dup (xxhash64-based; engine-only, rows-only
-    //      check): banded blocking + Hamming refine
+    // ---- SimHash near-dup: md5-derived 60-bit bit-majority signature,
+    //      4×15-bit band blocking (pigeonhole covers Hamming ≤ 3),
+    //      bit_count refine
     Q("q27_dedup_simhash", (s, dir) => {
-      val sigs = Dedup.simhash(corpus(s, dir), "text", "doc_id")
-      Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3)
-    }, None),
+      val sigs = Dedup.mdSimhash(corpus(s, dir), "text", "doc_id")
+      Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3,
+        bands = 4, bandBits = 15)
+    }, {
+      val bitSums = (0 until 60).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+      val sigExpr = (0 until 60).map(j =>
+        s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS bucket FROM sigs")
+        .mkString("\n        UNION ALL ")
+      Some(s"""
+      WITH corpus AS ($corpusSql),
+      tok AS (SELECT doc_id, unnest($toksSql) AS t FROM corpus),
+      h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+      bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+      sigs AS (SELECT doc_id, $sigExpr AS simhash FROM bits),
+      banded AS ($bandRows)
+      SELECT a, b, hamming FROM (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id < y.doc_id)
+      WHERE hamming <= 3""")
+    }),
 
     // ---- blocked n-gram Jaccard near-dup pairs
     Q("q25_dedup_jaccard", (s, dir) => {
