@@ -79,14 +79,31 @@ object Schemas {
     StructField("gap_end", LongType),
     StructField("gap_ns", LongType)))
 
-  /** Conform `df` to `schema`: required columns first (created null if
-    * absent, cast if mistyped), extra columns appended sorted by name.
+  /** Custom logical casts applied during conform, keyed by column name
+    * — the reference's OPS_DTYPE_FUNCS (`utils/pd.py:51-67`): NSLC
+    * codes normalize + zero-pad, longitudes wrap into [-180, 180).
     */
-  def conformTo(df: DataFrame, schema: StructType): DataFrame = {
+  val defaultLogicalCasts: Map[String, Column => Column] = Map(
+    "network" -> nslcNormalize _,
+    "station" -> nslcNormalize _,
+    "location" -> nslcNormalize _,
+    "channel" -> nslcNormalize _,
+    "longitude" -> ((c: Column) =>
+      c - lit(360.0) * floor((c + lit(180.0)) / lit(360.0))))
+
+  /** Conform `df` to `schema`: required columns first (created null if
+    * absent, cast if mistyped, logical casts applied), extra columns
+    * appended sorted by name.
+    */
+  def conformTo(df: DataFrame, schema: StructType,
+                logicalCasts: Map[String, Column => Column] = defaultLogicalCasts)
+      : DataFrame = {
     val present = df.columns.toSet
     val required = schema.fields.map { f =>
-      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (present(f.name)) {
+        val cast = col(f.name).cast(f.dataType)
+        logicalCasts.get(f.name).fold(cast)(fn => fn(cast)).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
     }
     val extras = df.columns.filterNot(schema.fieldNames.contains).sorted.map(col)
     df.select(required ++ extras: _*)
