@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.bank.{EventBank, EventQuery, WaveBank}
+import graft.fetch.Fetcher
+import graft.sources.BinarySegmentSource
+import graft.sources.BinarySegmentSource.Segment
+
+/** Domain-workload benchmark — records the numbers the reference never
+  * published (BASELINE.md): mirrors `profiling/profile_wavebank.ipynb`'s
+  * synthetic bank (4000 files of hourly traces), then times index
+  * build, filtered index reads, gap analytics, bulk interval fetch and
+  * the one-job event-waveform join. Prints one JSON line.
+  *
+  * Run: sbt "runMain graft.DomainBench" (optional env GRAFT_BENCH_FILES).
+  */
+object DomainBench {
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = sys.env.getOrElse("GRAFT_BENCH_FILES", "4000").toInt
+    val spark = graft.core.GraftSession.local()
+    import spark.implicits._
+
+    val root = Files.createTempDirectory("graft-dbench").toString
+    val segDir = s"$root/archive"
+    Files.createDirectories(Paths.get(segDir))
+
+    // synthetic archive: nFiles hour-long segments over 10 stations,
+    // 100 samples/hour, contiguous per station (like the reference's
+    // 4000-file profiling bank)
+    val hourNs = 3_600_000_000_000L
+    val t0 = System.nanoTime()
+    (0 until nFiles).foreach { i =>
+      val sta = f"S${i % 10}%02d"
+      val hour = i / 10
+      BinarySegmentSource.writeFile(Paths.get(s"$segDir/seg_$i.bin"),
+        Segment("N1", sta, "", "BHZ", hour * hourNs, hourNs / 100,
+          Array.tabulate(100)(j => (i + j).toDouble), ""))
+    }
+    val tGen = (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Long): (Double, Long) = {
+      val s = System.nanoTime(); val n = f; ((System.nanoTime() - s) / 1e9, n)
+    }
+
+    // 1. index build (header-only summarize of every file)
+    val (tIndex, nIdx) = time {
+      val idx = BinarySegmentSource.summaryIndex(spark, segDir)
+      idx.write.mode("overwrite").parquet(s"$root/index")
+      spark.read.parquet(s"$root/index").count()
+    }
+
+    val bank = new WaveBank(spark, root) // reuse index written above
+    val idxDf = spark.read.parquet(s"$root/index")
+
+    // 2. filtered index read: glob + interval
+    val (tRead, nRead) = time {
+      idxDf.filter(graft.functions.Fnmatch.matches(col("station"), "S0?"))
+        .filter(graft.operators.Intervals.overlaps(0L, 50L * hourNs, 1_000_000_000L))
+        .count()
+    }
+
+    // 3. gaps over the full index
+    val (tGaps, nGaps) = time {
+      graft.operators.Intervals.gaps(idxDf,
+        Seq("network", "station", "location", "channel"), 0L).count()
+    }
+
+    // 4. bulk interval join: 10k random-ish windows vs index
+    val reqs = spark.range(10000).select(
+      concat(lit("N1.S"), lpad((col("id") % 10).cast("string"), 2, "0"), lit("..BHZ")).as("seed_id"),
+      (col("id") % 300 * hourNs).as("t1"),
+      ((col("id") % 300 + 2) * hourNs).as("t2"))
+    val idxSeed = idxDf.withColumn("seed_id",
+      graft.core.Schemas.seedId(col("network"), col("station"), col("location"), col("channel")))
+    val (tBulk, nBulk) = time {
+      graft.operators.IntervalJoin.overlapping(idxSeed, reqs,
+        keyCols = Seq("seed_id"), buffer = 1_000_000_000L).count()
+    }
+
+    // 5. event query surface (rect + circular + limit)
+    val ebank = new EventBank(spark, root)
+    val events = spark.range(5000).select(
+      concat(lit("ev"), col("id")).as("event_id"),
+      (col("id") * hourNs / 10).as("time"),
+      ((col("id") % 170).cast("double") / 2 - 40).as("latitude"),
+      ((col("id") % 360).cast("double") - 180).as("longitude"),
+      lit(5.0).as("depth"),
+      ((col("id") % 80).cast("double") / 10).as("magnitude"),
+      lit("ML").as("magnitude_type"), col("id").as("updated"))
+    ebank.putEvents(events)
+    val (tEvents, nEvents) = time {
+      ebank.getEvents(EventQuery(minMagnitude = Some(2.0),
+        latitude = Some(10.0), longitude = Some(20.0),
+        maxRadiusM = Some(3.0e6))).count()
+    }
+
+    // 6. one-job event-waveform fetch: events × channels → interval join
+    val stations = idxDf.select("network", "station", "location", "channel")
+      .distinct()
+      .withColumn("seed_id", graft.core.Schemas.seedId(
+        col("network"), col("station"), col("location"), col("channel")))
+    val evDf = ebank.readIndex().select(col("event_id"), col("time"))
+    val fetcher = new Fetcher(spark, evDf, stations, spark.emptyDataFrame)
+    val (tFetch, nFetch) = time {
+      fetcher.fetchEventSegments(idxSeed, "origin",
+        beforeNs = hourNs / 2, afterNs = hourNs / 2).count()
+    }
+
+    val metrics = Seq(
+      "archive_gen_s" -> tGen,
+      "index_build_s" -> tIndex, "index_files_per_s" -> nFiles / tIndex,
+      "read_index_s" -> tRead, "gaps_s" -> tGaps,
+      "bulk_join_10k_s" -> tBulk, "event_query_s" -> tEvents,
+      "event_fetch_job_s" -> tFetch)
+    val counts = Seq("n_indexed" -> nIdx, "n_read" -> nRead, "n_gaps" -> nGaps,
+      "n_bulk" -> nBulk, "n_events" -> nEvents, "n_fetch" -> nFetch)
+    println("{" +
+      (metrics.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" } ++
+       counts.map { case (k, v) => s""""$k":$v""" }).mkString(",") +
+      s""","n_files":$nFiles}""")
+    spark.stop()
+  }
+}
