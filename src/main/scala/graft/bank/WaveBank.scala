@@ -28,6 +28,29 @@ class WaveBank(spark: SparkSession, root: String) {
   /** WaveBank's ±1 s interval-query buffer (`wavebank.py:173`). */
   val bufferNs: Long = 1_000_000_000L
 
+  /** Index schema version — bumping it invalidates existing indices on
+    * the next update (the reference's `_enforce_min_version`,
+    * `bank/core.py:131-146`: stale index deleted and rebuilt).
+    */
+  val indexVersion: Int = WaveBank.IndexVersion
+
+  /** Drop the index if it was written by an older schema version; the
+    * next updateIndex rebuilds from scratch.
+    */
+  def enforceVersion(): Unit = {
+    val stale = try {
+      val idx = spark.read.parquet(indexPath)
+      !idx.columns.contains("index_version") ||
+        idx.agg(min("index_version")).collect()(0).getInt(0) < indexVersion
+    } catch { case _: Throwable => false }
+    if (stale) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+      updateIndex()
+    }
+  }
+
   /** Append trace segments to the archive, partitioned by station for
     * co-located station-local reads (the path-template analog of
     * `put_waveforms`).
@@ -63,6 +86,7 @@ class WaveBank(spark: SparkSession, root: String) {
       (col("starttime") + col("n").cast("long") * col("sampling_period")).as("endtime"),
       col("sampling_period"), col("path"))
       .withColumn("indexed_at", lit(System.currentTimeMillis() * 1000000L))
+      .withColumn("index_version", lit(indexVersion))
     if (newIndex.limit(1).count() > 0)
       newIndex.write.mode(SaveMode.Append).parquet(indexPath)
   }
@@ -172,4 +196,9 @@ class WaveBank(spark: SparkSession, root: String) {
         .withColumnRenamed("chunk_end", "t2"),
       keyCols = Seq(), buffer = bufferNs)
   }
+}
+
+object WaveBank {
+  /** Current index schema version. */
+  val IndexVersion: Int = 1
 }
