@@ -100,6 +100,15 @@ object Intervals {
         round(col("uptime_ns").cast("double") / col("duration_ns").cast("double"), 6))
   }
 
+  /** Merge overlapping/adjacent intervals into their union — obsplus'
+    * gap-group coalescing (`utils/waveforms.py:341-359`): sessionize,
+    * then keep only the merged bounds.
+    */
+  def coalesceIntervals(df: DataFrame, keys: Seq[String], tol: Long = 0L): DataFrame =
+    segments(df, keys, tol)
+      .select((keys.map(col) :+ col("seg_start").as("starttime")
+        :+ col("seg_end").as("endtime")): _*)
+
   /** Interval-overlap predicate with buffer — obsplus
     * `_filter_starttime_endtime` (`utils/pd.py:434-443`) and the ±1 s
     * WaveBank buffer (`wavebank.py:173`): keep rows whose

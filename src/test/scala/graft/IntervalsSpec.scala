@@ -59,6 +59,14 @@ class IntervalsSpec extends SparkSpec {
     assert(u(1).getDouble(7) == 1.0)
   }
 
+  test("coalesceIntervals merges overlapping spans to their union") {
+    val merged = Intervals.coalesceIntervals(segs, Seq("k"))
+      .orderBy("k", "starttime").collect()
+    assert(merged.length == 3)
+    assert(merged(0).getLong(1) == 0L && merged(0).getLong(2) == 20L)
+    assert(merged(1).getLong(1) == 25L && merged(1).getLong(2) == 30L)
+  }
+
   test("overlap predicate: buffer widens, nulls excluded") {
     val df = Seq((1L, 0L, 10L), (2L, 20L, 30L))
       .toDF("id", "starttime", "endtime")
