@@ -33,9 +33,15 @@ class EventBank(spark: SparkSession, root: String) {
     */
   def putEvents(events: DataFrame): Unit = {
     val conformed = Schemas.conformTo(events, Schemas.eventSummary)
+    // existence check, not a catch-all: a transient read failure must
+    // propagate — swallowing it would replace the whole catalog with
+    // just this batch
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs0.exists(new org.apache.hadoop.fs.Path(indexPath))
     val all =
-      try conformed.unionByName(spark.read.parquet(indexPath))
-      catch { case _: Throwable => conformed }
+      if (exists) conformed.unionByName(spark.read.parquet(indexPath))
+      else conformed
     MergeOps.latestByKey(all, "event_id", Seq(col("updated")))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
     // atomic-ish swap: parquet dirs are immutable once written

@@ -66,10 +66,16 @@ class WaveBank(spark: SparkSession, root: String) {
     * index pass; first call indexes everything.
     */
   def updateIndex(): Unit = {
-    val lastIndexed: Long = try {
-      spark.read.parquet(indexPath)
-        .agg(max("indexed_at")).collect()(0).getLong(0)
-    } catch { case _: Throwable => Long.MinValue }
+    // existence check, not a catch-all: a transient read failure must
+    // propagate — treating it as "no index" would re-append the whole
+    // archive into the append-only index (permanent duplicates)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lastIndexed: Long =
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+        spark.read.parquet(indexPath)
+          .agg(max("indexed_at")).collect()(0).getLong(0)
+      else Long.MinValue
 
     val segs = spark.read.parquet(segmentsPath)
       .select(col("network"), col("station"), col("location"), col("channel"),
@@ -162,11 +168,15 @@ class WaveBank(spark: SparkSession, root: String) {
       segs.select("seed_id", "sampling_period", "starttime", "samples"))
   }
 
-  /** Scalar get_waveforms: a one-row bulk request. */
+  /** Scalar get_waveforms: a one-row bulk request. Codes are normalized
+    * the same way the index was (nullish → "", digits zero-padded) so
+    * e.g. location "--" matches data indexed under "".
+    */
   def getWaveforms(network: String, station: String, location: String,
                    channel: String, t1: Long, t2: Long): DataFrame = {
     import spark.implicits._
-    val seed = Seq(network, station, location, channel).mkString(".")
+    val seed = Seq(network, station, location, channel)
+      .map(Schemas.nslcNormalizeString).mkString(".")
     getWaveformsBulk(Seq((seed, t1, t2)).toDF("seed_id", "t1", "t2"))
   }
 

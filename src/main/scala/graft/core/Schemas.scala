@@ -120,6 +120,16 @@ object Schemas {
       .otherwise(s)
   }
 
+  /** Scala-side mirror of [[nslcNormalize]] for driver-side code paths
+    * (request building must normalize the same way the index did).
+    */
+  def nslcNormalizeString(s: String): String = {
+    val t = if (s == null) "" else s.trim
+    if (t.isEmpty || NullishCodes.contains(t)) ""
+    else if (t.length == 1 && t.charAt(0).isDigit) "0" + t
+    else t
+  }
+
   /** seed_id = network.station.location.channel (obsplus
     * `get_seed_id_series`, `utils/pd.py:278-333`).
     */

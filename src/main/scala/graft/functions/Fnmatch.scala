@@ -29,14 +29,20 @@ object Fnmatch {
         case '*' => sb.append(".*")
         case '?' => sb.append(".")
         case '[' =>
-          val j = glob.indexOf(']', i + 2) // `[]x]` keeps first ] literal
+          // a ']' as the FIRST class char (after optional '!') is
+          // literal — the closing-] scan must start past it
+          val contentStart = if (i + 1 < n && glob.charAt(i + 1) == '!') i + 2 else i + 1
+          val j = glob.indexOf(']', contentStart + 1)
           if (j < 0) { sb.append("\\[") }
           else {
             var cls = glob.substring(i + 1, j)
-            if (cls.startsWith("!")) cls = "^" + cls.substring(1)
-            // escape backslashes inside the class; []^-] pass through
-            cls = cls.replace("\\", "\\\\")
-            sb.append('[').append(cls).append(']')
+            val negated = cls.startsWith("!")
+            if (negated) cls = cls.substring(1)
+            // escape regex-significant chars that Java/RE2 treat
+            // specially inside classes; ranges (a-z) pass through
+            cls = cls.replace("\\", "\\\\").replace("]", "\\]")
+            if (cls.startsWith("^")) cls = "\\" + cls
+            sb.append('[').append(if (negated) "^" else "").append(cls).append(']')
             i = j
           }
         case c if regexSpecials.indexOf(c) >= 0 => sb.append('\\').append(c)

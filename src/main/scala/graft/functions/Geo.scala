@@ -64,19 +64,45 @@ object Geo {
     latOk && lonOk
   }
 
+  /** Coarse bounding box for a radius search: latitude half-width =
+    * 1.2× the radius in degrees; longitude half-width additionally
+    * widened by 1/cos(closest-to-pole latitude in the box) — a fixed
+    * factor under-covers beyond ~33° latitude. Returns None for the
+    * longitude bounds when they would wrap the whole globe (box spans a
+    * pole or the radius covers every longitude) — the caller must then
+    * skip the longitude constraint entirely rather than emit a wrapped
+    * box that selects the circle's complement.
+    */
+  def radiusBbox(lat0: Double, lon0: Double, maxM: Double)
+      : (Double, Double, Option[(Double, Double)]) = {
+    val degR = kilometers2degrees(maxM / 1000.0) * 1.2
+    val minLat = math.max(lat0 - degR, -90.0)
+    val maxLat = math.min(lat0 + degR, 90.0)
+    val worstLat = math.min(math.max(math.abs(lat0) + degR, 0.0), 89.0)
+    val lonHalf = degR / math.cos(math.toRadians(worstLat))
+    val lonBounds =
+      if (maxLat >= 90.0 || minLat <= -90.0 || lonHalf >= 180.0) None
+      else Some((wrapLonScalar(lon0 - lonHalf), wrapLonScalar(lon0 + lonHalf)))
+    (minLat, maxLat, lonBounds)
+  }
+
   /** Circular (radius) search — obsplus `get_events.py:50-145`: a
-    * coarse bounding box 1.2× the outer radius prefilters (cheap,
+    * coarse bounding box (see [[radiusBbox]]) prefilters (cheap,
     * pushdown-friendly), then the exact distance refines with STRICT
     * inequalities minM < d < maxM. Returns df with `dist_m` appended.
     */
   def radiusSearch(df: DataFrame, latCol: String, lonCol: String,
                    lat0: Double, lon0: Double,
                    minM: Double, maxM: Double): DataFrame = {
-    val degR = kilometers2degrees(maxM / 1000.0) * 1.2
-    val minLon = wrapLonScalar(lon0 - degR)
-    val maxLon = wrapLonScalar(lon0 + degR)
-    val coarse = df.filter(bboxPredicate(col(latCol), col(lonCol),
-      lat0 - degR, lat0 + degR, minLon, maxLon))
+    val (minLat, maxLat, lonBounds) = radiusBbox(lat0, lon0, maxM)
+    val latOk = col(latCol) >= lit(minLat) && col(latCol) <= lit(maxLat)
+    val coarse = lonBounds match {
+      case Some((lo, hi)) =>
+        df.filter(latOk && (
+          if (lo > hi) col(lonCol) >= lit(lo) || col(lonCol) <= lit(hi)
+          else col(lonCol) >= lit(lo) && col(lonCol) <= lit(hi)))
+      case None => df.filter(latOk)
+    }
     coarse
       .withColumn("dist_m",
         haversineMeters(col(latCol), col(lonCol), lit(lat0), lit(lon0)))

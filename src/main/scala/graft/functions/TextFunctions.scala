@@ -54,13 +54,16 @@ object TextFunctions {
     "zh" -> Seq("spark", "hash", "batch"))
 
   /** Predicted language: profile with the max hit count; ties resolve
-    * to the first profile in declaration order.
+    * to the first profile in declaration order; zero hits anywhere →
+    * "und" (otherwise the all-zero tie would mislabel as the first
+    * profile).
     */
   def langId(toks: Column): Column = {
     val scores = langProfiles.map { case (l, vocab) => l -> vocabHits(toks, vocab) }
     val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((l, sc), acc) =>
-      when(sc === best, lit(l)).otherwise(acc)
-    }
+    when(best === 0, lit("und")).otherwise(
+      scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+        when(sc === best, lit(l)).otherwise(acc)
+      })
   }
 }

@@ -25,7 +25,8 @@ object Multimodal {
     * bytes, big-endian 16-bit each — a stand-in for a header parse.
     */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
-    def u(i: Int): Long = bytes(i).toLong & 0xFFL
+    def u(i: Int): Long =
+      if (i < bytes.length) bytes(i).toLong & 0xFFL else 0L // short payloads → 0 dims
     MediaMeta(
       width = (u(0) << 8) | u(1),
       height = (u(2) << 8) | u(3),

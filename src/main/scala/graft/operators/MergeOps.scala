@@ -17,14 +17,19 @@ object MergeOps {
     */
   def identityMerge(oldCat: DataFrame, newCat: DataFrame,
                     keyCol: String, valueCol: String): DataFrame = {
-    val l = oldCat.select(col(keyCol), col(valueCol).as("val_old"))
-    val r = newCat.select(col(keyCol), col(valueCol).as("val_new"))
+    // presence flags, not value-nullness: a legitimately null value
+    // must not masquerade as a missing key
+    val l = oldCat.select(col(keyCol), col(valueCol).as("val_old"),
+      lit(true).as("_in_old"))
+    val r = newCat.select(col(keyCol), col(valueCol).as("val_new"),
+      lit(true).as("_in_new"))
     l.join(r, Seq(keyCol), "full_outer")
       .withColumn("status",
-        when(col("val_old").isNull, "new")
-          .when(col("val_new").isNull, "rejected")
-          .when(col("val_old") =!= col("val_new"), "updated")
+        when(col("_in_old").isNull, "new")
+          .when(col("_in_new").isNull, "rejected")
+          .when(!(col("val_old") <=> col("val_new")), "updated")
           .otherwise("unchanged"))
+      .drop("_in_old", "_in_new")
   }
 
   /** Upsert: keep the newest row per key ordered by `orderCols` desc —

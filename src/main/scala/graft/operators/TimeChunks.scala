@@ -19,8 +19,12 @@ object TimeChunks {
     */
   def chunks(spark: SparkSession, start: Long, stop: Long,
              duration: Long, step: Long): DataFrame = {
-    val n = math.max(0L, (stop - duration - start) / step) // last full window index
-    spark.range(0, n + 1).toDF("chunk_i")
+    // no window fits → empty set (the reference yields nothing when
+    // even the first t2 would exceed stop)
+    val nWindows =
+      if (stop < start + duration) 0L
+      else (stop - duration - start) / step + 1
+    spark.range(0, nWindows).toDF("chunk_i")
       .withColumn("chunk_start", lit(start) + col("chunk_i") * lit(step))
       .withColumn("chunk_end", col("chunk_start") + lit(duration))
   }

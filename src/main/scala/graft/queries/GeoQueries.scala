@@ -86,17 +86,18 @@ object GeoQueries {
         .select(col("point_id"), col("lat2"), col("lon2"),
                 round(col("dist_m"), 3).as("dist_m"))
     }, {
-      val degR = Geo.kilometers2degrees(1500.0) * 1.2
-      val minLat = 20.0 - degR; val maxLat = 20.0 + degR
-      val minLon = Geo.wrapLonScalar(170.0 - degR)
-      val maxLon = Geo.wrapLonScalar(170.0 + degR) // wraps past 180 → OR
+      val (minLat, maxLat, lonBounds) = Geo.radiusBbox(20.0, 170.0, 1500000.0)
+      val (minLon, maxLon) = lonBounds.get // wraps past 180 → OR rewrite
+      val lonCond =
+        if (minLon > maxLon) s"(lon2 >= $minLon OR lon2 <= $maxLon)"
+        else s"(lon2 >= $minLon AND lon2 <= $maxLon)"
       Some(s"""
       WITH ev AS (${evSql(1500)})
       SELECT point_id, lat2, lon2,
              ROUND(${distSql("lat2", "lon2", "20.0", "170.0")}, 3) AS dist_m
       FROM ev
       WHERE lat2 >= $minLat AND lat2 <= $maxLat
-        AND (lon2 >= $minLon OR lon2 <= $maxLon)
+        AND $lonCond
         AND ${distSql("lat2", "lon2", "20.0", "170.0")} > 200000.0
         AND ${distSql("lat2", "lon2", "20.0", "170.0")} < 1500000.0""")
     }),

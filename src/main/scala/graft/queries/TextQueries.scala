@@ -28,7 +28,7 @@ object TextQueries {
       val scores = TextFunctions.langProfiles
         .map { case (l, v) => s"${hitsSql(v)} AS s_$l" }
       val g = "GREATEST(" + TextFunctions.langProfiles.map("s_" + _._1).mkString(", ") + ")"
-      val caseExpr = "CASE " + TextFunctions.langProfiles
+      val caseExpr = s"CASE WHEN $g = 0 THEN 'und' " + TextFunctions.langProfiles
         .map { case (l, _) => s"WHEN s_$l = $g THEN '$l'" }.mkString(" ") +
         " ELSE 'und' END"
       Some(s"""

@@ -54,20 +54,43 @@ object BinarySegmentSource {
       buf.getLong(), buf.getLong(), buf.getInt(), path))
   }
 
-  /** Index rows from a directory of segment files: header-only scan,
-    * unreadable files skipped with a warning (the reference's
-    * permissive `try_read_catalog` contract).
+  /** Index rows from a directory of segment files: TRUE header-only
+    * scan — the file list is distributed and each task opens its files
+    * and reads exactly HeaderLen bytes, never the payload (the
+    * binaryFile source would materialize every file's full content just
+    * to parse 56 bytes, and caps at 2 GB/file). Unreadable files are
+    * skipped with a warning (the reference's permissive
+    * `try_read_catalog` contract).
     */
   def summarize(spark: SparkSession, dir: String): Dataset[Header] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, bytes) =>
-        val h = parseHeader(bytes, path)
-        if (h.isEmpty) System.err.println(s"[graft] skipping unreadable $path")
-        h
-      })
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new Path(dir).toUri, conf)
+    val files = fs.listStatus(new Path(dir)).filter(_.isFile)
+      .map(_.getPath.toString).toSeq
+    val parallelism = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(parallelism)
+      .mapPartitions { paths =>
+        // one FileSystem handle per partition (the per-partition init
+        // slot a real codec/format binding would use)
+        val pconf = new org.apache.hadoop.conf.Configuration()
+        paths.flatMap { p =>
+          val path = new Path(p)
+          val pfs = org.apache.hadoop.fs.FileSystem.get(path.toUri, pconf)
+          val h = try {
+            val in = pfs.open(path)
+            try {
+              val buf = new Array[Byte](HeaderLen)
+              in.readFully(0L, buf, 0, HeaderLen)
+              parseHeader(buf, p)
+            } finally in.close()
+          } catch { case _: Exception => None }
+          if (h.isEmpty) System.err.println(s"[graft] skipping unreadable $p")
+          h
+        }
+      }
   }
 
   /** Full decode (slow path, samples included). */

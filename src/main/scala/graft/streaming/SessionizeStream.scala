@@ -10,8 +10,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (O(1) per key), closed sessions are appended downstream.
   *
   * Event-time ordering within a micro-batch is handled by sorting the
-  * batch's events per key; late events beyond the open session's reach
-  * extend or close it exactly like the batch algorithm would.
+  * batch's events per key. Cross-batch late data: an event within
+  * tolerance of the open session merges (extending either bound); an
+  * event older than the open session's reach is emitted immediately as
+  * its own late singleton session — bounded state cannot re-open
+  * history (use the batch sessionizer for full reprocessing).
   */
 object SessionizeStream {
 
@@ -31,8 +34,15 @@ object SessionizeStream {
           val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
           sorted.foreach { t =>
             open match {
+              // late event far before the open session: emit it as its
+              // own (late) closed session — with one open session of
+              // state we cannot re-open history, and silently absorbing
+              // it would corrupt the open session's bounds
+              case Some(s) if t < s.start - tolNs =>
+                closed += ClosedSession(key, t, t, 1)
               case Some(s) if t <= s.end + tolNs =>
-                open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+                open = Some(OpenSession(math.min(s.start, t),
+                  math.max(s.end, t), s.n + 1))
               case Some(s) =>
                 closed += ClosedSession(key, s.start, s.end, s.n)
                 open = Some(OpenSession(t, t, 1))
