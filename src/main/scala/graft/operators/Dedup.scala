@@ -170,7 +170,10 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: block on `bands` bands of `bandBits`
     * bits (a true pair with Hamming < bands shares at least one exact
-    * band by pigeonhole), refine with bit_count.
+    * band by pigeonhole), refine with bit_count. With
+    * maxHamming >= bands recall is NOT guaranteed — pairs whose
+    * differing bits spread across every band are missed; raise `bands`
+    * (narrower bands) for higher-Hamming searches.
     */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
                    bands: Int = 4, bandBits: Int = 16): DataFrame = {

@@ -21,6 +21,21 @@ final case class StationQuery(
 
 object Stations {
 
+  /** Grouping-granularity map — the reference's aggregation levels
+    * constant (`constants.py:618`: network=1 … channel=4, all=5).
+    */
+  val AggregationLevels: Map[String, Int] =
+    Map("network" -> 1, "station" -> 2, "location" -> 3, "channel" -> 4, "all" -> 5)
+
+  /** Grouping columns for a named aggregation level. */
+  def groupingColumns(level: String): Seq[String] = {
+    val order = Seq("network", "station", "location", "channel")
+    AggregationLevels(level) match {
+      case 5 => Seq.empty
+      case n => order.take(n)
+    }
+  }
+
   /** Channel-level filter. Time kwargs act on start_date/end_date (the
     * reference's start_date/end_date aliasing, `utils/pd.py:440-442`);
     * bounds are strict like every min_/max_ kwarg.
