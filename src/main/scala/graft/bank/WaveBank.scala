@@ -177,7 +177,10 @@ class WaveBank(spark: SparkSession, root: String) {
     import spark.implicits._
     val seed = Seq(network, station, location, channel)
       .map(Schemas.nslcNormalizeString).mkString(".")
-    getWaveformsBulk(Seq((seed, t1, t2)).toDF("seed_id", "t1", "t2"))
+    // trim stitched output to the request window, as the reference's
+    // `_prep_output_stream` does (`wavebank.py:783-798`)
+    graft.operators.TraceOps.trim(
+      getWaveformsBulk(Seq((seed, t1, t2)).toDF("seed_id", "t1", "t2")), t1, t2)
   }
 
   /** SDS-layout export — re-chunk the archive into a day-partitioned
