@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.haversineDescriptor)
     e.injectOptimizerRule(_ => GlobRewriteRule)
+    e.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
 }
 
@@ -32,7 +33,14 @@ object GraftExtensions {
       build)
 
   /** Install on a live session (tests / notebooks). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m", build, "built-in")
+    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RangeJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(GlobRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GlobRewriteRule
+  }
 }
