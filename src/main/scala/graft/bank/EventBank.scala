@@ -93,4 +93,56 @@ class EventBank(spark: SparkSession, root: String) {
   }
 
   def idsInBank(): DataFrame = readIndex().select("event_id").distinct()
+
+  /** Index a directory of QuakeML files into the bank — the reference's
+    * `EventBank.update_index` over its file archive
+    * (`eventbank.py:267-327`): distributed parse (malformed files warn
+    * and skip) then upsert by event_id.
+    */
+  def indexQuakeMlDir(dir: String, glob: String = "*.xml"): Unit =
+    putEvents(graft.sources.QuakeMl.readEvents(spark, dir, glob)
+      .withColumn("path", coalesce(col("path"), lit(""))))
+
+  /** Export each event to one QuakeML file under `dir` — the write half
+    * of `put_events` (`eventbank.py:440-528`), path = sanitized
+    * event_id. Runs distributed via foreachPartition; picks for each
+    * event are embedded when `picks` is given.
+    */
+  def exportQuakeMl(dir: String, picks: Option[DataFrame] = None): Unit = {
+    import graft.sources.QuakeMl
+    import spark.implicits._
+    val evs = readIndex().select("event_id", "time", "latitude", "longitude",
+      "depth", "magnitude", "magnitude_type", "updated", "author", "agency_id")
+      .as[(String, Option[Long], Option[Double], Option[Double], Option[Double],
+           Option[Double], Option[String], Option[Long], Option[String], Option[String])]
+      .map { case (id, t, la, lo, de, m, mt, up, au, ag) =>
+        QuakeMl.EventRow(id, t, la, lo, de, m, mt, up, au, ag, None) }
+    val joined = picks match {
+      case Some(p) =>
+        val pk = p.select("resource_id", "event_id", "time", "network", "station",
+          "location", "channel", "phase_hint", "onset", "polarity", "evaluation_status")
+          .as[(String, String, Option[Long], Option[String], Option[String],
+               Option[String], Option[String], Option[String], Option[String],
+               Option[String], Option[String])]
+          .map { case (rid, eid, t, n, s, l, c, ph, on, po, es) =>
+            QuakeMl.PickRow(rid, eid, t, n, s, l, c, ph, on, po, es) }
+        evs.groupByKey(_.event_id).cogroup(pk.groupByKey(_.event_id)) {
+          (_, es, ps) => val pl = ps.toSeq; es.map(e => (e, pl))
+        }
+      case None => evs.map(e => (e, Seq.empty[QuakeMl.PickRow]))
+    }
+    val dirPath = dir
+    joined.foreachPartition { it: Iterator[(QuakeMl.EventRow, Seq[QuakeMl.PickRow])] =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dirPath), conf)
+      it.foreach { case (e, pk) =>
+        val safe = e.event_id.replaceAll("[^A-Za-z0-9._-]", "_")
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$dirPath/$safe.xml"), true)
+        try out.write(QuakeMl.toQuakeMl(e, pk).getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+  }
 }

@@ -70,6 +70,39 @@ object Schemas {
     StructField("start_date", LongType),
     StructField("end_date", LongType)))
 
+  /** Magnitudes table (obsplus `constants.py:239-261`). */
+  val magnitudes: StructType = StructType(Seq(
+    StructField("resource_id", StringType),
+    StructField("event_id", StringType),
+    StructField("magnitude", DoubleType),
+    StructField("magnitude_type", StringType),
+    StructField("origin_id", StringType),
+    StructField("station_count", LongType),
+    StructField("azimuthal_gap", DoubleType)))
+
+  /** Amplitudes table (obsplus `constants.py:172-206`). */
+  val amplitudes: StructType = StructType(Seq(
+    StructField("resource_id", StringType),
+    StructField("event_id", StringType),
+    StructField("generic_amplitude", DoubleType),
+    StructField("amplitude_type", StringType),
+    StructField("unit", StringType),
+    StructField("period", DoubleType),
+    StructField("snr", DoubleType),
+    StructField("pick_id", StringType)))
+
+  /** Arrivals table (obsplus `constants.py:264-291`). */
+  val arrivals: StructType = StructType(Seq(
+    StructField("resource_id", StringType),
+    StructField("event_id", StringType),
+    StructField("origin_id", StringType),
+    StructField("pick_id", StringType),
+    StructField("phase", StringType),
+    StructField("azimuth", DoubleType),
+    StructField("distance", DoubleType),
+    StructField("time_residual", DoubleType),
+    StructField("time_weight", DoubleType)))
+
   val gaps: StructType = StructType(Seq(
     StructField("network", StringType),
     StructField("station", StringType),

@@ -1,0 +1,275 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Schemas
+
+/** QuakeML 1.2 reader/writer on the JDK StAX parser.
+  *
+  * The reference scans directories of QuakeML files with
+  * `obspy.read_events` (obsplus `eventbank.py:392-418`, permissive
+  * skip via `try_read_catalog`, `utils/misc.py:170-180`) and flattens
+  * the object tree into fixed-schema tables (events, picks,
+  * magnitudes, amplitudes, arrivals — `events/pd.py:495-539`,
+  * `constants.py:81-291`). Here the same extraction is a Spark job:
+  * `binaryFile` scan → per-partition StAX parse → typed Datasets
+  * conformed to [[graft.core.Schemas]].
+  *
+  * Preferred-origin/magnitude resolution follows the reference's
+  * fallback chain (`utils/events.py:425-480`): the element whose
+  * publicID matches `preferredOriginID`/`preferredMagnitudeID`, else
+  * the last one in document order.
+  */
+object QuakeMl {
+
+  case class EventRow(
+      event_id: String, time: Option[Long], latitude: Option[Double],
+      longitude: Option[Double], depth: Option[Double],
+      magnitude: Option[Double], magnitude_type: Option[String],
+      updated: Option[Long], author: Option[String],
+      agency_id: Option[String], path: Option[String])
+
+  case class PickRow(
+      resource_id: String, event_id: String, time: Option[Long],
+      network: Option[String], station: Option[String],
+      location: Option[String], channel: Option[String],
+      phase_hint: Option[String], onset: Option[String],
+      polarity: Option[String], evaluation_status: Option[String])
+
+  case class MagnitudeRow(
+      resource_id: String, event_id: String, magnitude: Option[Double],
+      magnitude_type: Option[String], origin_id: Option[String],
+      station_count: Option[Long], azimuthal_gap: Option[Double])
+
+  case class AmplitudeRow(
+      resource_id: String, event_id: String,
+      generic_amplitude: Option[Double], amplitude_type: Option[String],
+      unit: Option[String], period: Option[Double], snr: Option[Double],
+      pick_id: Option[String])
+
+  case class ArrivalRow(
+      resource_id: String, event_id: String, origin_id: String,
+      pick_id: Option[String], phase: Option[String],
+      azimuth: Option[Double], distance: Option[Double],
+      time_residual: Option[Double], time_weight: Option[Double])
+
+  case class Catalog(
+      events: Seq[EventRow], picks: Seq[PickRow],
+      magnitudes: Seq[MagnitudeRow], amplitudes: Seq[AmplitudeRow],
+      arrivals: Seq[ArrivalRow])
+
+  // ---------------------------------------------------------------- parse
+
+  /** Parse one QuakeML document into flat rows. Throws on malformed
+    * XML; directory readers catch per-file (reference semantics: warn
+    * and skip, `utils/misc.py:170-180`).
+    */
+  def parseCatalog(bytes: Array[Byte], path: Option[String] = None): Catalog = {
+    val root = Xml.parse(bytes) // <quakeml>
+    val eventParams = (root \ "eventParameters").getOrElse(
+      throw new IllegalArgumentException("not a QuakeML document: no eventParameters"))
+
+    val events = Vector.newBuilder[EventRow]
+    val picks = Vector.newBuilder[PickRow]
+    val mags = Vector.newBuilder[MagnitudeRow]
+    val amps = Vector.newBuilder[AmplitudeRow]
+    val arrs = Vector.newBuilder[ArrivalRow]
+
+    (eventParams \\ "event").foreach { ev =>
+      val eventId = ev.attr("publicID").getOrElse("")
+      val origins = ev \\ "origin"
+      val magnitudes = ev \\ "magnitude"
+
+      def preferred(items: Vector[XNode], prefTag: String): Option[XNode] = {
+        val prefId = ev.textAt(prefTag)
+        prefId.flatMap(id => items.find(_.attr("publicID").contains(id)))
+          .orElse(items.lastOption)
+      }
+      val prefOrigin = preferred(origins, "preferredOriginID")
+      val prefMag = preferred(magnitudes, "preferredMagnitudeID")
+
+      val creation = ev \ "creationInfo"
+      events += EventRow(
+        event_id = eventId,
+        time = prefOrigin.flatMap(_.textAt("time", "value")).flatMap(Xml.isoToNs),
+        latitude = prefOrigin.flatMap(_.doubleAt("latitude", "value")),
+        longitude = prefOrigin.flatMap(_.doubleAt("longitude", "value")),
+        depth = prefOrigin.flatMap(_.doubleAt("depth", "value")),
+        magnitude = prefMag.flatMap(_.doubleAt("mag", "value")),
+        magnitude_type = prefMag.flatMap(_.textAt("type")),
+        updated = creation.flatMap(_.textAt("creationTime")).flatMap(Xml.isoToNs),
+        author = creation.flatMap(_.textAt("author")),
+        agency_id = creation.flatMap(_.textAt("agencyID")),
+        path = path)
+
+      (ev \\ "pick").foreach { p =>
+        val wid = p \ "waveformID"
+        picks += PickRow(
+          resource_id = p.attr("publicID").getOrElse(""),
+          event_id = eventId,
+          time = p.textAt("time", "value").flatMap(Xml.isoToNs),
+          network = wid.flatMap(_.attr("networkCode")),
+          station = wid.flatMap(_.attr("stationCode")),
+          location = wid.flatMap(_.attr("locationCode")),
+          channel = wid.flatMap(_.attr("channelCode")),
+          phase_hint = p.textAt("phaseHint"),
+          onset = p.textAt("onset"),
+          polarity = p.textAt("polarity"),
+          evaluation_status = p.textAt("evaluationStatus"))
+      }
+
+      magnitudes.foreach { m =>
+        mags += MagnitudeRow(
+          resource_id = m.attr("publicID").getOrElse(""),
+          event_id = eventId,
+          magnitude = m.doubleAt("mag", "value"),
+          magnitude_type = m.textAt("type"),
+          origin_id = m.textAt("originID"),
+          station_count = m.textAt("stationCount").flatMap(s =>
+            scala.util.Try(s.toLong).toOption),
+          azimuthal_gap = m.doubleAt("azimuthalGap"))
+      }
+
+      (ev \\ "amplitude").foreach { a =>
+        amps += AmplitudeRow(
+          resource_id = a.attr("publicID").getOrElse(""),
+          event_id = eventId,
+          generic_amplitude = a.doubleAt("genericAmplitude", "value"),
+          amplitude_type = a.textAt("type"),
+          unit = a.textAt("unit"),
+          period = a.doubleAt("period", "value"),
+          snr = a.doubleAt("snr"),
+          pick_id = a.textAt("pickID"))
+      }
+
+      // arrivals nest inside origins (QuakeML schema; reference table
+      // carries the origin link, constants.py:264-291)
+      origins.foreach { o =>
+        val originId = o.attr("publicID").getOrElse("")
+        (o \\ "arrival").foreach { a =>
+          arrs += ArrivalRow(
+            resource_id = a.attr("publicID").getOrElse(""),
+            event_id = eventId,
+            origin_id = originId,
+            pick_id = a.textAt("pickID"),
+            phase = a.textAt("phase"),
+            azimuth = a.doubleAt("azimuth"),
+            distance = a.doubleAt("distance"),
+            time_residual = a.doubleAt("timeResidual"),
+            time_weight = a.textAt("timeWeight").orElse(a.textAt("weight"))
+              .flatMap(s => scala.util.Try(s.toDouble).toOption))
+        }
+      }
+    }
+    Catalog(events.result(), picks.result(), mags.result(), amps.result(), arrs.result())
+  }
+
+  // ---------------------------------------------------------------- write
+
+  private def tag(name: String, value: String): String =
+    s"<$name>${Xml.escape(value)}</$name>"
+  private def valueTag(name: String, value: String): String =
+    s"<$name><value>${Xml.escape(value)}</value></$name>"
+
+  /** Serialize one event (with its picks) back to a QuakeML document —
+    * the write half of the reference's `put_events` file format
+    * (obsplus `eventbank.py:440-528`). Lossless for the fields the
+    * tables carry: ns times survive via 9-digit ISO fractions, doubles
+    * via `Double.toString` round-tripping.
+    */
+  def toQuakeMl(event: EventRow, picks: Seq[PickRow] = Nil): String = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
+    sb.append("<q:quakeml xmlns:q=\"http://quakeml.org/xmlns/quakeml/1.2\" ")
+    sb.append("xmlns=\"http://quakeml.org/xmlns/bed/1.2\">")
+    sb.append("<eventParameters publicID=\"smi:local/catalog\">")
+    sb.append(s"""<event publicID="${Xml.escape(event.event_id)}">""")
+    val originId = s"${event.event_id}/origin"
+    val magId = s"${event.event_id}/magnitude"
+    sb.append(tag("preferredOriginID", originId))
+    sb.append(tag("preferredMagnitudeID", magId))
+    sb.append(s"""<origin publicID="${Xml.escape(originId)}">""")
+    event.time.foreach(t => sb.append(valueTag("time", Xml.nsToIso(t))))
+    event.latitude.foreach(v => sb.append(valueTag("latitude", v.toString)))
+    event.longitude.foreach(v => sb.append(valueTag("longitude", v.toString)))
+    event.depth.foreach(v => sb.append(valueTag("depth", v.toString)))
+    sb.append("</origin>")
+    if (event.magnitude.isDefined || event.magnitude_type.isDefined) {
+      sb.append(s"""<magnitude publicID="${Xml.escape(magId)}">""")
+      event.magnitude.foreach(v => sb.append(valueTag("mag", v.toString)))
+      event.magnitude_type.foreach(t => sb.append(tag("type", t)))
+      sb.append(tag("originID", originId))
+      sb.append("</magnitude>")
+    }
+    picks.foreach { p =>
+      sb.append(s"""<pick publicID="${Xml.escape(p.resource_id)}">""")
+      p.time.foreach(t => sb.append(valueTag("time", Xml.nsToIso(t))))
+      sb.append(s"""<waveformID networkCode="${Xml.escape(p.network.getOrElse(""))}" """)
+      sb.append(s"""stationCode="${Xml.escape(p.station.getOrElse(""))}" """)
+      sb.append(s"""locationCode="${Xml.escape(p.location.getOrElse(""))}" """)
+      sb.append(s"""channelCode="${Xml.escape(p.channel.getOrElse(""))}"/>""")
+      p.phase_hint.foreach(v => sb.append(tag("phaseHint", v)))
+      p.onset.foreach(v => sb.append(tag("onset", v)))
+      p.polarity.foreach(v => sb.append(tag("polarity", v)))
+      p.evaluation_status.foreach(v => sb.append(tag("evaluationStatus", v)))
+      sb.append("</pick>")
+    }
+    if (event.updated.isDefined || event.author.isDefined || event.agency_id.isDefined) {
+      sb.append("<creationInfo>")
+      event.agency_id.foreach(v => sb.append(tag("agencyID", v)))
+      event.author.foreach(v => sb.append(tag("author", v)))
+      event.updated.foreach(t => sb.append(tag("creationTime", Xml.nsToIso(t))))
+      sb.append("</creationInfo>")
+    }
+    sb.append("</event></eventParameters></q:quakeml>")
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------- spark
+
+  /** All five tables from a directory of QuakeML files. One
+    * distributed `binaryFile` scan; malformed files are skipped with a
+    * stderr warning (reference: `try_read_catalog` warn+skip). The
+    * parse runs once per file and fans out to five cached DataFrames.
+    */
+  def readTables(spark: SparkSession, dir: String, glob: String = "*.xml")
+      : Map[String, DataFrame] = {
+    import spark.implicits._
+    val catalogs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        try Iterator(parseCatalog(bytes, Some(path)))
+        catch {
+          case e: Exception =>
+            System.err.println(s"[quakeml] skipping unreadable $path: ${e.getMessage}")
+            Iterator.empty
+        }
+      })
+      .cache()
+    Map(
+      "events" -> Schemas.conformTo(
+        catalogs.flatMap(_.events).toDF(), Schemas.eventSummary),
+      "picks" -> conformPicks(spark, catalogs.flatMap(_.picks).toDF()),
+      "magnitudes" -> Schemas.conformTo(
+        catalogs.flatMap(_.magnitudes).toDF(), Schemas.magnitudes),
+      "amplitudes" -> Schemas.conformTo(
+        catalogs.flatMap(_.amplitudes).toDF(), Schemas.amplitudes),
+      "arrivals" -> Schemas.conformTo(
+        catalogs.flatMap(_.arrivals).toDF(), Schemas.arrivals))
+  }
+
+  /** Event-summary table only (the EventBank index shape). */
+  def readEvents(spark: SparkSession, dir: String, glob: String = "*.xml"): DataFrame =
+    readTables(spark, dir, glob)("events")
+
+  private def conformPicks(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // seed_id = network.station.location.channel (constants.py:326)
+    Schemas.conformTo(
+      df.withColumn("seed_id", concat_ws(".",
+        col("network"), col("station"), col("location"), col("channel"))),
+      Schemas.picks)
+  }
+}

@@ -116,4 +116,26 @@ class BankSpec extends SparkSpec {
     assert(p.length == 2) // first P pick of e1/S1 → both S1 channels
     assert(p.forall(_.getAs[Long]("t1") == 900L)) // idxmin pick time
   }
+
+  test("eventbank: quakeml archive round trip — export, reindex, identical index") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("eb-qml").toString
+    val bank = new graft.bank.EventBank(spark, s"$root/bank")
+    val events = Seq(
+      ("ev1", 1000000000123456789L, 35.5, -117.25, 5000.0, 2.75, "ML", 5L, "auto", "AG"),
+      ("ev2", 1000000000987654321L, 36.0, -118.0, 7500.0, 3.25, "MW", 6L, "rev", "AG"))
+      .toDF("event_id", "time", "latitude", "longitude", "depth",
+        "magnitude", "magnitude_type", "updated", "author", "agency_id")
+    bank.putEvents(events)
+    bank.exportQuakeMl(s"$root/xml")
+    val reparsed = new graft.bank.EventBank(spark, s"$root/bank2")
+    reparsed.indexQuakeMlDir(s"$root/xml")
+    val key = Seq("event_id", "time", "latitude", "longitude", "depth",
+      "magnitude", "magnitude_type", "updated", "author", "agency_id")
+    val a = bank.readIndex().select(key.head, key.tail: _*)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = reparsed.readIndex().select(key.head, key.tail: _*)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq)
+  }
 }

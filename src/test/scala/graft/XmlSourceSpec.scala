@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.{QuakeMl, StationXml, Xml}
+
+/** QuakeML / StationXML parsing: field extraction, preferred-element
+  * resolution, ns time round trip, permissive directory scans, and
+  * write→parse identity.
+  */
+class XmlSourceSpec extends SparkSpec {
+
+  private val qml =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<q:quakeml xmlns:q="http://quakeml.org/xmlns/quakeml/1.2"
+      |           xmlns="http://quakeml.org/xmlns/bed/1.2">
+      | <eventParameters publicID="smi:local/cat">
+      |  <event publicID="smi:local/ev1">
+      |   <preferredOriginID>smi:local/or2</preferredOriginID>
+      |   <preferredMagnitudeID>smi:local/mag1</preferredMagnitudeID>
+      |   <origin publicID="smi:local/or1">
+      |    <time><value>2019-01-01T00:00:00.5Z</value></time>
+      |    <latitude><value>1.0</value></latitude>
+      |    <longitude><value>2.0</value></longitude>
+      |    <arrival publicID="smi:local/ar1">
+      |     <pickID>smi:local/pk1</pickID><phase>P</phase>
+      |     <azimuth>10.5</azimuth><distance>0.3</distance>
+      |     <timeResidual>-0.12</timeResidual><timeWeight>1.0</timeWeight>
+      |    </arrival>
+      |   </origin>
+      |   <origin publicID="smi:local/or2">
+      |    <time><value>2019-01-01T00:00:00.123456789Z</value></time>
+      |    <latitude><value>35.5</value></latitude>
+      |    <longitude><value>-117.25</value></longitude>
+      |    <depth><value>5000.0</value></depth>
+      |   </origin>
+      |   <magnitude publicID="smi:local/mag1">
+      |    <mag><value>2.75</value></mag><type>ML</type>
+      |    <originID>smi:local/or2</originID>
+      |    <stationCount>12</stationCount><azimuthalGap>45.0</azimuthalGap>
+      |   </magnitude>
+      |   <magnitude publicID="smi:local/mag2">
+      |    <mag><value>3.0</value></mag><type>MW</type>
+      |   </magnitude>
+      |   <pick publicID="smi:local/pk1">
+      |    <time><value>2019-01-01T00:00:01.25Z</value></time>
+      |    <waveformID networkCode="UU" stationCode="TMU"
+      |                locationCode="01" channelCode="HHZ"/>
+      |    <phaseHint>P</phaseHint><onset>impulsive</onset>
+      |    <polarity>positive</polarity>
+      |    <evaluationStatus>reviewed</evaluationStatus>
+      |   </pick>
+      |   <amplitude publicID="smi:local/am1">
+      |    <genericAmplitude><value>0.004</value></genericAmplitude>
+      |    <type>AML</type><unit>m</unit>
+      |    <period><value>0.2</value></period><snr>8.5</snr>
+      |    <pickID>smi:local/pk1</pickID>
+      |   </amplitude>
+      |   <creationInfo>
+      |    <agencyID>NIOSH</agencyID><author>auto</author>
+      |    <creationTime>2019-02-01T12:00:00Z</creationTime>
+      |   </creationInfo>
+      |  </event>
+      | </eventParameters>
+      |</q:quakeml>""".stripMargin
+
+  test("iso/ns time conversion round-trips at ns precision") {
+    val cases = Seq("2019-01-01T00:00:00.123456789Z", "1969-12-31T23:59:59.999999999Z",
+      "2024-02-29T12:34:56.000000001Z")
+    cases.foreach { s =>
+      val ns = Xml.isoToNs(s).get
+      assert(Xml.nsToIso(ns) == s)
+    }
+    assert(Xml.isoToNs("2019-01-01T00:00:00").contains(1546300800L * 1000000000L))
+    assert(Xml.isoToNs("garbage").isEmpty)
+  }
+
+  test("quakeml: preferred origin/magnitude drive the event summary") {
+    val cat = QuakeMl.parseCatalog(qml.getBytes("UTF-8"), Some("/x.xml"))
+    assert(cat.events.length == 1)
+    val ev = cat.events.head
+    assert(ev.event_id == "smi:local/ev1")
+    assert(ev.time.contains(Xml.isoToNs("2019-01-01T00:00:00.123456789Z").get))
+    assert(ev.latitude.contains(35.5) && ev.longitude.contains(-117.25))
+    assert(ev.depth.contains(5000.0))
+    assert(ev.magnitude.contains(2.75) && ev.magnitude_type.contains("ML"))
+    assert(ev.agency_id.contains("NIOSH") && ev.author.contains("auto"))
+    assert(ev.updated.contains(Xml.isoToNs("2019-02-01T12:00:00Z").get))
+  }
+
+  test("quakeml: picks, magnitudes, amplitudes, arrivals extract fully") {
+    val cat = QuakeMl.parseCatalog(qml.getBytes("UTF-8"))
+    val p = cat.picks.head
+    assert(p.resource_id == "smi:local/pk1" && p.event_id == "smi:local/ev1")
+    assert(p.network.contains("UU") && p.station.contains("TMU") &&
+      p.location.contains("01") && p.channel.contains("HHZ"))
+    assert(p.phase_hint.contains("P") && p.polarity.contains("positive"))
+
+    assert(cat.magnitudes.map(_.magnitude_type).flatten == Seq("ML", "MW"))
+    assert(cat.magnitudes.head.station_count.contains(12L))
+
+    val a = cat.amplitudes.head
+    assert(a.generic_amplitude.contains(0.004) && a.unit.contains("m") &&
+      a.pick_id.contains("smi:local/pk1"))
+
+    val ar = cat.arrivals.head
+    assert(ar.origin_id == "smi:local/or1" && ar.phase.contains("P") &&
+      ar.time_residual.contains(-0.12) && ar.time_weight.contains(1.0))
+  }
+
+  test("quakeml: missing preferred id falls back to last element") {
+    val noPref = qml.replaceAll("<preferred(Origin|Magnitude)ID>[^<]*</preferred(Origin|Magnitude)ID>", "")
+    val ev = QuakeMl.parseCatalog(noPref.getBytes("UTF-8")).events.head
+    assert(ev.latitude.contains(35.5)) // last origin
+    assert(ev.magnitude.contains(3.0) && ev.magnitude_type.contains("MW"))
+  }
+
+  test("quakeml write → parse is identity on table fields") {
+    val cat = QuakeMl.parseCatalog(qml.getBytes("UTF-8"))
+    val rewritten = QuakeMl.toQuakeMl(cat.events.head.copy(path = None), cat.picks)
+    val back = QuakeMl.parseCatalog(rewritten.getBytes("UTF-8"))
+    assert(back.events.head == cat.events.head.copy(path = None))
+    assert(back.picks == cat.picks)
+  }
+
+  test("quakeml directory scan: distributed parse, permissive skip, conformed schema") {
+    val dir = Files.createTempDirectory("qmldir")
+    Files.writeString(dir.resolve("a.xml"), qml)
+    Files.writeString(dir.resolve("b.xml"),
+      qml.replaceAll("smi:local/ev1", "smi:local/ev2"))
+    Files.writeString(dir.resolve("broken.xml"), "<q:quakeml><unclosed")
+    Files.writeString(dir.resolve("notxml.txt"), "ignored by glob")
+    val tables = QuakeMl.readTables(spark, dir.toString)
+    val events = tables("events")
+    assert(events.schema.fieldNames.take(11).toSeq ==
+      graft.core.Schemas.eventSummary.fieldNames.toSeq)
+    val ids = events.select("event_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("smi:local/ev1", "smi:local/ev2"))
+    assert(tables("picks").where("seed_id = 'UU.TMU.01.HHZ'").count() == 2)
+    assert(tables("arrivals").count() == 2 && tables("amplitudes").count() == 2)
+  }
+
+  private val sxml =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<FDSNStationXML xmlns="http://www.fdsn.org/xml/station/1" schemaVersion="1.1">
+      | <Source>test</Source>
+      | <Network code="UU">
+      |  <Station code="TMU">
+      |   <Latitude>40.1</Latitude><Longitude>-111.5</Longitude>
+      |   <Elevation>2000.0</Elevation>
+      |   <Channel code="HHZ" locationCode="01"
+      |            startDate="2010-01-01T00:00:00Z" endDate="2020-01-01T00:00:00Z">
+      |    <Latitude>40.2</Latitude><Longitude>-111.6</Longitude>
+      |    <Elevation>2001.0</Elevation><Depth>10.0</Depth>
+      |    <Azimuth>0.0</Azimuth><Dip>-90.0</Dip>
+      |    <SampleRate>100.0</SampleRate>
+      |   </Channel>
+      |   <Channel code="HHN" locationCode="">
+      |    <SampleRate>100.0</SampleRate>
+      |   </Channel>
+      |  </Station>
+      | </Network>
+      |</FDSNStationXML>""".stripMargin
+
+  test("stationxml: channel rows with station-coordinate fallback and open end_date") {
+    val rows = StationXml.parseChannels(sxml.getBytes("UTF-8"))
+    assert(rows.length == 2)
+    val hhz = rows.find(_.channel == "HHZ").get
+    assert(hhz.latitude.contains(40.2) && hhz.sample_rate.contains(100.0))
+    assert(hhz.start_date.contains(Xml.isoToNs("2010-01-01T00:00:00Z").get))
+    val hhn = rows.find(_.channel == "HHN").get
+    assert(hhn.latitude.contains(40.1)) // station fallback
+    assert(hhn.end_date.isEmpty) // open-ended
+  }
+
+  test("stationxml: spark read conforms to stations schema; write round-trips") {
+    val dir = Files.createTempDirectory("sxmldir")
+    Files.writeString(dir.resolve("inv.xml"), sxml)
+    val df = StationXml.readChannels(spark, dir.toString)
+    assert(df.schema.fieldNames.take(11).toSeq ==
+      graft.core.Schemas.stations.fieldNames.toSeq)
+    assert(df.where("seed_id = 'UU.TMU.01.HHZ'").count() == 1)
+
+    val rows = StationXml.parseChannels(sxml.getBytes("UTF-8"))
+    val back = StationXml.parseChannels(
+      StationXml.toStationXml(rows).getBytes("UTF-8"))
+    assert(back.toSet == rows.toSet)
+  }
+}
