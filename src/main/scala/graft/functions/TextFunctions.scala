@@ -25,6 +25,13 @@ object TextFunctions {
         try_element_at(toks, i + 1),
         try_element_at(toks, i + 2)))
 
+  /** Word bigrams (same null-safe construction as [[shingles3]]). */
+  def bigrams(toks: Column): Column =
+    transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ",
+        try_element_at(toks, i),
+        try_element_at(toks, i + 1)))
+
   /** Occurrence count of tokens present in `vocab` (duplicates counted
     * — unlike array_intersect which dedups).
     */

@@ -52,6 +52,58 @@ object Similarity {
               round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside sign-LSH:
+    * the corpus is partitioned into Voronoi cells around `nCells`
+    * centroids; each query probes only its `nProbe` nearest cells.
+    *
+    * Centroids are deterministic (the vectors of the `nCells` smallest
+    * ids) so results are exactly reproducible and oracle-checkable;
+    * production would plug k-means centroids into the same plan shape.
+    *
+    * Scale shape: centroids are collected (tiny) and inlined as a
+    * literal, so cell assignment is a single narrow projection over
+    * the corpus — NO shuffle of the big side, unlike a
+    * window/groupBy-based argmin. Candidate generation is a broadcast
+    * hash join on cell_id; only the per-query top-k window shuffles,
+    * and that input is |probes-hit| rows, not the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String,
+              nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    val cents: Seq[Seq[Float]] = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
+    val centArr = typedLit(cents)
+
+    // materialize _scores once — an inlined transform() would recompute
+    // the whole lambda per consuming expression
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .withColumn("_scores", transform(centArr, c => cosine(c, col("n_vec"))))
+      .withColumn("cell_id",
+        (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
+      .drop("_scores")
+
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("cell_id").asc)
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("_scores", transform(centArr, c => cosine(c, col("q_vec"))))
+      .select(col("q_id"), col("q_vec"),
+        posexplode(col("_scores")).as(Seq("cell_id", "score")))
+      .withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= nProbe)
+      .select("q_id", "q_vec", "cell_id")
+
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cells.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"),
+              round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket pairs (a < b) above a
     * cosine threshold (threshold applies to the rounded value so the
     * cut is reproducible).

@@ -111,6 +111,54 @@ object TextQueries {
                list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
                  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
                s -> md5(s))) AS min_shingle_fp
-      FROM t"""))
+      FROM t""")),
+
+    // ---- deterministic stratified sampling: per-language quota drawn
+    //      in salted-hash order — the reproducible corpus
+    //      subsample/interleave op a training pipeline needs. At scale
+    //      this is one hash projection + one window per stratum; no
+    //      global sort.
+    Q("q45_stratified_sample", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("h", md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("h"), col("rn"))
+    }, Some("""
+      SELECT doc_id, lang, h, CAST(rn AS INT) AS rn FROM (
+        SELECT doc_id, lang, md5('samp:' || doc_id) AS h,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('samp:' || doc_id) ASC, doc_id ASC) AS rn
+        FROM documents)
+      WHERE rn <= 20""")),
+
+    // ---- corpus n-gram statistics: top-5 word bigrams per language —
+    //      map-side explode + two-phase count, then a tiny per-language
+    //      top-k window
+    Q("q46_ngram_stats", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("gram").asc)
+      Tables.documents(s, dir)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("lang"), explode(TextFunctions.bigrams(col("toks"))).as("gram"))
+        .groupBy("lang", "gram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    }, Some(s"""
+      WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+      g AS (SELECT lang, unnest(list_transform(
+              range(1, greatest(len(toks) - 1, 1) + 1),
+              i -> concat_ws(' ', toks[i], toks[i + 1]))) AS gram
+            FROM t),
+      c AS (SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY lang, gram)
+      SELECT lang, gram, n, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY n DESC, gram ASC) AS rank FROM c)
+      WHERE rank <= 5"""))
   )
 }

@@ -67,6 +67,45 @@ object VectorQueries {
       SELECT q_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 3"""), headline = true),
 
+    // ---- IVF ANN: deterministic centroids (16 smallest ids), each
+    //      query probes its 3 nearest cells; assignment is a narrow
+    //      projection over an inlined centroid literal — no corpus
+    //      shuffle
+    Q("q44_ann_ivf", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 25),
+        "vec_id", "embedding", nCells = 16, nProbe = 3, k = 3)
+    }, Some(s"""
+      WITH cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+               embedding AS c_vec
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      asgn AS (
+        SELECT vec_id, embedding, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cell_id ASC) AS rn
+        FROM (SELECT e.vec_id, e.embedding, c.cell_id,
+                     ${cosSql("c.c_vec", "e.embedding")} AS cos
+              FROM embeddings e CROSS JOIN cent c)),
+      cells AS (SELECT vec_id, embedding, cell_id FROM asgn WHERE rn = 1),
+      probes AS (
+        SELECT q_id, q_vec, cell_id FROM (
+          SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql("c.c_vec", "q.embedding")} DESC, c.cell_id ASC) AS rn
+          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 25)
+        WHERE rn <= 3),
+      cand AS (
+        SELECT p.q_id, p.q_vec, n.vec_id AS neighbor_id, n.embedding AS n_vec
+        FROM probes p JOIN cells n USING (cell_id) WHERE n.vec_id <> p.q_id),
+      r AS (
+        SELECT q_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM (SELECT q_id, neighbor_id, ${cosSql("q_vec", "n_vec")} AS cos FROM cand))
+      SELECT q_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3""")),
+
     // ---- embedding near-dup pairs: same-bucket, rounded cosine >= 0.99
     //      (finds the planted copies)
     Q("q34_embedding_neardup", (s, dir) => {
