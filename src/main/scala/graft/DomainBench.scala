@@ -78,6 +78,14 @@ object DomainBench {
       graft.operators.IntervalJoin.overlapping(idxSeed, reqs,
         keyCols = Seq("seed_id"), buffer = 1_000_000_000L).count()
     }
+    // same join with the custom strategy disabled — what Spark's planner
+    // does on its own (BroadcastNestedLoop), for the speedup record
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    val (tBulkBnl, _) =
+      try time {
+        graft.operators.IntervalJoin.overlapping(idxSeed, reqs,
+          keyCols = Seq("seed_id"), buffer = 1_000_000_000L).count()
+      } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
 
     // 5. event query surface (rect + circular + limit)
     val ebank = new EventBank(spark, root)
@@ -112,7 +120,8 @@ object DomainBench {
       "archive_gen_s" -> tGen,
       "index_build_s" -> tIndex, "index_files_per_s" -> nFiles / tIndex,
       "read_index_s" -> tRead, "gaps_s" -> tGaps,
-      "bulk_join_10k_s" -> tBulk, "event_query_s" -> tEvents,
+      "bulk_join_10k_s" -> tBulk, "bulk_join_10k_bnlj_s" -> tBulkBnl,
+      "event_query_s" -> tEvents,
       "event_fetch_job_s" -> tFetch)
     val counts = Seq("n_indexed" -> nIdx, "n_read" -> nRead, "n_gaps" -> nGaps,
       "n_bulk" -> nBulk, "n_events" -> nEvents, "n_fetch" -> nFetch)
