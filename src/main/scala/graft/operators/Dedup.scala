@@ -197,6 +197,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected candidate-pair edge list:
+    * (id, component) where component = min id reachable. This is the
+    * step that turns near-dup PAIRS into dedup CLUSTERS ("keep one doc
+    * per component") — the canonical corpus-dedup reduction.
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * symmetric edge list to the current labels and takes the per-node
+    * min — one shuffle per round, converging in O(component diameter)
+    * rounds. Near-dup clusters have tiny diameters (most are cliques
+    * from shared LSH buckets), so 3-4 rounds is typical. Lineage is
+    * truncated every round with an eager localCheckpoint; without it
+    * the plan doubles per iteration and the driver dies at scale. For
+    * adversarial high-diameter graphs swap in alternating large-star/
+    * small-star (Kiveris et al.) — same join shape, O(log²) rounds.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs: candidate pairs come only
     * from equal blocking keys (cheap equi join); similarity refines on
     * distinct-token overlap |A∩B| / |A∪B|.

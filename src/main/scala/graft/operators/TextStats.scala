@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-statistics operators (TF-IDF term weighting) for
+  * training-data pipelines.
+  *
+  * Plan shape at scale: per-doc term frequencies are one explode +
+  * groupBy with map-side combine; document frequencies aggregate the
+  * (already tiny relative to the corpus) vocabulary; both the DF table
+  * and the single-row corpus count join back via broadcast, so the only
+  * corpus-sized shuffles are the TF groupBy and the final per-doc
+  * top-k window. No global sort, no driver-side collection.
+  */
+object TextStats {
+
+  /** Per-(doc, term) frequency table: idCol, term, tf. */
+  def termFrequencies(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Smoothed log idf: ln((n+1)/(df+1)) + 1. libm-dependent — last-ulp
+    * results may differ across engines; use [[linearIdf]] when exact
+    * cross-engine reproducibility matters.
+    */
+  def logIdf(n: Column, df: Column): Column =
+    log((n + 1).cast("double") / (df + 1).cast("double")) + 1.0
+
+  /** Linear inverse document frequency n/df. Exactly reproducible in
+    * any IEEE-754 engine: the integer product and the division are
+    * single correctly-rounded operations.
+    */
+  def linearIdf(n: Column, df: Column): Column =
+    n.cast("double") / df.cast("double")
+
+  /** Top-k terms per document by tf·idf.
+    *
+    * Output: idCol, term, tf, df, score_micro (= floor(score·10⁶),
+    * integer so hash-comparable across engines), rank. Ranking breaks
+    * score ties on term ascending, so the result is fully deterministic.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int,
+                    idf: (Column, Column) => Column = linearIdf): DataFrame = {
+    val tf = termFrequencies(docs, textCol, idCol)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * idf(col("n"), col("df")))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        floor(col("score") * 1e6).cast("long").as("score_micro"),
+        col("rank"))
+  }
+}

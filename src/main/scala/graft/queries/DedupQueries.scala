@@ -31,6 +31,43 @@ object DedupQueries {
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private val fpSql = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
+  /** MinHash(k=8) + LSH(4 bands × 2) candidate pairs over the dedup
+    * corpus — the pipeline shared by q26 (pairs) and q48 (clusters).
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = corpus(s, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("sh", TextFunctions.shingles3(col("toks")))
+      .withColumn("hs", Dedup.shingleHashes(col("sh")))
+      .select(col("doc_id"), Dedup.intMinhashSignature(col("hs"), k = 8).as("sig"))
+    Dedup.candidatePairs(
+      Dedup.lshBuckets(sigs, "sig", "doc_id", bands = 4, rowsPerBand = 2),
+      "doc_id")
+  }
+
+  /** Oracle CTE chain ending in `pairs(a, b)` — the DuckDB mirror of
+    * [[minhashPairs]], shared by the q26 and q48 oracles.
+    */
+  private lazy val minhashPairsCtes: String = {
+    val toks = toksSql
+    // shingle i = toks[i] toks[i+1] toks[i+2], i in 1..max(n-2, 1)
+    val shSql = s"""list_transform(range(1, greatest(len($toks) - 2, 1) + 1),
+        i -> concat_ws(' ', $toks[i], $toks[i + 1], $toks[i + 2]))"""
+    def bucket(b: Int) =
+      s"md5(CAST(sig[${2 * b + 1}] AS VARCHAR) || '|' || CAST(sig[${2 * b + 2}] AS VARCHAR))"
+    s"""corpus AS ($corpusSql),
+      shingled AS (SELECT doc_id, $shSql AS sh FROM corpus),
+      hashed AS (SELECT doc_id, ${Dedup.shingleHashesSql("sh")} AS hs FROM shingled),
+      sigs AS (SELECT doc_id, ${Dedup.intMinhashSql("hs", 8)} AS sig FROM hashed),
+      buckets AS (${(0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM sigs")
+        .mkString("\n        UNION ALL ")}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: canonical fingerprint hash-groupBy
@@ -45,33 +82,36 @@ object DedupQueries {
     //      banded bucket collisions. Integer minhash family: one md5
     //      per shingle, affine variants mod P (engine-portable)
     Q("q26_dedup_minhash_lsh", (s, dir) => {
-      val sigs = corpus(s, dir)
-        .withColumn("toks", TextFunctions.tokens(col("text")))
-        .withColumn("sh", TextFunctions.shingles3(col("toks")))
-        .withColumn("hs", Dedup.shingleHashes(col("sh")))
-        .select(col("doc_id"), Dedup.intMinhashSignature(col("hs"), k = 8).as("sig"))
-      Dedup.candidatePairs(
-        Dedup.lshBuckets(sigs, "sig", "doc_id", bands = 4, rowsPerBand = 2),
-        "doc_id")
-    }, {
-      val toks = toksSql
-      // shingle i = toks[i] toks[i+1] toks[i+2], i in 1..max(n-2, 1)
-      val shSql = s"""list_transform(range(1, greatest(len($toks) - 2, 1) + 1),
-        i -> concat_ws(' ', $toks[i], $toks[i + 1], $toks[i + 2]))"""
-      def bucket(b: Int) =
-        s"md5(CAST(sig[${2 * b + 1}] AS VARCHAR) || '|' || CAST(sig[${2 * b + 2}] AS VARCHAR))"
-      Some(s"""
-      WITH corpus AS ($corpusSql),
-      shingled AS (SELECT doc_id, $shSql AS sh FROM corpus),
-      hashed AS (SELECT doc_id, ${Dedup.shingleHashesSql("sh")} AS hs FROM shingled),
-      sigs AS (SELECT doc_id, ${Dedup.intMinhashSql("hs", 8)} AS sig FROM hashed),
-      buckets AS (${(0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM sigs")
-        .mkString("\n        UNION ALL ")})
-      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-      WHERE a.doc_id < b.doc_id""")
-    }, headline = true),
+      minhashPairs(s, dir)
+    }, Some(s"""
+      WITH $minhashPairsCtes
+      SELECT a, b FROM pairs"""), headline = true),
+
+    // ---- near-dup CLUSTERS: connected components over the LSH
+    //      candidate-pair graph, every corpus doc labeled with its
+    //      component (= min reachable doc_id); singletons keep
+    //      themselves. "Keep is_keeper rows" IS corpus dedup.
+    Q("q48_dedup_clusters", (s, dir) => {
+      val comps = Dedup.connectedComponents(minhashPairs(s, dir), "a", "b")
+      corpus(s, dir).select("doc_id")
+        .join(comps, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("is_keeper", col("component") === col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      conn AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.src, e.dst FROM conn c JOIN edges e ON c.dst = e.src),
+      comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+               FROM conn GROUP BY src)
+      SELECT corpus.doc_id,
+             COALESCE(comp.component, corpus.doc_id) AS component,
+             (COALESCE(comp.component, corpus.doc_id) = corpus.doc_id) AS is_keeper
+      FROM corpus LEFT JOIN comp ON corpus.doc_id = comp.id""")),
 
     // ---- SimHash near-dup: md5-derived 60-bit bit-majority signature,
     //      4×15-bit band blocking (pigeonhole covers Hamming ≤ 3),

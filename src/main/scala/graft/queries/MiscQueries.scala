@@ -110,6 +110,25 @@ object MiscQueries {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP (r_name, n_name)""")),
 
+    // ---- CUBE over (returnflag, linestatus): all four grouping
+    //      levels in one pass; grouping_id disambiguates NULL-as-total
+    //      from NULL-as-value (Spark and DuckDB share the bitmask
+    //      convention: 1 bit per column, set when aggregated over)
+    Q("q49_cube", (s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+             count(lit(1)).as("n"),
+             sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
     // ---- JSON extraction + re-serialization round trip
     Q("q40_json_extract", (s, dir) => {
       val e = Tables.eventsUs(s, dir)

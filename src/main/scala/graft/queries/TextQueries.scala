@@ -135,6 +135,55 @@ object TextQueries {
         FROM documents)
       WHERE rn <= 20""")),
 
+    // ---- TF-IDF top terms per document: corpus-wide document
+    //      frequencies broadcast back onto per-doc term frequencies,
+    //      per-doc top-k window. Linear idf (n/df) so every score is a
+    //      single correctly-rounded IEEE division — bit-identical in
+    //      any engine; score_micro = floor(score·10⁶) keeps the output
+    //      integer (no rounding-mode dependence).
+    Q("q47_tfidf_topterms", (s, dir) => {
+      graft.operators.TextStats.tfidfTopTerms(
+        Tables.documents(s, dir), "text", "doc_id", k = 3)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (SELECT doc_id, term, tf, df,
+                   CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+                 FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      SELECT doc_id, term, tf, df,
+             CAST(FLOOR(score * 1e6) AS BIGINT) AS score_micro,
+             CAST(rank AS INT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term ASC) AS rank FROM scored)
+      WHERE rank <= 3""")),
+
+    // ---- deterministic train/val/test split: salted-hash bucket per
+    //      doc (md5-derived 60-bit int mod 100 → 80/10/10). Pure
+    //      projection — no shuffle, reproducible across engines and
+    //      runs, stable under corpus growth (a doc's split never
+    //      changes when other docs are added).
+    Q("q51_hash_split", (s, dir) => {
+      val bucket = conv(substring(
+          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long") % 100
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "lang", "bucket", "split")
+    }, Some("""
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 AS bucket,
+             CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents""")),
+
     // ---- corpus n-gram statistics: top-5 word bigrams per language —
     //      map-side explode + two-phase count, then a tiny per-language
     //      top-k window

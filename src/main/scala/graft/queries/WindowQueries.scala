@@ -179,6 +179,35 @@ object WindowQueries {
         AND epoch_ns(e.ts) >= r.t1 AND epoch_ns(e.ts) <= r.t2
       GROUP BY r.req_id"""), headline = true),
 
+    // ---- ranking window functions: rank / dense_rank / ntile /
+    //      percent_rank per partition (top-5 orders by price within
+    //      each priority). percent_rank is (rank-1)/(n-1) — one IEEE
+    //      division, engine-exact. Full orderBy tiebreak on o_orderkey.
+    Q("q50_ranking_windows", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .filter(col("rnk") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice",
+                "rnk", "drnk", "quartile", "pct_rank")
+    }, Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+             CAST(quartile AS INT) AS quartile, pct_rank
+      FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile, percent_rank() OVER w AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC))
+      WHERE rnk <= 5""")),
+
     // ---- §2.2 interval-overlap predicate with ±1 s buffer and
     //      NaT-exclusion (null endtime never matches)
     Q("q20_overlap_filter", (s, dir) => {

@@ -53,6 +53,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("connectedComponents: chain, clique, singleton-free labeling") {
+    // chain 1-2-3, separate pair 10-11, triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
+    assert(comps.size == 8) // only nodes that appear in edges
+  }
+
+  test("connectedComponents: long path converges past one round") {
+    // path 1-2-3-...-9: diameter 8, forces multiple propagation rounds
+    val edges = (1L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 9L).forall(comps(_) == 1L))
+  }
+
   test("embedding near-dup finds planted copy via sign buckets") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.2f, 0.1f, 0.9f)),
