@@ -24,6 +24,15 @@ object VectorFunctions {
   /** Cosine similarity: dot / (|a|·|b|), op order fixed. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine from precomputed norms: dot(a,b) / (na·nb). Bit-identical
+    * to [[cosine]] when na/nb are [[norm]] of the same vectors (same
+    * FP ops in the same order) — but the norms hoist out of a pairwise
+    * join, turning 3 array traversals per PAIR into 1 per pair + 1 per
+    * ROW. In an |Q|·N candidate loop that's ~3× less hot-path work.
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Sign-pattern LSH bucket over the first `bits` dimensions: the
     * cheapest hyperplane family (axis-aligned). At scale the bucket is
     * the shuffle/partition key, so ANN probes touch only one bucket.

@@ -26,10 +26,14 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
 
-  /** k-element MinHash signature over a MATERIALIZED shingle-array
-    * column. Pass a real column (withColumn), not the shingle
-    * expression inline — an inlined expression is re-evaluated once per
-    * hash lambda (k× the tokenize+shingle work; measured 12× slower).
+  /** k-element MinHash signature over a shingle-array column.
+    *
+    * Built as an `array()` of k separate min-expressions, NOT one
+    * lambda over `sequence(0, k-1)`: with k lexical references,
+    * CollapseProject refuses to inline the (expensive) shingle lineage,
+    * so it's computed once per row. A single reference inside a
+    * per-element lambda gets inlined and re-evaluated k× (measured 12×
+    * slower end-to-end) — same hazard [[lshBuckets]] documents.
     *
     * `hasher` maps (salt index, shingle) → orderable value. The default
     * md5 hasher is engine-portable (oracle-checkable); for production
@@ -37,8 +41,8 @@ object Dedup {
     */
   def minhashSignature(shingles: Column, k: Int,
       hasher: (Column, Column) => Column = md5Hasher): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => hasher(i, s))))
+    array((0 until k).map(i =>
+      array_min(transform(shingles, s => hasher(lit(i), s)))): _*)
 
   val md5Hasher: (Column, Column) => Column =
     (i, s) => md5(concat(i.cast("string"), lit("|"), s))
@@ -51,8 +55,9 @@ object Dedup {
     (0 until k).map(i => (2L * i + 3L, 104729L * (i + 1)))
 
   /** Integer MinHash, step 1: ONE md5 per shingle (15 hex chars →
-    * 60-bit int mod P). MATERIALIZE this column (withColumn) before
-    * feeding `intMinhashSignature` — inlining re-hashes per salt.
+    * 60-bit int mod P). [[intMinhashSignature]] references the result
+    * k times (one per salt), which keeps CollapseProject from inlining
+    * this md5 chain into the salt lambdas — hashed once per row.
     */
   def shingleHashes(shingles: Column): Column =
     transform(shingles,
@@ -80,15 +85,22 @@ object Dedup {
   /** Banded LSH buckets: (bandCount) rows per doc of
     * (idCol, band, bucket). Docs sharing any (band, bucket) are
     * near-dup candidates.
+    *
+    * Shape matters: the band indices explode FIRST and the bucket hash
+    * is computed per exploded row from the signature attribute the
+    * Generate carries along. Hashing inside the pre-explode lambda
+    * instead would inline the signature's whole lineage into every
+    * band's expression — Catalyst re-evaluates it per band (measured
+    * ~5× the minhash cost at bands=4).
     */
   def lshBuckets(df: DataFrame, sigCol: String, idCol: String,
                  bands: Int, rowsPerBand: Int): DataFrame =
-    df.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|",
-            transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string"))))))
-          .as(Seq("band", "bucket")))
+    df.select(col(idCol), col(sigCol),
+        posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("band", "_band")))
+      .select(col(idCol), col("band"),
+        md5(concat_ws("|",
+          transform(slice(col(sigCol), col("_band") * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))).as("bucket"))
 
   /** Distinct candidate pairs (a < b) from bucket collisions: ONE
     * shuffle — group each (band, bucket), expand pairs inside the

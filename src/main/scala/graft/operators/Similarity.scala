@@ -13,6 +13,11 @@ import graft.functions.VectorFunctions._
   *   - `lshTopK` is the scale path: both sides bucketed by sign-LSH,
   *     candidates only within equal buckets (hash equi join). Probing
   *     cost drops by the bucket fan-out (~2^bits) at some recall loss.
+  *
+  * Every pairwise scorer precomputes per-row vector norms BEFORE the
+  * join and scores pairs with [[cosineWithNorms]] — one array pass per
+  * candidate pair instead of three, with bit-identical results (the
+  * hoisted norm is the same expression evaluated once).
   */
 object Similarity {
 
@@ -20,12 +25,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+      col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_norm"))
       .join(q, col("neighbor_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"),
@@ -38,14 +46,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, bits: Int, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      norm(col(vecCol)).as("n_norm"), signBucket(col(vecCol), bits).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      norm(col(vecCol)).as("q_norm"), signBucket(col(vecCol), bits).as("bucket"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("bucket"),
@@ -76,9 +85,13 @@ object Similarity {
     val centArr = typedLit(cents)
 
     // materialize _scores once — an inlined transform() would recompute
-    // the whole lambda per consuming expression
+    // the whole lambda per consuming expression. The row norm hoists
+    // out of the per-centroid lambda (constant across centroids; the
+    // hoisted product is the identical FP expression).
     val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
-      .withColumn("_scores", transform(centArr, c => cosine(c, col("n_vec"))))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .withColumn("_scores", transform(centArr,
+        c => cosineWithNorms(c, col("n_vec"), norm(c), col("n_norm"))))
       .withColumn("cell_id",
         (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
       .drop("_scores")
@@ -86,18 +99,21 @@ object Similarity {
     val wq = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("cell_id").asc)
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("_scores", transform(centArr, c => cosine(c, col("q_vec"))))
-      .select(col("q_id"), col("q_vec"),
+      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("_scores", transform(centArr,
+        c => cosineWithNorms(c, col("q_vec"), norm(c), col("q_norm"))))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
         posexplode(col("_scores")).as(Seq("cell_id", "score")))
       .withColumn("prn", row_number().over(wq))
       .filter(col("prn") <= nProbe)
-      .select("q_id", "q_vec", "cell_id")
+      .select("q_id", "q_vec", "cell_id", "q_norm")
 
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cells.join(broadcast(probes), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", cosineWithNorms(
+        col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"),
@@ -111,12 +127,15 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCosine: Double): DataFrame = {
     val e = corpus.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val a = e.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
-    val b = e.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+      norm(col(vecCol)).as("nrm"), signBucket(col(vecCol), bits).as("bucket"))
+    val a = e.select(col("bucket"), col(idCol).as("a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col(idCol).as("b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("a") < col("b"))
-      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cosine", round(cosineWithNorms(
+        col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("cosine") >= minCosine)
       .select("a", "b", "cosine")
   }
