@@ -19,6 +19,14 @@ object VectorFunctions {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Bit-identical native form of [[dot]]: one fused primitive loop
+    * (no intermediate products array), codegen'd via the custom
+    * `graft.plans.VecDot` expression. Requires the graft extensions
+    * (`GraftSession.configure` installs them); prefer it on pairwise
+    * hot loops at scale.
+    */
+  def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity: dot / (|a|·|b|), op order fixed. */

@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.haversineDescriptor)
+    e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectOptimizerRule(_ => GlobRewriteRule)
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
@@ -32,10 +33,22 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HaversineMeters].getName, "haversine_m"),
       build)
 
+  private def buildVecDot(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "vec_dot(a, b)")
+    VecDot(exprs(0), exprs(1))
+  }
+
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      buildVecDot)
+
   /** Install on a live session (tests / notebooks). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", buildVecDot, "built-in")
     if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeJoinStrategy

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+class VecDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f),
+        Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "a", "b")
+  }
+
+  test("vec_dot equals the zip_with/aggregate composition bit-for-bit") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = randVecs(500, 64, seed = 7)
+      .withColumn("hof", VectorFunctions.dot(col("a"), col("b")))
+      .withColumn("native", VectorFunctions.dotNative(col("a"), col("b")))
+    // exact comparison — same FP ops in the same order must give the
+    // same double, not merely a close one
+    assert(df.filter(col("hof") =!= col("native")).count() == 0)
+    assert(df.filter(col("hof").isNull).count() == 0)
+  }
+
+  test("vec_dot null semantics match zip_with padding: length mismatch and null element") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, Array(1f, 2f), Array(3f, 4f)),          // ok: 11.0
+      (2L, Array(1f, 2f, 3f), Array(3f, 4f))       // length mismatch
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        VectorFunctions.dot(col("a"), col("b")).as("hof"),
+        VectorFunctions.dotNative(col("a"), col("b")).as("native"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 11.0 && out(0).getDouble(2) == 11.0)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
+  test("vec_dot stays inside whole-stage codegen") {
+    graft.plans.GraftExtensions.register(spark)
+    // repartition blocks ConvertToLocalRelation from pre-evaluating
+    // the projection driver-side (which would leave no codegen stage)
+    val df = randVecs(10, 8, seed = 1).repartition(2)
+      .select(VectorFunctions.dotNative(col("a"), col("b")).as("d"))
+    // run first: AQE only finalizes (and codegens) the plan on execution
+    val rows = df.collect()
+    assert(rows.length == 10 && rows.forall(!_.isNullAt(0)))
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact plan
+    // string; the vecdot projection must sit inside one.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[vecdot.*"), plan)
+  }
+}
