@@ -41,6 +41,13 @@ object VectorFunctions {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** [[norm]] on the fused native dot — same double, one primitive loop. */
+  def normNative(a: Column): Column = sqrt(dotNative(a, a))
+
+  /** [[cosineWithNorms]] on the fused native dot. Bit-identical. */
+  def cosineWithNormsNative(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotNative(a, b) / (na * nb)
+
   /** Sign-pattern LSH bucket over the first `bits` dimensions: the
     * cheapest hyperplane family (axis-aligned). At scale the bucket is
     * the shuffle/partition key, so ANN probes touch only one bucket.

@@ -19,8 +19,18 @@ import org.apache.spark.sql.functions._
   *     turns the range join into an equi join on (key, band); a row
   *     joins its own and neighbouring bands. `bandedPoints` implements
   *     that path.
+  *
+  * The request side's key columns are renamed internally before the
+  * join and dropped after: request keys equal the fact keys by
+  * construction, so the output carries each key ONCE (unambiguous),
+  * and a request table derived from the fact table (self-join lineage)
+  * resolves cleanly instead of tripping ambiguous-attribute
+  * disambiguation.
   */
 object IntervalJoin {
+
+  private def renameKeys(requests: DataFrame, keyCols: Seq[String]): DataFrame =
+    keyCols.foldLeft(requests)((df, k) => df.withColumnRenamed(k, s"__req_$k"))
 
   /** Points `ts` joined to requests [t1, t2] (inclusive) on equal keys.
     * Request side is broadcast when `broadcastRequests`.
@@ -30,10 +40,11 @@ object IntervalJoin {
       keyCols: Seq[String], tsCol: String,
       t1Col: String = "t1", t2Col: String = "t2",
       broadcastRequests: Boolean = true): DataFrame = {
-    val reqs = if (broadcastRequests) broadcast(requests) else requests
-    val cond = keyCols.map(k => points(k) === reqs(k)).reduce(_ && _) &&
-      points(tsCol) >= reqs(t1Col) && points(tsCol) <= reqs(t2Col)
-    points.join(reqs, cond)
+    val renamed = renameKeys(requests, keyCols)
+    val reqs = if (broadcastRequests) broadcast(renamed) else renamed
+    val cond = keyCols.map(k => points(k) === reqs(s"__req_$k"))
+      .foldLeft(points(tsCol) >= reqs(t1Col) && points(tsCol) <= reqs(t2Col))(_ && _)
+    points.join(reqs, cond).drop(keyCols.map(k => s"__req_$k"): _*)
   }
 
   /** Interval-vs-interval overlap join (strict overlap with buffer),
@@ -46,12 +57,14 @@ object IntervalJoin {
       t1Col: String = "t1", t2Col: String = "t2",
       buffer: Long = 0L,
       broadcastRequests: Boolean = true): DataFrame = {
-    val reqs = if (broadcastRequests) broadcast(requests) else requests
+    val renamed = renameKeys(requests, keyCols)
+    val reqs = if (broadcastRequests) broadcast(renamed) else renamed
     val overlap =
       !(segments(endCol) < reqs(t1Col) - lit(buffer) ||
         segments(startCol) > reqs(t2Col) + lit(buffer))
-    val cond = (keyCols.map(k => segments(k) === reqs(k)) :+ overlap).reduce(_ && _)
-    segments.join(reqs, cond)
+    val cond = keyCols.map(k => segments(k) === reqs(s"__req_$k"))
+      .foldLeft(overlap)(_ && _)
+    segments.join(reqs, cond).drop(keyCols.map(k => s"__req_$k"): _*)
   }
 
   /** Scale path for huge×huge: explode each request across the time
@@ -65,11 +78,11 @@ object IntervalJoin {
       bandNs: Long,
       t1Col: String = "t1", t2Col: String = "t2"): DataFrame = {
     val p = points.withColumn("_band", floor(col(tsCol) / lit(bandNs)))
-    val r = requests.withColumn("_band",
+    val r = renameKeys(requests, keyCols).withColumn("_band",
       explode(sequence(floor(col(t1Col) / lit(bandNs)),
                        floor(col(t2Col) / lit(bandNs)))))
-    val cond = (keyCols.map(k => p(k) === r(k)) :+ (p("_band") === r("_band")))
+    val cond = (keyCols.map(k => p(k) === r(s"__req_$k")) :+ (p("_band") === r("_band")))
       .reduce(_ && _) && p(tsCol) >= r(t1Col) && p(tsCol) <= r(t2Col)
-    p.join(r, cond).drop("_band")
+    p.join(r, cond).drop("_band").drop(keyCols.map(k => s"__req_$k"): _*)
   }
 }

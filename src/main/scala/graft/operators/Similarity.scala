@@ -15,24 +15,29 @@ import graft.functions.VectorFunctions._
   *     cost drops by the bucket fan-out (~2^bits) at some recall loss.
   *
   * Every pairwise scorer precomputes per-row vector norms BEFORE the
-  * join and scores pairs with [[cosineWithNorms]] — one array pass per
-  * candidate pair instead of three, with bit-identical results (the
-  * hoisted norm is the same expression evaluated once).
+  * join and scores pairs with one cosine-from-norms pass — one array
+  * traversal per candidate pair instead of three, with bit-identical
+  * results (the hoisted norm is the same expression evaluated once).
+  * Dot products run on the fused `vec_dot` codegen expression
+  * (graft.plans.VecDot; registered here against the incoming session),
+  * which is bit-identical to the zip_with/aggregate composition but
+  * skips the intermediate products array on every pair.
   */
 object Similarity {
 
   /** Exact top-k neighbors for each query vector (self excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     val q = broadcast(queries.select(
       col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm")))
+      normNative(col(vecCol)).as("q_norm")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
-        norm(col(vecCol)).as("n_norm"))
+        normNative(col(vecCol)).as("n_norm"))
       .join(q, col("neighbor_id") =!= col("q_id"))
-      .withColumn("cos", cosineWithNorms(
+      .withColumn("cos", cosineWithNormsNative(
         col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -45,15 +50,16 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, bits: Int, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
-      norm(col(vecCol)).as("n_norm"), signBucket(col(vecCol), bits).as("bucket"))
+      normNative(col(vecCol)).as("n_norm"), signBucket(col(vecCol), bits).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"), signBucket(col(vecCol), bits).as("bucket"))
+      normNative(col(vecCol)).as("q_norm"), signBucket(col(vecCol), bits).as("bucket"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("cos", cosineWithNorms(
+      .withColumn("cos", cosineWithNormsNative(
         col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -79,6 +85,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String,
               nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     val cents: Seq[Seq[Float]] = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
@@ -89,9 +96,9 @@ object Similarity {
     // out of the per-centroid lambda (constant across centroids; the
     // hoisted product is the identical FP expression).
     val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
-      .withColumn("n_norm", norm(col("n_vec")))
+      .withColumn("n_norm", normNative(col("n_vec")))
       .withColumn("_scores", transform(centArr,
-        c => cosineWithNorms(c, col("n_vec"), norm(c), col("n_norm"))))
+        c => cosineWithNormsNative(c, col("n_vec"), normNative(c), col("n_norm"))))
       .withColumn("cell_id",
         (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
       .drop("_scores")
@@ -99,9 +106,9 @@ object Similarity {
     val wq = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("cell_id").asc)
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("q_norm", normNative(col("q_vec")))
       .withColumn("_scores", transform(centArr,
-        c => cosineWithNorms(c, col("q_vec"), norm(c), col("q_norm"))))
+        c => cosineWithNormsNative(c, col("q_vec"), normNative(c), col("q_norm"))))
       .select(col("q_id"), col("q_vec"), col("q_norm"),
         posexplode(col("_scores")).as(Seq("cell_id", "score")))
       .withColumn("prn", row_number().over(wq))
@@ -112,7 +119,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cells.join(broadcast(probes), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("cos", cosineWithNorms(
+      .withColumn("cos", cosineWithNormsNative(
         col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -126,15 +133,16 @@ object Similarity {
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCosine: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     val e = corpus.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"), signBucket(col(vecCol), bits).as("bucket"))
+      normNative(col(vecCol)).as("nrm"), signBucket(col(vecCol), bits).as("bucket"))
     val a = e.select(col("bucket"), col(idCol).as("a"),
       col(vecCol).as("va"), col("nrm").as("na"))
     val b = e.select(col("bucket"), col(idCol).as("b"),
       col(vecCol).as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("a") < col("b"))
-      .withColumn("cosine", round(cosineWithNorms(
+      .withColumn("cosine", round(cosineWithNormsNative(
         col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("cosine") >= minCosine)
       .select("a", "b", "cosine")

@@ -7,7 +7,7 @@ object Catalog {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ WindowQueries.all ++ GeoQueries.all ++
       DedupQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      MiscQueries.all ++ SourceQueries.all
+      MiscQueries.all ++ SourceQueries.all ++ DomainQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
