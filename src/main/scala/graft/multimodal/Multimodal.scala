@@ -62,4 +62,81 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       unhex(md5(col("text"))).as("payload"))
+
+  case class FeatureRow(doc_id: Long, features: Array[Float])
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+  case class ResizedRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** STUB feature extractor: 8 features from consecutive 16-bit
+    * big-endian words of the payload, scaled to [0, 1] — a stand-in
+    * for an image/audio embedding model. Output shape (fixed-dim
+    * `Array[Float]`) feeds [[graft.operators.Similarity]] directly.
+    */
+  def featureStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+    def u(i: Int): Int = if (i < bytes.length) bytes(i) & 0xFF else 0
+    Array.tabulate(dim)(j => (((u(2 * j) << 8) | u(2 * j + 1)) / 65535.0).toFloat)
+  }
+
+  /** Payload → fixed-dim feature vector, partition-local ("model"
+    * loaded once per partition — the real pipeline would hold an ONNX/
+    * JNI handle there; batch shape identical).
+    */
+  def extractFeatures(spark: SparkSession, df: DataFrame,
+                      dim: Int = 8): Dataset[FeatureRow] = {
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition model init would go here
+        it.map { case (id, p) => FeatureRow(id, featureStub(p, dim)) }
+      }
+  }
+
+  /** STUB frame sampler: the payload splits into fixed 4-byte "frames";
+    * every `everyN`-th frame is kept, exploded one row per frame — the
+    * video-keyframe-sampling shape (binary → rows of binary).
+    */
+  def frameSample(spark: SparkSession, df: DataFrame,
+                  frameBytes: Int = 4, everyN: Int = 2): Dataset[FrameRow] = {
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        (0 until p.length / frameBytes).iterator
+          .filter(_ % everyN == 0)
+          .map(i => FrameRow(id, i, p.slice(i * frameBytes, (i + 1) * frameBytes)))
+      }
+  }
+
+  /** STUB resize: rewrites the 4 header "dimension" bytes (the ones
+    * [[decodeStub]] reads) and keeps the body — binary → binary, the
+    * thumbnailing shape. Round-trips: decodeStub(resize(p, w, h)) =
+    * (w, h, n_bytes).
+    */
+  def resize(spark: SparkSession, df: DataFrame,
+             width: Int, height: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    df.select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mt, p) =>
+          val out = java.util.Arrays.copyOf(p, math.max(p.length, 4))
+          out(0) = ((width >> 8) & 0xFF).toByte
+          out(1) = (width & 0xFF).toByte
+          out(2) = ((height >> 8) & 0xFF).toByte
+          out(3) = (height & 0xFF).toByte
+          ResizedRow(id, mt, out)
+        }
+      }
+  }
+
+  /** Partition sizing for decode jobs: repartition so each task holds
+    * roughly `targetBytes` of payload. Decode is CPU-bound per byte —
+    * row-count-based splits mis-size badly when payloads are skewed
+    * (one 4 GB video vs thousands of thumbnails).
+    */
+  def repartitionForDecode(df: DataFrame, targetBytes: Long): DataFrame = {
+    val total = df.select(coalesce(sum(length(col("payload")).cast("long")), lit(0L)))
+      .head.getLong(0)
+    val parts = math.max(1, (total / math.max(1L, targetBytes)).toInt)
+    df.repartition(parts)
+  }
 }

@@ -7,7 +7,8 @@ object Catalog {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ WindowQueries.all ++ GeoQueries.all ++
       DedupQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      MiscQueries.all ++ SourceQueries.all ++ DomainQueries.all
+      MiscQueries.all ++ SourceQueries.all ++ DomainQueries.all ++
+      MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

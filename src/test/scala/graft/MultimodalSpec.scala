@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+    .toDF("doc_id", "text")
+
+  test("payloads survive the binary column path; decode reads header dims") {
+    val p = Multimodal.withSyntheticPayload(docs)
+    val meta = Multimodal.decodeMeta(spark, p).collect()
+    assert(meta.length == 4)
+    assert(meta.forall(_.n_bytes == 16)) // md5 payload
+    // dims come from the first four payload bytes, 16-bit BE each
+    val row = p.filter($"doc_id" === 0L).select("payload").head
+      .getAs[Array[Byte]](0)
+    val m = meta.find(_.doc_id == 0L).get
+    assert(m.width == (((row(0) & 0xFF) << 8) | (row(1) & 0xFF)))
+    assert(m.height == (((row(2) & 0xFF) << 8) | (row(3) & 0xFF)))
+  }
+
+  test("decode tolerates short payloads (missing header bytes -> 0 dims)") {
+    val short = Seq((9L, "image", Array[Byte](0x12))).toDF("doc_id", "media_type", "payload")
+    val m = Multimodal.decodeMeta(spark, short).head()
+    assert(m.width == 0x1200 && m.height == 0L && m.n_bytes == 1L)
+  }
+
+  test("resize rewrites header dims, keeps body: decode(resize(p)) round-trips") {
+    val p = Multimodal.withSyntheticPayload(docs)
+    val resized = Multimodal.resize(spark, p, width = 640, height = 480)
+    val meta = Multimodal.decodeMeta(spark, resized.toDF()).collect()
+    assert(meta.forall(m => m.width == 640 && m.height == 480 && m.n_bytes == 16))
+    // body beyond the header is untouched
+    val before = p.filter($"doc_id" === 1L).select("payload").head.getAs[Array[Byte]](0)
+    val after = resized.filter($"doc_id" === 1L).select("payload").head.getAs[Array[Byte]](0)
+    assert(before.drop(4).sameElements(after.drop(4)))
+  }
+
+  test("frameSample explodes every-Nth fixed-size frame with its index") {
+    val p = Multimodal.withSyntheticPayload(docs.filter($"doc_id" === 2L))
+    val frames = Multimodal.frameSample(spark, p, frameBytes = 4, everyN = 2).collect()
+    // 16 bytes / 4 = 4 frames, every 2nd kept -> idx 0 and 2
+    assert(frames.map(_.frame_idx).sorted.sameElements(Array(0, 2)))
+    assert(frames.forall(_.frame.length == 4))
+    val payload = p.select("payload").head.getAs[Array[Byte]](0)
+    assert(frames.find(_.frame_idx == 2).get.frame.sameElements(payload.slice(8, 12)))
+  }
+
+  test("feature vectors are fixed-dim [0,1] floats usable by Similarity") {
+    val p = Multimodal.withSyntheticPayload(docs)
+    val feats = Multimodal.extractFeatures(spark, p, dim = 8)
+    val rows = feats.collect()
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(_.features.forall(f => f >= 0f && f <= 1f)))
+    // composes with the ANN operators (multimodal -> embedding -> search)
+    val df = feats.toDF().withColumnRenamed("features", "embedding")
+    val top = graft.operators.Similarity.bruteForceTopK(
+      df, df.filter($"doc_id" === 0L), "doc_id", "embedding", k = 2)
+    assert(top.count() == 2)
+  }
+
+  test("repartitionForDecode sizes partitions by payload bytes") {
+    val p = Multimodal.withSyntheticPayload(docs) // 4 x 16 bytes
+    assert(Multimodal.repartitionForDecode(p, targetBytes = 16L)
+      .rdd.getNumPartitions == 4)
+    assert(Multimodal.repartitionForDecode(p, targetBytes = 1L << 20)
+      .rdd.getNumPartitions == 1)
+  }
+}
