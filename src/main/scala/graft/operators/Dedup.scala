@@ -74,6 +74,17 @@ object Dedup {
       array_min(transform(baseHashes, h => (h * lit(a) + lit(b)) % lit(MinhashP)))
     }: _*)
 
+  /** Fused native form of `shingles3` + [[shingleHashes]]: one custom
+    * codegen expression (`graft.plans.ShingleHash60`) walks the token
+    * array once, digesting each `width`-word window directly — no
+    * shingle-string materialization, no hex encode/parse, one
+    * MessageDigest per thread. Bit-identical values, so the same
+    * DuckDB oracle fragments apply; prefer it on the hot MinHash path.
+    * Requires the graft extensions (GraftSession.configure installs).
+    */
+  def tokenShingleHashes(toks: Column, width: Int = 3): Column =
+    call_function("shingle_hash60", toks, lit(width), lit(MinhashP))
+
   /** Oracle-side SQL fragments (DuckDB dialect) for the two steps. */
   def shingleHashesSql(shinglesExpr: String): String =
     s"list_transform($shinglesExpr, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $MinhashP)"

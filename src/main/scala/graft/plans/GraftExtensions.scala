@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.haversineDescriptor)
     e.injectFunction(GraftExtensions.vecDotDescriptor)
+    e.injectFunction(GraftExtensions.md5Long60Descriptor)
+    e.injectFunction(GraftExtensions.shingleHash60Descriptor)
     e.injectOptimizerRule(_ => GlobRewriteRule)
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
@@ -43,12 +45,36 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       buildVecDot)
 
+  private def buildMd5Long60(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "md5_long60(s)")
+    Md5Long60(exprs.head)
+  }
+
+  val md5Long60Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("md5_long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
+      buildMd5Long60)
+
+  private def buildShingleHash60(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "shingle_hash60(tokens, width, modulus)")
+    ShingleHash60(exprs(0), exprs(1), exprs(2))
+  }
+
+  val shingleHash60Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("shingle_hash60"),
+      new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
+      buildShingleHash60)
+
   /** Install on a live session (tests / notebooks). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", buildVecDot, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_long60", buildMd5Long60, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hash60", buildShingleHash60, "built-in")
     if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeJoinStrategy

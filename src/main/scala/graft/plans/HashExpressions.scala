@@ -1,0 +1,126 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5-prefix kernel: the first 60 bits of an md5 digest as a
+  * non-negative long — the value `conv(substring(md5(s), 1, 15), 16,
+  * 10)` produces (15 hex chars = 15 nibbles = top 60 bits), computed
+  * straight from the digest bytes with no hex encode / substring /
+  * radix parse, and with ONE MessageDigest instance per thread instead
+  * of one per call.
+  */
+object Md5Long60 {
+  private val tl: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def digest(): MessageDigest = { val d = tl.get(); d.reset(); d }
+
+  /** Big-endian top 60 bits of a 16-byte digest. */
+  def top60(d: Array[Byte]): Long =
+    (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
+
+  def compute(s: UTF8String): Long = {
+    val md = digest()
+    md.update(s.getBytes)
+    top60(md.digest())
+  }
+}
+
+/** `md5_long60(s)`: 60-bit md5 prefix of a string as a long.
+  * Bit-identical to `conv(substring(md5(s), 1, 15), 16, 10)
+  * .cast("long")` — oracle-checked queries can swap freely.
+  */
+case class Md5Long60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(s: Any): Any =
+    Md5Long60.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.Md5Long60.compute($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+/** `shingle_hash60(tokens, width, modulus)`: fused word-shingling +
+  * md5 hashing. For a token array of n elements it emits
+  * `max(n - width + 1, 1)` longs, element i being the 60-bit md5
+  * prefix (mod `modulus`, skipped when `modulus <= 0`) of the
+  * space-joined window `tokens[i ... i+width-1]` — null / out-of-range
+  * tokens skipped exactly like `concat_ws`.
+  *
+  * Bit-identical to the composed Column chain
+  * `transform(shingles3(toks), s => conv(substring(md5(s), 1, 15), 16,
+  * 10).cast("long") % modulus)` (TextFunctions.shingles3 +
+  * Dedup.shingleHashes), which the DuckDB oracle mirrors — so the
+  * oracle contract is unchanged.
+  *
+  * Why it exists: the composed form materializes every shingle as a
+  * fresh UTF8String (concat_ws per window), hex-encodes each digest to
+  * a 32-char string, substrings it, and radix-parses it back — per
+  * shingle, per row, with a new MessageDigest per call. This is one
+  * primitive loop feeding digest bytes directly, the dominant cost of
+  * the MinHash pipeline (SURVEY.md §4 "custom Expression beats UDF"
+  * path).
+  */
+case class ShingleHash60(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), IntegerType, LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(toks: Any, width: Any, modulus: Any): Any =
+    ShingleHash60.compute(toks.asInstanceOf[ArrayData],
+      width.asInstanceOf[Int], modulus.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w, m) =>
+      s"${ev.value} = graft.plans.ShingleHash60.compute($t, $w, $m);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(newFirst, newSecond, newThird)
+}
+
+object ShingleHash60 {
+  private val Space = ' '.toByte
+
+  def compute(toks: ArrayData, width: Int, modulus: Long): ArrayData = {
+    val n = toks.numElements()
+    val m = math.max(n - (width - 1), 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val md = Md5Long60.digest()
+      var wrote = false
+      var j = 0
+      while (j < width) {
+        val idx = i + j
+        if (idx < n && !toks.isNullAt(idx)) {
+          if (wrote) md.update(Space)
+          md.update(toks.getUTF8String(idx).getBytes)
+          wrote = true
+        }
+        j += 1
+      }
+      val v = Md5Long60.top60(md.digest())
+      out(i) = if (modulus > 0) v % modulus else v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -37,8 +37,9 @@ object DedupQueries {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = corpus(s, dir)
       .withColumn("toks", TextFunctions.tokens(col("text")))
-      .withColumn("sh", TextFunctions.shingles3(col("toks")))
-      .withColumn("hs", Dedup.shingleHashes(col("sh")))
+      // fused shingle+hash expression — bit-identical to the composed
+      // shingles3 → shingleHashes chain the oracle CTEs mirror
+      .withColumn("hs", Dedup.tokenShingleHashes(col("toks")))
       .select(col("doc_id"), Dedup.intMinhashSignature(col("hs"), k = 8).as("sig"))
     Dedup.candidatePairs(
       Dedup.lshBuckets(sigs, "sig", "doc_id", bands = 4, rowsPerBand = 2),
