@@ -37,6 +37,32 @@ object TextStats {
   def linearIdf(n: Column, df: Column): Column =
     n.cast("double") / df.cast("double")
 
+  /** Sequence packing: assign each document a fixed token-budget bin
+    * for training-shard assembly. Documents are laid out in `orderCol`
+    * order within each `shardCol` partition; a document starting at
+    * cumulative token offset `off` lands in bin `off div budget`
+    * (documents may straddle a budget boundary — the streaming
+    * concatenation model, where a doc spills into the next context
+    * window rather than re-packing).
+    *
+    * Scale: bin assignment is ONE window cumsum per shard — no global
+    * sort, no sequential fold. Shard count bounds window-partition
+    * size; shard by a hash bucket so layout is growth-stable.
+    *
+    * Output: all input columns + n_tokens, tok_offset (cumulative
+    * tokens before this doc within the shard), bin.
+    */
+  def packTokenBudget(docs: DataFrame, textCol: String, shardCol: Column,
+                      orderCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("n_tokens",
+        size(TextFunctions.tokens(col(textCol))).cast("long"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integer `div`, not `/`: bins stay exact past 2^53 offsets
+      .withColumn("bin", expr(s"tok_offset div $budget"))
+  }
+
   /** Top-k terms per document by tf·idf.
     *
     * Output: idCol, term, tf, df, score_micro (= floor(score·10⁶),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
+import graft.operators.{Contamination, Dedup, TextStats}
 
 /** Text-analysis operators for corpus pipelines: language-ID, quality
   * scoring, token counting, fingerprinting — all scan-local Column
@@ -142,7 +143,7 @@ object TextQueries {
     //      any engine; score_micro = floor(score·10⁶) keeps the output
     //      integer (no rounding-mode dependence).
     Q("q47_tfidf_topterms", (s, dir) => {
-      graft.operators.TextStats.tfidfTopTerms(
+      TextStats.tfidfTopTerms(
         Tables.documents(s, dir), "text", "doc_id", k = 3)
         .select("doc_id", "term", "tf", "df", "score_micro", "rank")
     }, Some(s"""
@@ -208,6 +209,50 @@ object TextQueries {
       SELECT lang, gram, n, CAST(rank AS INT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY lang
                     ORDER BY n DESC, gram ASC) AS rank FROM c)
-      WHERE rank <= 5"""))
+      WHERE rank <= 5""")),
+
+    // ---- benchmark decontamination: training docs sharing 3-gram
+    //      shingle hashes with the eval split (doc_id % 97 == 0); eval
+    //      hash set broadcasts, one corpus shuffle (the per-doc count)
+    Q("q56_decontaminate", (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Contamination.contaminatedDocs(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id")
+    }, {
+      val shSql = s"""list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+          i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"""
+      Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, $shSql AS sh FROM t),
+      hs AS (SELECT doc_id,
+               list_distinct(${Dedup.shingleHashesSql("sh")}) AS hs
+             FROM sh),
+      ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+      evalh AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+      SELECT e.doc_id, COUNT(*) AS n_shared
+      FROM ex e JOIN evalh v USING (h)
+      WHERE e.doc_id % 97 <> 0
+      GROUP BY e.doc_id""")
+    }),
+
+    // ---- sequence packing: fixed token-budget bin per doc — one
+    //      window cumsum per hash shard, zero global sort
+    Q("q57_token_packing", (s, dir) => {
+      TextStats.packTokenBudget(Tables.documents(s, dir),
+          "text", col("doc_id") % 8, col("doc_id"), budget = 512)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          col("n_tokens"), col("tok_offset"), col("bin"))
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+                   len($toksSql) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, shard, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS tok_offset
+            FROM d)
+      SELECT doc_id, shard, n_tokens, tok_offset,
+             tok_offset // 512 AS bin FROM c"""))
   )
 }

@@ -45,4 +45,42 @@ class TextStatsSpec extends SparkSpec {
       .orderBy("rank").select("term").as[String].collect().toSeq
     assert(top == Seq("alpha", "zeta"))
   }
+
+  test("packTokenBudget assigns bins by cumulative offset, straddling allowed") {
+    // one shard, docs of 3/4/2 tokens, budget 5:
+    // offsets 0,3,7 -> bins 0,0,1 (doc 2 straddles the 5-token boundary)
+    val d = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val out = TextStats.packTokenBudget(d, "text", lit(0), col("doc_id"), budget = 5)
+      .select("doc_id", "n_tokens", "tok_offset", "bin")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L, 0L, 0L), (2L, 4L, 3L, 0L), (3L, 2L, 7L, 1L)))
+  }
+
+  test("packTokenBudget packs shards independently") {
+    val d = Seq((1L, "a b c d e f"), (2L, "x y"), (3L, "p q r"), (4L, "s t u v"))
+      .toDF("doc_id", "text")
+    val out = TextStats.packTokenBudget(d, "text", col("doc_id") % 2,
+        col("doc_id"), budget = 4)
+      .select("doc_id", "tok_offset", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // shard 1: docs 1 (6 toks, off 0, bin 0), 3 (off 6, bin 1)
+    // shard 0: docs 2 (2 toks, off 0, bin 0), 4 (off 2, bin 0)
+    assert(out == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 6L, 1L), (4L, 2L, 0L)))
+  }
+
+  test("contaminatedDocs counts distinct shared shingle hashes") {
+    graft.plans.GraftExtensions.register(spark)
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),      // shares "the quick brown",
+                                              // "quick brown fox", "brown fox jumps"
+      (2L, "completely different text here"), // clean
+      (3L, "one brown fox jumps high")        // shares "brown fox jumps"
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val out = graft.operators.Contamination
+      .contaminatedDocs(train, eval, "text", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L), (3L, 1L)))
+  }
 }
