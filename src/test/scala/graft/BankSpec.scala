@@ -138,4 +138,27 @@ class BankSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.head.toString)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("wavebank: exportSds writes a day-partitioned layout losslessly") {
+    val bank = new WaveBank(spark, tmp())
+    // one segment below the day boundary, one above (day = ns div 86400e9)
+    val day0 = 1_000_000_000L
+    val day1 = 86_400_000_000_000L + 5_000L
+    bank.putWaveforms(Seq(
+      ("N1", "S1", "", "BHZ", day0, 10L, Array.fill(10)(1.0)),
+      ("N1", "S1", "", "BHZ", day1, 10L, Array.fill(10)(2.0))
+    ).toDF("network", "station", "location", "channel",
+           "starttime", "sampling_period", "samples"))
+    val out = tmp()
+    bank.exportSds(out)
+    // partition dirs exist per (network, station, channel, day)
+    val days = new java.io.File(s"$out/network=N1/station=S1/channel=BHZ")
+      .listFiles().map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(days.toSeq == Seq("day=0", "day=1"))
+    // and the re-chunked copy is lossless (partition cols restore)
+    val rt = spark.read.parquet(out)
+    assert(rt.count() == 2)
+    assert(rt.select("starttime").as[Long].collect().sorted.toSeq ==
+      Seq(day0, day1))
+  }
 }
