@@ -24,7 +24,7 @@ final case class EventQuery(
     updatedAfter: Option[Long] = None,
     limit: Option[Int] = None)
 
-class EventBank(spark: SparkSession, root: String) {
+class EventBank(spark: SparkSession, root: String) extends graft.core.EventClient {
 
   val indexPath = s"$root/event_index"
 

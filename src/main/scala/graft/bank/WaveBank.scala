@@ -21,7 +21,7 @@ import graft.operators.{IntervalJoin, Intervals, TimeChunks, TraceStitch}
   *     (`_metadata.file_modification_time`) — the mtime watermark
   *     contract of `_unindexed_iterator` (`bank/core.py:193-210`).
   */
-class WaveBank(spark: SparkSession, root: String) {
+class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformClient {
 
   val segmentsPath = s"$root/segments"
   val indexPath = s"$root/index"
