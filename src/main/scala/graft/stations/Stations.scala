@@ -106,3 +106,11 @@ object Stations {
   def fromJson(jsonDf: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
     jsonDf.select(from_json(col("json"), schema).as("o")).select("o.*")
 }
+
+/** [[graft.core.StationClient]] over a channel-level table — the same
+  * protocol a remote FDSN adapter would implement, so `getStations`
+  * callers can't tell a local table from a data center.
+  */
+final class StationBank(channels: DataFrame) extends graft.core.StationClient {
+  def getStations(q: StationQuery): DataFrame = Stations.getStations(channels, q)
+}

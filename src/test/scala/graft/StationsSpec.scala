@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.stations.{StationQuery, Stations}
+import graft.stations.{StationBank, StationQuery, Stations}
 
 class StationsSpec extends SparkSpec {
   import spark.implicits._
@@ -39,5 +39,11 @@ class StationsSpec extends SparkSpec {
     val back = Stations.fromJson(json, inv.schema)
     assert(Stations.flatten(back).count() == 4)
     assert(back.select("network").as[String].collect().toSet == Set("N1", "N2"))
+  }
+
+  test("StationBank implements the StationClient protocol") {
+    val client: graft.core.StationClient = new StationBank(channels)
+    assert(client.getStations(StationQuery(network = "N1")).count() ==
+      Stations.getStations(channels, StationQuery(network = "N1")).count())
   }
 }
