@@ -96,9 +96,13 @@ object CoreQueries {
     Q("q06_join_agg", (s, dir) => {
       val r = Tables.region(s, dir); val n = Tables.nation(s, dir)
       val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      // enrich the dim chain first (all tiny), then ONE broadcast
+      // against the fact table — the probe side sees a single
+      // build-side instead of three stacked broadcast stages
+      val dim = c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"))
+      o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_orders"),
              sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
