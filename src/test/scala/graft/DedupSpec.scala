@@ -73,6 +73,27 @@ class DedupSpec extends SparkSpec {
     assert((1L to 9L).forall(comps(_) == 1L))
   }
 
+  test("connectedComponents: differential vs in-memory union-find on random graphs") {
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find, components named by min member
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("embedding near-dup finds planted copy via sign buckets") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.2f, 0.1f, 0.9f)),
