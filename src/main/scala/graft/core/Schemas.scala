@@ -181,4 +181,23 @@ object Schemas {
     */
   def nsToTimestamp(colName: String): Column =
     timestamp_micros(expr(s"$colName div 1000"))
+
+  /** NaT / ±∞ storage sentinels for epoch-ns time columns — the
+    * reference's SMALLDT64/LARGEDT64 (`constants.py:342-343`: INT64
+    * min + 5e9 / max − 5e9 ns). Null times round-trip through storage
+    * as sentinels (`_time_cols_to_ints`/`_ints_to_time_columns`,
+    * `utils/pd.py:123-149`) so min/max parquet stats and strict
+    * compares keep working; an open-ended `end_date` reads as
+    * [[LargeDt64]] "forever" (`fetcher.py:525-526`).
+    */
+  val SmallDt64: Long = Long.MinValue + 5_000_000_000L
+  val LargeDt64: Long = Long.MaxValue - 5_000_000_000L
+
+  /** Null → sentinel, for writing a time column to storage. */
+  def timeToStorage(c: Column, openEnded: Boolean = false): Column =
+    coalesce(c, lit(if (openEnded) LargeDt64 else SmallDt64))
+
+  /** Sentinel → null, restoring on read (either sentinel). */
+  def timeFromStorage(c: Column): Column =
+    when(c === SmallDt64 || c === LargeDt64, lit(null).cast("long")).otherwise(c)
 }

@@ -63,12 +63,28 @@ class Fetcher(
   /** Waveform requests for every (event, channel): window
     * [ref − before, ref + after] — feed to WaveBank.getWaveformsBulk or
     * join against any segment index.
+    *
+    * When the station table carries start_date/end_date, channels not
+    * ACTIVE in the request window are dropped (`_get_bulk_args`,
+    * `fetcher.py:501-554`); a null end_date means still-operating and
+    * reads as the LARGEDT64 "forever" sentinel (`fetcher.py:525-526`).
+    * The activity table is per-channel (tiny) — broadcast.
     */
-  def eventRequests(reference: String, beforeNs: Long, afterNs: Long): DataFrame =
-    strategies(reference.toLowerCase)()
+  def eventRequests(reference: String, beforeNs: Long, afterNs: Long): DataFrame = {
+    val base = strategies(reference.toLowerCase)()
       .select(col("event_id"), col("seed_id"),
         (col("ref_time") - beforeNs).as("t1"),
         (col("ref_time") + afterNs).as("t2"))
+    if (stations.columns.contains("start_date") &&
+        stations.columns.contains("end_date")) {
+      val activity = stations.select(col("seed_id"),
+        graft.core.Schemas.timeToStorage(col("start_date")).as("_sd"),
+        graft.core.Schemas.timeToStorage(col("end_date"), openEnded = true).as("_ed"))
+      base.join(broadcast(activity), Seq("seed_id"))
+        .filter(!(col("_ed") < col("t1") || col("_sd") > col("t2")))
+        .drop("_sd", "_ed")
+    } else base
+  }
 
   /** One-job event-waveform fetch: requests interval-joined to a
     * segment index on seed_id (+ overlap), keyed output

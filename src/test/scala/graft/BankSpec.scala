@@ -117,6 +117,24 @@ class BankSpec extends SparkSpec {
     assert(p.forall(_.getAs[Long]("t1") == 900L)) // idxmin pick time
   }
 
+  test("fetcher: channels outside their operating window are dropped; null end_date = forever") {
+    val events = Seq(("e1", 1000L)).toDF("event_id", "time")
+    val stations = Seq(
+      // active across the window
+      ("S1", "N1.S1..BHZ", 0L, Some(2000L)),
+      // decommissioned before the window
+      ("S2", "N1.S2..BHZ", 0L, Some(500L)),
+      // not yet installed
+      ("S3", "N1.S3..BHZ", 5000L, None),
+      // open-ended end_date → still operating
+      ("S4", "N1.S4..BHZ", 0L, None)
+    ).toDF("station", "seed_id", "start_date", "end_date")
+    val f = new Fetcher(spark, events, stations, picks = events)
+    val reqs = f.eventRequests("origin", 100L, 100L)
+      .select("seed_id").as[String].collect().sorted.toSeq
+    assert(reqs == Seq("N1.S1..BHZ", "N1.S4..BHZ"))
+  }
+
   test("eventbank: quakeml archive round trip — export, reindex, identical index") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("eb-qml").toString

@@ -45,4 +45,20 @@ class SchemasSpec extends SparkSpec {
     val out = df.select(Schemas.nsToTimestamp("t").as("ts"))
     assert(out.select(unix_micros(col("ts"))).as[Long].head() == 1704067207179575L)
   }
+
+  test("NaT sentinels round-trip: null → SMALLDT64/LARGEDT64 → null") {
+    val df = Seq(Some(1000L), None).toDF("t")
+    val stored = df.select(
+      Schemas.timeToStorage(col("t")).as("closed"),
+      Schemas.timeToStorage(col("t"), openEnded = true).as("open"))
+    val vals = stored.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(vals(0) == ((Schemas.SmallDt64, Schemas.LargeDt64)))
+    assert(vals(1) == ((1000L, 1000L)))
+    // restore: both sentinels read back as null, real values untouched
+    val back = stored.select(
+      Schemas.timeFromStorage(col("closed")).as("c"),
+      Schemas.timeFromStorage(col("open")).as("o")).collect()
+    assert(back.count(r => r.isNullAt(0) && r.isNullAt(1)) == 1)
+    assert(back.exists(r => !r.isNullAt(0) && r.getLong(0) == 1000L))
+  }
 }
