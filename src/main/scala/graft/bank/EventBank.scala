@@ -66,7 +66,12 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
       hi.foreach(v => df = df.filter(col(c) < v))
     }
     q.minTime.foreach(v => df = df.filter(col("time") > v))
-    q.maxTime.foreach(v => df = df.filter(col("time") < v))
+    // maxTime-only queries must not match NaT rows stored as the
+    // SMALLDT64 sentinel (they'd sort before every real time) — the
+    // reference auto-adds `mintime > SMALLDT64 + 1` (`_handle_nat`,
+    // utils/bank.py:343-347); null-stored times drop via 3VL anyway
+    q.maxTime.foreach(v => df = df.filter(col("time") < v &&
+      col("time") > Schemas.SmallDt64 + 1))
     strict("latitude", q.minLatitude, q.maxLatitude)
     strict("magnitude", q.minMagnitude, q.maxMagnitude)
     strict("depth", q.minDepth, q.maxDepth)

@@ -97,6 +97,15 @@ class BankSpec extends SparkSpec {
       longitude = Some(20.0), maxRadiusM = Some(500000.0)))
     assert(near.select("event_id").as[String].collect().toSet == Set("e2"))
     assert(bank.getEvents(EventQuery(limit = Some(1))).count() == 1)
+
+    // NaT rewrite: a sentinel-stored unknown time never matches a
+    // maxTime-only query even though SMALLDT64 < any real bound
+    bank.putEvents(Seq(("e4", graft.core.Schemas.SmallDt64, 12.0, 22.0,
+        5.0, 1.0, "ML", 1L))
+      .toDF("event_id", "time", "latitude", "longitude", "depth",
+            "magnitude", "magnitude_type", "updated"))
+    val early = bank.getEvents(EventQuery(maxTime = Some(2500L)))
+    assert(early.select("event_id").as[String].collect().toSet == Set("e1", "e2"))
   }
 
   test("fetcher: origin cross-expansion and p-phase station join") {
