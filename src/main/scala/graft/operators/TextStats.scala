@@ -37,6 +37,42 @@ object TextStats {
   def linearIdf(n: Column, df: Column): Column =
     n.cast("double") / df.cast("double")
 
+  /** Intra-document repetition statistics — the Gopher-rule family of
+    * corpus quality filters (repetitious documents are boilerplate /
+    * spam signals):
+    *
+    *   - distinct_ratio: |distinct tokens| / |tokens|
+    *   - dup_shingle_ratio: 1 − |distinct 3-grams| / |3-grams|
+    *   - top_token_ratio: max single-token count / |tokens|
+    *
+    * Plan shape: the array ratios are scan-local column math; the top
+    * token count is one explode + two-phase count + per-doc max (the
+    * n-gram-stats shape), joined back on the doc key. Ratios round to
+    * 6 dp so they're engine-exact (single correctly-rounded division).
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = docs
+      .withColumn("toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("sh", TextFunctions.shingles3(col("toks")))
+      .withColumn("dup_shingle_ratio",
+        round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+          size(col("sh")).cast("double"), 6))
+      .select(col(idCol), col("n_tokens"), col("distinct_ratio"),
+        col("dup_shingle_ratio"))
+    val top = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top_c"))
+    base.join(top, Seq(idCol))
+      .withColumn("top_token_ratio",
+        round(col("top_c").cast("double") / col("n_tokens").cast("double"), 6))
+      .drop("top_c")
+  }
+
   /** Sequence packing: assign each document a fixed token-budget bin
     * for training-shard assembly. Documents are laid out in `orderCol`
     * order within each `shardCol` partition; a document starting at

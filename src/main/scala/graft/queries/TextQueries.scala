@@ -253,6 +253,37 @@ object TextQueries {
                 - n_tokens AS tok_offset
             FROM d)
       SELECT doc_id, shard, n_tokens, tok_offset,
-             tok_offset // 512 AS bin FROM c"""))
+             tok_offset // 512 AS bin FROM c""")),
+
+    // ---- Gopher-style repetition quality rules: intra-doc dup-n-gram
+    //      and top-token fractions, thresholded keep/drop verdict
+    Q("q58_repetition_stats", (s, dir) => {
+      TextStats.repetitionStats(Tables.documents(s, dir), "text", "doc_id")
+        .withColumn("verdict",
+          when(col("distinct_ratio") < 0.3 || col("dup_shingle_ratio") > 0.4 ||
+               col("top_token_ratio") > 0.2, "drop").otherwise("keep"))
+    }, {
+      val shSql = s"""list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+          i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"""
+      Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      base AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
+                 ROUND(1.0 - CAST(len(list_distinct($shSql)) AS DOUBLE)
+                       / CAST(len($shSql) AS DOUBLE), 6) AS dup_shingle_ratio
+               FROM t),
+      e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      c AS (SELECT doc_id, tok, COUNT(*) AS c FROM e GROUP BY doc_id, tok),
+      m AS (SELECT doc_id, MAX(c) AS top_c FROM c GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens, b.distinct_ratio, b.dup_shingle_ratio,
+             ROUND(CAST(m.top_c AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6)
+               AS top_token_ratio,
+             CASE WHEN b.distinct_ratio < 0.3 OR b.dup_shingle_ratio > 0.4
+                    OR ROUND(CAST(m.top_c AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) > 0.2
+                  THEN 'drop' ELSE 'keep' END AS verdict
+      FROM base b JOIN m USING (doc_id)""")
+    })
   )
 }

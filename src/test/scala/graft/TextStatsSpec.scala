@@ -69,6 +69,21 @@ class TextStatsSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 6L, 1L), (4L, 2L, 0L)))
   }
 
+  test("repetitionStats separates repetitive from varied docs") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam"),            // one token repeated
+      (2L, "alpha beta gamma delta epsilon zeta")  // all distinct
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(d, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("distinct_ratio") == 0.2)
+    assert(out(1L).getAs[Double]("top_token_ratio") == 1.0)
+    // "spam spam spam" × 3 identical shingles → 1 - 1/3
+    assert(out(1L).getAs[Double]("dup_shingle_ratio") == 0.666667)
+    assert(out(2L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(out(2L).getAs[Double]("dup_shingle_ratio") == 0.0)
+  }
+
   test("contaminatedDocs counts distinct shared shingle hashes") {
     graft.plans.GraftExtensions.register(spark)
     val train = Seq(
