@@ -48,6 +48,24 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** PII scrub patterns (C4/CCNet-style pre-training redaction).
+    * Deliberately RE2-safe syntax (character classes + quantifiers, no
+    * backrefs/lookaround) so Java regex and RE2-based engines agree.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails and phone numbers with fixed placeholder tokens —
+    * scan-local regexp_replace, codegen'd, zero shuffle at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Occurrences of `pattern` in `text` (for PII audit counts). */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Language profiles for the n-gram/marker-word language-ID
     * heuristic. On real corpora these are per-language stopword lists;
     * the mechanism (per-profile hit count, argmax, deterministic

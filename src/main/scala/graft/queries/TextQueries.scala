@@ -284,6 +284,55 @@ object TextQueries {
                     OR ROUND(CAST(m.top_c AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) > 0.2
                   THEN 'drop' ELSE 'keep' END AS verdict
       FROM base b JOIN m USING (doc_id)""")
-    })
+    }),
+
+    // ---- PII redaction (C4/CCNet scrub): the synthetic corpus has no
+    //      PII, so each doc plants one email + (every 3rd doc) a phone
+    //      derived from doc_id, then scrubs and audits — scan-local
+    //      regexp work, zero shuffle except the final agg
+    Q("q59_pii_redaction", (s, dir) => {
+      val planted = Tables.documents(s, dir)
+        .withColumn("pii_text",
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" call +1-555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+                lit("-0199"))).otherwise(lit(""))))
+      planted.select(col("doc_id"),
+          TextFunctions.patternCount(col("pii_text"),
+            TextFunctions.EmailPattern).as("n_emails"),
+          TextFunctions.patternCount(col("pii_text"),
+            TextFunctions.PhonePattern).as("n_phones"),
+          TextFunctions.redactPii(col("pii_text")).as("clean"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          TextFunctions.patternCount(col("clean"),
+            TextFunctions.EmailPattern).as("residual_emails"),
+          length(col("clean")).cast("long").as("clean_len"))
+    }, Some("""
+      WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                            ELSE '' END AS pii_text
+        FROM documents),
+      scrubbed AS (
+        SELECT doc_id, pii_text,
+               regexp_replace(
+                 regexp_replace(pii_text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM planted)
+      SELECT doc_id,
+             len(regexp_extract_all(pii_text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+             len(regexp_extract_all(pii_text,
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             len(regexp_extract_all(clean,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS residual_emails,
+             CAST(length(clean) AS BIGINT) AS clean_len
+      FROM scrubbed"""))
   )
 }

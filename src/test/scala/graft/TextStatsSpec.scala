@@ -84,6 +84,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("dup_shingle_ratio") == 0.0)
   }
 
+  test("redactPii scrubs emails and phones, leaves clean text alone") {
+    import graft.functions.TextFunctions
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.org or +44-123-456-7890 now"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("clean"),
+        TextFunctions.patternCount(col("text"), TextFunctions.EmailPattern).as("ne"),
+        TextFunctions.patternCount(col("text"), TextFunctions.PhonePattern).as("np"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean") == "reach me at <EMAIL> or <PHONE> now")
+    assert(out(1L).getAs[Long]("ne") == 1 && out(1L).getAs[Long]("np") == 1)
+    assert(out(2L).getAs[String]("clean") == "no pii here at all")
+    assert(out(2L).getAs[Long]("ne") == 0)
+  }
+
   test("contaminatedDocs counts distinct shared shingle hashes") {
     graft.plans.GraftExtensions.register(spark)
     val train = Seq(
