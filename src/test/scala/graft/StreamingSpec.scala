@@ -37,4 +37,25 @@ class StreamingSpec extends SparkSpec {
     assert(second.count() == first.count() + 1)
     assert(second.select("batch_id").distinct().count() == batches1 + 1)
   }
+
+  test("streaming dedup passes first arrival per fingerprint, drops later copies") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-sdedup").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val deduped = graft.streaming.StreamingDedup.dedupStream(
+      in.toDF().toDF("doc_id", "text", "ts"),
+      "text", "ts", watermark = "10 seconds")
+    val ns = 1_000_000_000L
+    in.addData((1L, "alpha beta", 1 * ns), (2L, "alpha  beta", 2 * ns), // dup (ws-insensitive)
+               (3L, "gamma delta", 3 * ns))
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+    // doc 2 is a fingerprint-dup of doc 1 within the watermark
+    assert(out == Set(1L, 3L))
+  }
 }
