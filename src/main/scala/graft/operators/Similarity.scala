@@ -82,14 +82,23 @@ object Similarity {
     * hash join on cell_id; only the per-query top-k window shuffles,
     * and that input is |probes-hit| rows, not the corpus.
     */
+  /** Deterministic centroid set: the first `nCells` corpus vectors by
+    * id (a fixed, reproducible seeding — swap for k-means outputs in
+    * production; every consumer is agnostic to how centroids arose).
+    */
+  private def centroidLit(corpus: DataFrame, idCol: String, vecCol: String,
+                          nCells: Int) = {
+    val cents: Seq[Seq[Float]] = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
+    typedLit(cents)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String,
               nCells: Int, nProbe: Int, k: Int): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val cents: Seq[Seq[Float]] = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(vecCol)).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
-    val centArr = typedLit(cents)
+    val centArr = centroidLit(corpus, idCol, vecCol, nCells)
 
     // materialize _scores once — an inlined transform() would recompute
     // the whole lambda per consuming expression. The row norm hoists
@@ -146,5 +155,37 @@ object Similarity {
         col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("cosine") >= minCosine)
       .select("a", "b", "cosine")
+  }
+
+  /** SemDeDup-style semantic dedup candidates: every embedding assigns
+    * to its nearest of `nCells` centroids (argmax cosine, first-max
+    * tie-break); within-cell pairs with rounded cosine ≥ `minCosine`
+    * are semantic duplicates. The cell id is the ONLY shuffle key —
+    * pairwise scoring never crosses cells, so cost is Σ|cell|² instead
+    * of N² (the IVF decomposition applied to dedup instead of search).
+    * Feed the pairs to [[Dedup.connectedComponents]] for keep-one-per-
+    * cluster pruning.
+    */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int, minCosine: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val centArr = centroidLit(corpus, idCol, vecCol, nCells)
+    val cells = corpus.select(col(idCol), col(vecCol))
+      .withColumn("nrm", normNative(col(vecCol)))
+      .withColumn("_scores", transform(centArr,
+        c => cosineWithNormsNative(c, col(vecCol), normNative(c), col("nrm"))))
+      .withColumn("cell_id",
+        (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
+      .drop("_scores")
+    val a = cells.select(col("cell_id"), col(idCol).as("a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = cells.select(col("cell_id"), col(idCol).as("b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", round(cosineWithNormsNative(
+        col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("cell_id", "a", "b", "cosine")
   }
 }

@@ -131,6 +131,31 @@ object VectorQueries {
         ('0x' || substr(md5(text), 1, 4))::BIGINT AS width,
         ('0x' || substr(md5(text), 5, 4))::BIGINT AS height,
         CAST(length(md5(text)) / 2 AS BIGINT) AS n_bytes
-      FROM documents"""))
+      FROM documents""")),
+
+    // ---- SemDeDup: centroid-cell assignment + within-cell cosine
+    //      pairs — semantic dedup candidates on the planted-copy corpus
+    Q("q60_semantic_dedup", (s, dir) => {
+      Similarity.semanticDedupPairs(nearDupCorpus(s, dir),
+        "vec_id", "embedding", nCells = 8, minCosine = 0.98)
+    }, Some(s"""
+      WITH corpus AS ($nearDupCorpusSql),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+               embedding AS c_vec
+        FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 8)),
+      asgn AS (
+        SELECT vec_id, embedding, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cell_id ASC) AS rn
+        FROM (SELECT e.vec_id, e.embedding, c.cell_id,
+                     ${cosSql("c.c_vec", "e.embedding")} AS cos
+              FROM corpus e CROSS JOIN cent c)),
+      cells AS (SELECT vec_id, embedding, cell_id FROM asgn WHERE rn = 1)
+      SELECT cell_id, a, b, cosine FROM (
+        SELECT x.cell_id, x.vec_id AS a, y.vec_id AS b,
+               ROUND(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+        FROM cells x JOIN cells y USING (cell_id) WHERE x.vec_id < y.vec_id)
+      WHERE cosine >= 0.98"""))
   )
 }

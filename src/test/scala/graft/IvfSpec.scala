@@ -57,4 +57,24 @@ class IvfSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(finalSection).length
     assert(n <= 2, s"expected at most 2 shuffles, got $n:\n$finalSection")
   }
+
+  test("semanticDedupPairs finds planted copies inside their cell, skips cross-cell") {
+    val planted = corpus.unionByName(
+      corpus.filter($"vec_id" % 7 === 0)
+        .withColumn("vec_id", $"vec_id" + 1000))
+    val pairs = Similarity.semanticDedupPairs(planted, "vec_id", "embedding",
+        nCells = 4, minCosine = 0.99)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("cosine"))).toSeq
+    // every planted copy is an identical vector: same argmax cell,
+    // cosine exactly 1.0 — must all surface
+    val plantedIds = corpus.filter($"vec_id" % 7 === 0)
+      .select("vec_id").as[Long].collect()
+    plantedIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000 && p._3 == 1.0),
+        s"missing planted pair for $id")
+    }
+    // and nothing below the threshold leaks through
+    assert(pairs.forall(_._3 >= 0.99))
+  }
 }
