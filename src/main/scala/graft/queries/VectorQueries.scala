@@ -156,6 +156,18 @@ object VectorQueries {
         SELECT x.cell_id, x.vec_id AS a, y.vec_id AS b,
                ROUND(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
         FROM cells x JOIN cells y USING (cell_id) WHERE x.vec_id < y.vec_id)
-      WHERE cosine >= 0.98"""))
+      WHERE cosine >= 0.98""")),
+
+    // ---- trained IVF cells: Lloyd's k-means over the embedding
+    //      column, per-cell population. FP means aren't hash-stable
+    //      across engines, so this is a rows-only check (no oracle) —
+    //      KMeansSpec covers the semantics.
+    Q("q61_kmeans_cells", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (_, asgn) = graft.operators.KMeans.fit(
+        e, "vec_id", "embedding", k = 8, iters = 3)
+      asgn.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_id"))
+    }, None)
   )
 }
