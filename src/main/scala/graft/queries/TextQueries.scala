@@ -333,6 +333,49 @@ object TextQueries {
              len(regexp_extract_all(clean,
                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS residual_emails,
              CAST(length(clean) AS BIGINT) AS clean_len
-      FROM scrubbed"""))
+      FROM scrubbed""")),
+
+    // ---- the composed corpus pipeline, end-to-end in ONE plan:
+    //      quality gate → exact-dedup keepers → token-budget packing.
+    //      What a real 100 TB preprocessing job looks like: scan-local
+    //      feature math, one fingerprint shuffle, one packing window —
+    //      three operators, three shuffles total.
+    Q("q62_corpus_pipeline", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("quality",
+          round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6))
+        .filter(col("quality") >= 0.4)
+      val keepers = scored
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("keeper"))
+      TextStats.packTokenBudget(keepers.select("doc_id", "text", "n_tokens",
+          "quality"), "text", col("doc_id") % 4, col("doc_id"), budget = 512)
+        .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+          col("n_tokens"), col("quality"), col("tok_offset"), col("bin"))
+    }, Some(s"""
+      WITH scored AS (
+        SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+               ROUND(LEAST(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        FROM documents),
+      gated AS (SELECT * FROM scored WHERE quality >= 0.4),
+      keepers AS (
+        SELECT * FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY
+                      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS keeper
+          FROM gated)
+        WHERE doc_id = keeper),
+      packed AS (
+        SELECT doc_id, doc_id % 4 AS shard, n_tokens, quality,
+               SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS tok_offset
+        FROM keepers)
+      SELECT doc_id, shard, n_tokens, quality, tok_offset,
+             tok_offset // 512 AS bin
+      FROM packed"""))
   )
 }
