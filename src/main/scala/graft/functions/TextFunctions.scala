@@ -42,6 +42,15 @@ object TextFunctions {
   def bpeEstimate(text: Column): Column =
     ceil(length(text) / lit(4.0)).cast("long")
 
+  /** GPT-2-style pre-tokenizer regex (simplified, RE2-safe): letter
+    * runs, digit runs, punctuation runs — the unit a byte-pair encoder
+    * would merge within. Count via [[bpeTokens]] size.
+    */
+  val BpeSplitPattern = "[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeSplitPattern), lit(0))
+
   /** Canonical document fingerprint: md5 of lowercased,
     * whitespace-collapsed text.
     */

@@ -83,15 +83,20 @@ object TextQueries {
       Tables.documents(s, dir)
         .withColumn("n_ws_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
         .withColumn("n_bpe_est", TextFunctions.bpeEstimate(col("text")))
+        .withColumn("n_re_tokens",
+          size(TextFunctions.bpeTokens(col("text"))).cast("long"))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
              sum("n_ws_tokens").as("total_ws_tokens"),
              sum("n_bpe_est").as("total_bpe_est"),
+             sum("n_re_tokens").as("total_re_tokens"),
              sum("n_chars").as("total_chars"))
     }, Some(s"""
       SELECT lang, source, COUNT(*) AS n_docs,
              CAST(SUM(len($toksSql)) AS BIGINT) AS total_ws_tokens,
              CAST(SUM(CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_bpe_est,
+             CAST(SUM(len(regexp_extract_all(text,
+               '${TextFunctions.BpeSplitPattern}'))) AS BIGINT) AS total_re_tokens,
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY lang, source"""), headline = true),
 
