@@ -210,6 +210,24 @@ object CoreQueries {
              count(lit(1)).as("n_orders"))
     }, Some("""
       SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
-      FROM orders GROUP BY o_orderstatus"""))
+      FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- the 100 TB scale path for q12/q09: sketch aggregates.
+    //      COUNT(DISTINCT) needs a per-group dedup shuffle of every
+    //      distinct value; HLL++ is a fixed-size mergeable buffer, and
+    //      approx_percentile bounds memory where exact percentile_approx
+    //      of a giant group can't. Sketch outputs aren't cross-engine
+    //      reproducible → rows-only check; SketchSpec asserts error
+    //      bounds against the exact answers.
+    Q("q63_sketch_aggs", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_hll"),
+             expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)")
+               .as("price_quantiles"))
+        .select(col("o_orderstatus"), col("n_cust_hll"),
+          round(element_at(col("price_quantiles"), 1), 2).as("p50"),
+          round(element_at(col("price_quantiles"), 2), 2).as("p95"))
+    }, None)
   )
 }
