@@ -166,6 +166,18 @@ class BankSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("wavebank: interval predicates reach the parquet index scan") {
+    val bank = new WaveBank(spark, tmp())
+    bank.putWaveforms(segmentDf)
+    val q = bank.readIndex(starttime = Some(500L), endtime = Some(1500L))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PushedFilters")).getOrElse("")
+    // the overlap rewrite must land as min/max-stat-prunable filters
+    val pushed = scan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(pushed.contains("starttime") && pushed.contains("endtime"), scan)
+  }
+
   test("wavebank: exportSds writes a day-partitioned layout losslessly") {
     val bank = new WaveBank(spark, tmp())
     // one segment below the day boundary, one above (day = ns div 86400e9)
