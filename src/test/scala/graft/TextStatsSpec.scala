@@ -84,6 +84,30 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("dup_shingle_ratio") == 0.0)
   }
 
+  test("packTokenBudget property: offsets tile each shard exactly, bins never regress") {
+    for (seed <- Seq(3, 17, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val d = (0 until 120).map(i =>
+          (i.toLong, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" ")))
+        .toDF("doc_id", "text")
+      val rows = TextStats.packTokenBudget(d, "text", col("doc_id") % 5,
+          col("doc_id"), budget = 37)
+        .select((col("doc_id") % 5).as("shard"), col("doc_id"),
+          col("n_tokens"), col("tok_offset"), col("bin"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1)
+      rows.values.foreach { shard =>
+        val ordered = shard.sortBy(_._2)
+        // each doc starts exactly where the previous one ended
+        ordered.foldLeft(0L) { case (expOff, (_, _, n, off, _)) =>
+          assert(off == expOff, s"seed=$seed"); expOff + n
+        }
+        // bins are nondecreasing and consistent with the offsets
+        ordered.foreach { case (_, _, _, off, bin) => assert(bin == off / 37) }
+      }
+    }
+  }
+
   test("redactPii scrubs emails and phones, leaves clean text alone") {
     import graft.functions.TextFunctions
     val d = Seq(
