@@ -40,5 +40,26 @@ package object syntax {
 
     def availabilityBy(keys: Seq[String]): DataFrame =
       Intervals.availability(df, keys)
+
+    // ---- corpus-pipeline verbs (the beyond-reference operator set) ----
+
+    /** Scrub emails/phone numbers in place. */
+    def redactPii(textCol: String): DataFrame =
+      df.withColumn(textCol,
+        graft.functions.TextFunctions.redactPii(col(textCol)))
+
+    /** Keep one row per canonical text fingerprint (minimum id wins). */
+    def dedupExactKeepers(textCol: String, idCol: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("_fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+        .withColumn("_keep", min(col(idCol)).over(Window.partitionBy("_fp")))
+        .filter(col(idCol) === col("_keep"))
+        .drop("_fp", "_keep")
+    }
+
+    /** Token-budget packing bins (see TextStats.packTokenBudget). */
+    def packTokens(textCol: String, shard: Column, order: Column,
+                   budget: Long): DataFrame =
+      graft.operators.TextStats.packTokenBudget(df, textCol, shard, order, budget)
   }
 }

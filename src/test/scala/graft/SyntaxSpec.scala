@@ -44,4 +44,22 @@ class SyntaxSpec extends SparkSpec {
       .select("id").as[String].collect()
     assert(bad.toSeq == Seq("y"))
   }
+
+  test("corpus-pipeline verbs chain: redact -> dedup -> pack") {
+    import graft.syntax._
+    val docs = Seq(
+      (1L, "hello a@b.co world one two"),
+      (2L, "hello  a@b.co  world one two"), // ws-dup of 1 after redaction
+      (3L, "three four five six")
+    ).toDF("doc_id", "text")
+    val out = docs.redactPii("text")
+      .dedupExactKeepers("text", "doc_id")
+      .packTokens("text", org.apache.spark.sql.functions.lit(0),
+        org.apache.spark.sql.functions.col("doc_id"), budget = 8)
+      .select("doc_id", "text", "tok_offset", "bin")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L)) // doc 2 deduped away
+    assert(out(0)._2 == "hello <EMAIL> world one two")
+    assert(out.map(_._3).toSeq == Seq(0L, 5L)) // offsets tile
+  }
 }
