@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *     shuffles for it.
   *   - UPDATE: per-(cell, dimension) mean = one posexplode + ONE
   *     partial+final agg shuffle of k·dim groups; the k·dim result
-  *     collects to the driver (tiny) and becomes the next broadcast.
+  *     collects to the driver and becomes the next broadcast. That
+  *     round-trip is fine up to k·dim in the millions (MBs); for
+  *     IVF-scale k·dim beyond that, keep centroids as a joined table
+  *     instead of a literal.
   *
   * So `iters` iterations cost `iters` aggregation shuffles over
   * (corpus × dim) rows — linear, no pairwise work, no corpus cache
@@ -24,22 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Squared-L2 distance of a vector column to a centroid literal. */
-  private def sqDist(vec: org.apache.spark.sql.Column, c: Seq[Float]) =
-    aggregate(
-      zip_with(vec, typedlit(c), (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Cell assignment for a fixed centroid set: id, cell (argmin L2,
-    * first-min tie-break).
+    * first-min tie-break). The centroids ship as ONE array literal
+    * walked by a higher-order transform — plan size stays O(1) in k
+    * (an `array(k distance exprs)` build grows the plan and the
+    * generated code linearly with k, which breaks down for IVF-scale
+    * cell counts).
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              centroids: Seq[Seq[Float]]): DataFrame = {
-    val dists = array(centroids.map(c => sqDist(col(vecCol), c)): _*)
+    val centArr = typedlit(centroids)
     corpus.select(col(idCol), col(vecCol))
-      .withColumn("_d", dists)
+      .withColumn("_d", transform(centArr, c =>
+        aggregate(
+          zip_with(col(vecCol), c, (x, y) => {
+            val d = x.cast("double") - y.cast("double"); d * d
+          }),
+          lit(0.0), (acc, x) => acc + x)))
       .withColumn("cell",
         (array_position(col("_d"), array_min(col("_d"))) - 1).cast("int"))
       .drop("_d")
