@@ -52,7 +52,18 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
     fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath.tmp"), p)
   }
 
-  def readIndex(): DataFrame = spark.read.parquet(indexPath)
+  /** Index read with NaT restore: times stored as the SMALLDT64/
+    * LARGEDT64 sentinels come back as null, the reference's
+    * `_ints_to_time_columns` contract (`utils/pd.py:123-149`) — without
+    * it a sentinel-stored unknown time leaks raw into every query that
+    * doesn't happen to filter on it.
+    */
+  def readIndex(): DataFrame = {
+    val raw = spark.read.parquet(indexPath)
+    Seq("time", "updated").filter(raw.columns.contains)
+      .foldLeft(raw)((df, c) =>
+        df.withColumn(c, Schemas.timeFromStorage(col(c))))
+  }
 
   /** get_events filter surface: min/max prefixes are STRICT compares
     * (`utils/bank.py:371-374`); dateline-crossing longitude boxes
@@ -137,8 +148,20 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
       case None => evs.map(e => (e, Seq.empty[QuakeMl.PickRow]))
     }
     val dirPath = dir
+    // ship the session's hadoop settings (fs credentials/endpoints set
+    // via spark.hadoop.*) — a bare `new Configuration()` on the
+    // executor only sees core-default.xml and breaks non-local
+    // filesystems. Configuration isn't Serializable, so ship the
+    // key-value pairs.
+    val hadoopProps: Seq[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.toSeq
+    }
     joined.foreachPartition { it: Iterator[(QuakeMl.EventRow, Seq[QuakeMl.PickRow])] =>
       val conf = new org.apache.hadoop.conf.Configuration()
+      hadoopProps.foreach { case (k, v) => conf.set(k, v) }
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(dirPath), conf)
       it.foreach { case (e, pk) =>

@@ -42,13 +42,18 @@ class Fetcher(
     streamProcessor = f; this
   }
 
-  /** origin strategy: events × channels (`fetcher.py:576-595`). */
+  /** origin strategy: events × channels (`fetcher.py:576-595`).
+    * Channels dedup first: a station table carries one row per channel
+    * EPOCH (the StationXML shape), and without the distinct every
+    * extra epoch would emit a duplicate request per event.
+    */
   def originTimes(): DataFrame =
     events.select(col("event_id"), col("time").as("ref_time"))
-      .crossJoin(broadcast(stations.select(col("seed_id"))))
+      .crossJoin(broadcast(stations.select(col("seed_id")).distinct()))
 
   /** p/s strategy: first pick of the phase per (event, station),
     * broadcast onto the station's channels (`fetcher.py:598-628`).
+    * Same epoch dedup as [[originTimes]].
     */
   def phaseTimes(phase: String): DataFrame = {
     val firstPick = picks
@@ -56,7 +61,8 @@ class Fetcher(
       .groupBy("event_id", "station")
       .agg(min("time").as("ref_time")) // first pick = idxmin on time
     broadcast(firstPick)
-      .join(stations.select(col("station"), col("seed_id")), Seq("station"))
+      .join(stations.select(col("station"), col("seed_id")).distinct(),
+        Seq("station"))
       .select("event_id", "seed_id", "ref_time")
   }
 
@@ -77,12 +83,17 @@ class Fetcher(
         (col("ref_time") + afterNs).as("t2"))
     if (stations.columns.contains("start_date") &&
         stations.columns.contains("end_date")) {
-      val activity = stations.select(col("seed_id"),
+      // LEFT SEMI, not inner: real inventories carry several epoch rows
+      // per channel (StationXML one row per Channel element); "active"
+      // means ANY epoch overlaps the window, and an inner join would
+      // emit one duplicate request per matching epoch
+      val activity = stations.select(col("seed_id").as("_aseed"),
         graft.core.Schemas.timeToStorage(col("start_date")).as("_sd"),
         graft.core.Schemas.timeToStorage(col("end_date"), openEnded = true).as("_ed"))
-      base.join(broadcast(activity), Seq("seed_id"))
-        .filter(!(col("_ed") < col("t1") || col("_sd") > col("t2")))
-        .drop("_sd", "_ed")
+      base.join(broadcast(activity),
+        base("seed_id") === col("_aseed") &&
+          !(col("_ed") < base("t1") || col("_sd") > base("t2")),
+        "left_semi")
     } else base
   }
 

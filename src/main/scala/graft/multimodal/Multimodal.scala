@@ -136,7 +136,10 @@ object Multimodal {
   def repartitionForDecode(df: DataFrame, targetBytes: Long): DataFrame = {
     val total = df.select(coalesce(sum(length(col("payload")).cast("long")), lit(0L)))
       .head.getLong(0)
-    val parts = math.max(1, (total / math.max(1L, targetBytes)).toInt)
+    // ceiling division: flooring would let a task hold up to 2× the
+    // target (total = 2·target − 1 → one oversized partition)
+    val t = math.max(1L, targetBytes)
+    val parts = math.max(1L, (total + t - 1) / t).toInt
     df.repartition(parts)
   }
 }

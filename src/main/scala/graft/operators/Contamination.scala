@@ -28,6 +28,7 @@ object Contamination {
   def contaminatedDocs(train: DataFrame, eval: DataFrame,
                        textCol: String, idCol: String,
                        width: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.register(train.sparkSession)
     def hashes(df: DataFrame) = df.select(col(idCol),
       explode(array_distinct(Dedup.tokenShingleHashes(
         TextFunctions.tokens(col(textCol)), width))).as("h"))

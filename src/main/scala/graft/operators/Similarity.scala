@@ -67,6 +67,31 @@ object Similarity {
               round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Deterministic centroid set: the first `nCells` corpus vectors by
+    * id (a fixed, reproducible seeding — swap for k-means outputs in
+    * production; every consumer is agnostic to how centroids arose).
+    */
+  private def centroidVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                              nCells: Int): Seq[Seq[Float]] =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
+
+  /** Centroid norms, computed ONCE driver-side with exactly the FP op
+    * order of `normNative` (left-to-right float→double multiply-add,
+    * then sqrt) so swapping them in is bit-identical. Evaluating
+    * `normNative(c)` inside the per-centroid scoring lambda would
+    * recompute every centroid's norm per corpus ROW — k·dim wasted
+    * multiply-adds per row, the same per-pair recompute the norm
+    * hoisting discipline eliminates everywhere else.
+    */
+  private def centroidNorms(cents: Seq[Seq[Float]]): Seq[Double] =
+    cents.map { c =>
+      var acc = 0.0
+      c.foreach(x => acc += x.toDouble * x.toDouble)
+      math.sqrt(acc)
+    }
+
   /** IVF (inverted-file) ANN — the second scale path beside sign-LSH:
     * the corpus is partitioned into Voronoi cells around `nCells`
     * centroids; each query probes only its `nProbe` nearest cells.
@@ -82,32 +107,23 @@ object Similarity {
     * hash join on cell_id; only the per-query top-k window shuffles,
     * and that input is |probes-hit| rows, not the corpus.
     */
-  /** Deterministic centroid set: the first `nCells` corpus vectors by
-    * id (a fixed, reproducible seeding — swap for k-means outputs in
-    * production; every consumer is agnostic to how centroids arose).
-    */
-  private def centroidLit(corpus: DataFrame, idCol: String, vecCol: String,
-                          nCells: Int) = {
-    val cents: Seq[Seq[Float]] = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(vecCol)).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
-    typedLit(cents)
-  }
-
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String,
               nCells: Int, nProbe: Int, k: Int): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val centArr = centroidLit(corpus, idCol, vecCol, nCells)
+    val cents = centroidVectors(corpus, idCol, vecCol, nCells)
+    val centArr = typedLit(cents)
+    val centNorm = typedLit(centroidNorms(cents))
 
     // materialize _scores once — an inlined transform() would recompute
     // the whole lambda per consuming expression. The row norm hoists
-    // out of the per-centroid lambda (constant across centroids; the
-    // hoisted product is the identical FP expression).
+    // out of the per-centroid lambda (constant across centroids) and
+    // the centroid norms are a precomputed literal — both hoists are
+    // the identical FP expression, so scores are bit-unchanged.
     val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
       .withColumn("n_norm", normNative(col("n_vec")))
-      .withColumn("_scores", transform(centArr,
-        c => cosineWithNormsNative(c, col("n_vec"), normNative(c), col("n_norm"))))
+      .withColumn("_scores", zip_with(centArr, centNorm,
+        (c, n) => cosineWithNormsNative(c, col("n_vec"), n, col("n_norm"))))
       .withColumn("cell_id",
         (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
       .drop("_scores")
@@ -116,8 +132,8 @@ object Similarity {
       .orderBy(col("score").desc, col("cell_id").asc)
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", normNative(col("q_vec")))
-      .withColumn("_scores", transform(centArr,
-        c => cosineWithNormsNative(c, col("q_vec"), normNative(c), col("q_norm"))))
+      .withColumn("_scores", zip_with(centArr, centNorm,
+        (c, n) => cosineWithNormsNative(c, col("q_vec"), n, col("q_norm"))))
       .select(col("q_id"), col("q_vec"), col("q_norm"),
         posexplode(col("_scores")).as(Seq("cell_id", "score")))
       .withColumn("prn", row_number().over(wq))
@@ -169,11 +185,13 @@ object Similarity {
   def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          nCells: Int, minCosine: Double): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val centArr = centroidLit(corpus, idCol, vecCol, nCells)
+    val cents = centroidVectors(corpus, idCol, vecCol, nCells)
+    val centArr = typedLit(cents)
+    val centNorm = typedLit(centroidNorms(cents))
     val cells = corpus.select(col(idCol), col(vecCol))
       .withColumn("nrm", normNative(col(vecCol)))
-      .withColumn("_scores", transform(centArr,
-        c => cosineWithNormsNative(c, col(vecCol), normNative(c), col("nrm"))))
+      .withColumn("_scores", zip_with(centArr, centNorm,
+        (c, n) => cosineWithNormsNative(c, col(vecCol), n, col("nrm"))))
       .withColumn("cell_id",
         (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
       .drop("_scores")

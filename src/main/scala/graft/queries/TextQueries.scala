@@ -346,19 +346,16 @@ object TextQueries {
     //      feature math, one fingerprint shuffle, one packing window —
     //      three operators, three shuffles total.
     Q("q62_corpus_pipeline", (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.syntax._
       val scored = Tables.documents(s, dir)
         .withColumn("toks", TextFunctions.tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("quality",
           round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6))
         .filter(col("quality") >= 0.4)
-      val keepers = scored
-        .withColumn("fp", TextFunctions.fingerprint(col("text")))
-        .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
-        .filter(col("doc_id") === col("keeper"))
-      TextStats.packTokenBudget(keepers.select("doc_id", "text", "n_tokens",
-          "quality"), "text", col("doc_id") % 4, col("doc_id"), budget = 512)
+      scored.dedupExactKeepers("text", "doc_id")
+        .select("doc_id", "text", "n_tokens", "quality")
+        .packTokens("text", col("doc_id") % 4, col("doc_id"), budget = 512)
         .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
           col("n_tokens"), col("quality"), col("tok_offset"), col("bin"))
     }, Some(s"""

@@ -266,9 +266,17 @@ object QuakeMl {
 
   private def conformPicks(spark: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // normalize nullish codes to "" BEFORE building seed_id: a None
+    // code exports as an empty attribute and parses back as Some(""),
+    // and concat_ws skips NULL but keeps "" — without the normalize,
+    // the same pick gets a different seed_id shape across an
+    // export→reindex round trip (reference normalizes at ingest,
+    // `utils/misc.py:325-376`, `wavebank.py:773-774`)
+    val norm = Seq("network", "station", "location", "channel")
+      .foldLeft(df)((d, c) => d.withColumn(c, Schemas.nslcNormalize(col(c))))
     // seed_id = network.station.location.channel (constants.py:326)
     Schemas.conformTo(
-      df.withColumn("seed_id", concat_ws(".",
+      norm.withColumn("seed_id", concat_ws(".",
         col("network"), col("station"), col("location"), col("channel"))),
       Schemas.picks)
   }

@@ -104,7 +104,11 @@ object Xml {
     */
   def isoToNs(s: String): Option[Long] = {
     val t = s.trim
-    val withZone = if (t.endsWith("Z") || t.contains("+")) t else t + "Z"
+    // an explicit zone is 'Z', '+hh:mm', or '-hh:mm' — the '-' search
+    // starts past the date part (hyphens at 4 and 7) so calendar
+    // hyphens don't read as a negative offset
+    val hasZone = t.endsWith("Z") || t.indexOf('+', 10) >= 0 || t.indexOf('-', 10) >= 0
+    val withZone = if (hasZone) t else t + "Z"
     scala.util.Try {
       val inst = java.time.OffsetDateTime.parse(withZone).toInstant
       Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000000L),

@@ -30,5 +30,5 @@ object StreamingDedup {
       .withColumn("_ts", timestamp_micros(expr(s"$tsCol div 1000")))
       .withWatermark("_ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
-      .drop("_ts")
+      .drop("_ts", "fp") // output schema = input schema
 }

@@ -144,6 +144,22 @@ class BankSpec extends SparkSpec {
     assert(reqs == Seq("N1.S1..BHZ", "N1.S4..BHZ"))
   }
 
+  test("fetcher: multiple overlapping channel epochs yield ONE request, not one per epoch") {
+    val events = Seq(("e1", 1000L)).toDF("event_id", "time")
+    // the FDSN shape: same NSLC, two epoch rows, both overlap the window
+    val stations = Seq(
+      ("S1", "N1.S1..BHZ", 0L, Some(1500L)),
+      ("S1", "N1.S1..BHZ", 900L, None)
+    ).toDF("station", "seed_id", "start_date", "end_date")
+    val f = new Fetcher(spark, events, stations, picks = events)
+    // channel dedup in the strategy + LEFT SEMI activity join: one
+    // request per (event, channel), regardless of epoch count
+    assert(f.eventRequests("origin", 100L, 100L).count() == 1)
+    // and a channel active in only ONE of its epochs still qualifies
+    val lateWindow = f.eventRequests("origin", -600L, 1000L) // [1600, 2000]
+    assert(lateWindow.count() == 1) // second (open-ended) epoch covers it
+  }
+
   test("eventbank: quakeml archive round trip — export, reindex, identical index") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("eb-qml").toString

@@ -72,6 +72,12 @@ class XmlSourceSpec extends SparkSpec {
     }
     assert(Xml.isoToNs("2019-01-01T00:00:00").contains(1546300800L * 1000000000L))
     assert(Xml.isoToNs("garbage").isEmpty)
+    // explicit offsets parse (negative offsets especially — the date's
+    // own hyphens must not mask them)
+    assert(Xml.isoToNs("2019-01-01T00:00:00-07:00") ==
+      Xml.isoToNs("2019-01-01T07:00:00Z"))
+    assert(Xml.isoToNs("2019-01-01T05:30:00+05:30") ==
+      Xml.isoToNs("2019-01-01T00:00:00Z"))
   }
 
   test("quakeml: preferred origin/magnitude drive the event summary") {
