@@ -260,6 +260,19 @@ object Dedup {
     labels
   }
 
+  /** Incremental-ingestion dedup: rows of `batch` whose canonical
+    * fingerprint is NOT already in `knownFps` (a one-column `fp` table,
+    * e.g. the fingerprints of everything previously accepted). The
+    * anti join shuffles on fp only; the accepted-set table is the
+    * natural thing to bucket by fp so repeated ingestion never
+    * re-shuffles it. Streaming analog: [[graft.streaming.StreamingDedup]].
+    */
+  def newAgainstKnown(batch: DataFrame, textCol: String,
+                      knownFps: DataFrame): DataFrame =
+    batch.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
+      .drop("fp")
+
   /** Blocked n-gram Jaccard near-dup pairs: candidate pairs come only
     * from equal blocking keys (cheap equi join); similarity refines on
     * distinct-token overlap |A∩B| / |A∪B|.

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic domain-mixture sampling: downsample each source
+  * (domain/language/quality tier) to a target rate, the way a training
+  * mix is tuned ("webtext ×0.3, code ×1.0, wiki ×0.8").
+  *
+  * The keep decision is a pure hash threshold — `h(salt, id) mod 10⁶ <
+  * rate·10⁶` — so it is (a) reproducible across runs, engines and
+  * cluster layouts, (b) scan-local: ZERO shuffle, the filter pushes
+  * into the scan pipeline, and (c) stable under corpus growth: a doc's
+  * fate never depends on other rows (unlike rank-based quotas).
+  * The hash rides the fused `md5_long60` expression
+  * ([[graft.plans.Md5Long60]]), same family the oracle can derive.
+  */
+object Mixture {
+
+  private val Scale = 1000000L
+
+  /** Keep-decision column for one rate (0.0–1.0). */
+  def keep(idCol: Column, rate: Double, salt: String = "mix"): Column =
+    call_function("md5_long60",
+      concat(lit(salt + ":"), idCol.cast("string"))) % Scale <
+      math.round(rate * Scale)
+
+  /** Filter `df` to the per-source target rates; sources absent from
+    * the map keep rate 1.0 (pass through).
+    */
+  def sampleByWeights(df: DataFrame, idCol: String, sourceCol: String,
+                      rates: Map[String, Double],
+                      salt: String = "mix"): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      call_function("md5_long60",
+        concat(lit(salt + ":"), col(idCol).cast("string"))) % Scale <
+        round(rateCol * Scale).cast("long"))
+  }
+}

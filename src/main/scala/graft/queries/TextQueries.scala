@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
+import graft.operators
 import graft.operators.{Contamination, Dedup, TextStats}
 
 /** Text-analysis operators for corpus pipelines: language-ID, quality
@@ -378,6 +379,27 @@ object TextQueries {
         FROM keepers)
       SELECT doc_id, shard, n_tokens, quality, tok_offset,
              tok_offset // 512 AS bin
-      FROM packed"""))
+      FROM packed""")),
+
+    // ---- domain-mixture sampling: per-source hash-threshold rates
+    //      (src0 halved, src1 kept at 10%, everything else passes) —
+    //      scan-local, zero shuffle except the audit agg
+    Q("q64_mixture_sample", (s, dir) => {
+      operators.Mixture.sampleByWeights(Tables.documents(s, dir),
+          "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.1))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          min("doc_id").as("min_kept_id"))
+    }, Some("""
+      WITH rated AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.1
+                           ELSE 1.0 END AS rate
+        FROM documents),
+      kept AS (
+        SELECT doc_id, source FROM rated
+        WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000 < CAST(round(rate * 1000000) AS BIGINT))
+      SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
+      FROM kept GROUP BY source"""))
   )
 }

@@ -94,6 +94,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("newAgainstKnown admits only unseen fingerprints") {
+    val known = Seq("hello world", "old doc").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (1L, "hello   world"),   // ws-variant of a known doc
+      (2L, "brand new doc"),
+      (3L, "old doc")
+    ).toDF("doc_id", "text")
+    val fresh = Dedup.newAgainstKnown(batch, "text", known)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fresh == Set(2L))
+    // schema round trip: no helper column leaks
+    assert(Dedup.newAgainstKnown(batch, "text", known).columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
+  test("mixture sampling is deterministic, source-targeted, and growth-stable") {
+    import graft.operators.Mixture
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "web" else "code", s"doc $i")).toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mixture.sampleByWeights(d, "doc_id", "source", Map("web" -> 0.25))
+        .select("doc_id").as[Long].collect().toSet
+    val kept = run(docs)
+    // code passes untouched; web downsampled near the target rate
+    assert(kept.count(_ % 2 == 1) == 200)
+    val webKept = kept.count(_ % 2 == 0)
+    assert(webKept > 25 && webKept < 75, s"webKept=$webKept")
+    // growth stability: the same docs keep their fate in a larger corpus
+    val grown = (0L until 800L).map(i =>
+      (i, if (i % 2 == 0) "web" else "code", s"doc $i")).toDF("doc_id", "source", "text")
+    assert(run(grown).filter(_ < 400L) == kept)
+  }
+
   test("embedding near-dup finds planted copy via sign buckets") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.2f, 0.1f, 0.9f)),
