@@ -91,6 +91,23 @@ object Schemas {
     StructField("snr", DoubleType),
     StructField("pick_id", StringType)))
 
+  /** Station magnitudes table (obsplus `constants.py:209-236`):
+    * per-station magnitude estimates with their amplitude/origin links
+    * and NSLC.
+    */
+  val stationMagnitudes: StructType = StructType(Seq(
+    StructField("resource_id", StringType),
+    StructField("event_id", StringType),
+    StructField("magnitude", DoubleType),
+    StructField("station_magnitude_type", StringType),
+    StructField("origin_id", StringType),
+    StructField("amplitude_id", StringType),
+    StructField("network", StringType),
+    StructField("station", StringType),
+    StructField("location", StringType),
+    StructField("channel", StringType),
+    StructField("seed_id", StringType)))
+
   /** Arrivals table (obsplus `constants.py:264-291`). */
   val arrivals: StructType = StructType(Seq(
     StructField("resource_id", StringType),

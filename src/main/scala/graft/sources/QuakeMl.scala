@@ -52,10 +52,17 @@ object QuakeMl {
       azimuth: Option[Double], distance: Option[Double],
       time_residual: Option[Double], time_weight: Option[Double])
 
+  case class StationMagnitudeRow(
+      resource_id: String, event_id: String, magnitude: Option[Double],
+      station_magnitude_type: Option[String], origin_id: Option[String],
+      amplitude_id: Option[String],
+      network: Option[String], station: Option[String],
+      location: Option[String], channel: Option[String])
+
   case class Catalog(
       events: Seq[EventRow], picks: Seq[PickRow],
       magnitudes: Seq[MagnitudeRow], amplitudes: Seq[AmplitudeRow],
-      arrivals: Seq[ArrivalRow])
+      arrivals: Seq[ArrivalRow], stationMagnitudes: Seq[StationMagnitudeRow])
 
   // ---------------------------------------------------------------- parse
 
@@ -73,6 +80,7 @@ object QuakeMl {
     val mags = Vector.newBuilder[MagnitudeRow]
     val amps = Vector.newBuilder[AmplitudeRow]
     val arrs = Vector.newBuilder[ArrivalRow]
+    val smags = Vector.newBuilder[StationMagnitudeRow]
 
     (eventParams \\ "event").foreach { ev =>
       val eventId = ev.attr("publicID").getOrElse("")
@@ -141,6 +149,21 @@ object QuakeMl {
           pick_id = a.textAt("pickID"))
       }
 
+      (ev \\ "stationMagnitude").foreach { sm =>
+        val wid = sm \ "waveformID"
+        smags += StationMagnitudeRow(
+          resource_id = sm.attr("publicID").getOrElse(""),
+          event_id = eventId,
+          magnitude = sm.doubleAt("mag", "value"),
+          station_magnitude_type = sm.textAt("type"),
+          origin_id = sm.textAt("originID"),
+          amplitude_id = sm.textAt("amplitudeID"),
+          network = wid.flatMap(_.attr("networkCode")),
+          station = wid.flatMap(_.attr("stationCode")),
+          location = wid.flatMap(_.attr("locationCode")),
+          channel = wid.flatMap(_.attr("channelCode")))
+      }
+
       // arrivals nest inside origins (QuakeML schema; reference table
       // carries the origin link, constants.py:264-291)
       origins.foreach { o =>
@@ -160,7 +183,8 @@ object QuakeMl {
         }
       }
     }
-    Catalog(events.result(), picks.result(), mags.result(), amps.result(), arrs.result())
+    Catalog(events.result(), picks.result(), mags.result(), amps.result(),
+      arrs.result(), smags.result())
   }
 
   // ---------------------------------------------------------------- write
@@ -257,7 +281,17 @@ object QuakeMl {
       "amplitudes" -> Schemas.conformTo(
         catalogs.flatMap(_.amplitudes).toDF(), Schemas.amplitudes),
       "arrivals" -> Schemas.conformTo(
-        catalogs.flatMap(_.arrivals).toDF(), Schemas.arrivals))
+        catalogs.flatMap(_.arrivals).toDF(), Schemas.arrivals),
+      "station_magnitudes" -> {
+        import org.apache.spark.sql.functions.{col, concat_ws}
+        val norm = Seq("network", "station", "location", "channel")
+          .foldLeft(catalogs.flatMap(_.stationMagnitudes).toDF())(
+            (d, c) => d.withColumn(c, Schemas.nslcNormalize(col(c))))
+        Schemas.conformTo(
+          norm.withColumn("seed_id", concat_ws(".", col("network"),
+            col("station"), col("location"), col("channel"))),
+          Schemas.stationMagnitudes)
+      })
   }
 
   /** Event-summary table only (the EventBank index shape). */

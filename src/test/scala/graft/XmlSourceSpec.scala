@@ -55,6 +55,13 @@ class XmlSourceSpec extends SparkSpec {
       |    <period><value>0.2</value></period><snr>8.5</snr>
       |    <pickID>smi:local/pk1</pickID>
       |   </amplitude>
+      |   <stationMagnitude publicID="smi:local/sm1">
+      |    <mag><value>2.6</value></mag><type>ML</type>
+      |    <originID>smi:local/or2</originID>
+      |    <amplitudeID>smi:local/am1</amplitudeID>
+      |    <waveformID networkCode="UU" stationCode="TMU"
+      |                locationCode="01" channelCode="HHZ"/>
+      |   </stationMagnitude>
       |   <creationInfo>
       |    <agencyID>NIOSH</agencyID><author>auto</author>
       |    <creationTime>2019-02-01T12:00:00Z</creationTime>
@@ -111,6 +118,27 @@ class XmlSourceSpec extends SparkSpec {
     val ar = cat.arrivals.head
     assert(ar.origin_id == "smi:local/or1" && ar.phase.contains("P") &&
       ar.time_residual.contains(-0.12) && ar.time_weight.contains(1.0))
+
+    val sm = cat.stationMagnitudes.head
+    assert(sm.resource_id == "smi:local/sm1" && sm.magnitude.contains(2.6))
+    assert(sm.station_magnitude_type.contains("ML") &&
+      sm.amplitude_id.contains("smi:local/am1") &&
+      sm.origin_id.contains("smi:local/or2"))
+    assert(sm.station.contains("TMU") && sm.channel.contains("HHZ"))
+    // the plain-magnitudes extraction must NOT absorb stationMagnitude
+    assert(cat.magnitudes.length == 2)
+  }
+
+  test("quakeml: station_magnitudes table conforms with seed_id") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-smag").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/ev1.xml"), qml.getBytes("UTF-8"))
+    val sm = QuakeMl.readTables(spark, dir)("station_magnitudes")
+    assert(sm.columns.toSeq ==
+      graft.core.Schemas.stationMagnitudes.fields.map(_.name).toSeq)
+    val row = sm.head
+    assert(row.getAs[String]("seed_id") == "UU.TMU.01.HHZ")
+    assert(row.getAs[Double]("magnitude") == 2.6)
   }
 
   test("quakeml: missing preferred id falls back to last element") {
