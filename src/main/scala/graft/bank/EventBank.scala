@@ -132,7 +132,8 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
       .as[(String, Option[Long], Option[Double], Option[Double], Option[Double],
            Option[Double], Option[String], Option[Long], Option[String], Option[String])]
       .map { case (id, t, la, lo, de, m, mt, up, au, ag) =>
-        QuakeMl.EventRow(id, t, la, lo, de, m, mt, up, au, ag, None) }
+        QuakeMl.EventRow(id, t, la, lo, de, m, mt,
+          updated = up, author = au, agency_id = ag, path = None) }
     val joined = picks match {
       case Some(p) =>
         val pk = p.select("resource_id", "event_id", "time", "network", "station",

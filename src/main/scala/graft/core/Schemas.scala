@@ -38,6 +38,11 @@ object Schemas {
     StructField("depth", DoubleType),
     StructField("magnitude", DoubleType),
     StructField("magnitude_type", StringType),
+    // latest magnitude per type (events/pd.py:166-175, MAGNITUDE_COLUMN
+    // types constants.py:493-497): last list element of that type
+    StructField("local_magnitude", DoubleType),
+    StructField("moment_magnitude", DoubleType),
+    StructField("duration_magnitude", DoubleType),
     StructField("updated", LongType),
     StructField("author", StringType),
     StructField("agency_id", StringType),

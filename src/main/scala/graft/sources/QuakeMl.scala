@@ -25,8 +25,11 @@ object QuakeMl {
       event_id: String, time: Option[Long], latitude: Option[Double],
       longitude: Option[Double], depth: Option[Double],
       magnitude: Option[Double], magnitude_type: Option[String],
-      updated: Option[Long], author: Option[String],
-      agency_id: Option[String], path: Option[String])
+      local_magnitude: Option[Double] = None,
+      moment_magnitude: Option[Double] = None,
+      duration_magnitude: Option[Double] = None,
+      updated: Option[Long] = None, author: Option[String] = None,
+      agency_id: Option[String] = None, path: Option[String] = None)
 
   case class PickRow(
       resource_id: String, event_id: String, time: Option[Long],
@@ -104,6 +107,18 @@ object QuakeMl {
         depth = prefOrigin.flatMap(_.doubleAt("depth", "value")),
         magnitude = prefMag.flatMap(_.doubleAt("mag", "value")),
         magnitude_type = prefMag.flatMap(_.textAt("type")),
+        // latest magnitude per type = LAST list element of that type
+        // (events/pd.py:166-175; type match case-insensitive like the
+        // reference's upper-cased compare)
+        local_magnitude = magnitudes.filter(_.textAt("type")
+          .exists(_.equalsIgnoreCase("ML"))).lastOption
+          .flatMap(_.doubleAt("mag", "value")),
+        moment_magnitude = magnitudes.filter(_.textAt("type")
+          .exists(_.equalsIgnoreCase("MW"))).lastOption
+          .flatMap(_.doubleAt("mag", "value")),
+        duration_magnitude = magnitudes.filter(_.textAt("type")
+          .exists(_.equalsIgnoreCase("MD"))).lastOption
+          .flatMap(_.doubleAt("mag", "value")),
         updated = creation.flatMap(_.textAt("creationTime")).flatMap(Xml.isoToNs),
         author = creation.flatMap(_.textAt("author")),
         agency_id = creation.flatMap(_.textAt("agencyID")),
@@ -223,6 +238,19 @@ object QuakeMl {
       event.magnitude_type.foreach(t => sb.append(tag("type", t)))
       sb.append(tag("originID", originId))
       sb.append("</magnitude>")
+    }
+    // per-type magnitudes AFTER the preferred element: the read side
+    // takes the LAST element of each type (events/pd.py:166-175), so
+    // this ordering round-trips ML/MW/MD even when the preferred
+    // magnitude shares a type with one of them
+    Seq("ML" -> event.local_magnitude, "MW" -> event.moment_magnitude,
+        "MD" -> event.duration_magnitude).foreach { case (t, vOpt) =>
+      vOpt.foreach { v =>
+        sb.append(s"""<magnitude publicID="${Xml.escape(magId)}/$t">""")
+        sb.append(valueTag("mag", v.toString))
+        sb.append(tag("type", t))
+        sb.append("</magnitude>")
+      }
     }
     picks.foreach { p =>
       sb.append(s"""<pick publicID="${Xml.escape(p.resource_id)}">""")

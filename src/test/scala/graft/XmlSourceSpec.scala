@@ -96,6 +96,10 @@ class XmlSourceSpec extends SparkSpec {
     assert(ev.latitude.contains(35.5) && ev.longitude.contains(-117.25))
     assert(ev.depth.contains(5000.0))
     assert(ev.magnitude.contains(2.75) && ev.magnitude_type.contains("ML"))
+    // latest-per-type columns: ML from mag1, MW from mag2, no MD
+    assert(ev.local_magnitude.contains(2.75))
+    assert(ev.moment_magnitude.contains(3.0))
+    assert(ev.duration_magnitude.isEmpty)
     assert(ev.agency_id.contains("NIOSH") && ev.author.contains("auto"))
     assert(ev.updated.contains(Xml.isoToNs("2019-02-01T12:00:00Z").get))
   }
@@ -165,7 +169,8 @@ class XmlSourceSpec extends SparkSpec {
     Files.writeString(dir.resolve("notxml.txt"), "ignored by glob")
     val tables = QuakeMl.readTables(spark, dir.toString)
     val events = tables("events")
-    assert(events.schema.fieldNames.take(11).toSeq ==
+    assert(events.schema.fieldNames
+      .take(graft.core.Schemas.eventSummary.length).toSeq ==
       graft.core.Schemas.eventSummary.fieldNames.toSeq)
     val ids = events.select("event_id").collect().map(_.getString(0)).sorted
     assert(ids.toSeq == Seq("smi:local/ev1", "smi:local/ev2"))
