@@ -60,7 +60,7 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
     */
   def readIndex(): DataFrame = {
     val raw = spark.read.parquet(indexPath)
-    Seq("time", "updated").filter(raw.columns.contains)
+    Seq("time", "updated", "creation_time").filter(raw.columns.contains)
       .foldLeft(raw)((df, c) =>
         df.withColumn(c, Schemas.timeFromStorage(col(c))))
   }
@@ -127,13 +127,11 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
   def exportQuakeMl(dir: String, picks: Option[DataFrame] = None): Unit = {
     import graft.sources.QuakeMl
     import spark.implicits._
-    val evs = readIndex().select("event_id", "time", "latitude", "longitude",
-      "depth", "magnitude", "magnitude_type", "updated", "author", "agency_id")
-      .as[(String, Option[Long], Option[Double], Option[Double], Option[Double],
-           Option[Double], Option[String], Option[Long], Option[String], Option[String])]
-      .map { case (id, t, la, lo, de, m, mt, up, au, ag) =>
-        QuakeMl.EventRow(id, t, la, lo, de, m, mt,
-          updated = up, author = au, agency_id = ag, path = None) }
+    // conform first: an index written before a schema extension still
+    // exports (missing columns read as null); as[EventRow] resolves by
+    // name and ignores extras
+    val evs = Schemas.conformTo(readIndex(), Schemas.eventSummary)
+      .as[QuakeMl.EventRow]
     val joined = picks match {
       case Some(p) =>
         val pk = p.select("resource_id", "event_id", "time", "network", "station",

@@ -43,6 +43,22 @@ object Schemas {
     StructField("local_magnitude", DoubleType),
     StructField("moment_magnitude", DoubleType),
     StructField("duration_magnitude", DoubleType),
+    // origin-quality / creation-info block of EVENT_DTYPES
+    // (constants.py:81-109, extraction events/pd.py:74-165)
+    StructField("event_description", StringType),
+    StructField("associated_phase_count", LongType),
+    StructField("azimuthal_gap", DoubleType),
+    StructField("horizontal_uncertainty", DoubleType),
+    StructField("vertical_uncertainty", DoubleType),
+    StructField("p_phase_count", LongType),
+    StructField("s_phase_count", LongType),
+    StructField("p_pick_count", LongType),
+    StructField("s_pick_count", LongType),
+    StructField("standard_error", DoubleType),
+    StructField("used_phase_count", LongType),
+    StructField("station_count", LongType),
+    StructField("creation_time", LongType),
+    StructField("version", StringType),
     StructField("updated", LongType),
     StructField("author", StringType),
     StructField("agency_id", StringType),

@@ -28,6 +28,20 @@ object QuakeMl {
       local_magnitude: Option[Double] = None,
       moment_magnitude: Option[Double] = None,
       duration_magnitude: Option[Double] = None,
+      event_description: Option[String] = None,
+      associated_phase_count: Option[Long] = None,
+      azimuthal_gap: Option[Double] = None,
+      horizontal_uncertainty: Option[Double] = None,
+      vertical_uncertainty: Option[Double] = None,
+      p_phase_count: Option[Long] = None,
+      s_phase_count: Option[Long] = None,
+      p_pick_count: Option[Long] = None,
+      s_pick_count: Option[Long] = None,
+      standard_error: Option[Double] = None,
+      used_phase_count: Option[Long] = None,
+      station_count: Option[Long] = None,
+      creation_time: Option[Long] = None,
+      version: Option[String] = None,
       updated: Option[Long] = None, author: Option[String] = None,
       agency_id: Option[String] = None, path: Option[String] = None)
 
@@ -98,7 +112,39 @@ object QuakeMl {
       val prefOrigin = preferred(origins, "preferredOriginID")
       val prefMag = preferred(magnitudes, "preferredMagnitudeID")
 
+      // origin-quality extraction (events/pd.py:74-165). The reference
+      // coerces falsy quality values through Python `or`: a 0 / missing
+      // count falls back to the derived default, a 0.0 gap/error to NaN.
+      val pickNodes = ev \\ "pick"
+      val prefArrivals = prefOrigin.map(_ \\ "arrival").getOrElse(Vector.empty)
+      val quality = prefOrigin.flatMap(_ \ "quality")
+      def qualDouble(t: String): Option[Double] =
+        quality.flatMap(_.doubleAt(t)).filter(_ != 0.0)
+      def qualLong(t: String): Option[Long] =
+        quality.flatMap(_.textAt(t))
+          .flatMap(s => scala.util.Try(s.toDouble.toLong).toOption)
+          .filter(_ != 0L)
+      // phase counts: arrivals of the preferred origin whose phase is
+      // exactly "P"/"S" (events/pd.py:103-111)
+      val pPhase = prefArrivals.count(_.textAt("phase").contains("P")).toLong
+      val sPhase = prefArrivals.count(_.textAt("phase").contains("S")).toLong
+      // pick counts: ALL event picks with that hint, rejected excluded
+      // (events/pd.py:93-101)
+      def pickCount(ph: String): Long = pickNodes.count(p =>
+        p.textAt("phaseHint").contains(ph) &&
+          !p.textAt("evaluationStatus").contains("rejected")).toLong
+      // stations used by the preferred origin = distinct station codes
+      // of picks its arrivals reference (events/pd.py:137-153)
+      val arrivalPickIds = prefArrivals.flatMap(_.textAt("pickID")).toSet
+      val usedStations = pickNodes
+        .filter(p => p.attr("publicID").exists(arrivalPickIds))
+        .flatMap(p => (p \ "waveformID").flatMap(_.attr("stationCode")))
+        .distinct
+
       val creation = ev \ "creationInfo"
+      // updated = newest creationTime ANYWHERE in the event tree
+      // (events/pd.py:218-224: max over all CreationInfo, missing → 0)
+      val allCreations = ev.descendants("creationInfo")
       events += EventRow(
         event_id = eventId,
         time = prefOrigin.flatMap(_.textAt("time", "value")).flatMap(Xml.isoToNs),
@@ -119,7 +165,25 @@ object QuakeMl {
         duration_magnitude = magnitudes.filter(_.textAt("type")
           .exists(_.equalsIgnoreCase("MD"))).lastOption
           .flatMap(_.doubleAt("mag", "value")),
-        updated = creation.flatMap(_.textAt("creationTime")).flatMap(Xml.isoToNs),
+        event_description = (ev \ "description").flatMap(_.textAt("text")),
+        associated_phase_count = Some(qualLong("associatedPhaseCount").getOrElse(0L)),
+        azimuthal_gap = qualDouble("azimuthalGap"),
+        horizontal_uncertainty = prefOrigin.flatMap(_ \ "originUncertainty")
+          .flatMap(_.doubleAt("horizontalUncertainty")).filter(_ != 0.0),
+        vertical_uncertainty = prefOrigin.flatMap(_.doubleAt("depth", "uncertainty")),
+        p_phase_count = Some(pPhase),
+        s_phase_count = Some(sPhase),
+        p_pick_count = Some(pickCount("P")),
+        s_pick_count = Some(pickCount("S")),
+        standard_error = qualDouble("standardError"),
+        used_phase_count = Some(qualLong("usedPhaseCount").getOrElse(pPhase + sPhase)),
+        station_count = Some(usedStations.size.toLong),
+        creation_time = creation.flatMap(_.textAt("creationTime")).flatMap(Xml.isoToNs),
+        version = creation.flatMap(_.textAt("version")),
+        updated =
+          if (allCreations.isEmpty) None
+          else Some(allCreations.map(
+            _.textAt("creationTime").flatMap(Xml.isoToNs).getOrElse(0L)).max),
         author = creation.flatMap(_.textAt("author")),
         agency_id = creation.flatMap(_.textAt("agencyID")),
         path = path)
@@ -215,7 +279,8 @@ object QuakeMl {
     * tables carry: ns times survive via 9-digit ISO fractions, doubles
     * via `Double.toString` round-tripping.
     */
-  def toQuakeMl(event: EventRow, picks: Seq[PickRow] = Nil): String = {
+  def toQuakeMl(event: EventRow, picks: Seq[PickRow] = Nil,
+                arrivals: Seq[ArrivalRow] = Nil): String = {
     val sb = new StringBuilder
     sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
     sb.append("<q:quakeml xmlns:q=\"http://quakeml.org/xmlns/quakeml/1.2\" ")
@@ -226,11 +291,44 @@ object QuakeMl {
     val magId = s"${event.event_id}/magnitude"
     sb.append(tag("preferredOriginID", originId))
     sb.append(tag("preferredMagnitudeID", magId))
+    event.event_description.foreach(d =>
+      sb.append(s"<description>${tag("text", d)}</description>"))
     sb.append(s"""<origin publicID="${Xml.escape(originId)}">""")
     event.time.foreach(t => sb.append(valueTag("time", Xml.nsToIso(t))))
     event.latitude.foreach(v => sb.append(valueTag("latitude", v.toString)))
     event.longitude.foreach(v => sb.append(valueTag("longitude", v.toString)))
-    event.depth.foreach(v => sb.append(valueTag("depth", v.toString)))
+    if (event.depth.isDefined || event.vertical_uncertainty.isDefined) {
+      sb.append("<depth>")
+      event.depth.foreach(v => sb.append(tag("value", v.toString)))
+      event.vertical_uncertainty.foreach(v =>
+        sb.append(tag("uncertainty", v.toString)))
+      sb.append("</depth>")
+    }
+    // all arrivals serialize into this (single) origin; a reparse
+    // therefore reads them back with origin_id = the synthetic id
+    arrivals.foreach { a =>
+      sb.append(s"""<arrival publicID="${Xml.escape(a.resource_id)}">""")
+      a.pick_id.foreach(v => sb.append(tag("pickID", v)))
+      a.phase.foreach(v => sb.append(tag("phase", v)))
+      a.azimuth.foreach(v => sb.append(tag("azimuth", v.toString)))
+      a.distance.foreach(v => sb.append(tag("distance", v.toString)))
+      a.time_residual.foreach(v => sb.append(tag("timeResidual", v.toString)))
+      a.time_weight.foreach(v => sb.append(tag("timeWeight", v.toString)))
+      sb.append("</arrival>")
+    }
+    val qualityTags = List(
+      event.associated_phase_count.map(v => tag("associatedPhaseCount", v.toString)),
+      event.used_phase_count.map(v => tag("usedPhaseCount", v.toString)),
+      event.standard_error.map(v => tag("standardError", v.toString)),
+      event.azimuthal_gap.map(v => tag("azimuthalGap", v.toString))).flatten
+    if (qualityTags.nonEmpty)
+      sb.append(qualityTags.mkString("<quality>", "", "</quality>"))
+    event.horizontal_uncertainty.foreach(h => sb.append(
+      s"<originUncertainty>${tag("horizontalUncertainty", h.toString)}</originUncertainty>"))
+    // `updated` (tree-max creation time) rides the origin's creationInfo
+    // so it round-trips independently of the event-level creation_time
+    event.updated.foreach(t => sb.append(
+      s"<creationInfo>${tag("creationTime", Xml.nsToIso(t))}</creationInfo>"))
     sb.append("</origin>")
     if (event.magnitude.isDefined || event.magnitude_type.isDefined) {
       sb.append(s"""<magnitude publicID="${Xml.escape(magId)}">""")
@@ -265,11 +363,13 @@ object QuakeMl {
       p.evaluation_status.foreach(v => sb.append(tag("evaluationStatus", v)))
       sb.append("</pick>")
     }
-    if (event.updated.isDefined || event.author.isDefined || event.agency_id.isDefined) {
+    if (event.creation_time.isDefined || event.author.isDefined ||
+        event.agency_id.isDefined || event.version.isDefined) {
       sb.append("<creationInfo>")
       event.agency_id.foreach(v => sb.append(tag("agencyID", v)))
       event.author.foreach(v => sb.append(tag("author", v)))
-      event.updated.foreach(t => sb.append(tag("creationTime", Xml.nsToIso(t))))
+      event.creation_time.foreach(t => sb.append(tag("creationTime", Xml.nsToIso(t))))
+      event.version.foreach(v => sb.append(tag("version", v)))
       sb.append("</creationInfo>")
     }
     sb.append("</event></eventParameters></q:quakeml>")

@@ -23,6 +23,14 @@ final case class XNode(
   /** All children with the given local name. */
   def \\(child: String): Vector[XNode] = children.filter(_.name == child)
 
+  /** All descendant elements with the given local name, document order
+    * (the tree-walk behind the reference's `get_instances_from_tree`).
+    */
+  def descendants(name: String): Vector[XNode] =
+    children.flatMap { c =>
+      (if (c.name == name) Vector(c) else Vector.empty) ++ c.descendants(name)
+    }
+
   /** Text of a child path, e.g. `node.textAt("time", "value")`. */
   def textAt(path: String*): Option[String] = {
     var cur: Option[XNode] = Some(this)

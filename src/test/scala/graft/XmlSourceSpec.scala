@@ -17,6 +17,7 @@ class XmlSourceSpec extends SparkSpec {
       |  <event publicID="smi:local/ev1">
       |   <preferredOriginID>smi:local/or2</preferredOriginID>
       |   <preferredMagnitudeID>smi:local/mag1</preferredMagnitudeID>
+      |   <description><text>quarry blast</text></description>
       |   <origin publicID="smi:local/or1">
       |    <time><value>2019-01-01T00:00:00.5Z</value></time>
       |    <latitude><value>1.0</value></latitude>
@@ -31,7 +32,20 @@ class XmlSourceSpec extends SparkSpec {
       |    <time><value>2019-01-01T00:00:00.123456789Z</value></time>
       |    <latitude><value>35.5</value></latitude>
       |    <longitude><value>-117.25</value></longitude>
-      |    <depth><value>5000.0</value></depth>
+      |    <depth><value>5000.0</value><uncertainty>120.0</uncertainty></depth>
+      |    <arrival publicID="smi:local/ar2">
+      |     <pickID>smi:local/pk1</pickID><phase>P</phase>
+      |    </arrival>
+      |    <quality>
+      |     <associatedPhaseCount>4</associatedPhaseCount>
+      |     <usedPhaseCount>0</usedPhaseCount>
+      |     <standardError>0.25</standardError>
+      |     <azimuthalGap>80.0</azimuthalGap>
+      |    </quality>
+      |    <originUncertainty>
+      |     <horizontalUncertainty>350.0</horizontalUncertainty>
+      |    </originUncertainty>
+      |    <creationInfo><creationTime>2019-03-01T00:00:00Z</creationTime></creationInfo>
       |   </origin>
       |   <magnitude publicID="smi:local/mag1">
       |    <mag><value>2.75</value></mag><type>ML</type>
@@ -65,6 +79,7 @@ class XmlSourceSpec extends SparkSpec {
       |   <creationInfo>
       |    <agencyID>NIOSH</agencyID><author>auto</author>
       |    <creationTime>2019-02-01T12:00:00Z</creationTime>
+      |    <version>2</version>
       |   </creationInfo>
       |  </event>
       | </eventParameters>
@@ -101,7 +116,29 @@ class XmlSourceSpec extends SparkSpec {
     assert(ev.moment_magnitude.contains(3.0))
     assert(ev.duration_magnitude.isEmpty)
     assert(ev.agency_id.contains("NIOSH") && ev.author.contains("auto"))
-    assert(ev.updated.contains(Xml.isoToNs("2019-02-01T12:00:00Z").get))
+    // updated = newest creationTime anywhere in the tree (the origin's
+    // March stamp beats the event-level February one)
+    assert(ev.updated.contains(Xml.isoToNs("2019-03-01T00:00:00Z").get))
+    assert(ev.creation_time.contains(Xml.isoToNs("2019-02-01T12:00:00Z").get))
+    assert(ev.version.contains("2"))
+  }
+
+  test("quakeml: origin-quality columns follow reference falsy semantics") {
+    val ev = QuakeMl.parseCatalog(qml.getBytes("UTF-8")).events.head
+    assert(ev.event_description.contains("quarry blast"))
+    assert(ev.associated_phase_count.contains(4L))
+    assert(ev.azimuthal_gap.contains(80.0))
+    assert(ev.standard_error.contains(0.25))
+    assert(ev.horizontal_uncertainty.contains(350.0))
+    assert(ev.vertical_uncertainty.contains(120.0))
+    // phase counts come from the PREFERRED origin's arrivals only
+    // (or1's arrival doesn't count); pick counts from all event picks
+    assert(ev.p_phase_count.contains(1L) && ev.s_phase_count.contains(0L))
+    assert(ev.p_pick_count.contains(1L) && ev.s_pick_count.contains(0L))
+    // quality said usedPhaseCount=0 — falsy, so the derived P+S wins
+    assert(ev.used_phase_count.contains(1L))
+    // one station (TMU) referenced by the preferred origin's arrivals
+    assert(ev.station_count.contains(1L))
   }
 
   test("quakeml: picks, magnitudes, amplitudes, arrivals extract fully") {
@@ -154,10 +191,17 @@ class XmlSourceSpec extends SparkSpec {
 
   test("quakeml write → parse is identity on table fields") {
     val cat = QuakeMl.parseCatalog(qml.getBytes("UTF-8"))
-    val rewritten = QuakeMl.toQuakeMl(cat.events.head.copy(path = None), cat.picks)
+    // the writer emits ONE origin, so derived counts only round-trip
+    // when it gets the preferred origin's arrivals
+    val prefArrivals = cat.arrivals.filter(_.origin_id == "smi:local/or2")
+    val rewritten = QuakeMl.toQuakeMl(cat.events.head.copy(path = None),
+      cat.picks, prefArrivals)
     val back = QuakeMl.parseCatalog(rewritten.getBytes("UTF-8"))
     assert(back.events.head == cat.events.head.copy(path = None))
     assert(back.picks == cat.picks)
+    // arrivals come back attached to the synthetic origin id
+    assert(back.arrivals ==
+      prefArrivals.map(_.copy(origin_id = "smi:local/ev1/origin")))
   }
 
   test("quakeml directory scan: distributed parse, permissive skip, conformed schema") {
@@ -175,7 +219,7 @@ class XmlSourceSpec extends SparkSpec {
     val ids = events.select("event_id").collect().map(_.getString(0)).sorted
     assert(ids.toSeq == Seq("smi:local/ev1", "smi:local/ev2"))
     assert(tables("picks").where("seed_id = 'UU.TMU.01.HHZ'").count() == 2)
-    assert(tables("arrivals").count() == 2 && tables("amplitudes").count() == 2)
+    assert(tables("arrivals").count() == 4 && tables("amplitudes").count() == 2)
   }
 
   private val sxml =
