@@ -232,8 +232,8 @@ object Dedup {
     * from shared LSH buckets), so 3-4 rounds is typical. Lineage is
     * truncated every round with an eager localCheckpoint; without it
     * the plan doubles per iteration and the driver dies at scale. For
-    * adversarial high-diameter graphs swap in alternating large-star/
-    * small-star (Kiveris et al.) — same join shape, O(log²) rounds.
+    * adversarial high-diameter graphs use [[connectedComponentsStar]]
+    * — same contract, O(log²) rounds.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
@@ -258,6 +258,83 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the same (id, component = min reachable
+    * id) contract as [[connectedComponents]], but O(log²) rounds on ANY
+    * graph where min-label propagation needs O(diameter): the scale
+    * path for long-chain graphs.
+    *
+    * large-star points every node's LARGER neighbors at the minimum of
+    * its neighborhood; small-star points its smaller neighbors (and the
+    * node itself) at their minimum. Each is one hash-shuffle of the
+    * edge list (window min over the src partition — no join), and the
+    * edge set monotonically contracts into per-component stars centered
+    * at the component minimum. Convergence is detected with a
+    * count+hash signature — one cheap aggregate per round instead of a
+    * full `except`. Lineage truncates per round via localCheckpoint,
+    * same as the label-propagation variant.
+    *
+    * Caveat at scale: at the fixpoint the component center's degree is
+    * the component size, so a giant component concentrates one window
+    * partition. Fine for dedup graphs (components are near-dup
+    * clusters); a web-scale giant component wants the paper's
+    * high-degree-node handling on top.
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = edges.select(col(aCol).as("id"))
+      .union(edges.select(col(bCol).as("id"))).distinct()
+    // canonical form: larger endpoint first, self-loops dropped
+    var cur = edges
+      .select(greatest(col(aCol), col(bCol)).as("src"),
+              least(col(aCol), col(bCol)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val w = Window.partitionBy("src")
+      sym.withColumn("m", least(min("dst").over(w), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy("src")
+      e.withColumn("m", min("dst").over(w))
+        .select(explode(array(col("src"), col("dst"))).as("v"), col("m"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      // XOR-fold of per-edge hashes: order-independent and can't
+      // overflow under ANSI mode (sum of longs can)
+      val r = e.select(xxhash64(col("src"), col("dst")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(cur)
+    var iter = 0
+    var converged = cur.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      cur = next
+      iter += 1
+    }
+    // fixpoint = disjoint stars: each edge points a member at its
+    // component min; centers (and ids with only self-loop edges) label
+    // themselves
+    ids.join(cur.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("component"))
   }
 
   /** Incremental-ingestion dedup: rows of `batch` whose canonical

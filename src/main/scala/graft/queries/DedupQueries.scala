@@ -69,6 +69,35 @@ object DedupQueries {
         WHERE a.doc_id < b.doc_id)"""
   }
 
+  /** Label every corpus doc with its near-dup component via `cc` over
+    * the LSH candidate pairs — shared by q48 (label propagation) and
+    * q65 (star contraction), which must agree with the same oracle.
+    */
+  private def clusterLabels(s: SparkSession, dir: String,
+                            cc: DataFrame => DataFrame): DataFrame = {
+    val comps = cc(minhashPairs(s, dir))
+    corpus(s, dir).select("doc_id")
+      .join(comps, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("is_keeper", col("component") === col("doc_id"))
+  }
+
+  private lazy val clustersOracle: String = s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      conn AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.src, e.dst FROM conn c JOIN edges e ON c.dst = e.src),
+      comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+               FROM conn GROUP BY src)
+      SELECT corpus.doc_id,
+             COALESCE(comp.component, corpus.doc_id) AS component,
+             (COALESCE(comp.component, corpus.doc_id) = corpus.doc_id) AS is_keeper
+      FROM corpus LEFT JOIN comp ON corpus.doc_id = comp.id"""
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: canonical fingerprint hash-groupBy
@@ -92,27 +121,16 @@ object DedupQueries {
     //      candidate-pair graph, every corpus doc labeled with its
     //      component (= min reachable doc_id); singletons keep
     //      themselves. "Keep is_keeper rows" IS corpus dedup.
-    Q("q48_dedup_clusters", (s, dir) => {
-      val comps = Dedup.connectedComponents(minhashPairs(s, dir), "a", "b")
-      corpus(s, dir).select("doc_id")
-        .join(comps, col("doc_id") === col("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
-        .withColumn("is_keeper", col("component") === col("doc_id"))
-    }, Some(s"""
-      WITH RECURSIVE $minhashPairsCtes,
-      edges AS (SELECT a AS src, b AS dst FROM pairs
-                UNION SELECT b, a FROM pairs),
-      conn AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT c.src, e.dst FROM conn c JOIN edges e ON c.dst = e.src),
-      comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
-               FROM conn GROUP BY src)
-      SELECT corpus.doc_id,
-             COALESCE(comp.component, corpus.doc_id) AS component,
-             (COALESCE(comp.component, corpus.doc_id) = corpus.doc_id) AS is_keeper
-      FROM corpus LEFT JOIN comp ON corpus.doc_id = comp.id""")),
+    Q("q48_dedup_clusters", (s, dir) =>
+      clusterLabels(s, dir, Dedup.connectedComponents(_, "a", "b")),
+      Some(clustersOracle)),
+
+    // ---- same clusters via alternating large-star/small-star
+    //      contraction: the O(log²)-round scale path for high-diameter
+    //      graphs, oracle-checked equivalent to q48's label propagation
+    Q("q65_cc_star", (s, dir) =>
+      clusterLabels(s, dir, Dedup.connectedComponentsStar(_, "a", "b")),
+      Some(clustersOracle)),
 
     // ---- SimHash near-dup: md5-derived 60-bit bit-majority signature,
     //      4×15-bit band blocking (pigeonhole covers Hamming ≤ 3),

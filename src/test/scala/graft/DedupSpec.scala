@@ -91,7 +91,31 @@ class DedupSpec extends SparkSpec {
       val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"seed=$seed")
+      // the star-contraction variant must agree exactly
+      val gotStar = Dedup.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(gotStar == expected, s"star seed=$seed")
     }
+  }
+
+  test("connectedComponentsStar: chain, clique, self-loop, long path") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 30L)).toDF("a", "b")
+    val comps = Dedup.connectedComponentsStar(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
+    assert(comps(30L) == 30L) // self-loop-only node labels itself
+    assert(comps.size == 9)
+
+    // diameter-31 path: label propagation would need ~31 rounds; the
+    // star alternation must still land exact min labels well under the
+    // default iteration cap (O(log² n) contraction)
+    val path = (1L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+    val pathComps = Dedup.connectedComponentsStar(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 32L).forall(pathComps(_) == 1L))
   }
 
   test("newAgainstKnown admits only unseen fingerprints") {
