@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over an `array<float>` embedding column, expressed
@@ -22,10 +22,23 @@ import org.apache.spark.sql.functions._
   * (corpus × dim) rows — linear, no pairwise work, no corpus cache
   * requirement (though callers should `.cache()` the input when the
   * scan is expensive). Empty clusters keep their previous centroid.
-  * Seeding: the first k vectors by id (deterministic); swap for
-  * k-means++ driver-side if initialization quality matters.
+  * Seeding: the first k vectors by id (deterministic) by default;
+  * [[seedParallel]] is the k-means|| initialization (Bahmani et al.,
+  * "Scalable k-means++", VLDB 2012) when seed quality matters.
   */
 object KMeans {
+
+  /** Per-centroid squared-L2 distances as one array column: the
+    * centroid set rides a single literal walked by a higher-order
+    * transform, so plan size stays O(1) in k.
+    */
+  private def distSqArray(vecCol: String, centroids: Seq[Seq[Float]]): Column =
+    transform(typedlit(centroids), c =>
+      aggregate(
+        zip_with(col(vecCol), c, (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }),
+        lit(0.0), (acc, x) => acc + x))
 
   /** Cell assignment for a fixed centroid set: id, cell (argmin L2,
     * first-min tie-break). The centroids ship as ONE array literal
@@ -36,25 +49,135 @@ object KMeans {
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              centroids: Seq[Seq[Float]]): DataFrame = {
-    val centArr = typedlit(centroids)
     corpus.select(col(idCol), col(vecCol))
-      .withColumn("_d", transform(centArr, c =>
-        aggregate(
-          zip_with(col(vecCol), c, (x, y) => {
-            val d = x.cast("double") - y.cast("double"); d * d
-          }),
-          lit(0.0), (acc, x) => acc + x)))
+      .withColumn("_d", distSqArray(vecCol, centroids))
       .withColumn("cell",
         (array_position(col("_d"), array_min(col("_d"))) - 1).cast("int"))
       .drop("_d")
   }
 
-  /** Train centroids: returns (centroids, final assignment). */
+  /** Within-cluster sum of squares (Σ min-distance²) for a centroid
+    * set — the standard seeding-quality metric. One scan, no shuffle.
+    */
+  def wcss(corpus: DataFrame, vecCol: String,
+           centroids: Seq[Seq[Float]]): Double =
+    corpus.select(array_min(distSqArray(vecCol, centroids)).as("d2"))
+      .agg(coalesce(sum("d2"), lit(0.0))).head().getDouble(0)
+
+  /** k-means|| seeding (Bahmani et al., "Scalable k-means++", VLDB
+    * 2012) — the distributed form of k-means++: instead of k strictly
+    * sequential D²-weighted draws (k cluster-wide passes), each of
+    * `rounds` passes OVERSAMPLES ~`l` points independently with
+    * probability l·d²(x,C)/ψ, then the O(rounds·l) candidate set is
+    * weighted by cell population and reduced to k driver-side.
+    *
+    * Cost: `rounds` corpus scans (each a narrow projection against a
+    * broadcast candidate literal + one sum) plus one counting
+    * aggregation — no corpus shuffle anywhere. Draws are derandomized
+    * through xxhash64(id, seed, round), so seeding is reproducible
+    * cluster-wide regardless of partitioning — no RNG-per-partition
+    * nondeterminism.
+    *
+    * May return fewer than k centroids when the corpus has fewer than
+    * k distinct points (ψ hits 0); callers get exactly what the data
+    * supports.
+    */
+  def seedParallel(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, rounds: Int = 3, oversample: Int = 0,
+                   seed: Long = 42L): Seq[Seq[Float]] = {
+    val l = if (oversample > 0) oversample else math.max(2 * k, 2)
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // deterministic "uniform" first candidate: minimum id-hash
+    val first = base.withColumn("h", xxhash64(col("id"), lit(seed)))
+      .orderBy(col("h"), col("id")).limit(1)
+      .select("v").collect()
+    if (first.isEmpty) return Seq.empty
+    var cands = Vector(first.head.getAs[scala.collection.Seq[Float]](0).toSeq)
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val withD = base.withColumn("d2", array_min(distSqArray("v", cands)))
+      val psi = withD.agg(coalesce(sum("d2"), lit(0.0))).head().getDouble(0)
+      if (psi <= 0) exhausted = true // every point already a candidate
+      else {
+        val u = pmod(xxhash64(col("id"), lit(seed), lit(r)), lit(1000000000L))
+          .cast("double") / 1e9
+        val fresh = withD
+          .filter(col("d2") > 0.0 &&
+            u < least(lit(1.0), lit(l.toDouble) * col("d2") / lit(psi)))
+          .select("v").collect()
+          .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
+        cands ++= fresh
+      }
+    }
+    if (cands.length <= k) return cands
+    // weight candidates by the population they'd absorb, then reduce
+    // to k with driver-side weighted k-means++ (candidate set is tiny)
+    val counts = assign(corpus, idCol, vecCol, cands)
+      .groupBy("cell").count().collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("count")).toMap
+    val weights = cands.indices.map(i => counts.getOrElse(i, 0L).toDouble.max(1.0))
+    driverWeightedKMeans(cands, weights, k, seed)
+  }
+
+  /** Weighted k-means++ seeding + Lloyd refinement over an in-memory
+    * candidate set (the k-means|| reduction step — inputs are
+    * O(rounds·oversample) points, never the corpus).
+    */
+  private def driverWeightedKMeans(pts: Seq[Seq[Float]], w: Seq[Double],
+                                   k: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    def weightedPick(prob: Seq[Double]): Int = {
+      var x = rnd.nextDouble() * prob.sum
+      var i = 0
+      while (i < prob.length - 1 && x >= prob(i)) { x -= prob(i); i += 1 }
+      i
+    }
+    val centers = scala.collection.mutable.ArrayBuffer(pts(weightedPick(w)))
+    while (centers.length < k) {
+      val probs = pts.zip(w).map { case (p, wt) =>
+        centers.map(c => d2(p, c)).min * wt }
+      if (probs.sum <= 0) centers += pts(rnd.nextInt(pts.length))
+      else centers += pts(weightedPick(probs))
+    }
+    var cs: Seq[Seq[Float]] = centers.toSeq
+    for (_ <- 0 until 5) {
+      val assignIdx = pts.map(p => cs.indices.minBy(i => d2(p, cs(i))))
+      cs = cs.indices.map { ci =>
+        val members = pts.indices.filter(assignIdx(_) == ci)
+        if (members.isEmpty) cs(ci)
+        else {
+          val dim = pts.head.length
+          val acc = new Array[Double](dim)
+          var tw = 0.0
+          members.foreach { mi =>
+            val wt = w(mi); tw += wt
+            val p = pts(mi)
+            var j = 0; while (j < dim) { acc(j) += p(j) * wt; j += 1 }
+          }
+          acc.map(v => (v / tw).toFloat).toSeq
+        }
+      }
+    }
+    cs
+  }
+
+  /** Train centroids: returns (centroids, final assignment). `init`
+    * overrides the default first-k-by-id seeding (pass
+    * [[seedParallel]]'s output for k-means|| initialization).
+    */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int): (Seq[Seq[Float]], DataFrame) = {
-    var cents: Seq[Seq[Float]] = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
+          k: Int, iters: Int,
+          init: Seq[Seq[Float]] = Nil): (Seq[Seq[Float]], DataFrame) = {
+    var cents: Seq[Seq[Float]] =
+      if (init.nonEmpty) init
+      else corpus.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
     for (_ <- 0 until iters) {
       val means = assign(corpus, idCol, vecCol, cents)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))

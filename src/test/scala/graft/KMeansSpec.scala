@@ -41,6 +41,38 @@ class KMeansSpec extends SparkSpec {
     assert(a == 0)
   }
 
+  test("k-means|| seeding beats degenerate first-k seeds and is deterministic") {
+    // ids ordered so the first k=3 vectors all sit in ONE blob — the
+    // worst case for first-k seeding
+    val rnd = new scala.util.Random(13)
+    val centers = Seq((0f, 0f), (10f, 10f), (-10f, 5f))
+    val pts = (0 until 90).map { i =>
+      val (cx, cy) = centers(i / 30) // sorted by blob, not round-robin
+      (i.toLong, Array(cx + rnd.nextFloat() * 0.5f, cy + rnd.nextFloat() * 0.5f))
+    }.toDF("id", "vec").cache()
+
+    val seeds = KMeans.seedParallel(pts, "id", "vec", k = 3, seed = 5L)
+    assert(seeds.length == 3)
+    // one seed lands in each blob: seeded single-iteration fit already
+    // separates what first-k seeding cannot
+    val (fromSeeds, _) = KMeans.fit(pts, "id", "vec", k = 3, iters = 1,
+      init = seeds)
+    val (fromFirstK, _) = KMeans.fit(pts, "id", "vec", k = 3, iters = 1)
+    val w1 = KMeans.wcss(pts, "vec", fromSeeds)
+    val w2 = KMeans.wcss(pts, "vec", fromFirstK)
+    assert(w1 < w2 / 10, s"wcss seeded=$w1 firstK=$w2")
+
+    // derandomized draws: same seed → identical centroids
+    assert(seeds == KMeans.seedParallel(pts, "id", "vec", k = 3, seed = 5L))
+  }
+
+  test("seedParallel degrades gracefully below k distinct points") {
+    val tiny = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("id", "vec")
+    val seeds = KMeans.seedParallel(tiny, "id", "vec", k = 5)
+    assert(seeds == Seq(Seq(1f, 1f))) // one distinct point → one seed
+  }
+
   test("trained centroids feed semanticDedupPairs' cell decomposition") {
     val planted = blobs.unionByName(
       blobs.filter($"id" === 4).withColumn("id", lit(900L)))
