@@ -116,13 +116,43 @@ object DomainBench {
         beforeNs = hourNs / 2, afterNs = hourNs / 2).count()
     }
 
+    // 7. skew injection: one hot key owns HALF the fact rows, joined to
+    // a 1M-key dim. Broadcast is disabled (at production scale the dim
+    // wouldn't fit) so the join shuffles; AQE thresholds are lowered to
+    // match the local data volume (the ratios, not the absolutes, are
+    // what scale). Records the straggler cost AQE's runtime skew split
+    // removes — the crossover evidence for AQE-vs-manual-salting.
+    val nSkew = sys.env.getOrElse("GRAFT_BENCH_SKEW_ROWS", "10000000").toLong
+    def skewJoin(): Long = {
+      val facts = spark.range(nSkew).select(
+        when(col("id") % 2 === 0, 0L)
+          .otherwise(pmod(col("id"), lit(1000000L))).as("k"),
+        (col("id") % 1000).as("v"))
+      val dims = spark.range(1000000L).select(
+        col("id").as("k"), (col("id") % 97).as("w"))
+      facts.join(dims, "k").agg(sum(col("v") * col("w"))).count()
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    val (tSkewStatic, _) =
+      try {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        time(skewJoin())
+      } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    val (tSkewAqe, _) =
+      try time(skewJoin())
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
     val metrics = Seq(
       "archive_gen_s" -> tGen,
       "index_build_s" -> tIndex, "index_files_per_s" -> nFiles / tIndex,
       "read_index_s" -> tRead, "gaps_s" -> tGaps,
       "bulk_join_10k_s" -> tBulk, "bulk_join_10k_bnlj_s" -> tBulkBnl,
       "event_query_s" -> tEvents,
-      "event_fetch_job_s" -> tFetch)
+      "event_fetch_job_s" -> tFetch,
+      "skew_join_static_s" -> tSkewStatic, "skew_join_aqe_s" -> tSkewAqe)
     val counts = Seq("n_indexed" -> nIdx, "n_read" -> nRead, "n_gaps" -> nGaps,
       "n_bulk" -> nBulk, "n_events" -> nEvents, "n_fetch" -> nFetch)
     println("{" +
