@@ -132,18 +132,24 @@ object DomainBench {
         col("id").as("k"), (col("id") % 97).as("w"))
       facts.join(dims, "k").agg(sum(col("v") * col("w"))).count()
     }
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-    val (tSkewStatic, _) =
+    val skewConfs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
+    val saved = skewConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val (tSkewStatic, tSkewAqe) =
       try {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        time(skewJoin())
-      } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    val (tSkewAqe, _) =
-      try time(skewJoin())
-      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        val staticT =
+          try time(skewJoin())
+          finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        (staticT._1, time(skewJoin())._1)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
 
     val metrics = Seq(
       "archive_gen_s" -> tGen,

@@ -39,8 +39,13 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
     val fs0 = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val exists = fs0.exists(new org.apache.hadoop.fs.Path(indexPath))
+    // conform the EXISTING index too: an index persisted before a
+    // schema extension is missing the newer columns, and a strict
+    // unionByName would refuse to ever update it again
     val all =
-      if (exists) conformed.unionByName(spark.read.parquet(indexPath))
+      if (exists) conformed.unionByName(
+        Schemas.conformTo(spark.read.parquet(indexPath), Schemas.eventSummary),
+        allowMissingColumns = true)
       else conformed
     MergeOps.latestByKey(all, "event_id", Seq(col("updated")))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
@@ -121,10 +126,14 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
 
   /** Export each event to one QuakeML file under `dir` — the write half
     * of `put_events` (`eventbank.py:440-528`), path = sanitized
-    * event_id. Runs distributed via foreachPartition; picks for each
-    * event are embedded when `picks` is given.
+    * event_id. Runs distributed via foreachPartition; picks and
+    * arrivals for each event are embedded when given. Arrivals matter
+    * for fidelity: the derived p/s_phase_count and station_count
+    * columns are recomputed from `<arrival>` elements on reindex, so
+    * an export without them zeroes those columns on the way back in.
     */
-  def exportQuakeMl(dir: String, picks: Option[DataFrame] = None): Unit = {
+  def exportQuakeMl(dir: String, picks: Option[DataFrame] = None,
+                    arrivals: Option[DataFrame] = None): Unit = {
     import graft.sources.QuakeMl
     import spark.implicits._
     // conform first: an index written before a schema extension still
@@ -132,7 +141,7 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
     // name and ignores extras
     val evs = Schemas.conformTo(readIndex(), Schemas.eventSummary)
       .as[QuakeMl.EventRow]
-    val joined = picks match {
+    val withPicks = picks match {
       case Some(p) =>
         val pk = p.select("resource_id", "event_id", "time", "network", "station",
           "location", "channel", "phase_hint", "onset", "polarity", "evaluation_status")
@@ -146,6 +155,22 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
         }
       case None => evs.map(e => (e, Seq.empty[QuakeMl.PickRow]))
     }
+    val joined = arrivals match {
+      case Some(a) =>
+        val ar = a.select("resource_id", "event_id", "origin_id", "pick_id",
+          "phase", "azimuth", "distance", "time_residual", "time_weight")
+          .as[(String, String, String, Option[String], Option[String],
+               Option[Double], Option[Double], Option[Double], Option[Double])]
+          .map { case (rid, eid, oid, pid, ph, az, di, tr, tw) =>
+            QuakeMl.ArrivalRow(rid, eid, oid, pid, ph, az, di, tr, tw) }
+        withPicks.groupByKey(_._1.event_id).cogroup(ar.groupByKey(_.event_id)) {
+          (_, eps, ars) =>
+            val al = ars.toSeq
+            eps.map { case (e, ps) => (e, ps, al) }
+        }
+      case None => withPicks.map { case (e, ps) =>
+        (e, ps, Seq.empty[QuakeMl.ArrivalRow]) }
+    }
     val dirPath = dir
     // ship the session's hadoop settings (fs credentials/endpoints set
     // via spark.hadoop.*) — a bare `new Configuration()` on the
@@ -158,16 +183,17 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
       while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
       buf.toSeq
     }
-    joined.foreachPartition { it: Iterator[(QuakeMl.EventRow, Seq[QuakeMl.PickRow])] =>
+    joined.foreachPartition {
+      it: Iterator[(QuakeMl.EventRow, Seq[QuakeMl.PickRow], Seq[QuakeMl.ArrivalRow])] =>
       val conf = new org.apache.hadoop.conf.Configuration()
       hadoopProps.foreach { case (k, v) => conf.set(k, v) }
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(dirPath), conf)
-      it.foreach { case (e, pk) =>
+      it.foreach { case (e, pk, ar) =>
         val safe = e.event_id.replaceAll("[^A-Za-z0-9._-]", "_")
         val out = fs.create(
           new org.apache.hadoop.fs.Path(s"$dirPath/$safe.xml"), true)
-        try out.write(QuakeMl.toQuakeMl(e, pk).getBytes("UTF-8"))
+        try out.write(QuakeMl.toQuakeMl(e, pk, ar).getBytes("UTF-8"))
         finally out.close()
       }
     }

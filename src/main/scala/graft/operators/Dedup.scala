@@ -330,11 +330,17 @@ object Dedup {
       cur = next
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[ccStar] no fixpoint after $maxIter rounds; " +
+        "labels may be non-minimal")
     // fixpoint = disjoint stars: each edge points a member at its
     // component min; centers (and ids with only self-loop edges) label
-    // themselves
-    ids.join(cur.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("dst"), col("id")).as("component"))
+    // themselves. The min-aggregate is a no-op at the fixpoint (one
+    // edge per src) but keeps the one-row-per-id contract if maxIter
+    // ran out before convergence.
+    val starred = cur.groupBy(col("src").as("id")).agg(min("dst").as("component"))
+    ids.join(starred, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Incremental-ingestion dedup: rows of `batch` whose canonical

@@ -99,14 +99,23 @@ object KMeans {
       val psi = withD.agg(coalesce(sum("d2"), lit(0.0))).head().getDouble(0)
       if (psi <= 0) exhausted = true // every point already a candidate
       else {
-        val u = pmod(xxhash64(col("id"), lit(seed), lit(r)), lit(1000000000L))
-          .cast("double") / 1e9
+        val h = xxhash64(col("id"), lit(seed), lit(r))
+        val u = pmod(h, lit(1000000000L)).cast("double") / 1e9
+        // collect (hash, v) and sort driver-side: collect() returns
+        // partition order, and candidate ORDER feeds the seeded-Random
+        // reduction below — unsorted, the result would depend on
+        // partitioning despite the derandomized draws
         val fresh = withD
           .filter(col("d2") > 0.0 &&
             u < least(lit(1.0), lit(l.toDouble) * col("d2") / lit(psi)))
-          .select("v").collect()
-          .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
-        cands ++= fresh
+          .select(h.as("h"), col("v")).collect()
+          .map(r0 => (r0.getLong(0),
+            r0.getAs[scala.collection.Seq[Float]](1).toSeq))
+          .sortBy { case (hv, v) => (hv, v.mkString(",")) }
+          .map(_._2)
+        // distinct: two identical vectors drawn in the same round both
+        // pass the d2>0 freshness check against PRIOR candidates only
+        cands = (cands ++ fresh).distinct
       }
     }
     if (cands.length <= k) return cands

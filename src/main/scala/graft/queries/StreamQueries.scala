@@ -39,13 +39,22 @@ object StreamQueries {
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink)
+      // materialize, then unregister the sink table — repeated runs in
+      // one session must not accumulate complete-mode state tables
+      val out = s.table(sink)
         .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
           col("event_type"), col("n_events"), col("sum_value"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
     }, Some(s"""
-      SELECT (epoch_ns(ts) // $WindowNs) * $WindowNs AS window_ns,
+      -- floor-aligned bucket via positive mod (DuckDB // truncates
+      -- toward zero, Spark's window() floors — they differ pre-1970);
+      -- Spark's TimeWindowing also drops null timestamps, so mirror it
+      SELECT epoch_ns(ts) - ((epoch_ns(ts) % $WindowNs) + $WindowNs) % $WindowNs
+               AS window_ns,
              event_type, COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2"""))
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"""))
   )
 }

@@ -180,6 +180,30 @@ class BankSpec extends SparkSpec {
     val b = reparsed.readIndex().select(key.head, key.tail: _*)
       .collect().map(_.toSeq).sortBy(_.head.toString)
     assert(a.toSeq == b.toSeq)
+
+    // with picks + arrivals supplied, the derived quality counts
+    // survive export → reindex (they recompute from <arrival>/<pick>)
+    import graft.sources.QuakeMl
+    val picksDf = Seq(
+      QuakeMl.PickRow("pk-ev1", "ev1", Some(1L), Some("N1"), Some("S1"),
+        Some(""), Some("BHZ"), Some("P"), None, None, None),
+      QuakeMl.PickRow("pk-ev2", "ev2", Some(2L), Some("N1"), Some("S2"),
+        Some(""), Some("BHZ"), Some("S"), None, None, None)).toDS().toDF()
+    val arrDf = Seq(
+      QuakeMl.ArrivalRow("ar-ev1", "ev1", "o", Some("pk-ev1"), Some("P"),
+        None, None, None, None),
+      QuakeMl.ArrivalRow("ar-ev2", "ev2", "o", Some("pk-ev2"), Some("S"),
+        None, None, None, None)).toDS().toDF()
+    bank.exportQuakeMl(s"$root/xml2", picks = Some(picksDf),
+      arrivals = Some(arrDf))
+    val re2 = new graft.bank.EventBank(spark, s"$root/bank3")
+    re2.indexQuakeMlDir(s"$root/xml2")
+    val counts = re2.readIndex()
+      .select("event_id", "p_phase_count", "s_phase_count", "station_count")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(counts("ev1") == ((1L, 0L, 1L)))
+    assert(counts("ev2") == ((0L, 1L, 1L)))
   }
 
   test("wavebank: interval predicates reach the parquet index scan") {
