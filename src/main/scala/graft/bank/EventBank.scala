@@ -24,12 +24,37 @@ final case class EventQuery(
     updatedAfter: Option[Long] = None,
     limit: Option[Int] = None)
 
-class EventBank(spark: SparkSession, root: String) extends graft.core.EventClient {
+/** @param mergeOnRead log-structured mode: [[appendEvents]] writes each
+  *   batch as new parquet files (O(batch) per upsert, no index rewrite)
+  *   and [[readIndex]] resolves the newest version per event_id with
+  *   one window shuffle — the merge-on-read half of a Delta-style
+  *   table, with [[compact]] as the rewrite half. Default `false`
+  *   keeps the copy-on-write behavior (reads stay shuffle-free).
+  *   The crossover: frequent small batches into a large index want
+  *   merge-on-read; read-heavy banks want copy-on-write or periodic
+  *   [[compact]] calls.
+  */
+class EventBank(spark: SparkSession, root: String,
+                mergeOnRead: Boolean = false) extends graft.core.EventClient {
 
   val indexPath = s"$root/event_index"
 
+  /** Overwrite the index dir with `df` via a temp-dir swap (parquet
+    * dirs are immutable once written, so this is atomic-ish).
+    */
+  private def writeSwap(df: DataFrame): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath.tmp"), p)
+  }
+
   /** Upsert events by id: newest `updated` wins (the delete-then-append
     * SQLite upsert of `eventbank.py:351-378` as read-dedup-write).
+    * Copy-on-write: rewrites the index — O(index) per batch. For
+    * frequent small batches use a `mergeOnRead` bank + [[appendEvents]].
     */
   def putEvents(events: DataFrame): Unit = {
     val conformed = Schemas.conformTo(events, Schemas.eventSummary)
@@ -47,24 +72,46 @@ class EventBank(spark: SparkSession, root: String) extends graft.core.EventClien
         Schemas.conformTo(spark.read.parquet(indexPath), Schemas.eventSummary),
         allowMissingColumns = true)
       else conformed
-    MergeOps.latestByKey(all, "event_id", Seq(col("updated")))
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
-    // atomic-ish swap: parquet dirs are immutable once written
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath.tmp"), p)
+    writeSwap(MergeOps.latestByKey(all, "event_id", Seq(col("updated"))))
   }
+
+  /** Log-structured upsert: append the conformed batch as new files and
+    * defer version resolution to the read path. O(batch) work — the
+    * index is never rewritten. Requires a `mergeOnRead` bank (a plain
+    * bank's reads would surface duplicate event_ids).
+    */
+  def appendEvents(events: DataFrame): Unit = {
+    require(mergeOnRead,
+      "appendEvents requires an EventBank(mergeOnRead = true)")
+    Schemas.conformTo(events, Schemas.eventSummary)
+      .write.mode(SaveMode.Append).parquet(indexPath)
+  }
+
+  /** Fold the append log down to one file set (newest version per
+    * event_id) — the compaction half of the log-structured mode.
+    * Run when accumulated deltas make the per-read merge shuffle or
+    * the file listing expensive.
+    */
+  def compact(): Unit =
+    writeSwap(MergeOps.latestByKey(
+      spark.read.parquet(indexPath), "event_id", Seq(col("updated"))))
 
   /** Index read with NaT restore: times stored as the SMALLDT64/
     * LARGEDT64 sentinels come back as null, the reference's
     * `_ints_to_time_columns` contract (`utils/pd.py:123-149`) — without
     * it a sentinel-stored unknown time leaks raw into every query that
-    * doesn't happen to filter on it.
+    * doesn't happen to filter on it. In merge-on-read mode the newest
+    * version per event_id resolves first (on raw storage values, same
+    * ordering putEvents uses); only the event_id predicate pushes below
+    * that merge, matching upsert semantics — later filters see one
+    * resolved row per event.
     */
   def readIndex(): DataFrame = {
-    val raw = spark.read.parquet(indexPath)
+    val raw0 = spark.read.parquet(indexPath)
+    val raw =
+      if (mergeOnRead)
+        MergeOps.latestByKey(raw0, "event_id", Seq(col("updated")))
+      else raw0
     Seq("time", "updated", "creation_time").filter(raw.columns.contains)
       .foldLeft(raw)((df, c) =>
         df.withColumn(c, Schemas.timeFromStorage(col(c))))

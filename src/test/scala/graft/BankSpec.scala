@@ -206,6 +206,39 @@ class BankSpec extends SparkSpec {
     assert(counts("ev2") == ((0L, 1L, 1L)))
   }
 
+  test("eventbank merge-on-read: append defers the merge to read; compact folds the log") {
+    val root = tmp()
+    val bank = new EventBank(spark, root, mergeOnRead = true)
+    val batch1 = Seq(
+      ("e1", 1000L, 10.0, 20.0, 5.0, 2.5, "ML", 1L),
+      ("e2", 2000L, 11.0, 21.0, 6.0, 3.5, "ML", 1L)
+    ).toDF("event_id", "time", "latitude", "longitude", "depth",
+           "magnitude", "magnitude_type", "updated")
+    bank.appendEvents(batch1)
+    // newer version of e2 lands as a pure append — no index rewrite
+    bank.appendEvents(Seq(("e2", 2000L, 11.0, 21.0, 6.0, 9.9, "ML", 5L))
+      .toDF("event_id", "time", "latitude", "longitude", "depth",
+            "magnitude", "magnitude_type", "updated"))
+    // raw log holds all 3 versions; the read resolves to 2
+    assert(spark.read.parquet(s"$root/event_index").count() == 3)
+    val idx = bank.readIndex()
+    assert(idx.count() == 2)
+    assert(idx.filter(col("event_id") === "e2")
+      .select("magnitude").as[Double].head() == 9.9)
+    // kwarg queries see resolved rows, not raw versions
+    assert(bank.getEvents(EventQuery(minMagnitude = Some(3.0))).count() == 1)
+
+    // compact rewrites the log down to one version per id
+    bank.compact()
+    assert(spark.read.parquet(s"$root/event_index").count() == 2)
+    assert(bank.readIndex().filter(col("event_id") === "e2")
+      .select("magnitude").as[Double].head() == 9.9)
+
+    // a copy-on-write bank refuses appendEvents (its reads don't merge)
+    val plain = new EventBank(spark, tmp())
+    intercept[IllegalArgumentException] { plain.appendEvents(batch1) }
+  }
+
   test("wavebank: interval predicates reach the parquet index scan") {
     val bank = new WaveBank(spark, tmp())
     bank.putWaveforms(segmentDf)
