@@ -175,6 +175,67 @@ object KMeans {
     cs
   }
 
+  /** Mini-batch k-means (Sculley, "Web-scale k-means clustering", WWW
+    * 2010): each iteration assigns only a hash-sampled fraction of the
+    * corpus and moves every centroid toward its batch mean with a
+    * per-cell learning rate 1/n_c (n_c = points that cell has absorbed
+    * across all batches so far) — the standard per-center step size
+    * that makes the update a running mean over everything the cell has
+    * ever seen.
+    *
+    * Cost per iteration: one narrow projection over the SAMPLE (the
+    * hash filter evaluates scan-side, so `fraction` of the corpus is
+    * touched) + one k·dim agg shuffle of sample rows only — the
+    * full-batch [[fit]] pass costs 1/fraction times more. Use when the
+    * corpus is huge relative to k·dim and per-iteration full scans
+    * dominate (the NEXT.md trade-off).
+    *
+    * Sampling is derandomized through xxhash64(id, seed, iter): the
+    * batch membership is a pure function of the row id, so training is
+    * reproducible regardless of partitioning or cluster layout.
+    */
+  def fitMiniBatch(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, fraction: Double,
+                   init: Seq[Seq[Float]] = Nil,
+                   seed: Long = 42L): (Seq[Seq[Float]], DataFrame) = {
+    require(fraction > 0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")
+    var cents: Seq[Seq[Float]] =
+      if (init.nonEmpty) init
+      else corpus.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
+    val dim = if (cents.nonEmpty) cents.head.length else 0
+    val seen = new Array[Long](cents.length)
+    for (it <- 0 until iters) {
+      val u = pmod(xxhash64(col(idCol), lit(seed), lit(it)), lit(1000000000L))
+        .cast("double") / 1e9
+      val batch = corpus.filter(u < fraction)
+      // per-cell batch sums and counts in ONE agg over sample×dim rows
+      val stats = assign(batch, idCol, vecCol, cents)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getAs[Int]("cell"))
+        .map { case (cell, rows) =>
+          val sorted = rows.sortBy(_.getAs[Int]("dim"))
+          cell -> (sorted.map(_.getAs[Double]("s")), sorted.head.getAs[Long]("n"))
+        }
+      cents = cents.indices.map { ci =>
+        stats.get(ci) match {
+          case Some((sums, n)) if n > 0 =>
+            seen(ci) += n
+            val eta = n.toDouble / seen(ci)
+            val old = cents(ci)
+            (0 until dim).map(j =>
+              ((1 - eta) * old(j) + eta * (sums(j) / n)).toFloat)
+          case _ => cents(ci) // empty batch cell keeps its centroid
+        }
+      }
+    }
+    (cents, assign(corpus, idCol, vecCol, cents))
+  }
+
   /** Train centroids: returns (centroids, final assignment). `init`
     * overrides the default first-k-by-id seeding (pass
     * [[seedParallel]]'s output for k-means|| initialization).

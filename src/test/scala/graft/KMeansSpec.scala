@@ -84,4 +84,28 @@ class KMeansSpec extends SparkSpec {
       .select("cell").as[Int].collect().toSet
     assert(cells.size == 1)
   }
+
+  test("mini-batch fit converges like full-batch on separated blobs") {
+    val pts = blobs.cache()
+    val seeds = KMeans.seedParallel(pts, "id", "vec", k = 3, seed = 5L)
+    val (mb, asgn) = KMeans.fitMiniBatch(pts, "id", "vec", k = 3,
+      iters = 8, fraction = 0.4, init = seeds)
+    val (fb, _) = KMeans.fit(pts, "id", "vec", k = 3, iters = 5, init = seeds)
+    val wMb = KMeans.wcss(pts, "vec", mb)
+    val wFb = KMeans.wcss(pts, "vec", fb)
+    // mini-batch lands within 2x of the full-batch objective on clean data
+    assert(wMb < wFb * 2 + 1.0, s"miniBatch=$wMb fullBatch=$wFb")
+    // and still produces pure clusters
+    val cellsByBlob = asgn.withColumn("blob", col("id") % 3)
+      .select("blob", "cell").distinct()
+      .as[(Long, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(cellsByBlob.values.forall(_.size == 1), cellsByBlob.toMap.toString)
+  }
+
+  test("mini-batch fit is deterministic across reruns and repartitioning") {
+    val pts = blobs
+    val a = KMeans.fitMiniBatch(pts, "id", "vec", 3, 4, 0.5)._1
+    val b = KMeans.fitMiniBatch(pts.repartition(7), "id", "vec", 3, 4, 0.5)._1
+    assert(a == b)
+  }
 }
