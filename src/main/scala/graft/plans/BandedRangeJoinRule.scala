@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+
+/** Huge×huge fallback for range/overlap joins: when NEITHER side of an
+  * inner range join fits the broadcast threshold (so
+  * [[RangeJoinStrategy]] can't build its broadcast interval index and
+  * Spark would fall back to BroadcastNestedLoopJoin or a cartesian
+  * product), rewrite the join into a *banded equi join*:
+  *
+  *   - each side's [lo, hi] span is exploded over the fixed-width time
+  *     bands it covers (a point side degenerates to one band per row);
+  *   - the join gains `bandL = bandR` equi keys, so it plans as a
+  *     shuffled hash / sort-merge join — hash-partitioned on
+  *     (origKeys, band), no nested loop anywhere;
+  *   - a pair that overlaps across several bands would match once per
+  *     shared band, so a dedup conjunct keeps exactly the first shared
+  *     band: `band = floorDiv(greatest(lLo, rLo))` (the intersection of
+  *     two band ranges starts at the greater of the two starts);
+  *   - the original condition is kept verbatim, so strict/non-strict
+  *     bounds, residual predicates and null semantics are exactly
+  *     Spark's.
+  *
+  * This is the planner-unified form of
+  * `operators/IntervalJoin.bandedPoints` (obsplus bulk-waveform
+  * semantics, `utils/waveforms.py:567-608`): users write one plain
+  * `a.join(b, cond)` and the planner picks broadcast RangeJoinExec when
+  * a side is small, banded SMJ/SHJ when both are huge.
+  *
+  * Scale note: cost per row is O(span/bandWidth) duplicated rows in the
+  * shuffle. `spark.graft.rangeJoin.bandWidth` (default 1 hour in ns,
+  * matching the engine's epoch-ns convention) must be of the order of
+  * the typical span; a row whose span covers an absurd number of bands
+  * (e.g. an un-filtered "forever" sentinel) fails fast in `sequence()`
+  * rather than silently exploding the shuffle.
+  * Disable with `spark.graft.rangeJoin.banded.enabled=false`.
+  */
+object BandedRangeJoinRule extends Rule[LogicalPlan] {
+
+  private val BandPrefix = "_graft_band"
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.rangeJoin.banded.enabled", "true").toBoolean &&
+      SQLConf.get.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
+
+  private def bandWidth: Long =
+    SQLConf.get.getConfString("spark.graft.rangeJoin.bandWidth",
+      "3600000000000").toLong
+
+  private def isBandable(e: Expression): Boolean = e.dataType match {
+    case LongType | IntegerType | ShortType => true
+    case _ => false
+  }
+
+  private def toLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** floor(x / w) in exact long arithmetic: (x - pmod(x, w)) / w.
+    * `pmod` returns the non-negative remainder, so this is a true
+    * floor for negative values too.
+    */
+  private def floorDiv(x: Expression, w: Literal): Expression =
+    IntegralDivide(Subtract(toLong(x), Pmod(toLong(x), w)), w)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          if cond.deterministic &&
+            !cond.references.exists(_.name.startsWith(BandPrefix)) &&
+            !RangeExtract.broadcastable(l, hint.leftHint) &&
+            !RangeExtract.broadcastable(r, hint.rightHint) =>
+        RangeExtract.extract(cond, l, r) match {
+          case Some(e) if Seq(e.streamLo, e.streamHi, e.bcastLo, e.bcastHi)
+              .forall(isBandable) =>
+            val w = Literal(bandWidth, LongType)
+            // Normalize each side's span with least/greatest so rows
+            // whose extracted bounds come from unrelated columns (lo >
+            // hi) still band over the region they can match in.
+            val lLo = Least(Seq(toLong(e.streamLo), toLong(e.streamHi)))
+            val lHi = Greatest(Seq(toLong(e.streamLo), toLong(e.streamHi)))
+            val rLo = Least(Seq(toLong(e.bcastLo), toLong(e.bcastHi)))
+            val rHi = Greatest(Seq(toLong(e.bcastLo), toLong(e.bcastHi)))
+
+            val lBand = AttributeReference(s"${BandPrefix}_l", LongType,
+              nullable = false)()
+            val rBand = AttributeReference(s"${BandPrefix}_r", LongType,
+              nullable = false)()
+            // A null bound can never satisfy the range conjuncts it was
+            // extracted from, so sequence()'s null array (dropped by
+            // the non-outer Generate) preserves inner-join semantics.
+            val lGen = Generate(
+              Explode(new Sequence(floorDiv(lLo, w), floorDiv(lHi, w),
+                Some(Literal(1L, LongType)),
+                Some(SQLConf.get.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(lBand), child = l)
+            val rGen = Generate(
+              Explode(new Sequence(floorDiv(rLo, w), floorDiv(rHi, w),
+                Some(Literal(1L, LongType)),
+                Some(SQLConf.get.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(rBand), child = r)
+
+            val dedup = EqualTo(lBand, floorDiv(Greatest(Seq(lLo, rLo)), w))
+            val newCond = And(And(cond, EqualTo(lBand, rBand)), dedup)
+            Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
+          case _ => j
+        }
+    }
+  }
+}

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
     e.injectOptimizerRule(_ => GlobRewriteRule)
+    e.injectOptimizerRule(_ => BandedRangeJoinRule)
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
 }
@@ -81,5 +82,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(GlobRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GlobRewriteRule
+    if (!spark.experimental.extraOptimizations.contains(BandedRangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandedRangeJoinRule
   }
 }

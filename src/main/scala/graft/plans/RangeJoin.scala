@@ -176,15 +176,13 @@ case class RangeJoinExec(
       s"keys=${streamKeys.mkString(",")} range=[$streamLo,$streamHi] vs [$bcastLo,$bcastHi]"
 }
 
-/** Planner strategy: rewrite an inner equi+range join whose small side is
-  * broadcastable into [[RangeJoinExec]]. Matches plain DataFrame joins —
-  * users write `a.join(b, cond)` with a between/overlap condition and get
-  * the interval index automatically. Disable with
-  * `spark.graft.rangeJoin.enabled=false`.
+/** Shared range-condition classification for [[RangeJoinStrategy]] (the
+  * broadcast interval-index path) and [[BandedRangeJoinRule]] (the
+  * huge×huge banded-equi-join path).
   */
-object RangeJoinStrategy extends SparkStrategy {
+private[plans] object RangeExtract {
 
-  private case class Extracted(
+  case class Extracted(
       streamKeys: Seq[Expression], bcastKeys: Seq[Expression],
       bcastLo: Expression, bcastHi: Expression,
       streamLo: Expression, streamHi: Expression)
@@ -194,12 +192,18 @@ object RangeJoinStrategy extends SparkStrategy {
     case x => Seq(x)
   }
 
+  def broadcastable(p: LogicalPlan, hint: Option[HintInfo]): Boolean = {
+    if (hint.exists(_.strategy.contains(BROADCAST))) return true
+    val threshold = SQLConf.get.autoBroadcastJoinThreshold
+    threshold > 0 && p.stats.sizeInBytes >= 0 && p.stats.sizeInBytes <= threshold
+  }
+
   /** Classify the condition's conjuncts for stream side S / broadcast
     * side B. Needs at least one `S.x {>=,>} B.lo` and one
     * `S.y {<=,<} B.hi` (in any operand order); extra conjuncts are fine
-    * (the exec re-checks the full condition).
+    * (the caller re-checks the full condition).
     */
-  private def extract(
+  def extract(
       cond: Expression, s: LogicalPlan, b: LogicalPlan): Option[Extracted] = {
     if (!cond.deterministic) return None
     val equi = mutable.ArrayBuffer.empty[(Expression, Expression)]
@@ -237,12 +241,16 @@ object RangeJoinStrategy extends SparkStrategy {
       Some(Extracted(equi.map(_._1).toSeq, equi.map(_._2).toSeq, bLo, bHi, sLo, sHi))
     }
   }
+}
 
-  private def broadcastable(p: LogicalPlan, hint: Option[HintInfo]): Boolean = {
-    if (hint.exists(_.strategy.contains(BROADCAST))) return true
-    val threshold = SQLConf.get.autoBroadcastJoinThreshold
-    threshold > 0 && p.stats.sizeInBytes >= 0 && p.stats.sizeInBytes <= threshold
-  }
+/** Planner strategy: rewrite an inner equi+range join whose small side is
+  * broadcastable into [[RangeJoinExec]]. Matches plain DataFrame joins —
+  * users write `a.join(b, cond)` with a between/overlap condition and get
+  * the interval index automatically. Disable with
+  * `spark.graft.rangeJoin.enabled=false`.
+  */
+object RangeJoinStrategy extends SparkStrategy {
+  import RangeExtract.{broadcastable, extract}
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(l, r, Inner, Some(cond), hint)
