@@ -35,21 +35,41 @@ final case class EventQuery(
   *   [[compact]] calls.
   */
 class EventBank(spark: SparkSession, root: String,
-                mergeOnRead: Boolean = false) extends graft.core.EventClient {
+                mergeOnRead: Boolean = false,
+                txIndex: Boolean = false) extends graft.core.EventClient {
 
   val indexPath = s"$root/event_index"
+
+  /** Transactional index table (when `txIndex`): every write is an
+    * atomic multi-writer commit, every read a consistent snapshot —
+    * replaces the best-effort dir swap with a real commit protocol and
+    * adds time travel. Orthogonal to `mergeOnRead` (storage layout vs
+    * version-resolution strategy); an append-heavy producer wants both.
+    */
+  lazy val txTable: TxTable = new TxTable(spark, indexPath)
+
+  private def indexExists: Boolean =
+    if (txIndex) txTable.latestVersion() >= 0
+    else org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(indexPath))
+
+  private def rawIndexDf: DataFrame =
+    if (txIndex) txTable.read() else spark.read.parquet(indexPath)
 
   /** Overwrite the index dir with `df` via a temp-dir swap (parquet
     * dirs are immutable once written, so this is atomic-ish).
     */
-  private def writeSwap(df: DataFrame): Unit = {
-    df.write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath.tmp"), p)
-  }
+  private def writeSwap(df: DataFrame): Unit =
+    if (txIndex) { txTable.overwrite(df); () }
+    else {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      fs.delete(p, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath.tmp"), p)
+    }
 
   /** Upsert events by id: newest `updated` wins (the delete-then-append
     * SQLite upsert of `eventbank.py:351-378` as read-dedup-write).
@@ -61,15 +81,13 @@ class EventBank(spark: SparkSession, root: String,
     // existence check, not a catch-all: a transient read failure must
     // propagate — swallowing it would replace the whole catalog with
     // just this batch
-    val fs0 = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val exists = fs0.exists(new org.apache.hadoop.fs.Path(indexPath))
+    val exists = indexExists
     // conform the EXISTING index too: an index persisted before a
     // schema extension is missing the newer columns, and a strict
     // unionByName would refuse to ever update it again
     val all =
       if (exists) conformed.unionByName(
-        Schemas.conformTo(spark.read.parquet(indexPath), Schemas.eventSummary),
+        Schemas.conformTo(rawIndexDf, Schemas.eventSummary),
         allowMissingColumns = true)
       else conformed
     writeSwap(MergeOps.latestByKey(all, "event_id", Seq(col("updated"))))
@@ -83,8 +101,9 @@ class EventBank(spark: SparkSession, root: String,
   def appendEvents(events: DataFrame): Unit = {
     require(mergeOnRead,
       "appendEvents requires an EventBank(mergeOnRead = true)")
-    Schemas.conformTo(events, Schemas.eventSummary)
-      .write.mode(SaveMode.Append).parquet(indexPath)
+    val conformed = Schemas.conformTo(events, Schemas.eventSummary)
+    if (txIndex) { txTable.append(conformed); () }
+    else conformed.write.mode(SaveMode.Append).parquet(indexPath)
   }
 
   /** Fold the append log down to one file set (newest version per
@@ -94,7 +113,7 @@ class EventBank(spark: SparkSession, root: String,
     */
   def compact(): Unit =
     writeSwap(MergeOps.latestByKey(
-      spark.read.parquet(indexPath), "event_id", Seq(col("updated"))))
+      rawIndexDf, "event_id", Seq(col("updated"))))
 
   /** Index read with NaT restore: times stored as the SMALLDT64/
     * LARGEDT64 sentinels come back as null, the reference's
@@ -107,7 +126,7 @@ class EventBank(spark: SparkSession, root: String,
     * resolved row per event.
     */
   def readIndex(): DataFrame = {
-    val raw0 = spark.read.parquet(indexPath)
+    val raw0 = rawIndexDf
     val raw =
       if (mergeOnRead)
         MergeOps.latestByKey(raw0, "event_id", Seq(col("updated")))

@@ -1,0 +1,242 @@
+package graft.bank
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** Log-structured transactional parquet table — the Delta-style index
+  * layer from docs/NEXT.md, built on nothing but a filesystem with
+  * atomic create-if-absent.
+  *
+  * Layout:
+  * {{{
+  *   root/data/<commit-uuid>/part-*.parquet   // immutable data files
+  *   root/_txlog/00000000000000000042.json    // one commit = one file
+  *   root/_txlog/00000000000000000040.checkpoint.json
+  * }}}
+  *
+  * Each commit file holds one JSON action per line: `add` (path, rows)
+  * or `remove` (path). A reader replays the log in version order; the
+  * live file set is adds minus removes. Nothing is ever modified in
+  * place, so:
+  *
+  *   - **Atomic commits**: a commit is visible iff its log file exists;
+  *     data files written but never committed are invisible garbage.
+  *     Commit files are created with `create(overwrite = false)` —
+  *     version N can only be claimed once (put-if-absent; on HDFS this
+  *     is atomic, on object stores map it to a conditional put).
+  *   - **Optimistic concurrency**: writers prepare data files, then try
+  *     to claim version `latest+1`; a loser re-reads the log and
+  *     retries. Blind appends always commute; `overwrite`/`compact`
+  *     recompute their remove-set per attempt.
+  *   - **Snapshot isolation / time travel**: `read(Some(v))` resolves
+  *     the file list as of version v — concurrent writers never tear a
+  *     read.
+  *   - **Bounded log replay**: every `checkpointInterval` commits the
+  *     full live state is written as `<v>.checkpoint.json`; readers
+  *     start from the newest checkpoint ≤ target, so replay cost is
+  *     O(interval), not O(table age). At 100 TB the log is KBs per
+  *     commit — the index of the index.
+  *
+  * The reference's HDF5/SQLite banks (obsplus `bank/core.py`,
+  * `wavebank.py:247-315`) serialize writers through a single local
+  * file; this is the multi-writer contract those banks can't offer.
+  */
+class TxTable(spark: SparkSession, root: String,
+              checkpointInterval: Int = 10) {
+
+  val logDir = s"$root/_txlog"
+  val dataDir = s"$root/data"
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionFile(v: Long): Path =
+    new Path(logDir, f"$v%020d.json")
+  private def checkpointFile(v: Long): Path =
+    new Path(logDir, f"$v%020d.checkpoint.json")
+
+  // ---- log encoding (hand-rolled: one self-describing JSON object per
+  // line; paths are the only strings and get minimal escaping) ----
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def encode(a: TxAction): String = a match {
+    case AddFile(p, rows) => s"""{"add":{"path":"${esc(p)}","rows":$rows}}"""
+    case RemoveFile(p) => s"""{"remove":{"path":"${esc(p)}"}}"""
+  }
+
+  private def decode(line: String): Option[TxAction] = {
+    def field(obj: String, k: String): Option[String] = {
+      val m = ("\"" + k + "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|[-0-9]+)").r
+      m.findFirstMatchIn(obj).map { g =>
+        Option(g.group(2)).map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
+          .getOrElse(g.group(1))
+      }
+    }
+    val t = line.trim
+    if (t.isEmpty) None
+    else if (t.startsWith("{\"add\""))
+      field(t, "path").map(p => AddFile(p, field(t, "rows").map(_.toLong).getOrElse(0L)))
+    else if (t.startsWith("{\"remove\""))
+      field(t, "path").map(RemoveFile)
+    else None
+  }
+
+  private def writeAtomic(p: Path, lines: Seq[String], overwrite: Boolean): Boolean = {
+    try {
+      val out = fs.create(p, overwrite)
+      try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p) && !overwrite => false
+    }
+  }
+
+  private def readLines(p: Path): Seq[String] = {
+    val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+    finally in.close()
+  }
+
+  // ---- snapshot resolution ----
+
+  private def listLog(): (Seq[Long], Seq[Long]) = { // (commits, checkpoints)
+    if (!fs.exists(new Path(logDir))) return (Nil, Nil)
+    val names = fs.listStatus(new Path(logDir)).map(_.getPath.getName)
+    val commits = names.collect {
+      case n if n.matches("\\d{20}\\.json") => n.take(20).toLong
+    }.sorted.toSeq
+    val cps = names.collect {
+      case n if n.matches("\\d{20}\\.checkpoint\\.json") => n.take(20).toLong
+    }.sorted.toSeq
+    (commits, cps)
+  }
+
+  /** Latest committed version, or -1 for an empty table. */
+  def latestVersion(): Long = listLog()._1.lastOption.getOrElse(-1L)
+
+  /** Live (path → rows) as of `version` (default: latest). */
+  def snapshot(version: Option[Long] = None): Seq[AddFile] = {
+    val (commits, cps) = listLog()
+    val target = version.getOrElse(commits.lastOption.getOrElse(-1L))
+    require(version.forall(v => commits.contains(v) || cps.contains(v)) || commits.isEmpty,
+      s"version ${version.getOrElse(-1L)} not in log (have ${commits.take(5)}...)")
+    val startCp = cps.filter(_ <= target).lastOption
+    val live = mutable.LinkedHashMap.empty[String, AddFile]
+    startCp.foreach { v =>
+      readLines(checkpointFile(v)).flatMap(decode).foreach {
+        case a: AddFile => live(a.path) = a
+        case RemoveFile(p) => live.remove(p)
+      }
+    }
+    commits.filter(v => v <= target && startCp.forall(v > _)).foreach { v =>
+      readLines(versionFile(v)).flatMap(decode).foreach {
+        case a: AddFile => live(a.path) = a
+        case RemoveFile(p) => live.remove(p)
+      }
+    }
+    live.values.toVector
+  }
+
+  /** Read the table (optionally as of an older version). */
+  def read(version: Option[Long] = None): DataFrame = {
+    val files = snapshot(version).map(_.path)
+    if (files.isEmpty)
+      spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  // ---- commits ----
+
+  /** Claim `v` with `actions`; false if someone else won the version. */
+  private def tryCommit(v: Long, actions: Seq[TxAction]): Boolean = {
+    fs.mkdirs(new Path(logDir))
+    val ok = writeAtomic(versionFile(v), actions.map(encode), overwrite = false)
+    if (ok && v > 0 && v % checkpointInterval == 0) {
+      // checkpoint is derived state: safe to (re)write with overwrite
+      val full = snapshot(Some(v)).map(a => encode(a))
+      writeAtomic(checkpointFile(v), full, overwrite = true)
+    }
+    ok
+  }
+
+  /** Write `df` as new immutable files, return their AddFile actions. */
+  private def stageFiles(df: DataFrame): Seq[AddFile] = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val dir = s"$dataDir/$commitId"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+    val st = fs.listStatus(new Path(dir))
+      .filter(s => s.getPath.getName.startsWith("part-"))
+    st.map(s => AddFile(s.getPath.toString, -1L)).toVector
+  }
+
+  /** Transactional append. Safe under any concurrency — appends
+    * commute, so losers just re-claim the next version.
+    */
+  def append(df: DataFrame): Long = {
+    val adds = stageFiles(df)
+    if (adds.isEmpty) return latestVersion()
+    var v = latestVersion() + 1
+    while (!tryCommit(v, adds)) v = latestVersion() + 1
+    v
+  }
+
+  /** Transactional replace-all: removes every file live at commit time
+    * and adds `df`'s files. The remove-set is recomputed per attempt,
+    * so a concurrent append either lands before (and is replaced) or
+    * after (and survives) — never torn.
+    */
+  def overwrite(df: DataFrame): Long = {
+    val adds = stageFiles(df)
+    var done = false
+    var v = -1L
+    while (!done) {
+      val current = latestVersion()
+      val removes = snapshot(if (current < 0) None else Some(current))
+        .map(a => RemoveFile(a.path))
+      v = current + 1
+      done = tryCommit(v, removes ++ adds)
+    }
+    v
+  }
+
+  /** Rewrite the live set into fresh compacted files (small-file
+    * cleanup after many appends). Content-neutral: readers see the same
+    * rows before and after.
+    */
+  def compact(): Long = overwrite(read())
+
+  /** Data files no longer referenced by any version ≥ `retainFrom` —
+    * candidates for physical deletion once readers of older snapshots
+    * are gone (the vacuum contract).
+    */
+  def orphans(retainFrom: Long): Seq[String] = {
+    val (commits, _) = listLog()
+    val referenced = commits.filter(_ >= retainFrom)
+      .flatMap(v => snapshot(Some(v)).map(_.path)).toSet
+    if (!fs.exists(new Path(dataDir))) return Nil
+    val all = fs.listStatus(new Path(dataDir)).flatMap { d =>
+      if (d.isDirectory) fs.listStatus(d.getPath).map(_.getPath.toString)
+      else Array(d.getPath.toString)
+    }
+    all.filterNot(referenced).filter(_.contains("part-")).toVector
+  }
+
+  /** Physically delete unreferenced files (irreversible). */
+  def vacuum(retainFrom: Long): Int = {
+    val os = orphans(retainFrom)
+    os.foreach(p => fs.delete(new Path(p), false))
+    os.size
+  }
+}
+
+sealed trait TxAction
+final case class AddFile(path: String, rows: Long) extends TxAction
+final case class RemoveFile(path: String) extends TxAction

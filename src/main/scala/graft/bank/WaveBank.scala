@@ -20,11 +20,37 @@ import graft.operators.{IntervalJoin, Intervals, TimeChunks, TraceStitch}
   *   - `updateIndex` is incremental via the files' modification time
   *     (`_metadata.file_modification_time`) — the mtime watermark
   *     contract of `_unindexed_iterator` (`bank/core.py:193-210`).
+  *   - `txIndex = true` stores the index through [[TxTable]] instead of
+  *     a plain parquet directory: atomic multi-writer commits, snapshot
+  *     reads, time travel and compaction — the concurrent-producer
+  *     contract the reference's single-process HDF5 index can't offer.
   */
-class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformClient {
+class WaveBank(spark: SparkSession, root: String,
+               txIndex: Boolean = false) extends graft.core.WaveformClient {
 
   val segmentsPath = s"$root/segments"
   val indexPath = s"$root/index"
+
+  /** Transactional index table (when `txIndex`). */
+  lazy val txTable: TxTable = new TxTable(spark, indexPath)
+
+  private def indexExists: Boolean =
+    if (txIndex) txTable.latestVersion() >= 0
+    else org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(indexPath))
+
+  private def indexDf: DataFrame =
+    if (txIndex) txTable.read() else spark.read.parquet(indexPath)
+
+  private def indexAppend(df: DataFrame): Unit =
+    if (txIndex) { txTable.append(df); () }
+    else df.write.mode(SaveMode.Append).parquet(indexPath)
+
+  /** Rewrite the index's accumulated append-files into compacted ones
+    * (content-neutral; txIndex mode only).
+    */
+  def compactIndex(): Unit = { require(txIndex); txTable.compact(); () }
   /** WaveBank's ±1 s interval-query buffer (`wavebank.py:173`). */
   val bufferNs: Long = 1_000_000_000L
 
@@ -39,7 +65,7 @@ class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformCli
     */
   def enforceVersion(): Unit = {
     val stale = try {
-      val idx = spark.read.parquet(indexPath)
+      val idx = indexDf
       !idx.columns.contains("index_version") ||
         idx.agg(min("index_version")).collect()(0).getInt(0) < indexVersion
     } catch { case _: Throwable => false }
@@ -72,9 +98,8 @@ class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformCli
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val lastIndexed: Long =
-      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-        spark.read.parquet(indexPath)
-          .agg(max("indexed_at")).collect()(0).getLong(0)
+      if (indexExists)
+        indexDf.agg(max("indexed_at")).collect()(0).getLong(0)
       else Long.MinValue
 
     val segs = spark.read.parquet(segmentsPath)
@@ -94,7 +119,7 @@ class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformCli
       .withColumn("indexed_at", lit(System.currentTimeMillis() * 1000000L))
       .withColumn("index_version", lit(indexVersion))
     if (newIndex.limit(1).count() > 0)
-      newIndex.write.mode(SaveMode.Append).parquet(indexPath)
+      indexAppend(newIndex)
   }
 
   /** The filtered index — glob NSLC + interval overlap with the ±1 s
@@ -106,7 +131,7 @@ class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformCli
                 location: String = "*", channel: String = "*",
                 starttime: Option[Long] = None,
                 endtime: Option[Long] = None): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+    val idx = indexDf
     val nslc = Seq("network" -> network, "station" -> station,
       "location" -> location, "channel" -> channel)
     val globbed = nslc.foldLeft(idx) { case (df, (c, pat)) =>
@@ -127,7 +152,7 @@ class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformCli
   }
 
   def availability(): DataFrame =
-    Intervals.availability(spark.read.parquet(indexPath),
+    Intervals.availability(indexDf,
       Seq("network", "station", "location", "channel"))
 
   /** Gap rows per (NSLC, sampling_period); a gap must exceed
@@ -135,7 +160,7 @@ class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformCli
     * `wavebank.py:442-469`).
     */
   def gaps(minGapFactor: Double = 1.5): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+    val idx = indexDf
     val keys = Seq("network", "station", "location", "channel", "sampling_period")
     Intervals.gaps(idx, keys, minGap = 0L)
       .filter(col("gap_ns").cast("double") >
@@ -143,7 +168,7 @@ class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformCli
   }
 
   def uptime(): DataFrame =
-    Intervals.uptime(spark.read.parquet(indexPath),
+    Intervals.uptime(indexDf,
       Seq("network", "station", "location", "channel"), minGap = 0L)
 
   /** Bulk fetch: one interval join of (seed glob-free) requests against
@@ -152,7 +177,7 @@ class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformCli
     * (`wavebank.py:581-614`).
     */
   def getWaveformsBulk(requests: DataFrame): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+    val idx = indexDf
       .withColumn("seed_id", Schemas.seedId(
         col("network"), col("station"), col("location"), col("channel")))
     val matched = IntervalJoin.overlapping(
@@ -203,7 +228,7 @@ class WaveBank(spark: SparkSession, root: String) extends graft.core.WaveformCli
                      overlapNs: Long): DataFrame = {
     val chunkTable = TimeChunks.chunks(spark, t1, t2,
       durationNs + overlapNs, durationNs)
-    val idx = spark.read.parquet(indexPath)
+    val idx = indexDf
     IntervalJoin.overlapping(idx, chunkTable
         .withColumnRenamed("chunk_start", "t1")
         .withColumnRenamed("chunk_end", "t2"),

@@ -46,6 +46,29 @@ class BankSpec extends SparkSpec {
            gaps(0).getAs[Long]("gap_end") == 5000L)
   }
 
+  test("wavebank: txIndex mode — same results, plus time travel and compaction") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root, txIndex = true)
+    bank.putWaveforms(segmentDf)
+    assert(bank.readIndex().count() == 4)
+    assert(bank.readIndex(station = "S1").count() == 3)
+    val v0 = bank.txTable.latestVersion()
+    bank.putWaveforms(Seq(("N2", "S9", "", "HHZ", 0L, 10L, Array.fill(10)(0.0)))
+      .toDF("network", "station", "location", "channel",
+            "starttime", "sampling_period", "samples"))
+    assert(bank.readIndex().count() == 5)
+    // snapshot as of before the second put
+    assert(bank.txTable.read(Some(v0)).count() == 4)
+    // compaction is content-neutral for every downstream query
+    val gapsBefore = bank.gaps().collect().map(_.mkString("|")).sorted.toSeq
+    bank.compactIndex()
+    assert(bank.readIndex().count() == 5)
+    assert(bank.gaps().collect().map(_.mkString("|")).sorted.toSeq == gapsBefore)
+    // bulk fetch still works off the tx index
+    val got = bank.getWaveforms("N1", "S2", "", "BHN", 0L, 500L)
+    assert(got.count() > 0)
+  }
+
   test("wavebank: incremental updateIndex only adds new segments") {
     val root = tmp()
     val bank = new WaveBank(spark, root)
@@ -237,6 +260,34 @@ class BankSpec extends SparkSpec {
     // a copy-on-write bank refuses appendEvents (its reads don't merge)
     val plain = new EventBank(spark, tmp())
     intercept[IllegalArgumentException] { plain.appendEvents(batch1) }
+  }
+
+  test("eventbank: txIndex + mergeOnRead — atomic upserts with time travel") {
+    val root = tmp()
+    val bank = new EventBank(spark, root, mergeOnRead = true, txIndex = true)
+    bank.appendEvents(Seq(
+      ("e1", 1000L, 10.0, 20.0, 5.0, 2.5, "ML", 1L),
+      ("e2", 2000L, 11.0, 21.0, 6.0, 3.5, "ML", 1L)
+    ).toDF("event_id", "time", "latitude", "longitude", "depth",
+           "magnitude", "magnitude_type", "updated"))
+    val v0 = bank.txTable.latestVersion()
+    bank.appendEvents(Seq(("e2", 2000L, 11.0, 21.0, 6.0, 9.9, "ML", 5L))
+      .toDF("event_id", "time", "latitude", "longitude", "depth",
+            "magnitude", "magnitude_type", "updated"))
+    // resolved read sees the upsert; the v0 snapshot still has the old row
+    assert(bank.readIndex().count() == 2)
+    assert(bank.readIndex().filter(col("event_id") === "e2")
+      .select("magnitude").as[Double].head() == 9.9)
+    assert(bank.txTable.read(Some(v0)).count() == 2) // two raw v0 rows
+    // compaction folds versions AND commits atomically (no dir swap)
+    bank.compact()
+    assert(bank.txTable.read().count() == 2)
+    assert(bank.getEvents(EventQuery(minMagnitude = Some(3.0))).count() == 1)
+    // copy-on-write putEvents also commits through the log
+    bank.putEvents(Seq(("e3", 3000L, 1.0, 2.0, 3.0, 1.1, "ML", 9L))
+      .toDF("event_id", "time", "latitude", "longitude", "depth",
+            "magnitude", "magnitude_type", "updated"))
+    assert(bank.readIndex().count() == 3)
   }
 
   test("wavebank: interval predicates reach the parquet index scan") {

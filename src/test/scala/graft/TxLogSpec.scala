@@ -1,0 +1,125 @@
+package graft
+
+import graft.bank.TxTable
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("txlog").toString
+
+  test("append / read round trip with versions") {
+    val t = new TxTable(spark, tmp())
+    assert(t.latestVersion() == -1L && t.read().isEmpty)
+    val v0 = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val v1 = t.append(Seq((3L, "c")).toDF("id", "s"))
+    assert(v0 == 0L && v1 == 1L)
+    assert(t.read().count() == 3)
+    // time travel: version 0 predates the second append
+    assert(t.read(Some(v0)).count() == 2)
+  }
+
+  test("overwrite replaces all live rows; old snapshots still readable") {
+    val t = new TxTable(spark, tmp())
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    val vOver = t.overwrite(Seq((9L, "z"), (8L, "y")).toDF("id", "s"))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(8L, 9L))
+    assert(t.read(Some(vOver - 1)).select("s").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("compact preserves content and shrinks the file count") {
+    val t = new TxTable(spark, tmp())
+    (0 until 6).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    val before = t.snapshot().size
+    val rows = t.read().orderBy("id").collect().map(_.mkString("|")).toSeq
+    val vc = t.compact()
+    assert(t.snapshot().size < before)
+    assert(t.read().orderBy("id").collect().map(_.mkString("|")).toSeq == rows)
+    // orphans of the compacted history are exactly the replaced files
+    assert(t.orphans(retainFrom = vc).nonEmpty)
+    val n = t.vacuum(retainFrom = vc)
+    assert(n > 0 && t.read().orderBy("id").collect()
+      .map(_.mkString("|")).toSeq == rows)
+  }
+
+  test("checkpoint bounds replay and produces identical snapshots") {
+    val t = new TxTable(spark, tmp(), checkpointInterval = 4)
+    (0 until 9).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    // a checkpoint exists at version 4 and 8
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      t.logDir, f"${4L}%020d.checkpoint.json")))
+    assert(t.read().count() == 9)
+    assert(t.read(Some(5L)).count() == 6) // checkpoint 4 + delta 5
+  }
+
+  test("concurrent appends all land with distinct versions") {
+    val t = new TxTable(spark, tmp())
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val versions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    (0 until 8).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          versions.add(t.append(Seq((i.toLong, s"w$i")).toDF("id", "s")))
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    import scala.jdk.CollectionConverters._
+    val vs = versions.asScala.toSeq.sorted
+    assert(vs == (0L until 8L), vs.toString) // contiguous, no lost claim
+    assert(t.read().count() == 8)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 8L))
+  }
+
+  test("concurrent overwrite vs append never tears") {
+    val t = new TxTable(spark, tmp())
+    t.append(Seq((0L, "base")).toDF("id", "s"))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await(); t.overwrite(Seq((100L, "over")).toDF("id", "s"))
+      }
+    })
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        start.await(); t.append(Seq((200L, "app")).toDF("id", "s"))
+      }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val ids = t.read().select("id").as[Long].collect().toSet
+    // overwrite-then-append → {100, 200}; append-then-overwrite → {100}
+    assert(ids == Set(100L, 200L) || ids == Set(100L), ids.toString)
+  }
+
+  test("uncommitted staged files are invisible to readers") {
+    val dir = tmp()
+    val t = new TxTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    // simulate a writer that crashed after staging, before commit
+    Seq((99L, "ghost")).toDF("id", "s")
+      .write.parquet(s"$dir/data/dead-writer")
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("paths with quotes/backslashes survive the log encoding") {
+    // encode/decode round trip is private; exercise via a weird root
+    val dir = tmp() + "/we ird-dir"
+    val t = new TxTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    assert(t.read().count() == 1)
+  }
+}
