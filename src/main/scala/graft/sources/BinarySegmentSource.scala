@@ -30,7 +30,7 @@ object BinarySegmentSource {
                      channel: String, starttime: Long, sampling_period: Long,
                      samples: Array[Double], path: String)
 
-  def writeFile(path: java.nio.file.Path, seg: Segment): Unit = {
+  def recordBytes(seg: Segment): Array[Byte] = {
     val buf = ByteBuffer.allocate(HeaderLen + 8 * seg.samples.length)
       .order(ByteOrder.BIG_ENDIAN)
     buf.put(Magic.getBytes("ASCII"))
@@ -39,8 +39,19 @@ object BinarySegmentSource {
     buf.putLong(seg.starttime).putLong(seg.sampling_period)
     buf.putInt(seg.samples.length)
     seg.samples.foreach(buf.putDouble)
-    java.nio.file.Files.write(path, buf.array())
+    buf.array()
   }
+
+  def writeFile(path: java.nio.file.Path, seg: Segment): Unit =
+    java.nio.file.Files.write(path, recordBytes(seg))
+
+  /** Multi-record file: records are simply concatenated — each header's
+    * sample count chains to the next record's offset (the multi-trace
+    * mseed file shape; [[GsgDataSource]] split-plans these).
+    */
+  def writeMultiRecordFile(path: java.nio.file.Path, segs: Seq[Segment]): Unit =
+    java.nio.file.Files.write(path,
+      segs.map(recordBytes).foldLeft(Array.empty[Byte])(_ ++ _))
 
   private def parseHeader(bytes: Array[Byte], path: String): Option[Header] = {
     if (bytes.length < HeaderLen) return None
@@ -118,4 +129,19 @@ object BinarySegmentSource {
       .withColumn("endtime",
         col("starttime") + col("n").cast("long") * col("sampling_period"))
       .drop("n")
+
+  /** Same summary through the gsg DataSource V2: the planner prunes
+    * `samples` out of the read schema, so the reader header-hops and
+    * payload bytes are never read — plus record-boundary splits for
+    * oversized multi-trace files and small-file coalescing
+    * ([[GsgDataSource]]). Prefer this path; `summaryIndex` remains as
+    * the dependency-free fallback shape.
+    */
+  def summaryIndexV2(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("gsg").load(dir)
+      .select(col("network"), col("station"), col("location"), col("channel"),
+        col("starttime"), col("sampling_period"),
+        (col("starttime") +
+          col("n_samples").cast("long") * col("sampling_period")).as("endtime"),
+        col("path"))
 }

@@ -1,0 +1,385 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.{Map => JMap}
+import scala.collection.JavaConverters._
+import scala.collection.mutable
+
+/** DataSource V2 for the GSG binary segment format — the "proper
+  * FileFormat" from docs/NEXT.md, replacing the binaryFile +
+  * mapPartitions path for archives whose files outgrow a task:
+  *
+  *   - **Split planning at record boundaries**: records are
+  *     self-describing (the header's sample count chains to the next
+  *     record), so planning header-hops each oversized file — reading
+  *     ~56 bytes per record, never payload — and cuts splits of
+  *     ~`spark.sql.files.maxPartitionBytes`; a 10 GB multi-trace file
+  *     becomes dozens of parallel tasks instead of one 10 GB task (and
+  *     no 2 GB binaryFile cap).
+  *   - **File coalescing**: small files bin-pack into shared partitions
+  *     (Spark's own file-source behavior), so a 4000-file archive
+  *     doesn't schedule 4000 tasks.
+  *   - **Column pruning inside the reader**: when `samples` isn't
+  *     projected (index builds, availability queries), the reader seeks
+  *     header-to-header and payload bytes are never read — the
+  *     obsplus "fast summarize" (`utils/mseed.py:70-112`) becomes the
+  *     planner-chosen path, not a separate API.
+  *   - **Filter pushdown to the header**: NSLC equality and starttime
+  *     bounds are evaluated on the 56-byte header before any payload
+  *     decode; pushed filters re-check post-scan (exactly parquet's
+  *     contract), so semantics never depend on the pushdown.
+  *
+  * Usage: `spark.read.format("gsg").load(dir)` (registered via
+  * DataSourceRegister) or `.format(classOf[GsgDataSource].getName)`.
+  */
+class GsgDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "gsg"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GsgDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GsgTable(properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GsgDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("network", StringType, nullable = false),
+    StructField("station", StringType, nullable = false),
+    StructField("location", StringType, nullable = false),
+    StructField("channel", StringType, nullable = false),
+    StructField("starttime", LongType, nullable = false),
+    StructField("sampling_period", LongType, nullable = false),
+    StructField("samples", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    // header-derived record length: lets index builds compute endtime
+    // (start + n*period) with zero payload IO
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("path", StringType, nullable = false)))
+
+  val HeaderLen: Int = BinarySegmentSource.HeaderLen
+
+  /** One contiguous run of whole records inside a file. */
+  final case class FileSlice(path: String, start: Long, end: Long)
+
+  final case class Header(network: String, station: String, location: String,
+                          channel: String, starttime: Long,
+                          samplingPeriod: Long, n: Int)
+
+  def parseHeader(buf: Array[Byte]): Option[Header] = {
+    if (buf.length < HeaderLen) return None
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (new String(magic, "ASCII") != BinarySegmentSource.Magic) return None
+    def str8(): String = {
+      val a = new Array[Byte](8); bb.get(a); new String(a, "ASCII").trim
+    }
+    Some(Header(str8(), str8(), str8(), str8(),
+      bb.getLong(), bb.getLong(), bb.getInt()))
+  }
+}
+
+class GsgTable(properties: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"gsg(${properties.getOrElse("path", "?")})"
+  override def schema(): StructType = GsgDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GsgScanBuilder(options.asScala.toMap ++ properties)
+}
+
+class GsgScanBuilder(options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = GsgDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
+
+  /** Header-evaluable filters are pushed; everything (pushed included)
+    * is returned for post-scan re-evaluation — parquet's contract.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GsgHeaderFilter.supported)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GsgScan(options.getOrElse("path",
+      throw new IllegalArgumentException("gsg source requires a path")),
+      requiredSchema, pushed)
+}
+
+/** Compiled header predicate (conjunction of pushed filters). */
+object GsgHeaderFilter {
+  import GsgDataSource.Header
+
+  def supported(f: Filter): Boolean = f match {
+    case sources.EqualTo(a, _: String) =>
+      Set("network", "station", "location", "channel")(a)
+    case sources.GreaterThan("starttime", _: Long) => true
+    case sources.GreaterThanOrEqual("starttime", _: Long) => true
+    case sources.LessThan("starttime", _: Long) => true
+    case sources.LessThanOrEqual("starttime", _: Long) => true
+    case sources.In(a, vs) =>
+      Set("network", "station", "location", "channel")(a) &&
+        vs.forall(_.isInstanceOf[String])
+    case _ => false
+  }
+
+  def compile(filters: Array[Filter]): Header => Boolean = {
+    def strField(h: Header, a: String): String = a match {
+      case "network" => h.network
+      case "station" => h.station
+      case "location" => h.location
+      case "channel" => h.channel
+    }
+    val preds: Array[Header => Boolean] = filters.collect {
+      case sources.EqualTo(a, v: String)
+          if Set("network", "station", "location", "channel")(a) =>
+        (h: Header) => strField(h, a) == v
+      case sources.GreaterThan("starttime", v: Long) =>
+        (h: Header) => h.starttime > v
+      case sources.GreaterThanOrEqual("starttime", v: Long) =>
+        (h: Header) => h.starttime >= v
+      case sources.LessThan("starttime", v: Long) =>
+        (h: Header) => h.starttime < v
+      case sources.LessThanOrEqual("starttime", v: Long) =>
+        (h: Header) => h.starttime <= v
+      case sources.In(a, vs)
+          if Set("network", "station", "location", "channel")(a) =>
+        val set = vs.collect { case s: String => s }.toSet
+        (h: Header) => set(strField(h, a))
+    }
+    h => preds.forall(_(h))
+  }
+}
+
+class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+  import GsgDataSource._
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GsgScan path=$dir, ReadSchema: ${requiredSchema.simpleString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  private def hadoopConfPairs: Seq[(String, String)] = {
+    val c = SparkSession.active.sparkContext.hadoopConfiguration
+    val it = c.iterator(); val buf = mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.toSeq
+  }
+
+  private lazy val files: Seq[FileStatus] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    def walk(s: FileStatus): Seq[FileStatus] =
+      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+      else if (s.getLen >= HeaderLen) Seq(s)
+      else Nil
+    if (!fs.exists(p)) Nil else fs.getFileStatus(p) match {
+      case d if d.isDirectory => fs.listStatus(p).toSeq.flatMap(walk)
+      case f => Seq(f)
+    }
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.getLen).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
+  /** Split planning: oversized files are cut at record boundaries found
+    * by header-hopping (reads HeaderLen bytes per record, seeks past
+    * payloads); then all slices greedily bin-pack to ~maxPartitionBytes
+    * (small-file coalescing). Runs on the driver, like every file
+    * source's listing/planning step — the hop cost is per RECORD, so it
+    * is the obsplus index scan's cost, not the data size's.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val sess = SparkSession.active
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    val conf = sess.sparkContext.hadoopConfiguration
+
+    val slices = mutable.ArrayBuffer.empty[FileSlice]
+    files.foreach { f =>
+      if (f.getLen <= maxSplit)
+        slices += FileSlice(f.getPath.toString, 0L, f.getLen)
+      else {
+        val fs = f.getPath.getFileSystem(conf)
+        val in = fs.open(f.getPath)
+        try {
+          val hdr = new Array[Byte](HeaderLen)
+          var pos = 0L
+          var sliceStart = 0L
+          while (pos + HeaderLen <= f.getLen) {
+            in.readFully(pos, hdr, 0, HeaderLen)
+            parseHeader(hdr) match {
+              case Some(h) =>
+                val next = pos + HeaderLen + 8L * h.n
+                if (next - sliceStart >= maxSplit) {
+                  slices += FileSlice(f.getPath.toString, sliceStart, next)
+                  sliceStart = next
+                }
+                pos = next
+              case None => pos = f.getLen // corrupt tail: stop hopping
+            }
+          }
+          if (sliceStart < f.getLen)
+            slices += FileSlice(f.getPath.toString, sliceStart, f.getLen)
+        } finally in.close()
+      }
+    }
+
+    // greedy bin-packing, largest first (Spark's file coalescing shape)
+    val target = math.max(1L, maxSplit)
+    val bins = mutable.ArrayBuffer.empty[(mutable.ArrayBuffer[FileSlice], Long)]
+    slices.sortBy(s => -(s.end - s.start)).foreach { s =>
+      val len = s.end - s.start
+      bins.indices.find(i => bins(i)._2 + len <= target) match {
+        case Some(i) => bins(i) = (bins(i)._1 += s, bins(i)._2 + len)
+        case None => bins += ((mutable.ArrayBuffer(s), len))
+      }
+    }
+    bins.map(b => GsgInputPartition(b._1.toArray): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GsgReaderFactory(requiredSchema.fieldNames, pushed, hadoopConfPairs)
+}
+
+final case class GsgInputPartition(slices: Array[GsgDataSource.FileSlice])
+    extends InputPartition
+
+final case class GsgReaderFactory(columns: Array[String],
+                                  pushed: Array[Filter],
+                                  hadoopProps: Seq[(String, String)])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GsgPartitionReader(
+      partition.asInstanceOf[GsgInputPartition].slices, columns, pushed,
+      hadoopProps)
+}
+
+/** Streams records of the assigned slices. Payload bytes are read only
+  * when `samples` is projected AND the header passes the pushed
+  * filters; otherwise the reader seeks straight to the next header.
+  */
+class GsgPartitionReader(slices: Array[GsgDataSource.FileSlice],
+                         columns: Array[String],
+                         pushed: Array[Filter],
+                         hadoopProps: Seq[(String, String)])
+    extends PartitionReader[InternalRow] {
+  import GsgDataSource._
+
+  private val needSamples = columns.contains("samples")
+  private val headerPred = GsgHeaderFilter.compile(pushed)
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    hadoopProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private var sliceIdx = 0
+  private var in: org.apache.hadoop.fs.FSDataInputStream = _
+  private var pos = 0L
+  private var end = 0L
+  private var currentPath: String = _
+  private var row: InternalRow = _
+  private val hdrBuf = new Array[Byte](HeaderLen)
+
+  private def openSlice(): Boolean = {
+    if (in != null) { in.close(); in = null }
+    if (sliceIdx >= slices.length) return false
+    val s = slices(sliceIdx); sliceIdx += 1
+    val p = new Path(s.path)
+    in = p.getFileSystem(conf).open(p)
+    pos = s.start; end = s.end; currentPath = s.path
+    true
+  }
+
+  private def buildRow(h: Header, samples: Array[Double]): InternalRow = {
+    val vals = columns.map {
+      case "network" => UTF8String.fromString(h.network)
+      case "station" => UTF8String.fromString(h.station)
+      case "location" => UTF8String.fromString(h.location)
+      case "channel" => UTF8String.fromString(h.channel)
+      case "starttime" => h.starttime: java.lang.Long
+      case "sampling_period" => h.samplingPeriod: java.lang.Long
+      case "samples" => ArrayData.toArrayData(samples)
+      case "n_samples" => h.n: java.lang.Integer
+      case "path" => UTF8String.fromString(currentPath)
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (in == null || pos + HeaderLen > end) {
+        if (!openSlice()) return false
+      } else {
+        in.readFully(pos, hdrBuf, 0, HeaderLen)
+        parseHeader(hdrBuf) match {
+          case None =>
+            // corrupt record: permissive per-file skip of the rest
+            System.err.println(s"[graft] gsg: bad record at $currentPath:$pos")
+            pos = end
+          case Some(h) =>
+            val payload = 8L * h.n
+            val recEnd = pos + HeaderLen + payload
+            // slices are cut at record ends, so a record crossing `end`
+            // can only mean a truncated/corrupt file: skip the tail
+            if (recEnd > end) {
+              pos = end
+            } else if (headerPred(h)) {
+              val samples =
+                if (needSamples) {
+                  val b = new Array[Byte](payload.toInt)
+                  in.readFully(pos + HeaderLen, b, 0, payload.toInt)
+                  val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+                  val xs = new Array[Double](h.n)
+                  var i = 0
+                  while (i < h.n) { xs(i) = bb.getDouble(); i += 1 }
+                  xs
+                } else null
+              row = buildRow(h, samples)
+              pos = recEnd
+              return true
+            } else pos = recEnd // filtered: seek past, payload unread
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = if (in != null) { in.close(); in = null }
+}
