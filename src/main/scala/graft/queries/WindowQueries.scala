@@ -179,6 +179,34 @@ object WindowQueries {
         AND epoch_ns(e.ts) >= r.t1 AND epoch_ns(e.ts) <= r.t2
       GROUP BY r.req_id"""), headline = true),
 
+    // ---- the q19 semantics through the huge×huge scale path: banded
+    //      equi join (explode requests across fixed-width time bands,
+    //      hash-join on (user_id, band)) instead of the broadcast
+    //      interval index — same oracle, so the driver gate pins both
+    //      physical strategies to identical results
+    Q("q67_banded_interval", (s, dir) => {
+      val e = Tables.eventsUs(s, dir)
+      val reqs = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("req_id"), col("user_id"),
+                (col("ts") - lit(ReqHalf)).as("t1"),
+                (col("ts") + lit(ReqHalf)).as("t2"))
+      IntervalJoin.bandedPoints(e, reqs, Seq("user_id"), "ts",
+          bandNs = ReqHalf) // band ≈ request half-width: ≤3 bands/request
+        .groupBy("req_id")
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+             countDistinct(col("event_type")).as("n_types"))
+    }, Some(s"""
+      WITH r AS (SELECT event_id AS req_id, user_id,
+                        epoch_ns(ts) - $ReqHalf AS t1, epoch_ns(ts) + $ReqHalf AS t2
+                 FROM events WHERE event_type = 'error')
+      SELECT r.req_id, COUNT(*) AS n,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             COUNT(DISTINCT e.event_type) AS n_types
+      FROM r JOIN events e ON e.user_id = r.user_id
+        AND epoch_ns(e.ts) >= r.t1 AND epoch_ns(e.ts) <= r.t2
+      GROUP BY r.req_id""")),
+
     // ---- ranking window functions: rank / dense_rank / ntile /
     //      percent_rank per partition (top-5 orders by price within
     //      each priority). percent_rank is (rank-1)/(n-1) — one IEEE
