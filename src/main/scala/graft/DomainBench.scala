@@ -87,6 +87,65 @@ object DomainBench {
           keyCols = Seq("seed_id"), buffer = 1_000_000_000L).count()
       } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
 
+    // 4b. same bulk join through the banded optimizer rule (huge×huge
+    // path): broadcasts disabled, plain join syntax → BandedRangeJoinRule
+    // rewrites to a banded equi join instead of BNLJ
+    val bandSaved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.rangeJoin.bandWidth", hourNs.toString)
+    val (tBulkBanded, nBulkBanded) =
+      try time {
+        graft.operators.IntervalJoin.overlapping(idxSeed, reqs,
+          keyCols = Seq("seed_id"), buffer = 1_000_000_000L,
+          broadcastRequests = false).count()
+      } finally {
+        bandSaved match {
+          case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        spark.conf.unset("spark.graft.rangeJoin.bandWidth")
+      }
+
+    // 4c. gsg DataSource V2: index build through the planner-pruned
+    // header-only scan (vs workload 1's listing+mapPartitions path)
+    val (tIndexV2, nIdxV2) = time {
+      BinarySegmentSource.summaryIndexV2(spark, segDir).count()
+    }
+
+    // 4d. one oversized multi-record file: record-boundary split
+    // planning turns it into parallel tasks; header-only vs full decode
+    val bigDir = s"$root/bigfile"
+    Files.createDirectories(Paths.get(bigDir))
+    BinarySegmentSource.writeMultiRecordFile(Paths.get(s"$bigDir/big.gsg"),
+      (0 until 2000).map(i => Segment("N1", f"S${i % 10}%02d", "", "BHZ",
+        i * hourNs, hourNs / 5000, Array.tabulate(5000)(_.toDouble), "")))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+    val (tBigHeaders, nBigRecs) =
+      try time {
+        spark.read.format("gsg").load(bigDir)
+          .select("station", "starttime").count()
+      } finally ()
+    val bigParts = spark.read.format("gsg").load(bigDir).rdd.getNumPartitions
+    val (tBigFull, _) =
+      try time {
+        spark.read.format("gsg").load(bigDir)
+          .select(aggregate(col("samples"), lit(0.0), (a, x) => a + x).as("s"))
+          .agg(sum("s")).count()
+      } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+    // 4e. transactional index: 20 log-structured appends + snapshot read
+    // + compaction (the concurrent-producer contract)
+    val txRoot = s"$root/txbank"
+    val txBank = new WaveBank(spark, txRoot, txIndex = true)
+    val (tTxAppend, _) = time {
+      (0 until 20).foreach { i =>
+        txBank.txTable.append(idxDf.limit(200).withColumn("batch", lit(i)))
+      }
+      20L
+    }
+    val (tTxRead, nTxRows) = time(txBank.txTable.read().count())
+    val (tTxCompact, _) = time { txBank.txTable.compact(); 1L }
+
     // 5. event query surface (rect + circular + limit)
     val ebank = new EventBank(spark, root)
     val events = spark.range(5000).select(
@@ -156,11 +215,19 @@ object DomainBench {
       "index_build_s" -> tIndex, "index_files_per_s" -> nFiles / tIndex,
       "read_index_s" -> tRead, "gaps_s" -> tGaps,
       "bulk_join_10k_s" -> tBulk, "bulk_join_10k_bnlj_s" -> tBulkBnl,
+      "bulk_join_10k_banded_s" -> tBulkBanded,
+      "index_build_v2_s" -> tIndexV2,
+      "bigfile_headers_s" -> tBigHeaders, "bigfile_full_s" -> tBigFull,
+      "tx_append20_s" -> tTxAppend, "tx_read_s" -> tTxRead,
+      "tx_compact_s" -> tTxCompact,
       "event_query_s" -> tEvents,
       "event_fetch_job_s" -> tFetch,
       "skew_join_static_s" -> tSkewStatic, "skew_join_aqe_s" -> tSkewAqe)
     val counts = Seq("n_indexed" -> nIdx, "n_read" -> nRead, "n_gaps" -> nGaps,
-      "n_bulk" -> nBulk, "n_events" -> nEvents, "n_fetch" -> nFetch)
+      "n_bulk" -> nBulk, "n_bulk_banded" -> nBulkBanded,
+      "n_indexed_v2" -> nIdxV2, "n_big_records" -> nBigRecs,
+      "big_file_partitions" -> bigParts.toLong, "n_tx_rows" -> nTxRows,
+      "n_events" -> nEvents, "n_fetch" -> nFetch)
     println("{" +
       (metrics.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" } ++
        counts.map { case (k, v) => s""""$k":$v""" }).mkString(",") +
