@@ -78,19 +78,37 @@ class EventBank(spark: SparkSession, root: String,
     */
   def putEvents(events: DataFrame): Unit = {
     val conformed = Schemas.conformTo(events, Schemas.eventSummary)
-    // existence check, not a catch-all: a transient read failure must
-    // propagate — swallowing it would replace the whole catalog with
-    // just this batch
-    val exists = indexExists
-    // conform the EXISTING index too: an index persisted before a
-    // schema extension is missing the newer columns, and a strict
-    // unionByName would refuse to ever update it again
-    val all =
-      if (exists) conformed.unionByName(
-        Schemas.conformTo(rawIndexDf, Schemas.eventSummary),
-        allowMissingColumns = true)
-      else conformed
-    writeSwap(MergeOps.latestByKey(all, "event_id", Seq(col("updated"))))
+    if (txIndex) {
+      // optimistic read-merge-write: the merge is pinned to the version
+      // it read; a concurrent commit in between forces a re-merge, so
+      // no writer's events are ever silently folded away
+      var done = false
+      while (!done) {
+        val cur = txTable.latestVersion()
+        val all =
+          if (cur >= 0) conformed.unionByName(
+            Schemas.conformTo(txTable.read(Some(cur)), Schemas.eventSummary),
+            allowMissingColumns = true)
+          else conformed
+        done = txTable.overwriteIfVersion(
+          MergeOps.latestByKey(all, "event_id", Seq(col("updated"))), cur)
+          .isDefined
+      }
+    } else {
+      // existence check, not a catch-all: a transient read failure must
+      // propagate — swallowing it would replace the whole catalog with
+      // just this batch
+      val exists = indexExists
+      // conform the EXISTING index too: an index persisted before a
+      // schema extension is missing the newer columns, and a strict
+      // unionByName would refuse to ever update it again
+      val all =
+        if (exists) conformed.unionByName(
+          Schemas.conformTo(rawIndexDf, Schemas.eventSummary),
+          allowMissingColumns = true)
+        else conformed
+      writeSwap(MergeOps.latestByKey(all, "event_id", Seq(col("updated"))))
+    }
   }
 
   /** Log-structured upsert: append the conformed batch as new files and
@@ -112,7 +130,18 @@ class EventBank(spark: SparkSession, root: String,
     * the file listing expensive.
     */
   def compact(): Unit =
-    writeSwap(MergeOps.latestByKey(
+    if (txIndex) {
+      // conditional rewrite: never folds away a concurrently appended
+      // version (same loop shape as the tx putEvents)
+      var done = false
+      while (!done) {
+        val cur = txTable.latestVersion()
+        val src = if (cur >= 0) txTable.read(Some(cur)) else txTable.read()
+        done = txTable.overwriteIfVersion(
+          MergeOps.latestByKey(src, "event_id", Seq(col("updated"))), cur)
+          .isDefined
+      }
+    } else writeSwap(MergeOps.latestByKey(
       rawIndexDf, "event_id", Seq(col("updated"))))
 
   /** Index read with NaT restore: times stored as the SMALLDT64/

@@ -1,6 +1,6 @@
 package graft.bank
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import java.io.{BufferedReader, InputStreamReader}
@@ -54,6 +54,13 @@ class TxTable(spark: SparkSession, root: String,
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // FileContext.rename has the strict no-overwrite contract FileSystem
+  // lacks (throws FileAlreadyExistsException) — the HDFS log-store
+  // atomic-claim primitive
+  private def fc: FileContext =
+    FileContext.getFileContext(fs.getUri,
+      spark.sparkContext.hadoopConfiguration)
+
   private def versionFile(v: Long): Path =
     new Path(logDir, f"$v%020d.json")
   private def checkpointFile(v: Long): Path =
@@ -87,15 +94,26 @@ class TxTable(spark: SparkSession, root: String,
     else None
   }
 
+  /** Atomic publish: the full content is written to a hidden temp file
+    * first, then renamed into place — a log file is either absent or
+    * complete, never partial, and a claim rename either wins the
+    * version atomically or throws. A crash mid-write leaves only a
+    * `.tmp-*` file that no reader lists.
+    */
   private def writeAtomic(p: Path, lines: Seq[String], overwrite: Boolean): Boolean = {
+    val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     try {
-      val out = fs.create(p, overwrite)
-      try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      if (overwrite) fc.rename(tmp, p, Options.Rename.OVERWRITE)
+      else fc.rename(tmp, p, Options.Rename.NONE)
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.io.IOException if fs.exists(p) && !overwrite => false
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, false) // lost the race: discard
     }
   }
 
@@ -188,10 +206,13 @@ class TxTable(spark: SparkSession, root: String,
     v
   }
 
-  /** Transactional replace-all: removes every file live at commit time
-    * and adds `df`'s files. The remove-set is recomputed per attempt,
-    * so a concurrent append either lands before (and is replaced) or
-    * after (and survives) — never torn.
+  /** Transactional replace-all (last-writer-wins): removes every file
+    * live at commit time and adds `df`'s files. The remove-set is
+    * recomputed per attempt, so a concurrent append either lands before
+    * (and is replaced) or after (and survives) — never torn. When the
+    * new content DERIVES from a read of the table (merge, compaction),
+    * use [[overwriteIfVersion]] instead: this form would silently
+    * discard a concurrent commit that landed after the read.
     */
   def overwrite(df: DataFrame): Long = {
     val adds = stageFiles(df)
@@ -207,31 +228,69 @@ class TxTable(spark: SparkSession, root: String,
     v
   }
 
-  /** Rewrite the live set into fresh compacted files (small-file
-    * cleanup after many appends). Content-neutral: readers see the same
-    * rows before and after.
+  /** Conditional replace: commits `df` as version `expected + 1`
+    * removing exactly the files live at `expected`; None if any other
+    * writer committed first (the caller re-reads and retries — the
+    * optimistic read-modify-write primitive that makes derived
+    * overwrites like upsert-merge and compaction serializable).
+    * Staged files of a lost attempt become unreferenced and fall to
+    * [[vacuum]]'s age guard.
     */
-  def compact(): Long = overwrite(read())
+  def overwriteIfVersion(df: DataFrame, expected: Long): Option[Long] = {
+    val adds = stageFiles(df)
+    val removes =
+      if (expected < 0) Nil
+      else snapshot(Some(expected)).map(a => RemoveFile(a.path))
+    if (tryCommit(expected + 1, removes ++ adds)) Some(expected + 1) else None
+  }
+
+  /** Rewrite the live set into fresh compacted files (small-file
+    * cleanup after many appends). Content-neutral AND conflict-safe:
+    * the rewrite commits only if the table hasn't advanced since it was
+    * read, else re-reads and retries — a concurrent append is never
+    * folded away.
+    */
+  def compact(): Long = {
+    var res = -1L
+    var done = false
+    while (!done) {
+      val cur = latestVersion()
+      val df = read(if (cur < 0) None else Some(cur))
+      overwriteIfVersion(df, cur) match {
+        case Some(v) => res = v; done = true
+        case None => ()
+      }
+    }
+    res
+  }
 
   /** Data files no longer referenced by any version ≥ `retainFrom` —
     * candidates for physical deletion once readers of older snapshots
-    * are gone (the vacuum contract).
+    * are gone (the vacuum contract). `olderThanMs` is the in-flight
+    * guard: a concurrent writer's staged-but-uncommitted files are
+    * unreferenced too, so only files at least this stale are listed
+    * (default 24 h, Delta's shape).
     */
-  def orphans(retainFrom: Long): Seq[String] = {
+  def orphans(retainFrom: Long,
+              olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val (commits, _) = listLog()
     val referenced = commits.filter(_ >= retainFrom)
       .flatMap(v => snapshot(Some(v)).map(_.path)).toSet
     if (!fs.exists(new Path(dataDir))) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val all = fs.listStatus(new Path(dataDir)).flatMap { d =>
-      if (d.isDirectory) fs.listStatus(d.getPath).map(_.getPath.toString)
-      else Array(d.getPath.toString)
+      if (d.isDirectory) fs.listStatus(d.getPath)
+      else Array(d)
     }
-    all.filterNot(referenced).filter(_.contains("part-")).toVector
+    all.filter(s => s.getModificationTime <= cutoff)
+      .map(_.getPath.toString)
+      .filterNot(referenced).filter(_.contains("part-")).toVector
   }
 
   /** Physically delete unreferenced files (irreversible). */
-  def vacuum(retainFrom: Long): Int = {
-    val os = orphans(retainFrom)
+  def vacuum(retainFrom: Long,
+             olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val os = orphans(retainFrom, olderThanMs)
     os.foreach(p => fs.delete(new Path(p), false))
     os.size
   }

@@ -64,6 +64,7 @@ class WaveBank(spark: SparkSession, root: String,
     * next updateIndex rebuilds from scratch.
     */
   def enforceVersion(): Unit = {
+    if (!indexExists) return // fresh bank: nothing to enforce
     val stale = try {
       val idx = indexDf
       !idx.columns.contains("index_version") ||

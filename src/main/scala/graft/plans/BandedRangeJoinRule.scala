@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
 
 /** Huge×huge fallback for range/overlap joins: when NEITHER side of an
   * inner range join fits the broadcast threshold (so
@@ -35,10 +35,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
   * Scale note: cost per row is O(span/bandWidth) duplicated rows in the
   * shuffle. `spark.graft.rangeJoin.bandWidth` (default 1 hour in ns,
   * matching the engine's epoch-ns convention) must be of the order of
-  * the typical span; a row whose span covers an absurd number of bands
-  * (e.g. an un-filtered "forever" sentinel) fails fast in `sequence()`
-  * rather than silently exploding the shuffle.
-  * Disable with `spark.graft.rangeJoin.banded.enabled=false`.
+  * the typical span; a row whose span covers more than
+  * `spark.graft.rangeJoin.maxBandsPerRow` (default 4096) bands — an
+  * un-filtered "forever" sentinel, a mis-sized width — fails fast with
+  * an actionable error instead of silently multiplying the shuffle.
+  * If every row lands in one band (tiny value domain), the plan
+  * degrades to a single hot partition; AQE's skew-join split
+  * re-parallelizes SMJ partitions at runtime, and the width conf is the
+  * designed fix. Disable with
+  * `spark.graft.rangeJoin.banded.enabled=false`.
   */
 object BandedRangeJoinRule extends Rule[LogicalPlan] {
 
@@ -51,6 +56,10 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
   private def bandWidth: Long =
     SQLConf.get.getConfString("spark.graft.rangeJoin.bandWidth",
       "3600000000000").toLong
+
+  private def maxBandsPerRow: Long =
+    SQLConf.get.getConfString("spark.graft.rangeJoin.maxBandsPerRow",
+      "4096").toLong
 
   private def isBandable(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType => true
@@ -67,6 +76,30 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
   private def floorDiv(x: Expression, w: Literal): Expression =
     IntegralDivide(Subtract(toLong(x), Pmod(toLong(x), w)), w)
 
+  /** The per-row band explosion, guarded: a row spanning more than
+    * `maxBandsPerRow` bands (an unfiltered open-end sentinel, a wildly
+    * mis-sized bandWidth) fails fast with an actionable error instead
+    * of silently multiplying the shuffle by span/bandWidth — the
+    * maximum representable ns span is ~2.5M one-hour bands, which would
+    * otherwise materialize without ever tripping sequence()'s own
+    * too-long guard.
+    */
+  private def bandSeq(lo: Expression, hi: Expression, w: Literal,
+                      cap: Long): Expression = {
+    val fLo = floorDiv(lo, w)
+    val fHi = floorDiv(hi, w)
+    val seq = new Sequence(fLo, fHi, Some(Literal(1L, LongType)),
+      Some(SQLConf.get.sessionLocalTimeZone))
+    val cnt = Add(Subtract(fHi, fLo), Literal(1L, LongType))
+    val err = Cast(new RaiseError(Literal.create(
+      s"graft banded range join: row spans more than $cap bands " +
+        s"(bandWidth=${w.value}). Raise spark.graft.rangeJoin.bandWidth, " +
+        "filter open-ended intervals, or set " +
+        "spark.graft.rangeJoin.banded.enabled=false", StringType)),
+      seq.dataType)
+    If(LessThanOrEqual(cnt, Literal(cap, LongType)), seq, err)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
@@ -79,6 +112,7 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
           case Some(e) if Seq(e.streamLo, e.streamHi, e.bcastLo, e.bcastHi)
               .forall(isBandable) =>
             val w = Literal(bandWidth, LongType)
+            val cap = maxBandsPerRow
             // Normalize each side's span with least/greatest so rows
             // whose extracted bounds come from unrelated columns (lo >
             // hi) still band over the region they can match in.
@@ -95,15 +129,11 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
             // extracted from, so sequence()'s null array (dropped by
             // the non-outer Generate) preserves inner-join semantics.
             val lGen = Generate(
-              Explode(new Sequence(floorDiv(lLo, w), floorDiv(lHi, w),
-                Some(Literal(1L, LongType)),
-                Some(SQLConf.get.sessionLocalTimeZone))),
+              Explode(bandSeq(lLo, lHi, w, cap)),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(lBand), child = l)
             val rGen = Generate(
-              Explode(new Sequence(floorDiv(rLo, w), floorDiv(rHi, w),
-                Some(Literal(1L, LongType)),
-                Some(SQLConf.get.sessionLocalTimeZone))),
+              Explode(bandSeq(rLo, rHi, w, cap)),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(rBand), child = r)
 

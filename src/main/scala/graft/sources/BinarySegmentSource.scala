@@ -53,17 +53,12 @@ object BinarySegmentSource {
     java.nio.file.Files.write(path,
       segs.map(recordBytes).foldLeft(Array.empty[Byte])(_ ++ _))
 
-  private def parseHeader(bytes: Array[Byte], path: String): Option[Header] = {
-    if (bytes.length < HeaderLen) return None
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    val magic = new Array[Byte](4); buf.get(magic)
-    if (new String(magic, "ASCII") != Magic) return None // permissive skip
-    def str8(): String = {
-      val a = new Array[Byte](8); buf.get(a); new String(a, "ASCII").trim
-    }
-    Some(Header(str8(), str8(), str8(), str8(),
-      buf.getLong(), buf.getLong(), buf.getInt(), path))
-  }
+  // one parser for the format (shared with the V2 source): magic +
+  // sample-count validation live in GsgDataSource.parseHeader
+  private def parseHeader(bytes: Array[Byte], path: String): Option[Header] =
+    GsgDataSource.parseHeader(bytes).map(h =>
+      Header(h.network, h.station, h.location, h.channel,
+        h.starttime, h.samplingPeriod, h.n, path))
 
   /** Index rows from a directory of segment files: TRUE header-only
     * scan — the file list is distributed and each task opens its files

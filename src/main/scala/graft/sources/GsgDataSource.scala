@@ -85,6 +85,12 @@ object GsgDataSource {
                           channel: String, starttime: Long,
                           samplingPeriod: Long, n: Int)
 
+  /** The single header parser (BinarySegmentSource delegates here).
+    * Magic AND sample-count validation: a corrupt block whose bytes
+    * happen to spell the magic but carry a negative count must parse as
+    * corrupt, or the record-chain hop (`pos + 56 + 8n`) would stop
+    * advancing — a planner hang, not a skipped file.
+    */
   def parseHeader(buf: Array[Byte]): Option[Header] = {
     if (buf.length < HeaderLen) return None
     val bb = ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN)
@@ -93,8 +99,9 @@ object GsgDataSource {
     def str8(): String = {
       val a = new Array[Byte](8); bb.get(a); new String(a, "ASCII").trim
     }
-    Some(Header(str8(), str8(), str8(), str8(),
-      bb.getLong(), bb.getLong(), bb.getInt()))
+    val h = Header(str8(), str8(), str8(), str8(),
+      bb.getLong(), bb.getLong(), bb.getInt())
+    if (h.n < 0) None else Some(h)
   }
 }
 
@@ -188,12 +195,6 @@ class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter])
     s"GsgScan path=$dir, ReadSchema: ${requiredSchema.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  private def hadoopConfPairs: Seq[(String, String)] = {
-    val c = SparkSession.active.sparkContext.hadoopConfiguration
-    val it = c.iterator(); val buf = mutable.ArrayBuffer.empty[(String, String)]
-    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
-    buf.toSeq
-  }
 
   private lazy val files: Seq[FileStatus] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -271,8 +272,15 @@ class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter])
     bins.map(b => GsgInputPartition(b._1.toArray): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GsgReaderFactory(requiredSchema.fieldNames, pushed, hadoopConfPairs)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's hadoop conf ONCE via broadcast, not per task
+    // (Configuration is not serializable; the pairs are)
+    val sc = SparkSession.active.sparkContext
+    val c = sc.hadoopConfiguration
+    val it = c.iterator(); val buf = mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    GsgReaderFactory(requiredSchema.fieldNames, pushed, sc.broadcast(buf.toSeq))
+  }
 }
 
 final case class GsgInputPartition(slices: Array[GsgDataSource.FileSlice])
@@ -280,12 +288,12 @@ final case class GsgInputPartition(slices: Array[GsgDataSource.FileSlice])
 
 final case class GsgReaderFactory(columns: Array[String],
                                   pushed: Array[Filter],
-                                  hadoopProps: Seq[(String, String)])
+                                  hadoopProps: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GsgPartitionReader(
       partition.asInstanceOf[GsgInputPartition].slices, columns, pushed,
-      hadoopProps)
+      hadoopProps.value)
 }
 
 /** Streams records of the assigned slices. Payload bytes are read only

@@ -124,6 +124,23 @@ class BandedRangeJoinSpec extends SparkSpec {
     assert(hasRangeJoin)
   }
 
+  test("a row spanning more than maxBandsPerRow fails fast with guidance") {
+    asHuge(bandWidth = 10L) {
+      spark.conf.set("spark.graft.rangeJoin.maxBandsPerRow", "100")
+      try {
+        val p = Seq((500L, 1)).toDF("ts", "pid")
+        // 0..100000 at width 10 → 10k bands ≫ cap
+        val r = Seq((0L, 100000L, 10)).toDF("t1", "t2", "rid")
+        val ex = intercept[Exception] {
+          p.join(r, p("ts") >= r("t1") && p("ts") <= r("t2")).collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(ex).exists(_.contains("rangeJoin.bandWidth")), msgs(ex))
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBandsPerRow")
+    }
+  }
+
   test("null bounds drop rows exactly like the built-in plan") {
     asHuge(bandWidth = 100L) {
       val p = Seq((Some(50L), 1), (None, 2)).toDF("ts", "pid")

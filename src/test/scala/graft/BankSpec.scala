@@ -49,6 +49,7 @@ class BankSpec extends SparkSpec {
   test("wavebank: txIndex mode — same results, plus time travel and compaction") {
     val root = tmp()
     val bank = new WaveBank(spark, root, txIndex = true)
+    bank.enforceVersion() // fresh tx bank: must be a no-op, not a crash
     bank.putWaveforms(segmentDf)
     assert(bank.readIndex().count() == 4)
     assert(bank.readIndex(station = "S1").count() == 3)

@@ -133,6 +133,24 @@ class GsgSourceSpec extends SparkSpec {
       500L + 200L * 10L)
   }
 
+  test("corrupt magic with negative sample count cannot hang planning") {
+    val dir = tmp()
+    // valid magic, garbage fields with n = -7: header parse must reject
+    val bad = java.nio.ByteBuffer.allocate(56 + 100)
+      .put("GSG1".getBytes("ASCII"))
+      .put(Array.fill[Byte](32)(' '.toByte))
+      .putLong(0L).putLong(10L).putInt(-7)
+      .array()
+    Files.write(dir.resolve("neg.gsg"), bad)
+    writeFile(dir.resolve("ok.gsg"), seg("N1", "S1", "BHZ", 0L, 10, 1.0))
+    // force the split planner's header-hop over the corrupt file too
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+    try {
+      val df = spark.read.format("gsg").load(dir.toString)
+      assert(df.select("station").as[String].collect().toSeq == Seq("S1"))
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("matches the binaryFile-based readSegments on a mixed archive") {
     val dir = tmp()
     (0 until 10).foreach(i =>

@@ -39,10 +39,13 @@ class TxLogSpec extends SparkSpec {
     assert(t.snapshot().size < before)
     assert(t.read().orderBy("id").collect().map(_.mkString("|")).toSeq == rows)
     // orphans of the compacted history are exactly the replaced files
-    assert(t.orphans(retainFrom = vc).nonEmpty)
-    val n = t.vacuum(retainFrom = vc)
+    // (olderThanMs=0 disables the in-flight-writer age guard for the test)
+    assert(t.orphans(retainFrom = vc, olderThanMs = 0L).nonEmpty)
+    val n = t.vacuum(retainFrom = vc, olderThanMs = 0L)
     assert(n > 0 && t.read().orderBy("id").collect()
       .map(_.mkString("|")).toSeq == rows)
+    // with the default age guard, freshly staged files are NOT orphans
+    assert(t.orphans(retainFrom = vc).isEmpty)
   }
 
   test("checkpoint bounds replay and produces identical snapshots") {
@@ -113,6 +116,46 @@ class TxLogSpec extends SparkSpec {
     Seq((99L, "ghost")).toDF("id", "s")
       .write.parquet(s"$dir/data/dead-writer")
     assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("overwriteIfVersion refuses when the table advanced (lost-update guard)") {
+    val t = new TxTable(spark, tmp())
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    val seen = t.latestVersion()
+    // another writer commits in between
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    assert(t.overwriteIfVersion(Seq((9L, "stale")).toDF("id", "s"), seen).isEmpty)
+    // nothing replaced: both rows still live
+    assert(t.read().count() == 2)
+    // retry against the current version succeeds
+    val cur = t.latestVersion()
+    assert(t.overwriteIfVersion(Seq((9L, "fresh")).toDF("id", "s"), cur).isDefined)
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("concurrent tx putEvents upserts never lose a writer's batch") {
+    val root = java.nio.file.Files.createTempDirectory("txev").toString
+    val bank = new graft.bank.EventBank(spark, root,
+      mergeOnRead = true, txIndex = true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val start = new CountDownLatch(1)
+    (0 until 6).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          bank.putEvents(Seq((s"e$i", 1000L * i, 1.0, 2.0, 3.0,
+            2.5, "ML", i.toLong))
+            .toDF("event_id", "time", "latitude", "longitude", "depth",
+                  "magnitude", "magnitude_type", "updated"))
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+    // every writer's event survived the optimistic merge loop
+    assert(bank.readIndex().select("event_id").as[String].collect().toSet ==
+      (0 until 6).map(i => s"e$i").toSet)
   }
 
   test("paths with quotes/backslashes survive the log encoding") {
