@@ -40,4 +40,23 @@ object Mixture {
         concat(lit(salt + ":"), col(idCol).cast("string"))) % Scale <
         round(rateCol * Scale).cast("long"))
   }
+
+  /** Cap each group (source/domain/host) at `k` rows, chosen by a
+    * deterministic order — the RefinedWeb/C4-style per-domain quota
+    * that stops a handful of giant domains from dominating a corpus.
+    *
+    * One shuffle on `groupCols`; the `row_number <= k` filter activates
+    * Spark's WindowGroupLimit, so each map task pre-prunes to its local
+    * top-k before the exchange — the shuffle carries O(groups × k),
+    * not the corpus, no matter how skewed the domains are. Pass a
+    * hash-of-id ordering for an unbiased quota (position in the archive
+    * must not decide survival).
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[Column], k: Int,
+                  order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*).orderBy(order: _*)
+    df.withColumn("qrank", row_number().over(w))
+      .filter(col("qrank") <= k)
+  }
 }

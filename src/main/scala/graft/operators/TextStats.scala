@@ -121,4 +121,26 @@ object TextStats {
         floor(col("score") * 1e6).cast("long").as("score_micro"),
         col("rank"))
   }
+
+  /** Overlapping token-window chunks — training-sequence prep (split
+    * each document into windows of `chunkLen` tokens starting every
+    * `stride` tokens, so consecutive chunks overlap by chunkLen−stride).
+    * Scan-local: tokenize once, explode the window starts, slice — zero
+    * shuffle at any corpus size.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0, "chunkLen and stride must be positive")
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+          .as("_start"))
+      .select(col(idCol),
+        col("_start").cast("long").as("chunk_start"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkLen)), " ")
+          .as("chunk_text"),
+        size(slice(col("_toks"), col("_start") + 1, lit(chunkLen)))
+          .cast("long").as("n_chunk_tokens"))
+  }
 }

@@ -19,6 +19,38 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
 
+    // ---- per-source quota (RefinedWeb/C4-style domain cap): keep at
+    //      most K docs per source, chosen by hash order (not archive
+    //      position); WindowGroupLimit pre-prunes map-side so the
+    //      shuffle is O(sources × K) however skewed the corpus
+    Q("q68_source_quota", (s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Mixture.capPerGroup(d, Seq(col("source")), 50,
+        Seq(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")))
+        .select(col("doc_id"), col("source"), col("qrank").cast("int").as("qrank"))
+    }, Some("""
+      SELECT doc_id, source, CAST(rn AS INT) AS qrank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 50""")),
+
+    // ---- overlapping token-window chunking (training-sequence prep):
+    //      32-token windows every 24 tokens, scan-local explode+slice
+    Q("q69_doc_chunks", (s, dir) =>
+      TextStats.chunkTokens(Tables.documents(s, dir).filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", chunkLen = 32, stride = 24),
+      Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks
+                 FROM documents WHERE doc_id % 7 = 0),
+      c AS (SELECT doc_id, toks,
+                   unnest(range(0, len(toks), 24)) AS gs FROM t)
+      SELECT doc_id, CAST(gs AS BIGINT) AS chunk_start,
+             array_to_string(toks[gs+1:gs+32], ' ') AS chunk_text,
+             CAST(len(toks[gs+1:gs+32]) AS BIGINT) AS n_chunk_tokens
+      FROM c""")),
+
     // ---- language-ID heuristic: per-profile marker hits, argmax with
     //      deterministic tie-break; output confusion counts
     Q("q28_langid", (s, dir) => {

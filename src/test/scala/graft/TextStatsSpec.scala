@@ -139,4 +139,39 @@ class TextStatsSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq((1L, 3L), (3L, 1L)))
   }
+
+  test("chunkTokens tiles with the configured overlap and covers every token") {
+    val docs = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")),
+                   (2L, "single"),
+                   (3L, "a b c")).toDF("doc_id", "text")
+    val out = graft.operators.TextStats
+      .chunkTokens(docs, "doc_id", "text", chunkLen = 10, stride = 7)
+      .as[(Long, Long, String, Long)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts every 7 tokens; all but the tail chunks hold 10 tokens
+    assert(d1.map(_._2).toSeq == (0L until 100L by 7L).toSeq)
+    assert(d1.init.init.forall(_._4 == 10L))
+    // consecutive chunks overlap by 3 tokens
+    val first = d1(0)._3.split(" ").toSeq
+    val second = d1(1)._3.split(" ").toSeq
+    assert(first.drop(7) == second.take(3))
+    // every token of the doc appears in some chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert((1 to 100).forall(i => covered(s"w$i")))
+    // degenerate docs: one chunk each
+    assert(out.count(_._1 == 2L) == 1 && out.count(_._1 == 3L) == 1)
+  }
+
+  test("capPerGroup keeps exactly k per group, independent of partitioning") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val df = (0 until 200).map(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val order = Seq(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val a = graft.operators.Mixture.capPerGroup(df, Seq(col("source")), 10, order)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = graft.operators.Mixture
+      .capPerGroup(df.repartition(13), Seq(col("source")), 10, order)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.size == 30)
+  }
 }
