@@ -75,6 +75,7 @@ class TxTable(spark: SparkSession, root: String,
   private def encode(a: TxAction): String = a match {
     case AddFile(p, rows) => s"""{"add":{"path":"${esc(p)}","rows":$rows}}"""
     case RemoveFile(p) => s"""{"remove":{"path":"${esc(p)}"}}"""
+    case CommitTag(t) => s"""{"tag":{"value":"${esc(t)}"}}"""
   }
 
   private def decode(line: String): Option[TxAction] = {
@@ -91,7 +92,9 @@ class TxTable(spark: SparkSession, root: String,
       field(t, "path").map(p => AddFile(p, field(t, "rows").map(_.toLong).getOrElse(0L)))
     else if (t.startsWith("{\"remove\""))
       field(t, "path").map(RemoveFile)
-    else None
+    else if (t.startsWith("{\"tag\""))
+      field(t, "value").map(CommitTag)
+    else None // unknown action kinds are skipped (forward compatibility)
   }
 
   /** Atomic publish: the full content is written to a hidden temp file
@@ -152,12 +155,14 @@ class TxTable(spark: SparkSession, root: String,
       readLines(checkpointFile(v)).flatMap(decode).foreach {
         case a: AddFile => live(a.path) = a
         case RemoveFile(p) => live.remove(p)
+        case _: CommitTag => ()
       }
     }
     commits.filter(v => v <= target && startCp.forall(v > _)).foreach { v =>
       readLines(versionFile(v)).flatMap(decode).foreach {
         case a: AddFile => live(a.path) = a
         case RemoveFile(p) => live.remove(p)
+        case _: CommitTag => ()
       }
     }
     live.values.toVector
@@ -196,15 +201,39 @@ class TxTable(spark: SparkSession, root: String,
   }
 
   /** Transactional append. Safe under any concurrency — appends
-    * commute, so losers just re-claim the next version.
+    * commute, so losers just re-claim the next version. An optional
+    * `tag` rides IN the same atomic commit (one log file), which is
+    * what makes [[appendOnce]] replay-safe.
     */
-  def append(df: DataFrame): Long = {
-    val adds = stageFiles(df)
+  def append(df: DataFrame, tag: Option[String] = None): Long = {
+    val adds: Seq[TxAction] = stageFiles(df) ++ tag.map(CommitTag).toSeq
     if (adds.isEmpty) return latestVersion()
     var v = latestVersion() + 1
     while (!tryCommit(v, adds)) v = latestVersion() + 1
     v
   }
+
+  /** Tags of every commit ≤ latest, in version order. Scans the commit
+    * files (not checkpoints), so cost is O(commits) — fine for the
+    * replay-window checks it exists for.
+    */
+  def tags(): Seq[String] = {
+    val (commits, _) = listLog()
+    commits.flatMap(v => readLines(versionFile(v)).flatMap(decode).collect {
+      case CommitTag(t) => t
+    })
+  }
+
+  /** Idempotent append for replayed producers (a Structured Streaming
+    * `foreachBatch` sink keyed by batchId): if a commit already carries
+    * `tag`, skip — the batch landed before the crash. The tag and the
+    * file adds share one atomic commit, so a replay can never see the
+    * tag without the data or vice versa. Single-writer per tag key
+    * (the streaming checkpoint's own contract); concurrent DIFFERENT
+    * tags stay safe.
+    */
+  def appendOnce(df: DataFrame, tag: String): Option[Long] =
+    if (tags().contains(tag)) None else Some(append(df, Some(tag)))
 
   /** Transactional replace-all (last-writer-wins): removes every file
     * live at commit time and adds `df`'s files. The remove-set is
@@ -299,3 +328,4 @@ class TxTable(spark: SparkSession, root: String,
 sealed trait TxAction
 final case class AddFile(path: String, rows: Long) extends TxAction
 final case class RemoveFile(path: String) extends TxAction
+final case class CommitTag(value: String) extends TxAction

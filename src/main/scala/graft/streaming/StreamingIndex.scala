@@ -52,6 +52,43 @@ object StreamingIndex {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** The transactional variant: the same incremental indexer, but each
+    * micro-batch commits through a [[graft.bank.TxTable]] with an
+    * idempotence tag keyed by batchId. `foreachBatch` can replay a
+    * batch after a crash (its at-least-once contract); `appendOnce`
+    * sees the batch's tag already in the log and skips, so the index
+    * gets each batch EXACTLY once — and concurrent non-streaming
+    * writers (manual `updateIndex`, compaction) interleave safely via
+    * the same commit protocol. This is the composition the reference's
+    * single-process HDF5 bank cannot express.
+    */
+  def runTx(spark: SparkSession, segmentsDir: String,
+            tx: graft.bank.TxTable, checkpointDir: String,
+            availableNow: Boolean = true): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(segmentSchema)
+      .option("maxFilesPerTrigger", "1000")
+      .parquet(segmentsDir)
+    val summaries = stream.select(
+      col("network"), col("station"), col("location"), col("channel"),
+      col("starttime"),
+      (col("starttime") + size(col("samples")).cast("long") * col("sampling_period"))
+        .as("endtime"),
+      col("sampling_period"))
+    val writer = summaries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = batch
+          .groupBy("network", "station", "location", "channel", "sampling_period")
+          .agg(min("starttime").as("starttime"), max("endtime").as("endtime"),
+               count(lit(1)).as("n_segments"))
+          .withColumn("batch_id", lit(batchId))
+        tx.appendOnce(rows, tag = s"stream-batch-$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Streaming availability with watermarked tumbling windows over a
     * live event stream — the streaming analog of the availability agg.
     */

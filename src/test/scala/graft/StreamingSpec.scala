@@ -38,6 +38,42 @@ class StreamingSpec extends SparkSpec {
     assert(second.select("batch_id").distinct().count() == batches1 + 1)
   }
 
+  test("tx streaming index: incremental, exactly-once under batch replay") {
+    val root = Files.createTempDirectory("graft-txstream").toString
+    val segDir = s"$root/segments"; val ckDir = s"$root/ck"
+    val tx = new graft.bank.TxTable(spark, s"$root/index")
+
+    def write(station: String, start: Long): Unit =
+      Seq(("N1", station, "", "BHZ", start, 10L, Array.fill(10)(1.0)))
+        .toDF("network", "station", "location", "channel",
+              "starttime", "sampling_period", "samples")
+        .coalesce(1).write.mode("append").parquet(segDir)
+
+    write("S1", 0L); write("S2", 0L)
+    StreamingIndex.runTx(spark, segDir, tx, ckDir).awaitTermination(60000)
+    val n1 = tx.read().count()
+    assert(tx.read().select("station").distinct().count() == 2)
+
+    // restart with the same checkpoint: nothing new → no new rows
+    StreamingIndex.runTx(spark, segDir, tx, ckDir).awaitTermination(60000)
+    assert(tx.read().count() == n1)
+
+    // new file → exactly one more batch of rows
+    write("S3", 100L)
+    StreamingIndex.runTx(spark, segDir, tx, ckDir).awaitTermination(60000)
+    assert(tx.read().select("station").distinct().count() == 3)
+
+    // simulate foreachBatch replay of an already-committed batch: the
+    // tag makes the re-commit a no-op, rows are not duplicated
+    val before = tx.read().count()
+    val replayRows = tx.read().limit(1)
+    assert(tx.appendOnce(replayRows, tag = "stream-batch-0").isEmpty)
+    assert(tx.read().count() == before)
+    // a genuinely new tag commits
+    assert(tx.appendOnce(replayRows, tag = "stream-batch-999").isDefined)
+    assert(tx.read().count() == before + 1)
+  }
+
   test("streaming dedup passes first arrival per fingerprint, drops later copies") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
