@@ -229,34 +229,60 @@ class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter])
     val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
     val conf = sess.sparkContext.hadoopConfiguration
 
+    def hopFile(f: FileStatus): Seq[FileSlice] = {
+      val out = mutable.ArrayBuffer.empty[FileSlice]
+      val fs = f.getPath.getFileSystem(conf)
+      val in = fs.open(f.getPath)
+      try {
+        val hdr = new Array[Byte](HeaderLen)
+        var pos = 0L
+        var sliceStart = 0L
+        while (pos + HeaderLen <= f.getLen) {
+          in.readFully(pos, hdr, 0, HeaderLen)
+          parseHeader(hdr) match {
+            case Some(h) =>
+              val next = pos + HeaderLen + 8L * h.n
+              if (next - sliceStart >= maxSplit) {
+                out += FileSlice(f.getPath.toString, sliceStart, next)
+                sliceStart = next
+              }
+              pos = next
+            case None => pos = f.getLen // corrupt tail: stop hopping
+          }
+        }
+        if (sliceStart < f.getLen)
+          out += FileSlice(f.getPath.toString, sliceStart, f.getLen)
+      } finally in.close()
+      out.toSeq
+    }
+
+    // Oversized files header-hop in parallel (seek-heavy, driver-side —
+    // like file-source listing); small files need no IO at all. Results
+    // keep file order so partition layout stays deterministic.
+    val big = files.filter(_.getLen > maxSplit)
+    val hopped: Map[String, Seq[FileSlice]] =
+      if (big.isEmpty) Map.empty
+      else if (big.size == 1) Map(big.head.getPath.toString -> hopFile(big.head))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, big.size))
+        try {
+          import scala.collection.JavaConverters._
+          val futures = big.map { f =>
+            pool.submit(new java.util.concurrent.Callable[(String, Seq[FileSlice])] {
+              override def call(): (String, Seq[FileSlice]) =
+                f.getPath.toString -> hopFile(f)
+            })
+          }
+          futures.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
+
     val slices = mutable.ArrayBuffer.empty[FileSlice]
     files.foreach { f =>
       if (f.getLen <= maxSplit)
         slices += FileSlice(f.getPath.toString, 0L, f.getLen)
-      else {
-        val fs = f.getPath.getFileSystem(conf)
-        val in = fs.open(f.getPath)
-        try {
-          val hdr = new Array[Byte](HeaderLen)
-          var pos = 0L
-          var sliceStart = 0L
-          while (pos + HeaderLen <= f.getLen) {
-            in.readFully(pos, hdr, 0, HeaderLen)
-            parseHeader(hdr) match {
-              case Some(h) =>
-                val next = pos + HeaderLen + 8L * h.n
-                if (next - sliceStart >= maxSplit) {
-                  slices += FileSlice(f.getPath.toString, sliceStart, next)
-                  sliceStart = next
-                }
-                pos = next
-              case None => pos = f.getLen // corrupt tail: stop hopping
-            }
-          }
-          if (sliceStart < f.getLen)
-            slices += FileSlice(f.getPath.toString, sliceStart, f.getLen)
-        } finally in.close()
-      }
+      else slices ++= hopped(f.getPath.toString)
     }
 
     // greedy bin-packing, largest first (Spark's file coalescing shape)
