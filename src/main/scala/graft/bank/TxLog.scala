@@ -25,9 +25,10 @@ import scala.collection.mutable
   *
   *   - **Atomic commits**: a commit is visible iff its log file exists;
   *     data files written but never committed are invisible garbage.
-  *     Commit files are created with `create(overwrite = false)` —
-  *     version N can only be claimed once (put-if-absent; on HDFS this
-  *     is atomic, on object stores map it to a conditional put).
+  *     Commit content is staged to a temp file, then version N is
+  *     claimed put-if-absent: hardlink on local filesystems (POSIX
+  *     rename cannot fail-if-exists), `FileContext.rename(Rename.NONE)`
+  *     on HDFS; object stores should map this to a conditional put.
   *   - **Optimistic concurrency**: writers prepare data files, then try
   *     to claim version `latest+1`; a loser re-reads the log and
   *     retries. Blind appends always commute; `overwrite`/`compact`
@@ -54,12 +55,24 @@ class TxTable(spark: SparkSession, root: String,
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // All _txlog IO goes through the RAW filesystem: ChecksumFileSystem's
+  // .crc sidecars are not atomic with their data file under concurrent
+  // claims of the same version (observable as ChecksumException on a
+  // committed log file); a commit file is all-or-nothing by the claim
+  // protocol itself, so the sidecars add risk and no protection here.
+  private def rawFs: FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
   // FileContext.rename has the strict no-overwrite contract FileSystem
   // lacks (throws FileAlreadyExistsException) — the HDFS log-store
-  // atomic-claim primitive
+  // atomic-claim primitive (HDFS rename is atomic server-side)
   private def fc: FileContext =
     FileContext.getFileContext(fs.getUri,
       spark.sparkContext.hadoopConfiguration)
+
+  private def isLocal: Boolean = "file" == rawFs.getUri.getScheme
 
   private def versionFile(v: Long): Path =
     new Path(logDir, f"$v%020d.json")
@@ -98,30 +111,51 @@ class TxTable(spark: SparkSession, root: String,
   }
 
   /** Atomic publish: the full content is written to a hidden temp file
-    * first, then renamed into place — a log file is either absent or
-    * complete, never partial, and a claim rename either wins the
-    * version atomically or throws. A crash mid-write leaves only a
-    * `.tmp-*` file that no reader lists.
+    * first, then linked/renamed into place — a log file is either
+    * absent or complete, never partial, and a claim either wins the
+    * version atomically or reports the loss. A crash mid-write leaves
+    * only a `.tmp-*` file that no reader lists.
+    *
+    * Claim primitive by scheme: POSIX rename cannot fail-if-exists, so
+    * on local filesystems the claim is a hardlink
+    * (`Files.createLink` — atomic, throws FileAlreadyExistsException);
+    * everywhere else `FileContext.rename(..., Rename.NONE)` (atomic
+    * no-overwrite on HDFS; object stores should map this to a
+    * conditional put).
     */
   private def writeAtomic(p: Path, lines: Seq[String], overwrite: Boolean): Boolean = {
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
+    val out = rawFs.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     try {
-      if (overwrite) fc.rename(tmp, p, Options.Rename.OVERWRITE)
-      else fc.rename(tmp, p, Options.Rename.NONE)
-      true
+      if (overwrite) {
+        fc.rename(tmp, p, Options.Rename.OVERWRITE)
+        true
+      } else if (isLocal) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        fc.rename(tmp, p, Options.Rename.NONE)
+        true
+      }
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if fs.exists(p) && !overwrite => false
+      case _: java.io.IOException if rawFs.exists(p) && !overwrite => false
     } finally {
-      if (fs.exists(tmp)) fs.delete(tmp, false) // lost the race: discard
+      if (rawFs.exists(tmp)) rawFs.delete(tmp, false) // staged copy: discard
     }
   }
 
   private def readLines(p: Path): Seq[String] = {
-    val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    val in = new BufferedReader(
+      new InputStreamReader(rawFs.open(p), StandardCharsets.UTF_8))
     try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
     finally in.close()
   }
@@ -129,8 +163,8 @@ class TxTable(spark: SparkSession, root: String,
   // ---- snapshot resolution ----
 
   private def listLog(): (Seq[Long], Seq[Long]) = { // (commits, checkpoints)
-    if (!fs.exists(new Path(logDir))) return (Nil, Nil)
-    val names = fs.listStatus(new Path(logDir)).map(_.getPath.getName)
+    if (!rawFs.exists(new Path(logDir))) return (Nil, Nil)
+    val names = rawFs.listStatus(new Path(logDir)).map(_.getPath.getName)
     val commits = names.collect {
       case n if n.matches("\\d{20}\\.json") => n.take(20).toLong
     }.sorted.toSeq
@@ -168,19 +202,23 @@ class TxTable(spark: SparkSession, root: String,
     live.values.toVector
   }
 
-  /** Read the table (optionally as of an older version). */
+  /** Read the table (optionally as of an older version). mergeSchema:
+    * commits written before a schema extension coexist with newer ones
+    * in the live set; without the merge the sampled footer would decide
+    * which columns exist.
+    */
   def read(version: Option[Long] = None): DataFrame = {
     val files = snapshot(version).map(_.path)
     if (files.isEmpty)
       spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   // ---- commits ----
 
   /** Claim `v` with `actions`; false if someone else won the version. */
   private def tryCommit(v: Long, actions: Seq[TxAction]): Boolean = {
-    fs.mkdirs(new Path(logDir))
+    rawFs.mkdirs(new Path(logDir))
     val ok = writeAtomic(versionFile(v), actions.map(encode), overwrite = false)
     if (ok && v > 0 && v % checkpointInterval == 0) {
       // checkpoint is derived state: safe to (re)write with overwrite
