@@ -47,7 +47,8 @@ import scala.collection.mutable
   * file; this is the multi-writer contract those banks can't offer.
   */
 class TxTable(spark: SparkSession, root: String,
-              checkpointInterval: Int = 10) {
+              checkpointInterval: Int = 10,
+              mergeSchemaOnRead: Boolean = false) {
 
   val logDir = s"$root/_txlog"
   val dataDir = s"$root/data"
@@ -140,6 +141,11 @@ class TxTable(spark: SparkSession, root: String,
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            // link-less local fs (vfat/FUSE/SMB): fall back to the
+            // rename claim — weaker under contention, never unusable
+            fc.rename(tmp, p, Options.Rename.NONE)
+            true
         }
       } else {
         fc.rename(tmp, p, Options.Rename.NONE)
@@ -202,16 +208,19 @@ class TxTable(spark: SparkSession, root: String,
     live.values.toVector
   }
 
-  /** Read the table (optionally as of an older version). mergeSchema:
-    * commits written before a schema extension coexist with newer ones
-    * in the live set; without the merge the sampled footer would decide
-    * which columns exist.
+  /** Read the table (optionally as of an older version).
+    * `mergeSchemaOnRead` reconciles commits written before a schema
+    * extension (an all-footers pass per read — leave it off for
+    * stable-schema tables like the bank indices, whose writers conform
+    * batches before committing).
     */
   def read(version: Option[Long] = None): DataFrame = {
     val files = snapshot(version).map(_.path)
     if (files.isEmpty)
       spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else if (mergeSchemaOnRead)
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else spark.read.parquet(files: _*)
   }
 
   // ---- commits ----
@@ -221,11 +230,33 @@ class TxTable(spark: SparkSession, root: String,
     rawFs.mkdirs(new Path(logDir))
     val ok = writeAtomic(versionFile(v), actions.map(encode), overwrite = false)
     if (ok && v > 0 && v % checkpointInterval == 0) {
-      // checkpoint is derived state: safe to (re)write with overwrite
-      val full = snapshot(Some(v)).map(a => encode(a))
+      // checkpoint is derived state: safe to (re)write with overwrite.
+      // It carries the tag set too, so tags() replay is O(interval)
+      // like snapshot() — not O(table age).
+      val (commits, cps) = listLog()
+      val full = snapshot(Some(v)).map(a => encode(a)) ++
+        tagsFrom(commits, cps, v).map(t => encode(CommitTag(t)))
       writeAtomic(checkpointFile(v), full, overwrite = true)
     }
     ok
+  }
+
+  /** All tags committed ≤ target: newest checkpoint's tag lines plus
+    * the delta commits after it.
+    */
+  private def tagsFrom(commits: Seq[Long], cps: Seq[Long],
+                       target: Long): Seq[String] = {
+    val startCp = cps.filter(_ <= target).lastOption
+    val fromCp = startCp.toSeq.flatMap(v =>
+      readLines(checkpointFile(v)).flatMap(decode).collect {
+        case CommitTag(t) => t
+      })
+    val fromDeltas = commits
+      .filter(v => v <= target && startCp.forall(v > _))
+      .flatMap(v => readLines(versionFile(v)).flatMap(decode).collect {
+        case CommitTag(t) => t
+      })
+    fromCp ++ fromDeltas
   }
 
   /** Write `df` as new immutable files, return their AddFile actions. */
@@ -251,27 +282,39 @@ class TxTable(spark: SparkSession, root: String,
     v
   }
 
-  /** Tags of every commit ≤ latest, in version order. Scans the commit
-    * files (not checkpoints), so cost is O(commits) — fine for the
-    * replay-window checks it exists for.
+  /** Tags of every commit ≤ latest, in version order (checkpointed —
+    * cost is O(checkpointInterval) log files, not O(table age)).
     */
   def tags(): Seq[String] = {
-    val (commits, _) = listLog()
-    commits.flatMap(v => readLines(versionFile(v)).flatMap(decode).collect {
-      case CommitTag(t) => t
-    })
+    val (commits, cps) = listLog()
+    if (commits.isEmpty) Nil
+    else tagsFrom(commits, cps, commits.last)
   }
 
   /** Idempotent append for replayed producers (a Structured Streaming
     * `foreachBatch` sink keyed by batchId): if a commit already carries
     * `tag`, skip — the batch landed before the crash. The tag and the
-    * file adds share one atomic commit, so a replay can never see the
-    * tag without the data or vice versa. Single-writer per tag key
-    * (the streaming checkpoint's own contract); concurrent DIFFERENT
-    * tags stay safe.
+    * file adds share one atomic commit, and the tag check re-runs
+    * inside the claim loop from the same log listing the claim is based
+    * on: winning the put-if-absent claim of `latest+1` proves no commit
+    * (hence no duplicate tag) landed after the check, so even two
+    * drivers replaying the same batch concurrently (zombie failover)
+    * commit it exactly once.
     */
-  def appendOnce(df: DataFrame, tag: String): Option[Long] =
-    if (tags().contains(tag)) None else Some(append(df, Some(tag)))
+  def appendOnce(df: DataFrame, tag: String): Option[Long] = {
+    val (commits0, cps0) = listLog()
+    if (commits0.nonEmpty &&
+      tagsFrom(commits0, cps0, commits0.last).contains(tag)) return None
+    val adds: Seq[TxAction] = stageFiles(df) ++ Seq(CommitTag(tag))
+    while (true) {
+      val (commits, cps) = listLog()
+      val latest = commits.lastOption.getOrElse(-1L)
+      if (commits.nonEmpty && tagsFrom(commits, cps, latest).contains(tag))
+        return None // competitor landed this tag; staged files → vacuum
+      if (tryCommit(latest + 1, adds)) return Some(latest + 1)
+    }
+    None // unreachable
+  }
 
   /** Transactional replace-all (last-writer-wins): removes every file
     * live at commit time and adds `df`'s files. The remove-set is

@@ -53,10 +53,17 @@ object Mixture {
     * must not decide survival).
     */
   def capPerGroup(df: DataFrame, groupCols: Seq[Column], k: Int,
-                  order: Seq[Column]): DataFrame = {
+                  order: Seq[Column],
+                  rankCol: Option[String] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols: _*).orderBy(order: _*)
-    df.withColumn("qrank", row_number().over(w))
-      .filter(col("qrank") <= k)
+    // collision-safe internal name: never clobbers a caller column
+    val internal = "_graft_qrank"
+    val ranked = df.withColumn(internal, row_number().over(w))
+      .filter(col(internal) <= k)
+    rankCol match {
+      case Some(name) => ranked.withColumnRenamed(internal, name)
+      case None => ranked.drop(internal)
+    }
   }
 }

@@ -132,7 +132,8 @@ object TextStats {
                   chunkLen: Int, stride: Int): DataFrame = {
     require(chunkLen > 0 && stride > 0, "chunkLen and stride must be positive")
     docs
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_toks"))
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
           .as("_start"))

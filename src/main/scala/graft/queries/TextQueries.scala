@@ -26,7 +26,8 @@ object TextQueries {
     Q("q68_source_quota", (s, dir) => {
       val d = Tables.documents(s, dir)
       operators.Mixture.capPerGroup(d, Seq(col("source")), 50,
-        Seq(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")))
+        Seq(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")),
+        rankCol = Some("qrank"))
         .select(col("doc_id"), col("source"), col("qrank").cast("int").as("qrank"))
     }, Some("""
       SELECT doc_id, source, CAST(rn AS INT) AS qrank FROM (

@@ -267,14 +267,19 @@ class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter])
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(8, big.size))
         try {
-          import scala.collection.JavaConverters._
           val futures = big.map { f =>
             pool.submit(new java.util.concurrent.Callable[(String, Seq[FileSlice])] {
               override def call(): (String, Seq[FileSlice]) =
                 f.getPath.toString -> hopFile(f)
             })
           }
-          futures.map(_.get()).toMap
+          futures.map { fu =>
+            try fu.get()
+            catch { // keep the IO error surface of the sequential path
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }.toMap
         } finally pool.shutdown()
       }
 

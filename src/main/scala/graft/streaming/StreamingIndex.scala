@@ -23,34 +23,46 @@ object StreamingIndex {
     "network STRING, station STRING, location STRING, channel STRING, " +
       "starttime BIGINT, sampling_period BIGINT, samples ARRAY<DOUBLE>")
 
+  /** Shared source → summary stream (bounded-memory batching, header
+    * arithmetic for endtime).
+    */
+  private def summaryStream(spark: SparkSession, segmentsDir: String): DataFrame =
+    spark.readStream
+      .schema(segmentSchema)
+      .option("maxFilesPerTrigger", "1000") // bounded-memory batching
+      .parquet(segmentsDir)
+      .select(
+        col("network"), col("station"), col("location"), col("channel"),
+        col("starttime"),
+        (col("starttime") + size(col("samples")).cast("long") * col("sampling_period"))
+          .as("endtime"),
+        col("sampling_period"))
+
+  /** Per-batch summary aggregation shared by both sinks. */
+  private def batchRows(batch: DataFrame, batchId: Long): DataFrame =
+    batch.groupBy("network", "station", "location", "channel", "sampling_period")
+      .agg(min("starttime").as("starttime"), max("endtime").as("endtime"),
+           count(lit(1)).as("n_segments"))
+      .withColumn("batch_id", lit(batchId))
+
+  private def start(df: DataFrame, checkpointDir: String, availableNow: Boolean)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) => sink(batch, batchId) }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Start (and by default drain) the incremental indexer: parquet
     * segment files under segmentsDir → summary rows appended to
     * indexDir.
     */
   def run(spark: SparkSession, segmentsDir: String, indexDir: String,
-          checkpointDir: String, availableNow: Boolean = true): StreamingQuery = {
-    val stream = spark.readStream
-      .schema(segmentSchema)
-      .option("maxFilesPerTrigger", "1000") // bounded-memory batching
-      .parquet(segmentsDir)
-    val summaries = stream.select(
-      col("network"), col("station"), col("location"), col("channel"),
-      col("starttime"),
-      (col("starttime") + size(col("samples")).cast("long") * col("sampling_period"))
-        .as("endtime"),
-      col("sampling_period"))
-    val writer = summaries.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.groupBy("network", "station", "location", "channel", "sampling_period")
-          .agg(min("starttime").as("starttime"), max("endtime").as("endtime"),
-               count(lit(1)).as("n_segments"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(indexDir)
-        ()
-      }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
-  }
+          checkpointDir: String, availableNow: Boolean = true): StreamingQuery =
+    start(summaryStream(spark, segmentsDir), checkpointDir, availableNow) {
+      (batch, batchId) =>
+        batchRows(batch, batchId).write.mode("append").parquet(indexDir)
+    }
 
   /** The transactional variant: the same incremental indexer, but each
     * micro-batch commits through a [[graft.bank.TxTable]] with an
@@ -64,30 +76,12 @@ object StreamingIndex {
     */
   def runTx(spark: SparkSession, segmentsDir: String,
             tx: graft.bank.TxTable, checkpointDir: String,
-            availableNow: Boolean = true): StreamingQuery = {
-    val stream = spark.readStream
-      .schema(segmentSchema)
-      .option("maxFilesPerTrigger", "1000")
-      .parquet(segmentsDir)
-    val summaries = stream.select(
-      col("network"), col("station"), col("location"), col("channel"),
-      col("starttime"),
-      (col("starttime") + size(col("samples")).cast("long") * col("sampling_period"))
-        .as("endtime"),
-      col("sampling_period"))
-    val writer = summaries.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rows = batch
-          .groupBy("network", "station", "location", "channel", "sampling_period")
-          .agg(min("starttime").as("starttime"), max("endtime").as("endtime"),
-               count(lit(1)).as("n_segments"))
-          .withColumn("batch_id", lit(batchId))
-        tx.appendOnce(rows, tag = s"stream-batch-$batchId")
+            availableNow: Boolean = true): StreamingQuery =
+    start(summaryStream(spark, segmentsDir), checkpointDir, availableNow) {
+      (batch, batchId) =>
+        tx.appendOnce(batchRows(batch, batchId), tag = s"stream-batch-$batchId")
         ()
-      }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
-  }
+    }
 
   /** Streaming availability with watermarked tumbling windows over a
     * live event stream — the streaming analog of the availability agg.
