@@ -51,11 +51,30 @@ object RangeJoinBench {
     val (tEquiRj, nEqui) = time(equiJoin)
     val (tEquiBhj, _) = withDisabled(time(equiJoin))
 
+    // huge×huge: NEITHER side broadcastable (the 100 TB regime, modeled
+    // by disabling broadcasts) — BandedRangeJoinRule's banded equi join
+    // vs the cartesian/BNLJ plan Spark otherwise produces
+    def withHuge[T](banded: Boolean)(f: => T): T = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", width.toString)
+      spark.conf.set("spark.graft.rangeJoin.banded.enabled", banded.toString)
+      try f finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.graft.rangeJoin.bandWidth")
+        spark.conf.unset("spark.graft.rangeJoin.banded.enabled")
+      }
+    }
+    def hugeJoin = points.join(intervals,
+      points("key") === intervals("key") && pureCond).count()
+    val (tHugeBanded, nHuge) = withHuge(banded = true)(time(hugeJoin))
+    val (tHugeBuiltin, _) = withHuge(banded = false)(time(hugeJoin))
+
     println("{" + Seq(
       "pure_range_rangejoin_s" -> tPureRj, "pure_range_bnlj_s" -> tPureBnl,
-      "equi_range_rangejoin_s" -> tEquiRj, "equi_range_bhj_s" -> tEquiBhj)
+      "equi_range_rangejoin_s" -> tEquiRj, "equi_range_bhj_s" -> tEquiBhj,
+      "huge_banded_s" -> tHugeBanded, "huge_builtin_s" -> tHugeBuiltin)
       .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString(",") +
-      s""","n_points":$nPoints,"n_intervals":$nIv,"n_pure":$nPure,"n_equi":$nEqui}""")
+      s""","n_points":$nPoints,"n_intervals":$nIv,"n_pure":$nPure,"n_equi":$nEqui,"n_huge":$nHuge}""")
     spark.stop()
   }
 }
