@@ -113,6 +113,37 @@ class BandedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized differential: banded plan equals built-in plan row-for-row") {
+    val rnd = new scala.util.Random(271828)
+    for (trial <- 0 until 4) {
+      val bw = Seq(7L, 50L, 333L, 1000L)(trial)
+      val nP = 500 + rnd.nextInt(1500)
+      val nR = 50 + rnd.nextInt(250)
+      val pData = (0 until nP).map { i =>
+        (i.toLong, rnd.nextInt(4).toString, rnd.nextInt(20000).toLong -
+          (if (rnd.nextBoolean()) 10000L else 0L))
+      }
+      val rData = (0 until nR).map { i =>
+        val lo = rnd.nextInt(20000).toLong - 10000L
+        (i.toLong, rnd.nextInt(4).toString, lo, lo + rnd.nextInt(800).toLong)
+      }
+      val p = pData.toDF("pid", "key", "ts")
+      val r = rData.toDF("rid", "key", "t1", "t2")
+      asHuge(bandWidth = bw) {
+        def strict = p.join(r, p("key") === r("key") &&
+          p("ts") > r("t1") && p("ts") < r("t2"))       // strict bounds
+        def overlapNoKey = p.join(r,
+          p("ts") >= r("t1") && p("ts") <= r("t2"))     // no equi key
+        for (q <- Seq(strict _, overlapNoKey _)) {
+          val banded = sortedRows(q())
+          val builtin = withBandedDisabled(sortedRows(q()))
+          assert(banded == builtin,
+            s"trial=$trial bw=$bw: ${banded.size} vs ${builtin.size}")
+        }
+      }
+    }
+  }
+
   test("rule stands down when a side is broadcastable (RangeJoinExec wins)") {
     def q = points.join(broadcast(intervals),
       points("ts") >= intervals("t1") && points("ts") <= intervals("t2"))
