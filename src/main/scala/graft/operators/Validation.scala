@@ -21,10 +21,12 @@ object Validation {
     * Rules with no violations contribute nothing (matching the
     * reference's pass/fail frame semantics).
     */
-  def report(rules: Seq[Rule]): DataFrame =
+  def report(rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Validation.report requires at least one rule")
     rules.map(r =>
       r.violations().select(col("entity_id"), lit(r.name).as("rule")))
       .reduce(_ unionByName _)
+  }
 
   /** Aggregated report: violations per rule. */
   def summary(rules: Seq[Rule]): DataFrame =

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{CatalogValidation, Validation}
+
+/** `validate_catalog` end-to-end (obsplus `events/validate.py:284`,
+  * rules :64-281): a synthetic pick/arrival/amplitude/origin catalog is
+  * derived deterministically from the events table — with planted
+  * violations for every rule class (dangling arrival pick ids, null
+  * pick fields, duplicate phase picks, S-before-P, amp-before-P,
+  * median-P outliers, over-limit amplitudes, unknown filter ids,
+  * Z-channel amplitude picks, amplitude/pick time mismatches,
+  * non-finite origin floats) — and the full rule report is
+  * hash-checked against a DuckDB replay.
+  */
+object CatalogQueries {
+
+  /** Deterministic catalog synthesis: ~40 picks per catalog event
+    * (event_id % 250), arrivals for even ids, amplitudes for the
+    * AML/IAML picks, one origin per catalog event. Planted-violation
+    * residues are prime moduli so classes overlap freely.
+    */
+  private def synthCatalog(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = Tables.eventsUs(s, dir)
+    val eid = col("event_id")
+    val cid = concat(lit("smi:local/event/"), (eid % 250).cast("string"))
+    val status = when(eid % 13 === 0, "rejected").otherwise("")
+
+    val picks = e.select(
+      concat(lit("smi:local/pick/"), eid.cast("string")).as("resource_id"),
+      cid.as("event_id"),
+      when(eid % 991 === 0, lit(null: String))
+        .otherwise(concat(lit("N"), (col("user_id") % 2).cast("string")))
+        .as("network"),
+      concat(lit("ST"), (col("user_id") % 5).cast("string")).as("station"),
+      lit("").as("location"),
+      when(eid % 3 === 0, "HHZ").when(eid % 3 === 1, "HHN").otherwise("HHE")
+        .as("channel"),
+      when(eid % 997 === 0, lit(null: String))
+        .when(eid % 5 === 0, "P").when(eid % 5 === 1, "S")
+        .when(eid % 5 === 2, "AML").when(eid % 5 === 3, "IAML")
+        .otherwise("Pg").as("phase_hint"),
+      status.as("evaluation_status"),
+      col("ts").as("time"))
+
+    val arrivals = e.filter(eid % 2 === 0).select(
+      concat(lit("smi:local/arr/"), eid.cast("string")).as("resource_id"),
+      cid.as("event_id"),
+      when(eid % 17 === 0,
+          concat(lit("smi:local/pick/none/"), eid.cast("string")))
+        .otherwise(concat(lit("smi:local/pick/"), eid.cast("string")))
+        .as("pick_id"))
+
+    val amplitudes = e.filter(eid % 5 === 2 || eid % 5 === 3).select(
+      concat(lit("smi:local/amp/"), eid.cast("string")).as("resource_id"),
+      cid.as("event_id"),
+      when(eid % 41 === 0, lit("smi:local/pick/missing"))
+        .otherwise(concat(lit("smi:local/pick/"), eid.cast("string")))
+        .as("pick_id"),
+      col("value").as("generic_amplitude"),
+      when(eid % 4 === 3, lit("smi:local/filter/bad"))
+        .otherwise(concat(lit("smi:local/filter/"), (eid % 3).cast("string")))
+        .as("filter_id"),
+      when(eid % 19 === 0, col("ts") + 1000000L).otherwise(col("ts"))
+        .as("reference"),
+      when(eid % 23 === 0, lit(null: java.lang.Double)).otherwise(lit(0.5))
+        .as("time_begin"),
+      when(eid % 23 === 0, lit(null: java.lang.Double)).otherwise(lit(1.0))
+        .as("time_end"),
+      status.as("evaluation_status"))
+
+    val origins = e.filter(eid < 250).select(
+      concat(lit("smi:local/origin/"), eid.cast("string")).as("resource_id"),
+      cid.as("event_id"),
+      when(eid % 37 === 0, lit(Double.NaN))
+        .otherwise(col("user_id") / 10.0 - 50.0).as("latitude"),
+      (col("value") * 3.0 - 150.0).as("longitude"),
+      (col("value") * 100.0).as("depth"))
+
+    (picks, arrivals, amplitudes, origins)
+  }
+
+  private val allowedFilters =
+    Seq("smi:local/filter/0", "smi:local/filter/1", "smi:local/filter/2")
+
+  val all: Seq[Q] = Seq(
+
+    Q("q70_catalog_validation", (s, dir) => {
+      val (picks, arrivals, amplitudes, origins) = synthCatalog(s, dir)
+      Validation.report(CatalogValidation.rules(
+        picks, arrivals, amplitudes, origins,
+        pLimUs = Some(259200000000L), // 3 days
+        ampLim = Some(150.0),
+        filterIds = allowedFilters,
+        noZAmps = true))
+    }, Some(s"""
+      WITH picks AS (
+        SELECT 'smi:local/pick/' || event_id AS resource_id,
+               'smi:local/event/' || (event_id % 250) AS event_id,
+               CASE WHEN event_id % 991 = 0 THEN NULL
+                    ELSE 'N' || (user_id % 2) END AS network,
+               'ST' || (user_id % 5) AS station,
+               '' AS location,
+               CASE event_id % 3 WHEN 0 THEN 'HHZ' WHEN 1 THEN 'HHN'
+                    ELSE 'HHE' END AS channel,
+               CASE WHEN event_id % 997 = 0 THEN NULL
+                    ELSE CASE event_id % 5 WHEN 0 THEN 'P' WHEN 1 THEN 'S'
+                         WHEN 2 THEN 'AML' WHEN 3 THEN 'IAML'
+                         ELSE 'Pg' END END AS phase_hint,
+               CASE WHEN event_id % 13 = 0 THEN 'rejected' ELSE '' END
+                 AS evaluation_status,
+               epoch_ns(ts) AS time
+        FROM events),
+      arrivals AS (
+        SELECT 'smi:local/arr/' || event_id AS resource_id,
+               'smi:local/event/' || (event_id % 250) AS event_id,
+               CASE WHEN event_id % 17 = 0
+                    THEN 'smi:local/pick/none/' || event_id
+                    ELSE 'smi:local/pick/' || event_id END AS pick_id
+        FROM events WHERE event_id % 2 = 0),
+      amplitudes AS (
+        SELECT 'smi:local/amp/' || event_id AS resource_id,
+               'smi:local/event/' || (event_id % 250) AS event_id,
+               CASE WHEN event_id % 41 = 0 THEN 'smi:local/pick/missing'
+                    ELSE 'smi:local/pick/' || event_id END AS pick_id,
+               value AS generic_amplitude,
+               CASE WHEN event_id % 4 = 3 THEN 'smi:local/filter/bad'
+                    ELSE 'smi:local/filter/' || (event_id % 3) END AS filter_id,
+               CASE WHEN event_id % 19 = 0 THEN epoch_ns(ts) + 1000000
+                    ELSE epoch_ns(ts) END AS reference,
+               CASE WHEN event_id % 23 = 0 THEN NULL ELSE 0.5 END AS time_begin,
+               CASE WHEN event_id % 23 = 0 THEN NULL ELSE 1.0 END AS time_end,
+               CASE WHEN event_id % 13 = 0 THEN 'rejected' ELSE '' END
+                 AS evaluation_status
+        FROM events WHERE event_id % 5 IN (2, 3)),
+      origins AS (
+        SELECT 'smi:local/origin/' || event_id AS resource_id,
+               'smi:local/event/' || (event_id % 250) AS event_id,
+               CASE WHEN event_id % 37 = 0 THEN 'NaN'::DOUBLE
+                    ELSE user_id / 10.0 - 50.0 END AS latitude,
+               value * 3.0 - 150.0 AS longitude,
+               value * 100.0 AS depth
+        FROM events WHERE event_id < 250),
+      active_picks AS (
+        SELECT * FROM picks
+        WHERE COALESCE(evaluation_status, '') <> 'rejected'),
+      active_amps AS (
+        SELECT * FROM amplitudes
+        WHERE COALESCE(evaluation_status, '') <> 'rejected'),
+      pt AS (SELECT event_id, network, station, location,
+                    MIN(time) AS p_time
+             FROM active_picks WHERE UPPER(phase_hint) = 'P'
+             GROUP BY event_id, network, station, location),
+      st AS (SELECT event_id, network, station, location,
+                    MIN(time) AS s_time
+             FROM active_picks WHERE UPPER(phase_hint) = 'S'
+             GROUP BY event_id, network, station, location),
+      pp AS (SELECT resource_id, event_id, time // 1000 AS t_us
+             FROM active_picks WHERE phase_hint = 'P'),
+      med AS (SELECT event_id, quantile_cont(t_us, 0.5) AS med_us
+              FROM pp GROUP BY event_id)
+      SELECT entity_id, rule FROM (
+        SELECT a.resource_id AS entity_id,
+               'check_arrivals_pick_id' AS rule
+        FROM arrivals a
+        WHERE NOT EXISTS (SELECT 1 FROM picks p
+          WHERE p.event_id = a.event_id AND p.resource_id = a.pick_id)
+        UNION ALL
+        SELECT resource_id, 'check_pick_required_fields' FROM picks
+        WHERE network IS NULL OR station IS NULL
+           OR channel IS NULL OR phase_hint IS NULL
+        UNION ALL
+        SELECT resource_id, 'check_duplicate_picks' FROM (
+          SELECT resource_id, row_number() OVER (
+            PARTITION BY event_id, phase_hint, network, station, location
+            ORDER BY time ASC, resource_id ASC) AS rn
+          FROM active_picks WHERE phase_hint IN ('P', 'p', 'S', 's'))
+        WHERE rn > 1
+        UNION ALL
+        SELECT concat_ws('|', pt.event_id,
+                 concat_ws('.', pt.network, pt.station, pt.location)),
+               'check_s_before_p'
+        FROM pt JOIN st ON pt.event_id = st.event_id
+          AND pt.network = st.network AND pt.station = st.station
+          AND pt.location = st.location
+        WHERE st.s_time < pt.p_time
+        UNION ALL
+        SELECT k.resource_id, 'check_amp_before_p'
+        FROM active_picks k JOIN pt ON k.event_id = pt.event_id
+          AND k.network = pt.network AND k.station = pt.station
+          AND k.location = pt.location
+        WHERE k.phase_hint LIKE '%AML' AND k.time < pt.p_time
+        UNION ALL
+        SELECT pp.resource_id, 'check_p_lims'
+        FROM pp JOIN med USING (event_id)
+        WHERE ABS(CAST(t_us AS DOUBLE) - med_us) > 259200000000.0
+        UNION ALL
+        SELECT resource_id, 'check_amp_lims' FROM amplitudes
+        WHERE generic_amplitude > 150.0
+        UNION ALL
+        SELECT resource_id, 'check_amp_filter_ids' FROM amplitudes
+        WHERE COALESCE(filter_id, '') NOT IN
+          ('smi:local/filter/0', 'smi:local/filter/1', 'smi:local/filter/2')
+        UNION ALL
+        SELECT resource_id, 'check_amps_on_z' FROM active_picks
+        WHERE phase_hint IN ('AML', 'IAML') AND channel LIKE '%Z'
+        UNION ALL
+        SELECT a.resource_id, 'check_amp_times_contain_pick_time'
+        FROM active_amps a LEFT JOIN picks p
+          ON p.event_id = a.event_id AND p.resource_id = a.pick_id
+        WHERE (a.time_begin IS NOT NULL OR a.time_end IS NOT NULL)
+          AND (a.reference IS NULL OR p.time IS NULL
+               OR a.reference <> p.time)
+        UNION ALL
+        SELECT resource_id, 'check_origin_floats' FROM origins
+        WHERE isnan(latitude) OR isinf(latitude)
+           OR isnan(longitude) OR isinf(longitude)
+           OR isnan(depth) OR isinf(depth))"""))
+  )
+}

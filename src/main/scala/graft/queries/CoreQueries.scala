@@ -216,18 +216,65 @@ object CoreQueries {
     //      COUNT(DISTINCT) needs a per-group dedup shuffle of every
     //      distinct value; HLL++ is a fixed-size mergeable buffer, and
     //      approx_percentile bounds memory where exact percentile_approx
-    //      of a giant group can't. Sketch outputs aren't cross-engine
-    //      reproducible → rows-only check; SketchSpec asserts error
-    //      bounds against the exact answers.
+    //      of a giant group can't. Sketch bytes aren't cross-engine
+    //      reproducible, so the hashable surface is: the EXACT answers
+    //      (rank-based discrete percentiles — element picks, no FP
+    //      interpolation) plus in-bounds verdicts for each sketch
+    //      against its published error guarantee (HLL rsd=2% → 6% =
+    //      3σ; approx_percentile accuracy=1000 → rank error ≤ n/1000).
+    //      The oracle recomputes the exact columns and asserts the
+    //      verdicts are all 1 — a sketch drifting out of bounds fails
+    //      the driver hash. SketchSpec covers tighter error curves.
     Q("q63_sketch_aggs", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val o = Tables.orders(s, dir)
-      o.groupBy("o_orderstatus")
+      val wS = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wAll = Window.partitionBy("o_orderstatus")
+      val tol = ceil(col("n") / 1000.0) + lit(1)
+      val exact = o.withColumn("rn", row_number().over(wS).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust_exact"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice"))).as("p50_exact"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("o_totalprice"))).as("p95_exact"),
+          max(when(col("rn") === greatest(ceil(col("n") * 0.5) - tol, lit(1L)),
+            col("o_totalprice"))).as("p50_lo"),
+          max(when(col("rn") === least(ceil(col("n") * 0.5) + tol, col("n")),
+            col("o_totalprice"))).as("p50_hi"),
+          max(when(col("rn") === greatest(ceil(col("n") * 0.95) - tol, lit(1L)),
+            col("o_totalprice"))).as("p95_lo"),
+          max(when(col("rn") === least(ceil(col("n") * 0.95) + tol, col("n")),
+            col("o_totalprice"))).as("p95_hi"))
+      val sketched = o.groupBy("o_orderstatus")
         .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_hll"),
              expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)")
-               .as("price_quantiles"))
-        .select(col("o_orderstatus"), col("n_cust_hll"),
-          round(element_at(col("price_quantiles"), 1), 2).as("p50"),
-          round(element_at(col("price_quantiles"), 2), 2).as("p95"))
-    }, None)
+               .as("pq"))
+      exact.join(sketched, "o_orderstatus")
+        .select(col("o_orderstatus"), col("n_cust_exact"),
+          col("p50_exact"), col("p95_exact"),
+          when(abs(col("n_cust_hll") - col("n_cust_exact"))
+            <= col("n_cust_exact") * 0.06, 1L).otherwise(0L).as("hll_ok"),
+          when(element_at(col("pq"), 1).between(col("p50_lo"), col("p50_hi")), 1L)
+            .otherwise(0L).as("p50_ok"),
+          when(element_at(col("pq"), 2).between(col("p95_lo"), col("p95_hi")), 1L)
+            .otherwise(0L).as("p95_ok"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT o_orderstatus, o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders)
+      SELECT o_orderstatus,
+             COUNT(DISTINCT o_custkey) AS n_cust_exact,
+             MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT)
+                      THEN o_totalprice END) AS p50_exact,
+             MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT)
+                      THEN o_totalprice END) AS p95_exact,
+             CAST(1 AS BIGINT) AS hll_ok,
+             CAST(1 AS BIGINT) AS p50_ok,
+             CAST(1 AS BIGINT) AS p95_ok
+      FROM ranked GROUP BY o_orderstatus"""))
   )
 }

@@ -287,12 +287,14 @@ object TextQueries {
       WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
                    len($toksSql) AS n_tokens FROM documents),
       c AS (SELECT doc_id, shard, n_tokens,
-              SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              -- DuckDB widens window SUM(BIGINT) to HUGEINT; cast back so
+              -- the driver's type-aware row hash matches Spark's BIGINT
+              CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_tokens AS tok_offset
+                - n_tokens AS BIGINT) AS tok_offset
             FROM d)
       SELECT doc_id, shard, n_tokens, tok_offset,
-             tok_offset // 512 AS bin FROM c""")),
+             CAST(tok_offset // 512 AS BIGINT) AS bin FROM c""")),
 
     // ---- Gopher-style repetition quality rules: intra-doc dup-n-gram
     //      and top-token fractions, thresholded keep/drop verdict
@@ -406,12 +408,13 @@ object TextQueries {
         WHERE doc_id = keeper),
       packed AS (
         SELECT doc_id, doc_id % 4 AS shard, n_tokens, quality,
-               SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+               -- CAST: DuckDB widens window SUM(BIGINT) to HUGEINT
+               CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 - n_tokens AS tok_offset
+                 - n_tokens AS BIGINT) AS tok_offset
         FROM keepers)
       SELECT doc_id, shard, n_tokens, quality, tok_offset,
-             tok_offset // 512 AS bin
+             CAST(tok_offset // 512 AS BIGINT) AS bin
       FROM packed""")),
 
     // ---- domain-mixture sampling: per-source hash-threshold rates

@@ -159,15 +159,63 @@ object VectorQueries {
       WHERE cosine >= 0.98""")),
 
     // ---- trained IVF cells: Lloyd's k-means over the embedding
-    //      column, per-cell population. FP means aren't hash-stable
-    //      across engines, so this is a rows-only check (no oracle) —
-    //      KMeansSpec covers the semantics.
+    //      column, per-cell population. The whole pipeline is
+    //      derandomized (first-k-by-id seeding, argmin with first-min
+    //      tie-break), so DuckDB can replay the exact iterations: the
+    //      per-iteration float32 cast of each centroid mean absorbs
+    //      cross-engine double-summation noise (~1e-13 relative, 7
+    //      orders below the float32 ulp), and the emitted columns are
+    //      integers — hash-stable end to end.
     Q("q61_kmeans_cells", (s, dir) => {
       val e = Tables.embeddings(s, dir)
       val (_, asgn) = graft.operators.KMeans.fit(
         e, "vec_id", "embedding", k = 8, iters = 3)
       asgn.groupBy("cell")
         .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_id"))
-    }, None)
+    }, Some(kmeansOracleSql(k = 8, iters = 3)))
   )
+
+  /** DuckDB replay of [[graft.operators.KMeans.fit]]'s derandomized
+    * Lloyd's loop: seed = first k vectors by id, each iteration
+    * assigns by double-precision squared-L2 argmin (first-min cell
+    * tie-break, matching `array_position(array_min)`) then recomputes
+    * per-dim means cast to float32 (matching `.toFloat`); empty cells
+    * keep their previous centroid (`means.getOrElse`).
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def d2(e: String, c: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+            * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
+    def asgn(cent: String) = s"""
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${d2("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN $cent c)
+      WHERE rn = 1"""
+    def nextCent(prev: String, asgnT: String) = s"""
+      SELECT p.cell, COALESCE(m.c, p.c) AS c
+      FROM $prev p LEFT JOIN (
+        SELECT cell, list(m ORDER BY dim) AS c FROM (
+          SELECT cell, dim, CAST(AVG(CAST(v AS DOUBLE)) AS FLOAT) AS m
+          FROM (SELECT cell, unnest(range(1, 65)) AS dim,
+                       unnest(embedding) AS v FROM $asgnT)
+          GROUP BY cell, dim)
+        GROUP BY cell) m USING (cell)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""asgn$i AS (${asgn(s"cent${i - 1}")}),
+      cent$i AS (${nextCent(s"cent${i - 1}", s"asgn$i")})"""
+    }.mkString(",\n      ")
+    s"""
+      WITH cent0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               embedding AS c
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+      $iterCtes,
+      final_asgn AS (${asgn(s"cent$iters")})
+      SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n_vecs,
+             MIN(vec_id) AS min_id
+      FROM final_asgn GROUP BY cell"""
+  }
 }
