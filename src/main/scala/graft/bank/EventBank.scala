@@ -136,9 +136,10 @@ class EventBank(spark: SparkSession, root: String,
       var done = false
       while (!done) {
         val cur = txTable.latestVersion()
-        val src = if (cur >= 0) txTable.read(Some(cur)) else txTable.read()
+        if (cur < 0) return // fresh bank: nothing committed to compact
         done = txTable.overwriteIfVersion(
-          MergeOps.latestByKey(src, "event_id", Seq(col("updated"))), cur)
+          MergeOps.latestByKey(txTable.read(Some(cur)), "event_id",
+            Seq(col("updated"))), cur)
           .isDefined
       }
     } else writeSwap(MergeOps.latestByKey(

@@ -25,10 +25,13 @@ import scala.collection.mutable
   *
   *   - **Atomic commits**: a commit is visible iff its log file exists;
   *     data files written but never committed are invisible garbage.
-  *     Commit content is staged to a temp file, then version N is
-  *     claimed put-if-absent: hardlink on local filesystems (POSIX
+  *     Version N is claimed put-if-absent through a scheme-resolved
+  *     [[TxTable.ClaimStore]]: hardlink on local filesystems (POSIX
   *     rename cannot fail-if-exists), `FileContext.rename(Rename.NONE)`
-  *     on HDFS; object stores should map this to a conditional put.
+  *     on HDFS; object-store schemes are REJECTED unless a
+  *     conditional-put store is registered
+  *     ([[TxTable.registerClaimStore]]) — their copy-based rename
+  *     would let two writers win one version and lose a commit.
   *   - **Optimistic concurrency**: writers prepare data files, then try
   *     to claim version `latest+1`; a loser re-reads the log and
   *     retries. Blind appends always commute; `overwrite`/`compact`
@@ -48,7 +51,8 @@ import scala.collection.mutable
   */
 class TxTable(spark: SparkSession, root: String,
               checkpointInterval: Int = 10,
-              mergeSchemaOnRead: Boolean = false) {
+              mergeSchemaOnRead: Boolean = false,
+              tagRetention: Option[Long] = None) {
 
   val logDir = s"$root/_txlog"
   val dataDir = s"$root/data"
@@ -73,7 +77,12 @@ class TxTable(spark: SparkSession, root: String,
     FileContext.getFileContext(fs.getUri,
       spark.sparkContext.hadoopConfiguration)
 
-  private def isLocal: Boolean = "file" == rawFs.getUri.getScheme
+  /** Scheme-gated claim primitive (mirrors Delta's LogStore gating):
+    * resolved once; unknown schemes FAIL FAST at first commit instead
+    * of silently racing on a copy-based rename.
+    */
+  private lazy val claimStore: TxTable.ClaimStore =
+    TxTable.claimStoreFor(rawFs, fc, logDir)
 
   private def versionFile(v: Long): Path =
     new Path(logDir, f"$v%020d.json")
@@ -89,7 +98,10 @@ class TxTable(spark: SparkSession, root: String,
   private def encode(a: TxAction): String = a match {
     case AddFile(p, rows) => s"""{"add":{"path":"${esc(p)}","rows":$rows}}"""
     case RemoveFile(p) => s"""{"remove":{"path":"${esc(p)}"}}"""
-    case CommitTag(t) => s"""{"tag":{"value":"${esc(t)}"}}"""
+    case CommitTag(t, v) =>
+      if (v >= 0) s"""{"tag":{"value":"${esc(t)}","v":$v}}"""
+      else s"""{"tag":{"value":"${esc(t)}"}}"""
+    case MetaData(schemaJson) => s"""{"meta":{"schema":"${esc(schemaJson)}"}}"""
   }
 
   private def decode(line: String): Option[TxAction] = {
@@ -107,56 +119,21 @@ class TxTable(spark: SparkSession, root: String,
     else if (t.startsWith("{\"remove\""))
       field(t, "path").map(RemoveFile)
     else if (t.startsWith("{\"tag\""))
-      field(t, "value").map(CommitTag)
+      field(t, "value").map(v =>
+        CommitTag(v, field(t, "v").map(_.toLong).getOrElse(-1L)))
+    else if (t.startsWith("{\"meta\""))
+      field(t, "schema").map(MetaData)
     else None // unknown action kinds are skipped (forward compatibility)
   }
 
-  /** Atomic publish: the full content is written to a hidden temp file
-    * first, then linked/renamed into place — a log file is either
-    * absent or complete, never partial, and a claim either wins the
-    * version atomically or reports the loss. A crash mid-write leaves
-    * only a `.tmp-*` file that no reader lists.
-    *
-    * Claim primitive by scheme: POSIX rename cannot fail-if-exists, so
-    * on local filesystems the claim is a hardlink
-    * (`Files.createLink` — atomic, throws FileAlreadyExistsException);
-    * everywhere else `FileContext.rename(..., Rename.NONE)` (atomic
-    * no-overwrite on HDFS; object stores should map this to a
-    * conditional put).
+  /** Atomic publish through the scheme-resolved [[TxTable.ClaimStore]]:
+    * a log file is either absent or complete, never partial, and a
+    * claim either wins the version atomically or reports the loss.
     */
   private def writeAtomic(p: Path, lines: Seq[String], overwrite: Boolean): Boolean = {
-    val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = rawFs.create(tmp, false)
-    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    try {
-      if (overwrite) {
-        fc.rename(tmp, p, Options.Rename.OVERWRITE)
-        true
-      } else if (isLocal) {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(p.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            // link-less local fs (vfat/FUSE/SMB): fall back to the
-            // rename claim — weaker under contention, never unusable
-            fc.rename(tmp, p, Options.Rename.NONE)
-            true
-        }
-      } else {
-        fc.rename(tmp, p, Options.Rename.NONE)
-        true
-      }
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if rawFs.exists(p) && !overwrite => false
-    } finally {
-      if (rawFs.exists(tmp)) rawFs.delete(tmp, false) // staged copy: discard
-    }
+    val bytes = (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
+    if (overwrite) { claimStore.put(p, bytes); true }
+    else claimStore.putIfAbsent(p, bytes)
   }
 
   private def readLines(p: Path): Seq[String] = {
@@ -195,17 +172,33 @@ class TxTable(spark: SparkSession, root: String,
       readLines(checkpointFile(v)).flatMap(decode).foreach {
         case a: AddFile => live(a.path) = a
         case RemoveFile(p) => live.remove(p)
-        case _: CommitTag => ()
+        case _ => ()
       }
     }
     commits.filter(v => v <= target && startCp.forall(v > _)).foreach { v =>
       readLines(versionFile(v)).flatMap(decode).foreach {
         case a: AddFile => live(a.path) = a
         case RemoveFile(p) => live.remove(p)
-        case _: CommitTag => ()
+        case _ => ()
       }
     }
     live.values.toVector
+  }
+
+  /** Last committed schema (a `meta` action) as of `target`. */
+  private def schemaJsonAt(commits: Seq[Long], cps: Seq[Long],
+                           target: Long): Option[String] = {
+    val startCp = cps.filter(_ <= target).lastOption
+    var meta: Option[String] = startCp.flatMap(v =>
+      readLines(checkpointFile(v)).flatMap(decode)
+        .collectFirst { case MetaData(j) => j })
+    commits.filter(v => v <= target && startCp.forall(v > _)).foreach { v =>
+      readLines(versionFile(v)).flatMap(decode).foreach {
+        case MetaData(j) => meta = Some(j)
+        case _ => ()
+      }
+    }
+    meta
   }
 
   /** Read the table (optionally as of an older version).
@@ -216,8 +209,19 @@ class TxTable(spark: SparkSession, root: String,
     */
   def read(version: Option[Long] = None): DataFrame = {
     val files = snapshot(version).map(_.path)
-    if (files.isEmpty)
-      spark.emptyDataFrame
+    if (files.isEmpty) {
+      // empty live set: the committed schema survives in the log's
+      // `meta` actions, so downstream plans (compaction, watermark
+      // aggregates) still resolve their columns
+      val (commits, cps) = listLog()
+      val target = version.getOrElse(commits.lastOption.getOrElse(-1L))
+      schemaJsonAt(commits, cps, target).map { j =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }.getOrElse(spark.emptyDataFrame)
+    }
     else if (mergeSchemaOnRead)
       spark.read.option("mergeSchema", "true").parquet(files: _*)
     else spark.read.parquet(files: _*)
@@ -231,30 +235,40 @@ class TxTable(spark: SparkSession, root: String,
     val ok = writeAtomic(versionFile(v), actions.map(encode), overwrite = false)
     if (ok && v > 0 && v % checkpointInterval == 0) {
       // checkpoint is derived state: safe to (re)write with overwrite.
-      // It carries the tag set too, so tags() replay is O(interval)
-      // like snapshot() — not O(table age).
+      // It carries the tag set (each tag stamped with its commit
+      // version) and the latest schema, so tags() replay and
+      // empty-table reads are O(interval) — not O(table age).
+      // tagRetention drops tags whose commit is older than the horizon
+      // the producer's own checkpoint could ever replay, bounding the
+      // tag set for long-lived streams (docs/NEXT.md).
       val (commits, cps) = listLog()
-      val full = snapshot(Some(v)).map(a => encode(a)) ++
-        tagsFrom(commits, cps, v).map(t => encode(CommitTag(t)))
+      val horizon = tagRetention.map(r => v - r).getOrElse(Long.MinValue)
+      val tagLines = tagsFrom(commits, cps, v)
+        .filter { case (tv, _) => tv < 0 || tv >= horizon }
+        .map { case (tv, t) => encode(CommitTag(t, tv)) }
+      val metaLine =
+        schemaJsonAt(commits, cps, v).map(j => encode(MetaData(j))).toSeq
+      val full = snapshot(Some(v)).map(a => encode(a)) ++ metaLine ++ tagLines
       writeAtomic(checkpointFile(v), full, overwrite = true)
     }
     ok
   }
 
-  /** All tags committed ≤ target: newest checkpoint's tag lines plus
-    * the delta commits after it.
+  /** All (commitVersion, tag) pairs committed ≤ target: newest
+    * checkpoint's tag lines (version-stamped) plus the delta commits
+    * after it. Tags from pre-versioning checkpoints carry -1.
     */
   private def tagsFrom(commits: Seq[Long], cps: Seq[Long],
-                       target: Long): Seq[String] = {
+                       target: Long): Seq[(Long, String)] = {
     val startCp = cps.filter(_ <= target).lastOption
     val fromCp = startCp.toSeq.flatMap(v =>
       readLines(checkpointFile(v)).flatMap(decode).collect {
-        case CommitTag(t) => t
+        case CommitTag(t, tv) => (tv, t)
       })
     val fromDeltas = commits
       .filter(v => v <= target && startCp.forall(v > _))
       .flatMap(v => readLines(versionFile(v)).flatMap(decode).collect {
-        case CommitTag(t) => t
+        case CommitTag(t, _) => (v, t)
       })
     fromCp ++ fromDeltas
   }
@@ -275,8 +289,10 @@ class TxTable(spark: SparkSession, root: String,
     * what makes [[appendOnce]] replay-safe.
     */
   def append(df: DataFrame, tag: Option[String] = None): Long = {
-    val adds: Seq[TxAction] = stageFiles(df) ++ tag.map(CommitTag).toSeq
-    if (adds.isEmpty) return latestVersion()
+    val staged = stageFiles(df)
+    if (staged.isEmpty && tag.isEmpty) return latestVersion()
+    val adds: Seq[TxAction] = staged ++ Seq(MetaData(df.schema.json)) ++
+      tag.map(t => CommitTag(t)).toSeq
     var v = latestVersion() + 1
     while (!tryCommit(v, adds)) v = latestVersion() + 1
     v
@@ -288,7 +304,7 @@ class TxTable(spark: SparkSession, root: String,
   def tags(): Seq[String] = {
     val (commits, cps) = listLog()
     if (commits.isEmpty) Nil
-    else tagsFrom(commits, cps, commits.last)
+    else tagsFrom(commits, cps, commits.last).map(_._2)
   }
 
   /** Idempotent append for replayed producers (a Structured Streaming
@@ -304,12 +320,13 @@ class TxTable(spark: SparkSession, root: String,
   def appendOnce(df: DataFrame, tag: String): Option[Long] = {
     val (commits0, cps0) = listLog()
     if (commits0.nonEmpty &&
-      tagsFrom(commits0, cps0, commits0.last).contains(tag)) return None
-    val adds: Seq[TxAction] = stageFiles(df) ++ Seq(CommitTag(tag))
+      tagsFrom(commits0, cps0, commits0.last).exists(_._2 == tag)) return None
+    val adds: Seq[TxAction] = stageFiles(df) ++
+      Seq(MetaData(df.schema.json), CommitTag(tag))
     while (true) {
       val (commits, cps) = listLog()
       val latest = commits.lastOption.getOrElse(-1L)
-      if (commits.nonEmpty && tagsFrom(commits, cps, latest).contains(tag))
+      if (commits.nonEmpty && tagsFrom(commits, cps, latest).exists(_._2 == tag))
         return None // competitor landed this tag; staged files → vacuum
       if (tryCommit(latest + 1, adds)) return Some(latest + 1)
     }
@@ -325,7 +342,7 @@ class TxTable(spark: SparkSession, root: String,
     * discard a concurrent commit that landed after the read.
     */
   def overwrite(df: DataFrame): Long = {
-    val adds = stageFiles(df)
+    val adds = stageFiles(df) :+ MetaData(df.schema.json)
     var done = false
     var v = -1L
     while (!done) {
@@ -347,7 +364,7 @@ class TxTable(spark: SparkSession, root: String,
     * [[vacuum]]'s age guard.
     */
   def overwriteIfVersion(df: DataFrame, expected: Long): Option[Long] = {
-    val adds = stageFiles(df)
+    val adds = stageFiles(df) :+ MetaData(df.schema.json)
     val removes =
       if (expected < 0) Nil
       else snapshot(Some(expected)).map(a => RemoveFile(a.path))
@@ -365,7 +382,8 @@ class TxTable(spark: SparkSession, root: String,
     var done = false
     while (!done) {
       val cur = latestVersion()
-      val df = read(if (cur < 0) None else Some(cur))
+      if (cur < 0) return -1L // nothing committed: nothing to compact
+      val df = read(Some(cur))
       overwriteIfVersion(df, cur) match {
         case Some(v) => res = v; done = true
         case None => ()
@@ -406,7 +424,130 @@ class TxTable(spark: SparkSession, root: String,
   }
 }
 
+object TxTable {
+
+  /** The atomic-publish primitive a transactional log needs from its
+    * storage: `putIfAbsent` must be ATOMIC create-if-absent (two
+    * concurrent callers on the same path — exactly one true). On
+    * object stores this maps to a conditional put (`If-None-Match: *`);
+    * the Hadoop FileSystem API cannot express it, which is why schemes
+    * without an atomic no-overwrite rename are rejected unless a store
+    * is registered (the Delta LogStore gating shape).
+    */
+  trait ClaimStore {
+    /** Atomically publish `content` at `p` iff absent; false if lost. */
+    def putIfAbsent(p: Path, content: Array[Byte]): Boolean
+    /** Unconditional overwrite-publish (derived state: checkpoints). */
+    def put(p: Path, content: Array[Byte]): Unit
+  }
+
+  /** Rename-based store: full content staged to a hidden temp file,
+    * then moved into place. The no-overwrite move is
+    * `FileContext.rename(Rename.NONE)` — atomic server-side on HDFS.
+    * A crash mid-write leaves only a `.tmp-*` file no reader lists.
+    */
+  private[graft] class RenameClaimStore(raw: FileSystem, fc: FileContext,
+                                       tmpDir: String) extends ClaimStore {
+    protected def stage(content: Array[Byte]): Path = {
+      val tmp = new Path(tmpDir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = raw.create(tmp, false)
+      try out.write(content) finally out.close()
+      tmp
+    }
+    protected def claim(tmp: Path, p: Path): Boolean = {
+      fc.rename(tmp, p, Options.Rename.NONE); true
+    }
+    final def putIfAbsent(p: Path, content: Array[Byte]): Boolean = {
+      val tmp = stage(content)
+      try claim(tmp, p)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if raw.exists(p) => false
+      } finally {
+        if (raw.exists(tmp)) raw.delete(tmp, false) // staged copy: discard
+      }
+    }
+    final def put(p: Path, content: Array[Byte]): Unit = {
+      val tmp = stage(content)
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Local-filesystem store: POSIX rename cannot fail-if-exists, so
+    * the claim is a hardlink (`Files.createLink` — atomic, throws
+    * FileAlreadyExistsException), with a rename fallback for link-less
+    * local filesystems (vfat/FUSE/SMB) — weaker under contention,
+    * never unusable.
+    */
+  private[graft] class HardlinkClaimStore(raw: FileSystem, fc: FileContext,
+                                         tmpDir: String)
+      extends RenameClaimStore(raw, fc, tmpDir) {
+    override protected def claim(tmp: Path, p: Path): Boolean = {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          super.claim(tmp, p)
+      }
+    }
+  }
+
+  /** Schemes whose FileSystem rename is an atomic no-overwrite move.
+    * Everything else (s3/s3a/gs/wasb/abfs/oss/...) implements rename as
+    * a client-side copy + existence check, under which two concurrent
+    * writers can both "win" the same version and one commit is
+    * silently lost — exactly the contract violation this class exists
+    * to prevent, so those schemes are rejected outright.
+    */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  // scheme → ClaimStore factory, for object-store conditional-put
+  // integrations (and tests): one registration makes every TxTable on
+  // that scheme safe.
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, (FileSystem, FileContext) => ClaimStore]()
+
+  /** Register a conditional-put claim store for a scheme (e.g. "s3a"
+    * backed by S3 `If-None-Match: *` puts).
+    */
+  def registerClaimStore(scheme: String,
+                         factory: (FileSystem, FileContext) => ClaimStore): Unit =
+    registry.put(scheme, factory)
+
+  def unregisterClaimStore(scheme: String): Unit = registry.remove(scheme)
+
+  private[graft] def claimStoreFor(raw: FileSystem, fc: FileContext,
+                                  tmpDir: String): ClaimStore =
+    resolve(Option(raw.getUri.getScheme).getOrElse("file"), raw, fc, tmpDir)
+
+  private[graft] def resolve(scheme: String, raw: FileSystem, fc: FileContext,
+                            tmpDir: String): ClaimStore = {
+    Option(registry.get(scheme)).map(_(raw, fc)).getOrElse {
+      if (scheme == "file") new HardlinkClaimStore(raw, fc, tmpDir)
+      else if (AtomicRenameSchemes(scheme)) new RenameClaimStore(raw, fc, tmpDir)
+      else throw new IllegalArgumentException(
+        s"TxTable: filesystem scheme '$scheme' has no atomic no-overwrite " +
+          "rename (on object stores rename is a copy + existence check, so " +
+          "two concurrent writers can both claim the same version and one " +
+          "commit is silently lost). Register a conditional-put claim via " +
+          "TxTable.registerClaimStore(scheme, factory) — on S3/GCS an " +
+          "If-None-Match:* put — or point the table at HDFS/local storage.")
+    }
+  }
+}
+
 sealed trait TxAction
 final case class AddFile(path: String, rows: Long) extends TxAction
 final case class RemoveFile(path: String) extends TxAction
-final case class CommitTag(value: String) extends TxAction
+/** `atVersion` stamps the owning commit when re-emitted in checkpoints
+  * (-1 in delta files, where the filename is the version).
+  */
+final case class CommitTag(value: String, atVersion: Long = -1L) extends TxAction
+/** Table schema (Spark StructType JSON) — rides every file-adding
+  * commit so an empty live set still reads with its schema.
+  */
+final case class MetaData(schemaJson: String) extends TxAction

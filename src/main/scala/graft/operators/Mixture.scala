@@ -57,8 +57,13 @@ object Mixture {
                   rankCol: Option[String] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols: _*).orderBy(order: _*)
-    // collision-safe internal name: never clobbers a caller column
-    val internal = "_graft_qrank"
+    // collision-safe internal name: suffix a counter past any caller
+    // column, and refuse to silently replace an existing rankCol
+    rankCol.foreach(name => require(!df.columns.contains(name),
+      s"capPerGroup: rank column '$name' already exists in the input"))
+    val internal = Iterator.from(0)
+      .map(i => if (i == 0) "_graft_qrank" else s"_graft_qrank$i")
+      .find(n => !df.columns.contains(n)).get
     val ranked = df.withColumn(internal, row_number().over(w))
       .filter(col(internal) <= k)
     rankCol match {

@@ -85,11 +85,21 @@ object GsgDataSource {
                           channel: String, starttime: Long,
                           samplingPeriod: Long, n: Int)
 
+  /** Largest representable sample count: the payload byte array
+    * (8 bytes/sample) plus header must fit in a JVM array (Int index).
+    * Beyond it `(8L*n).toInt` would wrap negative and the reader would
+    * die in NegativeArraySizeException instead of skipping cleanly.
+    */
+  val MaxSamples: Int = (Int.MaxValue - HeaderLen) / 8
+
   /** The single header parser (BinarySegmentSource delegates here).
     * Magic AND sample-count validation: a corrupt block whose bytes
     * happen to spell the magic but carry a negative count must parse as
     * corrupt, or the record-chain hop (`pos + 56 + 8n`) would stop
-    * advancing — a planner hang, not a skipped file.
+    * advancing — a planner hang, not a skipped file. A count above
+    * [[MaxSamples]] (payload > 2 GB) is equally treated as corrupt —
+    * no real segment is that large and the slice/array math can't
+    * represent it.
     */
   def parseHeader(buf: Array[Byte]): Option[Header] = {
     if (buf.length < HeaderLen) return None
@@ -101,7 +111,7 @@ object GsgDataSource {
     }
     val h = Header(str8(), str8(), str8(), str8(),
       bb.getLong(), bb.getLong(), bb.getInt())
-    if (h.n < 0) None else Some(h)
+    if (h.n < 0 || h.n > MaxSamples) None else Some(h)
   }
 }
 

@@ -59,20 +59,49 @@ object Stations {
     out
   }
 
+  /** The reference's NRL response attachment
+    * (`utils/stations.py:53-146, 330`: `_update_nrl_response` keyed by
+    * `datalogger_keys`/`sensor_keys`) re-expressed offline: the
+    * Nominal Response Library becomes a LOCAL lookup table
+    * `(datalogger_keys, sensor_keys, response)` broadcast-joined onto
+    * the channel table — no network client, no per-channel lookup
+    * loop. Channels without keys keep a null response; with
+    * `requireMatch` a keyed channel that resolves no response fails
+    * the scan (the reference raises when NRL can't resolve).
+    */
+  def attachResponses(channels: DataFrame, responses: DataFrame,
+                      requireMatch: Boolean = false): DataFrame = {
+    val resp = broadcast(responses
+      .select(col("datalogger_keys"), col("sensor_keys"), col("response")))
+    val joined = channels.join(resp,
+      Seq("datalogger_keys", "sensor_keys"), "left")
+    if (!requireMatch) joined
+    else joined.withColumn("response",
+      when(col("datalogger_keys").isNotNull && col("sensor_keys").isNotNull
+          && col("response").isNull,
+        raise_error(concat(lit("no response for keys: "),
+          col("datalogger_keys").cast("string"), lit(" / "),
+          col("sensor_keys").cast("string"))))
+        .otherwise(col("response")))
+  }
+
   /** Rebuild the nested inventory: one row per network with
     * station structs each holding their channel structs — two
     * `collect_list(struct)` groupBys, deterministic ordering via
-    * array_sort on the struct keys.
+    * array_sort on the struct keys. A `response` column (from
+    * [[attachResponses]]) rides inside the channel struct.
     */
   def toInventory(channels: DataFrame): DataFrame = {
+    val chCols =
+      Seq("location", "channel", "seed_id", "sample_rate",
+        "start_date", "end_date") ++
+        (if (channels.columns.contains("response")) Seq("response") else Nil)
     val stationLevel = channels
       .groupBy("network", "station")
       .agg(
         first("latitude").as("latitude"),
         first("longitude").as("longitude"),
-        array_sort(collect_list(struct(
-          col("location"), col("channel"), col("seed_id"),
-          col("sample_rate"), col("start_date"), col("end_date")))).as("channels"))
+        array_sort(collect_list(struct(chCols.map(col): _*))).as("channels"))
     stationLevel.groupBy("network")
       .agg(array_sort(collect_list(struct(
         col("station"), col("latitude"), col("longitude"),
@@ -83,18 +112,22 @@ object Stations {
     * explode with parent context carried along (the generator-shaped
     * tree→rows extraction of `dfextractor.py:158-189`).
     */
-  def flatten(inventory: DataFrame): DataFrame =
-    inventory
+  def flatten(inventory: DataFrame): DataFrame = {
+    val exploded = inventory
       .select(col("network"), explode(col("stations")).as("st"))
       .select(col("network"), col("st.station").as("station"),
         col("st.latitude").as("latitude"), col("st.longitude").as("longitude"),
         explode(col("st.channels")).as("ch"))
-      .select(col("network"), col("station"),
-        col("ch.location").as("location"), col("ch.channel").as("channel"),
-        col("ch.seed_id").as("seed_id"),
-        col("latitude"), col("longitude"),
-        col("ch.sample_rate").as("sample_rate"),
-        col("ch.start_date").as("start_date"), col("ch.end_date").as("end_date"))
+    val hasResponse = exploded.select("ch.*").columns.contains("response")
+    exploded.select(Seq(col("network"), col("station"),
+      col("ch.location").as("location"), col("ch.channel").as("channel"),
+      col("ch.seed_id").as("seed_id"),
+      col("latitude"), col("longitude"),
+      col("ch.sample_rate").as("sample_rate"),
+      col("ch.start_date").as("start_date"),
+      col("ch.end_date").as("end_date")) ++
+      (if (hasResponse) Seq(col("ch.response").as("response")) else Nil): _*)
+  }
 
   /** JSON round trip of the nested inventory (catalog↔JSON analog,
     * obsplus `events/json.py`).

@@ -41,6 +41,44 @@ class StationsSpec extends SparkSpec {
     assert(back.select("network").as[String].collect().toSet == Set("N1", "N2"))
   }
 
+  test("NRL-style response attachment rides the inventory round trip") {
+    // channels with NRL keys (two share a response), one without
+    val keyed = channels
+      .withColumn("datalogger_keys",
+        when(col("station") =!= "S3",
+          array(lit("REF TEK"), lit("RT 130"), lit("1"), lit("40"))))
+      .withColumn("sensor_keys",
+        when(col("station") =!= "S3",
+          array(lit("Nanometrics"), lit("Trillium 120"))))
+    val responses = Seq(
+      (Seq("REF TEK", "RT 130", "1", "40"),
+        Seq("Nanometrics", "Trillium 120"), "poles-zeros:pz-1")
+    ).toDF("datalogger_keys", "sensor_keys", "response")
+    val attached = Stations.attachResponses(keyed, responses)
+    val flat = Stations.flatten(Stations.toInventory(attached))
+    assert(flat.columns.contains("response"))
+    val byStation = flat.select("station", "response").as[(String, Option[String])]
+      .collect().toMap
+    assert(byStation("S1").contains("poles-zeros:pz-1"))
+    assert(byStation("S2").contains("poles-zeros:pz-1"))
+    assert(byStation("S3").isEmpty) // no keys: null response, no error
+    // requireMatch: a keyed channel with no matching response fails fast
+    val e = intercept[Exception] {
+      Stations.attachResponses(keyed,
+          responses.withColumn("sensor_keys", array(lit("other"))),
+          requireMatch = true)
+        .collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("no response for keys"), chain)
+    // responses survive JSON serialization of the tree too
+    val inv = Stations.toInventory(attached)
+    val back = Stations.fromJson(Stations.toJson(inv), inv.schema)
+    assert(Stations.flatten(back).filter(col("response").isNotNull).count() == 3)
+  }
+
   test("StationBank implements the StationClient protocol") {
     val client: graft.core.StationClient = new StationBank(channels)
     assert(client.getStations(StationQuery(network = "N1")).count() ==
