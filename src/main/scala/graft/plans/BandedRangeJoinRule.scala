@@ -53,9 +53,61 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
     SQLConf.get.getConfString("spark.graft.rangeJoin.banded.enabled", "true").toBoolean &&
       SQLConf.get.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
 
-  private def bandWidth: Long =
-    SQLConf.get.getConfString("spark.graft.rangeJoin.bandWidth",
-      "3600000000000").toLong
+  /** Default width: 1 hour in ns (the engine's epoch-ns convention). */
+  private val DefaultBandWidth = 3600000000000L
+
+  /** Explicitly configured width, if any — always wins over auto. */
+  private def explicitBandWidth: Option[Long] = {
+    val v = SQLConf.get.getConfString("spark.graft.rangeJoin.bandWidth", "")
+    if (v.isEmpty) None else Some(v.toLong)
+  }
+
+  private def autoWidthEnabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.rangeJoin.bandWidth.auto",
+      "true").toBoolean
+
+  /** Last auto-derived width — diagnostic/test observability hook. */
+  @volatile private[graft] var lastAutoWidth: Option[Long] = None
+
+  /** Column-stats band-width derivation (docs/NEXT.md follow-up): with
+    * CBO stats present (`ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    * COLUMNS` + `spark.sql.cbo.enabled`), a side whose intervals tile
+    * their [min(lo), max(hi)] extent has typical span ≈ extent /
+    * rowCount; the width that keeps bands-per-row O(1) on BOTH sides is
+    * the larger of the two estimates (a point side derives a tiny
+    * width and never dominates). Returns None — falling back to the
+    * conf/default — when either min/max or rowCount is unavailable.
+    */
+  private[graft] def deriveAutoWidth(l: LogicalPlan, r: LogicalPlan,
+                                     e: RangeExtract.Extracted): Option[Long] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case n: Long => Some(n)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    def attrOf(x: Expression): Option[Attribute] = x match {
+      case a: Attribute => Some(a)
+      case c: Cast => attrOf(c.child)
+      case _ => None
+    }
+    def side(p: LogicalPlan, lo: Expression, hi: Expression): Option[Long] = {
+      val st = p.stats
+      for {
+        n <- st.rowCount if n > 0
+        loA <- attrOf(lo)
+        hiA <- attrOf(hi)
+        loS <- st.attributeStats.get(loA)
+        hiS <- st.attributeStats.get(hiA)
+        mn <- loS.min.flatMap(longOf)
+        mx <- hiS.max.flatMap(longOf)
+        if mx > mn
+      } yield ((BigInt(mx) - BigInt(mn)) / n).max(1).toLong
+    }
+    val ws = Seq(side(l, e.streamLo, e.streamHi),
+      side(r, e.bcastLo, e.bcastHi)).flatten
+    if (ws.isEmpty) None else Some(ws.max)
+  }
 
   private def maxBandsPerRow: Long =
     SQLConf.get.getConfString("spark.graft.rangeJoin.maxBandsPerRow",
@@ -111,7 +163,14 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
         RangeExtract.extract(cond, l, r) match {
           case Some(e) if Seq(e.streamLo, e.streamHi, e.bcastLo, e.bcastHi)
               .forall(isBandable) =>
-            val w = Literal(bandWidth, LongType)
+            // width precedence: explicit conf > CBO-derived > default
+            val derived =
+              if (explicitBandWidth.isEmpty && autoWidthEnabled)
+                deriveAutoWidth(l, r, e)
+              else None
+            derived.foreach(d => lastAutoWidth = Some(d))
+            val w = Literal(explicitBandWidth.orElse(derived)
+              .getOrElse(DefaultBandWidth), LongType)
             val cap = maxBandsPerRow
             // Normalize each side's span with least/greatest so rows
             // whose extracted bounds come from unrelated columns (lo >

@@ -1,0 +1,97 @@
+package graft
+
+import graft.plans.BandedRangeJoinRule
+import org.apache.spark.sql.functions._
+
+/** Band-width auto-tuning (docs/NEXT.md follow-up): with CBO column
+  * stats analyzed, the rule derives a width from extent/rowCount of
+  * the range columns — landing within 2× of the hand-tuned conf on the
+  * RangeJoinBench workload shape — and explicit conf still wins.
+  */
+class AutoBandWidthSpec extends SparkSpec {
+
+  // the RangeJoinBench huge×huge workload, scaled down: intervals of
+  // fixed width span/nIv*2 tiling a span; hand-tuned width = interval
+  // width
+  private val span = 1_000_000L
+  private val nPoints = 20000L
+  private val nIv = 500L
+  private val handTuned = span / nIv * 2
+
+  private def withTables[T](f: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS g_auto_points")
+    spark.sql("DROP TABLE IF EXISTS g_auto_iv")
+    spark.range(nPoints)
+      .select(col("id"), (col("id") * 2654435761L % span).as("ts"),
+        (col("id") % 10).cast("string").as("key"))
+      .write.saveAsTable("g_auto_points")
+    spark.range(nIv)
+      .select(col("id").as("iid"), (col("id") * 40503L % span).as("t1"),
+        (col("id") % 10).cast("string").as("key"))
+      .withColumn("t2", col("t1") + handTuned)
+      .write.saveAsTable("g_auto_iv")
+    spark.sql("ANALYZE TABLE g_auto_points COMPUTE STATISTICS FOR COLUMNS ts")
+    spark.sql("ANALYZE TABLE g_auto_iv COMPUTE STATISTICS FOR COLUMNS t1, t2")
+    try f finally {
+      spark.sql("DROP TABLE IF EXISTS g_auto_points")
+      spark.sql("DROP TABLE IF EXISTS g_auto_iv")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+
+  test("CBO stats derive a width within 2x of the hand-tuned bench conf") {
+    withTables {
+      val p = spark.table("g_auto_points")
+      val iv = spark.table("g_auto_iv")
+      BandedRangeJoinRule.lastAutoWidth = None
+      def q = p.join(iv, p("key") === iv("key") &&
+        p("ts") >= iv("t1") && p("ts") <= iv("t2"))
+      val n = q.count()
+      val w = BandedRangeJoinRule.lastAutoWidth
+      assert(w.isDefined, "auto width was not derived despite CBO stats")
+      assert(w.get >= handTuned / 2 && w.get <= handTuned * 2,
+        s"derived ${w.get} vs hand-tuned $handTuned")
+      // correctness: same rows as the broadcast RangeJoinExec path
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      try assert(n == q.count())
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    }
+  }
+
+  test("explicit bandWidth conf beats the derived width") {
+    withTables {
+      val p = spark.table("g_auto_points")
+      val iv = spark.table("g_auto_iv")
+      spark.conf.set("spark.graft.rangeJoin.bandWidth", (span * 10).toString)
+      try {
+        BandedRangeJoinRule.lastAutoWidth = None
+        p.join(iv, p("key") === iv("key") &&
+          p("ts") >= iv("t1") && p("ts") <= iv("t2")).count()
+        assert(BandedRangeJoinRule.lastAutoWidth.isEmpty)
+      } finally spark.conf.unset("spark.graft.rangeJoin.bandWidth")
+    }
+  }
+
+  test("auto off or no stats: default width, rule still correct") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.rangeJoin.bandWidth.auto", "false")
+    try {
+      import spark.implicits._
+      val p = Seq((50L, 1), (150L, 2)).toDF("ts", "pid")
+      val r = Seq((0L, 100L, 10)).toDF("t1", "t2", "rid")
+      BandedRangeJoinRule.lastAutoWidth = None
+      val n = p.join(r, p("ts") >= r("t1") && p("ts") <= r("t2")).count()
+      assert(n == 1 && BandedRangeJoinRule.lastAutoWidth.isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bandWidth.auto")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
