@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{EventOps, Tables}
 import graft.operators.{CatalogValidation, Validation}
 
 /** `validate_catalog` end-to-end (obsplus `events/validate.py:284`,
@@ -218,6 +218,85 @@ object CatalogQueries {
         SELECT resource_id, 'check_origin_floats' FROM origins
         WHERE isnan(latitude) OR isinf(latitude)
            OR isnan(longitude) OR isinf(longitude)
-           OR isnan(depth) OR isinf(depth))"""))
+           OR isnan(depth) OR isinf(depth))""")),
+
+    // ---- duplicate/prune/strip (obsplus utils/events.py:36,74,152)
+    //      driver-certified: one synthetic tree per events row (statuses
+    //      by prime residues), per-event surviving-object counts after
+    //      prune and strip plus duplication rebind checks; the oracle
+    //      recomputes every count from the residue arithmetic.
+    Q("q71_event_ops", (s, dir) => {
+      import s.implicits._
+      import EventOps._
+      val trees = Tables.eventsUs(s, dir)
+        .select("event_id", "ts").as[(Long, Long)]
+        .map { case (id, ts) =>
+          def st(m: Long): Option[String] =
+            if (id % m == 0) Some("rejected") else Some("")
+          FullEvent(
+            event_id = s"ev/$id",
+            preferred_origin_id = Some(s"or/$id"),
+            preferred_magnitude_id = None,
+            event_descriptions = Seq("d1", "d2"),
+            picks = Seq(
+              Pick(s"p1/$id", ts, "N.S..HHZ", "P", st(3)),
+              Pick(s"p2/$id", ts + 1000, "N.S..HHN", "S", Some(""))),
+            origins = Seq(Origin(s"or/$id", ts, 1.0, 2.0, 3.0, st(5),
+              Seq(Arrival(s"ar/$id",
+                if (id % 4 == 0) s"p1/$id" else s"p2/$id", "P")))),
+            magnitudes = Seq(Magnitude(s"mg/$id", 1.0, "ML", s"or/$id", st(7))),
+            amplitudes = Seq(
+              Amplitude(s"a1/$id", 1.0, s"p2/$id", "f", Some("")),
+              Amplitude(s"a2/$id", 2.0, s"p1/$id", "f", st(11))))
+        }
+      trees.map { e =>
+        val d = duplicateOne(e)
+        val p = pruneOne(e)
+        val st = stripOne(e)
+        val dupOk =
+          d.magnitudes.head.origin_id == d.origins.head.resource_id &&
+            d.amplitudes.head.pick_id == d.picks(1).resource_id &&
+            d.origins.head.arrivals.head.pick_id.endsWith("/dup") &&
+            d.preferred_origin_id.contains(d.origins.head.resource_id) &&
+            // external id untouched
+            d.amplitudes.head.filter_id == "f"
+        (e.event_id, p.picks.size.toLong, p.origins.size.toLong,
+          p.magnitudes.size.toLong, p.amplitudes.size.toLong,
+          st.picks.size.toLong, st.amplitudes.size.toLong,
+          st.event_descriptions.size.toLong,
+          d.event_id, if (dupOk) 1L else 0L)
+      }.toDF("event_id", "pruned_picks", "pruned_origins", "pruned_mags",
+        "pruned_amps", "strip_picks", "strip_amps", "strip_desc",
+        "dup_event_id", "dup_ok")
+    }, Some("""
+      SELECT 'ev/' || event_id AS event_id,
+             -- p1 pruned iff rejected (id%3=0) and EVERY status-object
+             -- referencing it is rejected too: itself, a2 (rejected iff
+             -- id%11=0), and the origin when its arrival points at p1
+             -- (id%4=0; origin rejected iff id%5=0)
+             CAST(2 - CASE WHEN event_id % 3 = 0 AND event_id % 11 = 0
+                       AND (event_id % 4 <> 0 OR event_id % 5 = 0)
+                      THEN 1 ELSE 0 END AS BIGINT) AS pruned_picks,
+             -- origin pruned iff rejected (id%5=0) and its magnitude
+             -- referrer is rejected too (id%7=0)
+             CAST(1 - CASE WHEN event_id % 5 = 0 AND event_id % 7 = 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS pruned_origins,
+             -- magnitude: nothing references it -> pruned iff rejected
+             CAST(1 - CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS pruned_mags,
+             -- a2: unreferenced -> pruned iff rejected (id%11=0)
+             CAST(2 - CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS pruned_amps,
+             -- strip: rejected picks go (p1 iff id%3=0)
+             CAST(2 - CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS strip_picks,
+             -- a1 survives always; a2 survives iff neither itself nor
+             -- its pick p1 is rejected
+             CAST(1 + CASE WHEN event_id % 11 <> 0 AND event_id % 3 <> 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS strip_amps,
+             CAST(1 AS BIGINT) AS strip_desc,
+             'ev/' || event_id || '/dup' AS dup_event_id,
+             CAST(1 AS BIGINT) AS dup_ok
+      FROM events"""))
   )
 }
