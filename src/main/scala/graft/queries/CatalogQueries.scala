@@ -86,18 +86,8 @@ object CatalogQueries {
   private val allowedFilters =
     Seq("smi:local/filter/0", "smi:local/filter/1", "smi:local/filter/2")
 
-  val all: Seq[Q] = Seq(
-
-    Q("q70_catalog_validation", (s, dir) => {
-      val (picks, arrivals, amplitudes, origins) = synthCatalog(s, dir)
-      Validation.report(CatalogValidation.rules(
-        picks, arrivals, amplitudes, origins,
-        pLimUs = Some(259200000000L), // 3 days
-        ampLim = Some(150.0),
-        filterIds = allowedFilters,
-        noZAmps = true))
-    }, Some(s"""
-      WITH picks AS (
+  /** The pick-table synthesis, shared by the q70 and q72 oracles. */
+  private val picksCteSql = """
         SELECT 'smi:local/pick/' || event_id AS resource_id,
                'smi:local/event/' || (event_id % 250) AS event_id,
                CASE WHEN event_id % 991 = 0 THEN NULL
@@ -113,7 +103,20 @@ object CatalogQueries {
                CASE WHEN event_id % 13 = 0 THEN 'rejected' ELSE '' END
                  AS evaluation_status,
                epoch_ns(ts) AS time
-        FROM events),
+        FROM events"""
+
+  val all: Seq[Q] = Seq(
+
+    Q("q70_catalog_validation", (s, dir) => {
+      val (picks, arrivals, amplitudes, origins) = synthCatalog(s, dir)
+      Validation.report(CatalogValidation.rules(
+        picks, arrivals, amplitudes, origins,
+        pLimUs = Some(259200000000L), // 3 days
+        ampLim = Some(150.0),
+        filterIds = allowedFilters,
+        noZAmps = true))
+    }, Some(s"""
+      WITH picks AS ($picksCteSql),
       arrivals AS (
         SELECT 'smi:local/arr/' || event_id AS resource_id,
                'smi:local/event/' || (event_id % 250) AS event_id,
@@ -297,6 +300,43 @@ object CatalogQueries {
              CAST(1 AS BIGINT) AS strip_desc,
              'ev/' || event_id || '/dup' AS dup_event_id,
              CAST(1 AS BIGINT) AS dup_ok
-      FROM events"""))
+      FROM events""")),
+
+    // ---- make_origins (obsplus utils/events.py:258-318): every
+    //      origin-less catalog event gets a starting origin at its
+    //      earliest acceptable P pick, located by an inventory join —
+    //      one window + one broadcast join for the whole catalog
+    Q("q72_make_origins", (s, dir) => {
+      val (picks, _, _, _) = synthCatalog(s, dir)
+      val channels = picks.filter(col("network").isNotNull)
+        .select("network", "station", "location", "channel").distinct()
+        .withColumn("latitude",
+          expr("CAST(substring(station, 3) AS INT)") * 3.5 - 10.0)
+        .withColumn("longitude",
+          expr("CAST(substring(network, 2) AS INT)") * 7.25 + 100.0)
+      val originless = picks.select("event_id").distinct()
+      graft.operators.Origins.makeOrigins(originless, picks, channels)
+    }, Some(s"""
+      WITH picks AS ($picksCteSql),
+      ok AS (
+        SELECT * FROM picks
+        WHERE COALESCE(evaluation_status, '') <> 'rejected'
+          AND phase_hint IN ('P', 'p')),
+      fp AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_id
+                      ORDER BY time ASC, resource_id ASC) AS rn
+          FROM ok)
+        WHERE rn = 1),
+      chans AS (
+        SELECT DISTINCT network, station, location, channel,
+               CAST(CAST(substr(station, 3) AS INT) * 3.5 - 10.0 AS DOUBLE)
+                 AS latitude,
+               CAST(CAST(substr(network, 2) AS INT) * 7.25 + 100.0 AS DOUBLE)
+                 AS longitude
+        FROM picks WHERE network IS NOT NULL)
+      SELECT f.event_id, f.time, c.latitude, c.longitude,
+             CAST(1.0 AS DOUBLE) AS depth, CAST(1 AS BIGINT) AS time_fixed
+      FROM fp f JOIN chans c USING (network, station, location, channel)"""))
   )
 }
