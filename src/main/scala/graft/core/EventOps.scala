@@ -139,6 +139,21 @@ object EventOps {
           pickStatus.get(a.pick_id).exists(bad)))
   }
 
+  /** `bump_creation_version`'s version arithmetic (`utils/events.py:
+    * 225-256`): dotted numeric strings bump their last component,
+    * absent versions start at "0.0.0". The reference also stamps
+    * `creation_time = now`; pass the timestamp in — a distributed
+    * operator must not read the clock per row.
+    */
+  def bumpVersion(version: Option[String]): String = version match {
+    case None | Some("") => "0.0.0"
+    case Some(v) =>
+      val parts = v.split('.')
+      require(parts.forall(p => p.nonEmpty && p.forall(_.isDigit)),
+        s"not a dotted numeric version: '$v'")
+      (parts.dropRight(1) :+ (parts.last.toLong + 1).toString).mkString(".")
+  }
+
   /** Dataset lifts: one narrow map stage each. */
   def duplicateEvents(ds: Dataset[FullEvent],
                       rename: String => String = _ + "/dup")

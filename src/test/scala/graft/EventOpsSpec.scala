@@ -95,6 +95,15 @@ class EventOpsSpec extends SparkSpec {
     assert(s2.picks.map(_.resource_id) == Seq("pk/1"))
   }
 
+  test("bumpVersion mirrors the reference's dotted-version arithmetic") {
+    assert(EventOps.bumpVersion(None) == "0.0.0")
+    assert(EventOps.bumpVersion(Some("")) == "0.0.0")
+    assert(EventOps.bumpVersion(Some("0.0.0")) == "0.0.1")
+    assert(EventOps.bumpVersion(Some("1.2.9")) == "1.2.10")
+    assert(EventOps.bumpVersion(Some("7")) == "8")
+    intercept[IllegalArgumentException](EventOps.bumpVersion(Some("1.a")))
+  }
+
   test("Dataset lifts are per-event maps preserving counts") {
     import spark.implicits._
     val events = Seq(
