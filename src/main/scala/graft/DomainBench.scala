@@ -210,6 +210,73 @@ object DomainBench {
         case (k, None) => spark.conf.unset(k)
       }
 
+    // 8. catalog validation + event utilities: the reference walks one
+    // ObsPy event at a time in Python (`validate_catalog`,
+    // `prune_events`); here the full 11-rule report over 500k picks is
+    // a handful of keyed shuffles, and pruning 100k trees is one
+    // narrow map stage.
+    val nVal = sys.env.getOrElse("GRAFT_BENCH_VAL_PICKS", "500000").toLong
+    def vTable(n: Long) = spark.range(n).select(
+      col("id"),
+      concat(lit("e"), pmod(col("id"), lit(20000L))).as("event_id"),
+      concat(lit("N"), pmod(col("id"), lit(2L))).as("network"),
+      concat(lit("S"), pmod(col("id"), lit(7L))).as("station"),
+      lit("").as("location"),
+      when(col("id") % 3 === 0, "HHZ").otherwise("HHN").as("channel"),
+      when(col("id") % 13 === 0, "rejected").otherwise("")
+        .as("evaluation_status"),
+      (col("id") * 7_000_000L % 1_000_000_000_000L).as("time"))
+    val vPicks = vTable(nVal)
+      .withColumn("resource_id", concat(lit("pk/"), col("id")))
+      .withColumn("phase_hint",
+        when(col("id") % 5 === 0, "P").when(col("id") % 5 === 1, "S")
+          .when(col("id") % 5 === 2, "AML").otherwise("Pg"))
+      .drop("id")
+    val vArr = vTable(nVal / 10)
+      .withColumn("resource_id", concat(lit("ar/"), col("id")))
+      .withColumn("pick_id", concat(lit("pk/"),
+        when(col("id") % 17 === 0, lit("none"))
+          .otherwise(col("id").cast("string"))))
+      .select("resource_id", "event_id", "pick_id")
+    val vAmps = vTable(nVal / 10)
+      .withColumn("resource_id", concat(lit("am/"), col("id")))
+      .withColumn("pick_id", concat(lit("pk/"), col("id") * 5 + 2))
+      .withColumn("generic_amplitude", (col("id") % 1000).cast("double"))
+      .withColumn("filter_id", concat(lit("f/"), pmod(col("id"), lit(3L))))
+      .withColumn("reference", col("time"))
+      .withColumn("time_begin", lit(0.5)).withColumn("time_end", lit(1.0))
+      .drop("id")
+    val vOrig = vTable(nVal / 50)
+      .withColumn("resource_id", concat(lit("or/"), col("id")))
+      .withColumn("latitude", (col("id") % 180).cast("double") - 90)
+      .withColumn("longitude", (col("id") % 360).cast("double") - 180)
+      .withColumn("depth", lit(5.0)).drop("id")
+    val (tValidate, nViol) = time {
+      graft.operators.Validation.report(
+        graft.operators.CatalogValidation.rules(vPicks, vArr, vAmps, vOrig,
+          pLimUs = Some(3_600_000_000L), ampLim = Some(900.0),
+          filterIds = Seq("f/0", "f/1"), noZAmps = true)).count()
+    }
+
+    import graft.core.EventOps
+    val nTrees = sys.env.getOrElse("GRAFT_BENCH_TREES", "100000").toLong
+    val treeDs = spark.range(nTrees).as[Long].map { id =>
+      EventOps.FullEvent(s"ev/$id", Some(s"or/$id"), None, Seq("d"),
+        picks = Seq(
+          EventOps.Pick(s"p1/$id", id * 1000, "N.S..HHZ", "P",
+            if (id % 3 == 0) Some("rejected") else Some("")),
+          EventOps.Pick(s"p2/$id", id * 1000 + 5, "N.S..HHN", "S", Some(""))),
+        origins = Seq(EventOps.Origin(s"or/$id", id * 1000, 1, 2, 3,
+          if (id % 5 == 0) Some("rejected") else Some(""),
+          Seq(EventOps.Arrival(s"ar/$id", s"p2/$id", "S")))),
+        magnitudes = Seq(EventOps.Magnitude(s"mg/$id", 1.0, "ML", s"or/$id",
+          if (id % 7 == 0) Some("rejected") else Some(""))),
+        amplitudes = Seq(EventOps.Amplitude(s"am/$id", 1.0, s"p1/$id", "f",
+          Some(""))))
+    }
+    val (tPrune, nPruned) = time(EventOps.pruneEvents(treeDs).count())
+    val (tStrip, _) = time(EventOps.stripEvents(treeDs).count())
+
     val metrics = Seq(
       "archive_gen_s" -> tGen,
       "index_build_s" -> tIndex, "index_files_per_s" -> nFiles / tIndex,
@@ -222,12 +289,17 @@ object DomainBench {
       "tx_compact_s" -> tTxCompact,
       "event_query_s" -> tEvents,
       "event_fetch_job_s" -> tFetch,
-      "skew_join_static_s" -> tSkewStatic, "skew_join_aqe_s" -> tSkewAqe)
+      "skew_join_static_s" -> tSkewStatic, "skew_join_aqe_s" -> tSkewAqe,
+      "validate_rules_s" -> tValidate,
+      "validate_picks_per_s" -> nVal / tValidate,
+      "prune_trees_s" -> tPrune, "prune_trees_per_s" -> nTrees / tPrune,
+      "strip_trees_s" -> tStrip)
     val counts = Seq("n_indexed" -> nIdx, "n_read" -> nRead, "n_gaps" -> nGaps,
       "n_bulk" -> nBulk, "n_bulk_banded" -> nBulkBanded,
       "n_indexed_v2" -> nIdxV2, "n_big_records" -> nBigRecs,
       "big_file_partitions" -> bigParts.toLong, "n_tx_rows" -> nTxRows,
-      "n_events" -> nEvents, "n_fetch" -> nFetch)
+      "n_events" -> nEvents, "n_fetch" -> nFetch,
+      "n_violations" -> nViol, "n_pruned_trees" -> nPruned)
     println("{" +
       (metrics.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" } ++
        counts.map { case (k, v) => s""""$k":$v""" }).mkString(",") +
