@@ -122,6 +122,45 @@ object TextStats {
         col("rank"))
   }
 
+  /** CCNet-style language-model filtering, log-free: an MLE bigram
+    * model is trained on the corpus itself (bigram and context counts
+    * — two aggregations), and every document is scored by its average
+    * conditional bigram probability in EXACT integer micro-units:
+    * per bigram `t = (c12·10⁶) div c(w1)`, per document
+    * `fluency_micro = Σt div n_bigrams`. All-integer arithmetic — no
+    * log, no FP sum — so the score is bit-identical across engines and
+    * partitionings (the perplexity ordering survives: avg conditional
+    * probability is a monotone fluency proxy; boilerplate-ish token
+    * salads score near uniform 10⁶/|V|, fluent text far above).
+    *
+    * Plan: one explode, two count aggregations joined back onto the
+    * per-doc bigram stream (equi joins on gram/context — broadcast
+    * while the vocab is small, SMJ at web-corpus vocab sizes), one
+    * final per-doc aggregation. The corpus shuffles once.
+    *
+    * Output: idCol, n_bigrams, fluency_micro, verdict
+    * ("drop" below `dropBelowMicro`).
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String,
+                    dropBelowMicro: Long): DataFrame = {
+    val grams = docs
+      .select(col(idCol),
+        explode(TextFunctions.bigrams(
+          TextFunctions.tokens(col(textCol)))).as("gram"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+    val bigramCounts = grams.groupBy("gram").agg(count(lit(1)).as("c12"))
+    val contextCounts = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    grams
+      .join(bigramCounts, "gram")
+      .join(contextCounts, "w1")
+      .withColumn("t", expr("(c12 * 1000000) div c1"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(t) div count(1)").as("fluency_micro"))
+      .withColumn("verdict",
+        when(col("fluency_micro") < dropBelowMicro, "drop").otherwise("keep"))
+  }
+
   /** Overlapping token-window chunks — training-sequence prep (split
     * each document into windows of `chunkLen` tokens starting every
     * `stride` tokens, so consecutive chunks overlap by chunkLen−stride).

@@ -417,6 +417,31 @@ object TextQueries {
              CAST(tok_offset // 512 AS BIGINT) AS bin
       FROM packed""")),
 
+    // ---- CCNet-style LM fluency filter: MLE bigram model trained on
+    //      the corpus, docs scored by average conditional bigram
+    //      probability in exact integer micro-units (log-free so the
+    //      score is bit-identical across engines); drop below ~uniform
+    Q("q73_lm_fluency", (s, dir) =>
+      TextStats.bigramLmScore(Tables.documents(s, dir),
+        "text", "doc_id", dropBelowMicro = 23000L),
+      Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(toks) - 1, 1) + 1),
+              i -> concat_ws(' ', toks[i], toks[i + 1]))) AS gram
+            FROM t),
+      gw AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS w1 FROM g),
+      bc AS (SELECT gram, COUNT(*) AS c12 FROM gw GROUP BY gram),
+      cc AS (SELECT w1, COUNT(*) AS c1 FROM gw GROUP BY w1),
+      j AS (SELECT doc_id, (c12 * 1000000) // c1 AS tt
+            FROM gw JOIN bc USING (gram) JOIN cc USING (w1))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(CAST(SUM(tt) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS fluency_micro,
+             CASE WHEN CAST(SUM(tt) AS BIGINT) // COUNT(*) < 23000
+                  THEN 'drop' ELSE 'keep' END AS verdict
+      FROM j GROUP BY doc_id""")),
+
     // ---- domain-mixture sampling: per-source hash-threshold rates
     //      (src0 halved, src1 kept at 10%, everything else passes) —
     //      scan-local, zero shuffle except the audit agg

@@ -108,6 +108,32 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("bigramLmScore: exact integer MLE bigram scoring with verdicts") {
+    // corpus: "a b" x3 docs and one "a c" doc →
+    //   bigrams: "a b":3, "a c":1; context "a": 4
+    //   t("a b") = 3_000_000 div 4 = 750_000; t("a c") = 250_000
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramLmScore(corpus, "text", "doc_id",
+        dropBelowMicro = 500000L)
+      .select("doc_id", "n_bigrams", "fluency_micro", "verdict")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 750000L, "keep"), (2L, 1L, 750000L, "keep"),
+      (3L, 1L, 750000L, "keep"), (4L, 1L, 250000L, "drop")))
+    // high-probability (repeated) sequences outscore rare ones on a
+    // larger mixed corpus, and every score is within (0, 1e6]
+    val mixed = (0 until 50).map(i =>
+      (i.toLong, if (i % 5 == 0) "x y x y x y" else s"w$i z${i % 7} q$i v$i"))
+      .toDF("doc_id", "text")
+    val rows = TextStats.bigramLmScore(mixed, "text", "doc_id", 1L)
+      .select("doc_id", "fluency_micro").as[(Long, Long)].collect().toMap
+    assert(rows.values.forall(v => v > 0 && v <= 1000000L))
+    val fluent = (0 until 50).filter(_ % 5 == 0).map(i => rows(i.toLong)).min
+    val salad = (0 until 50).filter(_ % 5 != 0).map(i => rows(i.toLong)).max
+    assert(fluent > salad, s"fluent=$fluent salad=$salad")
+  }
+
   test("redactPii scrubs emails and phones, leaves clean text alone") {
     import graft.functions.TextFunctions
     val d = Seq(
