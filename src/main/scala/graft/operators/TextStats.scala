@@ -161,6 +161,37 @@ object TextStats {
         when(col("fluency_micro") < dropBelowMicro, "drop").otherwise("keep"))
   }
 
+  /** C4/CCNet boilerplate removal: drop paragraphs that recur across
+    * `minDocs`+ distinct documents (nav bars, footers, cookie banners
+    * — the content that repeats verbatim across a crawl), keeping each
+    * document's surviving paragraphs in original order.
+    *
+    * Plan: one paragraph explode, one distinct-doc count per paragraph
+    * (the only corpus-wide shuffle), an equi join back, and a per-doc
+    * reassembly aggregation (collect_list + struct sort — order
+    * restored without a global sort). Paragraph identity is the full
+    * string; at web scale swap the join key for a hash of the
+    * paragraph to bound shuffle width.
+    *
+    * Output: idCol, clean_text, n_kept, n_dropped.
+    */
+  def dropBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+                      sep: String, minDocs: Long): DataFrame = {
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+    val freq = paras.groupBy("para")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    paras.join(freq, "para")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("n_docs") < minDocs, struct(col("pos"), col("para"))))),
+          x => x.getField("para")), sep).as("clean_text"),
+        sum(when(col("n_docs") < minDocs, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Overlapping token-window chunks — training-sequence prep (split
     * each document into windows of `chunkLen` tokens starting every
     * `stride` tokens, so consecutive chunks overlap by chunkLen−stride).

@@ -442,6 +442,39 @@ object TextQueries {
                   THEN 'drop' ELSE 'keep' END AS verdict
       FROM j GROUP BY doc_id""")),
 
+    // ---- C4-style boilerplate removal: paragraphs repeated across
+    //      50+ docs (planted footer on every doc, promo on every 4th)
+    //      are dropped; unique content survives in original order
+    Q("q74_boilerplate", (s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("¶footer subscribe"),
+          when(col("doc_id") % 4 === 0, "¶promo banner").otherwise(""),
+          lit("¶tail "), col("doc_id").cast("string")).as("ptext"))
+      TextStats.dropBoilerplate(planted, "ptext", "doc_id",
+        sep = "¶", minDocs = 50L)
+    }, Some("""
+      WITH planted AS (
+        SELECT doc_id,
+               text || '¶footer subscribe'
+                    || CASE WHEN doc_id % 4 = 0 THEN '¶promo banner' ELSE '' END
+                    || '¶tail ' || doc_id AS ptext
+        FROM documents),
+      p AS (SELECT doc_id,
+              unnest(string_split(ptext, '¶')) AS para,
+              unnest(range(1, len(string_split(ptext, '¶')) + 1)) AS pos
+            FROM planted),
+      freq AS (SELECT para, COUNT(DISTINCT doc_id) AS n_docs
+               FROM p GROUP BY para)
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN n_docs < 50 THEN para END,
+               '¶' ORDER BY pos), '') AS clean_text,
+             CAST(SUM(CASE WHEN n_docs < 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN n_docs >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM p JOIN freq USING (para)
+      GROUP BY doc_id""")),
+
     // ---- domain-mixture sampling: per-source hash-threshold rates
     //      (src0 halved, src1 kept at 10%, everything else passes) —
     //      scan-local, zero shuffle except the audit agg

@@ -134,6 +134,27 @@ class TextStatsSpec extends SparkSpec {
     assert(fluent > salad, s"fluent=$fluent salad=$salad")
   }
 
+  test("dropBoilerplate removes cross-doc repeated paragraphs, preserves order") {
+    val corpus = Seq(
+      (1L, "intro one¶shared footer¶body one"),
+      (2L, "intro two¶shared footer¶body two"),
+      (3L, "intro three¶shared footer"),
+      (4L, "shared footer")) // every paragraph boilerplate → empty doc
+      .toDF("doc_id", "text")
+    val got = TextStats.dropBoilerplate(corpus, "text", "doc_id", "¶", minDocs = 3)
+      .select("doc_id", "clean_text", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "intro one¶body one", 2L, 1L),
+      (2L, "intro two¶body two", 2L, 1L),
+      (3L, "intro three", 1L, 1L),
+      (4L, "", 0L, 1L)))
+    // below the threshold nothing is dropped and order is untouched
+    val loose = TextStats.dropBoilerplate(corpus, "text", "doc_id", "¶", minDocs = 10)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(loose(1L) == "intro one¶shared footer¶body one")
+  }
+
   test("redactPii scrubs emails and phones, leaves clean text alone") {
     import graft.functions.TextFunctions
     val d = Seq(
