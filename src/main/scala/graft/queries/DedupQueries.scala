@@ -83,8 +83,11 @@ object DedupQueries {
       .withColumn("is_keeper", col("component") === col("doc_id"))
   }
 
-  private lazy val clustersOracle: String = s"""
-      WITH RECURSIVE $minhashPairsCtes,
+  /** CTE chain ending in `comp(id, component)` — recursive transitive
+    * closure over the LSH pair graph, shared by the q48/q65/q75
+    * oracles.
+    */
+  private lazy val ccCtes: String = s"""$minhashPairsCtes,
       edges AS (SELECT a AS src, b AS dst FROM pairs
                 UNION SELECT b, a FROM pairs),
       conn AS (
@@ -92,7 +95,10 @@ object DedupQueries {
         UNION
         SELECT c.src, e.dst FROM conn c JOIN edges e ON c.dst = e.src),
       comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
-               FROM conn GROUP BY src)
+               FROM conn GROUP BY src)"""
+
+  private lazy val clustersOracle: String = s"""
+      WITH RECURSIVE $ccCtes
       SELECT corpus.doc_id,
              COALESCE(comp.component, corpus.doc_id) AS component,
              (COALESCE(comp.component, corpus.doc_id) = corpus.doc_id) AS is_keeper
@@ -131,6 +137,38 @@ object DedupQueries {
     Q("q65_cc_star", (s, dir) =>
       clusterLabels(s, dir, Dedup.connectedComponentsStar(_, "a", "b")),
       Some(clustersOracle)),
+
+    // ---- quality-aware canonical per near-dup cluster ("keep best,
+    //      not first"): the CC labels of q48 joined with a quality
+    //      signal; the longest member (doc_id tie-break) is marked —
+    //      what a real dedup pass keeps instead of min-id
+    Q("q75_cluster_canonical", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = clusterLabels(s, dir, Dedup.connectedComponents(_, "a", "b"))
+        .select("doc_id", "component")
+      val quality = corpus(s, dir)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"))
+      val w = Window.partitionBy("component")
+        .orderBy(col("n_words").desc, col("doc_id").asc)
+      labels.join(quality, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("component"), col("n_words"),
+          when(col("rk") === 1, 1L).otherwise(0L).as("is_canonical"))
+    }, Some(s"""
+      WITH RECURSIVE $ccCtes,
+      labels AS (
+        SELECT corpus.doc_id,
+               COALESCE(comp.component, corpus.doc_id) AS component
+        FROM corpus LEFT JOIN comp ON corpus.doc_id = comp.id),
+      quality AS (
+        SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_words FROM corpus)
+      SELECT doc_id, component, n_words,
+             CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+      FROM (SELECT l.doc_id, l.component, q.n_words,
+              row_number() OVER (PARTITION BY l.component
+                ORDER BY q.n_words DESC, l.doc_id ASC) AS rk
+            FROM labels l JOIN quality q USING (doc_id))""")),
 
     // ---- SimHash near-dup: md5-derived 60-bit bit-majority signature,
     //      4×15-bit band blocking (pigeonhole covers Hamming ≤ 3),
