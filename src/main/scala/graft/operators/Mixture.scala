@@ -41,6 +41,36 @@ object Mixture {
         round(rateCol * Scale).cast("long"))
   }
 
+  /** Temperature-scaled mixture rates (the mT5/multilingual-sampling
+    * rule): source s is drawn with probability ∝ n_s^alpha, so small
+    * sources are boosted relative to their raw share as alpha drops
+    * below 1. Expressed as per-source KEEP rates whose expected total
+    * is `targetFraction` of the corpus:
+    * `rate_s = min(1, targetFraction·N · n_s^alpha / (Σ n_j^alpha · n_s))`.
+    *
+    * Counts are a tiny per-source aggregate (collect of |sources|
+    * rows); the rates then drive [[sampleByWeights]]'s scan-local hash
+    * threshold — zero extra shuffle. alpha = 0.5 uses IEEE-exact
+    * `sqrt`, making the rates bit-identical in any engine; rates are
+    * rounded to 9 decimals so a last-ulp normalizer difference cannot
+    * flip the 10⁻⁶-granular threshold.
+    */
+  def temperatureRates(counts: Map[String, Long], alpha: Double,
+                       targetFraction: Double): Map[String, Double] = {
+    require(counts.nonEmpty, "temperatureRates needs at least one source")
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val total = counts.values.sum
+    val m = targetFraction * total.toDouble
+    // normalizer summed in sorted-source order: a fixed order keeps the
+    // double sum reproducible on the engine side
+    val z = counts.toSeq.sortBy(_._1).map { case (_, n) => w(n) }.sum
+    counts.map { case (src, n) =>
+      val p = math.min(1.0, m * w(n) / (z * n.toDouble))
+      src -> math.rint(p * 1e9) / 1e9
+    }
+  }
+
   /** Cap each group (source/domain/host) at `k` rows, chosen by a
     * deterministic order — the RefinedWeb/C4-style per-domain quota
     * that stops a handful of giant domains from dominating a corpus.

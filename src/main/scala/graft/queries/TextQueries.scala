@@ -478,6 +478,34 @@ object TextQueries {
     // ---- domain-mixture sampling: per-source hash-threshold rates
     //      (src0 halved, src1 kept at 10%, everything else passes) —
     //      scan-local, zero shuffle except the audit agg
+    // ---- temperature-scaled source mixing (mT5 alpha-sampling):
+    //      keep rates ∝ n_s^0.5 normalized to a 30% target corpus —
+    //      small sources boosted; IEEE-exact sqrt + 9-dp rounding keep
+    //      the rates bit-identical across engines
+    Q("q76_temperature_mix", (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rates = operators.Mixture.temperatureRates(counts,
+        alpha = 0.5, targetFraction = 0.3)
+      operators.Mixture.sampleByWeights(d, "doc_id", "source", rates)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          min("doc_id").as("min_kept_id"))
+    }, Some("""
+      WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, SUM(sqrt(n)) AS z FROM c),
+      rates AS (SELECT source,
+                  round(LEAST(CAST(1.0 AS DOUBLE),
+                    CAST(0.3 AS DOUBLE) * total * sqrt(n) / (z * n)), 9) AS rate
+                FROM c CROSS JOIN tot),
+      kept AS (
+        SELECT doc_id, d.source
+        FROM documents d JOIN rates USING (source)
+        WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000 < CAST(round(rate * 1000000) AS BIGINT))
+      SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
+      FROM kept GROUP BY source""")),
+
     Q("q64_mixture_sample", (s, dir) => {
       operators.Mixture.sampleByWeights(Tables.documents(s, dir),
           "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.1))

@@ -155,6 +155,30 @@ class TextStatsSpec extends SparkSpec {
     assert(loose(1L) == "intro one¶shared footer¶body one")
   }
 
+  test("temperatureRates boosts small sources and hits the target in expectation") {
+    import graft.operators.Mixture
+    val counts = Map("big" -> 90000L, "mid" -> 9000L, "small" -> 900L)
+    val rates = Mixture.temperatureRates(counts, alpha = 0.5,
+      targetFraction = 0.1)
+    // expected kept mass = target fraction of the corpus (holds while
+    // no per-source rate is capped at 1)
+    val expected = counts.map { case (s0, n) => rates(s0) * n }.sum
+    assert(math.abs(expected - 0.1 * counts.values.sum) < 1.0)
+    // alpha < 1 boosts the small source's keep RATE above the big one's
+    assert(rates("small") > rates("mid") && rates("mid") > rates("big"))
+    // alpha = 1 keeps every source at the same flat rate
+    val flat = Mixture.temperatureRates(counts, alpha = 1.0,
+      targetFraction = 0.25)
+    assert(flat.values.toSeq.distinct.size == 1)
+    assert(math.abs(flat("big") - 0.25) < 1e-9)
+    // rates are capped at 1
+    val capped = Mixture.temperatureRates(counts, alpha = 0.0,
+      targetFraction = 0.9)
+    assert(capped.values.forall(_ <= 1.0))
+    intercept[IllegalArgumentException](
+      Mixture.temperatureRates(Map.empty, 0.5, 0.3))
+  }
+
   test("redactPii scrubs emails and phones, leaves clean text alone") {
     import graft.functions.TextFunctions
     val d = Seq(
