@@ -139,6 +139,24 @@ object EventOps {
           pickStatus.get(a.pick_id).exists(bad)))
   }
 
+  /** `get_preferred` (`utils/events.py:425-470`): the preferred object
+    * when its id resolves; with NO preferred id set, the last of the
+    * list; a preferred id that dangles resolves to None (the
+    * reference's behavior — it only falls back to the list when no id
+    * was set at all).
+    */
+  def preferredOrigin(e: FullEvent): Option[Origin] =
+    e.preferred_origin_id match {
+      case Some(id) => e.origins.find(_.resource_id == id)
+      case None => e.origins.lastOption
+    }
+
+  def preferredMagnitude(e: FullEvent): Option[Magnitude] =
+    e.preferred_magnitude_id match {
+      case Some(id) => e.magnitudes.find(_.resource_id == id)
+      case None => e.magnitudes.lastOption
+    }
+
   /** `bump_creation_version`'s version arithmetic (`utils/events.py:
     * 225-256`): dotted numeric strings bump their last component,
     * absent versions start at "0.0.0". The reference also stamps

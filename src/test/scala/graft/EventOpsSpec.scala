@@ -95,6 +95,20 @@ class EventOpsSpec extends SparkSpec {
     assert(s2.picks.map(_.resource_id) == Seq("pk/1"))
   }
 
+  test("preferredOrigin/Magnitude: id wins, unset falls back to last, dangling is None") {
+    val o2 = origin.copy(resource_id = "or/2")
+    val m2 = mag.copy(resource_id = "mg/2")
+    val e = ev(Seq(pick), Seq(origin, o2), Seq(mag, m2),
+      prefOrigin = Some("or/1"), prefMag = None)
+    assert(EventOps.preferredOrigin(e).map(_.resource_id).contains("or/1"))
+    // no preferred id -> last of the list (set_preferred_values shape)
+    assert(EventOps.preferredMagnitude(e).map(_.resource_id).contains("mg/2"))
+    // dangling id resolves to None, not the list fallback
+    assert(EventOps.preferredOrigin(
+      e.copy(preferred_origin_id = Some("or/missing"))).isEmpty)
+    assert(EventOps.preferredOrigin(ev()).isEmpty)
+  }
+
   test("bumpVersion mirrors the reference's dotted-version arithmetic") {
     assert(EventOps.bumpVersion(None) == "0.0.0")
     assert(EventOps.bumpVersion(Some("")) == "0.0.0")
