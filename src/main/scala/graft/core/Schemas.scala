@@ -101,7 +101,11 @@ object Schemas {
     StructField("station_count", LongType),
     StructField("azimuthal_gap", DoubleType)))
 
-  /** Amplitudes table (obsplus `constants.py:172-206`). */
+  /** Amplitudes table (obsplus `constants.py:172-206`) — includes the
+    * columns the validation rules consult (`filter_id`, the
+    * time-window triple, `evaluation_status`); sources that don't
+    * carry them conform with nulls.
+    */
   val amplitudes: StructType = StructType(Seq(
     StructField("resource_id", StringType),
     StructField("event_id", StringType),
@@ -110,7 +114,12 @@ object Schemas {
     StructField("unit", StringType),
     StructField("period", DoubleType),
     StructField("snr", DoubleType),
-    StructField("pick_id", StringType)))
+    StructField("pick_id", StringType),
+    StructField("filter_id", StringType),
+    StructField("reference", LongType),
+    StructField("time_begin", DoubleType),
+    StructField("time_end", DoubleType),
+    StructField("evaluation_status", StringType)))
 
   /** Station magnitudes table (obsplus `constants.py:209-236`):
     * per-station magnitude estimates with their amplitude/origin links
