@@ -94,4 +94,40 @@ class StreamingSpec extends SparkSpec {
     // doc 2 is a fingerprint-dup of doc 1 within the watermark
     assert(out == Set(1L, 3L))
   }
+
+  test("streaming duplicate-pick validation flags later same-station picks across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingValidation
+    import graft.streaming.StreamingValidation.PickEvent
+    val root = Files.createTempDirectory("graft-sval").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[PickEvent]
+    val violations = StreamingValidation.duplicatePicks(in.toDS())
+    // default micro-batch trigger: the query stays live across the two
+    // addData batches (AvailableNow would stop after the first)
+    val q = violations.writeStream.format("memory").queryName("sval")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    def drain(): Unit = { q.processAllAvailable() }
+    // batch 1: first P pick accepted; a second P on the same station
+    // in the SAME batch flags; rejected and non-dup phases never flag
+    in.addData(
+      PickEvent("p1", "e1", "N", "S1", "", "P", "", 1000L),
+      PickEvent("p2", "e1", "N", "S1", "", "P", "", 2000L), // dup (later)
+      PickEvent("p3", "e1", "N", "S1", "", "P", "rejected", 500L), // skip
+      PickEvent("p4", "e1", "N", "S1", "", "AML", "", 900L), // not a dup phase
+      PickEvent("p5", "e1", "N", "S2", "", "P", "", 1000L)) // other station
+    drain()
+    assert(spark.table("sval").select("entity_id").as[String]
+      .collect().toSet == Set("p2"))
+    // batch 2: later pick on the same key flags against carried state;
+    // an EARLIER late pick replaces the keeper and flags the old one
+    in.addData(
+      PickEvent("p6", "e1", "N", "S1", "", "P", "", 3000L), // dup vs p1
+      PickEvent("p0", "e1", "N", "S2", "", "P", "", 100L)) // earlier than p5
+    drain()
+    q.stop()
+    val all = spark.table("sval").select("entity_id").as[String].collect().toSet
+    assert(all == Set("p2", "p6", "p5"))
+  }
 }
