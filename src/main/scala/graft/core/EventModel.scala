@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * Children are sorted by id inside each event so nest→flatten→nest is
   * deterministic (pandas extractors inherit file order; a distributed
   * build must impose one).
+  *
+  * This is the EXTRACTION-grade tree (the fields the flat summary
+  * tables carry). Catalog-manipulation utilities
+  * (duplicate/prune/strip/preferred) operate on the richer
+  * [[EventOps.FullEvent]], which adds statuses, references and
+  * preferred ids.
   */
 object EventModel {
 
