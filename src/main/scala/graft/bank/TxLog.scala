@@ -54,6 +54,17 @@ class TxTable(spark: SparkSession, root: String,
               mergeSchemaOnRead: Boolean = false,
               tagRetention: Option[Long] = None) {
 
+  // tagRetention is a promise that no producer will ever replay a
+  // batch whose commit is more than `r` versions old (see appendOnce's
+  // scaladoc). A retention below the checkpoint interval could drop a
+  // tag at the very first checkpoint after its commit, breaking
+  // exactly-once for even a 1-deep replay — reject it outright.
+  require(tagRetention.forall(_ >= checkpointInterval),
+    s"tagRetention (${tagRetention.orNull}) must be >= checkpointInterval " +
+      s"($checkpointInterval): a smaller horizon can drop a tag at the " +
+      "first checkpoint after its commit, so appendOnce would re-commit " +
+      "a replayed batch")
+
   val logDir = s"$root/_txlog"
   val dataDir = s"$root/data"
 
@@ -273,8 +284,12 @@ class TxTable(spark: SparkSession, root: String,
     fromCp ++ fromDeltas
   }
 
-  /** Write `df` as new immutable files, return their AddFile actions. */
+  /** Write `df` as new immutable files, return their AddFile actions.
+    * A zero-column frame (a tag-only commit vehicle) stages nothing —
+    * parquet cannot represent an empty schema.
+    */
   private def stageFiles(df: DataFrame): Seq[AddFile] = {
+    if (df.schema.fields.isEmpty) return Nil
     val commitId = java.util.UUID.randomUUID().toString
     val dir = s"$dataDir/$commitId"
     df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
@@ -291,7 +306,15 @@ class TxTable(spark: SparkSession, root: String,
   def append(df: DataFrame, tag: Option[String] = None): Long = {
     val staged = stageFiles(df)
     if (staged.isEmpty && tag.isEmpty) return latestVersion()
-    val adds: Seq[TxAction] = staged ++ Seq(MetaData(df.schema.json)) ++
+    // A tag-only commit (nothing staged, zero-column df) must NOT stamp
+    // MetaData: it would overwrite the table's latest committed schema
+    // with an empty one, and a later empty-live-set read would resolve
+    // to zero columns.
+    val metaLine =
+      if (staged.nonEmpty || df.schema.fields.nonEmpty)
+        Seq(MetaData(df.schema.json))
+      else Nil
+    val adds: Seq[TxAction] = staged ++ metaLine ++
       tag.map(t => CommitTag(t)).toSeq
     var v = latestVersion() + 1
     while (!tryCommit(v, adds)) v = latestVersion() + 1
@@ -316,13 +339,26 @@ class TxTable(spark: SparkSession, root: String,
     * (hence no duplicate tag) landed after the check, so even two
     * drivers replaying the same batch concurrently (zombie failover)
     * commit it exactly once.
+    *
+    * '''tagRetention interaction''': exactly-once holds only for
+    * replays whose original commit is within `tagRetention` commits of
+    * the newest checkpoint — older tags are dropped from checkpoints,
+    * so a replay from beyond the horizon re-commits its batch. The
+    * contract is on the TABLE constructor: `tagRetention` must be ≥ the
+    * deepest batch the producer's own streaming checkpoint could ever
+    * replay (for a Structured Streaming `foreachBatch` producer that is
+    * a handful of batches; `None` = keep every tag forever).
     */
   def appendOnce(df: DataFrame, tag: String): Option[Long] = {
     val (commits0, cps0) = listLog()
     if (commits0.nonEmpty &&
       tagsFrom(commits0, cps0, commits0.last).exists(_._2 == tag)) return None
-    val adds: Seq[TxAction] = stageFiles(df) ++
-      Seq(MetaData(df.schema.json), CommitTag(tag))
+    val staged0 = stageFiles(df)
+    val metaLine0 =
+      if (staged0.nonEmpty || df.schema.fields.nonEmpty)
+        Seq(MetaData(df.schema.json))
+      else Nil
+    val adds: Seq[TxAction] = staged0 ++ metaLine0 ++ Seq(CommitTag(tag))
     while (true) {
       val (commits, cps) = listLog()
       val latest = commits.lastOption.getOrElse(-1L)

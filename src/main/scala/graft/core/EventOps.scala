@@ -139,21 +139,23 @@ object EventOps {
           pickStatus.get(a.pick_id).exists(bad)))
   }
 
-  /** `get_preferred` (`utils/events.py:425-470`): the preferred object
+  /** `get_preferred` (`utils/events.py:425-481`): the preferred object
     * when its id resolves; with NO preferred id set, the last of the
-    * list; a preferred id that dangles resolves to None (the
-    * reference's behavior — it only falls back to the list when no id
-    * was set at all).
+    * list; a preferred id that DANGLES also falls back to the last of
+    * the list (the reference warns, then takes `whats[-1]`). Only an
+    * empty list yields None.
     */
   def preferredOrigin(e: FullEvent): Option[Origin] =
     e.preferred_origin_id match {
-      case Some(id) => e.origins.find(_.resource_id == id)
+      case Some(id) =>
+        e.origins.find(_.resource_id == id).orElse(e.origins.lastOption)
       case None => e.origins.lastOption
     }
 
   def preferredMagnitude(e: FullEvent): Option[Magnitude] =
     e.preferred_magnitude_id match {
-      case Some(id) => e.magnitudes.find(_.resource_id == id)
+      case Some(id) =>
+        e.magnitudes.find(_.resource_id == id).orElse(e.magnitudes.lastOption)
       case None => e.magnitudes.lastOption
     }
 

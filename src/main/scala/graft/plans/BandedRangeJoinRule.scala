@@ -77,6 +77,16 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
     * the larger of the two estimates (a point side derives a tiny
     * width and never dominates). Returns None — falling back to the
     * conf/default — when either min/max or rowCount is unavailable.
+    *
+    * extent/rowCount is interval SPACING, not span: heavily OVERLAPPING
+    * intervals (span >> spacing) would derive a width far below typical
+    * spans and trip [[bandSeq]]'s maxBandsPerRow error at runtime —
+    * merely running ANALYZE TABLE must never turn a working query into
+    * a failure. So the derived width is clamped per side to a floor of
+    * extent/maxBandsPerRow: no row can span more than its side's
+    * extent, hence no row explodes past the cap. The floor trades
+    * selectivity (wider bands = more candidate pairs) for guaranteed
+    * completion, and an explicit bandWidth conf still overrides.
     */
   private[graft] def deriveAutoWidth(l: LogicalPlan, r: LogicalPlan,
                                      e: RangeExtract.Extracted): Option[Long] = {
@@ -91,6 +101,7 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
       case c: Cast => attrOf(c.child)
       case _ => None
     }
+    val cap = BigInt(maxBandsPerRow)
     def side(p: LogicalPlan, lo: Expression, hi: Expression): Option[Long] = {
       val st = p.stats
       for {
@@ -102,7 +113,12 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
         mn <- loS.min.flatMap(longOf)
         mx <- hiS.max.flatMap(longOf)
         if mx > mn
-      } yield ((BigInt(mx) - BigInt(mn)) / n).max(1).toLong
+      } yield {
+        val extent = BigInt(mx) - BigInt(mn)
+        val spacing = extent / n
+        val floor = (extent + cap - 1) / cap // ceil: extent fits in cap bands
+        spacing.max(floor).max(1).toLong
+      }
     }
     val ws = Seq(side(l, e.streamLo, e.streamHi),
       side(r, e.bcastLo, e.bcastHi)).flatten

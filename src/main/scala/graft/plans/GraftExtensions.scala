@@ -66,8 +66,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
       buildShingleHash60)
 
-  /** Install on a live session (tests / notebooks). */
+  // Sessions already registered — operators call register() defensively
+  // from every entry point, and re-running createOrReplaceTempFunction
+  // logs a "replaced a previously registered function" WARN per
+  // function per call, polluting every driver log at scale. Weak keys:
+  // dropped sessions don't leak.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  /** Install on a live session (tests / notebooks). Idempotent per
+    * session — repeat calls are no-ops.
+    */
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

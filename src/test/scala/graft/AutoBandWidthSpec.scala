@@ -79,6 +79,48 @@ class AutoBandWidthSpec extends SparkSpec {
     }
   }
 
+  test("overlapping intervals: derived width clamped, ANALYZE never causes the band-cap error") {
+    // spans (90k) >> spacing (20): the naive extent/rowCount width of
+    // ~20 would put ~4500 bands on every row — over the 4096 cap — so
+    // un-clamped auto derivation turns this join into a runtime error
+    // the moment stats exist. The clamp floors the width at
+    // extent/maxBandsPerRow, trading selectivity for completion.
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS g_ovl_points")
+    spark.sql("DROP TABLE IF EXISTS g_ovl_iv")
+    try {
+      spark.range(100)
+        .select(col("id").as("pid"), (col("id") * 997L % 100000L).as("ts"))
+        .write.saveAsTable("g_ovl_points")
+      spark.range(5000)
+        .select(col("id").as("iid"), (col("id") * 2L).as("t1"))
+        .withColumn("t2", col("t1") + 90000L)
+        .write.saveAsTable("g_ovl_iv")
+      spark.sql("ANALYZE TABLE g_ovl_iv COMPUTE STATISTICS FOR COLUMNS t1, t2")
+      val p = spark.table("g_ovl_points")
+      val iv = spark.table("g_ovl_iv")
+      BandedRangeJoinRule.lastAutoWidth = None
+      def q = p.join(iv, p("ts") >= iv("t1") && p("ts") <= iv("t2"))
+      val n = q.count() // must complete, not raise the band-cap error
+      val w = BandedRangeJoinRule.lastAutoWidth
+      assert(w.exists(_ >= 100000L / 4096), s"width $w below the clamp floor")
+      // correctness vs the broadcast RangeJoinExec path
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      try assert(n == q.count())
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_ovl_points")
+      spark.sql("DROP TABLE IF EXISTS g_ovl_iv")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+  }
+
   test("auto off or no stats: default width, rule still correct") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.graft.rangeJoin.bandWidth.auto", "false")

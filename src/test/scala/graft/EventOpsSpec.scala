@@ -95,7 +95,7 @@ class EventOpsSpec extends SparkSpec {
     assert(s2.picks.map(_.resource_id) == Seq("pk/1"))
   }
 
-  test("preferredOrigin/Magnitude: id wins, unset falls back to last, dangling is None") {
+  test("preferredOrigin/Magnitude: id wins, unset and dangling fall back to last") {
     val o2 = origin.copy(resource_id = "or/2")
     val m2 = mag.copy(resource_id = "mg/2")
     val e = ev(Seq(pick), Seq(origin, o2), Seq(mag, m2),
@@ -103,10 +103,17 @@ class EventOpsSpec extends SparkSpec {
     assert(EventOps.preferredOrigin(e).map(_.resource_id).contains("or/1"))
     // no preferred id -> last of the list (set_preferred_values shape)
     assert(EventOps.preferredMagnitude(e).map(_.resource_id).contains("mg/2"))
-    // dangling id resolves to None, not the list fallback
+    // dangling id warns + falls back to the last element (py:470-476)
     assert(EventOps.preferredOrigin(
-      e.copy(preferred_origin_id = Some("or/missing"))).isEmpty)
+      e.copy(preferred_origin_id = Some("or/missing")))
+      .map(_.resource_id).contains("or/2"))
+    assert(EventOps.preferredMagnitude(
+      e.copy(preferred_magnitude_id = Some("mg/missing")))
+      .map(_.resource_id).contains("mg/2"))
+    // only an empty list yields None
     assert(EventOps.preferredOrigin(ev()).isEmpty)
+    assert(EventOps.preferredOrigin(
+      ev().copy(preferred_origin_id = Some("or/missing"))).isEmpty)
   }
 
   test("bumpVersion mirrors the reference's dotted-version arithmetic") {

@@ -134,6 +134,23 @@ class TxClaimSpec extends SparkSpec {
     assert(t2.tags() == (0 until 6).map(i => s"b$i"))
   }
 
+  test("tagRetention below checkpointInterval is rejected at construction") {
+    intercept[IllegalArgumentException] {
+      new TxTable(spark, tmp(), checkpointInterval = 5, tagRetention = Some(2L))
+    }
+  }
+
+  test("tag-only commit does not clobber the committed schema (ADVICE regression)") {
+    val t = new TxTable(spark, tmp())
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    // record a tag via a zero-column empty frame: no MetaData stamped
+    t.append(spark.emptyDataFrame, tag = Some("marker"))
+    assert(t.tags().contains("marker"))
+    t.overwrite(Seq((1L, "a")).toDF("id", "s").filter(lit(false)))
+    // empty live set still resolves to the LAST REAL schema, not ()
+    assert(t.read().schema.fieldNames.toSeq == Seq("id", "s"))
+  }
+
   test("empty live set keeps the committed schema; fresh compact is a no-op") {
     val t = new TxTable(spark, tmp())
     assert(t.compact() == -1L) // nothing committed: no crash, no commit
