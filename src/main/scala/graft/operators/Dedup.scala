@@ -245,19 +245,45 @@ object Dedup {
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    // Convergence via the count+XOR signature (same primitive as
+    // [[connectedComponentsStar]]): one cheap aggregate over the new
+    // labels per round, instead of the old next-vs-prev join + count
+    // that cost an extra action AND an extra shuffle per round. Labels
+    // only ever decrease, so an unchanged signature means an unchanged
+    // assignment (up to a 64-bit XOR-fold collision).
+    var sig = labelSignature(labels)
+    var converged = false
+    while (!converged && iter < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).count()
+      val nextSig = labelSignature(next)
+      converged = nextSig == sig
+      sig = nextSig
       labels = next
       iter += 1
     }
+    lastCcRounds = iter
     labels
+  }
+
+  /** Rounds the last connectedComponents/-Star call ran — diagnostic/
+    * bench observability (the scale benches assert LSH dedup graphs
+    * converge in a handful of rounds).
+    */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** Order-independent (rowCount, XOR of row hashes) digest — equal
+    * digests across rounds detect an iterative fixpoint with ONE
+    * aggregate job, no self-join. XOR can't overflow under ANSI mode
+    * (a sum of longs can).
+    */
+  private def labelSignature(labels: DataFrame): (Long, Long) = {
+    val r = labels.select(xxhash64(col("id"), col("component")).as("h"))
+      .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Connected components by alternating large-star / small-star
@@ -269,23 +295,24 @@ object Dedup {
     *
     * large-star points every node's LARGER neighbors at the minimum of
     * its neighborhood; small-star points its smaller neighbors (and the
-    * node itself) at their minimum. Each is one hash-shuffle of the
-    * edge list (window min over the src partition — no join), and the
-    * edge set monotonically contracts into per-component stars centered
-    * at the component minimum. Convergence is detected with a
-    * count+hash signature — one cheap aggregate per round instead of a
-    * full `except`. Lineage truncates per round via localCheckpoint,
-    * same as the label-propagation variant.
+    * node itself) at their minimum. The edge set monotonically
+    * contracts into per-component stars centered at the component
+    * minimum. Convergence is detected with a count+hash signature —
+    * one cheap aggregate per round instead of a full `except`. Lineage
+    * truncates per round via localCheckpoint, same as the
+    * label-propagation variant.
     *
-    * Caveat at scale: at the fixpoint the component center's degree is
-    * the component size, so a giant component concentrates one window
-    * partition. Fine for dedup graphs (components are near-dup
-    * clusters); a web-scale giant component wants the paper's
-    * high-degree-node handling on top.
+    * High-degree handling (the paper's §4 load-balancing concern): the
+    * per-node neighborhood minimum is computed with a partial-aggregated
+    * `groupBy.min`, NOT a window over the src partition — a giant
+    * component's center (whose fixpoint degree is the component size)
+    * contributes one row per map partition to the agg shuffle instead
+    * of concentrating its whole adjacency in one window task. The join
+    * back on src is the remaining skewed exchange, and it is a plain
+    * equi join that AQE's skew-join split re-parallelizes at runtime.
     */
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 30): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ids = edges.select(col(aCol).as("id"))
       .union(edges.select(col(bCol).as("id"))).distinct()
     // canonical form: larger endpoint first, self-loops dropped
@@ -295,25 +322,28 @@ object Dedup {
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
 
+    // min neighbor per src via combiner-style aggregation (hub-safe),
+    // joined back to the per-edge rows that need it
+    def withNeighborhoodMin(e: DataFrame): DataFrame =
+      e.join(e.groupBy("src").agg(min("dst").as("mn")), "src")
+
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val w = Window.partitionBy("src")
-      sym.withColumn("m", least(min("dst").over(w), col("src")))
+      withNeighborhoodMin(sym)
+        .withColumn("m", least(col("mn"), col("src")))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
-      val w = Window.partitionBy("src")
-      e.withColumn("m", min("dst").over(w))
-        .select(explode(array(col("src"), col("dst"))).as("v"), col("m"))
+      withNeighborhoodMin(e)
+        .select(explode(array(col("src"), col("dst"))).as("v"),
+          col("mn").as("m"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("src"), col("m").as("dst"))
         .distinct()
     }
     def signature(e: DataFrame): (Long, Long) = {
-      // XOR-fold of per-edge hashes: order-independent and can't
-      // overflow under ANSI mode (sum of longs can)
       val r = e.select(xxhash64(col("src"), col("dst")).as("h"))
         .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
@@ -330,6 +360,7 @@ object Dedup {
       cur = next
       iter += 1
     }
+    lastCcRounds = iter
     if (!converged)
       System.err.println(s"[ccStar] no fixpoint after $maxIter rounds; " +
         "labels may be non-minimal")

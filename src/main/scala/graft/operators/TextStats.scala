@@ -169,9 +169,15 @@ object TextStats {
     * Plan: one paragraph explode, one distinct-doc count per paragraph
     * (the only corpus-wide shuffle), an equi join back, and a per-doc
     * reassembly aggregation (collect_list + struct sort — order
-    * restored without a global sort). Paragraph identity is the full
-    * string; at web scale swap the join key for a hash of the
-    * paragraph to bound shuffle width.
+    * restored without a global sort). Paragraph identity is
+    * xxhash64(para): the frequency count and the join shuffle 8-byte
+    * keys, never multi-KB paragraph strings — on a crawl-scale corpus
+    * the wide key would dominate shuffle bytes. The paragraph text
+    * rides only on the reassembly (paras) side. A 64-bit collision
+    * would merge two distinct paragraphs' doc counts; at 2^32
+    * distinct paragraphs the expected collision count is ~0.5
+    * (birthday bound) and the failure mode is one spuriously dropped
+    * paragraph — acceptable for boilerplate filtering.
     *
     * Output: idCol, clean_text, n_kept, n_dropped.
     */
@@ -180,9 +186,10 @@ object TextStats {
     val paras = docs.select(col(idCol),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
-    val freq = paras.groupBy("para")
+      .withColumn("para_h", xxhash64(col("para")))
+    val freq = paras.groupBy("para_h")
       .agg(countDistinct(col(idCol)).as("n_docs"))
-    paras.join(freq, "para")
+    paras.join(freq, "para_h")
       .groupBy(col(idCol))
       .agg(
         array_join(transform(array_sort(collect_list(

@@ -118,6 +118,34 @@ class DedupSpec extends SparkSpec {
     assert((1L to 32L).forall(pathComps(_) == 1L))
   }
 
+  test("connectedComponentsStar: 1M-node path graph (adversarial diameter)") {
+    // diameter 10^6: label propagation would need 10^6 rounds; star
+    // contraction must finish in O(log n) alternations under the
+    // default cap, with per-round lineage truncation keeping the
+    // driver alive
+    val n = 1000000L
+    val path = spark.range(1L, n)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val comps = Dedup.connectedComponentsStar(path, "a", "b")
+    val r = comps.agg(
+      count(lit(1)), countDistinct(col("component")), min("component")).head()
+    assert(r.getLong(0) == n && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(Dedup.lastCcRounds <= 25, s"took ${Dedup.lastCcRounds} rounds")
+  }
+
+  test("connectedComponentsStar: star graph with a 100k-degree hub (skew)") {
+    // hub has the LARGEST id, so every canonical edge has src = hub:
+    // the neighborhood-min must partial-aggregate, not funnel the whole
+    // adjacency into one window task (the paper's high-degree concern)
+    val hub = 100000L
+    val star = spark.range(0L, hub).select(lit(hub).as("a"), col("id").as("b"))
+    val comps = Dedup.connectedComponentsStar(star, "a", "b")
+    val r = comps.agg(
+      count(lit(1)), countDistinct(col("component")), min("component")).head()
+    assert(r.getLong(0) == hub + 1 && r.getLong(1) == 1L && r.getLong(2) == 0L)
+    assert(Dedup.lastCcRounds <= 5, s"took ${Dedup.lastCcRounds} rounds")
+  }
+
   test("newAgainstKnown admits only unseen fingerprints") {
     val known = Seq("hello world", "old doc").toDF("text")
       .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
