@@ -21,9 +21,52 @@ object Multimodal {
   case class DecodedRow(doc_id: Long, media_type: String,
                         width: Long, height: Long, n_bytes: Long)
 
-  /** STUB decoder: reads "dimensions" from the first four payload
-    * bytes, big-endian 16-bit each — a stand-in for a header parse.
+  /** Pluggable payload decoder. Implementations ship to executors
+    * (Serializable) and get a per-partition lifecycle: `open()` once
+    * before a partition's rows, `decode` per row, `close()` when the
+    * partition is drained — the shape a native codec binding (JNI
+    * handle, ONNX session, ffmpeg context) needs, with init cost
+    * amortized across the batch.
     */
+  trait Decoder extends Serializable {
+    /** Per-partition init (codec handles, caches). */
+    def open(): Unit = ()
+    def decode(mediaType: String, bytes: Array[Byte]): MediaMeta
+    /** Per-partition teardown; called once when the rows are drained. */
+    def close(): Unit = ()
+  }
+
+  /** STUB decoder (default): reads "dimensions" from the first four
+    * payload bytes, big-endian 16-bit each — a stand-in for a header
+    * parse. The driver tables carry synthetic payloads, so the stub is
+    * what the oracle queries (q35/q54/q55) pin.
+    */
+  object StubDecoder extends Decoder {
+    override def decode(mediaType: String, bytes: Array[Byte]): MediaMeta =
+      decodeStub(bytes)
+  }
+
+  /** Real image decoder on the JDK's own codecs (`javax.imageio`:
+    * PNG/JPEG/GIF/BMP — no external deps, works headless). Non-image
+    * payloads and undecodable bytes fall back to the stub so a mixed
+    * media column never throws mid-partition.
+    */
+  object ImageIoDecoder extends Decoder {
+    override def open(): Unit =
+      // no disk-backed stream cache: decode is in-memory per row, and
+      // executor temp-dir churn at scale is pure overhead
+      javax.imageio.ImageIO.setUseCache(false)
+    override def decode(mediaType: String, bytes: Array[Byte]): MediaMeta =
+      if (mediaType == "image") {
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        } catch { case _: java.io.IOException => null }
+        if (img == null) decodeStub(bytes)
+        else MediaMeta(img.getWidth.toLong, img.getHeight.toLong,
+          bytes.length.toLong)
+      } else decodeStub(bytes)
+  }
+
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
     def u(i: Int): Long =
       if (i < bytes.length) bytes(i).toLong & 0xFFL else 0L // short payloads → 0 dims
@@ -34,20 +77,28 @@ object Multimodal {
   }
 
   /** Decode metadata for a DataFrame with (doc_id: long, media_type:
-    * string, payload: binary). Partition-local: the decoder is
-    * instantiated once per partition and streams rows — the shape a
-    * native codec binding needs (batch init cost amortized, no
-    * per-row JNI setup).
+    * string, payload: binary). Partition-local: the decoder opens once
+    * per partition and streams rows.
     */
-  def decodeMeta(spark: SparkSession, df: DataFrame): Dataset[DecodedRow] = {
+  def decodeMeta(spark: SparkSession, df: DataFrame,
+                 decoder: Decoder = StubDecoder): Dataset[DecodedRow] = {
     import spark.implicits._
     df.select("doc_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder init would go here (real codec handle)
-        it.map { case (id, mt, payload) =>
-          val m = decodeStub(payload)
+        decoder.open()
+        val mapped = it.map { case (id, mt, payload) =>
+          val m = decoder.decode(mt, payload)
           DecodedRow(id, mt, m.width, m.height, m.n_bytes)
+        }
+        new Iterator[DecodedRow] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h && !closed) { closed = true; decoder.close() }
+            h
+          }
+          override def next(): DecodedRow = mapped.next()
         }
       }
   }

@@ -63,6 +63,40 @@ class MultimodalSpec extends SparkSpec {
     assert(top.count() == 2)
   }
 
+  test("ImageIoDecoder decodes real PNG/JPEG payloads; stub handles the rest") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)))
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val png = encode(3, 2, "png")
+    val jpg = encode(5, 7, "jpg")
+    val rows = Seq(
+      (1L, "image", png),
+      (2L, "image", jpg),
+      (3L, "image", Array[Byte](1, 2, 3, 4)), // undecodable -> stub
+      (4L, "audio", Array[Byte](0, 9, 0, 4))) // non-image -> stub
+      .toDF("doc_id", "media_type", "payload")
+    val meta = Multimodal
+      .decodeMeta(spark, rows, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.doc_id -> ((r.width, r.height, r.n_bytes))).toMap
+    assert(meta(1L) == ((3L, 2L, png.length.toLong)))
+    assert(meta(2L) == ((5L, 7L, jpg.length.toLong)))
+    // stub fallback: header-bytes pseudo-dimensions
+    assert(meta(3L) == ((0x0102L, 0x0304L, 4L)))
+    assert(meta(4L) == ((9L, 4L, 4L)))
+    // default decoder (the stub the oracles pin) is unchanged
+    val stubMeta = Multimodal.decodeMeta(spark, rows)
+      .filter(_.doc_id == 4L).head()
+    assert(stubMeta.width == 9L && stubMeta.height == 4L)
+  }
+
   test("repartitionForDecode sizes partitions by payload bytes") {
     val p = Multimodal.withSyntheticPayload(docs) // 4 x 16 bytes
     assert(Multimodal.repartitionForDecode(p, targetBytes = 16L)

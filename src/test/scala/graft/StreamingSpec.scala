@@ -130,4 +130,149 @@ class StreamingSpec extends SparkSpec {
     val all = spark.table("sval").select("entity_id").as[String].collect().toSet
     assert(all == Set("p2", "p6", "p5"))
   }
+
+  test("streaming validation: processing-time timeout expires idle per-key state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.streaming.StreamingValidation
+    import graft.streaming.StreamingValidation.PickEvent
+    val root = Files.createTempDirectory("graft-sval-to").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[PickEvent]
+    val violations = StreamingValidation.duplicatePicks(in.toDS(),
+      GroupStateTimeout.ProcessingTimeTimeout(), timeoutMs = 2000L)
+    // a real trigger interval: with armed processing-time timeouts the
+    // default 0ms trigger busy-loops no-data micro-batches. NOTE:
+    // processAllAvailable() never returns under ProcessingTimeTimeout
+    // (shouldRunAnotherBatch is always true, so the no-new-data latch
+    // never fires) — observe the sink by polling instead.
+    val q = violations.writeStream.format("memory").queryName("sval_to")
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .outputMode("append").start()
+    def sink(): Set[String] =
+      spark.table("sval_to").select("entity_id").as[String].collect().toSet
+    def awaitSink(expect: Set[String], ms: Long = 30000L): Unit = {
+      val deadline = System.currentTimeMillis + ms
+      while (sink() != expect && System.currentTimeMillis < deadline)
+        Thread.sleep(100L)
+      assert(sink() == expect)
+    }
+    try {
+      in.addData(PickEvent("p1", "e1", "N", "S1", "", "P", "", 1000L))
+      // same-key duplicate while state is live (within the timeout):
+      // flags
+      in.addData(PickEvent("p2", "e1", "N", "S1", "", "P", "", 2000L))
+      awaitSink(Set("p2"))
+      // let the key sit past the timeout; the continuous trigger
+      // delivers the expiry (hasTimedOut -> state removed), so the
+      // next same-key pick is accepted as a fresh first, NOT flagged
+      Thread.sleep(3500L)
+      in.addData(PickEvent("p3", "e1", "N", "S1", "", "P", "", 3000L))
+      // p3 must NOT appear: give the query ample time to prove it
+      Thread.sleep(1500L)
+      assert(sink() == Set("p2"), "state should have expired before p3")
+      // and the fresh state is live again: a fourth pick flags vs p3
+      in.addData(PickEvent("p4", "e1", "N", "S1", "", "P", "", 4000L))
+      awaitSink(Set("p2", "p4"))
+    } finally q.stop()
+  }
+
+  test("streaming S-before-P: out-of-order delivery converges to the batch verdict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingValidation
+    import graft.streaming.StreamingValidation.PickEvent
+    val root = Files.createTempDirectory("graft-sbp").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[PickEvent]
+    val q = StreamingValidation.sBeforeP(in.toDS())
+      .writeStream.format("memory").queryName("sbp")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    // changelog contract: emissions per entity strictly alternate
+    // starting at violated=true, so an odd change count means the
+    // latest verdict is "violated" — no reliance on sink row order
+    def latestViolated(): Set[String] = {
+      val rows = spark.table("sbp").select("entity_id").as[String].collect()
+      rows.groupBy(identity).collect {
+        case (e, vs) if vs.length % 2 == 1 => e
+      }.toSet
+    }
+    // S arrives first: alone it is no violation
+    in.addData(PickEvent("s1", "e1", "N", "S1", "", "S", "", 100L))
+    q.processAllAvailable()
+    assert(latestViolated().isEmpty)
+    // later P arrives -> S (100) < P (200): violated
+    in.addData(PickEvent("pp1", "e1", "N", "S1", "", "P", "", 200L))
+    q.processAllAvailable()
+    assert(latestViolated() == Set("e1|N.S1."))
+    // a LATE, earlier P (50) clears the verdict -> changelog retraction
+    in.addData(PickEvent("pp0", "e1", "N", "S1", "", "P", "", 50L))
+    q.processAllAvailable()
+    q.stop()
+    assert(latestViolated().isEmpty)
+    // batch rule on the complete data agrees
+    val picksDf = Seq(
+      ("s1", "e1", "N", "S1", "", "S", null.asInstanceOf[String], 100L),
+      ("pp1", "e1", "N", "S1", "", "P", null.asInstanceOf[String], 200L),
+      ("pp0", "e1", "N", "S1", "", "P", null.asInstanceOf[String], 50L))
+      .toDF("resource_id", "event_id", "network", "station", "location",
+        "phase_hint", "evaluation_status", "time")
+    assert(graft.operators.CatalogValidation.sBeforeP(picksDf).count() == 0)
+  }
+
+  test("streaming amp-pick link: dangling pick flags, late matching pick retracts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingValidation
+    import graft.streaming.StreamingValidation.{AmpEvent, PickEvent}
+    val root = Files.createTempDirectory("graft-ampl").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ampsIn = MemoryStream[AmpEvent]
+    val picksIn = MemoryStream[PickEvent]
+    val q = StreamingValidation.ampPickLink(ampsIn.toDS(), picksIn.toDS())
+      .writeStream.format("memory").queryName("ampl")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    // same alternation argument as the S-before-P case: odd change
+    // count per entity == currently violated
+    def latestViolated(): Set[String] = {
+      val rows = spark.table("ampl").select("entity_id").as[String].collect()
+      rows.groupBy(identity).collect {
+        case (e, vs) if vs.length % 2 == 1 => e
+      }.toSet
+    }
+    // windowed amp before its pick: violated as of now (dangling link);
+    // a windowless amp is never checked; a rejected amp is skipped
+    ampsIn.addData(
+      AmpEvent("a1", "e1", "pk1", "", Some(1000L), has_window = true),
+      AmpEvent("a2", "e1", "pk2", "", Some(999L), has_window = true),
+      AmpEvent("a3", "e1", "pk1", "", Some(77L), has_window = false),
+      AmpEvent("a4", "e1", "pk1", "rejected", Some(77L), has_window = true))
+    q.processAllAvailable()
+    assert(latestViolated() == Set("a1", "a2"))
+    // pk1 lands with time == a1.reference: a1 retracts; pk2 lands with
+    // a different time: a2 stays violated
+    picksIn.addData(
+      PickEvent("pk1", "e1", "N", "S1", "", "P", "", 1000L),
+      PickEvent("pk2", "e1", "N", "S1", "", "P", "", 1000L))
+    q.processAllAvailable()
+    q.stop()
+    assert(latestViolated() == Set("a2"))
+    // batch rule on the complete data agrees: a2 mismatched, a1
+    // matches, a3 windowless, a4 rejected
+    val ampsDf = Seq(
+      ("a1", "e1", "pk1", Option.empty[String], Option(0L), Option.empty[Long], Option(1000L)),
+      ("a2", "e1", "pk2", Option.empty[String], Option(0L), Option.empty[Long], Option(999L)),
+      ("a3", "e1", "pk1", Option.empty[String], Option.empty[Long], Option.empty[Long], Option(77L)),
+      ("a4", "e1", "pk1", Option("rejected"), Option(0L), Option.empty[Long], Option(77L)))
+      .toDF("resource_id", "event_id", "pick_id", "evaluation_status",
+        "time_begin", "time_end", "reference")
+    val picksDf = Seq(("pk1", "e1", 1000L), ("pk2", "e1", 1000L))
+      .toDF("resource_id", "event_id", "time")
+    val batch = graft.operators.CatalogValidation
+      .ampTimesContainPickTime(ampsDf, picksDf)
+      .as[String].collect().toSet
+    assert(batch == Set("a2"))
+  }
 }
