@@ -24,9 +24,20 @@ import graft.operators.{IntervalJoin, Intervals, TimeChunks, TraceStitch}
   *     a plain parquet directory: atomic multi-writer commits, snapshot
   *     reads, time travel and compaction — the concurrent-producer
   *     contract the reference's single-process HDF5 index can't offer.
+  *   - `segmentFormat = "gsg"` stores segments as real GSG record files
+  *     through the V2 sink instead of parquet — the `put_waveforms`
+  *     interop contract (`wavebank.py:708-754` writes real miniSEED so
+  *     external tools can read the archive back); queries and the
+  *     index build go through the V2 scan (header-only summaries,
+  *     record-boundary splits) and behave identically.
   */
 class WaveBank(spark: SparkSession, root: String,
-               txIndex: Boolean = false) extends graft.core.WaveformClient {
+               txIndex: Boolean = false,
+               segmentFormat: String = "parquet")
+    extends graft.core.WaveformClient {
+
+  require(segmentFormat == "parquet" || segmentFormat == "gsg",
+    s"segmentFormat must be parquet or gsg, got $segmentFormat")
 
   val segmentsPath = s"$root/segments"
   val indexPath = s"$root/index"
@@ -83,11 +94,27 @@ class WaveBank(spark: SparkSession, root: String,
     * `put_waveforms`).
     */
   def putWaveforms(segments: DataFrame): Unit = {
-    segments.write.mode(SaveMode.Append)
-      .partitionBy("network", "station")
-      .parquet(segmentsPath)
+    if (segmentFormat == "gsg")
+      // V2 saves reject partitionBy; co-location comes from the
+      // station-clustered record layout instead
+      segments
+        .select("network", "station", "location", "channel",
+          "starttime", "sampling_period", "samples")
+        .write.format("gsg").mode(SaveMode.Append).save(segmentsPath)
+    else
+      segments.write.mode(SaveMode.Append)
+        .partitionBy("network", "station")
+        .parquet(segmentsPath)
     updateIndex()
   }
+
+  /** Segments with a `path` column, whatever the store format. */
+  private def segmentsDf: DataFrame =
+    if (segmentFormat == "gsg")
+      spark.read.format("gsg").load(segmentsPath).drop("n_samples")
+    else
+      spark.read.parquet(segmentsPath)
+        .withColumn("path", col("_metadata.file_path"))
 
   /** (Re)build the summary index from segment files newer than the last
     * index pass; first call indexes everything.
@@ -103,12 +130,23 @@ class WaveBank(spark: SparkSession, root: String,
         indexDf.agg(max("indexed_at")).collect()(0).getLong(0)
       else Long.MinValue
 
-    val segs = spark.read.parquet(segmentsPath)
-      .select(col("network"), col("station"), col("location"), col("channel"),
-        col("starttime"), col("sampling_period"), size(col("samples")).as("n"),
-        col("_metadata.file_path").as("path"),
-        unix_millis(col("_metadata.file_modification_time")).as("mtime_ms"))
-      .filter(col("mtime_ms") > lit(lastIndexed / 1000000L) - 1) // −1 ms slack, as the reference
+    val segs =
+      if (segmentFormat == "gsg")
+        // header-only V2 scan (samples unprojected → payloads unread);
+        // the mtime watermark pushes into file listing, −1 ms slack as
+        // the reference
+        spark.read.format("gsg")
+          .option("modifiedAfterMs", (lastIndexed / 1000000L - 1).toString)
+          .load(segmentsPath)
+          .select(col("network"), col("station"), col("location"),
+            col("channel"), col("starttime"), col("sampling_period"),
+            col("n_samples").as("n"), col("path"))
+      else spark.read.parquet(segmentsPath)
+        .select(col("network"), col("station"), col("location"), col("channel"),
+          col("starttime"), col("sampling_period"), size(col("samples")).as("n"),
+          col("_metadata.file_path").as("path"),
+          unix_millis(col("_metadata.file_modification_time")).as("mtime_ms"))
+        .filter(col("mtime_ms") > lit(lastIndexed / 1000000L) - 1) // −1 ms slack, as the reference
     val newIndex = segs.select(
       Schemas.nslcNormalize(col("network")).as("network"),
       Schemas.nslcNormalize(col("station")).as("station"),
@@ -184,8 +222,7 @@ class WaveBank(spark: SparkSession, root: String,
     val matched = IntervalJoin.overlapping(
       idx, requests, keyCols = Seq("seed_id"), buffer = bufferNs)
       .select(col("path")).distinct() // unique files before the expensive read
-    val segs = spark.read.parquet(segmentsPath)
-      .withColumn("path", col("_metadata.file_path"))
+    val segs = segmentsDf
       .join(matched, Seq("path"), "left_semi")
       .withColumn("seed_id", Schemas.seedId(
         Schemas.nslcNormalize(col("network")), Schemas.nslcNormalize(col("station")),
@@ -215,7 +252,7 @@ class WaveBank(spark: SparkSession, root: String,
     * write clustered by (NSLC, day).
     */
   def exportSds(outDir: String): Unit =
-    spark.read.parquet(segmentsPath)
+    segmentsDf.drop("path")
       .withColumn("day", expr("starttime div 86400000000000"))
       .repartition(col("network"), col("station"), col("channel"), col("day"))
       .write.mode(SaveMode.Overwrite)

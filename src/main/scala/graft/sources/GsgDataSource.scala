@@ -4,9 +4,10 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
@@ -45,6 +46,17 @@ import scala.collection.mutable
   *
   * Usage: `spark.read.format("gsg").load(dir)` (registered via
   * DataSourceRegister) or `.format(classOf[GsgDataSource].getName)`.
+  *
+  * The WRITE side (`df.write.format("gsg").mode("append").save(dir)`)
+  * is the `put_waveforms` interop path (obsplus `wavebank.py:708-754`:
+  * writes real miniSEED so external tools can read the archive back):
+  * tasks stream records into HIDDEN staged files and the driver commit
+  * renames them visible — readers never observe a partial write, and
+  * an aborted job leaves no visible data. `mode("overwrite")` truncates
+  * (delete-then-publish inside the same commit). Records concatenate
+  * with the exact framing the reader split-plans, and a file rolls
+  * once it exceeds `maxFileBytes` (default 128 MiB) — so a large write
+  * produces the oversized multi-record files the reader was built for.
   */
 class GsgDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -55,10 +67,17 @@ class GsgDataSource extends TableProvider
     GsgDataSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new GsgTable(properties.asScala.toMap)
+                        properties: JMap[String, String]): Table = {
+    // writes pass the frame's schema, reads a projection of the full
+    // one: any subset of the known columns (ignoring nullability) is
+    // legal here; the writer additionally requires its 7 core fields
+    GsgDataSource.validateSubsetSchema(schema)
+    new GsgTable(schema, properties.asScala.toMap)
+  }
 
-  override def supportsExternalMetadata(): Boolean = false
+  // lets DataFrameWriter hand the frame's schema to getTable (writes
+  // carry no n_samples/path — those columns are reader-derived)
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object GsgDataSource {
@@ -113,22 +132,76 @@ object GsgDataSource {
       bb.getLong(), bb.getLong(), bb.getInt())
     if (h.n < 0 || h.n > MaxSamples) None else Some(h)
   }
+
+  /** Columns the writer needs from the incoming frame; n_samples and
+    * path are reader-derived and ignored on write if present.
+    */
+  val WriteFields: Seq[String] = Seq("network", "station", "location",
+    "channel", "starttime", "sampling_period", "samples")
+
+  /** Every field must be a known column with its exact type
+    * (nullability ignored — parquet round trips widen containsNull).
+    */
+  def validateSubsetSchema(schema: StructType): Unit = {
+    val known = Schema.fields.map(f => f.name -> f.dataType).toMap
+    def same(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (ArrayType(ea, _), ArrayType(eb, _)) => same(ea, eb)
+      case _ => a == b
+    }
+    schema.fields.foreach { f =>
+      known.get(f.name) match {
+        case Some(dt) if same(dt, f.dataType) => ()
+        case Some(dt) => throw new IllegalArgumentException(
+          s"gsg: column '${f.name}' must be ${dt.simpleString}, " +
+            s"got ${f.dataType.simpleString}")
+        case None => throw new IllegalArgumentException(
+          s"gsg: unknown column '${f.name}' (known: " +
+            s"${Schema.fieldNames.mkString(", ")})")
+      }
+    }
+  }
+
+  /** Hadoop's hidden-path convention: staged writes and metadata files
+    * are invisible to the scan.
+    */
+  def isHidden(p: Path): Boolean = {
+    val n = p.getName
+    n.startsWith("_") || n.startsWith(".")
+  }
 }
 
-class GsgTable(properties: Map[String, String]) extends Table with SupportsRead {
+class GsgTable(tableSchema: StructType, properties: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"gsg(${properties.getOrElse("path", "?")})"
-  override def schema(): StructType = GsgDataSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GsgScanBuilder(options.asScala.toMap ++ properties)
+    new GsgScanBuilder(tableSchema, options.asScala.toMap ++ properties)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val missing = GsgDataSource.WriteFields
+      .filterNot(info.schema().fieldNames.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"gsg write requires columns [${missing.mkString(", ")}] " +
+        s"(got: ${info.schema().fieldNames.mkString(", ")})")
+    val path = Option(info.options.get("path"))
+      .orElse(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "gsg sink requires a path"))
+    val maxFileBytes = Option(info.options.get("maxFileBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    new GsgWriteBuilder(path, info.queryId(), info.schema(), maxFileBytes)
+  }
 }
 
-class GsgScanBuilder(options: Map[String, String]) extends ScanBuilder
+class GsgScanBuilder(tableSchema: StructType, options: Map[String, String])
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var requiredSchema: StructType = GsgDataSource.Schema
+  private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -147,7 +220,10 @@ class GsgScanBuilder(options: Map[String, String]) extends ScanBuilder
   override def build(): Scan =
     new GsgScan(options.getOrElse("path",
       throw new IllegalArgumentException("gsg source requires a path")),
-      requiredSchema, pushed)
+      requiredSchema, pushed,
+      // mirrors the Spark file sources' modifiedAfter option, in plain
+      // epoch millis: incremental index builds list only fresh files
+      options.get("modifiedafterms").map(_.toLong))
 }
 
 /** Compiled header predicate (conjunction of pushed filters). */
@@ -195,7 +271,8 @@ object GsgHeaderFilter {
   }
 }
 
-class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter])
+class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter],
+              modifiedAfterMs: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   import GsgDataSource._
 
@@ -203,20 +280,25 @@ class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter])
   override def toBatch: Batch = this
   override def description(): String =
     s"GsgScan path=$dir, ReadSchema: ${requiredSchema.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      modifiedAfterMs.fold("")(t => s", ModifiedAfterMs: $t")
 
 
   private lazy val files: Seq[FileStatus] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
+    val fresh: FileStatus => Boolean =
+      modifiedAfterMs.fold((_: FileStatus) => true)(t =>
+        s => s.getModificationTime > t)
     def walk(s: FileStatus): Seq[FileStatus] =
-      if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
-      else if (s.getLen >= HeaderLen) Seq(s)
+      if (isHidden(s.getPath)) Nil // staged writes / metadata
+      else if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+      else if (s.getLen >= HeaderLen && fresh(s)) Seq(s)
       else Nil
     if (!fs.exists(p)) Nil else fs.getFileStatus(p) match {
       case d if d.isDirectory => fs.listStatus(p).toSeq.flatMap(walk)
-      case f => Seq(f)
+      case f => Seq(f).filter(s => s.getLen >= HeaderLen && fresh(s))
     }
   }
 
@@ -431,4 +513,175 @@ class GsgPartitionReader(slices: Array[GsgDataSource.FileSlice],
   override def get(): InternalRow = row
 
   override def close(): Unit = if (in != null) { in.close(); in = null }
+}
+
+/** Batch write: tasks stream records into hidden staged files inside
+  * the target directory; the driver-side job commit renames every
+  * staged file visible in one pass (and, for truncate, deletes the
+  * previously visible files first). The scan skips hidden paths, so a
+  * reader concurrent with a write sees either none or all of it —
+  * per-file rename atomicity is all this needs, which every
+  * FileSystem (including object stores' copy+delete rename) provides.
+  */
+class GsgWriteBuilder(dir: String, queryId: String, writeSchema: StructType,
+                      maxFileBytes: Long)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def description(): String =
+      s"GsgWrite path=$dir, truncate=$truncateFirst"
+    override def toBatch: BatchWrite =
+      new GsgBatchWrite(dir, queryId, writeSchema, maxFileBytes,
+        truncateFirst)
+  }
+}
+
+final case class GsgCommitMessage(stagedPaths: Seq[String])
+    extends WriterCommitMessage
+
+class GsgBatchWrite(dir: String, queryId: String, writeSchema: StructType,
+                    maxFileBytes: Long, truncateFirst: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // ship the session's hadoop conf once, like the reader factory
+    val sc = SparkSession.active.sparkContext
+    val c = sc.hadoopConfiguration
+    val it = c.iterator()
+    val buf = mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    // ensure the target exists before tasks open streams into it
+    val p = new Path(dir)
+    p.getFileSystem(c).mkdirs(p)
+    GsgWriterFactory(dir, queryId, writeSchema.fieldNames, maxFileBytes,
+      sc.broadcast(buf.toSeq))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val target = new Path(dir)
+    val fs = target.getFileSystem(conf)
+    if (truncateFirst && fs.exists(target))
+      fs.listStatus(target)
+        .filter(s => s.isFile && !GsgDataSource.isHidden(s.getPath))
+        .foreach(s => fs.delete(s.getPath, false))
+    messages.foreach {
+      case GsgCommitMessage(staged) => staged.foreach { sp =>
+        val p = new Path(sp)
+        // ".staged-<unique>.gsg" -> "part-<unique>.gsg"
+        val visible = new Path(p.getParent,
+          "part-" + p.getName.stripPrefix(".staged-"))
+        if (!fs.rename(p, visible))
+          throw new java.io.IOException(
+            s"gsg commit: rename $p -> $visible failed")
+      }
+      case m => throw new IllegalStateException(s"unexpected message $m")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    messages.foreach {
+      case GsgCommitMessage(staged) =>
+        staged.foreach(sp => fs.delete(new Path(sp), false))
+      case _ => ()
+    }
+  }
+}
+
+final case class GsgWriterFactory(dir: String, queryId: String,
+                                  columns: Array[String], maxFileBytes: Long,
+                                  hadoopProps: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GsgDataWriter(dir, queryId, columns, maxFileBytes, partitionId,
+      taskId, hadoopProps.value)
+}
+
+/** Streams rows as framed records into rolling staged files. Fails
+  * fast on codes that would not round-trip (over 8 ASCII chars) — an
+  * archive whose reads differ from its writes is worse than a thrown
+  * write. Null NSLC strings normalize to "" (the banks' nullish-code
+  * convention); null times/samples are data errors.
+  */
+class GsgDataWriter(dir: String, queryId: String, columns: Array[String],
+                    maxFileBytes: Long, partitionId: Int, taskId: Long,
+                    hadoopProps: Seq[(String, String)])
+    extends DataWriter[InternalRow] {
+  import BinarySegmentSource.{Magic, HeaderLen}
+
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    hadoopProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val fs = new Path(dir).getFileSystem(conf)
+  private val idx = columns.zipWithIndex.toMap
+  private val iNet = idx("network"); private val iSta = idx("station")
+  private val iLoc = idx("location"); private val iCha = idx("channel")
+  private val iT0 = idx("starttime"); private val iSp = idx("sampling_period")
+  private val iSamples = idx("samples")
+
+  private val staged = mutable.ArrayBuffer.empty[String]
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var written = 0L
+  private var fileSeq = 0
+
+  private def openNext(): Unit = {
+    val name = f".staged-$queryId-$partitionId%05d-$taskId-$fileSeq%04d.gsg"
+    fileSeq += 1
+    val p = new Path(dir, name)
+    out = fs.create(p, false)
+    staged += p.toString
+    written = 0L
+  }
+
+  private def code(row: InternalRow, i: Int, col: String): String = {
+    val s = if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+    if (s.length > 8 || !s.forall(c => c >= ' ' && c < 127))
+      throw new IllegalArgumentException(
+        s"gsg write: $col '$s' is not storable (max 8 ASCII chars)")
+    s
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val net = code(row, iNet, "network"); val sta = code(row, iSta, "station")
+    val loc = code(row, iLoc, "location"); val cha = code(row, iCha, "channel")
+    if (row.isNullAt(iT0) || row.isNullAt(iSp) || row.isNullAt(iSamples))
+      throw new IllegalArgumentException(
+        "gsg write: null starttime/sampling_period/samples")
+    val samples = row.getArray(iSamples).toDoubleArray()
+    val buf = ByteBuffer.allocate(HeaderLen + 8 * samples.length)
+      .order(ByteOrder.BIG_ENDIAN)
+    buf.put(Magic.getBytes("ASCII"))
+    Seq(net, sta, loc, cha)
+      .foreach(s => buf.put(s.padTo(8, ' ').getBytes("ASCII")))
+    buf.putLong(row.getLong(iT0)).putLong(row.getLong(iSp))
+    buf.putInt(samples.length)
+    samples.foreach(buf.putDouble)
+    if (out == null) openNext()
+    out.write(buf.array())
+    written += buf.capacity()
+    // roll AFTER a whole record: files exceed maxFileBytes by at most
+    // one record and every file ends on a record boundary
+    if (written >= maxFileBytes) { out.close(); out = null }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) { out.close(); out = null }
+    GsgCommitMessage(staged.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { try out.close() catch { case _: Exception => () }; out = null }
+    staged.foreach(sp =>
+      try fs.delete(new Path(sp), false) catch { case _: Exception => () })
+  }
+
+  override def close(): Unit =
+    if (out != null) { out.close(); out = null }
 }

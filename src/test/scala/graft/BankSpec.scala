@@ -82,6 +82,49 @@ class BankSpec extends SparkSpec {
     assert(bank.readIndex(network = "N2").count() == 1)
   }
 
+  test("wavebank: gsg segment store — real record files, same query surface") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root, segmentFormat = "gsg")
+    bank.putWaveforms(segmentDf)
+
+    // the archive is REAL gsg files an external consumer can read raw
+    val segDir = java.nio.file.Paths.get(root, "segments")
+    val files = java.nio.file.Files.list(segDir).iterator()
+    var names = List.empty[String]
+    while (files.hasNext) names ::= files.next().getFileName.toString
+    names = names.filterNot(_.startsWith(".")) // local FS .crc sidecars
+    assert(names.nonEmpty && names.forall(n =>
+      n.startsWith("part-") && n.endsWith(".gsg")), names.mkString(","))
+    val raw = graft.sources.BinarySegmentSource
+      .readSegments(spark, segDir.toString)
+    assert(raw.count() == 4)
+
+    // index and query surface behave exactly like the parquet store
+    assert(bank.readIndex().count() == 4)
+    assert(bank.readIndex(station = "S1").count() == 3)
+    val av = bank.availability().orderBy("station", "channel").collect()
+    assert(av.length == 2 && av(0).getAs[Long]("endtime") == 5500L)
+    val out = bank.getWaveformsBulk(
+        Seq(("N1.S1..BHZ", 0L, 1500L)).toDF("seed_id", "t1", "t2"))
+      .orderBy("starttime").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("starttime") == 0L &&
+      out(0).getAs[Long]("endtime") == 2000L)
+    assert(out(0).getAs[scala.collection.Seq[Double]]("samples")
+      .take(100).forall(_ == 1.0))
+
+    // incremental: a second put indexes only the new file
+    bank.putWaveforms(Seq(("N2", "S9", "", "HHZ", 0L, 10L, Array.fill(10)(0.0)))
+      .toDF("network", "station", "location", "channel",
+            "starttime", "sampling_period", "samples"))
+    assert(bank.readIndex().count() == 5)
+    assert(bank.readIndex(network = "N2").count() == 1)
+
+    // scalar get_waveforms trims to the window off the gsg store
+    val got = bank.getWaveforms("N1", "S2", "", "BHN", 0L, 500L)
+    assert(got.count() > 0)
+  }
+
   test("wavebank: bulk fetch stitches adjacent segments, later wins") {
     val bank = new WaveBank(spark, tmp())
     bank.putWaveforms(segmentDf)

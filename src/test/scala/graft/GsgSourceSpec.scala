@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Path}
+import scala.collection.JavaConverters._
 
 /** The gsg DataSource V2: record-boundary split planning, small-file
   * coalescing, in-reader column pruning and header filter pushdown.
@@ -149,6 +150,105 @@ class GsgSourceSpec extends SparkSpec {
       val df = spark.read.format("gsg").load(dir.toString)
       assert(df.select("station").as[String].collect().toSeq == Seq("S1"))
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("write: df.write round-trips losslessly through the V2 sink") {
+    val dir = tmp()
+    val rows = Seq(
+      ("N1", "S1", "", "BHZ", 0L, 10L, Array.tabulate(100)(_.toDouble)),
+      ("N1", "S2", "00", "BHN", 1000L, 20L, Array(1.5, -2.5, 3.25)),
+      ("N2", "S3", "", "HHZ", -5L, 1L, Array.empty[Double]))
+    rows.toDF("network", "station", "location", "channel",
+        "starttime", "sampling_period", "samples")
+      .write.format("gsg").mode("append").save(dir.toString)
+    // no staged leftovers; published files follow the part-*.gsg shape
+    // (dot-files are the local FS's checksum sidecars, invisible to
+    // readers like any hidden path)
+    val names = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")).toSeq
+    assert(names.nonEmpty && names.forall(n =>
+      n.startsWith("part-") && n.endsWith(".gsg")), names.mkString(","))
+    assert(!names.exists(_.contains("staged")), names.mkString(","))
+    val back = spark.read.format("gsg").load(dir.toString)
+      .select("network", "station", "location", "channel",
+        "starttime", "sampling_period", "samples")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5),
+        r.getAs[scala.collection.Seq[Double]](6).toSeq)).toSet
+    assert(back == rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6,
+      t._7.toSeq)).toSet)
+  }
+
+  test("write: files roll at maxFileBytes on record boundaries; reader split-plans them") {
+    val dir = tmp()
+    // 30 records x ~4 KB, one writer task, 12 KB roll target ->
+    // several multi-record files, each a valid record chain
+    (0 until 30).map(i => ("N1", "S1", "", "BHZ", i * 1000L, 10L,
+        Array.fill(500)(i.toDouble)))
+      .toDF("network", "station", "location", "channel",
+        "starttime", "sampling_period", "samples")
+      .coalesce(1)
+      .write.format("gsg").option("maxFileBytes", (12 * 1024).toString)
+      .mode("append").save(dir.toString)
+    val files = Files.list(dir).iterator().asScala.toSeq
+    assert(files.size > 5, s"expected rolled files, got ${files.size}")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (8 * 1024).toString)
+    try {
+      val df = spark.read.format("gsg").load(dir.toString)
+      assert(df.count() == 30)
+      val sums = df.select($"starttime",
+        aggregate($"samples", lit(0.0), (a, x) => a + x).as("s"))
+        .as[(Long, Double)].collect().toMap
+      assert(sums.size == 30 && sums(7000L) == 7.0 * 500)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("write: append accumulates, overwrite truncates atomically") {
+    val dir = tmp()
+    def put(sta: String, mode: String): Unit =
+      Seq(("N1", sta, "", "BHZ", 0L, 10L, Array(1.0)))
+        .toDF("network", "station", "location", "channel",
+          "starttime", "sampling_period", "samples")
+        .write.format("gsg").mode(mode).save(dir.toString)
+    put("S1", "append"); put("S2", "append")
+    val stations = () => spark.read.format("gsg").load(dir.toString)
+      .select("station").as[String].collect().toSet
+    assert(stations() == Set("S1", "S2"))
+    put("S3", "overwrite")
+    assert(stations() == Set("S3"))
+  }
+
+  test("write: codes that cannot round-trip fail fast instead of truncating") {
+    val dir = tmp()
+    val e = intercept[Exception] {
+      Seq(("N1", "STATION_NINE", "", "BHZ", 0L, 10L, Array(1.0)))
+        .toDF("network", "station", "location", "channel",
+          "starttime", "sampling_period", "samples")
+        .write.format("gsg").mode("append").save(dir.toString)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("not storable")), e.toString)
+    // failed job published nothing
+    val df = spark.read.format("gsg").load(dir.toString)
+    assert(df.count() == 0)
+  }
+
+  test("modifiedAfterMs prunes stale files from the listing") {
+    val dir = tmp()
+    writeFile(dir.resolve("old.gsg"), seg("N1", "S1", "BHZ", 0L, 10, 1.0))
+    Files.setLastModifiedTime(dir.resolve("old.gsg"),
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    writeFile(dir.resolve("new.gsg"), seg("N1", "S2", "BHZ", 0L, 10, 2.0))
+    Files.setLastModifiedTime(dir.resolve("new.gsg"),
+      java.nio.file.attribute.FileTime.fromMillis(50000L))
+    val fresh = spark.read.format("gsg")
+      .option("modifiedAfterMs", "10000").load(dir.toString)
+    assert(fresh.select("station").as[String].collect().toSeq == Seq("S2"))
+    val all = spark.read.format("gsg")
+      .option("modifiedAfterMs", "10").load(dir.toString)
+    assert(all.count() == 2)
   }
 
   test("matches the binaryFile-based readSegments on a mixed archive") {
