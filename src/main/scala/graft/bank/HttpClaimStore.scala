@@ -1,0 +1,108 @@
+package graft.bank
+
+import org.apache.hadoop.fs.Path
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** [[TxTable.ClaimStore]] over plain HTTP conditional puts — the
+  * object-store claim primitive without a vendor SDK:
+  *
+  *   - `putIfAbsent` = `PUT` with `If-None-Match: *` (RFC 9110 §13.1.2)
+  *     — S3's and every S3-compatible store's create-if-absent call;
+  *     GCS expresses the same with `x-goog-if-generation-match: 0`,
+  *     which a signer can add instead. A `412 Precondition Failed` (or
+  *     `409`) is the LOST-RACE verdict, never an error.
+  *   - `put` = unconditional `PUT` (derived state: checkpoints).
+  *
+  * A vendor adapter shrinks to an endpoint plus a `sign` function that
+  * stamps auth headers (SigV4, bearer token) onto the prepared request
+  * — the claim logic itself never changes:
+  *
+  * {{{
+  * TxTable.registerClaimStore("s3a", (_, _) =>
+  *   new HttpConditionalPutClaimStore(new URI("https://bucket.s3..."),
+  *     sign = b => b.header("Authorization", sigv4(...))))
+  * }}}
+  *
+  * Reads stay on the scheme's FileSystem (s3a/gs), which sees the
+  * objects these puts create — only the atomic claim needs the raw
+  * HTTP surface the Hadoop API cannot express.
+  *
+  * '''Retry ambiguity''' (documented, not hidden): a retried
+  * conditional put whose first attempt actually landed will see `412`
+  * and report the claim lost even though this writer's bytes won.
+  * For the tx log that is SAFE — commit content is deterministic given
+  * the version, so a "lost" self-claim merely re-reads the log and
+  * re-claims the next version; it can duplicate work, never lose a
+  * commit. Connect errors and 5xx retry up to `maxRetries` with
+  * doubling backoff; 4xx (other than the 412/409 verdict) fail fast.
+  */
+class HttpConditionalPutClaimStore(
+    endpoint: URI,
+    sign: HttpRequest.Builder => HttpRequest.Builder = identity,
+    maxRetries: Int = 3,
+    client: HttpClient = HttpConditionalPutClaimStore.defaultClient)
+    extends TxTable.ClaimStore {
+
+  private val base = endpoint.toString.stripSuffix("/")
+
+  /** bucket/path object key: authority (bucket) + path, no leading
+    * slash — `s3a://b/t/_txlog/5.json` → `b/t/_txlog/5.json`.
+    */
+  private[graft] def keyFor(p: Path): String = {
+    val u = p.toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty).map(_ + "/").getOrElse("")
+    auth + u.getPath.stripPrefix("/")
+  }
+
+  private def request(p: Path, content: Array[Byte]): HttpRequest.Builder =
+    HttpRequest.newBuilder(URI.create(s"$base/${keyFor(p)}"))
+      .timeout(Duration.ofSeconds(30))
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(content))
+
+  /** Sends with bounded retry on transport errors and 5xx. Returns the
+    * final status code; conditional-verdict codes (412/409) return
+    * immediately without retry.
+    */
+  private def send(req: HttpRequest.Builder): Int = {
+    var attempt = 0
+    var backoffMs = 100L
+    while (true) {
+      val status =
+        try client.send(sign(req).build(),
+          HttpResponse.BodyHandlers.discarding()).statusCode()
+        catch {
+          case e: java.io.IOException =>
+            if (attempt >= maxRetries) throw e
+            -1 // transport error: retry below
+        }
+      if (status >= 200 && status < 300) return status
+      if (status == 412 || status == 409) return status
+      if (status >= 400 && status < 500)
+        throw new java.io.IOException(s"claim PUT rejected: HTTP $status")
+      if (attempt >= maxRetries)
+        throw new java.io.IOException(s"claim PUT failed: HTTP $status")
+      attempt += 1
+      Thread.sleep(backoffMs)
+      backoffMs *= 2
+    }
+    -1 // unreachable
+  }
+
+  override def putIfAbsent(p: Path, content: Array[Byte]): Boolean = {
+    val status = send(request(p, content).header("If-None-Match", "*"))
+    status < 300 // 412/409 = lost the race
+  }
+
+  override def put(p: Path, content: Array[Byte]): Unit = {
+    send(request(p, content))
+    ()
+  }
+}
+
+object HttpConditionalPutClaimStore {
+  private lazy val defaultClient: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+}

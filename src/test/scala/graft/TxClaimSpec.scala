@@ -52,6 +52,57 @@ class TxClaimSpec extends SparkSpec {
     }
   }
 
+  /** In-process HTTP object store: the server side of the
+    * `If-None-Match: *` contract. Conditional puts serialize on one
+    * mutex and publish all-or-nothing to the LOCAL filesystem (where
+    * the table's FileSystem reads them back) — so a full TxTable runs
+    * with its claims over real HTTP and its reads over the FS, exactly
+    * the S3 deployment shape.
+    */
+  private class HttpObjectStore(requireAuth: Option[String] = None) {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    private val server =
+      HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    private val lock = new Object
+    @volatile var conditionalPuts = 0
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        try {
+          val body = ex.getRequestBody.readAllBytes()
+          if (ex.getRequestMethod != "PUT") {
+            ex.sendResponseHeaders(405, -1); return
+          }
+          if (requireAuth.exists(a =>
+              ex.getRequestHeaders.getFirst("Authorization") != a)) {
+            ex.sendResponseHeaders(403, -1); return
+          }
+          val target = java.nio.file.Paths.get(ex.getRequestURI.getPath)
+          val conditional =
+            Option(ex.getRequestHeaders.getFirst("If-None-Match")).contains("*")
+          val status = lock.synchronized {
+            if (conditional && java.nio.file.Files.exists(target)) 412
+            else {
+              java.nio.file.Files.createDirectories(target.getParent)
+              val tmp = target.getParent
+                .resolve(s".http-stage-${java.util.UUID.randomUUID()}")
+              java.nio.file.Files.write(tmp, body)
+              java.nio.file.Files.move(tmp, target,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              if (conditional) { conditionalPuts += 1; 201 } else 200
+            }
+          }
+          ex.sendResponseHeaders(status, -1)
+        } finally ex.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    def endpoint: java.net.URI =
+      new java.net.URI(s"http://127.0.0.1:${server.getAddress.getPort}")
+    def stop(): Unit = server.stop(0)
+  }
+
   test("object-store schemes without a registered claim are rejected loudly") {
     val e = intercept[IllegalArgumentException](
       TxTable.resolve("s3a", rawFs, fc, tmp()))
@@ -115,6 +166,89 @@ class TxClaimSpec extends SparkSpec {
       assert(t.latestVersion() == 7L) // contiguous: no lost claim
       assert(t.read().select("id").as[Long].collect().sorted.toSeq == (0L until 8L))
     } finally TxTable.unregisterClaimStore("file")
+  }
+
+  test("HTTP claim store: racing writers through real If-None-Match puts, one winner") {
+    val store = new HttpObjectStore()
+    try {
+      val claims = new graft.bank.HttpConditionalPutClaimStore(store.endpoint)
+      // s3a-shaped keys: bucket = authority, no leading slash
+      assert(claims.keyFor(new Path("s3a://bkt/t/_txlog/5.json")) ==
+        "bkt/t/_txlog/5.json")
+      val dir = tmp()
+      val target = new Path(dir, "00000000000000000000.json")
+      val pool = Executors.newFixedThreadPool(8)
+      val start = new CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val winner = new java.util.concurrent.atomic.AtomicInteger(-1)
+      (0 until 8).foreach { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            if (claims.putIfAbsent(target, s"writer-$i".getBytes)) {
+              wins.incrementAndGet(); winner.set(i)
+            }
+            ()
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      assert(wins.get() == 1 && store.conditionalPuts == 1)
+      // the object holds the WINNER's bytes (all-or-nothing publish)
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "00000000000000000000.json"))
+      assert(new String(bytes) == s"writer-${winner.get()}")
+      // checkpoint-style unconditional put overwrites
+      claims.put(target, "ckpt".getBytes)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "00000000000000000000.json"))) == "ckpt")
+    } finally store.stop()
+  }
+
+  test("TxTable over the HTTP claim store: concurrent appends keep every commit") {
+    val store = new HttpObjectStore()
+    TxTable.registerClaimStore("file",
+      (_, _) => new graft.bank.HttpConditionalPutClaimStore(store.endpoint))
+    try {
+      val t = new TxTable(spark, tmp(), checkpointInterval = 3)
+      val pool = Executors.newFixedThreadPool(4)
+      val start = new CountDownLatch(1)
+      (0 until 8).foreach { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            t.append(Seq((i.toLong, s"w$i")).toDF("id", "s")); ()
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(t.latestVersion() == 7L) // contiguous: no lost claim
+      assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+        (0L until 8L))
+    } finally {
+      TxTable.unregisterClaimStore("file")
+      store.stop()
+    }
+  }
+
+  test("HTTP claim store: the vendor adapter is endpoint + signer") {
+    val store = new HttpObjectStore(requireAuth = Some("Bearer graft-test"))
+    try {
+      val dir = tmp()
+      val target = new Path(dir, "c.json")
+      // unsigned: the store's 403 fails fast (no silent lost-claim)
+      val unsigned = new graft.bank.HttpConditionalPutClaimStore(store.endpoint)
+      intercept[java.io.IOException](unsigned.putIfAbsent(target, "x".getBytes))
+      // signed: only the sign hook differs — the claim logic is shared
+      val signed = new graft.bank.HttpConditionalPutClaimStore(store.endpoint,
+        sign = b => b.header("Authorization", "Bearer graft-test"))
+      assert(signed.putIfAbsent(target, "x".getBytes))
+      assert(!signed.putIfAbsent(target, "y".getBytes)) // 412 = lost
+    } finally store.stop()
   }
 
   test("tag retention bounds the checkpointed tag set; recent replay stays exactly-once") {
