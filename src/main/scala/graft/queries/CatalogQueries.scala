@@ -337,6 +337,160 @@ object CatalogQueries {
         FROM picks WHERE network IS NOT NULL)
       SELECT f.event_id, f.time, c.latitude, c.longitude,
              CAST(1.0 AS DOUBLE) AS depth, CAST(1 AS BIGINT) AS time_fixed
-      FROM fp f JOIN chans c USING (network, station, location, channel)"""))
+      FROM fp f JOIN chans c USING (network, station, location, channel)""")),
+
+    // ---- the STREAMING S-before-P rule replayed over the same
+    //      synthetic catalog and reduced to its final verdict set: the
+    //      changelog alternates violated=true/false per entity starting
+    //      at true, so the latest verdict is "violated" iff the change
+    //      count is odd. Hash-matching the batch oracle proves the
+    //      incremental flatMapGroupsWithState stream converges to
+    //      exactly the batch rule — q66's cross-engine contract, for
+    //      stateful per-key validation instead of windowed aggregation.
+    Q("q77_stream_s_before_p", (s, dir) => {
+      import s.implicits._
+      val changes = graft.streaming.StreamingValidation.sBeforeP(
+        replay(s, streamPicks(s, dir))
+          .as[graft.streaming.StreamingValidation.PickEvent])
+      drainChangelog(s, changes.toDF(), "check_s_before_p")
+    }, Some(s"""
+      WITH picks AS ($streamPicksCteSql),
+      active_picks AS (
+        SELECT * FROM picks
+        WHERE COALESCE(evaluation_status, '') <> 'rejected'),
+      pt AS (SELECT event_id, network, station, location,
+                    MIN(time) AS p_time
+             FROM active_picks WHERE UPPER(phase_hint) = 'P'
+             GROUP BY event_id, network, station, location),
+      st AS (SELECT event_id, network, station, location,
+                    MIN(time) AS s_time
+             FROM active_picks WHERE UPPER(phase_hint) = 'S'
+             GROUP BY event_id, network, station, location)
+      SELECT concat_ws('|', pt.event_id,
+               concat_ws('.', pt.network, pt.station, pt.location))
+               AS entity_id,
+             'check_s_before_p' AS rule
+      FROM pt JOIN st ON pt.event_id = st.event_id
+        AND pt.network = st.network AND pt.station = st.station
+        AND pt.location = st.location
+      WHERE st.s_time < pt.p_time""")),
+
+    // ---- the streaming amplitude↔pick link rule, same contract: amps
+    //      and picks replayed as two file streams, dangling links flag
+    //      immediately and retract when the pick lands — the final
+    //      changelog state must equal the batch report
+    Q("q78_stream_amp_pick_link", (s, dir) => {
+      import s.implicits._
+      val (picks, _, amplitudes, _) = synthCatalog(s, dir)
+      val amps = amplitudes.select(
+        col("resource_id"), col("event_id"), col("pick_id"),
+        col("evaluation_status"), col("reference"),
+        (col("time_begin").isNotNull || col("time_end").isNotNull)
+          .as("has_window"))
+      val changes = graft.streaming.StreamingValidation.ampPickLink(
+        replay(s, amps).as[graft.streaming.StreamingValidation.AmpEvent],
+        replay(s, picks).as[graft.streaming.StreamingValidation.PickEvent])
+      drainChangelog(s, changes.toDF(), "check_amp_times_contain_pick_time")
+    }, Some(s"""
+      WITH picks AS ($picksCteSql),
+      amplitudes AS (
+        SELECT 'smi:local/amp/' || event_id AS resource_id,
+               'smi:local/event/' || (event_id % 250) AS event_id,
+               CASE WHEN event_id % 41 = 0 THEN 'smi:local/pick/missing'
+                    ELSE 'smi:local/pick/' || event_id END AS pick_id,
+               CASE WHEN event_id % 19 = 0 THEN epoch_ns(ts) + 1000000
+                    ELSE epoch_ns(ts) END AS reference,
+               CASE WHEN event_id % 23 = 0 THEN NULL ELSE 0.5 END AS time_begin,
+               CASE WHEN event_id % 23 = 0 THEN NULL ELSE 1.0 END AS time_end,
+               CASE WHEN event_id % 13 = 0 THEN 'rejected' ELSE '' END
+                 AS evaluation_status
+        FROM events WHERE event_id % 5 IN (2, 3)),
+      active_amps AS (
+        SELECT * FROM amplitudes
+        WHERE COALESCE(evaluation_status, '') <> 'rejected')
+      SELECT a.resource_id AS entity_id,
+             'check_amp_times_contain_pick_time' AS rule
+      FROM active_amps a LEFT JOIN picks p
+        ON p.event_id = a.event_id AND p.resource_id = a.pick_id
+      WHERE (a.time_begin IS NOT NULL OR a.time_end IS NOT NULL)
+        AND (a.reference IS NULL OR p.time IS NULL
+             OR a.reference <> p.time)"""))
   )
+
+  /** q77's pick synthesis: same shape as [[synthCatalog]]'s picks but
+    * with phases on a `% 7` residue — q70's `% 5` divides the catalog
+    * modulus 250, so a catalog event's picks all share one phase and
+    * S-before-P can NEVER fire there; 7 ∤ 250 mixes P and S within
+    * events and the rule has real work to do.
+    */
+  private def streamPicks(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(s, dir)
+    val eid = col("event_id")
+    e.select(
+      concat(lit("smi:local/pick/"), eid.cast("string")).as("resource_id"),
+      concat(lit("smi:local/event/"), (eid % 250).cast("string")).as("event_id"),
+      when(eid % 991 === 0, lit(null: String))
+        .otherwise(concat(lit("N"), (col("user_id") % 2).cast("string")))
+        .as("network"),
+      concat(lit("ST"), (col("user_id") % 5).cast("string")).as("station"),
+      lit("").as("location"),
+      when(eid % 3 === 0, "HHZ").when(eid % 3 === 1, "HHN").otherwise("HHE")
+        .as("channel"),
+      when(eid % 997 === 0, lit(null: String))
+        .when(eid % 7 === 0, "P").when(eid % 7 === 1, "S")
+        .when(eid % 7 === 2, "AML").when(eid % 7 === 3, "IAML")
+        .otherwise("Pg").as("phase_hint"),
+      when(eid % 13 === 0, "rejected").otherwise("").as("evaluation_status"),
+      col("ts").as("time"))
+  }
+
+  private def streamPicksCteSql = """
+        SELECT 'smi:local/pick/' || event_id AS resource_id,
+               'smi:local/event/' || (event_id % 250) AS event_id,
+               CASE WHEN event_id % 991 = 0 THEN NULL
+                    ELSE 'N' || (user_id % 2) END AS network,
+               'ST' || (user_id % 5) AS station,
+               '' AS location,
+               CASE event_id % 3 WHEN 0 THEN 'HHZ' WHEN 1 THEN 'HHN'
+                    ELSE 'HHE' END AS channel,
+               CASE WHEN event_id % 997 = 0 THEN NULL
+                    ELSE CASE event_id % 7 WHEN 0 THEN 'P' WHEN 1 THEN 'S'
+                         WHEN 2 THEN 'AML' WHEN 3 THEN 'IAML'
+                         ELSE 'Pg' END END AS phase_hint,
+               CASE WHEN event_id % 13 = 0 THEN 'rejected' ELSE '' END
+                 AS evaluation_status,
+               epoch_ns(ts) AS time
+        FROM events"""
+
+  /** Batch frame → temp parquet → AvailableNow file stream: the replay
+    * harness that lets the DuckDB oracle certify a streaming operator
+    * (same shape as q66).
+    */
+  private def replay(s: SparkSession, df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    df.write.mode("overwrite").parquet(dir)
+    s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+  }
+
+  /** Drain a [[graft.streaming.StreamingValidation.VerdictChange]]
+    * changelog to completion and reduce it to the CURRENT violation
+    * set: per entity the stream strictly alternates violated=
+    * true/false starting at true, so an odd change count means the
+    * latest verdict is "violated" — no reliance on sink row order.
+    */
+  private def drainChangelog(s: SparkSession, changes: DataFrame,
+                             rule: String): DataFrame = {
+    val sink = "sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = changes.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(sink)
+      .groupBy("entity_id").agg(count(lit(1)).as("n"))
+      .filter(pmod(col("n"), lit(2L)) === 1)
+      .select(col("entity_id"), lit(rule).as("rule"))
+      .localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    out
+  }
 }

@@ -31,11 +31,13 @@ object DedupQueries {
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private val fpSql = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 
-  /** MinHash(k=8) + LSH(4 bands × 2) candidate pairs over the dedup
-    * corpus — the pipeline shared by q26 (pairs) and q48 (clusters).
+  /** MinHash(k=8) + LSH(4 bands × 2) candidate pairs over an arbitrary
+    * corpus frame — the pipeline shared by q26 (pairs), q48/q65
+    * (clusters) and the scale bench (tools.ScaleBench runs the SAME
+    * composition on 10⁶–10⁷-doc synthetic corpora).
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = corpus(s, dir)
+  private[graft] def minhashPairsOf(corpus: DataFrame): DataFrame = {
+    val sigs = corpus
       .withColumn("toks", TextFunctions.tokens(col("text")))
       // fused shingle+hash expression — bit-identical to the composed
       // shingles3 → shingleHashes chain the oracle CTEs mirror
@@ -45,6 +47,9 @@ object DedupQueries {
       Dedup.lshBuckets(sigs, "sig", "doc_id", bands = 4, rowsPerBand = 2),
       "doc_id")
   }
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(corpus(s, dir))
 
   /** Oracle CTE chain ending in `pairs(a, b)` — the DuckDB mirror of
     * [[minhashPairs]], shared by the q26 and q48 oracles.
@@ -73,15 +78,19 @@ object DedupQueries {
     * the LSH candidate pairs — shared by q48 (label propagation) and
     * q65 (star contraction), which must agree with the same oracle.
     */
-  private def clusterLabels(s: SparkSession, dir: String,
-                            cc: DataFrame => DataFrame): DataFrame = {
-    val comps = cc(minhashPairs(s, dir))
-    corpus(s, dir).select("doc_id")
+  private[graft] def clusterLabelsOf(corpus: DataFrame,
+                                     cc: DataFrame => DataFrame): DataFrame = {
+    val comps = cc(minhashPairsOf(corpus))
+    corpus.select("doc_id")
       .join(comps, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .withColumn("is_keeper", col("component") === col("doc_id"))
   }
+
+  private def clusterLabels(s: SparkSession, dir: String,
+                            cc: DataFrame => DataFrame): DataFrame =
+    clusterLabelsOf(corpus(s, dir), cc)
 
   /** CTE chain ending in `comp(id, component)` — recursive transitive
     * closure over the LSH pair graph, shared by the q48/q65/q75

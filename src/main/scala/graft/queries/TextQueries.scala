@@ -17,6 +17,46 @@ object TextQueries {
   private def hitsSql(vocab: Seq[String]) =
     s"len(list_filter(toks, t -> list_contains([${vocab.map("'" + _ + "'").mkString(",")}], t)))"
 
+  /** q62's composed preprocessing pipeline on an arbitrary docs frame
+    * (quality gate → exact-dedup keepers → token-budget packing) —
+    * shared with tools.ScaleBench, which runs the same plan at
+    * 10⁶–10⁷ docs.
+    *
+    * `shards` is the pipeline's parallelism knob: the packing window
+    * sorts within each shard, so the shard count bounds both task
+    * parallelism and per-task sort size (≈ docs/shards rows held
+    * through a window sort). The oracle query uses the toy value 4;
+    * a production job sizes it like output files — ScaleBench measured
+    * 4 shards going 2.4× superlinear at 10⁷ docs (580 MB per window
+    * task, 4 of 32 cores busy) and docs/50k shards restoring linear.
+    */
+  private[graft] def corpusPipelineOf(docs: org.apache.spark.sql.DataFrame,
+                                      shards: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.syntax._
+    val scored = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("quality",
+        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6))
+      .filter(col("quality") >= 0.4)
+    scored.dedupExactKeepers("text", "doc_id")
+      .select("doc_id", "text", "n_tokens", "quality")
+      .packTokens("text", col("doc_id") % shards, col("doc_id"), budget = 512)
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        col("n_tokens"), col("quality"), col("tok_offset"), col("bin"))
+  }
+
+  /** q74's planted-boilerplate corpus (footer on every doc, promo on
+    * every 4th, unique tail) on an arbitrary docs frame.
+    */
+  private[graft] def plantBoilerplate(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit("¶footer subscribe"),
+        when(col("doc_id") % 4 === 0, "¶promo banner").otherwise(""),
+        lit("¶tail "), col("doc_id").cast("string")).as("ptext"))
+
   val all: Seq[Q] = Seq(
 
     // ---- per-source quota (RefinedWeb/C4-style domain cap): keep at
@@ -381,20 +421,8 @@ object TextQueries {
     //      What a real 100 TB preprocessing job looks like: scan-local
     //      feature math, one fingerprint shuffle, one packing window —
     //      three operators, three shuffles total.
-    Q("q62_corpus_pipeline", (s, dir) => {
-      import graft.syntax._
-      val scored = Tables.documents(s, dir)
-        .withColumn("toks", TextFunctions.tokens(col("text")))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("quality",
-          round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 6))
-        .filter(col("quality") >= 0.4)
-      scored.dedupExactKeepers("text", "doc_id")
-        .select("doc_id", "text", "n_tokens", "quality")
-        .packTokens("text", col("doc_id") % 4, col("doc_id"), budget = 512)
-        .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
-          col("n_tokens"), col("quality"), col("tok_offset"), col("bin"))
-    }, Some(s"""
+    Q("q62_corpus_pipeline", (s, dir) =>
+      corpusPipelineOf(Tables.documents(s, dir)), Some(s"""
       WITH scored AS (
         SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens,
                ROUND(LEAST(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0), 6) AS quality
@@ -445,14 +473,9 @@ object TextQueries {
     // ---- C4-style boilerplate removal: paragraphs repeated across
     //      50+ docs (planted footer on every doc, promo on every 4th)
     //      are dropped; unique content survives in original order
-    Q("q74_boilerplate", (s, dir) => {
-      val planted = Tables.documents(s, dir).select(col("doc_id"),
-        concat(col("text"), lit("¶footer subscribe"),
-          when(col("doc_id") % 4 === 0, "¶promo banner").otherwise(""),
-          lit("¶tail "), col("doc_id").cast("string")).as("ptext"))
-      TextStats.dropBoilerplate(planted, "ptext", "doc_id",
-        sep = "¶", minDocs = 50L)
-    }, Some("""
+    Q("q74_boilerplate", (s, dir) =>
+      TextStats.dropBoilerplate(plantBoilerplate(Tables.documents(s, dir)),
+        "ptext", "doc_id", sep = "¶", minDocs = 50L), Some("""
       WITH planted AS (
         SELECT doc_id,
                text || '¶footer subscribe'

@@ -151,6 +151,12 @@ object StreamingValidation {
       .filter(p => active(p.evaluation_status))
       .filter(p => p.phase_hint != null &&
         (p.phase_hint.toUpperCase == "P" || p.phase_hint.toUpperCase == "S"))
+      // null station keys never form a group: the reference's pandas
+      // groupby drops NaN keys and the batch rule's inner join can
+      // never match them — groupByKey would happily group nulls, so
+      // filter explicitly to converge to the same verdict set (q77)
+      .filter(p => p.network != null && p.station != null &&
+        p.location != null)
       .groupByKey(p => (p.event_id, p.network, p.station, p.location))
       .flatMapGroupsWithState(OutputMode.Append(), timeout) {
         (key: (String, String, String, String),

@@ -1,0 +1,215 @@
+package graft.tools
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextStats}
+import graft.queries.{DedupQueries, TextQueries}
+
+/** Scale-proof benchmark for the LLM-pipeline operators: runs the SAME
+  * operator compositions the oracle queries pin (q24/q26/q48/q65/q73/
+  * q74/q62 — shared code, not copies) on deterministic synthetic
+  * corpora 200×–2000× the sf0.1 documents table, and records per query
+  *
+  *   - wall time at each scale and the large/small ratio vs the scale
+  *     ratio (≤ ~linear is the claim being proven),
+  *   - the physical-plan shape ([[PlanIntrospect]]): shuffle count must
+  *     be CONSTANT across scales and BNLJ/cartesian must stay 0,
+  *   - connected-components round counts (2–4 on LSH pair graphs, per
+  *     docs/PLANS.md).
+  *
+  * Size-triggered broadcasts are disabled (threshold −1) so the
+  * measured plan is the one that survives when nothing fits in a
+  * broadcast — the 100 TB shape; operators' EXPLICIT broadcast hints
+  * (ignored threshold) stay live, which is exactly the contract.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleBench"`
+  * (env `GRAFT_SCALE_DOCS=1000000,10000000` to override the scales).
+  * Prints one JSON line; the recorded run lives in BASELINE.md.
+  */
+object ScaleBench {
+
+  /** 256-word vocabulary (deterministic, engine-neutral). */
+  private val Vocab: Seq[String] = {
+    val roots = Seq("data", "spark", "scan", "sort", "batch", "merge",
+      "shard", "query", "table", "index", "plan", "join", "group", "count",
+      "value", "store", "cache", "block", "range", "field", "model", "token",
+      "text", "word", "line", "page", "node", "edge", "graph", "tree",
+      "hash", "key")
+    (0 until 256).map(i => roots(i % roots.size) + (i / roots.size))
+  }
+
+  /** Deterministic synthetic corpus with planted dedup structure, in
+    * groups of 8 docs: member 0 is the base, 1–5 are near-duplicates
+    * (one forced word swap + ~4 % hash-chosen swaps — Jaccard ≈ 0.8,
+    * inside LSH recall), 6 is an EXACT copy of the base, 7 is unique.
+    * Every doc is 30–59 words from a 256-word vocab, all chosen by
+    * xxhash64 of (salt, seed, position) — no RNG, identical corpus on
+    * every run and any partitioning. Structure is group-local, so every
+    * derived quantity (dup groups, LSH pairs, components) scales
+    * linearly in `n` — the property the bench measures against.
+    */
+  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val vArr = array(Vocab.map(lit): _*)
+    val langs = array(Seq("en", "de", "fr", "es", "zh").map(lit): _*)
+    val d = spark.range(n)
+      .withColumn("grp", expr("id div 8"))
+      .withColumn("m", pmod(col("id"), lit(8L)))
+      // disjoint salts: a unique doc's stream must never collide with
+      // another group's base stream (a cross-group accidental dup would
+      // chain components across groups and break linearity)
+      .withColumn("seed", when(col("m") === 7, xxhash64(lit("unq"), col("id")))
+        .otherwise(xxhash64(lit("grpseed"), col("grp"))))
+      .withColumn("nw",
+        (pmod(xxhash64(lit("len"), col("seed")), lit(30L)) + 30L).cast("int"))
+      // the forced-perturbation position for near-dup members: at least
+      // one word always differs from the base
+      .withColumn("fpos",
+        pmod(xxhash64(lit("fpos"), col("seed"), col("m")), col("nw").cast("long")))
+    // Zipf-ish word draw: half the positions come from the 256-word
+    // common head, half from a 30k-word hash-generated tail. The tail
+    // matters for REALISM of the LSH graph: with a toy vocab, shingle
+    // minhashes collide across unrelated docs and chain components
+    // together (growing CC diameter with corpus size — an artifact);
+    // real corpora have 10⁴–10⁶ vocab and group-local components.
+    def draw(salt: String, i: Column, extra: Column*): Column = {
+      val h = xxhash64((lit(salt) +: col("seed") +: i +: extra): _*)
+      when(pmod(h, lit(2L)) === 0L,
+        element_at(vArr, (pmod(h, lit(256L)) + 1L).cast("int")))
+        .otherwise(concat(lit("w"), pmod(h, lit(30000L))))
+    }
+    val word: Column => Column = { i =>
+      val base = draw("w", i)
+      // alt draws from a disjoint salt: never the base word stream
+      val alt = concat(lit("v"), pmod(xxhash64(lit("alt"), col("seed"), i,
+        col("m")), lit(30000L)))
+      val isNear = col("m").between(1L, 5L)
+      val perturb = isNear && (i.cast("long") === col("fpos") ||
+        pmod(xxhash64(lit("p"), col("seed"), i, col("m")), lit(25L)) === 0L)
+      when(perturb, alt).otherwise(base)
+    }
+    d.select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), col("nw") - 1), word)).as("text"),
+      element_at(langs,
+        (pmod(xxhash64(lit("l"), col("grp")), lit(5L)) + 1L).cast("int")).as("lang"),
+      concat(lit("src"), pmod(xxhash64(lit("s"), col("id")), lit(20L))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** The benched pipelines — each body is the oracle query's own code
+    * (shared helpers), on an arbitrary docs frame.
+    */
+  def pipelines(docs: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+    "q24_dedup_exact" -> (() => Dedup.exactGroups(docs, "text", "doc_id")),
+    "q26_dedup_minhash_lsh" -> (() => DedupQueries.minhashPairsOf(docs)),
+    "q48_dedup_clusters" -> (() =>
+      DedupQueries.clusterLabelsOf(docs, Dedup.connectedComponents(_, "a", "b"))),
+    "q65_cc_star" -> (() =>
+      DedupQueries.clusterLabelsOf(docs, Dedup.connectedComponentsStar(_, "a", "b"))),
+    "q73_lm_fluency" -> (() =>
+      TextStats.bigramLmScore(docs, "text", "doc_id", dropBelowMicro = 23000L)),
+    "q74_boilerplate" -> (() =>
+      TextStats.dropBoilerplate(TextQueries.plantBoilerplate(docs),
+        "ptext", "doc_id", sep = "¶", minDocs = 50L)),
+    "q62_corpus_pipeline" -> (() => TextQueries.corpusPipelineOf(docs,
+      shards = packShards(docs))))
+
+  /** Production shard sizing for the packing window: ~50k docs per
+    * shard, floor 4 (the oracle query's toy value), cap 1024. Keeps
+    * per-task window sorts bounded as the corpus grows — with the
+    * constant 4, ScaleBench measured 2.4× superlinear time at 10⁷
+    * docs (580 MB sorted per task, 4 of 32 cores busy).
+    */
+  private def packShards(docs: DataFrame): Int = {
+    val n = docs.count()
+    math.max(4L, math.min(1024L, n / 50000L)).toInt
+  }
+
+  /** Force end-to-end materialization of EVERY column (a bare count
+    * would let Catalyst prune expensive output expressions) and return
+    * (rows, content checksum) — the checksum doubles as a cross-run
+    * determinism probe.
+    */
+  def runAll(df: DataFrame): (Long, Long) = {
+    val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head() // xor: no ANSI overflow
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  final case class QueryRun(name: String, seconds: Double, rows: Long,
+                            checksum: Long, counts: PlanIntrospect.Counts,
+                            ccRounds: Option[Int])
+
+  def runScale(spark: SparkSession, root: String, nDocs: Long): (Double, Seq[QueryRun]) = {
+    val dir = s"$root/docs_$nDocs"
+    val t0 = System.nanoTime()
+    synthDocs(spark, nDocs).write.mode("overwrite").parquet(dir)
+    val tGen = (System.nanoTime() - t0) / 1e9
+    val docs = spark.read.parquet(dir)
+    // comma-separated substring filter for partial re-runs
+    val only = sys.env.get("GRAFT_SCALE_QUERIES").map(_.split(",").toSeq)
+    val selected = pipelines(docs).filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
+    }
+    val runs = selected.map { case (name, mk) =>
+      Dedup.lastCcRounds = 0
+      // the CC pipelines run their fixpoint loop (jobs per round)
+      // INSIDE mk(), so the wall clock wraps frame construction too;
+      // plan introspection afterwards is plan-only (no execution). For
+      // CC queries the introspected plan is the final label join (the
+      // loop's per-round shape is covered by the round count + q26's
+      // pair-pipeline counts).
+      val s0 = System.nanoTime()
+      val df = mk()
+      val (rows, sum) = runAll(df)
+      val secs = (System.nanoTime() - s0) / 1e9
+      val counts = PlanIntrospect.counts(df)
+      val rounds = if (name.contains("_cc") || name.contains("clusters"))
+        Some(Dedup.lastCcRounds) else None
+      QueryRun(name, secs, rows, sum, counts, rounds)
+    }
+    (tGen, runs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = sys.env.getOrElse("GRAFT_SCALE_DOCS", "1000000,10000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val spark = graft.core.GraftSession.local()
+    // the 100 TB shape: size-triggered broadcasts off, explicit hints live
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val root = Files.createTempDirectory("graft-scale").toString
+
+    val results = scales.map(n => n -> runScale(spark, root, n))
+
+    def fmt(qr: QueryRun): String =
+      s""""${qr.name}":{"s":${"%.2f".format(qr.seconds)},"rows":${qr.rows},""" +
+        s""""checksum":${qr.checksum},"shuffles":${qr.counts.shuffles},""" +
+        s""""broadcasts":${qr.counts.broadcasts},"bnlj":${qr.counts.bnlj},""" +
+        s""""cartesian":${qr.counts.cartesian}""" +
+        qr.ccRounds.fold("")(r => s""","cc_rounds":$r""") + "}"
+
+    val scaleJson = results.map { case (n, (tGen, runs)) =>
+      s"""{"docs":$n,"gen_s":${"%.2f".format(tGen)},""" +
+        s""""queries":{${runs.map(fmt).mkString(",")}}}"""
+    }.mkString(",")
+
+    // per-query time ratio between the largest and smallest scale,
+    // normalized by the scale ratio: 1.0 = perfectly linear, <1 =
+    // sublinear (fixed overheads amortizing), >1 = superlinear (bad)
+    val ratios =
+      if (results.size < 2) ""
+      else {
+        val (n0, (_, r0)) = results.head
+        val (n1, (_, r1)) = results.last
+        val k = n1.toDouble / n0
+        val per = r0.zip(r1).map { case (a, b) =>
+          s""""${a.name}":${"%.2f".format(b.seconds / a.seconds / k)}"""
+        }
+        s""","time_vs_linear":{${per.mkString(",")}}"""
+      }
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios}""")
+    spark.stop()
+  }
+}

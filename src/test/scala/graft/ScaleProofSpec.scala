@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.Dedup
+import graft.tools.{PlanIntrospect, ScaleBench}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-proof assertions for the pipeline operators: the SAME
+  * compositions the oracle queries pin (shared bodies, see
+  * tools.ScaleBench) must keep their physical-plan shape as the corpus
+  * grows — shuffle count constant, no BroadcastNestedLoop/cartesian
+  * appearing when size estimates change, CC round count flat. Wall
+  * times are NOT asserted here (CI noise); graft.tools.ScaleBench
+  * records them at 10⁶–10⁷ docs in BASELINE.md.
+  *
+  * Size-triggered broadcasts are disabled for the comparison — the
+  * plan that matters is the one where nothing fits in a broadcast (the
+  * 100 TB shape); operators' explicit broadcast hints stay live.
+  */
+class ScaleProofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val small = 8000L
+  private val large = 40000L // 5× — enough to flip any size heuristic
+
+  private lazy val corpora: Map[Long, DataFrame] = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scaleproof")
+    Seq(small, large).map { n =>
+      val dir = root.resolve(s"docs_$n").toString
+      ScaleBench.synthDocs(spark, n).write.parquet(dir)
+      n -> spark.read.parquet(dir)
+    }.toMap
+  }
+
+  private def withPlainJoins[T](f: => T): T = {
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("plan shape is scale-invariant: constant shuffles, no BNLJ/cartesian") {
+    withPlainJoins {
+      val perScale = Seq(small, large).map { n =>
+        n -> ScaleBench.pipelines(corpora(n)).map { case (name, mk) =>
+          name -> PlanIntrospect.counts(mk())
+        }
+      }
+      val (_, base) = perScale.head
+      perScale.foreach { case (n, counts) =>
+        counts.zip(base).foreach { case ((name, c), (_, b)) =>
+          assert(c.bnlj == 0 && c.cartesian == 0,
+            s"$name at $n docs: ${c.render}")
+          assert(c.shuffles == b.shuffles && c.broadcasts == b.broadcasts,
+            s"$name plan changed with scale: $n docs ${c.render} " +
+              s"vs $small docs ${b.render}")
+        }
+      }
+    }
+  }
+
+  test("CC round count stays flat (2-4) on the LSH pair graph at both scales") {
+    withPlainJoins {
+      Seq(small, large).foreach { n =>
+        val pairs = graft.queries.DedupQueries.minhashPairsOf(corpora(n))
+        Dedup.lastCcRounds = 0
+        Dedup.connectedComponents(pairs, "a", "b").count()
+        val lp = Dedup.lastCcRounds
+        assert(lp >= 1 && lp <= 4, s"label-prop rounds $lp at $n docs")
+        Dedup.lastCcRounds = 0
+        Dedup.connectedComponentsStar(pairs, "a", "b").count()
+        val star = Dedup.lastCcRounds
+        assert(star >= 1 && star <= 4, s"star rounds $star at $n docs")
+      }
+    }
+  }
+
+  test("planted dedup structure is found exactly, and scales linearly") {
+    Seq(small, large).foreach { n =>
+      val docs = corpora(n)
+      val groups = n / 8
+      // exact dedup: members 0 and 6 of each group are identical, all
+      // other texts distinct -> exactly 7 fingerprints per group
+      assert(Dedup.exactGroups(docs, "text", "doc_id").count() == groups * 7)
+      // LSH pairs: identical signatures always collide, so every
+      // group's (base, exact-copy) pair (b - a == 6, a % 8 == 0) is
+      // present; totals stay bounded (group-local, no chaining blowup)
+      val pairs = graft.queries.DedupQueries.minhashPairsOf(docs).cache()
+      try {
+        assert(pairs.filter(col("a") % 8 === 0 && col("b") - col("a") === 6)
+          .count() == groups)
+        val total = pairs.count()
+        assert(total >= groups * 10 && total <= groups * 21,
+          s"$total pairs for $groups groups") // <= C(7,2) per group
+      } finally pairs.unpersist()
+    }
+  }
+
+  test("both CC algorithms agree: group members share a component, unique docs do not") {
+    val labels = graft.queries.DedupQueries
+      .clusterLabelsOf(corpora(small), Dedup.connectedComponents(_, "a", "b"))
+    val star = graft.queries.DedupQueries
+      .clusterLabelsOf(corpora(small), Dedup.connectedComponentsStar(_, "a", "b"))
+    // same labeling from both algorithms (the q48/q65 agreement, here
+    // on a corpus 12x the oracle's)
+    assert(labels.exceptAll(star).isEmpty && star.exceptAll(labels).isEmpty)
+    val byMember = labels
+      .withColumn("m", pmod(col("doc_id"), lit(8L)))
+      .withColumn("grouped", (col("component") === col("doc_id") - col("m"))
+        .cast("long"))
+    // exact copies (m = 6) ALWAYS share the base's component — identical
+    // signatures collide in every band, no probability involved
+    val exactRow = byMember.filter(col("m") === 6)
+      .agg(count(lit(1)), sum("grouped")).head()
+    assert(exactRow.getLong(0) == exactRow.getLong(1), "an exact copy escaped")
+    // near-dup members (m 1..5) connect with LSH probability, not
+    // certainty — assert corpus-level recall, not per-doc membership
+    val nearRow = byMember.filter(col("m").between(1, 5))
+      .agg(count(lit(1)), sum("grouped")).head()
+    // 4 bands x 2 rows on ~6%-perturbed docs measures 0.89 here (the
+    // corpus and LSH are both hash-deterministic, so this is a fixed
+    // number, not a flaky one); the bound has margin, not slack for
+    // regressions below the banding math's own recall
+    val recall = nearRow.getLong(1).toDouble / nearRow.getLong(0)
+    assert(recall > 0.85, s"near-dup recall $recall")
+    // unique docs (m = 7) stay singletons
+    val uniqRow = byMember.filter(col("m") === 7)
+      .agg(count(lit(1)), sum((col("component") === col("doc_id")).cast("long")))
+      .head()
+    assert(uniqRow.getLong(0) == uniqRow.getLong(1), "a unique doc joined a component")
+  }
+}
