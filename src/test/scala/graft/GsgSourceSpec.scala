@@ -235,6 +235,27 @@ class GsgSourceSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("write: extreme sample values round-trip bit-exactly; empty arrays survive") {
+    val dir = tmp()
+    val weird = Array(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.0, 0.0, Double.MinPositiveValue,
+      4.9e-310, // subnormal
+      Double.MaxValue, -Double.MaxValue, math.Pi)
+    Seq(
+      (1L, "N1", "S1", "", "BHZ", 5L, 10L, weird),
+      (2L, "N1", "S2", "", "BHZ", 6L, 10L, Array.empty[Double]))
+      .toDF("k", "network", "station", "location", "channel",
+        "starttime", "sampling_period", "samples")
+      .drop("k")
+      .write.format("gsg").mode("append").save(dir.toString)
+    val back = spark.read.format("gsg").load(dir.toString)
+      .select("station", "samples")
+      .as[(String, Array[Double])].collect().toMap
+    assert(back("S2").isEmpty)
+    assert(back("S1").map(java.lang.Double.doubleToRawLongBits).toSeq ==
+      weird.map(java.lang.Double.doubleToRawLongBits).toSeq)
+  }
+
   test("modifiedAfterMs prunes stale files from the listing") {
     val dir = tmp()
     writeFile(dir.resolve("old.gsg"), seg("N1", "S1", "BHZ", 0L, 10, 1.0))
