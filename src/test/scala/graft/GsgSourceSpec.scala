@@ -256,6 +256,38 @@ class GsgSourceSpec extends SparkSpec {
       weird.map(java.lang.Double.doubleToRawLongBits).toSeq)
   }
 
+  test("write: concurrent appends both land; staged files are invisible to readers") {
+    val dir = tmp()
+    // a leftover staged file with VALID record bytes (a crashed writer)
+    // must never surface in a scan — hidden-path contract
+    Files.write(dir.resolve(".staged-dead-writer-0.gsg"),
+      graft.sources.BinarySegmentSource.recordBytes(
+        seg("NX", "GHOST", "BHZ", 0L, 10, 6.66)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val errs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    (0 until 2).foreach { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          latch.await()
+          try Seq(("N1", s"W$w", "", "BHZ", w.toLong, 10L, Array(w.toDouble)))
+            .toDF("network", "station", "location", "channel",
+              "starttime", "sampling_period", "samples")
+            .write.format("gsg").mode("append").save(dir.toString)
+          catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, errs.toString)
+    val stations = spark.read.format("gsg").load(dir.toString)
+      .select("station").as[String].collect().toSet
+    assert(stations == Set("W0", "W1"), stations.toString) // no GHOST
+  }
+
   test("modifiedAfterMs prunes stale files from the listing") {
     val dir = tmp()
     writeFile(dir.resolve("old.gsg"), seg("N1", "S1", "BHZ", 0L, 10, 1.0))

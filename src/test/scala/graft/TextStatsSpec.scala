@@ -134,6 +134,19 @@ class TextStatsSpec extends SparkSpec {
     assert(fluent > salad, s"fluent=$fluent salad=$salad")
   }
 
+  test("bigramLmScore is partitioning-independent (the all-integer claim)") {
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, s"t${i % 9} u${i % 4} t${i % 9} u${i % 6} w$i"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, String)] =
+      TextStats.bigramLmScore(df, "text", "doc_id", dropBelowMicro = 100000L)
+        .select("doc_id", "n_bigrams", "fluency_micro", "verdict")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val base = run(corpus.coalesce(1))
+    assert(run(corpus.repartition(17)) == base)
+    assert(run(corpus.repartition(col("doc_id"))) == base)
+  }
+
   test("dropBoilerplate removes cross-doc repeated paragraphs, preserves order") {
     val corpus = Seq(
       (1L, "intro one¶shared footer¶body one"),
