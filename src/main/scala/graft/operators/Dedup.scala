@@ -197,6 +197,14 @@ object Dedup {
     * maxHamming >= bands recall is NOT guaranteed — pairs whose
     * differing bits spread across every band are missed; raise `bands`
     * (narrower bands) for higher-Hamming searches.
+    *
+    * '''Capacity ceiling''': the band-bucket key space is `2^bandBits`
+    * PER BAND, so bucket occupancy grows as docs/2^bandBits and the
+    * refine stage as docs²/2^bandBits — with the default 4×15-bit
+    * banding that is ~6×10⁹ candidate pairs at 10⁷ docs. Fine to
+    * ~10⁶ docs; beyond that use MinHash-LSH ([[lshBuckets]] — md5
+    * buckets, unbounded key space), whose candidate volume tracks the
+    * real near-dup density instead of the signature width.
     */
   def simhashPairs(sigs: DataFrame, idCol: String, maxHamming: Int,
                    bands: Int = 4, bandBits: Int = 16): DataFrame = {

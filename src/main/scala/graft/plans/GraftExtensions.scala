@@ -80,6 +80,11 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
+    // a session built WITH the extensions already has everything —
+    // re-registering would log 4 'replaced a previously registered
+    // function' WARNs once per session
+    if (spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("shingle_hash60"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

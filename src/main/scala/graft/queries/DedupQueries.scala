@@ -51,6 +51,13 @@ object DedupQueries {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(corpus(s, dir))
 
+  /** q27's SimHash banded near-dup pairs on an arbitrary corpus frame
+    * (shared with tools.ScaleBench).
+    */
+  private[graft] def simhashPairsOf(corpus: DataFrame): DataFrame =
+    Dedup.simhashPairs(Dedup.mdSimhash(corpus, "text", "doc_id"),
+      "doc_id", maxHamming = 3, bands = 4, bandBits = 15)
+
   /** Oracle CTE chain ending in `pairs(a, b)` — the DuckDB mirror of
     * [[minhashPairs]], shared by the q26 and q48 oracles.
     */
@@ -182,11 +189,7 @@ object DedupQueries {
     // ---- SimHash near-dup: md5-derived 60-bit bit-majority signature,
     //      4×15-bit band blocking (pigeonhole covers Hamming ≤ 3),
     //      bit_count refine
-    Q("q27_dedup_simhash", (s, dir) => {
-      val sigs = Dedup.mdSimhash(corpus(s, dir), "text", "doc_id")
-      Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3,
-        bands = 4, bandBits = 15)
-    }, {
+    Q("q27_dedup_simhash", (s, dir) => simhashPairsOf(corpus(s, dir)), {
       val bitSums = (0 until 60).map(j =>
         s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
       val sigExpr = (0 until 60).map(j =>

@@ -47,6 +47,32 @@ object TextQueries {
         col("n_tokens"), col("quality"), col("tok_offset"), col("bin"))
   }
 
+  /** q59's planted-PII scrub (emails on every doc, phones on every
+    * 3rd; redact, then count residuals) on an arbitrary docs frame.
+    */
+  private[graft] def piiRedactionOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val planted = docs
+      .withColumn("pii_text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-0199"))).otherwise(lit(""))))
+    planted.select(col("doc_id"),
+        TextFunctions.patternCount(col("pii_text"),
+          TextFunctions.EmailPattern).as("n_emails"),
+        TextFunctions.patternCount(col("pii_text"),
+          TextFunctions.PhonePattern).as("n_phones"),
+        TextFunctions.redactPii(col("pii_text")).as("clean"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        TextFunctions.patternCount(col("clean"),
+          TextFunctions.EmailPattern).as("residual_emails"),
+        length(col("clean")).cast("long").as("clean_len"))
+  }
+
   /** q74's planted-boilerplate corpus (footer on every doc, promo on
     * every 4th, unique tail) on an arbitrary docs frame.
     */
@@ -371,27 +397,8 @@ object TextQueries {
     //      PII, so each doc plants one email + (every 3rd doc) a phone
     //      derived from doc_id, then scrubs and audits — scan-local
     //      regexp work, zero shuffle except the final agg
-    Q("q59_pii_redaction", (s, dir) => {
-      val planted = Tables.documents(s, dir)
-        .withColumn("pii_text",
-          concat(col("text"),
-            lit(" contact user"), col("doc_id").cast("string"),
-            lit("@example.com"),
-            when(col("doc_id") % 3 === 0,
-              concat(lit(" call +1-555-"),
-                lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-                lit("-0199"))).otherwise(lit(""))))
-      planted.select(col("doc_id"),
-          TextFunctions.patternCount(col("pii_text"),
-            TextFunctions.EmailPattern).as("n_emails"),
-          TextFunctions.patternCount(col("pii_text"),
-            TextFunctions.PhonePattern).as("n_phones"),
-          TextFunctions.redactPii(col("pii_text")).as("clean"))
-        .select(col("doc_id"), col("n_emails"), col("n_phones"),
-          TextFunctions.patternCount(col("clean"),
-            TextFunctions.EmailPattern).as("residual_emails"),
-          length(col("clean")).cast("long").as("clean_len"))
-    }, Some("""
+    Q("q59_pii_redaction", (s, dir) =>
+      piiRedactionOf(Tables.documents(s, dir)), Some("""
       WITH planted AS (
         SELECT doc_id,
                text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'

@@ -113,7 +113,25 @@ object ScaleBench {
       TextStats.dropBoilerplate(TextQueries.plantBoilerplate(docs),
         "ptext", "doc_id", sep = "¶", minDocs = 50L)),
     "q62_corpus_pipeline" -> (() => TextQueries.corpusPipelineOf(docs,
-      shards = packShards(docs))))
+      shards = packShards(docs))),
+    // q27 SimHash is deliberately absent: the 60-bit signature caps
+    // banding at 4×15 bits, so band-bucket occupancy grows as
+    // docs/2^15 and candidate pairs as docs²/2^15 — ~6×10⁹ pairs at
+    // 10⁷ docs. That is a documented capacity ceiling of the method
+    // (fine to ~10⁶ docs); MinHash-LSH (q26, unbounded bucket space)
+    // is the near-dup scale path.
+    "q56_decontaminate" -> (() =>
+      graft.operators.Contamination.contaminatedDocs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "text", "doc_id")),
+    "q57_token_packing" -> (() => {
+      val shards = packShards(docs)
+      TextStats.packTokenBudget(docs, "text", col("doc_id") % shards,
+          col("doc_id"), budget = 512)
+        .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+          col("n_tokens"), col("tok_offset"), col("bin"))
+    }),
+    "q59_pii_redaction" -> (() => TextQueries.piiRedactionOf(docs)))
 
   /** Production shard sizing for the packing window: ~50k docs per
     * shard, floor 4 (the oracle query's toy value), cap 1024. Keeps
