@@ -395,6 +395,46 @@ object Dedup {
       .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
       .drop("fp")
 
+  /** Exact substring (span-level) duplicate detection — the detection
+    * core of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (2022), re-expressed relationally instead of via
+    * suffix arrays: slide a `width`-token window every `stride` tokens
+    * over each document, hash each span to 60 bits (md5-derived, so
+    * the DuckDB oracle computes the identical key — the [[mdSimhash]]
+    * convention), and count distinct documents per span hash. Spans in
+    * `minDocs`+ documents are verbatim repeated training text that
+    * whole-document MinHash (Jaccard below threshold) and paragraph
+    * boilerplate (different split points) both miss.
+    *
+    * Plan: one explode (docs × spans/doc, the array carried through
+    * the Generate and sliced per row — the q69 chunking shape) feeding
+    * ONE map-side-combined aggregation on the 8-byte span hash. No
+    * self-join, no span text on the shuffle. 60-bit collisions: at
+    * 2³⁰ distinct spans the birthday bound expects ~1 false merge,
+    * and the failure mode is one over-counted span — acceptable for
+    * duplicate DETECTION (a removal pass re-checks the span text
+    * before cutting).
+    *
+    * Output: span_h, n_docs (distinct), n_occurrences.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                     width: Int, stride: Int, minDocs: Long): DataFrame = {
+    val spans = docs
+      .withColumn("toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("toks")) >= width)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - lit(width) + 1,
+          lit(stride))).as("start"))
+      .select(col(idCol),
+        conv(substring(md5(
+          concat_ws(" ", slice(col("toks"), col("start"), lit(width)))), 1, 15),
+          16, 10).cast("long").as("span_h"))
+    spans.groupBy("span_h")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs: candidate pairs come only
     * from equal blocking keys (cheap equi join); similarity refines on
     * distinct-token overlap |A∩B| / |A∪B|.

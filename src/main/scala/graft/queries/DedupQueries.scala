@@ -212,6 +212,28 @@ object DedupQueries {
       WHERE hamming <= 3""")
     }),
 
+    // ---- exact substring (span-level) duplicate detection (Lee et
+    //      al. 2022's detection core): 8-token windows every 4 tokens,
+    //      60-bit md5 span keys, cross-doc distinct counts. Catches
+    //      verbatim repeated passages that whole-doc MinHash (low
+    //      Jaccard) and paragraph boilerplate (other split points) miss
+    Q("q79_duplicate_spans", (s, dir) =>
+      Dedup.duplicateSpans(corpus(s, dir), "text", "doc_id",
+        width = 8, stride = 4, minDocs = 2L),
+      Some(s"""
+      WITH corpus AS ($corpusSql),
+      t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+      s AS (SELECT doc_id,
+              unnest(list_transform(
+                range(1, greatest(len(toks) - 8 + 1, 0) + 1, 4),
+                i -> array_to_string(toks[i : i + 7], ' '))) AS span
+            FROM t WHERE len(toks) >= 8)
+      SELECT ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_h,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM s GROUP BY 1
+      HAVING COUNT(DISTINCT doc_id) >= 2""")),
+
     // ---- blocked n-gram Jaccard near-dup pairs
     Q("q25_dedup_jaccard", (s, dir) => {
       val c = corpus(s, dir).withColumn("len_bucket", expr("n_chars div 50"))

@@ -131,7 +131,10 @@ object ScaleBench {
         .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
           col("n_tokens"), col("tok_offset"), col("bin"))
     }),
-    "q59_pii_redaction" -> (() => TextQueries.piiRedactionOf(docs)))
+    "q59_pii_redaction" -> (() => TextQueries.piiRedactionOf(docs)),
+    "q79_duplicate_spans" -> (() =>
+      Dedup.duplicateSpans(docs, "text", "doc_id",
+        width = 8, stride = 4, minDocs = 2L)))
 
   /** Production shard sizing for the packing window: ~50k docs per
     * shard, floor 4 (the oracle query's toy value), cap 1024. Keeps

@@ -146,6 +146,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lastCcRounds <= 5, s"took ${Dedup.lastCcRounds} rounds")
   }
 
+  test("duplicateSpans finds verbatim cross-doc runs at different offsets") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma delta one two three"),
+      (2L, s"x1 x2 x3 $shared y1 y2"), // same run, different offset
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"), // unique spans only
+      (4L, "a b c")) // shorter than the window: no spans at all
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "text", "doc_id",
+        width = 8, stride = 1, minDocs = 2L)
+      .select("n_docs", "n_occurrences").as[(Long, Long)].collect().toSeq
+    // exactly ONE span crosses docs: the planted 8-token run (its
+    // neighbors differ, so every other window is unique); whole-doc
+    // Jaccard of docs 1 and 2 is ~0.4 — MinHash would not pair them
+    assert(out == Seq((2L, 2L)))
+  }
+
   test("newAgainstKnown admits only unseen fingerprints") {
     val known = Seq("hello world", "old doc").toDF("text")
       .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
