@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -433,6 +433,79 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
+  }
+
+  /** The REMOVAL pass over [[duplicateSpans]]' detections — Lee et
+    * al.'s dedup semantics: every occurrence of a span repeated
+    * `minOccurrences`+ times in the corpus is cut EXCEPT the canonical
+    * one (global minimum (doc, start)), overlapping cut windows merge
+    * into ranges (a 20-token shared run = 13 overlapping duplicated
+    * 8-windows = ONE cut range), and each document's surviving tokens
+    * reassemble in order. Detection runs at stride 1 here — removal
+    * must see every alignment.
+    *
+    * Scale shape: span hashes feed a map-side-combined groupBy (NOT a
+    * window over span_h — a mega-duplicated span would funnel its
+    * occurrence list into one task; the partial agg keeps hot spans
+    * combined map-side), the keeper is a lexicographic min-struct, cut
+    * ranges merge with the q14 running-max trick inside per-DOC
+    * windows (bounded by document length), and reassembly is a
+    * scan-local indexed array filter — no token ever shuffles.
+    *
+    * Output: idCol, clean_text, n_kept, n_cut (token counts).
+    */
+  def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                           width: Int, minOccurrences: Long = 2L): DataFrame = {
+    val toks = docs.withColumn("toks", TextFunctions.tokens(col(textCol)))
+    val spans = toks
+      .filter(size(col("toks")) >= width)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - lit(width) + 1,
+          lit(1))).as("start"))
+      .select(col(idCol), col("start"),
+        conv(substring(md5(
+          concat_ws(" ", slice(col("toks"), col("start"), lit(width)))), 1, 15),
+          16, 10).cast("long").as("span_h"))
+    // canonical occurrence per duplicated span: lexicographic min of
+    // (doc, start) — one combined aggregation, skew-safe
+    val dup = spans.groupBy("span_h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col(idCol).as("kdoc"), col("start").as("kstart")))
+          .as("keeper"))
+      .filter(col("n_occ") >= minOccurrences)
+      .select(col("span_h"), col("keeper.kdoc").as("kdoc"),
+        col("keeper.kstart").as("kstart"))
+    val cuts = spans.join(dup, "span_h")
+      .filter(!(col(idCol) === col("kdoc") && col("start") === col("kstart")))
+      .select(col(idCol), col("start"),
+        (col("start") + width - 1).as("end"))
+    // merge overlapping/adjacent cut windows per doc (running max of
+    // preceding ends — the q14 gap trick)
+    val wd = Window.partitionBy(idCol).orderBy(col("start"), col("end"))
+    val merged = cuts
+      .withColumn("prev_max",
+        max("end").over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("prev_max").isNull || col("start") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum("fresh").over(wd))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("start").as("cs"), max("end").as("ce"))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("cs"), col("ce"))).as("cut_ranges"))
+    toks.join(merged, Seq(idCol), "left")
+      .select(col(idCol), col("toks"),
+        // docs with no cuts carry a NULL range list: a null exists()
+        // inside filter() reads as drop-everything, so branch first
+        when(col("cut_ranges").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) =>
+            !exists(col("cut_ranges"), r =>
+              i + 1 >= r.getField("cs") && i + 1 <= r.getField("ce"))))
+          .as("kept"))
+      .select(col(idCol),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"))
   }
 
   /** Blocked n-gram Jaccard near-dup pairs: candidate pairs come only

@@ -234,6 +234,60 @@ object DedupQueries {
       FROM s GROUP BY 1
       HAVING COUNT(DISTINCT doc_id) >= 2""")),
 
+    // ---- the REMOVAL pass over q79's detections: cut every
+    //      non-canonical occurrence of a corpus-repeated span,
+    //      overlapping windows merged into ranges, survivors
+    //      reassembled in order
+    Q("q80_remove_duplicate_spans", (s, dir) =>
+      Dedup.removeDuplicateSpans(corpus(s, dir), "text", "doc_id",
+        width = 8, minOccurrences = 2L),
+      Some(s"""
+      WITH corpus AS ($corpusSql),
+      t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+      spans AS (SELECT doc_id,
+              unnest(range(1, greatest(len(toks) - 8 + 1, 0) + 1)) AS start,
+              unnest(list_transform(
+                range(1, greatest(len(toks) - 8 + 1, 0) + 1),
+                i -> ('0x' || substr(md5(array_to_string(toks[i : i + 7], ' ')), 1, 15))::BIGINT))
+                AS span_h
+            FROM t WHERE len(toks) >= 8),
+      occ AS (SELECT span_h, COUNT(*) AS n_occ, MIN(doc_id) AS kdoc
+              FROM spans GROUP BY span_h HAVING COUNT(*) >= 2),
+      keep AS (SELECT o.span_h, o.kdoc, MIN(s.start) AS kstart
+               FROM occ o JOIN spans s
+                 ON s.span_h = o.span_h AND s.doc_id = o.kdoc
+               GROUP BY 1, 2),
+      cuts AS (SELECT s.doc_id, s.start, s.start + 7 AS "end"
+               FROM spans s JOIN keep k USING (span_h)
+               WHERE NOT (s.doc_id = k.kdoc AND s.start = k.kstart)),
+      m AS (SELECT doc_id, start, "end",
+              MAX("end") OVER (PARTITION BY doc_id ORDER BY start, "end"
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM cuts),
+      g AS (SELECT doc_id, start, "end",
+              SUM(CASE WHEN prev_max IS NULL OR start > prev_max
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY start, "end") AS grp
+            FROM m),
+      ranges AS (SELECT doc_id, MIN(start) AS cs, MAX("end") AS ce
+                 FROM g GROUP BY doc_id, grp),
+      toki AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i,
+                      unnest(toks) AS tok
+               FROM t),
+      kept AS (SELECT x.doc_id, x.i, x.tok
+               FROM toki x
+               WHERE NOT EXISTS (SELECT 1 FROM ranges r
+                 WHERE r.doc_id = x.doc_id AND x.i BETWEEN r.cs AND r.ce)),
+      stats AS (SELECT doc_id,
+                  COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS clean_text,
+                  COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+      SELECT t.doc_id,
+             COALESCE(st.clean_text, '') AS clean_text,
+             COALESCE(st.n_kept, 0) AS n_kept,
+             CAST(len(t.toks) - COALESCE(st.n_kept, 0) AS BIGINT) AS n_cut
+      FROM t LEFT JOIN stats st USING (doc_id)""")),
+
     // ---- blocked n-gram Jaccard near-dup pairs
     Q("q25_dedup_jaccard", (s, dir) => {
       val c = corpus(s, dir).withColumn("len_bucket", expr("n_chars div 50"))

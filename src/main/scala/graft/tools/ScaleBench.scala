@@ -134,7 +134,9 @@ object ScaleBench {
     "q59_pii_redaction" -> (() => TextQueries.piiRedactionOf(docs)),
     "q79_duplicate_spans" -> (() =>
       Dedup.duplicateSpans(docs, "text", "doc_id",
-        width = 8, stride = 4, minDocs = 2L)))
+        width = 8, stride = 4, minDocs = 2L)),
+    "q80_remove_duplicate_spans" -> (() =>
+      Dedup.removeDuplicateSpans(docs, "text", "doc_id", width = 8)))
 
   /** Production shard sizing for the packing window: ~50k docs per
     * shard, floor 4 (the oracle query's toy value), cap 1024. Keeps

@@ -163,6 +163,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((2L, 2L)))
   }
 
+  test("removeDuplicateSpans cuts non-canonical occurrences, merges overlaps, keeps order") {
+    val run = (1 to 20).map(i => s"r$i").mkString(" ") // 13 overlapping 8-windows
+    val docs = Seq(
+      (1L, s"head1 head2 $run tail1 tail2"), // canonical (min doc): untouched
+      (2L, s"a1 a2 a3 $run z1 z2 z3"), // whole run cut as ONE merged range
+      // internal repetition: second occurrence of the same 8-token run cut
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 mid p1 p2 p3 p4 p5 p6 p7 p8 end"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")) // unique: untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "text", "doc_id", width = 8)
+      .select("doc_id", "clean_text", "n_kept", "n_cut")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == s"head1 head2 $run tail1 tail2" && out(1L)._4 == 0L)
+    assert(out(2L)._2 == "a1 a2 a3 z1 z2 z3", out(2L)._2)
+    assert(out(2L)._4 == 20L)
+    assert(out(3L)._2 == "p1 p2 p3 p4 p5 p6 p7 p8 mid end", out(3L)._2)
+    assert(out(4L)._4 == 0L)
+  }
+
   test("newAgainstKnown admits only unseen fingerprints") {
     val known = Seq("hello world", "old doc").toDF("text")
       .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
