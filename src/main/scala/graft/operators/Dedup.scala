@@ -233,18 +233,33 @@ object Dedup {
     * step that turns near-dup PAIRS into dedup CLUSTERS ("keep one doc
     * per component") — the canonical corpus-dedup reduction.
     *
-    * Algorithm: iterative min-label propagation. Each round joins the
+    * FRONT DOOR: delegates to [[connectedComponentsStar]] (Kiveris et
+    * al. 2014), the measured scale default — BASELINE.md's 10⁶→10⁷-doc
+    * runs show star rounds flat at 4 while min-label propagation grows
+    * with the corpus (6→9; its round count is bound by component
+    * diameter, and FP-edge chains grow with corpus size), with
+    * bit-identical labels at every scale. Label propagation remains
+    * available as the explicit opt-in
+    * [[connectedComponentsLabelProp]] for graphs known to be
+    * tiny-diameter (pure LSH-bucket cliques) where its simpler
+    * per-round plan can win constants.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 30): DataFrame =
+    connectedComponentsStar(edges, aCol, bCol, maxIter)
+
+  /** Iterative min-label propagation — the explicit OPT-IN variant of
+    * [[connectedComponents]] (which defaults to the star algorithm;
+    * see its scaladoc for the measured reason). Each round joins the
     * symmetric edge list to the current labels and takes the per-node
     * min — one shuffle per round, converging in O(component diameter)
     * rounds. Near-dup clusters have tiny diameters (most are cliques
-    * from shared LSH buckets), so 3-4 rounds is typical. Lineage is
-    * truncated every round with an eager localCheckpoint; without it
-    * the plan doubles per iteration and the driver dies at scale. For
-    * adversarial high-diameter graphs use [[connectedComponentsStar]]
-    * — same contract, O(log²) rounds.
+    * from shared LSH buckets), so 3-4 rounds is typical there. Lineage
+    * is truncated every round with an eager localCheckpoint; without
+    * it the plan doubles per iteration and the driver dies at scale.
     */
-  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+  def connectedComponentsLabelProp(edges: DataFrame, aCol: String, bCol: String,
+                                   maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -412,8 +427,11 @@ object Dedup {
     * self-join, no span text on the shuffle. 60-bit collisions: at
     * 2³⁰ distinct spans the birthday bound expects ~1 false merge,
     * and the failure mode is one over-counted span — acceptable for
-    * duplicate DETECTION (a removal pass re-checks the span text
-    * before cutting).
+    * duplicate DETECTION. The REMOVAL pass does not trust these 60
+    * bits alone: [[removeDuplicateSpans]] conjoins a second,
+    * independent 60-bit key from a disjoint slice of the same md5
+    * (120 effective bits) so a primary-key collision never cuts
+    * legitimate unique text.
     *
     * Output: span_h, n_docs (distinct), n_occurrences.
     */
@@ -452,10 +470,34 @@ object Dedup {
     * windows (bounded by document length), and reassembly is a
     * scan-local indexed array filter — no token ever shuffles.
     *
+    * Collision hardening: unlike detection ([[duplicateSpans]]), a
+    * removal-side hash collision CUTS legitimate unique text, so spans
+    * are keyed by TWO independent 60-bit slices of the md5 (hex chars
+    * 1–15 and 18–32; 120 effective bits). At 100 TB ≈ 10¹² stride-1
+    * spans the birthday bound on 60 bits expects ~10⁵ false merges;
+    * on 120 bits it expects ~10⁻¹² — negligible at any realistic
+    * corpus size. Both keys ride the same 16-byte shuffle row and the
+    * md5 is computed once per span.
+    *
     * Output: idCol, clean_text, n_kept, n_cut (token counts).
     */
   def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
-                           width: Int, minOccurrences: Long = 2L): DataFrame = {
+                           width: Int, minOccurrences: Long = 2L): DataFrame =
+    removeDuplicateSpansImpl(docs, textCol, idCol, width, minOccurrences,
+      primaryHexChars = 15, secondaryHexChars = 15)
+
+  /** Test seam for [[removeDuplicateSpans]]: the two span-key widths
+    * (hex chars of the md5) are parameters so a spec can shrink the
+    * primary key until distinct spans MUST collide (pigeonhole) and
+    * assert the secondary key still prevents false cuts — and that
+    * shrinking BOTH keys does produce them (the seam is live).
+    */
+  private[graft] def removeDuplicateSpansImpl(
+      docs: DataFrame, textCol: String, idCol: String,
+      width: Int, minOccurrences: Long,
+      primaryHexChars: Int, secondaryHexChars: Int): DataFrame = {
+    require(primaryHexChars >= 1 && primaryHexChars <= 15, "primaryHexChars in [1,15]")
+    require(secondaryHexChars >= 1 && secondaryHexChars <= 15, "secondaryHexChars in [1,15]")
     val toks = docs.withColumn("toks", TextFunctions.tokens(col(textCol)))
     val spans = toks
       .filter(size(col("toks")) >= width)
@@ -463,19 +505,23 @@ object Dedup {
         explode(sequence(lit(1), size(col("toks")) - lit(width) + 1,
           lit(1))).as("start"))
       .select(col(idCol), col("start"),
-        conv(substring(md5(
-          concat_ws(" ", slice(col("toks"), col("start"), lit(width)))), 1, 15),
-          16, 10).cast("long").as("span_h"))
+        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(width))))
+          .as("mh"))
+      .select(col(idCol), col("start"),
+        conv(substring(col("mh"), 1, primaryHexChars), 16, 10)
+          .cast("long").as("span_h"),
+        conv(substring(col("mh"), 18, secondaryHexChars), 16, 10)
+          .cast("long").as("span_h2"))
     // canonical occurrence per duplicated span: lexicographic min of
     // (doc, start) — one combined aggregation, skew-safe
-    val dup = spans.groupBy("span_h")
+    val dup = spans.groupBy("span_h", "span_h2")
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col(idCol).as("kdoc"), col("start").as("kstart")))
           .as("keeper"))
       .filter(col("n_occ") >= minOccurrences)
-      .select(col("span_h"), col("keeper.kdoc").as("kdoc"),
+      .select(col("span_h"), col("span_h2"), col("keeper.kdoc").as("kdoc"),
         col("keeper.kstart").as("kstart"))
-    val cuts = spans.join(dup, "span_h")
+    val cuts = spans.join(dup, Seq("span_h", "span_h2"))
       .filter(!(col(idCol) === col("kdoc") && col("start") === col("kstart")))
       .select(col(idCol), col("start"),
         (col("start") + width - 1).as("end"))

@@ -144,7 +144,7 @@ object DedupQueries {
     //      component (= min reachable doc_id); singletons keep
     //      themselves. "Keep is_keeper rows" IS corpus dedup.
     Q("q48_dedup_clusters", (s, dir) =>
-      clusterLabels(s, dir, Dedup.connectedComponents(_, "a", "b")),
+      clusterLabels(s, dir, Dedup.connectedComponentsLabelProp(_, "a", "b")),
       Some(clustersOracle)),
 
     // ---- same clusters via alternating large-star/small-star
@@ -244,21 +244,25 @@ object DedupQueries {
       Some(s"""
       WITH corpus AS ($corpusSql),
       t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
-      spans AS (SELECT doc_id,
+      spans0 AS (SELECT doc_id,
               unnest(range(1, greatest(len(toks) - 8 + 1, 0) + 1)) AS start,
               unnest(list_transform(
                 range(1, greatest(len(toks) - 8 + 1, 0) + 1),
-                i -> ('0x' || substr(md5(array_to_string(toks[i : i + 7], ' ')), 1, 15))::BIGINT))
-                AS span_h
+                i -> md5(array_to_string(toks[i : i + 7], ' ')))) AS mh
             FROM t WHERE len(toks) >= 8),
-      occ AS (SELECT span_h, COUNT(*) AS n_occ, MIN(doc_id) AS kdoc
-              FROM spans GROUP BY span_h HAVING COUNT(*) >= 2),
-      keep AS (SELECT o.span_h, o.kdoc, MIN(s.start) AS kstart
+      spans AS (SELECT doc_id, start,
+              ('0x' || substr(mh, 1, 15))::BIGINT AS span_h,
+              ('0x' || substr(mh, 18, 15))::BIGINT AS span_h2
+            FROM spans0),
+      occ AS (SELECT span_h, span_h2, COUNT(*) AS n_occ, MIN(doc_id) AS kdoc
+              FROM spans GROUP BY span_h, span_h2 HAVING COUNT(*) >= 2),
+      keep AS (SELECT o.span_h, o.span_h2, o.kdoc, MIN(s.start) AS kstart
                FROM occ o JOIN spans s
-                 ON s.span_h = o.span_h AND s.doc_id = o.kdoc
-               GROUP BY 1, 2),
+                 ON s.span_h = o.span_h AND s.span_h2 = o.span_h2
+                    AND s.doc_id = o.kdoc
+               GROUP BY 1, 2, 3),
       cuts AS (SELECT s.doc_id, s.start, s.start + 7 AS "end"
-               FROM spans s JOIN keep k USING (span_h)
+               FROM spans s JOIN keep k USING (span_h, span_h2)
                WHERE NOT (s.doc_id = k.kdoc AND s.start = k.kstart)),
       m AS (SELECT doc_id, start, "end",
               MAX("end") OVER (PARTITION BY doc_id ORDER BY start, "end"

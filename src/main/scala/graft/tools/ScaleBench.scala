@@ -104,7 +104,7 @@ object ScaleBench {
     "q24_dedup_exact" -> (() => Dedup.exactGroups(docs, "text", "doc_id")),
     "q26_dedup_minhash_lsh" -> (() => DedupQueries.minhashPairsOf(docs)),
     "q48_dedup_clusters" -> (() =>
-      DedupQueries.clusterLabelsOf(docs, Dedup.connectedComponents(_, "a", "b"))),
+      DedupQueries.clusterLabelsOf(docs, Dedup.connectedComponentsLabelProp(_, "a", "b"))),
     "q65_cc_star" -> (() =>
       DedupQueries.clusterLabelsOf(docs, Dedup.connectedComponentsStar(_, "a", "b"))),
     "q73_lm_fluency" -> (() =>

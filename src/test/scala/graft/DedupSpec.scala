@@ -68,9 +68,29 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents: long path converges past one round") {
     // path 1-2-3-...-9: diameter 8, forces multiple propagation rounds
     val edges = (1L until 9L).map(i => (i, i + 1)).toDF("a", "b")
-    val comps = Dedup.connectedComponents(edges, "a", "b")
+    val comps = Dedup.connectedComponentsLabelProp(edges, "a", "b")
       .as[(Long, Long)].collect().toMap
     assert((1L to 9L).forall(comps(_) == 1L))
+  }
+
+  test("connectedComponents front door defaults to star contraction") {
+    // diameter-31 path: label propagation needs ~31 rounds to push the
+    // min label down the chain; star contraction lands it in O(log²).
+    // A small round count from the FRONT DOOR proves the default is
+    // the star algorithm — a caller picking the plain name by accident
+    // gets the scale path.
+    val path = (1L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+    Dedup.lastCcRounds = 0
+    val comps = Dedup.connectedComponents(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 32L).forall(comps(_) == 1L))
+    assert(Dedup.lastCcRounds <= 12,
+      s"front door took ${Dedup.lastCcRounds} rounds — label-prop would need ~31")
+    // the explicit opt-in really is label propagation: diameter-bound
+    Dedup.lastCcRounds = 0
+    Dedup.connectedComponentsLabelProp(path, "a", "b").count()
+    assert(Dedup.lastCcRounds >= 13,
+      s"label-prop took only ${Dedup.lastCcRounds} rounds on a diameter-31 path")
   }
 
   test("connectedComponents: differential vs in-memory union-find on random graphs") {
@@ -88,7 +108,7 @@ class DedupSpec extends SparkSpec {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(id => id -> find(id.toInt).toLong).toMap
-      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      val got = Dedup.connectedComponentsLabelProp(edges.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"seed=$seed")
       // the star-contraction variant must agree exactly
@@ -180,6 +200,33 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._4 == 20L)
     assert(out(3L)._2 == "p1 p2 p3 p4 p5 p6 p7 p8 mid end", out(3L)._2)
     assert(out(4L)._4 == 0L)
+  }
+
+  test("removeDuplicateSpans survives primary span-hash collisions (124-bit key)") {
+    // 30 all-unique docs, each with 9 tokens = 2 stride-1 8-windows →
+    // 60 distinct spans. With the primary key shrunk to 1 hex char
+    // (16 values) the pigeonhole forces dozens of primary collisions
+    // among DISTINCT spans; the secondary 60-bit key must keep them
+    // apart, so nothing may be cut.
+    val unique = (1 to 30)
+      .map(i => (i.toLong, (1 to 9).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val hardened = Dedup.removeDuplicateSpansImpl(unique, "text", "doc_id",
+      width = 8, minOccurrences = 2L, primaryHexChars = 1, secondaryHexChars = 15)
+    assert(hardened.agg(sum("n_cut")).as[Long].head() == 0L)
+    // the seam is live: with BOTH keys shrunk the same collisions DO
+    // produce false cuts — proving the test exercised real collisions
+    // and the secondary key is what prevented them
+    val weakened = Dedup.removeDuplicateSpansImpl(unique, "text", "doc_id",
+      width = 8, minOccurrences = 2L, primaryHexChars = 1, secondaryHexChars = 1)
+    assert(weakened.agg(sum("n_cut")).as[Long].head() > 0L)
+    // and true duplicates still cut through the hardened path
+    val realDup = Seq(
+      (1L, "d1 d2 d3 d4 d5 d6 d7 d8"),
+      (2L, "d1 d2 d3 d4 d5 d6 d7 d8")).toDF("doc_id", "text")
+    val cut = Dedup.removeDuplicateSpans(realDup, "text", "doc_id", width = 8)
+      .filter(col("doc_id") === 2L).select("n_cut").as[Long].head()
+    assert(cut == 8L)
   }
 
   test("newAgainstKnown admits only unseen fingerprints") {

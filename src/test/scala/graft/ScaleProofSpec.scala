@@ -66,7 +66,7 @@ class ScaleProofSpec extends SparkSpec {
       Seq(small, large).foreach { n =>
         val pairs = graft.queries.DedupQueries.minhashPairsOf(corpora(n))
         Dedup.lastCcRounds = 0
-        Dedup.connectedComponents(pairs, "a", "b").count()
+        Dedup.connectedComponentsLabelProp(pairs, "a", "b").count()
         val lp = Dedup.lastCcRounds
         assert(lp >= 1 && lp <= 4, s"label-prop rounds $lp at $n docs")
         Dedup.lastCcRounds = 0
@@ -100,7 +100,7 @@ class ScaleProofSpec extends SparkSpec {
 
   test("both CC algorithms agree: group members share a component, unique docs do not") {
     val labels = graft.queries.DedupQueries
-      .clusterLabelsOf(corpora(small), Dedup.connectedComponents(_, "a", "b"))
+      .clusterLabelsOf(corpora(small), Dedup.connectedComponentsLabelProp(_, "a", "b"))
     val star = graft.queries.DedupQueries
       .clusterLabelsOf(corpora(small), Dedup.connectedComponentsStar(_, "a", "b"))
     // same labeling from both algorithms (the q48/q65 agreement, here
