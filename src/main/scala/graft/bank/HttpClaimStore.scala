@@ -65,13 +65,20 @@ class HttpConditionalPutClaimStore(
   /** Sends with bounded retry on transport errors and 5xx. Returns the
     * final status code; conditional-verdict codes (412/409) return
     * immediately without retry.
+    *
+    * Takes a request FACTORY, not a builder: `HttpRequest.Builder
+    * .header()` APPENDS, so reusing one mutable builder across
+    * attempts would stack a duplicate `Authorization` (or conditional)
+    * header per retry — which real object stores reject — and
+    * timestamped signatures (SigV4's `x-amz-date`) must be re-stamped
+    * on a clean request per attempt anyway.
     */
-  private def send(req: HttpRequest.Builder): Int = {
+  private def send(mkReq: () => HttpRequest.Builder): Int = {
     var attempt = 0
     var backoffMs = 100L
     while (true) {
       val status =
-        try client.send(sign(req).build(),
+        try client.send(sign(mkReq()).build(),
           HttpResponse.BodyHandlers.discarding()).statusCode()
         catch {
           case e: java.io.IOException =>
@@ -92,12 +99,12 @@ class HttpConditionalPutClaimStore(
   }
 
   override def putIfAbsent(p: Path, content: Array[Byte]): Boolean = {
-    val status = send(request(p, content).header("If-None-Match", "*"))
+    val status = send(() => request(p, content).header("If-None-Match", "*"))
     status < 300 // 412/409 = lost the race
   }
 
   override def put(p: Path, content: Array[Byte]): Unit = {
-    send(request(p, content))
+    send(() => request(p, content))
     ()
   }
 }

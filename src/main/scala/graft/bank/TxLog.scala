@@ -286,10 +286,17 @@ class TxTable(spark: SparkSession, root: String,
 
   /** Write `df` as new immutable files, return their AddFile actions.
     * A zero-column frame (a tag-only commit vehicle) stages nothing —
-    * parquet cannot represent an empty schema.
+    * parquet cannot represent an empty schema — but it must also be
+    * EMPTY: a degenerate `df.select()` with rows would otherwise
+    * silently commit as a no-op, dropping its rows without error.
     */
   private def stageFiles(df: DataFrame): Seq[AddFile] = {
-    if (df.schema.fields.isEmpty) return Nil
+    if (df.schema.fields.isEmpty) {
+      require(df.isEmpty,
+        "zero-column DataFrame with rows: refusing to stage (the rows would " +
+          "be silently dropped); tag-only commits must use an empty frame")
+      return Nil
+    }
     val commitId = java.util.UUID.randomUUID().toString
     val dir = s"$dataDir/$commitId"
     df.write.mode(SaveMode.ErrorIfExists).parquet(dir)

@@ -23,10 +23,16 @@ object Multimodal {
 
   /** Pluggable payload decoder. Implementations ship to executors
     * (Serializable) and get a per-partition lifecycle: `open()` once
-    * before a partition's rows, `decode` per row, `close()` when the
-    * partition is drained — the shape a native codec binding (JNI
-    * handle, ONNX session, ffmpeg context) needs, with init cost
+    * before a partition's rows, `decode` per row, `close()` registered
+    * as a task-completion listener — the shape a native codec binding
+    * (JNI handle, ONNX session, ffmpeg context) needs, with init cost
     * amortized across the batch.
+    *
+    * Instances are created PER PARTITION from a factory
+    * ([[decodeMeta]]'s `decoder` parameter), so an implementation may
+    * hold non-thread-safe native state: parallel partitions on one
+    * executor each get their own instance. The bundled stateless
+    * decoders expose singletons behind `() => ...` factories.
     */
   trait Decoder extends Serializable {
     /** Per-partition init (codec handles, caches). */
@@ -77,28 +83,28 @@ object Multimodal {
   }
 
   /** Decode metadata for a DataFrame with (doc_id: long, media_type:
-    * string, payload: binary). Partition-local: the decoder opens once
-    * per partition and streams rows.
+    * string, payload: binary). Partition-local: a fresh decoder is
+    * built from the factory and opened once per partition.
+    *
+    * `close()` is registered via `TaskContext.addTaskCompletionListener`
+    * rather than hung off iterator exhaustion: a downstream
+    * `limit`/`take` never drains the iterator and a task failure never
+    * reaches its end, but the completion listener fires on success,
+    * early exit, AND failure — so a real native handle cannot leak.
     */
   def decodeMeta(spark: SparkSession, df: DataFrame,
-                 decoder: Decoder = StubDecoder): Dataset[DecodedRow] = {
+                 decoder: () => Decoder = () => StubDecoder): Dataset[DecodedRow] = {
     import spark.implicits._
     df.select("doc_id", "media_type", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        decoder.open()
-        val mapped = it.map { case (id, mt, payload) =>
-          val m = decoder.decode(mt, payload)
+        val d = decoder()
+        d.open()
+        org.apache.spark.TaskContext.get()
+          .addTaskCompletionListener[Unit](_ => d.close())
+        it.map { case (id, mt, payload) =>
+          val m = d.decode(mt, payload)
           DecodedRow(id, mt, m.width, m.height, m.n_bytes)
-        }
-        new Iterator[DecodedRow] {
-          private var closed = false
-          override def hasNext: Boolean = {
-            val h = mapped.hasNext
-            if (!h && !closed) { closed = true; decoder.close() }
-            h
-          }
-          override def next(): DecodedRow = mapped.next()
         }
       }
   }

@@ -518,10 +518,19 @@ class GsgPartitionReader(slices: Array[GsgDataSource.FileSlice],
 /** Batch write: tasks stream records into hidden staged files inside
   * the target directory; the driver-side job commit renames every
   * staged file visible in one pass (and, for truncate, deletes the
-  * previously visible files first). The scan skips hidden paths, so a
-  * reader concurrent with a write sees either none or all of it —
-  * per-file rename atomicity is all this needs, which every
-  * FileSystem (including object stores' copy+delete rename) provides.
+  * previously visible files first — recursively, matching the scan's
+  * recursive walk).
+  *
+  * Visibility contract — PER-FILE atomic, not per-job: the scan skips
+  * hidden paths, so a concurrent reader never sees a torn record or a
+  * half-written staged file, but a listing that races the commit's
+  * rename loop can observe a subset of a multi-file append, and an
+  * overwrite has a window between the deletes and the renames where
+  * fewer (or no) files are visible. That is the same contract as
+  * Spark's own non-transactional file sinks. A reader needing
+  * job-level atomicity routes through [[graft.bank.TxTable]], whose
+  * log commit IS all-or-nothing — the banks' segmentFormat="gsg" path
+  * pairs this sink with the tx-logged index for exactly that reason.
   */
 class GsgWriteBuilder(dir: String, queryId: String, writeSchema: StructType,
                       maxFileBytes: Long)
@@ -564,10 +573,16 @@ class GsgBatchWrite(dir: String, queryId: String, writeSchema: StructType,
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val target = new Path(dir)
     val fs = target.getFileSystem(conf)
-    if (truncateFirst && fs.exists(target))
-      fs.listStatus(target)
-        .filter(s => s.isFile && !GsgDataSource.isHidden(s.getPath))
-        .foreach(s => fs.delete(s.getPath, false))
+    if (truncateFirst && fs.exists(target)) {
+      // recursive, mirroring the scan's walk: a visible file in a
+      // subdirectory would otherwise survive truncate and re-surface
+      def purge(s: org.apache.hadoop.fs.FileStatus): Unit =
+        if (!GsgDataSource.isHidden(s.getPath)) {
+          if (s.isDirectory) fs.listStatus(s.getPath).foreach(purge)
+          else fs.delete(s.getPath, false)
+        }
+      fs.listStatus(target).foreach(purge)
+    }
     messages.foreach {
       case GsgCommitMessage(staged) => staged.foreach { sp =>
         val p = new Path(sp)

@@ -218,6 +218,23 @@ class GsgSourceSpec extends SparkSpec {
     assert(stations() == Set("S3"))
   }
 
+  test("write: overwrite truncates recursively — subdirectory files don't survive") {
+    val dir = tmp()
+    // the scan walks subdirectories; truncate must purge them too or a
+    // nested segment would re-surface after an overwrite
+    val sub = dir.resolve("nested")
+    Files.createDirectories(sub)
+    writeFile(sub.resolve("old.gsg"), seg("N1", "OLD", "BHZ", 0L, 4, 1.0))
+    val all = () => spark.read.format("gsg").load(dir.toString)
+      .select("station").as[String].collect().toSet
+    assert(all() == Set("OLD"))
+    Seq(("N1", "NEW", "", "BHZ", 0L, 10L, Array(1.0)))
+      .toDF("network", "station", "location", "channel",
+        "starttime", "sampling_period", "samples")
+      .write.format("gsg").mode("overwrite").save(dir.toString)
+    assert(all() == Set("NEW"))
+  }
+
   test("write: codes that cannot round-trip fail fast instead of truncating") {
     val dir = tmp()
     val e = intercept[Exception] {

@@ -84,7 +84,7 @@ class MultimodalSpec extends SparkSpec {
       (4L, "audio", Array[Byte](0, 9, 0, 4))) // non-image -> stub
       .toDF("doc_id", "media_type", "payload")
     val meta = Multimodal
-      .decodeMeta(spark, rows, Multimodal.ImageIoDecoder)
+      .decodeMeta(spark, rows, () => Multimodal.ImageIoDecoder)
       .collect().map(r => r.doc_id -> ((r.width, r.height, r.n_bytes))).toMap
     assert(meta(1L) == ((3L, 2L, png.length.toLong)))
     assert(meta(2L) == ((5L, 7L, jpg.length.toLong)))
@@ -103,5 +103,40 @@ class MultimodalSpec extends SparkSpec {
       .rdd.getNumPartitions == 4)
     assert(Multimodal.repartitionForDecode(p, targetBytes = 1L << 20)
       .rdd.getNumPartitions == 1)
+  }
+
+  test("decoder close() fires per partition even on early exit (ADVICE regression)") {
+    DecoderLifecycle.reset()
+    val p = Multimodal.withSyntheticPayload(docs).repartition(2)
+    // take(1) never drains the iterator — close must still fire via
+    // the task-completion listener on every launched task
+    Multimodal.decodeMeta(spark, p, () => new DecoderLifecycle.Counting)
+      .take(1)
+    // local mode: tasks complete synchronously before take returns
+    assert(DecoderLifecycle.opens.get() >= 1)
+    assert(DecoderLifecycle.closes.get() == DecoderLifecycle.opens.get(),
+      s"opens=${DecoderLifecycle.opens} closes=${DecoderLifecycle.closes}")
+    // per-partition instantiation: the full scan opens one decoder per
+    // partition (no shared singleton across parallel tasks)
+    DecoderLifecycle.reset()
+    Multimodal.decodeMeta(spark, p, () => new DecoderLifecycle.Counting).collect()
+    assert(DecoderLifecycle.opens.get() == 2)
+    assert(DecoderLifecycle.closes.get() == 2)
+  }
+}
+
+/** JVM-wide counters the executor-side decoder instances bump (local
+  * mode shares the JVM, so the spec can read them back).
+  */
+object DecoderLifecycle {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); closes.set(0) }
+
+  class Counting extends Multimodal.Decoder {
+    override def open(): Unit = opens.incrementAndGet()
+    override def decode(mediaType: String, bytes: Array[Byte]): Multimodal.MediaMeta =
+      Multimodal.decodeStub(bytes)
+    override def close(): Unit = closes.incrementAndGet()
   }
 }

@@ -251,6 +251,41 @@ class TxClaimSpec extends SparkSpec {
     } finally store.stop()
   }
 
+  test("HTTP claim store: retries re-sign a FRESH request — no duplicate headers") {
+    // HttpRequest.Builder.header() APPENDS; a builder reused across
+    // attempts would stack one extra Authorization + If-None-Match per
+    // retry and real stores reject that. Serve two 503s, then assert
+    // the succeeding third attempt carries each header exactly once.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var headerCounts: (Int, Int) = (-1, -1)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        ex.getRequestBody.readAllBytes()
+        if (attempts.incrementAndGet() <= 2) ex.sendResponseHeaders(503, -1)
+        else {
+          headerCounts = (
+            Option(ex.getRequestHeaders.get("Authorization")).map(_.size).getOrElse(0),
+            Option(ex.getRequestHeaders.get("If-None-Match")).map(_.size).getOrElse(0))
+          ex.sendResponseHeaders(201, -1)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val ep = new java.net.URI(s"http://127.0.0.1:${server.getAddress.getPort}")
+      val signs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val claims = new graft.bank.HttpConditionalPutClaimStore(ep,
+        sign = b => { signs.incrementAndGet(); b.header("Authorization", "Bearer t") })
+      assert(claims.putIfAbsent(new Path(tmp(), "c.json"), "x".getBytes))
+      assert(attempts.get() == 3)
+      assert(signs.get() == 3, "signer must re-stamp every attempt")
+      assert(headerCounts == ((1, 1)),
+        s"retried request must carry each header once, got $headerCounts")
+    } finally server.stop(0)
+  }
+
   test("tag retention bounds the checkpointed tag set; recent replay stays exactly-once") {
     val t = new TxTable(spark, tmp(), checkpointInterval = 2,
       tagRetention = Some(3L))

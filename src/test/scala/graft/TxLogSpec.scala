@@ -22,6 +22,18 @@ class TxLogSpec extends SparkSpec {
     assert(t.read(Some(v0)).count() == 2)
   }
 
+  test("zero-column frame with rows is refused, not silently dropped") {
+    val t = new TxTable(spark, tmp())
+    // df.select() keeps the rows but drops every column — committing it
+    // would stage nothing and lose the rows as a fake tag-only commit
+    val degenerate = spark.range(3).select()
+    val e = intercept[IllegalArgumentException](t.append(degenerate))
+    assert(e.getMessage.contains("zero-column"))
+    // the legitimate tag-only vehicle (zero columns AND zero rows) works
+    val v = t.append(spark.emptyDataFrame, tag = Some("marker"))
+    assert(v >= 0L && t.tags().contains("marker"))
+  }
+
   test("overwrite replaces all live rows; old snapshots still readable") {
     val t = new TxTable(spark, tmp())
     t.append(Seq((1L, "a")).toDF("id", "s"))
