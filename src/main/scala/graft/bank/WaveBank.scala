@@ -36,8 +36,15 @@ class WaveBank(spark: SparkSession, root: String,
                segmentFormat: String = "parquet")
     extends graft.core.WaveformClient {
 
-  require(segmentFormat == "parquet" || segmentFormat == "gsg",
-    s"segmentFormat must be parquet or gsg, got $segmentFormat")
+  require(Seq("parquet", "gsg", "mseed").contains(segmentFormat),
+    s"segmentFormat must be parquet, gsg or mseed, got $segmentFormat")
+
+  /** The record formats ride the shared V2 segment-source surface:
+    * same schema, same header-only scans, same staged sink — "mseed"
+    * additionally interoperates with external SEED tooling
+    * ([[graft.sources.MiniSeedDataSource]]).
+    */
+  private val v2Format: Boolean = segmentFormat != "parquet"
 
   val segmentsPath = s"$root/segments"
   val indexPath = s"$root/index"
@@ -94,13 +101,13 @@ class WaveBank(spark: SparkSession, root: String,
     * `put_waveforms`).
     */
   def putWaveforms(segments: DataFrame): Unit = {
-    if (segmentFormat == "gsg")
+    if (v2Format)
       // V2 saves reject partitionBy; co-location comes from the
       // station-clustered record layout instead
       segments
         .select("network", "station", "location", "channel",
           "starttime", "sampling_period", "samples")
-        .write.format("gsg").mode(SaveMode.Append).save(segmentsPath)
+        .write.format(segmentFormat).mode(SaveMode.Append).save(segmentsPath)
     else
       segments.write.mode(SaveMode.Append)
         .partitionBy("network", "station")
@@ -110,8 +117,8 @@ class WaveBank(spark: SparkSession, root: String,
 
   /** Segments with a `path` column, whatever the store format. */
   private def segmentsDf: DataFrame =
-    if (segmentFormat == "gsg")
-      spark.read.format("gsg").load(segmentsPath).drop("n_samples")
+    if (v2Format)
+      spark.read.format(segmentFormat).load(segmentsPath).drop("n_samples")
     else
       spark.read.parquet(segmentsPath)
         .withColumn("path", col("_metadata.file_path"))
@@ -131,11 +138,11 @@ class WaveBank(spark: SparkSession, root: String,
       else Long.MinValue
 
     val segs =
-      if (segmentFormat == "gsg")
+      if (v2Format)
         // header-only V2 scan (samples unprojected → payloads unread);
         // the mtime watermark pushes into file listing, −1 ms slack as
         // the reference
-        spark.read.format("gsg")
+        spark.read.format(segmentFormat)
           .option("modifiedAfterMs", (lastIndexed / 1000000L - 1).toString)
           .load(segmentsPath)
           .select(col("network"), col("station"), col("location"),

@@ -284,23 +284,8 @@ class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter],
       modifiedAfterMs.fold("")(t => s", ModifiedAfterMs: $t")
 
 
-  private lazy val files: Seq[FileStatus] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val p = new Path(dir)
-    val fs = p.getFileSystem(conf)
-    val fresh: FileStatus => Boolean =
-      modifiedAfterMs.fold((_: FileStatus) => true)(t =>
-        s => s.getModificationTime > t)
-    def walk(s: FileStatus): Seq[FileStatus] =
-      if (isHidden(s.getPath)) Nil // staged writes / metadata
-      else if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
-      else if (s.getLen >= HeaderLen && fresh(s)) Seq(s)
-      else Nil
-    if (!fs.exists(p)) Nil else fs.getFileStatus(p) match {
-      case d if d.isDirectory => fs.listStatus(p).toSeq.flatMap(walk)
-      case f => Seq(f).filter(s => s.getLen >= HeaderLen && fresh(s))
-    }
-  }
+  private lazy val files: Seq[FileStatus] =
+    SegmentSourceShared.listFiles(dir, HeaderLen, modifiedAfterMs)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -383,27 +368,15 @@ class GsgScan(dir: String, requiredSchema: StructType, pushed: Array[Filter],
     }
 
     // greedy bin-packing, largest first (Spark's file coalescing shape)
-    val target = math.max(1L, maxSplit)
-    val bins = mutable.ArrayBuffer.empty[(mutable.ArrayBuffer[FileSlice], Long)]
-    slices.sortBy(s => -(s.end - s.start)).foreach { s =>
-      val len = s.end - s.start
-      bins.indices.find(i => bins(i)._2 + len <= target) match {
-        case Some(i) => bins(i) = (bins(i)._1 += s, bins(i)._2 + len)
-        case None => bins += ((mutable.ArrayBuffer(s), len))
-      }
-    }
-    bins.map(b => GsgInputPartition(b._1.toArray): InputPartition).toArray
+    SegmentSourceShared.binPack(slices.toSeq, maxSplit)
+      .map(b => GsgInputPartition(b.toArray): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
     // ship the session's hadoop conf ONCE via broadcast, not per task
     // (Configuration is not serializable; the pairs are)
-    val sc = SparkSession.active.sparkContext
-    val c = sc.hadoopConfiguration
-    val it = c.iterator(); val buf = mutable.ArrayBuffer.empty[(String, String)]
-    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
-    GsgReaderFactory(requiredSchema.fieldNames, pushed, sc.broadcast(buf.toSeq))
-  }
+    GsgReaderFactory(requiredSchema.fieldNames, pushed,
+      SegmentSourceShared.broadcastConf())
 }
 
 final case class GsgInputPartition(slices: Array[GsgDataSource.FileSlice])
@@ -556,56 +529,27 @@ class GsgBatchWrite(dir: String, queryId: String, writeSchema: StructType,
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // ship the session's hadoop conf once, like the reader factory
-    val sc = SparkSession.active.sparkContext
-    val c = sc.hadoopConfiguration
-    val it = c.iterator()
-    val buf = mutable.ArrayBuffer.empty[(String, String)]
-    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
     // ensure the target exists before tasks open streams into it
+    val c = SparkSession.active.sparkContext.hadoopConfiguration
     val p = new Path(dir)
     p.getFileSystem(c).mkdirs(p)
     GsgWriterFactory(dir, queryId, writeSchema.fieldNames, maxFileBytes,
-      sc.broadcast(buf.toSeq))
+      SegmentSourceShared.broadcastConf())
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val target = new Path(dir)
-    val fs = target.getFileSystem(conf)
-    if (truncateFirst && fs.exists(target)) {
-      // recursive, mirroring the scan's walk: a visible file in a
-      // subdirectory would otherwise survive truncate and re-surface
-      def purge(s: org.apache.hadoop.fs.FileStatus): Unit =
-        if (!GsgDataSource.isHidden(s.getPath)) {
-          if (s.isDirectory) fs.listStatus(s.getPath).foreach(purge)
-          else fs.delete(s.getPath, false)
-        }
-      fs.listStatus(target).foreach(purge)
-    }
-    messages.foreach {
-      case GsgCommitMessage(staged) => staged.foreach { sp =>
-        val p = new Path(sp)
-        // ".staged-<unique>.gsg" -> "part-<unique>.gsg"
-        val visible = new Path(p.getParent,
-          "part-" + p.getName.stripPrefix(".staged-"))
-        if (!fs.rename(p, visible))
-          throw new java.io.IOException(
-            s"gsg commit: rename $p -> $visible failed")
-      }
-      case m => throw new IllegalStateException(s"unexpected message $m")
-    }
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    SegmentSourceShared.commitStaged(dir,
+      messages.flatMap {
+        case GsgCommitMessage(staged) => staged
+        case m => throw new IllegalStateException(s"unexpected message $m")
+      }.toSeq,
+      truncateFirst)
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val fs = new Path(dir).getFileSystem(conf)
-    messages.foreach {
-      case GsgCommitMessage(staged) =>
-        staged.foreach(sp => fs.delete(new Path(sp), false))
-      case _ => ()
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SegmentSourceShared.abortStaged(dir, messages.flatMap {
+      case GsgCommitMessage(staged) => staged
+      case _ => Nil
+    }.toSeq)
 }
 
 final case class GsgWriterFactory(dir: String, queryId: String,
