@@ -521,6 +521,17 @@ object Dedup {
       .filter(col("n_occ") >= minOccurrences)
       .select(col("span_h"), col("span_h2"), col("keeper.kdoc").as("kdoc"),
         col("keeper.kstart").as("kstart"))
+      // Eager materialization is the SKEW armor, not an optimization
+      // shortcut: without it the aggregate fuses into the join stage
+      // and AQE's OptimizeSkewedJoin — which only matches a join fed
+      // DIRECTLY by shuffle stages — can never split the occurrence
+      // side, so a mega-duplicated span (boilerplate repeated 10⁶×)
+      // funnels through ONE task. Checkpointed, both join inputs read
+      // through fresh exchanges and the skew split re-parallelizes the
+      // hot key at runtime (pinned by ScaleProofSpec). Cost: one
+      // re-shuffle of the DETECTED keys only — tiny next to the
+      // occurrence stream.
+      .localCheckpoint(true)
     val cuts = spans.join(dup, Seq("span_h", "span_h2"))
       .filter(!(col(idCol) === col("kdoc") && col("start") === col("kstart")))
       .select(col(idCol), col("start"),

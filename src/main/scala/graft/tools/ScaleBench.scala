@@ -97,6 +97,36 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Adversarial substring-dedup corpus: every doc carries the SAME
+    * 8-token run between a few unique filler tokens, so ONE span hash
+    * occurs once per document — the whole corpus funnels through a
+    * single join key in [[Dedup.removeDuplicateSpans]]'s occurrence ×
+    * detection join (a mega-duplicated license header / boilerplate
+    * paragraph at 100 TB). Docs are 12 words (2 unique + run + 2
+    * unique), so stride-1 windows yield exactly one hot span and four
+    * boundary-unique spans per doc. ScaleProofSpec pins that AQE's
+    * skew-join split re-parallelizes the hot key; the bench row
+    * records the wall-time cost vs the uniform corpus.
+    */
+  def synthDocsHotSpan(spark: SparkSession, n: Long,
+                       hot: Boolean = true): DataFrame = {
+    // hot=false is the cost-comparison control: same shape, but the
+    // 8-token run is per-doc unique, so no key is duplicated at all
+    val run: Column =
+      if (hot) lit((1 to 8).map(i => s"hot$i").mkString(" "))
+      else concat_ws(" ", (1 to 8).map(i =>
+        concat(lit(s"hot$i"), col("id"))): _*)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("ua"), col("id")), concat(lit("ub"), col("id")),
+        run,
+        concat(lit("uc"), col("id")), concat(lit("ud"), col("id")))
+        .as("text"),
+      lit("en").as("lang"), lit("src0").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** The benched pipelines — each body is the oracle query's own code
     * (shared helpers), on an arbitrary docs frame.
     */
@@ -232,7 +262,30 @@ object ScaleBench {
         s""","time_vs_linear":{${per.mkString(",")}}"""
       }
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios}""")
+    // adversarial hot-span variant (env GRAFT_SCALE_HOTSPAN=<docs>):
+    // q80 on a corpus where ONE span occurs in every doc, vs the
+    // same-shape uniform control — records what a mega-duplicated
+    // boilerplate key costs once AQE's skew split re-parallelizes it
+    val hotJson = sys.env.get("GRAFT_SCALE_HOTSPAN").map { sN =>
+      val n = sN.trim.toLong
+      def bench(hot: Boolean): (Double, Long, Long) = {
+        val dir = s"$root/hotspan_${hot}_$n"
+        synthDocsHotSpan(spark, n, hot).write.mode("overwrite").parquet(dir)
+        val docs = spark.read.parquet(dir)
+        val s0 = System.nanoTime()
+        val (rows, sum) = runAll(
+          Dedup.removeDuplicateSpans(docs, "text", "doc_id", width = 8))
+        ((System.nanoTime() - s0) / 1e9, rows, sum)
+      }
+      val (hs, hRows, _) = bench(hot = true)
+      val (us, uRows, _) = bench(hot = false)
+      s""","hotspan":{"docs":$n,"hot_s":${"%.2f".format(hs)},""" +
+        s""""uniform_s":${"%.2f".format(us)},""" +
+        s""""ratio":${"%.2f".format(hs / us)},""" +
+        s""""hot_rows":$hRows,"uniform_rows":$uRows}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson}""")
     spark.stop()
   }
 }

@@ -131,4 +131,54 @@ class ScaleProofSpec extends SparkSpec {
       .head()
     assert(uniqRow.getLong(0) == uniqRow.getLong(1), "a unique doc joined a component")
   }
+
+  test("q80 hot-span join re-parallelizes under adversarial skew (AQE skew split)") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // every doc contains the SAME 8-token run: one span key occurs
+    // once per document, so the occurrence x detection join funnels
+    // the whole corpus through a single key — the mega-duplicated
+    // boilerplate shape at 100 TB
+    val n = 50000L
+    val docs = ScaleBench.synthDocsHotSpan(spark, n)
+    // thresholds scaled to spec size (the default 256 MB skew floor
+    // would need a corpus CI can't afford); force=true because the
+    // rule's extra-shuffle veto is moot here — the downstream merge
+    // window repartitions by doc regardless
+    val tuned = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      // enough partitions that uniform keys spread thin and the hot
+      // key's partition dwarfs the median — at 100 TB this contrast
+      // exists at the DEFAULT thresholds; spec scale must create it
+      "spark.sql.shuffle.partitions" -> "64")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      withPlainJoins { // the 100 TB shape: detection side too big to broadcast
+        val out = Dedup.removeDuplicateSpans(docs, "text", "doc_id", width = 8)
+          .agg(sum("n_cut").as("cut"), count(lit(1)).as("docs"),
+            sum(when(col("n_cut") === 0L, 1L).otherwise(0L)).as("intact"))
+        // collect() (not head()) — head() spawns a separate limit
+        // plan, leaving THIS dataset's adaptive plan unfinalized
+        val r = out.collect().head
+        // correctness under skew: the canonical doc keeps its run,
+        // every other occurrence (8 tokens each) is cut
+        assert(r.getAs[Long]("docs") == n)
+        assert(r.getAs[Long]("intact") == 1L, "exactly one keeper doc")
+        assert(r.getAs[Long]("cut") == 8L * (n - 1), s"cut=${r.getAs[Long]("cut")}")
+        // and the engine actually split the hot key: the finalized
+        // adaptive plan must contain a skew-marked sort-merge join
+        val skewed = PlanIntrospect.nodes(out.queryExecution.executedPlan)
+          .collect { case j: SortMergeJoinExec if j.isSkewJoin => j }
+        assert(skewed.nonEmpty,
+          "no skew-split SMJ in the executed plan:\n" +
+            out.queryExecution.executedPlan.treeString)
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
