@@ -292,6 +292,55 @@ object DedupQueries {
              CAST(len(t.toks) - COALESCE(st.n_kept, 0) AS BIGINT) AS n_cut
       FROM t LEFT JOIN stats st USING (doc_id)""")),
 
+    // ---- STREAMING exact-substring detection, oracle-checked like
+    //      q77/q78: the corpus replays through the file source with a
+    //      1 ms-per-doc event time, duplicateSpanStream counts
+    //      distinct docs per span inside a watermarked tumbling
+    //      window (dedup-state + window-state both bounded), and the
+    //      drained append sink must hash-match the batch q79
+    //      detection set computed by DuckDB. A flush doc 8 h ahead
+    //      pushes the watermark past the window so append mode emits.
+    Q("q82_stream_duplicate_spans", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val c = corpus(s, dir)
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+        .select("doc_id", "text", "ts")
+      val flush = s.range(1).select(
+        lit(999999999L).as("doc_id"),
+        lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q82").toString
+      c.unionByName(flush).repartition(8).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = graft.streaming.StreamingDedup.duplicateSpanStream(
+        stream, "text", "doc_id", "ts", width = 8, stride = 4,
+        minDocs = 2L, watermark = "10 seconds", windowDur = "6 hours")
+      val sink = "q82_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH corpus AS ($corpusSql),
+      t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+      sp AS (SELECT doc_id,
+              unnest(list_transform(
+                range(1, greatest(len(toks) - 8 + 1, 0) + 1, 4),
+                i -> array_to_string(toks[i : i + 7], ' '))) AS span
+            FROM t WHERE len(toks) >= 8),
+      h AS (SELECT doc_id,
+              ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_h,
+              1600000000000000000 + doc_id * 1000000 AS ts
+            FROM sp)
+      SELECT ts - ts % 21600000000000 AS window_ns, span_h,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM h GROUP BY 1, 2
+      HAVING COUNT(DISTINCT doc_id) >= 2""")),
+
     // ---- blocked n-gram Jaccard near-dup pairs
     Q("q25_dedup_jaccard", (s, dir) => {
       val c = corpus(s, dir).withColumn("len_bucket", expr("n_chars div 50"))

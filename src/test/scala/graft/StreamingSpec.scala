@@ -95,6 +95,57 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("streaming span detection converges to batch q79 across batches; late data drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-sspan").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1_000_000_000L
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val in = MemoryStream[(Long, String, Long)]
+    val changes = graft.streaming.StreamingDedup.duplicateSpanStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+      width = 8, stride = 1, minDocs = 2L,
+      watermark = "30 seconds", windowDur = "1 hour")
+    val q = changes.writeStream.format("memory").queryName("sspan")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    try {
+      // batch 1: two docs sharing the planted run at different offsets
+      in.addData((1L, s"a1 a2 $run", 10 * ns), (2L, s"$run z1 z2", 11 * ns))
+      q.processAllAvailable()
+      // batch 2: a third doc with the run AND a repeat of doc 1 (the
+      // (span, doc) pair is already in dedup state — must not double
+      // count); plus an unrelated unique doc
+      in.addData((3L, s"m1 $run m2", 12 * ns), (1L, s"a1 a2 $run", 12 * ns),
+        (9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", 13 * ns))
+      q.processAllAvailable()
+      // watermark pusher: event time far past window end + delay, so
+      // append mode emits the 0-1h window's final counts
+      in.addData((999L, (1 to 8).map(i => s"f$i").mkString(" "), 7200 * ns))
+      q.processAllAvailable()
+      // a LATE copy of the run (event time far behind the watermark)
+      // must be dropped, not resurrect state or re-emit
+      in.addData((4L, s"late $run", 9 * ns))
+      q.processAllAvailable()
+      in.addData((998L, (1 to 8).map(i => s"g$i").mkString(" "), 7300 * ns))
+      q.processAllAvailable()
+
+      val got = spark.table("sspan")
+        .select("span_h", "n_docs").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      // the batch operator on the ON-TIME docs is the reference
+      val batch = graft.operators.Dedup.duplicateSpans(
+        Seq((1L, s"a1 a2 $run"), (2L, s"$run z1 z2"), (3L, s"m1 $run m2"),
+          (9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", width = 8, stride = 1, minDocs = 2L)
+        .select("span_h", "n_docs").as[(Long, Long)].collect().toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(batch.values.toSeq == Seq(3L), "exactly the planted run, 3 docs")
+    } finally q.stop()
+  }
+
   test("streaming duplicate-pick validation flags later same-station picks across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingValidation
