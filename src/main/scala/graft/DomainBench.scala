@@ -277,6 +277,101 @@ object DomainBench {
     val (tPrune, nPruned) = time(EventOps.pruneEvents(treeDs).count())
     val (tStrip, _) = time(EventOps.stripEvents(treeDs).count())
 
+    // 9. round-5 surface benches: segment sinks, HTTP claims, decoders
+    // 9a. sink throughput: the same 4000-segment frame through the
+    // parquet store, the gsg staged sink, and the mseed (Steim-2) sink
+    val sinkSegs = spark.range(4000).select(
+      lit("N1").as("network"),
+      concat(lit("S"), pmod(col("id"), lit(10L))).as("station"),
+      lit("").as("location"), lit("BHZ").as("channel"),
+      (col("id") * lit(hourNs / 100)).as("starttime"), // 36 s apart, on the 100 µs grid
+      lit(10_000_000L).as("sampling_period"),
+      transform(sequence(lit(0), lit(999)),
+        i => (i % 97).cast("double")).as("samples"))
+      .localCheckpoint(true) // synth cost excluded from sink timing
+    val segBytesMb = 4000.0 * 1000 * 8 / 1e6 // payload doubles, pre-encoding
+    val (tSinkParquet, _) = time {
+      sinkSegs.write.mode("overwrite").parquet(s"$root/sink_pq"); 1L
+    }
+    val (tSinkGsg, _) = time {
+      sinkSegs.write.format("gsg").mode("overwrite").save(s"$root/sink_gsg"); 1L
+    }
+    val (tSinkMseed, _) = time {
+      sinkSegs.write.format("mseed").mode("overwrite").save(s"$root/sink_ms"); 1L
+    }
+    // read-back full decode, same aggregation over each store
+    def sumSamples(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(aggregate(col("samples"), lit(0.0), (a, x) => a + x).as("s"))
+        .agg(sum("s")).count()
+    val (tScanGsg, _) = time(sumSamples(
+      spark.read.format("gsg").load(s"$root/sink_gsg")))
+    val (tScanMseed, _) = time(sumSamples(
+      spark.read.format("mseed").load(s"$root/sink_ms")))
+
+    // 9b. HTTP conditional-put claims: 8 writers race 200 versions
+    // through an in-process object store (the TxClaimSpec shape, timed)
+    val claimServer = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    claimServer.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit =
+        try {
+          ex.getRequestBody.readAllBytes()
+          val conditional = Option(ex.getRequestHeaders
+            .getFirst("If-None-Match")).contains("*")
+          val status =
+            if (conditional && !claimed.add(ex.getRequestURI.getPath)) 412
+            else 200
+          ex.sendResponseHeaders(status, -1)
+        } finally ex.close()
+    })
+    claimServer.setExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8))
+    claimServer.start()
+    val (tClaims, nClaimWins) = try time {
+      val ep = new java.net.URI(
+        s"http://127.0.0.1:${claimServer.getAddress.getPort}")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val wins = new java.util.concurrent.atomic.AtomicLong(0)
+        val tasks = (0 until 8).map { w =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              val store = new graft.bank.HttpConditionalPutClaimStore(ep)
+              (0 until 200).foreach { v =>
+                if (store.putIfAbsent(
+                  new org.apache.hadoop.fs.Path(s"/c/$v.json"),
+                  s"w$w".getBytes)) wins.incrementAndGet()
+              }
+            }
+          })
+        }
+        tasks.foreach(_.get())
+        wins.get() // must be exactly 200: one winner per version
+      } finally pool.shutdown()
+    } finally claimServer.stop(0)
+
+    // 9c. decoder throughput: real PNG decode (javax.imageio) vs the
+    // header stub over the same 2000-payload column
+    val pngBytes = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(x => (0 until 64).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val payloads = spark.range(2000).select(col("id").as("doc_id"),
+      lit("image").as("media_type"), lit(pngBytes).as("payload"))
+      .localCheckpoint(true)
+    import graft.multimodal.Multimodal
+    val (tDecodeStub, _) = time(
+      Multimodal.decodeMeta(spark, payloads).groupBy().sum("width").count())
+    val (tDecodeReal, nDecoded) = time(
+      Multimodal.decodeMeta(spark, payloads, () => Multimodal.ImageIoDecoder)
+        .filter(r => r.width == 64L).count())
+
     val metrics = Seq(
       "archive_gen_s" -> tGen,
       "index_build_s" -> tIndex, "index_files_per_s" -> nFiles / tIndex,
@@ -293,13 +388,23 @@ object DomainBench {
       "validate_rules_s" -> tValidate,
       "validate_picks_per_s" -> nVal / tValidate,
       "prune_trees_s" -> tPrune, "prune_trees_per_s" -> nTrees / tPrune,
-      "strip_trees_s" -> tStrip)
+      "strip_trees_s" -> tStrip,
+      "sink_parquet_s" -> tSinkParquet, "sink_gsg_s" -> tSinkGsg,
+      "sink_mseed_s" -> tSinkMseed,
+      "sink_gsg_mb_per_s" -> segBytesMb / tSinkGsg,
+      "sink_mseed_mb_per_s" -> segBytesMb / tSinkMseed,
+      "scan_gsg_s" -> tScanGsg, "scan_mseed_s" -> tScanMseed,
+      "http_claims_1600_s" -> tClaims,
+      "http_claims_per_s" -> 1600.0 / tClaims,
+      "decode_stub_s" -> tDecodeStub, "decode_imageio_s" -> tDecodeReal,
+      "decode_imageio_per_s" -> 2000.0 / tDecodeReal)
     val counts = Seq("n_indexed" -> nIdx, "n_read" -> nRead, "n_gaps" -> nGaps,
       "n_bulk" -> nBulk, "n_bulk_banded" -> nBulkBanded,
       "n_indexed_v2" -> nIdxV2, "n_big_records" -> nBigRecs,
       "big_file_partitions" -> bigParts.toLong, "n_tx_rows" -> nTxRows,
       "n_events" -> nEvents, "n_fetch" -> nFetch,
-      "n_violations" -> nViol, "n_pruned_trees" -> nPruned)
+      "n_violations" -> nViol, "n_pruned_trees" -> nPruned,
+      "n_claim_wins" -> nClaimWins, "n_png_decoded" -> nDecoded)
     println("{" +
       (metrics.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" } ++
        counts.map { case (k, v) => s""""$k":$v""" }).mkString(",") +
