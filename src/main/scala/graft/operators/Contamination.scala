@@ -38,4 +38,58 @@ object Contamination {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** FUZZY decontamination: training docs NEAR-duplicating an eval doc
+    * under MinHash similarity, catching the paraphrased / lightly
+    * edited / partially quoted eval leakage that the exact-shingle
+    * sweep above misses (a doc sharing one 3-gram is flagged there; a
+    * doc that is 80% an eval answer with every 3rd word edited is
+    * not). Same signature family as the MinHash-LSH dedup pipeline
+    * (k salted min-hashes over 60-bit md5 shingle hashes), so the
+    * DuckDB oracle derives identical values.
+    *
+    * Plan shape at scale: signatures are scan-local on both sides; the
+    * eval side's banded buckets broadcast (eval corpora are thousands
+    * of docs vs billions of training docs); candidate (train, eval)
+    * collisions emerge from a broadcast hash join — the training
+    * corpus never shuffles. The similarity estimate is the classic
+    * signature agreement fraction (matching components / k), computed
+    * from the two signatures already in hand — no second pass over
+    * text. The only shuffles touch candidate-pair-sized data: one
+    * distinct (a pair can collide in several bands) and one per-doc
+    * rollup.
+    *
+    * Output: one row per contaminated training doc —
+    * (idCol, n_eval_hits, max_sim) where n_eval_hits counts distinct
+    * eval docs LSH-colliding with it and max_sim is the best
+    * signature-agreement estimate in [0, 1]. Clean docs don't appear.
+    */
+  def fuzzyContaminatedDocs(train: DataFrame, eval: DataFrame,
+                            textCol: String, idCol: String,
+                            k: Int = 8, bands: Int = 4,
+                            rowsPerBand: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.register(train.sparkSession)
+    // lshBuckets' explode-first shape, keeping the signature attribute
+    // on each banded row so the estimate needs no join back
+    def banded(df: DataFrame) = df
+      .select(col(idCol), Dedup.intMinhashSignature(
+        Dedup.tokenShingleHashes(TextFunctions.tokens(col(textCol))), k).as("sig"))
+      .select(col(idCol), col("sig"),
+        posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("band", "_band")))
+      .select(col(idCol), col("sig"), col("band"),
+        md5(concat_ws("|",
+          transform(slice(col("sig"), col("_band") * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))).as("bucket"))
+    val evalBanded = banded(eval)
+      .withColumnRenamed(idCol, "eval_id").withColumnRenamed("sig", "eval_sig")
+    banded(train)
+      .join(broadcast(evalBanded), Seq("band", "bucket"))
+      .select(col(idCol), col("eval_id"),
+        (aggregate(zip_with(col("sig"), col("eval_sig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k).as("sim"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("sim")).as("max_sim"))
+  }
 }

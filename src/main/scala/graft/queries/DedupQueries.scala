@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.{Contamination, Dedup}
 import graft.functions.TextFunctions
 
 /** Deduplication operators over the documents corpus. The corpus has
@@ -30,6 +30,17 @@ object DedupQueries {
   // SQL fragments mirroring TextFunctions/Dedup column expressions
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private val fpSql = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  /** 3-token shingles over `toks` — shingle i = toks[i..i+2]. */
+  private def shinglesSql(toks: String): String =
+    s"""list_transform(range(1, greatest(len($toks) - 2, 1) + 1),
+        i -> concat_ws(' ', $toks[i], $toks[i + 1], $toks[i + 2]))"""
+
+  /** LSH bucket of band `b` (2 rows/band) over a `sig` column — the
+    * DuckDB mirror of the md5(concat_ws("|", slice)) bucket hash.
+    */
+  private def bandBucketSql(b: Int): String =
+    s"md5(CAST(sig[${2 * b + 1}] AS VARCHAR) || '|' || CAST(sig[${2 * b + 2}] AS VARCHAR))"
 
   /** MinHash(k=8) + LSH(4 bands × 2) candidate pairs over an arbitrary
     * corpus frame — the pipeline shared by q26 (pairs), q48/q65
@@ -62,18 +73,12 @@ object DedupQueries {
     * [[minhashPairs]], shared by the q26 and q48 oracles.
     */
   private lazy val minhashPairsCtes: String = {
-    val toks = toksSql
-    // shingle i = toks[i] toks[i+1] toks[i+2], i in 1..max(n-2, 1)
-    val shSql = s"""list_transform(range(1, greatest(len($toks) - 2, 1) + 1),
-        i -> concat_ws(' ', $toks[i], $toks[i + 1], $toks[i + 2]))"""
-    def bucket(b: Int) =
-      s"md5(CAST(sig[${2 * b + 1}] AS VARCHAR) || '|' || CAST(sig[${2 * b + 2}] AS VARCHAR))"
     s"""corpus AS ($corpusSql),
-      shingled AS (SELECT doc_id, $shSql AS sh FROM corpus),
+      shingled AS (SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM corpus),
       hashed AS (SELECT doc_id, ${Dedup.shingleHashesSql("sh")} AS hs FROM shingled),
       sigs AS (SELECT doc_id, ${Dedup.intMinhashSql("hs", 8)} AS sig FROM hashed),
       buckets AS (${(0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, ${bucket(b)} AS bucket FROM sigs")
+        s"SELECT doc_id, $b AS band, ${bandBucketSql(b)} AS bucket FROM sigs")
         .mkString("\n        UNION ALL ")}),
       pairs AS (
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -356,6 +361,48 @@ object DedupQueries {
                      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard
         FROM t a JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
         WHERE a.doc_id < b.doc_id)
-      WHERE jaccard >= 0.5"""))
+      WHERE jaccard >= 0.5""")),
+
+    // ---- FUZZY decontamination: MinHash-LSH near-dup sweep between
+    //      the training split and the eval split (doc_id % 97).
+    //      Training additionally receives a NEAR copy of every eval
+    //      doc (first token dropped, doc_id + 200000), so the oracle
+    //      pins both the verbatim leak (the +100000 planted copy of
+    //      doc 0 scores max_sim = 1.0) and the estimate math on
+    //      non-identical pairs. Catches the paraphrased eval leakage
+    //      q56's exact 3-gram sweep can't threshold (one shared
+    //      3-gram already flags there)
+    Q("q83_fuzzy_decontaminate", (s, dir) => {
+      val c = corpus(s, dir)
+      val evalSet = c.filter(col("doc_id") % 97 === 0)
+      val train = c.filter(col("doc_id") % 97 =!= 0).unionByName(
+        evalSet.withColumn("doc_id", col("doc_id") + 200000)
+          .withColumn("text", regexp_replace(col("text"), "^\\S+\\s+", "")))
+      Contamination.fuzzyContaminatedDocs(train, evalSet, "text", "doc_id")
+    }, Some(s"""
+      WITH corpus AS ($corpusSql),
+      sides AS (
+        SELECT doc_id, text, 0 AS is_eval FROM corpus WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 200000, regexp_replace(text, '^\\S+\\s+', ''), 0
+        FROM corpus WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT doc_id, text, 1 FROM corpus WHERE doc_id % 97 = 0),
+      shingled AS (SELECT doc_id, is_eval, ${shinglesSql(toksSql)} AS sh FROM sides),
+      hashed AS (SELECT doc_id, is_eval, ${Dedup.shingleHashesSql("sh")} AS hs FROM shingled),
+      sigs AS (SELECT doc_id, is_eval, ${Dedup.intMinhashSql("hs", 8)} AS sig FROM hashed),
+      banded AS (${(0 until 4).map(b =>
+        s"SELECT doc_id, is_eval, sig, $b AS band, ${bandBucketSql(b)} AS bucket FROM sigs")
+        .mkString("\n        UNION ALL ")}),
+      cand AS (
+        SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id,
+               CAST(len(list_filter(range(1, 9),
+                 i -> t.sig[i] = e.sig[i])) AS DOUBLE)
+                 / CAST(8 AS DOUBLE) AS sim
+        FROM banded t JOIN banded e
+          ON t.band = e.band AND t.bucket = e.bucket
+        WHERE t.is_eval = 0 AND e.is_eval = 1)
+      SELECT doc_id, COUNT(*) AS n_eval_hits, MAX(sim) AS max_sim
+      FROM cand GROUP BY doc_id"""))
   )
 }

@@ -154,6 +154,15 @@ object ScaleBench {
       graft.operators.Contamination.contaminatedDocs(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0), "text", "doc_id")),
+    // fixed-size eval side (~5k docs, deterministic id cap) against
+    // the whole growing corpus: the realistic decontamination shape —
+    // eval benchmarks don't grow with training data — so wall time
+    // should track the corpus scan, not the pair space
+    "q83_fuzzy_decontaminate" -> (() =>
+      graft.operators.Contamination.fuzzyContaminatedDocs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 97L * 5000),
+        "text", "doc_id")),
     "q57_token_packing" -> (() => {
       val shards = packShards(docs)
       TextStats.packTokenBudget(docs, "text", col("doc_id") % shards,

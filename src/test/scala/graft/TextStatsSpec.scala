@@ -224,6 +224,35 @@ class TextStatsSpec extends SparkSpec {
     assert(out == Seq((1L, 3L), (3L, 1L)))
   }
 
+  test("fuzzyContaminatedDocs flags verbatim and near copies of eval docs, not unrelated text") {
+    val evalText = ("the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronomers chart distant quasars beyond the nebula tonight")
+    val nearCopy = evalText.split(" ").updated(9, "as").mkString(" ")
+    val train = Seq(
+      (1L, evalText),                                    // verbatim leak
+      (2L, nearCopy),                                    // one token edited
+      (3L, "completely unrelated prose about cooking rice and lentils slowly")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val df = graft.operators.Contamination
+      .fuzzyContaminatedDocs(train, eval, "text", "doc_id")
+    val out = df.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // verbatim copy: identical signature → collides in every band, sim 1
+    assert(out.head == ((1L, 1L, 1.0)))
+    // the unrelated doc never surfaces
+    assert(!out.exists(_._1 == 3L))
+    // the near copy keeps most shingles, so most minhash components
+    // agree; it must score strictly below the verbatim copy
+    out.find(_._1 == 2L).foreach { case (_, hits, sim) =>
+      assert(hits == 1L && sim > 0.5 && sim < 1.0)
+    }
+    // plan shape: eval side broadcasts, the train side never shuffles —
+    // the only exchanges carry candidate-pair-sized data (distinct +
+    // per-doc rollup), and nothing degrades to a nested-loop join
+    val c = graft.tools.PlanIntrospect.counts(df)
+    assert(c.broadcasts == 1 && c.shuffles == 2 && c.bnlj == 0 && c.cartesian == 0)
+  }
+
   test("chunkTokens tiles with the configured overlap and covers every token") {
     val docs = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")),
                    (2L, "single"),
