@@ -33,7 +33,8 @@ import graft.operators.{IntervalJoin, Intervals, TimeChunks, TraceStitch}
   */
 class WaveBank(spark: SparkSession, root: String,
                txIndex: Boolean = false,
-               segmentFormat: String = "parquet")
+               segmentFormat: String = "parquet",
+               indexCacheSize: Int = 0)
     extends graft.core.WaveformClient {
 
   require(Seq("parquet", "gsg", "mseed").contains(segmentFormat),
@@ -60,6 +61,15 @@ class WaveBank(spark: SparkSession, root: String,
 
   private def indexDf: DataFrame =
     if (txIndex) txTable.read() else spark.read.parquet(indexPath)
+
+  /** Opt-in containment cache over `readIndex` (`indexCacheSize` > 0):
+    * repeated index queries whose interval falls inside a recent one
+    * re-filter the persisted rows instead of re-scanning the store —
+    * the reference's `_IndexCache` behavior. Off by default: persist
+    * lifetimes should be a caller decision in a shared SparkSession.
+    */
+  private[graft] val indexCache: Option[IndexCache] =
+    if (indexCacheSize > 0) Some(new IndexCache(indexCacheSize)) else None
 
   private def indexAppend(df: DataFrame): Unit =
     if (txIndex) { txTable.append(df); () }
@@ -164,8 +174,11 @@ class WaveBank(spark: SparkSession, root: String,
       col("sampling_period"), col("path"))
       .withColumn("indexed_at", lit(System.currentTimeMillis() * 1000000L))
       .withColumn("index_version", lit(indexVersion))
-    if (newIndex.limit(1).count() > 0)
+    if (newIndex.limit(1).count() > 0) {
       indexAppend(newIndex)
+      // cached readIndex entries are snapshots of the pre-append index
+      indexCache.foreach(_.clear())
+    }
   }
 
   /** The filtered index — glob NSLC + interval overlap with the ±1 s
@@ -177,15 +190,7 @@ class WaveBank(spark: SparkSession, root: String,
                 location: String = "*", channel: String = "*",
                 starttime: Option[Long] = None,
                 endtime: Option[Long] = None): DataFrame = {
-    val idx = indexDf
-    val nslc = Seq("network" -> network, "station" -> station,
-      "location" -> location, "channel" -> channel)
-    val globbed = nslc.foldLeft(idx) { case (df, (c, pat)) =>
-      if (pat == "*") df
-      else if (Fnmatch.isLiteral(pat)) df.filter(col(c) === pat)
-      else df.filter(Fnmatch.matches(col(c), pat))
-    }
-    (starttime, endtime) match {
+    def timeFilter(globbed: DataFrame): DataFrame = (starttime, endtime) match {
       case (Some(t1), Some(t2)) =>
         globbed.filter(Intervals.overlaps(t1, t2, bufferNs))
       case (Some(t1), None) => globbed.filter(col("endtime") >= t1 - bufferNs)
@@ -194,6 +199,29 @@ class WaveBank(spark: SparkSession, root: String,
         globbed.filter(col("starttime").isNotNull &&
           col("starttime") <= t2 + bufferNs)
       case _ => globbed
+    }
+    def globbed: DataFrame = {
+      val nslc = Seq("network" -> network, "station" -> station,
+        "location" -> location, "channel" -> channel)
+      nslc.foldLeft(indexDf) { case (df, (c, pat)) =>
+        if (pat == "*") df
+        else if (Fnmatch.isLiteral(pat)) df.filter(col(c) === pat)
+        else df.filter(Fnmatch.matches(col(c), pat))
+      }
+    }
+    indexCache match {
+      case Some(cache) =>
+        // containment key: exact NSLC kwargs; the interval widens to
+        // sentinels so open bounds contain only open bounds. The cached
+        // entry holds its own (wider) time filter; re-applying this
+        // query's narrower filter on it returns exactly what a direct
+        // read would (wave-index rows have no null times, so every
+        // branch's predicate is monotone under interval containment)
+        val key = Seq(network, station, location, channel)
+        val t1 = starttime.getOrElse(Schemas.SmallDt64)
+        val t2 = endtime.getOrElse(Schemas.LargeDt64)
+        timeFilter(cache.getOrLoad(t1, t2, key, timeFilter(globbed)))
+      case None => timeFilter(globbed)
     }
   }
 

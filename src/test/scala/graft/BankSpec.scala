@@ -46,6 +46,47 @@ class BankSpec extends SparkSpec {
            gaps(0).getAs[Long]("gap_end") == 5000L)
   }
 
+  test("wavebank: containment index cache — hits re-filter persisted rows, updates invalidate") {
+    val root = tmp()
+    val cached = new WaveBank(spark, root, indexCacheSize = 2)
+    val direct = new WaveBank(spark, root)
+    cached.putWaveforms(segmentDf)
+
+    def rows(b: WaveBank, t1: Long, t2: Long, sta: String = "*") =
+      b.readIndex(station = sta, starttime = Some(t1), endtime = Some(t2))
+        .select("station", "channel", "starttime", "endtime")
+        .collect().map(_.toString).sorted.toSeq
+
+    // wide query fills the cache; the contained narrow query must
+    // return exactly what an uncached bank computes
+    val wide = rows(cached, 0L, 10000L)
+    assert(wide == rows(direct, 0L, 10000L))
+    assert(cached.indexCache.get.occupied == 1)
+    val narrowDf = cached.readIndex(
+      starttime = Some(4000L), endtime = Some(6000L))
+    assert(narrowDf.collect().map(_.getAs[Long]("starttime")).toSeq
+      .forall(_ <= 7000L))
+    assert(rows(cached, 4000L, 6000L) == rows(direct, 4000L, 6000L))
+    // the contained query's plan reads the persisted entry, not parquet
+    assert(narrowDf.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"))
+    assert(cached.indexCache.get.occupied == 1) // hit, no new entry
+
+    // different kwargs miss containment (S1-only rows ≠ all rows)
+    assert(rows(cached, 0L, 10000L, sta = "S1") ==
+      rows(direct, 0L, 10000L, sta = "S1"))
+    assert(cached.indexCache.get.occupied == 2)
+
+    // an index update invalidates: the new segment must be visible
+    // through a query contained in the previously cached interval
+    cached.putWaveforms(Seq(("N1", "S1", "", "BHE", 4500L, 10L,
+      Array.fill(10)(9.0))).toDF("network", "station", "location",
+      "channel", "starttime", "sampling_period", "samples"))
+    assert(cached.indexCache.get.occupied == 0)
+    assert(rows(cached, 4000L, 6000L).exists(_.contains("BHE")))
+    assert(rows(cached, 4000L, 6000L) == rows(direct, 4000L, 6000L))
+  }
+
   test("wavebank: txIndex mode — same results, plus time travel and compaction") {
     val root = tmp()
     val bank = new WaveBank(spark, root, txIndex = true)
