@@ -191,6 +191,144 @@ object MiscQueries {
       SELECT user_id,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              COUNT(*) AS sum_value_n
-      FROM events GROUP BY user_id"""), headline = true)
+      FROM events GROUP BY user_id"""), headline = true),
+
+    // ---- station kwarg surface (was spec-only): glob + strict
+    //      time/geo bounds and the start_date/end_date aliasing over a
+    //      deterministically synthesized channel table. Every bound is
+    //      STRICT (obsplus `utils/pd.py:440-470`: min_/max_ and
+    //      startafter/endbefore all exclude equality)
+    Q("q84_station_filters", (s, dir) => {
+      val ch = Tables.customer(s, dir).select(
+        concat(lit("N"), pmod(col("c_custkey"), lit(3))).as("network"),
+        concat(lit("S"), pmod(col("c_custkey"), lit(40))).as("station"),
+        lit("").as("location"),
+        when(col("c_custkey") % 3 === 0, "BHZ")
+          .when(col("c_custkey") % 3 === 1, "BHN")
+          .otherwise("HHZ").as("channel"),
+        (col("c_custkey") * 1000L).as("start_date"),
+        (col("c_custkey") * 1000L + 5000000L).as("end_date"),
+        (pmod(col("c_custkey"), lit(180)).cast("double") - 90.0).as("latitude"),
+        (pmod(col("c_custkey") * 7L, lit(360)).cast("double") - 180.0).as("longitude"))
+      graft.stations.Stations.getStations(ch, graft.stations.StationQuery(
+        network = "N1", channel = "BH?",
+        startAfter = Some(100000L), endBefore = Some(900000000L),
+        minLatitude = Some(-60.0), maxLongitude = Some(120.0)))
+    }, Some("""
+      WITH ch AS (
+        SELECT 'N' || (c_custkey % 3) AS network,
+               'S' || (c_custkey % 40) AS station,
+               '' AS location,
+               CASE WHEN c_custkey % 3 = 0 THEN 'BHZ'
+                    WHEN c_custkey % 3 = 1 THEN 'BHN'
+                    ELSE 'HHZ' END AS channel,
+               c_custkey * 1000 AS start_date,
+               c_custkey * 1000 + 5000000 AS end_date,
+               CAST(c_custkey % 180 AS DOUBLE) - CAST(90 AS DOUBLE) AS latitude,
+               CAST((c_custkey * 7) % 360 AS DOUBLE) - CAST(180 AS DOUBLE) AS longitude
+        FROM customer)
+      SELECT * FROM ch
+      WHERE network = 'N1' AND regexp_matches(channel, '^BH.$')
+        AND start_date > 100000 AND end_date < 900000000
+        AND latitude > CAST(-60 AS DOUBLE)
+        AND longitude < CAST(120 AS DOUBLE)""")),
+
+    // ---- nullish NSLC normalization + zero-pad + seed id (was
+    //      spec-only): the cleanup every bank write/read applies
+    //      (`utils/pd.py:33-47`), over codes covering every nullish
+    //      token, single digits, whitespace and pass-through cases
+    Q("q85_nslc_normalize", (s, dir) => {
+      import graft.core.Schemas
+      val dirty = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        lit("N1").as("network"),
+        concat(lit(" S"), pmod(col("c_custkey"), lit(20)), lit(" ")).as("station"),
+        when(col("c_custkey") % 7 === 0, "None")
+          .when(col("c_custkey") % 7 === 1, "nan")
+          .when(col("c_custkey") % 7 === 2, "<NA>")
+          .when(col("c_custkey") % 7 === 3, "--")
+          .when(col("c_custkey") % 7 === 4,
+            pmod(col("c_custkey"), lit(10)).cast("string"))
+          .when(col("c_custkey") % 7 === 5, "00")
+          .otherwise("  ").as("location"),
+        lit("BHZ").as("channel"))
+      dirty.select(col("id"), col("location").as("raw_location"),
+        Schemas.nslcNormalize(col("network")).as("network"),
+        Schemas.nslcNormalize(col("station")).as("station"),
+        Schemas.nslcNormalize(col("location")).as("location"),
+        Schemas.nslcNormalize(col("channel")).as("channel"))
+        .withColumn("seed_id", Schemas.seedId(col("network"),
+          col("station"), col("location"), col("channel")))
+    }, Some("""
+      WITH dirty AS (
+        SELECT c_custkey AS id, 'N1' AS network,
+               ' S' || (c_custkey % 20) || ' ' AS station,
+               CASE WHEN c_custkey % 7 = 0 THEN 'None'
+                    WHEN c_custkey % 7 = 1 THEN 'nan'
+                    WHEN c_custkey % 7 = 2 THEN '<NA>'
+                    WHEN c_custkey % 7 = 3 THEN '--'
+                    WHEN c_custkey % 7 = 4 THEN CAST(c_custkey % 10 AS VARCHAR)
+                    WHEN c_custkey % 7 = 5 THEN '00'
+                    ELSE '  ' END AS location,
+               'BHZ' AS channel
+        FROM customer),
+      norm AS (
+        SELECT id, location AS raw_location,
+               network, TRIM(station) AS station,
+               CASE WHEN TRIM(location) IN ('None','none','null','nan','<NA>','--')
+                      OR TRIM(location) = '' THEN ''
+                    WHEN regexp_matches(TRIM(location), '^[0-9]$')
+                      THEN lpad(TRIM(location), 2, '0')
+                    ELSE TRIM(location) END AS location,
+               channel
+        FROM dirty)
+      SELECT id, raw_location, network, station, location, channel,
+             network || '.' || station || '.' || location || '.' || channel
+               AS seed_id
+      FROM norm""")),
+
+    // ---- nested inventory build + flatten round trip (was
+    //      spec-only): channels → network/station/channel tree
+    //      (collect_list structs, deterministic array_sort) → explode
+    //      back with parent context. The oracle is the IDENTITY: the
+    //      flattened tree must reproduce the channel table exactly.
+    //      Station-level attrs derive from the station id so the
+    //      tree build's first(latitude) is deterministic
+    Q("q86_inventory_roundtrip", (s, dir) => {
+      import graft.stations.Stations
+      val ch = Tables.customer(s, dir).select(
+        concat(lit("N"), pmod(col("c_custkey"), lit(3))).as("network"),
+        concat(lit("S"), pmod(col("c_custkey"), lit(40))).as("station"),
+        when(col("c_custkey") % 2 === 0, "").otherwise("00").as("location"),
+        when(col("c_custkey") % 3 === 0, "BHZ")
+          .when(col("c_custkey") % 3 === 1, "BHN")
+          .otherwise("HHZ").as("channel"),
+        pmod(col("c_custkey"), lit(40)).cast("double").as("latitude"),
+        (pmod(col("c_custkey"), lit(40)) * lit(2)).cast("double").as("longitude"),
+        ((pmod(col("c_custkey"), lit(5)) + lit(1)) * lit(20)).cast("double")
+          .as("sample_rate"),
+        (col("c_custkey") * 1000L).as("start_date"),
+        (col("c_custkey") * 1000L + 5000000L).as("end_date"))
+        .withColumn("seed_id", graft.core.Schemas.seedId(col("network"),
+          col("station"), col("location"), col("channel")))
+      Stations.flatten(Stations.toInventory(ch))
+    }, Some("""
+      SELECT 'N' || (c_custkey % 3) AS network,
+             'S' || (c_custkey % 40) AS station,
+             CASE WHEN c_custkey % 2 = 0 THEN '' ELSE '00' END AS location,
+             CASE WHEN c_custkey % 3 = 0 THEN 'BHZ'
+                  WHEN c_custkey % 3 = 1 THEN 'BHN'
+                  ELSE 'HHZ' END AS channel,
+             'N' || (c_custkey % 3) || '.' || 'S' || (c_custkey % 40) || '.' ||
+               (CASE WHEN c_custkey % 2 = 0 THEN '' ELSE '00' END) || '.' ||
+               (CASE WHEN c_custkey % 3 = 0 THEN 'BHZ'
+                     WHEN c_custkey % 3 = 1 THEN 'BHN'
+                     ELSE 'HHZ' END) AS seed_id,
+             CAST(c_custkey % 40 AS DOUBLE) AS latitude,
+             CAST((c_custkey % 40) * 2 AS DOUBLE) AS longitude,
+             CAST((c_custkey % 5 + 1) * 20 AS DOUBLE) AS sample_rate,
+             c_custkey * 1000 AS start_date,
+             c_custkey * 1000 + 5000000 AS end_date
+      FROM customer"""))
   )
 }
