@@ -60,6 +60,14 @@ object DomainBench {
         .filter(graft.operators.Intervals.overlaps(0L, 50L * hourNs, 1_000_000_000L))
         .count()
     }
+    // 2b. containment index cache: the wide query fills (persist +
+    // materialize), the contained narrow query re-filters in-memory
+    // rows — the repeated-dashboard-query shape
+    val cachedBank = new WaveBank(spark, root, indexCacheSize = 2)
+    val (tCacheFill, _) = time(cachedBank.readIndex(station = "S0?",
+      starttime = Some(0L), endtime = Some(90L * hourNs)).count())
+    val (tCacheHit, nCacheHit) = time(cachedBank.readIndex(station = "S0?",
+      starttime = Some(0L), endtime = Some(50L * hourNs)).count())
 
     // 3. gaps over the full index
     val (tGaps, nGaps) = time {
@@ -375,7 +383,10 @@ object DomainBench {
     val metrics = Seq(
       "archive_gen_s" -> tGen,
       "index_build_s" -> tIndex, "index_files_per_s" -> nFiles / tIndex,
-      "read_index_s" -> tRead, "gaps_s" -> tGaps,
+      "read_index_s" -> tRead,
+      "read_index_cache_fill_s" -> tCacheFill,
+      "read_index_cache_hit_s" -> tCacheHit,
+      "gaps_s" -> tGaps,
       "bulk_join_10k_s" -> tBulk, "bulk_join_10k_bnlj_s" -> tBulkBnl,
       "bulk_join_10k_banded_s" -> tBulkBanded,
       "index_build_v2_s" -> tIndexV2,
@@ -404,7 +415,8 @@ object DomainBench {
       "big_file_partitions" -> bigParts.toLong, "n_tx_rows" -> nTxRows,
       "n_events" -> nEvents, "n_fetch" -> nFetch,
       "n_violations" -> nViol, "n_pruned_trees" -> nPruned,
-      "n_claim_wins" -> nClaimWins, "n_png_decoded" -> nDecoded)
+      "n_claim_wins" -> nClaimWins, "n_png_decoded" -> nDecoded,
+      "n_cache_hit" -> nCacheHit) // must equal n_read: same predicate
     println("{" +
       (metrics.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" } ++
        counts.map { case (k, v) => s""""$k":$v""" }).mkString(",") +
