@@ -87,6 +87,47 @@ class BankSpec extends SparkSpec {
     assert(rows(cached, 4000L, 6000L) == rows(direct, 4000L, 6000L))
   }
 
+  test("wavebank: index cache survives readers racing index updates") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root, indexCacheSize = 2)
+    bank.putWaveforms(segmentDf)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      val readers = (0 until 4).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = try {
+            (0 until 12).foreach { j =>
+              // alternate wide (fills) and contained (hits) intervals
+              val (t1, t2) = if (j % 2 == 0) (0L, 10000L)
+                             else (1000L + i * 100, 6000L)
+              bank.readIndex(starttime = Some(t1), endtime = Some(t2))
+                .count()
+            }
+          } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      val writer = pool.submit(new Runnable {
+        override def run(): Unit = try {
+          (0 until 3).foreach { k =>
+            bank.putWaveforms(Seq(("N9", s"W$k", "", "HHZ",
+              k * 1000L, 10L, Array.fill(10)(1.0)))
+              .toDF("network", "station", "location", "channel",
+                "starttime", "sampling_period", "samples"))
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+      (readers :+ writer).foreach(_.get())
+    } finally pool.shutdown()
+    assert(errors.isEmpty, s"racing cache raised: ${errors.peek()}")
+    // settled state: cached and uncached banks agree exactly
+    val direct = new WaveBank(spark, root)
+    def all(b: WaveBank) = b.readIndex(starttime = Some(0L),
+      endtime = Some(10000L)).collect().map(_.toString).sorted.toSeq
+    assert(all(bank) == all(direct))
+    assert(all(bank).count(_.contains("N9")) == 3)
+  }
+
   test("wavebank: txIndex mode — same results, plus time travel and compaction") {
     val root = tmp()
     val bank = new WaveBank(spark, root, txIndex = true)
