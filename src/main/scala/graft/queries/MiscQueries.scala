@@ -329,6 +329,69 @@ object MiscQueries {
              CAST((c_custkey % 5 + 1) * 20 AS DOUBLE) AS sample_rate,
              c_custkey * 1000 AS start_date,
              c_custkey * 1000 + 5000000 AS end_date
-      FROM customer"""))
+      FROM customer""")),
+
+    // ---- EventBank kwarg surface through a REAL bank round trip (was
+    //      spec-only): put a synthesized catalog, upsert a subset with
+    //      newer `updated` stamps, then getEvents with updatedafter +
+    //      strict magnitude/latitude bounds + the maxTime NaT guard
+    //      (sentinel-stored times must NOT match a maxTime-only query —
+    //      `_handle_nat`, utils/bank.py:343-347). The oracle replays
+    //      the upsert as a CASE merge
+    Q("q87_eventbank_kwargs", (s, dir) => {
+      import graft.bank.{EventBank, EventQuery}
+      import graft.core.Schemas
+      // µs-truncated times: DuckDB reads TIMESTAMP(NANOS) parquet at
+      // µs precision, so the oracle's epoch_ns(ts) ends in 000
+      val e = Tables.eventsUs(s, dir)
+      def synth(src: org.apache.spark.sql.DataFrame, updated: Long,
+                magShift: Double) = src.select(
+        concat(lit("smi:local/event/"), col("event_id")).as("event_id"),
+        when(col("event_id") % 31 === 0, lit(Schemas.SmallDt64))
+          .otherwise(col("ts")).as("time"),
+        (pmod(col("event_id"), lit(160)).cast("double") - 80.0).as("latitude"),
+        (pmod(col("event_id") * 3L, lit(360)).cast("double") - 180.0).as("longitude"),
+        lit(5000.0).as("depth"),
+        (pmod(col("event_id"), lit(50)).cast("double") / 10.0 + magShift)
+          .as("magnitude"),
+        lit(updated).as("updated"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q87").toString
+      val bank = new EventBank(s, root)
+      bank.putEvents(synth(e, updated = 1000L, magShift = 0.0))
+      bank.putEvents(synth(e.filter(col("event_id") % 7 === 0),
+        updated = 2000L, magShift = 0.5))
+      bank.getEvents(EventQuery(
+        maxTime = Some(4_000_000_000_000_000_000L),
+        minMagnitude = Some(1.0), maxLatitude = Some(60.0),
+        updatedAfter = Some(1500L)))
+        .select("event_id", "time", "latitude", "longitude", "depth",
+          "magnitude", "updated")
+    }, Some(s"""
+      WITH base AS (
+        SELECT event_id AS raw_id,
+               'smi:local/event/' || event_id AS event_id,
+               CASE WHEN event_id % 31 = 0 THEN ${graft.core.Schemas.SmallDt64}
+                    ELSE epoch_ns(ts) END AS time,
+               CAST(event_id % 160 AS DOUBLE) - CAST(80 AS DOUBLE) AS latitude,
+               CAST((event_id * 3) % 360 AS DOUBLE) - CAST(180 AS DOUBLE)
+                 AS longitude,
+               CAST(5000 AS DOUBLE) AS depth,
+               CAST(event_id % 50 AS DOUBLE) / CAST(10 AS DOUBLE) AS magnitude
+        FROM events),
+      merged AS (
+        SELECT event_id, time, latitude, longitude, depth,
+               CASE WHEN raw_id % 7 = 0
+                    THEN magnitude + CAST(0.5 AS DOUBLE)
+                    ELSE magnitude END AS magnitude,
+               CAST(CASE WHEN raw_id % 7 = 0 THEN 2000 ELSE 1000 END
+                 AS BIGINT) AS updated
+        FROM base)
+      SELECT event_id, time, latitude, longitude, depth, magnitude, updated
+      FROM merged
+      WHERE updated > 1500
+        AND time < 4000000000000000000 AND time > ${graft.core.Schemas.SmallDt64} + 1
+        AND magnitude > CAST(1 AS DOUBLE)
+        AND latitude < CAST(60 AS DOUBLE)"""))
   )
 }
