@@ -83,10 +83,15 @@ final class SigV4(accessKey: String, secretKey: String, region: String,
     val canonicalUri =
       if (uri.getRawPath == null || uri.getRawPath.isEmpty) "/"
       else uri.getRawPath
+    // SigV4 canonical query: each key and value percent-decoded then
+    // re-encoded with ONLY unreserved chars (A-Za-z0-9 -._~) literal,
+    // sorted by encoded key then value. Idempotent for already-
+    // canonical queries; normalizes '+', '/', '~', stray '=' etc.
     val canonicalQuery = Option(uri.getRawQuery).fold("") { q =>
       q.split("&").filter(_.nonEmpty).map { kv =>
         val i = kv.indexOf('=')
-        if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        (uriEncode(pctDecode(k)), uriEncode(pctDecode(v)))
       }.sortBy(identity).map { case (k, v) => s"$k=$v" }.mkString("&")
     }
 
@@ -135,4 +140,46 @@ object SigV4 {
 
   private[graft] def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"$b%02x").mkString
+
+  /** SigV4's URI-encoding: unreserved chars (RFC 3986 §2.3) literal,
+    * everything else %XX uppercase-hex per UTF-8 byte. Unlike HTML
+    * form encoding, space is %20 (never '+').
+    */
+  private[graft] def uriEncode(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xFF).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~')
+        sb.append(c)
+      else sb.append(f"%%${b & 0xFF}%02X")
+    }
+    sb.toString
+  }
+
+  /** Percent-decode %XX sequences only — '+' stays a literal plus
+    * (query strings are RFC 3986, not HTML forms; URLDecoder would
+    * corrupt it). Malformed escapes pass through untouched so a
+    * non-canonical input still produces a deterministic signature.
+    */
+  private[graft] def pctDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    val bytes = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        bytes.write(Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16))
+        i += 3
+      } else {
+        val cb = UTF_8.encode(java.nio.CharBuffer.wrap(Array(c)))
+        while (cb.hasRemaining) bytes.write(cb.get())
+        i += 1
+      }
+    }
+    new String(bytes.toByteArray, UTF_8)
+  }
 }

@@ -67,9 +67,24 @@ class WaveBank(spark: SparkSession, root: String,
     * re-filter the persisted rows instead of re-scanning the store —
     * the reference's `_IndexCache` behavior. Off by default: persist
     * lifetimes should be a caller decision in a shared SparkSession.
+    *
+    * SINGLE-WRITER ASSUMPTION: the cache is invalidated only by THIS
+    * instance's `updateIndex`. A second WaveBank instance (or external
+    * process) appending to the same root leaves this instance serving
+    * stale snapshots until [[clearIndexCache]] is called — a sharper
+    * staleness mode than the uncached path, which re-reads the store
+    * every query. Multi-instance deployments should leave the cache
+    * off on readers, or call [[clearIndexCache]] after known external
+    * writes.
     */
   private[graft] val indexCache: Option[IndexCache] =
     if (indexCacheSize > 0) Some(new IndexCache(indexCacheSize)) else None
+
+  /** Drop all cached index snapshots (see the single-writer note on
+    * `indexCacheSize`): the next query re-reads the store. No-op when
+    * the cache is off.
+    */
+  def clearIndexCache(): Unit = indexCache.foreach(_.clear())
 
   private def indexAppend(df: DataFrame): Unit =
     if (txIndex) { txTable.append(df); () }

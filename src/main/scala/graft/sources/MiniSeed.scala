@@ -136,8 +136,18 @@ object MiniSeed {
     * callers probe with [[ProbeLen]] bytes and that is always enough
     * because the blockette walk is bounded to the probe.
     */
-  def parseRecordHeader(buf: Array[Byte], off: Int): Option[RecordHeader] = {
-    if (off + FixedHeaderLen > buf.length) return None
+  def parseRecordHeader(buf: Array[Byte], off: Int): Option[RecordHeader] =
+    parseRecordHeader(buf, off, buf.length - off)
+
+  /** As above, with `limit` = valid bytes from `off`. Readers that
+    * reuse a probe buffer across records MUST pass the bytes actually
+    * read this time: the blockette walk is bounded by `limit`, so a
+    * corrupt chain offset pointing past it takes the skip path instead
+    * of walking stale bytes from a previous record.
+    */
+  def parseRecordHeader(buf: Array[Byte], off: Int, limit: Int): Option[RecordHeader] = {
+    val lim = math.min(limit, buf.length - off)
+    if (FixedHeaderLen > lim) return None
     // sequence number: 6 ASCII digits (spaces tolerated); quality byte
     val seqOk = (0 until 6).forall { i =>
       val c = buf(off + i).toChar; c.isDigit || c == ' '
@@ -164,7 +174,7 @@ object MiniSeed {
     var enc = -1; var reclen = -1; var payloadBig = true
     var hops = 0
     while (blkOff >= FixedHeaderLen && hops < 16 &&
-      off + blkOff + 8 <= buf.length && enc < 0) {
+      blkOff + 8 <= lim && enc < 0) {
       val btype = u16(buf, off + blkOff, big)
       val next = u16(buf, off + blkOff + 2, big)
       if (btype == 1000) {

@@ -167,14 +167,16 @@ class MiniSeedScan(dir: String, requiredSchema: StructType,
       val in = path.getFileSystem(conf).open(path)
       try {
         val probe = new Array[Byte](MiniSeed.ProbeLen)
-        in.readFully(0L, probe, 0, math.min(MiniSeed.ProbeLen, len).toInt)
-        MiniSeed.parseRecordHeader(probe, 0) match {
+        val probeLen = math.min(MiniSeed.ProbeLen, len).toInt
+        in.readFully(0L, probe, 0, probeLen)
+        MiniSeed.parseRecordHeader(probe, 0, probeLen) match {
           case Some(h) if len % h.recordLen == 0 =>
             val uniform = len == h.recordLen || {
               val second = new Array[Byte](MiniSeed.ProbeLen)
-              in.readFully(h.recordLen.toLong, second, 0,
-                math.min(MiniSeed.ProbeLen.toLong, len - h.recordLen).toInt)
-              MiniSeed.parseRecordHeader(second, 0)
+              val secondLen =
+                math.min(MiniSeed.ProbeLen.toLong, len - h.recordLen).toInt
+              in.readFully(h.recordLen.toLong, second, 0, secondLen)
+              MiniSeed.parseRecordHeader(second, 0, secondLen)
                 .exists(_.recordLen == h.recordLen)
             }
             if (!uniform) whole
@@ -273,7 +275,10 @@ class MiniSeedPartitionReader(slices: Array[GsgDataSource.FileSlice],
       } else {
         val probeLen = math.min(MiniSeed.ProbeLen.toLong, end - pos).toInt
         in.readFully(pos, probe, 0, probeLen)
-        MiniSeed.parseRecordHeader(probe, 0) match {
+        // probe is reused across records: bound the parse by probeLen so
+        // a corrupt blockette offset never walks the previous record's
+        // stale tail bytes
+        MiniSeed.parseRecordHeader(probe, 0, probeLen) match {
           case None =>
             // framing lost: permissive skip of the slice's remainder
             System.err.println(s"[graft] mseed: bad record at $currentPath:$pos")
@@ -419,12 +424,15 @@ class MiniSeedDataWriter(dir: String, queryId: String,
     if (row.isNullAt(iT0) || row.isNullAt(iSp) || row.isNullAt(iSamples))
       throw new IllegalArgumentException(
         "mseed write: null starttime/sampling_period/samples")
+    // open (and reset recordsInFile) BEFORE computing seqStart, so the
+    // first segment of a fresh file starts its sequence at 000001
+    // instead of continuing the previous file's numbering
+    if (out == null) openNext()
     val bytes = MiniSeed.encode(
       str(row, iNet), str(row, iSta), str(row, iLoc), str(row, iCha),
       row.getLong(iT0), row.getLong(iSp),
       row.getArray(iSamples).toDoubleArray(),
       encoding, recordLen, seqStart = recordsInFile + 1)
-    if (out == null) openNext()
     out.write(bytes)
     written += bytes.length
     recordsInFile += bytes.length / recordLen

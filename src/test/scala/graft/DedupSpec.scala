@@ -202,7 +202,7 @@ class DedupSpec extends SparkSpec {
     assert(out(4L)._4 == 0L)
   }
 
-  test("removeDuplicateSpans survives primary span-hash collisions (124-bit key)") {
+  test("removeDuplicateSpans survives primary span-hash collisions (120-bit key)") {
     // 30 all-unique docs, each with 9 tokens = 2 stride-1 8-windows →
     // 60 distinct spans. With the primary key shrunk to 1 hex char
     // (16 values) the pigeonhole forces dozens of primary collisions

@@ -76,6 +76,36 @@ class MiniSeedSourceSpec extends SparkSpec {
       Array.tabulate(300)(i => (i % 17).toDouble).toSeq)
   }
 
+  test("rolled files restart record sequence numbers at 000001") {
+    val dir = tmp()
+    // several segments with a tiny roll threshold: every segment rolls
+    // to a fresh file after writing, so any seq-reset bug shows up as a
+    // non-000001 first record in file 2+
+    write(dir, (0 until 6).map(k =>
+      seg("N1", "S1", "BHZ", T0 + k * 100L * P100Hz, 100, i => (i % 9).toDouble)),
+      options = Map("maxfilebytes" -> "1"))
+    val it = Files.list(dir).iterator()
+    var checked = 0
+    while (it.hasNext) {
+      val p = it.next()
+      if (!p.getFileName.toString.startsWith(".")) {
+        val bytes = Files.readAllBytes(p)
+        var off = 0
+        var expect = 1
+        while (off < bytes.length) {
+          val h = MiniSeed.parseRecordHeader(bytes, off).get
+          val seq = new String(bytes, off, 6, "ASCII")
+          assert(seq == f"$expect%06d",
+            s"file ${p.getFileName} record at $off: seq $seq, expected $expect")
+          expect += 1
+          off += h.recordLen
+        }
+        checked += 1
+      }
+    }
+    assert(checked >= 2, s"expected multiple rolled files, got $checked")
+  }
+
   test("float64 payloads round trip arbitrary doubles through auto encoding") {
     val dir = tmp()
     val xs = Array.tabulate(500)(i => math.sin(i / 7.0) * math.Pi)

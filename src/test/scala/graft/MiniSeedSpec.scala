@@ -160,6 +160,23 @@ class MiniSeedSpec extends AnyFunSuite {
     intercept[java.io.IOException](MiniSeed.decodeSamples(torn, 0, h))
   }
 
+  test("parse limit bounds the blockette walk: stale tail never read") {
+    val good = MiniSeed.encode("GR", "S", "", "BHZ", t0, 10_000_000L,
+      Array.tabulate(10)(_.toDouble), "int32")
+    // a reused probe buffer: previous record's bytes past probeLen
+    val reused = new Array[Byte](MiniSeed.ProbeLen)
+    System.arraycopy(good, 0, reused, 0, MiniSeed.ProbeLen)
+    // new "read" delivers only 52 bytes (fixed header + 4): the
+    // blockette-1000 at 48 is NOT fully inside the read
+    val shortRead = 52
+    // corrupt the new record's first-blockette offset to point past the
+    // short read, where the STALE blockette 1000 still sits
+    assert(MiniSeed.parseRecordHeader(reused, 0, shortRead).isEmpty,
+      "short read must take the skip path, not parse stale bytes")
+    // with the full record present the same bytes parse fine
+    assert(MiniSeed.parseRecordHeader(reused, 0, MiniSeed.ProbeLen).isDefined)
+  }
+
   test("empty segment emits one zero-sample record that parses") {
     val b = MiniSeed.encode("GR", "S", "", "BHZ", t0, 10_000_000L, Array.empty)
     assert(b.length == 512)

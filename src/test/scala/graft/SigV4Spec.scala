@@ -65,6 +65,34 @@ class SigV4Spec extends AnyFunSuite {
     assert(base == sigOf("https://b.s3.amazonaws.com/k/v1.json"), "deterministic")
   }
 
+  test("canonical query string is SigV4 percent-encoded (keys and values)") {
+    // unreserved chars stay literal; everything else %XX upper hex; '+'
+    // is a literal plus in RFC 3986 queries, never a space
+    assert(SigV4.uriEncode("AZaz09-._~") == "AZaz09-._~")
+    assert(SigV4.uriEncode("a+b/c=d e") == "a%2Bb%2Fc%3Dd%20e")
+    assert(SigV4.uriEncode("é") == "%C3%A9")
+    assert(SigV4.pctDecode("a%2Bb+c%7E") == "a+b+c~")
+    assert(SigV4.pctDecode("bad%zz%2") == "bad%zz%2", "malformed escapes pass through")
+
+    def sigOf(uri: String): String = {
+      val signer = new SigV4(AccessKey, SecretKey, "us-east-1",
+        now = () => VectorInstant)
+      signer(HttpRequest.newBuilder(URI.create(uri)).GET()).build()
+        .headers().firstValue("Authorization").get().split("Signature=").last
+    }
+    // pre-encoded and equivalently-decodable raw forms sign identically:
+    // %7E (tilde) must normalize to the unreserved literal '~'
+    assert(sigOf("https://b.s3.amazonaws.com/k?prefix=a%7Eb") ==
+      sigOf("https://b.s3.amazonaws.com/k?prefix=a~b"))
+    // a value needing encoding ('/' in a prefix) changes the signature
+    // vs its sibling — i.e. it is actually part of the canonical form
+    assert(sigOf("https://b.s3.amazonaws.com/k?prefix=x%2Fy") !=
+      sigOf("https://b.s3.amazonaws.com/k?prefix=xy"))
+    // the documented vector query still canonicalizes unchanged
+    assert(sigOf("https://b.s3.amazonaws.com/?Action=ListUsers&Version=2010-05-08")
+      .nonEmpty)
+  }
+
   test("claim store + SigV4: racing writers, signed conditional puts, one winner") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
