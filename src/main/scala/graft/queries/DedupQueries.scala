@@ -237,7 +237,7 @@ object DedupQueries {
              COUNT(DISTINCT doc_id) AS n_docs,
              CAST(COUNT(*) AS BIGINT) AS n_occurrences
       FROM s GROUP BY 1
-      HAVING COUNT(DISTINCT doc_id) >= 2""")),
+      HAVING COUNT(DISTINCT doc_id) >= 2"""), headline = true),
 
     // ---- the REMOVAL pass over q79's detections: cut every
     //      non-canonical occurrence of a corpus-repeated span,
@@ -295,7 +295,7 @@ object DedupQueries {
              COALESCE(st.clean_text, '') AS clean_text,
              COALESCE(st.n_kept, 0) AS n_kept,
              CAST(len(t.toks) - COALESCE(st.n_kept, 0) AS BIGINT) AS n_cut
-      FROM t LEFT JOIN stats st USING (doc_id)""")),
+      FROM t LEFT JOIN stats st USING (doc_id)"""), headline = true),
 
     // ---- STREAMING exact-substring detection, oracle-checked like
     //      q77/q78: the corpus replays through the file source with a
@@ -403,6 +403,6 @@ object DedupQueries {
           ON t.band = e.band AND t.bucket = e.bucket
         WHERE t.is_eval = 0 AND e.is_eval = 1)
       SELECT doc_id, COUNT(*) AS n_eval_hits, MAX(sim) AS max_sim
-      FROM cand GROUP BY doc_id"""))
+      FROM cand GROUP BY doc_id"""), headline = true)
   )
 }

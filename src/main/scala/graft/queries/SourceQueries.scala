@@ -91,5 +91,5 @@ object SourceQueries {
              CAST(SUM(list_sum(list_transform(range(len), i -> (v0 + i) % 50))) AS BIGINT) AS checksum,
              MIN(1600000000000000000 + slot * 10000000000) AS t0,
              MAX(1600000000000000000 + slot * 10000000000 + len * 10000000) AS t_end
-      FROM seg GROUP BY 1""")))
+      FROM seg GROUP BY 1"""), headline = true))
 }
