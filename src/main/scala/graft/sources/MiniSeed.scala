@@ -35,11 +35,18 @@ import java.nio.{ByteBuffer, ByteOrder}
 object MiniSeed {
 
   val FixedHeaderLen = 48
-  /** Blockette walk is confined to this prefix of the record; real
-    * writers put blockette 1000 at byte 48 and data at 64, and a chain
-    * that escapes the first 256 bytes is treated as unparseable.
+  /** Initial probe size: real writers put blockette 1000 at byte 48
+    * and data at 64, so one 256-byte read resolves the header. A chain
+    * that legitimately escapes the probe (e.g. a large opaque
+    * blockette 2000 before the 1000) makes [[parseRecordHeaderEx]]
+    * answer [[NeedMore]] and the reader re-probes deeper.
     */
   val ProbeLen = 256
+  /** Blockette 1000's record-length exponent is capped at 24 in this
+    * codec's writers-in-the-wild range check, but chains are validated
+    * against the SEED practical maximum a record can span.
+    */
+  val MaxRecordLen = 32768
 
   /** Encodings (SEED Appendix A, blockette 1000 field 4). */
   val EncInt16 = 1
@@ -48,6 +55,12 @@ object MiniSeed {
   val EncFloat64 = 5
   val EncSteim1 = 10
   val EncSteim2 = 11
+  // legacy archive encodings, read-side only (SEED Appendix A):
+  val EncGeoscope24 = 12  // GEOSCOPE multiplexed 24-bit integer
+  val EncGeoscope163 = 13 // GEOSCOPE 16-bit gain ranged, 3-bit exponent
+  val EncGeoscope164 = 14 // GEOSCOPE 16-bit gain ranged, 4-bit exponent
+  val EncSro = 30         // SRO gain ranged
+  val EncDwwssn = 32      // DWWSSN 16-bit
 
   final case class RecordHeader(
       network: String, station: String, location: String, channel: String,
@@ -131,10 +144,21 @@ object MiniSeed {
     None
   }
 
-  /** Parse the record starting at `off`. Needs at least
-    * min(ProbeLen, record length) bytes of the record in `buf` —
-    * callers probe with [[ProbeLen]] bytes and that is always enough
-    * because the blockette walk is bounded to the probe.
+  /** Result of a header parse attempt over a prefix of the record.
+    * [[NeedMore]] means the bytes seen so far are consistent with a
+    * valid record whose blockette chain extends past the prefix (e.g.
+    * a large opaque blockette 2000 before the blockette 1000): the
+    * caller should re-read at least `minBytes` of the record and retry
+    * — skipping it would silently drop a spec-legal record.
+    */
+  sealed trait ParseResult
+  final case class Ok(header: RecordHeader) extends ParseResult
+  case object Bad extends ParseResult
+  final case class NeedMore(minBytes: Int) extends ParseResult
+
+  /** Parse the record starting at `off`. Needs the blockette chain
+    * inside the buffer; use [[parseRecordHeaderEx]] when reading a
+    * bounded probe that may have to grow.
     */
   def parseRecordHeader(buf: Array[Byte], off: Int): Option[RecordHeader] =
     parseRecordHeader(buf, off, buf.length - off)
@@ -143,22 +167,37 @@ object MiniSeed {
     * reuse a probe buffer across records MUST pass the bytes actually
     * read this time: the blockette walk is bounded by `limit`, so a
     * corrupt chain offset pointing past it takes the skip path instead
-    * of walking stale bytes from a previous record.
+    * of walking stale bytes from a previous record. A chain that
+    * legitimately continues past `limit` also returns None here —
+    * callers that can re-read should use [[parseRecordHeaderEx]].
     */
-  def parseRecordHeader(buf: Array[Byte], off: Int, limit: Int): Option[RecordHeader] = {
+  def parseRecordHeader(buf: Array[Byte], off: Int, limit: Int): Option[RecordHeader] =
+    parseRecordHeaderEx(buf, off, limit) match {
+      case Ok(h) => Some(h)
+      case _ => None
+    }
+
+  /** Full-fidelity parse: distinguishes corrupt bytes ([[Bad]]) from a
+    * probe too short for the record's blockette chain ([[NeedMore]]).
+    * Walks the WHOLE chain (not just to blockette 1000), honoring a
+    * blockette 100 actual-sample-rate override when present (SEED §8:
+    * blockette 100's float rate supersedes the header's
+    * factor/multiplier pair — libmseed applies the same rule).
+    */
+  def parseRecordHeaderEx(buf: Array[Byte], off: Int, limit: Int): ParseResult = {
     val lim = math.min(limit, buf.length - off)
-    if (FixedHeaderLen > lim) return None
+    if (FixedHeaderLen > lim) return NeedMore(FixedHeaderLen)
     // sequence number: 6 ASCII digits (spaces tolerated); quality byte
     val seqOk = (0 until 6).forall { i =>
       val c = buf(off + i).toChar; c.isDigit || c == ' '
     }
     val quality = buf(off + 6).toChar
-    if (!seqOk || !"DRQM".contains(quality)) return None
+    if (!seqOk || !"DRQM".contains(quality)) return Bad
     // endianness sniff on the BTIME (libmseed's heuristic)
     val big = parseBtime(buf, off + 20, big = true).isDefined
     val t0 = parseBtime(buf, off + 20, big)
       .orElse(parseBtime(buf, off + 20, big = false))
-      .getOrElse(return None)
+      .getOrElse(return Bad)
     val station = ascii(buf, off + 8, 5)
     val location = ascii(buf, off + 13, 2)
     val channel = ascii(buf, off + 15, 3)
@@ -170,32 +209,44 @@ object MiniSeed {
     val timeCorr = i32(buf, off + 40, big) // 0.0001 s units
     val dataOffset = u16(buf, off + 44, big)
     var blkOff = u16(buf, off + 46, big)
-    // blockette 1000 walk, bounded to the probe and 16 hops
+    // full blockette walk: collect blockette 1000 (encoding/reclen/
+    // word order — required) and blockette 100 (actual-rate override —
+    // optional, may sit anywhere in the chain, including after 1000)
     var enc = -1; var reclen = -1; var payloadBig = true
+    var rate100 = Double.NaN
     var hops = 0
-    while (blkOff >= FixedHeaderLen && hops < 16 &&
-      blkOff + 8 <= lim && enc < 0) {
+    while (blkOff != 0 && hops < 64) {
+      if (blkOff < FixedHeaderLen || blkOff + 8 > MaxRecordLen) return Bad
+      // 8 bytes cover type+next plus each field this walk reads
+      // (b1000 payload at +4..+7, b100 float rate at +4..+8)
+      if (blkOff + 8 > lim)
+        return if (enc >= 0 && blkOff >= reclen) Bad else NeedMore(blkOff + 8)
       val btype = u16(buf, off + blkOff, big)
       val next = u16(buf, off + blkOff + 2, big)
       if (btype == 1000) {
         enc = u8(buf(off + blkOff + 4))
         payloadBig = u8(buf(off + blkOff + 5)) == 1
         val exp = u8(buf(off + blkOff + 6))
-        if (exp < 7 || exp > 24) return None
+        if (exp < 7 || exp > 24) return Bad
         reclen = 1 << exp
+      } else if (btype == 100) {
+        val r = java.lang.Float.intBitsToFloat(i32(buf, off + blkOff + 4, big))
+        if (r > 0f && !r.isNaN && !r.isInfinite) rate100 = r.toDouble
       }
       hops += 1
-      blkOff = if (next <= blkOff) 0 else next
+      blkOff = if (next <= blkOff) 0 else next // next==0 or backwards: chain ends
     }
-    if (enc < 0 || reclen < 0) return None // no blockette 1000: not self-describing
-    if (dataOffset < FixedHeaderLen || dataOffset > reclen) return None
-    val period = periodNs(factor, mult).getOrElse(
-      if (n == 0) 1L else return None)
+    if (enc < 0 || reclen < 0) return Bad // no blockette 1000: not self-describing
+    if (dataOffset < FixedHeaderLen || dataOffset > reclen) return Bad
+    val period =
+      if (!rate100.isNaN) math.round(1e9 / rate100)
+      else periodNs(factor, mult).getOrElse(
+        if (n == 0) 1L else return Bad)
     // time correction (0.0001 s units) unless activity bit 1 says the
     // field is already folded into the BTIME
     val corrected =
       if ((activity & 0x02) != 0) t0 else t0 + timeCorr.toLong * 100_000L
-    Some(RecordHeader(network, station, location, channel, corrected,
+    Ok(RecordHeader(network, station, location, channel, corrected,
       period, n, enc, reclen, dataOffset, payloadBig, big))
   }
 
@@ -209,19 +260,75 @@ object MiniSeed {
     val bb = ByteBuffer.wrap(buf, off + h.dataOffset, h.recordLen - h.dataOffset)
       .order(order)
     val out = new Array[Double](h.n)
+    // fixed-width payloads: fail as an IO error (the reader's skip
+    // contract), not a buffer underflow, when n outruns the record
+    def need(width: Int): Unit =
+      if (h.dataOffset.toLong + width.toLong * h.n > h.recordLen)
+        throw new java.io.IOException(
+          s"mseed: payload too short for ${h.n} samples (enc ${h.encoding})")
     h.encoding match {
       case EncInt16 =>
+        need(2)
         var i = 0; while (i < h.n) { out(i) = bb.getShort().toDouble; i += 1 }
       case EncInt32 =>
+        need(4)
         var i = 0; while (i < h.n) { out(i) = bb.getInt().toDouble; i += 1 }
       case EncFloat32 =>
+        need(4)
         var i = 0; while (i < h.n) { out(i) = bb.getFloat().toDouble; i += 1 }
       case EncFloat64 =>
+        need(8)
         var i = 0; while (i < h.n) { out(i) = bb.getDouble(); i += 1 }
       case EncSteim1 | EncSteim2 =>
         val ints = decodeSteim(buf, off + h.dataOffset,
           h.recordLen - h.dataOffset, h.n, h.encoding == EncSteim2, order)
         var i = 0; while (i < h.n) { out(i) = ints(i).toDouble; i += 1 }
+      // ---- legacy archive encodings (SEED Appendix A; decode rules
+      //      as the manual's format descriptions state them) ----
+      case EncGeoscope24 =>
+        // 3 bytes per sample, two's complement 24-bit, payload order
+        need(3)
+        var i = 0
+        while (i < h.n) {
+          val p = off + h.dataOffset + 3 * i
+          val (b0, b1, b2) =
+            if (h.payloadBigEndian) (buf(p), buf(p + 1), buf(p + 2))
+            else (buf(p + 2), buf(p + 1), buf(p))
+          val v = (u8(b0) << 16) | (u8(b1) << 8) | u8(b2)
+          out(i) = signExtend(v, 24).toDouble
+          i += 1
+        }
+      case EncGeoscope163 | EncGeoscope164 =>
+        // 16-bit word: gain G in bits 12.. (3 or 4 wide), mantissa M in
+        // bits 0-11 biased by 2048; sample = (M - 2048) / 2^G
+        val gainMask = if (h.encoding == EncGeoscope163) 0x7 else 0xF
+        need(2)
+        var i = 0
+        while (i < h.n) {
+          val w = bb.getShort() & 0xFFFF
+          val mantissa = w & 0x0FFF
+          val gain = (w >> 12) & gainMask
+          out(i) = (mantissa - 2048).toDouble / (1L << gain)
+          i += 1
+        }
+      case EncSro =>
+        // 16-bit word: gain G in bits 12-15, 12-bit two's-complement
+        // mantissa M; sample = M * 2^(10 - G)
+        need(2)
+        var i = 0
+        while (i < h.n) {
+          val w = bb.getShort() & 0xFFFF
+          val mantissa = signExtend(w & 0x0FFF, 12)
+          val gain = (w >> 12) & 0xF
+          val e = 10 - gain
+          out(i) = if (e >= 0) mantissa.toDouble * (1L << e)
+                   else mantissa.toDouble / (1L << -e)
+          i += 1
+        }
+      case EncDwwssn =>
+        // 16-bit two's-complement words
+        need(2)
+        var i = 0; while (i < h.n) { out(i) = bb.getShort().toDouble; i += 1 }
       case e => throw new java.io.IOException(s"mseed: unsupported encoding $e")
     }
     out

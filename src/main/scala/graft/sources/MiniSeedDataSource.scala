@@ -71,6 +71,43 @@ class MiniSeedDataSource extends TableProvider
 object MiniSeedDataSource {
   /** Minimum parseable record (smallest power-of-two length). */
   val MinRecordLen = 128
+
+  /** Per-archive skip counters (records, bytes) — the programmatic
+    * face of the scan's permissive corruption handling, mirroring the
+    * QuakeML source's warn-and-skip contract: every skipped record is
+    * warned to stderr AND counted here, so an ingest can assert
+    * "0 skips" (or alert on drift) instead of trusting silence.
+    * Spark `LongAccumulator`s: task-side adds fold back to the driver
+    * in local and cluster mode alike. Keyed by the scan's `path`.
+    */
+  private val skipAccs =
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator)]()
+
+  def skipCounters(dir: String): (org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator) =
+    skipAccs.computeIfAbsent(dir, d => {
+      val sc = SparkSession.active.sparkContext
+      (sc.longAccumulator(s"mseed.skippedRecords($d)"),
+        sc.longAccumulator(s"mseed.skippedBytes($d)"))
+    })
+}
+
+/** SQL-UI metric descriptors for the mseed scan's skip counters. */
+private[sources] final class MiniSeedSkippedRecordsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "mseedSkippedRecords"
+  override def description(): String =
+    "mseed records skipped (corrupt header/payload)"
+}
+private[sources] final class MiniSeedSkippedBytesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "mseedSkippedBytes"
+  override def description(): String = "mseed bytes skipped (framing lost)"
+}
+private[sources] final case class MiniSeedTaskMetric(metricName: String,
+                                                     metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
 }
 
 class MiniSeedTable(tableSchema: StructType, properties: Map[String, String])
@@ -200,9 +237,14 @@ class MiniSeedScan(dir: String, requiredSchema: StructType,
       .map(b => MiniSeedInputPartition(b.toArray): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new MiniSeedSkippedRecordsMetric, new MiniSeedSkippedBytesMetric)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (recAcc, byteAcc) = MiniSeedDataSource.skipCounters(dir)
     MiniSeedReaderFactory(requiredSchema.fieldNames, pushed,
-      SegmentSourceShared.broadcastConf())
+      SegmentSourceShared.broadcastConf(), recAcc, byteAcc)
+  }
 }
 
 final case class MiniSeedInputPartition(slices: Array[GsgDataSource.FileSlice])
@@ -210,12 +252,14 @@ final case class MiniSeedInputPartition(slices: Array[GsgDataSource.FileSlice])
 
 final case class MiniSeedReaderFactory(columns: Array[String],
                                        pushed: Array[Filter],
-                                       hadoopProps: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]])
+                                       hadoopProps: org.apache.spark.broadcast.Broadcast[Seq[(String, String)]],
+                                       skipRecAcc: org.apache.spark.util.LongAccumulator,
+                                       skipByteAcc: org.apache.spark.util.LongAccumulator)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new MiniSeedPartitionReader(
       partition.asInstanceOf[MiniSeedInputPartition].slices, columns, pushed,
-      hadoopProps.value)
+      hadoopProps.value, skipRecAcc, skipByteAcc)
 }
 
 /** Streams records of the assigned slices. Payloads are read and
@@ -227,7 +271,9 @@ final case class MiniSeedReaderFactory(columns: Array[String],
 class MiniSeedPartitionReader(slices: Array[GsgDataSource.FileSlice],
                               columns: Array[String],
                               pushed: Array[Filter],
-                              hadoopProps: Seq[(String, String)])
+                              hadoopProps: Seq[(String, String)],
+                              skipRecAcc: org.apache.spark.util.LongAccumulator = null,
+                              skipByteAcc: org.apache.spark.util.LongAccumulator = null)
     extends PartitionReader[InternalRow] {
 
   private val needSamples = columns.contains("samples")
@@ -241,6 +287,18 @@ class MiniSeedPartitionReader(slices: Array[GsgDataSource.FileSlice],
   private var currentPath: String = _
   private var row: InternalRow = _
   private val probe = new Array[Byte](MiniSeed.ProbeLen)
+
+  private var skippedRecords = 0L
+  private var skippedBytes = 0L
+  private def countSkip(records: Long, bytes: Long): Unit = {
+    skippedRecords += records; skippedBytes += bytes
+    if (skipRecAcc != null) skipRecAcc.add(records)
+    if (skipByteAcc != null) skipByteAcc.add(bytes)
+  }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(MiniSeedTaskMetric("mseedSkippedRecords", skippedRecords),
+      MiniSeedTaskMetric("mseedSkippedBytes", skippedBytes))
 
   private def openSlice(): Boolean = {
     if (in != null) { in.close(); in = null }
@@ -277,17 +335,32 @@ class MiniSeedPartitionReader(slices: Array[GsgDataSource.FileSlice],
         in.readFully(pos, probe, 0, probeLen)
         // probe is reused across records: bound the parse by probeLen so
         // a corrupt blockette offset never walks the previous record's
-        // stale tail bytes
-        MiniSeed.parseRecordHeader(probe, 0, probeLen) match {
-          case None =>
-            // framing lost: permissive skip of the slice's remainder
-            System.err.println(s"[graft] mseed: bad record at $currentPath:$pos")
-            pos = end
-          case Some(h) =>
+        // stale tail bytes. A blockette chain that legitimately extends
+        // past the probe (NeedMore) re-reads deeper, growing
+        // geometrically, until resolved or the slice runs out.
+        var buf = probe
+        var len = probeLen
+        var res = MiniSeed.parseRecordHeaderEx(buf, 0, len)
+        var more = true
+        while (more) {
+          res match {
+            case MiniSeed.NeedMore(min) if min <= end - pos =>
+              len = math.min(end - pos, math.max(min.toLong, len * 2L)).toInt
+              buf = new Array[Byte](len)
+              in.readFully(pos, buf, 0, len)
+              res = MiniSeed.parseRecordHeaderEx(buf, 0, len)
+            case _ => more = false
+          }
+        }
+        res match {
+          case MiniSeed.Ok(h) =>
             val recEnd = pos + h.recordLen
             // slices are cut at record-length multiples, so a record
             // crossing `end` means truncation/corruption: skip the tail
             if (recEnd > end) {
+              System.err.println(
+                s"[graft] mseed: truncated record at $currentPath:$pos")
+              countSkip(1L, end - pos)
               pos = end
             } else if (headerPred(GsgDataSource.Header(h.network, h.station,
               h.location, h.channel, h.starttime, h.samplingPeriod, h.n))) {
@@ -297,10 +370,9 @@ class MiniSeedPartitionReader(slices: Array[GsgDataSource.FileSlice],
                 return true
               } else {
                 val rec = new Array[Byte](h.recordLen)
-                System.arraycopy(probe, 0, rec, 0, math.min(probeLen, h.recordLen))
-                if (h.recordLen > probeLen)
-                  in.readFully(pos + probeLen, rec, probeLen,
-                    h.recordLen - probeLen)
+                System.arraycopy(buf, 0, rec, 0, math.min(len, h.recordLen))
+                if (h.recordLen > len)
+                  in.readFully(pos + len, rec, len, h.recordLen - len)
                 pos = recEnd
                 try {
                   row = buildRow(h, MiniSeed.decodeSamples(rec, 0, h))
@@ -311,9 +383,15 @@ class MiniSeedPartitionReader(slices: Array[GsgDataSource.FileSlice],
                     // (fixed reclen) — skip this record alone
                     System.err.println(
                       s"[graft] mseed: ${e.getMessage} at $currentPath")
+                    countSkip(1L, h.recordLen.toLong)
                 }
               }
             } else pos = recEnd // filtered: payload never read
+          case _ => // Bad, or NeedMore past the slice: framing lost —
+            // permissive skip of the slice's remainder (>= 1 record)
+            System.err.println(s"[graft] mseed: bad record at $currentPath:$pos")
+            countSkip(1L, end - pos)
+            pos = end
         }
       }
     }

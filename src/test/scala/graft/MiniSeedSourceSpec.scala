@@ -200,6 +200,44 @@ class MiniSeedSourceSpec extends SparkSpec {
     assert(spark.read.format("mseed").load(dir.toString)
       .select("station").as[String].collect().toSet ==
       Set("GOOD", "OK2", "KEEP", "FLIP"))
+
+    // the warn-and-skip contract is COUNTED, not just printed: the
+    // garbage file, the torn tail, and the flipped payload all land in
+    // the scan's skip accumulators (full-decode pass: 3 skip events)
+    val (recs, bytes) = graft.sources.MiniSeedDataSource.skipCounters(dir.toString)
+    assert(recs.value >= 3, s"skippedRecords = ${recs.value}")
+    assert(bytes.value >= 512 + 300 + 512, s"skippedBytes = ${bytes.value}")
+  }
+
+  test("blockette chain past the probe resolves through the V2 reader") {
+    // record with an opaque blockette 2000 at 48 chaining to the
+    // blockette 1000 at 400 (past the 256-byte probe), data at 408
+    val dir = tmp()
+    val base = MiniSeed.encode("N1", "DEEP", "", "BHZ", T0, P100Hz,
+      Array.tabulate(10)(_.toDouble), "int32")
+    def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = ((v >> 8) & 0xFF).toByte; b(off + 1) = (v & 0xFF).toByte
+    }
+    val rec = new Array[Byte](512)
+    System.arraycopy(base, 0, rec, 0, 48)
+    putU16(rec, 46, 48); putU16(rec, 48, 2000); putU16(rec, 50, 400)
+    putU16(rec, 400, 1000); putU16(rec, 402, 0)
+    rec(404) = MiniSeed.EncInt32.toByte; rec(405) = 1; rec(406) = 9
+    putU16(rec, 44, 408)
+    System.arraycopy(base, 64, rec, 408, 40)
+    // sandwich it between normal records to prove framing survives
+    val normal = MiniSeed.encode("N1", "PLAIN", "", "BHZ",
+      T0 + 1_000_000_000L, P100Hz, Array.tabulate(10)(_.toDouble), "int32")
+    Files.write(dir.resolve("part-deep.mseed"), normal ++ rec ++ normal)
+
+    val got = spark.read.format("mseed").load(dir.toString)
+      .select($"station", $"samples").as[(String, Seq[Double])]
+      .collect().groupBy(_._1)
+    assert(got.keySet == Set("DEEP", "PLAIN"))
+    assert(got("DEEP").head._2 == Array.tabulate(10)(_.toDouble).toSeq)
+    assert(got("PLAIN").length == 2)
+    val (recs, _) = graft.sources.MiniSeedDataSource.skipCounters(dir.toString)
+    assert(recs.value == 0, "a deep chain is a re-probe, not a skip")
   }
 
   test("write options: explicit encodings, recordLen, fail-fast on bad data") {

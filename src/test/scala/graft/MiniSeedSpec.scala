@@ -160,6 +160,137 @@ class MiniSeedSpec extends AnyFunSuite {
     intercept[java.io.IOException](MiniSeed.decodeSamples(torn, 0, h))
   }
 
+  // -------------------------------------------------- legacy breadth
+
+  /** A 512-byte int32 record to mutate into legacy shapes: patch the
+    * blockette-1000 encoding byte (offset 52) and overwrite the
+    * payload at the data offset.
+    */
+  private def legacyBase(n: Int): Array[Byte] = {
+    val b = MiniSeed.encode("GR", "LEGCY", "", "BHZ", t0, 10_000_000L,
+      Array.tabulate(n)(_.toDouble), "int32")
+    assert(b.length == 512)
+    b
+  }
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >> 8) & 0xFF).toByte; b(off + 1) = (v & 0xFF).toByte
+  }
+
+  test("GEOSCOPE 16-bit gain-ranged decode (3- and 4-bit exponent)") {
+    // SEED Appendix A: word = G (bits 12..) | 12-bit biased mantissa M;
+    // sample = (M - 2048) / 2^G
+    val b = legacyBase(3)
+    b(52) = MiniSeed.EncGeoscope163.toByte
+    putU16(b, 64, (2 << 12) | 3000) // (3000-2048)/4  = 238.0
+    putU16(b, 66, 2048)             // (2048-2048)/1  = 0.0
+    putU16(b, 68, (7 << 12) | 0)    // (0-2048)/128   = -16.0
+    val h = MiniSeed.parseRecordHeader(b, 0).get
+    assert(h.encoding == MiniSeed.EncGeoscope163)
+    assert(MiniSeed.decodeSamples(b, 0, h).toSeq == Seq(238.0, 0.0, -16.0))
+
+    val b4 = legacyBase(2)
+    b4(52) = MiniSeed.EncGeoscope164.toByte
+    putU16(b4, 64, (12 << 12) | 100) // (100-2048)/4096 = -0.4755859375
+    putU16(b4, 66, (15 << 12) | 4095) // (4095-2048)/32768
+    val h4 = MiniSeed.parseRecordHeader(b4, 0).get
+    assert(MiniSeed.decodeSamples(b4, 0, h4).toSeq ==
+      Seq(-0.4755859375, 2047.0 / 32768))
+  }
+
+  test("GEOSCOPE 24-bit decode, both payload byte orders") {
+    val b = legacyBase(3)
+    b(52) = MiniSeed.EncGeoscope24.toByte
+    // big-endian payload: FF FF FF = -1; 00 01 00 = 256; 80 00 00 = -2^23
+    val bytes = Array(0xFF, 0xFF, 0xFF, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00)
+    for (i <- bytes.indices) b(64 + i) = bytes(i).toByte
+    val h = MiniSeed.parseRecordHeader(b, 0).get
+    assert(MiniSeed.decodeSamples(b, 0, h).toSeq ==
+      Seq(-1.0, 256.0, -8388608.0))
+    // little-endian payload (blockette-1000 word-order byte = 0):
+    // per-sample byte triples reversed
+    val le = legacyBase(3)
+    le(52) = MiniSeed.EncGeoscope24.toByte
+    le(53) = 0
+    val leBytes = Array(0xFF, 0xFF, 0xFF, 0x00, 0x01, 0x00, 0x00, 0x00, 0x80)
+    for (i <- leBytes.indices) le(64 + i) = leBytes(i).toByte
+    val lh = MiniSeed.parseRecordHeader(le, 0).get
+    assert(!lh.payloadBigEndian)
+    assert(MiniSeed.decodeSamples(le, 0, lh).toSeq ==
+      Seq(-1.0, 256.0, -8388608.0))
+  }
+
+  test("SRO gain-ranged decode: sample = mantissa * 2^(10 - gain)") {
+    val b = legacyBase(3)
+    b(52) = MiniSeed.EncSro.toByte
+    putU16(b, 64, (10 << 12) | 4091) // mantissa -5, 2^0   -> -5.0
+    putU16(b, 66, (8 << 12) | 100)   // 100 * 2^2          -> 400.0
+    putU16(b, 68, (12 << 12) | 5)    // 5 * 2^-2           -> 1.25
+    val h = MiniSeed.parseRecordHeader(b, 0).get
+    assert(MiniSeed.decodeSamples(b, 0, h).toSeq == Seq(-5.0, 400.0, 1.25))
+  }
+
+  test("DWWSSN 16-bit two's-complement decode") {
+    val b = legacyBase(3)
+    b(52) = MiniSeed.EncDwwssn.toByte
+    putU16(b, 64, 0xFFFE) // -2
+    putU16(b, 66, 5)
+    putU16(b, 68, 0x8000) // -32768
+    val h = MiniSeed.parseRecordHeader(b, 0).get
+    assert(MiniSeed.decodeSamples(b, 0, h).toSeq == Seq(-2.0, 5.0, -32768.0))
+  }
+
+  test("blockette 100 actual sample rate overrides the header pair") {
+    // header says 100 Hz; a blockette 100 AFTER the 1000 carries the
+    // true 40 Hz float rate (walk must not stop at the 1000)
+    val b = legacyBase(10)
+    putU16(b, 50, 56)   // blockette 1000's next -> 56
+    putU16(b, 56, 100)  // blockette 100
+    putU16(b, 58, 0)    //   chain ends
+    val fbits = java.lang.Float.floatToIntBits(40.0f)
+    b(60) = (fbits >> 24).toByte; b(61) = ((fbits >> 16) & 0xFF).toByte
+    b(62) = ((fbits >> 8) & 0xFF).toByte; b(63) = (fbits & 0xFF).toByte
+    putU16(b, 44, 128)  // move data past the longer blockette region
+    System.arraycopy(legacyBase(10), 64, b, 128, 40)
+    val h = MiniSeed.parseRecordHeader(b, 0).get
+    assert(h.samplingPeriod == 25_000_000L, "40 Hz -> 25 ms/sample")
+    assert(MiniSeed.decodeSamples(b, 0, h).toSeq ==
+      Array.tabulate(10)(_.toDouble).toSeq)
+    // a non-finite/zero rate is ignored: header pair stands
+    val bad = legacyBase(10)
+    putU16(bad, 50, 56); putU16(bad, 56, 100); putU16(bad, 58, 0)
+    // rate bytes left zero -> r == 0 -> ignored
+    putU16(bad, 44, 128)
+    System.arraycopy(legacyBase(10), 64, bad, 128, 40)
+    assert(MiniSeed.parseRecordHeader(bad, 0).get.samplingPeriod == 10_000_000L)
+  }
+
+  test("blockette chain past the probe: NeedMore, then full parse") {
+    // opaque blockette (2000) at 48 pointing to a blockette 1000 at
+    // 400 — past the 256-byte probe
+    val base = legacyBase(10)
+    val b = new Array[Byte](512)
+    System.arraycopy(base, 0, b, 0, 48) // fixed header only
+    putU16(b, 46, 48)     // first blockette
+    putU16(b, 48, 2000)   // opaque blockette type
+    putU16(b, 50, 400)    //   next -> 400
+    putU16(b, 400, 1000)  // blockette 1000
+    putU16(b, 402, 0)
+    b(404) = MiniSeed.EncInt32.toByte
+    b(405) = 1            // big-endian payload
+    b(406) = 9            // 2^9 = 512
+    putU16(b, 44, 408)    // data offset past the chain
+    System.arraycopy(base, 64, b, 408, 40)
+    MiniSeed.parseRecordHeaderEx(b, 0, 256) match {
+      case MiniSeed.NeedMore(min) => assert(min == 408)
+      case r => fail(s"expected NeedMore from a 256-byte probe, got $r")
+    }
+    val h = MiniSeed.parseRecordHeader(b, 0).get
+    assert(h.recordLen == 512 && h.dataOffset == 408 &&
+      h.encoding == MiniSeed.EncInt32)
+    assert(MiniSeed.decodeSamples(b, 0, h).toSeq ==
+      Array.tabulate(10)(_.toDouble).toSeq)
+  }
+
   test("parse limit bounds the blockette walk: stale tail never read") {
     val good = MiniSeed.encode("GR", "S", "", "BHZ", t0, 10_000_000L,
       Array.tabulate(10)(_.toDouble), "int32")
