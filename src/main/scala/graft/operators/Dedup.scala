@@ -105,13 +105,14 @@ object Dedup {
     * ~5× the minhash cost at bands=4).
     */
   def lshBuckets(df: DataFrame, sigCol: String, idCol: String,
-                 bands: Int, rowsPerBand: Int): DataFrame =
-    df.select(col(idCol), col(sigCol),
-        posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("band", "_band")))
-      .select(col(idCol), col("band"),
+                 bands: Int, rowsPerBand: Int,
+                 carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: col(sigCol) +: carry.map(col) :+
+        posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("band", "_band")): _*)
+      .select(col(idCol) +: col("band") +:
         md5(concat_ws("|",
           transform(slice(col(sigCol), col("_band") * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")))).as("bucket"))
+            x => x.cast("string")))).as("bucket") +: carry.map(col): _*)
 
   /** Distinct candidate pairs (a < b) from bucket collisions: ONE
     * shuffle — group each (band, bucket), expand pairs inside the

@@ -403,6 +403,44 @@ object DedupQueries {
           ON t.band = e.band AND t.bucket = e.bucket
         WHERE t.is_eval = 0 AND e.is_eval = 1)
       SELECT doc_id, COUNT(*) AS n_eval_hits, MAX(sim) AS max_sim
-      FROM cand GROUP BY doc_id"""), headline = true)
+      FROM cand GROUP BY doc_id"""), headline = true),
+
+    // ---- STREAMING MinHash-LSH near-dup pairs, oracle-checked like
+    //      q82: the q26 corpus replays through the file source with a
+    //      1 ms-per-doc event time; nearDupStream's watermark-bounded
+    //      chain (bucket dedup → windowed bucket collect + pair
+    //      expansion → cross-band pair dedup) must hash-match the
+    //      batch q26 pair set, window-stamped. A flush doc 8 h ahead
+    //      pushes the watermark past the window so append mode emits.
+    Q("q88_stream_minhash_neardup", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val c = corpus(s, dir)
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+        .select("doc_id", "text", "ts")
+      val flush = s.range(1).select(
+        lit(999999999L).as("doc_id"),
+        lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q88").toString
+      c.unionByName(flush).repartition(8).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = graft.streaming.StreamingDedup.nearDupStream(
+        stream, "text", "doc_id", "ts", k = 8, bands = 4, rowsPerBand = 2,
+        watermark = "10 seconds", windowDur = "6 hours")
+      val sink = "q88_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH $minhashPairsCtes
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             a, b
+      FROM pairs"""))
   )
 }

@@ -83,4 +83,62 @@ object StreamingDedup {
       .filter(col("n_docs") >= minDocs)
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
         col("span_h"), col("n_docs"))
+
+  /** Streaming MinHash-LSH near-duplicate candidate pairs — the
+    * continuous complement of the batch MinHash pipeline (q26: same
+    * fused shingle-hash, same integer MinHash signature, same banded
+    * bucket hash — bit-identical values, so the batch DuckDB oracle
+    * fragments verify the stream too).
+    *
+    * Declarative stateful chain, all state watermark-bounded:
+    *
+    *   1. stateless per-doc signature + band/bucket explode (one row
+    *      per doc per band, [[graft.operators.Dedup.lshBuckets]] with
+    *      the event time carried through);
+    *   2. `dropDuplicatesWithinWatermark(band, bucket, doc_id)` —
+    *      re-delivered docs don't double-join; O(1) bytes per key;
+    *   3. a watermarked tumbling-window `collect_list` per (band,
+    *      bucket) with in-group pair expansion — the batch
+    *      `candidatePairs` shape keyed by window. A bucket's state row
+    *      grows with its membership, exactly like the batch group —
+    *      a bucket hot enough to matter is a degenerate hash worth
+    *      surfacing, not silently grinding through;
+    *   4. `dropDuplicatesWithinWatermark(w, a, b)` — a pair found by
+    *      several bands emits once per window (the batch `.distinct()`).
+    *
+    * Output (append changelog): `window_ns, a, b` distinct candidate
+    * pairs per tumbling window, emitted when the watermark closes the
+    * window. "Near-duplicate" therefore means "co-bucketed within
+    * `windowDur`" — the horizon-bounded meaning any infinite-stream
+    * near-dup must adopt (the batch operator's global pair set is the
+    * windowDur → ∞ limit). q88 replays the q26 corpus through a file
+    * source and hash-matches the batch oracle's pair set.
+    */
+  def nearDupStream(stream: DataFrame, textCol: String, idCol: String,
+                    tsCol: String, k: Int = 8, bands: Int = 4,
+                    rowsPerBand: Int = 2, watermark: String = "10 seconds",
+                    windowDur: String = "6 hours"): DataFrame = {
+    import graft.operators.Dedup
+    val sigs = stream
+      .withColumn("toks", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        Dedup.intMinhashSignature(
+          Dedup.tokenShingleHashes(col("toks")), k).as("sig"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+    Dedup.lshBuckets(sigs, "sig", "doc_id", bands, rowsPerBand,
+        carry = Seq("_ts"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("band", "bucket", "doc_id")
+      .groupBy(window(col("_ts"), windowDur).as("w"),
+        col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("w"), explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("w"), col("p.a").as("a"), col("p.b").as("b"))
+      .dropDuplicatesWithinWatermark("w", "a", "b")
+      .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+        col("a"), col("b"))
+  }
 }

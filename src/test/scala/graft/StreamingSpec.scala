@@ -146,6 +146,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup pairs match the batch pipeline; state evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-sndup").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1_000_000_000L
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val near = "x0 " + (2 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"v$i").mkString(" ")
+    val in = MemoryStream[(Long, String, Long)]
+    val changes = graft.streaming.StreamingDedup.nearDupStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+      k = 8, bands = 4, rowsPerBand = 2,
+      watermark = "30 seconds", windowDur = "1 hour")
+    val q = changes.writeStream.format("memory").queryName("sndup")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    try {
+      // batch 1: an exact near-dup family (1, 2) and an unrelated doc
+      in.addData((1L, base, 10 * ns), (2L, base, 11 * ns), (5L, other, 11 * ns))
+      q.processAllAvailable()
+      // batch 2: a NEAR copy joins the family; doc 1 is re-delivered
+      // (bucket state must not pair it with itself or double-emit)
+      in.addData((3L, near, 12 * ns), (1L, base, 13 * ns))
+      q.processAllAvailable()
+      // watermark pusher past window end + delay: append emits finals
+      in.addData((999L, (1 to 9).map(i => s"f$i").mkString(" "), 7200 * ns))
+      q.processAllAvailable()
+      // LATE near-dup copy (behind the watermark): dropped, no re-emit
+      in.addData((4L, base, 9 * ns))
+      q.processAllAvailable()
+      in.addData((998L, (1 to 9).map(i => s"g$i").mkString(" "), 7300 * ns))
+      q.processAllAvailable()
+
+      val got = spark.table("sndup")
+        .select("window_ns", "a", "b").as[(Long, Long, Long)].collect().toSet
+      // the batch pipeline on the ON-TIME distinct docs is the reference
+      val docs = Seq((1L, base), (2L, base), (3L, near), (5L, other))
+        .toDF("doc_id", "text")
+      val sigs = docs
+        .withColumn("toks", graft.functions.TextFunctions.tokens($"text"))
+        .select($"doc_id", graft.operators.Dedup.intMinhashSignature(
+          graft.operators.Dedup.tokenShingleHashes($"toks"), 8).as("sig"))
+      val batch = graft.operators.Dedup.candidatePairs(
+        graft.operators.Dedup.lshBuckets(sigs, "sig", "doc_id", 4, 2),
+        "doc_id").as[(Long, Long)].collect().toSet
+      assert(batch.contains((1L, 2L)), "identical docs must pair")
+      assert(got == batch.map { case (a, b) => (0L, a, b) },
+        s"stream $got vs batch $batch")
+      // watermark-bounded state: the closed window's dedup + bucket
+      // rows were evicted, not retained forever
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "expected state eviction after the watermark passed")
+    } finally q.stop()
+  }
+
   test("streaming duplicate-pick validation flags later same-station picks across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingValidation
