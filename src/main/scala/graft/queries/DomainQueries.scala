@@ -29,31 +29,70 @@ object DomainQueries {
   private val BeforeNs = 1_800_000_000_000L
   private val AfterNs  = 7_200_000_000_000L
 
-  private def seed20 = concat(lit("NT.S"),
-    (col("user_id") % 20).cast("string"), lit("..BHZ"))
+  private def seedN(nChannels: Int) = concat(lit("NT.S"),
+    (col("user_id") % nChannels).cast("string"), lit("..BHZ"))
+
+  /** q52's body over an arbitrary events-shaped frame — the whole
+    * fetch lifecycle (catalog derivation, channel cross expansion,
+    * interval-overlap join to a per-row segment index, per-(event,
+    * channel) aggregation) as ONE job. `nChannels` scales the
+    * inventory (default = the oracle's 20); tools.ScaleBench runs the
+    * same body at 10⁶–10⁷ index rows with a proportionally larger
+    * inventory.
+    */
+  private[graft] def fetchWindowsOf(s: SparkSession, ev: DataFrame,
+                                    nChannels: Int = 20): DataFrame = {
+    // "catalog": every 97th error event is a quake
+    val quakes = ev
+      .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+      .select(col("event_id"), col("ts").as("time"))
+    // "inventory": nChannels channels, one per user bucket
+    val channels = ev.select(seedN(nChannels).as("seed_id")).distinct()
+    // "waveform index": one segment per event row, 1–60 min long
+    val index = ev.select(seedN(nChannels).as("seed_id"),
+      col("ts").as("starttime"),
+      (col("ts") + (col("event_id") % 60 + 1) * lit(60_000_000_000L))
+        .as("endtime"))
+    val fetcher = new Fetcher(s, quakes, channels,
+      picks = quakes) // picks unused by the origin strategy
+    fetcher.fetchEventSegments(index, "origin", BeforeNs, AfterNs)
+      .groupBy("event_id", "seed_id")
+      .agg(count(lit(1)).as("n_segments"),
+           min("starttime").as("first_start"),
+           max("endtime").as("last_end"))
+  }
+
+  /** q53's body over an arbitrary events-shaped frame: derive the
+    * synthetic trace set (one-second sampling on an `nSlots`-second
+    * grid, `nSeeds` seed ids) and stitch. Defaults are the oracle's
+    * values; ScaleBench grows `nSeeds` with the corpus so group count
+    * scales while per-group width stays bounded.
+    */
+  private[graft] def stitchOf(s: SparkSession, ev: DataFrame,
+                              nSeeds: Int = 5, nSlots: Int = 5000): DataFrame = {
+    val segs = ev
+      .select((col("user_id") % nSeeds).cast("string").as("sid"),
+              expr(s"(ts div 1000000000) % $nSlots").as("slot"),
+              col("event_id"))
+      .groupBy("sid", "slot").agg(min("event_id").as("eid"))
+      .select(concat(lit("XX.S"), col("sid"), lit("..BHZ")).as("seed_id"),
+              lit(1_000_000_000L).as("sampling_period"),
+              (col("slot") * lit(1_000_000_000L)).as("starttime"),
+              transform(
+                sequence(lit(0L), col("eid") % 5),
+                i => (col("eid") % 100 + i).cast("double")).as("samples"))
+    TraceStitch.mergeTraces(s, segs)
+      .select(col("seed_id"), col("starttime"), col("endtime"),
+        size(col("samples")).cast("long").as("n_slots"),
+        size(filter(col("samples"), x => !isnan(x))).cast("long").as("n_filled"),
+        aggregate(filter(col("samples"), x => !isnan(x)),
+          lit(0.0), (a, x) => a + x).as("checksum"))
+  }
 
   val all: Seq[Q] = Seq(
 
     Q("q52_fetch_event_windows", (s, dir) => {
-      val ev = Tables.eventsUs(s, dir)
-      // "catalog": every 97th error event is a quake
-      val quakes = ev
-        .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
-        .select(col("event_id"), col("ts").as("time"))
-      // "inventory": 20 channels, one per user bucket
-      val channels = ev.select(seed20.as("seed_id")).distinct()
-      // "waveform index": one segment per event row, 1–60 min long
-      val index = ev.select(seed20.as("seed_id"),
-        col("ts").as("starttime"),
-        (col("ts") + (col("event_id") % 60 + 1) * lit(60_000_000_000L))
-          .as("endtime"))
-      val fetcher = new Fetcher(s, quakes, channels,
-        picks = quakes) // picks unused by the origin strategy
-      fetcher.fetchEventSegments(index, "origin", BeforeNs, AfterNs)
-        .groupBy("event_id", "seed_id")
-        .agg(count(lit(1)).as("n_segments"),
-             min("starttime").as("first_start"),
-             max("endtime").as("last_end"))
+      fetchWindowsOf(s, Tables.eventsUs(s, dir))
     }, Some(s"""
       WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type
                   FROM events),
@@ -75,28 +114,11 @@ object DomainQueries {
       GROUP BY r.event_id, r.seed_id"""), headline = true),
 
     Q("q53_trace_stitch", (s, dir) => {
-      val ev = Tables.eventsUs(s, dir)
       // synthetic traces: 1 s sampling, second-slot grid of width 5000;
       // min(event_id) per (seed, slot) keeps starts unique per seed so
       // the later-wins overlay order is well-defined; sample values are
       // small integers (eid%100 + i) so checksums are FP-order-free
-      val segs = ev
-        .select((col("user_id") % 5).cast("string").as("sid"),
-                expr("(ts div 1000000000) % 5000").as("slot"),
-                col("event_id"))
-        .groupBy("sid", "slot").agg(min("event_id").as("eid"))
-        .select(concat(lit("XX.S"), col("sid"), lit("..BHZ")).as("seed_id"),
-                lit(1_000_000_000L).as("sampling_period"),
-                (col("slot") * lit(1_000_000_000L)).as("starttime"),
-                transform(
-                  sequence(lit(0L), col("eid") % 5),
-                  i => (col("eid") % 100 + i).cast("double")).as("samples"))
-      TraceStitch.mergeTraces(s, segs)
-        .select(col("seed_id"), col("starttime"), col("endtime"),
-          size(col("samples")).cast("long").as("n_slots"),
-          size(filter(col("samples"), x => !isnan(x))).cast("long").as("n_filled"),
-          aggregate(filter(col("samples"), x => !isnan(x)),
-            lit(0.0), (a, x) => a + x).as("checksum"))
+      stitchOf(s, Tables.eventsUs(s, dir))
     }, Some("""
       WITH base AS (
         SELECT CAST(user_id % 5 AS VARCHAR) AS sid,

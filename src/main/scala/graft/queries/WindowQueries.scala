@@ -24,11 +24,46 @@ object WindowQueries {
   private val W1        = 1_704_844_800_000_000_000L // 2024-01-10
   private val W2        = 1_705_708_800_000_000_000L // 2024-01-20
 
-  private def intervals(s: SparkSession, dir: String): DataFrame =
-    Tables.eventsUs(s, dir).select(
+  /** The q13–q16 interval shape over an arbitrary events-shaped frame
+    * (event_id, user_id, event_type, ts ns, value) — shared with
+    * tools.ScaleBench, which runs the same bodies at 10⁶–10⁷ rows.
+    */
+  private[graft] def intervalsOf(e: DataFrame): DataFrame =
+    e.select(
       col("event_id"), col("user_id"), col("event_type"),
       col("ts").as("starttime"),
       (col("ts") + floor(col("value") * lit(6.0e10)).cast("long")).as("endtime"))
+
+  private def intervals(s: SparkSession, dir: String): DataFrame =
+    intervalsOf(Tables.eventsUs(s, dir))
+
+  /** q14's body: gap detection over the interval shape. */
+  private[graft] def gapsOf(e: DataFrame): DataFrame =
+    Intervals.gaps(intervalsOf(e), Seq("user_id"), MinGap)
+
+  /** q15's body: sessionized contiguous segments. */
+  private[graft] def segmentsOf(e: DataFrame): DataFrame =
+    Intervals.segments(intervalsOf(e), Seq("user_id"), MinGap)
+
+  /** q19's (and, with `banded`, q67's) body: ±6 h windows around error
+    * events joined to the same user's events — the broadcast interval
+    * index vs the banded huge×huge scale path, identical semantics.
+    */
+  private[graft] def intervalJoinOf(e: DataFrame,
+                                    banded: Boolean = false): DataFrame = {
+    val reqs = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("req_id"), col("user_id"),
+              (col("ts") - lit(ReqHalf)).as("t1"),
+              (col("ts") + lit(ReqHalf)).as("t2"))
+    val joined =
+      if (banded) IntervalJoin.bandedPoints(e, reqs, Seq("user_id"), "ts",
+        bandNs = ReqHalf)
+      else IntervalJoin.pointsInRanges(e, reqs, Seq("user_id"), "ts")
+    joined.groupBy("req_id")
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+           countDistinct(col("event_type")).as("n_types"))
+  }
 
   private val ivSql = """
     SELECT event_id, user_id, event_type, epoch_ns(ts) AS starttime,
@@ -48,7 +83,7 @@ object WindowQueries {
 
     // ---- §2.5 gap detection (running max + lead, one window pass)
     Q("q14_gaps", (s, dir) => {
-      Intervals.gaps(intervals(s, dir), Seq("user_id"), MinGap)
+      gapsOf(Tables.eventsUs(s, dir))
     }, Some(s"""
       WITH iv AS ($ivSql),
       g AS (SELECT user_id,
@@ -63,7 +98,7 @@ object WindowQueries {
 
     // ---- §2.5 contiguous segments via sessionization (flag + cumsum)
     Q("q15_segments", (s, dir) => {
-      Intervals.segments(intervals(s, dir), Seq("user_id"), MinGap)
+      segmentsOf(Tables.eventsUs(s, dir))
     }, Some(s"""
       WITH iv AS ($ivSql),
       s1 AS (SELECT user_id, starttime, endtime,
@@ -158,16 +193,7 @@ object WindowQueries {
     // ---- §2.3 bulk interval join: ±6 h windows around error events vs
     //      all events of the same user (broadcast request side)
     Q("q19_interval_join", (s, dir) => {
-      val e = Tables.eventsUs(s, dir)
-      val reqs = e.filter(col("event_type") === "error")
-        .select(col("event_id").as("req_id"), col("user_id"),
-                (col("ts") - lit(ReqHalf)).as("t1"),
-                (col("ts") + lit(ReqHalf)).as("t2"))
-      IntervalJoin.pointsInRanges(e, reqs, Seq("user_id"), "ts")
-        .groupBy("req_id")
-        .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
-             countDistinct(col("event_type")).as("n_types"))
+      intervalJoinOf(Tables.eventsUs(s, dir))
     }, Some(s"""
       WITH r AS (SELECT event_id AS req_id, user_id,
                         epoch_ns(ts) - $ReqHalf AS t1, epoch_ns(ts) + $ReqHalf AS t2
@@ -185,17 +211,8 @@ object WindowQueries {
     //      interval index — same oracle, so the driver gate pins both
     //      physical strategies to identical results
     Q("q67_banded_interval", (s, dir) => {
-      val e = Tables.eventsUs(s, dir)
-      val reqs = e.filter(col("event_type") === "error")
-        .select(col("event_id").as("req_id"), col("user_id"),
-                (col("ts") - lit(ReqHalf)).as("t1"),
-                (col("ts") + lit(ReqHalf)).as("t2"))
-      IntervalJoin.bandedPoints(e, reqs, Seq("user_id"), "ts",
-          bandNs = ReqHalf) // band ≈ request half-width: ≤3 bands/request
-        .groupBy("req_id")
-        .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
-             countDistinct(col("event_type")).as("n_types"))
+      // band ≈ request half-width: ≤3 bands/request
+      intervalJoinOf(Tables.eventsUs(s, dir), banded = true)
     }, Some(s"""
       WITH r AS (SELECT event_id AS req_id, user_id,
                         epoch_ns(ts) - $ReqHalf AS t1, epoch_ns(ts) + $ReqHalf AS t2

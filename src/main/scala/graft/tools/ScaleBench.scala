@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, TextStats}
-import graft.queries.{DedupQueries, TextQueries}
+import graft.queries.{DedupQueries, DomainQueries, TextQueries, WindowQueries}
 
 /** Scale-proof benchmark for the LLM-pipeline operators: runs the SAME
   * operator compositions the oracle queries pin (q24/q26/q48/q65/q73/
@@ -127,6 +127,54 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Deterministic synthetic events/index frame at `n` rows — the
+    * seismology-lifecycle counterpart of [[synthDocs]]: the columns
+    * the q14/q15/q19/q52/q53 bodies consume (event_id, user_id,
+    * event_type, ts epoch-ns on the µs grid, value). Users scale with
+    * the corpus (~2000 rows each, the "more stations as the archive
+    * grows" shape), so per-key window partitions stay bounded and
+    * every derived quantity (gaps, segments, join matches) scales
+    * linearly. "error" events are ~1/32 — rare requests against a big
+    * index, the realistic fetch shape. All columns derive from
+    * xxhash64: no RNG, identical frame at any partitioning.
+    */
+  def synthEvents(spark: SparkSession, n: Long): DataFrame = {
+    val T0 = 1_704_067_200_000_000_000L // 2024-01-01T00:00Z
+    val YearUs = 365L * 86400L * 1_000_000L
+    val nUsers = math.max(100L, n / 2000L)
+    val types = array(lit("view"), lit("click"), lit("purchase"))
+    spark.range(n).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(lit("u"), col("id")), lit(nUsers)).as("user_id"),
+      (lit(T0) + pmod(xxhash64(lit("t"), col("id")), lit(YearUs)) * 1000L)
+        .as("ts"),
+      when(pmod(xxhash64(lit("e"), col("id")), lit(32L)) === 0, lit("error"))
+        .otherwise(element_at(types,
+          (pmod(xxhash64(lit("e2"), col("id")), lit(3L)) + 1L).cast("int")))
+        .as("event_type"),
+      (pmod(xxhash64(lit("v"), col("id")), lit(1000L)).cast("double") / 100.0)
+        .as("value"))
+  }
+
+  /** The seismology-lifecycle pipelines — the q14/q15/q19(+q67 banded)/
+    * q52/q53 bodies (shared helpers in WindowQueries/DomainQueries, not
+    * copies) on an arbitrary events frame. `nChannels`/`nSeeds` scale
+    * the q52 inventory and q53 seed set with the corpus (defaults =
+    * the oracle queries' constants).
+    */
+  def domainPipelines(spark: SparkSession, events: DataFrame,
+                      nChannels: Int = 20,
+                      nSeeds: Int = 5): Seq[(String, () => DataFrame)] = Seq(
+    "q14_gaps" -> (() => WindowQueries.gapsOf(events)),
+    "q15_segments" -> (() => WindowQueries.segmentsOf(events)),
+    "q19_interval_join" -> (() => WindowQueries.intervalJoinOf(events)),
+    "q67_banded_interval" -> (() =>
+      WindowQueries.intervalJoinOf(events, banded = true)),
+    "q52_fetch_event_windows" -> (() =>
+      DomainQueries.fetchWindowsOf(spark, events, nChannels)),
+    "q53_trace_stitch" -> (() =>
+      DomainQueries.stitchOf(spark, events, nSeeds)))
+
   /** The benched pipelines — each body is the oracle query's own code
     * (shared helpers), on an arbitrary docs frame.
     */
@@ -205,15 +253,26 @@ object ScaleBench {
 
   def runScale(spark: SparkSession, root: String, nDocs: Long): (Double, Seq[QueryRun]) = {
     val dir = s"$root/docs_$nDocs"
+    val eventsDir = s"$root/events_$nDocs"
     val t0 = System.nanoTime()
     synthDocs(spark, nDocs).write.mode("overwrite").parquet(dir)
+    // the seismology-lifecycle index at the same scale
+    synthEvents(spark, nDocs).write.mode("overwrite").parquet(eventsDir)
     val tGen = (System.nanoTime() - t0) / 1e9
     val docs = spark.read.parquet(dir)
+    val events = spark.read.parquet(eventsDir)
+    // q52 inventory / q53 seed set grow with the corpus (~1 channel
+    // per 50k rows like packShards; seeds keep ~2000 rows per seed-slot
+    // stripe) — the oracle toy constants would cap output size
+    def clampI(lo: Long, hi: Long, v: Long): Int =
+      math.max(lo, math.min(hi, v)).toInt
+    val nChannels = clampI(20L, 1024L, nDocs / 50000L)
+    val nSeeds = clampI(5L, 4096L, nDocs / 2000L)
     // comma-separated substring filter for partial re-runs
     val only = sys.env.get("GRAFT_SCALE_QUERIES").map(_.split(",").toSeq)
-    val selected = pipelines(docs).filter { case (name, _) =>
-      only.forall(_.exists(name.contains))
-    }
+    val selected = (pipelines(docs) ++
+        domainPipelines(spark, events, nChannels, nSeeds))
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     val runs = selected.map { case (name, mk) =>
       Dedup.lastCcRounds = 0
       // the CC pipelines run their fixpoint loop (jobs per round)

@@ -77,6 +77,74 @@ class ScaleProofSpec extends SparkSpec {
     }
   }
 
+  private lazy val eventsCorpora: Map[Long, DataFrame] = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scaleproof-ev")
+    Seq(small, large).map { n =>
+      val dir = root.resolve(s"events_$n").toString
+      ScaleBench.synthEvents(spark, n).write.parquet(dir)
+      n -> spark.read.parquet(dir)
+    }.toMap
+  }
+
+  test("domain lifecycle plan shape is scale-invariant (q14/q15/q19/q67/q52/q53)") {
+    withPlainJoins {
+      val perScale = Seq(small, large).map { n =>
+        n -> ScaleBench.domainPipelines(spark, eventsCorpora(n)).map {
+          case (name, mk) => name -> PlanIntrospect.counts(mk())
+        }
+      }
+      val (_, base) = perScale.head
+      perScale.foreach { case (n, counts) =>
+        counts.zip(base).foreach { case ((name, c), (_, b)) =>
+          assert(c.cartesian == 0, s"$name at $n rows: ${c.render}")
+          if (name.contains("q52")) {
+            // the ONE sanctioned nested loop: the quakes x channels
+            // cross expansion (reference origin strategy) with the
+            // small inventory side explicitly broadcast — never an
+            // unbroadcast cartesian
+            assert(c.bnlj == 1 && c.broadcasts >= 1,
+              s"$name at $n rows: ${c.render}")
+          } else assert(c.bnlj == 0, s"$name at $n rows: ${c.render}")
+          assert(c.shuffles == b.shuffles && c.broadcasts == b.broadcasts,
+            s"$name plan changed with scale: $n rows ${c.render} " +
+              s"vs $small rows ${b.render}")
+        }
+      }
+    }
+  }
+
+  test("interval joins take the intended physical strategies at the 100 TB shape") {
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    withPlainJoins {
+      val ev = eventsCorpora(small)
+      def planNodes(df: DataFrame) =
+        PlanIntrospect.nodes(df.queryExecution.executedPlan)
+      // q19: the request side is explicitly broadcast (requests are
+      // small BY CONSTRUCTION — rare error events), so the broadcast
+      // survives threshold -1 and the custom RangeJoinExec interval
+      // index carries the range predicate: no per-row scan of the
+      // whole window
+      val q19 = graft.queries.WindowQueries.intervalJoinOf(ev)
+      assert(planNodes(q19).exists(_.isInstanceOf[graft.plans.RangeJoinExec]),
+        "q19 must plan the broadcast interval-index join")
+      // q67: the huge x huge scale path — banded equi join, pure
+      // shuffle (SMJ/SHJ on (user_id, band)), ZERO broadcasts
+      val q67 = graft.queries.WindowQueries.intervalJoinOf(ev, banded = true)
+      val n67 = planNodes(q67)
+      assert(n67.exists(p => p.isInstanceOf[SortMergeJoinExec] ||
+        p.isInstanceOf[ShuffledHashJoinExec]),
+        "q67 must plan a shuffled equi join on (user_id, band)")
+      assert(PlanIntrospect.counts(q67).broadcasts == 0,
+        "the banded path must not depend on any broadcast")
+      // q52: the fetch lifecycle's overlap join rides the same
+      // RangeJoinExec (requests = quakes x channels, explicitly
+      // broadcast; the index side streams)
+      val q52 = graft.queries.DomainQueries.fetchWindowsOf(spark, ev)
+      assert(planNodes(q52).exists(_.isInstanceOf[graft.plans.RangeJoinExec]),
+        "q52 must plan the broadcast interval-index join")
+    }
+  }
+
   test("planted dedup structure is found exactly, and scales linearly") {
     Seq(small, large).foreach { n =>
       val docs = corpora(n)
