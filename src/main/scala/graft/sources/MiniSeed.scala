@@ -217,24 +217,32 @@ object MiniSeed {
     var hops = 0
     while (blkOff != 0 && hops < 64) {
       if (blkOff < FixedHeaderLen || blkOff + 8 > MaxRecordLen) return Bad
-      // 8 bytes cover type+next plus each field this walk reads
-      // (b1000 payload at +4..+7, b100 float rate at +4..+8)
-      if (blkOff + 8 > lim)
-        return if (enc >= 0 && blkOff >= reclen) Bad else NeedMore(blkOff + 8)
-      val btype = u16(buf, off + blkOff, big)
-      val next = u16(buf, off + blkOff + 2, big)
-      if (btype == 1000) {
-        enc = u8(buf(off + blkOff + 4))
-        payloadBig = u8(buf(off + blkOff + 5)) == 1
-        val exp = u8(buf(off + blkOff + 6))
-        if (exp < 7 || exp > 24) return Bad
-        reclen = 1 << exp
-      } else if (btype == 100) {
-        val r = java.lang.Float.intBitsToFloat(i32(buf, off + blkOff + 4, big))
-        if (r > 0f && !r.isNaN && !r.isInfinite) rate100 = r.toDouble
+      // once the record length is known, a blockette this walk could
+      // still care about (b100 is 12 bytes) cannot start in the final
+      // 7 bytes — stop rather than read past the record into the next
+      // one's bytes
+      if (enc >= 0 && blkOff + 8 > reclen) {
+        blkOff = 0
+      } else if (blkOff + 8 > lim) {
+        // 8 bytes cover type+next plus each field this walk reads
+        // (b1000 payload at +4..+7, b100 float rate at +4..+8)
+        return NeedMore(blkOff + 8)
+      } else {
+        val btype = u16(buf, off + blkOff, big)
+        val next = u16(buf, off + blkOff + 2, big)
+        if (btype == 1000) {
+          enc = u8(buf(off + blkOff + 4))
+          payloadBig = u8(buf(off + blkOff + 5)) == 1
+          val exp = u8(buf(off + blkOff + 6))
+          if (exp < 7 || exp > 24) return Bad
+          reclen = 1 << exp
+        } else if (btype == 100) {
+          val r = java.lang.Float.intBitsToFloat(i32(buf, off + blkOff + 4, big))
+          if (r > 0f && !r.isNaN && !r.isInfinite) rate100 = r.toDouble
+        }
+        hops += 1
+        blkOff = if (next <= blkOff) 0 else next // next==0 or backwards: chain ends
       }
-      hops += 1
-      blkOff = if (next <= blkOff) 0 else next // next==0 or backwards: chain ends
     }
     if (enc < 0 || reclen < 0) return Bad // no blockette 1000: not self-describing
     if (dataOffset < FixedHeaderLen || dataOffset > reclen) return Bad

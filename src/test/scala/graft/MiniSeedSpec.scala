@@ -264,6 +264,17 @@ class MiniSeedSpec extends AnyFunSuite {
     assert(MiniSeed.parseRecordHeader(bad, 0).get.samplingPeriod == 10_000_000L)
   }
 
+  test("blockette chain into the record's tail terminates cleanly") {
+    // b1000 found, then a (corrupt) next pointer into the record's
+    // final 7 bytes: nothing this walk cares about can start there, so
+    // the header parses rather than requesting a read past the record
+    val b = legacyBase(10)
+    putU16(b, 50, 508) // next -> 4 bytes before the 512-byte record end
+    val h = MiniSeed.parseRecordHeader(b, 0)
+    assert(h.isDefined && h.get.samplingPeriod == 10_000_000L)
+    assert(MiniSeed.parseRecordHeaderEx(b, 0, 512) == MiniSeed.Ok(h.get))
+  }
+
   test("blockette chain past the probe: NeedMore, then full parse") {
     // opaque blockette (2000) at 48 pointing to a blockette 1000 at
     // 400 — past the 256-byte probe
