@@ -19,8 +19,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `ts` is LongType epoch-ns (GraftSession nanosAsLong). */
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** `ts` is canonically LongType epoch-ns. The driver's generator has
+    * written this column as parquet TIMESTAMP(NANOS) (surfacing as long
+    * via GraftSession's nanosAsLong) and, in other vintages, as µs
+    * TIMESTAMP / TIMESTAMP_NTZ — normalize whatever arrives to the
+    * ns-long convention so every downstream body sees ONE type. A µs
+    * NTZ value is a naive UTC wall time here (session tz is UTC), which
+    * is exactly how the DuckDB oracle's `epoch_ns(ts)` reads it.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** `events` as a file-source STREAM with the same ts normalization —
+    * the schema handed to the file source must be the on-disk one, so
+    * the conversion happens on the streaming frame, not in the schema.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val onDisk = table(s, d, "events").schema
+    // glob, not the bare file path: the file source requires its
+    // basePath to be a directory, and a glob keeps it at `d`
+    normalizeTs(s.readStream.schema(onDisk).parquet(s"$d/events.parque*"))
+  }
+
+  private def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions
+            .expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case other => throw new IllegalStateException(
+        s"events.ts: expected ns-long or timestamp, got $other")
+    }
+  }
 
   /** `events` with ts truncated to µs-grained ns (`ts div 1000 * 1000`).
     * The engine is ns-native, but DuckDB (the correctness oracle) reads

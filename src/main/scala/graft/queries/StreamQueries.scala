@@ -24,10 +24,7 @@ object StreamQueries {
     //      both sides see µs-truncated timestamps (parquet
     //      TIMESTAMP(NANOS) → µs in DuckDB, timestamp_micros here).
     Q("q66_stream_windows", (s, dir) => {
-      val schema = Tables.events(s, dir).schema
-      // glob, not the bare file path: the file source requires its
-      // basePath to be a directory, and a glob keeps it at `dir`
-      val stream = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      val stream = Tables.eventsStream(s, dir)
       val agg = stream
         .withColumn("tss", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("tss"), "6 hours").as("w"), col("event_type"))
