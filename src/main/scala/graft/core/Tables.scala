@@ -55,9 +55,12 @@ object Tables {
   }
 
   /** `events` with ts truncated to µs-grained ns (`ts div 1000 * 1000`).
-    * The engine is ns-native, but DuckDB (the correctness oracle) reads
-    * parquet TIMESTAMP(NANOS) as µs TIMESTAMP, truncating sub-µs digits
-    * — oracle-checked queries must start from the same truncated values.
+    * The engine is ns-native, but every oracle vintage is µs-grained:
+    * DuckDB reads parquet TIMESTAMP(NANOS) as µs TIMESTAMP (truncating
+    * sub-µs digits), and the µs TIMESTAMP / TIMESTAMP_NTZ vintages carry
+    * only µs on disk to begin with — oracle-checked queries must start
+    * from the same truncated values. For long-vintage data the `div` is
+    * a real truncation; for timestamp vintages it is a no-op.
     * Integer `div` (not double /) — doubles can't represent 1.7e18 ns.
     */
   def eventsUs(s: SparkSession, d: String): DataFrame =

@@ -21,8 +21,10 @@ object StreamQueries {
     //      tumbling 6h windows per event_type, complete-mode memory
     //      sink drained by AvailableNow. Spark's window() aligns to
     //      the epoch, so the oracle is integer ns-bucket arithmetic;
-    //      both sides see µs-truncated timestamps (parquet
-    //      TIMESTAMP(NANOS) → µs in DuckDB, timestamp_micros here).
+    //      both sides see µs-truncated timestamps in EVERY generator
+    //      vintage (ns vintage: parquet TIMESTAMP(NANOS) → µs in
+    //      DuckDB; µs TIMESTAMP/TIMESTAMP_NTZ vintages are µs-grained
+    //      on disk already; timestamp_micros here).
     Q("q66_stream_windows", (s, dir) => {
       val stream = Tables.eventsStream(s, dir)
       val agg = stream
