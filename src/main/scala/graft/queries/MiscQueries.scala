@@ -392,6 +392,69 @@ object MiscQueries {
       WHERE updated > 1500
         AND time < 4000000000000000000 AND time > ${graft.core.Schemas.SmallDt64} + 1
         AND magnitude > CAST(1 AS DOUBLE)
-        AND latitude < CAST(60 AS DOUBLE)"""))
+        AND latitude < CAST(60 AS DOUBLE)""")),
+
+    // ---- named dataset bundle end to end (was spec-only): the
+    //      reference's by-name dataset contract (obsplus
+    //      `datasets/dataset.py:48-120`, `bingham_test.py:20-84`) —
+    //      registerAll, load `bingham_test` BY NAME twice (first load
+    //      fetches into the cache, second must hit it and re-verify
+    //      the sha256 manifest), then query the loaded EventBank with
+    //      a strict magnitude bound and join the WaveBank index's
+    //      per-event-window facts. The oracle recomputes the bundle's
+    //      published deterministic shape arithmetically (5 events ×
+    //      6 stations × 3 HH? channels, −10 s…+60 s @ 100 Hz), using
+    //      `region`'s fixed r_regionkey 0–4 as the row generator.
+    //      Any drift in the fetch-once path, manifest hashing, bank
+    //      round trip, or window derivation breaks the hash.
+    Q("q89_dataset_bundle", (s, dir) => {
+      import graft.bank.{DataBundle, Datasets, EventQuery}
+      Datasets.registerAll(s)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q89-bundles").toString
+      DataBundle.load(s, "bingham_test", Some(base)) // fetch
+      val bundle = DataBundle.load(s, "bingham_test", Some(base)) // cache hit
+      val ev = bundle.eventBank.get
+        .getEvents(EventQuery(minMagnitude = Some(1.25)))
+        .select(col("event_id"), col("time"),
+          round(col("latitude"), 6).as("latitude"),
+          round(col("longitude"), 6).as("longitude"),
+          col("depth"), col("magnitude"))
+      // the index is per RECORD (miniSEED fragments a 7000-sample
+      // segment into many records), so window facts must be
+      // fragmentation-invariant: assign each record to its event
+      // window by interval, then sum durations / span min-max —
+      // never count fragments
+      val idx = bundle.waveBank.get.readIndex(channel = "HH?")
+      ev.join(idx,
+          idx("starttime") >= ev("time") - lit(10_000_000_000L) &&
+            idx("starttime") < ev("time") + lit(60_000_000_000L))
+        .groupBy(ev("event_id"), ev("time"), ev("latitude"),
+          ev("longitude"), ev("depth"), ev("magnitude"))
+        .agg(sum(expr("(endtime - starttime) div sampling_period"))
+            .as("total_samples"),
+          countDistinct(col("station")).as("n_sta"),
+          countDistinct(col("channel")).as("n_chan"),
+          min(col("starttime")).as("win_start"),
+          max(col("endtime")).as("win_end"))
+    }, Some("""
+      WITH i AS (SELECT CAST(r_regionkey AS BIGINT) AS i FROM region),
+      r AS (SELECT CAST(20.0 AS DOUBLE) / CAST(111.19 AS DOUBLE) / 2 AS r),
+      ev AS (SELECT
+        'smi:local/bingham/' || i AS event_id,
+        1365552000000000000 + i * 3600000000000 AS time,
+        round(CAST(40.53829 AS DOUBLE) + sin(CAST(i AS DOUBLE)) * r, 6)
+          AS latitude,
+        round(CAST(-112.149506 AS DOUBLE) + cos(CAST(i AS DOUBLE)) * r, 6)
+          AS longitude,
+        CAST(100.0 AS DOUBLE) + CAST(i AS DOUBLE) * 10 AS depth,
+        CAST(1.2 AS DOUBLE) + CAST(i AS DOUBLE) / 10 AS magnitude
+       FROM i, r)
+      SELECT event_id, time, latitude, longitude, depth, magnitude,
+             CAST(126000 AS BIGINT) AS total_samples,
+             CAST(6 AS BIGINT) AS n_sta, CAST(3 AS BIGINT) AS n_chan,
+             time - 10000000000 AS win_start,
+             time + 60000000000 AS win_end
+      FROM ev WHERE magnitude > CAST(1.25 AS DOUBLE)"""))
   )
 }
