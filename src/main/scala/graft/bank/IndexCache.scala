@@ -25,24 +25,37 @@ final class IndexCache(size: Int = 5) {
   require(size > 0, s"cache size must be positive, got $size")
 
   private final case class Entry(t1: Long, t2: Long, key: Seq[String],
-                                 df: DataFrame)
+                                 stamp: Long, df: DataFrame)
   private val entries = Array.fill[Option[Entry]](size)(None)
   private var next = 0
 
-  /** The cached frame whose interval contains [t1, t2] under `key`,
-    * loading (and persisting) via `load` on a miss. The caller applies
-    * its own exact narrowing filter to the returned frame — this class
-    * only guarantees the frame is a superset for contained intervals.
+  /** The cached frame whose interval contains [t1, t2] under `key` AND
+    * whose store stamp equals `stamp`, loading (and persisting) via
+    * `load` on a miss. `stamp` is the caller's cheap store-version
+    * probe (a commit version or directory-listing fingerprint): an
+    * entry cached against an older stamp is a snapshot of a store
+    * someone else has since written to, so it is evicted on sight —
+    * which is what makes the cache safe under MULTIPLE writer
+    * instances, not just the owning bank's own `updateIndex`. All
+    * entries describe the same store, so any stamp change stales all
+    * of them at once. The caller applies its own exact narrowing
+    * filter to the returned frame — this class only guarantees the
+    * frame is a superset for contained intervals.
     */
-  def getOrLoad(t1: Long, t2: Long, key: Seq[String],
+  def getOrLoad(t1: Long, t2: Long, key: Seq[String], stamp: Long,
                 load: => DataFrame): DataFrame = synchronized {
+    entries.indices.foreach { i =>
+      entries(i).filter(_.stamp != stamp).foreach { e =>
+        e.df.unpersist(); entries(i) = None
+      }
+    }
     entries.flatten
       .find(e => e.t1 <= t1 && e.t2 >= t2 && e.key == key) match {
       case Some(e) => e.df
       case None =>
         val df = load.persist(StorageLevel.MEMORY_AND_DISK)
         entries(next).foreach(_.df.unpersist())
-        entries(next) = Some(Entry(t1, t2, key, df))
+        entries(next) = Some(Entry(t1, t2, key, stamp, df))
         next = (next + 1) % size
         df
     }

@@ -68,23 +68,45 @@ class WaveBank(spark: SparkSession, root: String,
     * the reference's `_IndexCache` behavior. Off by default: persist
     * lifetimes should be a caller decision in a shared SparkSession.
     *
-    * SINGLE-WRITER ASSUMPTION: the cache is invalidated only by THIS
-    * instance's `updateIndex`. A second WaveBank instance (or external
-    * process) appending to the same root leaves this instance serving
-    * stale snapshots until [[clearIndexCache]] is called — a sharper
-    * staleness mode than the uncached path, which re-reads the store
-    * every query. Multi-instance deployments should leave the cache
-    * off on readers, or call [[clearIndexCache]] after known external
-    * writes.
+    * MULTI-WRITER SAFE: every containment hit is guarded by
+    * [[indexStamp]] — a driver-side store-version probe (tx commit
+    * version, or a directory-listing fingerprint for plain parquet;
+    * no Spark job either way). A second WaveBank instance (or an
+    * external process) appending to the same root changes the stamp,
+    * so this instance's next query evicts its stale snapshots and
+    * re-reads — no [[clearIndexCache]] call needed. The stamp probe
+    * is a filesystem metadata round trip per query; [[clearIndexCache]]
+    * remains as the manual override (e.g. after an out-of-band write
+    * on a store whose listing metadata is not trustworthy).
     */
   private[graft] val indexCache: Option[IndexCache] =
     if (indexCacheSize > 0) Some(new IndexCache(indexCacheSize)) else None
 
-  /** Drop all cached index snapshots (see the single-writer note on
-    * `indexCacheSize`): the next query re-reads the store. No-op when
-    * the cache is off.
+  /** Drop all cached index snapshots: the next query re-reads the
+    * store. Normally unnecessary — the per-query [[indexStamp]] guard
+    * already evicts snapshots staled by ANY writer — but kept as the
+    * manual override. No-op when the cache is off.
     */
   def clearIndexCache(): Unit = indexCache.foreach(_.clear())
+
+  /** Cheap store-version stamp for cache-staleness detection: the tx
+    * commit version when the index is transactional, else a
+    * fingerprint of the index directory listing (name, mtime, length
+    * per file — appends add files, rewrites change mtimes). Driver-
+    * side filesystem metadata only; never launches a Spark job.
+    */
+  private def indexStamp(): Long =
+    if (txIndex) txTable.latestVersion()
+    else {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).foldLeft(17L) { (h, st) =>
+        ((h * 31 + st.getPath.getName.hashCode) * 31 +
+          st.getModificationTime) * 31 + st.getLen
+      }
+    }
 
   private def indexAppend(df: DataFrame): Unit =
     if (txIndex) { txTable.append(df); () }
@@ -235,7 +257,8 @@ class WaveBank(spark: SparkSession, root: String,
         val key = Seq(network, station, location, channel)
         val t1 = starttime.getOrElse(Schemas.SmallDt64)
         val t2 = endtime.getOrElse(Schemas.LargeDt64)
-        timeFilter(cache.getOrLoad(t1, t2, key, timeFilter(globbed)))
+        timeFilter(cache.getOrLoad(t1, t2, key, indexStamp(),
+          timeFilter(globbed)))
       case None => timeFilter(globbed)
     }
   }

@@ -48,16 +48,21 @@ object WindowQueries {
   /** q19's (and, with `banded`, q67's) body: ±6 h windows around error
     * events joined to the same user's events — the broadcast interval
     * index vs the banded huge×huge scale path, identical semantics.
+    * `bandNs` exposes the banded path's width knob for the ScaleBench
+    * sensitivity sweep; 0 = the operator's measured auto width (which
+    * resolves to the 12 h median request span here). Width never changes
+    * results, only the plan.
     */
   private[graft] def intervalJoinOf(e: DataFrame,
-                                    banded: Boolean = false): DataFrame = {
+                                    banded: Boolean = false,
+                                    bandNs: Long = 0L): DataFrame = {
     val reqs = e.filter(col("event_type") === "error")
       .select(col("event_id").as("req_id"), col("user_id"),
               (col("ts") - lit(ReqHalf)).as("t1"),
               (col("ts") + lit(ReqHalf)).as("t2"))
     val joined =
       if (banded) IntervalJoin.bandedPoints(e, reqs, Seq("user_id"), "ts",
-        bandNs = ReqHalf)
+        bandNs = bandNs)
       else IntervalJoin.pointsInRanges(e, reqs, Seq("user_id"), "ts")
     joined.groupBy("req_id")
       .agg(count(lit(1)).as("n"),

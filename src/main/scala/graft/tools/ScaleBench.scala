@@ -353,7 +353,84 @@ object ScaleBench {
         s""""hot_rows":$hRows,"uniform_rows":$uRows}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson}""")
+    // q67 band-width sensitivity (env GRAFT_SCALE_BANDSWEEP=
+    // <rows>[:ns1,ns2,...]): the banded huge×huge interval join at
+    // several band widths; 0 = the operator's measured auto width.
+    // Width is a pure physical knob — the sweep asserts checksum
+    // identity across widths, then records the wall-time curve.
+    val bandJson = sys.env.get("GRAFT_SCALE_BANDSWEEP").map { spec =>
+      val parts = spec.split(":")
+      val n = parts(0).trim.toLong
+      val HourNs = 3600L * 1_000_000_000L
+      val widths: Seq[Long] =
+        if (parts.length > 1) parts(1).split(",").map(_.trim.toLong).toSeq
+        else Seq(HourNs, 3 * HourNs, 6 * HourNs, 12 * HourNs,
+          24 * HourNs, 48 * HourNs, 0L)
+      val dir = s"$root/events_$n"
+      synthEvents(spark, n).write.mode("overwrite").parquet(dir)
+      val events = spark.read.parquet(dir)
+      val runs = widths.map { w =>
+        val s0 = System.nanoTime()
+        val (rows, sum) = runAll(
+          WindowQueries.intervalJoinOf(events, banded = true, bandNs = w))
+        val secs = (System.nanoTime() - s0) / 1e9
+        (w, secs, rows, sum)
+      }
+      require(runs.map(_._4).distinct.size == 1,
+        s"band width changed RESULTS: ${runs.map(r => r._1 -> r._4)}")
+      val items = runs.map { case (w, secs, rows, sum) =>
+        s"""{"band_ns":$w,"s":${"%.2f".format(secs)},"rows":$rows,"checksum":$sum}"""
+      }
+      s""","band_sweep":{"rows":$n,"runs":[${items.mkString(",")}]}"""
+    }.getOrElse("")
+
+    // streaming near-dup throughput (env GRAFT_SCALE_STREAM=<docs>):
+    // the q88 pipeline (nearDupStream, three chained watermark-bounded
+    // stateful stages) on a file-source replay of the synthetic corpus
+    // with a 1 ms-per-doc event time, range-partitioned by ts so files
+    // arrive in event-time order, 8 files per microbatch — measures
+    // docs/sec end to end and the peak state row/byte footprint the
+    // watermark is bounding.
+    val streamJson = sys.env.get("GRAFT_SCALE_STREAM").map { sN =>
+      import org.apache.spark.sql.streaming.Trigger
+      val n = sN.trim.toLong
+      val t0 = 1_600_000_000_000_000_000L
+      val dir = s"$root/stream_docs_$n"
+      val docs = synthDocs(spark, n)
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+        .select("doc_id", "text", "ts")
+      val flush = spark.range(1).select(lit(n + 1).as("doc_id"),
+        lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      docs.unionByName(flush).repartitionByRange(64, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "8").parquet(dir)
+      val changes = graft.streaming.StreamingDedup.nearDupStream(
+        stream, "text", "doc_id", "ts")
+      val pairs = new java.util.concurrent.atomic.AtomicLong
+      val s0 = System.nanoTime()
+      val q = changes.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          pairs.addAndGet(df.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - s0) / 1e9
+      // peak across microbatches of the summed per-operator state
+      val prog = q.recentProgress
+      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+        .foldLeft(0L)(math.max)
+      s""","stream":{"docs":$n,"s":${"%.2f".format(secs)},""" +
+        s""""docs_per_sec":${"%.0f".format(n / secs)},"pairs":${pairs.get},""" +
+        s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
+        s""""peak_state_bytes":$peakBytes}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson}""")
     spark.stop()
   }
 }

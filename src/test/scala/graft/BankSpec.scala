@@ -128,6 +128,40 @@ class BankSpec extends SparkSpec {
     assert(all(bank).count(_.contains("N9")) == 3)
   }
 
+  test("wavebank: index cache detects a SECOND instance's writes (store stamp)") {
+    val root = tmp()
+    val reader = new WaveBank(spark, root, indexCacheSize = 2)
+    val writer = new WaveBank(spark, root) // separate instance, same store
+    writer.putWaveforms(segmentDf)
+
+    def rows(b: WaveBank, t1: Long, t2: Long) =
+      b.readIndex(starttime = Some(t1), endtime = Some(t2))
+        .select("station", "channel", "starttime", "endtime")
+        .collect().map(_.toString).sorted.toSeq
+
+    // fill reader's cache, then prove a contained query hits it
+    rows(reader, 0L, 10000L)
+    assert(reader.indexCache.get.occupied == 1)
+    assert(rows(reader, 4000L, 6000L) ==
+      rows(new WaveBank(spark, root), 4000L, 6000L))
+    assert(reader.indexCache.get.occupied == 1) // containment hit
+
+    // the OTHER instance appends: reader must see it on the next
+    // contained query without clearIndexCache() — the stamp guard
+    writer.putWaveforms(Seq(("N1", "S1", "", "BHE", 4500L, 10L,
+      Array.fill(10)(9.0))).toDF("network", "station", "location",
+      "channel", "starttime", "sampling_period", "samples"))
+    val after = rows(reader, 4000L, 6000L)
+    assert(after.exists(_.contains("BHE")),
+      "second instance's write invisible through the containment cache")
+    assert(after == rows(new WaveBank(spark, root), 4000L, 6000L))
+    // and an unchanged store still serves hits (no thrash): same
+    // contained query again must not grow occupancy
+    val occ = reader.indexCache.get.occupied
+    rows(reader, 4000L, 6000L)
+    assert(reader.indexCache.get.occupied == occ)
+  }
+
   test("wavebank: txIndex mode — same results, plus time travel and compaction") {
     val root = tmp()
     val bank = new WaveBank(spark, root, txIndex = true)

@@ -67,6 +67,29 @@ class IntervalsSpec extends SparkSpec {
     assert(merged(1).getLong(1) == 25L && merged(1).getLong(2) == 30L)
   }
 
+  test("bandedPoints auto width = median request span; results identical to explicit widths") {
+    import graft.operators.IntervalJoin
+    val points = Seq(("u1", 5L), ("u1", 95L), ("u1", 250L), ("u2", 40L))
+      .toDF("k", "ts")
+    val reqs = Seq(("u1", 0L, 100L), ("u1", 200L, 220L), ("u2", 30L, 50L))
+      .toDF("k", "t1", "t2")
+    // median span of (100, 20, 20) — an outlier-heavy mean would be 47
+    assert(IntervalJoin.autoBandNs(reqs, "t1", "t2") == 20L)
+    // robustness: an open-ended sentinel interval must not widen the
+    // derived band (a mean would explode to ~10^17 here)
+    val withSentinel = reqs.unionByName(
+      Seq(("u1", 0L, 4_000_000_000_000_000_000L)).toDF("k", "t1", "t2"))
+    assert(IntervalJoin.autoBandNs(withSentinel, "t1", "t2") <= 100L)
+    def rows(bandNs: Long) =
+      IntervalJoin.bandedPoints(points, reqs, Seq("k"), "ts", bandNs)
+        .collect().map(_.toString).sorted.toSeq
+    val auto = rows(0L)
+    assert(auto.nonEmpty && auto == rows(7L) && auto == rows(1000L))
+    // and the banded result equals the broadcast-path result
+    assert(auto == IntervalJoin.pointsInRanges(points, reqs, Seq("k"), "ts")
+      .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("overlap predicate: buffer widens, nulls excluded") {
     val df = Seq((1L, 0L, 10L), (2L, 20L, 30L))
       .toDF("id", "starttime", "endtime")
