@@ -254,13 +254,23 @@ object ScaleBench {
   def runScale(spark: SparkSession, root: String, nDocs: Long): (Double, Seq[QueryRun]) = {
     val dir = s"$root/docs_$nDocs"
     val eventsDir = s"$root/events_$nDocs"
+    // generate only the corpora the selected queries consume — at 10⁸
+    // rows the unused corpus would dominate wall time and disk. The
+    // pipeline constructors only CAPTURE their frame in thunks, so
+    // probing the name lists with an empty frame runs nothing.
+    val onlyEnv = sys.env.get("GRAFT_SCALE_QUERIES").map(_.split(",").toSeq)
+    def wanted(n: String) = onlyEnv.forall(_.exists(n.contains))
+    val probe = spark.emptyDataFrame
+    val needDocs = pipelines(probe).exists(p => wanted(p._1))
+    val needEvents = domainPipelines(spark, probe).exists(p => wanted(p._1))
     val t0 = System.nanoTime()
-    synthDocs(spark, nDocs).write.mode("overwrite").parquet(dir)
+    if (needDocs) synthDocs(spark, nDocs).write.mode("overwrite").parquet(dir)
     // the seismology-lifecycle index at the same scale
-    synthEvents(spark, nDocs).write.mode("overwrite").parquet(eventsDir)
+    if (needEvents)
+      synthEvents(spark, nDocs).write.mode("overwrite").parquet(eventsDir)
     val tGen = (System.nanoTime() - t0) / 1e9
-    val docs = spark.read.parquet(dir)
-    val events = spark.read.parquet(eventsDir)
+    val docs = if (needDocs) spark.read.parquet(dir) else probe
+    val events = if (needEvents) spark.read.parquet(eventsDir) else probe
     // q52 inventory / q53 seed set grow with the corpus (~1 channel
     // per 50k rows like packShards; seeds keep ~2000 rows per seed-slot
     // stripe) — the oracle toy constants would cap output size
@@ -269,10 +279,9 @@ object ScaleBench {
     val nChannels = clampI(20L, 1024L, nDocs / 50000L)
     val nSeeds = clampI(5L, 4096L, nDocs / 2000L)
     // comma-separated substring filter for partial re-runs
-    val only = sys.env.get("GRAFT_SCALE_QUERIES").map(_.split(",").toSeq)
     val selected = (pipelines(docs) ++
         domainPipelines(spark, events, nChannels, nSeeds))
-      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .filter { case (name, _) => wanted(name) }
     val runs = selected.map { case (name, mk) =>
       Dedup.lastCcRounds = 0
       // the CC pipelines run their fixpoint loop (jobs per round)
