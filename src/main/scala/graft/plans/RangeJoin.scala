@@ -19,6 +19,42 @@ import scala.collection.mutable
 private[plans] case class IntervalBucket(
     loVals: Array[Any], hiRunMax: Array[Any], rows: Array[InternalRow])
 
+/** Primitive-packed bucket used when both range bounds are integral:
+  * bounds as long arrays (no boxing), row payloads as ONE concatenated
+  * UnsafeRow byte blob + offsets (no per-row objects). Matters at the
+  * regime boundary: a 3.1M-interval index measured ~1.7 KB/interval in
+  * the boxed/object form (5.3 GiB — OOM'd a default 8 GiB driver,
+  * round-7 10⁸-row run) vs ~60 B/interval packed, so the broadcast
+  * survives another ~decade of request-side growth before the banded
+  * plan must take over.
+  */
+private[plans] case class PackedBucket(
+    loVals: Array[Long], hiRunMax: Array[Long],
+    rowBytes: Array[Byte], offsets: Array[Int])
+
+/** Serializable helpers for the packed path (an `object`, so executor
+  * closures reference the module instead of capturing the plan).
+  */
+private[plans] object RangeJoinPack {
+  /** Widen an integral bound to Long — order-preserving for the types
+    * the packed path admits (Long/Int/Short).
+    */
+  def toL(v: Any): Long = v match {
+    case l: Long  => l
+    case i: Int   => i.toLong
+    case s: Short => s.toLong
+    case other => throw new IllegalStateException(
+      s"range join packed path: non-integral bound $other")
+  }
+
+  def integral(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType => true
+    case _ => false
+  }
+}
+
 /** Broadcast interval-index join — graft's custom physical operator for
   * range/overlap joins.
   *
@@ -76,6 +112,15 @@ case class RangeJoinExec(
     val sOut = streamedPlan.output
     val loType = bcastLo.dataType
     val hiType = bcastHi.dataType
+
+    // integral bounds (the epoch-ns convention) take the packed path:
+    // primitive bound arrays + one byte blob per bucket instead of
+    // boxed values and per-row objects — same probe algorithm, ~30×
+    // smaller broadcast (PackedBucket scaladoc)
+    if (RangeJoinPack.integral(loType) && RangeJoinPack.integral(hiType) &&
+        RangeJoinPack.integral(streamLo.dataType) &&
+        RangeJoinPack.integral(streamHi.dataType))
+      return doExecutePacked(numOutputRows, numCandidates)
 
     // ---- driver side: build the interval index ----
     val loOrdD = TypeUtils.getInterpretedOrdering(loType)
@@ -162,6 +207,130 @@ case class RangeJoinExec(
                 val r = ready; ready = null; numOutputRows += 1; r
               }
             }
+        }
+      }
+    }
+  }
+
+  /** The packed-path twin of the generic doExecute body: identical
+    * index algorithm (per-key sort by lo + running-max hi, binary
+    * search + backward walk, full condition re-check), bounds widened
+    * to primitive longs and broadcast rows carried as UnsafeRow bytes
+    * reconstructed zero-copy on the executor.
+    */
+  private def doExecutePacked(
+      numOutputRows: org.apache.spark.sql.execution.metric.SQLMetric,
+      numCandidates: org.apache.spark.sql.execution.metric.SQLMetric): RDD[InternalRow] = {
+    import RangeJoinPack.toL
+    val bOut = broadcastPlan.output
+    val sOut = streamedPlan.output
+
+    // ---- driver side: build the packed interval index ----
+    val keyProj = UnsafeProjection.create(bcastKeys, bOut)
+    val loBound = BindReferences.bindReference(bcastLo, bOut)
+    val hiBound = BindReferences.bindReference(bcastHi, bOut)
+    val toUnsafe = UnsafeProjection.create(bOut, bOut)
+
+    val groups = mutable.HashMap
+      .empty[UnsafeRow, mutable.ArrayBuffer[(Long, Long, Array[Byte])]]
+    broadcastPlan.executeCollect().foreach { row =>
+      val lo = loBound.eval(row)
+      val hi = hiBound.eval(row)
+      if (lo != null && hi != null) {
+        // copy(): the projection reuses its buffer; the copy's backing
+        // array is exact-size, so getBytes is allocation-free
+        val bytes = toUnsafe(row).copy().getBytes
+        groups.getOrElseUpdate(keyProj(row).copy(),
+          mutable.ArrayBuffer.empty) += ((toL(lo), toL(hi), bytes))
+      }
+    }
+    val index: Map[UnsafeRow, PackedBucket] = groups.iterator.map { case (k, buf) =>
+      val sorted = buf.sortBy(_._1).toArray
+      val n = sorted.length
+      val lo = new Array[Long](n)
+      val hiRun = new Array[Long](n)
+      val offsets = new Array[Int](n + 1)
+      var i = 0
+      while (i < n) {
+        offsets(i + 1) = offsets(i) + sorted(i)._3.length
+        i += 1
+      }
+      val blob = new Array[Byte](offsets(n))
+      i = 0
+      var runMax = Long.MinValue
+      while (i < n) {
+        lo(i) = sorted(i)._1
+        runMax = math.max(runMax, sorted(i)._2)
+        hiRun(i) = runMax
+        System.arraycopy(sorted(i)._3, 0, blob, offsets(i), sorted(i)._3.length)
+        i += 1
+      }
+      k -> PackedBucket(lo, hiRun, blob, offsets)
+    }.toMap
+    val bcast = sparkContext.broadcast(index)
+
+    // serializable captures for the executor closure
+    val sKeys = streamKeys
+    val sLoE = streamLo
+    val sHiE = streamHi
+    val cond = condition
+    val outAttrs = output
+    val bcastIsRight = broadcastRight
+    val bNumFields = bOut.length
+
+    streamedPlan.execute().mapPartitionsWithIndex { (pidx, iter) =>
+      val idx = bcast.value
+      val keyProjS = UnsafeProjection.create(sKeys, sOut)
+      val sLoB = BindReferences.bindReference(sLoE, sOut)
+      val sHiB = BindReferences.bindReference(sHiE, sOut)
+      val pred = Predicate.create(cond, if (bcastIsRight) sOut ++ bOut else bOut ++ sOut)
+      pred.initialize(pidx)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val brow = new UnsafeRow(bNumFields)
+
+      iter.flatMap { srow =>
+        val loV = sLoB.eval(srow)
+        val hiV = sHiB.eval(srow)
+        if (loV == null || hiV == null) Iterator.empty
+        else {
+          val sLo = toL(loV)
+          val sHi = toL(hiV)
+          idx.get(keyProjS(srow)) match {
+            case None => Iterator.empty
+            case Some(b) =>
+              // last position with loVals(pos) <= sHi
+              val end = {
+                var lo = 0; var hi = b.loVals.length
+                while (lo < hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (b.loVals(mid) <= sHi) lo = mid + 1 else hi = mid
+                }
+                lo - 1
+              }
+              new Iterator[InternalRow] {
+                private var j = end
+                private var ready: InternalRow = _
+                private def advance(): Unit = {
+                  while (ready == null && j >= 0 && b.hiRunMax(j) >= sLo) {
+                    numCandidates += 1
+                    brow.pointTo(b.rowBytes,
+                      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET +
+                        b.offsets(j),
+                      b.offsets(j + 1) - b.offsets(j))
+                    val pair = if (bcastIsRight) joined(srow, brow)
+                               else joined(brow, srow)
+                    if (pred.eval(pair)) ready = resultProj(pair)
+                    j -= 1
+                  }
+                }
+                override def hasNext: Boolean = { advance(); ready != null }
+                override def next(): InternalRow = {
+                  advance()
+                  val r = ready; ready = null; numOutputRows += 1; r
+                }
+              }
+          }
         }
       }
     }

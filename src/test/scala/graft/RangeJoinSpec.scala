@@ -117,4 +117,34 @@ class RangeJoinSpec extends SparkSpec {
       points("ts") >= intervals("t1") && points("ts") <= intervals("t2"), "left")
     assert(!usesRangeJoin(q))
   }
+
+  test("non-integral bounds use the generic (boxed) index and still match") {
+    // double bounds: the primitive-packed path admits Long/Int/Short
+    // only, so this pins the generic fallback the long-bound tests no
+    // longer reach
+    val p = spark.range(0, 2000).toDF("id")
+      .withColumn("key", ($"id" % 5).cast("string"))
+      .withColumn("x", $"id".cast("double") / 3.0)
+    val iv = spark.range(0, 150).toDF("rid")
+      .withColumn("key", ($"rid" % 5).cast("string"))
+      .withColumn("lo", $"rid".cast("double") * 4.4)
+      .withColumn("hi", $"rid".cast("double") * 4.4 + ($"rid" % 9).cast("double"))
+    def q = p.join(broadcast(iv),
+      p("key") === iv("key") && p("x") >= iv("lo") && p("x") <= iv("hi"))
+    assert(usesRangeJoin(q))
+    val got = sortedRows(q)
+    assert(got.nonEmpty && got == withStrategyDisabled(sortedRows(q)))
+  }
+
+  test("mixed integral widths (int bounds vs long stream) take the packed path correctly") {
+    val p = spark.range(0, 3000).toDF("id")
+      .withColumn("ts", $"id" * 7 % 5003) // long
+    val iv = spark.range(0, 200).toDF("rid")
+      .withColumn("t1", ($"rid" * 29 % 4500).cast("int"))
+      .withColumn("t2", ($"rid" * 29 % 4500 + $"rid" % 40).cast("int"))
+    def q = p.join(broadcast(iv), p("ts") >= iv("t1") && p("ts") <= iv("t2"))
+    assert(usesRangeJoin(q))
+    val got = sortedRows(q)
+    assert(got.nonEmpty && got == withStrategyDisabled(sortedRows(q)))
+  }
 }
