@@ -211,8 +211,23 @@ class WaveBank(spark: SparkSession, root: String,
       col("sampling_period"), col("path"))
       .withColumn("indexed_at", lit(System.currentTimeMillis() * 1000000L))
       .withColumn("index_version", lit(indexVersion))
-    if (newIndex.limit(1).count() > 0) {
-      indexAppend(newIndex)
+    // Index de-dup: the −1 ms slack means a file whose mtime lands in
+    // the same millisecond as the previous pass's `indexed_at` stamp
+    // would be re-included — anti-join the candidates against the paths
+    // the BOUNDARY pass (indexed_at == lastIndexed; files are immutable
+    // staged writes, so only that pass can collide) already indexed,
+    // making updateIndex idempotent instead of
+    // tolerate-duplicates-like-the-reference. The right side is one
+    // update batch, the left the newly-modified files — both small in
+    // steady state, so the anti join never touches the bulk of the index.
+    val deduped =
+      if (lastIndexed == Long.MinValue) newIndex
+      else newIndex.join(
+        indexDf.filter(col("indexed_at") >= lit(lastIndexed)).select("path"),
+        Seq("path"), "left_anti")
+        .select(newIndex.columns.map(col): _*) // join fronts the key; keep store order
+    if (deduped.limit(1).count() > 0) {
+      indexAppend(deduped)
       // cached readIndex entries are snapshots of the pre-append index
       indexCache.foreach(_.clear())
     }

@@ -8,7 +8,8 @@ object Catalog {
     CoreQueries.all ++ WindowQueries.all ++ GeoQueries.all ++
       DedupQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       MiscQueries.all ++ SourceQueries.all ++ DomainQueries.all ++
-      MultimodalQueries.all ++ StreamQueries.all ++ CatalogQueries.all
+      MultimodalQueries.all ++ StreamQueries.all ++ CatalogQueries.all ++
+      LifecycleQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -59,6 +59,24 @@ object Stations {
     out
   }
 
+  /** Station summary from a traces/segments table — the reference's
+    * stream→stations derivation (obsplus `stations/pd.py:111-128`):
+    * group by NSLC, `start_date` = min(starttime), `end_date` =
+    * max(endtime), then conform to the stations schema (coordinates
+    * are unknowable from traces → null). One partial-aggregated
+    * groupBy — no join, no collect.
+    */
+  def fromTraces(traces: DataFrame): DataFrame = {
+    val agg = traces
+      .groupBy("network", "station", "location", "channel")
+      .agg(min("starttime").as("start_date"),
+           max("endtime").as("end_date"))
+    Schemas.conformTo(
+      agg.withColumn("seed_id", Schemas.seedId(
+        col("network"), col("station"), col("location"), col("channel"))),
+      Schemas.stations)
+  }
+
   /** The reference's NRL response attachment
     * (`utils/stations.py:53-146, 330`: `_update_nrl_response` keyed by
     * `datalogger_keys`/`sensor_keys`) re-expressed offline: the

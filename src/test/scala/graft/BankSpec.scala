@@ -198,6 +198,34 @@ class BankSpec extends SparkSpec {
     assert(bank.readIndex(network = "N2").count() == 1)
   }
 
+  test("wavebank: updateIndex is idempotent under the mtime-slack race") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segmentDf)
+    assert(bank.readIndex().count() == 4)
+    // Simulate a file whose mtime lands inside the −1 ms slack window
+    // (same millisecond as the pass's indexed_at stamp): bump every
+    // already-indexed segment file's mtime PAST the watermark, so the
+    // next pass's listing re-includes all of them. The path anti-join
+    // must keep the index duplicate-free, and a pass that re-includes
+    // only known files must append nothing.
+    val segDir = new java.io.File(s"$root/segments")
+    def bump(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(bump)
+      else { f.setLastModified(System.currentTimeMillis() + 5000); () }
+    }
+    bump(segDir)
+    bank.updateIndex()
+    assert(bank.readIndex().count() == 4)
+    // a genuinely new file arriving alongside the re-included ones still
+    // gets indexed exactly once
+    bank.putWaveforms(Seq(("N2", "S9", "", "HHZ", 0L, 10L, Array.fill(10)(0.0)))
+      .toDF("network", "station", "location", "channel",
+            "starttime", "sampling_period", "samples"))
+    assert(bank.readIndex().count() == 5)
+    assert(bank.readIndex(network = "N2").count() == 1)
+  }
+
   test("wavebank: gsg segment store — real record files, same query surface") {
     val root = tmp()
     val bank = new WaveBank(spark, root, segmentFormat = "gsg")
