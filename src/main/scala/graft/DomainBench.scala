@@ -69,6 +69,53 @@ object DomainBench {
     val (tCacheHit, nCacheHit) = time(cachedBank.readIndex(station = "S0?",
       starttime = Some(0L), endtime = Some(50L * hourNs)).count())
 
+    // 2c (opt-in, GRAFT_BENCH_INDEX_ROWS=<n>): row-group pruning at
+    // archive scale — the same N-row index written unclustered (file-
+    // listing order: station varies fastest, time spans everything) vs
+    // clustered the way indexAppend now writes (global sort by NSLC,
+    // starttime → disjoint range slices, tight per-row-group min/max),
+    // then one NSLC+window readIndex-shaped filter against each. The
+    // delta is pure parquet row-group/file skipping — identical rows,
+    // identical plan.
+    val idxScale = sys.env.get("GRAFT_BENCH_INDEX_ROWS").map(_.toLong)
+    val pruneTimes = idxScale.map { n =>
+      val stations = 1000L
+      val nHrs = n / stations
+      // raw order = SCRAMBLED station and time (a real archive's file
+      // listing interleaves stations and revisits time ranges), so
+      // every unclustered row group spans the full key range — the
+      // honest no-pruning baseline
+      val hr = (col("id") * 48271L) % lit(nHrs)
+      val big = spark.range(n).select(
+        lit("N1").as("network"),
+        concat(lit("S"), lpad(pmod(col("id") * 7L, lit(stations))
+          .cast("string"), 4, "0")).as("station"),
+        lit("").as("location"), lit("BHZ").as("channel"),
+        (hr * hourNs).as("starttime"),
+        (hr * hourNs + hourNs).as("endtime"),
+        lit(hourNs / 100).as("sampling_period"),
+        concat(lit("f"), col("id")).as("path"))
+      big.write.mode("overwrite").parquet(s"$root/bigidx_raw")
+      spark.read.parquet(s"$root/bigidx_raw")
+        .sort("network", "station", "location", "channel", "starttime")
+        .write.mode("overwrite").parquet(s"$root/bigidx_sorted")
+      val nHours = n / stations
+      def probe(dir: String): (Double, Long) = time {
+        spark.read.parquet(dir)
+          .filter(col("station") === "S0123" &&
+            graft.operators.Intervals.overlaps(
+              (nHours / 2) * hourNs, (nHours / 2 + 24) * hourNs,
+              1_000_000_000L))
+          .count()
+      }
+      probe(s"$root/bigidx_raw") // warm the page cache evenly
+      probe(s"$root/bigidx_sorted")
+      val (tRaw, nRaw) = probe(s"$root/bigidx_raw")
+      val (tSorted, nSorted) = probe(s"$root/bigidx_sorted")
+      require(nRaw == nSorted, s"pruning changed results: $nRaw vs $nSorted")
+      (tRaw, tSorted, nRaw)
+    }
+
     // 3. gaps over the full index
     val (tGaps, nGaps) = time {
       graft.operators.Intervals.gaps(idxDf,
@@ -333,8 +380,10 @@ object DomainBench {
           ex.sendResponseHeaders(status, -1)
         } finally ex.close()
     })
-    claimServer.setExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(8))
+    // non-daemon pool: must be shut down explicitly or the forked JVM
+    // never exits (server.stop does NOT stop a user-provided executor)
+    val claimExec = java.util.concurrent.Executors.newFixedThreadPool(8)
+    claimServer.setExecutor(claimExec)
     claimServer.start()
     val (tClaims, nClaimWins) = try time {
       val ep = new java.net.URI(
@@ -357,7 +406,7 @@ object DomainBench {
         tasks.foreach(_.get())
         wins.get() // must be exactly 200: one winner per version
       } finally pool.shutdown()
-    } finally claimServer.stop(0)
+    } finally { claimServer.stop(0); claimExec.shutdown() }
 
     // 9c. decoder throughput: real PNG decode (javax.imageio) vs the
     // header stub over the same 2000-payload column
@@ -408,7 +457,10 @@ object DomainBench {
       "http_claims_1600_s" -> tClaims,
       "http_claims_per_s" -> 1600.0 / tClaims,
       "decode_stub_s" -> tDecodeStub, "decode_imageio_s" -> tDecodeReal,
-      "decode_imageio_per_s" -> 2000.0 / tDecodeReal)
+      "decode_imageio_per_s" -> 2000.0 / tDecodeReal) ++
+      pruneTimes.toSeq.flatMap { case (tRaw, tSorted, _) => Seq(
+        "bigidx_read_unsorted_s" -> tRaw,
+        "bigidx_read_clustered_s" -> tSorted) }
     val counts = Seq("n_indexed" -> nIdx, "n_read" -> nRead, "n_gaps" -> nGaps,
       "n_bulk" -> nBulk, "n_bulk_banded" -> nBulkBanded,
       "n_indexed_v2" -> nIdxV2, "n_big_records" -> nBigRecs,

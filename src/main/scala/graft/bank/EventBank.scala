@@ -57,13 +57,21 @@ class EventBank(spark: SparkSession, root: String,
   private def rawIndexDf: DataFrame =
     if (txIndex) txTable.read() else spark.read.parquet(indexPath)
 
+  /** Cluster index rows by time so parquet row-group min/max stats
+    * prune min/max-time queries (the most selective kwargs at archive
+    * scale); one sort shuffle of whatever is being written. Sentinel-
+    * stored NaT times sort to one end — they land in a single row
+    * group instead of widening every group's stats.
+    */
+  private def clustered(df: DataFrame): DataFrame = df.sort("time")
+
   /** Overwrite the index dir with `df` via a temp-dir swap (parquet
     * dirs are immutable once written, so this is atomic-ish).
     */
   private def writeSwap(df: DataFrame): Unit =
-    if (txIndex) { txTable.overwrite(df); () }
+    if (txIndex) { txTable.overwrite(clustered(df)); () }
     else {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
+      clustered(df).write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       val p = new org.apache.hadoop.fs.Path(indexPath)
@@ -91,8 +99,8 @@ class EventBank(spark: SparkSession, root: String,
             allowMissingColumns = true)
           else conformed
         done = txTable.overwriteIfVersion(
-          MergeOps.latestByKey(all, "event_id", Seq(col("updated"))), cur)
-          .isDefined
+          clustered(MergeOps.latestByKey(all, "event_id", Seq(col("updated")))),
+          cur).isDefined
       }
     } else {
       // existence check, not a catch-all: a transient read failure must
@@ -119,7 +127,7 @@ class EventBank(spark: SparkSession, root: String,
   def appendEvents(events: DataFrame): Unit = {
     require(mergeOnRead,
       "appendEvents requires an EventBank(mergeOnRead = true)")
-    val conformed = Schemas.conformTo(events, Schemas.eventSummary)
+    val conformed = clustered(Schemas.conformTo(events, Schemas.eventSummary))
     if (txIndex) { txTable.append(conformed); () }
     else conformed.write.mode(SaveMode.Append).parquet(indexPath)
   }

@@ -54,6 +54,63 @@ object StreamQueries {
                AS window_ns,
              event_type, COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"""))
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""")),
+
+    // ---- STREAMING gap detection (round 7): the q14 interval frame
+    //      replays through the file source range-partitioned by
+    //      starttime (event-time-ordered arrival), and
+    //      `StreamingIntervals.gapStream` — a watermark-sealed
+    //      running-max per key in flatMapGroupsWithState — must emit
+    //      EXACTLY the batch q14 gap set (the oracle below is q14's
+    //      SQL verbatim). A flush row 8 h past the last event pushes
+    //      the final watermark over every real segment so the no-data
+    //      batch finalizes them; the flush key itself (single segment)
+    //      emits nothing, and the gap TO the flush row stays sealed
+    //      behind the watermark by construction.
+    Q("q100_stream_gaps", (s, dir) => {
+      val iv = WindowQueries.intervalsOf(Tables.eventsUs(s, dir))
+        .select(col("user_id"), col("starttime"), col("endtime"))
+      // bounded driver agg: one scalar, to place the flush row
+      val maxTs = iv.agg(max("starttime")).collect()(0).getLong(0)
+      val flushTs = maxTs + 8L * 3600L * 1_000_000_000L
+      val flush = s.range(1).select(lit(999999999L).as("user_id"),
+        lit(flushTs).as("starttime"), lit(flushTs + 1000L).as("endtime"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q100").toString
+      iv.unionByName(flush)
+        .repartitionByRange(8, col("starttime"))
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream
+        .schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val gaps = graft.streaming.StreamingIntervals.gapStream(
+        stream, "user_id", "starttime", "endtime",
+        minGap = 43_200_000_000_000L, watermark = "10 seconds")
+      val sink = "q100_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = gaps.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("gap_start"), col("gap_end"), col("gap_ns"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some("""
+      WITH iv AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS starttime,
+               epoch_ns(ts) + CAST(floor(value * 60000000000.0) AS BIGINT)
+                 AS endtime
+        FROM events),
+      g AS (SELECT user_id,
+        MAX(endtime) OVER (PARTITION BY user_id ORDER BY starttime, endtime
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_start,
+        LEAD(starttime) OVER (PARTITION BY user_id ORDER BY starttime, endtime)
+          AS next_start
+      FROM iv)
+      SELECT user_id, gap_start, next_start AS gap_end,
+             next_start - gap_start AS gap_ns
+      FROM g WHERE next_start IS NOT NULL
+        AND gap_start + 43200000000000 < next_start"""))
   )
 }

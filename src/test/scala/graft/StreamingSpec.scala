@@ -74,6 +74,66 @@ class StreamingSpec extends SparkSpec {
     assert(tx.read().count() == before + 1)
   }
 
+  test("streaming gaps: incremental emission, in-watermark reorder, O(1) sealed state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-sgaps").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = 3_600_000_000_000L // 1 h in ns
+    // base offset: event time 0 equals the INITIAL watermark, and
+    // stateful operators drop input at/under the watermark — real
+    // archive times are epoch-scale, so the test's should be too
+    val t0 = 1_000_000_000_000_000_000L
+    val in = MemoryStream[(String, Long, Long)]
+    val gaps = graft.streaming.StreamingIntervals.gapStream(
+      in.toDF().toDF("sid", "starttime", "endtime"),
+      "sid", "starttime", "endtime",
+      minGap = h / 2, watermark = "10 seconds")
+    val q = gaps.writeStream.format("memory").queryName("sgaps")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    def emitted(): Set[(String, Long, Long, Long)] =
+      spark.table("sgaps").as[(String, Long, Long, Long)].collect().toSet
+    try {
+      // batch 1: A has a 1 h hole between [0,1h] and [2h,3h]; the two
+      // segments arrive REVERSED — the watermark buffer must reorder.
+      // B is contiguous (overlapping segments, running-max case).
+      in.addData(("A", t0 + 2 * h, t0 + 3 * h), ("A", t0, t0 + 1 * h),
+                 ("B", t0, t0 + 2 * h), ("B", t0 + 1 * h, t0 + 3 * h))
+      q.processAllAvailable()
+      // nothing sealed yet (watermark still behind the data)
+      assert(emitted().isEmpty)
+      // batch 2: later data advances the watermark past batch 1; A's
+      // gap emits, B stays gapless. A's new segment opens a second hole
+      // that is NOT yet sealed.
+      in.addData(("A", t0 + 6 * h, t0 + 7 * h))
+      q.processAllAvailable()
+      in.addData(("C", t0 + 8 * h, t0 + 9 * h)) // watermark pusher + fresh key
+      q.processAllAvailable()
+      in.addData(("C", t0 + 10 * h, t0 + 11 * h)) // second pusher: timeouts fire
+      q.processAllAvailable()
+      assert(emitted() == Set(("A", t0 + 1 * h, t0 + 2 * h, 1 * h),
+        ("A", t0 + 3 * h, t0 + 6 * h, 3 * h)), s"got ${emitted()}")
+      // the batch operator on the same sealed data agrees
+      val batch = graft.operators.Intervals.gaps(
+        Seq(("A", t0, t0 + 1 * h), ("A", t0 + 2 * h, t0 + 3 * h),
+          ("A", t0 + 6 * h, t0 + 7 * h),
+          ("B", t0, t0 + 2 * h), ("B", t0 + 1 * h, t0 + 3 * h))
+          .toDF("sid", "starttime", "endtime"), Seq("sid"), h / 2)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(batch == emitted(), s"batch $batch vs stream ${emitted()}")
+      // sealed state is O(1): a station silent for "days" still yields
+      // its gap when it resumes (runMax persisted after finalization)
+      in.addData(("A", t0 + 100 * h, t0 + 101 * h))
+      q.processAllAvailable()
+      in.addData(("C", t0 + 120 * h, t0 + 121 * h)) // pusher
+      q.processAllAvailable()
+      in.addData(("C", t0 + 122 * h, t0 + 123 * h)) // second pusher
+      q.processAllAvailable()
+      assert(emitted().contains(("A", t0 + 7 * h, t0 + 100 * h, 93 * h)),
+        s"idle-resume gap missing: ${emitted()}")
+    } finally q.stop()
+  }
+
   test("streaming dedup passes first arrival per fingerprint, drops later copies") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
