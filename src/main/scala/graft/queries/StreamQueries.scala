@@ -111,6 +111,60 @@ object StreamQueries {
       SELECT user_id, gap_start, next_start AS gap_end,
              next_start - gap_start AS gap_ns
       FROM g WHERE next_start IS NOT NULL
-        AND gap_start + 43200000000000 < next_start"""))
+        AND gap_start + 43200000000000 < next_start""")),
+
+    // ---- STREAMING sessionization (round 7, was spec-only): event
+    //      POINTS per user replay through the file source and
+    //      `SessionizeStream.sessionize` (one open session of state
+    //      per key) must close EXACTLY the sessions the batch islands
+    //      SQL derives. A flush point per key 10 days ahead closes
+    //      every real session; the flush singletons themselves stay
+    //      open and unemitted.
+    Q("q101_stream_sessionize", (s, dir) => {
+      import s.implicits._
+      import graft.streaming.SessionizeStream
+      val tol = 6L * 3600L * 1_000_000_000L // 6 h between events
+      val pts = Tables.eventsUs(s, dir)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id").cast("string").as("key"),
+          col("ts").cast("long").as("ts"))
+      val maxTs = pts.agg(max("ts")).collect()(0).getLong(0)
+      val flush = pts.select("key").distinct()
+        .withColumn("ts", lit(maxTs + 10L * 86400L * 1_000_000_000L))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q101").toString
+      pts.unionByName(flush)
+        .repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream
+        .schema(s.read.parquet(tmp).schema).parquet(tmp)
+        .as[SessionizeStream.Point]
+      val sessions = SessionizeStream.sessionize(stream, tolNs = tol)
+      val sink = "q101_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(col("key").cast("long").as("user_id"),
+          col("seg_start"), col("seg_end"), col("n_members"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some("""
+      WITH p AS (SELECT user_id, epoch_ns(ts) AS t FROM events
+                 WHERE ts IS NOT NULL),
+      o AS (SELECT user_id, t,
+              LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM p),
+      f AS (SELECT user_id, t,
+              CASE WHEN prev IS NULL OR t - prev > 21600000000000
+                   THEN 1 ELSE 0 END AS flag FROM o),
+      g AS (SELECT user_id, t,
+              SUM(flag) OVER (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM f)
+      SELECT user_id, MIN(t) AS seg_start, MAX(t) AS seg_end,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM g GROUP BY user_id, grp"""))
   )
 }
