@@ -122,6 +122,7 @@ object DomainBench {
         Seq("network", "station", "location", "channel"), 0L).count()
     }
 
+
     // 4. bulk interval join: 10k random-ish windows vs index
     val reqs = spark.range(10000).select(
       concat(lit("N1.S"), lpad((col("id") % 10).cast("string"), 2, "0"), lit("..BHZ")).as("seed_id"),
@@ -345,6 +346,16 @@ object DomainBench {
         i => (i % 97).cast("double")).as("samples"))
       .localCheckpoint(true) // synth cost excluded from sink timing
     val segBytesMb = 4000.0 * 1000 * 8 / 1e6 // payload doubles, pre-encoding
+    // SDS export: the same 4000 segments through a real parquet bank,
+    // re-chunked into the day-partitioned layout (one clustering
+    // shuffle + partitioned write); put/index setup untimed
+    val sdsBank = new WaveBank(spark, s"$root/sdsbank")
+    sdsBank.putWaveforms(sinkSegs)
+    val (tSds, nSdsParts) = time {
+      sdsBank.exportSds(s"$root/sds")
+      val dirs = new java.io.File(s"$root/sds").listFiles()
+      if (dirs == null) 0L else dirs.count(_.isDirectory).toLong
+    }
     val (tSinkParquet, _) = time {
       sinkSegs.write.mode("overwrite").parquet(s"$root/sink_pq"); 1L
     }
@@ -435,7 +446,7 @@ object DomainBench {
       "read_index_s" -> tRead,
       "read_index_cache_fill_s" -> tCacheFill,
       "read_index_cache_hit_s" -> tCacheHit,
-      "gaps_s" -> tGaps,
+      "gaps_s" -> tGaps, "sds_export_s" -> tSds,
       "bulk_join_10k_s" -> tBulk, "bulk_join_10k_bnlj_s" -> tBulkBnl,
       "bulk_join_10k_banded_s" -> tBulkBanded,
       "index_build_v2_s" -> tIndexV2,
@@ -462,6 +473,7 @@ object DomainBench {
         "bigidx_read_unsorted_s" -> tRaw,
         "bigidx_read_clustered_s" -> tSorted) }
     val counts = Seq("n_indexed" -> nIdx, "n_read" -> nRead, "n_gaps" -> nGaps,
+      "n_sds_partitions" -> nSdsParts,
       "n_bulk" -> nBulk, "n_bulk_banded" -> nBulkBanded,
       "n_indexed_v2" -> nIdxV2, "n_big_records" -> nBigRecs,
       "big_file_partitions" -> bigParts.toLong, "n_tx_rows" -> nTxRows,

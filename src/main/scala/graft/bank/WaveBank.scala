@@ -124,10 +124,32 @@ class WaveBank(spark: SparkSession, root: String,
     else clustered.write.mode(SaveMode.Append).parquet(indexPath)
   }
 
-  /** Rewrite the index's accumulated append-files into compacted ones
-    * (content-neutral; txIndex mode only).
+  /** Rewrite the index's accumulated append files into one globally
+    * re-clustered file set. Each append batch is sorted at write time,
+    * but successive batches overlap in key range; compaction restores
+    * store-wide disjoint (NSLC, starttime) slices — file-level pruning
+    * on top of row-group pruning — and collapses the per-update small
+    * files. Content-neutral: same rows (indexed_at preserved, so the
+    * mtime watermark and incremental updates are untouched), new
+    * layout. Plain-parquet banks swap via temp dir + rename (readers
+    * see old or new, never a mix — the EventBank writeSwap shape); tx
+    * banks delegate to the log's commit-atomic compact.
     */
-  def compactIndex(): Unit = { require(txIndex); txTable.compact(); () }
+  def compactIndex(): Unit =
+    if (txIndex) { txTable.compact(); () }
+    else {
+      indexDf
+        .sort("network", "station", "location", "channel", "starttime")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexPath.compact.tmp")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath.compact.tmp"),
+        new org.apache.hadoop.fs.Path(indexPath))
+      // cached entries snapshot the pre-compact store; the listing
+      // stamp changed anyway, but clear eagerly
+      indexCache.foreach(_.clear())
+    }
   /** WaveBank's ±1 s interval-query buffer (`wavebank.py:173`). */
   val bufferNs: Long = 1_000_000_000L
 

@@ -226,6 +226,30 @@ class BankSpec extends SparkSpec {
     assert(bank.readIndex(network = "N2").count() == 1)
   }
 
+  test("wavebank: plain-parquet compactIndex re-clusters without changing content") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segmentDf)
+    bank.putWaveforms(Seq(("N2", "S9", "", "HHZ", 0L, 10L, Array.fill(10)(0.0)))
+      .toDF("network", "station", "location", "channel",
+            "starttime", "sampling_period", "samples"))
+    val before = bank.readIndex().collect().map(_.mkString("|")).sorted.toSeq
+    def files(): Int = new java.io.File(s"$root/index").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val nBefore = files()
+    bank.compactIndex()
+    // content identical (indexed_at preserved), layout collapsed
+    assert(bank.readIndex().collect().map(_.mkString("|")).sorted.toSeq == before)
+    assert(files() < nBefore, s"expected fewer files than $nBefore")
+    // the mtime watermark survives compaction: the next update is still
+    // incremental (appends exactly the one new segment, no re-index)
+    bank.putWaveforms(Seq(("N3", "S8", "", "HHZ", 0L, 10L, Array.fill(10)(0.0)))
+      .toDF("network", "station", "location", "channel",
+            "starttime", "sampling_period", "samples"))
+    assert(bank.readIndex().count() == before.size + 1)
+    assert(bank.readIndex(network = "N3").count() == 1)
+  }
+
   test("wavebank: gsg segment store — real record files, same query surface") {
     val root = tmp()
     val bank = new WaveBank(spark, root, segmentFormat = "gsg")
