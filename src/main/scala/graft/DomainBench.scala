@@ -79,6 +79,9 @@ object DomainBench {
     // identical plan.
     val idxScale = sys.env.get("GRAFT_BENCH_INDEX_ROWS").map(_.toLong)
     val pruneTimes = idxScale.map { n =>
+      require(n >= 100000,
+        s"GRAFT_BENCH_INDEX_ROWS=$n too small: below 1000 rows/station " +
+          "the hour modulus degenerates (and the probe window empties)")
       val stations = 1000L
       val nHrs = n / stations
       // raw order = SCRAMBLED station and time (a real archive's file
@@ -99,12 +102,11 @@ object DomainBench {
       spark.read.parquet(s"$root/bigidx_raw")
         .sort("network", "station", "location", "channel", "starttime")
         .write.mode("overwrite").parquet(s"$root/bigidx_sorted")
-      val nHours = n / stations
       def probe(dir: String): (Double, Long) = time {
         spark.read.parquet(dir)
           .filter(col("station") === "S0123" &&
             graft.operators.Intervals.overlaps(
-              (nHours / 2) * hourNs, (nHours / 2 + 24) * hourNs,
+              (nHrs / 2) * hourNs, (nHrs / 2 + 24) * hourNs,
               1_000_000_000L))
           .count()
       }
@@ -353,8 +355,14 @@ object DomainBench {
     sdsBank.putWaveforms(sinkSegs)
     val (tSds, nSdsParts) = time {
       sdsBank.exportSds(s"$root/sds")
-      val dirs = new java.io.File(s"$root/sds").listFiles()
-      if (dirs == null) 0L else dirs.count(_.isDirectory).toLong
+      // LEAF partition dirs (network/station/channel/day), not the
+      // single top-level network dir
+      def leaves(f: java.io.File): Long = {
+        val subs = Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory)
+        if (subs.isEmpty) 1L else subs.map(leaves).sum
+      }
+      leaves(new java.io.File(s"$root/sds"))
     }
     val (tSinkParquet, _) = time {
       sinkSegs.write.mode("overwrite").parquet(s"$root/sink_pq"); 1L

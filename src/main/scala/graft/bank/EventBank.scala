@@ -65,8 +65,11 @@ class EventBank(spark: SparkSession, root: String,
     */
   private def clustered(df: DataFrame): DataFrame = df.sort("time")
 
-  /** Overwrite the index dir with `df` via a temp-dir swap (parquet
-    * dirs are immutable once written, so this is atomic-ish).
+  /** Overwrite the index dir with `df` via a two-rename swap
+    * (old→trash, tmp→live): the no-index window is the instant between
+    * the renames, and a crash in it leaves both dirs on disk for manual
+    * recovery — a dir swap on a filesystem cannot be truly atomic; use
+    * `txIndex` for commit-atomic overwrites under concurrent readers.
     */
   private def writeSwap(df: DataFrame): Unit =
     if (txIndex) { txTable.overwrite(clustered(df)); () }
@@ -74,9 +77,14 @@ class EventBank(spark: SparkSession, root: String,
       clustered(df).write.mode(SaveMode.Overwrite).parquet(s"$indexPath.tmp")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      fs.delete(p, true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath.tmp"), p)
+      val live = new org.apache.hadoop.fs.Path(indexPath)
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath.tmp")
+      val trash = new org.apache.hadoop.fs.Path(s"$indexPath.old")
+      fs.delete(trash, true) // stale trash from an interrupted swap
+      if (fs.exists(live)) fs.rename(live, trash)
+      fs.rename(tmp, live)
+      fs.delete(trash, true)
+      ()
     }
 
   /** Upsert events by id: newest `updated` wins (the delete-then-append

@@ -102,10 +102,14 @@ class WaveBank(spark: SparkSession, root: String,
         spark.sparkContext.hadoopConfiguration)
       val p = new org.apache.hadoop.fs.Path(indexPath)
       if (!fs.exists(p)) -1L
-      else fs.listStatus(p).foldLeft(17L) { (h, st) =>
-        ((h * 31 + st.getPath.getName.hashCode) * 31 +
-          st.getModificationTime) * 31 + st.getLen
-      }
+      // sort by name first: listStatus order is NOT guaranteed stable,
+      // and an order-dependent fold would stamp an unchanged store
+      // differently across calls — silently evicting every cache entry
+      else fs.listStatus(p).sortBy(_.getPath.getName)
+        .foldLeft(17L) { (h, st) =>
+          ((h * 31 + st.getPath.getName.hashCode) * 31 +
+            st.getModificationTime) * 31 + st.getLen
+        }
     }
 
   /** Append one index batch, clustered for parquet row-group pruning:
@@ -131,21 +135,30 @@ class WaveBank(spark: SparkSession, root: String,
     * on top of row-group pruning — and collapses the per-update small
     * files. Content-neutral: same rows (indexed_at preserved, so the
     * mtime watermark and incremental updates are untouched), new
-    * layout. Plain-parquet banks swap via temp dir + rename (readers
-    * see old or new, never a mix — the EventBank writeSwap shape); tx
-    * banks delegate to the log's commit-atomic compact.
+    * layout. Plain-parquet banks swap via two renames (old→trash,
+    * tmp→live): the no-index window is the instant between them, and a
+    * crash in it leaves BOTH the trash and tmp dirs on disk for manual
+    * recovery — dir swaps on a filesystem cannot be truly atomic, so
+    * run compaction from the (single) writer role, or use `txIndex`
+    * where compaction is a commit. Tx banks delegate to the log's
+    * commit-atomic compact.
     */
   def compactIndex(): Unit =
     if (txIndex) { txTable.compact(); () }
+    else if (!indexExists) () // fresh bank: nothing to compact
     else {
       indexDf
         .sort("network", "station", "location", "channel", "starttime")
         .write.mode(SaveMode.Overwrite).parquet(s"$indexPath.compact.tmp")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath.compact.tmp"),
-        new org.apache.hadoop.fs.Path(indexPath))
+      val live = new org.apache.hadoop.fs.Path(indexPath)
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath.compact.tmp")
+      val trash = new org.apache.hadoop.fs.Path(s"$indexPath.compact.old")
+      fs.delete(trash, true) // stale trash from an interrupted compact
+      fs.rename(live, trash)
+      fs.rename(tmp, live)
+      fs.delete(trash, true)
       // cached entries snapshot the pre-compact store; the listing
       // stamp changed anyway, but clear eagerly
       indexCache.foreach(_.clear())
@@ -245,21 +258,25 @@ class WaveBank(spark: SparkSession, root: String,
       col("sampling_period"), col("path"))
       .withColumn("indexed_at", lit(System.currentTimeMillis() * 1000000L))
       .withColumn("index_version", lit(indexVersion))
-    // Index de-dup: the −1 ms slack means a file whose mtime lands in
-    // the same millisecond as the previous pass's `indexed_at` stamp
-    // would be re-included — anti-join the candidates against the paths
-    // the BOUNDARY pass (indexed_at == lastIndexed; files are immutable
-    // staged writes, so only that pass can collide) already indexed,
+    // Index de-dup: the −1 ms slack (or ANY storage-clock skew putting a
+    // file's mtime ahead of the driver clock) can re-list an already-
+    // indexed file — drop candidates whose path the index already holds,
     // making updateIndex idempotent instead of
-    // tolerate-duplicates-like-the-reference. The right side is one
-    // update batch, the left the newly-modified files — both small in
-    // steady state, so the anti join never touches the bulk of the index.
+    // tolerate-duplicates-like-the-reference. Plan shape: the candidate
+    // paths (the incremental batch — small by the watermark contract)
+    // BROADCAST into a semi join against the index's pruned path column,
+    // whose result is candidate-bounded and broadcasts back into the
+    // anti join — the index is scanned once (one column) and NEVER
+    // shuffled, the same cost class as the `max(indexed_at)` probe above.
     val deduped =
       if (lastIndexed == Long.MinValue) newIndex
-      else newIndex.join(
-        indexDf.filter(col("indexed_at") >= lit(lastIndexed)).select("path"),
-        Seq("path"), "left_anti")
-        .select(newIndex.columns.map(col): _*) // join fronts the key; keep store order
+      else {
+        val seen = indexDf.select("path").join(
+          broadcast(newIndex.select("path").distinct()), Seq("path"),
+          "left_semi")
+        newIndex.join(broadcast(seen), Seq("path"), "left_anti")
+          .select(newIndex.columns.map(col): _*) // join fronts the key; keep store order
+      }
     if (deduped.limit(1).count() > 0) {
       indexAppend(deduped)
       // cached readIndex entries are snapshots of the pre-append index

@@ -92,32 +92,47 @@ object IntervalJoin {
     p.join(r, cond).drop("_band").drop(keyCols.map(k => s"__req_$k"): _*)
   }
 
+  /** Hard ceiling on how many bands one request may explode into under
+    * the AUTO width: bounds the per-request `sequence()` length (Spark
+    * arrays cap at ~2.1e9 elements — an uncapped width of 1 ns under a
+    * 60 s outlier request would try 6e10) and the request-side
+    * replication factor. A caller-supplied explicit `bandNs` is taken
+    * as-is: the caller owns that knob.
+    */
+  private[graft] val MaxBandsPerRequest = 4096L
+
   /** Measured auto band width (used when the caller passes none): one
     * scalar aggregate over the REQUEST side — the MEDIAN interval
-    * span — so a typical request explodes into ≈2 bands and a point's
-    * candidate window is ~3 spans wide. The operator-level analog of
-    * [[graft.plans.BandedRangeJoinRule]]'s CBO-stats derivation: the
-    * planner rule must read ANALYZE TABLE statistics because it cannot
-    * run jobs mid-optimization, while an eagerly-invoked operator can
-    * afford one tiny agg (single-row collect, request side only, never
-    * the fact side) and gets the TRUE typical span instead of an
-    * extent/rowcount estimate. Median, not mean: one unfiltered
-    * open-ended sentinel interval would stretch a mean by orders of
-    * magnitude and silently widen EVERY request's candidate window,
-    * while the median ignores the outlier (whose own band explosion
-    * stays capped by its span/width ratio — erring wide is the safe
-    * direction). A 10⁷-row width sweep (BASELINE.md, round 7)
-    * measured the typical-span width AT the optimum: cost is flat
-    * from 1× to 2× the span, +19% at 0.5× (the old fixed default),
-    * and diverges steeply below (15× at span/12, where band
-    * replication dominates).
+    * span, floored so the WIDEST request still explodes into at most
+    * [[MaxBandsPerRequest]] bands — so a typical request explodes into
+    * ≈2 bands and a point's candidate window is ~3 spans wide. The
+    * operator-level analog of [[graft.plans.BandedRangeJoinRule]]'s
+    * CBO-stats derivation: the planner rule must read ANALYZE TABLE
+    * statistics because it cannot run jobs mid-optimization, while an
+    * eagerly-invoked operator can afford one tiny agg (single-row
+    * collect, request side only, never the fact side) and gets the
+    * TRUE typical span instead of an extent/rowcount estimate.
+    * Median, not mean: one unfiltered open-ended sentinel interval
+    * would stretch a mean by orders of magnitude and silently widen
+    * EVERY request's candidate window, while the median ignores the
+    * outlier — and the max-span floor keeps that outlier's own band
+    * explosion bounded (a point-dominated set with a 0 median plus one
+    * wide request would otherwise derive a 1 ns width and blow the
+    * sequence; erring wide is the safe direction, erring narrow is a
+    * crash). A 10⁷-row width sweep (BASELINE.md, round 7) measured the
+    * typical-span width AT the optimum: cost is flat from 1× to 2× the
+    * span, +19% at 0.5× (the old fixed default), and diverges steeply
+    * below (15× at span/12, where band replication dominates).
     */
   private[graft] def autoBandNs(requests: DataFrame,
                                 t1Col: String, t2Col: String): Long = {
-    val r = requests.agg(expr(
-      s"approx_percentile(cast($t2Col as double) - cast($t1Col as double), 0.5)"))
-      .head()
-    val span = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    math.max(1L, math.round(span))
+    val spanExpr = s"cast($t2Col as double) - cast($t1Col as double)"
+    val r = requests.agg(
+      expr(s"approx_percentile($spanExpr, 0.5)"),
+      expr(s"max($spanExpr)")).head()
+    val med = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    val max = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+    math.max(1L, math.max(math.round(med),
+      math.ceil(max / MaxBandsPerRequest).toLong))
   }
 }

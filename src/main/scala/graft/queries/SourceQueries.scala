@@ -115,11 +115,10 @@ object SourceQueries {
         .groupBy("fam", "slot").agg((min("event_id") % 512).as("v0"))
         .collect() // bounded: ≤ 5 families × 24 slots = 120 record specs
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q90_mseed")
-      // fresh dir: stale records from a previous run must not join the scan
-      if (out.exists()) out.listFiles().foreach(f => { f.delete(); () })
-      else { out.mkdirs(); () }
+      // per-run temp dir: a fixed shared path would race concurrent
+      // executions (one deleting the other's records mid-write)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q90-mseed").toFile
       specs.groupBy(_._1).foreach { case (fam, rs) =>
         val fos = new java.io.FileOutputStream(
           new java.io.File(out, s"fam$fam.mseed"))

@@ -224,6 +224,11 @@ class BankSpec extends SparkSpec {
             "starttime", "sampling_period", "samples"))
     assert(bank.readIndex().count() == 5)
     assert(bank.readIndex(network = "N2").count() == 1)
+    // cross-pass clock skew: the future-mtime files re-list AGAIN in a
+    // pass whose most recent batch is someone else's (N2's) — the
+    // full-path dedup must still refuse them
+    bank.updateIndex()
+    assert(bank.readIndex().count() == 5)
   }
 
   test("wavebank: plain-parquet compactIndex re-clusters without changing content") {

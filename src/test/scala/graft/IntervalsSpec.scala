@@ -75,11 +75,25 @@ class IntervalsSpec extends SparkSpec {
       .toDF("k", "t1", "t2")
     // median span of (100, 20, 20) — an outlier-heavy mean would be 47
     assert(IntervalJoin.autoBandNs(reqs, "t1", "t2") == 20L)
-    // robustness: an open-ended sentinel interval must not widen the
-    // derived band (a mean would explode to ~10^17 here)
+    // robustness: an open-ended sentinel interval must not derive a
+    // width that lets it EXPLODE — the max-span floor caps any single
+    // request at MaxBandsPerRequest bands (an uncapped median-only
+    // width of ~20 ns would sequence ~2·10^17 bands here and crash),
+    // while the median still keeps the width from ballooning to the
+    // sentinel's own scale (a mean would)
     val withSentinel = reqs.unionByName(
       Seq(("u1", 0L, 4_000_000_000_000_000_000L)).toDF("k", "t1", "t2"))
-    assert(IntervalJoin.autoBandNs(withSentinel, "t1", "t2") <= 100L)
+    val wS = IntervalJoin.autoBandNs(withSentinel, "t1", "t2")
+    assert(wS >= 4_000_000_000_000_000_000L / IntervalJoin.MaxBandsPerRequest)
+    assert(wS < 4_000_000_000_000_000_000L) // far below the sentinel span
+    // ...and the previously-crashing shape now RUNS and matches the
+    // broadcast path: point-dominated spans (median 0) + one wide request
+    val pointReqs = Seq(("u1", 5L, 5L), ("u1", 95L, 95L), ("u1", 250L, 250L),
+      ("u2", 40L, 40L), ("u1", 0L, 60_000_000_000L)).toDF("k", "t1", "t2")
+    assert(IntervalJoin.bandedPoints(points, pointReqs, Seq("k"), "ts")
+      .collect().map(_.toString).sorted.toSeq ==
+      IntervalJoin.pointsInRanges(points, pointReqs, Seq("k"), "ts")
+        .collect().map(_.toString).sorted.toSeq)
     def rows(bandNs: Long) =
       IntervalJoin.bandedPoints(points, reqs, Seq("k"), "ts", bandNs)
         .collect().map(_.toString).sorted.toSeq
