@@ -92,6 +92,52 @@ class IntervalPropertySpec extends SparkSpec {
     }
   }
 
+  test("streaming gaps match the batch operator on random multi-batch replays") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1_000_000_000_000_000_000L
+    val ns = 1_000_000_000L
+    for (seed <- Seq(11, 23, 57)) {
+      val rnd = new Random(seed)
+      val ivs = (0 until (20 + rnd.nextInt(30))).map { _ =>
+        val s = rnd.nextInt(1000).toLong
+        (s"k${rnd.nextInt(3)}", t0 + s * ns,
+          t0 + (s + 1 + rnd.nextInt(120)) * ns)
+      }
+      // event-time-ordered chunks (so no chunk is late vs the previous
+      // chunk's watermark), but SHUFFLED inside each chunk — the
+      // within-watermark reorder the buffer must absorb
+      val chunks = ivs.sortBy(iv => (iv._2, iv._3))
+        .grouped(math.max(1, ivs.size / 3)).toSeq
+        .map(c => new Random(seed).shuffle(c))
+      val in = MemoryStream[(String, Long, Long)]
+      val gaps = graft.streaming.StreamingIntervals.gapStream(
+        in.toDF().toDF("k", "starttime", "endtime"),
+        "k", "starttime", "endtime", minGap = 7 * ns,
+        watermark = "10 seconds")
+      val sink = s"sgaps_prop_$seed"
+      val q = gaps.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sgp").toString)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+        // two pushers: the first advances the watermark over all real
+        // rows, the second lets the armed timeouts fire
+        val far = t0 + 1_000_000L * ns
+        in.addData(("zz", far, far + ns)); q.processAllAvailable()
+        in.addData(("zz", far + 100 * ns, far + 101 * ns))
+        q.processAllAvailable()
+        val got = spark.table(sink).as[(String, Long, Long, Long)]
+          .collect().toSet.filterNot(_._1 == "zz")
+        val want = Intervals.gaps(
+          ivs.toDF("k", "starttime", "endtime"), Seq("k"), 7 * ns)
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(got == want, s"seed=$seed: stream $got vs batch $want")
+      } finally { q.stop(); spark.catalog.dropTempView(sink); () }
+    }
+  }
+
   test("coalesce is idempotent and covers every input interval") {
     for (seed <- 40 to 43) {
       val ivs = randomSet(seed)
