@@ -413,6 +413,15 @@ object ScaleBench {
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
       docs.unionByName(flush).repartitionByRange(64, col("ts"))
         .write.mode("overwrite").parquet(dir)
+      // strictly increasing mtimes in range order: same-mtime files
+      // arrive in arbitrary order, and a late-arriving early range
+      // would be watermark-dropped (see the gap-stream section)
+      val mtBase = System.currentTimeMillis()
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(mtBase + i * 1000L); () }
       val stream = spark.readStream
         .schema(spark.read.parquet(dir).schema)
         .option("maxFilesPerTrigger", "8").parquet(dir)
@@ -439,7 +448,66 @@ object ScaleBench {
         s""""peak_state_bytes":$peakBytes}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson}""")
+    // streaming gap-detection throughput (env GRAFT_SCALE_GAPSTREAM=
+    // <rows>): the q100 pipeline (StreamingIntervals.gapStream) on a
+    // file-source replay of the synthEvents interval frame, range-
+    // partitioned by starttime (event-time-ordered arrival), 8 files
+    // per microbatch — rows/sec end to end, the watermark-bounded peak
+    // state, and the emitted-gap count checked against the batch
+    // operator (a flush row ahead of every real segment seals them all).
+    val gapsJson = sys.env.get("GRAFT_SCALE_GAPSTREAM").map { sN =>
+      import org.apache.spark.sql.streaming.Trigger
+      val n = sN.trim.toLong
+      val dir = s"$root/gapstream_$n"
+      val iv = graft.queries.WindowQueries.intervalsOf(synthEvents(spark, n))
+        .select(col("user_id"), col("starttime"), col("endtime"))
+      val far = 1_740_000_000_000_000_000L // 2025-02, past every synth ts
+      val flush = spark.range(1).select(lit(999999999L).as("user_id"),
+        lit(far).as("starttime"), lit(far + 1000L).as("endtime"))
+      iv.unionByName(flush).repartitionByRange(64, col("starttime"))
+        .write.mode("overwrite").parquet(dir)
+      // the file source orders same-mtime files arbitrarily; stamp
+      // strictly increasing mtimes in range (part-number) order so
+      // arrival order IS event-time order — otherwise a whole early
+      // range can arrive after the watermark passed it and be dropped
+      // as late
+      val base = System.currentTimeMillis()
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(base + i * 1000L); () }
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "8").parquet(dir)
+      val gapsDf = graft.streaming.StreamingIntervals.gapStream(
+        stream, "user_id", "starttime", "endtime",
+        minGap = 43_200_000_000_000L, watermark = "10 seconds")
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val s0 = System.nanoTime()
+      val q = gapsDf.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          emitted.addAndGet(df.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - s0) / 1e9
+      val prog = q.recentProgress
+      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+        .foldLeft(0L)(math.max)
+      val batchRows = graft.queries.WindowQueries
+        .gapsOf(synthEvents(spark, n)).count()
+      require(emitted.get == batchRows,
+        s"stream emitted ${emitted.get} gaps, batch derives $batchRows")
+      s""","gap_stream":{"rows":$n,"s":${"%.2f".format(secs)},""" +
+        s""""rows_per_sec":${"%.0f".format(n / secs)},"gaps":${emitted.get},""" +
+        s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
+        s""""peak_state_bytes":$peakBytes}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson}""")
     spark.stop()
   }
 }
