@@ -490,7 +490,9 @@ object DomainBench {
       "n_claim_wins" -> nClaimWins, "n_png_decoded" -> nDecoded,
       "n_cache_hit" -> nCacheHit) // must equal n_read: same predicate
     println("{" +
-      (metrics.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" } ++
+      // Locale.ROOT: a comma-locale JVM's "%.3f" would corrupt the JSON
+      (metrics.map { case (k, v) => s""""$k":${String.format(
+        java.util.Locale.ROOT, "%.3f", Double.box(v))}""" } ++
        counts.map { case (k, v) => s""""$k":$v""" }).mkString(",") +
       s""","n_files":$nFiles}""")
     spark.stop()

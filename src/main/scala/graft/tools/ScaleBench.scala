@@ -29,6 +29,36 @@ import graft.queries.{DedupQueries, DomainQueries, TextQueries, WindowQueries}
   */
 object ScaleBench {
 
+  /** Locale-independent fixed-point format: the default-locale
+    * `"%.2f".format` renders a decimal COMMA on comma-locale JVMs,
+    * corrupting the JSON output line.
+    */
+  private def fmt(d: Double, decimals: Int = 2): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+
+  /** Stamp `dir`'s part files with strictly increasing mtimes in part-
+    * number (range) order, so a range-partitioned write REPLAYS in
+    * event-time order: the file source orders same-mtime files
+    * arbitrarily, and an early range arriving after the watermark
+    * passed it would be silently dropped as late — the corrupted-
+    * measurement mode the round-7 BASELINE correction documents.
+    * Fails loudly when the filesystem refuses the stamp (object-store
+    * or read-only-mtime mounts) instead of reverting to that mode.
+    */
+  private def stampRangeOrderMtimes(dir: String): Unit = {
+    val base = System.currentTimeMillis()
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(parts.nonEmpty, s"no part files under $dir")
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 1000L),
+        s"setLastModified failed for $f — replay order would be " +
+          "arbitrary and late ranges silently dropped")
+    }
+  }
+
   /** 256-word vocabulary (deterministic, engine-neutral). */
   private val Vocab: Seq[String] = {
     val roots = Seq("data", "spark", "scan", "sort", "batch", "merge",
@@ -312,16 +342,16 @@ object ScaleBench {
 
     val results = scales.map(n => n -> runScale(spark, root, n))
 
-    def fmt(qr: QueryRun): String =
-      s""""${qr.name}":{"s":${"%.2f".format(qr.seconds)},"rows":${qr.rows},""" +
+    def fmtRun(qr: QueryRun): String =
+      s""""${qr.name}":{"s":${fmt(qr.seconds)},"rows":${qr.rows},""" +
         s""""checksum":${qr.checksum},"shuffles":${qr.counts.shuffles},""" +
         s""""broadcasts":${qr.counts.broadcasts},"bnlj":${qr.counts.bnlj},""" +
         s""""cartesian":${qr.counts.cartesian}""" +
         qr.ccRounds.fold("")(r => s""","cc_rounds":$r""") + "}"
 
     val scaleJson = results.map { case (n, (tGen, runs)) =>
-      s"""{"docs":$n,"gen_s":${"%.2f".format(tGen)},""" +
-        s""""queries":{${runs.map(fmt).mkString(",")}}}"""
+      s"""{"docs":$n,"gen_s":${fmt(tGen)},""" +
+        s""""queries":{${runs.map(fmtRun).mkString(",")}}}"""
     }.mkString(",")
 
     // per-query time ratio between the largest and smallest scale,
@@ -334,7 +364,7 @@ object ScaleBench {
         val (n1, (_, r1)) = results.last
         val k = n1.toDouble / n0
         val per = r0.zip(r1).map { case (a, b) =>
-          s""""${a.name}":${"%.2f".format(b.seconds / a.seconds / k)}"""
+          s""""${a.name}":${fmt(b.seconds / a.seconds / k)}"""
         }
         s""","time_vs_linear":{${per.mkString(",")}}"""
       }
@@ -356,9 +386,9 @@ object ScaleBench {
       }
       val (hs, hRows, _) = bench(hot = true)
       val (us, uRows, _) = bench(hot = false)
-      s""","hotspan":{"docs":$n,"hot_s":${"%.2f".format(hs)},""" +
-        s""""uniform_s":${"%.2f".format(us)},""" +
-        s""""ratio":${"%.2f".format(hs / us)},""" +
+      s""","hotspan":{"docs":$n,"hot_s":${fmt(hs)},""" +
+        s""""uniform_s":${fmt(us)},""" +
+        s""""ratio":${fmt(hs / us)},""" +
         s""""hot_rows":$hRows,"uniform_rows":$uRows}"""
     }.getOrElse("")
 
@@ -388,7 +418,7 @@ object ScaleBench {
       require(runs.map(_._4).distinct.size == 1,
         s"band width changed RESULTS: ${runs.map(r => r._1 -> r._4)}")
       val items = runs.map { case (w, secs, rows, sum) =>
-        s"""{"band_ns":$w,"s":${"%.2f".format(secs)},"rows":$rows,"checksum":$sum}"""
+        s"""{"band_ns":$w,"s":${fmt(secs)},"rows":$rows,"checksum":$sum}"""
       }
       s""","band_sweep":{"rows":$n,"runs":[${items.mkString(",")}]}"""
     }.getOrElse("")
@@ -413,15 +443,7 @@ object ScaleBench {
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
       docs.unionByName(flush).repartitionByRange(64, col("ts"))
         .write.mode("overwrite").parquet(dir)
-      // strictly increasing mtimes in range order: same-mtime files
-      // arrive in arbitrary order, and a late-arriving early range
-      // would be watermark-dropped (see the gap-stream section)
-      val mtBase = System.currentTimeMillis()
-      new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .sortBy(_.getName).zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(mtBase + i * 1000L); () }
+      stampRangeOrderMtimes(dir)
       val stream = spark.readStream
         .schema(spark.read.parquet(dir).schema)
         .option("maxFilesPerTrigger", "8").parquet(dir)
@@ -442,8 +464,22 @@ object ScaleBench {
         .foldLeft(0L)(math.max)
       val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
         .foldLeft(0L)(math.max)
-      s""","stream":{"docs":$n,"s":${"%.2f".format(secs)},""" +
-        s""""docs_per_sec":${"%.0f".format(n / secs)},"pairs":${pairs.get},""" +
+      // completeness guard: with ordered arrival nothing is watermark-
+      // dropped, so the stream's distinct-pair total must equal the
+      // batch pipeline's candidate-pair count on the same corpus — a
+      // silently failed mtime stamp or replay reorder fails here
+      // instead of reporting a partial corpus as a throughput number
+      // (equality holds while the 1 ms-per-doc corpus fits one 6 h
+      // window — n beyond 2.16e7 spans windows and the per-window
+      // pair sets stop being comparable to the batch global set)
+      if (n * 1_000_000L < 6L * 3600L * 1_000_000_000L) {
+        val batchPairs = graft.queries.DedupQueries
+          .minhashPairsOf(synthDocs(spark, n)).count()
+        require(pairs.get == batchPairs,
+          s"stream emitted ${pairs.get} pairs, batch derives $batchPairs")
+      }
+      s""","stream":{"docs":$n,"s":${fmt(secs)},""" +
+        s""""docs_per_sec":${fmt(n / secs, 0)},"pairs":${pairs.get},""" +
         s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
         s""""peak_state_bytes":$peakBytes}"""
     }.getOrElse("")
@@ -466,17 +502,7 @@ object ScaleBench {
         lit(far).as("starttime"), lit(far + 1000L).as("endtime"))
       iv.unionByName(flush).repartitionByRange(64, col("starttime"))
         .write.mode("overwrite").parquet(dir)
-      // the file source orders same-mtime files arbitrarily; stamp
-      // strictly increasing mtimes in range (part-number) order so
-      // arrival order IS event-time order — otherwise a whole early
-      // range can arrive after the watermark passed it and be dropped
-      // as late
-      val base = System.currentTimeMillis()
-      new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .sortBy(_.getName).zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(base + i * 1000L); () }
+      stampRangeOrderMtimes(dir)
       val stream = spark.readStream
         .schema(spark.read.parquet(dir).schema)
         .option("maxFilesPerTrigger", "8").parquet(dir)
@@ -501,8 +527,8 @@ object ScaleBench {
         .gapsOf(synthEvents(spark, n)).count()
       require(emitted.get == batchRows,
         s"stream emitted ${emitted.get} gaps, batch derives $batchRows")
-      s""","gap_stream":{"rows":$n,"s":${"%.2f".format(secs)},""" +
-        s""""rows_per_sec":${"%.0f".format(n / secs)},"gaps":${emitted.get},""" +
+      s""","gap_stream":{"rows":$n,"s":${fmt(secs)},""" +
+        s""""rows_per_sec":${fmt(n / secs, 0)},"gaps":${emitted.get},""" +
         s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
         s""""peak_state_bytes":$peakBytes}"""
     }.getOrElse("")
