@@ -404,6 +404,11 @@ object LifecycleQueries {
           starttime = Some(T0), endtime = Some(T0 + 48 * h))
         .select(lit("refresh").as("phase"), col("station"),
           col("starttime"), col("endtime"))
+        .localCheckpoint(true)
+      // don't leak persisted cache entries into the shared session —
+      // both outputs are materialized eagerly above, so unpersisting
+      // here cannot change them
+      bank.clearIndexCache()
       hit.unionByName(refresh)
     }, Some("""
       WITH base AS (
