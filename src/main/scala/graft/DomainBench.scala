@@ -80,7 +80,7 @@ object DomainBench {
     val idxScale = sys.env.get("GRAFT_BENCH_INDEX_ROWS").map(_.toLong)
     val pruneTimes = idxScale.map { n =>
       require(n >= 100000,
-        s"GRAFT_BENCH_INDEX_ROWS=$n too small: below 1000 rows/station " +
+        s"GRAFT_BENCH_INDEX_ROWS=$n too small: below 100 rows/station " +
           "the hour modulus degenerates (and the probe window empties)")
       val stations = 1000L
       val nHrs = n / stations

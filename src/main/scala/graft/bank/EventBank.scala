@@ -70,6 +70,11 @@ class EventBank(spark: SparkSession, root: String,
     * the renames, and a crash in it leaves both dirs on disk for manual
     * recovery — a dir swap on a filesystem cannot be truly atomic; use
     * `txIndex` for commit-atomic overwrites under concurrent readers.
+    * Hadoop `FileSystem.rename` reports most failures by returning
+    * `false` rather than throwing, so every rename result is checked:
+    * the trash copy is only deleted once tmp→live verifiably succeeded
+    * — a false-returning rename can never strand the store with its
+    * only surviving copy in the trash dir about to be deleted.
     */
   private def writeSwap(df: DataFrame): Unit =
     if (txIndex) { txTable.overwrite(clustered(df)); () }
@@ -81,8 +86,12 @@ class EventBank(spark: SparkSession, root: String,
       val tmp = new org.apache.hadoop.fs.Path(s"$indexPath.tmp")
       val trash = new org.apache.hadoop.fs.Path(s"$indexPath.old")
       fs.delete(trash, true) // stale trash from an interrupted swap
-      if (fs.exists(live)) fs.rename(live, trash)
-      fs.rename(tmp, live)
+      if (fs.exists(live))
+        require(fs.rename(live, trash),
+          s"EventBank swap: rename $live -> $trash failed; store unchanged")
+      require(fs.rename(tmp, live),
+        s"EventBank swap: rename $tmp -> $live failed; previous index " +
+          s"preserved at $trash")
       fs.delete(trash, true)
       ()
     }

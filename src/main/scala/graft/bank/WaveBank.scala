@@ -53,14 +53,121 @@ class WaveBank(spark: SparkSession, root: String,
   /** Transactional index table (when `txIndex`). */
   lazy val txTable: TxTable = new TxTable(spark, indexPath)
 
+  private def hadoopFs: org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Current-pointer file for the plain-parquet index: holds the NAME
+    * of the live index directory (`index` for a never-compacted store,
+    * `index.g<N>` after N+1 compactions). [[compactIndex]] writes the
+    * re-clustered store to a fresh generation dir and then swaps this
+    * pointer in ONE atomic rename — readers resolve the pointer at
+    * read time, so no read ever observes a missing index dir, and a
+    * crash at any instant leaves the pointer on a complete generation
+    * (orphan half-written generations are garbage-collected by the
+    * next compact). Absent pointer = the legacy `index` dir, so
+    * pre-existing stores (and external tools writing `root/index`
+    * directly) keep working unchanged.
+    */
+  private val ptrFile =
+    new org.apache.hadoop.fs.Path(s"$root/index.ptr")
+
+  /** Monotonic store-stamp file: `"<counter> <nonce>"`, bumped by every
+    * bank write ([[updateIndex]]'s append/rewrite, [[compactIndex]]).
+    * [[indexStamp]] prefers it over the directory-listing fingerprint —
+    * see there for the trust model.
+    */
+  private val stampFile =
+    new org.apache.hadoop.fs.Path(s"$root/index.stamp")
+
+  private def readSmallFile(p: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = hadoopFs
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Atomic small-file publish: write a hidden tmp then rename OVER the
+    * destination via `FileContext` (Hadoop's only rename that overwrites
+    * atomically) — a reader sees either the old or the new content,
+    * never a missing or truncated file.
+    */
+  private def atomicWriteSmall(dst: org.apache.hadoop.fs.Path,
+                               content: String): Unit = {
+    val fs = hadoopFs
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      s".${dst.getName}.tmp")
+    val os = fs.create(tmp, true)
+    try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def bumpStamp(): Unit = {
+    val c = readSmallFile(stampFile)
+      .flatMap(_.split(' ').headOption)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(0L)
+    atomicWriteSmall(stampFile,
+      s"${c + 1} ${java.util.UUID.randomUUID()}")
+  }
+
+  /** Name (relative to root) of the live plain-parquet index dir. */
+  private def liveIndexName: String =
+    readSmallFile(ptrFile).getOrElse("index")
+
+  private def liveIndexPath: String = s"$root/$liveIndexName"
+
+  private def isIndexDirName(n: String): Boolean =
+    n == "index" || n.matches("index\\.g\\d+")
+
   private def indexExists: Boolean =
     if (txIndex) txTable.latestVersion() >= 0
-    else org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(indexPath))
+    else hadoopFs.exists(new org.apache.hadoop.fs.Path(liveIndexPath))
 
   private def indexDf: DataFrame =
-    if (txIndex) txTable.read() else spark.read.parquet(indexPath)
+    if (txIndex) txTable.read() else spark.read.parquet(liveIndexPath)
+
+  /** Publish `df` as a new index generation: write to a fresh
+    * `index.g<N>` dir (invisible to readers until the pointer moves),
+    * swap [[ptrFile]] atomically, bump the stamp, then garbage-collect
+    * every generation except the new one and the one just replaced —
+    * the grace copy that keeps a reader who resolved the pointer
+    * an instant before the swap scanning a complete dir. Single-writer
+    * contract (concurrent appends between this method's read and its
+    * swap would be lost); `txIndex` is the multi-writer answer.
+    */
+  private def writeGeneration(df: DataFrame): Unit = {
+    val fs = hadoopFs
+    val prev = liveIndexName
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    def indexDirs: Seq[String] =
+      fs.listStatus(rootPath).map(_.getPath.getName).toSeq
+        .filter(isIndexDirName)
+    val nextGen = (indexDirs.collect {
+      case n if n.startsWith("index.g") => n.stripPrefix("index.g").toLong
+    } :+ -1L).max + 1
+    val target = s"index.g$nextGen"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$target")
+    atomicWriteSmall(ptrFile, target)
+    bumpStamp()
+    indexDirs.filter(n => n != target && n != prev)
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
+    // cached entries snapshot the pre-swap store; the stamp changed
+    // anyway, but clear eagerly
+    indexCache.foreach(_.clear())
+  }
 
   /** Opt-in containment cache over `readIndex` (`indexCacheSize` > 0):
     * repeated index queries whose interval falls inside a recent one
@@ -70,14 +177,14 @@ class WaveBank(spark: SparkSession, root: String,
     *
     * MULTI-WRITER SAFE: every containment hit is guarded by
     * [[indexStamp]] — a driver-side store-version probe (tx commit
-    * version, or a directory-listing fingerprint for plain parquet;
-    * no Spark job either way). A second WaveBank instance (or an
-    * external process) appending to the same root changes the stamp,
-    * so this instance's next query evicts its stale snapshots and
-    * re-reads — no [[clearIndexCache]] call needed. The stamp probe
-    * is a filesystem metadata round trip per query; [[clearIndexCache]]
-    * remains as the manual override (e.g. after an out-of-band write
-    * on a store whose listing metadata is not trustworthy).
+    * version, the monotonic stamp file for bank-written plain parquet,
+    * or a directory-listing fingerprint for stores predating the stamp;
+    * no Spark job in any case). A second WaveBank instance (or another
+    * process using the bank API) writing to the same root changes the
+    * stamp, so this instance's next query evicts its stale snapshots
+    * and re-reads — no [[clearIndexCache]] call needed.
+    * [[clearIndexCache]] remains as the manual override (e.g. after an
+    * out-of-band write by a tool that bypasses the bank API).
     */
   private[graft] val indexCache: Option[IndexCache] =
     if (indexCacheSize > 0) Some(new IndexCache(indexCacheSize)) else None
@@ -90,26 +197,45 @@ class WaveBank(spark: SparkSession, root: String,
   def clearIndexCache(): Unit = indexCache.foreach(_.clear())
 
   /** Cheap store-version stamp for cache-staleness detection: the tx
-    * commit version when the index is transactional, else a
-    * fingerprint of the index directory listing (name, mtime, length
-    * per file — appends add files, rewrites change mtimes). Driver-
-    * side filesystem metadata only; never launches a Spark job.
+    * commit version when the index is transactional; else the stamp
+    * FILE when present (`"<counter> <nonce>"` — every bank-API write
+    * bumps the counter and rolls the nonce, so the stamp is exact and
+    * LISTING-INDEPENDENT: a rewrite preserving every file's name,
+    * length and mtime tick still changes it, and the probe is one
+    * small-file read instead of a directory listing); else — a store
+    * never written through this bank's API — the legacy fingerprint of
+    * the live dir's listing (name, mtime, length per file). Driver-side
+    * filesystem metadata only; never launches a Spark job.
+    *
+    * Trust model: the stamp file is authoritative for stores whose
+    * writers all go through the bank API (any number of instances or
+    * processes — q99's second-writer scenario). A store ALSO written by
+    * external tools dropping parquet files straight into the index dir
+    * should delete the stamp file (falling back to the listing
+    * fingerprint, which catches external appends) or call
+    * [[clearIndexCache]] after out-of-band writes.
     */
-  private def indexStamp(): Long =
+  private[graft] def indexStamp(): Long =
     if (txIndex) txTable.latestVersion()
-    else {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      if (!fs.exists(p)) -1L
-      // sort by name first: listStatus order is NOT guaranteed stable,
-      // and an order-dependent fold would stamp an unchanged store
-      // differently across calls — silently evicting every cache entry
-      else fs.listStatus(p).sortBy(_.getPath.getName)
-        .foldLeft(17L) { (h, st) =>
-          ((h * 31 + st.getPath.getName.hashCode) * 31 +
-            st.getModificationTime) * 31 + st.getLen
-        }
+    else if (!indexExists) -1L
+    else readSmallFile(stampFile) match {
+      case Some(s) =>
+        val counter = s.split(' ').headOption
+          .flatMap(c => scala.util.Try(c.toLong).toOption).getOrElse(0L)
+        // monotonic counter in the high bits, nonce hash in the low —
+        // concurrent bumps that collide on the counter still differ
+        (counter << 32) | (s.hashCode.toLong & 0xFFFFFFFFL)
+      case None =>
+        val fs = hadoopFs
+        val p = new org.apache.hadoop.fs.Path(liveIndexPath)
+        // sort by name first: listStatus order is NOT guaranteed stable,
+        // and an order-dependent fold would stamp an unchanged store
+        // differently across calls — silently evicting every cache entry
+        fs.listStatus(p).sortBy(_.getPath.getName)
+          .foldLeft(17L) { (h, st) =>
+            ((h * 31 + st.getPath.getName.hashCode) * 31 +
+              st.getModificationTime) * 31 + st.getLen
+          }
     }
 
   /** Append one index batch, clustered for parquet row-group pruning:
@@ -125,7 +251,10 @@ class WaveBank(spark: SparkSession, root: String,
     val clustered = df.sort("network", "station", "location", "channel",
       "starttime")
     if (txIndex) { txTable.append(clustered); () }
-    else clustered.write.mode(SaveMode.Append).parquet(indexPath)
+    else {
+      clustered.write.mode(SaveMode.Append).parquet(liveIndexPath)
+      bumpStamp()
+    }
   }
 
   /** Rewrite the index's accumulated append files into one globally
@@ -135,34 +264,21 @@ class WaveBank(spark: SparkSession, root: String,
     * on top of row-group pruning — and collapses the per-update small
     * files. Content-neutral: same rows (indexed_at preserved, so the
     * mtime watermark and incremental updates are untouched), new
-    * layout. Plain-parquet banks swap via two renames (old→trash,
-    * tmp→live): the no-index window is the instant between them, and a
-    * crash in it leaves BOTH the trash and tmp dirs on disk for manual
-    * recovery — dir swaps on a filesystem cannot be truly atomic, so
-    * run compaction from the (single) writer role, or use `txIndex`
-    * where compaction is a commit. Tx banks delegate to the log's
-    * commit-atomic compact.
+    * layout. Plain-parquet banks publish through [[writeGeneration]]'s
+    * pointer swap: the re-clustered store lands in a fresh generation
+    * dir and becomes visible in one atomic pointer rename, so
+    * concurrent readers never observe a missing index dir and a crash
+    * at any point leaves the pointer on a complete generation (the next
+    * compact garbage-collects orphans). Run compaction from the single
+    * WRITER role (a concurrent append could land in the generation
+    * being replaced); `txIndex` banks delegate to the log's
+    * commit-atomic multi-writer compact.
     */
   def compactIndex(): Unit =
     if (txIndex) { txTable.compact(); () }
     else if (!indexExists) () // fresh bank: nothing to compact
-    else {
-      indexDf
-        .sort("network", "station", "location", "channel", "starttime")
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexPath.compact.tmp")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val live = new org.apache.hadoop.fs.Path(indexPath)
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexPath.compact.tmp")
-      val trash = new org.apache.hadoop.fs.Path(s"$indexPath.compact.old")
-      fs.delete(trash, true) // stale trash from an interrupted compact
-      fs.rename(live, trash)
-      fs.rename(tmp, live)
-      fs.delete(trash, true)
-      // cached entries snapshot the pre-compact store; the listing
-      // stamp changed anyway, but clear eagerly
-      indexCache.foreach(_.clear())
-    }
+    else writeGeneration(indexDf
+      .sort("network", "station", "location", "channel", "starttime"))
   /** WaveBank's ±1 s interval-query buffer (`wavebank.py:173`). */
   val bufferNs: Long = 1_000_000_000L
 
@@ -183,9 +299,16 @@ class WaveBank(spark: SparkSession, root: String,
         idx.agg(min("index_version")).collect()(0).getInt(0) < indexVersion
     } catch { case _: Throwable => false }
     if (stale) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+      val fs = hadoopFs
+      if (!txIndex) {
+        // drop every generation and the pointer, not just the live dir —
+        // a dangling pointer would send the rebuild into a deleted name
+        fs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .map(_.getPath.getName).filter(isIndexDirName)
+          .foreach(n =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
+        fs.delete(ptrFile, false)
+      } else fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
       updateIndex()
     }
   }
@@ -217,15 +340,44 @@ class WaveBank(spark: SparkSession, root: String,
       spark.read.parquet(segmentsPath)
         .withColumn("path", col("_metadata.file_path"))
 
+  /** Driver-side (path → mtime ms) listing of segment files newer than
+    * the watermark — the V2 formats push the watermark into file
+    * listing but don't surface mtime as a column, and the index needs
+    * it for modified-file detection. Same recursive walk, hidden-path
+    * rule and −1 ms slack as the V2 scan's own planning (so the map
+    * covers every file the scan returns); incremental-batch-sized by
+    * the watermark contract.
+    */
+  private def freshFileMtimes(lastIndexedNs: Long): DataFrame = {
+    import spark.implicits._
+    val fs = hadoopFs
+    val cut = lastIndexedNs / 1000000L - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean =
+      p.getName.startsWith(".") || p.getName.startsWith("_")
+    def walk(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (hidden(st.getPath)) ()
+      else if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk)
+      else if (st.getModificationTime > cut)
+        out += ((st.getPath.toString, st.getModificationTime))
+    val p = new org.apache.hadoop.fs.Path(segmentsPath)
+    if (fs.exists(p)) fs.listStatus(p).foreach(walk)
+    out.toSeq.toDF("path", "mtime_ms")
+  }
+
   /** (Re)build the summary index from segment files newer than the last
-    * index pass; first call indexes everything.
+    * index pass; first call indexes everything. A file MODIFIED in
+    * place (same path, newer mtime — an externally managed mseed/gsg
+    * dir an acquisition tool appends to) REPLACES its index rows: the
+    * reference's mtime contract re-indexes modified files
+    * (`bank/core.py:193-210`). Bank-written parquet segments are
+    * immutable, so that path costs nothing in the common case — see
+    * the dedup note below for the plan shapes.
     */
   def updateIndex(): Unit = {
     // existence check, not a catch-all: a transient read failure must
     // propagate — treating it as "no index" would re-append the whole
     // archive into the append-only index (permanent duplicates)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val lastIndexed: Long =
       if (indexExists)
         indexDf.agg(max("indexed_at")).collect()(0).getLong(0)
@@ -235,13 +387,19 @@ class WaveBank(spark: SparkSession, root: String,
       if (v2Format)
         // header-only V2 scan (samples unprojected → payloads unread);
         // the mtime watermark pushes into file listing, −1 ms slack as
-        // the reference
+        // the reference. mtime arrives via a broadcast join against the
+        // driver-side fresh-file walk (a file landing between the walk
+        // and the scan's own listing gets −1 — never matching a stored
+        // mtime, it re-indexes as modified on this or the next pass
+        // rather than being silently dropped)
         spark.read.format(segmentFormat)
           .option("modifiedAfterMs", (lastIndexed / 1000000L - 1).toString)
           .load(segmentsPath)
           .select(col("network"), col("station"), col("location"),
             col("channel"), col("starttime"), col("sampling_period"),
             col("n_samples").as("n"), col("path"))
+          .join(broadcast(freshFileMtimes(lastIndexed)), Seq("path"), "left")
+          .withColumn("mtime_ms", coalesce(col("mtime_ms"), lit(-1L)))
       else spark.read.parquet(segmentsPath)
         .select(col("network"), col("station"), col("location"), col("channel"),
           col("starttime"), col("sampling_period"), size(col("samples")).as("n"),
@@ -255,32 +413,71 @@ class WaveBank(spark: SparkSession, root: String,
       Schemas.nslcNormalize(col("channel")).as("channel"),
       col("starttime"),
       (col("starttime") + col("n").cast("long") * col("sampling_period")).as("endtime"),
-      col("sampling_period"), col("path"))
+      col("sampling_period"), col("path"), col("mtime_ms"))
       .withColumn("indexed_at", lit(System.currentTimeMillis() * 1000000L))
       .withColumn("index_version", lit(indexVersion))
     // Index de-dup: the −1 ms slack (or ANY storage-clock skew putting a
     // file's mtime ahead of the driver clock) can re-list an already-
-    // indexed file — drop candidates whose path the index already holds,
-    // making updateIndex idempotent instead of
-    // tolerate-duplicates-like-the-reference. Plan shape: the candidate
-    // paths (the incremental batch — small by the watermark contract)
-    // BROADCAST into a semi join against the index's pruned path column,
-    // whose result is candidate-bounded and broadcasts back into the
-    // anti join — the index is scanned once (one column) and NEVER
-    // shuffled, the same cost class as the `max(indexed_at)` probe above.
-    val deduped =
-      if (lastIndexed == Long.MinValue) newIndex
-      else {
-        val seen = indexDf.select("path").join(
-          broadcast(newIndex.select("path").distinct()), Seq("path"),
-          "left_semi")
-        newIndex.join(broadcast(seen), Seq("path"), "left_anti")
-          .select(newIndex.columns.map(col): _*) // join fronts the key; keep store order
+    // indexed file — drop candidates whose (path, mtime) the index
+    // already holds, making updateIndex idempotent instead of
+    // tolerate-duplicates-like-the-reference, while a path re-listed
+    // with a NEW mtime survives as a genuine modification. Plan shape:
+    // the candidate keys (the incremental batch — small by the
+    // watermark contract) BROADCAST into a semi join against the
+    // index's pruned key columns, whose result is candidate-bounded and
+    // broadcasts back into the anti join — the index is scanned once
+    // (two columns) and NEVER shuffled, the same cost class as the
+    // `max(indexed_at)` probe above.
+    if (lastIndexed == Long.MinValue) {
+      if (newIndex.limit(1).count() > 0) {
+        indexAppend(newIndex)
+        indexCache.foreach(_.clear())
       }
-    if (deduped.limit(1).count() > 0) {
-      indexAppend(deduped)
-      // cached readIndex entries are snapshots of the pre-append index
-      indexCache.foreach(_.clear())
+    } else {
+      val idx = indexDf
+      if (!idx.columns.contains("mtime_ms")) {
+        // index written before the mtime column existed (version < 2):
+        // keep the legacy path-only dedup and the legacy column set —
+        // appending a wider schema into the old dir would leave the
+        // store's files disagreeing on schema; enforceVersion() is the
+        // designed upgrade (delete + rebuild at the current version)
+        val legacy = newIndex.drop("mtime_ms")
+        val seen = idx.select("path").join(
+          broadcast(legacy.select("path").distinct()), Seq("path"),
+          "left_semi")
+        val fresh = legacy.join(broadcast(seen), Seq("path"), "left_anti")
+          .select(legacy.columns.map(col): _*)
+        if (fresh.limit(1).count() > 0) {
+          indexAppend(fresh)
+          indexCache.foreach(_.clear())
+        }
+      } else {
+        val seen = idx.select("path", "mtime_ms").join(
+          broadcast(newIndex.select("path", "mtime_ms").distinct()),
+          Seq("path", "mtime_ms"), "left_semi")
+        val fresh = newIndex
+          .join(broadcast(seen), Seq("path", "mtime_ms"), "left_anti")
+          .select(newIndex.columns.map(col): _*) // join fronts the key; keep store order
+        if (fresh.limit(1).count() > 0) {
+          // candidate-bounded: paths being REPLACED (already indexed
+          // under an older mtime)
+          val replaced = idx.select("path").join(
+            broadcast(fresh.select("path").distinct()), Seq("path"),
+            "left_semi")
+          if (replaced.limit(1).count() == 0) indexAppend(fresh)
+          else {
+            // in-place modification detected: rewrite the store minus
+            // the superseded rows through the atomic generation swap —
+            // O(index), paid only when a segment file actually changed
+            val kept = idx.join(broadcast(replaced.distinct()),
+              Seq("path"), "left_anti")
+            writeGeneration(kept.unionByName(fresh)
+              .sort("network", "station", "location", "channel",
+                "starttime"))
+          }
+          indexCache.foreach(_.clear())
+        }
+      }
     }
   }
 
@@ -414,6 +611,9 @@ class WaveBank(spark: SparkSession, root: String,
 }
 
 object WaveBank {
-  /** Current index schema version. */
-  val IndexVersion: Int = 1
+  /** Current index schema version. Version 2 added the `mtime_ms`
+    * column (modified-file replacement); version-1 stores keep working
+    * read-side and upgrade via [[WaveBank.enforceVersion]].
+    */
+  val IndexVersion: Int = 2
 }

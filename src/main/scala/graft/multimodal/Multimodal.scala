@@ -185,6 +185,106 @@ object Multimodal {
       }
   }
 
+  case class PHashRow(doc_id: Long, phash: Long)
+
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual-hash construction (public algorithm; obsplus has no
+    * image operators — this extends the engine's dedup pillar to the
+    * multimodal column type): area-average the image down to a
+    * (cols+1)×rows integer-luma grid, then emit one bit per horizontal
+    * gradient sign. Brightness/contrast shifts move all lumas together
+    * and leave gradient SIGNS mostly intact, so near-identical images
+    * land within a few Hamming bits of each other.
+    *
+    * Deterministic by construction: integer luma `(299r+587g+114b)/1000`
+    * and integer block averaging — no float resampling, no platform
+    * Graphics2D — so an oracle can recompute the hash from pixel
+    * formulas exactly. An image already at (cols+1)×rows hashes its
+    * raw pixels (each block is one pixel).
+    */
+  def dHash(img: java.awt.image.BufferedImage,
+            cols: Int = 8, rows: Int = 8): Long = {
+    require(cols >= 1 && rows >= 1 && cols * rows <= 64,
+      s"dHash grid $cols x $rows exceeds 64 bits")
+    val w = img.getWidth; val h = img.getHeight
+    val gw = cols + 1
+    val gray = Array.ofDim[Long](rows, gw)
+    var gy = 0
+    while (gy < rows) {
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        val y0 = gy * h / rows; val y1 = math.max(y0 + 1, (gy + 1) * h / rows)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            sum += (299L * r + 587L * g + 114L * b) / 1000L
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        gray(gy)(gx) = sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    gy = 0
+    while (gy < rows) {
+      var gx = 0
+      while (gx < cols) {
+        if (gray(gy)(gx + 1) > gray(gy)(gx)) hash |= 1L << (gy * cols + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Perceptual hash per image payload, partition-local through the
+    * same decode lifecycle as [[decodeMeta]] (real `javax.imageio`
+    * decode — PNG/JPEG/GIF/BMP; codec cache off, batch-amortized).
+    * Undecodable payloads are DROPPED (flatMap), not hashed: a garbage
+    * hash would silently pollute near-dup buckets, while a dropped row
+    * surfaces in the row count.
+    */
+  def perceptualHash(spark: SparkSession, df: DataFrame,
+                     cols: Int = 8, rows: Int = 8): Dataset[PHashRow] = {
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, p) =>
+          val img = try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          } catch { case _: java.io.IOException => null }
+          if (img == null) None else Some(PHashRow(id, dHash(img, cols, rows)))
+        }
+      }
+  }
+
+  /** Image near-dup pairs: [[perceptualHash]] signatures fed through
+    * the SAME banded-Hamming blocking as text SimHash
+    * ([[graft.operators.Dedup.simhashPairs]]) — no new join topology;
+    * the scale properties (bucket-local candidates, no self-join,
+    * capacity ceiling ~10⁶ docs per the simhashPairs note) carry over
+    * unchanged. With `maxHamming < bands` the pigeonhole guarantee
+    * makes recall exact: every pair within the threshold shares a full
+    * band. Returns (a, b, hamming) with a < b.
+    */
+  def imageNearDupPairs(spark: SparkSession, df: DataFrame,
+                        maxHamming: Int = 3, bands: Int = 4,
+                        bandBits: Int = 16): DataFrame =
+    graft.operators.Dedup.simhashPairs(
+      perceptualHash(spark, df).toDF()
+        .withColumnRenamed("phash", "simhash"),
+      "doc_id", maxHamming, bands, bandBits)
+
   /** Partition sizing for decode jobs: repartition so each task holds
     * roughly `targetBytes` of payload. Decode is CPU-bound per byte —
     * row-count-based splits mis-size badly when payloads are skewed

@@ -126,6 +126,41 @@ object IntervalJoin {
     */
   private[graft] def autoBandNs(requests: DataFrame,
                                 t1Col: String, t2Col: String): Long = {
+    val key = (requests.queryExecution.analyzed.canonicalized, t1Col, t2Col)
+    memoLock.synchronized(Option(widthMemo.get(key))) match {
+      case Some(w) => w
+      case None =>
+        val w = measureBandNs(requests, t1Col, t2Col)
+        memoLock.synchronized { widthMemo.put(key, w); () }
+        // publish for BandedRangeJoinRule's stats-absent fallback (the
+        // planner rule cannot run this measurement itself — see there)
+        requests.sparkSession.conf
+          .set("spark.graft.rangeJoin.bandWidth.measured", w.toString)
+        w
+    }
+  }
+
+  /** Memo of measured widths keyed by the request frame's CANONICALIZED
+    * analyzed plan (+ bound columns): an iterative caller re-deriving
+    * the width for the same requests frame — or a trivially re-aliased
+    * copy of it — pays the single-row agg once, not per call. Bounded
+    * LRU (32 plans); a key holds only the logical plan, not data.
+    */
+  private val memoLock = new Object
+  private val widthMemo =
+    new java.util.LinkedHashMap[(Any, String, String), java.lang.Long](
+      16, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(Any, String, String), java.lang.Long])
+          : Boolean = size > 32
+    }
+
+  /** Times the measurement actually ran (spec observability). */
+  private[graft] val measureCount = new java.util.concurrent.atomic.AtomicLong
+
+  private def measureBandNs(requests: DataFrame,
+                            t1Col: String, t2Col: String): Long = {
+    measureCount.incrementAndGet()
     val spanExpr = s"cast($t2Col as double) - cast($t1Col as double)"
     val r = requests.agg(
       expr(s"approx_percentile($spanExpr, 0.5)"),

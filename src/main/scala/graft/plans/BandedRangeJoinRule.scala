@@ -56,6 +56,28 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
   /** Default width: 1 hour in ns (the engine's epoch-ns convention). */
   private val DefaultBandWidth = 3600000000000L
 
+  /** Stats-absent fallback: the last width MEASURED by
+    * `IntervalJoin.autoBandNs` on this session (published under
+    * `spark.graft.rangeJoin.bandWidth.measured`), floored at the
+    * default. The rule cannot run the measurement itself: a
+    * `Rule[LogicalPlan]` executes inside the optimizer, where launching
+    * a Spark job would re-enter the very optimizer mid-rewrite, make
+    * `EXPLAIN` run jobs, and break rule idempotency under AQE's
+    * repeated re-optimization — so the measured width flows one way,
+    * from the eager operator path into this planner fallback. Floored,
+    * never narrowed: a width measured on one workload applied to
+    * another could be arbitrarily narrow, and too-narrow widths are the
+    * direction that trips the [[bandSeq]] band-cap error — taking
+    * `max(measured, default)` can only reduce band replication for
+    * long-span workloads, never turn a working join into a failure.
+    */
+  private def measuredFallback: Option[Long] = {
+    val v = SQLConf.get.getConfString(
+      "spark.graft.rangeJoin.bandWidth.measured", "")
+    if (v.isEmpty) None
+    else scala.util.Try(v.toLong).toOption.map(math.max(_, DefaultBandWidth))
+  }
+
   /** Explicitly configured width, if any — always wins over auto. */
   private def explicitBandWidth: Option[Long] = {
     val v = SQLConf.get.getConfString("spark.graft.rangeJoin.bandWidth", "")
@@ -179,13 +201,15 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
         RangeExtract.extract(cond, l, r) match {
           case Some(e) if Seq(e.streamLo, e.streamHi, e.bcastLo, e.bcastHi)
               .forall(isBandable) =>
-            // width precedence: explicit conf > CBO-derived > default
+            // width precedence: explicit conf > CBO-derived >
+            // session-measured (floored at default) > default
             val derived =
               if (explicitBandWidth.isEmpty && autoWidthEnabled)
                 deriveAutoWidth(l, r, e)
               else None
             derived.foreach(d => lastAutoWidth = Some(d))
             val w = Literal(explicitBandWidth.orElse(derived)
+              .orElse(if (autoWidthEnabled) measuredFallback else None)
               .getOrElse(DefaultBandWidth), LongType)
             val cap = maxBandsPerRow
             // Normalize each side's span with least/greatest so rows

@@ -18,6 +18,67 @@ object MultimodalQueries {
   private def wordSql(j: Int) =
     s"('0x' || substr(md5(text), ${4 * j + 1}, 4))::BIGINT"
 
+  /** Deterministic 9×8 RGB PNG for q104: every channel a small modular
+    * formula of (base id, x, y), so a SQL oracle can recompute the
+    * exact pixel values the PNG round-trips. Ids with `id % 50 == 7`
+    * render their BASE (id−7) image with one locally-perturbed pixel —
+    * a planted near-duplicate pair (id−7, id) that flips at most the
+    * two dHash gradient bits adjacent to the perturbed cell, keeping
+    * planted pairs within Hamming 2 (< the 4-band pigeonhole bound)
+    * while unrelated 64-bit hashes collide with probability ~2⁻⁴⁴.
+    * Channel values stay < 256 (199 + 50), so no clamping to mirror.
+    */
+  private[graft] def renderPng(id: Long): Array[Byte] = {
+    val nearDup = id % 50 == 7 && id >= 7
+    val base = if (nearDup) id - 7 else id
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        // quadratic mixing, not linear: a linear formula makes every
+        // row's gradient signs near-constant, clustering unrelated
+        // hashes within a few Hamming bits (415 background pairs at
+        // 500 docs when first tried) — squaring decorrelates the
+        // gradients so unrelated pairs sit at ~32 bits
+        def mix(mb: Long, mx: Long, my: Long): Int = {
+          val v = base * mb + x * mx + y * my
+          ((v * v / 64) % 199).toInt
+        }
+        var r = mix(1000003L, 7919L, 104729L)
+        var g = mix(999983L, 7907L, 104723L)
+        var b = mix(999979L, 7901L, 104717L)
+        // the near-dup perturbation pins one pixel near-white: the two
+        // adjacent gradient bits flip depending on the base image's
+        // local values — planted pairs land at Hamming 0–2 (measured
+        // [0,1,2,0,2,1,1,2,1,1] over the ten sf0.01 pairs), exercising
+        // the banded refine rather than collapsing to exact duplicates
+        if (nearDup && x == 3 && y == 2) { r = 198; g = 198; b = 198 }
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** DuckDB mirror of [[renderPng]]'s integer luma at grid cell (x,y)
+    * for a given doc_id (base resolution + perturbation inlined).
+    */
+  private def mixSql(mb: Long, mx: Long, my: Long) =
+    s"((base * $mb + x * $mx + y * $my) * (base * $mb + x * $mx + y * $my) // 64) % 199"
+
+  private val graySql = s"""
+      CASE WHEN doc_id % 50 = 7 AND doc_id >= 7 AND x = 3 AND y = 2
+           THEN 198
+           ELSE (299 * (${mixSql(1000003L, 7919L, 104729L)})
+                 + 587 * (${mixSql(999983L, 7907L, 104723L)})
+                 + 114 * (${mixSql(999979L, 7901L, 104717L)})) // 1000
+      END"""
+
   val all: Seq[Q] = Seq(
 
     // ---- payload → 8-dim feature vector; exact per-dim doubles
@@ -46,6 +107,50 @@ object MultimodalQueries {
       SELECT doc_id, (f - 1) * 2 AS frame_idx,
              upper(substr(md5(text), (f - 1) * 16 + 1, 8)) AS frame_hex
       FROM documents, unnest(range(1, 3)) AS t(f)
-      WHERE doc_id % 3 = 2"""))
+      WHERE doc_id % 3 = 2""")),
+
+    // ---- perceptual-hash image near-dup (the dedup pillar over the
+    //      multimodal column type): REAL PNG encode → javax.imageio
+    //      decode → 64-bit dHash → banded-Hamming pairs through the
+    //      SimHash blocking. The oracle recomputes the hash arithmetic
+    //      from the pixel formulas (PNG is lossless, the images are
+    //      grid-sized, luma and averaging are integer — bit-exact),
+    //      then brute-forces pairs: with maxHamming 3 < 4 bands the
+    //      banded plan's recall is exact, so the two result sets must
+    //      be identical.
+    Q("q104_image_phash_neardup", (s, dir) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, renderPng(id)))
+        }.toDF("doc_id", "payload")
+      Multimodal.imageNearDupPairs(s, imgs, maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+    }, Some(s"""
+      WITH px AS (
+        SELECT doc_id, x, y, $graySql AS gray
+        FROM (SELECT doc_id,
+                CASE WHEN doc_id % 50 = 7 AND doc_id >= 7
+                     THEN doc_id - 7 ELSE doc_id END AS base
+              FROM documents),
+             (SELECT x, y FROM range(9) tx(x), range(8) ty(y))
+      ),
+      h AS (
+        SELECT l.doc_id,
+               bit_or(CASE WHEN r.gray > l.gray THEN
+                 CASE WHEN l.y * 8 + l.x = 63
+                      THEN (-9223372036854775807::BIGINT - 1)
+                      ELSE (1::BIGINT << (l.y * 8 + l.x)) END
+                 ELSE 0::BIGINT END) AS phash
+        FROM px l JOIN px r
+          ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+        WHERE l.x < 8
+        GROUP BY l.doc_id
+      )
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3"""))
   )
 }

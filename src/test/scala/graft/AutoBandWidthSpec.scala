@@ -121,6 +121,57 @@ class AutoBandWidthSpec extends SparkSpec {
     }
   }
 
+  test("autoBandNs is memoized per request frame — no second agg on repeated calls") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    val pts = Seq(("a", 50L), ("a", 150L), ("b", 75L))
+      .toDF("key", "ts")
+    val reqs = Seq(("a", 0L, 100L), ("b", 50L, 160L), ("a", 140L, 260L))
+      .toDF("key", "t1", "t2")
+    val n0 = IntervalJoin.measureCount.get()
+    val r1 = IntervalJoin.bandedPoints(pts, reqs, Seq("key"), "ts")
+      .collect().map(_.toString).sorted.toSeq
+    val afterFirst = IntervalJoin.measureCount.get()
+    assert(afterFirst == n0 + 1, "first call must measure exactly once")
+    // the iterative-caller shape: same frame, repeated calls
+    val r2 = IntervalJoin.bandedPoints(pts, reqs, Seq("key"), "ts")
+      .collect().map(_.toString).sorted.toSeq
+    assert(r2 == r1)
+    assert(IntervalJoin.measureCount.get() == afterFirst,
+      "repeated call on the same requests frame must reuse the memo")
+    // a trivially re-built but canonically identical frame also hits
+    val reqsAgain = Seq(("a", 0L, 100L), ("b", 50L, 160L), ("a", 140L, 260L))
+      .toDF("key", "t1", "t2")
+    IntervalJoin.bandedPoints(pts, reqsAgain, Seq("key"), "ts").collect()
+    assert(IntervalJoin.measureCount.get() == afterFirst,
+      "canonically identical requests must reuse the memo")
+    // a DIFFERENT requests frame measures again (no false sharing)
+    val other = Seq(("a", 0L, 1000L)).toDF("key", "t1", "t2")
+    IntervalJoin.bandedPoints(pts, other, Seq("key"), "ts").collect()
+    assert(IntervalJoin.measureCount.get() == afterFirst + 1)
+  }
+
+  test("rule uses the session-measured width when stats are absent, floored at default") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // narrow measured width must be FLOORED at the default, never
+      // narrowing another join's bands (the band-cap error direction)
+      spark.conf.set("spark.graft.rangeJoin.bandWidth.measured", "5")
+      val p = Seq((50L, 1), (150L, 2)).toDF("ts", "pid")
+      val r = Seq((0L, 100L, 10)).toDF("t1", "t2", "rid")
+      assert(p.join(r, p("ts") >= r("t1") && p("ts") <= r("t2")).count() == 1)
+      // a wide measured width is used as-is: a row pair 2 widths apart
+      // still joins correctly (width is a physical knob only)
+      spark.conf.set("spark.graft.rangeJoin.bandWidth.measured",
+        (7200L * 1000000000L).toString)
+      assert(p.join(r, p("ts") >= r("t1") && p("ts") <= r("t2")).count() == 1)
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bandWidth.measured")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("auto off or no stats: default width, rule still correct") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.graft.rangeJoin.bandWidth.auto", "false")

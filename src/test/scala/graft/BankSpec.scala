@@ -239,7 +239,15 @@ class BankSpec extends SparkSpec {
       .toDF("network", "station", "location", "channel",
             "starttime", "sampling_period", "samples"))
     val before = bank.readIndex().collect().map(_.mkString("|")).sorted.toSeq
-    def files(): Int = new java.io.File(s"$root/index").listFiles()
+    // resolve the current-pointer file: compaction publishes a fresh
+    // generation dir and swaps `index.ptr` onto it
+    def liveDir(): String = {
+      val ptr = new java.io.File(s"$root/index.ptr")
+      if (ptr.exists())
+        new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim
+      else "index"
+    }
+    def files(): Int = new java.io.File(s"$root/${liveDir()}").listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     val nBefore = files()
     bank.compactIndex()
@@ -253,6 +261,118 @@ class BankSpec extends SparkSpec {
             "starttime", "sampling_period", "samples"))
     assert(bank.readIndex().count() == before.size + 1)
     assert(bank.readIndex(network = "N3").count() == 1)
+  }
+
+  test("wavebank: compactIndex pointer swap — concurrent readers never see a missing dir") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segmentDf)
+    val before = bank.readIndex().collect().map(_.mkString("|")).sorted.toSeq
+    // a reader plan resolved BEFORE the compact: the generation it
+    // points at must survive the swap (kept as the grace copy)
+    val inFlight = bank.readIndex()
+    bank.compactIndex()
+    assert(inFlight.collect().map(_.mkString("|")).sorted.toSeq == before)
+    // the pointer now names a generation dir; the legacy dir is the
+    // grace copy and both are complete
+    val ptr = new java.io.File(s"$root/index.ptr")
+    assert(ptr.exists())
+    val live = new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim
+    assert(live.matches("index\\.g\\d+"), s"unexpected pointer '$live'")
+    assert(bank.readIndex().collect().map(_.mkString("|")).sorted.toSeq == before)
+    // a second compact garbage-collects the oldest generation but keeps
+    // the one just replaced — and content still never changes
+    bank.compactIndex()
+    val live2 = new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim
+    assert(live2 != live)
+    assert(!new java.io.File(s"$root/index").exists(),
+      "oldest generation should be garbage-collected")
+    assert(new java.io.File(s"$root/$live").exists(),
+      "previous generation should remain as the grace copy")
+    assert(bank.readIndex().collect().map(_.mkString("|")).sorted.toSeq == before)
+    // crash simulation: an orphan half-written generation (no pointer
+    // swap) is invisible to readers and collected by the next compact
+    val orphan = new java.io.File(s"$root/index.g99")
+    orphan.mkdirs()
+    assert(bank.readIndex().collect().map(_.mkString("|")).sorted.toSeq == before)
+    bank.compactIndex()
+    assert(!orphan.exists(), "orphan generation should be garbage-collected")
+    assert(bank.readIndex().collect().map(_.mkString("|")).sorted.toSeq == before)
+  }
+
+  test("wavebank: indexStamp is listing-independent via the stamp file") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segmentDf)
+    assert(new java.io.File(s"$root/index.stamp").exists())
+    val s1 = bank.indexStamp()
+    // an in-place touch of an index data file — name, length and even
+    // content unchanged, only listing metadata moves — must NOT change
+    // the stamp: bank-API writes are the unit of store change
+    new java.io.File(s"$root/index").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.setLastModified(f.lastModified() + 60000)))
+    assert(bank.indexStamp() == s1, "stamp must ignore listing metadata")
+    // every bank write bumps it — even two writes landing in the same
+    // mtime tick (the coarse-granularity-filesystem blind spot the
+    // listing fingerprint had)
+    bank.putWaveforms(Seq(("N2", "S9", "", "HHZ", 0L, 10L, Array.fill(10)(0.0)))
+      .toDF("network", "station", "location", "channel",
+            "starttime", "sampling_period", "samples"))
+    val s2 = bank.indexStamp()
+    assert(s2 != s1)
+    bank.compactIndex()
+    val s3 = bank.indexStamp()
+    assert(s3 != s2)
+    // a SECOND instance's write is observed (monotonic counter in the
+    // shared stamp file — the q99 scenario without a listing probe)
+    val other = new WaveBank(spark, root)
+    other.putWaveforms(Seq(("N3", "S8", "", "HHZ", 0L, 10L, Array.fill(10)(0.0)))
+      .toDF("network", "station", "location", "channel",
+            "starttime", "sampling_period", "samples"))
+    assert(bank.indexStamp() != s3)
+    // deleting the stamp file falls back to the listing fingerprint
+    // (pre-existing/externally-written stores)
+    assert(new java.io.File(s"$root/index.stamp").delete())
+    val fb1 = bank.indexStamp()
+    val ptr = new java.io.File(s"$root/index.ptr")
+    val live = new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim
+    new java.io.File(s"$root/$live").listFiles()
+      .filter(_.getName.endsWith(".parquet")).take(1)
+      .foreach(f => assert(f.setLastModified(f.lastModified() + 60000)))
+    assert(bank.indexStamp() != fb1, "fallback fingerprint tracks the listing")
+  }
+
+  test("wavebank: updateIndex re-indexes a file modified in place (v2 store)") {
+    import graft.sources.BinarySegmentSource.{Segment, writeFile}
+    val root = tmp()
+    val segDir = java.nio.file.Paths.get(s"$root/segments")
+    java.nio.file.Files.createDirectories(segDir)
+    writeFile(segDir.resolve("a.gsg"),
+      Segment("N1", "S1", "", "BHZ", 0L, 10L, Array.fill(100)(1.0), ""))
+    writeFile(segDir.resolve("b.gsg"),
+      Segment("N1", "S2", "", "BHZ", 0L, 10L, Array.fill(50)(2.0), ""))
+    val bank = new WaveBank(spark, root, segmentFormat = "gsg")
+    bank.updateIndex()
+    assert(bank.readIndex().count() == 2)
+    assert(bank.readIndex(station = "S1").head().getAs[Long]("endtime") == 1000L)
+    // the acquisition tool rewrites a.gsg IN PLACE with more samples
+    // (same path, newer mtime): the reference's mtime contract
+    // re-indexes it — the stale row must be REPLACED, not kept (nor
+    // duplicated)
+    writeFile(segDir.resolve("a.gsg"),
+      Segment("N1", "S1", "", "BHZ", 0L, 10L, Array.fill(200)(1.5), ""))
+    assert(segDir.resolve("a.gsg").toFile
+      .setLastModified(System.currentTimeMillis() + 5000))
+    bank.updateIndex()
+    assert(bank.readIndex().count() == 2, "modified file must replace, not duplicate")
+    assert(bank.readIndex(station = "S1").head().getAs[Long]("endtime") == 2000L,
+      "index must reflect the rewritten file")
+    // and the pass after the replacement is a no-op again
+    val stamp = bank.indexStamp()
+    bank.updateIndex()
+    assert(bank.readIndex().count() == 2)
+    assert(bank.indexStamp() == stamp, "no-op pass must not bump the stamp")
   }
 
   test("wavebank: gsg segment store — real record files, same query surface") {

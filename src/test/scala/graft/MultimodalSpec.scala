@@ -97,6 +97,49 @@ class MultimodalSpec extends SparkSpec {
     assert(stubMeta.width == 9L && stubMeta.height == 4L)
   }
 
+  test("dHash: brightness-invariant, perturbation-local, downsample-stable") {
+    import java.awt.image.BufferedImage
+    def img(w: Int, h: Int, f: (Int, Int) => Int): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xFF
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def mixPx(x: Int, y: Int): Int = {
+      val v = (x * 7919L + y * 104729L + 31L); ((v * v / 64) % 199).toInt
+    }
+    val base = img(9, 8, mixPx)
+    // global brightness shift: every gradient sign is preserved →
+    // Hamming 0 (the property that makes dHash a NEAR-dup hash)
+    val brighter = img(9, 8, (x, y) => math.min(255, mixPx(x, y) + 40))
+    assert(Multimodal.dHash(base) == Multimodal.dHash(brighter))
+    // a single-pixel change flips at most the two adjacent gradient bits
+    val perturbed = img(9, 8, (x, y) => if (x == 4 && y == 3) 255 else mixPx(x, y))
+    val d = java.lang.Long.bitCount(
+      Multimodal.dHash(base) ^ Multimodal.dHash(perturbed))
+    assert(d >= 1 && d <= 2, s"expected 1-2 flipped bits, got $d")
+    // downsample path: each grid cell of a 4x-upscaled image averages a
+    // uniform block of the same values → identical hash to the original
+    val up = img(36, 32, (x, y) => mixPx(x / 4, y / 4))
+    assert(Multimodal.dHash(up) == Multimodal.dHash(base))
+    // non-divisible dims still hash (block bounds clamped to >=1 px)
+    val odd = img(13, 11, mixPx)
+    Multimodal.dHash(odd) // must not throw
+  }
+
+  test("perceptualHash + imageNearDupPairs: planted near-dups found, undecodable dropped") {
+    import graft.queries.MultimodalQueries
+    val rows = (0L until 120L).map(id => (id, MultimodalQueries.renderPng(id))) :+
+      (999L, Array[Byte](1, 2, 3)) // undecodable payload: dropped, not hashed
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    assert(Multimodal.perceptualHash(spark, df).count() == 120)
+    val pairs = Multimodal.imageNearDupPairs(spark, df, maxHamming = 3)
+      .orderBy("a").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((0L, 7L), (50L, 57L), (100L, 107L)))
+  }
+
   test("repartitionForDecode sizes partitions by payload bytes") {
     val p = Multimodal.withSyntheticPayload(docs) // 4 x 16 bytes
     assert(Multimodal.repartitionForDecode(p, targetBytes = 16L)
