@@ -41,18 +41,24 @@ object MultimodalQueries {
         // row's gradient signs near-constant, clustering unrelated
         // hashes within a few Hamming bits (415 background pairs at
         // 500 docs when first tried) — squaring decorrelates the
-        // gradients so unrelated pairs sit at ~32 bits
-        def mix(mb: Long, mx: Long, my: Long): Int = {
-          val v = base * mb + x * mx + y * my
+        // gradients so unrelated pairs sit at ~32 bits. Each channel
+        // pre-reduces by a DISTINCT prime before squaring: squaring the
+        // raw value made (v²/64)%199 periodic in the id with period
+        // 6368 = 64·199/2 (22k spurious near-pairs at 10⁵ images) and
+        // overflowed 64-bit arithmetic past id ~3000 (Scala wraps,
+        // DuckDB errors); the per-channel primes make the joint period
+        // their ~10¹⁴ product and cap every square at 46337² ≈ 2.1e9.
+        def mix(mb: Long, mx: Long, my: Long, m: Long): Int = {
+          val v = (base * mb + x * mx + y * my) % m
           ((v * v / 64) % 199).toInt
         }
-        var r = mix(1000003L, 7919L, 104729L)
-        var g = mix(999983L, 7907L, 104723L)
-        var b = mix(999979L, 7901L, 104717L)
+        var r = mix(1000003L, 7919L, 104729L, 46337L)
+        var g = mix(999983L, 7907L, 104723L, 46327L)
+        var b = mix(999979L, 7901L, 104717L, 46309L)
         // the near-dup perturbation pins one pixel near-white: the two
         // adjacent gradient bits flip depending on the base image's
         // local values — planted pairs land at Hamming 0–2 (measured
-        // [0,1,2,0,2,1,1,2,1,1] over the ten sf0.01 pairs), exercising
+        // [2,1,0,0,0,0,2,2,0,0] over the ten sf0.01 pairs), exercising
         // the banded refine rather than collapsing to exact duplicates
         if (nearDup && x == 3 && y == 2) { r = 198; g = 198; b = 198 }
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
@@ -68,15 +74,17 @@ object MultimodalQueries {
   /** DuckDB mirror of [[renderPng]]'s integer luma at grid cell (x,y)
     * for a given doc_id (base resolution + perturbation inlined).
     */
-  private def mixSql(mb: Long, mx: Long, my: Long) =
-    s"((base * $mb + x * $mx + y * $my) * (base * $mb + x * $mx + y * $my) // 64) % 199"
+  private def mixSql(mb: Long, mx: Long, my: Long, m: Long) = {
+    val v = s"((base * $mb + x * $mx + y * $my) % $m)"
+    s"($v * $v // 64) % 199"
+  }
 
   private val graySql = s"""
       CASE WHEN doc_id % 50 = 7 AND doc_id >= 7 AND x = 3 AND y = 2
            THEN 198
-           ELSE (299 * (${mixSql(1000003L, 7919L, 104729L)})
-                 + 587 * (${mixSql(999983L, 7907L, 104723L)})
-                 + 114 * (${mixSql(999979L, 7901L, 104717L)})) // 1000
+           ELSE (299 * (${mixSql(1000003L, 7919L, 104729L, 46337L)})
+                 + 587 * (${mixSql(999983L, 7907L, 104723L, 46327L)})
+                 + 114 * (${mixSql(999979L, 7901L, 104717L, 46309L)})) // 1000
       END"""
 
   val all: Seq[Q] = Seq(

@@ -165,6 +165,67 @@ object StreamQueries {
             FROM f)
       SELECT user_id, MIN(t) AS seg_start, MAX(t) AS seg_end,
              CAST(COUNT(*) AS BIGINT) AS n_members
-      FROM g GROUP BY user_id, grp"""))
+      FROM g GROUP BY user_id, grp""")),
+
+    // ---- STREAMING contiguous-span maintenance (round 8): the q15
+    //      interval frame replays ordered through the file source and
+    //      `StreamingIntervals.segmentStream` must emit EXACTLY the
+    //      batch q15 segment set INCLUDING the batch session ids (the
+    //      oracle below is q15's SQL verbatim). Spans close either when
+    //      a sealed row opens the next session or when the watermark
+    //      passes runMax + tol (provably un-extendable) — the single
+    //      flush row advances the final watermark far enough that every
+    //      real span closes by the second path; the flush row itself
+    //      stays behind the watermark, buffered and unemitted.
+    Q("q105_stream_segments", (s, dir) => {
+      val iv = WindowQueries.intervalsOf(Tables.eventsUs(s, dir))
+        .select(col("user_id"), col("starttime"), col("endtime"))
+      // bounded driver agg: one scalar, to place the flush row
+      val maxTs = iv.agg(max("starttime")).collect()(0).getLong(0)
+      val flushTs = maxTs + 10L * 86400L * 1_000_000_000L
+      val flush = s.range(1).select(lit(999999999L).as("user_id"),
+        lit(flushTs).as("starttime"), lit(flushTs + 1000L).as("endtime"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q105").toString
+      iv.unionByName(flush)
+        .repartitionByRange(8, col("starttime"))
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream
+        .schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val segs = graft.streaming.StreamingIntervals.segmentStream(
+        stream, "user_id", "starttime", "endtime",
+        tol = 43_200_000_000_000L, watermark = "10 seconds")
+      val sink = "q105_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = segs.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("session_id"), col("seg_start"), col("seg_end"),
+          col("n_members"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some("""
+      WITH iv AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS starttime,
+               epoch_ns(ts) + CAST(floor(value * 60000000000.0) AS BIGINT)
+                 AS endtime
+        FROM events),
+      s1 AS (SELECT user_id, starttime, endtime,
+        MAX(endtime) OVER (PARTITION BY user_id ORDER BY starttime, endtime
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_runmax
+      FROM iv),
+      s2 AS (SELECT *, CASE WHEN prev_runmax IS NULL
+               OR prev_runmax + 43200000000000 < starttime
+               THEN 1 ELSE 0 END AS new_session FROM s1),
+      s3 AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY starttime, endtime
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s2)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(starttime) AS seg_start, MAX(endtime) AS seg_end,
+             COUNT(*) AS n_members
+      FROM s3 GROUP BY user_id, session_id"""))
   )
 }

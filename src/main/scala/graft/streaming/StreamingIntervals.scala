@@ -88,4 +88,95 @@ object StreamingIntervals {
       .toDF()
       .withColumnRenamed("key", keyCol)
   }
+
+  case class SegRow(key: String, session_id: Long, seg_start: Long,
+                    seg_end: Long, n_members: Long)
+
+  /** Watermark-finalized open span: `sid` numbers sessions 1..k in
+    * sealed start order — identical to the batch cumulative-flag-sum
+    * session id, because finalization processes rows in exactly the
+    * order the batch window does.
+    */
+  case class SegState(sid: Long, segStart: Long, runMax: Long, n: Long,
+                      hasOpen: Boolean, buf: Seq[(Long, Long)])
+
+  /** Streaming contiguous-span maintenance — the inversion of
+    * [[gapStream]] and the live counterpart of
+    * [[graft.operators.Intervals.segments]] (obsplus `get_segments_df`,
+    * `wavebank.py:523-577`): (key, starttime, endtime) rows arriving on
+    * a stream coalesce into maximal spans where each row starts within
+    * `tol` of the running max end; a span is emitted (Append mode) as
+    * soon as it is provably CLOSED. Two closure paths, both exact:
+    *
+    *   - a sealed row opens a later session (the batch rule), or
+    *   - the WATERMARK passes `runMax + tol`: every admissible future
+    *     arrival has event time at or above the watermark, so nothing
+    *     can extend the span any more — segments reach the sink with
+    *     bounded latency (watermark delay + tol past their end) instead
+    *     of waiting for the station's next transmission, which for a
+    *     dead station is never.
+    *
+    * Same sealed-prefix machinery as [[gapStream]]: the buffer holds
+    * only unsealed rows (reorder-safe inside the watermark), the sealed
+    * prefix finalizes in (starttime, endtime) order, and emitted spans
+    * — including their batch-identical `session_id` — match
+    * `Intervals.segments` on the sealed prefix. State per key after
+    * finalization is one (sid, segStart, runMax, n) summary: O(1)
+    * bytes; the buffer is watermark-bounded. Rows later than the
+    * watermark are folded in best-effort at the next finalization (they
+    * may perturb session numbering — the standard lateness contract;
+    * re-run the batch operator for authoritative reprocessing).
+    */
+  def segmentStream(stream: DataFrame, keyCol: String, startCol: String,
+                    endCol: String, tol: Long, watermark: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(
+        col(keyCol).cast("string").as("key"),
+        col(startCol).cast("long").as("starttime"),
+        col(endCol).cast("long").as("endtime"),
+        timestamp_micros(expr(s"$startCol div 1000")).as("_ts"))
+      .withWatermark("_ts", watermark)
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SegState, SegRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state) =>
+          val st = state.getOption
+            .getOrElse(SegState(0L, 0L, Long.MinValue, 0L, false, Nil))
+          val buf = st.buf ++ rows.map(r => (r._2, r._3))
+          val cut = state.getCurrentWatermarkMs() * 1_000_000L
+          val (ready, pending) = buf.partition(_._1 < cut)
+          var sid = st.sid; var segStart = st.segStart
+          var runMax = st.runMax; var n = st.n; var hasOpen = st.hasOpen
+          val out = Seq.newBuilder[SegRow]
+          ready.sorted.foreach { case (s0, e0) =>
+            if (hasOpen && runMax + tol >= s0) {
+              runMax = math.max(runMax, e0); n += 1
+            } else {
+              if (hasOpen) out += SegRow(key, sid, segStart, runMax, n)
+              sid += 1; segStart = s0; runMax = e0; n = 1; hasOpen = true
+            }
+          }
+          // watermark closure: every pending row starts at/after the
+          // cut, so cut > runMax + tol proves no admissible row —
+          // buffered OR future — can extend the open span
+          if (hasOpen && cut > runMax + tol) {
+            out += SegRow(key, sid, segStart, runMax, n)
+            hasOpen = false; n = 0; runMax = Long.MinValue; segStart = 0L
+          }
+          state.update(SegState(sid, segStart, runMax, n, hasOpen, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          else if (hasOpen)
+            // wake when the watermark can prove closure; must be
+            // strictly ahead of the current watermark
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              (runMax + tol) / 1_000_000L + 1))
+          out.result().iterator
+      }
+      .toDF()
+      .withColumnRenamed("key", keyCol)
+  }
 }

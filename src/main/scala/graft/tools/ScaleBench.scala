@@ -533,7 +533,96 @@ object ScaleBench {
         s""""peak_state_bytes":$peakBytes}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson}""")
+    // streaming contiguous-span throughput (env GRAFT_SCALE_SEGSTREAM=
+    // <rows>): the q105 pipeline (StreamingIntervals.segmentStream) on
+    // the same ordered file-source replay — rows/sec, peak state, and
+    // the emitted-segment count checked against the batch operator
+    // (every real span closes via WATERMARK closure once the flush row
+    // advances the watermark past its runMax + tol; the flush row
+    // itself stays buffered and unemitted).
+    val segsJson = sys.env.get("GRAFT_SCALE_SEGSTREAM").map { sN =>
+      import org.apache.spark.sql.streaming.Trigger
+      val n = sN.trim.toLong
+      val dir = s"$root/segstream_$n"
+      val iv = graft.queries.WindowQueries.intervalsOf(synthEvents(spark, n))
+        .select(col("user_id"), col("starttime"), col("endtime"))
+      val far = 1_740_000_000_000_000_000L // 2025-02, past every synth ts
+      val flush = spark.range(1).select(lit(999999999L).as("user_id"),
+        lit(far).as("starttime"), lit(far + 1000L).as("endtime"))
+      iv.unionByName(flush).repartitionByRange(64, col("starttime"))
+        .write.mode("overwrite").parquet(dir)
+      stampRangeOrderMtimes(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "8").parquet(dir)
+      val segsDf = graft.streaming.StreamingIntervals.segmentStream(
+        stream, "user_id", "starttime", "endtime",
+        tol = 43_200_000_000_000L, watermark = "10 seconds")
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val s0 = System.nanoTime()
+      val q = segsDf.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          emitted.addAndGet(df.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - s0) / 1e9
+      val prog = q.recentProgress
+      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+        .foldLeft(0L)(math.max)
+      val batchRows = graft.queries.WindowQueries
+        .segmentsOf(synthEvents(spark, n)).count()
+      require(emitted.get == batchRows,
+        s"stream emitted ${emitted.get} segments, batch derives $batchRows")
+      s""","segment_stream":{"rows":$n,"s":${fmt(secs)},""" +
+        s""""rows_per_sec":${fmt(n / secs, 0)},"segments":${emitted.get},""" +
+        s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
+        s""""peak_state_bytes":$peakBytes}"""
+    }.getOrElse("")
+
+    // perceptual-hash image near-dup (env GRAFT_SCALE_PHASH=<imgs>):
+    // the q104 pipeline — render real 9x8 PNGs (1-in-50 a planted
+    // near-duplicate), decode + dHash via perceptualHash, pair via the
+    // banded-Hamming blocking — reporting decode+hash throughput, the
+    // banded CANDIDATE volume (Σ|bucket|·(|bucket|−1)/2, the quantity
+    // whose docs²/2^bandBits growth sets the ~10⁶-image capacity
+    // ceiling inherited from simhashPairs), and the found-pair count
+    // checked against the planted count.
+    val phashJson = sys.env.get("GRAFT_SCALE_PHASH").map { sN =>
+      val n = sN.trim.toLong
+      import spark.implicits._
+      val imgs = spark.range(n).select(col("id").as("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, graft.queries.MultimodalQueries.renderPng(id)))
+        }.toDF("doc_id", "payload")
+        .localCheckpoint(true) // isolate render cost from hash cost
+      val s0 = System.nanoTime()
+      val sigs = graft.multimodal.Multimodal.perceptualHash(spark, imgs)
+        .toDF().localCheckpoint(true)
+      val hashSecs = (System.nanoTime() - s0) / 1e9
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bucket")))
+      val cands = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) / 2"))).head().getAs[Any](0).toString
+      val s1 = System.nanoTime()
+      val pairs = graft.multimodal.Multimodal.imageNearDupPairs(
+        spark, imgs, maxHamming = 3).count()
+      val pairSecs = (System.nanoTime() - s1) / 1e9
+      val planted = (n - 8 + 49) / 50 // ids 7, 57, ... below n with id-7 >= 0
+      require(pairs >= planted,
+        s"found $pairs pairs, planted $planted")
+      s""","phash_neardup":{"imgs":$n,"hash_s":${fmt(hashSecs)},""" +
+        s""""imgs_per_sec":${fmt(n / hashSecs, 0)},"candidates":$cands,""" +
+        s""""pairs":$pairs,"planted":$planted,"pair_s":${fmt(pairSecs)}}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson}""")
     spark.stop()
   }
 }

@@ -134,6 +134,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming segments: watermark closure, session-id parity, idle numbering") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-ssegs").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = 3_600_000_000_000L // 1 h in ns
+    val t0 = 1_000_000_000_000_000_000L
+    val in = MemoryStream[(String, Long, Long)]
+    val segs = graft.streaming.StreamingIntervals.segmentStream(
+      in.toDF().toDF("sid", "starttime", "endtime"),
+      "sid", "starttime", "endtime",
+      tol = h / 2, watermark = "10 seconds")
+    val q = segs.writeStream.format("memory").queryName("ssegs")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    def emitted(): Set[(String, Long, Long, Long, Long)] =
+      spark.table("ssegs").as[(String, Long, Long, Long, Long)]
+        .collect().toSet
+    try {
+      // A: two sessions separated by a 1 h hole, arriving REVERSED;
+      // B: overlapping rows coalescing into ONE session
+      in.addData(("A", t0 + 2 * h, t0 + 3 * h), ("A", t0, t0 + 1 * h),
+                 ("B", t0, t0 + 2 * h), ("B", t0 + 1 * h, t0 + 3 * h))
+      q.processAllAvailable()
+      // whether A's FIRST session has emitted yet depends on whether a
+      // no-data micro-batch ran after the watermark advanced (a timing
+      // race processAllAvailable does not pin) — but A's still-open
+      // second session and B's still-extendable session must NOT have:
+      // the watermark has not passed their runMax + tol
+      assert(emitted().subsetOf(Set(("A", 1L, t0, t0 + 1 * h, 1L))),
+        s"premature emission: ${emitted()}")
+      // pushers advance the watermark; NO further A/B data ever arrives,
+      // so A's last session and B's only session can close ONLY via the
+      // watermark-closure path (cut > runMax + tol)
+      in.addData(("C", t0 + 8 * h, t0 + 9 * h))
+      q.processAllAvailable()
+      in.addData(("C", t0 + 10 * h, t0 + 11 * h))
+      q.processAllAvailable()
+      in.addData(("C", t0 + 12 * h, t0 + 13 * h))
+      q.processAllAvailable()
+      val ab = emitted().filter(r => r._1 == "A" || r._1 == "B")
+      assert(ab == Set(("A", 1L, t0, t0 + 1 * h, 1L),
+                       ("A", 2L, t0 + 2 * h, t0 + 3 * h, 1L),
+                       ("B", 1L, t0, t0 + 3 * h, 2L)), s"got $ab")
+      // the batch operator agrees, session ids included
+      val batch = graft.operators.Intervals.segments(
+        Seq(("A", t0, t0 + 1 * h), ("A", t0 + 2 * h, t0 + 3 * h),
+          ("B", t0, t0 + 2 * h), ("B", t0 + 1 * h, t0 + 3 * h))
+          .toDF("sid", "starttime", "endtime"), Seq("sid"), h / 2)
+        .select("sid", "session_id", "seg_start", "seg_end", "n_members")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(batch == ab, s"batch $batch vs stream $ab")
+      // idle-key resume: A comes back "days" later — the O(1) sealed
+      // state keeps the session COUNTER, so the new span numbers 3
+      in.addData(("A", t0 + 100 * h, t0 + 101 * h))
+      q.processAllAvailable()
+      in.addData(("C", t0 + 120 * h, t0 + 121 * h))
+      q.processAllAvailable()
+      in.addData(("C", t0 + 122 * h, t0 + 123 * h))
+      q.processAllAvailable()
+      assert(emitted().contains(("A", 3L, t0 + 100 * h, t0 + 101 * h, 1L)),
+        s"idle-resume session missing or mis-numbered: ${emitted()}")
+    } finally q.stop()
+  }
+
   test("streaming dedup passes first arrival per fingerprint, drops later copies") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
