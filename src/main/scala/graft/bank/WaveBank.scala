@@ -467,13 +467,19 @@ class WaveBank(spark: SparkSession, root: String,
           if (replaced.limit(1).count() == 0) indexAppend(fresh)
           else {
             // in-place modification detected: rewrite the store minus
-            // the superseded rows through the atomic generation swap —
-            // O(index), paid only when a segment file actually changed
+            // the superseded rows — O(index), paid only when a segment
+            // file actually changed. Tx banks rewrite through a commit
+            // (writeGeneration's pointer machinery is the PLAIN-parquet
+            // publish path; a tx store's readers resolve the log, so a
+            // generation swap there would be silently invisible);
+            // plain banks go through the atomic generation swap.
             val kept = idx.join(broadcast(replaced.distinct()),
               Seq("path"), "left_anti")
-            writeGeneration(kept.unionByName(fresh)
+            val rewritten = kept.unionByName(fresh)
               .sort("network", "station", "location", "channel",
-                "starttime"))
+                "starttime")
+            if (txIndex) { txTable.overwrite(rewritten); () }
+            else writeGeneration(rewritten)
           }
           indexCache.foreach(_.clear())
         }

@@ -126,7 +126,13 @@ object IntervalJoin {
     */
   private[graft] def autoBandNs(requests: DataFrame,
                                 t1Col: String, t2Col: String): Long = {
-    val key = (requests.queryExecution.analyzed.canonicalized, t1Col, t2Col)
+    // key on the canonicalized plan's SEMANTIC HASH, not the plan
+    // itself: a LocalRelation-backed frame embeds its rows in the
+    // plan, and a map retaining up to 32 such plans would pin their
+    // data in driver memory. A hash collision merely reuses another
+    // frame's width — a physical knob; results stay exact either way.
+    val key = (requests.queryExecution.analyzed.canonicalized
+      .semanticHash(), t1Col, t2Col)
     memoLock.synchronized(Option(widthMemo.get(key))) match {
       case Some(w) => w
       case None =>
@@ -140,11 +146,12 @@ object IntervalJoin {
     }
   }
 
-  /** Memo of measured widths keyed by the request frame's CANONICALIZED
-    * analyzed plan (+ bound columns): an iterative caller re-deriving
+  /** Memo of measured widths keyed by the request frame's canonicalized
+    * semantic hash (+ bound columns): an iterative caller re-deriving
     * the width for the same requests frame — or a trivially re-aliased
     * copy of it — pays the single-row agg once, not per call. Bounded
-    * LRU (32 plans); a key holds only the logical plan, not data.
+    * LRU (32 entries of (Int, String, String) → Long — no plan or data
+    * retention).
     */
   private val memoLock = new Object
   private val widthMemo =

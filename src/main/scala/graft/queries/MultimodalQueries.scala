@@ -159,6 +159,71 @@ object MultimodalQueries {
       SELECT a.doc_id AS a, b.doc_id AS b,
              CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
       FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3""")),
+
+    // ---- STREAMING image near-dup (round 8): the q104 corpus replays
+    //      through the file source with event times inside one 6 h
+    //      window and `StreamingDedup.imageNearDupStream` (decode +
+    //      dHash on arrival, banded buckets, windowed pair expansion,
+    //      exact Hamming refine) must emit EXACTLY the batch q104 pair
+    //      set, window-stamped. A flush image 8 h ahead closes the
+    //      window so append mode emits; its own hash shares no
+    //      within-threshold pair, and cross-window pairs are outside
+    //      the horizon by construction.
+    Q("q106_stream_image_neardup", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val t0 = 1_600_000_000_000_000_000L
+      val imgs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, renderPng(id)))
+        }.toDF("doc_id", "payload")
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+      val flush = s.range(1).select(lit(999999999L).as("doc_id"),
+        lit(renderPng(999999999L)).as("payload"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q106").toString
+      imgs.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = graft.streaming.StreamingDedup.imageNearDupStream(
+        stream, "doc_id", "payload", "ts", maxHamming = 3)
+      val sink = "q106_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH px AS (
+        SELECT doc_id, x, y, $graySql AS gray
+        FROM (SELECT doc_id,
+                CASE WHEN doc_id % 50 = 7 AND doc_id >= 7
+                     THEN doc_id - 7 ELSE doc_id END AS base
+              FROM documents),
+             (SELECT x, y FROM range(9) tx(x), range(8) ty(y))
+      ),
+      h AS (
+        SELECT l.doc_id,
+               bit_or(CASE WHEN r.gray > l.gray THEN
+                 CASE WHEN l.y * 8 + l.x = 63
+                      THEN (-9223372036854775807::BIGINT - 1)
+                      ELSE (1::BIGINT << (l.y * 8 + l.x)) END
+                 ELSE 0::BIGINT END) AS phash
+        FROM px l JOIN px r
+          ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+        WHERE l.x < 8
+        GROUP BY l.doc_id
+      )
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.phash, b.phash)) <= 3"""))
   )
 }

@@ -141,4 +141,70 @@ object StreamingDedup {
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
         col("a"), col("b"))
   }
+
+  /** Streaming perceptual-hash image near-dup — the live counterpart
+    * of [[graft.multimodal.Multimodal.imageNearDupPairs]] (q104), in
+    * [[nearDupStream]]'s windowed-changelog shape: payloads decode and
+    * dHash partition-locally as they arrive (undecodable rows dropped,
+    * as in the batch operator), signatures band into (band, bucket)
+    * keys, and a watermarked tumbling-window `collect_list` per bucket
+    * expands in-group pairs with the exact Hamming refine. With
+    * `maxHamming < bands` the pigeonhole recall guarantee holds WITHIN
+    * a window; cross-window near-dups are outside the horizon, the
+    * meaning any infinite-stream near-dup must adopt. State rows are
+    * (band, bucket, window) group buffers — window-volume-bounded and
+    * watermark-evicted, the same profile [[nearDupStream]] measures in
+    * BASELINE.md.
+    *
+    * Output (append changelog): `window_ns, a, b, hamming` with a < b,
+    * emitted when the watermark closes the window — the batch q104
+    * pair set, window-stamped, for rows within one window.
+    */
+  def imageNearDupStream(stream: DataFrame, idCol: String,
+                         payloadCol: String, tsCol: String,
+                         maxHamming: Int = 3, bands: Int = 4,
+                         bandBits: Int = 16,
+                         watermark: String = "10 seconds",
+                         windowDur: String = "6 hours"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val mask = (1L << bandBits) - 1
+    val hashed = stream.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, p, ts) =>
+          val img = try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          } catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else Some((id, graft.multimodal.Multimodal.dHash(img), ts))
+        }
+      }.toDF("doc_id", "phash", "_ts")
+    hashed
+      .select(col("doc_id"), col("phash"), col("_ts"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bucket")))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("band", "bucket", "doc_id")
+      .groupBy(window(col("_ts"), windowDur).as("w"),
+        col("band"), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("doc_id").as("id"),
+        col("phash").as("h")))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(col("w"), explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + 2, size(col("m"))),
+          y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            bit_count(x.getField("h").bitwiseXOR(y.getField("h")))
+              .as("hamming")))))).as("p"))
+      .select(col("w"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark("w", "a", "b")
+      .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+        col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+  }
 }

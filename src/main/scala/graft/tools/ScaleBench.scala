@@ -609,7 +609,7 @@ object ScaleBench {
           .as(Seq("band", "bucket")))
       val cands = banded.groupBy("band", "bucket")
         .agg(count(lit(1)).as("m"))
-        .agg(sum(expr("m * (m - 1) / 2"))).head().getAs[Any](0).toString
+        .agg(sum(expr("m * (m - 1) div 2")).cast("long")).head().getLong(0)
       val s1 = System.nanoTime()
       val pairs = graft.multimodal.Multimodal.imageNearDupPairs(
         spark, imgs, maxHamming = 3).count()
@@ -622,7 +622,64 @@ object ScaleBench {
         s""""pairs":$pairs,"planted":$planted,"pair_s":${fmt(pairSecs)}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson}""")
+    // streaming image near-dup (env GRAFT_SCALE_IMGSTREAM=<imgs>): the
+    // q106 pipeline — PNGs replayed through the file source, decoded +
+    // dHashed on arrival, banded-Hamming paired in tumbling windows —
+    // imgs/sec end to end, peak state (window-volume-bounded bucket
+    // buffers), and the emitted pairs checked against the batch q104
+    // operator (one window, flush image closes it).
+    val imgStreamJson = sys.env.get("GRAFT_SCALE_IMGSTREAM").map { sN =>
+      import org.apache.spark.sql.streaming.Trigger
+      import spark.implicits._
+      val n = sN.trim.toLong
+      val t0 = 1_600_000_000_000_000_000L
+      val dir = s"$root/imgstream_$n"
+      val imgs = spark.range(n).select(col("id").as("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, graft.queries.MultimodalQueries.renderPng(id)))
+        }.toDF("doc_id", "payload")
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+      val flush = spark.range(1).select(lit(999999999L).as("doc_id"),
+        lit(graft.queries.MultimodalQueries.renderPng(999999999L))
+          .as("payload"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      imgs.unionByName(flush).repartitionByRange(64, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      stampRangeOrderMtimes(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "8").parquet(dir)
+      val changes = graft.streaming.StreamingDedup.imageNearDupStream(
+        stream, "doc_id", "payload", "ts", maxHamming = 3)
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val s0 = System.nanoTime()
+      val q = changes.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          emitted.addAndGet(df.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - s0) / 1e9
+      val prog = q.recentProgress
+      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      val batchPairs = graft.multimodal.Multimodal.imageNearDupPairs(
+        spark,
+        spark.range(n).select(col("id").as("doc_id")).as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map(id => (id, graft.queries.MultimodalQueries.renderPng(id)))
+          }.toDF("doc_id", "payload"),
+        maxHamming = 3).count()
+      require(emitted.get == batchPairs,
+        s"stream emitted ${emitted.get} pairs, batch derives $batchPairs")
+      s""","img_stream":{"imgs":$n,"s":${fmt(secs)},""" +
+        s""""imgs_per_sec":${fmt(n / secs, 0)},"pairs":${emitted.get},""" +
+        s""""batches":${prog.length},"peak_state_rows":$peakRows}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson}""")
     spark.stop()
   }
 }

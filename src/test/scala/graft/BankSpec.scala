@@ -373,6 +373,30 @@ class BankSpec extends SparkSpec {
     bank.updateIndex()
     assert(bank.readIndex().count() == 2)
     assert(bank.indexStamp() == stamp, "no-op pass must not bump the stamp")
+
+    // the SAME contract on a tx-index bank: the replacement must go
+    // through a log COMMIT (a plain generation swap would be invisible
+    // to tx readers, silently keeping the stale row)
+    val txRoot = tmp()
+    val txSegDir = java.nio.file.Paths.get(s"$txRoot/segments")
+    java.nio.file.Files.createDirectories(txSegDir)
+    writeFile(txSegDir.resolve("a.gsg"),
+      Segment("N1", "S1", "", "BHZ", 0L, 10L, Array.fill(100)(1.0), ""))
+    val txBank = new WaveBank(spark, txRoot, txIndex = true,
+      segmentFormat = "gsg")
+    txBank.updateIndex()
+    assert(txBank.readIndex().count() == 1)
+    writeFile(txSegDir.resolve("a.gsg"),
+      Segment("N1", "S1", "", "BHZ", 0L, 10L, Array.fill(200)(1.5), ""))
+    assert(txSegDir.resolve("a.gsg").toFile
+      .setLastModified(System.currentTimeMillis() + 5000))
+    txBank.updateIndex()
+    assert(txBank.readIndex().count() == 1)
+    assert(txBank.readIndex().head().getAs[Long]("endtime") == 2000L,
+      "tx index must reflect the rewritten file")
+    // no stray plain-parquet generation dirs or pointer
+    assert(!new java.io.File(s"$txRoot/index.ptr").exists())
+    assert(new java.io.File(txRoot).list().forall(!_.startsWith("index.g")))
   }
 
   test("wavebank: gsg segment store — real record files, same query surface") {
