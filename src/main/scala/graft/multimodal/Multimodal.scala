@@ -285,6 +285,30 @@ object Multimodal {
         .withColumnRenamed("phash", "simhash"),
       "doc_id", maxHamming, bands, bandBits)
 
+  /** End-to-end image dedup: [[imageNearDupPairs]] → connected
+    * components ([[graft.operators.Dedup.connectedComponents]], the
+    * O(log²)-round star contraction) → one KEEPER per component (the
+    * min doc_id; for quality-aware canonical selection join the
+    * labels against a quality frame — the q75 pattern for text).
+    * Returns (doc_id, component, is_keeper 1/0) for EVERY input image
+    * rather than just the survivors — the decision stays auditable,
+    * and the keep-projection is one filter. Undecodable payloads
+    * carry no hash, join no pairs, and survive as their own keeper.
+    */
+  def dedupImages(spark: SparkSession, df: DataFrame,
+                  maxHamming: Int = 3, bands: Int = 4,
+                  bandBits: Int = 16): DataFrame = {
+    val pairs = imageNearDupPairs(spark, df, maxHamming, bands, bandBits)
+    val labels = graft.operators.Dedup.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    df.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("is_keeper",
+        (col("component") === col("doc_id")).cast("long"))
+  }
+
   /** Partition sizing for decode jobs: repartition so each task holds
     * roughly `targetBytes` of payload. Decode is CPU-bound per byte —
     * row-count-based splits mis-size badly when payloads are skewed

@@ -224,6 +224,60 @@ object MultimodalQueries {
              a.doc_id AS a, b.doc_id AS b,
              CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
       FROM h a JOIN h b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.phash, b.phash)) <= 3"""))
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3""")),
+
+    // ---- end-to-end image dedup (round 8): pairs → connected
+    //      components (star contraction) → min-id keeper per
+    //      component, every input row labeled. The oracle recomputes
+    //      the hashes, brute-forces the pair set, and closes it
+    //      transitively with a recursive CTE — the q48 CC-oracle
+    //      pattern over the q104 hash arithmetic.
+    Q("q107_image_dedup", (s, dir) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, renderPng(id)))
+        }.toDF("doc_id", "payload")
+      Multimodal.dedupImages(s, imgs, maxHamming = 3)
+    }, Some(s"""
+      WITH RECURSIVE px AS (
+        SELECT doc_id, x, y, $graySql AS gray
+        FROM (SELECT doc_id,
+                CASE WHEN doc_id % 50 = 7 AND doc_id >= 7
+                     THEN doc_id - 7 ELSE doc_id END AS base
+              FROM documents),
+             (SELECT x, y FROM range(9) tx(x), range(8) ty(y))
+      ),
+      h AS (
+        SELECT l.doc_id,
+               bit_or(CASE WHEN r.gray > l.gray THEN
+                 CASE WHEN l.y * 8 + l.x = 63
+                      THEN (-9223372036854775807::BIGINT - 1)
+                      ELSE (1::BIGINT << (l.y * 8 + l.x)) END
+                 ELSE 0::BIGINT END) AS phash
+        FROM px l JOIN px r
+          ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+        WHERE l.x < 8
+        GROUP BY l.doc_id
+      ),
+      pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      ),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      conn AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.src, e.dst FROM conn c JOIN edges e ON c.dst = e.src),
+      comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+               FROM conn GROUP BY src)
+      SELECT d.doc_id,
+             COALESCE(comp.component, d.doc_id) AS component,
+             CAST(COALESCE(comp.component, d.doc_id) = d.doc_id AS BIGINT)
+               AS is_keeper
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"""))
   )
 }

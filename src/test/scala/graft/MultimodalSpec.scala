@@ -140,6 +140,22 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Seq((0L, 7L), (50L, 57L), (100L, 107L)))
   }
 
+  test("dedupImages labels every row; transitive near-dups share a component") {
+    import graft.queries.MultimodalQueries
+    // 0..99 plus the planted near-dup pair (50, 57); 999 undecodable
+    val rows = (0L until 100L).map(id => (id, MultimodalQueries.renderPng(id))) :+
+      (999L, Array[Byte](9)) // undecodable: must survive as its own keeper
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val byId = Multimodal.dedupImages(spark, df, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId.size == 101, "every input row must be labeled")
+    assert(byId(50L) == ((50L, 1L)))
+    assert(byId(57L) == ((50L, 0L)), "the near-dup keeps the min-id keeper")
+    assert(byId(7L) == ((0L, 0L)) && byId(0L) == ((0L, 1L)))
+    assert(byId(999L) == ((999L, 1L)), "undecodable rows keep themselves")
+    assert(byId.count(_._2._2 == 1L) == 99, "two components of size 2")
+  }
+
   test("repartitionForDecode sizes partitions by payload bytes") {
     val p = Multimodal.withSyntheticPayload(docs) // 4 x 16 bytes
     assert(Multimodal.repartitionForDecode(p, targetBytes = 16L)
