@@ -118,6 +118,63 @@ object DomainBench {
       (tRaw, tSorted, nRaw)
     }
 
+    // 2d (opt-in, GRAFT_BENCH_COMPACT=<rows>): the compactIndex
+    // generation swap at archive scale. The store accumulates 32
+    // incremental append batches — each clustered the way indexAppend
+    // writes, but batches OVERLAP in key range (every batch carries all
+    // stations over the full time span), so a station+window probe must
+    // open every batch's files; compaction restores store-wide disjoint
+    // slices, adding FILE-level pruning on top of the per-file
+    // row-group pruning measured in 2c. Also pins the pointer-swap
+    // read contract at scale: a reader plan resolved BEFORE the
+    // compact collects correctly afterwards (the replaced generation
+    // survives as the grace copy).
+    val compactScale = sys.env.get("GRAFT_BENCH_COMPACT").map(_.toLong)
+    val compactTimes = compactScale.map { n =>
+      require(n >= 3200000, s"GRAFT_BENCH_COMPACT=$n too small: below " +
+        "100 rows/station/batch the probe window empties")
+      val stations = 1000L
+      val batches = 32
+      val per = n / batches
+      val totalHrs = n / stations
+      val compRoot = s"$root/compactbank"
+      val bank = new graft.bank.WaveBank(spark, compRoot)
+      (0 until batches).foreach { b =>
+        val hr = (col("id") * 48271L + lit(b.toLong)) % lit(totalHrs)
+        spark.range(per).select(
+            lit("N1").as("network"),
+            concat(lit("S"), lpad(pmod(col("id") * 7L, lit(stations))
+              .cast("string"), 4, "0")).as("station"),
+            lit("").as("location"), lit("BHZ").as("channel"),
+            (hr * hourNs).as("starttime"),
+            (hr * hourNs + hourNs).as("endtime"),
+            lit(hourNs / 100).as("sampling_period"),
+            concat(lit("f"), lit(b.toLong) * per + col("id")).as("path"),
+            lit(-1L).as("mtime_ms"),
+            lit(b.toLong).as("indexed_at"),
+            lit(graft.bank.WaveBank.IndexVersion).as("index_version"))
+          .sort("network", "station", "location", "channel", "starttime")
+          .write.mode("append").parquet(s"$compRoot/index")
+      }
+      def probe(): (Double, Long) = time {
+        bank.readIndex(station = "S0123",
+          starttime = Some((totalHrs / 2) * hourNs),
+          endtime = Some((totalHrs / 2 + 24) * hourNs)).count()
+      }
+      probe() // warm
+      val (tBefore, nBefore) = probe()
+      val inFlight = bank.readIndex(station = "S0123",
+        starttime = Some((totalHrs / 2) * hourNs),
+        endtime = Some((totalHrs / 2 + 24) * hourNs))
+      val (tCompact, _) = time { bank.compactIndex(); 0L }
+      val nInFlight = inFlight.count() // grace-copy read-through
+      probe() // warm the compacted layout
+      val (tAfter, nAfter) = probe()
+      require(nBefore == nAfter && nBefore == nInFlight,
+        s"compaction changed results: $nBefore / $nInFlight / $nAfter")
+      (tBefore, tCompact, tAfter, nBefore)
+    }
+
     // 3. gaps over the full index
     val (tGaps, nGaps) = time {
       graft.operators.Intervals.gaps(idxDf,
@@ -479,7 +536,11 @@ object DomainBench {
       "decode_imageio_per_s" -> 2000.0 / tDecodeReal) ++
       pruneTimes.toSeq.flatMap { case (tRaw, tSorted, _) => Seq(
         "bigidx_read_unsorted_s" -> tRaw,
-        "bigidx_read_clustered_s" -> tSorted) }
+        "bigidx_read_clustered_s" -> tSorted) } ++
+      compactTimes.toSeq.flatMap { case (tBefore, tCompact, tAfter, _) => Seq(
+        "compact_probe_before_s" -> tBefore,
+        "compact_s" -> tCompact,
+        "compact_probe_after_s" -> tAfter) }
     val counts = Seq("n_indexed" -> nIdx, "n_read" -> nRead, "n_gaps" -> nGaps,
       "n_sds_partitions" -> nSdsParts,
       "n_bulk" -> nBulk, "n_bulk_banded" -> nBulkBanded,
