@@ -61,6 +61,43 @@ class ScaleProofSpec extends SparkSpec {
     }
   }
 
+  test("image near-dup plan shape is scale-invariant; planted pairs found exactly") {
+    withPlainJoins {
+      val perScale = Seq(small, large).map { n =>
+        val imgs = spark.range(n).select(col("id").as("doc_id")).as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map(id => (id, graft.queries.MultimodalQueries.renderPng(id)))
+          }.toDF("doc_id", "payload")
+        val pairs = graft.multimodal.Multimodal
+          .imageNearDupPairs(spark, imgs, maxHamming = 3)
+        val counts = PlanIntrospect.counts(pairs)
+        assert(counts.bnlj == 0 && counts.cartesian == 0, counts.render)
+        // at these scales the synthetic image space has no background
+        // near-collisions (first appear around 10⁵): the pair set IS
+        // the planted set, so recall and precision are both pinned
+        val found = pairs.select("a", "b").as[(Long, Long)]
+          .collect().toSet
+        val planted = (7L until n by 50L).map(b => (b - 7, b)).toSet
+        assert(found == planted,
+          s"$n imgs: ${found.size} found vs ${planted.size} planted")
+        // end-to-end dedup keeps exactly one doc per planted pair
+        val labels = graft.multimodal.Multimodal.dedupImages(spark, imgs,
+          maxHamming = 3)
+        assert(PlanIntrospect.counts(labels).cartesian == 0)
+        assert(labels.filter(col("is_keeper") === 1L).count() ==
+          n - planted.size)
+        n -> counts
+      }
+      val (_, base) = perScale.head
+      perScale.foreach { case (n, c) =>
+        assert(c.shuffles == base.shuffles && c.broadcasts == base.broadcasts,
+          s"image near-dup plan changed with scale: $n imgs ${c.render} " +
+            s"vs $small imgs ${base.render}")
+      }
+    }
+  }
+
   test("CC round count stays flat (2-4) on the LSH pair graph at both scales") {
     withPlainJoins {
       Seq(small, large).foreach { n =>
