@@ -432,6 +432,120 @@ object LifecycleQueries {
       UNION ALL
       SELECT 'refresh' AS phase, 'S1' AS station, st, et FROM s1
       UNION ALL
-      SELECT 'refresh' AS phase, 'S1' AS station, st, et FROM extra"""))
+      SELECT 'refresh' AS phase, 'S1' AS station, st, et FROM extra""")),
+
+    // ---- compaction under a live reader (round 8, was spec-only): two
+    //      append batches leave the index as overlapping filesets; a
+    //      reader plan is RESOLVED before compactIndex runs, then
+    //      collected after it — the generation pointer swap must keep
+    //      that reader on a complete grace copy while fresh reads see
+    //      the re-clustered store. Both phases must equal the same
+    //      arithmetic; a compact that loses rows, double-counts, or
+    //      leaves the in-flight reader on a deleted dir breaks the hash.
+    Q("q108_compact_under_read", (s, dir) => {
+      import graft.bank.WaveBank
+      val segs = Tables.events(s, dir)
+        .select((col("user_id") % 4).as("sid"),
+          (col("event_id") % 60).as("slot"), col("event_id"))
+        .groupBy("sid", "slot").agg((min("event_id") % 20).as("v0"))
+        .select(lit("XX").as("network"),
+          concat(lit("S"), col("sid")).as("station"),
+          lit("").as("location"), lit("BHZ").as("channel"),
+          (lit(T0) + col("slot") * lit(3_600_000_000_000L)).as("starttime"),
+          lit(1_000_000_000L).as("sampling_period"),
+          transform(sequence(lit(0L), col("v0") + lit(4L)),
+            i => i.cast("double")).as("samples"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q108").toString
+      val bank = new WaveBank(s, root)
+      val split = T0 + 30L * 3_600_000_000_000L
+      bank.putWaveforms(segs.filter(col("starttime") < lit(split)))
+      bank.putWaveforms(segs.filter(col("starttime") >= lit(split)))
+      val inFlight = bank.readIndex() // resolved BEFORE the compact
+      bank.compactIndex()
+      def phase(df: DataFrame, name: String): DataFrame =
+        df.groupBy("station")
+          .agg(count(lit(1)).as("n_rows"),
+            min("starttime").as("t0"), max("endtime").as("t_end"),
+            sum(col("endtime") - col("starttime")).as("total_ns"))
+          .withColumn("phase", lit(name))
+          .select("phase", "station", "n_rows", "t0", "t_end", "total_ns")
+      phase(inFlight, "inflight").unionByName(phase(bank.readIndex(), "after"))
+    }, Some("""
+      WITH base AS (
+        SELECT user_id % 4 AS sid, event_id % 60 AS slot,
+               MIN(event_id) % 20 AS v0
+        FROM events GROUP BY 1, 2),
+      seg AS (SELECT sid, slot, v0 + 5 AS n,
+                     1600000000000000000 + slot * 3600000000000 AS st
+              FROM base),
+      agg AS (SELECT 'S' || CAST(sid AS VARCHAR) AS station,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     MIN(st) AS t0,
+                     MAX(st + n * 1000000000) AS t_end,
+                     CAST(SUM(n * 1000000000) AS BIGINT) AS total_ns
+              FROM seg GROUP BY 1)
+      SELECT p.phase, agg.* FROM agg
+      CROSS JOIN (SELECT 'inflight' AS phase UNION ALL SELECT 'after') p""")),
+
+    // ---- in-place modified-file re-indexing (round 8, was spec-only):
+    //      real gsg record files written driver-side (bounded fixture,
+    //      60 files), indexed, then a third of them REWRITTEN in place
+    //      with more samples and a newer mtime — the acquisition-tool
+    //      append pattern. The reference's mtime contract re-indexes
+    //      modified files (`bank/core.py:193-210`); the (path, mtime)
+    //      dedup must REPLACE their rows (not keep the stale ones, not
+    //      duplicate), and untouched files must not re-index. The
+    //      per-station totals reflect the post-rewrite sample counts
+    //      exactly or the hash breaks.
+    Q("q109_modified_file_reindex", (s, dir) => {
+      import graft.bank.WaveBank
+      import graft.sources.BinarySegmentSource.{Segment, writeFile}
+      // bounded driver collect: 2×30 = 60 derivation rows, each one
+      // fixture file — the q90/q93 bounded-record-builder pattern
+      val specs = Tables.events(s, dir)
+        .select((col("user_id") % 2).as("sid"),
+          (col("event_id") % 30).as("slot"), col("event_id"))
+        .groupBy("sid", "slot").agg((min("event_id") % 20).as("v0"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q109").toString
+      val segDir = java.nio.file.Paths.get(s"$root/segments")
+      java.nio.file.Files.createDirectories(segDir)
+      def write(sid: Long, slot: Long, n: Long): java.nio.file.Path = {
+        val p = segDir.resolve(f"f_${sid}_$slot%02d.gsg")
+        writeFile(p, Segment("XX", s"S$sid", "", "BHZ",
+          T0 + slot * 3_600_000_000_000L, 1_000_000_000L,
+          Array.fill(n.toInt)(1.0), ""))
+        p
+      }
+      specs.foreach { case (sid, slot, v0) => write(sid, slot, v0 + 5) }
+      val bank = new WaveBank(s, root, segmentFormat = "gsg")
+      bank.updateIndex()
+      // the tool rewrites slots < 10 in place: same path, +7 samples,
+      // newer mtime
+      specs.filter(_._2 < 10).foreach { case (sid, slot, v0) =>
+        val p = write(sid, slot, v0 + 12)
+        require(p.toFile.setLastModified(System.currentTimeMillis() + 5000))
+      }
+      bank.updateIndex()
+      bank.readIndex().groupBy("station")
+        .agg(count(lit(1)).as("n_rows"),
+          max("endtime").as("t_end"),
+          sum(col("endtime") - col("starttime")).as("total_ns"))
+    }, Some("""
+      WITH base AS (
+        SELECT user_id % 2 AS sid, event_id % 30 AS slot,
+               MIN(event_id) % 20 AS v0
+        FROM events GROUP BY 1, 2),
+      seg AS (SELECT sid, slot,
+                     v0 + 5 + CASE WHEN slot < 10 THEN 7 ELSE 0 END AS n
+              FROM base)
+      SELECT 'S' || CAST(sid AS VARCHAR) AS station,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MAX(1600000000000000000 + slot * 3600000000000
+                 + n * 1000000000) AS t_end,
+             CAST(SUM(n * 1000000000) AS BIGINT) AS total_ns
+      FROM seg GROUP BY 1"""))
   )
 }
