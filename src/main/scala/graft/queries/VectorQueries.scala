@@ -172,7 +172,52 @@ object VectorQueries {
         e, "vec_id", "embedding", k = 8, iters = 3)
       asgn.groupBy("cell")
         .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_id"))
-    }, Some(kmeansOracleSql(k = 8, iters = 3)))
+    }, Some(kmeansOracleSql(k = 8, iters = 3))),
+
+    // ---- STREAMING embedding near-dup (round 8): the q34 planted-copy
+    //      corpus replays through the file source with event times
+    //      inside one 6 h window and `StreamingDedup
+    //      .embeddingNearDupStream` (sign-bucket on arrival, windowed
+    //      in-bucket pair expansion, exact cosine refine) must emit
+    //      EXACTLY the batch q34 pair set, window-stamped. A flush
+    //      vector 8 h ahead closes the window so append mode emits;
+    //      it is alone in its own (never-closed) window, so whatever
+    //      it resembles is outside the horizon by construction.
+    Q("q110_stream_embedding_neardup", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val corpus = nearDupCorpus(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          (lit(t0) + col("vec_id") * lit(1_000_000L)).as("ts"))
+      val flushVec = corpus.orderBy("vec_id")
+        .select("embedding").head().getSeq[Float](0) // 1 row: flush payload
+      val flush = s.range(1).select(lit(999999999L).as("vec_id"),
+        typedLit(flushVec).as("embedding"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q110").toString
+      corpus.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = graft.streaming.StreamingDedup.embeddingNearDupStream(
+        stream, "vec_id", "embedding", "ts", bits = 8, minCosine = 0.99)
+      val sink = "q110_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH corpus AS ($nearDupCorpusSql),
+      e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM corpus)
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns, a, b, cosine FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROUND(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+        FROM e x JOIN e y USING (bucket) WHERE x.vec_id < y.vec_id)
+      WHERE cosine >= 0.99"""))
   )
 
   /** DuckDB replay of [[graft.operators.KMeans.fit]]'s derandomized

@@ -207,4 +207,62 @@ object StreamingDedup {
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
         col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
+
+  /** Streaming embedding-cosine near-dup — the live counterpart of
+    * [[graft.operators.Similarity.nearDupPairs]] (q34), completing the
+    * streaming-twin set (exact q77, span q82, MinHash q88, perceptual
+    * q106, and now embedding). Same changelog shape as the others:
+    * each arriving vector sign-buckets (`2^bits` LSH cells, the batch
+    * operator's blocking key), norms precompute BEFORE any pairing,
+    * and a watermarked tumbling-window `collect_list` per bucket
+    * expands in-group pairs with the exact cosine refine — rounded to
+    * 6 places first so the `minCosine` cut is reproducible against
+    * the batch oracle bit for bit.
+    *
+    * State per (bucket × window) group holds the member VECTORS (the
+    * refine needs them — unlike the 64-bit pHash there is no compact
+    * sketch that preserves exact cosine), so state volume is
+    * window-volume × vector width, watermark-evicted. That is the
+    * same asymptotic profile as the batch bucket join's shuffle
+    * buffer; at 100 TB the knob is `windowDur` (horizon) × `bits`
+    * (bucket fan-out), both of which divide state linearly.
+    *
+    * Output (append changelog): `window_ns, a, b, cosine` with a < b,
+    * emitted when the watermark closes the window. Cross-window pairs
+    * are outside the horizon — the meaning any infinite-stream
+    * near-dup must adopt (the batch pair set is the windowDur → ∞
+    * limit).
+    */
+  def embeddingNearDupStream(stream: DataFrame, idCol: String,
+                             vecCol: String, tsCol: String,
+                             bits: Int = 8, minCosine: Double = 0.99,
+                             watermark: String = "10 seconds",
+                             windowDur: String = "6 hours"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    graft.plans.GraftExtensions.register(stream.sparkSession)
+    stream
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(vecCol).as("vec"),
+        normNative(col(vecCol)).as("nrm"),
+        signBucket(col(vecCol), bits).as("bucket"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("bucket", "doc_id")
+      .groupBy(window(col("_ts"), windowDur).as("w"), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("doc_id").as("id"),
+        col("vec").as("v"), col("nrm").as("n")))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(col("w"), explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + 2, size(col("m"))),
+          y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            round(cosineWithNormsNative(x.getField("v"), y.getField("v"),
+              x.getField("n"), y.getField("n")), 6).as("cosine"))))))
+        .as("p"))
+      .select(col("w"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.cosine").as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .dropDuplicatesWithinWatermark("w", "a", "b")
+      .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+        col("a"), col("b"), col("cosine"))
+  }
 }

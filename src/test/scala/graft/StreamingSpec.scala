@@ -506,4 +506,61 @@ class StreamingSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(batch == Set("a2"))
   }
+
+  test("streaming embedding near-dup pairs match the batch pipeline; state evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-sedup").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1_000_000_000L
+    // 8-dim vectors: base family co-buckets (all-positive signs), the
+    // unrelated vector lands in a different sign bucket entirely
+    val base = Seq.tabulate(8)(i => 1.0f + i * 0.1f)
+    val near = base.updated(0, 1.01f) // cosine ≈ 0.999986 vs base
+    val other = Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val in = MemoryStream[(Long, Seq[Float], Long)]
+    val changes = graft.streaming.StreamingDedup.embeddingNearDupStream(
+      in.toDF().toDF("doc_id", "embedding", "ts"), "doc_id", "embedding",
+      "ts", bits = 8, minCosine = 0.99,
+      watermark = "30 seconds", windowDur = "1 hour")
+    val q = changes.writeStream.format("memory").queryName("sedup")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    try {
+      // batch 1: an exact copy pair (1, 2) and an unrelated vector
+      in.addData((1L, base, 10 * ns), (2L, base, 11 * ns),
+        (5L, other, 11 * ns))
+      q.processAllAvailable()
+      // batch 2: a NEAR copy joins the family; doc 1 re-delivered (the
+      // bucket dedup state must not self-pair or double-emit it)
+      in.addData((3L, near, 12 * ns), (1L, base, 13 * ns))
+      q.processAllAvailable()
+      // watermark pusher past window end + delay: append emits finals
+      in.addData((999L, other.map(-_), 7200 * ns))
+      q.processAllAvailable()
+      // LATE copy (behind the watermark): dropped, no re-emit
+      in.addData((4L, base, 9 * ns))
+      q.processAllAvailable()
+      in.addData((998L, other.map(-_), 7300 * ns))
+      q.processAllAvailable()
+
+      val got = spark.table("sedup")
+        .select("window_ns", "a", "b", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // the batch operator on the ON-TIME distinct vectors is the
+      // reference — identical bucketing, cosine rounding, and cut
+      val batch = graft.operators.Similarity.nearDupPairs(
+        Seq((1L, base), (2L, base), (3L, near), (5L, other))
+          .toDF("doc_id", "embedding"),
+        "doc_id", "embedding", bits = 8, minCosine = 0.99)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.map(_._3).contains(1.0d), "identical vectors at cos 1")
+      assert(batch.exists { case (a, b, _) => (a, b) == (1L, 3L) },
+        "near copy must pair with the family")
+      assert(got == batch.map { case (a, b, c) => (0L, a, b, c) },
+        s"stream $got vs batch $batch")
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "expected state eviction after the watermark passed")
+    } finally q.stop()
+  }
 }
