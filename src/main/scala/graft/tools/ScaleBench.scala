@@ -157,6 +157,35 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Deterministic synthetic 64-dim embedding corpus at `n` rows, the
+    * vector counterpart of [[synthDocs]]'s group structure: groups of
+    * 8 where members 0–4 share the group's base vector verbatim
+    * (exact copies), member 6 is the base nudged +0.004 on dim 63 (a
+    * near-dup the cosine refine must KEEP), member 5 is the base
+    * shoved +3.0 on dim 20 (co-bucketed at any bucket width ≤ 16 —
+    * both perturbed dims sit past the sign-bucket prefix — but cosine
+    * ≈ 0.8, so the refine must REJECT it), and member 7 is unique.
+    * Components derive from xxhash64 → [-1, 1] on a 1/1000 grid: no
+    * RNG, identical frame at any partitioning.
+    */
+  def synthEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    val d = spark.range(n)
+      .withColumn("grp", expr("id div 8"))
+      .withColumn("m", pmod(col("id"), lit(8L)))
+      .withColumn("seed", when(col("m") === 7,
+        xxhash64(lit("unqv"), col("id")))
+        .otherwise(xxhash64(lit("vgrp"), col("grp"))))
+    d.select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(63)), i => {
+        val base = (pmod(xxhash64(lit("vdim"), col("seed"), i),
+          lit(2001L)) - lit(1000L)) / lit(1000.0)
+        val adj = when(col("m") === 6 && i === 63, lit(0.004))
+          .when(col("m") === 5 && i === 20, lit(3.0))
+          .otherwise(lit(0.0))
+        (base + adj).cast("float")
+      }).as("embedding"))
+  }
+
   /** Deterministic synthetic events/index frame at `n` rows — the
     * seismology-lifecycle counterpart of [[synthDocs]]: the columns
     * the q14/q15/q19/q52/q53 bodies consume (event_id, user_id,
@@ -692,7 +721,61 @@ object ScaleBench {
         s""""batches":${prog.length},"peak_state_rows":$peakRows}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson}""")
+    // streaming embedding near-dup (env GRAFT_SCALE_EMBSTREAM=<vecs>):
+    // the q110 pipeline — synthEmbeddings replayed through the file
+    // source, sign-bucketed on arrival, windowed in-bucket pair
+    // expansion with the exact cosine refine — vecs/sec end to end,
+    // peak state (the window's VECTORS, the heaviest state profile of
+    // the five dedup streams), and the emitted pairs checked against
+    // the batch q34 operator. bits=16 keeps bucket populations ~n/2^16
+    // (at 8 bits the planted families would pool 256 buckets into
+    // quadratic hot groups — the same bits-must-grow-with-n knob the
+    // batch operator documents).
+    val embStreamJson = sys.env.get("GRAFT_SCALE_EMBSTREAM").map { sN =>
+      import org.apache.spark.sql.streaming.Trigger
+      val n = sN.trim.toLong
+      val t0 = 1_600_000_000_000_000_000L
+      val dir = s"$root/embstream_$n"
+      val vecs = synthEmbeddings(spark, n)
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+      val flush = synthEmbeddings(spark, 1)
+        .select(lit(999999999L).as("doc_id"),
+          transform(col("embedding"), v => -v).as("embedding"),
+          lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      vecs.unionByName(flush).repartitionByRange(64, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      stampRangeOrderMtimes(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "8").parquet(dir)
+      val changes = graft.streaming.StreamingDedup.embeddingNearDupStream(
+        stream, "doc_id", "embedding", "ts", bits = 16, minCosine = 0.99)
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val s0 = System.nanoTime()
+      val q = changes.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          emitted.addAndGet(df.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - s0) / 1e9
+      val prog = q.recentProgress
+      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+        .foldLeft(0L)(math.max)
+      val batchPairs = graft.operators.Similarity.nearDupPairs(
+        synthEmbeddings(spark, n), "doc_id", "embedding",
+        bits = 16, minCosine = 0.99).count()
+      require(emitted.get == batchPairs,
+        s"stream emitted ${emitted.get} pairs, batch derives $batchPairs")
+      s""","emb_stream":{"vecs":$n,"s":${fmt(secs)},""" +
+        s""""vecs_per_sec":${fmt(n / secs, 0)},"pairs":${emitted.get},""" +
+        s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
+        s""""peak_state_bytes":$peakBytes}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson}""")
     spark.stop()
   }
 }
