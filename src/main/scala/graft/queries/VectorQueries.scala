@@ -217,7 +217,60 @@ object VectorQueries {
         SELECT x.vec_id AS a, y.vec_id AS b,
                ROUND(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
         FROM e x JOIN e y USING (bucket) WHERE x.vec_id < y.vec_id)
-      WHERE cosine >= 0.99"""))
+      WHERE cosine >= 0.99""")),
+
+    // ---- STREAMING ANN (round 8): a live QUERY stream probing the
+    //      STATIC corpus — the library's first stream-static join.
+    //      The q33 query set (vec_id < 50) replays through the file
+    //      source; `StreamingSimilarity.annStream` sign-buckets each
+    //      arriving query, equi-joins the persisted bucketed corpus
+    //      (which never streams and carries no state), and emits the
+    //      top-3 when the watermark closes the window — EXACTLY the
+    //      batch q33 result, window-stamped. A flush query 8 h ahead
+    //      closes the window; its own results are outside the horizon.
+    Q("q111_stream_ann", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingSimilarity
+      val t0 = 1_600_000_000_000_000_000L
+      val e = Tables.embeddings(s, dir)
+      val corpus = StreamingSimilarity.bucketCorpus(
+        e, "vec_id", "embedding", bits = 8).persist()
+      val qs = e.filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding"),
+          (lit(t0) + col("vec_id") * lit(1_000_000L)).as("ts"))
+      val flushVec = e.orderBy("vec_id")
+        .select("embedding").head().getSeq[Float](0) // 1 row: flush payload
+      val flush = s.range(1).select(lit(999999999L).as("vec_id"),
+        typedLit(flushVec).as("embedding"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q111").toString
+      qs.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = StreamingSimilarity.annStream(
+        stream, corpus, "vec_id", "embedding", "ts", bits = 8, k = 3)
+      val sink = "q111_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true) // eager: safe to unpersist
+      s.catalog.dropTempView(sink)
+      corpus.unpersist()
+      out
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM e WHERE vec_id < 50),
+      p AS (SELECT q.q_id, e.vec_id AS neighbor_id, q.bucket,
+              ${cosSql("q.q_vec", "e.embedding")} AS cos
+            FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             q_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3"""))
   )
 
   /** DuckDB replay of [[graft.operators.KMeans.fit]]'s derandomized

@@ -563,4 +563,69 @@ class StreamingSpec extends SparkSpec {
       assert(removed > 0, "expected state eviction after the watermark passed")
     } finally q.stop()
   }
+
+  test("streaming ANN over a static corpus matches batch lshTopK; late query drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-sann").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1_000_000_000L
+    // corpus: two sign-bucket families (all-positive / alternating),
+    // graded so top-k order is unambiguous in double precision
+    val corpusRows = (0 until 12).map { i =>
+      val fam = i % 2
+      val v = Seq.tabulate(8) { d =>
+        val base = if (fam == 0) 1.0f else { if (d % 2 == 0) 1.0f else -1.0f }
+        base * (1.0f + 0.05f * ((i * (d + 3)) % 7))
+      }
+      (100L + i, v)
+    }
+    val corpusDf = graft.streaming.StreamingSimilarity.bucketCorpus(
+      corpusRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      bits = 8).persist()
+    val in = MemoryStream[(Long, Seq[Float], Long)]
+    val changes = graft.streaming.StreamingSimilarity.annStream(
+      in.toDF().toDF("vec_id", "embedding", "ts"), corpusDf,
+      "vec_id", "embedding", "ts", bits = 8, k = 3,
+      watermark = "30 seconds", windowDur = "1 hour")
+    val q = changes.writeStream.format("memory").queryName("sann")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    val qa = Seq.tabulate(8)(_ => 1.0f)
+    val qb = Seq.tabulate(8)(d => if (d % 2 == 0) 2.0f else -2.0f)
+    try {
+      // batch 1: one query per family; batch 2: a re-delivered copy of
+      // query 1 (must dedup, not double-emit) and a third query
+      in.addData((1L, qa, 10 * ns), (2L, qb, 11 * ns))
+      q.processAllAvailable()
+      in.addData((1L, qa, 12 * ns), (3L, qa.map(_ * 3f), 13 * ns))
+      q.processAllAvailable()
+      // watermark pusher past window end + delay: append emits finals
+      in.addData((999L, qb, 7200 * ns))
+      q.processAllAvailable()
+      // LATE query behind the watermark: dropped, never answered
+      in.addData((4L, qa, 9 * ns))
+      q.processAllAvailable()
+      in.addData((998L, qb, 7300 * ns))
+      q.processAllAvailable()
+
+      val got = spark.table("sann")
+        .select("q_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      // batch reference on the ON-TIME distinct queries
+      val batch = graft.operators.Similarity.lshTopK(
+        corpusRows.toDF("vec_id", "embedding"),
+        Seq((1L, qa), (2L, qb), (3L, qa.map(_ * 3f)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", bits = 8, k = 3)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(batch.count(_._1 == 1L) == 3, "full top-3 per query")
+      assert(got == batch, s"stream $got vs batch $batch")
+      // the static corpus carries no state: only the query dedup and
+      // the window agg hold rows, and the watermark evicted them
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "expected state eviction after the watermark passed")
+    } finally { q.stop(); corpusDf.unpersist() }
+  }
 }
