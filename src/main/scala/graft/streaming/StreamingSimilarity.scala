@@ -37,6 +37,13 @@ object StreamingSimilarity {
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
       normNative(col(vecCol)).as("n_norm"),
       signBucket(col(vecCol), bits).as("bucket"))
+      // hash-partition AND sort by the probe key BEFORE the caller
+      // persists: the cached layout then satisfies both the join's
+      // distribution and ordering requirements, so each micro-batch
+      // plans SortMergeJoin(shuffled+sorted queries, raw cache scan)
+      // — without this the whole corpus re-exchanges and re-sorts on
+      // EVERY trigger (verified in the physical plan)
+      .repartition(col("bucket")).sortWithinPartitions("bucket")
   }
 
   /** Append-mode streaming ANN: each query vector arriving on

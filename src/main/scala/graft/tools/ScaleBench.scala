@@ -775,7 +775,69 @@ object ScaleBench {
         s""""peak_state_bytes":$peakBytes}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson}""")
+    // streaming ANN serving rate (env GRAFT_SCALE_ANNSTREAM=
+    // "<corpusVecs>,<queries>"): the q111 pipeline — a query stream
+    // probing the static synthEmbeddings corpus, bucketed + persisted
+    // ONCE before the clock starts (the serving deployment shape) —
+    // queries/sec end to end and the no-corpus-state claim measured,
+    // with the emitted top-k rows checked against batch lshTopK on
+    // the same query set.
+    val annStreamJson = sys.env.get("GRAFT_SCALE_ANNSTREAM").map { sN =>
+      import org.apache.spark.sql.streaming.Trigger
+      val parts = sN.split(",").map(_.trim.toLong)
+      val (nc, nq) = (parts(0), parts(1))
+      val t0 = 1_600_000_000_000_000_000L
+      val dir = s"$root/annstream_${nc}_$nq"
+      val corpus = graft.streaming.StreamingSimilarity.bucketCorpus(
+        synthEmbeddings(spark, nc), "doc_id", "embedding",
+        bits = 16).persist()
+      corpus.count() // materialize before the clock starts
+      // query vectors: unique-seed synthEmbeddings rows (the m=7
+      // branch pattern), disjoint id space, 1 ms event spacing
+      def queryVecs(n: Long): DataFrame = spark.range(n)
+        .withColumn("seed", xxhash64(lit("qryv"), col("id")))
+        .select((col("id") + 2_000_000_000L).as("doc_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(xxhash64(lit("vdim"), col("seed"), i), lit(2001L))
+              - lit(1000L)) / lit(1000.0)).cast("float")).as("embedding"))
+      val qs = queryVecs(nq)
+        .withColumn("ts", lit(t0) + (col("doc_id") - 2_000_000_000L)
+          * lit(1_000_000L))
+      val flush = queryVecs(1)
+        .select(lit(999999999L).as("doc_id"), col("embedding"),
+          lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      qs.unionByName(flush).repartitionByRange(64, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      stampRangeOrderMtimes(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "8").parquet(dir)
+      val changes = graft.streaming.StreamingSimilarity.annStream(
+        stream, corpus, "doc_id", "embedding", "ts", bits = 16, k = 10)
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val s0 = System.nanoTime()
+      val q = changes.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          emitted.addAndGet(df.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - s0) / 1e9
+      val prog = q.recentProgress
+      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      val batchRows = graft.operators.Similarity.lshTopK(
+        synthEmbeddings(spark, nc), queryVecs(nq),
+        "doc_id", "embedding", bits = 16, k = 10).count()
+      require(emitted.get == batchRows,
+        s"stream emitted ${emitted.get} rows, batch derives $batchRows")
+      corpus.unpersist()
+      s""","ann_stream":{"corpus":$nc,"queries":$nq,"s":${fmt(secs)},""" +
+        s""""queries_per_sec":${fmt(nq / secs, 0)},"rows":${emitted.get},""" +
+        s""""batches":${prog.length},"peak_state_rows":$peakRows}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson}""")
     spark.stop()
   }
 }

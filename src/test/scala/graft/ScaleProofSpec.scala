@@ -98,6 +98,39 @@ class ScaleProofSpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dup / ANN probe plan shapes are scale-invariant; planted structure exact") {
+    withPlainJoins {
+      val perScale = Seq(small, large).map { n =>
+        val vecs = ScaleBench.synthEmbeddings(spark, n)
+        // the batch operator the q110 stream defers to: bucket join +
+        // cosine refine — one shuffle pair, never all-pairs
+        val pairs = graft.operators.Similarity.nearDupPairs(
+          vecs, "doc_id", "embedding", bits = 16, minCosine = 0.99)
+        val cp = PlanIntrospect.counts(pairs)
+        assert(cp.bnlj == 0 && cp.cartesian == 0, cp.render)
+        // synthEmbeddings plants 15 kept pairs per full group of 8
+        // (5 exact copies + 1 near member; the co-bucketed far member
+        // must be refined away) and no background near-collisions
+        assert(pairs.count() == (n / 8) * 15,
+          s"$n vecs: expected ${(n / 8) * 15} planted pairs")
+        // the probe the q111 stream runs per micro-batch
+        val topk = graft.operators.Similarity.lshTopK(
+          vecs, vecs.filter(col("doc_id") % 1000 === 0),
+          "doc_id", "embedding", bits = 16, k = 5)
+        val ct = PlanIntrospect.counts(topk)
+        assert(ct.bnlj == 0 && ct.cartesian == 0, ct.render)
+        n -> (cp, ct)
+      }
+      val (_, (bp, bt)) = perScale.head
+      perScale.foreach { case (n, (cp, ct)) =>
+        assert(cp.shuffles == bp.shuffles && cp.broadcasts == bp.broadcasts,
+          s"embedding near-dup plan changed with scale: $n ${cp.render}")
+        assert(ct.shuffles == bt.shuffles && ct.broadcasts == bt.broadcasts,
+          s"lshTopK plan changed with scale: $n ${ct.render}")
+      }
+    }
+  }
+
   test("CC round count stays flat (2-4) on the LSH pair graph at both scales") {
     withPlainJoins {
       Seq(small, large).foreach { n =>
