@@ -552,6 +552,61 @@ object TextQueries {
         WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                 % 1000000 < CAST(round(rate * 1000000) AS BIGINT))
       SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
-      FROM kept GROUP BY source"""))
+      FROM kept GROUP BY source""")),
+
+    // ---- STREAMING decontamination (round 8): the q56 training side
+    //      replays through the file source and `StreamingContamination
+    //      .contaminatedStream` (explode scan-local, broadcast-join the
+    //      static eval shingle set, windowed per-doc count) must emit
+    //      EXACTLY the batch q56 contamination set, window-stamped. A
+    //      flush doc 8 h ahead closes the window; its own window never
+    //      closes, so whatever it overlaps is outside the horizon.
+    Q("q112_stream_decontaminate", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingContamination
+      val t0 = 1_600_000_000_000_000_000L
+      val d = Tables.documents(s, dir)
+      val evalH = StreamingContamination.evalShingles(
+        d.filter(col("doc_id") % 97 === 0), "text").persist()
+      val train = d.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"),
+          (lit(t0) + col("doc_id") * lit(1_000_000L)).as("ts"))
+      val flush = s.range(1).select(lit(999999999L).as("doc_id"),
+        lit("zz flush doc").as("text"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q112").toString
+      train.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = StreamingContamination.contaminatedStream(
+        stream, evalH, "text", "doc_id", "ts")
+      val sink = "q112_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true) // eager: safe to unpersist
+      s.catalog.dropTempView(sink)
+      evalH.unpersist()
+      out
+    }, {
+      val shSql = s"""list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+          i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"""
+      Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, $shSql AS sh FROM t),
+      hs AS (SELECT doc_id,
+               list_distinct(${operators.Dedup.shingleHashesSql("sh")}) AS hs
+             FROM sh),
+      ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+      evalh AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             e.doc_id, COUNT(*) AS n_shared
+      FROM ex e JOIN evalh v USING (h)
+      WHERE e.doc_id % 97 <> 0
+      GROUP BY e.doc_id""")
+    })
   )
 }

@@ -628,4 +628,56 @@ class StreamingSpec extends SparkSpec {
       assert(removed > 0, "expected state eviction after the watermark passed")
     } finally { q.stop(); corpusDf.unpersist() }
   }
+
+  test("streaming decontamination matches batch; re-delivery dedups; late doc drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-sdecon").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1_000_000_000L
+    val evalDocs = Seq((100L, "the secret eval answer is forty two"))
+      .toDF("doc_id", "text")
+    val evalH = graft.streaming.StreamingContamination
+      .evalShingles(evalDocs, "text").persist()
+    val leaky = "we think the secret eval answer is forty two exactly"
+    // shares WORDS and even bigrams with the eval doc, but no 3-gram
+    val partial = "eval answer lurks here secret forty"
+    val clean = "totally unrelated words in this document"
+    val in = MemoryStream[(Long, String, Long)]
+    val changes = graft.streaming.StreamingContamination.contaminatedStream(
+      in.toDF().toDF("doc_id", "text", "ts"), evalH, "text", "doc_id",
+      "ts", watermark = "30 seconds", windowDur = "1 hour")
+    val q = changes.writeStream.format("memory").queryName("sdecon")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, leaky, 10 * ns), (2L, clean, 11 * ns))
+      q.processAllAvailable()
+      // batch 2: doc 1 re-delivered (must not double-count its
+      // shingles), a no-shared-3-gram doc, and a second leak
+      in.addData((1L, leaky, 12 * ns), (3L, partial, 12 * ns),
+        (4L, "eval answer is forty two", 13 * ns))
+      q.processAllAvailable()
+      in.addData((999L, "zz flush doc", 7200 * ns))
+      q.processAllAvailable()
+      // LATE leak behind the watermark: dropped, never flagged —
+      // the caller's horizon contract, same as every stream here
+      in.addData((5L, leaky, 9 * ns))
+      q.processAllAvailable()
+      in.addData((998L, "zz flush two", 7300 * ns))
+      q.processAllAvailable()
+
+      val got = spark.table("sdecon")
+        .select("doc_id", "n_shared").as[(Long, Long)].collect().toSet
+      val batch = graft.operators.Contamination.contaminatedDocs(
+        Seq((1L, leaky), (2L, clean), (3L, partial),
+          (4L, "eval answer is forty two")).toDF("doc_id", "text"),
+        evalDocs, "text", "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(batch.map(_._1) == Set(1L, 4L), s"expected docs 1,4: $batch")
+      assert(got == batch, s"stream $got vs batch $batch")
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "expected state eviction after the watermark passed")
+    } finally { q.stop(); evalH.unpersist() }
+  }
 }
