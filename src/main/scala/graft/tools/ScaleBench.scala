@@ -837,7 +837,60 @@ object ScaleBench {
         s""""batches":${prog.length},"peak_state_rows":$peakRows}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson}""")
+    // streaming decontamination throughput (env GRAFT_SCALE_DECONSTREAM
+    // =<docs>): the q112 pipeline — synthDocs replayed through the file
+    // source, every 97th doc held out as the static eval set (persisted
+    // shingle hashes, broadcast per trigger) — docs/sec end to end and
+    // the per-contaminated-doc counter state, with the emitted doc set
+    // checked against the batch q56 operator.
+    val deconStreamJson = sys.env.get("GRAFT_SCALE_DECONSTREAM").map { sN =>
+      import org.apache.spark.sql.streaming.Trigger
+      val n = sN.trim.toLong
+      val t0 = 1_600_000_000_000_000_000L
+      val dir = s"$root/deconstream_$n"
+      val docs = synthDocs(spark, n)
+      val evalH = graft.streaming.StreamingContamination.evalShingles(
+        docs.filter(col("doc_id") % 97 === 0), "text").persist()
+      evalH.count() // materialize before the clock starts
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"),
+          (lit(t0) + col("doc_id") * lit(1_000_000L)).as("ts"))
+      val flush = spark.range(1).select(lit(n + 1).as("doc_id"),
+        lit("zz flush doc").as("text"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      train.unionByName(flush).repartitionByRange(64, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      stampRangeOrderMtimes(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "8").parquet(dir)
+      val changes = graft.streaming.StreamingContamination
+        .contaminatedStream(stream, evalH, "text", "doc_id", "ts")
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val s0 = System.nanoTime()
+      val q = changes.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          emitted.addAndGet(df.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - s0) / 1e9
+      val prog = q.recentProgress
+      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      val batchDocs = graft.operators.Contamination.contaminatedDocs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id").count()
+      require(emitted.get == batchDocs,
+        s"stream flagged ${emitted.get} docs, batch derives $batchDocs")
+      evalH.unpersist()
+      s""","decon_stream":{"docs":$n,"s":${fmt(secs)},""" +
+        s""""docs_per_sec":${fmt(n / secs, 0)},"flagged":${emitted.get},""" +
+        s""""batches":${prog.length},"peak_state_rows":$peakRows}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$deconStreamJson}""")
     spark.stop()
   }
 }
