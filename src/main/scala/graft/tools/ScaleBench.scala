@@ -59,6 +59,44 @@ object ScaleBench {
     }
   }
 
+  /** One measured streaming replay result. */
+  case class ReplayRun(secs: Double, emitted: Long, batches: Int,
+                       peakStateRows: Long, peakStateBytes: Long)
+
+  /** Shared scaffold for every streaming throughput bench: write
+    * `rows` + `flush` range-partitioned by `tsCol` with range-ordered
+    * mtimes (event-time-ordered arrival — see the q88 postmortem in
+    * BASELINE.md), replay through the file source 8 files per
+    * micro-batch into the pipeline under test, count emitted rows, and
+    * report wall time + the watermark-bounded peak state footprint.
+    */
+  private def replayBench(spark: SparkSession, dir: String,
+                          rows: DataFrame, flush: DataFrame, tsCol: String,
+                          mkStream: DataFrame => DataFrame): ReplayRun = {
+    import org.apache.spark.sql.streaming.Trigger
+    rows.unionByName(flush).repartitionByRange(64, col(tsCol))
+      .write.mode("overwrite").parquet(dir)
+    stampRangeOrderMtimes(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "8").parquet(dir)
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val s0 = System.nanoTime()
+    val q = mkStream(stream).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        emitted.addAndGet(df.count()); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - s0) / 1e9
+    val prog = q.recentProgress
+    val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+      .foldLeft(0L)(math.max)
+    val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+      .foldLeft(0L)(math.max)
+    ReplayRun(secs, emitted.get, prog.length, peakRows, peakBytes)
+  }
+
   /** 256-word vocabulary (deterministic, engine-neutral). */
   private val Vocab: Seq[String] = {
     val roots = Seq("data", "spark", "scan", "sort", "batch", "merge",
@@ -460,39 +498,17 @@ object ScaleBench {
     // docs/sec end to end and the peak state row/byte footprint the
     // watermark is bounding.
     val streamJson = sys.env.get("GRAFT_SCALE_STREAM").map { sN =>
-      import org.apache.spark.sql.streaming.Trigger
       val n = sN.trim.toLong
       val t0 = 1_600_000_000_000_000_000L
-      val dir = s"$root/stream_docs_$n"
       val docs = synthDocs(spark, n)
         .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
         .select("doc_id", "text", "ts")
       val flush = spark.range(1).select(lit(n + 1).as("doc_id"),
         lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      docs.unionByName(flush).repartitionByRange(64, col("ts"))
-        .write.mode("overwrite").parquet(dir)
-      stampRangeOrderMtimes(dir)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", "8").parquet(dir)
-      val changes = graft.streaming.StreamingDedup.nearDupStream(
-        stream, "text", "doc_id", "ts")
-      val pairs = new java.util.concurrent.atomic.AtomicLong
-      val s0 = System.nanoTime()
-      val q = changes.writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          pairs.addAndGet(df.count()); ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - s0) / 1e9
-      // peak across microbatches of the summed per-operator state
-      val prog = q.recentProgress
-      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
-        .foldLeft(0L)(math.max)
-      val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
-        .foldLeft(0L)(math.max)
+      val r = replayBench(spark, s"$root/stream_docs_$n", docs, flush, "ts",
+        st => graft.streaming.StreamingDedup.nearDupStream(
+          st, "text", "doc_id", "ts"))
       // completeness guard: with ordered arrival nothing is watermark-
       // dropped, so the stream's distinct-pair total must equal the
       // batch pipeline's candidate-pair count on the same corpus — a
@@ -504,13 +520,13 @@ object ScaleBench {
       if (n * 1_000_000L < 6L * 3600L * 1_000_000_000L) {
         val batchPairs = graft.queries.DedupQueries
           .minhashPairsOf(synthDocs(spark, n)).count()
-        require(pairs.get == batchPairs,
-          s"stream emitted ${pairs.get} pairs, batch derives $batchPairs")
+        require(r.emitted == batchPairs,
+          s"stream emitted ${r.emitted} pairs, batch derives $batchPairs")
       }
-      s""","stream":{"docs":$n,"s":${fmt(secs)},""" +
-        s""""docs_per_sec":${fmt(n / secs, 0)},"pairs":${pairs.get},""" +
-        s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
-        s""""peak_state_bytes":$peakBytes}"""
+      s""","stream":{"docs":$n,"s":${fmt(r.secs)},""" +
+        s""""docs_per_sec":${fmt(n / r.secs, 0)},"pairs":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows},""" +
+        s""""peak_state_bytes":${r.peakStateBytes}}"""
     }.getOrElse("")
 
     // streaming gap-detection throughput (env GRAFT_SCALE_GAPSTREAM=
@@ -521,45 +537,25 @@ object ScaleBench {
     // state, and the emitted-gap count checked against the batch
     // operator (a flush row ahead of every real segment seals them all).
     val gapsJson = sys.env.get("GRAFT_SCALE_GAPSTREAM").map { sN =>
-      import org.apache.spark.sql.streaming.Trigger
       val n = sN.trim.toLong
-      val dir = s"$root/gapstream_$n"
       val iv = graft.queries.WindowQueries.intervalsOf(synthEvents(spark, n))
         .select(col("user_id"), col("starttime"), col("endtime"))
       val far = 1_740_000_000_000_000_000L // 2025-02, past every synth ts
       val flush = spark.range(1).select(lit(999999999L).as("user_id"),
         lit(far).as("starttime"), lit(far + 1000L).as("endtime"))
-      iv.unionByName(flush).repartitionByRange(64, col("starttime"))
-        .write.mode("overwrite").parquet(dir)
-      stampRangeOrderMtimes(dir)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", "8").parquet(dir)
-      val gapsDf = graft.streaming.StreamingIntervals.gapStream(
-        stream, "user_id", "starttime", "endtime",
-        minGap = 43_200_000_000_000L, watermark = "10 seconds")
-      val emitted = new java.util.concurrent.atomic.AtomicLong
-      val s0 = System.nanoTime()
-      val q = gapsDf.writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          emitted.addAndGet(df.count()); ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - s0) / 1e9
-      val prog = q.recentProgress
-      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
-        .foldLeft(0L)(math.max)
-      val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
-        .foldLeft(0L)(math.max)
+      val r = replayBench(spark, s"$root/gapstream_$n", iv, flush,
+        "starttime",
+        st => graft.streaming.StreamingIntervals.gapStream(
+          st, "user_id", "starttime", "endtime",
+          minGap = 43_200_000_000_000L, watermark = "10 seconds"))
       val batchRows = graft.queries.WindowQueries
         .gapsOf(synthEvents(spark, n)).count()
-      require(emitted.get == batchRows,
-        s"stream emitted ${emitted.get} gaps, batch derives $batchRows")
-      s""","gap_stream":{"rows":$n,"s":${fmt(secs)},""" +
-        s""""rows_per_sec":${fmt(n / secs, 0)},"gaps":${emitted.get},""" +
-        s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
-        s""""peak_state_bytes":$peakBytes}"""
+      require(r.emitted == batchRows,
+        s"stream emitted ${r.emitted} gaps, batch derives $batchRows")
+      s""","gap_stream":{"rows":$n,"s":${fmt(r.secs)},""" +
+        s""""rows_per_sec":${fmt(n / r.secs, 0)},"gaps":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows},""" +
+        s""""peak_state_bytes":${r.peakStateBytes}}"""
     }.getOrElse("")
 
     // streaming contiguous-span throughput (env GRAFT_SCALE_SEGSTREAM=
@@ -570,45 +566,25 @@ object ScaleBench {
     // advances the watermark past its runMax + tol; the flush row
     // itself stays buffered and unemitted).
     val segsJson = sys.env.get("GRAFT_SCALE_SEGSTREAM").map { sN =>
-      import org.apache.spark.sql.streaming.Trigger
       val n = sN.trim.toLong
-      val dir = s"$root/segstream_$n"
       val iv = graft.queries.WindowQueries.intervalsOf(synthEvents(spark, n))
         .select(col("user_id"), col("starttime"), col("endtime"))
       val far = 1_740_000_000_000_000_000L // 2025-02, past every synth ts
       val flush = spark.range(1).select(lit(999999999L).as("user_id"),
         lit(far).as("starttime"), lit(far + 1000L).as("endtime"))
-      iv.unionByName(flush).repartitionByRange(64, col("starttime"))
-        .write.mode("overwrite").parquet(dir)
-      stampRangeOrderMtimes(dir)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", "8").parquet(dir)
-      val segsDf = graft.streaming.StreamingIntervals.segmentStream(
-        stream, "user_id", "starttime", "endtime",
-        tol = 43_200_000_000_000L, watermark = "10 seconds")
-      val emitted = new java.util.concurrent.atomic.AtomicLong
-      val s0 = System.nanoTime()
-      val q = segsDf.writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          emitted.addAndGet(df.count()); ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - s0) / 1e9
-      val prog = q.recentProgress
-      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
-        .foldLeft(0L)(math.max)
-      val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
-        .foldLeft(0L)(math.max)
+      val r = replayBench(spark, s"$root/segstream_$n", iv, flush,
+        "starttime",
+        st => graft.streaming.StreamingIntervals.segmentStream(
+          st, "user_id", "starttime", "endtime",
+          tol = 43_200_000_000_000L, watermark = "10 seconds"))
       val batchRows = graft.queries.WindowQueries
         .segmentsOf(synthEvents(spark, n)).count()
-      require(emitted.get == batchRows,
-        s"stream emitted ${emitted.get} segments, batch derives $batchRows")
-      s""","segment_stream":{"rows":$n,"s":${fmt(secs)},""" +
-        s""""rows_per_sec":${fmt(n / secs, 0)},"segments":${emitted.get},""" +
-        s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
-        s""""peak_state_bytes":$peakBytes}"""
+      require(r.emitted == batchRows,
+        s"stream emitted ${r.emitted} segments, batch derives $batchRows")
+      s""","segment_stream":{"rows":$n,"s":${fmt(r.secs)},""" +
+        s""""rows_per_sec":${fmt(n / r.secs, 0)},"segments":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows},""" +
+        s""""peak_state_bytes":${r.peakStateBytes}}"""
     }.getOrElse("")
 
     // perceptual-hash image near-dup (env GRAFT_SCALE_PHASH=
@@ -671,54 +647,31 @@ object ScaleBench {
     // buffers), and the emitted pairs checked against the batch q104
     // operator (one window, flush image closes it).
     val imgStreamJson = sys.env.get("GRAFT_SCALE_IMGSTREAM").map { sN =>
-      import org.apache.spark.sql.streaming.Trigger
       import spark.implicits._
       val n = sN.trim.toLong
       val t0 = 1_600_000_000_000_000_000L
-      val dir = s"$root/imgstream_$n"
-      val imgs = spark.range(n).select(col("id").as("doc_id")).as[Long]
+      def renderAll(): DataFrame = spark.range(n)
+        .select(col("id").as("doc_id")).as[Long]
         .mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map(id => (id, graft.queries.MultimodalQueries.renderPng(id)))
         }.toDF("doc_id", "payload")
+      val imgs = renderAll()
         .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
       val flush = spark.range(1).select(lit(999999999L).as("doc_id"),
         lit(graft.queries.MultimodalQueries.renderPng(999999999L))
           .as("payload"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      imgs.unionByName(flush).repartitionByRange(64, col("ts"))
-        .write.mode("overwrite").parquet(dir)
-      stampRangeOrderMtimes(dir)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", "8").parquet(dir)
-      val changes = graft.streaming.StreamingDedup.imageNearDupStream(
-        stream, "doc_id", "payload", "ts", maxHamming = 3)
-      val emitted = new java.util.concurrent.atomic.AtomicLong
-      val s0 = System.nanoTime()
-      val q = changes.writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          emitted.addAndGet(df.count()); ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - s0) / 1e9
-      val prog = q.recentProgress
-      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
-        .foldLeft(0L)(math.max)
+      val r = replayBench(spark, s"$root/imgstream_$n", imgs, flush, "ts",
+        st => graft.streaming.StreamingDedup.imageNearDupStream(
+          st, "doc_id", "payload", "ts", maxHamming = 3))
       val batchPairs = graft.multimodal.Multimodal.imageNearDupPairs(
-        spark,
-        spark.range(n).select(col("id").as("doc_id")).as[Long]
-          .mapPartitions { it =>
-            javax.imageio.ImageIO.setUseCache(false)
-            it.map(id => (id, graft.queries.MultimodalQueries.renderPng(id)))
-          }.toDF("doc_id", "payload"),
-        maxHamming = 3).count()
-      require(emitted.get == batchPairs,
-        s"stream emitted ${emitted.get} pairs, batch derives $batchPairs")
-      s""","img_stream":{"imgs":$n,"s":${fmt(secs)},""" +
-        s""""imgs_per_sec":${fmt(n / secs, 0)},"pairs":${emitted.get},""" +
-        s""""batches":${prog.length},"peak_state_rows":$peakRows}"""
+        spark, renderAll(), maxHamming = 3).count()
+      require(r.emitted == batchPairs,
+        s"stream emitted ${r.emitted} pairs, batch derives $batchPairs")
+      s""","img_stream":{"imgs":$n,"s":${fmt(r.secs)},""" +
+        s""""imgs_per_sec":${fmt(n / r.secs, 0)},"pairs":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
     // streaming embedding near-dup (env GRAFT_SCALE_EMBSTREAM=<vecs>):
@@ -732,47 +685,26 @@ object ScaleBench {
     // quadratic hot groups — the same bits-must-grow-with-n knob the
     // batch operator documents).
     val embStreamJson = sys.env.get("GRAFT_SCALE_EMBSTREAM").map { sN =>
-      import org.apache.spark.sql.streaming.Trigger
       val n = sN.trim.toLong
       val t0 = 1_600_000_000_000_000_000L
-      val dir = s"$root/embstream_$n"
       val vecs = synthEmbeddings(spark, n)
         .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
       val flush = synthEmbeddings(spark, 1)
         .select(lit(999999999L).as("doc_id"),
           transform(col("embedding"), v => -v).as("embedding"),
           lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      vecs.unionByName(flush).repartitionByRange(64, col("ts"))
-        .write.mode("overwrite").parquet(dir)
-      stampRangeOrderMtimes(dir)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", "8").parquet(dir)
-      val changes = graft.streaming.StreamingDedup.embeddingNearDupStream(
-        stream, "doc_id", "embedding", "ts", bits = 16, minCosine = 0.99)
-      val emitted = new java.util.concurrent.atomic.AtomicLong
-      val s0 = System.nanoTime()
-      val q = changes.writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          emitted.addAndGet(df.count()); ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - s0) / 1e9
-      val prog = q.recentProgress
-      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
-        .foldLeft(0L)(math.max)
-      val peakBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum)
-        .foldLeft(0L)(math.max)
+      val r = replayBench(spark, s"$root/embstream_$n", vecs, flush, "ts",
+        st => graft.streaming.StreamingDedup.embeddingNearDupStream(
+          st, "doc_id", "embedding", "ts", bits = 16, minCosine = 0.99))
       val batchPairs = graft.operators.Similarity.nearDupPairs(
         synthEmbeddings(spark, n), "doc_id", "embedding",
         bits = 16, minCosine = 0.99).count()
-      require(emitted.get == batchPairs,
-        s"stream emitted ${emitted.get} pairs, batch derives $batchPairs")
-      s""","emb_stream":{"vecs":$n,"s":${fmt(secs)},""" +
-        s""""vecs_per_sec":${fmt(n / secs, 0)},"pairs":${emitted.get},""" +
-        s""""batches":${prog.length},"peak_state_rows":$peakRows,""" +
-        s""""peak_state_bytes":$peakBytes}"""
+      require(r.emitted == batchPairs,
+        s"stream emitted ${r.emitted} pairs, batch derives $batchPairs")
+      s""","emb_stream":{"vecs":$n,"s":${fmt(r.secs)},""" +
+        s""""vecs_per_sec":${fmt(n / r.secs, 0)},"pairs":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows},""" +
+        s""""peak_state_bytes":${r.peakStateBytes}}"""
     }.getOrElse("")
 
     // streaming ANN serving rate (env GRAFT_SCALE_ANNSTREAM=
@@ -783,11 +715,9 @@ object ScaleBench {
     // with the emitted top-k rows checked against batch lshTopK on
     // the same query set.
     val annStreamJson = sys.env.get("GRAFT_SCALE_ANNSTREAM").map { sN =>
-      import org.apache.spark.sql.streaming.Trigger
       val parts = sN.split(",").map(_.trim.toLong)
       val (nc, nq) = (parts(0), parts(1))
       val t0 = 1_600_000_000_000_000_000L
-      val dir = s"$root/annstream_${nc}_$nq"
       val corpus = graft.streaming.StreamingSimilarity.bucketCorpus(
         synthEmbeddings(spark, nc), "doc_id", "embedding",
         bits = 16).persist()
@@ -806,35 +736,19 @@ object ScaleBench {
       val flush = queryVecs(1)
         .select(lit(999999999L).as("doc_id"), col("embedding"),
           lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      qs.unionByName(flush).repartitionByRange(64, col("ts"))
-        .write.mode("overwrite").parquet(dir)
-      stampRangeOrderMtimes(dir)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", "8").parquet(dir)
-      val changes = graft.streaming.StreamingSimilarity.annStream(
-        stream, corpus, "doc_id", "embedding", "ts", bits = 16, k = 10)
-      val emitted = new java.util.concurrent.atomic.AtomicLong
-      val s0 = System.nanoTime()
-      val q = changes.writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          emitted.addAndGet(df.count()); ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - s0) / 1e9
-      val prog = q.recentProgress
-      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
-        .foldLeft(0L)(math.max)
+      val r = replayBench(spark, s"$root/annstream_${nc}_$nq", qs, flush,
+        "ts",
+        st => graft.streaming.StreamingSimilarity.annStream(
+          st, corpus, "doc_id", "embedding", "ts", bits = 16, k = 10))
       val batchRows = graft.operators.Similarity.lshTopK(
         synthEmbeddings(spark, nc), queryVecs(nq),
         "doc_id", "embedding", bits = 16, k = 10).count()
-      require(emitted.get == batchRows,
-        s"stream emitted ${emitted.get} rows, batch derives $batchRows")
+      require(r.emitted == batchRows,
+        s"stream emitted ${r.emitted} rows, batch derives $batchRows")
       corpus.unpersist()
-      s""","ann_stream":{"corpus":$nc,"queries":$nq,"s":${fmt(secs)},""" +
-        s""""queries_per_sec":${fmt(nq / secs, 0)},"rows":${emitted.get},""" +
-        s""""batches":${prog.length},"peak_state_rows":$peakRows}"""
+      s""","ann_stream":{"corpus":$nc,"queries":$nq,"s":${fmt(r.secs)},""" +
+        s""""queries_per_sec":${fmt(nq / r.secs, 0)},"rows":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
     // streaming decontamination throughput (env GRAFT_SCALE_DECONSTREAM
@@ -844,10 +758,8 @@ object ScaleBench {
     // the per-contaminated-doc counter state, with the emitted doc set
     // checked against the batch q56 operator.
     val deconStreamJson = sys.env.get("GRAFT_SCALE_DECONSTREAM").map { sN =>
-      import org.apache.spark.sql.streaming.Trigger
       val n = sN.trim.toLong
       val t0 = 1_600_000_000_000_000_000L
-      val dir = s"$root/deconstream_$n"
       val docs = synthDocs(spark, n)
       val evalH = graft.streaming.StreamingContamination.evalShingles(
         docs.filter(col("doc_id") % 97 === 0), "text").persist()
@@ -858,36 +770,20 @@ object ScaleBench {
       val flush = spark.range(1).select(lit(n + 1).as("doc_id"),
         lit("zz flush doc").as("text"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      train.unionByName(flush).repartitionByRange(64, col("ts"))
-        .write.mode("overwrite").parquet(dir)
-      stampRangeOrderMtimes(dir)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", "8").parquet(dir)
-      val changes = graft.streaming.StreamingContamination
-        .contaminatedStream(stream, evalH, "text", "doc_id", "ts")
-      val emitted = new java.util.concurrent.atomic.AtomicLong
-      val s0 = System.nanoTime()
-      val q = changes.writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          emitted.addAndGet(df.count()); ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - s0) / 1e9
-      val prog = q.recentProgress
-      val peakRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
-        .foldLeft(0L)(math.max)
+      val r = replayBench(spark, s"$root/deconstream_$n", train, flush,
+        "ts",
+        st => graft.streaming.StreamingContamination
+          .contaminatedStream(st, evalH, "text", "doc_id", "ts"))
       val batchDocs = graft.operators.Contamination.contaminatedDocs(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         "text", "doc_id").count()
-      require(emitted.get == batchDocs,
-        s"stream flagged ${emitted.get} docs, batch derives $batchDocs")
+      require(r.emitted == batchDocs,
+        s"stream flagged ${r.emitted} docs, batch derives $batchDocs")
       evalH.unpersist()
-      s""","decon_stream":{"docs":$n,"s":${fmt(secs)},""" +
-        s""""docs_per_sec":${fmt(n / secs, 0)},"flagged":${emitted.get},""" +
-        s""""batches":${prog.length},"peak_state_rows":$peakRows}"""
+      s""","decon_stream":{"docs":$n,"s":${fmt(r.secs)},""" +
+        s""""docs_per_sec":${fmt(n / r.secs, 0)},"flagged":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
     println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$deconStreamJson}""")
