@@ -71,7 +71,7 @@ object Similarity {
     * id (a fixed, reproducible seeding — swap for k-means outputs in
     * production; every consumer is agnostic to how centroids arose).
     */
-  private def centroidVectors(corpus: DataFrame, idCol: String, vecCol: String,
+  private[graft] def centroidVectors(corpus: DataFrame, idCol: String, vecCol: String,
                               nCells: Int): Seq[Seq[Float]] =
     corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(vecCol)).collect()
@@ -85,7 +85,7 @@ object Similarity {
     * multiply-adds per row, the same per-pair recompute the norm
     * hoisting discipline eliminates everywhere else.
     */
-  private def centroidNorms(cents: Seq[Seq[Float]]): Seq[Double] =
+  private[graft] def centroidNorms(cents: Seq[Seq[Float]]): Seq[Double] =
     cents.map { c =>
       var acc = 0.0
       c.foreach(x => acc += x.toDouble * x.toDouble)

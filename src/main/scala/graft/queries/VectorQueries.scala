@@ -270,6 +270,80 @@ object VectorQueries {
                AS window_ns,
              q_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
              CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3""")),
+
+    // ---- STREAMING IVF ANN (round 8): the second serving path beside
+    //      q111's sign-LSH — the q44 query set replays through the
+    //      file source; `StreamingSimilarity.ivfStream` scores the
+    //      centroid literal scan-locally, probes its 3 nearest cells
+    //      (array-derived probe order, since rank windows don't exist
+    //      on streams), equi-joins the persisted cell index, and emits
+    //      the top-3 when the watermark closes the window — EXACTLY
+    //      the batch q44 result, window-stamped.
+    Q("q113_stream_ann_ivf", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingSimilarity
+      val t0 = 1_600_000_000_000_000_000L
+      val e = Tables.embeddings(s, dir)
+      val index = StreamingSimilarity.ivfIndex(
+        e, "vec_id", "embedding", nCells = 16)
+      index.cells.persist().count()
+      val qs = e.filter(col("vec_id") < 25)
+        .select(col("vec_id"), col("embedding"),
+          (lit(t0) + col("vec_id") * lit(1_000_000L)).as("ts"))
+      val flushVec = e.orderBy("vec_id")
+        .select("embedding").head().getSeq[Float](0) // 1 row: flush payload
+      val flush = s.range(1).select(lit(999999999L).as("vec_id"),
+        typedLit(flushVec).as("embedding"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q113").toString
+      qs.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = StreamingSimilarity.ivfStream(
+        stream, index, "vec_id", "embedding", "ts", nProbe = 3, k = 3)
+      val sink = "q113_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true) // eager: safe to unpersist
+      s.catalog.dropTempView(sink)
+      index.cells.unpersist()
+      out
+    }, Some(s"""
+      WITH cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+               embedding AS c_vec
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      asgn AS (
+        SELECT vec_id, embedding, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cell_id ASC) AS rn
+        FROM (SELECT e.vec_id, e.embedding, c.cell_id,
+                     ${cosSql("c.c_vec", "e.embedding")} AS cos
+              FROM embeddings e CROSS JOIN cent c)),
+      cells AS (SELECT vec_id, embedding, cell_id FROM asgn WHERE rn = 1),
+      probes AS (
+        SELECT q_id, q_vec, cell_id FROM (
+          SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql("c.c_vec", "q.embedding")} DESC, c.cell_id ASC) AS rn
+          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 25)
+        WHERE rn <= 3),
+      cand AS (
+        SELECT p.q_id, p.q_vec, n.vec_id AS neighbor_id, n.embedding AS n_vec
+        FROM probes p JOIN cells n USING (cell_id) WHERE n.vec_id <> p.q_id),
+      r AS (
+        SELECT q_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM (SELECT q_id, neighbor_id, ${cosSql("q_vec", "n_vec")} AS cos FROM cand))
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             q_id, neighbor_id, ROUND(cos, 6) AS cosine,
+             CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 3"""))
   )
 

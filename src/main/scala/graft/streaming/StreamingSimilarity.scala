@@ -46,6 +46,91 @@ object StreamingSimilarity {
       .repartition(col("bucket")).sortWithinPartitions("bucket")
   }
 
+  /** A built IVF serving index: the cell-assigned corpus (callers
+    * persist `cells` — pre-partitioned and pre-sorted by cell_id, the
+    * same cache-layout trick as [[bucketCorpus]]) plus the centroid
+    * set the query side scores against.
+    */
+  case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Float]])
+
+  /** Build the static side of [[ivfStream]] once: assign every corpus
+    * vector to its nearest of `nCells` deterministic centroids (the
+    * batch `ivfTopK` assignment, bit for bit — centroids inlined as a
+    * literal, so the assignment is one narrow projection, no corpus
+    * shuffle except the final cell_id layout partitioning).
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nCells: Int): IvfIndex = {
+    import graft.operators.Similarity
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    // bounded driver collect: nCells vectors (the centroid literal)
+    val cents = Similarity.centroidVectors(corpus, idCol, vecCol, nCells)
+    val centArr = typedLit(cents)
+    val centNorm = typedLit(Similarity.centroidNorms(cents))
+    val cells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .withColumn("n_norm", normNative(col("n_vec")))
+      .withColumn("_scores", zip_with(centArr, centNorm,
+        (c, n) => cosineWithNormsNative(c, col("n_vec"), n, col("n_norm"))))
+      .withColumn("cell_id",
+        (array_position(col("_scores"), array_max(col("_scores"))) - 1)
+          .cast("int"))
+      .drop("_scores")
+      .repartition(col("cell_id")).sortWithinPartitions("cell_id")
+    IvfIndex(cells, cents)
+  }
+
+  /** Append-mode streaming IVF ANN — the second serving path beside
+    * [[annStream]]'s sign-LSH, mirroring batch `ivfTopK`: each
+    * arriving query scores the centroid literal scan-locally, probes
+    * its `nProbe` nearest cells (score-desc, cell-asc tie-break — the
+    * batch probe order, derived with array ops because rank windows
+    * don't exist on streams), equi-joins the static cell index, and
+    * emits its top-k when the watermark closes the window.
+    *
+    * Output (append changelog): `window_ns, q_id, neighbor_id, cosine,
+    * rank` — q44's batch columns, window-stamped.
+    */
+  def ivfStream(queries: DataFrame, index: IvfIndex, idCol: String,
+                vecCol: String, tsCol: String, nProbe: Int, k: Int,
+                watermark: String = "10 seconds",
+                windowDur: String = "6 hours"): DataFrame = {
+    import graft.operators.Similarity
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val centArr = typedLit(index.centroids)
+    val centNorm = typedLit(Similarity.centroidNorms(index.centroids))
+    val nCells = index.centroids.size
+    val probes = queries
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"),
+        normNative(col(vecCol)).as("q_norm"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("q_id")
+      .withColumn("_scores", zip_with(centArr, centNorm,
+        (c, n) => cosineWithNormsNative(c, col("q_vec"), n, col("q_norm"))))
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("_ts"),
+        explode(slice(array_sort(zip_with(col("_scores"),
+          sequence(lit(0), lit(nCells - 1)),
+          (s, i) => struct(negate(s).as("ns"), i.cast("int").as("cell_id")))),
+          1, nProbe)).as("p"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("_ts"),
+        col("p.cell_id").as("cell_id"))
+    probes.join(index.cells, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("cos", cosineWithNormsNative(
+        col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
+      .groupBy(window(col("_ts"), windowDur).as("w"), col("q_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("cos")).as("nc"), col("neighbor_id").as("id"),
+        round(col("cos"), 6).as("cosine")))), 1, k).as("top"))
+      .select(col("w"), col("q_id"),
+        posexplode(col("top")).as(Seq("pos", "m")))
+      .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+        col("q_id"), col("m.id").as("neighbor_id"),
+        col("m.cosine").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Append-mode streaming ANN: each query vector arriving on
     * `queries` (with an epoch-ns long event-time column) probes its
     * sign bucket of the STATIC `corpus` and emits its top-k neighbors

@@ -629,6 +629,62 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); corpusDf.unpersist() }
   }
 
+  test("streaming IVF ANN matches batch ivfTopK across batches; late query drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-sivf").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1_000_000_000L
+    // 12 corpus vectors spread over 4 deterministic centroids (the
+    // first 4 by id); graded magnitudes keep every ordering strict
+    val corpusRows = (0 until 12).map { i =>
+      val v = Seq.tabulate(8) { d =>
+        val sgn = if (((i / 4) + d) % 2 == 0) 1.0f else -1.0f
+        sgn * (1.0f + 0.07f * ((i * (d + 5)) % 11))
+      }
+      (100L + i, v)
+    }
+    val corpusDf = corpusRows.toDF("vec_id", "embedding")
+    val index = graft.streaming.StreamingSimilarity.ivfIndex(
+      corpusDf, "vec_id", "embedding", nCells = 4)
+    index.cells.persist().count()
+    val in = MemoryStream[(Long, Seq[Float], Long)]
+    val changes = graft.streaming.StreamingSimilarity.ivfStream(
+      in.toDF().toDF("vec_id", "embedding", "ts"), index,
+      "vec_id", "embedding", "ts", nProbe = 2, k = 3,
+      watermark = "30 seconds", windowDur = "1 hour")
+    val q = changes.writeStream.format("memory").queryName("sivf")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    val qa = corpusRows(1)._2.map(_ * 1.1f)
+    val qb = corpusRows(6)._2.map(_ * 0.9f)
+    val qc = corpusRows(10)._2
+    try {
+      in.addData((1L, qa, 10 * ns), (2L, qb, 11 * ns))
+      q.processAllAvailable()
+      // re-delivered query 1 must dedup; a third query joins
+      in.addData((1L, qa, 12 * ns), (3L, qc, 13 * ns))
+      q.processAllAvailable()
+      in.addData((999L, qb.map(-_), 7200 * ns))
+      q.processAllAvailable()
+      in.addData((4L, qa, 9 * ns)) // late: dropped
+      q.processAllAvailable()
+      in.addData((998L, qb.map(-_), 7300 * ns))
+      q.processAllAvailable()
+
+      val got = spark.table("sivf")
+        .select("q_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val batch = graft.operators.Similarity.ivfTopK(
+        corpusDf, Seq((1L, qa), (2L, qb), (3L, qc))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nCells = 4, nProbe = 2, k = 3)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(batch.count(_._1 == 1L) == 3, "full top-3 per query")
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally { q.stop(); index.cells.unpersist() }
+  }
+
   test("streaming decontamination matches batch; re-delivery dedups; late doc drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = Files.createTempDirectory("graft-sdecon").toString
