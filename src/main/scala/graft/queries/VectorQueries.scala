@@ -219,6 +219,84 @@ object VectorQueries {
         FROM e x JOIN e y USING (bucket) WHERE x.vec_id < y.vec_id)
       WHERE cosine >= 0.99""")),
 
+    // ---- TWO-WINDOW streaming near-dup (round 8): every prior
+    //      windowed-pair oracle replays a single window, so window
+    //      ATTRIBUTION and cross-window suppression are only
+    //      spec-pinned. Here every planted group gets TWO exact
+    //      copies: the +10000 copy lands in the SAME 6 h window as
+    //      its base (windows alternate by group, so both windows
+    //      carry real pairs), and the +20000 copy lands in the
+    //      OPPOSITE window — identical vectors, same bucket, cosine
+    //      1.0, yet none of its 100 would-be pairs may emit. The
+    //      stream must reproduce each window's pair set under ITS
+    //      OWN window_ns and nothing else.
+    Q("q114_stream_neardup_two_windows", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val winNs = 6L * 3600L * 1_000_000_000L
+      val e = Tables.embeddings(s, dir)
+      val planted = e.filter(col("vec_id") % 10 === 0)
+      val corpus = e
+        .unionByName(planted.withColumn("vec_id", col("vec_id") + 10000))
+        .unionByName(planted.withColumn("vec_id", col("vec_id") + 20000))
+        .withColumn("win", expr("""CASE
+          WHEN vec_id < 10000 THEN vec_id div 10 % 2
+          WHEN vec_id < 20000 THEN (vec_id - 10000) div 10 % 2
+          ELSE 1 - (vec_id - 20000) div 10 % 2 END"""))
+        .select(col("vec_id"), col("embedding"),
+          (lit(t0) + col("win") * lit(winNs)
+            + col("vec_id") * lit(1_000_000L)).as("ts"))
+      val flushVec = corpus.orderBy("vec_id")
+        .select("embedding").head().getSeq[Float](0) // 1 row: flush payload
+      val flush = s.range(1).select(lit(999999999L).as("vec_id"),
+        typedLit(flushVec).as("embedding"),
+        lit(t0 + 20L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q114").toString
+      // mtime-ordered ranges so window 0 arrives before window 1 and
+      // neither is watermark-dropped (the multi-batch replay rule)
+      corpus.unionByName(flush).repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      val base = System.currentTimeMillis()
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified(base + i * 1000L), s"stamp $f")
+        }
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", "2").parquet(tmp)
+      val changes = graft.streaming.StreamingDedup.embeddingNearDupStream(
+        stream, "vec_id", "embedding", "ts", bits = 8, minCosine = 0.99)
+      val sink = "q114_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+      e AS (SELECT vec_id, embedding,
+                   CASE WHEN vec_id < 10000 THEN vec_id // 10 % 2
+                        WHEN vec_id < 20000 THEN (vec_id - 10000) // 10 % 2
+                        ELSE 1 - (vec_id - 20000) // 10 % 2 END AS win,
+                   ${bucketSql("embedding")} AS bucket FROM corpus)
+      SELECT 1600000000000000000
+               - 1600000000000000000 % 21600000000000
+               + win * 21600000000000 AS window_ns,
+             a, b, cosine FROM (
+        SELECT x.win, x.vec_id AS a, y.vec_id AS b,
+               ROUND(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+        FROM e x JOIN e y ON x.bucket = y.bucket AND x.win = y.win
+        WHERE x.vec_id < y.vec_id)
+      WHERE cosine >= 0.99""")),
+
     // ---- STREAMING ANN (round 8): a live QUERY stream probing the
     //      STATIC corpus — the library's first stream-static join.
     //      The q33 query set (vec_id < 50) replays through the file
