@@ -261,7 +261,11 @@ object StreamingDedup {
       .select(col("w"), col("p.a").as("a"), col("p.b").as("b"),
         col("p.cosine").as("cosine"))
       .filter(col("cosine") >= minCosine)
-      .dropDuplicatesWithinWatermark("w", "a", "b")
+      // no pair-dedup stage: unlike the multi-BAND blockings
+      // (nearDupStream, imageNearDupStream), a vector has exactly ONE
+      // sign bucket, so each (a, b) emerges from a single (window,
+      // bucket) group exactly once at window close — a trailing
+      // dropDuplicates would add pair-volume-sized state for nothing
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
         col("a"), col("b"), col("cosine"))
   }
