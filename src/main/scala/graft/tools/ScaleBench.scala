@@ -684,24 +684,49 @@ object ScaleBench {
     // (at 8 bits the planted families would pool 256 buckets into
     // quadratic hot groups — the same bits-must-grow-with-n knob the
     // batch operator documents).
+    // `<n>` replays in one 6 h window (state = the whole corpus's
+    // vectors — the operator's documented heaviest profile; a 10⁷
+    // single-window replay OOMs the default heap, measured).
+    // `<n>:multiwin` exercises the documented windowDur knob instead:
+    // ids split into 2M-per-window slices (group-aligned — 2M % 8 = 0,
+    // so no planted group straddles a boundary and the planted pair
+    // count is invariant), each window sealing as the next arrives, so
+    // peak state is ONE window's vectors no matter how large n grows.
     val embStreamJson = sys.env.get("GRAFT_SCALE_EMBSTREAM").map { sN =>
-      val n = sN.trim.toLong
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val multiwin = parts.length > 1 && parts(1) == "multiwin"
       val t0 = 1_600_000_000_000_000_000L
-      val vecs = synthEmbeddings(spark, n)
-        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+      val winNs = 6L * 3600L * 1_000_000_000L
+      val idsPerWin = 2_000_000L
+      val nWins = if (multiwin) (n + idsPerWin - 1) / idsPerWin else 1L
+      val tsCol =
+        if (multiwin)
+          lit(t0) + (col("doc_id") / idsPerWin).cast("long") * lit(winNs) +
+            pmod(col("doc_id"), lit(idsPerWin)) * lit(10_000_000L)
+        else lit(t0) + col("doc_id") * lit(1_000_000L)
+      val vecs = synthEmbeddings(spark, n).withColumn("ts", tsCol)
       val flush = synthEmbeddings(spark, 1)
         .select(lit(999999999L).as("doc_id"),
           transform(col("embedding"), v => -v).as("embedding"),
-          lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+          lit(t0 + (nWins + 2) * winNs).as("ts"))
       val r = replayBench(spark, s"$root/embstream_$n", vecs, flush, "ts",
         st => graft.streaming.StreamingDedup.embeddingNearDupStream(
           st, "doc_id", "embedding", "ts", bits = 16, minCosine = 0.99))
-      val batchPairs = graft.operators.Similarity.nearDupPairs(
-        synthEmbeddings(spark, n), "doc_id", "embedding",
-        bits = 16, minCosine = 0.99).count()
-      require(r.emitted == batchPairs,
-        s"stream emitted ${r.emitted} pairs, batch derives $batchPairs")
-      s""","emb_stream":{"vecs":$n,"s":${fmt(r.secs)},""" +
+      // completeness guard: single-window compares to the batch
+      // operator; multiwin uses the closed form (n/8)*15 — valid
+      // because groups are window-aligned so every planted pair stays
+      // intra-window, and the 10⁵/10⁶ single-window runs pin
+      // closed form == batch == stream on this corpus
+      val expected =
+        if (multiwin) (n / 8) * 15
+        else graft.operators.Similarity.nearDupPairs(
+          synthEmbeddings(spark, n), "doc_id", "embedding",
+          bits = 16, minCosine = 0.99).count()
+      require(r.emitted == expected,
+        s"stream emitted ${r.emitted} pairs, expected $expected")
+      val key = if (multiwin) "emb_stream_multiwin" else "emb_stream"
+      s""","$key":{"vecs":$n,"windows":$nWins,"s":${fmt(r.secs)},""" +
         s""""vecs_per_sec":${fmt(n / r.secs, 0)},"pairs":${r.emitted},""" +
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows},""" +
         s""""peak_state_bytes":${r.peakStateBytes}}"""
