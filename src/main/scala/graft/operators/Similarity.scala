@@ -109,9 +109,19 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String,
-              nCells: Int, nProbe: Int, k: Int): DataFrame = {
+              nCells: Int, nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol,
+      centroidVectors(corpus, idCol, vecCol, nCells), nProbe, k)
+
+  /** [[ivfTopK]] with caller-supplied centroids — the seam that lets
+    * k-means-trained cells (or any external codebook) ride the same
+    * probe plan; [[ivfTopK]] passes the deterministic first-k seeding
+    * through it.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String,
+                  cents: Seq[Seq[Float]], nProbe: Int, k: Int): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val cents = centroidVectors(corpus, idCol, vecCol, nCells)
     val centArr = typedLit(cents)
     val centNorm = typedLit(centroidNorms(cents))
 

@@ -60,11 +60,29 @@ object StreamingSimilarity {
     * shuffle except the final cell_id layout partitioning).
     */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-               nCells: Int): IvfIndex = {
+               nCells: Int): IvfIndex =
+    // bounded driver collect: nCells vectors (the centroid literal)
+    ivfIndexWith(corpus, idCol, vecCol, graft.operators.Similarity
+      .centroidVectors(corpus, idCol, vecCol, nCells))
+
+  /** [[ivfIndex]] with a TRAINED codebook: Lloyd's over the corpus
+    * (the derandomized [[graft.operators.KMeans.fit]], first-k
+    * seeding) instead of the raw first-k vectors — tighter cells,
+    * higher recall at the same nProbe, identical serving plan.
+    */
+  def ivfIndexTrained(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, iters: Int = 3): IvfIndex =
+    ivfIndexWith(corpus, idCol, vecCol, graft.operators.KMeans
+      .fit(corpus, idCol, vecCol, nCells, iters)._1)
+
+  /** [[ivfIndex]] with caller-supplied centroids — the seam shared by
+    * the deterministic and trained builders (and any external
+    * codebook).
+    */
+  def ivfIndexWith(corpus: DataFrame, idCol: String, vecCol: String,
+                   cents: Seq[Seq[Float]]): IvfIndex = {
     import graft.operators.Similarity
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    // bounded driver collect: nCells vectors (the centroid literal)
-    val cents = Similarity.centroidVectors(corpus, idCol, vecCol, nCells)
     val centArr = typedLit(cents)
     val centNorm = typedLit(Similarity.centroidNorms(cents))
     val cells = corpus

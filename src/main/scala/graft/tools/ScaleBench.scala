@@ -776,6 +776,57 @@ object ScaleBench {
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
+    // IVF recall study (env GRAFT_SCALE_ANNRECALL="<corpus>,<queries>
+    // [,<nCells>,<nProbe>]"): recall@10 of the two IVF codebooks —
+    // deterministic first-k seeding vs the Lloyd's-trained cells —
+    // against exact brute-force ground truth on the same query set,
+    // with probe walls. Quantifies what `ivfIndexTrained` buys at the
+    // same serving cost (same cell count, same nProbe, same plan).
+    val annRecallJson = sys.env.get("GRAFT_SCALE_ANNRECALL").map { sN =>
+      import graft.operators.{KMeans, Similarity}
+      val parts = sN.split(",").map(_.trim.toLong)
+      val (nc, nq) = (parts(0), parts(1))
+      val nCells = if (parts.length > 2) parts(2).toInt else 64
+      val nProbe = if (parts.length > 3) parts(3).toInt else 4
+      val corpus = synthEmbeddings(spark, nc).persist()
+      corpus.count()
+      val queries = spark.range(nq)
+        .withColumn("seed", xxhash64(lit("qryv"), col("id")))
+        .select((col("id") + 2_000_000_000L).as("doc_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(xxhash64(lit("vdim"), col("seed"), i), lit(2001L))
+              - lit(1000L)) / lit(1000.0)).cast("float")).as("embedding"))
+      def timed[T](f: => T): (T, Double) = {
+        val s0 = System.nanoTime(); val v = f
+        (v, (System.nanoTime() - s0) / 1e9)
+      }
+      val (gt, gtS) = timed(Similarity
+        .bruteForceTopK(corpus, queries, "doc_id", "embedding", k = 10)
+        .select("q_id", "neighbor_id").persist())
+      val nGt = gt.count()
+      def recall(cents: Seq[Seq[Float]]): (Double, Double) = {
+        val (hits, w) = timed {
+          val ivf = Similarity.ivfTopKWith(corpus, queries,
+            "doc_id", "embedding", cents, nProbe, k = 10)
+          gt.join(ivf.select("q_id", "neighbor_id"),
+            Seq("q_id", "neighbor_id"), "left_semi").count()
+        }
+        (hits.toDouble / nGt, w)
+      }
+      val firstK = Similarity.centroidVectors(
+        corpus, "doc_id", "embedding", nCells)
+      val (rFirst, wFirst) = recall(firstK)
+      val (trained, trainS) = timed(
+        KMeans.fit(corpus, "doc_id", "embedding", nCells, iters = 3)._1)
+      val (rTrained, wTrained) = recall(trained)
+      gt.unpersist(); corpus.unpersist()
+      s""","ann_recall":{"corpus":$nc,"queries":$nq,"cells":$nCells,""" +
+        s""""probe":$nProbe,"brute_s":${fmt(gtS)},""" +
+        s""""recall_firstk":${fmt(rFirst, 4)},"s_firstk":${fmt(wFirst)},""" +
+        s""""recall_trained":${fmt(rTrained, 4)},"s_trained":${fmt(wTrained)},""" +
+        s""""train_s":${fmt(trainS)}}"""
+    }.getOrElse("")
+
     // streaming decontamination throughput (env GRAFT_SCALE_DECONSTREAM
     // =<docs>): the q112 pipeline — synthDocs replayed through the file
     // source, every 97th doc held out as the static eval set (persisted
@@ -811,7 +862,7 @@ object ScaleBench {
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$deconStreamJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$deconStreamJson}""")
     spark.stop()
   }
 }

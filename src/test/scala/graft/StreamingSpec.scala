@@ -725,6 +725,54 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); index.cells.unpersist() }
   }
 
+  test("trained-centroid IVF index: stream matches batch ivfTopKWith on the same codebook") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-sivft").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1_000_000_000L
+    val corpusRows = (0 until 16).map { i =>
+      val v = Seq.tabulate(8) { d =>
+        val sgn = if (((i / 4) + d) % 2 == 0) 1.0f else -1.0f
+        sgn * (1.0f + 0.06f * ((i * (d + 7)) % 13))
+      }
+      (200L + i, v)
+    }
+    val corpusDf = corpusRows.toDF("vec_id", "embedding")
+    val index = graft.streaming.StreamingSimilarity.ivfIndexTrained(
+      corpusDf, "vec_id", "embedding", nCells = 4, iters = 2)
+    index.cells.persist().count()
+    // the trained codebook must differ from the raw first-4 seeding
+    // (Lloyd's moved the centroids) or this test proves nothing
+    val firstK = graft.operators.Similarity.centroidVectors(
+      corpusDf, "vec_id", "embedding", 4)
+    assert(index.centroids != firstK, "training should move centroids")
+    val in = MemoryStream[(Long, Seq[Float], Long)]
+    val changes = graft.streaming.StreamingSimilarity.ivfStream(
+      in.toDF().toDF("vec_id", "embedding", "ts"), index,
+      "vec_id", "embedding", "ts", nProbe = 2, k = 3,
+      watermark = "30 seconds", windowDur = "1 hour")
+    val q = changes.writeStream.format("memory").queryName("sivft")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, corpusRows(3)._2.map(_ * 1.2f), 10 * ns),
+        (2L, corpusRows(9)._2.map(_ * 0.8f), 11 * ns))
+      q.processAllAvailable()
+      in.addData((999L, corpusRows(0)._2.map(-_), 7200 * ns))
+      q.processAllAvailable()
+      val got = spark.table("sivft")
+        .select("q_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val batch = graft.operators.Similarity.ivfTopKWith(
+        corpusDf, Seq((1L, corpusRows(3)._2.map(_ * 1.2f)),
+          (2L, corpusRows(9)._2.map(_ * 0.8f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", index.centroids, nProbe = 2, k = 3)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally { q.stop(); index.cells.unpersist() }
+  }
+
   test("streaming decontamination matches batch; re-delivery dedups; late doc drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = Files.createTempDirectory("graft-sdecon").toString
