@@ -350,6 +350,70 @@ object VectorQueries {
              CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 3""")),
 
+    // ---- LIVE corpus ingest → serve (round 8): the full loop. The
+    //      corpus itself arrives on a stream and commits exactly-once
+    //      per micro-batch into a TxTable (`corpusIngest`, the runTx
+    //      idempotence pattern on vectors, pre-bucketed + norm-
+    //      hoisted); `loadCorpus` snapshots the log with the serving
+    //      cache layout; the q111 query replay probes THAT corpus —
+    //      and must produce EXACTLY the q33 batch result, proving the
+    //      ingested store serves identically to one built in place.
+    Q("q115_corpus_ingest_serve", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingSimilarity
+      val t0 = 1_600_000_000_000_000_000L
+      val e = Tables.embeddings(s, dir)
+      val feedDir = java.nio.file.Files
+        .createTempDirectory("graft-q115-feed").toString
+      e.select("vec_id", "embedding").repartition(8)
+        .write.mode("overwrite").parquet(feedDir)
+      val txRoot = java.nio.file.Files
+        .createTempDirectory("graft-q115-tx").toString
+      val tx = new graft.bank.TxTable(s, txRoot)
+      val ingest = StreamingSimilarity.corpusIngest(
+        s.readStream.schema(s.read.parquet(feedDir).schema)
+          .option("maxFilesPerTrigger", "3").parquet(feedDir),
+        "vec_id", "embedding", bits = 8, tx,
+        checkpointDir = s"$txRoot/_ck")
+      ingest.awaitTermination()
+      val corpus = StreamingSimilarity.loadCorpus(tx).persist()
+      val qs = e.filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding"),
+          (lit(t0) + col("vec_id") * lit(1_000_000L)).as("ts"))
+      val flushVec = e.orderBy("vec_id")
+        .select("embedding").head().getSeq[Float](0) // 1 row: flush payload
+      val flush = s.range(1).select(lit(999999999L).as("vec_id"),
+        typedLit(flushVec).as("embedding"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q115").toString
+      qs.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = StreamingSimilarity.annStream(
+        stream, corpus, "vec_id", "embedding", "ts", bits = 8, k = 3)
+      val sink = "q115_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true) // eager: safe to unpersist
+      s.catalog.dropTempView(sink)
+      corpus.unpersist()
+      out
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM e WHERE vec_id < 50),
+      p AS (SELECT q.q_id, e.vec_id AS neighbor_id, q.bucket,
+              ${cosSql("q.q_vec", "e.embedding")} AS cos
+            FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             q_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3""")),
+
     // ---- STREAMING IVF ANN (round 8): the second serving path beside
     //      q111's sign-LSH — the q44 query set replays through the
     //      file source; `StreamingSimilarity.ivfStream` scores the

@@ -46,6 +46,51 @@ object StreamingSimilarity {
       .repartition(col("bucket")).sortWithinPartitions("bucket")
   }
 
+  /** Live corpus maintenance for the serving paths — the ingest half
+    * of the loop [[annStream]] serves: vectors arriving on a stream
+    * commit to a [[graft.bank.TxTable]] EXACTLY once per micro-batch
+    * (`appendOnce` idempotence tags — `foreachBatch` may replay a
+    * batch after a crash, the log skips the duplicate), already
+    * bucketed and norm-hoisted so a serving reload is a log read plus
+    * the cache layout. Concurrent writers (a second ingest stream, a
+    * manual backfill, compaction) interleave through the same commit
+    * protocol — the [[graft.streaming.StreamingIndex.runTx]]
+    * composition applied to vectors.
+    */
+  def corpusIngest(vectors: DataFrame, idCol: String, vecCol: String,
+                   bits: Int, tx: graft.bank.TxTable,
+                   checkpointDir: String,
+                   availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.plans.GraftExtensions.register(vectors.sparkSession)
+    val writer = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tx.appendOnce(
+          batch.select(col(idCol).as("neighbor_id"),
+            col(vecCol).as("n_vec"),
+            normNative(col(vecCol)).as("n_norm"),
+            signBucket(col(vecCol), bits).as("bucket")),
+          tag = s"corpus-batch-$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Serving snapshot of an ingested corpus: read the log (optionally
+    * a pinned version — the time-travel refresh contract: serve one
+    * snapshot while the ingest stream keeps committing, reload at a
+    * later version when convenient) and apply the [[bucketCorpus]]
+    * cache layout. Callers persist, serve via [[annStream]], and
+    * refresh by re-calling.
+    */
+  def loadCorpus(tx: graft.bank.TxTable,
+                 version: Option[Long] = None): DataFrame =
+    tx.read(version).repartition(col("bucket"))
+      .sortWithinPartitions("bucket")
+
   /** A built IVF serving index: the cell-assigned corpus (callers
     * persist `cells` — pre-partitioned and pre-sorted by cell_id, the
     * same cache-layout trick as [[bucketCorpus]]) plus the centroid

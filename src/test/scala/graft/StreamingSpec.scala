@@ -773,6 +773,48 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); index.cells.unpersist() }
   }
 
+  test("corpusIngest: incremental, exactly-once, and the loaded snapshot serves like batch") {
+    val root = Files.createTempDirectory("graft-singest").toString
+    val feed = s"$root/feed"
+    def vecs(from: Int, until: Int) = (from until until).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => (1.0f + 0.03f * ((i * (d + 3)) % 5)) *
+        (if ((i / 4 + d) % 2 == 0) 1f else -1f)))
+    }
+    vecs(0, 96).toDF("vec_id", "embedding")
+      .repartition(4).write.parquet(feed)
+    val tx = new graft.bank.TxTable(spark, s"$root/tx")
+    def drain(): Unit = graft.streaming.StreamingSimilarity.corpusIngest(
+      spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "2").parquet(feed),
+      "vec_id", "embedding", bits = 8, tx,
+      checkpointDir = s"$root/ck").awaitTermination()
+    drain()
+    val v1 = tx.latestVersion()
+    assert(graft.streaming.StreamingSimilarity.loadCorpus(tx).count() == 96)
+    // a second drain over the SAME feed: the checkpoint remembers the
+    // files, no batch re-runs, the log gains nothing
+    drain()
+    assert(tx.latestVersion() == v1, "re-drain must commit nothing")
+    // new feed files ingest incrementally; the pinned old version
+    // still serves the old snapshot (the refresh contract)
+    vecs(96, 128).toDF("vec_id", "embedding")
+      .repartition(2).write.mode("append").parquet(feed)
+    drain()
+    assert(graft.streaming.StreamingSimilarity.loadCorpus(tx).count() == 128)
+    assert(graft.streaming.StreamingSimilarity
+      .loadCorpus(tx, Some(v1)).count() == 96)
+    // the ingested store serves EXACTLY like a corpus bucketed in
+    // place from the same vectors
+    val served = graft.streaming.StreamingSimilarity.loadCorpus(tx)
+    val inPlace = graft.streaming.StreamingSimilarity.bucketCorpus(
+      vecs(0, 128).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      bits = 8)
+    assert(served.select("neighbor_id", "n_norm", "bucket")
+      .as[(Long, Double, String)].collect().toSet ==
+      inPlace.select("neighbor_id", "n_norm", "bucket")
+        .as[(Long, Double, String)].collect().toSet)
+  }
+
   test("streaming decontamination matches batch; re-delivery dedups; late doc drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = Files.createTempDirectory("graft-sdecon").toString
