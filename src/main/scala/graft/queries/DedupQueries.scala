@@ -441,6 +441,87 @@ object DedupQueries {
       SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
                AS window_ns,
              a, b
+      FROM pairs""")),
+
+    // ---- TWO-WINDOW MinHash stream (round 8): the q114 treatment for
+    //      the multi-BAND blocking. Every planted doc gets a same-
+    //      window copy (+100000 — pair windows alternate by doc group)
+    //      and an opposite-window copy (+200000 — identical text, every
+    //      band colliding, yet no pair may emit). The stream must
+    //      reproduce each window's LSH pair set under ITS OWN
+    //      window_ns; the oracle recomputes both with a win-equality
+    //      pair join over the tripled corpus.
+    Q("q116_stream_minhash_two_windows", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val winNs = 6L * 3600L * 1_000_000_000L
+      val d = Tables.documents(s, dir)
+      val planted = d.filter(col("doc_id") % 10 === 0)
+      val c = d
+        .unionByName(planted.withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(planted.withColumn("doc_id", col("doc_id") + 200000))
+        .withColumn("win", expr("""CASE
+          WHEN doc_id < 100000 THEN doc_id div 10 % 2
+          WHEN doc_id < 200000 THEN (doc_id - 100000) div 10 % 2
+          ELSE 1 - (doc_id - 200000) div 10 % 2 END"""))
+        .select(col("doc_id"), col("text"),
+          (lit(t0) + col("win") * lit(winNs)
+            + col("doc_id") * lit(1_000_000L)).as("ts"))
+      val flush = s.range(1).select(
+        lit(999999999L).as("doc_id"),
+        lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
+        lit(t0 + 20L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q116").toString
+      c.unionByName(flush).repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      val base = System.currentTimeMillis()
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified(base + i * 1000L), s"stamp $f")
+        }
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", "2").parquet(tmp)
+      val changes = graft.streaming.StreamingDedup.nearDupStream(
+        stream, "text", "doc_id", "ts", k = 8, bands = 4, rowsPerBand = 2,
+        watermark = "10 seconds", windowDur = "6 hours")
+      val sink = "q116_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH corpus3 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0),
+      corpusw AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id < 100000 THEN doc_id // 10 % 2
+                    WHEN doc_id < 200000 THEN (doc_id - 100000) // 10 % 2
+                    ELSE 1 - (doc_id - 200000) // 10 % 2 END AS win
+        FROM corpus3),
+      shingled AS (SELECT doc_id, win, ${shinglesSql(toksSql)} AS sh FROM corpusw),
+      hashed AS (SELECT doc_id, win, ${Dedup.shingleHashesSql("sh")} AS hs FROM shingled),
+      sigs AS (SELECT doc_id, win, ${Dedup.intMinhashSql("hs", 8)} AS sig FROM hashed),
+      buckets AS (${(0 until 4).map(b =>
+        s"SELECT doc_id, win, $b AS band, ${bandBucketSql(b)} AS bucket FROM sigs")
+        .mkString("\n        UNION ALL ")}),
+      pairs AS (
+        SELECT DISTINCT a.win, a.doc_id AS a, b.doc_id AS b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.win = b.win
+        WHERE a.doc_id < b.doc_id)
+      SELECT 1600000000000000000
+               - 1600000000000000000 % 21600000000000
+               + win * 21600000000000 AS window_ns,
+             a, b
       FROM pairs"""))
   )
 }
