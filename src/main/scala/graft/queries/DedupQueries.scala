@@ -346,6 +346,89 @@ object DedupQueries {
       FROM h GROUP BY 1, 2
       HAVING COUNT(DISTINCT doc_id) >= 2""")),
 
+    // ---- TWO-WINDOW span stream (round 8): the q114/q116 treatment
+    //      for the span-COUNT semantics. Docs spread across two 6 h
+    //      windows (planted +100000 copies co-windowed with their
+    //      base; +200000 copies in the OPPOSITE window), and
+    //      "duplicated" must mean duplicated WITHIN a window: a span
+    //      whose carriers split 1-and-1 across the windows reaches
+    //      minDocs globally but in neither window, so it must NOT
+    //      emit, while a span with 2+ carriers in each window emits
+    //      twice — once per window, each under its own window_ns with
+    //      its own count. The oracle recomputes per-(win, span)
+    //      distinct-doc counts with the same CASE.
+    Q("q117_stream_spans_two_windows", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val winNs = 6L * 3600L * 1_000_000_000L
+      val d = Tables.documents(s, dir)
+      val planted = d.filter(col("doc_id") % 10 === 0)
+      val c = d
+        .unionByName(planted.withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(planted.withColumn("doc_id", col("doc_id") + 200000))
+        .withColumn("win", expr("""CASE
+          WHEN doc_id < 100000 THEN doc_id div 10 % 2
+          WHEN doc_id < 200000 THEN (doc_id - 100000) div 10 % 2
+          ELSE 1 - (doc_id - 200000) div 10 % 2 END"""))
+        .select(col("doc_id"), col("text"),
+          (lit(t0) + col("win") * lit(winNs)
+            + col("doc_id") * lit(1_000_000L)).as("ts"))
+      val flush = s.range(1).select(
+        lit(999999999L).as("doc_id"),
+        lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
+        lit(t0 + 20L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q117").toString
+      c.unionByName(flush).repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      val base = System.currentTimeMillis()
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+        .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified(base + i * 1000L), s"stamp $f")
+        }
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", "2").parquet(tmp)
+      val changes = graft.streaming.StreamingDedup.duplicateSpanStream(
+        stream, "text", "doc_id", "ts", width = 8, stride = 4,
+        minDocs = 2L, watermark = "10 seconds", windowDur = "6 hours")
+      val sink = "q117_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH corpus3 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0),
+      corpusw AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id < 100000 THEN doc_id // 10 % 2
+                    WHEN doc_id < 200000 THEN (doc_id - 100000) // 10 % 2
+                    ELSE 1 - (doc_id - 200000) // 10 % 2 END AS win
+        FROM corpus3),
+      t AS (SELECT doc_id, win, $toksSql AS toks FROM corpusw),
+      sp AS (SELECT doc_id, win,
+              unnest(list_transform(
+                range(1, greatest(len(toks) - 8 + 1, 0) + 1, 4),
+                i -> array_to_string(toks[i : i + 7], ' '))) AS span
+            FROM t WHERE len(toks) >= 8),
+      h AS (SELECT doc_id, win,
+              ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_h
+            FROM sp)
+      SELECT 1600000000000000000
+               - 1600000000000000000 % 21600000000000
+               + win * 21600000000000 AS window_ns,
+             span_h, COUNT(DISTINCT doc_id) AS n_docs
+      FROM h GROUP BY 1, 2
+      HAVING COUNT(DISTINCT doc_id) >= 2""")),
+
     // ---- blocked n-gram Jaccard near-dup pairs
     Q("q25_dedup_jaccard", (s, dir) => {
       val c = corpus(s, dir).withColumn("len_bucket", expr("n_chars div 50"))
