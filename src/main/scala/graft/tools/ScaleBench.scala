@@ -776,6 +776,49 @@ object ScaleBench {
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
+    // MinHash banding sweep (env GRAFT_SCALE_MINHASH_SWEEP=<docs>):
+    // the q67 band-width-sweep methodology applied to the LSH
+    // blocking — the SAME k=8 signature sliced as 8×1 / 4×2 / 2×4 /
+    // 1×8 (bands × rowsPerBand), measuring per config the candidate
+    // volume (the cost driver at scale), the recall of the planted
+    // within-group near-dup pairs (21 per synthDocs group: 5 near +
+    // 1 exact copies, pairwise Jaccard ~0.7–1.0), the background
+    // (out-of-group) candidate fraction, and the wall. The default
+    // 4×2 sits on the knee this records.
+    val minhashSweepJson = sys.env.get("GRAFT_SCALE_MINHASH_SWEEP").map { sN =>
+      import graft.operators.Dedup
+      val n = sN.trim.toLong
+      val docs = synthDocs(spark, n)
+      val sigs = docs
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+        .select(col("doc_id"), Dedup.intMinhashSignature(
+          Dedup.tokenShingleHashes(col("toks")), 8).as("sig"))
+        .persist()
+      sigs.count()
+      val plantedTotal = (n / 8) * 21
+      val rows = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map {
+        case (bands, rpb) =>
+          val s0 = System.nanoTime()
+          val pairs = Dedup.candidatePairs(
+            Dedup.lshBuckets(sigs, "sig", "doc_id", bands, rpb), "doc_id")
+            .persist()
+          val cand = pairs.count()
+          val planted = pairs
+            .filter(expr("a div 8 = b div 8") &&
+              pmod(col("a"), lit(8L)) =!= 7 && pmod(col("b"), lit(8L)) =!= 7)
+            .count()
+          pairs.unpersist()
+          val w = (System.nanoTime() - s0) / 1e9
+          s"""{"bands":$bands,"rows_per_band":$rpb,"candidates":$cand,""" +
+            s""""planted_found":$planted,""" +
+            s""""recall":${fmt(planted.toDouble / plantedTotal, 4)},""" +
+            s""""background":${cand - planted},"s":${fmt(w)}}"""
+      }
+      sigs.unpersist()
+      s""","minhash_sweep":{"docs":$n,"planted_pairs":$plantedTotal,""" +
+        s""""configs":[${rows.mkString(",")}]}"""
+    }.getOrElse("")
+
     // IVF recall study (env GRAFT_SCALE_ANNRECALL="<corpus>,<queries>
     // [,<nCells>,<nProbe>]"): recall@10 of the two IVF codebooks —
     // deterministic first-k seeding vs the Lloyd's-trained cells —
@@ -862,7 +905,7 @@ object ScaleBench {
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$deconStreamJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson}""")
     spark.stop()
   }
 }
