@@ -640,15 +640,23 @@ object ScaleBench {
         s""""pairs":$pairs,"planted":$planted,"pair_s":${fmt(pairSecs)}}"""
     }.getOrElse("")
 
-    // streaming image near-dup (env GRAFT_SCALE_IMGSTREAM=<imgs>): the
-    // q106 pipeline — PNGs replayed through the file source, decoded +
+    // streaming image near-dup (env GRAFT_SCALE_IMGSTREAM=
+    // <imgs>[:bands:bandBits:maxHamming], default 4:16:3): the q106
+    // pipeline — PNGs replayed through the file source, decoded +
     // dHashed on arrival, banded-Hamming paired in tumbling windows —
     // imgs/sec end to end, peak state (window-volume-bounded bucket
     // buffers), and the emitted pairs checked against the batch q104
-    // operator (one window, flush image closes it).
+    // operator UNDER THE SAME BANDING (one window, flush image closes
+    // it). The decade-up config is 2×32/1, the phash section's
+    // coarse banding — candidate volume drops 2^16 at recall
+    // guaranteed only to Hamming 1.
     val imgStreamJson = sys.env.get("GRAFT_SCALE_IMGSTREAM").map { sN =>
       import spark.implicits._
-      val n = sN.trim.toLong
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val (bands, bandBits, maxHam) =
+        if (parts.length >= 4) (parts(1).toInt, parts(2).toInt, parts(3).toInt)
+        else (4, 16, 3)
       val t0 = 1_600_000_000_000_000_000L
       def renderAll(): DataFrame = spark.range(n)
         .select(col("id").as("doc_id")).as[Long]
@@ -664,12 +672,15 @@ object ScaleBench {
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
       val r = replayBench(spark, s"$root/imgstream_$n", imgs, flush, "ts",
         st => graft.streaming.StreamingDedup.imageNearDupStream(
-          st, "doc_id", "payload", "ts", maxHamming = 3))
+          st, "doc_id", "payload", "ts", maxHamming = maxHam,
+          bands = bands, bandBits = bandBits))
       val batchPairs = graft.multimodal.Multimodal.imageNearDupPairs(
-        spark, renderAll(), maxHamming = 3).count()
+        spark, renderAll(), maxHamming = maxHam,
+        bands = bands, bandBits = bandBits).count()
       require(r.emitted == batchPairs,
         s"stream emitted ${r.emitted} pairs, batch derives $batchPairs")
-      s""","img_stream":{"imgs":$n,"s":${fmt(r.secs)},""" +
+      s""","img_stream":{"imgs":$n,"bands":$bands,"band_bits":$bandBits,""" +
+        s""""max_hamming":$maxHam,"s":${fmt(r.secs)},""" +
         s""""imgs_per_sec":${fmt(n / r.secs, 0)},"pairs":${r.emitted},""" +
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
