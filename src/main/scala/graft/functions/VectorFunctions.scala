@@ -53,6 +53,43 @@ object VectorFunctions {
     * the shuffle/partition key, so ANN probes touch only one bucket.
     */
   def signBucket(a: Column, bits: Int): Column =
-    array_join(transform(sequence(lit(1), lit(bits)),
-      i => when(try_element_at(a, i) > 0, "1").otherwise("0")), "")
+    // unrolled (bits is a plan-time Int), NOT a transform(sequence…)
+    // lambda: a lambda-bearing expression used as a JOIN KEY trips
+    // Spark's self-join relation dedup on parquet-backed frames when
+    // the other side carries a Generate (ATTRIBUTE_NOT_FOUND at bind
+    // time — bisected in round 8); the unrolled concat is the same
+    // string bit for bit and codegens just as well
+    concat((1 to bits).map(i =>
+      when(try_element_at(a, lit(i)) > 0, "1").otherwise("0")): _*)
+
+  /** Multi-probe bucket set for [[signBucket]]'s hash family
+    * (Lv et al., "Multi-probe LSH", VLDB 2007): the vector's own
+    * bucket plus the `nProbe − 1` Hamming-1 neighbors flipped at the
+    * dims with the SMALLEST |a[d]| — the hyperplanes the vector sits
+    * closest to, i.e. the flips most likely to recover a near
+    * neighbor bucketed just across one boundary. Deterministic order
+    * (|a[d]| asc, dim asc on ties), so an oracle derives the same
+    * probe set. Probes are distinct buckets, so a corpus row can
+    * match at most one probe — no candidate dedup needed downstream.
+    */
+  def probeBuckets(a: Column, bits: Int, nProbe: Int): Column = {
+    val b = signBucket(a, bits)
+    def flip(i: Column): Column = concat(
+      b.substr(lit(1), i - 1),
+      when(b.substr(i, lit(1)) === "1", "0").otherwise("1"),
+      b.substr(i + 1, lit(bits)))
+    if (nProbe <= 1) array(b)
+    else {
+      // nProbe is a plan-time Int, so the flips UNROLL instead of
+      // riding a `transform` lambda: capturing the outer bucket
+      // column inside a lambda trips Spark's self-join attribute
+      // dedup on parquet-backed frames (the captured reference
+      // escapes the rewrite → ATTRIBUTE_NOT_FOUND at bind time)
+      val sorted = array_sort(transform(sequence(lit(1), lit(bits)),
+        i => struct(abs(try_element_at(a, i).cast("double")).as("a"),
+          i.as("i"))))
+      array((b +: (1 until nProbe).map(j =>
+        flip(element_at(sorted, lit(j)).getField("i")))): _*)
+    }
+  }
 }

@@ -67,6 +67,47 @@ object Similarity {
               round(col("cos"), 6).as("cosine"), col("rank"))
   }
 
+  /** Multi-probe sign-LSH top-k ([[lshTopK]] plus Lv et al.'s
+    * multi-probe recall lever): each query probes its own bucket AND
+    * the `nProbe − 1` Hamming-1 neighbor buckets flipped at its
+    * smallest-|component| dims — the hyperplanes it sits closest to.
+    * Recall rises toward brute force as nProbe grows while the
+    * CORPUS side is untouched (still one bucket per row, the same
+    * layout [[graft.streaming.StreamingSimilarity.bucketCorpus]]
+    * caches); cost is the query side replicated nProbe×, which is
+    * the cheap side by assumption.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, bits: Int,
+                        nProbe: Int, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      normNative(col(vecCol)).as("n_norm"), signBucket(col(vecCol), bits).as("bucket"))
+    // probe expansion as UNION legs, not explode: a Generate on the
+    // query side of a corpus-queries SELF-join (both the same parquet
+    // relation) trips Spark's relation dedup — the generator keeps a
+    // stale input reference and fails at bind time. Plain projections
+    // (one per probe) sidestep the Generate entirely; nProbe is a
+    // plan-time Int, so the legs unroll. Probes are distinct buckets,
+    // so candidates never duplicate across legs.
+    val q = (0 until nProbe).map { j =>
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+          normNative(col(vecCol)).as("q_norm"),
+          element_at(probeBuckets(col(vecCol), bits, nProbe),
+            lit(j + 1)).as("bucket"))
+      }.reduce(_ unionByName _)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("cos", cosineWithNormsNative(
+        col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("bucket"),
+              round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   /** Deterministic centroid set: the first `nCells` corpus vectors by
     * id (a fixed, reproducible seeding — swap for k-means outputs in
     * production; every consumer is agnostic to how centroids arose).

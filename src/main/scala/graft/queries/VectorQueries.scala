@@ -219,6 +219,47 @@ object VectorQueries {
         FROM e x JOIN e y USING (bucket) WHERE x.vec_id < y.vec_id)
       WHERE cosine >= 0.99""")),
 
+    // ---- MULTI-PROBE sign-LSH ANN (round 8): the Lv et al. recall
+    //      lever — each query probes its own bucket plus the two
+    //      Hamming-1 neighbors flipped at its smallest-|component|
+    //      dims (the hyperplanes it sits closest to). The corpus side
+    //      is untouched; the oracle derives the identical probe set
+    //      (list_sort over (|q[i]|, i) structs) and the identical
+    //      top-k.
+    Q("q118_ann_lsh_multiprobe", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopKMultiProbe(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", bits = 8, nProbe = 3, k = 3)
+    }, {
+      def flipSql(o: Int) =
+        s"""substr(bucket, 1, ord[$o] - 1)
+           || (CASE WHEN substr(bucket, ord[$o], 1) = '1'
+                    THEN '0' ELSE '1' END)
+           || substr(bucket, ord[$o] + 1)"""
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+      qv AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket
+             FROM e WHERE vec_id < 50),
+      dims AS (SELECT q_id, q_vec, bucket,
+                 list_transform(list_sort(list_transform(range(1, 9),
+                   i -> {'a': abs(CAST(q_vec[i] AS DOUBLE)), 'i': i})),
+                   st -> st.i) AS ord
+               FROM qv),
+      probes AS (
+        SELECT q_id, q_vec, bucket AS probe FROM dims
+        UNION ALL SELECT q_id, q_vec, ${flipSql(1)} FROM dims
+        UNION ALL SELECT q_id, q_vec, ${flipSql(2)} FROM dims),
+      p AS (SELECT pr.q_id, e.vec_id AS neighbor_id, pr.probe AS bucket,
+              ${cosSql("pr.q_vec", "e.embedding")} AS cos
+            FROM probes pr JOIN e ON e.bucket = pr.probe
+            WHERE e.vec_id <> pr.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p)
+      SELECT q_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
+             CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 3""")
+    }),
+
     // ---- TWO-WINDOW streaming near-dup (round 8): every prior
     //      windowed-pair oracle replays a single window, so window
     //      ATTRIBUTION and cross-window suppression are only

@@ -212,32 +212,42 @@ object StreamingSimilarity {
   def annStream(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, tsCol: String, bits: Int, k: Int,
                 watermark: String = "10 seconds",
-                windowDur: String = "6 hours"): DataFrame = {
+                windowDur: String = "6 hours",
+                nProbe: Int = 1): DataFrame = {
     graft.plans.GraftExtensions.register(queries.sparkSession)
+    // nProbe > 1: each query probes its Hamming-1 neighbor buckets
+    // too (multi-probe LSH — the batch `lshTopKMultiProbe` lever);
+    // only the QUERY side replicates, the cached corpus layout is
+    // untouched, and probes are distinct buckets so candidates never
+    // duplicate
     val q = queries
       .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"),
         normNative(col(vecCol)).as("q_norm"),
-        signBucket(col(vecCol), bits).as("bucket"),
-        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"),
+        probeBuckets(col(vecCol), bits, nProbe).as("_probes"))
       .withWatermark("_ts", watermark)
       .dropDuplicatesWithinWatermark("q_id")
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("_ts"),
+        explode(col("_probes")).as("bucket"))
     q.join(corpus, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("q_id"))
       .withColumn("cos", cosineWithNormsNative(
         col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
       // candidate buffer rows carry NO vectors: (sort key, id, rounded
-      // cosine) only — the struct sorts by (-cos, neighbor_id), i.e.
-      // exactly the batch rank order
-      .groupBy(window(col("_ts"), windowDur).as("w"),
-        col("q_id"), col("bucket"))
+      // cosine, matched bucket) only — the struct sorts by
+      // (-cos, neighbor_id), i.e. exactly the batch rank order; the
+      // group is (window, query), so multi-probe candidates from
+      // different buckets rank in ONE top-k
+      .groupBy(window(col("_ts"), windowDur).as("w"), col("q_id"))
       .agg(slice(array_sort(collect_list(struct(
         negate(col("cos")).as("nc"), col("neighbor_id").as("id"),
-        round(col("cos"), 6).as("cosine")))), 1, k).as("top"))
-      .select(col("w"), col("q_id"), col("bucket"),
+        round(col("cos"), 6).as("cosine"), col("bucket").as("bucket")))),
+        1, k).as("top"))
+      .select(col("w"), col("q_id"),
         posexplode(col("top")).as(Seq("pos", "m")))
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
-        col("q_id"), col("m.id").as("neighbor_id"), col("bucket"),
-        col("m.cosine").as("cosine"),
+        col("q_id"), col("m.id").as("neighbor_id"),
+        col("m.bucket").as("bucket"), col("m.cosine").as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
   }
 }

@@ -873,12 +873,36 @@ object ScaleBench {
       val (trained, trainS) = timed(
         KMeans.fit(corpus, "doc_id", "embedding", nCells, iters = 3)._1)
       val (rTrained, wTrained) = recall(trained)
+      // sign-LSH recall on the same ground truth: bits=16 single
+      // bucket vs Lv-style multi-probe at nProbe=4 — the classic
+      // small-probe regime (the union-leg expansion's plan size grows
+      // O(nProbe²) expression nodes, so large probe counts are
+      // planning-bound: measured 67 s at nProbe=16 for a 12k-candidate
+      // join — IVF's nProbe is the scalable deep-probe knob, LSH
+      // multi-probe is the cheap +recall nudge)
+      val lshProbe = 4
+      def lshRecall(np: Int): (Double, Double) = {
+        val (hits, w) = timed {
+          val res =
+            if (np <= 1) Similarity.lshTopK(corpus, queries,
+              "doc_id", "embedding", bits = 16, k = 10)
+            else Similarity.lshTopKMultiProbe(corpus, queries,
+              "doc_id", "embedding", bits = 16, nProbe = np, k = 10)
+          gt.join(res.select("q_id", "neighbor_id"),
+            Seq("q_id", "neighbor_id"), "left_semi").count()
+        }
+        (hits.toDouble / nGt, w)
+      }
+      val (rLsh1, wLsh1) = lshRecall(1)
+      val (rLshP, wLshP) = lshRecall(lshProbe)
       gt.unpersist(); corpus.unpersist()
       s""","ann_recall":{"corpus":$nc,"queries":$nq,"cells":$nCells,""" +
         s""""probe":$nProbe,"brute_s":${fmt(gtS)},""" +
         s""""recall_firstk":${fmt(rFirst, 4)},"s_firstk":${fmt(wFirst)},""" +
         s""""recall_trained":${fmt(rTrained, 4)},"s_trained":${fmt(wTrained)},""" +
-        s""""train_s":${fmt(trainS)}}"""
+        s""""train_s":${fmt(trainS)},""" +
+        s""""recall_lsh1":${fmt(rLsh1, 4)},"s_lsh1":${fmt(wLsh1)},""" +
+        s""""recall_lsh_mp$lshProbe":${fmt(rLshP, 4)},"s_lsh_mp":${fmt(wLshP)}}"""
     }.getOrElse("")
 
     // streaming decontamination throughput (env GRAFT_SCALE_DECONSTREAM

@@ -725,6 +725,66 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); index.cells.unpersist() }
   }
 
+  test("multi-probe ANN stream matches batch lshTopKMultiProbe; recall dominates single-probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-sannmp").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1_000_000_000L
+    // vectors with one small-|component| dim, so a query sitting just
+    // across that hyperplane recovers its neighbors via the flip probe
+    // per-row UNIQUE sign patterns on dims 1..7 (driven by i's bits),
+    // tiny |dim 0|: the flip probe's target hyperplane
+    val corpusRows = (0 until 10).map { i =>
+      val v = Seq.tabulate(8) { d =>
+        if (d == 0) 0.05f * (if (i % 2 == 0) 1 else -1)
+        else (1.0f + 0.04f * ((i * (d + 3)) % 7)) *
+          (if (((i >> (d % 4)) & 1) == 0) 1f else -1f)
+      }
+      (300L + i, v)
+    }
+    val corpusDf = graft.streaming.StreamingSimilarity.bucketCorpus(
+      corpusRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      bits = 8).persist()
+    val in = MemoryStream[(Long, Seq[Float], Long)]
+    val changes = graft.streaming.StreamingSimilarity.annStream(
+      in.toDF().toDF("vec_id", "embedding", "ts"), corpusDf,
+      "vec_id", "embedding", "ts", bits = 8, k = 5,
+      watermark = "30 seconds", windowDur = "1 hour", nProbe = 3)
+    val q = changes.writeStream.format("memory").queryName("sannmp")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    val qa = corpusRows(2)._2.updated(0, -0.01f) // just across dim-0's plane
+    try {
+      in.addData((1L, qa, 10 * ns))
+      q.processAllAvailable()
+      in.addData((999L, corpusRows(0)._2.map(-_), 7200 * ns))
+      q.processAllAvailable()
+      val got = spark.table("sannmp")
+        .select("q_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val batch = graft.operators.Similarity.lshTopKMultiProbe(
+        corpusRows.toDF("vec_id", "embedding"),
+        Seq((1L, qa)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", bits = 8, nProbe = 3, k = 5)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      // the probe across dim 0 recovers neighbors single-probe misses:
+      // with a candidate SUPERSET, the best cosine can only improve
+      // (set inclusion at fixed k need not hold — better candidates
+      // displace weaker ones), and here it strictly does
+      val single = graft.operators.Similarity.lshTopK(
+        corpusRows.toDF("vec_id", "embedding"),
+        Seq((1L, qa)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", bits = 8, k = 5)
+        .select("cosine").as[Double].collect()
+      val bestSingle = if (single.isEmpty) -1.0 else single.max
+      val bestMulti = batch.map(_._3).max
+      assert(bestMulti > bestSingle,
+        s"expected a strictly better best match: $bestSingle vs $bestMulti")
+    } finally { q.stop(); corpusDf.unpersist() }
+  }
+
   test("trained-centroid IVF index: stream matches batch ivfTopKWith on the same codebook") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = Files.createTempDirectory("graft-sivft").toString
