@@ -323,4 +323,217 @@ object Multimodal {
     val parts = math.max(1L, (total + t - 1) / t).toInt
     df.repartition(parts)
   }
+
+  // ==================================================================
+  // Audio: real WAV codec on the JDK (`javax.sound.sampled`) — the
+  // audio leg of the multimodal pillar. obsplus has no audio operators
+  // (its waveform domain is seismic miniSEED); this extends the
+  // engine's decode→feature→fingerprint→near-dup lifecycle to a second
+  // real media codec, reusing the image family's partition-local batch
+  // shape and the SimHash banded-Hamming blocking unchanged.
+  // ==================================================================
+
+  /** Encode 16-bit signed PCM mono as a RIFF/WAVE container (the
+    * public WAV layout: RIFF header, fmt chunk, data chunk, samples
+    * little-endian). Values are clamped to the 16-bit range. Used by
+    * tests/oracle fixtures to build REAL files that the JDK codec then
+    * decodes — the decode path under test is `javax.sound`, not this.
+    */
+  def encodeWav16(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val dataBytes = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(1.toShort)            // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)         // byte rate
+      .putShort(2.toShort)            // block align
+      .putShort(16.toShort)           // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) {
+      val s = math.max(-32768, math.min(32767, samples(i)))
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Decode an audio payload through the REAL JDK codec
+    * (`AudioSystem.getAudioInputStream` — WAV/AIFF/AU out of the box;
+    * an ffmpeg/JNI binding would slot in at the same seam for
+    * compressed formats). Returns (sampleRate, samples) for 8/16-bit
+    * PCM, honoring the container's declared endianness and
+    * signedness; None for anything undecodable — callers DROP such
+    * rows rather than hash garbage, same policy as the image family.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok = fmt.getChannels == 1 && (bits == 16 || bits == 8) &&
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+           enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+        if (!ok) None
+        else {
+          val raw = in.readAllBytes()
+          val signed =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val out =
+            if (bits == 16) {
+              val n = raw.length / 2
+              val arr = new Array[Int](n)
+              val big = fmt.isBigEndian
+              var i = 0
+              while (i < n) {
+                val b0 = raw(2 * i) & 0xFF; val b1 = raw(2 * i + 1) & 0xFF
+                val u = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                arr(i) = if (signed) u.toShort.toInt else u - 32768
+                i += 1
+              }
+              arr
+            } else {
+              val arr = new Array[Int](raw.length)
+              var i = 0
+              while (i < raw.length) {
+                arr(i) = if (signed) raw(i).toInt else (raw(i) & 0xFF) - 128
+                i += 1
+              }
+              arr
+            }
+          Some((math.round(fmt.getSampleRate).toInt, out))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  case class AudioFeatRow(doc_id: Long, n_samples: Long, sample_rate: Long,
+                          peak: Long, zero_crossings: Long, energy: Long)
+
+  /** Audio feature extraction: payload → (n_samples, sample_rate,
+    * peak |amplitude|, zero-crossing count, total energy Σs²) through
+    * the real JDK decode, partition-local like [[decodeMeta]]. All
+    * features are INTEGER arithmetic on the decoded PCM — an oracle
+    * recomputes them exactly from the synthesis formula, and at scale
+    * nothing depends on float summation order. Undecodable payloads
+    * are dropped (flatMap): a zeroed feature row would silently skew
+    * any downstream statistic, while a dropped row shows in counts.
+    */
+  def audioFeatures(spark: SparkSession, df: DataFrame): Dataset[AudioFeatRow] = {
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          decodeAudio(p).map { case (sr, s) =>
+            var peak = 0L; var zc = 0L; var en = 0L
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toLong
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+              en += v * v
+              i += 1
+            }
+            AudioFeatRow(id, s.length.toLong, sr.toLong, peak, zc, en)
+          }
+        }
+      }
+  }
+
+  /** 64-bit energy-gradient audio fingerprint — the dHash construction
+    * transplanted to PCM (public idea: Haitsma–Kalker / Shazam-family
+    * fingerprints threshold energy DIFFERENCES because gain shifts move
+    * all energies together but leave difference signs intact; this is
+    * the 1-D time-domain variant). The first `65·blockSize` samples
+    * split into 65 blocks; block energy e(b) = Σ s² over the block
+    * (blocks past the end are silence, energy 0); bit b of the hash is
+    * set iff e(b+1) > e(b). Integer throughout — an oracle recomputes
+    * it exactly — and one bit's support is 2·blockSize samples, so a
+    * local edit flips at most 2 bits (the planted-pair bound the
+    * banded blocking's pigeonhole guarantee needs).
+    */
+  def audioFingerprint64(samples: Array[Int], blockSize: Int = 4): Long = {
+    val e = new Array[Long](65)
+    var b = 0
+    while (b < 65) {
+      var i = b * blockSize
+      val end = math.min(samples.length, (b + 1) * blockSize)
+      var sum = 0L
+      while (i < end) { val v = samples(i).toLong; sum += v * v; i += 1 }
+      e(b) = sum
+      b += 1
+    }
+    var hash = 0L
+    b = 0
+    while (b < 64) {
+      if (e(b + 1) > e(b)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  case class AFingerRow(doc_id: Long, afp: Long)
+
+  /** Fingerprint per audio payload through the real decode lifecycle;
+    * undecodable payloads dropped (see [[audioFeatures]]).
+    */
+  def audioFingerprints(spark: SparkSession, df: DataFrame,
+                        blockSize: Int = 4): Dataset[AFingerRow] = {
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          decodeAudio(p).map { case (_, s) =>
+            AFingerRow(id, audioFingerprint64(s, blockSize))
+          }
+        }
+      }
+  }
+
+  /** Audio near-dup pairs: [[audioFingerprints]] through the SAME
+    * banded-Hamming blocking as text SimHash and image dHash
+    * ([[graft.operators.Dedup.simhashPairs]]) — third signature family
+    * on one join topology; the scale properties (bucket-local
+    * candidates, no self-join) carry over unchanged. With
+    * `maxHamming < bands` pigeonhole recall is exact. Returns
+    * (a, b, hamming) with a < b.
+    */
+  def audioNearDupPairs(spark: SparkSession, df: DataFrame,
+                        maxHamming: Int = 3, bands: Int = 4,
+                        bandBits: Int = 16): DataFrame =
+    graft.operators.Dedup.simhashPairs(
+      audioFingerprints(spark, df).toDF()
+        .withColumnRenamed("afp", "simhash"),
+      "doc_id", maxHamming, bands, bandBits)
+
+  /** End-to-end audio dedup: pairs → connected components → min-id
+    * keeper per component — [[dedupImages]]'s contract for the audio
+    * signature (every input row labeled, undecodable rows their own
+    * keeper).
+    */
+  def dedupAudio(spark: SparkSession, df: DataFrame,
+                 maxHamming: Int = 3, bands: Int = 4,
+                 bandBits: Int = 16): DataFrame = {
+    val pairs = audioNearDupPairs(spark, df, maxHamming, bands, bandBits)
+    val labels = graft.operators.Dedup.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    df.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("is_keeper",
+        (col("component") === col("doc_id")).cast("long"))
+  }
 }

@@ -168,7 +168,6 @@ object StreamingDedup {
                          windowDur: String = "6 hours"): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val mask = (1L << bandBits) - 1
     val hashed = stream.select(col(idCol).cast("long").as("doc_id"),
         col(payloadCol).as("payload"),
         timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
@@ -182,18 +181,35 @@ object StreamingDedup {
           if (img == null) None
           else Some((id, graft.multimodal.Multimodal.dHash(img), ts))
         }
-      }.toDF("doc_id", "phash", "_ts")
+      }.toDF("doc_id", "sig", "_ts")
+    bandedSigPairStream(hashed, maxHamming, bands, bandBits,
+      watermark, windowDur)
+  }
+
+  /** The shared banded-Hamming windowed pair stage behind
+    * [[imageNearDupStream]] and [[audioNearDupStream]]: input is an
+    * already-hashed stream (`doc_id` long, `sig` 64-bit signature,
+    * `_ts` event-time timestamp); output is the windowed changelog of
+    * within-threshold pairs. One topology for every 64-bit signature
+    * family — the streaming mirror of the batch
+    * [[graft.operators.Dedup.simhashPairs]] reuse.
+    */
+  private[graft] def bandedSigPairStream(hashed: DataFrame, maxHamming: Int,
+                                         bands: Int, bandBits: Int,
+                                         watermark: String,
+                                         windowDur: String): DataFrame = {
+    val mask = (1L << bandBits) - 1
     hashed
-      .select(col("doc_id"), col("phash"), col("_ts"),
+      .select(col("doc_id"), col("sig"), col("_ts"),
         posexplode(array((0 until bands).map(b =>
-          shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "bucket")))
       .withWatermark("_ts", watermark)
       .dropDuplicatesWithinWatermark("band", "bucket", "doc_id")
       .groupBy(window(col("_ts"), windowDur).as("w"),
         col("band"), col("bucket"))
       .agg(array_sort(collect_list(struct(col("doc_id").as("id"),
-        col("phash").as("h")))).as("m"))
+        col("sig").as("h")))).as("m"))
       .filter(size(col("m")) > 1)
       .select(col("w"), explode(flatten(transform(col("m"), (x, i) =>
         transform(slice(col("m"), i + 2, size(col("m"))),
@@ -206,6 +222,37 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("w", "a", "b")
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
         col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Streaming audio fingerprint near-dup — the live counterpart of
+    * [[graft.multimodal.Multimodal.audioNearDupPairs]] (q120), in the
+    * same windowed-changelog shape as [[imageNearDupStream]]: payloads
+    * decode through the REAL JDK audio codec and fingerprint
+    * partition-locally as they arrive (undecodable rows dropped, as in
+    * batch), then ride [[bandedSigPairStream]] unchanged. State and
+    * semantics notes on [[imageNearDupStream]] apply verbatim.
+    */
+  def audioNearDupStream(stream: DataFrame, idCol: String,
+                         payloadCol: String, tsCol: String,
+                         maxHamming: Int = 3, bands: Int = 4,
+                         bandBits: Int = 16,
+                         watermark: String = "10 seconds",
+                         windowDur: String = "6 hours"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hashed = stream.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p, ts) =>
+          graft.multimodal.Multimodal.decodeAudio(p).map { case (_, s) =>
+            (id, graft.multimodal.Multimodal.audioFingerprint64(s), ts)
+          }
+        }
+      }.toDF("doc_id", "sig", "_ts")
+    bandedSigPairStream(hashed, maxHamming, bands, bandBits,
+      watermark, windowDur)
   }
 
   /** Streaming embedding-cosine near-dup — the live counterpart of

@@ -182,6 +182,88 @@ class MultimodalSpec extends SparkSpec {
     assert(DecoderLifecycle.opens.get() == 2)
     assert(DecoderLifecycle.closes.get() == 2)
   }
+  // ---- audio family (round 9) ----
+
+  test("WAV encode -> javax.sound decode round-trips PCM16 exactly") {
+    val samples = Array.tabulate(300)(i => ((i * 7919) % 19997) - 9998)
+    val wav = Multimodal.encodeWav16(samples, 8000)
+    val Some((sr, back)) = Multimodal.decodeAudio(wav)
+    assert(sr == 8000)
+    assert(back.sameElements(samples))
+    // clamping: out-of-range inputs saturate, not wrap
+    val loud = Multimodal.encodeWav16(Array(40000, -40000), 8000)
+    val Some((_, clamped)) = Multimodal.decodeAudio(loud)
+    assert(clamped.sameElements(Array(32767, -32768)))
+  }
+
+  test("decodeAudio handles a big-endian container (real AIFF round trip)") {
+    val samples = Array.tabulate(128)(i => (i * 251 % 8191) - 4095)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = ((samples(i) >> 8) & 0xFF).toByte      // big-endian
+      bytes(2 * i + 1) = (samples(i) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val Some((sr, back)) = Multimodal.decodeAudio(bos.toByteArray)
+    assert(sr == 8000)
+    assert(back.sameElements(samples))
+  }
+
+  test("audioFeatures: integer reductions of decoded PCM; undecodable dropped") {
+    val good = (0L, Multimodal.encodeWav16(Array(100, -200, 300, 0, -1), 8000))
+    val bad = (1L, Array[Byte](1, 2, 3, 4))
+    val df = Seq(good, bad).toDF("doc_id", "payload")
+    val rows = Multimodal.audioFeatures(spark, df).collect()
+    assert(rows.length == 1) // undecodable row dropped, not zeroed
+    val r = rows.head
+    assert(r.doc_id == 0L && r.n_samples == 5L && r.sample_rate == 8000L)
+    assert(r.peak == 300L)
+    // sign pattern + - + 0(+) - : crossings at 1, 2, 4
+    assert(r.zero_crossings == 3L)
+    assert(r.energy == 100L * 100 + 200L * 200 + 300L * 300 + 1L)
+  }
+
+  test("audioFingerprint64: gain shifts preserve bits; local edit flips <= 2") {
+    val s = graft.queries.AudioQueries.renderSamples(42L)
+    val fp = Multimodal.audioFingerprint64(s)
+    // halving every sample scales all block energies by ~1/4 together:
+    // difference SIGNS survive (the Haitsma-Kalker property)
+    val half = s.map(_ / 2)
+    val fpHalf = Multimodal.audioFingerprint64(half)
+    assert(java.lang.Long.bitCount(fp ^ fpHalf) <= 4)
+    // one edited sample touches one block -> at most 2 adjacent bits
+    val edit = s.clone(); edit(37) = 9000
+    assert(java.lang.Long.bitCount(
+      fp ^ Multimodal.audioFingerprint64(edit)) <= 2)
+    // short audio: missing blocks are silence, fingerprint still total
+    val short = Multimodal.audioFingerprint64(Array(5, -5, 5, -5, 9, 9))
+    assert(short != 0L)
+  }
+
+  test("audioNearDupPairs + dedupAudio: planted pairs found, components labeled") {
+    import spark.implicits._
+    val wavs = spark.range(120).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.queries.AudioQueries.renderWav(id))))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(spark, wavs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 13L)) && pairs.contains((50L, 63L))
+      && pairs.contains((100L, 113L)))
+    val labels = Multimodal.dedupAudio(spark, wavs, maxHamming = 3)
+    assert(labels.count() == 120)
+    val l13 = labels.filter($"doc_id" === 13L).head()
+    assert(l13.getAs[Long]("component") == 0L
+      && l13.getAs[Long]("is_keeper") == 0L)
+    assert(labels.filter($"is_keeper" === 1L).count() >= 117 - 3)
+  }
 }
 
 /** JVM-wide counters the executor-side decoder instances bump (local
@@ -198,4 +280,5 @@ object DecoderLifecycle {
       Multimodal.decodeStub(bytes)
     override def close(): Unit = closes.incrementAndGet()
   }
+
 }
