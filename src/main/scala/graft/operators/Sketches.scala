@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches with set algebra — the KMV
+  * ("k minimum values") / theta-sketch family (Bar-Yossef et al. 2002;
+  * Beyer et al., SIGMOD 2007; the Apache DataSketches theta design),
+  * built for the 100 TB regime where exact `COUNT(DISTINCT ...)` is a
+  * full shuffle of every distinct value and Spark's builtin HLL
+  * (`approx_count_distinct`) cannot answer INTERSECTIONS ("distinct
+  * users in A∩B") without a join back over the raw data.
+  *
+  * A sketch is the k smallest DISTINCT 60-bit hashes of a group —
+  * crucially an ORDER-INDEPENDENT, associatively-mergeable value (max
+  * a few KB regardless of input size), so:
+  *
+  *   - partial aggregation combines map-side like any sum: the shuffle
+  *     moves one ≤k-array per group per partition, never the values;
+  *   - sketches persist (an `Array[Long]` column in parquet) and
+  *     re-aggregate across days/partitions without rescanning;
+  *   - union / intersection / Jaccard come from sketch ALGEBRA alone —
+  *     [[kmvUnion]], [[kmvIntersectEstimate]] are plain column
+  *     expressions over two array columns, zero additional scans.
+  *
+  * DETERMINISM is the property the oracle leans on: unlike HLL's
+  * implementation-defined registers, the k-min set is a pure function
+  * of the input VALUE SET — any partitioning, any arrival order, any
+  * merge tree produces the identical sketch, so DuckDB reproduces
+  * every estimate bit for bit from a `row_number() ≤ k` recompute
+  * (q122/q123/q124), and the estimate itself is one IEEE division.
+  *
+  * Hashes come from [[graft.plans.Md5Long60]] (`md5_long60`), uniform
+  * on [0, 2⁶⁰); the standard KMV estimator for a FULL sketch is
+  * `(k−1)·2⁶⁰ / θ` with θ = the k-th minimum; a sketch with fewer than
+  * k entries has seen every distinct hash and is EXACT. Relative
+  * standard error ≈ 1/√(k−2) (~6.3% at k=256).
+  */
+object Sketches {
+
+  /** Size of the hash space `md5_long60` draws from (2⁶⁰). */
+  final val HashSpace: Long = 1L << 60
+
+  /** KMV aggregator: IN = 60-bit hash, BUF/OUT = the sorted-ascending
+    * array of the k smallest distinct hashes seen. The buffer is a
+    * primitive `Array[Long]` kept sorted-unique — binary-search
+    * rejection makes the common case (hash ≥ current max with a full
+    * sketch) one comparison, and the array encoder keeps shuffle
+    * serialization primitive (no kryo, no boxed trees). Accepted
+    * inserts copy ≤ k longs, and only ~k·ln(n/k) rows per partition
+    * are ever accepted, so the copy cost is noise at any scale.
+    */
+  final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, s"kmv sketch needs k >= 2, got $k")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val n = buf.length
+      if (n >= k && h >= buf(n - 1)) return buf // common case: one compare
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) return buf                  // already present
+      val ins = -pos - 1
+      if (n < k) {
+        val out = new Array[Long](n + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, n - ins)
+        out
+      } else {
+        // full: h < max (checked above) — insert, drop the max
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+        out
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The KMV aggregate as an untyped column function:
+    * `df.groupBy(...).agg(kmvSketch(col("h"), 256))` over a LongType
+    * hash column. Works in batch and in watermarked streaming
+    * aggregations (the buffer serializes through the state store like
+    * any ImperativeAggregate).
+    */
+  def kmvSketch(hash: Column, k: Int): Column =
+    udaf(new KmvAgg(k), Encoders.scalaLong).apply(hash)
+
+  /** θ of a sketch: the k-th minimum when the sketch is full, else the
+    * whole hash space (the sketch is exact). Every hash in the sketch
+    * strictly below θ is a uniform sample of the group's distinct
+    * hashes at rate θ/2⁶⁰ — the invariant all the estimators share.
+    */
+  def kmvTheta(sk: Column, k: Int): Column =
+    when(size(sk) >= k, element_at(sk, k)).otherwise(lit(HashSpace))
+
+  /** Distinct-count estimate: exact size below k; `(k−1)·2⁶⁰/θ` for a
+    * full sketch. One IEEE division — deterministic across engines.
+    */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble * HashSpace.toDouble)
+        / element_at(sk, k).cast("double"))
+
+  /** Union of two sketches — itself a valid k-sketch of the united
+    * value set (the k smallest of the merged distinct hashes).
+    */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Distinct-count estimate of A ∪ B via [[kmvUnion]]. */
+  def kmvUnionEstimate(a: Column, b: Column, k: Int): Column =
+    kmvEstimate(kmvUnion(a, b, k), k)
+
+  /** Theta-sketch intersection estimate: hashes present in BOTH
+    * sketches and strictly below θ = min(θ_a, θ_b) are a uniform
+    * θ/2⁶⁰-rate sample of A ∩ B, so the estimate is their count
+    * scaled by 2⁶⁰/θ. Exact-mode sketches (θ = 2⁶⁰) degrade to the
+    * exact intersection count (the scale factor is 1.0). This is the
+    * query a join-free architecture needs: "distinct users who did
+    * BOTH X and Y" from two persisted kilobyte sketches.
+    */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val theta = least(kmvTheta(a, k), kmvTheta(b, k))
+    val common = size(filter(array_intersect(a, b), h => h < theta))
+    common.cast("double") * lit(HashSpace.toDouble) / theta.cast("double")
+  }
+
+  /** Jaccard estimate |A∩B|/|A∪B| from the two set estimates. */
+  def kmvJaccardEstimate(a: Column, b: Column, k: Int): Column =
+    kmvIntersectEstimate(a, b, k) / kmvUnionEstimate(a, b, k)
+}

@@ -80,6 +80,17 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
+    // udafs are SESSION-registered even when the Catalyst expressions
+    // came in through the builder extensions path — injectFunction
+    // carries Expression builders only, and a udaf is not one
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("kmv_sketch256"))) {
+      import graft.operators.Sketches
+      spark.udf.register("kmv_sketch256", org.apache.spark.sql.functions
+        .udaf(new Sketches.KmvAgg(256), org.apache.spark.sql.Encoders.scalaLong))
+      spark.udf.register("kmv_sketch64", org.apache.spark.sql.functions
+        .udaf(new Sketches.KmvAgg(64), org.apache.spark.sql.Encoders.scalaLong))
+    }
     // a session built WITH the extensions already has everything —
     // re-registering would log 4 'replaced a previously registered
     // function' WARNs once per session

@@ -9,7 +9,7 @@ object Catalog {
       DedupQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       MiscQueries.all ++ SourceQueries.all ++ DomainQueries.all ++
       MultimodalQueries.all ++ StreamQueries.all ++ CatalogQueries.all ++
-      LifecycleQueries.all ++ ExtensionQueries.all ++ AudioQueries.all
+      LifecycleQueries.all ++ ExtensionQueries.all ++ AudioQueries.all ++ SketchQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Sketches
+
+/** KMV/theta distinct sketches under hard oracle signal (round 9).
+  * The sketch is a pure function of the input value SET (k smallest
+  * distinct 60-bit hashes), so unlike HLL the ORACLE CAN RECOMPUTE IT
+  * EXACTLY: DuckDB derives the same k-min rows with `row_number() ≤ k`
+  * over the same md5 hashes and reproduces every estimate bit for bit
+  * — estimator arithmetic, θ thresholds, union/intersection algebra,
+  * streaming window attribution. Any drift in the aggregator's merge,
+  * the hash kernel, or the set-algebra expressions breaks the hash.
+  */
+object SketchQueries {
+
+  private val K = 256
+  private val HashSpaceSql = "1152921504606846976" // 2^60
+
+  /** Spark side: distinct 3-token-shingle hashes per source. */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    Tables.documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("source"),
+        explode(expr("""transform(sequence(1, size(split(text, ' ')) - 2),
+          i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("shingle"))
+      .select(col("source"), expr("md5_long60(shingle)").as("h"))
+  }
+
+  /** DuckDB mirror of [[shingleHashes]] + per-source k-min ranks:
+    * `hd` = distinct (source, hash), `r` adds rank and per-source
+    * distinct count — rows with rn ≤ K are exactly the sketch the
+    * aggregator builds.
+    */
+  private val ranksSql = s"""
+      tok AS (SELECT source, string_split(text, ' ') AS toks
+              FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT source, array_to_string(toks[i:i+2], ' ') AS shingle
+             FROM tok, unnest(range(1, len(toks) - 1)) t(i)),
+      hd AS (SELECT DISTINCT source,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+             FROM sh),
+      r AS (SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY source) AS n
+            FROM hd)"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- per-group sketch + estimate: exact distinct via the full
+    //      shuffle, KMV estimate via one k-array per group — plus an
+    //      error verdict at the 3σ bound (RSE ≈ 1/√(k−2)). θ and the
+    //      sketch size pin the aggregator's merge content, not just
+    //      the estimate.
+    Q("q122_kmv_distinct", (s, dir) => {
+      val h = shingleHashes(s, dir)
+      h.groupBy("source")
+        .agg(Sketches.kmvSketch(col("h"), K).as("sk"),
+             countDistinct(col("h")).as("n_exact"))
+        .select(col("source"), col("n_exact"),
+          size(col("sk")).cast("long").as("sketch_size"),
+          Sketches.kmvTheta(col("sk"), K).as("theta"),
+          Sketches.kmvEstimate(col("sk"), K).as("est"),
+          (abs(Sketches.kmvEstimate(col("sk"), K) - col("n_exact"))
+            <= col("n_exact") * lit(0.1875)).cast("long").as("err_ok"))
+    }, Some(s"""
+      WITH $ranksSql,
+      g AS (SELECT source, max(n) AS n,
+              max(CASE WHEN rn = $K THEN h END) AS kth
+            FROM r GROUP BY 1),
+      e AS (SELECT source, n,
+              CAST(LEAST(n, $K) AS BIGINT) AS sketch_size,
+              CAST(CASE WHEN n >= $K THEN kth
+                        ELSE $HashSpaceSql END AS BIGINT) AS theta,
+              CASE WHEN n < $K THEN CAST(n AS DOUBLE)
+                   ELSE CAST(${K - 1} AS DOUBLE)
+                        * CAST($HashSpaceSql AS DOUBLE)
+                        / CAST(kth AS DOUBLE) END AS est
+            FROM g)
+      SELECT source, CAST(n AS BIGINT) AS n_exact, sketch_size, theta, est,
+             CAST(abs(est - n) <= n * CAST(0.1875 AS DOUBLE) AS BIGINT)
+               AS err_ok
+      FROM e""")),
+
+    // ---- sketch SET ALGEBRA: distinct-count of A∪B, A∩B, and Jaccard
+    //      for every source pair from the 20 persisted kilobyte
+    //      sketches alone — no rescan, no join over the raw corpus
+    //      (the exact-common column is computed the expensive way
+    //      purely as the oracle's reference point). The θ column pins
+    //      the pairwise threshold the intersection sample uses.
+    Q("q123_kmv_set_algebra", (s, dir) => {
+      val h = shingleHashes(s, dir)
+      val sk = h.groupBy("source")
+        .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+      val a = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+      val b = sk.select(col("source").as("src_b"), col("sk").as("skb"))
+      val pairs = a.join(broadcast(b), col("src_a") < col("src_b"))
+      val hd = h.distinct()
+      val ex = hd.as("x").join(hd.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common_exact"))
+      pairs.join(ex, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          Sketches.kmvUnionEstimate(col("ska"), col("skb"), K).as("union_est"),
+          Sketches.kmvIntersectEstimate(col("ska"), col("skb"), K)
+            .as("intersect_est"),
+          Sketches.kmvJaccardEstimate(col("ska"), col("skb"), K)
+            .as("jaccard_est"),
+          coalesce(col("n_common_exact"), lit(0L)).as("n_common_exact"),
+          least(Sketches.kmvTheta(col("ska"), K),
+            Sketches.kmvTheta(col("skb"), K)).as("theta"))
+    }, Some(s"""
+      WITH $ranksSql,
+      srcs AS (SELECT DISTINCT source FROM r),
+      p AS (SELECT a.source AS src_a, b.source AS src_b
+            FROM srcs a JOIN srcs b ON a.source < b.source),
+      th AS (SELECT source,
+               CAST(CASE WHEN max(n) >= $K
+                         THEN max(CASE WHEN rn = $K THEN h END)
+                         ELSE $HashSpaceSql END AS BIGINT) AS theta
+             FROM r GROUP BY 1),
+      m AS (SELECT DISTINCT p.src_a, p.src_b, r.h
+            FROM p JOIN r ON (r.source = p.src_a OR r.source = p.src_b)
+              AND r.rn <= $K),
+      u AS (SELECT src_a, src_b, h,
+              row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS urn,
+              count(*) OVER (PARTITION BY src_a, src_b) AS un
+            FROM m),
+      uest AS (SELECT src_a, src_b,
+                 CASE WHEN max(un) < $K THEN CAST(max(un) AS DOUBLE)
+                      ELSE CAST(${K - 1} AS DOUBLE)
+                           * CAST($HashSpaceSql AS DOUBLE)
+                           / CAST(max(CASE WHEN urn = $K THEN h END)
+                                  AS DOUBLE) END AS union_est
+               FROM u GROUP BY 1, 2),
+      pth AS (SELECT p.src_a, p.src_b,
+                LEAST(ta.theta, tb.theta) AS theta
+              FROM p JOIN th ta ON ta.source = p.src_a
+                     JOIN th tb ON tb.source = p.src_b),
+      com AS (SELECT q.src_a, q.src_b, count(*) AS c
+              FROM pth q
+                JOIN r ra ON ra.source = q.src_a AND ra.rn <= $K
+                JOIN r rb ON rb.source = q.src_b AND rb.rn <= $K
+                         AND rb.h = ra.h
+              WHERE ra.h < q.theta
+              GROUP BY 1, 2),
+      exc AS (SELECT x.source AS src_a, y.source AS src_b,
+                CAST(count(*) AS BIGINT) AS n_common_exact
+              FROM hd x JOIN hd y
+                ON x.h = y.h AND x.source < y.source
+              GROUP BY 1, 2)
+      SELECT q.src_a, q.src_b, uest.union_est,
+             CAST(COALESCE(com.c, 0) AS DOUBLE)
+               * CAST($HashSpaceSql AS DOUBLE)
+               / CAST(q.theta AS DOUBLE) AS intersect_est,
+             (CAST(COALESCE(com.c, 0) AS DOUBLE)
+               * CAST($HashSpaceSql AS DOUBLE)
+               / CAST(q.theta AS DOUBLE)) / uest.union_est AS jaccard_est,
+             COALESCE(exc.n_common_exact, 0) AS n_common_exact,
+             q.theta
+      FROM pth q
+        JOIN uest ON uest.src_a = q.src_a AND uest.src_b = q.src_b
+        LEFT JOIN com ON com.src_a = q.src_a AND com.src_b = q.src_b
+        LEFT JOIN exc ON exc.src_a = q.src_a AND exc.src_b = q.src_b""")),
+
+    // ---- STREAMING windowed distinct sketch: live "distinct users
+    //      per 6 h window" through a watermarked streaming aggregation
+    //      whose state per window is the ≤k-array buffer — the
+    //      mergeable-sketch property is exactly what makes the
+    //      streaming agg's partial/merge path work. The replay emits
+    //      every January window on watermark close (flush row 2024-02-05
+    //      pushes the watermark past the last real window; its own
+    //      window never closes and must NOT appear). Oracle recomputes
+    //      each window's k-min set and estimate from the events table.
+    Q("q124_stream_distinct_sketch", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.plans.GraftExtensions.register(s)
+      val k = 64
+      val ev = Tables.eventsUs(s, dir).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"))
+      val flush = s.range(1).select(lit(-1L).as("user_id"),
+        lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q124").toString
+      ev.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val agg = stream
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withColumn("h", expr("md5_long60(cast(user_id as string))"))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "6 hours").as("w"))
+        .agg(Sketches.kmvSketch(col("h"), k).as("sk"),
+             count(lit(1)).as("n_events"))
+      val sink = "q124_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+          col("n_events"),
+          size(col("sk")).cast("long").as("sketch_size"),
+          Sketches.kmvTheta(col("sk"), k).as("theta"),
+          Sketches.kmvEstimate(col("sk"), k).as("est"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH e AS (SELECT epoch_ns(ts)
+                   - ((epoch_ns(ts) % 21600000000000) + 21600000000000)
+                     % 21600000000000 AS wns,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+                 FROM events WHERE ts IS NOT NULL),
+      cnt AS (SELECT wns, CAST(count(*) AS BIGINT) AS n_events
+              FROM e GROUP BY 1),
+      hd AS (SELECT DISTINCT wns, h FROM e),
+      r AS (SELECT wns, h,
+              row_number() OVER (PARTITION BY wns ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY wns) AS n
+            FROM hd),
+      g AS (SELECT wns, max(n) AS n,
+              max(CASE WHEN rn = 64 THEN h END) AS kth
+            FROM r GROUP BY 1)
+      SELECT g.wns AS window_ns, cnt.n_events,
+             CAST(LEAST(g.n, 64) AS BIGINT) AS sketch_size,
+             CAST(CASE WHEN g.n >= 64 THEN g.kth
+                       ELSE $HashSpaceSql END AS BIGINT) AS theta,
+             CASE WHEN g.n < 64 THEN CAST(g.n AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * CAST($HashSpaceSql AS DOUBLE)
+                       / CAST(g.kth AS DOUBLE) END AS est
+      FROM g JOIN cnt ON cnt.wns = g.wns"""))
+  )
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+import graft.plans.GraftExtensions
+
+/** Properties the KMV/theta sketch family must hold beyond the q122–
+  * q124 oracle rows: the sketch is a pure function of the value SET
+  * (arrival order, partitioning, and merge tree are invisible), the
+  * estimator meets its published error bound at estimation scale, the
+  * set algebra is consistent with recomputing from raw data, and the
+  * SQL surface serves the same aggregate.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 256
+
+  test("KmvAgg unit semantics: dedup, cap, sortedness, merge = set union") {
+    val agg = new Sketches.KmvAgg(4)
+    var buf = agg.zero
+    Seq(9L, 5L, 9L, 7L, 3L, 8L, 1L, 5L).foreach(h => buf = agg.reduce(buf, h))
+    assert(buf.toSeq == Seq(1L, 3L, 5L, 7L)) // k smallest DISTINCT, sorted
+    val other = {
+      var b = agg.zero
+      Seq(2L, 3L, 100L).foreach(h => b = agg.reduce(b, h))
+      b
+    }
+    assert(agg.merge(buf, other).toSeq == Seq(1L, 2L, 3L, 5L))
+    assert(agg.merge(other, buf).toSeq == Seq(1L, 2L, 3L, 5L)) // commutative
+    assert(agg.merge(agg.zero, buf).toSeq == buf.toSeq)
+    assert(agg.merge(buf, agg.zero).toSeq == buf.toSeq)
+  }
+
+  test("sketch is partitioning- and order-invariant (the mergeability claim)") {
+    GraftExtensions.register(spark)
+    val vals = spark.range(50000)
+      .select(expr("md5_long60(cast(id * 37 % 20011 as string))").as("h"))
+    def sketchWith(parts: Int, shuffled: Boolean) = {
+      val base = if (shuffled) vals.orderBy(rand(42)) else vals
+      base.repartition(parts)
+        .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+        .head.getAs[scala.collection.Seq[Long]]("sk")
+    }
+    val a = sketchWith(1, shuffled = false)
+    assert(sketchWith(32, shuffled = false) == a)
+    assert(sketchWith(7, shuffled = true) == a)
+    assert(a.length == K && a == a.sorted)
+  }
+
+  test("estimator: exact below k; within 3 sigma at estimation scale") {
+    GraftExtensions.register(spark)
+    // exact mode: 100 distinct values, k=256 -> estimate == exact
+    val small = spark.range(1000)
+      .select(expr("md5_long60(cast(id % 100 as string))").as("h"))
+      .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+      .select(Sketches.kmvEstimate(col("sk"), K).as("est"),
+        Sketches.kmvTheta(col("sk"), K).as("theta"))
+      .head
+    assert(small.getAs[Double]("est") == 100.0)
+    assert(small.getAs[Long]("theta") == Sketches.HashSpace)
+    // estimation mode: 100k distinct, rel err <= 3/sqrt(k-2) ~ 18.8%
+    val big = spark.range(100000)
+      .select(expr("md5_long60(cast(id as string))").as("h"))
+      .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+      .select(Sketches.kmvEstimate(col("sk"), K).as("est")).head
+    assert(math.abs(big.getAs[Double]("est") - 100000.0) / 100000.0 <= 0.188)
+  }
+
+  test("set algebra consistent with raw recompute on overlapping sets") {
+    GraftExtensions.register(spark)
+    // A = [0, 60k), B = [40k, 100k): |A∪B| = 100k, |A∩B| = 20k
+    val a = spark.range(0, 60000)
+      .select(expr("md5_long60(cast(id as string))").as("h"))
+      .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+    val b = spark.range(40000, 100000)
+      .select(expr("md5_long60(cast(id as string))").as("h"))
+      .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+    val row = a.crossJoin(b.select(col("sk").as("skb")))
+      .select(Sketches.kmvUnionEstimate(col("sk"), col("skb"), K).as("u"),
+        Sketches.kmvIntersectEstimate(col("sk"), col("skb"), K).as("i"),
+        Sketches.kmvUnion(col("sk"), col("skb"), K).as("usk"))
+      .head
+    assert(math.abs(row.getAs[Double]("u") - 100000.0) / 100000.0 <= 0.25)
+    assert(math.abs(row.getAs[Double]("i") - 20000.0) / 20000.0 <= 0.35)
+    // union sketch == sketch built from the united data (algebra is
+    // lossless, not another approximation layer)
+    val direct = spark.range(0, 100000)
+      .select(expr("md5_long60(cast(id as string))").as("h"))
+      .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+      .head.getAs[scala.collection.Seq[Long]]("sk")
+    assert(row.getAs[scala.collection.Seq[Long]]("usk") == direct)
+  }
+
+  test("SQL surface: kmv_sketch256 serves the same aggregate through spark.sql") {
+    GraftExtensions.register(spark)
+    spark.range(5000).select(expr("md5_long60(cast(id % 777 as string))").as("h"))
+      .createOrReplaceTempView("sketch_spec_t")
+    val viaSql = spark.sql(
+      "SELECT kmv_sketch256(h) AS sk FROM sketch_spec_t")
+      .head.getAs[scala.collection.Seq[Long]]("sk")
+    val viaApi = spark.table("sketch_spec_t")
+      .agg(Sketches.kmvSketch(col("h"), 256).as("sk"))
+      .head.getAs[scala.collection.Seq[Long]]("sk")
+    assert(viaSql == viaApi)
+    spark.catalog.dropTempView("sketch_spec_t")
+  }
+}
