@@ -153,4 +153,14 @@ object Sketches {
   /** Jaccard estimate |A∩B|/|A∪B| from the two set estimates. */
   def kmvJaccardEstimate(a: Column, b: Column, k: Int): Column =
     kmvIntersectEstimate(a, b, k) / kmvUnionEstimate(a, b, k)
+
+  /** Production hash for the sketch input: `xxhash64 >>> 4`, uniform on
+    * [0, 2⁶⁰) like `md5_long60` but whole-stage-codegen'd and ~10×
+    * cheaper — the right kernel when the scan is 100 TB and nothing
+    * needs to reproduce the hash outside Spark. Oracle-checked queries
+    * use `md5_long60` (DuckDB-reproducible); everything downstream of
+    * the hash is identical.
+    */
+  def kmvHash64(value: Column): Column =
+    shiftrightunsigned(xxhash64(value), 4)
 }

@@ -26,7 +26,7 @@ object AudioQueries {
     * mean 32.0 at 500 docs). Ids with `id % 50 == 13` render their
     * BASE (id−13) signal with two locally-perturbed samples in
     * distant blocks (9 and 32) — planted near-dup pairs at Hamming
-    * 0–2 (measured [0,1,2,0,0,1,0,0,0,0] over the ten sf0.01 pairs),
+    * 0–2 (measured [2,1,1,1,1,2,1,0,1,0] over the ten sf0.01 pairs),
     * under the 4-band pigeonhole bound so banded recall is exact.
     * Amplitudes stay within ±9998, no 16-bit clamping to mirror.
     */
@@ -37,8 +37,14 @@ object AudioQueries {
       if (nearDup && i == 37) 9000
       else if (nearDup && i == 130) -9500
       else {
-        val v = (base * 1000003L + i * 7919L) % 46337L
-        (((v * v / 64) % 19997L) - 9998L).toInt
+        // TWO distinct prime moduli (the q104 lesson, round 9 edition):
+        // one modulus makes the whole CLIP periodic in the id with
+        // period 46337 — at 10⁶ clips every fingerprint repeats ~21
+        // times (13.3M spurious pairs, measured); the pair makes the
+        // joint period 46337·46327 ≈ 2.1·10⁹, beyond any bench scale
+        val v1 = (base * 1000003L + i * 7919L) % 46337L
+        val v2 = (base * 999983L + i * 7907L) % 46327L
+        (((v1 * v1 / 64 + v2 * v2 / 64) % 19997L) - 9998L).toInt
       }
     }
   }
@@ -52,8 +58,10 @@ object AudioQueries {
   private val sampleSql = """
       CASE WHEN doc_id % 50 = 13 AND doc_id >= 13 AND i = 37 THEN 9000
            WHEN doc_id % 50 = 13 AND doc_id >= 13 AND i = 130 THEN -9500
-           ELSE (((base * 1000003 + i * 7919) % 46337)
-                 * ((base * 1000003 + i * 7919) % 46337) // 64)
+           ELSE ((((base * 1000003 + i * 7919) % 46337)
+                  * ((base * 1000003 + i * 7919) % 46337) // 64)
+                 + (((base * 999983 + i * 7907) % 46327)
+                    * ((base * 999983 + i * 7907) % 46327) // 64))
                 % 19997 - 9998
       END"""
 

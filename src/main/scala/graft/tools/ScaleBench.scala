@@ -940,7 +940,107 @@ object ScaleBench {
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson}""")
+    // audio fingerprint near-dup (env GRAFT_SCALE_AUDIO=
+    // <clips>[:bands:bandBits:maxHamming], default 4:16:3): the q120
+    // pipeline — render real 260-sample WAVs (1-in-50 a planted
+    // near-duplicate), decode through javax.sound + fingerprint, pair
+    // via the shared banded-Hamming blocking — decode+hash throughput,
+    // banded candidate volume, found pairs vs planted. Decade-up rule
+    // is the image section's: `:2:32:1` coarse banding cuts candidates
+    // by 2^16 with pigeonhole recall to Hamming 1 (planted pairs reach
+    // Hamming 2, so the planted require is skipped off the default).
+    val audioJson = sys.env.get("GRAFT_SCALE_AUDIO").map { sN =>
+      import spark.implicits._
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val (bands, bandBits, maxHam) =
+        if (parts.length >= 4) (parts(1).toInt, parts(2).toInt, parts(3).toInt)
+        else (4, 16, 3)
+      val wavs = spark.range(n).select(col("id").as("doc_id")).as[Long]
+        .mapPartitions(it =>
+          it.map(id => (id, graft.queries.AudioQueries.renderWav(id))))
+        .toDF("doc_id", "payload")
+        .localCheckpoint(true) // isolate render cost from decode cost
+      val s0 = System.nanoTime()
+      val sigs = graft.multimodal.Multimodal.audioFingerprints(spark, wavs)
+        .toDF().localCheckpoint(true)
+      val hashSecs = (System.nanoTime() - s0) / 1e9
+      val mask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("afp"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bucket")))
+      val cands = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) div 2")).cast("long")).head().getLong(0)
+      val s1 = System.nanoTime()
+      val pairs = graft.multimodal.Multimodal.audioNearDupPairs(
+        spark, wavs, maxHamming = maxHam, bands = bands,
+        bandBits = bandBits).count()
+      val pairSecs = (System.nanoTime() - s1) / 1e9
+      val planted = if (n > 13) (n - 14) / 50 + 1 else 0 // ids ≡ 13 (mod 50)
+      if (bands == 4 && bandBits == 16 && maxHam >= 2)
+        require(pairs >= planted, s"found $pairs pairs, planted $planted")
+      s""","audio_neardup":{"clips":$n,"bands":$bands,"band_bits":$bandBits,""" +
+        s""""max_hamming":$maxHam,"hash_s":${fmt(hashSecs)},""" +
+        s""""clips_per_sec":${fmt(n / hashSecs, 0)},"candidates":$cands,""" +
+        s""""pairs":$pairs,"planted":$planted,"pair_s":${fmt(pairSecs)}}"""
+    }.getOrElse("")
+
+    // KMV sketch vs exact distinct (env GRAFT_SCALE_KMV=
+    // <rows>[:k:groups], default 256:32): the 100 TB distinct-count
+    // triangle on one frame (`id % (rows/2)` → rows/2 distinct) —
+    // exact countDistinct (shuffles every distinct value), builtin HLL
+    // (approx_count_distinct, mergeable but opaque and
+    // intersection-free), and the KMV sketch (mergeable, k·8 bytes,
+    // exact-oracle-checkable, set algebra). Also aggregates per-group
+    // sketches and re-sketches their exploded union — the persisted-
+    // sketch re-aggregation path (k-min of k-mins = k-min of union) —
+    // asserting the union estimate equals the global sketch's.
+    val kmvJson = sys.env.get("GRAFT_SCALE_KMV").map { sN =>
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val (k, groups) =
+        if (parts.length >= 3) (parts(1).toInt, parts(2).toInt) else (256, 32)
+      val distinctTrue = n / 2
+      val df = spark.range(n)
+        .select((col("id") % distinctTrue).as("v"),
+          (col("id") % groups).as("g"))
+        .withColumn("h", graft.operators.Sketches.kmvHash64(col("v")))
+        .localCheckpoint(true)
+      def timed[A](f: => A): (A, Double) = {
+        val t = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t) / 1e9)
+      }
+      val (exact, exactS) =
+        timed(df.select(countDistinct(col("v"))).head().getLong(0))
+      val (hll, hllS) = timed(df.select(
+        approx_count_distinct(col("v"), rsd = 0.02)).head().getLong(0))
+      val (kmvEst, kmvS) = timed(df
+        .agg(graft.operators.Sketches.kmvSketch(col("h"), k).as("sk"))
+        .select(graft.operators.Sketches.kmvEstimate(col("sk"), k))
+        .head().getDouble(0))
+      // persisted-sketch path: G per-group sketches, re-sketched
+      val (unionEst, unionS) = timed {
+        val grouped = df.groupBy("g")
+          .agg(graft.operators.Sketches.kmvSketch(col("h"), k).as("sk"))
+        grouped.select(explode(col("sk")).as("h"))
+          .agg(graft.operators.Sketches.kmvSketch(col("h"), k).as("sk"))
+          .select(graft.operators.Sketches.kmvEstimate(col("sk"), k))
+          .head().getDouble(0)
+      }
+      require(unionEst == kmvEst,
+        s"re-aggregated union est $unionEst != global sketch est $kmvEst")
+      def rel(e: Double) = fmt(math.abs(e - distinctTrue) / distinctTrue, 4)
+      s""","kmv_distinct":{"rows":$n,"k":$k,"groups":$groups,""" +
+        s""""distinct_true":$distinctTrue,"exact":$exact,""" +
+        s""""exact_s":${fmt(exactS)},"hll":$hll,"hll_s":${fmt(hllS)},""" +
+        s""""kmv_est":${fmt(kmvEst, 1)},"kmv_s":${fmt(kmvS)},""" +
+        s""""kmv_rel_err":${rel(kmvEst)},"hll_rel_err":${rel(hll.toDouble)},""" +
+        s""""union_est":${fmt(unionEst, 1)},"union_s":${fmt(unionS)}}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$kmvJson}""")
     spark.stop()
   }
 }

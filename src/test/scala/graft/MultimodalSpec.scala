@@ -196,6 +196,28 @@ class MultimodalSpec extends SparkSpec {
     assert(clamped.sameElements(Array(32767, -32768)))
   }
 
+  test("fast WAV parse == javax.sound decode on the same bytes") {
+    // the hot path must be bit-identical to the JDK codec; force the
+    // SPI path by prepending garbage? no — call it via AudioSystem
+    // directly on identical WAV bytes and compare
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { t =>
+      val n = 1 + rnd.nextInt(400)
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val wav = Multimodal.encodeWav16(samples, 4000 + t)
+      val Some((srFast, fast)) = Multimodal.decodeAudio(wav)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = in.getFormat
+      val raw = in.readAllBytes(); in.close()
+      assert(srFast == math.round(fmt.getSampleRate))
+      val slow = Array.tabulate(raw.length / 2)(i =>
+        (((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort).toInt)
+      assert(fast.sameElements(slow))
+      assert(fast.sameElements(samples))
+    }
+  }
+
   test("decodeAudio handles a big-endian container (real AIFF round trip)") {
     val samples = Array.tabulate(128)(i => (i * 251 % 8191) - 4095)
     val bytes = new Array[Byte](samples.length * 2)
