@@ -1003,15 +1003,20 @@ object ScaleBench {
       val (k, groups) =
         if (parts.length >= 3) (parts(1).toInt, parts(2).toInt) else (256, 32)
       val distinctTrue = n / 2
+      // no checkpoint: the frame is pure codegen (range → modulo →
+      // xxhash), cheaper to regenerate per measurement than to cache —
+      // caching 10⁸ rows starves the hash-agg's execution memory
+      // (AGGREGATE_OUT_OF_MEMORY, observed). Every timing includes the
+      // identical gen cost; `scan_s` records that floor.
       val df = spark.range(n)
         .select((col("id") % distinctTrue).as("v"),
           (col("id") % groups).as("g"))
         .withColumn("h", graft.operators.Sketches.kmvHash64(col("v")))
-        .localCheckpoint(true)
       def timed[A](f: => A): (A, Double) = {
         val t = System.nanoTime(); val a = f
         (a, (System.nanoTime() - t) / 1e9)
       }
+      val (_, scanS) = timed(df.select(count(lit(1))).head().getLong(0))
       val (exact, exactS) =
         timed(df.select(countDistinct(col("v"))).head().getLong(0))
       val (hll, hllS) = timed(df.select(
@@ -1033,6 +1038,7 @@ object ScaleBench {
         s"re-aggregated union est $unionEst != global sketch est $kmvEst")
       def rel(e: Double) = fmt(math.abs(e - distinctTrue) / distinctTrue, 4)
       s""","kmv_distinct":{"rows":$n,"k":$k,"groups":$groups,""" +
+        s""""scan_s":${fmt(scanS)},""" +
         s""""distinct_true":$distinctTrue,"exact":$exact,""" +
         s""""exact_s":${fmt(exactS)},"hll":$hll,"hll_s":${fmt(hllS)},""" +
         s""""kmv_est":${fmt(kmvEst, 1)},"kmv_s":${fmt(kmvS)},""" +
