@@ -48,6 +48,19 @@ object SketchQueries {
               count(*) OVER (PARTITION BY source) AS n
             FROM hd)"""
 
+  /** [[shingleHashes]] with the lang dimension carried — the partition
+    * key of the persisted "daily" sketches in q125.
+    */
+  private def shingleHashesByLang(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    Tables.documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("source"), col("lang"),
+        explode(expr("""transform(sequence(1, size(split(text, ' ')) - 2),
+          i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("shingle"))
+      .select(col("source"), col("lang"), expr("md5_long60(shingle)").as("h"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- per-group sketch + estimate: exact distinct via the full
@@ -234,6 +247,61 @@ object SketchQueries {
              CASE WHEN g.n < 64 THEN CAST(g.n AS DOUBLE)
                   ELSE CAST(63 AS DOUBLE) * CAST($HashSpaceSql AS DOUBLE)
                        / CAST(g.kth AS DOUBLE) END AS est
-      FROM g JOIN cnt ON cnt.wns = g.wns"""))
+      FROM g JOIN cnt ON cnt.wns = g.wns""")),
+
+    // ---- persisted-sketch ROLLUP: per-(source, lang) sketches write
+    //      to parquet ("daily" granularity), reload, and re-aggregate
+    //      to per-source by exploding the arrays back through
+    //      kmvSketch — the rollup pattern that makes sketches useful
+    //      operationally (k-min of per-part k-mins = k-min of the
+    //      union: any hash among the k smallest of the whole is among
+    //      the k smallest of its own part, so the rollup is LOSSLESS,
+    //      not a second approximation). The oracle computes the
+    //      per-source sketch directly — a Spark-side rollup bug
+    //      (array truncation, dedup loss, merge drift) breaks the
+    //      hash; `rollup_eq` pins the identity against the directly
+    //      aggregated sketch in the same plan.
+    Q("q125_kmv_rollup", (s, dir) => {
+      val h2 = shingleHashesByLang(s, dir)
+      val daily = h2.groupBy("source", "lang")
+        .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q125").toString
+      daily.write.mode("overwrite").parquet(tmp)
+      val rolled = s.read.parquet(tmp)
+        .select(col("source"), explode(col("sk")).as("h"))
+        .groupBy("source")
+        .agg(Sketches.kmvSketch(col("h"), K).as("rsk"),
+          count(lit(1)).as("n_in")) // exploded hash volume, ≤ parts·k
+      val parts = s.read.parquet(tmp).groupBy("source")
+        .agg(count(lit(1)).as("n_parts"))
+      val direct = h2.groupBy("source")
+        .agg(Sketches.kmvSketch(col("h"), K).as("dsk"))
+      rolled.join(parts, "source").join(direct, "source")
+        .select(col("source"), col("n_parts"),
+          Sketches.kmvEstimate(col("rsk"), K).as("est_rollup"),
+          Sketches.kmvEstimate(col("dsk"), K).as("est_direct"),
+          (col("rsk") === col("dsk")).cast("long").as("rollup_eq"),
+          Sketches.kmvTheta(col("rsk"), K).as("theta"))
+    }, Some(s"""
+      WITH $ranksSql,
+      langs AS (SELECT source, count(DISTINCT lang) AS n_parts
+                FROM (SELECT source, lang FROM documents
+                      WHERE len(string_split(text, ' ')) >= 3) GROUP BY 1),
+      g AS (SELECT source, max(n) AS n,
+              max(CASE WHEN rn = $K THEN h END) AS kth
+            FROM r GROUP BY 1),
+      e AS (SELECT source,
+              CASE WHEN n < $K THEN CAST(n AS DOUBLE)
+                   ELSE CAST(${K - 1} AS DOUBLE)
+                        * CAST($HashSpaceSql AS DOUBLE)
+                        / CAST(kth AS DOUBLE) END AS est,
+              CAST(CASE WHEN n >= $K THEN kth
+                        ELSE $HashSpaceSql END AS BIGINT) AS theta
+            FROM g)
+      SELECT e.source, CAST(langs.n_parts AS BIGINT) AS n_parts,
+             e.est AS est_rollup, e.est AS est_direct,
+             CAST(1 AS BIGINT) AS rollup_eq, e.theta
+      FROM e JOIN langs ON langs.source = e.source"""))
   )
 }

@@ -92,6 +92,25 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[scala.collection.Seq[Long]]("usk") == direct)
   }
 
+  test("plan shape: one shuffle, partial aggregation present (k-arrays shuffle, not values)") {
+    GraftExtensions.register(spark)
+    val df = spark.range(100000)
+      .select((col("id") % 10).as("g"),
+        expr("md5_long60(cast(id as string))").as("h"))
+      .groupBy("g").agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+    val c = graft.tools.PlanIntrospect.counts(df)
+    assert(c.shuffles == 1, s"expected exactly one shuffle: ${c.render}")
+    // the partial (map-side) aggregate must exist and carry the kmv
+    // buffer: without it the shuffle moves every hash instead of one
+    // <=k array per (group x partition) - the property that makes the
+    // sketch usable at 100 TB
+    val aggs = graft.tools.PlanIntrospect
+      .nodes(df.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec])
+    assert(aggs.size >= 2, s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
+  }
+
   test("SQL surface: kmv_sketch256 serves the same aggregate through spark.sql") {
     GraftExtensions.register(spark)
     spark.range(5000).select(expr("md5_long60(cast(id % 777 as string))").as("h"))

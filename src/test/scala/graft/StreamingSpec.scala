@@ -669,6 +669,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audio near-dup: window attribution and cross-window suppression") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft-saud2w").toString
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1_000_000_000L
+    def wav(id: Long) = graft.queries.AudioQueries.renderWav(id)
+    val in = MemoryStream[(Long, Array[Byte], Long)]
+    val changes = graft.streaming.StreamingDedup.audioNearDupStream(
+      in.toDF().toDF("doc_id", "payload", "ts"), "doc_id", "payload",
+      "ts", maxHamming = 3, watermark = "30 seconds", windowDur = "1 hour")
+    val q = changes.writeStream.format("memory").queryName("saud2w")
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode("append").start()
+    try {
+      // window 0: an identical-clip pair (1, 2) + an unrelated clip;
+      // window 1: a second identical pair (4, 5) + doc 6 carrying the
+      // SAME clip as window 0's pair — Hamming 0 but a different
+      // window, so (1,6)/(2,6) must never emit; a late copy of clip 1
+      // inside window 0's span drops at the watermark
+      in.addData((1L, wav(1), 10 * ns), (2L, wav(1), 11 * ns),
+        (3L, wav(500), 12 * ns))
+      q.processAllAvailable()
+      in.addData((4L, wav(2), 3610 * ns), (5L, wav(2), 3620 * ns),
+        (6L, wav(1), 3630 * ns))
+      q.processAllAvailable()
+      in.addData((999L, wav(900), 7200 * ns))
+      q.processAllAvailable()
+      in.addData((7L, wav(1), 9 * ns))
+      q.processAllAvailable()
+      in.addData((998L, wav(901), 7300 * ns))
+      q.processAllAvailable()
+
+      val got = spark.table("saud2w")
+        .select("window_ns", "a", "b", "hamming")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((0L, 1L, 2L, 0L), (3600L * ns, 4L, 5L, 0L)),
+        s"per-window pairs only, under their own window_ns: $got")
+    } finally q.stop()
+  }
+
   test("streaming IVF ANN matches batch ivfTopK across batches; late query drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val root = Files.createTempDirectory("graft-sivf").toString
