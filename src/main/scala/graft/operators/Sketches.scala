@@ -154,6 +154,18 @@ object Sketches {
   def kmvJaccardEstimate(a: Column, b: Column, k: Int): Column =
     kmvIntersectEstimate(a, b, k) / kmvUnionEstimate(a, b, k)
 
+  /** Theta-sketch a-not-b estimate |A ∖ B|: hashes in A's sketch below
+    * θ = min(θ_a, θ_b) and absent from B's sketch are a uniform
+    * θ/2⁶⁰-rate sample of A∖B (below the joint θ, B's sketch contains
+    * EVERY hash of B, so absence from the sketch is absence from B).
+    * "Users who did X but never Y" from two persisted arrays.
+    */
+  def kmvDifferenceEstimate(a: Column, b: Column, k: Int): Column = {
+    val theta = least(kmvTheta(a, k), kmvTheta(b, k))
+    val only = size(filter(array_except(a, b), h => h < theta))
+    only.cast("double") * lit(HashSpace.toDouble) / theta.cast("double")
+  }
+
   /** Production hash for the sketch input: `xxhash64 >>> 4`, uniform on
     * [0, 2⁶⁰) like `md5_long60` but whole-stage-codegen'd and ~10×
     * cheaper — the right kernel when the scan is 100 TB and nothing

@@ -123,6 +123,8 @@ object SketchQueries {
             .as("intersect_est"),
           Sketches.kmvJaccardEstimate(col("ska"), col("skb"), K)
             .as("jaccard_est"),
+          Sketches.kmvDifferenceEstimate(col("ska"), col("skb"), K)
+            .as("diff_est"),
           coalesce(col("n_common_exact"), lit(0L)).as("n_common_exact"),
           least(Sketches.kmvTheta(col("ska"), K),
             Sketches.kmvTheta(col("skb"), K)).as("theta"))
@@ -161,6 +163,13 @@ object SketchQueries {
                          AND rb.h = ra.h
               WHERE ra.h < q.theta
               GROUP BY 1, 2),
+      dif AS (SELECT q.src_a, q.src_b, count(*) AS d
+              FROM pth q
+                JOIN r ra ON ra.source = q.src_a AND ra.rn <= $K
+              WHERE ra.h < q.theta AND NOT EXISTS (
+                SELECT 1 FROM r rb
+                WHERE rb.source = q.src_b AND rb.rn <= $K AND rb.h = ra.h)
+              GROUP BY 1, 2),
       exc AS (SELECT x.source AS src_a, y.source AS src_b,
                 CAST(count(*) AS BIGINT) AS n_common_exact
               FROM hd x JOIN hd y
@@ -173,11 +182,15 @@ object SketchQueries {
              (CAST(COALESCE(com.c, 0) AS DOUBLE)
                * CAST($HashSpaceSql AS DOUBLE)
                / CAST(q.theta AS DOUBLE)) / uest.union_est AS jaccard_est,
+             CAST(COALESCE(dif.d, 0) AS DOUBLE)
+               * CAST($HashSpaceSql AS DOUBLE)
+               / CAST(q.theta AS DOUBLE) AS diff_est,
              COALESCE(exc.n_common_exact, 0) AS n_common_exact,
              q.theta
       FROM pth q
         JOIN uest ON uest.src_a = q.src_a AND uest.src_b = q.src_b
         LEFT JOIN com ON com.src_a = q.src_a AND com.src_b = q.src_b
+        LEFT JOIN dif ON dif.src_a = q.src_a AND dif.src_b = q.src_b
         LEFT JOIN exc ON exc.src_a = q.src_a AND exc.src_b = q.src_b""")),
 
     // ---- STREAMING windowed distinct sketch: live "distinct users
@@ -233,6 +246,78 @@ object SketchQueries {
       cnt AS (SELECT wns, CAST(count(*) AS BIGINT) AS n_events
               FROM e GROUP BY 1),
       hd AS (SELECT DISTINCT wns, h FROM e),
+      r AS (SELECT wns, h,
+              row_number() OVER (PARTITION BY wns ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY wns) AS n
+            FROM hd),
+      g AS (SELECT wns, max(n) AS n,
+              max(CASE WHEN rn = 64 THEN h END) AS kth
+            FROM r GROUP BY 1)
+      SELECT g.wns AS window_ns, cnt.n_events,
+             CAST(LEAST(g.n, 64) AS BIGINT) AS sketch_size,
+             CAST(CASE WHEN g.n >= 64 THEN g.kth
+                       ELSE $HashSpaceSql END AS BIGINT) AS theta,
+             CASE WHEN g.n < 64 THEN CAST(g.n AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * CAST($HashSpaceSql AS DOUBLE)
+                       / CAST(g.kth AS DOUBLE) END AS est
+      FROM g JOIN cnt ON cnt.wns = g.wns""")),
+
+    // ---- SLIDING-window streaming sketch: "distinct users over the
+    //      trailing 24 h, refreshed every 6 h" — each event feeds FOUR
+    //      overlapping windows, each window maintaining its own ≤k
+    //      buffer; append mode emits a window's final sketch once the
+    //      watermark passes its END (so the trailing edge of the
+    //      stream never emits — the flush row's own windows stay
+    //      open). The oracle expands each event into its four
+    //      window-starts on the 6 h grid and recomputes every
+    //      window's k-min set — window-overlap attribution under hard
+    //      signal, the piece q124's tumbling windows cannot pin.
+    Q("q126_stream_sliding_sketch", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.plans.GraftExtensions.register(s)
+      val k = 64
+      val ev = Tables.eventsUs(s, dir).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"))
+      val flush = s.range(1).select(lit(-1L).as("user_id"),
+        lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q126").toString
+      ev.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val agg = stream
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withColumn("h", expr("md5_long60(cast(user_id as string))"))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "24 hours", "6 hours").as("w"))
+        .agg(Sketches.kmvSketch(col("h"), k).as("sk"),
+             count(lit(1)).as("n_events"))
+      val sink = "q126_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+          col("n_events"),
+          size(col("sk")).cast("long").as("sketch_size"),
+          Sketches.kmvTheta(col("sk"), k).as("theta"),
+          Sketches.kmvEstimate(col("sk"), k).as("est"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH e AS (SELECT epoch_ns(ts)
+                   - ((epoch_ns(ts) % 21600000000000) + 21600000000000)
+                     % 21600000000000 AS b6,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+                 FROM events WHERE ts IS NOT NULL),
+      w AS (SELECT b6 - j * 21600000000000 AS wns, h
+            FROM e, unnest(range(4)) t(j)),
+      cnt AS (SELECT wns, CAST(count(*) AS BIGINT) AS n_events
+              FROM w GROUP BY 1),
+      hd AS (SELECT DISTINCT wns, h FROM w),
       r AS (SELECT wns, h,
               row_number() OVER (PARTITION BY wns ORDER BY h) AS rn,
               count(*) OVER (PARTITION BY wns) AS n
