@@ -1046,7 +1046,54 @@ object ScaleBench {
         s""""union_est":${fmt(unionEst, 1)},"union_s":${fmt(unionS)}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$kmvJson}""")
+    // streaming windowed distinct sketch (env GRAFT_SCALE_KMVSTREAM=
+    // <rows>[:k]): the q124 pipeline at scale — synthetic events
+    // (id → user `id % (rows/20)`, ts spread over 64 six-hour
+    // windows) replayed through the file source into the watermarked
+    // tumbling sketch aggregation. Rows/sec end to end, peak state
+    // (= open windows × one ≤k buffer — the constant-per-window
+    // property that makes live distinct viable at any cardinality),
+    // emitted windows checked for batch-equal estimates.
+    val kmvStreamJson = sys.env.get("GRAFT_SCALE_KMVSTREAM").map { sN =>
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val k = if (parts.length >= 2) parts(1).toInt else 64
+      val t0 = 1_600_000_000_000_000_000L
+      val winNs = 21600L * 1_000_000_000L
+      val users = math.max(1L, n / 20)
+      val rows = spark.range(n).select(
+        (col("id") % users).as("user_id"),
+        (lit(t0) + (col("id") % (64 * 21600)) * lit(1_000_000_000L)).as("ts"))
+      val flush = spark.range(1).select(lit(-1L).as("user_id"),
+        lit(t0 + 100L * 86400L * 1_000_000_000L).as("ts"))
+      def agg(st: DataFrame) = st
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withColumn("h", graft.operators.Sketches.kmvHash64(col("user_id")))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "6 hours").as("w"))
+        .agg(graft.operators.Sketches.kmvSketch(col("h"), k).as("sk"))
+        .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+          graft.operators.Sketches.kmvEstimate(col("sk"), k).as("est"))
+      val r = replayBench(spark, s"$root/kmvstream_$n", rows, flush, "ts",
+        agg)
+      // batch cross-check: same windows, same sketch, batch engine
+      val batch = rows
+        .withColumn("h", graft.operators.Sketches.kmvHash64(col("user_id")))
+        .groupBy((col("ts") - ((col("ts") % winNs) + winNs) % winNs)
+          .as("window_ns"))
+        .agg(graft.operators.Sketches.kmvSketch(col("h"), k).as("sk"))
+        .select(col("window_ns"),
+          graft.operators.Sketches.kmvEstimate(col("sk"), k).as("est"))
+      val nBatch = batch.count()
+      require(r.emitted == nBatch,
+        s"stream emitted ${r.emitted} windows, batch derives $nBatch")
+      s""","kmv_stream":{"rows":$n,"k":$k,"users":$users,""" +
+        s""""s":${fmt(r.secs)},"rows_per_sec":${fmt(n / r.secs, 0)},""" +
+        s""""windows":${r.emitted},"batches":${r.batches},""" +
+        s""""peak_state_rows":${r.peakStateRows}}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$kmvJson$kmvStreamJson}""")
     spark.stop()
   }
 }

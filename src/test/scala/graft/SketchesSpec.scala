@@ -90,6 +90,17 @@ class SketchesSpec extends SparkSpec {
       .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
       .head.getAs[scala.collection.Seq[Long]]("sk")
     assert(row.getAs[scala.collection.Seq[Long]]("usk") == direct)
+    // a-not-b: |A \ B| = 40k, |B \ A| = 40k
+    val d = a.crossJoin(b.select(col("sk").as("skb")))
+      .select(Sketches.kmvDifferenceEstimate(col("sk"), col("skb"), K).as("ab"),
+        Sketches.kmvDifferenceEstimate(col("skb"), col("sk"), K).as("ba"))
+      .head
+    assert(math.abs(d.getAs[Double]("ab") - 40000.0) / 40000.0 <= 0.35)
+    assert(math.abs(d.getAs[Double]("ba") - 40000.0) / 40000.0 <= 0.35)
+    // inclusion-exclusion closes: |A\B| + |A∩B| ~ |A| (same theta sample)
+    val est = a.select(Sketches.kmvEstimate(col("sk"), K)).head.getDouble(0)
+    assert(math.abs(d.getAs[Double]("ab") + row.getAs[Double]("i") - est)
+      / est <= 0.25)
   }
 
   test("plan shape: one shuffle, partial aggregation present (k-arrays shuffle, not values)") {
