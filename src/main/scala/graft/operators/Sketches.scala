@@ -166,6 +166,134 @@ object Sketches {
     only.cast("double") * lit(HashSpace.toDouble) / theta.cast("double")
   }
 
+  // ==================================================================
+  // Priority sampling (Duffield, Lund & Thorup, JACM 2007): a bounded
+  // weighted sample supporting unbiased SUBSET-SUM estimates — the
+  // third leg of the approximate-query layer (KMV: distinct counts;
+  // theta algebra: set operations; this: Σweight over arbitrary
+  // post-hoc subsets). Item i with weight w_i draws u_i = h_i/2⁶⁰
+  // from its hash and gets priority q_i = w_i/u_i; keep the k+1
+  // highest-priority items, let τ = the (k+1)-th priority, and
+  // Σ_{subset} ≈ Σ_{i ∈ top-k ∩ subset} max(w_i, τ). Like KMV the
+  // sample is a pure function of the (item, weight) set — order,
+  // partitioning, and merge trees are invisible, and DuckDB
+  // reproduces every estimate from a rank-over-priority recompute.
+  // ==================================================================
+
+  /** Priority-sampling aggregate: IN = (hash, weight, item-id), BUF =
+    * the ≤(k+1) highest-priority rows as parallel primitive arrays
+    * sorted by (priority DESC, id ASC) — the explicit tie-break keeps
+    * equal priorities (equal weights with colliding hash draws)
+    * deterministic under any merge tree. OUT = array of (priority,
+    * weight, id) structs. The id rides along so callers can evaluate
+    * subset membership AFTER sampling — the whole point of the
+    * method. Items must be UNIQUE (pre-aggregate duplicate keys): a
+    * re-delivered item would occupy two sample slots.
+    */
+  final class PriorityAgg(k: Int)
+      extends Aggregator[(Long, Long, Long),
+        (Array[Double], Array[Long], Array[Long]),
+        Seq[(Double, Long, Long)]] {
+    require(k >= 1, s"priority sample needs k >= 1, got $k")
+    private val cap = k + 1
+
+    override def zero: (Array[Double], Array[Long], Array[Long]) =
+      (Array.emptyDoubleArray, Array.emptyLongArray, Array.emptyLongArray)
+
+    /** Strict "ranks ahead of" under (priority DESC, id ASC) — the
+      * explicit tie-break that keeps the trimmed sample a pure
+      * function of the item set even when two items draw equal
+      * priorities (same weight, colliding hash draw).
+      */
+    private def ahead(p1: Double, id1: Long, p2: Double, id2: Long): Boolean =
+      p1 > p2 || (p1 == p2 && id1 < id2)
+
+    private def insert(buf: (Array[Double], Array[Long], Array[Long]),
+                       q: Double, w: Long, id: Long) = {
+      val (ps, ws, ids) = buf
+      val n = ps.length
+      if (n >= cap && !ahead(q, id, ps(n - 1), ids(n - 1))) buf
+      else {
+        // first position this row ranks ahead of (descending order)
+        var ins = 0
+        while (ins < n && ahead(ps(ins), ids(ins), q, id)) ins += 1
+        val m = math.min(cap, n + 1)
+        val po = new Array[Double](m); val wo = new Array[Long](m)
+        val io = new Array[Long](m)
+        System.arraycopy(ps, 0, po, 0, ins)
+        System.arraycopy(ws, 0, wo, 0, ins)
+        System.arraycopy(ids, 0, io, 0, ins)
+        po(ins) = q; wo(ins) = w; io(ins) = id
+        val tail = m - ins - 1
+        System.arraycopy(ps, ins, po, ins + 1, tail)
+        System.arraycopy(ws, ins, wo, ins + 1, tail)
+        System.arraycopy(ids, ins, io, ins + 1, tail)
+        (po, wo, io)
+      }
+    }
+
+    override def reduce(buf: (Array[Double], Array[Long], Array[Long]),
+                        in: (Long, Long, Long)) = {
+      val (h, w, id) = in
+      // u = h/2⁶⁰ ∈ (0, 1]; h = 0 maps to the full space (u = 1)
+      val u = if (h <= 0) 1.0 else h.toDouble / HashSpace.toDouble
+      insert(buf, w.toDouble / u, w, id)
+    }
+
+    override def merge(a: (Array[Double], Array[Long], Array[Long]),
+                       b: (Array[Double], Array[Long], Array[Long])) = {
+      var out = a
+      val (ps, ws, ids) = b
+      var i = 0
+      while (i < ps.length) {
+        out = insert(out, ps(i), ws(i), ids(i)); i += 1
+      }
+      out
+    }
+
+    override def finish(buf: (Array[Double], Array[Long], Array[Long])) = {
+      val (ps, ws, ids) = buf
+      ps.indices.map(i => (ps(i), ws(i), ids(i)))
+    }
+
+    override def bufferEncoder
+        : ExpressionEncoder[(Array[Double], Array[Long], Array[Long])] =
+      ExpressionEncoder[(Array[Double], Array[Long], Array[Long])]()
+    override def outputEncoder: ExpressionEncoder[Seq[(Double, Long, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long, Long)]]()
+  }
+
+  /** Priority sample as an untyped column aggregate:
+    * `prioritySample(hashCol, weightCol, idCol, k)` → array of
+    * `(_1 priority, _2 weight, _3 id)` structs, priority-descending,
+    * length ≤ k+1 (the extra row carries τ).
+    */
+  def prioritySample(hash: Column, weight: Column, id: Column, k: Int): Column =
+    udaf(new PriorityAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong)).apply(hash, weight, id)
+
+  /** τ of a sample: the (k+1)-th priority when present, else 0 (fewer
+    * than k+1 items seen — the sample is the whole set, estimates are
+    * exact).
+    */
+  def priorityTau(sample: Column, k: Int): Column =
+    when(size(sample) >= k + 1, element_at(sample, k + 1).getField("_1"))
+      .otherwise(lit(0.0))
+
+  /** Subset-sum estimate from a priority sample: Σ max(w, τ) over the
+    * top-k sample rows whose id satisfies `member`. With τ = 0 (exact
+    * mode) this is the plain subset sum.
+    */
+  def prioritySubsetSum(sample: Column, k: Int,
+                        member: Column => Column): Column = {
+    val tau = priorityTau(sample, k)
+    aggregate(
+      filter(slice(sample, 1, k), x => member(x.getField("_3"))),
+      lit(0.0),
+      (acc, x) => acc + greatest(x.getField("_2").cast("double"), tau))
+  }
+
   /** Production hash for the sketch input: `xxhash64 >>> 4`, uniform on
     * [0, 2⁶⁰) like `md5_long60` but whole-stage-codegen'd and ~10×
     * cheaper — the right kernel when the scan is 100 TB and nothing

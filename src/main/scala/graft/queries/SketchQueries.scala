@@ -387,6 +387,76 @@ object SketchQueries {
       SELECT e.source, CAST(langs.n_parts AS BIGINT) AS n_parts,
              e.est AS est_rollup, e.est AS est_direct,
              CAST(1 AS BIGINT) AS rollup_eq, e.theta
-      FROM e JOIN langs ON langs.source = e.source"""))
+      FROM e JOIN langs ON langs.source = e.source""")),
+
+    // ---- PRIORITY SAMPLING (Duffield-Lund-Thorup): per-source
+    //      weighted samples of k=16 docs (weight = n_chars) answering
+    //      the TOTAL character sum and an arbitrary post-hoc SUBSET
+    //      sum (doc_id % 40 < 20 — a half that alternates WITHIN each
+    //      source; doc_id parity is constant per source and would
+    //      degenerate) — Σ max(w, τ) over the in-subset sample
+    //      rows. The oracle recomputes priorities (w / (h/2⁶⁰), the
+    //      identical IEEE division sequence), ranks with the same
+    //      (priority DESC, id ASC) tie-break, and sums in the same
+    //      rank order (floating addition is order-sensitive; both
+    //      engines sum top-k ascending by rank) — estimator, τ, and
+    //      sample CONTENT all pinned bit for bit next to the exact
+    //      reference sums.
+    Q("q127_priority_sample_sums", (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val k = 16
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("h", expr("md5_long60(cast(doc_id as string))"))
+      docs.groupBy("source")
+        .agg(Sketches.prioritySample(col("h"), col("n_chars"),
+            col("doc_id"), k).as("smp"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_exact"),
+          sum(when(col("doc_id") % 40 < 20, col("n_chars")).otherwise(0L))
+            .as("sum_sub_exact"))
+        .select(col("source"), col("n_docs"),
+          Sketches.priorityTau(col("smp"), k).as("tau"),
+          Sketches.prioritySubsetSum(col("smp"), k, _ => lit(true))
+            .as("est_total"),
+          Sketches.prioritySubsetSum(col("smp"), k, id => id % 40 < 20)
+            .as("est_sub"),
+          col("sum_exact").cast("long").as("sum_exact"),
+          col("sum_sub_exact").cast("long").as("sum_sub_exact"))
+    }, Some(s"""
+      WITH d AS (SELECT source, doc_id, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS h
+             FROM documents),
+      p AS (SELECT source, doc_id, n_chars,
+              CAST(n_chars AS DOUBLE)
+                / (CAST(CASE WHEN h <= 0 THEN $HashSpaceSql ELSE h END
+                        AS DOUBLE)
+                   / CAST($HashSpaceSql AS DOUBLE)) AS pri
+            FROM d),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY source ORDER BY pri DESC, doc_id ASC) AS rnk
+            FROM p),
+      t AS (SELECT source,
+              COALESCE(max(CASE WHEN rnk = 17 THEN pri END),
+                       CAST(0 AS DOUBLE)) AS tau
+            FROM r GROUP BY 1),
+      est AS (SELECT r.source,
+                sum(GREATEST(CAST(r.n_chars AS DOUBLE), t.tau)
+                    ORDER BY r.rnk) AS est_total,
+                sum(CASE WHEN r.doc_id % 40 < 20
+                         THEN GREATEST(CAST(r.n_chars AS DOUBLE), t.tau)
+                         ELSE CAST(0 AS DOUBLE) END
+                    ORDER BY r.rnk) AS est_sub
+              FROM r JOIN t USING (source)
+              WHERE r.rnk <= 16 GROUP BY 1),
+      ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_exact,
+               CAST(sum(CASE WHEN doc_id % 40 < 20 THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS sum_sub_exact
+             FROM documents GROUP BY 1)
+      SELECT ex.source, ex.n_docs, t.tau, est.est_total, est.est_sub,
+             ex.sum_exact, ex.sum_sub_exact
+      FROM ex JOIN t USING (source) JOIN est USING (source)"""))
   )
 }

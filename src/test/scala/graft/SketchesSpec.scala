@@ -122,6 +122,69 @@ class SketchesSpec extends SparkSpec {
     assert(aggs.size >= 2, s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
   }
 
+  test("priority sample: order/partition-invariant; subset sums track exact; exact below k") {
+    GraftExtensions.register(spark)
+    val k = 32
+    // 5000 items, weight 1..100 cycling
+    val items = spark.range(5000)
+      .select(col("id"), (col("id") % 100 + 1).as("w"),
+        expr("md5_long60(cast(id as string))").as("h"))
+    def sample(parts: Int, shuffled: Boolean) = {
+      val base = if (shuffled) items.orderBy(rand(13)) else items
+      base.repartition(parts)
+        .agg(Sketches.prioritySample(col("h"), col("w"), col("id"), k).as("smp"))
+        .head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("smp")
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    }
+    val a = sample(1, shuffled = false)
+    assert(sample(32, shuffled = false) == a)
+    assert(sample(5, shuffled = true) == a)
+    assert(a.length == k + 1)
+    assert(a.map(_._1) == a.map(_._1).sortBy(-_)) // priority descending
+    // estimates: total and a post-hoc subset (id < 1000 -> ~1/5 of mass)
+    val est = items
+      .agg(Sketches.prioritySample(col("h"), col("w"), col("id"), k).as("smp"))
+      .select(
+        Sketches.prioritySubsetSum(col("smp"), k, _ => lit(true)).as("tot"),
+        Sketches.prioritySubsetSum(col("smp"), k, id => id < 1000).as("sub"),
+        Sketches.priorityTau(col("smp"), k).as("tau"))
+      .head
+    val exactTot = 5000.0 / 100 * (1 to 100).sum  // 252,500
+    val exactSub = 1000.0 / 100 * (1 to 100).sum  // 50,500
+    assert(math.abs(est.getAs[Double]("tot") - exactTot) / exactTot <= 0.5)
+    assert(math.abs(est.getAs[Double]("sub") - exactSub) / exactSub <= 0.75)
+    assert(est.getAs[Double]("tau") > 0.0)
+    // exact mode: fewer than k+1 items -> tau = 0, sums are exact
+    val small = spark.range(10)
+      .select(col("id"), (col("id") + 1).as("w"),
+        expr("md5_long60(cast(id as string))").as("h"))
+      .agg(Sketches.prioritySample(col("h"), col("w"), col("id"), k).as("smp"))
+      .select(
+        Sketches.prioritySubsetSum(col("smp"), k, _ => lit(true)).as("tot"),
+        Sketches.priorityTau(col("smp"), k).as("tau"))
+      .head
+    assert(small.getAs[Double]("tau") == 0.0)
+    assert(small.getAs[Double]("tot") == 55.0)
+  }
+
+  test("PriorityAgg unit semantics: cap, descending order, deterministic tie-break") {
+    val agg = new Sketches.PriorityAgg(2) // cap 3
+    var buf = agg.zero
+    // equal priorities via equal (w, h): ids 7 and 3 both at w=10, h=HashSpace/2
+    val h = Sketches.HashSpace / 2
+    Seq((h, 10L, 7L), (h, 10L, 3L), (h / 2, 10L, 9L), (h, 1L, 5L))
+      .foreach(in => buf = agg.reduce(buf, in))
+    val out = agg.finish(buf)
+    // priorities: id9 -> 40, id7/id3 -> 20 (tie, id asc), id5 -> 2 (evicted)
+    assert(out.map(_._3) == Seq(9L, 3L, 7L))
+    // merge produces the same trimmed set regardless of side
+    var l = agg.zero; var r = agg.zero
+    l = agg.reduce(l, (h, 10L, 7L)); l = agg.reduce(l, (h / 2, 10L, 9L))
+    r = agg.reduce(r, (h, 10L, 3L)); r = agg.reduce(r, (h, 1L, 5L))
+    assert(agg.finish(agg.merge(l, r)) == out)
+    assert(agg.finish(agg.merge(r, l)) == out)
+  }
+
   test("SQL surface: kmv_sketch256 serves the same aggregate through spark.sql") {
     GraftExtensions.register(spark)
     spark.range(5000).select(expr("md5_long60(cast(id % 777 as string))").as("h"))
