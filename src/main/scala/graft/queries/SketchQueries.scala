@@ -457,6 +457,85 @@ object SketchQueries {
              FROM documents GROUP BY 1)
       SELECT ex.source, ex.n_docs, t.tau, est.est_total, est.est_sub,
              ex.sum_exact, ex.sum_sub_exact
-      FROM ex JOIN t USING (source) JOIN est USING (source)"""))
+      FROM ex JOIN t USING (source) JOIN est USING (source)""")),
+
+    // ---- STREAMING priority sample: live per-window weighted samples
+    //      (weight = floor(value·100) integer cents, item = event_id)
+    //      next to the window's exact sum — the sums leg of the sketch
+    //      family gets its streaming twin, completing the symmetry
+    //      (distinct: q124/q126; sums: this). Each window's state is
+    //      one ≤(k+1)-row sample + one running sum; append mode emits
+    //      at watermark close. The oracle re-derives every window's
+    //      sample, τ, and rank-ordered estimate sum.
+    Q("q128_stream_priority_sample", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.plans.GraftExtensions.register(s)
+      val k = 32
+      val ev = Tables.eventsUs(s, dir).filter(col("ts").isNotNull)
+        .select(col("event_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("w"))
+      val flush = s.range(1).select(lit(-1L).as("event_id"),
+        lit(1707091200000000000L).as("ts"), lit(0L).as("w"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q128").toString
+      ev.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val agg = stream
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withColumn("h", expr("md5_long60(cast(event_id as string))"))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "6 hours").as("w"))
+        .agg(Sketches.prioritySample(col("h"), col("w"), col("event_id"), k)
+            .as("smp"),
+          count(lit(1)).as("n_events"),
+          sum(col("w")).as("sum_exact"))
+      val sink = "q128_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+          col("n_events"),
+          Sketches.priorityTau(col("smp"), k).as("tau"),
+          Sketches.prioritySubsetSum(col("smp"), k, _ => lit(true))
+            .as("est_total"),
+          col("sum_exact").cast("long").as("sum_exact"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH e AS (SELECT epoch_ns(ts)
+                   - ((epoch_ns(ts) % 21600000000000) + 21600000000000)
+                     % 21600000000000 AS wns,
+                 event_id, CAST(floor(value * 100) AS BIGINT) AS w,
+                 ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+                 FROM events WHERE ts IS NOT NULL),
+      p AS (SELECT wns, event_id, w,
+              CAST(w AS DOUBLE)
+                / (CAST(CASE WHEN h <= 0 THEN $HashSpaceSql ELSE h END
+                        AS DOUBLE)
+                   / CAST($HashSpaceSql AS DOUBLE)) AS pri
+            FROM e),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY wns ORDER BY pri DESC, event_id ASC) AS rnk
+            FROM p),
+      t AS (SELECT wns,
+              COALESCE(max(CASE WHEN rnk = 33 THEN pri END),
+                       CAST(0 AS DOUBLE)) AS tau
+            FROM r GROUP BY 1),
+      est AS (SELECT r.wns,
+                sum(GREATEST(CAST(r.w AS DOUBLE), t.tau)
+                    ORDER BY r.rnk) AS est_total
+              FROM r JOIN t USING (wns)
+              WHERE r.rnk <= 32 GROUP BY 1),
+      ex AS (SELECT wns, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(w) AS BIGINT) AS sum_exact
+             FROM e GROUP BY 1)
+      SELECT ex.wns AS window_ns, ex.n_events, t.tau, est.est_total,
+             ex.sum_exact
+      FROM ex JOIN t USING (wns) JOIN est USING (wns)"""))
   )
 }
