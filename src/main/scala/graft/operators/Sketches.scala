@@ -294,6 +294,22 @@ object Sketches {
       (acc, x) => acc + greatest(x.getField("_2").cast("double"), tau))
   }
 
+  /** Rank-based quantile over the PAYLOADS of a weight-1 priority
+    * sample ([[prioritySample]]`(hash, lit(1L), payload, k)` — with
+    * unit weights the k+1 highest priorities are exactly the k+1
+    * smallest hash draws, i.e. a uniform bottom-k-by-hash sample of
+    * the distinct items, payload riding in `_3`). The estimate is the
+    * ⌈q·m⌉-th smallest payload of the top-k sample — an INTEGER from
+    * the data, so the oracle comparison is exact, no interpolation,
+    * no float summation. "Median document length per source" from a
+    * kilobyte sample instead of a sort of the group.
+    */
+  def sampleQuantile(sample: Column, k: Int, q: Double): Column = {
+    val vals = array_sort(transform(slice(sample, 1, k), x => x.getField("_3")))
+    element_at(vals,
+      greatest(lit(1), ceil(size(vals) * lit(q)).cast("int")))
+  }
+
   /** Production hash for the sketch input: `xxhash64 >>> 4`, uniform on
     * [0, 2⁶⁰) like `md5_long60` but whole-stage-codegen'd and ~10×
     * cheaper — the right kernel when the scan is 100 TB and nothing

@@ -536,6 +536,72 @@ object SketchQueries {
              FROM e GROUP BY 1)
       SELECT ex.wns AS window_ns, ex.n_events, t.tau, est.est_total,
              ex.sum_exact
-      FROM ex JOIN t USING (wns) JOIN est USING (wns)"""))
+      FROM ex JOIN t USING (wns) JOIN est USING (wns)""")),
+
+    // ---- distinct-value SAMPLE QUANTILES: a weight-1 priority sample
+    //      is a uniform bottom-k-by-hash sample of the docs with the
+    //      payload (n_chars) riding along; the ⌈q·m⌉-th smallest
+    //      sampled payload estimates the group quantile — INTEGER
+    //      outputs end to end, so the oracle comparison is exact. The
+    //      exact reference quantiles use the same rank convention over
+    //      the full group (a sort of the group — the cost the sample
+    //      path avoids; at scale only the reference column pays it).
+    Q("q129_sample_quantiles", (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val k = 32
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("h", expr("md5_long60(cast(doc_id as string))"))
+      def exactQ(q: Double) = element_at(
+        array_sort(collect_list(col("n_chars"))),
+        greatest(lit(1), ceil(count(lit(1)) * lit(q)).cast("int")))
+      docs.groupBy("source")
+        .agg(Sketches.prioritySample(col("h"), lit(1L), col("n_chars"), k)
+            .as("smp"),
+          count(lit(1)).as("n_docs"),
+          exactQ(0.5).as("p50_exact"),
+          exactQ(0.9).as("p90_exact"))
+        .select(col("source"), col("n_docs"),
+          least(size(col("smp")), lit(k)).cast("long").as("sample_size"),
+          Sketches.sampleQuantile(col("smp"), k, 0.5).as("p50_sample"),
+          Sketches.sampleQuantile(col("smp"), k, 0.9).as("p90_sample"),
+          col("p50_exact"), col("p90_exact"))
+    }, Some(s"""
+      WITH d AS (SELECT source, doc_id, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS h
+             FROM documents),
+      p AS (SELECT source, n_chars,
+              CAST(1 AS DOUBLE)
+                / (CAST(CASE WHEN h <= 0 THEN $HashSpaceSql ELSE h END
+                        AS DOUBLE)
+                   / CAST($HashSpaceSql AS DOUBLE)) AS pri
+            FROM d),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY source ORDER BY pri DESC, n_chars ASC) AS rnk
+            FROM p),
+      smp AS (SELECT source, list(n_chars ORDER BY n_chars) AS vals
+              FROM r WHERE rnk <= 32 GROUP BY 1),
+      sq AS (SELECT source,
+               CAST(len(vals) AS BIGINT) AS sample_size,
+               vals[CAST(GREATEST(1, ceil(len(vals) * 0.5)) AS BIGINT)]
+                 AS p50_sample,
+               vals[CAST(GREATEST(1, ceil(len(vals) * 0.9)) AS BIGINT)]
+                 AS p90_sample
+             FROM smp),
+      ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               (list(n_chars ORDER BY n_chars))
+                 [CAST(GREATEST(1, ceil(count(*) * 0.5)) AS BIGINT)]
+                 AS p50_exact,
+               (list(n_chars ORDER BY n_chars))
+                 [CAST(GREATEST(1, ceil(count(*) * 0.9)) AS BIGINT)]
+                 AS p90_exact
+             FROM documents GROUP BY 1)
+      SELECT ex.source, ex.n_docs, sq.sample_size,
+             CAST(sq.p50_sample AS BIGINT) AS p50_sample,
+             CAST(sq.p90_sample AS BIGINT) AS p90_sample,
+             CAST(ex.p50_exact AS BIGINT) AS p50_exact,
+             CAST(ex.p90_exact AS BIGINT) AS p90_exact
+      FROM ex JOIN sq USING (source)"""))
   )
 }

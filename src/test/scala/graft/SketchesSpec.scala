@@ -167,6 +167,37 @@ class SketchesSpec extends SparkSpec {
     assert(small.getAs[Double]("tot") == 55.0)
   }
 
+  test("sample quantiles: exact below k; rank error bounded at estimation scale") {
+    GraftExtensions.register(spark)
+    val k = 64
+    // payload = a skewed long distribution (id^2 mod 10007)
+    val items = spark.range(20000)
+      .select(col("id"), (col("id") * col("id") % 10007).as("v"),
+        expr("md5_long60(cast(id as string))").as("h"))
+    val row = items
+      .agg(Sketches.prioritySample(col("h"), lit(1L), col("v"), k).as("smp"),
+        expr("element_at(array_sort(collect_list(v)), cast(ceil(count(1) * 0.5) as int))").as("p50x"),
+        expr("element_at(array_sort(collect_list(v)), cast(ceil(count(1) * 0.9) as int))").as("p90x"))
+      .select(Sketches.sampleQuantile(col("smp"), k, 0.5).as("p50"),
+        Sketches.sampleQuantile(col("smp"), k, 0.9).as("p90"),
+        col("p50x"), col("p90x"))
+      .head
+    // sample rank error ~ O(1/sqrt(k)): allow 25% of the value range
+    assert(math.abs(row.getAs[Long]("p50") - row.getAs[Long]("p50x")) <= 2500,
+      s"p50 ${row.getAs[Long]("p50")} vs exact ${row.getAs[Long]("p50x")}")
+    assert(math.abs(row.getAs[Long]("p90") - row.getAs[Long]("p90x")) <= 2500,
+      s"p90 ${row.getAs[Long]("p90")} vs exact ${row.getAs[Long]("p90x")}")
+    // exact mode: group smaller than k reproduces the group quantiles
+    val small = spark.range(30)
+      .select(col("id"), (col("id") * 7 % 97).as("v"),
+        expr("md5_long60(cast(id as string))").as("h"))
+      .agg(Sketches.prioritySample(col("h"), lit(1L), col("v"), k).as("smp"),
+        expr("element_at(array_sort(collect_list(v)), cast(ceil(count(1) * 0.5) as int))").as("p50x"))
+      .select(Sketches.sampleQuantile(col("smp"), k, 0.5).as("p50"), col("p50x"))
+      .head
+    assert(small.getAs[Long]("p50") == small.getAs[Long]("p50x"))
+  }
+
   test("PriorityAgg unit semantics: cap, descending order, deterministic tie-break") {
     val agg = new Sketches.PriorityAgg(2) // cap 3
     var buf = agg.zero
