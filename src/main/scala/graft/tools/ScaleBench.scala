@@ -987,6 +987,47 @@ object ScaleBench {
         s""""pairs":$pairs,"planted":$planted,"pair_s":${fmt(pairSecs)}}"""
     }.getOrElse("")
 
+    // streaming audio near-dup (env GRAFT_SCALE_AUDIOSTREAM=
+    // <clips>[:bands:bandBits:maxHamming], default 4:16:3): the q121
+    // pipeline — WAVs replayed through the file source, decoded +
+    // fingerprinted on arrival, paired in the shared
+    // bandedSigPairStream — clips/sec end to end, peak state, and the
+    // emitted pairs checked against the batch operator under the same
+    // banding (one window, flush clip closes it). Decade-up config is
+    // the image stream's `:2:32:1` coarse banding.
+    val audioStreamJson = sys.env.get("GRAFT_SCALE_AUDIOSTREAM").map { sN =>
+      import spark.implicits._
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val (bands, bandBits, maxHam) =
+        if (parts.length >= 4) (parts(1).toInt, parts(2).toInt, parts(3).toInt)
+        else (4, 16, 3)
+      val t0 = 1_600_000_000_000_000_000L
+      def renderAll(): DataFrame = spark.range(n)
+        .select(col("id").as("doc_id")).as[Long]
+        .mapPartitions(it =>
+          it.map(id => (id, graft.queries.AudioQueries.renderWav(id))))
+        .toDF("doc_id", "payload")
+      val wavs = renderAll()
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+      val flush = spark.range(1).select(lit(999999999L).as("doc_id"),
+        lit(graft.queries.AudioQueries.renderWav(999999999L)).as("payload"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val r = replayBench(spark, s"$root/audiostream_$n", wavs, flush, "ts",
+        st => graft.streaming.StreamingDedup.audioNearDupStream(
+          st, "doc_id", "payload", "ts", maxHamming = maxHam,
+          bands = bands, bandBits = bandBits))
+      val batchPairs = graft.multimodal.Multimodal.audioNearDupPairs(
+        spark, renderAll(), maxHamming = maxHam,
+        bands = bands, bandBits = bandBits).count()
+      require(r.emitted == batchPairs,
+        s"stream emitted ${r.emitted} pairs, batch derives $batchPairs")
+      s""","audio_stream":{"clips":$n,"bands":$bands,"band_bits":$bandBits,""" +
+        s""""max_hamming":$maxHam,"s":${fmt(r.secs)},""" +
+        s""""clips_per_sec":${fmt(n / r.secs, 0)},"pairs":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
+    }.getOrElse("")
+
     // KMV sketch vs exact distinct (env GRAFT_SCALE_KMV=
     // <rows>[:k:groups], default 256:32): the 100 TB distinct-count
     // triangle on one frame (`id % (rows/2)` → rows/2 distinct) —
@@ -1093,7 +1134,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$kmvJson$kmvStreamJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$kmvJson$kmvStreamJson}""")
     spark.stop()
   }
 }
