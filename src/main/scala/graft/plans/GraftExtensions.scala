@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
+    GraftExtensions.sketchAlgebraDescriptors.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => GlobRewriteRule)
     e.injectOptimizerRule(_ => BandedRangeJoinRule)
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
@@ -66,6 +67,53 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
       buildShingleHash60)
 
+  /** Sketch-ALGEBRA SQL functions: each builder expands to the same
+    * composite Expression tree the [[graft.operators.Sketches]] column
+    * API builds (pure built-in nodes — size/element_at/array ops — so
+    * the SQL path is codegen'd, not a UDF). `k` must be an integer
+    * LITERAL: it shapes the expression (element_at index, slice
+    * length) at resolution time. With these plus the `kmv_sketchNN`
+    * udafs the whole distinct-algebra workflow is expressible in pure
+    * SQL: `SELECT kmv_estimate(kmv_union(a.sk, b.sk, 256), 256) ...`.
+    */
+  val sketchAlgebraDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.operators.Sketches
+    def litK(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an integer literal, got $other")
+    }
+    def col(e: Expression) = ColumnBridge.column(e)
+    def unary(name: String)(f: (Column, Int) => Column) =
+      (FunctionIdentifier(name),
+        new ExpressionInfo(Sketches.getClass.getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"$name(sketch, k)")
+          ColumnBridge.expression(f(col(exprs(0)), litK(exprs(1), name)))
+        })
+    def binary(name: String)(f: (Column, Column, Int) => Column) =
+      (FunctionIdentifier(name),
+        new ExpressionInfo(Sketches.getClass.getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3, s"$name(a, b, k)")
+          ColumnBridge.expression(
+            f(col(exprs(0)), col(exprs(1)), litK(exprs(2), name)))
+        })
+    Seq(
+      unary("kmv_estimate")(Sketches.kmvEstimate),
+      unary("kmv_theta")(Sketches.kmvTheta),
+      binary("kmv_union")(Sketches.kmvUnion),
+      binary("kmv_union_estimate")(Sketches.kmvUnionEstimate),
+      binary("kmv_intersect_estimate")(Sketches.kmvIntersectEstimate),
+      binary("kmv_difference_estimate")(Sketches.kmvDifferenceEstimate),
+      binary("kmv_jaccard_estimate")(Sketches.kmvJaccardEstimate))
+  }
+
   // Sessions already registered — operators call register() defensively
   // from every entry point, and re-running createOrReplaceTempFunction
   // logs a "replaced a previously registered function" WARN per
@@ -104,6 +152,10 @@ object GraftExtensions {
       "md5_long60", buildMd5Long60, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hash60", buildShingleHash60, "built-in")
+    sketchAlgebraDescriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
     if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeJoinStrategy

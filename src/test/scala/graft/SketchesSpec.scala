@@ -122,6 +122,50 @@ class SketchesSpec extends SparkSpec {
     assert(aggs.size >= 2, s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
   }
 
+  test("pure-SQL sketch algebra matches the Scala API; k must be a literal") {
+    GraftExtensions.register(spark)
+    spark.range(0, 60000)
+      .select(expr("md5_long60(cast(id as string))").as("h"))
+      .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+      .createOrReplaceTempView("alg_a")
+    spark.range(40000, 100000)
+      .select(expr("md5_long60(cast(id as string))").as("h"))
+      .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
+      .createOrReplaceTempView("alg_b")
+    val sqlRow = spark.sql(s"""
+      SELECT kmv_estimate(a.sk, $K) AS ea,
+             kmv_theta(a.sk, $K) AS ta,
+             kmv_union_estimate(a.sk, b.sk, $K) AS u,
+             kmv_intersect_estimate(a.sk, b.sk, $K) AS i,
+             kmv_difference_estimate(a.sk, b.sk, $K) AS d,
+             kmv_jaccard_estimate(a.sk, b.sk, $K) AS j,
+             kmv_estimate(kmv_union(a.sk, b.sk, $K), $K) AS u2
+      FROM alg_a a CROSS JOIN alg_b b""").head
+    val apiRow = spark.table("alg_a").crossJoin(
+        spark.table("alg_b").select(col("sk").as("skb")))
+      .select(Sketches.kmvEstimate(col("sk"), K).as("ea"),
+        Sketches.kmvTheta(col("sk"), K).as("ta"),
+        Sketches.kmvUnionEstimate(col("sk"), col("skb"), K).as("u"),
+        Sketches.kmvIntersectEstimate(col("sk"), col("skb"), K).as("i"),
+        Sketches.kmvDifferenceEstimate(col("sk"), col("skb"), K).as("d"),
+        Sketches.kmvJaccardEstimate(col("sk"), col("skb"), K).as("j"),
+        Sketches.kmvEstimate(Sketches.kmvUnion(col("sk"), col("skb"), K), K)
+          .as("u2"))
+      .head
+    Seq("ea", "ta", "u", "i", "d", "j", "u2").foreach { c =>
+      assert(sqlRow.getAs[Any](c) == apiRow.getAs[Any](c), c)
+    }
+    // non-literal k is a resolution-time error, not silent garbage
+    val err = intercept[Exception] {
+      spark.sql("SELECT kmv_estimate(sk, CAST(id AS INT)) " +
+        "FROM alg_a CROSS JOIN range(1)").collect()
+    }
+    assert(err.getMessage.contains("integer literal")
+      || Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+    spark.catalog.dropTempView("alg_a")
+    spark.catalog.dropTempView("alg_b")
+  }
+
   test("priority sample: order/partition-invariant; subset sums track exact; exact below k") {
     GraftExtensions.register(spark)
     val k = 32
