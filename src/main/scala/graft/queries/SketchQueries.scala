@@ -602,6 +602,45 @@ object SketchQueries {
              CAST(sq.p90_sample AS BIGINT) AS p90_sample,
              CAST(ex.p50_exact AS BIGINT) AS p50_exact,
              CAST(ex.p90_exact AS BIGINT) AS p90_exact
-      FROM ex JOIN sq USING (source)"""))
+      FROM ex JOIN sq USING (source)""")),
+
+    // ---- the SQL SURFACE under oracle signal: the q122 pipeline as
+    //      ONE spark.sql STRING — kmv_sketch256 udaf + the kmv_*
+    //      registry builders, no Scala column API anywhere — against
+    //      the same DuckDB recompute. Pins that the registered SQL
+    //      functions expand to exactly the Scala API's arithmetic.
+    Q("q130_kmv_sql_surface", (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("q130_documents")
+      val out = s.sql(s"""
+        WITH sh AS (
+          SELECT source,
+                 explode(transform(sequence(1, size(split(text, ' ')) - 2),
+                   i -> concat_ws(' ', slice(split(text, ' '), i, 3))))
+                   AS shingle
+          FROM q130_documents WHERE size(split(text, ' ')) >= 3),
+        sk AS (SELECT source, kmv_sketch256(md5_long60(shingle)) AS sk
+               FROM sh GROUP BY source)
+        SELECT source,
+               CAST(size(sk) AS BIGINT) AS sketch_size,
+               kmv_theta(sk, $K) AS theta,
+               kmv_estimate(sk, $K) AS est
+        FROM sk""").localCheckpoint(true)
+      s.catalog.dropTempView("q130_documents")
+      out
+    }, Some(s"""
+      WITH $ranksSql,
+      g AS (SELECT source, max(n) AS n,
+              max(CASE WHEN rn = $K THEN h END) AS kth
+            FROM r GROUP BY 1)
+      SELECT source,
+             CAST(LEAST(n, $K) AS BIGINT) AS sketch_size,
+             CAST(CASE WHEN n >= $K THEN kth
+                       ELSE $HashSpaceSql END AS BIGINT) AS theta,
+             CASE WHEN n < $K THEN CAST(n AS DOUBLE)
+                  ELSE CAST(${K - 1} AS DOUBLE)
+                       * CAST($HashSpaceSql AS DOUBLE)
+                       / CAST(kth AS DOUBLE) END AS est
+      FROM g"""))
   )
 }
