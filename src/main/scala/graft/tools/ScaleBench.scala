@@ -1087,6 +1087,71 @@ object ScaleBench {
         s""""union_est":${fmt(unionEst, 1)},"union_s":${fmt(unionS)}}"""
     }.getOrElse("")
 
+    // priority-sample subset queries (env GRAFT_SCALE_PRIORITY=
+    // <rows>[:k:groups]): build per-group weighted samples once (the
+    // one pass over the data), persist them, then answer post-hoc
+    // SUBSET-SUM questions from the kilobyte samples alone vs
+    // recomputing each from the raw frame — the latency asymmetry
+    // that justifies the sample at 100 TB (every new question costs a
+    // full scan without it). Errors vs exact reported per subset.
+    val priorityJson = sys.env.get("GRAFT_SCALE_PRIORITY").map { sN =>
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val (k, groups) =
+        if (parts.length >= 3) (parts(1).toInt, parts(2).toInt) else (64, 1024)
+      // the data lives on DISK (parquet) for both paths — a generated
+      // frame would make the raw recompute artificially free (pure
+      // codegen, no IO), hiding exactly the asymmetry the sample
+      // exists for: at 100 TB "recompute from raw" means re-reading
+      // 100 TB, "answer from samples" means reading G·(k+1) rows
+      val dataDir = s"$root/priority_data_$n"
+      spark.range(n).select(col("id"),
+          (col("id") % groups).as("g"),
+          (col("id") % 997 + 1).as("w"),
+          graft.operators.Sketches.kmvHash64(col("id")).as("h"))
+        .write.mode("overwrite").parquet(dataDir)
+      val df = spark.read.parquet(dataDir)
+      def timed[A](f: => A): (A, Double) = {
+        val t = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t) / 1e9)
+      }
+      val sampleDir = s"$root/priority_$n"
+      val (_, buildS) = timed {
+        df.groupBy("g")
+          .agg(graft.operators.Sketches.prioritySample(
+            col("h"), col("w"), col("id"), k).as("smp"))
+          .write.mode("overwrite").parquet(sampleDir)
+      }
+      val samples = spark.read.parquet(sampleDir)
+      // three post-hoc subsets by id arithmetic, never seen at build time
+      val subsets: Seq[(String, Column => Column)] = Seq(
+        ("third", id => id % 3 === 0),
+        ("tail", id => id % 10 === 7),
+        ("band", id => id % 100 < 25))
+      val fromSamples = subsets.map { case (nm, m) =>
+        val (v, secs) = timed {
+          samples.agg(sum(graft.operators.Sketches
+            .prioritySubsetSum(col("smp"), k, m)).as("est"))
+            .head().getDouble(0)
+        }
+        (nm, v, secs)
+      }
+      val (exacts, rawS) = timed {
+        df.agg(
+          sum(when(col("id") % 3 === 0, col("w")).otherwise(0L)),
+          sum(when(col("id") % 10 === 7, col("w")).otherwise(0L)),
+          sum(when(col("id") % 100 < 25, col("w")).otherwise(0L))).head()
+      }
+      val errs = fromSamples.zipWithIndex.map { case ((nm, v, secs), i) =>
+        val exact = exacts.getLong(i).toDouble
+        s""""$nm":{"est_s":${fmt(secs)},"rel_err":${
+          fmt(math.abs(v - exact) / exact, 4)}}"""
+      }
+      s""","priority_subsets":{"rows":$n,"k":$k,"groups":$groups,""" +
+        s""""build_s":${fmt(buildS)},"raw_3subsets_s":${fmt(rawS)},""" +
+        errs.mkString(",") + "}"
+    }.getOrElse("")
+
     // streaming windowed distinct sketch (env GRAFT_SCALE_KMVSTREAM=
     // <rows>[:k]): the q124 pipeline at scale — synthetic events
     // (id → user `id % (rows/20)`, ts spread over 64 six-hour
@@ -1134,7 +1199,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$kmvJson$kmvStreamJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$kmvJson$kmvStreamJson$priorityJson}""")
     spark.stop()
   }
 }
