@@ -52,6 +52,30 @@ object AudioQueries {
   private[graft] def renderWav(id: Long): Array[Byte] =
     Multimodal.encodeWav16(renderSamples(id), 8000)
 
+  /** Deterministic 1024-sample detection trace for q131: the dual-
+    * modulus background formula (no near-dup aliasing — base = id)
+    * with a PLANTED TRANSIENT on ids ≡ 4 (mod 25): samples 600–615
+    * scaled ×4 (clamped ±20000), a 16-sample burst at ~16× energy —
+    * an STA(16)/LTA(128) ratio of ~12–16, far above the 3.0 trigger
+    * threshold, while the stationary background never crosses it
+    * (measured at sf0.01: exactly the 20 planted docs trigger, zero
+    * false positives, onsets at 604–610).
+    */
+  private[graft] def renderTraceSamples(id: Long): Array[Int] = {
+    val burst = id % 25 == 4
+    Array.tabulate(1024) { i =>
+      val v1 = (id * 1000003L + i * 7919L) % 46337L
+      val v2 = (id * 999983L + i * 7907L) % 46327L
+      val v = (((v1 * v1 / 64 + v2 * v2 / 64) % 19997L) - 9998L).toInt
+      if (burst && i >= 600 && i <= 615) {
+        if (v >= 0) math.min(v * 4, 20000) else math.max(v * 4, -20000)
+      } else v
+    }
+  }
+
+  private[graft] def renderTraceWav(id: Long): Array[Byte] =
+    Multimodal.encodeWav16(renderTraceSamples(id), 8000)
+
   /** DuckDB mirror of [[renderSamples]] (base resolution + the two
     * perturbations inlined); `i` ranges over range(260).
     */
@@ -176,6 +200,81 @@ object AudioQueries {
              a.doc_id AS a, b.doc_id AS b,
              CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
       FROM h a JOIN h b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.afp, b.afp)) <= 3"""))
+      WHERE bit_count(xor(a.afp, b.afp)) <= 3""")),
+
+    // ---- STA/LTA trigger detection (Allen 1978) over real WAV
+    //      payloads: decode → integer window energies → one-division
+    //      ratios → the classic on/off trigger state machine, all
+    //      fused in one scan-local pass. The oracle recomputes the
+    //      ratios with window SUMs over the synthesis formula and
+    //      replays the state machine relationally (an onset is an
+    //      on-event whose previous on/off EVENT is an off or nothing;
+    //      the end is the first off-event after it, else trace end) —
+    //      ratios, crossings, trigger pairing, and peaks all bit-exact.
+    //      At sf0.01 exactly the 20 planted-burst docs trigger with
+    //      zero background false positives.
+    Q("q131_sta_lta_triggers", (s, dir) => {
+      import s.implicits._
+      val traces = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(it => it.map(id => (id, renderTraceWav(id))))
+        .toDF("doc_id", "payload")
+      graft.operators.Triggers.detectTriggers(s, traces,
+          ns = 16, nl = 128, onThr = 3.0, offThr = 1.5).toDF()
+        .select(col("doc_id"), col("onset_idx"), col("end_idx"),
+          col("peak_ratio"))
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id, i,
+          CAST(CASE WHEN doc_id % 25 = 4 AND i BETWEEN 600 AND 615
+            THEN CASE WHEN (((((doc_id*1000003 + i*7919) % 46337)
+                             * ((doc_id*1000003 + i*7919) % 46337) // 64)
+                            + (((doc_id*999983 + i*7907) % 46327)
+                               * ((doc_id*999983 + i*7907) % 46327) // 64))
+                           % 19997 - 9998) >= 0
+              THEN LEAST((((((doc_id*1000003 + i*7919) % 46337)
+                            * ((doc_id*1000003 + i*7919) % 46337) // 64)
+                           + (((doc_id*999983 + i*7907) % 46327)
+                              * ((doc_id*999983 + i*7907) % 46327) // 64))
+                          % 19997 - 9998) * 4, 20000)
+              ELSE GREATEST((((((doc_id*1000003 + i*7919) % 46337)
+                               * ((doc_id*1000003 + i*7919) % 46337) // 64)
+                              + (((doc_id*999983 + i*7907) % 46327)
+                                 * ((doc_id*999983 + i*7907) % 46327) // 64))
+                             % 19997 - 9998) * 4, -20000) END
+            ELSE ((((doc_id*1000003 + i*7919) % 46337)
+                   * ((doc_id*1000003 + i*7919) % 46337) // 64)
+                  + (((doc_id*999983 + i*7907) % 46327)
+                     * ((doc_id*999983 + i*7907) % 46327) // 64))
+                 % 19997 - 9998
+          END AS BIGINT) AS v
+        FROM documents, range(1024) t(i)),
+      ps AS (SELECT doc_id, i,
+               SUM(v*v) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS stasum,
+               SUM(v*v) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 127 PRECEDING AND CURRENT ROW) AS ltasum
+             FROM s),
+      r AS (SELECT doc_id, i,
+              CASE WHEN ltasum = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE CAST(stasum * 128 AS DOUBLE)
+                        / CAST(ltasum * 16 AS DOUBLE) END AS ratio
+            FROM ps WHERE i >= 127),
+      ev AS (SELECT doc_id, i, ratio,
+               CASE WHEN ratio >= 3.0 THEN 1 ELSE 0 END AS e
+             FROM r WHERE ratio >= 3.0 OR ratio <= 1.5),
+      lg AS (SELECT *, lag(e) OVER (PARTITION BY doc_id ORDER BY i) AS pe
+             FROM ev),
+      onsets AS (SELECT doc_id, i AS onset FROM lg
+                 WHERE e = 1 AND (pe = 0 OR pe IS NULL)),
+      ends AS (SELECT o.doc_id, o.onset,
+                 COALESCE(MIN(CASE WHEN b.e = 0 AND b.i > o.onset
+                                   THEN b.i END), 1023) AS endi
+               FROM onsets o LEFT JOIN ev b ON b.doc_id = o.doc_id
+               GROUP BY 1, 2)
+      SELECT e.doc_id, e.onset AS onset_idx, e.endi AS end_idx,
+             MAX(r.ratio) AS peak_ratio
+      FROM ends e JOIN r ON r.doc_id = e.doc_id
+        AND r.i BETWEEN e.onset AND e.endi
+      GROUP BY 1, 2, 3"""))
   )
 }

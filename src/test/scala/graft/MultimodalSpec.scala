@@ -269,6 +269,42 @@ class MultimodalSpec extends SparkSpec {
     assert(short != 0L)
   }
 
+  test("STA/LTA trigger scan: window arithmetic, state machine, edge cases") {
+    import graft.operators.Triggers
+    // flat trace: ratio == 1 everywhere, no triggers
+    assert(Triggers.triggerScan(Array.fill(64)(100), 4, 16, 3.0, 1.5).isEmpty)
+    // a strong burst inside a flat trace triggers once, with the end
+    // where the short window drains back under the off threshold
+    val t = Array.fill(96)(100)
+    (48 until 52).foreach(t(_) = 1000)
+    val trig = Triggers.triggerScan(t, 4, 16, 3.0, 1.5)
+    assert(trig.length == 1)
+    val (on, off, peak) = trig.head
+    assert(on == 48 && off > 51 && peak > 3.0)
+    // still-active trigger at trace end closes at n-1
+    val t2 = Array.fill(40)(10) ++ Array.fill(8)(1000)
+    val trig2 = Triggers.triggerScan(t2, 4, 16, 3.0, 1.5)
+    assert(trig2.length == 1 && trig2.head._2 == 47)
+    // shorter than the long window: no ratios, no triggers
+    assert(Triggers.triggerScan(Array.fill(10)(5), 4, 16, 3.0, 1.5).isEmpty)
+    // all-zero trace: ltaSum == 0 guard, ratio 0, no triggers
+    assert(Triggers.triggerScan(Array.fill(64)(0), 4, 16, 3.0, 1.5).isEmpty)
+  }
+
+  test("detectTriggers end to end: planted bursts found through the WAV round trip") {
+    import spark.implicits._
+    val traces = spark.range(200).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.queries.AudioQueries.renderTraceWav(id))))
+      .toDF("doc_id", "payload")
+    val rows = graft.operators.Triggers.detectTriggers(spark, traces)
+      .collect()
+    val burstDocs = (0L until 200L).filter(_ % 25 == 4).toSet
+    assert(rows.map(_.doc_id).toSet == burstDocs)
+    assert(rows.forall(r => r.onset_idx >= 600 && r.onset_idx <= 615))
+    assert(rows.forall(_.peak_ratio >= 3.0))
+  }
+
   test("audioNearDupPairs + dedupAudio: planted pairs found, components labeled") {
     import spark.implicits._
     val wavs = spark.range(120).as[Long]
