@@ -120,6 +120,63 @@ object AudioQueries {
       .toDF("doc_id", "payload")
   }
 
+  /** Shared oracle for q131 (batch) and q132 (stateless stream —
+    * identical output by construction). */
+  private val triggersOracleSql = """
+      WITH s AS (
+        SELECT doc_id, i,
+          CAST(CASE WHEN doc_id % 25 = 4 AND i BETWEEN 600 AND 615
+            THEN CASE WHEN (((((doc_id*1000003 + i*7919) % 46337)
+                             * ((doc_id*1000003 + i*7919) % 46337) // 64)
+                            + (((doc_id*999983 + i*7907) % 46327)
+                               * ((doc_id*999983 + i*7907) % 46327) // 64))
+                           % 19997 - 9998) >= 0
+              THEN LEAST((((((doc_id*1000003 + i*7919) % 46337)
+                            * ((doc_id*1000003 + i*7919) % 46337) // 64)
+                           + (((doc_id*999983 + i*7907) % 46327)
+                              * ((doc_id*999983 + i*7907) % 46327) // 64))
+                          % 19997 - 9998) * 4, 20000)
+              ELSE GREATEST((((((doc_id*1000003 + i*7919) % 46337)
+                               * ((doc_id*1000003 + i*7919) % 46337) // 64)
+                              + (((doc_id*999983 + i*7907) % 46327)
+                                 * ((doc_id*999983 + i*7907) % 46327) // 64))
+                             % 19997 - 9998) * 4, -20000) END
+            ELSE ((((doc_id*1000003 + i*7919) % 46337)
+                   * ((doc_id*1000003 + i*7919) % 46337) // 64)
+                  + (((doc_id*999983 + i*7907) % 46327)
+                     * ((doc_id*999983 + i*7907) % 46327) // 64))
+                 % 19997 - 9998
+          END AS BIGINT) AS v
+        FROM documents, range(1024) t(i)),
+      ps AS (SELECT doc_id, i,
+               SUM(v*v) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS stasum,
+               SUM(v*v) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 127 PRECEDING AND CURRENT ROW) AS ltasum
+             FROM s),
+      r AS (SELECT doc_id, i,
+              CASE WHEN ltasum = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE CAST(stasum * 128 AS DOUBLE)
+                        / CAST(ltasum * 16 AS DOUBLE) END AS ratio
+            FROM ps WHERE i >= 127),
+      ev AS (SELECT doc_id, i, ratio,
+               CASE WHEN ratio >= 3.0 THEN 1 ELSE 0 END AS e
+             FROM r WHERE ratio >= 3.0 OR ratio <= 1.5),
+      lg AS (SELECT *, lag(e) OVER (PARTITION BY doc_id ORDER BY i) AS pe
+             FROM ev),
+      onsets AS (SELECT doc_id, i AS onset FROM lg
+                 WHERE e = 1 AND (pe = 0 OR pe IS NULL)),
+      ends AS (SELECT o.doc_id, o.onset,
+                 COALESCE(MIN(CASE WHEN b.e = 0 AND b.i > o.onset
+                                   THEN b.i END), 1023) AS endi
+               FROM onsets o LEFT JOIN ev b ON b.doc_id = o.doc_id
+               GROUP BY 1, 2)
+      SELECT e.doc_id, e.onset AS onset_idx, e.endi AS end_idx,
+             MAX(r.ratio) AS peak_ratio
+      FROM ends e JOIN r ON r.doc_id = e.doc_id
+        AND r.i BETWEEN e.onset AND e.endi
+      GROUP BY 1, 2, 3"""
+
   val all: Seq[Q] = Seq(
 
     // ---- audio decode + integer features: the WAV bytes round-trip
@@ -222,59 +279,38 @@ object AudioQueries {
           ns = 16, nl = 128, onThr = 3.0, offThr = 1.5).toDF()
         .select(col("doc_id"), col("onset_idx"), col("end_idx"),
           col("peak_ratio"))
-    }, Some("""
-      WITH s AS (
-        SELECT doc_id, i,
-          CAST(CASE WHEN doc_id % 25 = 4 AND i BETWEEN 600 AND 615
-            THEN CASE WHEN (((((doc_id*1000003 + i*7919) % 46337)
-                             * ((doc_id*1000003 + i*7919) % 46337) // 64)
-                            + (((doc_id*999983 + i*7907) % 46327)
-                               * ((doc_id*999983 + i*7907) % 46327) // 64))
-                           % 19997 - 9998) >= 0
-              THEN LEAST((((((doc_id*1000003 + i*7919) % 46337)
-                            * ((doc_id*1000003 + i*7919) % 46337) // 64)
-                           + (((doc_id*999983 + i*7907) % 46327)
-                              * ((doc_id*999983 + i*7907) % 46327) // 64))
-                          % 19997 - 9998) * 4, 20000)
-              ELSE GREATEST((((((doc_id*1000003 + i*7919) % 46337)
-                               * ((doc_id*1000003 + i*7919) % 46337) // 64)
-                              + (((doc_id*999983 + i*7907) % 46327)
-                                 * ((doc_id*999983 + i*7907) % 46327) // 64))
-                             % 19997 - 9998) * 4, -20000) END
-            ELSE ((((doc_id*1000003 + i*7919) % 46337)
-                   * ((doc_id*1000003 + i*7919) % 46337) // 64)
-                  + (((doc_id*999983 + i*7907) % 46327)
-                     * ((doc_id*999983 + i*7907) % 46327) // 64))
-                 % 19997 - 9998
-          END AS BIGINT) AS v
-        FROM documents, range(1024) t(i)),
-      ps AS (SELECT doc_id, i,
-               SUM(v*v) OVER (PARTITION BY doc_id ORDER BY i
-                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS stasum,
-               SUM(v*v) OVER (PARTITION BY doc_id ORDER BY i
-                 ROWS BETWEEN 127 PRECEDING AND CURRENT ROW) AS ltasum
-             FROM s),
-      r AS (SELECT doc_id, i,
-              CASE WHEN ltasum = 0 THEN CAST(0 AS DOUBLE)
-                   ELSE CAST(stasum * 128 AS DOUBLE)
-                        / CAST(ltasum * 16 AS DOUBLE) END AS ratio
-            FROM ps WHERE i >= 127),
-      ev AS (SELECT doc_id, i, ratio,
-               CASE WHEN ratio >= 3.0 THEN 1 ELSE 0 END AS e
-             FROM r WHERE ratio >= 3.0 OR ratio <= 1.5),
-      lg AS (SELECT *, lag(e) OVER (PARTITION BY doc_id ORDER BY i) AS pe
-             FROM ev),
-      onsets AS (SELECT doc_id, i AS onset FROM lg
-                 WHERE e = 1 AND (pe = 0 OR pe IS NULL)),
-      ends AS (SELECT o.doc_id, o.onset,
-                 COALESCE(MIN(CASE WHEN b.e = 0 AND b.i > o.onset
-                                   THEN b.i END), 1023) AS endi
-               FROM onsets o LEFT JOIN ev b ON b.doc_id = o.doc_id
-               GROUP BY 1, 2)
-      SELECT e.doc_id, e.onset AS onset_idx, e.endi AS end_idx,
-             MAX(r.ratio) AS peak_ratio
-      FROM ends e JOIN r ON r.doc_id = e.doc_id
-        AND r.i BETWEEN e.onset AND e.endi
-      GROUP BY 1, 2, 3"""))
+    }, Some(triggersOracleSql)),
+
+    // ---- STREAMING detection: q131's traces replayed through the
+    //      file source with `detectTriggers` applied directly to the
+    //      STREAMING frame — the kernel is stateless per trace
+    //      (mapPartitions, no watermark, no state store), so detection
+    //      keeps up with ingestion at the batch scan rate and the
+    //      emitted trigger set must equal the batch result exactly.
+    Q("q132_stream_triggers", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val traces = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(it => it.map(id => (id, renderTraceWav(id))))
+        .toDF("doc_id", "payload")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q132").toString
+      traces.repartition(8).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", "3").parquet(tmp)
+      val changes = graft.operators.Triggers.detectTriggers(s, stream,
+        ns = 16, nl = 128, onThr = 3.0, offThr = 1.5).toDF()
+      val sink = "q132_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(col("doc_id"), col("onset_idx"), col("end_idx"),
+          col("peak_ratio"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(triggersOracleSql))
   )
 }
