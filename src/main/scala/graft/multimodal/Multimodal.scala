@@ -66,7 +66,12 @@ object Multimodal {
       if (mediaType == "image") {
         val img = try {
           javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        } catch { case _: java.io.IOException => null }
+        } catch {
+          // NonFatal, not just IOException: a corrupt header can drive a
+          // codec plugin into ArrayIndexOutOfBounds/NegativeArraySize —
+          // the drop-undecodable-rows policy must hold for those too
+          case scala.util.control.NonFatal(_) => null
+        }
         if (img == null) decodeStub(bytes)
         else MediaMeta(img.getWidth.toLong, img.getHeight.toLong,
           bytes.length.toLong)
@@ -262,7 +267,7 @@ object Multimodal {
         it.flatMap { case (id, p) =>
           val img = try {
             javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-          } catch { case _: java.io.IOException => null }
+          } catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) None else Some(PHashRow(id, dHash(img, cols, rows)))
         }
       }
@@ -474,8 +479,11 @@ object Multimodal {
         }
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // NonFatal (not just UnsupportedAudioFile/IO): a malformed AIFF/AU
+      // payload can make a javax.sound SPI reader throw a runtime
+      // exception from a corrupt header — those rows must follow the same
+      // drop-undecodable policy instead of failing the scan task
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

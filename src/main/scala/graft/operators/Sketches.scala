@@ -310,6 +310,223 @@ object Sketches {
       greatest(lit(1), ceil(size(vals) * lit(q)).cast("int")))
   }
 
+  // ==================================================================
+  // Frequent items (Misra & Gries 1982; SpaceSaving, Metwally et al.
+  // 2005; mergeable form per Agarwal et al., "Mergeable Summaries",
+  // PODS 2012): the fourth approximate-query leg — "top-k tokens /
+  // domains / event types per group over 100 TB" without the full
+  // per-item count shuffle. The summary is ≤k (item, count) counters;
+  // the mergeable merge is: combine counters over the item union,
+  // subtract the (k+1)-th largest combined count from every counter,
+  // drop the non-positive. Guarantees that hold under ANY merge tree:
+  //
+  //   - no overcount: est(x) ≤ true(x) for every item;
+  //   - bounded undercount: true(x) − est(x) ≤ (n − ŝ)/(k+1), where
+  //     n = rows seen and ŝ = Σ retained counts (each decrement of v
+  //     hits ≥ k+1 counters that are ≥ v, so ŝ drops by ≥ (k+1)·v
+  //     while any single item loses ≤ v) — in particular ≤ n/(k+1);
+  //   - heavy-hitter recall: every item with true(x) > n/(k+1) is in
+  //     the summary (its undercount bound leaves est(x) > 0).
+  //
+  // DETERMINISM is weaker than KMV's: over capacity the counter VALUES
+  // (and which sub-threshold items survive) depend on the merge tree,
+  // so oracle queries pin (a) the guarantees above as verdict columns
+  // (theorem-true for a correct implementation, so deterministic), and
+  // (b) the BELOW-CAPACITY regime bit for bit — with ≤ k distinct
+  // items no decrement ever fires anywhere in any tree, and the
+  // summary IS the exact count map (q133/q134's exact legs).
+  // ==================================================================
+
+  /** Misra–Gries aggregate: IN = item (string), BUF = parallel arrays
+    * (items sorted ascending — the canonical form that makes merge a
+    * linear merge-join — counts, rows-seen n), OUT = (Seq[(item,
+    * count)] item-ascending, n). n rides in the summary so a PERSISTED
+    * sketch stays self-contained: the error budget (n − ŝ)/(k+1) and
+    * the heavy-hitter threshold n/(k+1) need it after re-aggregation.
+    */
+  final class FreqAgg(k: Int)
+      extends Aggregator[String, (Array[String], Array[Long], Long),
+        (Seq[(String, Long)], Long)] {
+    require(k >= 1, s"frequent-items sketch needs k >= 1, got $k")
+
+    override def zero: (Array[String], Array[Long], Long) =
+      (Array.empty[String], Array.emptyLongArray, 0L)
+
+    private def search(its: Array[String], item: String): Int = {
+      var lo = 0; var hi = its.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = its(mid).compareTo(item)
+        if (c < 0) lo = mid + 1
+        else if (c > 0) hi = mid - 1
+        else return mid
+      }
+      -lo - 1
+    }
+
+    override def reduce(buf: (Array[String], Array[Long], Long),
+                        item: String): (Array[String], Array[Long], Long) = {
+      val (its, cts, n) = buf
+      val m = its.length
+      val pos = search(its, item)
+      if (pos >= 0) { // present: bump in place (the buffer is ours)
+        cts(pos) += 1L
+        (its, cts, n + 1L)
+      } else if (m < k) { // room: insert at the sort position
+        val ins = -pos - 1
+        val io = new Array[String](m + 1); val co = new Array[Long](m + 1)
+        System.arraycopy(its, 0, io, 0, ins)
+        System.arraycopy(cts, 0, co, 0, ins)
+        io(ins) = item; co(ins) = 1L
+        System.arraycopy(its, ins, io, ins + 1, m - ins)
+        System.arraycopy(cts, ins, co, ins + 1, m - ins)
+        (io, co, n + 1L)
+      } else {
+        // full, item absent: the (k+1)-th largest of the k+1 counts is
+        // min(counts, 1) = 1 — classic MG decrement-all-by-one, the
+        // unseen item's own count 1 decrements to 0 (never stored)
+        var zeros = 0
+        var i = 0
+        while (i < m) { if (cts(i) == 1L) zeros += 1; i += 1 }
+        if (zeros == 0) {
+          i = 0; while (i < m) { cts(i) -= 1L; i += 1 }
+          (its, cts, n + 1L)
+        } else {
+          val m2 = m - zeros
+          val io = new Array[String](m2); val co = new Array[Long](m2)
+          var o = 0; i = 0
+          while (i < m) {
+            if (cts(i) > 1L) { io(o) = its(i); co(o) = cts(i) - 1L; o += 1 }
+            i += 1
+          }
+          (io, co, n + 1L)
+        }
+      }
+    }
+
+    override def merge(a: (Array[String], Array[Long], Long),
+                       b: (Array[String], Array[Long], Long))
+        : (Array[String], Array[Long], Long) = {
+      val (ai, ac, an) = a; val (bi, bc, bn) = b
+      if (ai.isEmpty) return (bi, bc, an + bn)
+      if (bi.isEmpty) return (ai, ac, an + bn)
+      // merge-join the two item-sorted runs, summing counts
+      val io = new Array[String](ai.length + bi.length)
+      val co = new Array[Long](io.length)
+      var i = 0; var j = 0; var o = 0
+      while (i < ai.length || j < bi.length) {
+        val c =
+          if (i >= ai.length) 1
+          else if (j >= bi.length) -1
+          else ai(i).compareTo(bi(j))
+        if (c < 0) { io(o) = ai(i); co(o) = ac(i); i += 1 }
+        else if (c > 0) { io(o) = bi(j); co(o) = bc(j); j += 1 }
+        else { io(o) = ai(i); co(o) = ac(i) + bc(j); i += 1; j += 1 }
+        o += 1
+      }
+      if (o <= k) {
+        (java.util.Arrays.copyOf(io.asInstanceOf[Array[AnyRef]], o)
+          .asInstanceOf[Array[String]],
+          java.util.Arrays.copyOf(co, o), an + bn)
+      } else {
+        // over capacity: subtract the (k+1)-th largest count from every
+        // counter, keep the strictly positive (≤ k survive by choice of
+        // the threshold) — the PODS'12 merge that preserves the bound
+        val sorted = java.util.Arrays.copyOf(co, o)
+        java.util.Arrays.sort(sorted)
+        val v = sorted(o - k - 1) // (k+1)-th largest
+        var keep = 0
+        var t = 0
+        while (t < o) { if (co(t) > v) keep += 1; t += 1 }
+        val io2 = new Array[String](keep); val co2 = new Array[Long](keep)
+        var u = 0; t = 0
+        while (t < o) {
+          if (co(t) > v) { io2(u) = io(t); co2(u) = co(t) - v; u += 1 }
+          t += 1
+        }
+        (io2, co2, an + bn)
+      }
+    }
+
+    override def finish(buf: (Array[String], Array[Long], Long))
+        : (Seq[(String, Long)], Long) = {
+      val (its, cts, n) = buf
+      (its.indices.map(i => (its(i), cts(i))), n)
+    }
+
+    override def bufferEncoder
+        : ExpressionEncoder[(Array[String], Array[Long], Long)] =
+      ExpressionEncoder[(Array[String], Array[Long], Long)]()
+    override def outputEncoder
+        : ExpressionEncoder[(Seq[(String, Long)], Long)] =
+      ExpressionEncoder[(Seq[(String, Long)], Long)]()
+  }
+
+  /** Frequent-items aggregate as an untyped column function — OUT is a
+    * struct `(_1: array<struct<_1: item, _2: count>>, _2: n)`, items
+    * ascending. Works in batch and watermarked streaming aggregations
+    * (state per group = one ≤k summary, cardinality-independent).
+    */
+  def freqSketch(item: Column, k: Int): Column =
+    udaf(new FreqAgg(k), Encoders.STRING).apply(item)
+
+  /** The (item, count) entries of a frequent-items summary. */
+  def freqItems(sk: Column): Column = sk.getField("_1")
+
+  /** Rows-seen n carried by the summary. */
+  def freqN(sk: Column): Column = sk.getField("_2")
+
+  /** Σ retained counts ŝ — with [[freqN]] this gives the summary's own
+    * undercount budget (n − ŝ)/(k+1).
+    */
+  def freqRetained(sk: Column): Column =
+    aggregate(freqItems(sk), lit(0L), (acc, x) => acc + x.getField("_2"))
+
+  /** Canonical "item:count" CSV of the top `m` entries under (count
+    * DESC, item ASC) — deterministic content whenever the summary is in
+    * the exact regime (group distinct ≤ k); over capacity the VALUES
+    * are merge-tree-dependent and only the [[freqBoundsOk]] /
+    * [[freqHeavyRecallOk]] guarantees are stable.
+    */
+  def freqTopCsv(sk: Column, m: Int): Column = {
+    val sorted = array_sort(freqItems(sk), (l, r) =>
+      when(l.getField("_2") > r.getField("_2"), -1)
+        .when(l.getField("_2") < r.getField("_2"), 1)
+        .when(l.getField("_1") < r.getField("_1"), -1)
+        .when(l.getField("_1") > r.getField("_1"), 1)
+        .otherwise(0))
+    array_join(transform(slice(sorted, 1, m),
+      x => concat_ws(":", x.getField("_1"), x.getField("_2").cast("string"))),
+      ",")
+  }
+
+  /** Verdict: every summary entry satisfies the two-sided MG guarantee
+    * against an exact count map — `est ≤ true` (no overcount) and
+    * `(true − est)·(k+1) ≤ n − ŝ` (bounded undercount; integer
+    * arithmetic, no division). Theorem-true for a correct
+    * implementation under any merge tree — the oracle pins it as a
+    * constant 1.
+    */
+  def freqBoundsOk(sk: Column, trueCounts: Column, k: Int): Column = {
+    val budget = freqN(sk) - freqRetained(sk)
+    forall(freqItems(sk), x => {
+      val t = element_at(trueCounts, x.getField("_1"))
+      t.isNotNull && x.getField("_2") <= t &&
+        (t - x.getField("_2")) * lit(k + 1) <= budget
+    }).cast("long")
+  }
+
+  /** Verdict: every true heavy hitter — `true(x)·(k+1) > n` — appears
+    * in the summary (pigeonhole consequence of the undercount bound).
+    */
+  def freqHeavyRecallOk(sk: Column, trueCounts: Column, k: Int): Column = {
+    val names = transform(freqItems(sk), _.getField("_1"))
+    forall(
+      map_keys(map_filter(trueCounts,
+        (_, v) => v * lit(k + 1) > freqN(sk))),
+      t => array_contains(names, t)).cast("long")
+  }
+
   /** Production hash for the sketch input: `xxhash64 >>> 4`, uniform on
     * [0, 2⁶⁰) like `md5_long60` but whole-stage-codegen'd and ~10×
     * cheaper — the right kernel when the scan is 100 TB and nothing

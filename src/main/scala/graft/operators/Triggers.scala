@@ -32,6 +32,13 @@ object Triggers {
   def triggerScan(samples: Array[Int], ns: Int, nl: Int,
                   onThr: Double, offThr: Double): Seq[(Int, Int, Double)] = {
     require(ns >= 1 && nl > ns, s"need 1 <= ns < nl, got ns=$ns nl=$nl")
+    // Overflow invariant: the one-division ratio (staSum·nl)/(ltaSum·ns)
+    // stays in Long only because decoded samples are ≤16-bit (decodeAudio
+    // emits 8/16-bit PCM): ltaSum ≤ nl·32767² < nl·2³⁰, so ltaSum·ns
+    // (the larger product) needs ns·nl < 2³³. Pin it here so a future
+    // 24-bit decode path fails loudly instead of wrapping silently.
+    require(ns.toLong * nl < (1L << 33),
+      s"ns*nl=$ns*$nl exceeds the 16-bit-sample overflow bound 2^33")
     val n = samples.length
     if (n < nl) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]

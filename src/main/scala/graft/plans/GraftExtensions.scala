@@ -19,6 +19,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
     GraftExtensions.sketchAlgebraDescriptors.foreach(e.injectFunction)
+    // udafs (kmv_sketch256/64) cannot ride injectFunction — it carries
+    // Expression builders only. The check-rule builder runs once per
+    // session at analyzer construction with the live session in hand, so
+    // a spark.sql.extensions=GraftExtensions session gets the full SQL
+    // surface (q130 pattern) without an explicit register() call.
+    e.injectCheckRule { session =>
+      GraftExtensions.registerUdafs(session)
+      _ => ()
+    }
     e.injectOptimizerRule(_ => GlobRewriteRule)
     e.injectOptimizerRule(_ => BandedRangeJoinRule)
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
@@ -126,11 +135,11 @@ object GraftExtensions {
   /** Install on a live session (tests / notebooks). Idempotent per
     * session — repeat calls are no-ops.
     */
-  def register(spark: SparkSession): Unit = {
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
-    // udafs are SESSION-registered even when the Catalyst expressions
-    // came in through the builder extensions path — injectFunction
-    // carries Expression builders only, and a udaf is not one
+  /** The udaf half of the SQL surface (aggregates can't ride
+    * injectFunction). Called from both the extensions check-rule hook
+    * and [[register]]; idempotent via the functionExists probe.
+    */
+  def registerUdafs(spark: SparkSession): Unit = {
     if (!spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("kmv_sketch256"))) {
       import graft.operators.Sketches
@@ -139,11 +148,20 @@ object GraftExtensions {
       spark.udf.register("kmv_sketch64", org.apache.spark.sql.functions
         .udaf(new Sketches.KmvAgg(64), org.apache.spark.sql.Encoders.scalaLong))
     }
+  }
+
+  def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
+    registerUdafs(spark)
     // a session built WITH the extensions already has everything —
-    // re-registering would log 4 'replaced a previously registered
-    // function' WARNs once per session
+    // re-registering would log 'replaced a previously registered
+    // function' WARNs once per session. Probe the NEWEST injected
+    // builder, not the oldest: a session whose extensions list predates
+    // the sketch functions (older jar on the classpath) then falls
+    // through and picks up the additions instead of silently missing
+    // them.
     if (spark.sessionState.functionRegistry
-        .functionExists(FunctionIdentifier("shingle_hash60"))) return
+        .functionExists(FunctionIdentifier("kmv_jaccard_estimate"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -604,6 +604,137 @@ object SketchQueries {
              CAST(ex.p90_exact AS BIGINT) AS p90_exact
       FROM ex JOIN sq USING (source)""")),
 
+    // ---- FREQUENT ITEMS (Misra–Gries, mergeable per Agarwal et al.
+    //      PODS'12): "top tokens per source" without the full per-item
+    //      count shuffle — the aggregate ships one ≤k counter array per
+    //      group per partition. Dual-regime oracle pinning: the k=64
+    //      summary is in the EXACT regime (per-source vocabulary ~31 ≤
+    //      64 at every SF — no decrement ever fires, any merge tree
+    //      yields the exact count map), so n and the top-10
+    //      (count DESC, token ASC) CSV match DuckDB bit for bit; the
+    //      k=8 summary is OVER capacity, where counter values are
+    //      merge-tree-dependent, so what's pinned are the THEOREMS —
+    //      no overcount, undercount·(k+1) ≤ n − ŝ, and heavy-hitter
+    //      recall — as verdict columns a correct implementation can
+    //      never fail (the exact count map they're checked against is
+    //      computed in-query, the same reference-column device as
+    //      q122's countDistinct).
+    Q("q133_mg_frequent_items", (s, dir) => {
+      val k1 = 64; val k2 = 8
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val sk = toks.groupBy("source")
+        .agg(Sketches.freqSketch(col("tok"), k1).as("sk64"),
+          Sketches.freqSketch(col("tok"), k2).as("sk8"))
+      val exact = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(map_from_entries(collect_list(struct(col("tok"), col("c"))))
+            .as("truem"),
+          count(lit(1)).as("n_distinct"))
+      sk.join(exact, "source")
+        .select(col("source"),
+          Sketches.freqN(col("sk64")).as("n"),
+          col("n_distinct"),
+          Sketches.freqTopCsv(col("sk64"), 10).as("top10"),
+          (size(Sketches.freqItems(col("sk8"))) <= k2).cast("long")
+            .as("size_ok"),
+          Sketches.freqBoundsOk(col("sk8"), col("truem"), k2).as("bounds_ok"),
+          Sketches.freqHeavyRecallOk(col("sk8"), col("truem"), k2)
+            .as("heavy_ok"))
+    }, Some("""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      c AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY source ORDER BY c DESC, tok ASC) AS rn
+            FROM c),
+      t10 AS (SELECT source,
+                string_agg(tok || ':' || c, ',' ORDER BY rn) AS top10
+              FROM r WHERE rn <= 10 GROUP BY 1),
+      g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS n_distinct
+            FROM c GROUP BY 1)
+      SELECT g.source, g.n, g.n_distinct, t10.top10,
+             CAST(1 AS BIGINT) AS size_ok, CAST(1 AS BIGINT) AS bounds_ok,
+             CAST(1 AS BIGINT) AS heavy_ok
+      FROM g JOIN t10 USING (source)""")),
+
+    // ---- STREAMING frequent items: live "top event types / heavy
+    //      users per 6 h window" — three MG summaries per window (k=8
+    //      types: exact regime, 5 distinct; k=8 users: over capacity,
+    //      ~50–700 distinct; k=1024 users: exact regime at every SF —
+    //      the IN-STREAM exact reference the k=8 verdicts are checked
+    //      against, so the guarantee audit itself needs no second scan).
+    //      State per window = three ≤k counter arrays + one count;
+    //      append mode emits at watermark close (flush row 2024-02-05;
+    //      its own window never closes). Oracle recomputes every
+    //      window's type CSV and distinct-user count from the events
+    //      table and pins the verdicts at 1.
+    Q("q134_stream_frequent_items", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.plans.GraftExtensions.register(s)
+      val kU = 8; val kRef = 1024
+      val ev = Tables.eventsUs(s, dir).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val flush = s.range(1).select(lit(-1L).as("user_id"),
+        lit("flush").as("event_type"),
+        lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q134").toString
+      ev.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val agg = stream
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withColumn("u", col("user_id").cast("string"))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "6 hours").as("w"))
+        .agg(Sketches.freqSketch(col("event_type"), 8).as("skt"),
+          Sketches.freqSketch(col("u"), kU).as("sku"),
+          Sketches.freqSketch(col("u"), kRef).as("skref"),
+          count(lit(1)).as("n_events"))
+      val sink = "q134_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val truem = map_from_entries(Sketches.freqItems(col("skref")))
+      val out = s.table(sink)
+        .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+          col("n_events"),
+          Sketches.freqN(col("skt")).as("n"),
+          Sketches.freqTopCsv(col("skt"), 5).as("types_csv"),
+          size(Sketches.freqItems(col("skref"))).cast("long").as("n_users"),
+          (size(Sketches.freqItems(col("sku"))) <= kU).cast("long")
+            .as("size_ok"),
+          Sketches.freqBoundsOk(col("sku"), truem, kU).as("bounds_ok"),
+          Sketches.freqHeavyRecallOk(col("sku"), truem, kU).as("heavy_ok"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some("""
+      WITH e AS (SELECT epoch_ns(ts)
+                   - ((epoch_ns(ts) % 21600000000000) + 21600000000000)
+                     % 21600000000000 AS wns,
+                 event_type, user_id
+                 FROM events WHERE ts IS NOT NULL),
+      tc AS (SELECT wns, event_type, count(*) AS c FROM e GROUP BY 1, 2),
+      tr AS (SELECT *, row_number() OVER
+               (PARTITION BY wns ORDER BY c DESC, event_type ASC) AS rn
+             FROM tc),
+      t5 AS (SELECT wns,
+               string_agg(event_type || ':' || c, ',' ORDER BY rn)
+                 AS types_csv
+             FROM tr WHERE rn <= 5 GROUP BY 1),
+      g AS (SELECT wns, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM e GROUP BY 1)
+      SELECT g.wns AS window_ns, g.n_events, g.n_events AS n,
+             t5.types_csv, g.n_users,
+             CAST(1 AS BIGINT) AS size_ok, CAST(1 AS BIGINT) AS bounds_ok,
+             CAST(1 AS BIGINT) AS heavy_ok
+      FROM g JOIN t5 USING (wns)""")),
+
     // ---- the SQL SURFACE under oracle signal: the q122 pipeline as
     //      ONE spark.sql STRING — kmv_sketch256 udaf + the kmv_*
     //      registry builders, no Scala column API anywhere — against

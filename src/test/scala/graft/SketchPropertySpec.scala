@@ -75,6 +75,73 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  private def freqViaTree(agg: Sketches.FreqAgg, items: Seq[String],
+                          parts: Int, rnd: Random)
+      : (Seq[(String, Long)], Long) = {
+    val chunks = items.grouped(math.max(1, items.size / parts)).toBuffer
+    val bufs = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+    while (bufs.size > 1) {
+      val i = rnd.nextInt(bufs.size)
+      val a = bufs.remove(i)
+      val j = rnd.nextInt(bufs.size)
+      val b = bufs.remove(j)
+      bufs.insert(rnd.nextInt(bufs.size + 1), agg.merge(a, b))
+    }
+    agg.finish(if (bufs.isEmpty) agg.zero else bufs.head)
+  }
+
+  test("FreqAgg exact regime: distinct <= k is bit-exact under any merge tree") {
+    val rnd = new Random(9090)
+    for (trial <- 0 until 40) {
+      val k = 1 + rnd.nextInt(32)
+      val vocab = (0 until 1 + rnd.nextInt(k)).map(i => s"w$i")
+      val n = rnd.nextInt(2000)
+      val items = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val agg = new Sketches.FreqAgg(k)
+      val expected = items.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val (got, gotN) = freqViaTree(agg, items, 1 + rnd.nextInt(8), rnd)
+      assert(gotN == n && got == expected, s"trial $trial k=$k n=$n")
+    }
+  }
+
+  test("FreqAgg over capacity: MG guarantees hold under random merge trees") {
+    val rnd = new Random(3131)
+    for (trial <- 0 until 60) {
+      val k = 1 + rnd.nextInt(12)
+      val nv = k + 1 + rnd.nextInt(60)
+      // skewed multiset so real heavy hitters exist
+      val vocab = (0 until nv).map(i => s"t$i")
+      val n = 50 + rnd.nextInt(3000)
+      val items = Seq.fill(n) {
+        val r = rnd.nextDouble()
+        // ~zipf-ish: a few hot items, a long uniform tail
+        if (r < 0.5) vocab(rnd.nextInt(math.min(3, nv)))
+        else vocab(rnd.nextInt(nv))
+      }
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val agg = new Sketches.FreqAgg(k)
+      val (got, gotN) = freqViaTree(agg, items, 1 + rnd.nextInt(8), rnd)
+      assert(gotN == n, s"trial $trial: n bookkeeping")
+      assert(got.size <= k, s"trial $trial: size ${got.size} > k=$k")
+      assert(got.map(_._1) == got.map(_._1).sorted,
+        s"trial $trial: canonical item order violated")
+      val shat = got.map(_._2).sum
+      got.foreach { case (item, est) =>
+        val t = truth(item)
+        assert(est >= 1 && est <= t, s"trial $trial: overcount $item")
+        assert((t - est) * (k + 1) <= n - shat,
+          s"trial $trial: undercount bound $item est=$est true=$t")
+      }
+      // heavy-hitter recall: true count > n/(k+1) must appear
+      val inSketch = got.map(_._1).toSet
+      truth.foreach { case (item, t) =>
+        if (t * (k + 1) > n)
+          assert(inSketch(item), s"trial $trial: heavy $item ($t of $n) missing")
+      }
+    }
+  }
+
   test("priority subset-sum reference: estimate formula matches a direct replay") {
     // the column expression is pinned vs DuckDB in q127/q128; here the
     // SAME arithmetic is checked against a scala replay on the agg's

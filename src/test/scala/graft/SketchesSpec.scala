@@ -260,6 +260,98 @@ class SketchesSpec extends SparkSpec {
     assert(agg.finish(agg.merge(r, l)) == out)
   }
 
+  test("FreqAgg unit semantics: exact below k, MG decrement, mergeable merge") {
+    val agg = new Sketches.FreqAgg(2)
+    var buf = agg.zero
+    // a,a,b: fits in k=2 exactly
+    Seq("a", "a", "b").foreach(x => buf = agg.reduce(buf, x))
+    assert(agg.finish(buf) == (Seq(("a", 2L), ("b", 1L)), 3L))
+    // c arrives with the summary full: decrement-all-by-one, b drops,
+    // c itself is never stored (classic MG step)
+    buf = agg.reduce(buf, "c")
+    assert(agg.finish(buf) == (Seq(("a", 1L)), 4L))
+    // merge over capacity: {a:3,b:2} ++ {b:1,c:2} = {a:3,b:3,c:2},
+    // (k+1)-th largest = 2 -> subtract 2, drop c -> {a:1,b:1}, n summed
+    def mk(pairs: Seq[String]) = pairs.foldLeft(agg.zero)(agg.reduce)
+    val l = mk(Seq("a", "a", "a", "b", "b"))
+    val r = mk(Seq("b", "c", "c"))
+    val m = agg.merge(l, r)
+    assert(agg.finish(m) == (Seq(("a", 1L), ("b", 1L)), 8L))
+    val m2 = agg.merge(r, l) // commutative
+    assert(agg.finish(m2) == agg.finish(m))
+    assert(agg.finish(agg.merge(agg.zero, l)) == agg.finish(l))
+  }
+
+  test("freqSketch: exact regime bit-stable across partitionings; verdicts hold over capacity") {
+    GraftExtensions.register(spark)
+    // 20 distinct items, k=32 -> exact regime whatever the partitioning
+    val items = spark.range(20000)
+      .select(concat(lit("w"), (col("id") % 20).cast("string")).as("tok"))
+    def summary(parts: Int) = items.repartition(parts)
+      .agg(Sketches.freqSketch(col("tok"), 32).as("sk"))
+      .select(Sketches.freqTopCsv(col("sk"), 5).as("csv"),
+        Sketches.freqN(col("sk")).as("n"))
+      .head
+    val a = summary(1)
+    assert(summary(17) == a && a.getAs[Long]("n") == 20000L)
+    // over capacity (k=4): guarantees, checked via the verdict columns
+    // against an exact in-query count map — the q133 device
+    val skewed = spark.range(30000)
+      .select(concat(lit("t"),
+        when(col("id") % 2 === 0, col("id") % 3) // t0/t1/t2 heavy
+          .otherwise(col("id") % 500).cast("string")).as("tok"))
+    val exact = skewed.groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("c"))))
+        .as("truem"))
+    val row = skewed.agg(Sketches.freqSketch(col("tok"), 4).as("sk"))
+      .crossJoin(exact)
+      .select(Sketches.freqBoundsOk(col("sk"), col("truem"), 4).as("b"),
+        Sketches.freqHeavyRecallOk(col("sk"), col("truem"), 4).as("h"),
+        size(Sketches.freqItems(col("sk"))).as("sz"))
+      .head
+    assert(row.getAs[Long]("b") == 1L && row.getAs[Long]("h") == 1L)
+    assert(row.getAs[Int]("sz") <= 4)
+  }
+
+  test("freqSketch plan shape: one shuffle, partial+final ObjectHashAggregate") {
+    GraftExtensions.register(spark)
+    val df = spark.range(100000)
+      .select((col("id") % 10).as("g"),
+        (col("id") % 997).cast("string").as("tok"))
+      .groupBy("g").agg(Sketches.freqSketch(col("tok"), 16).as("sk"))
+    val c = graft.tools.PlanIntrospect.counts(df)
+    assert(c.shuffles == 1, s"expected exactly one shuffle: ${c.render}")
+    val aggs = graft.tools.PlanIntrospect
+      .nodes(df.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec])
+    assert(aggs.size >= 2,
+      s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
+  }
+
+  test("extensions-only session gets the udaf half of the SQL surface (check-rule hook)") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark // ensure the shared session (and its context) exist
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses orig's SparkContext; extensions conf applies to the NEW
+      // session only — the canonical spark.sql.extensions config path
+      // the advice flagged as missing kmv_sketch256/64
+      val s2 = SparkSession.builder()
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .getOrCreate()
+      assert(s2 ne orig)
+      val row = s2.sql("""
+        SELECT kmv_estimate(kmv_sketch64(md5_long60(cast(id % 40 as string))), 64) AS est
+        FROM range(1000)""").head
+      assert(row.getAs[Double]("est") == 40.0)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("SQL surface: kmv_sketch256 serves the same aggregate through spark.sql") {
     GraftExtensions.register(spark)
     spark.range(5000).select(expr("md5_long60(cast(id % 777 as string))").as("h"))
