@@ -527,6 +527,298 @@ object Sketches {
       t => array_contains(names, t)).cast("long")
   }
 
+  // ==================================================================
+  // Quantiles over ALL rows (Manku, Rajagopalan & Lindsay, SIGMOD
+  // 1998 deterministic compaction; the level scheme popularized by
+  // KLL, Karnin et al. FOCS 2016): per-group latency/doc-length
+  // percentiles over 100 TB without a sort of the group and without
+  // `approx_percentile`'s non-determinism-across-runs or its missing
+  // persist/re-aggregate contract. The summary is a stack of level
+  // buffers — level l holds values of weight 2^l, capacity c each.
+  // When a level overflows it SORTS and keeps the even-indexed half at
+  // doubled weight (deterministic — no random parity), pushing it up.
+  //
+  // Error accounting is carried IN the sketch: each compaction of
+  // level-l items shifts any rank by at most 2^l, so the summary
+  // tracks B = Σ 2^l over every compaction it has ever performed (its
+  // own worst-case rank error, valid under ANY merge tree). The
+  // estimator returns the first entry whose cumulative weight reaches
+  // the target rank r = ⌈q·n⌉, which pins the returned value v to
+  // |true_rank(v) − r| ≤ B + max entry weight. Like the MG summary,
+  // entry CONTENT over capacity is merge-tree-dependent; what oracle
+  // queries pin are (a) that theorem as a verdict column and (b) the
+  // EXACT regime — n ≤ c compacts nowhere in any tree, B = 0, and the
+  // summary is the exact sorted multiset, bit for bit (q135).
+  // ==================================================================
+
+  /** Shared buffer ops for the two quantile aggregates. Buffer =
+    * (level-0 array of fixed length c, fill pointer, higher levels
+    * (index i = level i+1, each sorted ascending), n, B).
+    */
+  /** Quantile-summary buffer: (level-0 array of fixed length c, fill
+    * pointer, higher levels (index i = level i+1, sorted), n, B).
+    */
+  type QuantileBuf = (Array[Long], Int, Seq[Array[Long]], Long, Long)
+
+  private object QuantileOps {
+    type Buf = QuantileBuf
+
+    def zero(c: Int): Buf = (new Array[Long](c), 0, Vector.empty, 0L, 0L)
+
+    /** Keep the even-indexed half of a sorted run (deterministic
+      * compaction parity — rank error ≤ the input items' weight).
+      */
+    private def evenHalf(sorted: Array[Long]): Array[Long] = {
+      val out = new Array[Long](sorted.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = sorted(2 * i); i += 1 }
+      out
+    }
+
+    private def mergeSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](a.length + b.length)
+      var i = 0; var j = 0; var o = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) <= b(j)) { out(o) = a(i); i += 1 }
+        else { out(o) = b(j); j += 1 }
+        o += 1
+      }
+      while (i < a.length) { out(o) = a(i); i += 1; o += 1 }
+      while (j < b.length) { out(o) = b(j); j += 1; o += 1 }
+      out
+    }
+
+    /** Merge a sorted weight-2^level run into the level stack,
+      * compacting overflow upward. Returns (levels, B delta).
+      */
+    def pushUp(hi: Seq[Array[Long]], run0: Array[Long], level0: Int,
+               c: Int): (Seq[Array[Long]], Long) = {
+      var levels = hi.toVector
+      var run = run0; var level = level0; var db = 0L
+      while (run.nonEmpty) {
+        while (levels.length < level) levels = levels :+ Array.emptyLongArray
+        val merged = mergeSorted(levels(level - 1), run)
+        if (merged.length <= c) {
+          levels = levels.updated(level - 1, merged)
+          run = Array.emptyLongArray
+        } else { // whole-level compaction: error ≤ items' weight 2^level
+          levels = levels.updated(level - 1, Array.emptyLongArray)
+          run = evenHalf(merged)
+          db += 1L << level
+          level += 1
+        }
+      }
+      (levels, db)
+    }
+
+    /** Compact a full level-0 buffer into a sorted weight-2 run. */
+    def compactL0(l0: Array[Long], len: Int): Array[Long] = {
+      val s = java.util.Arrays.copyOf(l0, len)
+      java.util.Arrays.sort(s)
+      evenHalf(s)
+    }
+
+    /** Canonical OUT form: (value, weight) pairs sorted by (value asc,
+      * weight asc) — in the exact regime all weights are 1 and this is
+      * the exact sorted multiset. Weights stay the per-level powers of
+      * two (never collapsed) so a persisted summary re-ingests
+      * losslessly into [[Sketches.QuantileMergeAgg]]'s level stack.
+      */
+    def finish(buf: Buf): (Seq[(Long, Long)], Long, Long) = {
+      val (l0, len, hi, n, b) = buf
+      val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < len) { entries += ((l0(i), 1L)); i += 1 }
+      hi.indices.foreach { li =>
+        val w = 1L << (li + 1)
+        hi(li).foreach(v => entries += ((v, w)))
+      }
+      (entries.sortBy(e => (e._1, e._2)).toSeq, n, b)
+    }
+
+    def merge(a: Buf, b: Buf, c: Int): Buf = {
+      val (al0, alen, ahi, an, ab) = a
+      val (bl0, blen, bhi, bn, bb) = b
+      var db = 0L
+      // level-0: concat; compact once if over capacity (≤ 2c ⇒ one
+      // even-half pass lands ≤ c)
+      var l0 = al0; var len = alen
+      if (alen + blen <= c) {
+        System.arraycopy(bl0, 0, l0, alen, blen)
+        len = alen + blen
+      } else {
+        val all = new Array[Long](alen + blen)
+        System.arraycopy(al0, 0, all, 0, alen)
+        System.arraycopy(bl0, 0, all, alen, blen)
+        java.util.Arrays.sort(all)
+        val run = new Array[Long](all.length / 2)
+        var i = 0
+        while (i < run.length) { run(i) = all(2 * i); i += 1 }
+        db += 1L // compacting weight-1 items
+        l0 = new Array[Long](c); len = 0
+        val (hi2, db2) = pushUp(ahi, run, 1, c)
+        val (hi3, db3) = foldLevels(hi2, bhi, c)
+        return (l0, len, hi3, an + bn, ab + bb + db + db2 + db3)
+      }
+      val (hi3, db3) = foldLevels(ahi, bhi, c)
+      (l0, len, hi3, an + bn, ab + bb + db + db3)
+    }
+
+    /** Merge b's level stack into a's, low to high. */
+    private def foldLevels(a: Seq[Array[Long]], b: Seq[Array[Long]],
+                           c: Int): (Seq[Array[Long]], Long) = {
+      var levels = a
+      var db = 0L
+      b.indices.foreach { li =>
+        if (b(li).nonEmpty) {
+          val (l2, d) = pushUp(levels, b(li), li + 1, c)
+          levels = l2; db += d
+        }
+      }
+      (levels, db)
+    }
+  }
+
+  /** Quantile-summary aggregate: IN = value (long), OUT = (entries
+    * sorted by value, n, B). `c` = per-level capacity; the summary is
+    * EXACT (B = 0, entries = the sorted multiset) while n ≤ c under
+    * any merge tree, and ~c·log₂(n/c) entries with tracked worst-case
+    * rank error B above it.
+    */
+  final class QuantileAgg(c: Int)
+      extends Aggregator[Long, QuantileBuf,
+        (Seq[(Long, Long)], Long, Long)] {
+    require(c >= 4 && c % 2 == 0, s"quantile sketch needs even c >= 4, got $c")
+
+    override def zero: QuantileBuf = QuantileOps.zero(c)
+
+    override def reduce(buf: QuantileBuf, v: Long): QuantileBuf = {
+      var (l0, len, hi, n, b) = buf
+      if (len == c) { // full: compact first so exactness holds to n = c
+        val run = QuantileOps.compactL0(l0, len)
+        val (hi2, db) = QuantileOps.pushUp(hi, run, 1, c)
+        hi = hi2; b += 1L + db; len = 0
+      }
+      l0(len) = v
+      (l0, len + 1, hi, n + 1L, b)
+    }
+
+    override def merge(a: QuantileBuf, b: QuantileBuf): QuantileBuf =
+      QuantileOps.merge(a, b, c)
+
+    override def finish(buf: QuantileBuf): (Seq[(Long, Long)], Long, Long) =
+      QuantileOps.finish(buf)
+
+    override def bufferEncoder: ExpressionEncoder[QuantileBuf] =
+      ExpressionEncoder[QuantileBuf]()
+    override def outputEncoder
+        : ExpressionEncoder[(Seq[(Long, Long)], Long, Long)] =
+      ExpressionEncoder[(Seq[(Long, Long)], Long, Long)]()
+  }
+
+  /** Re-aggregation of PERSISTED quantile summaries (the rollup path:
+    * daily per-partition sketches → one summary per group, no rescan).
+    * IN = the OUT form of [[QuantileAgg]]; entries re-enter the level
+    * stack at their weight's level (weights are always powers of two),
+    * so a rollup of exact parts is exact and B adds honestly — rollup
+    * error is only what NEW compactions introduce.
+    */
+  final class QuantileMergeAgg(c: Int)
+      extends Aggregator[(Seq[(Long, Long)], Long, Long), QuantileBuf,
+        (Seq[(Long, Long)], Long, Long)] {
+    require(c >= 4 && c % 2 == 0, s"quantile sketch needs even c >= 4, got $c")
+
+    override def zero: QuantileBuf = QuantileOps.zero(c)
+
+    override def reduce(buf: QuantileBuf,
+                        in: (Seq[(Long, Long)], Long, Long)): QuantileBuf = {
+      val (entries, n, b) = in
+      // rebuild the part's level stack from its entries, then merge
+      var part = QuantileOps.zero(c)
+      val byW = entries.groupBy(_._2)
+      byW.toSeq.sortBy(_._1).foreach { case (w, es) =>
+        val vals = es.map(_._1).sorted.toArray
+        val level = java.lang.Long.numberOfTrailingZeros(w)
+        require(java.lang.Long.bitCount(w) == 1,
+          s"quantile entry weight $w is not a power of two")
+        if (level == 0) {
+          var (l0, len, hi, pn, pb) = part
+          vals.foreach { v =>
+            if (len == c) {
+              val run = QuantileOps.compactL0(l0, len)
+              val (hi2, db) = QuantileOps.pushUp(hi, run, 1, c)
+              hi = hi2; pb += 1L + db; len = 0
+            }
+            l0(len) = v; len += 1
+          }
+          part = (l0, len, hi, pn, pb)
+        } else {
+          val (l0, len, hi, pn, pb) = part
+          val (hi2, db) = QuantileOps.pushUp(hi, vals, level, c)
+          part = (l0, len, hi2, pn, pb + db)
+        }
+      }
+      val seeded = (part._1, part._2, part._3, n, part._5 + b)
+      QuantileOps.merge(buf, seeded, c)
+    }
+
+    override def merge(a: QuantileBuf, b: QuantileBuf): QuantileBuf =
+      QuantileOps.merge(a, b, c)
+
+    override def finish(buf: QuantileBuf): (Seq[(Long, Long)], Long, Long) =
+      QuantileOps.finish(buf)
+
+    override def bufferEncoder: ExpressionEncoder[QuantileBuf] =
+      ExpressionEncoder[QuantileBuf]()
+    override def outputEncoder
+        : ExpressionEncoder[(Seq[(Long, Long)], Long, Long)] =
+      ExpressionEncoder[(Seq[(Long, Long)], Long, Long)]()
+  }
+
+  /** Quantile summary as an untyped column aggregate — OUT is a struct
+    * `(_1: array<struct<_1: value, _2: weight>>, _2: n, _3: B)`.
+    */
+  def quantileSketch(value: Column, c: Int): Column =
+    udaf(new QuantileAgg(c), Encoders.scalaLong).apply(value)
+
+  /** Re-aggregate persisted summaries (see [[QuantileMergeAgg]]). */
+  def quantileMerge(sketch: Column, c: Int): Column =
+    udaf(new QuantileMergeAgg(c),
+      ExpressionEncoder[(Seq[(Long, Long)], Long, Long)]()).apply(
+      sketch.getField("_1"), sketch.getField("_2"), sketch.getField("_3"))
+
+  /** Rows-seen n carried by a quantile summary. */
+  def quantileN(sk: Column): Column = sk.getField("_2")
+
+  /** The summary's own worst-case rank-error budget B (0 ⇔ exact). */
+  def quantileErr(sk: Column): Column = sk.getField("_3")
+
+  /** Rank bound for verdicts: B + the largest entry weight (the
+    * estimator overshoots its target rank by less than one entry).
+    */
+  def quantileRankBound(sk: Column): Column =
+    quantileErr(sk) + coalesce(
+      array_max(transform(sk.getField("_1"), _.getField("_2"))), lit(0L))
+
+  /** Quantile estimate: the first entry (value ascending) whose
+    * cumulative weight reaches r = max(1, ⌈q·n⌉). In the exact regime
+    * this is precisely `element_at(sorted, ceil(q·n))` — the same rank
+    * convention as [[sampleQuantile]] and the oracle queries.
+    */
+  def quantileEstimate(sk: Column, q: Double): Column = {
+    val target = greatest(lit(1L),
+      ceil(quantileN(sk).cast("double") * lit(q)).cast("long"))
+    aggregate(sk.getField("_1"),
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+      (acc, x) => {
+        val cum = acc.getField("cum") + x.getField("_2")
+        struct(cum.as("cum"),
+          when(acc.getField("ans").isNull && cum >= target, x.getField("_1"))
+            .otherwise(acc.getField("ans")).as("ans"))
+      },
+      acc => acc.getField("ans"))
+  }
+
   /** Production hash for the sketch input: `xxhash64 >>> 4`, uniform on
     * [0, 2⁶⁰) like `md5_long60` but whole-stage-codegen'd and ~10×
     * cheaper — the right kernel when the scan is 100 TB and nothing

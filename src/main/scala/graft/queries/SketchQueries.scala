@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.Sketches
@@ -734,6 +734,77 @@ object SketchQueries {
              CAST(1 AS BIGINT) AS size_ok, CAST(1 AS BIGINT) AS bounds_ok,
              CAST(1 AS BIGINT) AS heavy_ok
       FROM g JOIN t5 USING (wns)""")),
+
+    // ---- FULL-STREAM QUANTILE SKETCH (MRL'98 deterministic
+    //      compaction / KLL level scheme): per-source doc-length
+    //      percentiles over ALL rows — the query q129's distinct-value
+    //      samples can't answer — without a sort of the group,
+    //      deterministic where approx_percentile is not, and with a
+    //      persist + re-aggregate contract. Three legs:
+    //      (a) EXACT regime, c=512: n ≤ c at every test SF, so B = 0
+    //          and p50/p90 equal DuckDB's ⌈q·n⌉ order statistics bit
+    //          for bit (same rank convention as q129);
+    //      (b) OVER capacity, c=16: entry content is merge-tree-
+    //          dependent, so what's pinned is the THEOREM — the
+    //          returned value v satisfies rank_≤(v) ≥ r − (B+maxw) and
+    //          rank_<(v) ≤ r + (B+maxw) with B the sketch's own
+    //          tracked compaction budget — as verdict columns checked
+    //          against the exact value list (in-query reference
+    //          column, the cost the sketch path avoids at scale);
+    //      (c) ROLLUP: per-(source, lang) c=16 summaries persisted to
+    //          parquet, reloaded, re-aggregated per source through
+    //          quantileMerge — n is conserved exactly and the merged
+    //          summary's own (bigger) B still bounds its rank error.
+    Q("q135_quantile_sketch", (s, dir) => {
+      val cE = 512; val cO = 16
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"))
+      val daily = docs.groupBy("source", "lang")
+        .agg(Sketches.quantileSketch(col("n_chars"), cO).as("sk"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q135").toString
+      daily.write.mode("overwrite").parquet(tmp)
+      val rolled = s.read.parquet(tmp).groupBy("source")
+        .agg(Sketches.quantileMerge(col("sk"), cO).as("rsk"))
+      val base = docs.groupBy("source")
+        .agg(Sketches.quantileSketch(col("n_chars"), cE).as("skE"),
+          Sketches.quantileSketch(col("n_chars"), cO).as("skO"),
+          count(lit(1)).as("n_rows"),
+          array_sort(collect_list(col("n_chars"))).as("vals"))
+      def target(q: Double) = greatest(lit(1L),
+        ceil(col("n_rows").cast("double") * lit(q)).cast("long"))
+      def rankOk(sk: Column, q: Double) = {
+        val v = Sketches.quantileEstimate(sk, q)
+        val bound = Sketches.quantileRankBound(sk)
+        val le = size(filter(col("vals"), x => x <= v)).cast("long")
+        val lt = size(filter(col("vals"), x => x < v)).cast("long")
+        (le >= target(q) - bound && lt <= target(q) + bound).cast("long")
+      }
+      base.join(rolled, "source")
+        .select(col("source"), col("n_rows"),
+          Sketches.quantileN(col("skE")).as("n"),
+          Sketches.quantileErr(col("skE")).as("err_exact"),
+          Sketches.quantileEstimate(col("skE"), 0.5).as("p50"),
+          Sketches.quantileEstimate(col("skE"), 0.9).as("p90"),
+          rankOk(col("skO"), 0.5).as("rank50_ok"),
+          rankOk(col("skO"), 0.9).as("rank90_ok"),
+          Sketches.quantileN(col("rsk")).as("n_rollup"),
+          rankOk(col("rsk"), 0.5).as("rollup50_ok"),
+          rankOk(col("rsk"), 0.9).as("rollup90_ok"))
+    }, Some("""
+      WITH ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+               (list(n_chars ORDER BY n_chars))
+                 [CAST(GREATEST(1, ceil(count(*) * 0.5)) AS BIGINT)] AS p50,
+               (list(n_chars ORDER BY n_chars))
+                 [CAST(GREATEST(1, ceil(count(*) * 0.9)) AS BIGINT)] AS p90
+             FROM documents GROUP BY 1)
+      SELECT source, n_rows, n_rows AS n, CAST(0 AS BIGINT) AS err_exact,
+             CAST(p50 AS BIGINT) AS p50, CAST(p90 AS BIGINT) AS p90,
+             CAST(1 AS BIGINT) AS rank50_ok, CAST(1 AS BIGINT) AS rank90_ok,
+             n_rows AS n_rollup,
+             CAST(1 AS BIGINT) AS rollup50_ok,
+             CAST(1 AS BIGINT) AS rollup90_ok
+      FROM ex""")),
 
     // ---- the SQL SURFACE under oracle signal: the q122 pipeline as
     //      ONE spark.sql STRING — kmv_sketch256 udaf + the kmv_*

@@ -142,6 +142,114 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  private def quantViaTree(agg: Sketches.QuantileAgg, values: Seq[Long],
+                           parts: Int, rnd: Random)
+      : (Seq[(Long, Long)], Long, Long) = {
+    val chunks = values.grouped(math.max(1, values.size / parts)).toBuffer
+    val bufs = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+    while (bufs.size > 1) {
+      val i = rnd.nextInt(bufs.size)
+      val a = bufs.remove(i)
+      val j = rnd.nextInt(bufs.size)
+      val b = bufs.remove(j)
+      bufs.insert(rnd.nextInt(bufs.size + 1), agg.merge(a, b))
+    }
+    agg.finish(if (bufs.isEmpty) agg.zero else bufs.head)
+  }
+
+  /** Scala replay of the quantileEstimate column expression. */
+  private def quantEst(out: (Seq[(Long, Long)], Long, Long), q: Double): Long = {
+    val (entries, n, _) = out
+    val target = math.max(1L, math.ceil(n * q).toLong)
+    var cum = 0L
+    entries.foreach { case (v, w) =>
+      cum += w
+      if (cum >= target) return v
+    }
+    entries.last._1
+  }
+
+  test("QuantileAgg exact regime: n <= c is the exact sorted multiset, any merge tree") {
+    val rnd = new Random(5151)
+    for (trial <- 0 until 40) {
+      val c = 2 * (2 + rnd.nextInt(40))
+      val n = rnd.nextInt(c + 1)
+      val values = Seq.fill(n)(rnd.nextInt(100).toLong) // duplicates likely
+      val agg = new Sketches.QuantileAgg(c)
+      val (entries, gotN, b) = quantViaTree(agg, values, 1 + rnd.nextInt(6), rnd)
+      assert(gotN == n && b == 0L, s"trial $trial c=$c n=$n B=$b")
+      assert(entries == values.sorted.map((_, 1L)), s"trial $trial c=$c n=$n")
+    }
+  }
+
+  test("QuantileAgg over capacity: tracked B bounds every rank, any merge tree") {
+    val rnd = new Random(6161)
+    for (trial <- 0 until 40) {
+      val c = 2 * (2 + rnd.nextInt(30))
+      val n = c + 1 + rnd.nextInt(5000)
+      val values = Seq.fill(n)(rnd.nextInt(2000).toLong)
+      val agg = new Sketches.QuantileAgg(c)
+      val out @ (entries, gotN, b) =
+        quantViaTree(agg, values, 1 + rnd.nextInt(8), rnd)
+      assert(gotN == n, s"trial $trial: n bookkeeping")
+      assert(b > 0L, s"trial $trial: over capacity must have compacted")
+      // weights are powers of two; the value-ascending canonical order
+      assert(entries.forall(e => java.lang.Long.bitCount(e._2) == 1))
+      assert(entries.map(_._1) == entries.map(_._1).sorted)
+      // total weight within B of n (compactions may shed an odd tail)
+      val w = entries.map(_._2).sum
+      assert(math.abs(w - n) <= b, s"trial $trial: |W-n|=${w - n} > B=$b")
+      // the W(t)-vs-true invariant the estimator bound rests on
+      val sortedVals = values.sorted
+      val maxw = entries.map(_._2).max
+      Seq(0.05, 0.25, 0.5, 0.75, 0.9, 0.99).foreach { q =>
+        val v = quantEst(out, q)
+        val r = math.max(1L, math.ceil(n * q).toLong)
+        val le = sortedVals.count(_ <= v).toLong
+        val lt = sortedVals.count(_ < v).toLong
+        assert(le >= r - (b + maxw) && lt <= r + (b + maxw),
+          s"trial $trial q=$q: rank [$lt,$le] vs target $r bound ${b + maxw}")
+      }
+    }
+  }
+
+  test("QuantileMergeAgg rollup: parts re-aggregate with conserved n and valid B") {
+    val rnd = new Random(7272)
+    for (trial <- 0 until 25) {
+      val c = 2 * (2 + rnd.nextInt(20))
+      val n = 100 + rnd.nextInt(3000)
+      val values = Seq.fill(n)(rnd.nextInt(1000).toLong)
+      val agg = new Sketches.QuantileAgg(c)
+      val nParts = 1 + rnd.nextInt(7)
+      val parts = values.grouped(math.max(1, n / nParts)).toSeq
+        .map(chunk => agg.finish(chunk.foldLeft(agg.zero)(agg.reduce)))
+      val mAgg = new Sketches.QuantileMergeAgg(c)
+      val bufs = parts.map(p => mAgg.reduce(mAgg.zero, p)).toBuffer
+      while (bufs.size > 1) {
+        val a = bufs.remove(rnd.nextInt(bufs.size))
+        val b = bufs.remove(rnd.nextInt(bufs.size))
+        bufs.insert(rnd.nextInt(bufs.size + 1), mAgg.merge(a, b))
+      }
+      val out @ (entries, gotN, b) = mAgg.finish(bufs.head)
+      assert(gotN == n, s"trial $trial: rollup must conserve n")
+      val sortedVals = values.sorted
+      val maxw = entries.map(_._2).max
+      Seq(0.5, 0.9).foreach { q =>
+        val v = quantEst(out, q)
+        val r = math.max(1L, math.ceil(n * q).toLong)
+        val le = sortedVals.count(_ <= v).toLong
+        val lt = sortedVals.count(_ < v).toLong
+        assert(le >= r - (b + maxw) && lt <= r + (b + maxw),
+          s"trial $trial q=$q rollup rank [$lt,$le] vs $r bound ${b + maxw}")
+      }
+      // exact parts (each under capacity) roll up losslessly when the
+      // union also fits: B = 0 and the multiset survives
+      if (n <= c) {
+        assert(b == 0L && entries == values.sorted.map((_, 1L)))
+      }
+    }
+  }
+
   test("priority subset-sum reference: estimate formula matches a direct replay") {
     // the column expression is pinned vs DuckDB in q127/q128; here the
     // SAME arithmetic is checked against a scala replay on the agg's

@@ -352,6 +352,68 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantileSketch: exact regime matches order statistics; persists and rolls up") {
+    GraftExtensions.register(spark)
+    // exact regime: 300 skewed values, c=512 -> B=0, quantiles exact
+    val vals = spark.range(300)
+      .select((col("id") * col("id") % 1009).as("v"))
+    val row = vals
+      .agg(Sketches.quantileSketch(col("v"), 512).as("sk"),
+        expr("element_at(array_sort(collect_list(v)), cast(ceil(count(1) * 0.5) as int))").as("p50x"),
+        expr("element_at(array_sort(collect_list(v)), cast(ceil(count(1) * 0.9) as int))").as("p90x"))
+      .select(Sketches.quantileErr(col("sk")).as("b"),
+        Sketches.quantileN(col("sk")).as("n"),
+        Sketches.quantileEstimate(col("sk"), 0.5).as("p50"),
+        Sketches.quantileEstimate(col("sk"), 0.9).as("p90"),
+        col("p50x"), col("p90x"))
+      .head
+    assert(row.getAs[Long]("b") == 0L && row.getAs[Long]("n") == 300L)
+    assert(row.getAs[Long]("p50") == row.getAs[Long]("p50x"))
+    assert(row.getAs[Long]("p90") == row.getAs[Long]("p90x"))
+    // over capacity: the summary's own bound holds vs the exact rank
+    val big = spark.range(50000)
+      .select((col("id") * 7919 % 100003).as("v"))
+    val r2 = big
+      .agg(Sketches.quantileSketch(col("v"), 64).as("sk"),
+        array_sort(collect_list(col("v"))).as("vals"))
+      .select(Sketches.quantileEstimate(col("sk"), 0.5).as("p50"),
+        Sketches.quantileRankBound(col("sk")).as("bound"),
+        Sketches.quantileN(col("sk")).as("n"), col("vals"))
+      .head
+    val est = r2.getAs[Long]("p50"); val bound = r2.getAs[Long]("bound")
+    val sorted = r2.getAs[scala.collection.Seq[Long]]("vals")
+    val target = math.ceil(r2.getAs[Long]("n") * 0.5).toLong
+    val le = sorted.count(_ <= est).toLong
+    val lt = sorted.count(_ < est).toLong
+    assert(le >= target - bound && lt <= target + bound,
+      s"rank [$lt,$le] vs $target +- $bound")
+    // persist -> reload -> quantileMerge: n conserved, parquet-safe schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qsk").toString
+    spark.range(1000)
+      .select((col("id") % 5).as("g"), (col("id") * 13 % 501).as("v"))
+      .groupBy("g").agg(Sketches.quantileSketch(col("v"), 32).as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val rolled = spark.read.parquet(tmp)
+      .agg(Sketches.quantileMerge(col("sk"), 32).as("rsk"))
+      .select(Sketches.quantileN(col("rsk")).as("n")).head
+    assert(rolled.getAs[Long]("n") == 1000L)
+  }
+
+  test("quantileSketch plan shape: one shuffle, partial+final ObjectHashAggregate") {
+    GraftExtensions.register(spark)
+    val df = spark.range(100000)
+      .select((col("id") % 10).as("g"), (col("id") % 997).as("v"))
+      .groupBy("g").agg(Sketches.quantileSketch(col("v"), 128).as("sk"))
+    val c = graft.tools.PlanIntrospect.counts(df)
+    assert(c.shuffles == 1, s"expected exactly one shuffle: ${c.render}")
+    val aggs = graft.tools.PlanIntrospect
+      .nodes(df.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec])
+    assert(aggs.size >= 2,
+      s"expected partial+final ObjectHashAggregate, got ${aggs.size}")
+  }
+
   test("SQL surface: kmv_sketch256 serves the same aggregate through spark.sql") {
     GraftExtensions.register(spark)
     spark.range(5000).select(expr("md5_long60(cast(id % 777 as string))").as("h"))
