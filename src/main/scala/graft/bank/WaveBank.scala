@@ -255,6 +255,92 @@ class WaveBank(spark: SparkSession, root: String,
       clustered.write.mode(SaveMode.Append).parquet(liveIndexPath)
       bumpStamp()
     }
+    statsWrite(df, overwrite = false)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted sketch columns (round 10): every index write also stamps
+  // per-day SKETCH PARTIALS into a sidecar, so the operational
+  // questions a dashboard asks of a 100 TB archive — "how many
+  // distinct channels were active per day", "p50 segment length",
+  // "total samples" — answer from kilobytes of mergeable summaries
+  // with NO index scan at all. The partials are the mergeable-
+  // summaries contract applied to the store: append-only rows, one
+  // per (day × write batch), rolled up losslessly at read time (k-min
+  // of k-mins = k-min of the union; quantile parts re-enter the level
+  // stack at their weights). The q125 persisted-rollup pattern, moved
+  // from a query into the bank itself (q136 pins it end to end).
+  // ------------------------------------------------------------------
+
+  /** Sketch parameters of the sidecar (fixed per store: partials only
+    * merge with partials of the same size).
+    */
+  val statsSeedK: Int = 64
+  val statsLenC: Int = 128
+  private val DayNs = 86_400_000_000_000L
+
+  private[graft] def statsSketchPath: String = s"$root/stats_sketch"
+
+  private def statsExists: Boolean =
+    hadoopFs.exists(new org.apache.hadoop.fs.Path(statsSketchPath))
+
+  /** One sketch-partial row per day present in `batch`: segment count,
+    * total samples, a KMV sketch of the distinct seed ids, and a
+    * quantile summary of the segment lengths. Deterministic (pure
+    * functions of the batch's value set), so rebuilds reproduce
+    * appends bit for bit.
+    */
+  private def statsPartials(batch: DataFrame): DataFrame = {
+    import graft.operators.Sketches
+    graft.plans.GraftExtensions.register(spark)
+    batch.select(
+        floor(col("starttime") / lit(DayNs)).cast("long").as("day"),
+        concat_ws(".", col("network"), col("station"), col("location"),
+          col("channel")).as("seed_id"),
+        ((col("endtime") - col("starttime")) / col("sampling_period"))
+          .cast("long").as("n_samples"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("n_samples")).as("sum_samples"),
+        Sketches.kmvSketch(expr("md5_long60(seed_id)"), statsSeedK)
+          .as("seed_sk"),
+        Sketches.quantileSketch(col("n_samples"), statsLenC).as("len_sk"))
+  }
+
+  /** Append (or, for first-build/rewrite paths, replace) the sidecar.
+    * Derived data: a crash between index and sidecar writes at worst
+    * loses partials, repaired by the next [[statsRebuild]]; rewrites
+    * are plain overwrites because every consumer reads through
+    * [[sketchStats]]'s rollup, which tolerates an in-flight swap no
+    * worse than any other derived view.
+    */
+  private def statsWrite(batch: DataFrame, overwrite: Boolean): Unit =
+    statsPartials(batch).write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .parquet(statsSketchPath)
+
+  /** Recompute the sidecar from an index frame (the in-place-
+    * modification rewrite path, and backfill for stores that predate
+    * the sidecar).
+    */
+  private def statsRebuild(index: DataFrame): Unit =
+    statsWrite(index, overwrite = true)
+
+  /** Day-granular sketch stats, one row per day: the sidecar partials
+    * rolled up through the LOSSLESS merges — identical to sketching
+    * the live index from scratch (q136's verdict), at the cost of
+    * reading a few kilobytes instead of the index. Backfills the
+    * sidecar from the index for pre-sidecar stores.
+    */
+  def sketchStats(): DataFrame = {
+    import graft.operators.Sketches
+    if (!statsExists && indexExists) statsRebuild(indexDf)
+    spark.read.parquet(statsSketchPath)
+      .groupBy("day")
+      .agg(sum(col("n_segments")).as("n_segments"),
+        sum(col("sum_samples")).as("sum_samples"),
+        Sketches.kmvMerge(col("seed_sk"), statsSeedK).as("seed_sk"),
+        Sketches.quantileMerge(col("len_sk"), statsLenC).as("len_sk"))
   }
 
   /** Rewrite the index's accumulated append files into one globally
@@ -430,6 +516,11 @@ class WaveBank(spark: SparkSession, root: String,
     // `max(indexed_at)` probe above.
     if (lastIndexed == Long.MinValue) {
       if (newIndex.limit(1).count() > 0) {
+        // fresh build: drop any sidecar left over from a deleted index
+        // (enforceVersion, external cleanup) before the append re-stamps
+        if (statsExists)
+          hadoopFs.delete(
+            new org.apache.hadoop.fs.Path(statsSketchPath), true)
         indexAppend(newIndex)
         indexCache.foreach(_.clear())
       }
@@ -480,6 +571,7 @@ class WaveBank(spark: SparkSession, root: String,
                 "starttime")
             if (txIndex) { txTable.overwrite(rewritten); () }
             else writeGeneration(rewritten)
+            statsRebuild(rewritten)
           }
           indexCache.foreach(_.clear())
         }

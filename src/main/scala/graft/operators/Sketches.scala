@@ -110,6 +110,31 @@ object Sketches {
   def kmvSketch(hash: Column, k: Int): Column =
     udaf(new KmvAgg(k), Encoders.scalaLong).apply(hash)
 
+  /** Re-aggregation of PERSISTED KMV sketches: IN = a sketch array,
+    * merged through [[KmvAgg.merge]] directly — the rollup path without
+    * q125's explode-and-resketch row multiplication (one input row per
+    * part instead of k). Lossless like any KMV merge: k-min of k-mins
+    * = k-min of the union.
+    */
+  final class KmvMergeAgg(k: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val inner = new KmvAgg(k)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(buf: Array[Long], in: Array[Long]): Array[Long] =
+      inner.merge(buf, in)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** [[KmvMergeAgg]] as an untyped column aggregate. */
+  def kmvMerge(sk: Column, k: Int): Column =
+    udaf(new KmvMergeAgg(k), ExpressionEncoder[Array[Long]]()).apply(sk)
+
   /** θ of a sketch: the k-th minimum when the sketch is full, else the
     * whole hash space (the sketch is exact). Every hash in the sketch
     * strictly below θ is a uniform sample of the group's distinct

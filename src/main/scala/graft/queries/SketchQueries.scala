@@ -806,6 +806,80 @@ object SketchQueries {
              CAST(1 AS BIGINT) AS rollup90_ok
       FROM ex""")),
 
+    // ---- PERSISTED SKETCHES IN THE BANK INDEX (round 10): every
+    //      WaveBank index write stamps per-day sketch partials (KMV of
+    //      distinct seed ids, quantile summary of segment lengths,
+    //      counts) into a sidecar; `sketchStats()` rolls them up
+    //      LOSSLESSLY at read time — the operational dashboard answers
+    //      ("distinct channels active per day", "p50 segment length")
+    //      from kilobytes with no index scan. This query drives two
+    //      real putWaveforms passes (→ two partial rows per day), then
+    //      pins (a) the rolled-up sketches BIT-EQUAL to a from-scratch
+    //      resketch of the live index (seed_eq / len_eq — the k-min-of-
+    //      k-mins and exact-regime-rollup theorems applied to the
+    //      store), and (b) every value column arithmetically in DuckDB
+    //      (counts, sums, exact-mode distinct estimate, the ⌈n/2⌉ p50).
+    Q("q136_bank_sketch_stats", (s, dir) => {
+      import graft.bank.WaveBank
+      val T0 = 1_600_000_000_000_000_000L
+      val dayNs = 86_400_000_000_000L
+      val segs = Tables.events(s, dir)
+        .select((col("user_id") % 4).as("sid"),
+          (col("event_id") % 48).as("slot"), col("event_id"))
+        .groupBy("sid", "slot").agg((min("event_id") % 64).as("v0"))
+        .select(lit("XX").as("network"),
+          concat(lit("S"), col("sid")).as("station"),
+          lit("").as("location"),
+          concat(lit("BH"), when(col("slot") % 2 === 0, lit("Z"))
+            .otherwise(lit("N"))).as("channel"),
+          (lit(T0) + col("slot") * lit(3_600_000_000_000L)).as("starttime"),
+          lit(1_000_000_000L).as("sampling_period"),
+          transform(sequence(lit(1L), col("v0") + lit(10L)),
+            _ => lit(0.0)).as("samples"),
+          col("slot"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q136").toString
+      val bank = new WaveBank(s, root)
+      bank.putWaveforms(segs.filter(col("slot") < 24).drop("slot"))
+      bank.putWaveforms(segs.filter(col("slot") >= 24).drop("slot"))
+      val stats = bank.sketchStats()
+      val idx = bank.readIndex().select(
+        floor(col("starttime") / lit(dayNs)).cast("long").as("day"),
+        concat_ws(".", col("network"), col("station"), col("location"),
+          col("channel")).as("seed_id"),
+        ((col("endtime") - col("starttime")) / col("sampling_period"))
+          .cast("long").as("n_samples"))
+      val direct = idx.groupBy("day").agg(
+        Sketches.kmvSketch(expr("md5_long60(seed_id)"), bank.statsSeedK)
+          .as("dsk"),
+        Sketches.quantileSketch(col("n_samples"), bank.statsLenC).as("dlen"))
+      stats.join(direct, "day").select(
+        col("day"), col("n_segments"), col("sum_samples"),
+        Sketches.kmvEstimate(col("seed_sk"), bank.statsSeedK).as("n_seeds"),
+        (col("seed_sk") === col("dsk")).cast("long").as("seed_eq"),
+        Sketches.quantileN(col("len_sk")).as("n_rollup"),
+        Sketches.quantileEstimate(col("len_sk"), 0.5).as("p50_len"),
+        (col("len_sk") === col("dlen")).cast("long").as("len_eq"))
+    }, Some("""
+      WITH base AS (
+        SELECT user_id % 4 AS sid, event_id % 48 AS slot,
+               MIN(event_id) % 64 AS v0
+        FROM events GROUP BY 1, 2),
+      seg AS (SELECT sid, slot, v0 + 10 AS len,
+                     (1600000000000000000 + slot * 3600000000000)
+                       // 86400000000000 AS day
+              FROM base)
+      SELECT day, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(len) AS BIGINT) AS sum_samples,
+             CAST(count(DISTINCT sid * 2 + slot % 2) AS DOUBLE) AS n_seeds,
+             CAST(1 AS BIGINT) AS seed_eq,
+             CAST(count(*) AS BIGINT) AS n_rollup,
+             CAST((list(len ORDER BY len))
+               [CAST(GREATEST(1, ceil(count(*) * 0.5)) AS BIGINT)]
+               AS BIGINT) AS p50_len,
+             CAST(1 AS BIGINT) AS len_eq
+      FROM seg GROUP BY 1""")),
+
     // ---- the SQL SURFACE under oracle signal: the q122 pipeline as
     //      ONE spark.sql STRING — kmv_sketch256 udaf + the kmv_*
     //      registry builders, no Scala column API anywhere — against
