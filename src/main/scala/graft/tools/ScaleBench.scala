@@ -1,7 +1,7 @@
 package graft.tools
 
 import java.nio.file.Files
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, TextStats}
 import graft.queries.{DedupQueries, DomainQueries, TextQueries, WindowQueries}
@@ -1236,7 +1236,211 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson}""")
+    // Misra–Gries frequent items vs exact groupBy-count top-k (env
+    // GRAFT_SCALE_FREQ=<rows>[:k], default 64): skewed item stream —
+    // 8 planted heavy hitters carry 40 % of the rows (5 % each), the
+    // remaining 60 % spread uniformly over rows/100 distinct tail
+    // items — the "top domains/tokens over 100 TB" shape. Exact path
+    // shuffles every distinct item twice (partial+final count, then a
+    // global top-k sort); the MG path ships ONE ≤k counter array per
+    // partition. Above capacity MG counts are merge-tree-dependent, so
+    // the assertions are the THEOREMS: no overcount, undercount
+    // ≤ (n−ŝ)/(k+1), and every planted heavy (5 % ≫ 1/(k+1)) present.
+    val freqJson = sys.env.get("GRAFT_SCALE_FREQ").map { sN =>
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val k = if (parts.length >= 2) parts(1).toInt else 64
+      val tail = math.max(1L, n / 100)
+      val df = spark.range(n).select(
+        when(col("id") % 20 < 8, concat(lit("hh"), col("id") % 20))
+          .otherwise(concat(lit("t"), col("id") % tail)).as("item"))
+      def timed[A](f: => A): (A, Double) = {
+        val t = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t) / 1e9)
+      }
+      val (_, scanS) = timed(df.select(count(lit(1))).head().getLong(0))
+      val (exactTop, exactS) = timed {
+        df.groupBy("item").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("item").asc).limit(10).collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+      }
+      val (sk, mgS) = timed {
+        df.agg(graft.operators.Sketches.freqSketch(col("item"), k).as("sk"))
+          .select(graft.operators.Sketches.freqItems(col("sk")).as("entries"),
+            graft.operators.Sketches.freqRetained(col("sk")).as("ret"))
+          .head()
+      }
+      val skMap = sk.getSeq[Row](0)
+        .map(e => e.getString(0) -> e.getLong(1)).toMap
+      val retained = sk.getLong(1)
+      val slack = (n - retained) / (k + 1)
+      val heavies = (0 until 8).map(i => s"hh$i")
+      heavies.foreach { h =>
+        val est = skMap.getOrElse(h,
+          sys.error(s"planted heavy $h missing from MG(k=$k) summary"))
+        val exact = exactTop.toMap.apply(h)
+        require(est <= exact && exact - est <= slack,
+          s"$h: est $est vs exact $exact outside [exact-$slack, exact]")
+      }
+      val maxErr = heavies.map(h => exactTop.toMap.apply(h) - skMap(h)).max
+      s""","mg_freq":{"rows":$n,"k":$k,"tail_distinct":$tail,""" +
+        s""""scan_s":${fmt(scanS)},"exact_s":${fmt(exactS)},""" +
+        s""""mg_s":${fmt(mgS)},"retained":$retained,""" +
+        s""""undercount_bound":$slack,"max_heavy_err":$maxErr}"""
+    }.getOrElse("")
+
+    // Quantile sketch vs exact percentile vs builtin approx_percentile
+    // (env GRAFT_SCALE_QSKETCH=<rows>[:c:groups], default 256:1024):
+    // values uniform over 10⁶ distinct via a bijective multiply-mod —
+    // exact `percentile` is the full-shuffle reference, builtin
+    // approx_percentile the opaque/non-reaggregable middle, the
+    // QuantileAgg summary the mergeable path. Also the ROLLUP leg:
+    // per-group c-summaries persisted then re-aggregated through
+    // QuantileMergeAgg — n conserved exactly, the merged sketch's own
+    // tracked rank bound asserted against the exact rank of its p50
+    // answer (computed with one extra pass — the cost the sketch
+    // avoids at scale).
+    val qsketchJson = sys.env.get("GRAFT_SCALE_QSKETCH").map { sN =>
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val (c, groups) =
+        if (parts.length >= 3) (parts(1).toInt, parts(2).toInt) else (256, 1024)
+      val dom = 1000000L
+      val df = spark.range(n).select(col("id"),
+        ((col("id") * 2654435761L) % dom).as("v"),
+        (col("id") % groups).as("g"))
+      def timed[A](f: => A): (A, Double) = {
+        val t = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t) / 1e9)
+      }
+      val (_, scanS) = timed(df.select(count(lit(1))).head().getLong(0))
+      val (exactQ, exactS) = timed {
+        val r = df.select(
+          expr("percentile(v, array(0.5, 0.99))").as("p")).head()
+        r.getSeq[Double](0)
+      }
+      val (approxQ, approxS) = timed {
+        val r = df.select(
+          expr("approx_percentile(v, array(0.5, 0.99), 10000)").as("p"))
+          .head()
+        r.getSeq[Long](0)
+      }
+      val (skRow, skS) = timed {
+        df.agg(graft.operators.Sketches.quantileSketch(col("v"), c).as("sk"))
+          .select(
+            graft.operators.Sketches.quantileEstimate(col("sk"), 0.5)
+              .as("p50"),
+            graft.operators.Sketches.quantileEstimate(col("sk"), 0.99)
+              .as("p99"),
+            graft.operators.Sketches.quantileN(col("sk")).as("n"),
+            graft.operators.Sketches.quantileRankBound(col("sk")).as("rb"))
+          .head()
+      }
+      require(skRow.getLong(2) == n,
+        s"sketch n ${skRow.getLong(2)} != $n (weight conservation)")
+      // rollup leg: persisted per-group summaries → one merged summary
+      val partDir = s"$root/qsketch_$n"
+      val (_, buildS) = timed {
+        df.groupBy("g")
+          .agg(graft.operators.Sketches.quantileSketch(col("v"), c).as("sk"))
+          .write.mode("overwrite").parquet(partDir)
+      }
+      val (merged, mergeS) = timed {
+        spark.read.parquet(partDir)
+          .agg(graft.operators.Sketches.quantileMerge(col("sk"), c).as("sk"))
+          .select(
+            graft.operators.Sketches.quantileEstimate(col("sk"), 0.5)
+              .as("p50"),
+            graft.operators.Sketches.quantileN(col("sk")).as("n"),
+            graft.operators.Sketches.quantileRankBound(col("sk")).as("rb"))
+          .head()
+      }
+      require(merged.getLong(1) == n,
+        s"rollup n ${merged.getLong(1)} != $n — merge lost weight")
+      // the theorem, audited with one extra pass: exact rank of the
+      // merged p50 answer within rankBound of the target rank ⌈n/2⌉
+      val v50 = merged.getLong(0)
+      val rankLe = df.filter(col("v") <= v50).count()
+      val rankLt = df.filter(col("v") < v50).count()
+      val target = (n + 1) / 2
+      val rb = merged.getLong(2)
+      require(rankLe >= target - rb && rankLt <= target + rb,
+        s"merged p50 $v50: rank_le $rankLe / rank_lt $rankLt vs " +
+          s"target $target ± $rb")
+      s""","quantile_sketch":{"rows":$n,"c":$c,"groups":$groups,""" +
+        s""""scan_s":${fmt(scanS)},"exact_s":${fmt(exactS)},""" +
+        s""""approx_s":${fmt(approxS)},"sketch_s":${fmt(skS)},""" +
+        s""""p50_exact":${fmt(exactQ(0), 1)},"p99_exact":${fmt(exactQ(1), 1)},""" +
+        s""""p50_approx":${approxQ(0)},"p99_approx":${approxQ(1)},""" +
+        s""""p50_sketch":${skRow.getLong(0)},"p99_sketch":${skRow.getLong(1)},""" +
+        s""""rank_bound":${skRow.getLong(3)},""" +
+        s""""rollup_build_s":${fmt(buildS)},"rollup_merge_s":${fmt(mergeS)},""" +
+        s""""rollup_p50":$v50,"rollup_rank_bound":$rb}"""
+    }.getOrElse("")
+
+    // streaming windowed priority sample (env GRAFT_SCALE_PRIORITYSTREAM=
+    // <rows>[:k]): the q128 pipeline at scale — weighted events spread
+    // over 64 six-hour windows, replayed through the file source into
+    // the watermarked windowed PriorityAgg beside a running exact sum.
+    // State per window = one ≤(k+1)-row sample + counters —
+    // cardinality-independent like the kmv stream; emitted windows
+    // carry live subset-sum estimates whose rel err vs the in-window
+    // exact sum is asserted under 5 % and reported at max.
+    val priorityStreamJson = sys.env.get("GRAFT_SCALE_PRIORITYSTREAM").map { sN =>
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val k = if (parts.length >= 2) parts(1).toInt else 64
+      val t0 = 1_600_000_000_000_000_000L
+      val rows = spark.range(n).select(col("id"),
+        (lit(t0) + (col("id") % (64 * 21600)) * lit(1_000_000_000L)).as("ts"),
+        (col("id") % 997 + 1).as("w"),
+        graft.operators.Sketches.kmvHash64(col("id")).as("h"))
+      val flush = spark.range(1).select(lit(-1L).as("id"),
+        lit(t0 + 100L * 86400L * 1_000_000_000L).as("ts"),
+        lit(0L).as("w"), lit(0L).as("h"))
+      def agg(st: DataFrame) = st
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "6 hours").as("win"))
+        .agg(graft.operators.Sketches.prioritySample(
+            col("h"), col("w"), col("id"), k).as("smp"),
+          sum(col("w")).as("sum_exact"))
+        .select(expr("unix_micros(win.start) * 1000").as("window_ns"),
+          graft.operators.Sketches.prioritySubsetSum(
+            col("smp"), k, _ => lit(true)).as("est_total"),
+          col("sum_exact").cast("double").as("sum_exact"))
+      val r = replayBench(spark, s"$root/prioritystream_$n", rows, flush,
+        "ts", agg)
+      // re-derive the emitted estimates in batch to audit window count
+      // and errors (replayBench's foreachBatch sink only counts rows)
+      val batch = rows
+        .groupBy(((col("ts") - lit(t0)) / lit(21600L * 1_000_000_000L))
+          .cast("long").as("wi"))
+        .agg(graft.operators.Sketches.prioritySample(
+            col("h"), col("w"), col("id"), k).as("smp"),
+          sum(col("w")).cast("double").as("sum_exact"))
+        .select(graft.operators.Sketches.prioritySubsetSum(
+            col("smp"), k, _ => lit(true)).as("est"),
+          col("sum_exact"))
+        .agg(count(lit(1)),
+          max(abs(col("est") - col("sum_exact")) / col("sum_exact")))
+        .head()
+      val (nWindows, maxRelErr) = (batch.getLong(0), batch.getDouble(1))
+      require(r.emitted == nWindows,
+        s"stream emitted ${r.emitted} windows, batch derives $nWindows")
+      // DLT variance gives per-window rel std ≈ 1/√(k−2), INDEPENDENT
+      // of window volume; the max over ~64 windows sits at ~2–3σ.
+      // Assert 4σ — a real estimator bug (wrong τ, dropped weight)
+      // lands far outside it, noise never does.
+      require(maxRelErr < 4.0 / math.sqrt((k - 2).toDouble),
+        s"max per-window rel err $maxRelErr >= 4/sqrt(k-2) at k=$k")
+      s""","priority_stream":{"rows":$n,"k":$k,"s":${fmt(r.secs)},""" +
+        s""""rows_per_sec":${fmt(n / r.secs, 0)},"windows":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows},""" +
+        s""""max_rel_err":${fmt(maxRelErr, 4)}}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson}""")
     spark.stop()
   }
 }
