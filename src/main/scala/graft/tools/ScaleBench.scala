@@ -1412,10 +1412,14 @@ object ScaleBench {
       val r = replayBench(spark, s"$root/prioritystream_$n", rows, flush,
         "ts", agg)
       // re-derive the emitted estimates in batch to audit window count
-      // and errors (replayBench's foreachBatch sink only counts rows)
+      // and errors (replayBench's foreachBatch sink only counts rows).
+      // EPOCH-aligned window arithmetic — `window()` aligns to the
+      // epoch, and t0 is not a 6-hour multiple, so t0-aligned math
+      // derives one window fewer over the same span (65 vs 64 at 10⁸).
+      val winNs = 21600L * 1_000_000_000L
       val batch = rows
-        .groupBy(((col("ts") - lit(t0)) / lit(21600L * 1_000_000_000L))
-          .cast("long").as("wi"))
+        .groupBy((col("ts") - ((col("ts") % winNs) + winNs) % winNs)
+          .as("wi"))
         .agg(graft.operators.Sketches.prioritySample(
             col("h"), col("w"), col("id"), k).as("smp"),
           sum(col("w")).cast("double").as("sum_exact"))
