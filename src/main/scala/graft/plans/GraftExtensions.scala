@@ -113,6 +113,31 @@ object GraftExtensions {
           ColumnBridge.expression(
             f(col(exprs(0)), col(exprs(1)), litK(exprs(2), name)))
         })
+    def unary0(name: String)(f: Column => Column) =
+      (FunctionIdentifier(name),
+        new ExpressionInfo(Sketches.getClass.getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"$name(sketch)")
+          ColumnBridge.expression(f(col(exprs(0))))
+        })
+    // SQL fractional literals (`0.5`) parse as DECIMAL, not DOUBLE —
+    // accept both; like k, q shapes the expression at resolution time
+    def litQ(e: Expression, fn: String): Double = e match {
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case Literal(v: Double, _) => v
+      case Literal(v: Int, _) => v.toDouble
+      case Literal(v: Long, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: q must be a numeric literal, got $other")
+    }
+    val quantileEstimateDescriptor =
+      (FunctionIdentifier("quantile_estimate"),
+        new ExpressionInfo(Sketches.getClass.getName, "quantile_estimate"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "quantile_estimate(sketch, q)")
+          ColumnBridge.expression(Sketches.quantileEstimate(
+            col(exprs(0)), litQ(exprs(1), "quantile_estimate")))
+        })
     Seq(
       unary("kmv_estimate")(Sketches.kmvEstimate),
       unary("kmv_theta")(Sketches.kmvTheta),
@@ -120,7 +145,15 @@ object GraftExtensions {
       binary("kmv_union_estimate")(Sketches.kmvUnionEstimate),
       binary("kmv_intersect_estimate")(Sketches.kmvIntersectEstimate),
       binary("kmv_difference_estimate")(Sketches.kmvDifferenceEstimate),
-      binary("kmv_jaccard_estimate")(Sketches.kmvJaccardEstimate))
+      binary("kmv_jaccard_estimate")(Sketches.kmvJaccardEstimate),
+      // round 10: the frequent-items and quantile summaries on the
+      // same pure-expression SQL surface (m like k: an int literal)
+      unary("freq_top_csv")(Sketches.freqTopCsv),
+      unary0("freq_n")(Sketches.freqN),
+      unary0("freq_retained")(Sketches.freqRetained),
+      quantileEstimateDescriptor,
+      unary0("quantile_n")(Sketches.quantileN),
+      unary0("quantile_rank_bound")(Sketches.quantileRankBound))
   }
 
   // Sessions already registered — operators call register() defensively
@@ -140,13 +173,41 @@ object GraftExtensions {
     * and [[register]]; idempotent via the functionExists probe.
     */
   def registerUdafs(spark: SparkSession): Unit = {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.functions.udaf
+    // probe PER GROUP, not once: a session registered by an older jar
+    // has the kmv udafs but not the round-10 additions — a single
+    // oldest-function probe would silently skip them (the
+    // kmv_jaccard_estimate lesson, applied here)
     if (!spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("kmv_sketch256"))) {
-      import graft.operators.Sketches
-      spark.udf.register("kmv_sketch256", org.apache.spark.sql.functions
-        .udaf(new Sketches.KmvAgg(256), org.apache.spark.sql.Encoders.scalaLong))
-      spark.udf.register("kmv_sketch64", org.apache.spark.sql.functions
-        .udaf(new Sketches.KmvAgg(64), org.apache.spark.sql.Encoders.scalaLong))
+      spark.udf.register("kmv_sketch256",
+        udaf(new Sketches.KmvAgg(256), Encoders.scalaLong))
+      spark.udf.register("kmv_sketch64",
+        udaf(new Sketches.KmvAgg(64), Encoders.scalaLong))
+    }
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("quantile_merge512"))) {
+      // round 10: frequent-items + quantile summaries, and the
+      // persisted-sketch MERGE aggregates (rollup with one input row
+      // per part — the bank-sidecar read path) in pure SQL.
+      // quantile_merge512 takes the summary's FIELDS (entries, n, B):
+      // `quantile_merge512(sk._1, sk._2, sk._3)`.
+      spark.udf.register("freq_sketch64",
+        udaf(new Sketches.FreqAgg(64), Encoders.STRING))
+      spark.udf.register("quantile_sketch512",
+        udaf(new Sketches.QuantileAgg(512), Encoders.scalaLong))
+      spark.udf.register("quantile_merge512",
+        udaf(new Sketches.QuantileMergeAgg(512),
+          ExpressionEncoder[(Seq[(Long, Long)], Long, Long)]()))
+      spark.udf.register("kmv_merge256",
+        udaf(new Sketches.KmvMergeAgg(256),
+          ExpressionEncoder[Array[Long]]()))
+      spark.udf.register("kmv_merge64",
+        udaf(new Sketches.KmvMergeAgg(64),
+          ExpressionEncoder[Array[Long]]()))
     }
   }
 
@@ -161,7 +222,7 @@ object GraftExtensions {
     // through and picks up the additions instead of silently missing
     // them.
     if (spark.sessionState.functionRegistry
-        .functionExists(FunctionIdentifier("kmv_jaccard_estimate"))) return
+        .functionExists(FunctionIdentifier("quantile_rank_bound"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -917,6 +917,72 @@ object SketchQueries {
                   ELSE CAST(${K - 1} AS DOUBLE)
                        * CAST($HashSpaceSql AS DOUBLE)
                        / CAST(kth AS DOUBLE) END AS est
-      FROM g"""))
+      FROM g""")),
+
+    // ---- the ROUND-10 SQL SURFACE: frequent-items + quantile
+    //      summaries and the persisted-sketch MERGE aggregates as one
+    //      spark.sql STRING — freq_sketch64/freq_n/freq_top_csv,
+    //      quantile_sketch512/quantile_estimate/quantile_n/
+    //      quantile_rank_bound, and kmv_merge64 rolling per-(source,
+    //      lang) sketches up per source — no Scala column API anywhere
+    //      (the q130 device extended to every round-10 sketch family).
+    //      All three summaries are in the EXACT regime at test SFs
+    //      (per-source vocab ~31 ≤ 64, docs/source ≤ 250 ≤ 512), so
+    //      every output column is bit-checkable in DuckDB: exact
+    //      counts, the ⌈q·n⌉ order statistics, rank_bound = 0+1, and
+    //      vocab_est = exact distinct (k-min union of exact parts is
+    //      exact).
+    Q("q137_freq_quantile_sql_surface", (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("q137_documents")
+      val out = s.sql("""
+        WITH tok AS (
+          SELECT source, lang, explode(split(text, ' ')) AS tok
+          FROM q137_documents),
+        f AS (SELECT source, freq_sketch64(tok) AS fsk
+              FROM tok GROUP BY source),
+        d AS (SELECT source,
+                quantile_sketch512(CAST(n_chars AS BIGINT)) AS qsk
+              FROM q137_documents GROUP BY source),
+        l AS (SELECT source, lang, kmv_sketch64(md5_long60(tok)) AS sk
+              FROM tok GROUP BY source, lang),
+        m AS (SELECT source, kmv_estimate(kmv_merge64(sk), 64) AS vocab_est
+              FROM l GROUP BY source)
+        SELECT f.source,
+               freq_n(fsk) AS n_tokens,
+               freq_top_csv(fsk, 5) AS top5,
+               quantile_n(qsk) AS n_docs,
+               quantile_estimate(qsk, 0.5) AS p50_chars,
+               quantile_estimate(qsk, 0.9) AS p90_chars,
+               quantile_rank_bound(qsk) AS rank_bound,
+               m.vocab_est
+        FROM f JOIN d ON f.source = d.source
+               JOIN m ON f.source = m.source""").localCheckpoint(true)
+      s.catalog.dropTempView("q137_documents")
+      out
+    }, Some("""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      c AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY source ORDER BY c DESC, tok ASC) AS rn
+            FROM c),
+      t5 AS (SELECT source,
+               string_agg(tok || ':' || c, ',' ORDER BY rn) AS top5
+             FROM r WHERE rn <= 5 GROUP BY 1),
+      g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS DOUBLE) AS vocab_est
+            FROM c GROUP BY 1),
+      d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST((list(n_chars ORDER BY n_chars))
+                [CAST(GREATEST(1, ceil(count(*) * 0.5)) AS BIGINT)]
+                AS BIGINT) AS p50_chars,
+              CAST((list(n_chars ORDER BY n_chars))
+                [CAST(GREATEST(1, ceil(count(*) * 0.9)) AS BIGINT)]
+                AS BIGINT) AS p90_chars
+            FROM documents GROUP BY 1)
+      SELECT g.source, g.n_tokens, t5.top5, d.n_docs, d.p50_chars,
+             d.p90_chars, CAST(1 AS BIGINT) AS rank_bound, g.vocab_est
+      FROM g JOIN t5 USING (source) JOIN d USING (source)"""))
   )
 }

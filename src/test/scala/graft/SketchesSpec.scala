@@ -166,6 +166,57 @@ class SketchesSpec extends SparkSpec {
     spark.catalog.dropTempView("alg_b")
   }
 
+  test("pure-SQL freq/quantile surface matches the Scala API (round-10 functions)") {
+    GraftExtensions.register(spark)
+    spark.range(2000)
+      .select(concat(lit("w"), (col("id") % 37).cast("string")).as("tok"),
+        ((col("id") * 13) % 501).as("v"))
+      .createOrReplaceTempView("fq_rows")
+    val sqlRow = spark.sql("""
+      WITH f AS (SELECT freq_sketch64(tok) AS fsk,
+                        quantile_sketch512(v) AS qsk
+                 FROM fq_rows)
+      SELECT freq_n(fsk) AS n, freq_retained(fsk) AS ret,
+             freq_top_csv(fsk, 3) AS top3,
+             quantile_n(qsk) AS qn, quantile_estimate(qsk, 0.5) AS p50,
+             quantile_rank_bound(qsk) AS rb
+      FROM f""").head
+    val apiRow = spark.table("fq_rows")
+      .agg(Sketches.freqSketch(col("tok"), 64).as("fsk"),
+        Sketches.quantileSketch(col("v"), 512).as("qsk"))
+      .select(Sketches.freqN(col("fsk")).as("n"),
+        Sketches.freqRetained(col("fsk")).as("ret"),
+        Sketches.freqTopCsv(col("fsk"), 3).as("top3"),
+        Sketches.quantileN(col("qsk")).as("qn"),
+        Sketches.quantileEstimate(col("qsk"), 0.5).as("p50"),
+        Sketches.quantileRankBound(col("qsk")).as("rb"))
+      .head
+    Seq("n", "ret", "top3", "qn", "p50", "rb").foreach { c =>
+      assert(sqlRow.getAs[Any](c) == apiRow.getAs[Any](c), c)
+    }
+    // the merge udafs: halves of 500 rows are EXACT at c=512, and a
+    // rollup of exact parts is exact — p50 equals the ⌈n/2⌉ order
+    // statistic of the full 1000 rows
+    val merged = spark.sql("""
+      WITH halves AS (
+        SELECT id % 2 AS g, kmv_sketch64(md5_long60(cast(id % 50 as string))) AS ksk,
+               quantile_sketch512(CAST((id * 13) % 501 AS BIGINT)) AS qsk
+        FROM range(1000) GROUP BY 1),
+      m AS (SELECT kmv_estimate(kmv_merge64(ksk), 64) AS kest,
+                   quantile_merge512(qsk._1, qsk._2, qsk._3) AS qm
+            FROM halves)
+      SELECT kest, quantile_n(qm) AS qn,
+             quantile_estimate(qm, 0.5) AS p50 FROM m""").head
+    val p50Exact = spark.sql("""
+      SELECT element_at(array_sort(collect_list(CAST((id * 13) % 501 AS BIGINT))),
+               cast(ceil(count(1) * 0.5) as int)) AS p
+      FROM range(1000)""").head.getAs[Long]("p")
+    assert(merged.getAs[Double]("kest") == 50.0)
+    assert(merged.getAs[Long]("qn") == 1000L)
+    assert(merged.getAs[Long]("p50") == p50Exact)
+    spark.catalog.dropTempView("fq_rows")
+  }
+
   test("priority sample: order/partition-invariant; subset sums track exact; exact below k") {
     GraftExtensions.register(spark)
     val k = 32
