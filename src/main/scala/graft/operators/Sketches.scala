@@ -627,8 +627,18 @@ object Sketches {
           levels = levels.updated(level - 1, merged)
           run = Array.emptyLongArray
         } else { // whole-level compaction: error ≤ items' weight 2^level
-          levels = levels.updated(level - 1, Array.emptyLongArray)
-          run = evenHalf(merged)
+          // odd length: HOLD BACK the max at this level — compaction
+          // must never lose weight, or Σweights < n and a high-q
+          // estimate can run off the end of the summary (found by the
+          // q138 bound audit: cum never reached ⌈0.9n⌉)
+          val odd = merged.length % 2 == 1
+          val toCompact =
+            if (odd) java.util.Arrays.copyOf(merged, merged.length - 1)
+            else merged
+          levels = levels.updated(level - 1,
+            if (odd) Array(merged(merged.length - 1))
+            else Array.emptyLongArray)
+          run = evenHalf(toCompact)
           db += 1L << level
           level += 1
         }
@@ -676,11 +686,15 @@ object Sketches {
         System.arraycopy(al0, 0, all, 0, alen)
         System.arraycopy(bl0, 0, all, alen, blen)
         java.util.Arrays.sort(all)
-        val run = new Array[Long](all.length / 2)
+        // odd length: hold the max back in level 0 (weight conservation
+        // — see pushUp)
+        val odd = all.length % 2 == 1
+        val run = new Array[Long]((all.length - (if (odd) 1 else 0)) / 2)
         var i = 0
         while (i < run.length) { run(i) = all(2 * i); i += 1 }
         db += 1L // compacting weight-1 items
-        l0 = new Array[Long](c); len = 0
+        l0 = new Array[Long](c)
+        if (odd) { l0(0) = all(all.length - 1); len = 1 } else len = 0
         val (hi2, db2) = pushUp(ahi, run, 1, c)
         val (hi3, db3) = foldLevels(hi2, bhi, c)
         return (l0, len, hi3, an + bn, ab + bb + db + db2 + db3)
@@ -812,6 +826,23 @@ object Sketches {
       ExpressionEncoder[(Seq[(Long, Long)], Long, Long)]()).apply(
       sketch.getField("_1"), sketch.getField("_2"), sketch.getField("_3"))
 
+  /** The (value, weight) entries of a quantile summary. */
+  def quantileEntries(sk: Column): Column = sk.getField("_1")
+
+  /** Verdict: the summary respects its size theorem — ≤ c level-0
+    * entries plus ≤ c/2 per populated level, levels bounded by
+    * ⌊log₂ n⌋ + 1 (a run of weight 2^l needs 2^l ≤ n rows behind it):
+    * O(c·log(n/c)) total, the MRL bound. NOT ≤ c — the summary keeps
+    * its level stack, that's what makes the rank bound honest.
+    */
+  def quantileSizeOk(sk: Column, c: Int): Column = {
+    val n = quantileN(sk)
+    val maxLevels = floor(log(2.0,
+      greatest(n.cast("double"), lit(1.0)))).cast("long") + lit(1L)
+    (size(quantileEntries(sk)).cast("long") <=
+      lit(c.toLong) + lit((c / 2).toLong) * maxLevels).cast("long")
+  }
+
   /** Rows-seen n carried by a quantile summary. */
   def quantileN(sk: Column): Column = sk.getField("_2")
 
@@ -842,6 +873,29 @@ object Sketches {
             .otherwise(acc.getField("ans")).as("ans"))
       },
       acc => acc.getField("ans"))
+  }
+
+  /** Verdict: an over-capacity summary's q-estimate lands within its
+    * OWN tracked rank bound, audited against an exact-regime reference
+    * summary of the same group (whose entries ARE the value list, so
+    * true ranks are plain weighted counts over it). Theorem-true for a
+    * correct implementation under any merge tree — the q135/q138
+    * device with the reference carried IN-STREAM, no second scan.
+    * Includes weight conservation (both summaries saw the same n).
+    */
+  def quantileWithinBoundOk(sk: Column, ref: Column, q: Double): Column = {
+    val v = quantileEstimate(sk, q)
+    val n = quantileN(ref)
+    val target = greatest(lit(1L),
+      ceil(n.cast("double") * lit(q)).cast("long"))
+    val rb = quantileRankBound(sk)
+    def rank(cmp: (Column, Column) => Column): Column =
+      aggregate(ref.getField("_1"), lit(0L), (acc, x) =>
+        acc + when(cmp(x.getField("_1"), v), x.getField("_2"))
+          .otherwise(0L))
+    (quantileN(sk) === n &&
+      rank(_ <= _) >= target - rb && rank(_ < _) <= target + rb)
+      .cast("long")
   }
 
   /** Production hash for the sketch input: `xxhash64 >>> 4`, uniform on

@@ -919,6 +919,77 @@ object SketchQueries {
                        / CAST(kth AS DOUBLE) END AS est
       FROM g""")),
 
+    // ---- STREAMING quantile sketch: live per-window percentiles over
+    //      ALL rows ("p50/p90 event value per 6 h window") — the last
+    //      sketch family to get a streaming twin (KMV q124/q126,
+    //      priority q128, freq q134). State per window = two summaries
+    //      + a count. Dual regime in one state row: c=1024 is EXACT at
+    //      every test SF (≤103 rows/window at sf0.01, ≤902 at sf0.1),
+    //      so its p50/p90 are the ⌈q·n⌉ order statistics bit for bit;
+    //      c=8 is OVER capacity, its values merge-order-dependent, so
+    //      what's emitted is the THEOREM — its own tracked rank bound
+    //      audited against the exact-regime summary riding the SAME
+    //      state row (the q134 in-stream-reference device, applied to
+    //      ranks — no second scan, no value pinning).
+    Q("q138_stream_quantile_sketch", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val cE = 1024; val cO = 8
+      val ev = Tables.eventsUs(s, dir).filter(col("ts").isNotNull)
+        .select(floor(col("value") * 1000).cast("long").as("v"), col("ts"))
+      val flush = s.range(1).select(lit(0L).as("v"),
+        lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q138").toString
+      ev.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val agg = stream
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "6 hours").as("w"))
+        .agg(Sketches.quantileSketch(col("v"), cE).as("ske"),
+          Sketches.quantileSketch(col("v"), cO).as("sko"),
+          count(lit(1)).as("n_events"))
+      val sink = "q138_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+          col("n_events"),
+          Sketches.quantileN(col("ske")).as("n"),
+          Sketches.quantileErr(col("ske")).as("b_exact"),
+          Sketches.quantileEstimate(col("ske"), 0.5).as("p50"),
+          Sketches.quantileEstimate(col("ske"), 0.9).as("p90"),
+          Sketches.quantileSizeOk(col("sko"), cO).as("size_ok"),
+          Sketches.quantileWithinBoundOk(col("sko"), col("ske"), 0.5)
+            .as("p50_bound_ok"),
+          Sketches.quantileWithinBoundOk(col("sko"), col("ske"), 0.9)
+            .as("p90_bound_ok"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some("""
+      WITH e AS (SELECT epoch_ns(ts)
+                   - ((epoch_ns(ts) % 21600000000000) + 21600000000000)
+                     % 21600000000000 AS wns,
+                 CAST(floor(value * 1000) AS BIGINT) AS v
+                 FROM events WHERE ts IS NOT NULL)
+      SELECT wns AS window_ns, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(0 AS BIGINT) AS b_exact,
+             CAST((list(v ORDER BY v))
+               [CAST(GREATEST(1, ceil(count(*) * 0.5)) AS BIGINT)]
+               AS BIGINT) AS p50,
+             CAST((list(v ORDER BY v))
+               [CAST(GREATEST(1, ceil(count(*) * 0.9)) AS BIGINT)]
+               AS BIGINT) AS p90,
+             CAST(1 AS BIGINT) AS size_ok,
+             CAST(1 AS BIGINT) AS p50_bound_ok,
+             CAST(1 AS BIGINT) AS p90_bound_ok
+      FROM e GROUP BY 1""")),
+
     // ---- the ROUND-10 SQL SURFACE: frequent-items + quantile
     //      summaries and the persisted-sketch MERGE aggregates as one
     //      spark.sql STRING — freq_sketch64/freq_n/freq_top_csv,
