@@ -304,7 +304,8 @@ class WaveBank(spark: SparkSession, root: String,
         sum(col("n_samples")).as("sum_samples"),
         Sketches.kmvSketch(expr("md5_long60(seed_id)"), statsSeedK)
           .as("seed_sk"),
-        Sketches.quantileSketch(col("n_samples"), statsLenC).as("len_sk"))
+        Sketches.quantileSketch(col("n_samples"), statsLenC).as("len_sk"),
+        Sketches.freqSketch(col("seed_id"), statsSeedK).as("seed_top"))
   }
 
   /** Append (or, for first-build/rewrite paths, replace) the sidecar.
@@ -335,12 +336,19 @@ class WaveBank(spark: SparkSession, root: String,
   def sketchStats(): DataFrame = {
     import graft.operators.Sketches
     if (!statsExists && indexExists) statsRebuild(indexDf)
+    // sidecar written by an older jar (schema evolution): it is
+    // DERIVED data — rebuild from the index rather than failing the
+    // read or silently dropping the new column
+    if (statsExists &&
+        !spark.read.parquet(statsSketchPath).columns.contains("seed_top"))
+      statsRebuild(indexDf)
     spark.read.parquet(statsSketchPath)
       .groupBy("day")
       .agg(sum(col("n_segments")).as("n_segments"),
         sum(col("sum_samples")).as("sum_samples"),
         Sketches.kmvMerge(col("seed_sk"), statsSeedK).as("seed_sk"),
-        Sketches.quantileMerge(col("len_sk"), statsLenC).as("len_sk"))
+        Sketches.quantileMerge(col("len_sk"), statsLenC).as("len_sk"),
+        Sketches.freqMerge(col("seed_top"), statsSeedK).as("seed_top"))
   }
 
   /** Rewrite the index's accumulated append files into one globally

@@ -495,6 +495,41 @@ object Sketches {
   def freqSketch(item: Column, k: Int): Column =
     udaf(new FreqAgg(k), Encoders.STRING).apply(item)
 
+  /** Re-aggregation of PERSISTED frequent-items summaries — IN = the
+    * OUT form of [[FreqAgg]], merged through the same PODS'12 merge
+    * (one input row per part). Exact below capacity like any MG merge
+    * of exact parts; over capacity the guarantees compose (the
+    * undercount budgets add).
+    */
+  final class FreqMergeAgg(k: Int)
+      extends Aggregator[(Seq[(String, Long)], Long),
+        (Array[String], Array[Long], Long), (Seq[(String, Long)], Long)] {
+    private val inner = new FreqAgg(k)
+    override def zero: (Array[String], Array[Long], Long) = inner.zero
+    override def reduce(buf: (Array[String], Array[Long], Long),
+                        in: (Seq[(String, Long)], Long))
+        : (Array[String], Array[Long], Long) =
+      inner.merge(buf, (in._1.map(_._1).toArray,
+        in._1.map(_._2).toArray, in._2))
+    override def merge(a: (Array[String], Array[Long], Long),
+                       b: (Array[String], Array[Long], Long))
+        : (Array[String], Array[Long], Long) = inner.merge(a, b)
+    override def finish(buf: (Array[String], Array[Long], Long))
+        : (Seq[(String, Long)], Long) = inner.finish(buf)
+    override def bufferEncoder
+        : ExpressionEncoder[(Array[String], Array[Long], Long)] =
+      ExpressionEncoder[(Array[String], Array[Long], Long)]()
+    override def outputEncoder
+        : ExpressionEncoder[(Seq[(String, Long)], Long)] =
+      ExpressionEncoder[(Seq[(String, Long)], Long)]()
+  }
+
+  /** [[FreqMergeAgg]] as an untyped column aggregate. */
+  def freqMerge(sk: Column, k: Int): Column =
+    udaf(new FreqMergeAgg(k),
+      ExpressionEncoder[(Seq[(String, Long)], Long)]()).apply(
+      sk.getField("_1"), sk.getField("_2"))
+
   /** The (item, count) entries of a frequent-items summary. */
   def freqItems(sk: Column): Column = sk.getField("_1")
 

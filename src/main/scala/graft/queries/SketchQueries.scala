@@ -852,33 +852,48 @@ object SketchQueries {
       val direct = idx.groupBy("day").agg(
         Sketches.kmvSketch(expr("md5_long60(seed_id)"), bank.statsSeedK)
           .as("dsk"),
-        Sketches.quantileSketch(col("n_samples"), bank.statsLenC).as("dlen"))
+        Sketches.quantileSketch(col("n_samples"), bank.statsLenC).as("dlen"),
+        Sketches.freqSketch(col("seed_id"), bank.statsSeedK).as("dtop"))
       stats.join(direct, "day").select(
         col("day"), col("n_segments"), col("sum_samples"),
         Sketches.kmvEstimate(col("seed_sk"), bank.statsSeedK).as("n_seeds"),
         (col("seed_sk") === col("dsk")).cast("long").as("seed_eq"),
         Sketches.quantileN(col("len_sk")).as("n_rollup"),
         Sketches.quantileEstimate(col("len_sk"), 0.5).as("p50_len"),
-        (col("len_sk") === col("dlen")).cast("long").as("len_eq"))
+        (col("len_sk") === col("dlen")).cast("long").as("len_eq"),
+        Sketches.freqTopCsv(col("seed_top"), 3).as("top3_seeds"),
+        (col("seed_top") === col("dtop")).cast("long").as("top_eq"))
     }, Some("""
       WITH base AS (
         SELECT user_id % 4 AS sid, event_id % 48 AS slot,
                MIN(event_id) % 64 AS v0
         FROM events GROUP BY 1, 2),
       seg AS (SELECT sid, slot, v0 + 10 AS len,
+                     'XX.S' || CAST(sid AS VARCHAR) || '..BH' ||
+                       (CASE WHEN slot % 2 = 0 THEN 'Z' ELSE 'N' END)
+                       AS seed,
                      (1600000000000000000 + slot * 3600000000000)
                        // 86400000000000 AS day
-              FROM base)
+              FROM base),
+      sc AS (SELECT day, seed, count(*) AS c FROM seg GROUP BY 1, 2),
+      sr AS (SELECT *, row_number() OVER
+               (PARTITION BY day ORDER BY c DESC, seed ASC) AS rn
+             FROM sc),
+      t3 AS (SELECT day,
+               string_agg(seed || ':' || c, ',' ORDER BY rn) AS top3_seeds
+             FROM sr WHERE rn <= 3 GROUP BY 1)
       SELECT day, CAST(count(*) AS BIGINT) AS n_segments,
              CAST(sum(len) AS BIGINT) AS sum_samples,
-             CAST(count(DISTINCT sid * 2 + slot % 2) AS DOUBLE) AS n_seeds,
+             CAST(count(DISTINCT seed) AS DOUBLE) AS n_seeds,
              CAST(1 AS BIGINT) AS seed_eq,
              CAST(count(*) AS BIGINT) AS n_rollup,
              CAST((list(len ORDER BY len))
                [CAST(GREATEST(1, ceil(count(*) * 0.5)) AS BIGINT)]
                AS BIGINT) AS p50_len,
-             CAST(1 AS BIGINT) AS len_eq
-      FROM seg GROUP BY 1""")),
+             CAST(1 AS BIGINT) AS len_eq,
+             ANY_VALUE(t3.top3_seeds) AS top3_seeds,
+             CAST(1 AS BIGINT) AS top_eq
+      FROM seg JOIN t3 USING (day) GROUP BY day""")),
 
     // ---- the SQL SURFACE under oracle signal: the q122 pipeline as
     //      ONE spark.sql STRING — kmv_sketch256 udaf + the kmv_*

@@ -1008,8 +1008,15 @@ object ScaleBench {
         .mapPartitions(it =>
           it.map(id => (id, graft.queries.AudioQueries.renderWav(id))))
         .toDF("doc_id", "payload")
+      // arrival spacing scales with n so the WHOLE replay stays inside
+      // one 6 h window — t0 sits 1600 s into its epoch-aligned window,
+      // leaving 20,000 s; budget 19,440 s. A fixed 1 ms spacing
+      // overruns the window past ~2·10⁷ clips and cross-window pairs
+      // are (correctly) never emitted, breaking the stream=batch
+      // invariant this section asserts.
+      val stepNs = math.max(1L, 19_440_000_000_000L / math.max(n, 1L))
       val wavs = renderAll()
-        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(stepNs))
       val flush = spark.range(1).select(lit(999999999L).as("doc_id"),
         lit(graft.queries.AudioQueries.renderWav(999999999L)).as("payload"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))

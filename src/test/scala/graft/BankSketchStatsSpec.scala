@@ -49,7 +49,8 @@ class BankSketchStatsSpec extends SparkSpec {
         Sketches.kmvSketch(expr("md5_long60(seed_id)"), bank.statsSeedK)
           .as("d_seed"),
         Sketches.quantileSketch(col("n_samples"), bank.statsLenC)
-          .as("d_len"))
+          .as("d_len"),
+        Sketches.freqSketch(col("seed_id"), bank.statsSeedK).as("d_top"))
   }
 
   private def assertMatches(bank: WaveBank): Unit = {
@@ -57,13 +58,15 @@ class BankSketchStatsSpec extends SparkSpec {
         (col("n_segments") === col("d_segments")).as("c_ok"),
         (col("sum_samples") === col("d_samples")).as("s_ok"),
         (col("seed_sk") === col("d_seed")).as("seed_ok"),
-        (col("len_sk") === col("d_len")).as("len_ok"))
+        (col("len_sk") === col("d_len")).as("len_ok"),
+        (col("seed_top") === col("d_top")).as("top_ok"))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getBoolean(0) && r.getBoolean(1), s"counts drifted: $r")
       assert(r.getBoolean(2), s"KMV rollup != from-scratch: $r")
       assert(r.getBoolean(3), s"quantile rollup != from-scratch: $r")
+      assert(r.getBoolean(4), s"freq rollup != from-scratch: $r")
     }
   }
 
