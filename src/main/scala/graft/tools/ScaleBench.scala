@@ -1451,7 +1451,58 @@ object ScaleBench {
         s""""max_rel_err":${fmt(maxRelErr, 4)}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson}""")
+    // streaming windowed frequent items (env GRAFT_SCALE_FREQSTREAM=
+    // <rows>[:k]): the q134 pipeline at scale — the mg_freq item skew
+    // (8 planted heavies at 40 % of rows, rows/100 tail) spread over
+    // 65 six-hour windows, replayed into the watermarked windowed
+    // FreqAgg. State per window = ONE ≤k counter array regardless of
+    // tail cardinality; batch audit re-derives the window count and
+    // asserts every planted heavy surfaced in every window's summary
+    // (each is ~5 % of the window ≫ 1/(k+1) — theorem-guaranteed).
+    val freqStreamJson = sys.env.get("GRAFT_SCALE_FREQSTREAM").map { sN =>
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val k = if (parts.length >= 2) parts(1).toInt else 64
+      val t0 = 1_600_000_000_000_000_000L
+      val tail = math.max(1L, n / 100)
+      def itemCol = when(col("id") % 20 < 8,
+          concat(lit("hh"), col("id") % 20))
+        .otherwise(concat(lit("t"), col("id") % tail))
+      val rows = spark.range(n).select(itemCol.as("item"),
+        (lit(t0) + (col("id") % (64 * 21600)) * lit(1_000_000_000L)).as("ts"))
+      val flush = spark.range(1).select(lit("flush").as("item"),
+        lit(t0 + 100L * 86400L * 1_000_000_000L).as("ts"))
+      def agg(st: DataFrame) = st
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "6 hours").as("win"))
+        .agg(graft.operators.Sketches.freqSketch(col("item"), k).as("sk"))
+        .select(expr("unix_micros(win.start) * 1000").as("window_ns"),
+          graft.operators.Sketches.freqTopCsv(col("sk"), 8).as("top8"))
+      val r = replayBench(spark, s"$root/freqstream_$n", rows, flush, "ts",
+        agg)
+      val winNs = 21600L * 1_000_000_000L
+      val audit = rows
+        .groupBy((col("ts") - ((col("ts") % winNs) + winNs) % winNs)
+          .as("wi"))
+        .agg(graft.operators.Sketches.freqSketch(col("item"), k).as("sk"))
+        .select(size(filter(
+          transform(graft.operators.Sketches.freqItems(col("sk")),
+            _.getField("_1")),
+          x => x.startsWith("hh"))).as("nhh"))
+        .agg(count(lit(1)), min(col("nhh")))
+        .head()
+      require(r.emitted == audit.getLong(0),
+        s"stream emitted ${r.emitted} windows, batch derives ${audit.getLong(0)}")
+      require(audit.getInt(1) == 8,
+        s"a window's summary retained only ${audit.getInt(1)}/8 planted heavies")
+      s""","freq_stream":{"rows":$n,"k":$k,"tail_distinct":$tail,""" +
+        s""""s":${fmt(r.secs)},"rows_per_sec":${fmt(n / r.secs, 0)},""" +
+        s""""windows":${r.emitted},"batches":${r.batches},""" +
+        s""""peak_state_rows":${r.peakStateRows}}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson}""")
     spark.stop()
   }
 }
