@@ -1451,6 +1451,83 @@ object ScaleBench {
         s""""max_rel_err":${fmt(maxRelErr, 4)}}"""
     }.getOrElse("")
 
+    // bank sketch-sidecar asymmetry (env GRAFT_SCALE_BANKSTATS=
+    // <segments>): the q136 contract measured end to end on a REAL
+    // WaveBank — put `n` one-sample segments (two batches, so the
+    // rollup genuinely merges multi-write partials), then answer the
+    // operational dashboard ("per-day distinct channels, p50 segment
+    // length, top seeds") two ways: from the sidecar rollup (reads
+    // kilobytes) and from a from-scratch resketch of the live index
+    // (reads the whole index). Reports both walls AND both data
+    // volumes — the volume ratio is the claim that survives 100 TB;
+    // local walls understate it (page cache, and the index here is
+    // only ~n·60 B).
+    val bankStatsJson = sys.env.get("GRAFT_SCALE_BANKSTATS").map { sN =>
+      import graft.bank.WaveBank
+      import graft.operators.Sketches
+      val n = sN.trim.toLong
+      val t0 = 1_600_000_000_000_000_000L
+      val dayNs = 86_400_000_000_000L
+      val bankRoot = s"$root/bankstats_$n"
+      def segs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        lit("XX").as("network"),
+        concat(lit("S"), (col("id") % 200).cast("string")).as("station"),
+        lit("").as("location"),
+        concat(lit("BH"), when(col("id") % 3 === 0, lit("Z"))
+          .when(col("id") % 3 === 1, lit("N")).otherwise(lit("E")))
+          .as("channel"),
+        (lit(t0) + (col("id") % 365) * lit(dayNs)
+          + (col("id") % 86400) * lit(1_000_000_000L)).as("starttime"),
+        lit(1_000_000_000L).as("sampling_period"),
+        array((col("id") % 100 + 1).cast("double")).as("samples"))
+        // co-locate stations per task: partitionBy(network, station)
+        // otherwise fans every task across all 200 station dirs —
+        // 6,400 tiny files per batch and a file-count-bound put wall
+        .repartition(32, col("station"))
+      def timed[A](f: => A): (A, Double) = {
+        val t = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t) / 1e9)
+      }
+      val bank = new WaveBank(spark, bankRoot)
+      val (_, putS) = timed {
+        bank.putWaveforms(segs(0, n / 2))
+        bank.putWaveforms(segs(n / 2, n))
+      }
+      val (statsRows, statsS) = timed {
+        bank.sketchStats().select(col("day"), col("n_segments"),
+          Sketches.kmvEstimate(col("seed_sk"), bank.statsSeedK),
+          Sketches.quantileEstimate(col("len_sk"), 0.5),
+          Sketches.freqTopCsv(col("seed_top"), 3))
+          .collect().length
+      }
+      val (_, directS) = timed {
+        graft.plans.GraftExtensions.register(spark)
+        bank.readIndex().select(
+            floor(col("starttime") / lit(dayNs)).cast("long").as("day"),
+            concat_ws(".", col("network"), col("station"),
+              col("location"), col("channel")).as("seed_id"),
+            ((col("endtime") - col("starttime")) / col("sampling_period"))
+              .cast("long").as("n_samples"))
+          .groupBy("day")
+          .agg(Sketches.kmvSketch(expr("md5_long60(seed_id)"),
+              bank.statsSeedK).as("sk"),
+            Sketches.quantileSketch(col("n_samples"), bank.statsLenC)
+              .as("lsk"),
+            Sketches.freqSketch(col("seed_id"), bank.statsSeedK).as("tsk"))
+          .collect().length
+      }
+      def dirBytes(p: String): Long =
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      val sidecarB = dirBytes(bank.statsSketchPath)
+      val indexB = dirBytes(s"$bankRoot")
+      s""","bank_stats":{"segments":$n,"days":${statsRows},""" +
+        s""""put_s":${fmt(putS)},"sidecar_read_s":${fmt(statsS)},""" +
+        s""""index_rescan_s":${fmt(directS)},""" +
+        s""""sidecar_bytes":$sidecarB,"store_bytes":$indexB}"""
+    }.getOrElse("")
+
     // streaming windowed frequent items (env GRAFT_SCALE_FREQSTREAM=
     // <rows>[:k]): the q134 pipeline at scale — the mg_freq item skew
     // (8 planted heavies at 40 % of rows, rows/100 tail) spread over
@@ -1502,7 +1579,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
   }
 }
