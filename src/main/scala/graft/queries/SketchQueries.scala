@@ -1005,6 +1005,76 @@ object SketchQueries {
              CAST(1 AS BIGINT) AS p90_bound_ok
       FROM e GROUP BY 1""")),
 
+    // ---- SLIDING-window frequent items: "top event types over the
+    //      trailing 24 h, refreshed every 6 h" — the q126 sliding
+    //      device applied to the MG family (each event lands in 4
+    //      overlapping windows; state = 4× open windows, each one ≤k
+    //      counter array). Dual regime in one state row: k=8 over 5
+    //      distinct types is EXACT, so the per-window top-5 CSV is
+    //      bit-checkable in DuckDB; k=2 is OVER capacity and audited
+    //      against the exact summary riding the same row (q134's
+    //      in-stream-reference device).
+    Q("q139_stream_sliding_freq", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val kO = 2
+      val ev = Tables.eventsUs(s, dir).filter(col("ts").isNotNull)
+        .select(col("event_type"), col("ts"))
+      val flush = s.range(1).select(lit("flush").as("event_type"),
+        lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q139").toString
+      ev.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val agg = stream
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "24 hours", "6 hours").as("w"))
+        .agg(Sketches.freqSketch(col("event_type"), 8).as("skt"),
+          Sketches.freqSketch(col("event_type"), kO).as("sk2"),
+          count(lit(1)).as("n_events"))
+      val sink = "q139_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val truem = map_from_entries(Sketches.freqItems(col("skt")))
+      val out = s.table(sink)
+        .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+          col("n_events"),
+          Sketches.freqN(col("skt")).as("n"),
+          Sketches.freqTopCsv(col("skt"), 5).as("types_csv"),
+          (size(Sketches.freqItems(col("sk2"))) <= kO).cast("long")
+            .as("size2_ok"),
+          Sketches.freqBoundsOk(col("sk2"), truem, kO).as("bounds2_ok"),
+          Sketches.freqHeavyRecallOk(col("sk2"), truem, kO).as("heavy2_ok"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some("""
+      WITH e AS (SELECT epoch_ns(ts)
+                   - ((epoch_ns(ts) % 21600000000000) + 21600000000000)
+                     % 21600000000000 AS b6, event_type
+                 FROM events WHERE ts IS NOT NULL),
+      w AS (SELECT b6 - j * 21600000000000 AS wns, event_type
+            FROM e, unnest(range(4)) t(j)),
+      tc AS (SELECT wns, event_type, count(*) AS c FROM w GROUP BY 1, 2),
+      tr AS (SELECT *, row_number() OVER
+               (PARTITION BY wns ORDER BY c DESC, event_type ASC) AS rn
+             FROM tc),
+      t5 AS (SELECT wns,
+               string_agg(event_type || ':' || c, ',' ORDER BY rn)
+                 AS types_csv
+             FROM tr WHERE rn <= 5 GROUP BY 1),
+      g AS (SELECT wns, CAST(count(*) AS BIGINT) AS n_events FROM w
+            GROUP BY 1)
+      SELECT g.wns AS window_ns, g.n_events, g.n_events AS n,
+             t5.types_csv,
+             CAST(1 AS BIGINT) AS size2_ok,
+             CAST(1 AS BIGINT) AS bounds2_ok,
+             CAST(1 AS BIGINT) AS heavy2_ok
+      FROM g JOIN t5 USING (wns)""")),
+
     // ---- the ROUND-10 SQL SURFACE: frequent-items + quantile
     //      summaries and the persisted-sketch MERGE aggregates as one
     //      spark.sql STRING — freq_sketch64/freq_n/freq_top_csv,
