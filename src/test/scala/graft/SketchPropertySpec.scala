@@ -250,6 +250,50 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("FreqMergeAgg rollup: persisted parts re-aggregate under MG guarantees, any merge tree") {
+    val rnd = new Random(9292)
+    for (trial <- 0 until 25) {
+      val k = 2 + rnd.nextInt(30)
+      val n = 100 + rnd.nextInt(3000)
+      val distinct = 1 + rnd.nextInt(80)
+      val values = Seq.fill(n)("w" + rnd.nextInt(distinct))
+      val agg = new Sketches.FreqAgg(k)
+      val nParts = 1 + rnd.nextInt(7)
+      val parts = values.grouped(math.max(1, n / nParts)).toSeq
+        .map(chunk => agg.finish(chunk.foldLeft(agg.zero)(agg.reduce)))
+      val mAgg = new Sketches.FreqMergeAgg(k)
+      val bufs = parts.map(p => mAgg.reduce(mAgg.zero, p)).toBuffer
+      while (bufs.size > 1) {
+        val a = bufs.remove(rnd.nextInt(bufs.size))
+        val b = bufs.remove(rnd.nextInt(bufs.size))
+        bufs.insert(rnd.nextInt(bufs.size + 1), mAgg.merge(a, b))
+      }
+      val (entries, gotN) = mAgg.finish(bufs.head)
+      assert(gotN == n, s"trial $trial: rollup must conserve n")
+      val exact = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (exact.size <= k) {
+        // exact regime: the rollup IS the exact count map, item-sorted
+        assert(entries == exact.toSeq.sortBy(_._1),
+          s"trial $trial: exact-regime rollup drifted")
+      } else {
+        val retained = entries.map(_._2).sum
+        val budget = n - retained
+        entries.foreach { case (item, est) =>
+          val t = exact(item)
+          assert(est <= t, s"trial $trial: overcount on $item")
+          assert((t - est) * (k + 1) <= budget,
+            s"trial $trial: undercount bound broken on $item")
+        }
+        val names = entries.map(_._1).toSet
+        exact.foreach { case (item, t) =>
+          if (t * (k + 1) > n)
+            assert(names.contains(item),
+              s"trial $trial: heavy hitter $item lost in rollup")
+        }
+      }
+    }
+  }
+
   test("priority subset-sum reference: estimate formula matches a direct replay") {
     // the column expression is pinned vs DuckDB in q127/q128; here the
     // SAME arithmetic is checked against a scala replay on the agg's
