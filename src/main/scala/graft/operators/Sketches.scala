@@ -533,6 +533,38 @@ object Sketches {
   /** The (item, count) entries of a frequent-items summary. */
   def freqItems(sk: Column): Column = sk.getField("_1")
 
+  /** Pairwise MG union as a pure EXPRESSION — the q123 set-algebra
+    * device applied to top-k: combine two PERSISTED summaries without
+    * an aggregate (join two sketch tables, union in the select list).
+    * This is the PODS'12 merge verbatim: sum counts per item (≤ 2k
+    * entries, so the O(k²) membership scan is constant work), and if
+    * over capacity subtract the (k+1)-th largest and drop
+    * non-positives — the guarantees compose (undercount budgets add).
+    * Exact when the combined support fits k: bit-equal to
+    * [[FreqMergeAgg]] over the same parts (pinned in spec).
+    */
+  def freqUnion(a: Column, b: Column, k: Int): Column = {
+    val combined = concat(freqItems(a), freqItems(b))
+    val items = array_distinct(transform(combined, _.getField("_1")))
+    val summed = transform(items, i =>
+      struct(i.as("_1"),
+        aggregate(combined, lit(0L), (acc, e) =>
+          acc + when(e.getField("_1") === i, e.getField("_2"))
+            .otherwise(0L)).as("_2")))
+    val m = size(summed)
+    val countsAsc = sort_array(transform(summed, _.getField("_2")))
+    // (k+1)-th largest = index m-k ascending; greatest(1, ...) keeps
+    // the (lazily unevaluated) under-capacity branch index-safe
+    val thresh = element_at(countsAsc, greatest(lit(1), m - lit(k)))
+    val cut = transform(
+      filter(summed, e => e.getField("_2") > thresh),
+      e => struct(e.getField("_1").as("_1"),
+        (e.getField("_2") - thresh).as("_2")))
+    val entries = when(m <= k, sort_array(summed))
+      .otherwise(sort_array(cut))
+    struct(entries.as("_1"), (freqN(a) + freqN(b)).as("_2"))
+  }
+
   /** Rows-seen n carried by the summary. */
   def freqN(sk: Column): Column = sk.getField("_2")
 

@@ -151,6 +151,7 @@ object GraftExtensions {
       unary("freq_top_csv")(Sketches.freqTopCsv),
       unary0("freq_n")(Sketches.freqN),
       unary0("freq_retained")(Sketches.freqRetained),
+      binary("freq_union")(Sketches.freqUnion),
       quantileEstimateDescriptor,
       unary0("quantile_n")(Sketches.quantileN),
       unary0("quantile_rank_bound")(Sketches.quantileRankBound))
@@ -222,7 +223,7 @@ object GraftExtensions {
     // through and picks up the additions instead of silently missing
     // them.
     if (spark.sessionState.functionRegistry
-        .functionExists(FunctionIdentifier("quantile_rank_bound"))) return
+        .functionExists(FunctionIdentifier("freq_union"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "haversine_m", build, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1075,6 +1075,49 @@ object SketchQueries {
              CAST(1 AS BIGINT) AS heavy2_ok
       FROM g JOIN t5 USING (wns)""")),
 
+    // ---- MG set algebra (q123's device for TOP-K): `freq_union` is a
+    //      pure EXPRESSION, so cross-source "top tokens over A ∪ B"
+    //      comes from joining twenty PERSISTED kilobyte summaries —
+    //      all 190 source pairs, no rescan, no aggregate. The
+    //      inequality self-join over sketch rows is the sanctioned
+    //      G²-kilobyte BNLJ (corpus-independent by design). Exact
+    //      regime at every test SF (combined support 31 ≤ 64), so
+    //      every pair's n and top-3 CSV is bit-checked in DuckDB.
+    Q("q140_freq_union_algebra", (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("q140_documents")
+      val out = s.sql("""
+        WITH tok AS (SELECT source, explode(split(text, ' ')) AS tok
+                     FROM q140_documents),
+        sk AS (SELECT source, freq_sketch64(tok) AS sk
+               FROM tok GROUP BY source)
+        SELECT a.source AS sa, b.source AS sb,
+               freq_n(freq_union(a.sk, b.sk, 64)) AS n_tokens,
+               freq_top_csv(freq_union(a.sk, b.sk, 64), 3) AS top3
+        FROM sk a JOIN sk b ON a.source < b.source""").localCheckpoint(true)
+      s.catalog.dropTempView("q140_documents")
+      out
+    }, Some("""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      c AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      src AS (SELECT DISTINCT source FROM documents),
+      p AS (SELECT a.source AS sa, b.source AS sb
+            FROM src a JOIN src b ON a.source < b.source),
+      u AS (SELECT p.sa, p.sb, c.tok, CAST(sum(c.c) AS BIGINT) AS c
+            FROM p JOIN c ON c.source IN (p.sa, p.sb)
+            GROUP BY 1, 2, 3),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY sa, sb ORDER BY c DESC, tok ASC) AS rn
+            FROM u),
+      t3 AS (SELECT sa, sb,
+               string_agg(tok || ':' || c, ',' ORDER BY rn) AS top3
+             FROM r WHERE rn <= 3 GROUP BY 1, 2),
+      n AS (SELECT sa, sb, CAST(sum(c) AS BIGINT) AS n_tokens
+            FROM u GROUP BY 1, 2)
+      SELECT n.sa, n.sb, n.n_tokens, t3.top3
+      FROM n JOIN t3 USING (sa, sb)""")),
+
     // ---- the ROUND-10 SQL SURFACE: frequent-items + quantile
     //      summaries and the persisted-sketch MERGE aggregates as one
     //      spark.sql STRING — freq_sketch64/freq_n/freq_top_csv,

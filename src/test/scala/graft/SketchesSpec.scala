@@ -166,6 +166,50 @@ class SketchesSpec extends SparkSpec {
     spark.catalog.dropTempView("alg_b")
   }
 
+  test("freqUnion expression: exact regime == FreqMergeAgg; over capacity keeps MG guarantees") {
+    GraftExtensions.register(spark)
+    val k = 16
+    // two halves with overlapping support; combined distinct 12 <= 16
+    val rows = spark.range(3000).select(
+      (col("id") % 2).as("g"),
+      concat(lit("w"), when(col("id") % 2 === 0, col("id") % 8)
+        .otherwise(col("id") % 12)).as("tok"))
+    rows.groupBy("g").agg(Sketches.freqSketch(col("tok"), k).as("sk"))
+      .createOrReplaceTempView("fu_parts")
+    val exactEq = spark.sql("SELECT * FROM fu_parts").agg(
+        Sketches.freqMerge(col("sk"), k).as("m"))
+      .crossJoin(spark.sql(
+        """SELECT freq_union(a.sk, b.sk, 16) AS u
+           FROM fu_parts a JOIN fu_parts b ON a.g < b.g"""))
+      .select((col("m") === col("u")).as("eq")).head.getBoolean(0)
+    assert(exactEq, "exact-regime union must be bit-equal to the merge agg")
+    // over capacity: k=4 over 12 distinct — guarantees vs exact counts
+    val exact = rows.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    rows.groupBy("g").agg(Sketches.freqSketch(col("tok"), 4).as("sk4"))
+      .createOrReplaceTempView("fu4")
+    val row = spark.sql(
+      """SELECT freq_union(a.sk4, b.sk4, 4) AS u
+         FROM fu4 a JOIN fu4 b ON a.g < b.g""")
+      .select(Sketches.freqItems(col("u")).as("entries"),
+        Sketches.freqN(col("u")).as("n"),
+        Sketches.freqRetained(col("u")).as("ret"))
+      .head
+    assert(row.getLong(1) == n)
+    val entries = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(e => e.getString(0) -> e.getLong(1))
+    assert(entries.size <= 4)
+    val budget = n - row.getLong(2)
+    entries.foreach { case (item, est) =>
+      val t = exact(item)
+      assert(est <= t, s"overcount on $item")
+      assert((t - est) * 5 <= budget, s"undercount bound broken on $item")
+    }
+    spark.catalog.dropTempView("fu_parts")
+    spark.catalog.dropTempView("fu4")
+  }
+
   test("pure-SQL freq/quantile surface matches the Scala API (round-10 functions)") {
     GraftExtensions.register(spark)
     spark.range(2000)
