@@ -1075,6 +1075,149 @@ object SketchQueries {
              CAST(1 AS BIGINT) AS heavy2_ok
       FROM g JOIN t5 USING (wns)""")),
 
+    // ---- SLIDING-window quantile sketch: trailing-24h percentiles
+    //      refreshed every 6 h — q138's dual-regime state row under
+    //      q126's sliding device; with q139 (freq) and q126 (KMV) this
+    //      makes the sliding form available across the sketch
+    //      families. c=4096 is exact at every test SF (≤ ~3.6k rows
+    //      per 24 h window at sf0.1), c=8 is audited in-stream.
+    Q("q141_stream_sliding_quantile", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val cE = 4096; val cO = 8
+      val ev = Tables.eventsUs(s, dir).filter(col("ts").isNotNull)
+        .select(floor(col("value") * 1000).cast("long").as("v"), col("ts"))
+      val flush = s.range(1).select(lit(0L).as("v"),
+        lit(1707091200000000000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q141").toString
+      ev.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val agg = stream
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "24 hours", "6 hours").as("w"))
+        .agg(Sketches.quantileSketch(col("v"), cE).as("ske"),
+          Sketches.quantileSketch(col("v"), cO).as("sko"),
+          count(lit(1)).as("n_events"))
+      val sink = "q141_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+          col("n_events"),
+          Sketches.quantileN(col("ske")).as("n"),
+          Sketches.quantileEstimate(col("ske"), 0.5).as("p50"),
+          Sketches.quantileEstimate(col("ske"), 0.9).as("p90"),
+          Sketches.quantileSizeOk(col("sko"), cO).as("size_ok"),
+          Sketches.quantileWithinBoundOk(col("sko"), col("ske"), 0.5)
+            .as("p50_bound_ok"),
+          Sketches.quantileWithinBoundOk(col("sko"), col("ske"), 0.9)
+            .as("p90_bound_ok"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some("""
+      WITH e AS (SELECT epoch_ns(ts)
+                   - ((epoch_ns(ts) % 21600000000000) + 21600000000000)
+                     % 21600000000000 AS b6,
+                 CAST(floor(value * 1000) AS BIGINT) AS v
+                 FROM events WHERE ts IS NOT NULL),
+      w AS (SELECT b6 - j * 21600000000000 AS wns, v
+            FROM e, unnest(range(4)) t(j))
+      SELECT wns AS window_ns, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST((list(v ORDER BY v))
+               [CAST(GREATEST(1, ceil(count(*) * 0.5)) AS BIGINT)]
+               AS BIGINT) AS p50,
+             CAST((list(v ORDER BY v))
+               [CAST(GREATEST(1, ceil(count(*) * 0.9)) AS BIGINT)]
+               AS BIGINT) AS p90,
+             CAST(1 AS BIGINT) AS size_ok,
+             CAST(1 AS BIGINT) AS p50_bound_ok,
+             CAST(1 AS BIGINT) AS p90_bound_ok
+      FROM w GROUP BY 1""")),
+
+    // ---- SLIDING-window priority sample: live trailing-24h weighted
+    //      samples + subset-sum estimates beside the exact window sum
+    //      — q128 under the sliding device; the fourth family's
+    //      sliding form, completing the 4×{batch, tumbling, sliding,
+    //      rollup} matrix.
+    Q("q142_stream_sliding_priority", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.plans.GraftExtensions.register(s)
+      val k = 32
+      val ev = Tables.eventsUs(s, dir).filter(col("ts").isNotNull)
+        .select(col("event_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("w"))
+      val flush = s.range(1).select(lit(-1L).as("event_id"),
+        lit(1707091200000000000L).as("ts"), lit(0L).as("w"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q142").toString
+      ev.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val agg = stream
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withColumn("h", expr("md5_long60(cast(event_id as string))"))
+        .withWatermark("tss", "10 seconds")
+        .groupBy(window(col("tss"), "24 hours", "6 hours").as("w"))
+        .agg(Sketches.prioritySample(col("h"), col("w"), col("event_id"), k)
+            .as("smp"),
+          count(lit(1)).as("n_events"),
+          sum(col("w")).as("sum_exact"))
+      val sink = "q142_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+        .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+          col("n_events"),
+          Sketches.priorityTau(col("smp"), k).as("tau"),
+          Sketches.prioritySubsetSum(col("smp"), k, _ => lit(true))
+            .as("est_total"),
+          col("sum_exact").cast("long").as("sum_exact"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH e0 AS (SELECT epoch_ns(ts)
+                    - ((epoch_ns(ts) % 21600000000000) + 21600000000000)
+                      % 21600000000000 AS b6,
+                  event_id, CAST(floor(value * 100) AS BIGINT) AS w,
+                  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                    AS h
+                  FROM events WHERE ts IS NOT NULL),
+      e AS (SELECT b6 - j * 21600000000000 AS wns, event_id, w, h
+            FROM e0, unnest(range(4)) t(j)),
+      p AS (SELECT wns, event_id, w,
+              CAST(w AS DOUBLE)
+                / (CAST(CASE WHEN h <= 0 THEN $HashSpaceSql ELSE h END
+                        AS DOUBLE)
+                   / CAST($HashSpaceSql AS DOUBLE)) AS pri
+            FROM e),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY wns ORDER BY pri DESC, event_id ASC) AS rnk
+            FROM p),
+      t AS (SELECT wns,
+              COALESCE(max(CASE WHEN rnk = 33 THEN pri END),
+                       CAST(0 AS DOUBLE)) AS tau
+            FROM r GROUP BY 1),
+      est AS (SELECT r.wns,
+                sum(GREATEST(CAST(r.w AS DOUBLE), t.tau)
+                    ORDER BY r.rnk) AS est_total
+              FROM r JOIN t USING (wns)
+              WHERE r.rnk <= 32 GROUP BY 1),
+      ex AS (SELECT wns, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(w) AS BIGINT) AS sum_exact
+             FROM e GROUP BY 1)
+      SELECT ex.wns AS window_ns, ex.n_events, t.tau, est.est_total,
+             ex.sum_exact
+      FROM ex JOIN t USING (wns) JOIN est USING (wns)""")),
+
     // ---- MG set algebra (q123's device for TOP-K): `freq_union` is a
     //      pure EXPRESSION, so cross-source "top tokens over A ∪ B"
     //      comes from joining twenty PERSISTED kilobyte summaries —
