@@ -43,6 +43,22 @@ object Sketches {
   /** Size of the hash space `md5_long60` draws from (2⁶⁰). */
   final val HashSpace: Long = 1L << 60
 
+  /** Per-(aggregate, k) memo of the registered udaf functions: every
+    * `udaf(new XAgg(k), enc)` call resolves encoders and builds a
+    * fresh `UserDefinedAggregator` — harmless once, but a caller
+    * stamping thousands of sketch columns in one plan (the bank's
+    * statsPartials, wide dashboard selects) pays it per column. The
+    * aggregators are stateless between rows apart from their buffers,
+    * so one instance per (class, k) is safe to share.
+    */
+  private val udafMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
+  private def memo(key: String, k: Int)(
+      build: => org.apache.spark.sql.expressions.UserDefinedFunction)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udafMemo.computeIfAbsent((key, k), _ => build)
+
   /** KMV aggregator: IN = 60-bit hash, BUF/OUT = the sorted-ascending
     * array of the k smallest distinct hashes seen. The buffer is a
     * primitive `Array[Long]` kept sorted-unique — binary-search
@@ -108,7 +124,7 @@ object Sketches {
     * any ImperativeAggregate).
     */
   def kmvSketch(hash: Column, k: Int): Column =
-    udaf(new KmvAgg(k), Encoders.scalaLong).apply(hash)
+    memo("kmv", k)(udaf(new KmvAgg(k), Encoders.scalaLong)).apply(hash)
 
   /** Re-aggregation of PERSISTED KMV sketches: IN = a sketch array,
     * merged through [[KmvAgg.merge]] directly — the rollup path without
@@ -133,7 +149,8 @@ object Sketches {
 
   /** [[KmvMergeAgg]] as an untyped column aggregate. */
   def kmvMerge(sk: Column, k: Int): Column =
-    udaf(new KmvMergeAgg(k), ExpressionEncoder[Array[Long]]()).apply(sk)
+    memo("kmvMerge", k)(udaf(new KmvMergeAgg(k),
+      ExpressionEncoder[Array[Long]]())).apply(sk)
 
   /** θ of a sketch: the k-th minimum when the sketch is full, else the
     * whole hash space (the sketch is exact). Every hash in the sketch
@@ -294,9 +311,9 @@ object Sketches {
     * length ≤ k+1 (the extra row carries τ).
     */
   def prioritySample(hash: Column, weight: Column, id: Column, k: Int): Column =
-    udaf(new PriorityAgg(k),
+    memo("priority", k)(udaf(new PriorityAgg(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-        Encoders.scalaLong)).apply(hash, weight, id)
+        Encoders.scalaLong))).apply(hash, weight, id)
 
   /** τ of a sample: the (k+1)-th priority when present, else 0 (fewer
     * than k+1 items seen — the sample is the whole set, estimates are
@@ -493,7 +510,7 @@ object Sketches {
     * (state per group = one ≤k summary, cardinality-independent).
     */
   def freqSketch(item: Column, k: Int): Column =
-    udaf(new FreqAgg(k), Encoders.STRING).apply(item)
+    memo("freq", k)(udaf(new FreqAgg(k), Encoders.STRING)).apply(item)
 
   /** Re-aggregation of PERSISTED frequent-items summaries — IN = the
     * OUT form of [[FreqAgg]], merged through the same PODS'12 merge
@@ -526,8 +543,8 @@ object Sketches {
 
   /** [[FreqMergeAgg]] as an untyped column aggregate. */
   def freqMerge(sk: Column, k: Int): Column =
-    udaf(new FreqMergeAgg(k),
-      ExpressionEncoder[(Seq[(String, Long)], Long)]()).apply(
+    memo("freqMerge", k)(udaf(new FreqMergeAgg(k),
+      ExpressionEncoder[(Seq[(String, Long)], Long)]())).apply(
       sk.getField("_1"), sk.getField("_2"))
 
   /** The (item, count) entries of a frequent-items summary. */
@@ -885,12 +902,13 @@ object Sketches {
     * `(_1: array<struct<_1: value, _2: weight>>, _2: n, _3: B)`.
     */
   def quantileSketch(value: Column, c: Int): Column =
-    udaf(new QuantileAgg(c), Encoders.scalaLong).apply(value)
+    memo("quantile", c)(udaf(new QuantileAgg(c), Encoders.scalaLong))
+      .apply(value)
 
   /** Re-aggregate persisted summaries (see [[QuantileMergeAgg]]). */
   def quantileMerge(sketch: Column, c: Int): Column =
-    udaf(new QuantileMergeAgg(c),
-      ExpressionEncoder[(Seq[(Long, Long)], Long, Long)]()).apply(
+    memo("quantileMerge", c)(udaf(new QuantileMergeAgg(c),
+      ExpressionEncoder[(Seq[(Long, Long)], Long, Long)]())).apply(
       sketch.getField("_1"), sketch.getField("_2"), sketch.getField("_3"))
 
   /** The (value, weight) entries of a quantile summary. */
