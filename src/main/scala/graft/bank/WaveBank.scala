@@ -333,7 +333,8 @@ class WaveBank(spark: SparkSession, root: String,
     * reading a few kilobytes instead of the index. Backfills the
     * sidecar from the index for pre-sidecar stores.
     */
-  def sketchStats(): DataFrame = {
+  def sketchStats(startDay: Option[Long] = None,
+                  endDay: Option[Long] = None): DataFrame = {
     import graft.operators.Sketches
     if (!statsExists && indexExists) statsRebuild(indexDf)
     // sidecar written by an older jar (schema evolution): it is
@@ -342,7 +343,15 @@ class WaveBank(spark: SparkSession, root: String,
     if (statsExists &&
         !spark.read.parquet(statsSketchPath).columns.contains("seed_top"))
       statsRebuild(indexDf)
-    spark.read.parquet(statsSketchPath)
+    // day-range filters sit UNDER the rollup aggregate, so they reach
+    // the parquet scan as PushedFilters (row-group min/max pruning on
+    // the partial rows — pinned in BankSketchStatsSpec); a dashboard
+    // asking for last week reads last week's kilobytes, not the store's
+    val partials = Seq(
+        startDay.map(col("day") >= _), endDay.map(col("day") <= _))
+      .flatten
+      .foldLeft(spark.read.parquet(statsSketchPath))(_.filter(_))
+    partials
       .groupBy("day")
       .agg(sum(col("n_segments")).as("n_segments"),
         sum(col("sum_samples")).as("sum_samples"),

@@ -110,6 +110,26 @@ class BankSketchStatsSpec extends SparkSpec {
     assertMatches(bank)
   }
 
+  test("sidecar day-range: filters push to the partial scan and match the unfiltered rollup") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segs(0 until 50)) // spans 3 days
+    val all = bank.sketchStats().orderBy("day").collect()
+    assert(all.length == 3)
+    val mid = all(1).getAs[Long]("day")
+    val ranged = bank.sketchStats(Some(mid), Some(mid))
+    // the day predicate reaches the parquet scan of the partials
+    val formatted = ranged.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters") &&
+      formatted.contains("GreaterThanOrEqual(day"),
+      s"day filter not pushed:\n$formatted")
+    val row = ranged.collect()
+    assert(row.length == 1 && row.head.getAs[Long]("day") == mid)
+    assert(row.head.getAs[Long]("n_segments") ==
+      all(1).getAs[Long]("n_segments"))
+  }
+
   test("sidecar backfill: pre-sidecar stores rebuild from the index on first sketchStats read") {
     val root = tmp()
     val bank = new WaveBank(spark, root)
