@@ -605,4 +605,131 @@ object Multimodal {
       .withColumn("is_keeper",
         (col("component") === col("doc_id")).cast("long"))
   }
+
+  // ==================================================================
+  // VIDEO (round 10): intra-only motion-PNG container — the MJPEG
+  // construction with the codec this container actually has. Every
+  // frame is an independently-coded still (real `javax.imageio`
+  // decode, the q104 codec), length-prefixed inside a 4-byte-magic
+  // wrapper; no inter-frame prediction, so frame extraction is a
+  // linear walk and each frame rides the EXISTING image machinery.
+  // The video signature is the per-bit MAJORITY over the frames'
+  // dHashes (the SimHash construction one level up): an edit that
+  // re-encodes or perturbs ONE frame moves ≤ its dHash delta votes,
+  // so near-dup videos land within a few Hamming bits while unrelated
+  // 64-bit signatures sit at ~32 — the same contract as the image and
+  // audio families, on the same banded blocking.
+  // ==================================================================
+
+  private val MotionPngMagic = Array[Byte]('G', 'M', 'P', '1')
+
+  /** Length-prefixed frame container: magic ++ [4-byte BE length ++
+    * PNG bytes]*. Intra-only by construction.
+    */
+  def encodeMotionPng(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(MotionPngMagic)
+    val len = java.nio.ByteBuffer.allocate(4)
+    frames.foreach { f =>
+      len.clear(); len.putInt(f.length)
+      bos.write(len.array()); bos.write(f)
+    }
+    bos.toByteArray
+  }
+
+  /** Frame split (no pixel decode): None on bad magic, truncated
+    * length word, or a frame length overrunning the payload — the
+    * drop-undecodable-rows policy of the other codecs.
+    */
+  def decodeMotionPng(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (p.length < 4 || p(0) != 'G' || p(1) != 'M' || p(2) != 'P' ||
+        p(3) != '1') return None
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 4
+    while (off < p.length) {
+      if (off + 4 > p.length) return None
+      val n = java.nio.ByteBuffer.wrap(p, off, 4).getInt
+      if (n < 0 || off + 4 + n > p.length) return None
+      out += java.util.Arrays.copyOfRange(p, off + 4, off + 4 + n)
+      off += 4 + n
+    }
+    Some(out.result())
+  }
+
+  /** Per-bit majority over the frames' dHashes: bit set iff MORE than
+    * half the frames carry it (strict — ties clear; with an odd frame
+    * count there are none). A pure function of the frame multiset.
+    */
+  def majorityHash(hashes: Seq[Long]): Long = {
+    val half = hashes.length
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      var votes = 0
+      hashes.foreach(h => if (((h >>> bit) & 1L) == 1L) votes += 1)
+      if (2 * votes > half) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  case class VFingerRow(doc_id: Long, vfp: Long)
+
+  /** Video fingerprints: container split → real per-frame image decode
+    * → per-frame dHash → bit-majority. Undecodable containers OR any
+    * undecodable frame drop the row (a half-decoded vote would skew
+    * the majority silently).
+    */
+  def videoFingerprints(spark: SparkSession, df: DataFrame,
+                        cols: Int = 8, rows: Int = 8): Dataset[VFingerRow] = {
+    import spark.implicits._
+    df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, p) =>
+          decodeMotionPng(p).filter(_.nonEmpty).flatMap { frames =>
+            val hashes = frames.map { f =>
+              val img = try {
+                javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(f))
+              } catch { case scala.util.control.NonFatal(_) => null }
+              if (img == null) null else java.lang.Long.valueOf(
+                dHash(img, cols, rows))
+            }
+            if (hashes.contains(null)) None
+            else Some(VFingerRow(id,
+              majorityHash(hashes.map(_.longValue()))))
+          }
+        }
+      }
+  }
+
+  /** Video near-dup pairs: [[videoFingerprints]] through the SAME
+    * banded-Hamming blocking — fourth 64-bit signature family on one
+    * join topology; pigeonhole recall exact at maxHamming < bands.
+    */
+  def videoNearDupPairs(spark: SparkSession, df: DataFrame,
+                        maxHamming: Int = 3, bands: Int = 4,
+                        bandBits: Int = 16): DataFrame =
+    graft.operators.Dedup.simhashPairs(
+      videoFingerprints(spark, df).toDF()
+        .withColumnRenamed("vfp", "simhash"),
+      "doc_id", maxHamming, bands, bandBits)
+
+  /** End-to-end video dedup — [[dedupImages]]'s contract for the video
+    * signature.
+    */
+  def dedupVideos(spark: SparkSession, df: DataFrame,
+                  maxHamming: Int = 3, bands: Int = 4,
+                  bandBits: Int = 16): DataFrame = {
+    val pairs = videoNearDupPairs(spark, df, maxHamming, bands, bandBits)
+    val labels = graft.operators.Dedup.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    df.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("is_keeper",
+        (col("component") === col("doc_id")).cast("long"))
+  }
 }

@@ -87,6 +87,95 @@ object MultimodalQueries {
                  + 114 * (${mixSql(999979L, 7901L, 104717L, 46309L)})) // 1000
       END"""
 
+  /** Deterministic 3-frame motion-PNG for q143/q144: each frame a 9×8
+    * image like [[renderPng]] but with a frame term in every channel
+    * formula (distinct multipliers per channel, the same distinct
+    * prime moduli — the q104/audio anti-periodicity lesson). Videos
+    * with `id % 40 == 21` re-render their BASE (id−21) with frame 1's
+    * pixel (3,2) pinned near-white: ≤ 2 gradient bits of one frame's
+    * dHash flip, so ≤ 2 majority votes can cross — a planted near-dup
+    * within Hamming 2 of its base.
+    */
+  private[graft] def renderMotionPng(id: Long): Array[Byte] = {
+    val nearDup = id % 40 == 21 && id >= 21
+    val base = if (nearDup) id - 21 else id
+    val frames = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          def mix(mb: Long, mf: Long, mx: Long, my: Long, m: Long): Int = {
+            val v = (base * mb + f * mf + x * mx + y * my) % m
+            ((v * v / 64) % 199).toInt
+          }
+          var r = mix(1000003L, 333323L, 7919L, 104729L, 46337L)
+          var g = mix(999983L, 333317L, 7907L, 104723L, 46327L)
+          var b = mix(999979L, 333313L, 7901L, 104717L, 46309L)
+          if (nearDup && f == 1 && x == 3 && y == 2) {
+            r = 198; g = 198; b = 198
+          }
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Multimodal.encodeMotionPng(frames)
+  }
+
+  /** DuckDB mirror of [[renderMotionPng]]'s luma at (f, x, y). */
+  private def mixVSql(mb: Long, mf: Long, mx: Long, my: Long, m: Long) = {
+    val v = s"((base * $mb + f * $mf + x * $mx + y * $my) % $m)"
+    s"($v * $v // 64) % 199"
+  }
+
+  private val grayVSql = s"""
+      CASE WHEN doc_id % 40 = 21 AND doc_id >= 21 AND f = 1
+                AND x = 3 AND y = 2
+           THEN 198
+           ELSE (299 * (${mixVSql(1000003L, 333323L, 7919L, 104729L, 46337L)})
+                 + 587 * (${mixVSql(999983L, 333317L, 7907L, 104723L, 46327L)})
+                 + 114 * (${mixVSql(999979L, 333313L, 7901L, 104717L, 46309L)}))
+                // 1000
+      END"""
+
+  /** Shared q143/q144 oracle scaffold: pixel luma → per-frame gradient
+    * bits → per-position votes → strict-majority 64-bit hash.
+    */
+  private val videoHashSql = s"""
+      px AS (
+        SELECT doc_id, f, x, y, $grayVSql AS gray
+        FROM (SELECT doc_id,
+                CASE WHEN doc_id % 40 = 21 AND doc_id >= 21
+                     THEN doc_id - 21 ELSE doc_id END AS base
+              FROM documents),
+             range(3) tf(f),
+             (SELECT x, y FROM range(9) tx(x), range(8) ty(y))
+      ),
+      bits AS (
+        SELECT l.doc_id, l.f, l.y * 8 + l.x AS pos,
+               CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS bit
+        FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.f = l.f
+                            AND r.y = l.y AND r.x = l.x + 1
+        WHERE l.x < 8
+      ),
+      votes AS (SELECT doc_id, pos, sum(bit) AS v
+                FROM bits GROUP BY 1, 2),
+      h AS (
+        SELECT doc_id,
+               bit_or(CASE WHEN 2 * v > 3 THEN
+                 CASE WHEN pos = 63
+                      THEN (-9223372036854775807::BIGINT - 1)
+                      ELSE (1::BIGINT << pos) END
+                 ELSE 0::BIGINT END) AS vhash
+        FROM votes GROUP BY 1
+      )"""
+
   val all: Seq[Q] = Seq(
 
     // ---- payload → 8-dim feature vector; exact per-dim doubles
@@ -278,6 +367,77 @@ object MultimodalQueries {
              COALESCE(comp.component, d.doc_id) AS component,
              CAST(COALESCE(comp.component, d.doc_id) = d.doc_id AS BIGINT)
                AS is_keeper
-      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id"""))
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id""")),
+
+    // ---- VIDEO near-dup (round 10): intra-only motion-PNG container
+    //      (real per-frame javax.imageio decode — the MJPEG shape with
+    //      the codec this container has), per-frame dHash, bit-MAJORITY
+    //      video signature, the shared banded-Hamming blocking. Videos
+    //      with id ≡ 21 (mod 40) re-render their base (id−21) with ONE
+    //      pixel of ONE frame perturbed: ≤ 2 gradient bits of that
+    //      frame's dHash move, so ≤ 2 majority votes can cross — the
+    //      planted pair lands within Hamming 2 while unrelated
+    //      signatures sit at ~32. The oracle recomputes pixel luma →
+    //      per-frame gradient bits → votes → majority hash → brute-
+    //      force pairs; maxHamming 3 < 4 bands makes banded recall
+    //      exact, so the sets must be identical.
+    Q("q143_video_fp_neardup", (s, dir) => {
+      import s.implicits._
+      val vids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, renderMotionPng(id)))
+        }.toDF("doc_id", "payload")
+      Multimodal.videoNearDupPairs(s, vids, maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+    }, Some(s"""
+      WITH $videoHashSql
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.vhash, b.vhash)) <= 3""")),
+
+    // ---- STREAMING video near-dup: the q143 corpus replayed through
+    //      the file source into `videoNearDupStream` (container split +
+    //      frame decode + majority fingerprint on arrival, the shared
+    //      bandedSigPairStream) — emits EXACTLY the batch pair set,
+    //      window-stamped (the q106/q121 contract; all four signature
+    //      families now share the one streaming stage).
+    Q("q144_stream_video_neardup", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val t0 = 1_600_000_000_000_000_000L
+      val vids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, renderMotionPng(id)))
+        }.toDF("doc_id", "payload")
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(1_000_000L))
+      val flush = s.range(1).select(lit(999999999L).as("doc_id"),
+        lit(renderMotionPng(999999999L)).as("payload"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q144").toString
+      vids.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = graft.streaming.StreamingDedup.videoNearDupStream(
+        stream, "doc_id", "payload", "ts", maxHamming = 3)
+      val sink = "q144_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      out
+    }, Some(s"""
+      WITH $videoHashSql
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.vhash, b.vhash)) <= 3"""))
   )
 }

@@ -232,6 +232,48 @@ object StreamingDedup {
     * batch), then ride [[bandedSigPairStream]] unchanged. State and
     * semantics notes on [[imageNearDupStream]] apply verbatim.
     */
+  /** Streaming video near-dup — container split + per-frame decode +
+    * dHash-majority fingerprint on arrival, then the shared
+    * [[bandedSigPairStream]]: the FOURTH 64-bit signature family on
+    * the one windowed banded pair stage (text SimHash, image dHash,
+    * audio energy-gradient, video dHash-majority).
+    */
+  def videoNearDupStream(stream: DataFrame, idCol: String,
+                         payloadCol: String, tsCol: String,
+                         maxHamming: Int = 3, bands: Int = 4,
+                         bandBits: Int = 16,
+                         watermark: String = "10 seconds",
+                         windowDur: String = "6 hours"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hashed = stream.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, p, ts) =>
+          graft.multimodal.Multimodal.decodeMotionPng(p)
+            .filter(_.nonEmpty).flatMap { frames =>
+              val hs = frames.map { f =>
+                val img = try {
+                  javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(f))
+                } catch { case scala.util.control.NonFatal(_) => null }
+                if (img == null) null
+                else java.lang.Long.valueOf(
+                  graft.multimodal.Multimodal.dHash(img))
+              }
+              if (hs.contains(null)) None
+              else Some((id, graft.multimodal.Multimodal.majorityHash(
+                hs.map(_.longValue())), ts))
+            }
+        }
+      }.toDF("doc_id", "sig", "_ts")
+    bandedSigPairStream(hashed, maxHamming, bands, bandBits,
+      watermark, windowDur)
+  }
+
   def audioNearDupStream(stream: DataFrame, idCol: String,
                          payloadCol: String, tsCol: String,
                          maxHamming: Int = 3, bands: Int = 4,

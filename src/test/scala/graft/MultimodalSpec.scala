@@ -322,6 +322,54 @@ class MultimodalSpec extends SparkSpec {
       && l13.getAs[Long]("is_keeper") == 0L)
     assert(labels.filter($"is_keeper" === 1L).count() >= 117 - 3)
   }
+
+  test("motion-PNG container: round trip, bad magic / truncation drop, empty payload") {
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 4).foreach(x =>
+        img.setRGB(x, y, (seed * 37 + x * 11 + y) & 0xFFFFFF)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(png(1), png(2), png(3))
+    val enc = Multimodal.encodeMotionPng(frames)
+    val dec = Multimodal.decodeMotionPng(enc)
+    assert(dec.isDefined && dec.get.size == 3)
+    assert(dec.get.zip(frames).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) })
+    // bad magic
+    val bad = enc.clone(); bad(0) = 'X'
+    assert(Multimodal.decodeMotionPng(bad).isEmpty)
+    // truncated mid-frame: length word overruns the payload
+    assert(Multimodal.decodeMotionPng(
+      java.util.Arrays.copyOf(enc, enc.length - 3)).isEmpty)
+    // truncated inside a length word
+    assert(Multimodal.decodeMotionPng(
+      java.util.Arrays.copyOf(enc, 6)).isEmpty)
+    // empty container decodes to zero frames (fingerprint drops it)
+    assert(Multimodal.decodeMotionPng(
+      Multimodal.encodeMotionPng(Nil)).exists(_.isEmpty))
+  }
+
+  test("majorityHash: strict majority, and a 1-frame edit moves <= its dHash delta") {
+    assert(Multimodal.majorityHash(Seq(0b1011L, 0b1010L, 0b0010L)) == 0b1010L)
+    // a bit set in exactly half the (even-count) frames clears
+    assert(Multimodal.majorityHash(Seq(1L, 1L, 0L, 0L)) == 0L)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val base = Seq.fill(3)(rnd.nextLong())
+      val flips = (0 until 1 + rnd.nextInt(2)).map(_ => 1L << rnd.nextInt(64))
+        .foldLeft(0L)(_ | _)
+      val edited = base.updated(1, base(1) ^ flips)
+      val delta = java.lang.Long.bitCount(
+        Multimodal.majorityHash(base) ^ Multimodal.majorityHash(edited))
+      assert(delta <= java.lang.Long.bitCount(flips),
+        s"majority moved $delta bits for a ${java.lang.Long.bitCount(flips)}-bit frame edit")
+    }
+  }
+
 }
 
 /** JVM-wide counters the executor-side decoder instances bump (local
