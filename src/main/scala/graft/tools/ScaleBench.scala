@@ -987,6 +987,47 @@ object ScaleBench {
         s""""pairs":$pairs,"planted":$planted,"pair_s":${fmt(pairSecs)}}"""
     }.getOrElse("")
 
+    // video fingerprint near-dup (env GRAFT_SCALE_VIDEO=
+    // <vids>[:bands:bandBits:maxHamming], default 4:16:3): the q143
+    // pipeline — render 3-frame motion-PNG containers (1-in-40 a
+    // planted one-frame-perturbed near-duplicate), split + REAL
+    // per-frame javax.imageio decode + dHash-majority fingerprint,
+    // pair via the shared banded blocking. The decode is ~3 PNG
+    // inflates per video — the heaviest per-row codec in the media
+    // stack; vids/sec is the number that matters at 100 TB.
+    val videoJson = sys.env.get("GRAFT_SCALE_VIDEO").map { sN =>
+      import spark.implicits._
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val (bands, bandBits, maxHam) =
+        if (parts.length >= 4) (parts(1).toInt, parts(2).toInt, parts(3).toInt)
+        else (4, 16, 3)
+      val vids = spark.range(n).select(col("id").as("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id =>
+            (id, graft.queries.MultimodalQueries.renderMotionPng(id)))
+        }
+        .toDF("doc_id", "payload")
+        .localCheckpoint(true) // isolate render cost from decode cost
+      val s0 = System.nanoTime()
+      val sigs = graft.multimodal.Multimodal.videoFingerprints(spark, vids)
+        .toDF().localCheckpoint(true)
+      val hashSecs = (System.nanoTime() - s0) / 1e9
+      val s1 = System.nanoTime()
+      val pairs = graft.multimodal.Multimodal.videoNearDupPairs(
+        spark, vids, maxHamming = maxHam, bands = bands,
+        bandBits = bandBits).count()
+      val pairSecs = (System.nanoTime() - s1) / 1e9
+      val planted = if (n > 21) (n - 22) / 40 + 1 else 0 // ids ≡ 21 (mod 40)
+      if (bands == 4 && bandBits == 16 && maxHam >= 2)
+        require(pairs >= planted, s"found $pairs pairs, planted $planted")
+      s""","video_neardup":{"vids":$n,"bands":$bands,"band_bits":$bandBits,""" +
+        s""""max_hamming":$maxHam,"hash_s":${fmt(hashSecs)},""" +
+        s""""vids_per_sec":${fmt(n / hashSecs, 0)},""" +
+        s""""pairs":$pairs,"planted":$planted,"pair_s":${fmt(pairSecs)}}"""
+    }.getOrElse("")
+
     // streaming audio near-dup (env GRAFT_SCALE_AUDIOSTREAM=
     // <clips>[:bands:bandBits:maxHamming], default 4:16:3): the q121
     // pipeline — WAVs replayed through the file source, decoded +
@@ -1579,7 +1620,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$audioStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$audioStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
   }
 }
