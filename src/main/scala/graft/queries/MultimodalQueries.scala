@@ -397,6 +397,40 @@ object MultimodalQueries {
       FROM h a JOIN h b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.vhash, b.vhash)) <= 3""")),
 
+    // ---- end-to-end VIDEO dedup: q143 pairs → star-contraction
+    //      connected components → min-id keeper, every row labeled —
+    //      the q107 contract for the video signature, against the same
+    //      recursive-CTE transitive closure over the DuckDB-recomputed
+    //      majority hashes.
+    Q("q145_video_dedup", (s, dir) => {
+      import s.implicits._
+      val vids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, renderMotionPng(id)))
+        }.toDF("doc_id", "payload")
+      Multimodal.dedupVideos(s, vids, maxHamming = 3)
+    }, Some(s"""
+      WITH RECURSIVE $videoHashSql,
+      pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
+      ),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      conn AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.src, e.dst FROM conn c JOIN edges e ON c.dst = e.src),
+      comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component
+               FROM conn GROUP BY src)
+      SELECT d.doc_id,
+             COALESCE(comp.component, d.doc_id) AS component,
+             CAST(COALESCE(comp.component, d.doc_id) = d.doc_id AS BIGINT)
+               AS is_keeper
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id""")),
+
     // ---- STREAMING video near-dup: the q143 corpus replayed through
     //      the file source into `videoNearDupStream` (container split +
     //      frame decode + majority fingerprint on arrival, the shared
