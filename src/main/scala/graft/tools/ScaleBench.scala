@@ -1076,6 +1076,52 @@ object ScaleBench {
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
+    // streaming video near-dup (env GRAFT_SCALE_VIDEOSTREAM=
+    // <vids>[:bands:bandBits:maxHamming], default 4:16:3): the q144
+    // pipeline — motion-PNG containers replayed through the file
+    // source, split + per-frame decoded + majority-fingerprinted on
+    // arrival, paired in the shared bandedSigPairStream; emitted pairs
+    // checked against the batch operator under the same banding.
+    val videoStreamJson = sys.env.get("GRAFT_SCALE_VIDEOSTREAM").map { sN =>
+      import spark.implicits._
+      val parts = sN.trim.split(':')
+      val n = parts(0).toLong
+      val (bands, bandBits, maxHam) =
+        if (parts.length >= 4) (parts(1).toInt, parts(2).toInt, parts(3).toInt)
+        else (4, 16, 3)
+      val t0 = 1_600_000_000_000_000_000L
+      def renderAll(): DataFrame = spark.range(n)
+        .select(col("id").as("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id =>
+            (id, graft.queries.MultimodalQueries.renderMotionPng(id)))
+        }
+        .toDF("doc_id", "payload")
+      // n-scaled arrival spacing: whole replay inside one 6 h window
+      // (see the audio stream section's note)
+      val stepNs = math.max(1L, 19_440_000_000_000L / math.max(n, 1L))
+      val vids = renderAll()
+        .withColumn("ts", lit(t0) + col("doc_id") * lit(stepNs))
+      val flush = spark.range(1).select(lit(999999999L).as("doc_id"),
+        lit(graft.queries.MultimodalQueries.renderMotionPng(999999999L))
+          .as("payload"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val r = replayBench(spark, s"$root/videostream_$n", vids, flush, "ts",
+        st => graft.streaming.StreamingDedup.videoNearDupStream(
+          st, "doc_id", "payload", "ts", maxHamming = maxHam,
+          bands = bands, bandBits = bandBits))
+      val batchPairs = graft.multimodal.Multimodal.videoNearDupPairs(
+        spark, renderAll(), maxHamming = maxHam,
+        bands = bands, bandBits = bandBits).count()
+      require(r.emitted == batchPairs,
+        s"stream emitted ${r.emitted} pairs, batch derives $batchPairs")
+      s""","video_stream":{"vids":$n,"bands":$bands,"band_bits":$bandBits,""" +
+        s""""max_hamming":$maxHam,"s":${fmt(r.secs)},""" +
+        s""""vids_per_sec":${fmt(n / r.secs, 0)},"pairs":${r.emitted},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
+    }.getOrElse("")
+
     // STA/LTA detection throughput (env GRAFT_SCALE_DETECT=<traces>):
     // the q131 pipeline — 1024-sample WAV traces (1-in-25 carrying a
     // planted burst), decode + trigger scan fused in one mapPartitions
@@ -1620,7 +1666,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$audioStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
   }
 }
