@@ -716,6 +716,39 @@ object Multimodal {
         .withColumnRenamed("vfp", "simhash"),
       "doc_id", maxHamming, bands, bandBits)
 
+  /** Cross-video SHARED-FRAME pairs: exact dedup at frame granularity
+    * — "which clips contain the same frames" (containment/reuse, the
+    * [[graft.operators.Dedup.duplicateSpans]] question for video).
+    * Container split → md5 per frame payload (intra-only frames are
+    * byte-stable, so identical content ⇒ identical bytes) → ONE
+    * shuffle on the frame hash → per-hash video list → in-group pair
+    * expansion → pairs sharing ≥ `minShared` DISTINCT frames. Never an
+    * all-pairs join: candidates come only from genuinely shared
+    * frames, and a frame reused by f videos contributes f(f−1)/2
+    * pair-counts inside its own group (boilerplate intros/outros are
+    * the skew case — same profile as duplicateSpans' hot spans).
+    */
+  def sharedFramePairs(spark: SparkSession, df: DataFrame,
+                       minShared: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val frames = df.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        decodeMotionPng(p).toSeq.flatten.map { f =>
+          val d = java.security.MessageDigest.getInstance("MD5").digest(f)
+          (id, java.nio.ByteBuffer.wrap(d).getLong)
+        }
+      }.toDF("doc_id", "fh").distinct()
+    frames.groupBy("fh")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** End-to-end video dedup — [[dedupImages]]'s contract for the video
     * signature.
     */

@@ -431,6 +431,30 @@ object MultimodalQueries {
                AS is_keeper
       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id""")),
 
+    // ---- cross-video SHARED FRAMES: exact dedup at frame granularity
+    //      ("which clips reuse the same frames" — duplicateSpans'
+    //      question for video). PNG encoding is deterministic and
+    //      frames are intra-only, so identical pixel formulas ⇒
+    //      identical bytes ⇒ equal hashes; by construction EXACTLY the
+    //      planted (id−21, id) pairs share frames — frames 0 and 2
+    //      are pixel-identical, frame 1 differs by the perturbed
+    //      pixel — and every other (base, f) pixel surface is
+    //      distinct. The oracle derives that pair set analytically:
+    //      (v−21, v, 2) for v ≡ 21 (mod 40).
+    Q("q146_video_shared_frames", (s, dir) => {
+      import s.implicits._
+      val vids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map(id => (id, renderMotionPng(id)))
+        }.toDF("doc_id", "payload")
+      Multimodal.sharedFramePairs(s, vids, minShared = 2)
+        .select(col("a"), col("b"), col("n_shared"))
+    }, Some("""
+      SELECT doc_id - 21 AS a, doc_id AS b, CAST(2 AS BIGINT) AS n_shared
+      FROM documents
+      WHERE doc_id % 40 = 21 AND doc_id >= 21""")),
+
     // ---- STREAMING video near-dup: the q143 corpus replayed through
     //      the file source into `videoNearDupStream` (container split +
     //      frame decode + majority fingerprint on arrival, the shared
