@@ -248,6 +248,21 @@ class WaveBank(spark: SparkSession, root: String,
     * shuffle of the BATCH per update — never of the existing store.
     */
   private def indexAppend(df: DataFrame): Unit = {
+    // a pre-existing index with NO sidecar (store built by an older
+    // jar, or sidecar deleted externally) must be backfilled NOW:
+    // appending only this batch's partials would permanently poison
+    // the sidecar — sketchStats' absent-sidecar backfill never fires
+    // once this write creates the directory. Decide BEFORE the append
+    // (afterwards the batch is part of the index and a full rebuild
+    // covers it).
+    val backfillWholeIndex = indexExists && !statsExists
+    // The batch plan runs twice (index write + sidecar partials) BY
+    // CHOICE: localCheckpoint(true)-ing it to share one
+    // materialization was measured 2.8× SLOWER at 10⁸ rows
+    // (GRAFT_SCALE_BANKSTATS put 87 → 242 s) — index-sized frames
+    // through the block manager cost far more than re-running a
+    // page-cached header scan. Same conclusion as the q80 span-stream
+    // experiment (docs/NEXT.md).
     val clustered = df.sort("network", "station", "location", "channel",
       "starttime")
     if (txIndex) { txTable.append(clustered); () }
@@ -255,7 +270,8 @@ class WaveBank(spark: SparkSession, root: String,
       clustered.write.mode(SaveMode.Append).parquet(liveIndexPath)
       bumpStamp()
     }
-    statsWrite(df, overwrite = false)
+    if (backfillWholeIndex) statsRebuild(indexDf)
+    else statsWrite(df, overwrite = false)
   }
 
   // ------------------------------------------------------------------
@@ -583,6 +599,9 @@ class WaveBank(spark: SparkSession, root: String,
             // plain banks go through the atomic generation swap.
             val kept = idx.join(broadcast(replaced.distinct()),
               Seq("path"), "left_anti")
+            // the kept∪fresh plan runs twice (generation write +
+            // sidecar rebuild) by choice — see indexAppend's
+            // measured-2.8×-slower checkpoint note
             val rewritten = kept.unionByName(fresh)
               .sort("network", "station", "location", "channel",
                 "starttime")

@@ -408,6 +408,10 @@ object Sketches {
 
     override def reduce(buf: (Array[String], Array[Long], Long),
                         item: String): (Array[String], Array[Long], Long) = {
+      // null items are DROPPED (not counted in n) — the null-input
+      // policy of every other operator family; a stored null would NPE
+      // the sorted-buffer compareTo on the next insert
+      if (item == null) return buf
       val (its, cts, n) = buf
       val m = its.length
       val pos = search(its, item)
@@ -525,9 +529,12 @@ object Sketches {
     override def zero: (Array[String], Array[Long], Long) = inner.zero
     override def reduce(buf: (Array[String], Array[Long], Long),
                         in: (Seq[(String, Long)], Long))
-        : (Array[String], Array[Long], Long) =
+        : (Array[String], Array[Long], Long) = {
+      // null summary rows (outer-join misses, null columns) drop
+      if (in == null || in._1 == null) return buf
       inner.merge(buf, (in._1.map(_._1).toArray,
         in._1.map(_._2).toArray, in._2))
+    }
     override def merge(a: (Array[String], Array[Long], Long),
                        b: (Array[String], Array[Long], Long))
         : (Array[String], Array[Long], Long) = inner.merge(a, b)
@@ -915,17 +922,20 @@ object Sketches {
   def quantileEntries(sk: Column): Column = sk.getField("_1")
 
   /** Verdict: the summary respects its size theorem — ≤ c level-0
-    * entries plus ≤ c/2 per populated level, levels bounded by
-    * ⌊log₂ n⌋ + 1 (a run of weight 2^l needs 2^l ≤ n rows behind it):
-    * O(c·log(n/c)) total, the MRL bound. NOT ≤ c — the summary keeps
-    * its level stack, that's what makes the rank bound honest.
+    * entries plus ≤ c per populated level (pushUp leaves a level
+    * un-compacted while `merged.length <= c`, so a level can hold up
+    * to c entries, not c/2 — a merge tree that tops several levels is
+    * reachable and CORRECT), levels bounded by ⌊log₂ n⌋ + 1 (a run of
+    * weight 2^l needs 2^l ≤ n rows behind it): O(c·log n) total, the
+    * MRL bound. NOT ≤ c — the summary keeps its level stack, that's
+    * what makes the rank bound honest.
     */
   def quantileSizeOk(sk: Column, c: Int): Column = {
     val n = quantileN(sk)
     val maxLevels = floor(log(2.0,
       greatest(n.cast("double"), lit(1.0)))).cast("long") + lit(1L)
     (size(quantileEntries(sk)).cast("long") <=
-      lit(c.toLong) + lit((c / 2).toLong) * maxLevels).cast("long")
+      lit(c.toLong) * (maxLevels + lit(1L))).cast("long")
   }
 
   /** Rows-seen n carried by a quantile summary. */

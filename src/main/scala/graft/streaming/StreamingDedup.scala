@@ -224,14 +224,6 @@ object StreamingDedup {
         col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** Streaming audio fingerprint near-dup — the live counterpart of
-    * [[graft.multimodal.Multimodal.audioNearDupPairs]] (q120), in the
-    * same windowed-changelog shape as [[imageNearDupStream]]: payloads
-    * decode through the REAL JDK audio codec and fingerprint
-    * partition-locally as they arrive (undecodable rows dropped, as in
-    * batch), then ride [[bandedSigPairStream]] unchanged. State and
-    * semantics notes on [[imageNearDupStream]] apply verbatim.
-    */
   /** Streaming video near-dup — container split + per-frame decode +
     * dHash-majority fingerprint on arrival, then the shared
     * [[bandedSigPairStream]]: the FOURTH 64-bit signature family on
@@ -274,6 +266,14 @@ object StreamingDedup {
       watermark, windowDur)
   }
 
+  /** Streaming audio fingerprint near-dup — the live counterpart of
+    * [[graft.multimodal.Multimodal.audioNearDupPairs]] (q120), in the
+    * same windowed-changelog shape as [[imageNearDupStream]]: payloads
+    * decode through the REAL JDK audio codec and fingerprint
+    * partition-locally as they arrive (undecodable rows dropped, as in
+    * batch), then ride [[bandedSigPairStream]] unchanged. State and
+    * semantics notes on [[imageNearDupStream]] apply verbatim.
+    */
   def audioNearDupStream(stream: DataFrame, idCol: String,
                          payloadCol: String, tsCol: String,
                          maxHamming: Int = 3, bands: Int = 4,

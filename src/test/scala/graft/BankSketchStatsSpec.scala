@@ -130,6 +130,25 @@ class BankSketchStatsSpec extends SparkSpec {
       all(1).getAs[Long]("n_segments"))
   }
 
+  test("sidecar poisoning guard: a write to a pre-sidecar store backfills the WHOLE index") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segs(0 until 20))
+    // store predates the sidecar (older jar / external cleanup)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(bank.statsSketchPath),
+      true))
+    // a WRITE arrives before any sketchStats read: without the
+    // in-append backfill the sidecar would hold only this batch's
+    // partials forever (the directory exists, so the read-time
+    // backfill never fires again)
+    bank.putWaveforms(segs(20 until 30))
+    assertMatches(bank)
+    val total = bank.sketchStats().agg(sum("n_segments")).head().getLong(0)
+    assert(total == 60, s"sidecar covers $total of 60 segments")
+  }
+
   test("sidecar backfill: pre-sidecar stores rebuild from the index on first sketchStats read") {
     val root = tmp()
     val bank = new WaveBank(spark, root)

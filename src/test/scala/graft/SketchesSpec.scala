@@ -166,6 +166,18 @@ class SketchesSpec extends SparkSpec {
     spark.catalog.dropTempView("alg_b")
   }
 
+  test("freqSketch drops null items (no NPE, n excludes them)") {
+    val row = spark.range(100)
+      .select(when(col("id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("w"), col("id") % 5)).as("tok"))
+      .agg(Sketches.freqSketch(col("tok"), 16).as("sk"))
+      .select(Sketches.freqN(col("sk")).as("n"),
+        Sketches.freqRetained(col("sk")).as("ret"))
+      .head
+    // 34 ids are ≡ 0 (mod 3) in [0, 100): dropped, not counted
+    assert(row.getLong(0) == 66L && row.getLong(1) == 66L)
+  }
+
   test("freqUnion expression: exact regime == FreqMergeAgg; over capacity keeps MG guarantees") {
     GraftExtensions.register(spark)
     val k = 16
