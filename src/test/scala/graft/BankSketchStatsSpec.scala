@@ -130,6 +130,20 @@ class BankSketchStatsSpec extends SparkSpec {
       all(1).getAs[Long]("n_segments"))
   }
 
+  test("sidecar plan shape: sketchStats scans ONLY the sidecar, never the index") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segs(0 until 20))
+    val plan = bank.sketchStats().queryExecution.executedPlan.toString
+    assert(plan.contains("stats_sketch"),
+      s"rollup must read the sidecar:\n$plan")
+    assert(!plan.contains("/index"),
+      s"dashboard read must NOT scan the index:\n$plan")
+    // exactly one file source feeds the rollup
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"expected 1 FileScan, got $scans:\n$plan")
+  }
+
   test("sidecar poisoning guard: a write to a pre-sidecar store backfills the WHOLE index") {
     val root = tmp()
     val bank = new WaveBank(spark, root)
