@@ -255,7 +255,12 @@ class WaveBank(spark: SparkSession, root: String,
     // once this write creates the directory. Decide BEFORE the append
     // (afterwards the batch is part of the index and a full rebuild
     // covers it).
-    val backfillWholeIndex = indexExists && !statsExists
+    // consistency is judged BEFORE the write: missing sidecar,
+    // old-format sidecar, or a stale marker from a previous crash
+    // between index and sidecar writes all force a whole-index rebuild
+    // (afterwards the batch is part of the index, so the rebuild
+    // covers it)
+    val backfillWholeIndex = indexExists && !statsConsistent
     // The batch plan runs twice (index write + sidecar partials) BY
     // CHOICE: localCheckpoint(true)-ing it to share one
     // materialization was measured 2.8× SLOWER at 10⁸ rows
@@ -300,6 +305,29 @@ class WaveBank(spark: SparkSession, root: String,
   private def statsExists: Boolean =
     hadoopFs.exists(new org.apache.hadoop.fs.Path(statsSketchPath))
 
+  /** Sidecar format version — bump on any partial-schema change so
+    * old-jar sidecars read as inconsistent and rebuild instead of
+    * mixing schemas in one directory.
+    */
+  private val StatsFormatVersion = 2
+
+  /** Consistency marker (underscore-prefixed: parquet readers skip
+    * it): `"<format version> <index stamp at write time>"`. Written
+    * AFTER every partial write, so a crash between the index write and
+    * the sidecar write — or between the sidecar write and the marker —
+    * leaves a stamp mismatch that the next read or write repairs by a
+    * full rebuild. Subsumes the old schema probe: a sidecar written by
+    * a different format version never matches.
+    */
+  private def statsMarkerPath =
+    new org.apache.hadoop.fs.Path(s"$statsSketchPath/_graft_stamp")
+
+  private def statsMarkerValue: String =
+    s"$StatsFormatVersion ${indexStamp()}"
+
+  private def statsConsistent: Boolean =
+    statsExists && readSmallFile(statsMarkerPath).contains(statsMarkerValue)
+
   /** One sketch-partial row per day present in `batch`: segment count,
     * total samples, a KMV sketch of the distinct seed ids, and a
     * quantile summary of the segment lengths. Deterministic (pure
@@ -324,17 +352,21 @@ class WaveBank(spark: SparkSession, root: String,
         Sketches.freqSketch(col("seed_id"), statsSeedK).as("seed_top"))
   }
 
-  /** Append (or, for first-build/rewrite paths, replace) the sidecar.
-    * Derived data: a crash between index and sidecar writes at worst
-    * loses partials, repaired by the next [[statsRebuild]]; rewrites
+  /** Append (or, for first-build/rewrite paths, replace) the sidecar,
+    * then stamp the consistency marker. Derived data: a crash anywhere
+    * between the index write and the marker leaves the marker stale,
+    * and the next read or write detects the mismatch and rebuilds —
+    * the sidecar can lag but never silently under-report; rewrites
     * are plain overwrites because every consumer reads through
     * [[sketchStats]]'s rollup, which tolerates an in-flight swap no
     * worse than any other derived view.
     */
-  private def statsWrite(batch: DataFrame, overwrite: Boolean): Unit =
+  private def statsWrite(batch: DataFrame, overwrite: Boolean): Unit = {
     statsPartials(batch).write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .parquet(statsSketchPath)
+    atomicWriteSmall(statsMarkerPath, statsMarkerValue)
+  }
 
   /** Recompute the sidecar from an index frame (the in-place-
     * modification rewrite path, and backfill for stores that predate
@@ -352,13 +384,12 @@ class WaveBank(spark: SparkSession, root: String,
   def sketchStats(startDay: Option[Long] = None,
                   endDay: Option[Long] = None): DataFrame = {
     import graft.operators.Sketches
-    if (!statsExists && indexExists) statsRebuild(indexDf)
-    // sidecar written by an older jar (schema evolution): it is
-    // DERIVED data — rebuild from the index rather than failing the
-    // read or silently dropping the new column
-    if (statsExists &&
-        !spark.read.parquet(statsSketchPath).columns.contains("seed_top"))
-      statsRebuild(indexDf)
+    // one consistency gate covers every lifecycle gap: missing sidecar
+    // (pre-sidecar store), old format version (schema evolution — a
+    // mixed-schema dir would silently null-drop old rows), and a stale
+    // stamp (crash between an index write and its sidecar write). The
+    // sidecar is DERIVED data: rebuild, never fail or under-report.
+    if (!statsConsistent && indexExists) statsRebuild(indexDf)
     // day-range filters sit UNDER the rollup aggregate, so they reach
     // the parquet scan as PushedFilters (row-group min/max pruning on
     // the partial rows — pinned in BankSketchStatsSpec); a dashboard

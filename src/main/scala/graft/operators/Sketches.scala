@@ -922,20 +922,21 @@ object Sketches {
   def quantileEntries(sk: Column): Column = sk.getField("_1")
 
   /** Verdict: the summary respects its size theorem — ≤ c level-0
-    * entries plus ≤ c per populated level (pushUp leaves a level
-    * un-compacted while `merged.length <= c`, so a level can hold up
-    * to c entries, not c/2 — a merge tree that tops several levels is
-    * reachable and CORRECT), levels bounded by ⌊log₂ n⌋ + 1 (a run of
-    * weight 2^l needs 2^l ≤ n rows behind it): O(c·log n) total, the
-    * MRL bound. NOT ≤ c — the summary keeps its level stack, that's
-    * what makes the rank bound honest.
+    * entries plus ≤ c per populated HIGHER level (pushUp leaves a
+    * level un-compacted while `merged.length <= c`, so a level can
+    * hold up to c entries, not c/2 — a merge tree that tops several
+    * levels is reachable and CORRECT), with higher levels bounded by
+    * ⌊log₂ n⌋ (a run of weight 2^l needs 2^l ≤ n rows behind it):
+    * total ≤ c·(⌊log₂ n⌋ + 1), the MRL O(c·log n) bound, tight to
+    * within per-level slack. NOT ≤ c — the summary keeps its level
+    * stack, that's what makes the rank bound honest.
     */
   def quantileSizeOk(sk: Column, c: Int): Column = {
     val n = quantileN(sk)
     val maxLevels = floor(log(2.0,
       greatest(n.cast("double"), lit(1.0)))).cast("long") + lit(1L)
     (size(quantileEntries(sk)).cast("long") <=
-      lit(c.toLong) * (maxLevels + lit(1L))).cast("long")
+      lit(c.toLong) * maxLevels).cast("long")
   }
 
   /** Rows-seen n carried by a quantile summary. */

@@ -163,6 +163,31 @@ class BankSketchStatsSpec extends SparkSpec {
     assert(total == 60, s"sidecar covers $total of 60 segments")
   }
 
+  test("sidecar crash window: stale marker (index written, sidecar not) forces rebuild") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segs(0 until 20))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the index write and the sidecar write:
+    // wipe the sidecar's content but leave the DIRECTORY (the shape a
+    // half-finished overwrite or lost append leaves behind) — the old
+    // absence-only guard was blind to this
+    fs.delete(new org.apache.hadoop.fs.Path(bank.statsSketchPath), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bank.statsSketchPath))
+    // read path repairs
+    assertMatches(bank)
+    // and a WRITE against a stale marker repairs too: corrupt the
+    // marker, then append — the whole index must be re-covered
+    fs.delete(
+      new org.apache.hadoop.fs.Path(s"${bank.statsSketchPath}/_graft_stamp"),
+      false)
+    bank.putWaveforms(segs(20 until 30))
+    val total = bank.sketchStats().agg(sum("n_segments")).head().getLong(0)
+    assert(total == 60, s"sidecar covers $total of 60 segments")
+    assertMatches(bank)
+  }
+
   test("sidecar backfill: pre-sidecar stores rebuild from the index on first sketchStats read") {
     val root = tmp()
     val bank = new WaveBank(spark, root)
