@@ -425,10 +425,25 @@ class WaveBank(spark: SparkSession, root: String,
     * commit-atomic multi-writer compact.
     */
   def compactIndex(): Unit =
-    if (txIndex) { txTable.compact(); () }
+    if (txIndex) {
+      val sidecarStillValid = statsConsistent
+      txTable.compact()
+      if (sidecarStillValid)
+        atomicWriteSmall(statsMarkerPath, statsMarkerValue)
+      ()
+    }
     else if (!indexExists) () // fresh bank: nothing to compact
-    else writeGeneration(indexDf
-      .sort("network", "station", "location", "channel", "starttime"))
+    else {
+      // compaction rewrites FILES, not content: a consistent sidecar
+      // stays logically valid, so re-stamp its marker against the
+      // post-compaction index stamp instead of letting the stale
+      // marker force a needless O(index) rebuild on the next read
+      val sidecarStillValid = statsConsistent
+      writeGeneration(indexDf
+        .sort("network", "station", "location", "channel", "starttime"))
+      if (sidecarStillValid)
+        atomicWriteSmall(statsMarkerPath, statsMarkerValue)
+    }
   /** WaveBank's ±1 s interval-query buffer (`wavebank.py:173`). */
   val bufferNs: Long = 1_000_000_000L
 

@@ -163,6 +163,25 @@ class BankSketchStatsSpec extends SparkSpec {
     assert(total == 60, s"sidecar covers $total of 60 segments")
   }
 
+  test("sidecar survives compaction without a rebuild (marker re-stamped, not stale)") {
+    val root = tmp()
+    val bank = new WaveBank(spark, root)
+    bank.putWaveforms(segs(0 until 20))
+    bank.putWaveforms(segs(20 until 30))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def partFiles() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(bank.statsSketchPath))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
+      .sortBy(_._1).toSeq
+    val before = partFiles()
+    bank.compactIndex()
+    assertMatches(bank) // results still correct post-compaction...
+    assert(partFiles() == before,
+      "compaction must re-stamp the marker, not trigger a sidecar rebuild")
+  }
+
   test("sidecar crash window: stale marker (index written, sidecar not) forces rebuild") {
     val root = tmp()
     val bank = new WaveBank(spark, root)
