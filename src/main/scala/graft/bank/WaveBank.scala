@@ -375,15 +375,50 @@ class WaveBank(spark: SparkSession, root: String,
   private def statsRebuild(index: DataFrame): Unit =
     statsWrite(index, overwrite = true)
 
+  /** The lossless rollup shared by [[sketchStats]]'s live path and its
+    * empty-bank short-circuit.
+    */
+  private def statsRollup(partials: DataFrame): DataFrame = {
+    import graft.operators.Sketches
+    partials
+      .groupBy("day")
+      .agg(sum(col("n_segments")).as("n_segments"),
+        sum(col("sum_samples")).as("sum_samples"),
+        Sketches.kmvMerge(col("seed_sk"), statsSeedK).as("seed_sk"),
+        Sketches.quantileMerge(col("len_sk"), statsLenC).as("len_sk"),
+        Sketches.freqMerge(col("seed_top"), statsSeedK).as("seed_top"))
+  }
+
   /** Day-granular sketch stats, one row per day: the sidecar partials
     * rolled up through the LOSSLESS merges — identical to sketching
     * the live index from scratch (q136's verdict), at the cost of
     * reading a few kilobytes instead of the index. Backfills the
     * sidecar from the index for pre-sidecar stores.
+    *
+    * SINGLE-WRITER contract for plain-parquet banks (same as
+    * [[writeGeneration]]): the absent-sidecar/stale-marker rebuild here
+    * runs on the READ path, so a reader racing a concurrent
+    * `putWaveforms` could rebuild from the pre-append index while the
+    * writer appends its partial and then stamps the marker — an
+    * incomplete sidecar marked consistent. Route all writes AND the
+    * first post-upgrade read through one role (or use `txIndex`, whose
+    * commit log serializes writers); a foreign writer dropping parquet
+    * straight into the index dir without `bumpStamp()` likewise leaves
+    * the marker blind — the bank API is the write path.
     */
   def sketchStats(startDay: Option[Long] = None,
                   endDay: Option[Long] = None): DataFrame = {
-    import graft.operators.Sketches
+    // fresh bank, nothing ever written: answer with the correct empty
+    // frame instead of throwing on a missing sidecar dir
+    if (!indexExists && !statsExists) {
+      val emptyIdx = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "network STRING, station STRING, location STRING, " +
+            "channel STRING, starttime BIGINT, endtime BIGINT, " +
+            "sampling_period BIGINT"))
+      return statsRollup(statsPartials(emptyIdx))
+    }
     // one consistency gate covers every lifecycle gap: missing sidecar
     // (pre-sidecar store), old format version (schema evolution — a
     // mixed-schema dir would silently null-drop old rows), and a stale
@@ -398,13 +433,7 @@ class WaveBank(spark: SparkSession, root: String,
         startDay.map(col("day") >= _), endDay.map(col("day") <= _))
       .flatten
       .foldLeft(spark.read.parquet(statsSketchPath))(_.filter(_))
-    partials
-      .groupBy("day")
-      .agg(sum(col("n_segments")).as("n_segments"),
-        sum(col("sum_samples")).as("sum_samples"),
-        Sketches.kmvMerge(col("seed_sk"), statsSeedK).as("seed_sk"),
-        Sketches.quantileMerge(col("len_sk"), statsLenC).as("len_sk"),
-        Sketches.freqMerge(col("seed_top"), statsSeedK).as("seed_top"))
+    statsRollup(partials)
   }
 
   /** Rewrite the index's accumulated append files into one globally

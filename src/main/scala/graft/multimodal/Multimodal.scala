@@ -720,25 +720,53 @@ object Multimodal {
     * — "which clips contain the same frames" (containment/reuse, the
     * [[graft.operators.Dedup.duplicateSpans]] question for video).
     * Container split → md5 per frame payload (intra-only frames are
-    * byte-stable, so identical content ⇒ identical bytes) → ONE
-    * shuffle on the frame hash → per-hash video list → in-group pair
-    * expansion → pairs sharing ≥ `minShared` DISTINCT frames. Never an
-    * all-pairs join: candidates come only from genuinely shared
-    * frames, and a frame reused by f videos contributes f(f−1)/2
-    * pair-counts inside its own group (boilerplate intros/outros are
-    * the skew case — same profile as duplicateSpans' hot spans).
+    * byte-stable, so identical content ⇒ identical bytes; keyed on the
+    * FULL 128-bit digest, so no birthday collisions at billions of
+    * distinct frames) → ONE shuffle on the frame hash → per-hash video
+    * list → in-group pair expansion → pairs sharing ≥ `minShared`
+    * DISTINCT frames. Never an all-pairs join: candidates come only
+    * from genuinely shared frames.
+    *
+    * HOT-FRAME stop device (the LSH stop-bucket applied here): a
+    * boilerplate frame (black frame, intro/outro card) reused by f
+    * videos would put f ids in one collect_list state row and expand
+    * f(f−1)/2 pairs inside a single group — f in the millions kills
+    * the stage. Frames with document frequency > `maxFrameDf` are
+    * dropped BEFORE the group build: a first partial-combined count
+    * pass finds them (map-side combine ships one row per frame per map
+    * partition, skew-immune), and a broadcast anti-join removes their
+    * rows map-side. The stop list is small by construction —
+    * ≤ totalFrameRows / maxFrameDf entries — and a frame present in
+    * thousands of videos carries no containment signal anyway (exactly
+    * the LSH stop-bucket argument). Post-filter group size is ≤
+    * `maxFrameDf`, so the in-group expansion is bounded. Dropped
+    * frames are surfaced through the named accumulator
+    * `graft.sharedFramePairs.stoppedFrames` (Spark UI / spec-readable;
+    * at-least-once under task retries, as all accumulators are).
     */
   def sharedFramePairs(spark: SparkSession, df: DataFrame,
-                       minShared: Long = 2L): DataFrame = {
+                       minShared: Long = 2L,
+                       maxFrameDf: Int = 1024,
+                       stopCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     val frames = df.select("doc_id", "payload").as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
         decodeMotionPng(p).toSeq.flatten.map { f =>
           val d = java.security.MessageDigest.getInstance("MD5").digest(f)
-          (id, java.nio.ByteBuffer.wrap(d).getLong)
+          val bb = java.nio.ByteBuffer.wrap(d)
+          (id, bb.getLong, bb.getLong)
         }
-      }.toDF("doc_id", "fh").distinct()
-    frames.groupBy("fh")
+      }.toDF("doc_id", "fh1", "fh2").distinct()
+    val stopAcc = stopCounter.getOrElse(spark.sparkContext.longAccumulator(
+      "graft.sharedFramePairs.stoppedFrames"))
+    val hot = frames.groupBy("fh1", "fh2")
+      .agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") > maxFrameDf)
+      .select(col("fh1"), col("fh2")).as[(Long, Long)]
+      .map { r => stopAcc.add(1); r } // tiny frame: |stops| ≤ N/maxFrameDf
+      .toDF("fh1", "fh2")
+    frames.join(broadcast(hot), Seq("fh1", "fh2"), "left_anti")
+      .groupBy("fh1", "fh2")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>

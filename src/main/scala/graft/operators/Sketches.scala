@@ -137,7 +137,9 @@ object Sketches {
     private val inner = new KmvAgg(k)
     override def zero: Array[Long] = inner.zero
     override def reduce(buf: Array[Long], in: Array[Long]): Array[Long] =
-      inner.merge(buf, in)
+      // null sketch rows (outer-join misses, null columns) drop — the
+      // same policy as FreqMergeAgg, and the policy SQL aggregates have
+      if (in == null) buf else inner.merge(buf, in)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       inner.merge(a, b)
     override def finish(buf: Array[Long]): Array[Long] = buf
@@ -862,6 +864,9 @@ object Sketches {
 
     override def reduce(buf: QuantileBuf,
                         in: (Seq[(Long, Long)], Long, Long)): QuantileBuf = {
+      // null sketch rows (outer-join misses, null columns) drop — the
+      // same policy as FreqMergeAgg/KmvMergeAgg
+      if (in == null || in._1 == null) return buf
       val (entries, n, b) = in
       // rebuild the part's level stack from its entries, then merge
       var part = QuantileOps.zero(c)
@@ -933,8 +938,10 @@ object Sketches {
     */
   def quantileSizeOk(sk: Column, c: Int): Column = {
     val n = quantileN(sk)
-    val maxLevels = floor(log(2.0,
-      greatest(n.cast("double"), lit(1.0)))).cast("long") + lit(1L)
+    // ⌊log₂ n⌋ + 1 = bit length of n, in INTEGER arithmetic: the
+    // floating-point log₂ can round ⌊log₂ 2^k⌋ down a level for exact
+    // powers of two, silently shrinking the bound the verdict audits
+    val maxLevels = length(bin(greatest(n, lit(1L)))).cast("long")
     (size(quantileEntries(sk)).cast("long") <=
       lit(c.toLong) * maxLevels).cast("long")
   }

@@ -353,6 +353,51 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.encodeMotionPng(Nil)).exists(_.isEmpty))
   }
 
+  test("sharedFramePairs: hot boilerplate frame is stopped, pairs bounded, accumulator counts drops") {
+    import spark.implicits._
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 4).foreach(x =>
+        img.setRGB(x, y, (seed * 37 + x * 11 + y) & 0xFFFFFF)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // every video opens with the SAME intro card (the hot frame);
+    // videos 3 and 7 additionally share two content frames
+    val intro = png(9999)
+    val vids = (0 until 30).map { i =>
+      val content: Seq[Array[Byte]] =
+        if (i == 7) Seq(png(300), png(301), png(1000 + i))
+        else if (i == 3) Seq(png(300), png(301), png(1000 + i))
+        else Seq(png(1000 + i), png(2000 + i))
+      (i.toLong, Multimodal.encodeMotionPng(intro +: content))
+    }.toDF("doc_id", "payload")
+    // capped: the intro (df=30 > 8) is dropped before the group build;
+    // the planted pair survives on its 2 content frames alone
+    val stopAcc = spark.sparkContext.longAccumulator("spec.stoppedFrames")
+    val capped = Multimodal.sharedFramePairs(spark, vids,
+      minShared = 2, maxFrameDf = 8, stopCounter = Some(stopAcc))
+    val rows = capped.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((3L, 7L, 2L)),
+      s"expected only the planted pair: ${rows.toSeq}")
+    // the stop accumulator surfaced exactly the one hot frame
+    assert(stopAcc.value == 1L, s"stop count ${stopAcc.value}")
+    // uncapped: the intro frame counts toward containment (n_shared=3)
+    val open = Multimodal.sharedFramePairs(spark, vids,
+      minShared = 3, maxFrameDf = 1024)
+    val openRows = open.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(openRows.toSeq == Seq((3L, 7L, 3L)))
+    // plan shape: the stop list joins as a BROADCAST anti join — the
+    // corpus frame stream is filtered map-side, never reshuffled for it
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"stop-list join must be broadcast anti:\n$plan")
+  }
+
   test("majorityHash: strict majority, and a 1-frame edit moves <= its dHash delta") {
     assert(Multimodal.majorityHash(Seq(0b1011L, 0b1010L, 0b0010L)) == 0b1010L)
     // a bit set in exactly half the (even-count) frames clears

@@ -534,4 +534,54 @@ class SketchesSpec extends SparkSpec {
     assert(viaSql == viaApi)
     spark.catalog.dropTempView("sketch_spec_t")
   }
+
+  test("merge aggregates drop null sketch rows (outer-join misses) instead of failing") {
+    // kmv: a null array row must not NPE the rollup
+    val kmvRolled = spark.sql(
+      "SELECT * FROM VALUES (array(5L, 9L)), (CAST(NULL AS ARRAY<BIGINT>)) t(sk)")
+      .agg(Sketches.kmvMerge(col("sk"), 4).as("m"))
+      .head.getAs[scala.collection.Seq[Long]]("m")
+    assert(kmvRolled == Seq(5L, 9L))
+    // quantile: a null struct row (and a struct with null entries) drop
+    val qRolled = spark.sql(
+      """SELECT * FROM VALUES
+           (named_struct('_1', array(named_struct('_1', 7L, '_2', 1L)),
+                         '_2', 1L, '_3', 0L)),
+           (CAST(NULL AS STRUCT<_1: ARRAY<STRUCT<_1: BIGINT, _2: BIGINT>>,
+                                _2: BIGINT, _3: BIGINT>))
+         t(sk)""")
+      .agg(Sketches.quantileMerge(col("sk"), 4).as("m"))
+      .select(Sketches.quantileN(col("m")).as("n"),
+        Sketches.quantileEstimate(col("m"), 0.5).as("p50"))
+      .head
+    assert(qRolled.getAs[Long]("n") == 1L && qRolled.getAs[Long]("p50") == 7L)
+    // freq (the pre-existing guard): still drops nulls after the refactor
+    val fRolled = spark.sql(
+      """SELECT * FROM VALUES
+           (named_struct('_1', array(named_struct('_1', 'a', '_2', 3L)),
+                         '_2', 3L)),
+           (CAST(NULL AS STRUCT<_1: ARRAY<STRUCT<_1: STRING, _2: BIGINT>>,
+                                _2: BIGINT>))
+         t(sk)""")
+      .agg(Sketches.freqMerge(col("sk"), 4).as("m"))
+      .select(Sketches.freqN(col("m")).as("n")).head
+    assert(fRolled.getAs[Long]("n") == 3L)
+  }
+
+  test("quantileSizeOk: integer bit-length bound, exact at powers of two") {
+    // n = 8 (an exact power of two): the bound is c*(floor(log2 n)+1)
+    // = c*4; floating-point log2 rounds floor(log2 8) down to 2 and
+    // would shrink it to c*3 — a 16-entry summary must pass at c=4
+    def crafted(nEntries: Int, n: Long) = spark.range(1).select(expr(
+      s"""named_struct(
+            '_1', transform(sequence(1, $nEntries),
+                    i -> named_struct('_1', CAST(i AS BIGINT),
+                                      '_2', CAST(1 AS BIGINT))),
+            '_2', CAST($n AS BIGINT), '_3', CAST(0 AS BIGINT))""").as("sk"))
+      .select(Sketches.quantileSizeOk(col("sk"), 4).as("ok"))
+      .head.getAs[Long]("ok")
+    assert(crafted(16, 8L) == 1L, "c*(log2(8)+1) = 16 entries must pass")
+    assert(crafted(17, 8L) == 0L, "17 entries must exceed the n=8 bound")
+    assert(crafted(4, 1L) == 1L && crafted(5, 1L) == 0L, "n=1: one level")
+  }
 }
