@@ -1028,6 +1028,68 @@ object ScaleBench {
         s""""pairs":$pairs,"planted":$planted,"pair_s":${fmt(pairSecs)}}"""
     }.getOrElse("")
 
+    // adversarial hot-frame variant (env GRAFT_SCALE_HOTFRAME=<vids>):
+    // q146 sharedFramePairs on a corpus where ONE boilerplate intro
+    // frame opens EVERY video (the q80 hotspan methodology applied to
+    // the frame-containment operator). Without the stop device the
+    // intro's group holds n ids and expands n(n-1)/2 pairs in one
+    // task; with it the frame is dropped before the group build, so
+    // hot must track the no-intro control at ~1x and the planted
+    // pair set must come out identical.
+    val hotFrameJson = sys.env.get("GRAFT_SCALE_HOTFRAME").map { sN =>
+      import spark.implicits._
+      val n = sN.trim.toLong
+      require(n > 2048, s"hot-frame row needs n > 2*maxFrameDf, got $n")
+      // one fixed intro card, rendered once (PNG encode is
+      // deterministic for fixed pixels, so every copy is byte-equal)
+      val intro: Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 8).foreach(y => (0 until 9).foreach(x =>
+          img.setRGB(x, y, ((x * 29 + y * 17) % 199) * 0x010101)))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      def corpus(hot: Boolean) = {
+        val introB = intro
+        spark.range(n).select(col("id").as("doc_id")).as[Long]
+          .mapPartitions { it =>
+            javax.imageio.ImageIO.setUseCache(false)
+            it.map { id =>
+              val base = graft.queries.MultimodalQueries.renderMotionPng(id)
+              val p =
+                if (hot) graft.multimodal.Multimodal.encodeMotionPng(
+                  introB +: graft.multimodal.Multimodal
+                    .decodeMotionPng(base).get)
+                else base
+              (id, p)
+            }
+          }.toDF("doc_id", "payload")
+      }
+      def bench(hot: Boolean): (Double, Long, Long, Long) = {
+        val dir = s"$root/hotframe_${hot}_$n"
+        corpus(hot).write.mode("overwrite").parquet(dir)
+        val acc = spark.sparkContext.longAccumulator(s"hotframe-stops-$hot")
+        val s0 = System.nanoTime()
+        val (rows, sum) = runAll(graft.multimodal.Multimodal
+          .sharedFramePairs(spark, spark.read.parquet(dir),
+            minShared = 2, stopCounter = Some(acc)))
+        ((System.nanoTime() - s0) / 1e9, rows, sum, acc.value)
+      }
+      val (hs, hRows, hSum, hStops) = bench(hot = true)
+      val (us, uRows, uSum, uStops) = bench(hot = false)
+      val planted = if (n > 21) (n - 22) / 40 + 1 else 0 // ids ≡ 21 (mod 40)
+      require(hRows == uRows && hSum == uSum,
+        s"stop device changed RESULTS: hot ($hRows, $hSum) vs control ($uRows, $uSum)")
+      require(hRows == planted, s"expected $planted planted pairs, got $hRows")
+      require(hStops == 1 && uStops == 0,
+        s"expected exactly the intro frame stopped: hot=$hStops control=$uStops")
+      s""","hot_frame":{"vids":$n,"hot_s":${fmt(hs)},""" +
+        s""""uniform_s":${fmt(us)},"ratio":${fmt(hs / us)},""" +
+        s""""pairs":$hRows,"stopped_frames":$hStops}"""
+    }.getOrElse("")
+
     // streaming audio near-dup (env GRAFT_SCALE_AUDIOSTREAM=
     // <clips>[:bands:bandBits:maxHamming], default 4:16:3): the q121
     // pipeline — WAVs replayed through the file source, decoded +
@@ -1666,7 +1728,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
   }
 }
