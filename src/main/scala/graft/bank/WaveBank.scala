@@ -276,7 +276,39 @@ class WaveBank(spark: SparkSession, root: String,
       bumpStamp()
     }
     if (backfillWholeIndex) statsRebuild(indexDf)
-    else statsWrite(df, overwrite = false)
+    else statsWrite(df, overwrite = false, tag = s"write-${indexStamp()}")
+  }
+
+  /** One streaming micro-batch of index rows (bank index schema, one
+    * row per segment), committed EXACTLY once with its sidecar
+    * partials — the foreachBatch sink behind
+    * [[graft.streaming.StreamingIndex.runBank]]. Requires `txIndex`:
+    * the index append rides [[TxTable.appendOnce]]'s batchId-tag
+    * idempotence, and the sidecar partial carries the same tag so a
+    * replayed batch (foreachBatch's at-least-once contract) appends a
+    * bit-identical partial that the rollup's (day, src_tag) dedup
+    * collapses. The marker is re-stamped after every batch, so a
+    * continuously ingesting bank keeps the flat kilobyte-sized
+    * [[sketchStats]] read instead of paying an O(index) resketch per
+    * dashboard read. A crash between the index commit and the sidecar
+    * write leaves the marker stale → next read/write rebuilds, the
+    * standard lag-never-lie contract.
+    */
+  private[graft] def streamingAppend(batch: DataFrame, batchId: Long): Unit = {
+    require(txIndex,
+      "streaming index maintenance requires a txIndex bank " +
+        "(exactly-once micro-batch commits via appendOnce)")
+    if (batch.isEmpty) return
+    val tag = s"stream-batch-$batchId"
+    // pre-sidecar / stale-marker stores rebuild AFTER the append so the
+    // rebuild covers this batch (same decide-before-append dance as
+    // indexAppend)
+    val backfillWholeIndex = indexExists && !statsConsistent
+    val clustered = batch.sort("network", "station", "location",
+      "channel", "starttime")
+    txTable.appendOnce(clustered, tag = tag)
+    if (backfillWholeIndex) statsRebuild(indexDf)
+    else statsWrite(batch, overwrite = false, tag = tag)
   }
 
   // ------------------------------------------------------------------
@@ -307,9 +339,10 @@ class WaveBank(spark: SparkSession, root: String,
 
   /** Sidecar format version — bump on any partial-schema change so
     * old-jar sidecars read as inconsistent and rebuild instead of
-    * mixing schemas in one directory.
+    * mixing schemas in one directory. v3 adds `src_tag` (the write's
+    * idempotence tag) so streaming replays dedupe at rollup.
     */
-  private val StatsFormatVersion = 2
+  private val StatsFormatVersion = 3
 
   /** Consistency marker (underscore-prefixed: parquet readers skip
     * it): `"<format version> <index stamp at write time>"`. Written
@@ -360,9 +393,16 @@ class WaveBank(spark: SparkSession, root: String,
     * are plain overwrites because every consumer reads through
     * [[sketchStats]]'s rollup, which tolerates an in-flight swap no
     * worse than any other derived view.
+    *
+    * `tag` names the WRITE: batch writes stamp a fresh store-stamp-
+    * derived tag (unique per write), streaming micro-batches stamp
+    * their batchId tag — a foreachBatch REPLAY then appends a
+    * bit-identical partial under the SAME tag, and the rollup's
+    * (day, src_tag) dedup restores exactly-once.
     */
-  private def statsWrite(batch: DataFrame, overwrite: Boolean): Unit = {
-    statsPartials(batch).write
+  private def statsWrite(batch: DataFrame, overwrite: Boolean,
+                         tag: String): Unit = {
+    statsPartials(batch).withColumn("src_tag", lit(tag)).write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .parquet(statsSketchPath)
     atomicWriteSmall(statsMarkerPath, statsMarkerValue)
@@ -373,7 +413,7 @@ class WaveBank(spark: SparkSession, root: String,
     * the sidecar).
     */
   private def statsRebuild(index: DataFrame): Unit =
-    statsWrite(index, overwrite = true)
+    statsWrite(index, overwrite = true, tag = s"rebuild-${indexStamp()}")
 
   /** The lossless rollup shared by [[sketchStats]]'s live path and its
     * empty-bank short-circuit.
@@ -381,6 +421,11 @@ class WaveBank(spark: SparkSession, root: String,
   private def statsRollup(partials: DataFrame): DataFrame = {
     import graft.operators.Sketches
     partials
+      // a replayed streaming batch appends a bit-identical partial
+      // under the same src_tag — keep one copy per (day, write);
+      // batch writes carry unique store-stamp tags, so nothing else
+      // collapses. Kilobytes in, kilobytes out.
+      .dropDuplicates("day", "src_tag")
       .groupBy("day")
       .agg(sum(col("n_segments")).as("n_segments"),
         sum(col("sum_samples")).as("sum_samples"),
@@ -417,7 +462,8 @@ class WaveBank(spark: SparkSession, root: String,
           "network STRING, station STRING, location STRING, " +
             "channel STRING, starttime BIGINT, endtime BIGINT, " +
             "sampling_period BIGINT"))
-      return statsRollup(statsPartials(emptyIdx))
+      return statsRollup(
+        statsPartials(emptyIdx).withColumn("src_tag", lit("")))
     }
     // one consistency gate covers every lifecycle gap: missing sidecar
     // (pre-sidecar store), old format version (schema evolution — a

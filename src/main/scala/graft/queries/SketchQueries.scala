@@ -61,6 +61,93 @@ object SketchQueries {
       .select(col("source"), col("lang"), expr("md5_long60(shingle)").as("h"))
   }
 
+  /** q136/q147's synthetic segment frame: 4 stations × 48 hour-slots,
+    * payload length a pure function of the events table — with a
+    * `slot` column the callers split their write batches on.
+    */
+  private def bankStatsSegs(s: SparkSession, dir: String): DataFrame = {
+    val T0 = 1_600_000_000_000_000_000L
+    Tables.events(s, dir)
+      .select((col("user_id") % 4).as("sid"),
+        (col("event_id") % 48).as("slot"), col("event_id"))
+      .groupBy("sid", "slot").agg((min("event_id") % 64).as("v0"))
+      .select(lit("XX").as("network"),
+        concat(lit("S"), col("sid")).as("station"),
+        lit("").as("location"),
+        concat(lit("BH"), when(col("slot") % 2 === 0, lit("Z"))
+          .otherwise(lit("N"))).as("channel"),
+        (lit(T0) + col("slot") * lit(3_600_000_000_000L)).as("starttime"),
+        lit(1_000_000_000L).as("sampling_period"),
+        transform(sequence(lit(1L), col("v0") + lit(10L)),
+          _ => lit(0.0)).as("samples"),
+        col("slot"))
+  }
+
+  /** q136/q147's verdict frame: sketchStats rolled-up columns plus
+    * bit-equality flags against a from-scratch resketch of the live
+    * index (the k-min-of-k-mins / exact-rollup theorems applied to
+    * the store).
+    */
+  private def bankStatsVerdict(bank: graft.bank.WaveBank): DataFrame = {
+    val dayNs = 86_400_000_000_000L
+    val stats = bank.sketchStats()
+    val idx = bank.readIndex().select(
+      floor(col("starttime") / lit(dayNs)).cast("long").as("day"),
+      concat_ws(".", col("network"), col("station"), col("location"),
+        col("channel")).as("seed_id"),
+      ((col("endtime") - col("starttime")) / col("sampling_period"))
+        .cast("long").as("n_samples"))
+    val direct = idx.groupBy("day").agg(
+      Sketches.kmvSketch(expr("md5_long60(seed_id)"), bank.statsSeedK)
+        .as("dsk"),
+      Sketches.quantileSketch(col("n_samples"), bank.statsLenC).as("dlen"),
+      Sketches.freqSketch(col("seed_id"), bank.statsSeedK).as("dtop"))
+    stats.join(direct, "day").select(
+      col("day"), col("n_segments"), col("sum_samples"),
+      Sketches.kmvEstimate(col("seed_sk"), bank.statsSeedK).as("n_seeds"),
+      (col("seed_sk") === col("dsk")).cast("long").as("seed_eq"),
+      Sketches.quantileN(col("len_sk")).as("n_rollup"),
+      Sketches.quantileEstimate(col("len_sk"), 0.5).as("p50_len"),
+      (col("len_sk") === col("dlen")).cast("long").as("len_eq"),
+      Sketches.freqTopCsv(col("seed_top"), 3).as("top3_seeds"),
+      (col("seed_top") === col("dtop")).cast("long").as("top_eq"))
+  }
+
+  /** The q136/q147 DuckDB mirror; `verdictCols` carries the always-1
+    * theorem columns the variants differ on.
+    */
+  private def bankStatsOracleSql(verdictCols: String): String = s"""
+      WITH base AS (
+        SELECT user_id % 4 AS sid, event_id % 48 AS slot,
+               MIN(event_id) % 64 AS v0
+        FROM events GROUP BY 1, 2),
+      seg AS (SELECT sid, slot, v0 + 10 AS len,
+                     'XX.S' || CAST(sid AS VARCHAR) || '..BH' ||
+                       (CASE WHEN slot % 2 = 0 THEN 'Z' ELSE 'N' END)
+                       AS seed,
+                     (1600000000000000000 + slot * 3600000000000)
+                       // 86400000000000 AS day
+              FROM base),
+      sc AS (SELECT day, seed, count(*) AS c FROM seg GROUP BY 1, 2),
+      sr AS (SELECT *, row_number() OVER
+               (PARTITION BY day ORDER BY c DESC, seed ASC) AS rn
+             FROM sc),
+      t3 AS (SELECT day,
+               string_agg(seed || ':' || c, ',' ORDER BY rn) AS top3_seeds
+             FROM sr WHERE rn <= 3 GROUP BY 1)
+      SELECT day, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(len) AS BIGINT) AS sum_samples,
+             CAST(count(DISTINCT seed) AS DOUBLE) AS n_seeds,
+             $verdictCols,
+             CAST(count(*) AS BIGINT) AS n_rollup,
+             CAST((list(len ORDER BY len))
+               [CAST(GREATEST(1, ceil(count(*) * 0.5)) AS BIGINT)]
+               AS BIGINT) AS p50_len,
+             CAST(1 AS BIGINT) AS len_eq,
+             ANY_VALUE(t3.top3_seeds) AS top3_seeds,
+             CAST(1 AS BIGINT) AS top_eq
+      FROM seg JOIN t3 USING (day) GROUP BY day"""
+
   val all: Seq[Q] = Seq(
 
     // ---- per-group sketch + estimate: exact distinct via the full
@@ -821,79 +908,51 @@ object SketchQueries {
     //      (counts, sums, exact-mode distinct estimate, the ⌈n/2⌉ p50).
     Q("q136_bank_sketch_stats", (s, dir) => {
       import graft.bank.WaveBank
-      val T0 = 1_600_000_000_000_000_000L
-      val dayNs = 86_400_000_000_000L
-      val segs = Tables.events(s, dir)
-        .select((col("user_id") % 4).as("sid"),
-          (col("event_id") % 48).as("slot"), col("event_id"))
-        .groupBy("sid", "slot").agg((min("event_id") % 64).as("v0"))
-        .select(lit("XX").as("network"),
-          concat(lit("S"), col("sid")).as("station"),
-          lit("").as("location"),
-          concat(lit("BH"), when(col("slot") % 2 === 0, lit("Z"))
-            .otherwise(lit("N"))).as("channel"),
-          (lit(T0) + col("slot") * lit(3_600_000_000_000L)).as("starttime"),
-          lit(1_000_000_000L).as("sampling_period"),
-          transform(sequence(lit(1L), col("v0") + lit(10L)),
-            _ => lit(0.0)).as("samples"),
-          col("slot"))
+      val segs = bankStatsSegs(s, dir)
       val root = java.nio.file.Files
         .createTempDirectory("graft-q136").toString
       val bank = new WaveBank(s, root)
       bank.putWaveforms(segs.filter(col("slot") < 24).drop("slot"))
       bank.putWaveforms(segs.filter(col("slot") >= 24).drop("slot"))
-      val stats = bank.sketchStats()
-      val idx = bank.readIndex().select(
-        floor(col("starttime") / lit(dayNs)).cast("long").as("day"),
-        concat_ws(".", col("network"), col("station"), col("location"),
-          col("channel")).as("seed_id"),
-        ((col("endtime") - col("starttime")) / col("sampling_period"))
-          .cast("long").as("n_samples"))
-      val direct = idx.groupBy("day").agg(
-        Sketches.kmvSketch(expr("md5_long60(seed_id)"), bank.statsSeedK)
-          .as("dsk"),
-        Sketches.quantileSketch(col("n_samples"), bank.statsLenC).as("dlen"),
-        Sketches.freqSketch(col("seed_id"), bank.statsSeedK).as("dtop"))
-      stats.join(direct, "day").select(
-        col("day"), col("n_segments"), col("sum_samples"),
-        Sketches.kmvEstimate(col("seed_sk"), bank.statsSeedK).as("n_seeds"),
-        (col("seed_sk") === col("dsk")).cast("long").as("seed_eq"),
-        Sketches.quantileN(col("len_sk")).as("n_rollup"),
-        Sketches.quantileEstimate(col("len_sk"), 0.5).as("p50_len"),
-        (col("len_sk") === col("dlen")).cast("long").as("len_eq"),
-        Sketches.freqTopCsv(col("seed_top"), 3).as("top3_seeds"),
-        (col("seed_top") === col("dtop")).cast("long").as("top_eq"))
-    }, Some("""
-      WITH base AS (
-        SELECT user_id % 4 AS sid, event_id % 48 AS slot,
-               MIN(event_id) % 64 AS v0
-        FROM events GROUP BY 1, 2),
-      seg AS (SELECT sid, slot, v0 + 10 AS len,
-                     'XX.S' || CAST(sid AS VARCHAR) || '..BH' ||
-                       (CASE WHEN slot % 2 = 0 THEN 'Z' ELSE 'N' END)
-                       AS seed,
-                     (1600000000000000000 + slot * 3600000000000)
-                       // 86400000000000 AS day
-              FROM base),
-      sc AS (SELECT day, seed, count(*) AS c FROM seg GROUP BY 1, 2),
-      sr AS (SELECT *, row_number() OVER
-               (PARTITION BY day ORDER BY c DESC, seed ASC) AS rn
-             FROM sc),
-      t3 AS (SELECT day,
-               string_agg(seed || ':' || c, ',' ORDER BY rn) AS top3_seeds
-             FROM sr WHERE rn <= 3 GROUP BY 1)
-      SELECT day, CAST(count(*) AS BIGINT) AS n_segments,
-             CAST(sum(len) AS BIGINT) AS sum_samples,
-             CAST(count(DISTINCT seed) AS DOUBLE) AS n_seeds,
-             CAST(1 AS BIGINT) AS seed_eq,
-             CAST(count(*) AS BIGINT) AS n_rollup,
-             CAST((list(len ORDER BY len))
-               [CAST(GREATEST(1, ceil(count(*) * 0.5)) AS BIGINT)]
-               AS BIGINT) AS p50_len,
-             CAST(1 AS BIGINT) AS len_eq,
-             ANY_VALUE(t3.top3_seeds) AS top3_seeds,
-             CAST(1 AS BIGINT) AS top_eq
-      FROM seg JOIN t3 USING (day) GROUP BY day""")),
+      bankStatsVerdict(bank)
+    }, Some(bankStatsOracleSql("CAST(1 AS BIGINT) AS seed_eq"))),
+
+    // ---- the round-11 closure of q136's operational story: the SAME
+    //      corpus arrives through the STREAMING indexer
+    //      (StreamingIndex.runBank → WaveBank.streamingAppend), two
+    //      AvailableNow drains = two micro-batches committing through
+    //      appendOnce batchId tags, each stamping its sidecar partial
+    //      + marker. The verdict adds `stream_ok`: every sidecar
+    //      partial carries a stream-batch tag (the dashboard read
+    //      never fell back to an O(index) rebuild) — without round
+    //      11's sink maintenance, the marker went stale on every
+    //      micro-batch and the first sketchStats read resketched the
+    //      whole index.
+    Q("q147_bank_stream_sidecar", (s, dir) => {
+      import graft.bank.WaveBank
+      val segs = bankStatsSegs(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q147").toString
+      val segDir = s"$root/stream_segments"
+      val bank = new WaveBank(s, root, txIndex = true)
+      def drain(): Unit =
+        graft.streaming.StreamingIndex
+          .runBank(s, segDir, bank, s"$root/ckpt").awaitTermination()
+      segs.filter(col("slot") < 24).drop("slot")
+        .write.mode("append").parquet(segDir)
+      drain()
+      segs.filter(col("slot") >= 24).drop("slot")
+        .write.mode("append").parquet(segDir)
+      drain()
+      val tagsOk = s.read.parquet(bank.statsSketchPath)
+        .select("src_tag").distinct()
+        .filter(!col("src_tag").startsWith("stream-batch-"))
+        .isEmpty
+      bankStatsVerdict(bank)
+        .withColumn("stream_ok", lit(if (tagsOk) 1L else 0L))
+    }, Some(bankStatsOracleSql(
+      "CAST(1 AS BIGINT) AS seed_eq, CAST(1 AS BIGINT) AS stream_ok"))),
+
 
     // ---- the SQL SURFACE under oracle signal: the q122 pipeline as
     //      ONE spark.sql STRING — kmv_sketch256 udaf + the kmv_*

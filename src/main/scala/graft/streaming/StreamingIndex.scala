@@ -64,6 +64,52 @@ object StreamingIndex {
         batchRows(batch, batchId).write.mode("append").parquet(indexDir)
     }
 
+  /** The BANK-integrated variant: per-SEGMENT summary rows in the
+    * WaveBank index schema (one row per segment, NSLC-normalized,
+    * path + mtime for the mtime-watermark contract), committed through
+    * [[graft.bank.WaveBank.streamingAppend]] — exactly-once index
+    * appends (appendOnce batchId tags) AND sidecar sketch partials
+    * with the same tag, marker re-stamped per batch. A continuously
+    * ingesting bank keeps `sketchStats()`'s flat kilobyte-sized
+    * dashboard read; without this, every micro-batch staled the
+    * marker and the next read paid an O(index) resketch.
+    *
+    * Requires a `txIndex` bank. Covers append-only segment dirs: the
+    * file source keys processed files by path, so a segment file
+    * MODIFIED in place is not re-delivered — in-place modification
+    * remains the batch `updateIndex()` path (which rewrites the
+    * superseded rows).
+    */
+  def runBank(spark: SparkSession, segmentsDir: String,
+              bank: graft.bank.WaveBank, checkpointDir: String,
+              availableNow: Boolean = true): StreamingQuery = {
+    import graft.core.Schemas
+    val perSegment = spark.readStream
+      .schema(segmentSchema)
+      .option("maxFilesPerTrigger", "1000") // bounded-memory batching
+      .parquet(segmentsDir)
+      .select(
+        Schemas.nslcNormalize(col("network")).as("network"),
+        Schemas.nslcNormalize(col("station")).as("station"),
+        Schemas.nslcNormalize(col("location")).as("location"),
+        Schemas.nslcNormalize(col("channel")).as("channel"),
+        col("starttime"),
+        (col("starttime")
+          + size(col("samples")).cast("long") * col("sampling_period"))
+          .as("endtime"),
+        col("sampling_period"),
+        col("_metadata.file_path").as("path"),
+        unix_millis(col("_metadata.file_modification_time")).as("mtime_ms"))
+    start(perSegment, checkpointDir, availableNow) { (batch, batchId) =>
+      bank.streamingAppend(
+        batch
+          .withColumn("indexed_at",
+            lit(System.currentTimeMillis() * 1000000L))
+          .withColumn("index_version", lit(bank.indexVersion)),
+        batchId)
+    }
+  }
+
   /** The transactional variant: the same incremental indexer, but each
     * micro-batch commits through a [[graft.bank.TxTable]] with an
     * idempotence tag keyed by batchId. `foreachBatch` can replay a

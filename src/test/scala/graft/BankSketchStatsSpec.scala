@@ -207,6 +207,66 @@ class BankSketchStatsSpec extends SparkSpec {
     assertMatches(bank)
   }
 
+  test("sidecar maintained by the streaming indexer: no rebuild on read, bit-equal, replay-idempotent") {
+    val root = tmp()
+    val segDir = s"$root/stream_segments"
+    val ckpt = s"$root/ckpt"
+    val bank = new WaveBank(spark, root, txIndex = true)
+    // three waves, each drained as its own micro-batch (AvailableNow
+    // re-run per wave: checkpoint continuity gives batchIds 0,1,2)
+    def drain(): Unit =
+      graft.streaming.StreamingIndex.runBank(spark, segDir, bank, ckpt)
+        .awaitTermination()
+    segs(0 until 16).write.mode("append").parquet(segDir); drain()
+    segs(16 until 36).write.mode("append").parquet(segDir); drain()
+    segs(36 until 50).write.mode("append").parquet(segDir); drain()
+    // one index row per segment, exactly once
+    assert(bank.readIndex().count() == 100)
+    // every partial came from the stream — no rebuild ever fired
+    val tags = spark.read.parquet(bank.statsSketchPath)
+      .select("src_tag").distinct().as[String].collect().toSet
+    assert(tags == Set("stream-batch-0", "stream-batch-1", "stream-batch-2"),
+      s"unexpected sidecar tags: $tags")
+    // the dashboard read answers from the stream-written partials
+    // WITHOUT rewriting the sidecar (no O(index) resketch)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def listing = fs.listStatus(
+        new org.apache.hadoop.fs.Path(bank.statsSketchPath))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
+      .toSeq.sortBy(_._1)
+    val before = listing
+    assertMatches(bank) // rolled-up == from-scratch resketch, bit-equal
+    assert(listing == before,
+      "sketchStats read must not rebuild a stream-maintained sidecar")
+    // plan pin: the read scans ONLY the sidecar, never the index
+    val plan = bank.sketchStats().queryExecution.executedPlan.toString
+    assert(!plan.contains(bank.indexPath),
+      s"dashboard read must NOT scan the index:\n$plan")
+    // REPLAY the last micro-batch (foreachBatch is at-least-once):
+    // same batchId tag → index append skipped by appendOnce, sidecar
+    // partial appended bit-identically and collapsed by the rollup's
+    // (day, src_tag) dedup — totals and sketches unchanged
+    val replayRows = segs(36 until 50).select(
+      col("network"), col("station"), col("location"), col("channel"),
+      col("starttime"),
+      (col("starttime") + size(col("samples")).cast("long")
+        * col("sampling_period")).as("endtime"),
+      col("sampling_period"), lit("replayed").as("path"),
+      lit(-1L).as("mtime_ms"),
+      lit(System.currentTimeMillis() * 1000000L).as("indexed_at"),
+      lit(bank.indexVersion).as("index_version"))
+    bank.streamingAppend(replayRows, batchId = 2L)
+    // the duplicate partial physically exists pre-dedup…
+    val dupGroups = spark.read.parquet(bank.statsSketchPath)
+      .groupBy("day", "src_tag").count().filter(col("count") > 1).count()
+    assert(dupGroups > 0, "replay should have appended a duplicate partial")
+    // …and the rollup collapses it: exactly-once totals, index untouched
+    assert(bank.readIndex().count() == 100)
+    assert(bank.sketchStats().agg(sum("n_segments")).head().getLong(0) == 100)
+    assertMatches(bank)
+  }
+
   test("sidecar backfill: pre-sidecar stores rebuild from the index on first sketchStats read") {
     val root = tmp()
     val bank = new WaveBank(spark, root)
