@@ -134,6 +134,9 @@ class EventBank(spark: SparkSession, root: String,
         else conformed
       writeSwap(MergeOps.latestByKey(all, "event_id", Seq(col("updated"))))
     }
+    // the sidecar rides the rewrite: one more pass over the catalog
+    // just rewritten — same complexity class as the upsert itself
+    statsRebuild()
   }
 
   /** Log-structured upsert: append the conformed batch as new files and
@@ -147,6 +150,11 @@ class EventBank(spark: SparkSession, root: String,
     val conformed = clustered(Schemas.conformTo(events, Schemas.eventSummary))
     if (txIndex) { txTable.append(conformed); () }
     else conformed.write.mode(SaveMode.Append).parquet(indexPath)
+    // NO sidecar write, by design: an appended delta may SUPERSEDE a
+    // version already summarized (upsert semantics), and sketches
+    // cannot subtract — the append stales the marker (fingerprint /
+    // tx version moved), and the next sketchStats read rebuilds from
+    // the resolved catalog. Lag, never lie.
   }
 
   /** Fold the append log down to one file set (newest version per
@@ -154,7 +162,11 @@ class EventBank(spark: SparkSession, root: String,
     * Run when accumulated deltas make the per-read merge shuffle or
     * the file listing expensive.
     */
-  def compact(): Unit =
+  def compact(): Unit = {
+    // compaction changes file layout, not the RESOLVED catalog the
+    // sidecar summarizes: a consistent sidecar is re-stamped against
+    // the post-compaction fingerprint instead of forcing a rebuild
+    val sidecarStillValid = statsConsistent
     if (txIndex) {
       // conditional rewrite: never folds away a concurrently appended
       // version (same loop shape as the tx putEvents)
@@ -169,6 +181,11 @@ class EventBank(spark: SparkSession, root: String,
       }
     } else writeSwap(MergeOps.latestByKey(
       rawIndexDf, "event_id", Seq(col("updated"))))
+    if (sidecarStillValid)
+      FsUtil.atomicWriteSmall(hadoopFs,
+        spark.sparkContext.hadoopConfiguration,
+        statsMarkerPath, statsMarkerValue)
+  }
 
   /** Index read with NaT restore: times stored as the SMALLDT64/
     * LARGEDT64 sentinels come back as null, the reference's
@@ -235,6 +252,159 @@ class EventBank(spark: SparkSession, root: String,
   }
 
   def idsInBank(): DataFrame = readIndex().select("event_id").distinct()
+
+  // ------------------------------------------------------------------
+  // Persisted sketch sidecar (round 11): the q136 WaveBank contract
+  // applied to the CATALOG — per-day sketch partials (event counts,
+  // KMV + frequent-items over authors, a quantile summary of
+  // milli-magnitudes) so "events per day / distinct sources / p50
+  // magnitude last month" answers from kilobytes with no catalog scan,
+  // and so downstream planners can estimate request-side cardinality
+  // (Fetcher's broadcast-vs-shuffled choice) without running a job
+  // over the store. One difference from the WaveBank: the event index
+  // is UPSERTED, not append-only — putEvents rewrites the resolved
+  // catalog, so the sidecar is REBUILT from the post-write index
+  // (same complexity class as the rewrite it rides on) rather than
+  // appended per batch; merge-on-read appendEvents leaves the marker
+  // stale by design (appended versions cannot be summarized without
+  // resolving), and the next read rebuilds — lag, never lie.
+  // ------------------------------------------------------------------
+
+  /** Sketch parameters of the sidecar (fixed per store). */
+  val statsAuthorK: Int = 64
+  val statsMagC: Int = 512
+  private val DayNs = 86_400_000_000_000L
+
+  private[graft] def statsSketchPath: String = s"$root/event_stats_sketch"
+
+  private def hadoopFs: org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def statsExists: Boolean =
+    hadoopFs.exists(new org.apache.hadoop.fs.Path(statsSketchPath))
+
+  private val StatsFormatVersion = 1
+
+  private def statsMarkerPath =
+    new org.apache.hadoop.fs.Path(s"$statsSketchPath/_graft_stamp")
+
+  /** Store-version probe for the marker: tx commit version, else a
+    * listing fingerprint of the index dir (name, mtime, length per
+    * file — every putEvents swap rewrites file names, every append
+    * adds files, so any write changes it). Driver-side metadata only.
+    */
+  private[graft] def indexFingerprint(): Long =
+    if (txIndex) txTable.latestVersion()
+    else if (!indexExists) -1L
+    else hadoopFs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+      .sortBy(_.getPath.getName)
+      .foldLeft(17L) { (h, st) =>
+        ((h * 31 + st.getPath.getName.hashCode) * 31 +
+          st.getModificationTime) * 31 + st.getLen
+      }
+
+  private def statsMarkerValue: String =
+    s"$StatsFormatVersion ${indexFingerprint()}"
+
+  private def statsConsistent: Boolean =
+    statsExists && FsUtil.readSmallFile(hadoopFs, statsMarkerPath)
+      .contains(statsMarkerValue)
+
+  /** The RESOLVED catalog in storage form (one row per event_id, times
+    * still sentinel longs) — what both reads and the sidecar summarize.
+    */
+  private def resolvedRaw: DataFrame = {
+    val raw = rawIndexDf
+    if (mergeOnRead) MergeOps.latestByKey(raw, "event_id", Seq(col("updated")))
+    else raw
+  }
+
+  /** One sketch-partial row per day: event count, KMV + top-k of
+    * authors (null author reads as "" — one deterministic source),
+    * quantile summary of round(magnitude·1000) over events that HAVE a
+    * magnitude (the FILTER clause keeps nulls out of the sketch — a
+    * typed Long aggregate would silently decode them as 0). Pure
+    * function of the resolved catalog's value set.
+    */
+  private def statsPartials(resolved: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    resolved.select(
+        floor(coalesce(col("time"), lit(Schemas.SmallDt64)) / lit(DayNs))
+          .cast("long").as("day"),
+        coalesce(col("author"), lit("")).as("author"),
+        round(col("magnitude") * 1000).cast("long").as("mag_milli"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Sketches
+          .kmvSketch(expr("md5_long60(author)"), statsAuthorK)
+          .as("author_sk"),
+        expr("quantile_sketch512(mag_milli) FILTER (WHERE mag_milli IS NOT NULL)")
+          .as("mag_sk"),
+        graft.operators.Sketches.freqSketch(col("author"), statsAuthorK)
+          .as("author_top"))
+  }
+
+  /** Replace the sidecar from the current resolved catalog, then stamp
+    * the marker — the upsert-store analog of the WaveBank's
+    * append-partials path. A crash between the index write and this
+    * leaves the marker stale; the next read or write rebuilds.
+    */
+  private def statsRebuild(): Unit = {
+    statsPartials(resolvedRaw)
+      .withColumn("src_tag", lit(s"rebuild-${indexFingerprint()}"))
+      .write.mode(SaveMode.Overwrite).parquet(statsSketchPath)
+    FsUtil.atomicWriteSmall(hadoopFs,
+      spark.sparkContext.hadoopConfiguration,
+      statsMarkerPath, statsMarkerValue)
+  }
+
+  private def statsRollup(partials: DataFrame): DataFrame = {
+    import graft.operators.Sketches
+    partials
+      .dropDuplicates("day", "src_tag")
+      .groupBy("day")
+      .agg(sum(col("n_events")).as("n_events"),
+        Sketches.kmvMerge(col("author_sk"), statsAuthorK).as("author_sk"),
+        Sketches.quantileMerge(col("mag_sk"), statsMagC).as("mag_sk"),
+        Sketches.freqMerge(col("author_top"), statsAuthorK).as("author_top"))
+  }
+
+  /** Day-granular catalog sketch stats from the sidecar — kilobytes,
+    * no catalog scan on the consistent path. Same single-writer
+    * contract as [[WaveBank.sketchStats]]: the stale-marker rebuild
+    * runs on the read path.
+    */
+  def sketchStats(startDay: Option[Long] = None,
+                  endDay: Option[Long] = None): DataFrame = {
+    if (!indexExists && !statsExists) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.eventSummary)
+      return statsRollup(
+        statsPartials(empty).withColumn("src_tag", lit("")))
+    }
+    if (!statsConsistent && indexExists) statsRebuild()
+    val partials = Seq(
+        startDay.map(col("day") >= _), endDay.map(col("day") <= _))
+      .flatten
+      .foldLeft(spark.read.parquet(statsSketchPath))(_.filter(_))
+    statsRollup(partials)
+  }
+
+  /** Sketch-estimated event count over [t1Ns, t2Ns] — the planner
+    * probe behind [[graft.fetch.Fetcher]]'s broadcast-vs-shuffled
+    * request choice: a kilobyte sidecar read, never a catalog scan
+    * (when the marker is consistent). Day-granular, so an UPPER bound:
+    * partial first/last days count whole. NaT-sentinel-dated events
+    * live on the sentinel's day and don't inflate real windows.
+    */
+  def estimatedEventCount(t1Ns: Long, t2Ns: Long): Long = {
+    val r = sketchStats(
+        Some(Math.floorDiv(t1Ns, DayNs)), Some(Math.floorDiv(t2Ns, DayNs)))
+      .agg(sum(col("n_events"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** Index a directory of QuakeML files into the bank — the reference's
     * `EventBank.update_index` over its file archive

@@ -116,12 +116,45 @@ class TxTable(spark: SparkSession, root: String,
   }
 
   private def decode(line: String): Option[TxAction] = {
+    // hand-rolled scanner, NOT a regex: the obvious
+    // `("((?:[^"\\]|\\.)*)"|[-0-9]+)` pattern backtracks one JVM stack
+    // frame per character of the value, and a MetaData line carrying a
+    // wide table's schema JSON (the escaped eventSummary schema is
+    // ~3.5 KB) overflows the stack — found the day a 31-column schema
+    // first went through a TxTable. Linear scan, zero recursion.
     def field(obj: String, k: String): Option[String] = {
-      val m = ("\"" + k + "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|[-0-9]+)").r
-      m.findFirstMatchIn(obj).map { g =>
-        Option(g.group(2)).map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
-          .getOrElse(g.group(1))
+      val keyPat = "\"" + k + "\""
+      var i = obj.indexOf(keyPat)
+      while (i >= 0) {
+        var j = i + keyPat.length
+        while (j < obj.length && obj.charAt(j).isWhitespace) j += 1
+        if (j < obj.length && obj.charAt(j) == ':') {
+          j += 1
+          while (j < obj.length && obj.charAt(j).isWhitespace) j += 1
+          if (j < obj.length && obj.charAt(j) == '"') {
+            // string value: unescape (esc() emits only \\ and \") up to
+            // the first unescaped close quote
+            val sb = new java.lang.StringBuilder
+            var p = j + 1
+            while (p < obj.length) {
+              val c = obj.charAt(p)
+              if (c == '\\' && p + 1 < obj.length) {
+                sb.append(obj.charAt(p + 1)); p += 2
+              } else if (c == '"') return Some(sb.toString)
+              else { sb.append(c); p += 1 }
+            }
+            return None // unterminated string: malformed line
+          } else {
+            val st = j
+            var p = j
+            while (p < obj.length &&
+              (obj.charAt(p) == '-' || obj.charAt(p).isDigit)) p += 1
+            return if (p > st) Some(obj.substring(st, p)) else None
+          }
+        }
+        i = obj.indexOf(keyPat, i + 1)
       }
+      None
     }
     val t = line.trim
     if (t.isEmpty) None

@@ -953,6 +953,101 @@ object SketchQueries {
     }, Some(bankStatsOracleSql(
       "CAST(1 AS BIGINT) AS seed_eq, CAST(1 AS BIGINT) AS stream_ok"))),
 
+    // ---- the EventBank sketch sidecar (round 11): putEvents rebuilds
+    //      per-day catalog partials (event counts, author KMV + top-k,
+    //      milli-magnitude quantile with nulls FILTERed out of the
+    //      sketch); sketchStats answers from kilobytes and
+    //      estimatedEventCount is the planner probe behind the
+    //      Fetcher's broadcast-vs-shuffled request choice. Verdict:
+    //      every rolled-up sketch BIT-EQUAL to a from-scratch resketch
+    //      of the resolved catalog, every value column arithmetic in
+    //      DuckDB, and the day-granular window estimate equal to the
+    //      exact count over those days.
+    Q("q148_event_sketch_stats", (s, dir) => {
+      import graft.bank.EventBank
+      val T0 = 1_600_000_000_000_000_000L
+      val HourNs = 3_600_000_000_000L
+      val DayNs = 86_400_000_000_000L
+      val base = Tables.events(s, dir).select(col("event_id")).distinct()
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("id"),
+          concat(lit("ev"), col("event_id")).as("event_id"),
+          (lit(T0) + (col("event_id") % 72) * lit(HourNs)).as("time"),
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise((col("event_id") % 50).cast("double") / 10.0)
+            .as("magnitude"),
+          concat(lit("auth"), col("event_id") % 5).as("author"),
+          col("event_id").cast("long").as("updated"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q148").toString
+      val bank = new EventBank(s, root)
+      bank.putEvents(base.filter((col("id") / 97) % 2 === 0).drop("id"))
+      bank.putEvents(base.filter((col("id") / 97) % 2 === 1).drop("id"))
+      graft.plans.GraftExtensions.register(s)
+      val stats = bank.sketchStats()
+      val idx = bank.readIndex().select(
+        floor(col("time") / lit(DayNs)).cast("long").as("day"),
+        coalesce(col("author"), lit("")).as("author"),
+        round(col("magnitude") * 1000).cast("long").as("mag_milli"))
+      val direct = idx.groupBy("day").agg(
+        Sketches.kmvSketch(expr("md5_long60(author)"), bank.statsAuthorK)
+          .as("dsk"),
+        expr("quantile_sketch512(mag_milli) FILTER (WHERE mag_milli IS NOT NULL)")
+          .as("dmag"),
+        Sketches.freqSketch(col("author"), bank.statsAuthorK).as("dtop"))
+      val est = bank.estimatedEventCount(T0 + 24 * HourNs, T0 + 47 * HourNs)
+      stats.join(direct, "day").select(
+        col("day"), col("n_events"),
+        Sketches.kmvEstimate(col("author_sk"), bank.statsAuthorK)
+          .as("n_authors"),
+        (col("author_sk") === col("dsk")).cast("long").as("author_eq"),
+        Sketches.quantileN(col("mag_sk")).as("n_mag"),
+        Sketches.quantileEstimate(col("mag_sk"), 0.5).as("p50_magm"),
+        (col("mag_sk") === col("dmag")).cast("long").as("mag_eq"),
+        Sketches.freqTopCsv(col("author_top"), 3).as("top3_authors"),
+        (col("author_top") === col("dtop")).cast("long").as("top_eq"),
+        lit(est).as("est_window"))
+    }, {
+      val T0 = 1_600_000_000_000_000_000L
+      val HourNs = 3_600_000_000_000L
+      val DayNs = 86_400_000_000_000L
+      val d1 = Math.floorDiv(T0 + 24 * HourNs, DayNs)
+      val d2 = Math.floorDiv(T0 + 47 * HourNs, DayNs)
+      Some(s"""
+      WITH base AS (SELECT DISTINCT event_id FROM events
+                    WHERE event_id % 97 = 0),
+      ev AS (SELECT (1600000000000000000 + (event_id % 72) * 3600000000000)
+                      // 86400000000000 AS day,
+                    CASE WHEN event_id % 7 = 0 THEN NULL
+                         ELSE CAST(ROUND((event_id % 50) / 10.0 * 1000)
+                              AS BIGINT) END AS magm,
+                    'auth' || CAST(event_id % 5 AS VARCHAR) AS author
+             FROM base),
+      ac AS (SELECT day, author, count(*) AS c FROM ev GROUP BY 1, 2),
+      ar AS (SELECT *, row_number() OVER
+               (PARTITION BY day ORDER BY c DESC, author ASC) AS rn
+             FROM ac),
+      t3 AS (SELECT day,
+               string_agg(author || ':' || c, ',' ORDER BY rn)
+                 AS top3_authors
+             FROM ar WHERE rn <= 3 GROUP BY 1),
+      est AS (SELECT CAST(count(*) AS BIGINT) AS e FROM ev
+              WHERE day BETWEEN $d1 AND $d2)
+      SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT author) AS DOUBLE) AS n_authors,
+             CAST(1 AS BIGINT) AS author_eq,
+             CAST(count(magm) AS BIGINT) AS n_mag,
+             CAST((list(magm ORDER BY magm)
+                     FILTER (WHERE magm IS NOT NULL))
+               [CAST(GREATEST(1, ceil(count(magm) * 0.5)) AS BIGINT)]
+               AS BIGINT) AS p50_magm,
+             CAST(1 AS BIGINT) AS mag_eq,
+             ANY_VALUE(t3.top3_authors) AS top3_authors,
+             CAST(1 AS BIGINT) AS top_eq,
+             (SELECT e FROM est) AS est_window
+      FROM ev JOIN t3 USING (day) GROUP BY day""")
+    }),
+
 
     // ---- the SQL SURFACE under oracle signal: the q122 pipeline as
     //      ONE spark.sql STRING — kmv_sketch256 udaf + the kmv_*

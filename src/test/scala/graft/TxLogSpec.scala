@@ -236,4 +236,24 @@ class TxLogSpec extends SparkSpec {
     t.append(Seq((1L, "a")).toDF("id", "s"))
     assert(t.read().count() == 1)
   }
+
+  test("wide-schema MetaData lines decode without stack overflow (regex-backtracking regression)") {
+    // the old regex-based log-line field extractor backtracked one JVM
+    // stack frame per character, so a table whose schema JSON ran past
+    // ~2 KB (any ~30-column schema — eventSummary was the first)
+    // overflowed the stack ON READ. Pin a schema far past that size
+    // through a full append/read round trip.
+    val t = new TxTable(spark, tmp())
+    val wide = (0 until 120).foldLeft(Seq((1L, "x")).toDF("id", "c")) {
+      (df, i) => df.withColumn(f"extremely_long_column_name_number_$i%03d",
+        lit(s"value_$i"))
+    }
+    t.append(wide)
+    val back = t.read()
+    assert(back.columns.length == 122)
+    assert(back.count() == 1)
+    // tags on the same log (exercise the string-value path too)
+    t.appendOnce(wide, tag = "wide-" + ("pad" * 200))
+    assert(t.read().count() == 2)
+  }
 }
