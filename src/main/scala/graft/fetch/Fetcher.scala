@@ -101,10 +101,44 @@ class Fetcher(
     * segment index on seed_id (+ overlap), keyed output
     * (event_id, seed_id). The reference's per-event Python loop
     * becomes a single shuffle.
+    *
+    * SKETCH-ASSISTED PLAN CHOICE: the request side is events ×
+    * channels, and forcing it broadcast (the historical default, kept
+    * when no estimate is given) is only right while it FITS — a
+    * months-long catalog crossed with a big inventory explodes the
+    * driver-forced broadcast long before AQE can help (a `broadcast()`
+    * hint is obeyed, not reconsidered). Pass `requestEstimate` (from
+    * [[estimatedRequests]] — a kilobyte sidecar read, no catalog
+    * scan) and the fetch broadcasts only while the estimate fits
+    * `spark.graft.fetch.broadcastMaxRequests` (default 2,000,000
+    * request rows); past it the join runs un-hinted, where the
+    * planner's own machinery (RangeJoinStrategy's packed broadcast of
+    * whichever side fits, BandedRangeJoinRule's banded SMJ when
+    * nothing does) picks the scale path. Estimate quality moves
+    * performance, never results — both plans are exact.
     */
   def fetchEventSegments(index: DataFrame, reference: String,
-                         beforeNs: Long, afterNs: Long): DataFrame = {
+                         beforeNs: Long, afterNs: Long,
+                         requestEstimate: Option[Long] = None): DataFrame = {
     val reqs = eventRequests(reference, beforeNs, afterNs)
-    streamProcessor(IntervalJoin.overlapping(index, reqs, keyCols = Seq("seed_id")))
+    val budget = spark.conf
+      .get("spark.graft.fetch.broadcastMaxRequests", "2000000").toLong
+    val bcast = requestEstimate.forall(_ <= budget)
+    streamProcessor(IntervalJoin.overlapping(index, reqs,
+      keyCols = Seq("seed_id"), broadcastRequests = bcast))
+  }
+
+  /** Sketch-estimated request cardinality for a fetch over events in
+    * [t1Ns, t2Ns]: per-day event counts from the EventBank's sketch
+    * sidecar (kilobytes, no catalog scan on the consistent path) × the
+    * inventory's distinct channel count (a one-row count over the tiny
+    * station table). An UPPER bound for every reference strategy:
+    * origin expands events × channels exactly; p/s expand first-picks
+    * × the picked stations' channels, a subset.
+    */
+  def estimatedRequests(eventBank: graft.bank.EventBank,
+                        t1Ns: Long, t2Ns: Long): Long = {
+    val nChannels = stations.select(col("seed_id")).distinct().count()
+    eventBank.estimatedEventCount(t1Ns, t2Ns) * nChannels
   }
 }

@@ -113,6 +113,76 @@ object DomainQueries {
         AND NOT (i.endtime < r.t1 OR i.starttime > r.t2)
       GROUP BY r.event_id, r.seed_id"""), headline = true),
 
+    // ---- SKETCH-PLANNED fetch (round 11): the q52 flow with its
+    //      catalog in an EventBank, the request-side cardinality
+    //      estimated from the bank's sketch SIDECAR (kilobytes, no
+    //      catalog scan), and the broadcast-vs-shuffled choice made
+    //      from that estimate. The verdict runs BOTH plans — the
+    //      estimate-chosen one and the forced-shuffled one — and pins
+    //      them row-identical (paths_eq): the sketch moves the PLAN,
+    //      never the answer. FetcherPlanSpec pins the plan shapes.
+    Q("q149_fetch_sketch_planned", (s, dir) => {
+      import graft.bank.EventBank
+      val ev = Tables.eventsUs(s, dir)
+      val quakes0 = ev
+        .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+        .select(col("event_id").cast("string").as("event_id"),
+          col("ts").as("time"), col("event_id").cast("long").as("updated"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q149").toString
+      val bank = new EventBank(s, root)
+      bank.putEvents(quakes0)
+      val quakes = bank.readIndex().select(col("event_id"), col("time"))
+      val channels = ev.select(concat(lit("NT.S"),
+        (col("user_id") % 20).cast("string"), lit("..BHZ")).as("seed_id"))
+        .distinct()
+      val index = ev.select(concat(lit("NT.S"),
+          (col("user_id") % 20).cast("string"), lit("..BHZ")).as("seed_id"),
+        col("ts").as("starttime"),
+        (col("ts") + (col("event_id") % 60 + 1) * lit(60_000_000_000L))
+          .as("endtime"))
+      val fetcher = new Fetcher(s, quakes, channels, picks = quakes)
+      val est = fetcher.estimatedRequests(bank,
+        Long.MinValue / 2, Long.MaxValue / 2)
+      def run(estimate: Long) = fetcher
+        .fetchEventSegments(index, "origin", BeforeNs, AfterNs,
+          Some(estimate))
+        .groupBy("event_id", "seed_id")
+        .agg(count(lit(1)).as("n_segments"),
+          min("starttime").as("first_start"),
+          max("endtime").as("last_end"))
+      val planned = run(est)                 // est <= budget: broadcast
+      val shuffled = run(Long.MaxValue)      // forced shuffled/banded
+      val eq = planned.exceptAll(shuffled).isEmpty &&
+        shuffled.exceptAll(planned).isEmpty
+      planned
+        .withColumn("est_requests", lit(est))
+        .withColumn("paths_eq", lit(if (eq) 1L else 0L))
+    }, Some(s"""
+      WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type
+                  FROM events),
+      quakes AS (SELECT event_id, tns AS time FROM ev
+                 WHERE event_type = 'error' AND event_id % 97 = 0),
+      chans AS (SELECT DISTINCT 'NT.S' || CAST(user_id % 20 AS VARCHAR) || '..BHZ' AS seed_id
+                FROM ev),
+      idx AS (SELECT 'NT.S' || CAST(user_id % 20 AS VARCHAR) || '..BHZ' AS seed_id,
+                     tns AS starttime,
+                     tns + (event_id % 60 + 1) * 60000000000 AS endtime
+              FROM ev),
+      reqs AS (SELECT q.event_id, c.seed_id,
+                      q.time - $BeforeNs AS t1, q.time + $AfterNs AS t2
+               FROM quakes q CROSS JOIN chans c),
+      est AS (SELECT CAST((SELECT count(*) FROM quakes)
+                          * (SELECT count(*) FROM chans) AS BIGINT) AS e)
+      SELECT CAST(r.event_id AS VARCHAR) AS event_id, r.seed_id,
+             COUNT(*) AS n_segments,
+             MIN(i.starttime) AS first_start, MAX(i.endtime) AS last_end,
+             (SELECT e FROM est) AS est_requests,
+             CAST(1 AS BIGINT) AS paths_eq
+      FROM reqs r JOIN idx i ON i.seed_id = r.seed_id
+        AND NOT (i.endtime < r.t1 OR i.starttime > r.t2)
+      GROUP BY r.event_id, r.seed_id""")),
+
     Q("q53_trace_stitch", (s, dir) => {
       // synthetic traces: 1 s sampling, second-slot grid of width 5000;
       // min(event_id) per (seed, slot) keeps starts unique per seed so

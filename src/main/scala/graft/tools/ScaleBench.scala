@@ -459,6 +459,74 @@ object ScaleBench {
         s""""hot_rows":$hRows,"uniform_rows":$uRows}"""
     }.getOrElse("")
 
+    // sketch-planned fetch (env GRAFT_SCALE_FETCHPLAN=
+    // <events>[:channels], default 64 channels): the q149 flow at
+    // scale — catalog in an EventBank, request cardinality estimated
+    // from the bank's sketch sidecar (kilobytes, no catalog scan),
+    // broadcast-vs-shuffled decided from the estimate. Records the
+    // estimate's latency and accuracy, which plan the sketch chose,
+    // and BOTH physical walls (checksum-equal by require) so the
+    // decision is auditable rather than asserted.
+    val fetchPlanJson = sys.env.get("GRAFT_SCALE_FETCHPLAN").map { spec =>
+      val parts = spec.split(':')
+      val n = parts(0).trim.toLong
+      val nCh = if (parts.length > 1) parts(1).trim.toInt else 64
+      val dir = s"$root/fetchplan_events_$n"
+      synthEvents(spark, n).write.mode("overwrite").parquet(dir)
+      val ev = spark.read.parquet(dir)
+      val quakes0 = ev
+        .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+        .select(col("event_id").cast("string").as("event_id"),
+          col("ts").as("time"), col("event_id").cast("long").as("updated"))
+      val bank = new graft.bank.EventBank(spark, s"$root/fetchplan_bank_$n")
+      bank.putEvents(quakes0)
+      val seed = concat(lit("NT.S"),
+        (col("user_id") % nCh).cast("string"), lit("..BHZ"))
+      val quakes = bank.readIndex().select(col("event_id"), col("time"))
+      val channels = ev.select(seed.as("seed_id")).distinct()
+      val index = ev.select(seed.as("seed_id"), col("ts").as("starttime"),
+        (col("ts") + (col("event_id") % 60 + 1) * lit(60_000_000_000L))
+          .as("endtime"))
+      val fetcher = new graft.fetch.Fetcher(spark, quakes, channels,
+        picks = quakes)
+      val e0 = System.nanoTime()
+      val est = fetcher.estimatedRequests(bank,
+        Long.MinValue / 2, Long.MaxValue / 2)
+      val estSecs = (System.nanoTime() - e0) / 1e9
+      val actual = fetcher
+        .eventRequests("origin", 1_800_000_000_000L, 7_200_000_000_000L)
+        .count()
+      val budget = spark.conf
+        .get("spark.graft.fetch.broadcastMaxRequests", "2000000").toLong
+      val chosen = if (est <= budget) "broadcast" else "shuffled"
+      def wall(estimate: Long): (Double, Long, Long) = {
+        val s0 = System.nanoTime()
+        val (rows, sum) = runAll(fetcher
+          .fetchEventSegments(index, "origin", 1_800_000_000_000L,
+            7_200_000_000_000L, Some(estimate))
+          .groupBy("event_id", "seed_id")
+          .agg(count(lit(1)).as("n_segments"),
+            min("starttime").as("first_start"),
+            max("endtime").as("last_end")))
+        ((System.nanoTime() - s0) / 1e9, rows, sum)
+      }
+      val (shufS, sRows, sSum) = wall(Long.MaxValue)
+      // forced broadcast only while the materialized request table is
+      // safely holdable in this container — past that the refusal IS
+      // the result being measured
+      val bcastLeg =
+        if (actual <= 20_000_000L) {
+          val (bS, bRows, bSum) = wall(0L)
+          require(bRows == sRows && bSum == sSum,
+            s"plan choice changed RESULTS: bcast ($bRows,$bSum) vs shuffled ($sRows,$sSum)")
+          s""""broadcast_s":${fmt(bS)},"""
+        } else s""""broadcast_s":null,"broadcast_skipped":"requests > 2e7: refusal is the point","""
+      s""","fetch_plan":{"events":$n,"channels":$nCh,""" +
+        s""""est":$est,"actual":$actual,"est_s":${fmt(estSecs)},""" +
+        s""""budget":$budget,"chosen":"$chosen",$bcastLeg""" +
+        s""""shuffled_s":${fmt(shufS)},"rows":$sRows}"""
+    }.getOrElse("")
+
     // q67 band-width sensitivity (env GRAFT_SCALE_BANDSWEEP=
     // <rows>[:ns1,ns2,...]): the banded huge×huge interval join at
     // several band widths; 0 = the operator's measured auto width.
@@ -1728,7 +1796,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
   }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.bank.EventBank
+import graft.fetch.Fetcher
+
+/** Sketch-assisted fetch planning (round 11): the request side
+  * broadcasts only while the sidecar-estimated cardinality fits the
+  * budget; past it the join runs un-hinted on the planner's own
+  * scale machinery. Results are identical either way — the estimate
+  * moves the PLAN, never the answer.
+  */
+class FetcherPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1_600_000_000_000_000_000L
+  private val HourNs = 3_600_000_000_000L
+
+  private def corpus() = {
+    val quakes = (0 until 50).map(i =>
+      (s"ev$i", T0 + i * HourNs)).toDF("event_id", "time")
+    val channels = (0 until 10).map(c => s"NT.S$c..BHZ").toDF("seed_id")
+    val index = (0 until 2000).map { i =>
+      (s"NT.S${i % 10}..BHZ", T0 + (i / 10) * HourNs / 4,
+        T0 + (i / 10) * HourNs / 4 + 600_000_000_000L)
+    }.toDF("seed_id", "starttime", "endtime")
+    (quakes, channels, index)
+  }
+
+  test("estimatedRequests: sidecar event count x channel count, no catalog scan needed") {
+    val (quakes, channels, _) = corpus()
+    val root = java.nio.file.Files.createTempDirectory("graft-fplan").toString
+    val bank = new EventBank(spark, root)
+    bank.putEvents(quakes.withColumn("updated", lit(1L)))
+    val fetcher = new Fetcher(spark, quakes, channels, picks = quakes)
+    val est = fetcher.estimatedRequests(bank, T0, T0 + 50 * HourNs)
+    // 50 events x 10 channels — the sketch estimate is EXACT here
+    assert(est == 500L, s"estimate $est")
+    // and equals the true materialized request count
+    val actual = fetcher.eventRequests("origin", HourNs, HourNs).count()
+    assert(est == actual, s"estimate $est vs actual $actual")
+  }
+
+  test("decision flip: estimate under budget broadcasts, over budget does not; results identical") {
+    val (quakes, channels, index) = corpus()
+    val fetcher = new Fetcher(spark, quakes, channels, picks = quakes)
+    def planOf(estimate: Option[Long]): (String, Array[(String, String, Long)]) = {
+      val df = fetcher
+        .fetchEventSegments(index, "origin", HourNs, HourNs, estimate)
+        .groupBy("event_id", "seed_id").agg(count(lit(1)).as("n"))
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)))
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill size-triggered broadcasts so the pins test OUR decision,
+      // not AQE's size fallback (the 100 TB shape)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // NOTE: the request CONSTRUCTION (events × tiny channel table)
+      // legitimately broadcasts the channel side in every variant —
+      // the pins below are about the index↔requests join only
+      def requestsBroadcast(plan: String): Boolean =
+        plan.contains("BroadcastHashJoin") ||
+          plan.contains("RangeJoinExec") // packed broadcast range join
+      val (smallPlan, smallRows) = planOf(Some(500L)) // <= default budget
+      assert(requestsBroadcast(smallPlan),
+        s"under-budget estimate must broadcast the requests:\n$smallPlan")
+      val (bigPlan, bigRows) = planOf(Some(3_000_000L)) // > default budget
+      assert(!requestsBroadcast(bigPlan),
+        s"over-budget estimate must NOT force a request broadcast:\n$bigPlan")
+      assert(bigPlan.contains("SortMergeJoin")
+          && bigPlan.contains("_graft_band"),
+        s"over-budget fetch should land on the banded SMJ scale path:\n$bigPlan")
+      assert(smallRows.sameElements(bigRows),
+        "plan choice changed RESULTS")
+      // the budget is a conf, not a constant
+      spark.conf.set("spark.graft.fetch.broadcastMaxRequests", "100")
+      val (confPlan, confRows) = planOf(Some(500L))
+      assert(!requestsBroadcast(confPlan),
+        s"conf-shrunk budget must flip the same estimate to shuffled:\n$confPlan")
+      assert(confRows.sameElements(smallRows))
+      // no estimate = the historical always-broadcast contract
+      spark.conf.unset("spark.graft.fetch.broadcastMaxRequests")
+      val (defPlan, _) = planOf(None)
+      assert(requestsBroadcast(defPlan))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.unset("spark.graft.fetch.broadcastMaxRequests")
+    }
+  }
+}
