@@ -122,6 +122,63 @@ object TextStats {
         col("rank"))
   }
 
+  /** SCALE PATH for per-group top n-grams (q46's surface): one
+    * Misra–Gries summary per group — the shuffle carries ≤ `capacity`
+    * counters per group instead of every distinct (group, gram) pair.
+    * EXACT below capacity (bounded vocabularies — and the q150 oracle
+    * pins bit-equality to the full-count answer there); over capacity
+    * the PODS'12 theorems hold: no overcount, bounded undercount,
+    * heavy hitters retained (q133's verdict surface). At web scale the
+    * exact path ships tens of millions of tail grams per language that
+    * the caller immediately discards — the q133 asymmetry, measured on
+    * this operator in ScaleBench `text_freq`.
+    *
+    * Output: groupCol, `gram_sk` (the mergeable summary — persist it,
+    * roll it up with [[Sketches.freqMerge]], or read the top-m with
+    * [[Sketches.freqTopCsv]] / [[topFromSketch]]).
+    */
+  def topBigramsSketch(docs: DataFrame, textCol: String, groupCol: String,
+                       capacity: Int): DataFrame =
+    docs
+      .select(col(groupCol),
+        explode(TextFunctions.bigrams(TextFunctions.tokens(col(textCol))))
+          .as("gram"))
+      .groupBy(groupCol)
+      .agg(Sketches.freqSketch(col("gram"), capacity).as("gram_sk"))
+
+  /** SCALE PATH for the document-frequency table (the side q47
+    * broadcasts): per-group DF summaries — distinct terms per doc
+    * explode once, then one MG summary per group. Same exact-below-
+    * capacity / theorems-above contract as [[topBigramsSketch]].
+    */
+  def docFreqSketch(docs: DataFrame, textCol: String, groupCol: String,
+                    capacity: Int): DataFrame =
+    docs
+      .select(col(groupCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("term"))
+      .groupBy(groupCol)
+      .agg(Sketches.freqSketch(col("term"), capacity).as("df_sk"))
+
+  /** Explode a frequent-items summary into the (group, item, n, rank)
+    * shape the exact top-k queries produce: top `m` by (count desc,
+    * item asc) — bit-equal to the window-ranked exact answer while the
+    * summary is in its exact regime.
+    */
+  def topFromSketch(sk: DataFrame, skCol: String, itemName: String,
+                    m: Int): DataFrame = {
+    val sorted = array_sort(Sketches.freqItems(col(skCol)), (l, r) =>
+      when(l.getField("_2") > r.getField("_2"), -1)
+        .when(l.getField("_2") < r.getField("_2"), 1)
+        .when(l.getField("_1") < r.getField("_1"), -1)
+        .when(l.getField("_1") > r.getField("_1"), 1)
+        .otherwise(0))
+    sk.select(col("*"), posexplode(slice(sorted, 1, m)))
+      .select(sk.columns.filter(_ != skCol).map(col) :+
+        col("col._1").as(itemName) :+ col("col._2").as("n") :+
+        (col("pos") + 1).cast("int").as("rank"): _*)
+  }
+
   /** CCNet-style language-model filtering, log-free: an MLE bigram
     * model is trained on the corpus itself (bigram and context counts
     * — two aggregations), and every document is scored by its average

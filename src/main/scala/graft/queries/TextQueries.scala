@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.operators
-import graft.operators.{Contamination, Dedup, TextStats}
+import graft.operators.{Contamination, Dedup, Sketches, TextStats}
 
 /** Text-analysis operators for corpus pipelines: language-ID, quality
   * scoring, token counting, fingerprinting — all scan-local Column
@@ -314,6 +314,81 @@ object TextQueries {
       SELECT lang, gram, n, CAST(rank AS INT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY lang
                     ORDER BY n DESC, gram ASC) AS rank FROM c)
+      WHERE rank <= 5""")),
+
+    // ---- MG-BACKED scale path for q46 (round 11): the same top-5
+    //      bigrams per language from ONE Misra–Gries summary per
+    //      language instead of the full (lang, gram) count shuffle.
+    //      Dual regime: the k=2048 leg is EXACT (distinct bigrams per
+    //      lang ≈ 900 here) — its exploded top-5 must be bit-equal to
+    //      q46's window-ranked answer, and exact_ok pins that no
+    //      decrement ever fired (retained == n). The k=16 leg is over
+    //      capacity — the PODS'12 theorems (no overcount, bounded
+    //      undercount, heavy recall) are the verdict, checked against
+    //      the true count map. ScaleBench `text_freq` measures the
+    //      widening exact-vs-sketch gap at 10⁶–10⁷ docs.
+    Q("q150_ngram_sketch_topk", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kBig = 2048; val kSmall = 16
+      val grams = docs.select(col("lang"),
+        explode(TextFunctions.bigrams(TextFunctions.tokens(col("text"))))
+          .as("gram"))
+      val sk = operators.TextStats
+        .topBigramsSketch(docs, "text", "lang", kBig)
+      val skSmall = grams.groupBy("lang")
+        .agg(Sketches.freqSketch(col("gram"), kSmall).as("sk16"))
+      val truth = grams.groupBy("lang", "gram")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(map_from_entries(collect_list(struct(col("gram"), col("c"))))
+          .as("truem"))
+      val top = operators.TextStats.topFromSketch(sk, "gram_sk", "gram", 5)
+      top.join(
+          sk.join(skSmall, "lang").join(truth, "lang").select(col("lang"),
+            (Sketches.freqRetained(col("gram_sk"))
+              === Sketches.freqN(col("gram_sk"))).cast("long")
+              .as("exact_ok"),
+            Sketches.freqBoundsOk(col("sk16"), col("truem"), kSmall)
+              .as("bounds_ok"),
+            Sketches.freqHeavyRecallOk(col("sk16"), col("truem"), kSmall)
+              .as("heavy_ok")),
+          "lang")
+        .select(col("lang"), col("gram"), col("n"), col("rank"),
+          col("exact_ok"), col("bounds_ok"), col("heavy_ok"))
+    }, Some(s"""
+      WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+      g AS (SELECT lang, unnest(list_transform(
+              range(1, greatest(len(toks) - 1, 1) + 1),
+              i -> concat_ws(' ', toks[i], toks[i + 1]))) AS gram
+            FROM t),
+      c AS (SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY lang, gram)
+      SELECT lang, gram, n, CAST(rank AS INT) AS rank,
+             CAST(1 AS BIGINT) AS exact_ok,
+             CAST(1 AS BIGINT) AS bounds_ok,
+             CAST(1 AS BIGINT) AS heavy_ok
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY n DESC, gram ASC) AS rank FROM c)
+      WHERE rank <= 5""")),
+
+    // ---- MG-BACKED document-frequency table (round 11): the side q47
+    //      broadcasts, as one summary per language — per-doc DISTINCT
+    //      terms explode once, MG counts docs per term. Exact regime
+    //      here (≤ ~31 distinct terms per lang), pinned bit-equal to
+    //      DuckDB's count-distinct ranking.
+    Q("q151_docfreq_sketch", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sk = operators.TextStats.docFreqSketch(docs, "text", "lang", 64)
+      operators.TextStats.topFromSketch(sk, "df_sk", "term", 5)
+        .withColumnRenamed("n", "df")
+        .select(col("lang"), col("term"), col("df"), col("rank"))
+    }, Some(s"""
+      WITH t AS (SELECT lang, doc_id, $toksSql AS toks FROM documents),
+      dt AS (SELECT DISTINCT lang, doc_id, unnest(list_distinct(toks)) AS term
+             FROM t),
+      c AS (SELECT lang, term, COUNT(*) AS df FROM dt GROUP BY lang, term)
+      SELECT lang, term, df, CAST(rank AS INT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY df DESC, term ASC) AS rank FROM c)
       WHERE rank <= 5""")),
 
     // ---- benchmark decontamination: training docs sharing 3-gram

@@ -459,6 +459,111 @@ object ScaleBench {
         s""""hot_rows":$hRows,"uniform_rows":$uRows}"""
     }.getOrElse("")
 
+    // MG-backed text frequency surface (env GRAFT_SCALE_TEXTFREQ=
+    // <docs>[:capacity[:flat]], default k=2048): q150's per-lang top-5
+    // bigrams from ONE Misra–Gries summary per language vs the q46
+    // exact path (full (lang, gram) count shuffle + rank window).
+    // The corpus is ZIPF(1) text over a 10k vocabulary (log-uniform
+    // inverse-CDF draw — rank-r word probability ∝ 1/r, the documented
+    // shape of natural language): top bigrams sit well above the MG
+    // heavy threshold n/(k+1), which is the distribution class the
+    // operator is FOR. Pass `:flat` to run synthDocs' uniform-tail
+    // text instead — the recorded BOUNDARY case where no bigram is
+    // heavy (MG top-5 is then meaningless and its miss-on-full O(k)
+    // decrement path dominates the wall; BASELINE.md keeps that
+    // number as the honest applicability edge). top5_matched is
+    // recorded, not required — over capacity the ranking is only
+    // guaranteed for heavy hitters.
+    val textFreqJson = sys.env.get("GRAFT_SCALE_TEXTFREQ").map { spec =>
+      val parts = spec.split(':')
+      val n = parts(0).trim.toLong
+      val cap = if (parts.length > 1 && parts(1).nonEmpty) parts(1).trim.toInt
+        else 2048
+      val flat = parts.length > 2 && parts(2).trim == "flat"
+      val dir = s"$root/textfreq_docs_${n}_$flat"
+      val corpus =
+        if (flat) synthDocs(spark, n)
+        else {
+          val langs = array(Seq("en", "de", "fr", "es", "zh").map(lit): _*)
+          val nw = (pmod(xxhash64(lit("nw"), col("id")), lit(20L)) + 30L)
+          spark.range(n).select(
+            element_at(langs, (pmod(col("id"), lit(5L)) + 1L).cast("int"))
+              .as("lang"),
+            array_join(transform(sequence(lit(0L), nw - 1L), i => {
+              val u = (pmod(xxhash64(lit("z"), col("id"), i), lit(1000000L))
+                .cast("double") + lit(0.5)) / lit(1000000.0)
+              concat(lit("w"),
+                floor(exp(u * log(lit(10000.0)))).cast("long"))
+            }), " ").as("text"))
+        }
+      corpus.write.mode("overwrite").parquet(dir)
+      import graft.functions.TextFunctions
+      // materialize the exploded gram stream ONCE: both paths pay the
+      // same cheap 2-column parquet scan, so the walls compare the
+      // AGGREGATION strategies, not a shared tokenize+explode
+      val gramsDir = s"$dir.grams"
+      spark.read.parquet(dir).select(col("lang"),
+          explode(TextFunctions.bigrams(TextFunctions.tokens(col("text"))))
+            .as("gram"))
+        .write.mode("overwrite").parquet(gramsDir)
+      val g = spark.read.parquet(gramsDir)
+      // shuffle WRITE bytes per path — the number a 1000-executor
+      // cluster actually pays for; local walls hide network cost
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val lsnr = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(lsnr)
+      def measured[T](body: => T): (T, Double, Long) = {
+        Thread.sleep(500); shuffleBytes.set(0L)
+        val s0 = System.nanoTime()
+        val r = body
+        val secs = (System.nanoTime() - s0) / 1e9
+        Thread.sleep(500) // listener drain
+        (r, secs, shuffleBytes.get())
+      }
+      val (exactTop, exactSecs, exactShuf) = measured {
+        g.groupBy("lang", "gram")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")
+              .orderBy(col("n").desc, col("gram").asc)))
+          .filter(col("rank") <= 5)
+          .groupBy("lang")
+          .agg(collect_list(col("gram")).as("top5"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+      }
+      val (skTop, skSecs, skShuf) = measured {
+        g.groupBy("lang")
+          .agg(graft.operators.Sketches.freqSketch(col("gram"), cap)
+            .as("gram_sk"))
+          .select(col("lang"), expr(
+            "transform(slice(array_sort(gram_sk._1, (l, r) -> " +
+              "case when l._2 > r._2 then -1 when l._2 < r._2 then 1 " +
+              "when l._1 < r._1 then -1 when l._1 > r._1 then 1 " +
+              "else 0 end), 1, 5), x -> x._1)").as("top5"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+      }
+      spark.sparkContext.removeSparkListener(lsnr)
+      val distinct = g.select("lang", "gram").distinct().count()
+      // ITEM-set agreement: over capacity MG counts are undercounts by
+      // contract, so values can't match — recovering the right FIVE
+      // GRAMS is the meaningful heavy-hitter metric
+      val matched = exactTop.count { case (l, s5) => skTop.get(l).contains(s5) }
+      s""","text_freq":{"docs":$n,"capacity":$cap,"corpus":"${if (flat) "flat" else "zipf"}",""" +
+        s""""distinct_grams":$distinct,"exact_s":${fmt(exactSecs)},""" +
+        s""""sketch_s":${fmt(skSecs)},""" +
+        s""""speedup":${fmt(exactSecs / skSecs)},""" +
+        s""""exact_shuffle_mb":${fmt(exactShuf / 1048576.0)},""" +
+        s""""sketch_shuffle_mb":${fmt(skShuf / 1048576.0)},""" +
+        s""""langs":${exactTop.size},"top5_matched":$matched}"""
+    }.getOrElse("")
+
     // sketch-planned fetch (env GRAFT_SCALE_FETCHPLAN=
     // <events>[:channels], default 64 channels): the q149 flow at
     // scale — catalog in an EventBank, request cardinality estimated
@@ -1796,7 +1901,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
   }
 }
