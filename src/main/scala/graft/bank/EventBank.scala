@@ -167,6 +167,15 @@ class EventBank(spark: SparkSession, root: String,
     // sidecar summarizes: a consistent sidecar is re-stamped against
     // the post-compaction fingerprint instead of forcing a rebuild
     val sidecarStillValid = statsConsistent
+    // the version the (consistent) sidecar actually covers — a
+    // concurrent append landing between the validity check and the
+    // rewrite is FOLDED INTO the compacted catalog by the retry loop,
+    // and re-stamping then would mark a sidecar that never summarized
+    // it consistent (the marker would lie). Re-stamp only when the
+    // final rewrite's base version is exactly the covered one;
+    // otherwise leave the marker stale and let the next read rebuild.
+    val coveredVersion = if (txIndex) txTable.latestVersion() else -1L
+    var rewroteBase = coveredVersion
     if (txIndex) {
       // conditional rewrite: never folds away a concurrently appended
       // version (same loop shape as the tx putEvents)
@@ -174,6 +183,7 @@ class EventBank(spark: SparkSession, root: String,
       while (!done) {
         val cur = txTable.latestVersion()
         if (cur < 0) return // fresh bank: nothing committed to compact
+        rewroteBase = cur
         done = txTable.overwriteIfVersion(
           MergeOps.latestByKey(txTable.read(Some(cur)), "event_id",
             Seq(col("updated"))), cur)
@@ -181,7 +191,7 @@ class EventBank(spark: SparkSession, root: String,
       }
     } else writeSwap(MergeOps.latestByKey(
       rawIndexDf, "event_id", Seq(col("updated"))))
-    if (sidecarStillValid)
+    if (sidecarStillValid && rewroteBase == coveredVersion)
       FsUtil.atomicWriteSmall(hadoopFs,
         spark.sparkContext.hadoopConfiguration,
         statsMarkerPath, statsMarkerValue)
@@ -377,7 +387,12 @@ class EventBank(spark: SparkSession, root: String,
     */
   def sketchStats(startDay: Option[Long] = None,
                   endDay: Option[Long] = None): DataFrame = {
-    if (!indexExists && !statsExists) {
+    // no index = no catalog, whatever the sidecar dir holds: a fresh
+    // bank answers empty instead of throwing, and a root whose index
+    // was deleted externally must not serve the dead catalog's
+    // leftover partials as live stats (estimatedEventCount would feed
+    // phantom cardinality into the fetch planner)
+    if (!indexExists) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.eventSummary)

@@ -53,6 +53,12 @@ class WaveBank(spark: SparkSession, root: String,
   /** Transactional index table (when `txIndex`). */
   lazy val txTable: TxTable = new TxTable(spark, indexPath)
 
+  /** Whether this bank's index is transactional (fail-fast checks in
+    * callers that require commit-atomic appends, e.g. the streaming
+    * indexer).
+    */
+  private[graft] def isTxIndex: Boolean = txIndex
+
   private def hadoopFs: org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -270,13 +276,22 @@ class WaveBank(spark: SparkSession, root: String,
     // experiment (docs/NEXT.md).
     val clustered = df.sort("network", "station", "location", "channel",
       "starttime")
-    if (txIndex) { txTable.append(clustered); () }
-    else {
-      clustered.write.mode(SaveMode.Append).parquet(liveIndexPath)
-      bumpStamp()
-    }
+    // the sidecar tag must name THIS write: for tx banks it carries
+    // the commit version returned by the append itself — re-reading
+    // latestVersion() after the commit could pick up a concurrent
+    // writer's version and collide tags, and the rollup's
+    // (day, src_tag) dedup would then silently drop one writer's
+    // partials. Plain banks' stamp carries a per-bump nonce, so the
+    // post-bump read is collision-free under any interleaving.
+    val writeTag =
+      if (txIndex) s"write-v${txTable.append(clustered)}"
+      else {
+        clustered.write.mode(SaveMode.Append).parquet(liveIndexPath)
+        bumpStamp()
+        s"write-${indexStamp()}"
+      }
     if (backfillWholeIndex) statsRebuild(indexDf)
-    else statsWrite(df, overwrite = false, tag = s"write-${indexStamp()}")
+    else statsWrite(df, overwrite = false, tag = writeTag)
   }
 
   /** One streaming micro-batch of index rows (bank index schema, one
@@ -300,6 +315,13 @@ class WaveBank(spark: SparkSession, root: String,
         "(exactly-once micro-batch commits via appendOnce)")
     if (batch.isEmpty) return
     val tag = s"stream-batch-$batchId"
+    // a recycled root (index/tx log deleted externally, sidecar left
+    // behind) must not append beside the dead store's partials and
+    // stamp them consistent — the same fresh-build guard updateIndex
+    // applies
+    if (!indexExists && statsExists)
+      hadoopFs.delete(
+        new org.apache.hadoop.fs.Path(statsSketchPath), true)
     // pre-sidecar / stale-marker stores rebuild AFTER the append so the
     // rebuild covers this batch (same decide-before-append dance as
     // indexAppend)
@@ -453,9 +475,11 @@ class WaveBank(spark: SparkSession, root: String,
     */
   def sketchStats(startDay: Option[Long] = None,
                   endDay: Option[Long] = None): DataFrame = {
-    // fresh bank, nothing ever written: answer with the correct empty
-    // frame instead of throwing on a missing sidecar dir
-    if (!indexExists && !statsExists) {
+    // no index = no data, whatever the sidecar dir holds: a fresh bank
+    // answers empty instead of throwing on a missing sidecar, and a
+    // root whose index was deleted externally must not serve the dead
+    // store's leftover partials as live stats
+    if (!indexExists) {
       val emptyIdx = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(

@@ -757,6 +757,13 @@ object Multimodal {
           (id, bb.getLong, bb.getLong)
         }
       }.toDF("doc_id", "fh1", "fh2").distinct()
+      // materialized ONCE: both consumers below (the hot-frame count
+      // pass and the anti-join group pass) would otherwise re-execute
+      // the container split + per-frame MD5 — the dominant CPU — and
+      // Spark does not exchange-reuse across the branches (verified:
+      // no ReusedExchange in the executed plan). The checkpointed rows
+      // are 24 bytes each, orders of magnitude under the payloads.
+      .localCheckpoint(true)
     val stopAcc = stopCounter.getOrElse(spark.sparkContext.longAccumulator(
       "graft.sharedFramePairs.stoppedFrames"))
     val hot = frames.groupBy("fh1", "fh2")

@@ -83,6 +83,12 @@ object StreamingIndex {
   def runBank(spark: SparkSession, segmentsDir: String,
               bank: graft.bank.WaveBank, checkpointDir: String,
               availableNow: Boolean = true): StreamingQuery = {
+    // fail FAST at the call site: deferring this to the sink's own
+    // require would surface as a mid-stream StreamingQueryException
+    // after the checkpoint dir exists
+    require(bank.isTxIndex,
+      "StreamingIndex.runBank requires a txIndex WaveBank " +
+        "(exactly-once micro-batch commits via appendOnce)")
     import graft.core.Schemas
     val perSegment = spark.readStream
       .schema(segmentSchema)

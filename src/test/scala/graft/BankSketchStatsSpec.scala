@@ -267,6 +267,32 @@ class BankSketchStatsSpec extends SparkSpec {
     assertMatches(bank)
   }
 
+  test("deleted index: reads answer empty, streaming into a recycled root drops the orphan sidecar") {
+    val root = tmp()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bank = new WaveBank(spark, root, txIndex = true)
+    val segDir = s"$root/stream_segments"
+    segs(0 until 10).write.mode("append").parquet(segDir)
+    graft.streaming.StreamingIndex
+      .runBank(spark, segDir, bank, s"$root/ckpt").awaitTermination()
+    assert(bank.sketchStats().count() > 0)
+    // external cleanup deletes the tx log but leaves the sidecar
+    fs.delete(new org.apache.hadoop.fs.Path(bank.indexPath), true)
+    // a read must NOT serve the dead store's partials
+    assert(new WaveBank(spark, root, txIndex = true).sketchStats().isEmpty)
+    // a fresh stream into the recycled root must not append beside
+    // them either: totals reflect only the new batches
+    val bank2 = new WaveBank(spark, root, txIndex = true)
+    segs(10 until 16).write.mode("append").parquet(segDir)
+    graft.streaming.StreamingIndex
+      .runBank(spark, segDir, bank2, s"$root/ckpt2").awaitTermination()
+    // ckpt2 is fresh, so BOTH waves replay into the new store: 32 segs
+    val total = bank2.sketchStats().agg(sum("n_segments")).head().getLong(0)
+    assert(total == 32, s"recycled-root sidecar reports $total of 32")
+    assertMatches(bank2)
+  }
+
   test("sidecar backfill: pre-sidecar stores rebuild from the index on first sketchStats read") {
     val root = tmp()
     val bank = new WaveBank(spark, root)

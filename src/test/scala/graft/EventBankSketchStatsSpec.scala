@@ -134,6 +134,20 @@ class EventBankSketchStatsSpec extends SparkSpec {
       "post-compact read must not rebuild a re-stamped sidecar")
   }
 
+  test("deleted catalog: sketchStats answers empty, never the dead sidecar (phantom-estimate guard)") {
+    val root = tmp()
+    val bank = new EventBank(spark, root)
+    bank.putEvents(events(0 until 100))
+    assert(bank.estimatedEventCount(T0, T0 + 72 * HourNs) == 100L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(bank.indexPath), true)
+    val fresh = new EventBank(spark, root)
+    assert(fresh.sketchStats().isEmpty,
+      "a deleted catalog's leftover sidecar must not serve as live stats")
+    assert(fresh.estimatedEventCount(T0, T0 + 72 * HourNs) == 0L)
+  }
+
   test("estimatedEventCount: sidecar-only day-granular estimate matches the catalog") {
     val root = tmp()
     val bank = new EventBank(spark, root, txIndex = true)
