@@ -158,6 +158,145 @@ object VectorQueries {
         FROM cells x JOIN cells y USING (cell_id) WHERE x.vec_id < y.vec_id)
       WHERE cosine >= 0.98""")),
 
+    // ---- PRODUCT QUANTIZATION (round 11, Jégou et al. TPAMI 2011):
+    //      the compression layer for embedding search at 100 TB —
+    //      64 float dims (256 B) become m=4 codebook indices; the
+    //      whole trainer is derandomized (q61's device per subspace),
+    //      so DuckDB replays the fused Lloyd's iterations and pins
+    //      every code and the flat index-order reconstruction error.
+    Q("q152_pq_codes", (s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, dir)
+      val model = ProductQuantizer.fit(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2)
+      e.withColumn("codes",
+          ProductQuantizer.codesColumn(col("embedding"), model))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes_csv"),
+          floor(ProductQuantizer.reconErrColumn(
+            col("embedding"), col("codes"), model) * 1e6)
+            .cast("long").as("err_micro"))
+    }, {
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16)).mkString(",\n      ")
+      Some(s"""
+      WITH $subCtes,
+      joined AS (
+        SELECT e.vec_id, e.embedding,
+               c0.code AS k0, c1.code AS k1, c2.code AS k2, c3.code AS k3,
+               cc0.c || cc1.c || cc2.c || cc3.c AS recon
+        FROM embeddings e
+        JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
+        JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)
+        JOIN pq0_cent2 cc0 ON cc0.cell = c0.code
+        JOIN pq1_cent2 cc1 ON cc1.cell = c1.code
+        JOIN pq2_cent2 cc2 ON cc2.cell = c2.code
+        JOIN pq3_cent2 cc3 ON cc3.cell = c3.code)
+      SELECT vec_id,
+             CAST(k0 AS VARCHAR) || ',' || CAST(k1 AS VARCHAR) || ','
+               || CAST(k2 AS VARCHAR) || ',' || CAST(k3 AS VARCHAR)
+               AS codes_csv,
+             CAST(FLOOR(list_sum(list_transform(range(1, 65),
+               i -> (CAST(embedding[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))
+                  * (CAST(embedding[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))))
+               * 1e6) AS BIGINT) AS err_micro
+      FROM joined""")
+    }),
+
+    // ---- PQ asymmetric-distance top-k (q153): queries keep their
+    //      float vectors, the corpus side is CODES ONLY — per-query
+    //      distance tables broadcast, m array lookups per (row, query)
+    //      summed in subspace order; in_exact3 records whether each
+    //      ADC neighbor is also in the query's exact float top-3
+    //      (computed identically in both engines).
+    Q("q153_pq_adc_topk", (s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, dir)
+      val model = ProductQuantizer.fit(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2)
+      val codes = ProductQuantizer.encode(e, "vec_id", "embedding", model)
+      val queries = e.filter(col("vec_id") < 10).orderBy("vec_id")
+        .collect().map(r =>
+          r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      val adc = ProductQuantizer.adcTopK(codes, "vec_id", model,
+        queries, k = 3)
+      // exact float top-3 per query (flat index-order 64-term sum)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val d2 = aggregate(
+        zip_with(col("qv"), col("embedding"), (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("xd").asc, col("vec_id").asc)
+      val exact3 = e.crossJoin(broadcast(q))
+        .withColumn("xd", d2)
+        .withColumn("xr", row_number().over(w))
+        .filter(col("xr") <= 3)
+        .select(col("q_id"), col("vec_id").as("nn_id"), lit(1L).as("inx"))
+      adc.join(exact3, Seq("q_id", "nn_id"), "left")
+        .select(col("q_id"), col("nn_id"),
+          floor(col("dist") * 1e6).cast("long").as("adc_micro"),
+          col("rank"), coalesce(col("inx"), lit(0L)).as("in_exact3"))
+    }, {
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16)).mkString(",\n      ")
+      def qsub(sIdx: Int) = {
+        val lo = sIdx * 16 + 1
+        s"list_transform(range($lo, ${lo + 16}), i -> embedding[i])"
+      }
+      def dt(sIdx: Int) =
+        s"""list_sum(list_transform(range(1, 17),
+           i -> (CAST(qs[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))
+              * (CAST(qs[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))))"""
+      val dtCtes = (0 until 4).map { sIdx =>
+        s"""dt$sIdx AS (
+          SELECT q.vec_id AS q_id, c.cell, ${dt(sIdx)} AS ds
+          FROM (SELECT vec_id, ${qsub(sIdx)} AS qs FROM embeddings
+                WHERE vec_id < 10) q
+          CROSS JOIN pq${sIdx}_cent2 c)"""
+      }.mkString(",\n      ")
+      Some(s"""
+      WITH $subCtes,
+      $dtCtes,
+      adist AS (
+        SELECT d0.q_id, c0.vec_id AS nn_id,
+               ((d0.ds + d1.ds) + d2.ds) + d3.ds AS dist
+        FROM pq0_codes c0
+        JOIN pq1_codes c1 USING (vec_id) JOIN pq2_codes c2 USING (vec_id)
+        JOIN pq3_codes c3 USING (vec_id)
+        JOIN dt0 d0 ON d0.cell = c0.code
+        JOIN dt1 d1 ON d1.cell = c1.code AND d1.q_id = d0.q_id
+        JOIN dt2 d2 ON d2.cell = c2.code AND d2.q_id = d0.q_id
+        JOIN dt3 d3 ON d3.cell = c3.code AND d3.q_id = d0.q_id),
+      ranked AS (
+        SELECT q_id, nn_id, dist, row_number() OVER
+          (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS rank
+        FROM adist),
+      exact AS (
+        SELECT q_id, nn_id FROM (
+          SELECT q.vec_id AS q_id, x.vec_id AS nn_id, row_number() OVER
+            (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, 65),
+                i -> (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(x.embedding[i] AS DOUBLE))
+                   * (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(x.embedding[i] AS DOUBLE)))) ASC,
+              x.vec_id ASC) AS xr
+          FROM embeddings x
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 10) q)
+        WHERE xr <= 3)
+      SELECT r.q_id, r.nn_id,
+             CAST(FLOOR(r.dist * 1e6) AS BIGINT) AS adc_micro,
+             CAST(r.rank AS INT) AS rank,
+             CAST(CASE WHEN e.nn_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS in_exact3
+      FROM ranked r LEFT JOIN exact e USING (q_id, nn_id)
+      WHERE r.rank <= 3""")
+    }),
+
     // ---- trained IVF cells: Lloyd's k-means over the embedding
     //      column, per-cell population. The whole pipeline is
     //      derandomized (first-k-by-id seeding, argmin with first-min
@@ -537,6 +676,51 @@ object VectorQueries {
     * per-dim means cast to float32 (matching `.toFloat`); empty cells
     * keep their previous centroid (`means.getOrElse`).
     */
+  /** DuckDB replay of [[graft.operators.ProductQuantizer.fit]] for
+    * subspace `s`: the q61 k-means replay over the sub-slice
+    * `embedding[s·subDim+1 .. (s+1)·subDim]` — same first-k-by-id
+    * seeding, same argmin first-min tie-break, same per-iteration
+    * float32 cast of each centroid mean. Emits CTEs `pq{s}_cent0 ..
+    * pq{s}_cent$iters` and `pq{s}_codes(vec_id, code)`.
+    */
+  private def pqSubspaceCtes(s: Int, k: Int, iters: Int, subDim: Int): String = {
+    val lo = s * subDim + 1
+    def sub(e: String) =
+      s"list_transform(range($lo, ${lo + subDim}), i -> $e[i])"
+    def d2(e: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${subDim + 1}),
+         i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+            * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
+    def asgn(cent: String) = s"""
+      SELECT vec_id, sub, cell FROM (
+        SELECT e.vec_id, e.sub, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${d2("e.sub", "c.c")} ASC, c.cell ASC) AS rn
+        FROM (SELECT vec_id, ${sub("embedding")} AS sub FROM embeddings) e
+        CROSS JOIN $cent c)
+      WHERE rn = 1"""
+    def nextCent(prev: String, asgnT: String) = s"""
+      SELECT p.cell, COALESCE(m.c, p.c) AS c
+      FROM $prev p LEFT JOIN (
+        SELECT cell, list(mu ORDER BY dim) AS c FROM (
+          SELECT cell, dim, CAST(AVG(CAST(v AS DOUBLE)) AS FLOAT) AS mu
+          FROM (SELECT cell, unnest(range(1, ${subDim + 1})) AS dim,
+                       unnest(sub) AS v FROM $asgnT)
+          GROUP BY cell, dim)
+        GROUP BY cell) m USING (cell)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""pq${s}_asgn$i AS (${asgn(s"pq${s}_cent${i - 1}")}),
+      pq${s}_cent$i AS (${nextCent(s"pq${s}_cent${i - 1}", s"pq${s}_asgn$i")})"""
+    }.mkString(",\n      ")
+    s"""pq${s}_cent0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               ${sub("embedding")} AS c
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+      $iterCtes,
+      pq${s}_codes AS (SELECT vec_id, cell AS code, sub
+                       FROM (${asgn(s"pq${s}_cent$iters")}))"""
+  }
+
   private def kmeansOracleSql(k: Int, iters: Int): String = {
     def d2(e: String, c: String) =
       s"""list_sum(list_transform(range(1, 65),

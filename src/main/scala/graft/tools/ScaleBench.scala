@@ -459,6 +459,88 @@ object ScaleBench {
         s""""hot_rows":$hRows,"uniform_rows":$uRows}"""
     }.getOrElse("")
 
+    // product quantization (env GRAFT_SCALE_PQ=<vecs>[:m:k], default
+    // 8:256): the q152/q153 layer at scale — fused Lloyd's training
+    // (one agg pass per iteration for ALL m codebooks), scan-local
+    // encode, ADC top-10 over CODES vs the brute-force float top-10.
+    // Records train/encode walls, the MEASURED on-disk compression
+    // (codes parquet vs raw embedding parquet), ADC vs brute query
+    // walls, and recall@10 (ADC ranks by reconstruction distance — an
+    // approximation; its recall is the honest number, not a claim).
+    val pqJson = sys.env.get("GRAFT_SCALE_PQ").map { spec =>
+      import graft.operators.ProductQuantizer
+      val parts = spec.split(':')
+      val n = parts(0).trim.toLong
+      val (m, k) =
+        if (parts.length >= 3) (parts(1).toInt, parts(2).toInt)
+        else (8, 256)
+      val rawDir = s"$root/pq_raw_$n"
+      synthEmbeddings(spark, n).write.mode("overwrite").parquet(rawDir)
+      val e = spark.read.parquet(rawDir)
+      val t0 = System.nanoTime()
+      val model = ProductQuantizer.fit(e, "doc_id", "embedding",
+        m = m, k = k, iters = 3)
+      val trainS = (System.nanoTime() - t0) / 1e9
+      val codesDir = s"$root/pq_codes_$n"
+      val t1 = System.nanoTime()
+      ProductQuantizer.encode(e, "doc_id", "embedding", model)
+        .write.mode("overwrite").parquet(codesDir)
+      val encodeS = (System.nanoTime() - t1) / 1e9
+      def dirBytes(p: String): Long = {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      }
+      val codes = spark.read.parquet(codesDir)
+      val queries = e.filter(col("doc_id") % (n / 32) === 3L)
+        .orderBy("doc_id").limit(32).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      val t2 = System.nanoTime()
+      val adc = ProductQuantizer.adcTopK(codes, "doc_id", model,
+        queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adcS = (System.nanoTime() - t2) / 1e9
+      // exact float top-10 (the q32 brute-force shape)
+      import spark.implicits._
+      val qdf = broadcast(queries.toDF("q_id", "qv"))
+      val d2 = aggregate(
+        zip_with(col("qv"), col("embedding"), (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("xd").asc, col("doc_id").asc)
+      val t3 = System.nanoTime()
+      val exact = e.crossJoin(qdf).withColumn("xd", d2)
+        .withColumn("xr", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("xr") <= 10)
+        .select("q_id", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteS = (System.nanoTime() - t3) / 1e9
+      val recall = adc.intersect(exact).size.toDouble / exact.size
+      // the standard serving pipeline: wide ADC candidates + exact
+      // rerank of only those float rows; two widths show the lever
+      def rerank(cand: Int): (Double, Double) = {
+        val t4 = System.nanoTime()
+        val rr = ProductQuantizer.adcRerankTopK(codes, e, "doc_id",
+          "embedding", model, queries, k = 10, candidates = cand)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        ((System.nanoTime() - t4) / 1e9,
+          rr.intersect(exact).size.toDouble / exact.size)
+      }
+      val (rr50S, rr50) = rerank(50)
+      val (rr400S, rr400) = rerank(400)
+      s""","pq":{"vecs":$n,"m":$m,"k":$k,"train_s":${fmt(trainS)},""" +
+        s""""rerank50_s":${fmt(rr50S)},"rerank50_recall":${fmt(rr50)},""" +
+        s""""rerank400_s":${fmt(rr400S)},"rerank400_recall":${fmt(rr400)},""" +
+        s""""encode_s":${fmt(encodeS)},""" +
+        s""""encode_vecs_per_sec":${fmt(n / encodeS, 0)},""" +
+        s""""raw_mb":${fmt(dirBytes(rawDir) / 1048576.0)},""" +
+        s""""codes_mb":${fmt(dirBytes(codesDir) / 1048576.0)},""" +
+        s""""compression":${fmt(dirBytes(rawDir).toDouble / dirBytes(codesDir))},""" +
+        s""""adc_top10_s":${fmt(adcS)},"brute_top10_s":${fmt(bruteS)},""" +
+        s""""recall_at_10":${fmt(recall)}}"""
+    }.getOrElse("")
+
     // MG-backed text frequency surface (env GRAFT_SCALE_TEXTFREQ=
     // <docs>[:capacity[:flat]], default k=2048): q150's per-lang top-5
     // bigrams from ONE Misra–Gries summary per language vs the q46
@@ -1901,7 +1983,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
   }
 }

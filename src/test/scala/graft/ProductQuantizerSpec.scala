@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ProductQuantizer
+
+/** Properties the PQ layer must hold beyond the q152/q153 oracles:
+  * training is a pure function of the value set (partitioning
+  * invisible), encode/decode geometry is consistent, ADC equals the
+  * explicit reconstructed distance, and more centroids never hurt
+  * reconstruction on the training set.
+  */
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic embeddings: dim 16, values in [-1, 1). */
+  private def corpus(n: Int) = {
+    val rows = (0 until n).map { i =>
+      (i.toLong, (0 until 16).map { j =>
+        (((i * 31 + j * 17 + 7) % 2000) / 1000.0f) - 1.0f
+      })
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("fit is partitioning-invariant and codes are deterministic") {
+    val c1 = corpus(200).repartition(1)
+    val c7 = corpus(200).repartition(7, col("vec_id"))
+    val m1 = ProductQuantizer.fit(c1, "vec_id", "embedding", m = 4, k = 4, iters = 3)
+    val m7 = ProductQuantizer.fit(c7, "vec_id", "embedding", m = 4, k = 4, iters = 3)
+    assert(m1.codebooks == m7.codebooks,
+      "codebooks must not depend on partitioning")
+    val codes1 = ProductQuantizer.encode(c1, "vec_id", "embedding", m1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val codes7 = ProductQuantizer.encode(c7, "vec_id", "embedding", m7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes1 == codes7)
+    assert(codes1.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 4)))
+  }
+
+  test("reconstruction: decode(encode(v)) concatenates the assigned centroids; error is argmin-optimal per subspace") {
+    val c = corpus(100)
+    val model = ProductQuantizer.fit(c, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val out = c
+      .withColumn("codes", ProductQuantizer.codesColumn(col("embedding"), model))
+      .withColumn("recon", ProductQuantizer.reconstructColumn(col("codes"), model))
+      .withColumn("err", ProductQuantizer.reconErrColumn(
+        col("embedding"), col("codes"), model))
+      .collect()
+    out.foreach { r =>
+      val v = r.getSeq[Float](1); val codes = r.getSeq[Int](2)
+      val recon = r.getSeq[Float](3); val err = r.getDouble(4)
+      // recon = concat of the coded centroids
+      val expected = (0 until 4).flatMap(s => model.codebooks(s)(codes(s)))
+      assert(recon == expected)
+      // the assigned code minimizes the subspace distance (argmin)
+      (0 until 4).foreach { s =>
+        val sub = v.slice(s * 4, s * 4 + 4)
+        def d2(c0: Seq[Float]) = sub.zip(c0)
+          .map { case (x, y) => val d = x.toDouble - y; d * d }.sum
+        val best = (0 until 8).map(j => d2(model.codebooks(s)(j))).min
+        assert(math.abs(d2(model.codebooks(s)(codes(s))) - best) < 1e-12)
+      }
+      assert(err >= 0.0)
+    }
+    // k=16 codebooks reconstruct the TRAINING set at least as well
+    val err8 = c.withColumn("codes",
+        ProductQuantizer.codesColumn(col("embedding"), model))
+      .select(ProductQuantizer.reconErrColumn(
+        col("embedding"), col("codes"), model).as("e"))
+      .agg(sum("e")).head().getDouble(0)
+    val model16 = ProductQuantizer.fit(c, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val err16 = c.withColumn("codes",
+        ProductQuantizer.codesColumn(col("embedding"), model16))
+      .select(ProductQuantizer.reconErrColumn(
+        col("embedding"), col("codes"), model16).as("e"))
+      .agg(sum("e")).head().getDouble(0)
+    assert(err16 <= err8 + 1e-9, s"k=16 err $err16 vs k=8 err $err8")
+  }
+
+  test("adcTopK == explicit distance to the reconstructed vectors; plan reads codes only") {
+    val c = corpus(150)
+    val model = ProductQuantizer.fit(c, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val codes = ProductQuantizer.encode(c, "vec_id", "embedding", model)
+      .localCheckpoint(true)
+    val queries = c.filter(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val adc = ProductQuantizer.adcTopK(codes, "vec_id", model, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // reference: explicit ||q - recon(codes)||^2 over all rows
+    val reconByized = codes.select(col("vec_id"),
+        ProductQuantizer.reconstructColumn(col("codes"), model).as("recon"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    queries.foreach { case (qid, q) =>
+      val expected = reconByized.toSeq.map { case (id, rec) =>
+        val d = q.zip(rec).map { case (x, y) =>
+          val dd = x.toDouble - y.toDouble; dd * dd }.sum
+        (id, d)
+      }.sortBy { case (id, d) => (d, id) }.take(5)
+      val got = adc.filter(_._1 == qid).sortBy(_._4).map(t => (t._2, t._3))
+      assert(got.map(_._1).toSeq == expected.map(_._1),
+        s"q$qid neighbor ids: $got vs $expected")
+      got.zip(expected).foreach { case ((_, gd), (_, ed)) =>
+        assert(math.abs(gd - ed) < 1e-9, s"q$qid dist $gd vs $ed")
+      }
+    }
+    // the query side never touches the float vectors
+    val plan = ProductQuantizer.adcTopK(codes, "vec_id", model, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embedding"),
+      s"ADC must read codes only:\n$plan")
+  }
+
+  test("adcRerankTopK with candidates = corpus recovers the EXACT float top-k") {
+    val c = corpus(120)
+    val model = ProductQuantizer.fit(c, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val codes = ProductQuantizer.encode(c, "vec_id", "embedding", model)
+    val queries = c.filter(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val rr = ProductQuantizer.adcRerankTopK(codes, c, "vec_id", "embedding",
+        model, queries, k = 5, candidates = 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val all = c.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    queries.foreach { case (qid, q) =>
+      val expect = all.toSeq.map { case (id, v) =>
+        (id, q.zip(v).map { case (x, y) =>
+          val d = x.toDouble - y.toDouble; d * d }.sum)
+      }.sortBy { case (id, dd) => (dd, id) }.take(5).map(_._1)
+      val got = rr.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(got == expect, s"q$qid rerank: $got vs $expect")
+    }
+  }
+}
