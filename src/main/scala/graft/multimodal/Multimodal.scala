@@ -744,12 +744,25 @@ object Multimodal {
     * `graft.sharedFramePairs.stoppedFrames` (Spark UI / spec-readable;
     * at-least-once under task retries, as all accumulators are).
     */
+  /** @param materializeFrames both consumers below (the hot-frame
+    *   count pass and the anti-join group pass) read the decoded
+    *   frame-hash stream, and Spark does not exchange-reuse across the
+    *   branches (verified: no ReusedExchange in the executed plan) —
+    *   so either the stream is materialized once (default: right
+    *   whenever decode dominates, i.e. real KB–MB frames; the
+    *   checkpointed rows are 24 bytes each, orders of magnitude under
+    *   the payloads) or the decode runs twice (`false`: measured
+    *   faster on tiny-payload corpora where MD5-ing a 200 B frame is
+    *   cheaper than a block-manager round trip — the q80 recompute
+    *   lesson; both legs recorded in BASELINE.md).
+    */
   def sharedFramePairs(spark: SparkSession, df: DataFrame,
                        minShared: Long = 2L,
                        maxFrameDf: Int = 1024,
-                       stopCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+                       stopCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+                       materializeFrames: Boolean = true): DataFrame = {
     import spark.implicits._
-    val frames = df.select("doc_id", "payload").as[(Long, Array[Byte])]
+    val decoded = df.select("doc_id", "payload").as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
         decodeMotionPng(p).toSeq.flatten.map { f =>
           val d = java.security.MessageDigest.getInstance("MD5").digest(f)
@@ -757,13 +770,8 @@ object Multimodal {
           (id, bb.getLong, bb.getLong)
         }
       }.toDF("doc_id", "fh1", "fh2").distinct()
-      // materialized ONCE: both consumers below (the hot-frame count
-      // pass and the anti-join group pass) would otherwise re-execute
-      // the container split + per-frame MD5 — the dominant CPU — and
-      // Spark does not exchange-reuse across the branches (verified:
-      // no ReusedExchange in the executed plan). The checkpointed rows
-      // are 24 bytes each, orders of magnitude under the payloads.
-      .localCheckpoint(true)
+    val frames =
+      if (materializeFrames) decoded.localCheckpoint(true) else decoded
     val stopAcc = stopCounter.getOrElse(spark.sparkContext.longAccumulator(
       "graft.sharedFramePairs.stoppedFrames"))
     val hot = frames.groupBy("fh1", "fh2")

@@ -1322,18 +1322,25 @@ object ScaleBench {
             }
           }.toDF("doc_id", "payload")
       }
-      def bench(hot: Boolean): (Double, Long, Long, Long) = {
+      def bench(hot: Boolean, materialize: Boolean): (Double, Long, Long, Long) = {
         val dir = s"$root/hotframe_${hot}_$n"
         corpus(hot).write.mode("overwrite").parquet(dir)
-        val acc = spark.sparkContext.longAccumulator(s"hotframe-stops-$hot")
+        val acc = spark.sparkContext.longAccumulator(
+          s"hotframe-stops-$hot-$materialize")
         val s0 = System.nanoTime()
         val (rows, sum) = runAll(graft.multimodal.Multimodal
           .sharedFramePairs(spark, spark.read.parquet(dir),
-            minShared = 2, stopCounter = Some(acc)))
+            minShared = 2, stopCounter = Some(acc),
+            materializeFrames = materialize))
         ((System.nanoTime() - s0) / 1e9, rows, sum, acc.value)
       }
-      val (hs, hRows, hSum, hStops) = bench(hot = true)
-      val (us, uRows, uSum, uStops) = bench(hot = false)
+      val (hs, hRows, hSum, hStops) = bench(hot = true, materialize = true)
+      val (us, uRows, uSum, uStops) = bench(hot = false, materialize = true)
+      // the recompute leg: tiny synthetic frames invert the
+      // materialize-vs-recompute economics (BASELINE.md)
+      val (hs2, h2Rows, h2Sum, _) = bench(hot = true, materialize = false)
+      require(h2Rows == hRows && h2Sum == hSum,
+        "materializeFrames changed RESULTS")
       val planted = if (n > 21) (n - 22) / 40 + 1 else 0 // ids ≡ 21 (mod 40)
       require(hRows == uRows && hSum == uSum,
         s"stop device changed RESULTS: hot ($hRows, $hSum) vs control ($uRows, $uSum)")
@@ -1342,6 +1349,7 @@ object ScaleBench {
         s"expected exactly the intro frame stopped: hot=$hStops control=$uStops")
       s""","hot_frame":{"vids":$n,"hot_s":${fmt(hs)},""" +
         s""""uniform_s":${fmt(us)},"ratio":${fmt(hs / us)},""" +
+        s""""hot_recompute_s":${fmt(hs2)},""" +
         s""""pairs":$hRows,"stopped_frames":$hStops}"""
     }.getOrElse("")
 
