@@ -300,6 +300,144 @@ object ProductQuantizer {
         col("rank").cast("int").as("rank"))
   }
 
+  /** IVFADC index rows (Jégou et al. §V: coarse quantizer + PQ on the
+    * RESIDUAL): per vector, the nearest coarse cell, then the PQ codes
+    * of v − centroid(cell). One scan-local primitive pass; write the
+    * result `partitionBy("cell")` and a probed query reads only
+    * nprobe/C of the store (partition pruning — the 100 TB serving
+    * layout). Residuals are computed in float32 (x − c per dimension)
+    * so the DuckDB oracle replays them bit for bit.
+    */
+  def encodeIvf(corpus: DataFrame, idCol: String, vecCol: String,
+                coarse: Seq[Seq[Float]], model: PQModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarseArr = coarse.map(_.toArray).toArray
+    val cbArr = toArrays(model.codebooks)
+    val m = model.m
+    val subDim = model.subDim
+    corpus.select(col(idCol), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val cell = nearest(v, 0, coarseArr)
+          val cent = coarseArr(cell)
+          val r = new Array[Float](v.length)
+          var i = 0
+          while (i < r.length) { r(i) = v(i) - cent(i); i += 1 }
+          val rw: scala.collection.Seq[Float] = r
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            codes(s) = nearest(rw, s * subDim, cbArr(s))
+            s += 1
+          }
+          (id, cell, codes)
+        }
+      }.toDF(idCol, "cell", "codes")
+  }
+
+  /** IVFADC top-k: each query ranks the coarse cells (first-min ties),
+    * probes the nearest `nprobe`, and scores only rows in those cells
+    * by the residual ADC distance ‖(q − centroid(cell)) − decode‖².
+    * Driver side builds one distance table per (query, probed cell)
+    * (nprobe·m·k doubles per query — KBs); executor side filters
+    * `cell` to the probed union (partition pruning when the index is
+    * written partitionBy(cell)) and keeps per-(query) bounded top-k
+    * heaps — ≤ parts·Q·k rows reach the final rank window.
+    */
+  def ivfAdcTopK(index: DataFrame, idCol: String,
+                 coarse: Seq[Seq[Float]], model: PQModel,
+                 queries: Seq[(Long, Seq[Float])], k: Int,
+                 nprobe: Int): DataFrame = {
+    require(queries.nonEmpty, "ivfAdcTopK needs at least one query")
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe out of [1, ${coarse.length}]")
+    val coarseArr = coarse.map(_.toArray).toArray
+    val m = model.m
+    val subDim = model.subDim
+    // per query: probed cells (distance asc, cell asc) and one
+    // residual distance table per probed cell
+    val plans: Array[(Long, Array[Int], Array[Array[Array[Double]]])] =
+      queries.map { case (qid, q) =>
+        require(q.length == m * subDim,
+          s"query dim ${q.length} != ${m * subDim}")
+        val byD = coarseArr.indices.map { cI =>
+          var acc = 0.0
+          var i = 0
+          while (i < q.length) {
+            val d = q(i).toDouble - coarseArr(cI)(i).toDouble
+            acc += d * d
+            i += 1
+          }
+          (acc, cI)
+        }.sortBy { case (dd, cI) => (dd, cI) }
+        val probed = byD.take(nprobe).map(_._2).toArray
+        val tables = probed.map { cI =>
+          val cent = coarseArr(cI)
+          val qr = new Array[Float](q.length)
+          var i = 0
+          while (i < q.length) { qr(i) = q(i) - cent(i); i += 1 }
+          (0 until m).map { s =>
+            (0 until model.k).map { j =>
+              var acc = 0.0
+              var i2 = 0
+              while (i2 < subDim) {
+                val d = qr(s * subDim + i2).toDouble -
+                  model.codebooks(s)(j)(i2).toDouble
+                acc += d * d
+                i2 += 1
+              }
+              acc
+            }.toArray
+          }.toArray
+        }
+        (qid, probed, tables)
+      }.toArray
+    val allCells = plans.flatMap(_._2).distinct.toSeq
+    // cell -> [(query index, its dtable for this cell)]
+    val byCell: Map[Int, Array[(Int, Array[Array[Double]])]] =
+      plans.zipWithIndex.flatMap { case ((_, probed, tables), qi) =>
+        probed.zip(tables).map { case (c, t) => c -> (qi, t) }
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val spark = index.sparkSession
+    import spark.implicits._
+    val partials = index
+      .filter(col("cell").isin(allCells: _*)) // partition pruning
+      .select(col(idCol), col("cell"), col("codes"))
+      .as[(Long, Int, Seq[Int])]
+      .mapPartitions { it =>
+        val heaps = plans.map(_ =>
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.Tuple2[Double, Long]))
+        it.foreach { case (id, cell, cs) =>
+          byCell.get(cell).foreach(_.foreach { case (qi, dt) =>
+            var acc = 0.0
+            var s = 0
+            while (s < m) { acc += dt(s)(cs(s)); s += 1 }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((acc, id))
+            else {
+              val worst = h.head
+              if (acc < worst._1 || (acc == worst._1 && id < worst._2)) {
+                h.dequeue(); h.enqueue((acc, id)); ()
+              }
+            }
+          })
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (dd, id) => (plans(qi)._1, id, dd) }
+        }
+      }.toDF("q_id", "nn_id", "dist")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("nn_id").asc)
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), col("dist"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** ADC-then-rerank: the standard PQ serving pipeline — a wide ADC
     * candidate pass over codes (`candidates` per query), then exact
     * float distances for ONLY those candidate vectors (a broadcast

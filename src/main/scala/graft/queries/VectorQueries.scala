@@ -297,6 +297,132 @@ object VectorQueries {
       WHERE r.rank <= 3""")
     }),
 
+    // ---- IVFADC (q154, Jégou et al. §V): coarse quantizer cells + PQ
+    //      on the RESIDUAL, queries probing the nearest nprobe cells —
+    //      the full FAISS-style serving pipeline. Everything replayed
+    //      in DuckDB: coarse k-means, float32 residuals, all m
+    //      residual codebooks, per-(query, probed-cell) distance
+    //      tables, and the nested-order ADC sums.
+    Q("q154_ivfadc_topk", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val index = ProductQuantizer.encodeIvf(e, "vec_id", "embedding",
+        coarse, pq)
+      val queries = e.filter(col("vec_id") < 6).orderBy("vec_id")
+        .collect().map(r =>
+          r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      val ivf = ProductQuantizer.ivfAdcTopK(index, "vec_id", coarse, pq,
+        queries, k = 3, nprobe = 2)
+      // exact float top-3 flag (the q153 device)
+      val q = e.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val d2 = aggregate(
+        zip_with(col("qv"), col("embedding"), (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("xd").asc, col("vec_id").asc)
+      val exact3 = e.crossJoin(broadcast(q))
+        .withColumn("xd", d2)
+        .withColumn("xr", row_number().over(w))
+        .filter(col("xr") <= 3)
+        .select(col("q_id"), col("vec_id").as("nn_id"), lit(1L).as("inx"))
+      ivf.join(exact3, Seq("q_id", "nn_id"), "left")
+        .select(col("q_id"), col("nn_id"),
+          floor(col("dist") * 1e6).cast("long").as("adc_micro"),
+          col("rank"), coalesce(col("inx"), lit(0L)).as("in_exact3"))
+    }, {
+      val coarseCtes = kmeansCtes("cq_", k = 4, iters = 2)
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "resid", vecExpr = "r"))
+        .mkString(",\n      ")
+      def qrSlice(sIdx: Int) = {
+        val lo = sIdx * 16 + 1
+        s"list_transform(range($lo, ${lo + 16}), i -> qr[i])"
+      }
+      val dtCtes = (0 until 4).map { sIdx =>
+        s"""ivfdt$sIdx AS (
+          SELECT p.q_id, p.cell AS pcell, pc.cell AS code,
+            list_sum(list_transform(range(1, 17),
+              i -> (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))
+                 * (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))))
+              AS ds
+          FROM (SELECT q_id, cell, ${qrSlice(sIdx)} AS qs FROM probes) p
+          CROSS JOIN pq${sIdx}_cent2 pc)"""
+      }.mkString(",\n      ")
+      Some(s"""
+      WITH $coarseCtes,
+      resid AS (SELECT a.vec_id, a.cell,
+                  list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                FROM cq_final_asgn a JOIN cq_cent2 c USING (cell)),
+      $subCtes,
+      probes AS (
+        SELECT q_id, cell, qr FROM (
+          SELECT q.vec_id AS q_id, c.cell,
+            list_transform(range(1, 65),
+              i -> CAST(q.embedding[i] - c.c[i] AS FLOAT)) AS qr,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, 65),
+                i -> (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE))
+                   * (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE)))) ASC, c.cell ASC) AS pr
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 6) q
+          CROSS JOIN cq_cent2 c)
+        WHERE pr <= 2),
+      $dtCtes,
+      adist AS (
+        SELECT d0.q_id, c0.vec_id AS nn_id,
+               ((d0.ds + d1.ds) + d2.ds) + d3.ds AS dist
+        FROM pq0_codes c0
+        JOIN pq1_codes c1 USING (vec_id) JOIN pq2_codes c2 USING (vec_id)
+        JOIN pq3_codes c3 USING (vec_id)
+        JOIN (SELECT vec_id, cell FROM resid) rc USING (vec_id)
+        JOIN ivfdt0 d0 ON d0.pcell = rc.cell AND d0.code = c0.code
+        JOIN ivfdt1 d1 ON d1.pcell = rc.cell AND d1.code = c1.code
+          AND d1.q_id = d0.q_id
+        JOIN ivfdt2 d2 ON d2.pcell = rc.cell AND d2.code = c2.code
+          AND d2.q_id = d0.q_id
+        JOIN ivfdt3 d3 ON d3.pcell = rc.cell AND d3.code = c3.code
+          AND d3.q_id = d0.q_id),
+      ranked AS (
+        SELECT q_id, nn_id, dist, row_number() OVER
+          (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS rank
+        FROM adist),
+      exact AS (
+        SELECT q_id, nn_id FROM (
+          SELECT q.vec_id AS q_id, x.vec_id AS nn_id, row_number() OVER
+            (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, 65),
+                i -> (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(x.embedding[i] AS DOUBLE))
+                   * (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(x.embedding[i] AS DOUBLE)))) ASC,
+              x.vec_id ASC) AS xr
+          FROM embeddings x
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 6) q)
+        WHERE xr <= 3)
+      SELECT r.q_id, r.nn_id,
+             CAST(FLOOR(r.dist * 1e6) AS BIGINT) AS adc_micro,
+             CAST(r.rank AS INT) AS rank,
+             CAST(CASE WHEN e.nn_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS in_exact3
+      FROM ranked r LEFT JOIN exact e USING (q_id, nn_id)
+      WHERE r.rank <= 3""")
+    }),
+
     // ---- trained IVF cells: Lloyd's k-means over the embedding
     //      column, per-cell population. The whole pipeline is
     //      derandomized (first-k-by-id seeding, argmin with first-min
@@ -683,7 +809,9 @@ object VectorQueries {
     * float32 cast of each centroid mean. Emits CTEs `pq{s}_cent0 ..
     * pq{s}_cent$iters` and `pq{s}_codes(vec_id, code)`.
     */
-  private def pqSubspaceCtes(s: Int, k: Int, iters: Int, subDim: Int): String = {
+  private def pqSubspaceCtes(s: Int, k: Int, iters: Int, subDim: Int,
+                             table: String = "embeddings",
+                             vecExpr: String = "embedding"): String = {
     val lo = s * subDim + 1
     def sub(e: String) =
       s"list_transform(range($lo, ${lo + subDim}), i -> $e[i])"
@@ -696,7 +824,7 @@ object VectorQueries {
         SELECT e.vec_id, e.sub, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY ${d2("e.sub", "c.c")} ASC, c.cell ASC) AS rn
-        FROM (SELECT vec_id, ${sub("embedding")} AS sub FROM embeddings) e
+        FROM (SELECT vec_id, ${sub(vecExpr)} AS sub FROM $table) e
         CROSS JOIN $cent c)
       WHERE rn = 1"""
     def nextCent(prev: String, asgnT: String) = s"""
@@ -714,11 +842,48 @@ object VectorQueries {
     }.mkString(",\n      ")
     s"""pq${s}_cent0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-               ${sub("embedding")} AS c
-        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+               ${sub(vecExpr)} AS c
+        FROM (SELECT * FROM $table ORDER BY vec_id LIMIT $k)),
       $iterCtes,
       pq${s}_codes AS (SELECT vec_id, cell AS code, sub
                        FROM (${asgn(s"pq${s}_cent$iters")}))"""
+  }
+
+  /** The q61 full-vector k-means replay as reusable CTEs (prefix`cent0
+    * .. cent$iters`, prefix`final_asgn(vec_id, embedding, cell)`) —
+    * the coarse-quantizer half of the q154 IVFADC replay.
+    */
+  private def kmeansCtes(prefix: String, k: Int, iters: Int): String = {
+    def d2(e: String, c: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+            * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
+    def asgn(cent: String) = s"""
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${d2("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN $cent c)
+      WHERE rn = 1"""
+    def nextCent(prev: String, asgnT: String) = s"""
+      SELECT p.cell, COALESCE(m.c, p.c) AS c
+      FROM $prev p LEFT JOIN (
+        SELECT cell, list(m ORDER BY dim) AS c FROM (
+          SELECT cell, dim, CAST(AVG(CAST(v AS DOUBLE)) AS FLOAT) AS m
+          FROM (SELECT cell, unnest(range(1, 65)) AS dim,
+                       unnest(embedding) AS v FROM $asgnT)
+          GROUP BY cell, dim)
+        GROUP BY cell) m USING (cell)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""${prefix}asgn$i AS (${asgn(s"${prefix}cent${i - 1}")}),
+      ${prefix}cent$i AS (${nextCent(s"${prefix}cent${i - 1}", s"${prefix}asgn$i")})"""
+    }.mkString(",\n      ")
+    s"""${prefix}cent0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               embedding AS c
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+      $iterCtes,
+      ${prefix}final_asgn AS (${asgn(s"${prefix}cent$iters")})"""
   }
 
   private def kmeansOracleSql(k: Int, iters: Int): String = {

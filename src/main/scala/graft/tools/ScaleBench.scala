@@ -541,6 +541,76 @@ object ScaleBench {
         s""""recall_at_10":${fmt(recall)}}"""
     }.getOrElse("")
 
+    // IVFADC (env GRAFT_SCALE_IVFPQ=<vecs>[:cells:nprobe], default
+    // 64:8): the q154 pipeline at scale — coarse quantizer (the m=1
+    // PQ trainer IS a primitive-loop k-means), residual PQ, index
+    // written partitionBy(cell) so a probed query READS nprobe/cells
+    // of the store (partition pruning), vs the full-ADC scan and the
+    // brute float scan. Recall@10 of both recorded.
+    val ivfpqJson = sys.env.get("GRAFT_SCALE_IVFPQ").map { spec =>
+      import graft.operators.ProductQuantizer
+      val parts = spec.split(':')
+      val n = parts(0).trim.toLong
+      val (cells, nprobe) =
+        if (parts.length >= 3) (parts(1).toInt, parts(2).toInt)
+        else (64, 8)
+      val rawDir = s"$root/ivfpq_raw_$n"
+      synthEmbeddings(spark, n).write.mode("overwrite").parquet(rawDir)
+      val e = spark.read.parquet(rawDir)
+      val t0 = System.nanoTime()
+      val coarse = ProductQuantizer.fit(e, "doc_id", "embedding",
+        m = 1, k = cells, iters = 2).codebooks.head
+      val cLit = typedlit(coarse)
+      val resid = graft.operators.KMeans
+        .assign(e, "doc_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("doc_id", "r")
+      val pq = ProductQuantizer.fit(resid, "doc_id", "r",
+        m = 8, k = 256, iters = 2)
+      val trainS = (System.nanoTime() - t0) / 1e9
+      val idxDir = s"$root/ivfpq_idx_$n"
+      val t1 = System.nanoTime()
+      ProductQuantizer.encodeIvf(e, "doc_id", "embedding", coarse, pq)
+        .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+      val encodeS = (System.nanoTime() - t1) / 1e9
+      val stored = spark.read.parquet(idxDir)
+      val queries = e.filter(col("doc_id") % (n / 32) === 3L)
+        .orderBy("doc_id").limit(32).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      def probeRun(np: Int): (Set[(Long, Long)], Double) = {
+        val t = System.nanoTime()
+        val r = ProductQuantizer.ivfAdcTopK(stored, "doc_id", coarse, pq,
+            queries, k = 10, nprobe = np)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        (r, (System.nanoTime() - t) / 1e9)
+      }
+      val (probed, probeS) = probeRun(nprobe)
+      val (full, fullS) = probeRun(cells)
+      // exact float top-10 reference
+      import spark.implicits._
+      val qdf = broadcast(queries.toDF("q_id", "qv"))
+      val d2 = aggregate(
+        zip_with(col("qv"), col("embedding"), (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("xd").asc, col("doc_id").asc)
+      val exact = e.crossJoin(qdf).withColumn("xd", d2)
+        .withColumn("xr", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("xr") <= 10)
+        .select("q_id", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val probeRecall = probed.intersect(exact).size.toDouble / exact.size
+      val fullRecall = full.intersect(exact).size.toDouble / exact.size
+      s""","ivfpq":{"vecs":$n,"cells":$cells,"nprobe":$nprobe,""" +
+        s""""train_s":${fmt(trainS)},"encode_s":${fmt(encodeS)},""" +
+        s""""probe_s":${fmt(probeS)},"full_adc_s":${fmt(fullS)},""" +
+        s""""probe_recall_at_10":${fmt(probeRecall)},""" +
+        s""""full_recall_at_10":${fmt(fullRecall)},""" +
+        s""""scan_fraction":${fmt(nprobe.toDouble / cells)}}"""
+    }.getOrElse("")
+
     // MG-backed text frequency surface (env GRAFT_SCALE_TEXTFREQ=
     // <docs>[:capacity[:flat]], default k=2048): q150's per-lang top-5
     // bigrams from ONE Misra–Gries summary per language vs the q46
@@ -1991,7 +2061,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
   }
 }

@@ -110,6 +110,65 @@ class ProductQuantizerSpec extends SparkSpec {
       s"ADC must read codes only:\n$plan")
   }
 
+  test("ivfAdcTopK: heaps match a local replay; probed cells prune parquet partitions") {
+    import graft.operators.KMeans
+    val c = corpus(200)
+    val (coarse, _) = KMeans.fit(c, "vec_id", "embedding", k = 4, iters = 2)
+    val cLit = org.apache.spark.sql.functions.typedlit(coarse)
+    val resid = KMeans.assign(c, "vec_id", "embedding", coarse)
+      .withColumn("r", zip_with(col("embedding"),
+        element_at(cLit, col("cell") + 1), (x, y) => x - y))
+      .select("vec_id", "r")
+    val pq = ProductQuantizer.fit(resid, "vec_id", "r", m = 4, k = 8, iters = 2)
+    val index = ProductQuantizer.encodeIvf(c, "vec_id", "embedding", coarse, pq)
+    // the 100 TB layout: codes partitioned by coarse cell
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    index.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val queries = c.filter(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val got = ProductQuantizer.ivfAdcTopK(stored, "vec_id", coarse, pq,
+        queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // local replay of probe selection + residual distance tables
+    val rows = index.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    queries.foreach { case (qid, q) =>
+      val probed = coarse.indices.map { cI =>
+        (q.zip(coarse(cI)).map { case (x, y) =>
+          val d = x.toDouble - y.toDouble; d * d }.sum, cI)
+      }.sortBy(identity).take(2).map(_._2).toSet
+      val expected = rows.filter(t => probed.contains(t._2)).map {
+        case (id, cell, codes) =>
+          val qr = q.zip(coarse(cell)).map { case (x, y) => x - y }
+          var acc = 0.0
+          (0 until pq.m).foreach { s =>
+            var a2 = 0.0
+            (0 until pq.subDim).foreach { i =>
+              val d = qr(s * pq.subDim + i).toDouble -
+                pq.codebooks(s)(codes(s))(i).toDouble
+              a2 += d * d
+            }
+            acc += a2
+          }
+          (id, acc)
+      }.sortBy { case (id, dd) => (dd, id) }.take(5)
+      val g = got.filter(_._1 == qid).sortBy(t => (t._3, t._2))
+        .map(t => (t._2, t._3)).toSeq
+      assert(g.map(_._1) == expected.map(_._1).toSeq,
+        s"q$qid ids: $g vs ${expected.toSeq}")
+      g.zip(expected).foreach { case ((_, gd), (_, ed)) =>
+        assert(math.abs(gd - ed) < 1e-9) }
+    }
+    // nprobe=1: the scan must prune unprobed cell partitions
+    val plan = ProductQuantizer.ivfAdcTopK(stored, "vec_id", coarse, pq,
+        queries.take(1), k = 5, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"),
+      s"probe filter must reach the partition scan:\n$plan")
+  }
+
   test("adcRerankTopK with candidates = corpus recovers the EXACT float top-k") {
     val c = corpus(120)
     val model = ProductQuantizer.fit(c, "vec_id", "embedding", m = 4, k = 8, iters = 2)
