@@ -33,6 +33,15 @@ final case class EventQuery(
   *   The crossover: frequent small batches into a large index want
   *   merge-on-read; read-heavy banks want copy-on-write or periodic
   *   [[compact]] calls.
+  *
+  *   Sidecar single-writer contract (plain, non-tx banks): the sketch
+  *   sidecar marker is stamped against a listing fingerprint re-read
+  *   AFTER the index write, so a plain bank assumes ONE writer at a
+  *   time — a concurrent writer landing between the write and the
+  *   stamp could be marked covered by a sidecar that never summarized
+  *   it. `txIndex = true` banks carry no such assumption: the marker
+  *   is stamped with the exact commit version the write produced, and
+  *   any concurrent append leaves it stale (next read rebuilds).
   */
 class EventBank(spark: SparkSession, root: String,
                 mergeOnRead: Boolean = false,
@@ -176,6 +185,12 @@ class EventBank(spark: SparkSession, root: String,
     // otherwise leave the marker stale and let the next read rebuild.
     val coveredVersion = if (txIndex) txTable.latestVersion() else -1L
     var rewroteBase = coveredVersion
+    // the version the successful rewrite COMMITTED — the marker is
+    // stamped against this known result, never a re-read fingerprint:
+    // an append landing after the commit but before the stamp would
+    // otherwise be marked covered by a sidecar that never summarized
+    // it (the re-read marker would lie; stale-marker reads rebuild).
+    var committedVersion = -1L
     if (txIndex) {
       // conditional rewrite: never folds away a concurrently appended
       // version (same loop shape as the tx putEvents)
@@ -184,17 +199,22 @@ class EventBank(spark: SparkSession, root: String,
         val cur = txTable.latestVersion()
         if (cur < 0) return // fresh bank: nothing committed to compact
         rewroteBase = cur
-        done = txTable.overwriteIfVersion(
+        txTable.overwriteIfVersion(
           MergeOps.latestByKey(txTable.read(Some(cur)), "event_id",
-            Seq(col("updated"))), cur)
-          .isDefined
+            Seq(col("updated"))), cur) match {
+          case Some(v) => committedVersion = v; done = true
+          case None => ()
+        }
       }
     } else writeSwap(MergeOps.latestByKey(
       rawIndexDf, "event_id", Seq(col("updated"))))
     if (sidecarStillValid && rewroteBase == coveredVersion)
       FsUtil.atomicWriteSmall(hadoopFs,
         spark.sparkContext.hadoopConfiguration,
-        statsMarkerPath, statsMarkerValue)
+        statsMarkerPath,
+        // tx: stamp the known rewrite result; plain banks re-read the
+        // listing fingerprint (single-writer contract — see class doc)
+        if (txIndex) markerValueFor(committedVersion) else statsMarkerValue)
   }
 
   /** Index read with NaT restore: times stored as the SMALLDT64/
@@ -314,21 +334,16 @@ class EventBank(spark: SparkSession, root: String,
           st.getModificationTime) * 31 + st.getLen
       }
 
+  private def markerValueFor(fingerprint: Long): String =
+    s"$StatsFormatVersion $fingerprint"
+
   private def statsMarkerValue: String =
-    s"$StatsFormatVersion ${indexFingerprint()}"
+    markerValueFor(indexFingerprint())
 
   private def statsConsistent: Boolean =
     statsExists && FsUtil.readSmallFile(hadoopFs, statsMarkerPath)
       .contains(statsMarkerValue)
 
-  /** The RESOLVED catalog in storage form (one row per event_id, times
-    * still sentinel longs) — what both reads and the sidecar summarize.
-    */
-  private def resolvedRaw: DataFrame = {
-    val raw = rawIndexDf
-    if (mergeOnRead) MergeOps.latestByKey(raw, "event_id", Seq(col("updated")))
-    else raw
-  }
 
   /** One sketch-partial row per day: event count, KMV + top-k of
     * authors (null author reads as "" — one deterministic source),
@@ -359,14 +374,29 @@ class EventBank(spark: SparkSession, root: String,
     * the marker — the upsert-store analog of the WaveBank's
     * append-partials path. A crash between the index write and this
     * leaves the marker stale; the next read or write rebuilds.
+    * Tx banks pin BOTH the summarized snapshot and the stamp to one
+    * version read up front: a concurrent append leaves the marker
+    * stale instead of being falsely marked covered. Plain banks re-read
+    * the listing fingerprint (single-writer contract — class doc).
     */
   private def statsRebuild(): Unit = {
-    statsPartials(resolvedRaw)
-      .withColumn("src_tag", lit(s"rebuild-${indexFingerprint()}"))
+    val pinned = if (txIndex) txTable.latestVersion() else -1L
+    val raw =
+      if (txIndex) {
+        if (pinned < 0) return // fresh tx bank: nothing to summarize
+        txTable.read(Some(pinned))
+      } else rawIndexDf
+    val resolved =
+      if (mergeOnRead) MergeOps.latestByKey(raw, "event_id", Seq(col("updated")))
+      else raw
+    statsPartials(resolved)
+      .withColumn("src_tag",
+        lit(s"rebuild-${if (txIndex) pinned else indexFingerprint()}"))
       .write.mode(SaveMode.Overwrite).parquet(statsSketchPath)
     FsUtil.atomicWriteSmall(hadoopFs,
       spark.sparkContext.hadoopConfiguration,
-      statsMarkerPath, statsMarkerValue)
+      statsMarkerPath,
+      if (txIndex) markerValueFor(pinned) else statsMarkerValue)
   }
 
   private def statsRollup(partials: DataFrame): DataFrame = {

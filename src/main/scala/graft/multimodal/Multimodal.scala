@@ -727,11 +727,12 @@ object Multimodal {
     * DISTINCT frames. Never an all-pairs join: candidates come only
     * from genuinely shared frames.
     *
-    * HOT-FRAME stop device (the LSH stop-bucket applied here): a
-    * boilerplate frame (black frame, intro/outro card) reused by f
-    * videos would put f ids in one collect_list state row and expand
-    * f(f−1)/2 pairs inside a single group — f in the millions kills
-    * the stage. Frames with document frequency > `maxFrameDf` are
+    * HOT-FRAME stop device (the LSH stop-bucket applied here),
+    * OPT-IN via `maxFrameDf`: a boilerplate frame (black frame,
+    * intro/outro card) reused by f videos would put f ids in one
+    * collect_list state row and expand f(f−1)/2 pairs inside a single
+    * group — f in the millions kills the stage. With a finite
+    * `maxFrameDf`, frames with document frequency > `maxFrameDf` are
     * dropped BEFORE the group build: a first partial-combined count
     * pass finds them (map-side combine ships one row per frame per map
     * partition, skew-immune), and a broadcast anti-join removes their
@@ -739,28 +740,45 @@ object Multimodal {
     * ≤ totalFrameRows / maxFrameDf entries — and a frame present in
     * thousands of videos carries no containment signal anyway (exactly
     * the LSH stop-bucket argument). Post-filter group size is ≤
-    * `maxFrameDf`, so the in-group expansion is bounded. Dropped
-    * frames are surfaced through the named accumulator
-    * `graft.sharedFramePairs.stoppedFrames` (Spark UI / spec-readable;
-    * at-least-once under task retries, as all accumulators are).
+    * `maxFrameDf`, so the in-group expansion is bounded.
+    *
+    * RETURN CONTRACT: with the default `maxFrameDf = Int.MaxValue` the
+    * result is EXACT — every shared frame counts, including a clip
+    * duplicated across the whole corpus (the mass-duplication case a
+    * dedup operator exists for; it is also the quadratic case, so
+    * corpora where that can happen at scale should pass a finite
+    * `maxFrameDf` knowingly). With a finite `maxFrameDf` the result is
+    * APPROXIMATE whenever stopped frames > 0: a pair whose shared-frame
+    * evidence includes stopped frames under-counts and can fall below
+    * `minShared`. The number of stopped frames is surfaced through
+    * `stopCounter` (or the named accumulator
+    * `graft.sharedFramePairs.stoppedFrames`), counted exactly once
+    * driver-side; `stopped == 0` certifies the capped run was exact.
     */
-  /** @param materializeFrames both consumers below (the hot-frame
-    *   count pass and the anti-join group pass) read the decoded
-    *   frame-hash stream, and Spark does not exchange-reuse across the
-    *   branches (verified: no ReusedExchange in the executed plan) —
-    *   so either the stream is materialized once (default: right
-    *   whenever decode dominates, i.e. real KB–MB frames; the
+  /** @param materializeFrames with the stop device on, both consumers
+    *   (the hot-frame count pass and the anti-join group pass) read the
+    *   decoded frame-hash stream, and Spark does not exchange-reuse
+    *   across the branches (verified: no ReusedExchange in the executed
+    *   plan) — so either the stream is materialized once (default:
+    *   right whenever decode dominates, i.e. real KB–MB frames; the
     *   checkpointed rows are 24 bytes each, orders of magnitude under
     *   the payloads) or the decode runs twice (`false`: measured
     *   faster on tiny-payload corpora where MD5-ing a 200 B frame is
     *   cheaper than a block-manager round trip — the q80 recompute
-    *   lesson; both legs recorded in BASELINE.md).
+    *   lesson; both legs recorded in BASELINE.md). Exact mode has one
+    *   consumer and ignores this knob.
+    * @param maxStopFrames loud upper bound on the stop list: it is
+    *   gathered driver-side (take, bounded memory) and broadcast, so a
+    *   degenerate corpus (≫ maxStopFrames distinct hot frames — only
+    *   possible when totalFrames / maxFrameDf exceeds it) fails with
+    *   this named limit instead of an opaque executor/driver OOM.
     */
   def sharedFramePairs(spark: SparkSession, df: DataFrame,
                        minShared: Long = 2L,
-                       maxFrameDf: Int = 1024,
+                       maxFrameDf: Int = Int.MaxValue,
                        stopCounter: Option[org.apache.spark.util.LongAccumulator] = None,
-                       materializeFrames: Boolean = true): DataFrame = {
+                       materializeFrames: Boolean = true,
+                       maxStopFrames: Int = 4 << 20): DataFrame = {
     import spark.implicits._
     val decoded = df.select("doc_id", "payload").as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
@@ -770,17 +788,25 @@ object Multimodal {
           (id, bb.getLong, bb.getLong)
         }
       }.toDF("doc_id", "fh1", "fh2").distinct()
-    val frames =
-      if (materializeFrames) decoded.localCheckpoint(true) else decoded
-    val stopAcc = stopCounter.getOrElse(spark.sparkContext.longAccumulator(
-      "graft.sharedFramePairs.stoppedFrames"))
-    val hot = frames.groupBy("fh1", "fh2")
-      .agg(count(lit(1)).as("fdf"))
-      .filter(col("fdf") > maxFrameDf)
-      .select(col("fh1"), col("fh2")).as[(Long, Long)]
-      .map { r => stopAcc.add(1); r } // tiny frame: |stops| ≤ N/maxFrameDf
-      .toDF("fh1", "fh2")
-    frames.join(broadcast(hot), Seq("fh1", "fh2"), "left_anti")
+    val grouped = if (maxFrameDf == Int.MaxValue) decoded else {
+      val frames =
+        if (materializeFrames) decoded.localCheckpoint(true) else decoded
+      val stopAcc = stopCounter.getOrElse(spark.sparkContext.longAccumulator(
+        "graft.sharedFramePairs.stoppedFrames"))
+      val hotRows = frames.groupBy("fh1", "fh2")
+        .agg(count(lit(1)).as("fdf"))
+        .filter(col("fdf") > maxFrameDf)
+        .select(col("fh1"), col("fh2")).as[(Long, Long)]
+        .take(maxStopFrames + 1) // tiny: |stops| ≤ N/maxFrameDf
+      require(hotRows.length <= maxStopFrames,
+        s"sharedFramePairs: stop list exceeds maxStopFrames=$maxStopFrames " +
+          s"(over ${maxStopFrames.toLong * maxFrameDf} frame rows are hot) " +
+          "— raise maxFrameDf/maxStopFrames or run exact")
+      stopAcc.add(hotRows.length.toLong)
+      frames.join(broadcast(hotRows.toSeq.toDF("fh1", "fh2")),
+        Seq("fh1", "fh2"), "left_anti")
+    }
+    grouped
       .groupBy("fh1", "fh2")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -110,7 +110,8 @@ object ProductQuantizer {
     val first = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
-    require(first.nonEmpty, "PQ fit needs a non-empty corpus")
+    require(first.length == k,
+      s"PQ fit needs >= $k rows to seed k=$k codewords, got ${first.length}")
     val d = first.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val subDim = d / m

@@ -396,6 +396,26 @@ class MultimodalSpec extends SparkSpec {
     val plan = capped.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"stop-list join must be broadcast anti:\n$plan")
+
+    // DEFAULT is EXACT: no maxFrameDf passed -> the corpus-wide intro
+    // frame still counts toward containment (the mass-duplication case
+    // must not silently vanish), and the plan carries NO stop anti-join
+    val exact = Multimodal.sharedFramePairs(spark, vids, minShared = 3)
+    val exactRows = exact.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exactRows.toSeq == Seq((3L, 7L, 3L)),
+      s"exact default must keep hot-frame evidence: ${exactRows.toSeq}")
+    val exactPlan = exact.queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("LeftAnti"),
+      s"exact mode must not build a stop pass:\n$exactPlan")
+
+    // stop-list size guard: a corpus whose hot-frame list exceeds
+    // maxStopFrames fails LOUDLY with the named limit, not an OOM
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.sharedFramePairs(spark, vids, minShared = 2,
+        maxFrameDf = 8, maxStopFrames = 0)
+    }
+    assert(e.getMessage.contains("maxStopFrames"), e.getMessage)
   }
 
   test("majorityHash: strict majority, and a 1-frame edit moves <= its dHash delta") {
