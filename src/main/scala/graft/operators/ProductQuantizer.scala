@@ -104,10 +104,31 @@ object ProductQuantizer {
     * merge order is partitioning-dependent either way, and the cast
     * swallows it). Vectors must share a length d with d % m == 0;
     * empty cells keep their previous centroid.
+    *
+    * `sampleFraction` < 1 trains the codebooks on a DERANDOMIZED
+    * subset — rows whose 60-bit md5 of `"pqs:" + id` falls under the
+    * fraction (the cross-engine hash device, so DuckDB replays the
+    * sample exactly) — the standard practice at corpus scale:
+    * codebook quality saturates around 10⁴–10⁵ training vectors
+    * (Jégou §V.A trains on a held-out subset), so a 10⁷-row train
+    * pass is ~100× wasted scan. Seeding, iterations, and means all
+    * run on the sample; [[encode]] is unaffected (everything encodes).
     */
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
-          m: Int, k: Int, iters: Int): PQModel = {
-    val first = corpus.orderBy(col(idCol)).limit(k)
+          m: Int, k: Int, iters: Int,
+          sampleFraction: Double = 1.0): PQModel = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1]: $sampleFraction")
+    val train =
+      if (sampleFraction >= 1.0) corpus
+      else {
+        graft.plans.GraftExtensions.register(corpus.sparkSession)
+        corpus.filter(
+          expr(s"md5_long60(concat('pqs:', cast($idCol as string))) " +
+            s"% 1000000 < ${(sampleFraction * 1e6).toLong}")
+        )
+      }
+    val first = train.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
     require(first.length == k,
@@ -120,7 +141,7 @@ object ProductQuantizer {
       first.map(v => v.slice(s * subDim, (s + 1) * subDim)))
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col(vecCol)).as[Seq[Float]]
+    val vecs = train.select(col(vecCol)).as[Seq[Float]]
     for (_ <- 0 until iters) {
       val cbArr = toArrays(cbs)
       val means = vecs.mapPartitions { it =>
@@ -225,48 +246,45 @@ object ProductQuantizer {
       }),
       lit(0.0), (acc, x) => acc + x)
 
-  /** ADC top-k: for each query vector, the k nearest corpus CODES by
-    * asymmetric distance Σ_s ||q_s − c_{s,code_s}||². The per-query
-    * distance tables (m·k doubles each) are computed driver-side and
-    * broadcast as one literal with the Q-row query frame; the corpus
-    * side reads codes only — m array lookups + an index-order sum per
-    * (row, query). Ties break on corpus id ascending.
-    *
-    * Output: q_id, nn_id, dist (double), rank.
+  /** The ADC distance table of one query: `(s)(j)` = ‖q_s −
+    * codebook(s)(j)‖², subspace-major. ONE arithmetic for every path —
+    * driver-built (Seq API) and task-built (DataFrame batch API)
+    * tables are bit-identical because they run this same loop.
     */
-  def adcTopK(codes: DataFrame, idCol: String, model: PQModel,
-              queries: Seq[(Long, Seq[Float])], k: Int): DataFrame = {
-    require(queries.nonEmpty, "adcTopK needs at least one query")
-    val tables: Array[(Long, Array[Array[Double]])] =
-      queries.map { case (qid, q) =>
-        require(q.length == model.m * model.subDim,
-          s"query dim ${q.length} != ${model.m * model.subDim}")
-        qid -> (0 until model.m).map { s =>
-          (0 until model.k).map { j =>
-            var acc = 0.0
-            var i = 0
-            while (i < model.subDim) {
-              val d = q(s * model.subDim + i).toDouble -
-                model.codebooks(s)(j)(i).toDouble
-              acc += d * d
-              i += 1
-            }
-            acc
-          }.toArray
-        }.toArray
-      }.toArray
+  private def adcTable(q: scala.collection.Seq[Float],
+                       cb: Array[Array[Array[Float]]],
+                       subDim: Int): Array[Array[Double]] =
+    Array.tabulate(cb.length) { s =>
+      val cbs = cb(s)
+      Array.tabulate(cbs.length) { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = q(s * subDim + i).toDouble - cbs(j)(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
+    }
+
+  /** The shared scan: per-partition bounded top-k heaps per query (the
+    * distributed top-k shape) — each partition emits at most Q·k
+    * candidate rows, so the final rank window sees parts·Q·k rows,
+    * never the corpus. `mkTables` runs ONCE per task (its result is
+    * the [(q_id, dtable)] array); the distance loop adds dtable
+    * entries in subspace order — the exact fold the
+    * [[codesColumn]]-based verification and the q153 oracle replay use.
+    */
+  private def adcScan(codes: DataFrame, idCol: String, m: Int, k: Int,
+                      mkTables: () => Array[(Long, Array[Array[Double]])])
+      : DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val m = model.m
-    // per-partition bounded top-k heaps per query (the distributed
-    // top-k shape): each partition emits at most Q·k candidate rows,
-    // so the final rank window sees parts·Q·k rows, never the corpus.
-    // The distance loop adds dtable entries in subspace order — the
-    // exact fold [[codesColumn]]-based verification and the q153
-    // oracle replay use.
     val partials = codes.select(col(idCol), col("codes"))
       .as[(Long, Seq[Int])]
       .mapPartitions { it =>
+        val tables = mkTables()
         val heaps = tables.map(_ =>
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
             Ordering.Tuple2[Double, Long]))
@@ -299,6 +317,102 @@ object ProductQuantizer {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("nn_id"), col("dist"),
         col("rank").cast("int").as("rank"))
+  }
+
+  /** ADC top-k: for each query vector, the k nearest corpus CODES by
+    * asymmetric distance Σ_s ||q_s − c_{s,code_s}||². The per-query
+    * distance tables (m·k doubles each) are computed driver-side ONCE
+    * and shipped via `sparkContext.broadcast` — never in the task
+    * closure, so the task binary stays flat in Q; the corpus side
+    * reads codes only — m array lookups + an index-order sum per
+    * (row, query). Ties break on corpus id ascending. Serving-sized
+    * query lists; a big batch wants [[adcTopKBatch]] (broadcasts the
+    * 64× smaller float vectors and builds tables per task).
+    *
+    * Output: q_id, nn_id, dist (double), rank.
+    */
+  def adcTopK(codes: DataFrame, idCol: String, model: PQModel,
+              queries: Seq[(Long, Seq[Float])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "adcTopK needs at least one query")
+    val cbArr = toArrays(model.codebooks)
+    val subDim = model.subDim
+    queries.foreach { case (_, q) =>
+      require(q.length == model.m * subDim,
+        s"query dim ${q.length} != ${model.m * subDim}") }
+    val tables: Array[(Long, Array[Array[Double]])] =
+      queries.map { case (qid, q) => qid -> adcTable(q, cbArr, subDim) }
+        .toArray
+    val bc = codes.sparkSession.sparkContext.broadcast(tables)
+    adcScan(codes, idCol, model.m, k, () => bc.value)
+  }
+
+  /** ADC top-k with the queries as a DATAFRAME — the batch shape. The
+    * query FLOAT vectors (Q·d·4 bytes — 64× smaller than their
+    * distance tables at the default geometry) are gathered bounded by
+    * `maxQueryRows` and broadcast once; every task derives the tables
+    * itself from the broadcast floats + the model (Q·m·k·subDim
+    * flops, amortized over the partition's rows — break-even at
+    * k·subDim ≈ 2k rows/partition, far under any real split). Output
+    * is BIT-IDENTICAL to [[adcTopK]] on the collected rows (same
+    * [[adcTable]] arithmetic, spec-pinned).
+    */
+  def adcTopKBatch(codes: DataFrame, idCol: String, model: PQModel,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int, maxQueryRows: Int = 1 << 20): DataFrame = {
+    val qs = collectQueries(queries, qIdCol, qVecCol, maxQueryRows,
+      model.m * model.subDim, "adcTopKBatch")
+    val cbArr = toArrays(model.codebooks)
+    val subDim = model.subDim
+    val bc = codes.sparkSession.sparkContext.broadcast(qs)
+    adcScan(codes, idCol, model.m, k,
+      () => cachedDerive(bc.value) {
+        bc.value.map { case (qid, q) => qid -> adcTable(q, cbArr, subDim) }
+      })
+  }
+
+  /** Executor-local cache of plans/tables derived from a broadcast
+    * query block: the derivation (Q·m·k·subDim flops) runs once per
+    * EXECUTOR, not once per task — at 10⁴ queries it is ~10⁸ flops,
+    * which would otherwise tax every small task. Keyed WEAKLY on the
+    * broadcast value itself, so entries die with the broadcast block
+    * and nothing pins memory across batches. A whole first task wave
+    * lands at once, so the holder is a lazy cell: exactly ONE task
+    * derives (the rest block on the cell, not the map lock) — 32
+    * concurrent 10⁸-flop builds each allocating the full table block
+    * measured as multi-second GC churn on local[32].
+    */
+  private val derivedCache = new java.util.WeakHashMap[AnyRef, AnyRef]()
+
+  private final class LazyCell[B](f: () => B) { lazy val get: B = f() }
+
+  private def cachedDerive[B <: AnyRef](key: AnyRef)(f: => B): B = {
+    val cell = derivedCache.synchronized {
+      var h = derivedCache.get(key)
+      if (h == null) { h = new LazyCell(() => f); derivedCache.put(key, h) }
+      h
+    }
+    cell.asInstanceOf[LazyCell[B]].get
+  }
+
+  /** Bounded gather of a query frame: at most `maxQueryRows` rows, each
+    * dim-checked. The loud limit keeps the broadcast float block sized
+    * (maxQueryRows·d·4 bytes) instead of an opaque driver OOM.
+    */
+  private def collectQueries(queries: DataFrame, qIdCol: String,
+                             qVecCol: String, maxQueryRows: Int,
+                             dim: Int, who: String)
+      : Array[(Long, Seq[Float])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(qIdCol), col(qVecCol))
+      .as[(Long, Seq[Float])].take(maxQueryRows + 1)
+    require(qs.nonEmpty, s"$who needs at least one query")
+    require(qs.length <= maxQueryRows,
+      s"$who: query frame exceeds maxQueryRows=$maxQueryRows — split the " +
+        "batch or raise the bound")
+    qs.foreach { case (_, q) =>
+      require(q.length == dim, s"query dim ${q.length} != $dim") }
+    qs
   }
 
   /** IVFADC index rows (Jégou et al. §V: coarse quantizer + PQ on the
@@ -338,6 +452,82 @@ object ProductQuantizer {
       }.toDF(idCol, "cell", "codes")
   }
 
+  /** The IVFADC SERVING STORE: [[encodeIvf]]'s rows plus the float
+    * vector — (id, cell, codes, vec). Written `partitionBy("cell")`,
+    * ONE table serves both halves of the standard pipeline: the probe
+    * scan selects (id, cell, codes) so parquet COLUMN pruning never
+    * reads the heavy float column, and the rerank fetch selects
+    * (id, vec) under a `cell IN (probed)` filter so PARTITION pruning
+    * reads only nprobe/C of the floats. Storage is codes + floats —
+    * the float copy is the rerank tier every production IVFADC deploys
+    * (Jégou §VI); keeping it cell-partitioned is what makes the rerank
+    * fetch scale-free.
+    */
+  def encodeIvfStore(corpus: DataFrame, idCol: String, vecCol: String,
+                     coarse: Seq[Seq[Float]], model: PQModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarseArr = coarse.map(_.toArray).toArray
+    val cbArr = toArrays(model.codebooks)
+    val m = model.m
+    val subDim = model.subDim
+    corpus.select(col(idCol), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(it => it.map { case (id, v) =>
+        val cell = nearest(v, 0, coarseArr)
+        val cent = coarseArr(cell)
+        val r = new Array[Float](v.length)
+        var i = 0
+        while (i < r.length) { r(i) = v(i) - cent(i); i += 1 }
+        val rw: scala.collection.Seq[Float] = r
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) { codes(s) = nearest(rw, s * subDim, cbArr(s)); s += 1 }
+        (id, cell, codes, v)
+      }).toDF(idCol, "cell", "codes", "vec")
+  }
+
+  /** The COMPOSED serving pipeline: IVFADC probe → `candidates` ADC
+    * candidates per query → exact float rerank of ONLY those rows →
+    * top-k. The float fetch prunes twice: `cell IN (probed)` reaches
+    * the partitioned store as PartitionFilters, and the candidate
+    * broadcast semi-joins it down to Q·candidates rows — the store's
+    * float column is read for probed cells only, never scanned.
+    * Distances are exact squared-L2 in the ORIGINAL space (index-order
+    * fold), ties on id ascending.
+    */
+  def ivfAdcRerankTopK(store: DataFrame, idCol: String, vecCol: String,
+                       coarse: Seq[Seq[Float]], model: PQModel,
+                       queries: Seq[(Long, Seq[Float])], k: Int,
+                       nprobe: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates $candidates < k $k")
+    val spark = store.sparkSession
+    import spark.implicits._
+    val cand = ivfAdcTopK(store, idCol, coarse, model, queries,
+      k = candidates, nprobe = nprobe)
+      .select(col("q_id"), col("nn_id"))
+    val coarseArr = coarse.map(_.toArray).toArray
+    val allCells = queries.flatMap { case (_, q) =>
+      probeCells(q, coarseArr, nprobe) }.distinct
+    val floats = store
+      .filter(col("cell").isin(allCells: _*)) // partition pruning
+      .select(col(idCol), col(vecCol))
+    val qdf = broadcast(queries.toDF("q_id", "qv"))
+    val d2 = aggregate(
+      zip_with(col("qv"), col(vecCol), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("nn_id").asc)
+    floats.join(broadcast(cand), floats(idCol) === cand("nn_id"), "inner")
+      .join(qdf, "q_id")
+      .withColumn("dist", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), col("dist"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** IVFADC top-k: each query ranks the coarse cells (first-min ties),
     * probes the nearest `nprobe`, and scores only rows in those cells
     * by the residual ADC distance ‖(q − centroid(cell)) − decode‖².
@@ -347,67 +537,66 @@ object ProductQuantizer {
     * written partitionBy(cell)) and keeps per-(query) bounded top-k
     * heaps — ≤ parts·Q·k rows reach the final rank window.
     */
-  def ivfAdcTopK(index: DataFrame, idCol: String,
-                 coarse: Seq[Seq[Float]], model: PQModel,
-                 queries: Seq[(Long, Seq[Float])], k: Int,
-                 nprobe: Int): DataFrame = {
-    require(queries.nonEmpty, "ivfAdcTopK needs at least one query")
-    require(nprobe >= 1 && nprobe <= coarse.length,
-      s"nprobe $nprobe out of [1, ${coarse.length}]")
-    val coarseArr = coarse.map(_.toArray).toArray
-    val m = model.m
-    val subDim = model.subDim
-    // per query: probed cells (distance asc, cell asc) and one
-    // residual distance table per probed cell
-    val plans: Array[(Long, Array[Int], Array[Array[Array[Double]]])] =
-      queries.map { case (qid, q) =>
-        require(q.length == m * subDim,
-          s"query dim ${q.length} != ${m * subDim}")
-        val byD = coarseArr.indices.map { cI =>
-          var acc = 0.0
-          var i = 0
-          while (i < q.length) {
-            val d = q(i).toDouble - coarseArr(cI)(i).toDouble
-            acc += d * d
-            i += 1
-          }
-          (acc, cI)
-        }.sortBy { case (dd, cI) => (dd, cI) }
-        val probed = byD.take(nprobe).map(_._2).toArray
-        val tables = probed.map { cI =>
-          val cent = coarseArr(cI)
-          val qr = new Array[Float](q.length)
-          var i = 0
-          while (i < q.length) { qr(i) = q(i) - cent(i); i += 1 }
-          (0 until m).map { s =>
-            (0 until model.k).map { j =>
-              var acc = 0.0
-              var i2 = 0
-              while (i2 < subDim) {
-                val d = qr(s * subDim + i2).toDouble -
-                  model.codebooks(s)(j)(i2).toDouble
-                acc += d * d
-                i2 += 1
-              }
-              acc
-            }.toArray
-          }.toArray
-        }
-        (qid, probed, tables)
-      }.toArray
-    val allCells = plans.flatMap(_._2).distinct.toSeq
-    // cell -> [(query index, its dtable for this cell)]
-    val byCell: Map[Int, Array[(Int, Array[Array[Double]])]] =
-      plans.zipWithIndex.flatMap { case ((_, probed, tables), qi) =>
-        probed.zip(tables).map { case (c, t) => c -> (qi, t) }
-      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-    val spark = index.sparkSession
+  /** Probed cells of one query against the coarse quantizer —
+    * distance asc, cell asc (first-min ties), take nprobe. Shared by
+    * the driver (Seq API, partition-pruning filter) and tasks (batch
+    * API) so both paths probe identically.
+    */
+  private def probeCells(q: scala.collection.Seq[Float],
+                         coarseArr: Array[Array[Float]],
+                         nprobe: Int): Array[Int] =
+    coarseArr.indices.map { cI =>
+      var acc = 0.0
+      var i = 0
+      while (i < q.length) {
+        val d = q(i).toDouble - coarseArr(cI)(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      (acc, cI)
+    }.sortBy { case (dd, cI) => (dd, cI) }
+      .take(nprobe).map(_._2).toArray
+
+  /** Per-query IVFADC plan: probed cells + one RESIDUAL distance table
+    * per probed cell (residual in float32, mirroring [[encodeIvf]]).
+    */
+  private def ivfPlan(qid: Long, q: scala.collection.Seq[Float],
+                      coarseArr: Array[Array[Float]],
+                      cbArr: Array[Array[Array[Float]]], subDim: Int,
+                      nprobe: Int)
+      : (Long, Array[Int], Array[Array[Array[Double]]]) = {
+    val probed = probeCells(q, coarseArr, nprobe)
+    val tables = probed.map { cI =>
+      val cent = coarseArr(cI)
+      val qr = new Array[Float](q.length)
+      var i = 0
+      while (i < q.length) { qr(i) = q(i) - cent(i); i += 1 }
+      adcTable(qr, cbArr, subDim)
+    }
+    (qid, probed, tables)
+  }
+
+  /** The shared probed scan: like [[adcScan]] but cell-routed — each
+    * row scores only against queries probing its cell. `mkPlans` runs
+    * once per task; the cell→queries map derives from it in-task
+    * (Q·nprobe entries — trivially cheap next to the scan).
+    */
+  private def ivfScan(pruned: DataFrame, idCol: String, m: Int, k: Int,
+                      mkPlans: () =>
+                        Array[(Long, Array[Int], Array[Array[Array[Double]]])])
+      : DataFrame = {
+    val spark = pruned.sparkSession
     import spark.implicits._
-    val partials = index
-      .filter(col("cell").isin(allCells: _*)) // partition pruning
+    val partials = pruned
       .select(col(idCol), col("cell"), col("codes"))
       .as[(Long, Int, Seq[Int])]
       .mapPartitions { it =>
+        val plans = mkPlans()
+        // cell -> [(query index, its dtable for this cell)]
+        val byCell: Map[Int, Array[(Int, Array[Array[Double]])]] =
+          plans.zipWithIndex.flatMap { case ((_, probed, tables), qi) =>
+            probed.zip(tables).map { case (c, t) => c -> (qi, t) }
+          }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
         val heaps = plans.map(_ =>
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
             Ordering.Tuple2[Double, Long]))
@@ -437,6 +626,346 @@ object ProductQuantizer {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("nn_id"), col("dist"),
         col("rank").cast("int").as("rank"))
+  }
+
+  def ivfAdcTopK(index: DataFrame, idCol: String,
+                 coarse: Seq[Seq[Float]], model: PQModel,
+                 queries: Seq[(Long, Seq[Float])], k: Int,
+                 nprobe: Int): DataFrame = {
+    require(queries.nonEmpty, "ivfAdcTopK needs at least one query")
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe out of [1, ${coarse.length}]")
+    val coarseArr = coarse.map(_.toArray).toArray
+    val cbArr = toArrays(model.codebooks)
+    val m = model.m
+    val subDim = model.subDim
+    queries.foreach { case (_, q) =>
+      require(q.length == m * subDim,
+        s"query dim ${q.length} != ${m * subDim}") }
+    // plans ship via broadcast — nprobe·m·k doubles per query stay OUT
+    // of the task closure (flat task binary in Q)
+    val plans = queries.map { case (qid, q) =>
+      ivfPlan(qid, q, coarseArr, cbArr, subDim, nprobe) }.toArray
+    val allCells = plans.flatMap(_._2).distinct.toSeq
+    val bc = index.sparkSession.sparkContext.broadcast(plans)
+    ivfScan(index.filter(col("cell").isin(allCells: _*)), // partition pruning
+      idCol, m, k, () => bc.value)
+  }
+
+  /** IVFADC top-k with the queries as a DATAFRAME — the batch shape of
+    * [[ivfAdcTopK]]: the float query block is gathered bounded and
+    * broadcast; each task derives probe plans + residual tables itself.
+    * The driver still computes probed-cell unions (Q·C·d flops) for
+    * the partition-pruning filter — same cells as the tasks compute,
+    * one [[probeCells]] arithmetic. Output BIT-IDENTICAL to
+    * [[ivfAdcTopK]] on the collected rows (spec-pinned).
+    */
+  def ivfAdcTopKBatch(index: DataFrame, idCol: String,
+                      coarse: Seq[Seq[Float]], model: PQModel,
+                      queries: DataFrame, qIdCol: String, qVecCol: String,
+                      k: Int, nprobe: Int,
+                      maxQueryRows: Int = 1 << 20): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe out of [1, ${coarse.length}]")
+    val coarseArr = coarse.map(_.toArray).toArray
+    val cbArr = toArrays(model.codebooks)
+    val m = model.m
+    val subDim = model.subDim
+    val qs = collectQueries(queries, qIdCol, qVecCol, maxQueryRows,
+      m * subDim, "ivfAdcTopKBatch")
+    val allCells = qs.flatMap { case (_, q) =>
+      probeCells(q, coarseArr, nprobe) }.distinct.toSeq
+    val bc = index.sparkSession.sparkContext.broadcast(qs)
+    ivfScan(index.filter(col("cell").isin(allCells: _*)),
+      idCol, m, k,
+      () => cachedDerive(bc.value) {
+        bc.value.map { case (qid, q) =>
+          ivfPlan(qid, q, coarseArr, cbArr, subDim, nprobe) }
+      })
+  }
+
+  // ---------------------------------------------------------------
+  // OPQ — optimized product quantization (Ge, He, Ke, Sun, "Optimized
+  // Product Quantization", CVPR 2013): learn an ORTHONORMAL rotation
+  // before the subspace split, so a fixed split stops leaking
+  // cross-subspace structure. This is the parametric variant: the
+  // rotation is the second-moment eigenbasis with eigenvalue-balanced
+  // subspace allocation (Ge §4.1 / the FAISS OPQ preprocessing) —
+  // energy concentrated in a few dims (the PCA spectrum every real
+  // embedding model produces) otherwise gives subspace 0 nearly all
+  // the variance and subspace m−1 none, which plain PQ cannot repair.
+  //
+  // Everything is derandomized the q61/q152 way so DuckDB replays the
+  // whole derivation bit for bit: the second-moment matrix is
+  // float32-cast per entry (absorbs partition-order double-sum noise),
+  // the eigenbasis comes from FIXED-count power iterations with
+  // per-iteration float32 casts (seed 0.125·1⃗ — float-exact),
+  // classical Gram–Schmidt + renormalize + float32 cast at each stage
+  // (keeps R orthonormal even where close eigenvalues leave a stage
+  // unconverged — determinism never depends on convergence), Rayleigh
+  // eigenvalue float32-cast, deflation in a defined op order, and
+  // round-robin allocation of eigen-ranks to subspaces (rank j → out
+  // dim (j%m)·subDim + j/m — balanced log-variance, ONE window
+  // expression to replay in SQL).
+  // ---------------------------------------------------------------
+
+  /** OPQ model: `rotation(o)` is the length-d row producing rotated
+    * dim o (an orthonormal basis — rows are CGS-cleaned eigenvector
+    * estimates, round-robin-permuted); `pq` is trained on rotated
+    * vectors. KBs; driver-resident like [[PQModel]].
+    */
+  final case class OPQModel(rotation: Seq[Seq[Float]], pq: PQModel) {
+    require(rotation.nonEmpty &&
+      rotation.forall(_.length == rotation.length),
+      "rotation must be square d x d")
+  }
+
+  /** y = R·x in defined order (dot per output row, index-order sum),
+    * each component float32-cast — the one rotation arithmetic for
+    * train, encode, and query paths (and the SQL replay).
+    */
+  private def rotate(v: scala.collection.Seq[Float],
+                     rot: Array[Array[Float]]): Array[Float] = {
+    val out = new Array[Float](rot.length)
+    var o = 0
+    while (o < rot.length) {
+      val row = rot(o)
+      var acc = 0.0
+      var i = 0
+      while (i < row.length) {
+        acc += row(i).toDouble * v(i).toDouble
+        i += 1
+      }
+      out(o) = acc.toFloat
+      o += 1
+    }
+    out
+  }
+
+  /** Rotated corpus: idCol + `remb` (array<float>, length d). Scan-
+    * local primitive pass — zero shuffle, the same hot-path rule as
+    * [[encode]].
+    */
+  def rotateVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                    rotation: Seq[Seq[Float]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rot = rotation.map(_.toArray).toArray
+    corpus.select(col(idCol), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(it => it.map { case (id, v) =>
+        (id, rotate(v, rot).toSeq)
+      }).toDF(idCol, "remb")
+  }
+
+  /** The derandomized eigenbasis + eigenvalues of the corpus second-
+    * moment matrix (uncentered, like Ge's R derivation — PQ quantizes
+    * raw vectors, so the rotation must too). Returns (vectors
+    * stage-ordered, Rayleigh eigenvalues) — allocation happens in
+    * [[fitOpq]].
+    */
+  private[graft] def eigenBasis(corpus: DataFrame, vecCol: String, d: Int,
+                                powerIters: Int)
+      : (Array[Array[Float]], Array[Float]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // second moment: one primitive pass, tiny (r, c, partial, n) rows
+    // to the final sum — the fused-Lloyd's shape
+    val momRows = corpus.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { it =>
+        val sums = Array.ofDim[Double](d, d)
+        var n = 0L
+        it.foreach { v =>
+          var r = 0
+          while (r < d) {
+            val vr = v(r).toDouble
+            val row = sums(r)
+            var c = 0
+            while (c < d) { row(c) += vr * v(c).toDouble; c += 1 }
+            r += 1
+          }
+          n += 1
+        }
+        if (n == 0L) Iterator.empty
+        else (for (r <- (0 until d).iterator; c <- (0 until d).iterator)
+          yield (r, c, sums(r)(c), n)).iterator
+      }.toDF("r", "c", "ps", "n")
+      .groupBy("r", "c")
+      .agg((sum("ps") / sum("n")).as("mu"))
+      .collect()
+    val m0 = Array.ofDim[Double](d, d)
+    momRows.foreach { row =>
+      // float32 cast absorbs partition-order double-sum noise (q61)
+      m0(row.getAs[Int]("r"))(row.getAs[Int]("c")) =
+        row.getAs[Double]("mu").toFloat.toDouble
+    }
+    val a = m0.map(_.clone())
+    val evs = new Array[Array[Float]](d)
+    val lams = new Array[Float](d)
+    val seed = 0.125 // = 1/sqrt(d) at d = 64, float-exact
+    var stage = 0
+    while (stage < d) {
+      var v = Array.fill(d)(seed)
+      var it = 0
+      while (it < powerIters) {
+        val w = new Array[Double](d)
+        var r = 0
+        while (r < d) {
+          val row = a(r)
+          var acc = 0.0
+          var c = 0
+          while (c < d) { acc += row(c) * v(c); c += 1 }
+          w(r) = acc
+          r += 1
+        }
+        var nr = 0.0
+        r = 0
+        while (r < d) { nr += w(r) * w(r); r += 1 }
+        val nrm = math.sqrt(nr)
+        // a fully deflated (or zero) A: keep v — determinism over
+        // convergence, mirrored by the SQL CASE
+        if (nrm > 1e-30) {
+          r = 0
+          while (r < d) { v(r) = (w(r) / nrm).toFloat.toDouble; r += 1 }
+        }
+        it += 1
+      }
+      // classical Gram–Schmidt against recorded stages, TWICE (CGS2 —
+      // "twice is enough": one pass leaves ~1e-4 drift through the
+      // float32-cast deflations, two reach float precision). Dots from
+      // the pass input, subtracted in stage order; renormalize + cast.
+      // (dots all from the pass input; each component subtracts ONE
+      // projection sum accumulated in stage order — the exact shape of
+      // the SQL replay's list_sum over recorded stages)
+      var u = v.clone()
+      var pass = 0
+      while (pass < 2) {
+        val base = u
+        val dots = new Array[Double](stage)
+        var e = 0
+        while (e < stage) {
+          val ev = evs(e)
+          var dot = 0.0
+          var i = 0
+          while (i < d) { dot += base(i) * ev(i).toDouble; i += 1 }
+          dots(e) = dot
+          e += 1
+        }
+        val next = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var proj = 0.0
+          e = 0
+          while (e < stage) { proj += dots(e) * evs(e)(i).toDouble; e += 1 }
+          next(i) = base(i) - proj
+          i += 1
+        }
+        u = next
+        pass += 1
+      }
+      var nr2 = 0.0
+      var i = 0
+      while (i < d) { nr2 += u(i) * u(i); i += 1 }
+      val nrm2 = math.sqrt(nr2)
+      val uf = new Array[Float](d)
+      i = 0
+      while (i < d) {
+        uf(i) = if (nrm2 > 1e-30) (u(i) / nrm2).toFloat else u(i).toFloat
+        i += 1
+      }
+      // Rayleigh on the CURRENT (deflated) A, defined order
+      var lam = 0.0
+      var r = 0
+      while (r < d) {
+        val row = a(r)
+        var inner = 0.0
+        var c = 0
+        while (c < d) { inner += row(c) * uf(c).toDouble; c += 1 }
+        lam += uf(r).toDouble * inner
+        r += 1
+      }
+      val lamF = lam.toFloat
+      // deflate in a defined op order: a -= (lam·u_r)·u_c
+      r = 0
+      while (r < d) {
+        val lr = lamF.toDouble * uf(r).toDouble
+        val row = a(r)
+        var c = 0
+        while (c < d) { row(c) -= lr * uf(c).toDouble; c += 1 }
+        r += 1
+      }
+      evs(stage) = uf
+      lams(stage) = lamF
+      stage += 1
+    }
+    (evs, lams)
+  }
+
+  /** Train OPQ: eigenbasis → round-robin allocation (eigen-rank j,
+    * ordered by eigenvalue desc / stage asc, becomes rotated dim
+    * (j mod m)·subDim + j div m) → rotate corpus (scan-local) → plain
+    * [[fit]] on the rotated vectors. Same scan count as [[fit]] plus
+    * one second-moment pass.
+    */
+  def fitOpq(corpus: DataFrame, idCol: String, vecCol: String,
+             m: Int, k: Int, iters: Int,
+             powerIters: Int = 32): OPQModel = {
+    val d = corpus.select(col(vecCol)).limit(1).collect() match {
+      case Array(row) => row.getAs[scala.collection.Seq[Float]](0).length
+      case _ => throw new IllegalArgumentException(
+        "OPQ fit needs a non-empty corpus")
+    }
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val subDim = d / m
+    val (evs, lams) = eigenBasis(corpus, vecCol, d, powerIters)
+    val ranked = lams.zipWithIndex
+      .sortBy { case (lam, stg) => (-lam, stg) }.map(_._2)
+    val rotation = new Array[Array[Float]](d)
+    var j = 0
+    while (j < d) {
+      rotation((j % m) * subDim + j / m) = evs(ranked(j))
+      j += 1
+    }
+    val rotSeq: Seq[Seq[Float]] = rotation.map(_.toSeq).toSeq
+    val rotated = rotateVectors(corpus, idCol, vecCol, rotSeq)
+    OPQModel(rotSeq, fit(rotated, idCol, "remb", m, k, iters))
+  }
+
+  /** Encode under OPQ: rotate + [[encode]], fused into one scan-local
+    * primitive pass (zero shuffle).
+    */
+  def encodeOpq(corpus: DataFrame, idCol: String, vecCol: String,
+                model: OPQModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rot = model.rotation.map(_.toArray).toArray
+    val cbArr = toArrays(model.pq.codebooks)
+    val m = model.pq.m
+    val subDim = model.pq.subDim
+    corpus.select(col(idCol), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(it => it.map { case (id, v) =>
+        val rv: scala.collection.Seq[Float] = rotate(v, rot)
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          codes(s) = nearest(rv, s * subDim, cbArr(s))
+          s += 1
+        }
+        (id, codes)
+      }).toDF(idCol, "codes")
+  }
+
+  /** ADC top-k under OPQ: queries rotate driver-side (R is KBs), then
+    * the plain [[adcTopK]] over OPQ codes — distances in rotated space
+    * equal distances in the original space up to the (orthonormal)
+    * rotation, which is the Ge §3 identity that makes OPQ serving free.
+    */
+  def adcTopKOpq(codes: DataFrame, idCol: String, model: OPQModel,
+                 queries: Seq[(Long, Seq[Float])], k: Int): DataFrame = {
+    val rot = model.rotation.map(_.toArray).toArray
+    adcTopK(codes, idCol, model.pq,
+      queries.map { case (qid, q) => qid -> rotate(q, rot).toSeq }, k)
   }
 
   /** ADC-then-rerank: the standard PQ serving pipeline — a wide ADC

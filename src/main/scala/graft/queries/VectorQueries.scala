@@ -423,6 +423,249 @@ object VectorQueries {
       WHERE r.rank <= 3""")
     }),
 
+    // ---- composed IVFADC → exact rerank (q158): the full production
+    //      serving pipeline run END TO END — probe the nearest cells,
+    //      take `candidates` residual-ADC candidates per query, rerank
+    //      ONLY those rows by exact float distance (the store's float
+    //      tier, partition-pruned to the probed cells). The oracle
+    //      replays probe selection, all residual tables, the candidate
+    //      cut, and the exact rerank.
+    Q("q158_ivfadc_rerank", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val store = ProductQuantizer.encodeIvfStore(
+        e, "vec_id", "embedding", coarse, pq)
+      val queries = e.filter(col("vec_id") < 6).orderBy("vec_id")
+        .collect().map(r =>
+          r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      ProductQuantizer.ivfAdcRerankTopK(store, "vec_id", "vec",
+          coarse, pq, queries, k = 3, nprobe = 2, candidates = 8)
+        .select(col("q_id"), col("nn_id"),
+          floor(col("dist") * 1e6).cast("long").as("dist_micro"),
+          col("rank"))
+    }, {
+      val coarseCtes = kmeansCtes("cq_", k = 4, iters = 2)
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "resid", vecExpr = "r"))
+        .mkString(",\n      ")
+      def qrSlice(sIdx: Int) = {
+        val lo = sIdx * 16 + 1
+        s"list_transform(range($lo, ${lo + 16}), i -> qr[i])"
+      }
+      val dtCtes = (0 until 4).map { sIdx =>
+        s"""ivfdt$sIdx AS (
+          SELECT p.q_id, p.cell AS pcell, pc.cell AS code,
+            list_sum(list_transform(range(1, 17),
+              i -> (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))
+                 * (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))))
+              AS ds
+          FROM (SELECT q_id, cell, ${qrSlice(sIdx)} AS qs FROM probes) p
+          CROSS JOIN pq${sIdx}_cent2 pc)"""
+      }.mkString(",\n      ")
+      Some(s"""
+      WITH $coarseCtes,
+      resid AS (SELECT a.vec_id, a.cell,
+                  list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                FROM cq_final_asgn a JOIN cq_cent2 c USING (cell)),
+      $subCtes,
+      probes AS (
+        SELECT q_id, cell, qr FROM (
+          SELECT q.vec_id AS q_id, c.cell,
+            list_transform(range(1, 65),
+              i -> CAST(q.embedding[i] - c.c[i] AS FLOAT)) AS qr,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, 65),
+                i -> (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE))
+                   * (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE)))) ASC, c.cell ASC) AS pr
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 6) q
+          CROSS JOIN cq_cent2 c)
+        WHERE pr <= 2),
+      $dtCtes,
+      adist AS (
+        SELECT d0.q_id, c0.vec_id AS nn_id,
+               ((d0.ds + d1.ds) + d2.ds) + d3.ds AS dist
+        FROM pq0_codes c0
+        JOIN pq1_codes c1 USING (vec_id) JOIN pq2_codes c2 USING (vec_id)
+        JOIN pq3_codes c3 USING (vec_id)
+        JOIN (SELECT vec_id, cell FROM resid) rc USING (vec_id)
+        JOIN ivfdt0 d0 ON d0.pcell = rc.cell AND d0.code = c0.code
+        JOIN ivfdt1 d1 ON d1.pcell = rc.cell AND d1.code = c1.code
+          AND d1.q_id = d0.q_id
+        JOIN ivfdt2 d2 ON d2.pcell = rc.cell AND d2.code = c2.code
+          AND d2.q_id = d0.q_id
+        JOIN ivfdt3 d3 ON d3.pcell = rc.cell AND d3.code = c3.code
+          AND d3.q_id = d0.q_id),
+      cand AS (
+        SELECT q_id, nn_id FROM (
+          SELECT q_id, nn_id, row_number() OVER
+            (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS cr
+          FROM adist)
+        WHERE cr <= 8),
+      rer AS (
+        SELECT c.q_id, c.nn_id,
+               list_sum(list_transform(range(1, 65),
+                 i -> (CAST(q.embedding[i] AS DOUBLE)
+                       - CAST(x.embedding[i] AS DOUBLE))
+                    * (CAST(q.embedding[i] AS DOUBLE)
+                       - CAST(x.embedding[i] AS DOUBLE)))) AS dist
+        FROM cand c
+        JOIN embeddings x ON x.vec_id = c.nn_id
+        JOIN embeddings q ON q.vec_id = c.q_id)
+      SELECT q_id, nn_id,
+             CAST(FLOOR(dist * 1e6) AS BIGINT) AS dist_micro,
+             CAST(rank AS INT) AS rank
+      FROM (SELECT q_id, nn_id, dist, row_number() OVER
+              (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS rank
+            FROM rer)
+      WHERE rank <= 3""")
+    }),
+
+    // ---- OPQ rotation (round 12, Ge et al. CVPR 2013 §4.1): the
+    //      learned pre-split rotation — float32-cast second moment,
+    //      64 fixed-count power-iteration stages (per-iteration float
+    //      casts, CGS2 orthogonalization, Rayleigh + deflation in
+    //      defined op order), eigen-ranks dealt round-robin to
+    //      subspaces. DuckDB replays the WHOLE derivation through one
+    //      recursive CTE and pins every rotation-row component and
+    //      eigenvalue.
+    Q("q155_opq_rotation", (s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, dir)
+      val (evs, lams) = ProductQuantizer.eigenBasis(
+        e, "embedding", d = 64, powerIters = 8)
+      val ranked = lams.zipWithIndex
+        .sortBy { case (lam, stg) => (-lam, stg) }.map(_._2)
+      val rows = (0 until 64).map { j =>
+        val stg = ranked(j)
+        ((j % 4) * 16 + j / 4, // out dim under m=4, subDim=16
+          math.floor(lams(stg).toDouble * 1e9).toLong,
+          evs(stg).map(c => math.floor(c.toDouble * 1e6).toLong)
+            .mkString(","))
+      }
+      import s.implicits._
+      rows.toDF("out_dim", "lam_nano", "v_csv")
+        .select(col("out_dim").cast("long").as("out_dim"),
+          col("lam_nano"), col("v_csv"))
+    }, Some(s"""
+      WITH RECURSIVE ${opqRotationCtes(8, 4, 16)}
+      SELECT CAST(od - 1 AS BIGINT) AS out_dim,
+             CAST(FLOOR(lam * 1e9) AS BIGINT) AS lam_nano,
+             array_to_string(list_transform(rv,
+               x -> CAST(CAST(FLOOR(x * 1e6) AS BIGINT) AS VARCHAR)), ',')
+               AS v_csv
+      FROM opq_rot""")),
+
+    // ---- OPQ codes + reconstruction error (q156): plain PQ trained on
+    //      the ROTATED vectors — the q152 fused-Lloyd's replay runs on
+    //      opq_rotated, so the oracle pins rotation, training, codes,
+    //      and the rotated-space reconstruction error end to end.
+    Q("q156_opq_codes", (s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, dir)
+      val opq = ProductQuantizer.fitOpq(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, powerIters = 8)
+      val rotated = ProductQuantizer.rotateVectors(
+        e, "vec_id", "embedding", opq.rotation)
+      rotated.withColumn("codes",
+          ProductQuantizer.codesColumn(col("remb"), opq.pq))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes_csv"),
+          floor(ProductQuantizer.reconErrColumn(
+            col("remb"), col("codes"), opq.pq) * 1e6)
+            .cast("long").as("err_micro"))
+    }, {
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "opq_rotated", vecExpr = "remb"))
+        .mkString(",\n      ")
+      Some(s"""
+      WITH RECURSIVE ${opqRotationCtes(8, 4, 16)},
+      $subCtes,
+      joined AS (
+        SELECT e.vec_id, e.remb,
+               c0.code AS k0, c1.code AS k1, c2.code AS k2, c3.code AS k3,
+               cc0.c || cc1.c || cc2.c || cc3.c AS recon
+        FROM opq_rotated e
+        JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
+        JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)
+        JOIN pq0_cent2 cc0 ON cc0.cell = c0.code
+        JOIN pq1_cent2 cc1 ON cc1.cell = c1.code
+        JOIN pq2_cent2 cc2 ON cc2.cell = c2.code
+        JOIN pq3_cent2 cc3 ON cc3.cell = c3.code)
+      SELECT vec_id,
+             CAST(k0 AS VARCHAR) || ',' || CAST(k1 AS VARCHAR) || ','
+               || CAST(k2 AS VARCHAR) || ',' || CAST(k3 AS VARCHAR)
+               AS codes_csv,
+             CAST(FLOOR(list_sum(list_transform(range(1, 65),
+               i -> (CAST(remb[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))
+                  * (CAST(remb[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))))
+               * 1e6) AS BIGINT) AS err_micro
+      FROM joined""")
+    }),
+
+    // ---- sampled PQ training (q157): codebooks train on the
+    //      hash-sampled subset (md5 of "pqs:"+id under the fraction —
+    //      the cross-engine hash device), everything still encodes —
+    //      the 100 TB regime where a full-corpus train pass is ~100×
+    //      wasted scan. The oracle replays the sampled seed, the
+    //      sampled Lloyd iterations, and the full-table codes.
+    Q("q157_pq_sampled_codes", (s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, dir)
+      val model = ProductQuantizer.fit(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, sampleFraction = 0.5)
+      e.withColumn("codes",
+          ProductQuantizer.codesColumn(col("embedding"), model))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes_csv"),
+          floor(ProductQuantizer.reconErrColumn(
+            col("embedding"), col("codes"), model) * 1e6)
+            .cast("long").as("err_micro"))
+    }, {
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, trainTable = "pqtrain")).mkString(",\n      ")
+      Some(s"""
+      WITH pqtrain AS (
+        SELECT * FROM embeddings
+        WHERE ('0x' || substr(md5('pqs:' || CAST(vec_id AS VARCHAR)),
+                1, 15))::BIGINT % 1000000 < 500000),
+      $subCtes,
+      joined AS (
+        SELECT e.vec_id, e.embedding,
+               c0.code AS k0, c1.code AS k1, c2.code AS k2, c3.code AS k3,
+               cc0.c || cc1.c || cc2.c || cc3.c AS recon
+        FROM embeddings e
+        JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
+        JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)
+        JOIN pq0_cent2 cc0 ON cc0.cell = c0.code
+        JOIN pq1_cent2 cc1 ON cc1.cell = c1.code
+        JOIN pq2_cent2 cc2 ON cc2.cell = c2.code
+        JOIN pq3_cent2 cc3 ON cc3.cell = c3.code)
+      SELECT vec_id,
+             CAST(k0 AS VARCHAR) || ',' || CAST(k1 AS VARCHAR) || ','
+               || CAST(k2 AS VARCHAR) || ',' || CAST(k3 AS VARCHAR)
+               AS codes_csv,
+             CAST(FLOOR(list_sum(list_transform(range(1, 65),
+               i -> (CAST(embedding[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))
+                  * (CAST(embedding[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))))
+               * 1e6) AS BIGINT) AS err_micro
+      FROM joined""")
+    }),
+
     // ---- trained IVF cells: Lloyd's k-means over the embedding
     //      column, per-cell population. The whole pipeline is
     //      derandomized (first-k-by-id seeding, argmin with first-min
@@ -809,9 +1052,137 @@ object VectorQueries {
     * float32 cast of each centroid mean. Emits CTEs `pq{s}_cent0 ..
     * pq{s}_cent$iters` and `pq{s}_codes(vec_id, code)`.
     */
+  /** The OPQ rotation derivation as reusable CTEs — REQUIRES a
+    * `WITH RECURSIVE` list. Mirrors `ProductQuantizer.eigenBasis` +
+    * `fitOpq`'s allocation + `rotate` op for op (validated bit-exact
+    * against the Scala arithmetic on the sf0.01 table): float32-cast
+    * second moment (`opq_mom`), 64 power-iteration stages with
+    * per-iteration float casts, CGS2 (dots from the pass input, one
+    * accumulated projection subtraction), Rayleigh eigenvalue + defined
+    * -order deflation (`opq_pw`), round-robin eigen-rank allocation
+    * (`opq_rot(od, lam, rv)`), float32 rotated vectors
+    * (`opq_rotated(vec_id, remb)`). list_sum over the ordered
+    * list_transform is DuckDB's left fold — the exact shape of the
+    * Scala while-loops.
+    */
+  private def opqRotationCtes(powerIters: Int, m: Int,
+                              subDim: Int): String = s"""
+      opq_mom AS (
+        SELECT list(rowv ORDER BY rr) AS a FROM (
+          SELECT rr, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY cc)
+                   AS rowv
+          FROM (
+            SELECT r2 AS rr, c2 AS cc,
+                   SUM(CAST(embedding[r2] AS DOUBLE)
+                     * CAST(embedding[c2] AS DOUBLE))
+                     / (SELECT count(*) FROM embeddings) AS mu
+            FROM embeddings,
+                 unnest(range(1,65)) t1(r2), unnest(range(1,65)) t2(c2)
+            GROUP BY r2, c2)
+          GROUP BY rr)),
+      opq_pw(stage, iter, v, a, evs, lams) AS (
+        SELECT 0, 0,
+               list_transform(range(1,65), i -> CAST(0.125 AS DOUBLE)),
+               (SELECT a FROM opq_mom),
+               CAST([] AS DOUBLE[][]), CAST([] AS DOUBLE[])
+        UNION ALL
+        SELECT
+          CASE WHEN t.iter + 1 < $powerIters THEN t.stage
+               ELSE t.stage + 1 END,
+          CASE WHEN t.iter + 1 < $powerIters THEN t.iter + 1 ELSE 0 END,
+          CASE WHEN t.iter + 1 < $powerIters THEN t.vnew
+               ELSE list_transform(range(1,65),
+                      i -> CAST(0.125 AS DOUBLE)) END,
+          CASE WHEN t.iter + 1 < $powerIters THEN t.a
+               ELSE list_transform(range(1,65), r ->
+                      list_transform(range(1,65), c ->
+                        t.a[r][c] - (t.lam * t.uf[r]) * t.uf[c])) END,
+          CASE WHEN t.iter + 1 < $powerIters THEN t.evs
+               ELSE list_append(t.evs, t.uf) END,
+          CASE WHEN t.iter + 1 < $powerIters THEN t.lams
+               ELSE list_append(t.lams, t.lam) END
+        FROM (
+          SELECT s3.*,
+                 CAST(list_sum(list_transform(range(1,65), r ->
+                   uf[r] * list_sum(list_transform(range(1,65), c ->
+                     a[r][c] * uf[c])))) AS FLOAT) AS lam
+          FROM (
+            SELECT s2.*,
+                   list_transform(range(1,65), i ->
+                     CASE WHEN nrm2 > 1e-30
+                       THEN CAST(CAST(u2[i] / nrm2 AS FLOAT) AS DOUBLE)
+                       ELSE CAST(CAST(u2[i] AS FLOAT) AS DOUBLE) END)
+                     AS uf
+            FROM (
+              SELECT s1.*,
+                     sqrt(list_sum(list_transform(u2, x -> x * x)))
+                       AS nrm2
+              FROM (
+                SELECT s0.*,
+                       list_transform(range(1,65), i ->
+                         u1[i] - COALESCE(list_sum(list_transform(
+                           range(1, len(evs) + 1),
+                           e -> list_sum(list_transform(range(1,65),
+                                  j -> u1[j] * evs[e][j])) * evs[e][i])),
+                           0.0)) AS u2
+                FROM (
+                  SELECT w0.*,
+                         list_transform(range(1,65), i ->
+                           vnew[i] - COALESCE(list_sum(list_transform(
+                             range(1, len(evs) + 1),
+                             e -> list_sum(list_transform(range(1,65),
+                                    j -> vnew[j] * evs[e][j]))
+                                  * evs[e][i])), 0.0)) AS u1
+                  FROM (
+                    SELECT n0.*,
+                           CASE WHEN nrm > 1e-30
+                             THEN list_transform(range(1,65), i ->
+                                    CAST(CAST(w[i] / nrm AS FLOAT)
+                                      AS DOUBLE))
+                             ELSE v END AS vnew
+                    FROM (
+                      SELECT m0.*,
+                             sqrt(list_sum(list_transform(w,
+                               x -> x * x))) AS nrm
+                      FROM (
+                        SELECT opq_pw.*,
+                               list_transform(a, row ->
+                                 list_sum(list_transform(range(1,65),
+                                   i -> row[i] * v[i]))) AS w
+                        FROM opq_pw WHERE stage < 64) m0) n0) w0) s0)
+                  s1) s2) s3) t),
+      opq_final AS (
+        SELECT evs, lams FROM opq_pw WHERE stage = 64 AND iter = 0),
+      opq_ranked AS (
+        SELECT stg, lam, ev,
+               row_number() OVER (ORDER BY lam DESC, stg ASC) AS j
+        FROM (SELECT unnest(range(1,65)) AS stg, unnest(lams) AS lam,
+                     unnest(evs) AS ev FROM opq_final)),
+      opq_rot AS (
+        SELECT CAST(((j-1) % $m) * $subDim + (j-1) // $m + 1 AS INT)
+                 AS od,
+               lam, ev AS rv
+        FROM opq_ranked),
+      opq_rotated AS (
+        SELECT vec_id, list(comp ORDER BY od) AS remb FROM (
+          SELECT e.vec_id, r.od,
+                 CAST(CAST(list_sum(list_transform(range(1,65),
+                   i -> r.rv[i] * CAST(e.embedding[i] AS DOUBLE)))
+                   AS FLOAT) AS DOUBLE) AS comp
+          FROM embeddings e CROSS JOIN opq_rot r)
+        GROUP BY vec_id)"""
+
+  /** `trainTable` ≠ `table` replays [[graft.operators.ProductQuantizer
+    * .fit]]'s sampled-training mode: seeding + Lloyd iterations read
+    * the (hash-sampled) train CTE, the final `pqN_codes` assignment
+    * reads the full table — exactly the fit(sampleFraction)/encode
+    * split.
+    */
   private def pqSubspaceCtes(s: Int, k: Int, iters: Int, subDim: Int,
                              table: String = "embeddings",
-                             vecExpr: String = "embedding"): String = {
+                             vecExpr: String = "embedding",
+                             trainTable: String = ""): String = {
+    val train = if (trainTable.isEmpty) table else trainTable
     val lo = s * subDim + 1
     def sub(e: String) =
       s"list_transform(range($lo, ${lo + subDim}), i -> $e[i])"
@@ -819,12 +1190,12 @@ object VectorQueries {
       s"""list_sum(list_transform(range(1, ${subDim + 1}),
          i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
             * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
-    def asgn(cent: String) = s"""
+    def asgn(cent: String, src: String) = s"""
       SELECT vec_id, sub, cell FROM (
         SELECT e.vec_id, e.sub, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY ${d2("e.sub", "c.c")} ASC, c.cell ASC) AS rn
-        FROM (SELECT vec_id, ${sub(vecExpr)} AS sub FROM $table) e
+        FROM (SELECT vec_id, ${sub(vecExpr)} AS sub FROM $src) e
         CROSS JOIN $cent c)
       WHERE rn = 1"""
     def nextCent(prev: String, asgnT: String) = s"""
@@ -837,16 +1208,16 @@ object VectorQueries {
           GROUP BY cell, dim)
         GROUP BY cell) m USING (cell)"""
     val iterCtes = (1 to iters).map { i =>
-      s"""pq${s}_asgn$i AS (${asgn(s"pq${s}_cent${i - 1}")}),
+      s"""pq${s}_asgn$i AS (${asgn(s"pq${s}_cent${i - 1}", train)}),
       pq${s}_cent$i AS (${nextCent(s"pq${s}_cent${i - 1}", s"pq${s}_asgn$i")})"""
     }.mkString(",\n      ")
     s"""pq${s}_cent0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                ${sub(vecExpr)} AS c
-        FROM (SELECT * FROM $table ORDER BY vec_id LIMIT $k)),
+        FROM (SELECT * FROM $train ORDER BY vec_id LIMIT $k)),
       $iterCtes,
       pq${s}_codes AS (SELECT vec_id, cell AS code, sub
-                       FROM (${asgn(s"pq${s}_cent$iters")}))"""
+                       FROM (${asgn(s"pq${s}_cent$iters", table)}))"""
   }
 
   /** The q61 full-vector k-means replay as reusable CTEs (prefix`cent0

@@ -224,6 +224,112 @@ object ScaleBench {
       }).as("embedding"))
   }
 
+  /** Planted-cluster 64-dim embedding corpus: a derandomized mixture
+    * of Gaussians with controllable separation — the distribution
+    * class ANN indexes exist FOR (real embedding spaces are locally
+    * clustered; [[synthEmbeddings]]' uniform-random tail is the
+    * documented quantization WORST case, where every recall number
+    * sits on the noise floor and geometry choices are unmeasurable).
+    * Row `id` joins cluster `xxhash64(id) mod clusters`; its vector is
+    * the cluster center (components hash-uniform in [-sep, sep]) plus
+    * per-dim noise: the mean of four independent hash-uniform draws in
+    * [-1, 1] (Irwin–Hall(4) ≈ Gaussian, per-dim variance 1/12) scaled
+    * by `noise`. Expected geometry at d=64: intra-cluster pair
+    * distance² ≈ 64·2·noise²/12 ≈ 10.7·noise², inter-center distance²
+    * ≈ 64·2·sep²/3 ≈ 42.7·sep² — the defaults (sep 1.0, noise 0.35)
+    * plant tight, well-separated clusters of ~n/clusters members, so
+    * a query's float top-10 are cluster-mates at NEAR-EQUAL distances:
+    * coarse cells can align with planted structure (recall rewards a
+    * trained quantizer) while the fine ranking inside a cluster stays
+    * genuinely hard for code-only ADC (rerank measurably lifts it).
+    * `decay` < 1 makes the mixture ANISOTROPIC — dim i (corpus AND
+    * centers) scales by decay^i, concentrating energy in early dims
+    * the way PCA spectra of real embeddings do. That is the regime
+    * OPQ exists for: a fixed subspace split leaves subspace 0 carrying
+    * decay⁰…decay⁷ of the energy and subspace 7 almost none, so a
+    * learned rotation measurably lifts recall; decay = 1 (default)
+    * keeps the isotropic mixture where plain PQ is near-optimal.
+    * Same no-RNG device as every generator here: identical frame at
+    * any partitioning. `centerOf` exposes the center formula so query
+    * sets can be drawn in-distribution with a different `seedTag`.
+    */
+  def synthClusteredEmbeddings(spark: SparkSession, n: Long,
+                               clusters: Int = 1024, sep: Double = 1.0,
+                               noise: Double = 0.35,
+                               seedTag: String = "cl",
+                               decay: Double = 1.0): DataFrame = {
+    val asg = spark.range(n).withColumn("cid",
+      pmod(xxhash64(lit("clasg"), col("id")), lit(clusters.toLong)))
+    asg.select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(63)), i => {
+        val noi = (0 until 4).map(j =>
+          (pmod(xxhash64(lit(seedTag + "ns" + j), col("id"), i),
+            lit(2001L)) - lit(1000L)) / lit(1000.0))
+          .reduce(_ + _) / lit(4.0)
+        val scale = when(lit(decay) === 1.0, lit(1.0))
+          .otherwise(pow(lit(decay), i.cast("double")))
+        ((centerOf(col("cid"), i, sep) + noi * lit(noise)) * scale)
+          .cast("float")
+      }).as("embedding"))
+  }
+
+  /** Center component `i` of cluster `cid` — hash-uniform on a 1/1000
+    * grid in [-sep, sep]; shared by corpus and query generators.
+    */
+  private def centerOf(cid: Column, i: Column, sep: Double): Column =
+    (pmod(xxhash64(lit("clcent"), cid, i), lit(2001L)) - lit(1000L)) /
+      lit(1000.0) * lit(sep)
+
+  /** The embedding-corpus switch for the PQ / IVFADC / ANN-recall
+    * rows: `GRAFT_SCALE_EMBCORPUS=
+    * clustered[:clusters[:sep[:noise[:decay]]]]` swaps
+    * [[synthEmbeddings]]' uniform-random corpus (the recorded worst
+    * case, still the default) for the planted-cluster one, and the
+    * returned tag lands in each row's JSON so BASELINE.md rows name
+    * the regime they measured.
+    */
+  private def clusteredSpec(spec: String): (Int, Double, Double, Double) = {
+    val p = spec.split(':')
+    (if (p.length > 1) p(1).toInt else 1024,
+      if (p.length > 2) p(2).toDouble else 1.0,
+      if (p.length > 3) p(3).toDouble else 0.35,
+      if (p.length > 4) p(4).toDouble else 1.0)
+  }
+
+  def embCorpus(spark: SparkSession, n: Long): (DataFrame, String) =
+    sys.env.get("GRAFT_SCALE_EMBCORPUS") match {
+      case Some(spec) if spec.startsWith("clustered") =>
+        val (clusters, sep, noise, decay) = clusteredSpec(spec)
+        (synthClusteredEmbeddings(spark, n, clusters, sep, noise,
+          decay = decay),
+          s"clustered_${clusters}_${sep}_${noise}_$decay")
+      case _ => (synthEmbeddings(spark, n), "uniform")
+    }
+
+  /** Query set matching [[embCorpus]]'s regime: clustered mode draws
+    * in-distribution queries (same planted centers, independent noise
+    * via a distinct seed tag — never a corpus row verbatim); uniform
+    * mode keeps the historical unique-seed draw. Ids offset +2e9 clear
+    * of any corpus doc_id.
+    */
+  def embQueries(spark: SparkSession, nq: Long): DataFrame =
+    sys.env.get("GRAFT_SCALE_EMBCORPUS") match {
+      case Some(spec) if spec.startsWith("clustered") =>
+        val (clusters, sep, noise, decay) = clusteredSpec(spec)
+        synthClusteredEmbeddings(spark, nq, clusters, sep, noise, "qry",
+          decay)
+          .select((col("doc_id") + 2_000_000_000L).as("doc_id"),
+            col("embedding"))
+      case _ =>
+        spark.range(nq)
+          .withColumn("seed", xxhash64(lit("qryv"), col("id")))
+          .select((col("id") + 2_000_000_000L).as("doc_id"),
+            transform(sequence(lit(0), lit(63)), i =>
+              ((pmod(xxhash64(lit("vdim"), col("seed"), i), lit(2001L))
+                - lit(1000L)) / lit(1000.0)).cast("float"))
+              .as("embedding"))
+    }
+
   /** Deterministic synthetic events/index frame at `n` rows — the
     * seismology-lifecycle counterpart of [[synthDocs]]: the columns
     * the q14/q15/q19/q52/q53 bodies consume (event_id, user_id,
@@ -474,12 +580,18 @@ object ScaleBench {
       val (m, k) =
         if (parts.length >= 3) (parts(1).toInt, parts(2).toInt)
         else (8, 256)
-      val rawDir = s"$root/pq_raw_$n"
-      synthEmbeddings(spark, n).write.mode("overwrite").parquet(rawDir)
+      // 4th field: train-sample fraction (q157's hash-sampled regime —
+      // codebook quality saturates around 1e5 vectors, so decade-up
+      // corpora want fraction ~1e5/n)
+      val sampleFrac =
+        if (parts.length >= 4) parts(3).toDouble else 1.0
+      val (corpus, corpusTag) = embCorpus(spark, n)
+      val rawDir = s"$root/pq_raw_${corpusTag}_$n"
+      corpus.write.mode("overwrite").parquet(rawDir)
       val e = spark.read.parquet(rawDir)
       val t0 = System.nanoTime()
       val model = ProductQuantizer.fit(e, "doc_id", "embedding",
-        m = m, k = k, iters = 3)
+        m = m, k = k, iters = 3, sampleFraction = sampleFrac)
       val trainS = (System.nanoTime() - t0) / 1e9
       val codesDir = s"$root/pq_codes_$n"
       val t1 = System.nanoTime()
@@ -492,7 +604,10 @@ object ScaleBench {
         fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
       }
       val codes = spark.read.parquet(codesDir)
-      val queries = e.filter(col("doc_id") % (n / 32) === 3L)
+      // clamp: n < 64 would make the modulus 0 (divide-by-zero) or the
+      // residue 3 unreachable — tiny smoke runs must still select rows
+      val qMod = math.max(1L, n / 32)
+      val queries = e.filter(col("doc_id") % qMod === 3L % qMod)
         .orderBy("doc_id").limit(32).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
       val t2 = System.nanoTime()
@@ -529,7 +644,9 @@ object ScaleBench {
       }
       val (rr50S, rr50) = rerank(50)
       val (rr400S, rr400) = rerank(400)
-      s""","pq":{"vecs":$n,"m":$m,"k":$k,"train_s":${fmt(trainS)},""" +
+      s""","pq":{"vecs":$n,"m":$m,"k":$k,"corpus":"$corpusTag",""" +
+        s""""sample_fraction":$sampleFrac,""" +
+        s""""train_s":${fmt(trainS)},""" +
         s""""rerank50_s":${fmt(rr50S)},"rerank50_recall":${fmt(rr50)},""" +
         s""""rerank400_s":${fmt(rr400S)},"rerank400_recall":${fmt(rr400)},""" +
         s""""encode_s":${fmt(encodeS)},""" +
@@ -539,6 +656,140 @@ object ScaleBench {
         s""""compression":${fmt(dirBytes(rawDir).toDouble / dirBytes(codesDir))},""" +
         s""""adc_top10_s":${fmt(adcS)},"brute_top10_s":${fmt(bruteS)},""" +
         s""""recall_at_10":${fmt(recall)}}"""
+    }.getOrElse("")
+
+    // OPQ vs plain PQ (env GRAFT_SCALE_OPQ=<vecs>[:m:k]): the learned
+    // rotation's recall lift, measured on whatever corpus
+    // GRAFT_SCALE_EMBCORPUS selects — the claim needs the ANISOTROPIC
+    // clustered regime (decay < 1), where a fixed split starves late
+    // subspaces; on isotropic corpora the expected lift is ~none and
+    // recording that boundary is the point of the knob. Both models
+    // train at equal iters; recall@10 against the exact float top-10,
+    // plus total reconstruction error (the OPQ objective) for both.
+    val opqJson = sys.env.get("GRAFT_SCALE_OPQ").map { spec =>
+      import graft.operators.ProductQuantizer
+      val parts = spec.split(':')
+      val n = parts(0).trim.toLong
+      val (m, k) =
+        if (parts.length >= 3) (parts(1).toInt, parts(2).toInt)
+        else (8, 256)
+      val (corpus, corpusTag) = embCorpus(spark, n)
+      val rawDir = s"$root/opq_raw_${corpusTag}_$n"
+      corpus.write.mode("overwrite").parquet(rawDir)
+      val e = spark.read.parquet(rawDir)
+      val t0 = System.nanoTime()
+      val plain = ProductQuantizer.fit(e, "doc_id", "embedding",
+        m = m, k = k, iters = 3)
+      val trainPlainS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val opq = ProductQuantizer.fitOpq(e, "doc_id", "embedding",
+        m = m, k = k, iters = 3, powerIters = 32)
+      val trainOpqS = (System.nanoTime() - t1) / 1e9
+      val plainCodes = ProductQuantizer.encode(
+        e, "doc_id", "embedding", plain).persist()
+      val opqCodes = ProductQuantizer.encodeOpq(
+        e, "doc_id", "embedding", opq).persist()
+      // total reconstruction error — the objective OPQ minimizes
+      def totErr(df: DataFrame, src: DataFrame, vecCol: String,
+                 model: ProductQuantizer.PQModel): Double =
+        src.join(df, "doc_id")
+          .select(sum(ProductQuantizer.reconErrColumn(
+            col(vecCol), col("codes"), model)))
+          .collect()(0).getDouble(0)
+      val errPlain = totErr(plainCodes, e, "embedding", plain)
+      val rotated = ProductQuantizer.rotateVectors(
+        e, "doc_id", "embedding", opq.rotation)
+      val errOpq = totErr(opqCodes, rotated, "remb", opq.pq)
+      val qMod = math.max(1L, n / 32)
+      val queries = e.filter(col("doc_id") % qMod === 3L % qMod)
+        .orderBy("doc_id").limit(32).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      import spark.implicits._
+      val qdf = broadcast(queries.toDF("q_id", "qv"))
+      val d2 = aggregate(
+        zip_with(col("qv"), col("embedding"), (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("xd").asc, col("doc_id").asc)
+      val exact = e.crossJoin(qdf).withColumn("xd", d2)
+        .withColumn("xr",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("xr") <= 10)
+        .select("q_id", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(res: DataFrame): Double =
+        res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          .intersect(exact).size.toDouble / exact.size
+      val rPlain = recallOf(ProductQuantizer.adcTopK(
+        plainCodes, "doc_id", plain, queries, k = 10))
+      val rOpq = recallOf(ProductQuantizer.adcTopKOpq(
+        opqCodes, "doc_id", opq, queries, k = 10))
+      val rrPlain = recallOf(ProductQuantizer.adcRerankTopK(
+        plainCodes, e, "doc_id", "embedding", plain, queries,
+        k = 10, candidates = 100))
+      plainCodes.unpersist(); opqCodes.unpersist()
+      s""","opq":{"vecs":$n,"m":$m,"k":$k,"corpus":"$corpusTag",""" +
+        s""""train_plain_s":${fmt(trainPlainS)},""" +
+        s""""train_opq_s":${fmt(trainOpqS)},""" +
+        s""""recon_err_plain":${fmt(errPlain)},""" +
+        s""""recon_err_opq":${fmt(errOpq)},""" +
+        s""""recall_plain":${fmt(rPlain, 4)},""" +
+        s""""recall_opq":${fmt(rOpq, 4)},""" +
+        s""""recall_plain_rerank100":${fmt(rrPlain, 4)}}"""
+    }.getOrElse("")
+
+    // DataFrame-batch ADC (env GRAFT_SCALE_PQBATCH=<vecs>:<queries>
+    // [:m:k]): the 10⁴-query shape the Seq API was the wrong size for.
+    // The batch path broadcasts the float query block and each task
+    // builds its own distance tables; the Seq path broadcasts
+    // driver-built tables. Records both walls, the SHIPPED broadcast
+    // bytes of each (floats Q·d·4 vs tables Q·m·k·8 — the flat-vs-
+    // linear task-payload axis), and asserts row-identical output.
+    val pqBatchJson = sys.env.get("GRAFT_SCALE_PQBATCH").map { spec =>
+      import graft.operators.ProductQuantizer
+      val parts = spec.split(':')
+      val n = parts(0).trim.toLong
+      val nq = parts(1).trim.toInt
+      val (m, k) =
+        if (parts.length >= 4) (parts(2).toInt, parts(3).toInt)
+        else (8, 256)
+      val (corpus, corpusTag) = embCorpus(spark, n)
+      val rawDir = s"$root/pqb_raw_${corpusTag}_$n"
+      corpus.write.mode("overwrite").parquet(rawDir)
+      val e = spark.read.parquet(rawDir)
+      val model = ProductQuantizer.fit(e, "doc_id", "embedding",
+        m = m, k = k, iters = 2)
+      val codesDir = s"$root/pqb_codes_$n"
+      ProductQuantizer.encode(e, "doc_id", "embedding", model)
+        .write.mode("overwrite").parquet(codesDir)
+      val codes = spark.read.parquet(codesDir)
+      val qDf = embQueries(spark, nq.toLong)
+        .select(col("doc_id").as("q_id"), col("embedding").as("qv"))
+      val qSeq = qDf.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      // warm the codes scan + codegen once, untimed: whichever path
+      // runs first otherwise pays the cold-read cost (measured 2.5×
+      // swing that flipped with measurement order)
+      ProductQuantizer.adcTopK(codes, "doc_id", model,
+        qSeq.take(4), k = 10).collect()
+      val t1 = System.nanoTime()
+      val seqR = ProductQuantizer.adcTopK(codes, "doc_id", model,
+        qSeq, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val seqS = (System.nanoTime() - t1) / 1e9
+      val t0 = System.nanoTime()
+      val batch = ProductQuantizer.adcTopKBatch(codes, "doc_id", model,
+        qDf, "q_id", "qv", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchS = (System.nanoTime() - t0) / 1e9
+      require(batch == seqR, "batch ADC diverged from Seq ADC")
+      val d = qSeq.head._2.length
+      s""","pq_batch":{"vecs":$n,"queries":$nq,"m":$m,"k":$k,""" +
+        s""""corpus":"$corpusTag","identical":true,""" +
+        s""""batch_s":${fmt(batchS)},"seq_s":${fmt(seqS)},""" +
+        s""""float_block_mb":${fmt(nq.toLong * d * 4 / 1048576.0)},""" +
+        s""""table_block_mb":${fmt(nq.toLong * m * k * 8 / 1048576.0)}}"""
     }.getOrElse("")
 
     // IVFADC (env GRAFT_SCALE_IVFPQ=<vecs>[:cells:nprobe], default
@@ -554,8 +805,9 @@ object ScaleBench {
       val (cells, nprobe) =
         if (parts.length >= 3) (parts(1).toInt, parts(2).toInt)
         else (64, 8)
-      val rawDir = s"$root/ivfpq_raw_$n"
-      synthEmbeddings(spark, n).write.mode("overwrite").parquet(rawDir)
+      val (corpus, corpusTag) = embCorpus(spark, n)
+      val rawDir = s"$root/ivfpq_raw_${corpusTag}_$n"
+      corpus.write.mode("overwrite").parquet(rawDir)
       val e = spark.read.parquet(rawDir)
       val t0 = System.nanoTime()
       val coarse = ProductQuantizer.fit(e, "doc_id", "embedding",
@@ -571,11 +823,17 @@ object ScaleBench {
       val trainS = (System.nanoTime() - t0) / 1e9
       val idxDir = s"$root/ivfpq_idx_$n"
       val t1 = System.nanoTime()
-      ProductQuantizer.encodeIvf(e, "doc_id", "embedding", coarse, pq)
+      // the serving STORE (codes + float tier): the probe scan still
+      // reads codes only (parquet column pruning), the rerank tier
+      // reads floats for probed cells only (partition pruning)
+      ProductQuantizer.encodeIvfStore(e, "doc_id", "embedding", coarse, pq)
         .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
       val encodeS = (System.nanoTime() - t1) / 1e9
       val stored = spark.read.parquet(idxDir)
-      val queries = e.filter(col("doc_id") % (n / 32) === 3L)
+      // clamp: n < 64 would make the modulus 0 (divide-by-zero) or the
+      // residue 3 unreachable — tiny smoke runs must still select rows
+      val qMod = math.max(1L, n / 32)
+      val queries = e.filter(col("doc_id") % qMod === 3L % qMod)
         .orderBy("doc_id").limit(32).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
       def probeRun(np: Int): (Set[(Long, Long)], Double) = {
@@ -603,11 +861,24 @@ object ScaleBench {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val probeRecall = probed.intersect(exact).size.toDouble / exact.size
       val fullRecall = full.intersect(exact).size.toDouble / exact.size
+      // composed probe → exact rerank (q158): same probe width, float
+      // tier read for probed cells only — the recall the pipeline
+      // actually serves
+      val t2 = System.nanoTime()
+      val reranked = ProductQuantizer.ivfAdcRerankTopK(stored, "doc_id",
+          "vec", coarse, pq, queries, k = 10, nprobe = nprobe,
+          candidates = 100)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val rerankS = (System.nanoTime() - t2) / 1e9
+      val rerankRecall = reranked.intersect(exact).size.toDouble / exact.size
       s""","ivfpq":{"vecs":$n,"cells":$cells,"nprobe":$nprobe,""" +
+        s""""corpus":"$corpusTag",""" +
         s""""train_s":${fmt(trainS)},"encode_s":${fmt(encodeS)},""" +
         s""""probe_s":${fmt(probeS)},"full_adc_s":${fmt(fullS)},""" +
         s""""probe_recall_at_10":${fmt(probeRecall)},""" +
         s""""full_recall_at_10":${fmt(fullRecall)},""" +
+        s""""rerank100_s":${fmt(rerankS)},""" +
+        s""""rerank100_recall_at_10":${fmt(rerankRecall)},""" +
         s""""scan_fraction":${fmt(nprobe.toDouble / cells)}}"""
     }.getOrElse("")
 
@@ -1167,14 +1438,10 @@ object ScaleBench {
       val (nc, nq) = (parts(0), parts(1))
       val nCells = if (parts.length > 2) parts(2).toInt else 64
       val nProbe = if (parts.length > 3) parts(3).toInt else 4
-      val corpus = synthEmbeddings(spark, nc).persist()
+      val (corpus0, corpusTag) = embCorpus(spark, nc)
+      val corpus = corpus0.persist()
       corpus.count()
-      val queries = spark.range(nq)
-        .withColumn("seed", xxhash64(lit("qryv"), col("id")))
-        .select((col("id") + 2_000_000_000L).as("doc_id"),
-          transform(sequence(lit(0), lit(63)), i =>
-            ((pmod(xxhash64(lit("vdim"), col("seed"), i), lit(2001L))
-              - lit(1000L)) / lit(1000.0)).cast("float")).as("embedding"))
+      val queries = embQueries(spark, nq)
       def timed[T](f: => T): (T, Double) = {
         val s0 = System.nanoTime(); val v = f
         (v, (System.nanoTime() - s0) / 1e9)
@@ -1221,7 +1488,8 @@ object ScaleBench {
       val (rLsh1, wLsh1) = lshRecall(1)
       val (rLshP, wLshP) = lshRecall(lshProbe)
       gt.unpersist(); corpus.unpersist()
-      s""","ann_recall":{"corpus":$nc,"queries":$nq,"cells":$nCells,""" +
+      s""","ann_recall":{"corpus":$nc,"regime":"$corpusTag",""" +
+        s""""queries":$nq,"cells":$nCells,""" +
         s""""probe":$nProbe,"brute_s":${fmt(gtS)},""" +
         s""""recall_firstk":${fmt(rFirst, 4)},"s_firstk":${fmt(wFirst)},""" +
         s""""recall_trained":${fmt(rTrained, 4)},"s_trained":${fmt(wTrained)},""" +
@@ -1400,7 +1668,7 @@ object ScaleBench {
         val s0 = System.nanoTime()
         val (rows, sum) = runAll(graft.multimodal.Multimodal
           .sharedFramePairs(spark, spark.read.parquet(dir),
-            minShared = 2, stopCounter = Some(acc),
+            minShared = 2, maxFrameDf = 1024, stopCounter = Some(acc),
             materializeFrames = materialize))
         ((System.nanoTime() - s0) / 1e9, rows, sum, acc.value)
       }
@@ -2061,7 +2329,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
   }
 }

@@ -110,6 +110,163 @@ class ProductQuantizerSpec extends SparkSpec {
       s"ADC must read codes only:\n$plan")
   }
 
+  test("DataFrame-batch query paths are bit-identical to the Seq paths") {
+    import graft.operators.KMeans
+    val c = corpus(200)
+    val model = ProductQuantizer.fit(c, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val codes = ProductQuantizer.encode(c, "vec_id", "embedding", model)
+    val qDf = c.filter(col("vec_id") % 13 === 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val qSeq = qDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // flat ADC: same neighbors, same exact doubles, same ranks
+    assert(rows(ProductQuantizer.adcTopKBatch(codes, "vec_id", model,
+        qDf, "q_id", "qv", k = 5)) ==
+      rows(ProductQuantizer.adcTopK(codes, "vec_id", model, qSeq, k = 5)))
+    // IVFADC: batch plans built in-task must equal driver-built plans
+    val (coarse, _) = KMeans.fit(c, "vec_id", "embedding", k = 4, iters = 2)
+    val resid = KMeans.assign(c, "vec_id", "embedding", coarse)
+      .withColumn("r", zip_with(col("embedding"),
+        element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+      .select("vec_id", "r")
+    val pq = ProductQuantizer.fit(resid, "vec_id", "r", m = 4, k = 8, iters = 2)
+    val index = ProductQuantizer.encodeIvf(c, "vec_id", "embedding", coarse, pq)
+    assert(rows(ProductQuantizer.ivfAdcTopKBatch(index, "vec_id", coarse,
+        pq, qDf, "q_id", "qv", k = 5, nprobe = 2)) ==
+      rows(ProductQuantizer.ivfAdcTopK(index, "vec_id", coarse, pq,
+        qSeq, k = 5, nprobe = 2)))
+    // the bounded gather is loud, not an OOM
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantizer.adcTopKBatch(codes, "vec_id", model,
+        qDf, "q_id", "qv", k = 5, maxQueryRows = 3)
+    }
+    assert(e.getMessage.contains("maxQueryRows"), e.getMessage)
+  }
+
+  test("composed IVFADC -> rerank: exact at full probe width; probe scan never reads floats; float fetch partition-pruned") {
+    import graft.operators.KMeans
+    val c = corpus(200)
+    val (coarse, _) = KMeans.fit(c, "vec_id", "embedding", k = 4, iters = 2)
+    val resid = KMeans.assign(c, "vec_id", "embedding", coarse)
+      .withColumn("r", zip_with(col("embedding"),
+        element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+      .select("vec_id", "r")
+    val pq = ProductQuantizer.fit(resid, "vec_id", "r", m = 4, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString
+    ProductQuantizer.encodeIvfStore(c, "vec_id", "embedding", coarse, pq)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val queries = c.filter(col("vec_id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    // full probe width + corpus-wide candidates == the exact float top-k
+    val got = ProductQuantizer.ivfAdcRerankTopK(store, "vec_id", "vec",
+        coarse, pq, queries, k = 5, nprobe = 4, candidates = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = c.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val want = queries.flatMap { case (qid, q) =>
+      rows.map { case (id, v) =>
+        val d = q.zip(v).map { case (a, b) =>
+          val dd = a.toDouble - b.toDouble; dd * dd }.sum
+        (qid, id, d)
+      }.sortBy { case (_, id, d) => (d, id) }.take(5).map(t => (t._1, t._2))
+    }.toSet
+    assert(got == want)
+    // narrow probe: the PROBE plan reads codes only, the FLOAT fetch is
+    // partition-pruned to the probed cells
+    val narrow = ProductQuantizer.ivfAdcRerankTopK(store, "vec_id", "vec",
+      coarse, pq, queries, k = 5, nprobe = 2, candidates = 20)
+    val plan = narrow.queryExecution.executedPlan.toString
+    // one header line per scan: "... ReadSchema: struct<...>"
+    val scanHeads = plan.split("Scan parquet").toSeq.tail
+      .map(_.linesIterator.next())
+    assert(scanHeads.nonEmpty)
+    val codeScans = scanHeads.filter(_.contains("codes"))
+    assert(codeScans.nonEmpty && codeScans.forall(!_.contains("vec:")),
+      s"probe scan must not read the float column:\n$plan")
+    assert(scanHeads.exists(s => s.contains("vec:array") &&
+        s.contains("PartitionFilters: [cell")),
+      s"float fetch must carry cell PartitionFilters:\n$plan")
+    narrow.collect() // and it runs
+  }
+
+  /** Anisotropic corpus: dim 16 with energy decaying 0.72^j — the PCA-
+    * spectrum shape OPQ exists for. A fixed split gives subspace 0
+    * nearly all the variance; the learned rotation rebalances it.
+    */
+  private def skewedCorpus(n: Int) = {
+    val rows = (0 until n).map { i =>
+      (i.toLong, (0 until 16).map { j =>
+        val u = (((i * 37 + j * 23 + 11) % 2000) / 1000.0f) - 1.0f
+        (u * math.pow(0.72, j).toFloat)
+      })
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("OPQ: rotation is orthonormal, training partitioning-invariant, encode consistent with rotate-then-encode") {
+    val c1 = skewedCorpus(300).repartition(1)
+    val c5 = skewedCorpus(300).repartition(5, col("vec_id"))
+    val o1 = ProductQuantizer.fitOpq(c1, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, powerIters = 24)
+    val o5 = ProductQuantizer.fitOpq(c5, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, powerIters = 24)
+    assert(o1.rotation == o5.rotation,
+      "rotation must not depend on partitioning")
+    assert(o1.pq.codebooks == o5.pq.codebooks)
+    // R·Rᵀ = I to float32 precision
+    val r = o1.rotation.map(_.map(_.toDouble).toArray).toArray
+    for (a <- r.indices; b <- r.indices) {
+      val dot = r(a).zip(r(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"R row $a · row $b = $dot")
+    }
+    // fused encodeOpq == rotate-then-encode (one arithmetic)
+    val viaFused = ProductQuantizer.encodeOpq(c1, "vec_id", "embedding", o1)
+      .collect().map(x => x.getLong(0) -> x.getSeq[Int](1)).toMap
+    val viaTwo = ProductQuantizer.encode(
+        ProductQuantizer.rotateVectors(c1, "vec_id", "embedding", o1.rotation),
+        "vec_id", "remb", o1.pq)
+      .collect().map(x => x.getLong(0) -> x.getSeq[Int](1)).toMap
+    assert(viaFused == viaTwo)
+  }
+
+  test("OPQ lifts reconstruction on an anisotropic corpus; ADC serving matches the rotated-space replay") {
+    val c = skewedCorpus(300)
+    val plain = ProductQuantizer.fit(c, "vec_id", "embedding",
+      m = 4, k = 8, iters = 3)
+    val opq = ProductQuantizer.fitOpq(c, "vec_id", "embedding",
+      m = 4, k = 8, iters = 3, powerIters = 24)
+    def totalErr(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                 model: ProductQuantizer.PQModel): Double =
+      df.withColumn("codes",
+          ProductQuantizer.codesColumn(col(vecCol), model))
+        .select(sum(ProductQuantizer.reconErrColumn(
+          col(vecCol), col("codes"), model)))
+        .collect()(0).getDouble(0)
+    val errPlain = totalErr(c, "embedding", plain)
+    val rotated = ProductQuantizer.rotateVectors(
+      c, "vec_id", "embedding", opq.rotation)
+    val errOpq = totalErr(rotated, "remb", opq.pq)
+    assert(errOpq < errPlain * 0.9,
+      s"OPQ must lift the anisotropic regime: $errOpq vs $errPlain")
+    // serving: adcTopKOpq == adcTopK on rotated queries + OPQ codes
+    val codes = ProductQuantizer.encodeOpq(c, "vec_id", "embedding", opq)
+    val qs = c.filter(col("vec_id") < 5).collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).toSeq).toSeq
+    val got = ProductQuantizer.adcTopKOpq(codes, "vec_id", opq, qs, k = 4)
+      .collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSet
+    val rotQs = rotated.filter(col("vec_id") < 5).collect()
+      .map(x => x.getLong(0) -> x.getSeq[Float](1).toSeq).toSeq
+    val want = ProductQuantizer.adcTopK(codes, "vec_id", opq.pq, rotQs, k = 4)
+      .collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3))).toSet
+    assert(got == want)
+  }
+
   test("ivfAdcTopK: heaps match a local replay; probed cells prune parquet partitions") {
     import graft.operators.KMeans
     val c = corpus(200)
