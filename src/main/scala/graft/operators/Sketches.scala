@@ -381,130 +381,190 @@ object Sketches {
   // summary IS the exact count map (q133/q134's exact legs).
   // ==================================================================
 
-  /** Misra–Gries aggregate: IN = item (string), BUF = parallel arrays
-    * (items sorted ascending — the canonical form that makes merge a
-    * linear merge-join — counts, rows-seen n), OUT = (Seq[(item,
+  private[operators] def freqSearch(its: Array[String],
+                                    item: String): Int = {
+    var lo = 0; var hi = its.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = its(mid).compareTo(item)
+      if (c < 0) lo = mid + 1
+      else if (c > 0) hi = mid - 1
+      else return mid
+    }
+    -lo - 1
+  }
+
+  /** The PODS'12 merge of two CANONICAL summaries (item-sorted,
+    * effective counts): merge-join + (k+1)-th-largest subtraction.
+    * Shared by [[FreqAgg]] (after de-debting) and [[FreqMergeAgg]].
+    */
+  private[operators] def freqMergeCanonical(
+      k: Int,
+      ai: Array[String], ac: Array[Long], an: Long,
+      bi: Array[String], bc: Array[Long], bn: Long)
+      : (Array[String], Array[Long], Long) = {
+    if (ai.isEmpty) return (bi, bc, an + bn)
+    if (bi.isEmpty) return (ai, ac, an + bn)
+    // merge-join the two item-sorted runs, summing counts
+    val io = new Array[String](ai.length + bi.length)
+    val co = new Array[Long](io.length)
+    var i = 0; var j = 0; var o = 0
+    while (i < ai.length || j < bi.length) {
+      val c =
+        if (i >= ai.length) 1
+        else if (j >= bi.length) -1
+        else ai(i).compareTo(bi(j))
+      if (c < 0) { io(o) = ai(i); co(o) = ac(i); i += 1 }
+      else if (c > 0) { io(o) = bi(j); co(o) = bc(j); j += 1 }
+      else { io(o) = ai(i); co(o) = ac(i) + bc(j); i += 1; j += 1 }
+      o += 1
+    }
+    if (o <= k) {
+      (java.util.Arrays.copyOf(io.asInstanceOf[Array[AnyRef]], o)
+        .asInstanceOf[Array[String]],
+        java.util.Arrays.copyOf(co, o), an + bn)
+    } else {
+      // over capacity: subtract the (k+1)-th largest count from every
+      // counter, keep the strictly positive (≤ k survive by choice of
+      // the threshold) — the PODS'12 merge that preserves the bound
+      val sorted = java.util.Arrays.copyOf(co, o)
+      java.util.Arrays.sort(sorted)
+      val v = sorted(o - k - 1) // (k+1)-th largest
+      var keep = 0
+      var t = 0
+      while (t < o) { if (co(t) > v) keep += 1; t += 1 }
+      val io2 = new Array[String](keep); val co2 = new Array[Long](keep)
+      var u = 0; t = 0
+      while (t < o) {
+        if (co(t) > v) { io2(u) = io(t); co2(u) = co(t) - v; u += 1 }
+        t += 1
+      }
+      (io2, co2, an + bn)
+    }
+  }
+
+  /** Mutable Misra–Gries buffer: a hash map of STORED counts
+    * (effective + debt), rows-seen n, the debt offset, and an
+    * exact-from-below bound on min(stored). Kryo-encoded (it crosses
+    * the wire only at exchange/state boundaries, once per group).
+    */
+  final class FreqBuf extends Serializable {
+    val map = new java.util.HashMap[String, java.lang.Long]()
+    var n: Long = 0L
+    var debt: Long = 0L
+    var minStored: Long = Long.MaxValue
+  }
+
+  /** Misra–Gries aggregate: IN = item (string), OUT = (Seq[(item,
     * count)] item-ascending, n). n rides in the summary so a PERSISTED
     * sketch stays self-contained: the error budget (n − ŝ)/(k+1) and
     * the heavy-hitter threshold n/(k+1) need it after re-aggregation.
+    *
+    * The classic implementation keeps a sorted array and pays O(k) per
+    * tail insert (memcpy) and O(k) per miss (the decrement-all /
+    * zero-drop sweep) — on a Zipf stream with k = 2048 that is the
+    * whole wall (~half the stream is tail misses). This buffer is a
+    * HASH MAP with a debt counter: MG's counter VALUES are
+    * order-independent (hit += 1, insert at 1, miss decrements all and
+    * drops zeros — no rule reads buffer order), so the map holds
+    * stored = effective + debt and
+    *   - hit / insert are O(1) (no memcpy, no sort);
+    *   - a miss on a full buffer is `debt += 1` — O(1) — unless a
+    *     counter dies; `minStored` (exact on insert/sweep, stale-LOW
+    *     only under increments) gates the death sweep, so a stale
+    *     bound costs one wasted O(k) sweep, never a missed death;
+    *   - every entry is live (stored > debt) at all times.
+    * Merge and finish canonicalize (de-debt + item sort) and are
+    * BIT-IDENTICAL to the eager sorted-array implementation under any
+    * stream and merge tree (differential property spec pins it against
+    * the round-11 code verbatim).
     */
   final class FreqAgg(k: Int)
-      extends Aggregator[String, (Array[String], Array[Long], Long),
-        (Seq[(String, Long)], Long)] {
+      extends Aggregator[String, FreqBuf, (Seq[(String, Long)], Long)] {
     require(k >= 1, s"frequent-items sketch needs k >= 1, got $k")
 
-    override def zero: (Array[String], Array[Long], Long) =
-      (Array.empty[String], Array.emptyLongArray, 0L)
+    override def zero: FreqBuf = new FreqBuf
 
-    private def search(its: Array[String], item: String): Int = {
-      var lo = 0; var hi = its.length - 1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        val c = its(mid).compareTo(item)
-        if (c < 0) lo = mid + 1
-        else if (c > 0) hi = mid - 1
-        else return mid
-      }
-      -lo - 1
-    }
-
-    override def reduce(buf: (Array[String], Array[Long], Long),
-                        item: String): (Array[String], Array[Long], Long) = {
+    override def reduce(buf: FreqBuf, item: String): FreqBuf = {
       // null items are DROPPED (not counted in n) — the null-input
-      // policy of every other operator family; a stored null would NPE
-      // the sorted-buffer compareTo on the next insert
+      // policy of every other operator family
       if (item == null) return buf
-      val (its, cts, n) = buf
-      val m = its.length
-      val pos = search(its, item)
-      if (pos >= 0) { // present: bump in place (the buffer is ours)
-        cts(pos) += 1L
-        (its, cts, n + 1L)
-      } else if (m < k) { // room: insert at the sort position
-        val ins = -pos - 1
-        val io = new Array[String](m + 1); val co = new Array[Long](m + 1)
-        System.arraycopy(its, 0, io, 0, ins)
-        System.arraycopy(cts, 0, co, 0, ins)
-        io(ins) = item; co(ins) = 1L
-        System.arraycopy(its, ins, io, ins + 1, m - ins)
-        System.arraycopy(cts, ins, co, ins + 1, m - ins)
-        (io, co, n + 1L)
+      val v = buf.map.get(item)
+      if (v != null) { // present (live by invariant): bump in place
+        buf.map.put(item, v + 1L)
+        buf.n += 1L
+      } else if (buf.map.size < k) { // room: effective 1
+        buf.map.put(item, buf.debt + 1L)
+        buf.minStored = buf.debt + 1L // the new exact global min
+        buf.n += 1L
       } else {
-        // full, item absent: the (k+1)-th largest of the k+1 counts is
-        // min(counts, 1) = 1 — classic MG decrement-all-by-one, the
-        // unseen item's own count 1 decrements to 0 (never stored)
-        var zeros = 0
-        var i = 0
-        while (i < m) { if (cts(i) == 1L) zeros += 1; i += 1 }
-        if (zeros == 0) {
-          i = 0; while (i < m) { cts(i) -= 1L; i += 1 }
-          (its, cts, n + 1L)
-        } else {
-          val m2 = m - zeros
-          val io = new Array[String](m2); val co = new Array[Long](m2)
-          var o = 0; i = 0
-          while (i < m) {
-            if (cts(i) > 1L) { io(o) = its(i); co(o) = cts(i) - 1L; o += 1 }
-            i += 1
+        // full, item absent: every effective count drops by 1 (the
+        // unseen item's own 1 → 0, never stored)
+        buf.debt += 1L
+        buf.n += 1L
+        if (buf.minStored <= buf.debt) {
+          // possible deaths: one sweep removes stored ≤ debt (effective
+          // 0) and re-establishes the exact minimum
+          var newMin = Long.MaxValue
+          val it = buf.map.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue.longValue()
+            if (c <= buf.debt) it.remove()
+            else if (c < newMin) newMin = c
           }
-          (io, co, n + 1L)
+          buf.minStored = newMin
         }
       }
+      buf
     }
 
-    override def merge(a: (Array[String], Array[Long], Long),
-                       b: (Array[String], Array[Long], Long))
+    /** Canonical (item-sorted, effective-count) view — every entry is
+      * live by invariant, so this only de-debts and sorts.
+      */
+    private def canonical(buf: FreqBuf)
         : (Array[String], Array[Long], Long) = {
-      val (ai, ac, an) = a; val (bi, bc, bn) = b
-      if (ai.isEmpty) return (bi, bc, an + bn)
-      if (bi.isEmpty) return (ai, ac, an + bn)
-      // merge-join the two item-sorted runs, summing counts
-      val io = new Array[String](ai.length + bi.length)
-      val co = new Array[Long](io.length)
-      var i = 0; var j = 0; var o = 0
-      while (i < ai.length || j < bi.length) {
-        val c =
-          if (i >= ai.length) 1
-          else if (j >= bi.length) -1
-          else ai(i).compareTo(bi(j))
-        if (c < 0) { io(o) = ai(i); co(o) = ac(i); i += 1 }
-        else if (c > 0) { io(o) = bi(j); co(o) = bc(j); j += 1 }
-        else { io(o) = ai(i); co(o) = ac(i) + bc(j); i += 1; j += 1 }
-        o += 1
-      }
-      if (o <= k) {
-        (java.util.Arrays.copyOf(io.asInstanceOf[Array[AnyRef]], o)
-          .asInstanceOf[Array[String]],
-          java.util.Arrays.copyOf(co, o), an + bn)
-      } else {
-        // over capacity: subtract the (k+1)-th largest count from every
-        // counter, keep the strictly positive (≤ k survive by choice of
-        // the threshold) — the PODS'12 merge that preserves the bound
-        val sorted = java.util.Arrays.copyOf(co, o)
-        java.util.Arrays.sort(sorted)
-        val v = sorted(o - k - 1) // (k+1)-th largest
-        var keep = 0
-        var t = 0
-        while (t < o) { if (co(t) > v) keep += 1; t += 1 }
-        val io2 = new Array[String](keep); val co2 = new Array[Long](keep)
-        var u = 0; t = 0
-        while (t < o) {
-          if (co(t) > v) { io2(u) = io(t); co2(u) = co(t) - v; u += 1 }
-          t += 1
-        }
-        (io2, co2, an + bn)
-      }
+      val m = buf.map.size
+      val its = new Array[String](m)
+      var i = 0
+      val keys = buf.map.keySet().iterator()
+      while (keys.hasNext) { its(i) = keys.next(); i += 1 }
+      java.util.Arrays.sort(its.asInstanceOf[Array[AnyRef]])
+      val cts = new Array[Long](m)
+      i = 0
+      while (i < m) { cts(i) = buf.map.get(its(i)) - buf.debt; i += 1 }
+      (its, cts, buf.n)
     }
 
-    override def finish(buf: (Array[String], Array[Long], Long))
-        : (Seq[(String, Long)], Long) = {
-      val (its, cts, n) = buf
+    private def fromCanonical(io: Array[String], co: Array[Long],
+                              n: Long): FreqBuf = {
+      val out = new FreqBuf
+      out.n = n
+      var minS = Long.MaxValue
+      var i = 0
+      while (i < io.length) {
+        out.map.put(io(i), co(i))
+        if (co(i) < minS) minS = co(i)
+        i += 1
+      }
+      out.minStored = minS
+      out
+    }
+
+    override def merge(a: FreqBuf, b: FreqBuf): FreqBuf = {
+      val (ai, ac, an) = canonical(a)
+      val (bi, bc, bn) = canonical(b)
+      val (io, co, n) = freqMergeCanonical(k, ai, ac, an, bi, bc, bn)
+      fromCanonical(io, co, n)
+    }
+
+    override def finish(buf: FreqBuf): (Seq[(String, Long)], Long) = {
+      val (its, cts, n) = canonical(buf)
       (its.indices.map(i => (its(i), cts(i))), n)
     }
 
-    override def bufferEncoder
-        : ExpressionEncoder[(Array[String], Array[Long], Long)] =
-      ExpressionEncoder[(Array[String], Array[Long], Long)]()
+    override def bufferEncoder: org.apache.spark.sql.Encoder[FreqBuf] =
+      Encoders.kryo[FreqBuf]
     override def outputEncoder
         : ExpressionEncoder[(Seq[(String, Long)], Long)] =
       ExpressionEncoder[(Seq[(String, Long)], Long)]()
@@ -527,21 +587,24 @@ object Sketches {
   final class FreqMergeAgg(k: Int)
       extends Aggregator[(Seq[(String, Long)], Long),
         (Array[String], Array[Long], Long), (Seq[(String, Long)], Long)] {
-    private val inner = new FreqAgg(k)
-    override def zero: (Array[String], Array[Long], Long) = inner.zero
+    require(k >= 1, s"frequent-items sketch needs k >= 1, got $k")
+    override def zero: (Array[String], Array[Long], Long) =
+      (Array.empty[String], Array.emptyLongArray, 0L)
     override def reduce(buf: (Array[String], Array[Long], Long),
                         in: (Seq[(String, Long)], Long))
         : (Array[String], Array[Long], Long) = {
       // null summary rows (outer-join misses, null columns) drop
       if (in == null || in._1 == null) return buf
-      inner.merge(buf, (in._1.map(_._1).toArray,
-        in._1.map(_._2).toArray, in._2))
+      freqMergeCanonical(k, buf._1, buf._2, buf._3,
+        in._1.map(_._1).toArray, in._1.map(_._2).toArray, in._2)
     }
     override def merge(a: (Array[String], Array[Long], Long),
                        b: (Array[String], Array[Long], Long))
-        : (Array[String], Array[Long], Long) = inner.merge(a, b)
+        : (Array[String], Array[Long], Long) =
+      freqMergeCanonical(k, a._1, a._2, a._3, b._1, b._2, b._3)
     override def finish(buf: (Array[String], Array[Long], Long))
-        : (Seq[(String, Long)], Long) = inner.finish(buf)
+        : (Seq[(String, Long)], Long) =
+      (buf._1.indices.map(i => (buf._1(i), buf._2(i))), buf._3)
     override def bufferEncoder
         : ExpressionEncoder[(Array[String], Array[Long], Long)] =
       ExpressionEncoder[(Array[String], Array[Long], Long)]()
