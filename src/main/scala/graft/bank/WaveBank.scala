@@ -506,6 +506,22 @@ class WaveBank(spark: SparkSession, root: String,
     statsRollup(partials)
   }
 
+  /** Sketch-estimated segment count over [t1Ns, t2Ns] — the index-side
+    * twin of [[EventBank.estimatedEventCount]], feeding
+    * [[graft.fetch.Fetcher]]'s both-side plan choice: a kilobyte
+    * sidecar read, never an index scan (when the marker is
+    * consistent). Day-granular on segment START times, so an
+    * approximate bound: partial first/last days count whole, and a
+    * segment starting before t1 but overlapping it is not counted —
+    * fine for a plan probe (plans never change results).
+    */
+  def estimatedSegmentCount(t1Ns: Long, t2Ns: Long): Long = {
+    val r = sketchStats(
+        Some(Math.floorDiv(t1Ns, DayNs)), Some(Math.floorDiv(t2Ns, DayNs)))
+      .agg(sum(col("n_segments"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Rewrite the index's accumulated append files into one globally
     * re-clustered file set. Each append batch is sorted at write time,
     * but successive batches overlap in key range; compaction restores

@@ -116,16 +116,33 @@ class Fetcher(
     * whichever side fits, BandedRangeJoinRule's banded SMJ when
     * nothing does) picks the scale path. Estimate quality moves
     * performance, never results — both plans are exact.
+    *
+    * BOTH-SIDE choice (round 12): `segmentEstimate` (from
+    * [[graft.bank.WaveBank.estimatedSegmentCount]] — the index-side
+    * sidecar twin) lets the planner broadcast the SEGMENT side when
+    * the request side outgrew its budget but the time-windowed index
+    * slice still fits `spark.graft.fetch.broadcastMaxSegments`
+    * (default 2,000,000) — the months-of-events × thin-index-window
+    * shape, where shuffling a huge request table to meet a tiny index
+    * is the one wrong plan. Request-side broadcast keeps priority
+    * (requests are usually the small side); with neither estimate
+    * under budget the join runs un-hinted as before.
     */
   def fetchEventSegments(index: DataFrame, reference: String,
                          beforeNs: Long, afterNs: Long,
-                         requestEstimate: Option[Long] = None): DataFrame = {
+                         requestEstimate: Option[Long] = None,
+                         segmentEstimate: Option[Long] = None): DataFrame = {
     val reqs = eventRequests(reference, beforeNs, afterNs)
-    val budget = spark.conf
+    val reqBudget = spark.conf
       .get("spark.graft.fetch.broadcastMaxRequests", "2000000").toLong
-    val bcast = requestEstimate.forall(_ <= budget)
+    val segBudget = spark.conf
+      .get("spark.graft.fetch.broadcastMaxSegments", "2000000").toLong
+    val bcastReqs = requestEstimate.forall(_ <= reqBudget)
+    val bcastSegs = !bcastReqs && segmentEstimate.exists(_ <= segBudget)
     streamProcessor(IntervalJoin.overlapping(index, reqs,
-      keyCols = Seq("seed_id"), broadcastRequests = bcast))
+      keyCols = Seq("seed_id"),
+      broadcastRequests = bcastReqs,
+      broadcastSegments = bcastSegs))
   }
 
   /** Sketch-estimated request cardinality for a fetch over events in
@@ -141,4 +158,16 @@ class Fetcher(
     val nChannels = stations.select(col("seed_id")).distinct().count()
     eventBank.estimatedEventCount(t1Ns, t2Ns) * nChannels
   }
+
+  /** Sketch-estimated index-side cardinality for the same fetch — the
+    * WaveBank sidecar's per-day segment counts over the padded event
+    * window (kilobytes, no index scan on the consistent path). The
+    * symmetric probe to [[estimatedRequests]]: together they let
+    * [[fetchEventSegments]] pick which side of the range join
+    * broadcasts from DATA instead of a fixed conf.
+    */
+  def estimatedSegments(waveBank: graft.bank.WaveBank,
+                        t1Ns: Long, t2Ns: Long,
+                        beforeNs: Long, afterNs: Long): Long =
+    waveBank.estimatedSegmentCount(t1Ns - beforeNs, t2Ns + afterNs)
 }

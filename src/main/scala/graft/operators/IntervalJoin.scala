@@ -48,7 +48,12 @@ object IntervalJoin {
   }
 
   /** Interval-vs-interval overlap join (strict overlap with buffer),
-    * the WaveBank bulk-waveform semantics.
+    * the WaveBank bulk-waveform semantics. At most one side broadcasts:
+    * `broadcastRequests` hints the request side (the historical
+    * default), `broadcastSegments` hints the fact side instead — the
+    * symmetric choice a planner makes when the request side outgrew
+    * its budget but the (time-pruned) index side still fits. Neither →
+    * un-hinted, the planner's own range-join machinery picks.
     */
   def overlapping(
       segments: DataFrame, requests: DataFrame,
@@ -56,15 +61,19 @@ object IntervalJoin {
       startCol: String = "starttime", endCol: String = "endtime",
       t1Col: String = "t1", t2Col: String = "t2",
       buffer: Long = 0L,
-      broadcastRequests: Boolean = true): DataFrame = {
+      broadcastRequests: Boolean = true,
+      broadcastSegments: Boolean = false): DataFrame = {
+    require(!(broadcastRequests && broadcastSegments),
+      "broadcast at most one side of the overlap join")
     val renamed = renameKeys(requests, keyCols)
     val reqs = if (broadcastRequests) broadcast(renamed) else renamed
+    val segs = if (broadcastSegments) broadcast(segments) else segments
     val overlap =
-      !(segments(endCol) < reqs(t1Col) - lit(buffer) ||
-        segments(startCol) > reqs(t2Col) + lit(buffer))
-    val cond = keyCols.map(k => segments(k) === reqs(s"__req_$k"))
+      !(segs(endCol) < reqs(t1Col) - lit(buffer) ||
+        segs(startCol) > reqs(t2Col) + lit(buffer))
+    val cond = keyCols.map(k => segs(k) === reqs(s"__req_$k"))
       .foldLeft(overlap)(_ && _)
-    segments.join(reqs, cond).drop(keyCols.map(k => s"__req_$k"): _*)
+    segs.join(reqs, cond).drop(keyCols.map(k => s"__req_$k"): _*)
   }
 
   /** Scale path for huge×huge: explode each request across the time

@@ -1049,10 +1049,37 @@ object ScaleBench {
             s"plan choice changed RESULTS: bcast ($bRows,$bSum) vs shuffled ($sRows,$sSum)")
           s""""broadcast_s":${fmt(bS)},"""
         } else s""""broadcast_s":null,"broadcast_skipped":"requests > 2e7: refusal is the point","""
+      // SEGMENT-side flip (round 12): huge request estimate against a
+      // THIN index window — the shape where shuffling the big request
+      // table to meet a tiny index is the one wrong plan. Both-side
+      // estimates broadcast the index instead; both walls recorded,
+      // checksum-equal by require.
+      val thinIndex = index
+        .filter(col("seed_id").isin("NT.S0..BHZ", "NT.S1..BHZ"))
+      val thinRows = thinIndex.count()
+      def wallSeg(segEstimate: Long): (Double, Long, Long) = {
+        val s0 = System.nanoTime()
+        val (rows, sum) = runAll(fetcher
+          .fetchEventSegments(thinIndex, "origin", 1_800_000_000_000L,
+            7_200_000_000_000L, Some(Long.MaxValue), Some(segEstimate))
+          .groupBy("event_id", "seed_id")
+          .agg(count(lit(1)).as("n_segments"),
+            min("starttime").as("first_start"),
+            max("endtime").as("last_end")))
+        ((System.nanoTime() - s0) / 1e9, rows, sum)
+      }
+      val (segBcastS, gbRows, gbSum) = wallSeg(thinRows)
+      val (segShufS, gsRows, gsSum) = wallSeg(Long.MaxValue)
+      require(gbRows == gsRows && gbSum == gsSum,
+        s"segment-side plan choice changed RESULTS: " +
+          s"($gbRows,$gbSum) vs ($gsRows,$gsSum)")
       s""","fetch_plan":{"events":$n,"channels":$nCh,""" +
         s""""est":$est,"actual":$actual,"est_s":${fmt(estSecs)},""" +
         s""""budget":$budget,"chosen":"$chosen",$bcastLeg""" +
-        s""""shuffled_s":${fmt(shufS)},"rows":$sRows}"""
+        s""""shuffled_s":${fmt(shufS)},"rows":$sRows,""" +
+        s""""thin_index_rows":$thinRows,""" +
+        s""""seg_bcast_s":${fmt(segBcastS)},""" +
+        s""""seg_banded_s":${fmt(segShufS)},"seg_rows":$gbRows}"""
     }.getOrElse("")
 
     // q67 band-width sensitivity (env GRAFT_SCALE_BANDSWEEP=

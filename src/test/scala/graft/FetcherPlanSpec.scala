@@ -89,4 +89,74 @@ class FetcherPlanSpec extends SparkSpec {
       spark.conf.unset("spark.graft.fetch.broadcastMaxRequests")
     }
   }
+
+  test("both-side choice: requests over budget + small index estimate broadcasts the SEGMENT side; results identical") {
+    val (quakes, channels, index) = corpus()
+    val fetcher = new Fetcher(spark, quakes, channels, picks = quakes)
+    def planOf(reqEst: Option[Long], segEst: Option[Long])
+        : (String, Array[(String, String, Long)]) = {
+      val df = fetcher
+        .fetchEventSegments(index, "origin", HourNs, HourNs, reqEst, segEst)
+        .groupBy("event_id", "seed_id").agg(count(lit(1)).as("n"))
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)))
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // requests over budget, index side fits: the fact side broadcasts
+      // (a BroadcastNestedLoopJoin/BroadcastHashJoin whose BUILD input
+      // is the index scan — NOT the banded SMJ)
+      val (segPlan, segRows) =
+        planOf(Some(3_000_000L), Some(2000L))
+      assert(!segPlan.contains("_graft_band"),
+        s"segment-side broadcast must not fall to the banded path:\n$segPlan")
+      assert(segPlan.contains("Broadcast"),
+        s"index side must broadcast:\n$segPlan")
+      // both over budget: un-hinted, lands on the banded SMJ scale path
+      val (nonePlan, noneRows) =
+        planOf(Some(3_000_000L), Some(3_000_000L))
+      assert(nonePlan.contains("SortMergeJoin")
+          && nonePlan.contains("_graft_band"),
+        s"both-over-budget fetch should land on the banded SMJ:\n$nonePlan")
+      assert(segRows.sameElements(noneRows), "plan choice changed RESULTS")
+      // request-side broadcast keeps priority when both fit
+      val (reqPlan, reqRows) = planOf(Some(500L), Some(2000L))
+      assert(reqPlan.contains("BroadcastHashJoin")
+          || reqPlan.contains("RangeJoinExec"))
+      assert(reqRows.sameElements(segRows))
+      // the segment budget is a conf, not a constant
+      spark.conf.set("spark.graft.fetch.broadcastMaxSegments", "100")
+      val (shrunkPlan, shrunkRows) = planOf(Some(3_000_000L), Some(2000L))
+      assert(shrunkPlan.contains("_graft_band"),
+        s"conf-shrunk segment budget must fall back to banded:\n$shrunkPlan")
+      assert(shrunkRows.sameElements(segRows))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.unset("spark.graft.fetch.broadcastMaxSegments")
+    }
+  }
+
+  test("estimatedSegments: sidecar day counts over the padded window, no index scan needed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wplan").toString
+    val bank = new graft.bank.WaveBank(spark, root)
+    val segs = (0 until 40).map { h =>
+      ("NT", s"S${h % 4}", "", "BHZ", T0 + h * HourNs,
+        1_000_000_000L, Array.fill(16)(1.0))
+    }.toDF("network", "station", "location", "channel",
+      "starttime", "sampling_period", "samples")
+    bank.putWaveforms(segs)
+    // all 40 segments start inside the (day-granular) window
+    val est = bank.estimatedSegmentCount(T0, T0 + 40 * HourNs)
+    assert(est == 40L, s"estimate $est")
+    // and the fetcher helper pads the window by the request margins
+    val fetcher = new Fetcher(spark,
+      Seq(("e", T0)).toDF("event_id", "time"),
+      Seq("NT.S0..BHZ").toDF("seed_id"),
+      picks = Seq(("e", T0)).toDF("event_id", "time"))
+    assert(fetcher.estimatedSegments(bank, T0, T0 + 40 * HourNs,
+      HourNs, HourNs) == 40L)
+  }
 }
