@@ -174,16 +174,24 @@ class EventBank(spark: SparkSession, root: String,
   def compact(): Unit = {
     // compaction changes file layout, not the RESOLVED catalog the
     // sidecar summarizes: a consistent sidecar is re-stamped against
-    // the post-compaction fingerprint instead of forcing a rebuild
-    val sidecarStillValid = statsConsistent
-    // the version the (consistent) sidecar actually covers — a
-    // concurrent append landing between the validity check and the
+    // the post-compaction fingerprint instead of forcing a rebuild.
+    // ONE version read anchors both the validity check and the
+    // covered-version compare — statsConsistent's own fresh
+    // latestVersion() read would race a concurrent append landing
+    // between the two reads (marker valid at v, coveredVersion read
+    // as v+1, append-was-never-summarized stamped covered anyway).
+    val coveredVersion = if (txIndex) txTable.latestVersion() else -1L
+    val sidecarStillValid =
+      if (txIndex)
+        statsExists && FsUtil.readSmallFile(hadoopFs, statsMarkerPath)
+          .contains(markerValueFor(coveredVersion))
+      else statsConsistent
+    // a concurrent append landing between the validity check and the
     // rewrite is FOLDED INTO the compacted catalog by the retry loop,
     // and re-stamping then would mark a sidecar that never summarized
     // it consistent (the marker would lie). Re-stamp only when the
     // final rewrite's base version is exactly the covered one;
     // otherwise leave the marker stale and let the next read rebuild.
-    val coveredVersion = if (txIndex) txTable.latestVersion() else -1L
     var rewroteBase = coveredVersion
     // the version the successful rewrite COMMITTED — the marker is
     // stamped against this known result, never a re-read fingerprint:

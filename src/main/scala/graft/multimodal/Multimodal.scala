@@ -797,7 +797,9 @@ object Multimodal {
         .agg(count(lit(1)).as("fdf"))
         .filter(col("fdf") > maxFrameDf)
         .select(col("fh1"), col("fh2")).as[(Long, Long)]
-        .take(maxStopFrames + 1) // tiny: |stops| ≤ N/maxFrameDf
+        // tiny: |stops| ≤ N/maxFrameDf; the probe saturates so an
+        // Int.MaxValue "unbounded" bound can't wrap take() negative
+        .take(math.min(maxStopFrames, Int.MaxValue - 1) + 1)
       require(hotRows.length <= maxStopFrames,
         s"sharedFramePairs: stop list exceeds maxStopFrames=$maxStopFrames " +
           s"(over ${maxStopFrames.toLong * maxFrameDf} frame rows are hot) " +

@@ -404,8 +404,12 @@ object ProductQuantizer {
       : Array[(Long, Seq[Float])] = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // +1 probes for overflow of the bound; Int.MaxValue is a valid
+    // "unbounded" sentinel, so the probe count saturates instead of
+    // wrapping negative into take()
+    val probe = math.min(maxQueryRows, Int.MaxValue - 1) + 1
     val qs = queries.select(col(qIdCol), col(qVecCol))
-      .as[(Long, Seq[Float])].take(maxQueryRows + 1)
+      .as[(Long, Seq[Float])].take(probe)
     require(qs.nonEmpty, s"$who needs at least one query")
     require(qs.length <= maxQueryRows,
       s"$who: query frame exceeds maxQueryRows=$maxQueryRows — split the " +
@@ -423,6 +427,30 @@ object ProductQuantizer {
     * layout). Residuals are computed in float32 (x − c per dimension)
     * so the DuckDB oracle replays them bit for bit.
     */
+  /** Per-row IVF residual coding — (nearest coarse cell, PQ codes of
+    * the float32 residual). The ONE arithmetic behind [[encodeIvf]]
+    * and [[encodeIvfStore]], so the codes-only index and the serving
+    * store can never diverge.
+    */
+  private def ivfCode(v: scala.collection.Seq[Float],
+                      coarseArr: Array[Array[Float]],
+                      cbArr: Array[Array[Array[Float]]],
+                      m: Int, subDim: Int): (Int, Array[Int]) = {
+    val cell = nearest(v, 0, coarseArr)
+    val cent = coarseArr(cell)
+    val r = new Array[Float](v.length)
+    var i = 0
+    while (i < r.length) { r(i) = v(i) - cent(i); i += 1 }
+    val rw: scala.collection.Seq[Float] = r
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      codes(s) = nearest(rw, s * subDim, cbArr(s))
+      s += 1
+    }
+    (cell, codes)
+  }
+
   def encodeIvf(corpus: DataFrame, idCol: String, vecCol: String,
                 coarse: Seq[Seq[Float]], model: PQModel): DataFrame = {
     val spark = corpus.sparkSession
@@ -435,18 +463,7 @@ object ProductQuantizer {
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
-          val cell = nearest(v, 0, coarseArr)
-          val cent = coarseArr(cell)
-          val r = new Array[Float](v.length)
-          var i = 0
-          while (i < r.length) { r(i) = v(i) - cent(i); i += 1 }
-          val rw: scala.collection.Seq[Float] = r
-          val codes = new Array[Int](m)
-          var s = 0
-          while (s < m) {
-            codes(s) = nearest(rw, s * subDim, cbArr(s))
-            s += 1
-          }
+          val (cell, codes) = ivfCode(v, coarseArr, cbArr, m, subDim)
           (id, cell, codes)
         }
       }.toDF(idCol, "cell", "codes")
@@ -474,15 +491,7 @@ object ProductQuantizer {
     corpus.select(col(idCol), col(vecCol))
       .as[(Long, Seq[Float])]
       .mapPartitions(it => it.map { case (id, v) =>
-        val cell = nearest(v, 0, coarseArr)
-        val cent = coarseArr(cell)
-        val r = new Array[Float](v.length)
-        var i = 0
-        while (i < r.length) { r(i) = v(i) - cent(i); i += 1 }
-        val rw: scala.collection.Seq[Float] = r
-        val codes = new Array[Int](m)
-        var s = 0
-        while (s < m) { codes(s) = nearest(rw, s * subDim, cbArr(s)); s += 1 }
+        val (cell, codes) = ivfCode(v, coarseArr, cbArr, m, subDim)
         (id, cell, codes, v)
       }).toDF(idCol, "cell", "codes", "vec")
   }
@@ -925,6 +934,33 @@ object ProductQuantizer {
     while (j < d) {
       rotation((j % m) * subDim + j / m) = evs(ranked(j))
       j += 1
+    }
+    // the OPQ serving identity (rotated distances == original
+    // distances, Ge §3) holds ONLY for an orthonormal R. A
+    // rank-deficient second moment (an always-zero padding dim, exact
+    // duplicated dims) confines the power iterations to the data's
+    // span; once the recorded stages exhaust it, CGS2 reduces the next
+    // stage to renormalized rounding noise — neither orthogonal nor
+    // unit-independent. Verify R·Rᵀ ≈ I (d²·d flops on KBs) and fail
+    // LOUDLY instead of serving silently wrong neighbors.
+    var a = 0
+    while (a < d) {
+      var b = a
+      while (b < d) {
+        var dot = 0.0
+        var i = 0
+        while (i < d) {
+          dot += rotation(a)(i).toDouble * rotation(b)(i).toDouble
+          i += 1
+        }
+        val want = if (a == b) 1.0 else 0.0
+        require(math.abs(dot - want) < 1e-3,
+          s"OPQ rotation is not orthonormal (row $a · row $b = $dot): " +
+            "the corpus second moment is rank-deficient (zero/duplicate " +
+            "dims) — drop degenerate dims or use plain PQ")
+        b += 1
+      }
+      a += 1
     }
     val rotSeq: Seq[Seq[Float]] = rotation.map(_.toSeq).toSeq
     val rotated = rotateVectors(corpus, idCol, vecCol, rotSeq)

@@ -381,19 +381,6 @@ object Sketches {
   // summary IS the exact count map (q133/q134's exact legs).
   // ==================================================================
 
-  private[operators] def freqSearch(its: Array[String],
-                                    item: String): Int = {
-    var lo = 0; var hi = its.length - 1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val c = its(mid).compareTo(item)
-      if (c < 0) lo = mid + 1
-      else if (c > 0) hi = mid - 1
-      else return mid
-    }
-    -lo - 1
-  }
-
   /** The PODS'12 merge of two CANONICAL summaries (item-sorted,
     * effective counts): merge-join + (k+1)-th-largest subtraction.
     * Shared by [[FreqAgg]] (after de-debting) and [[FreqMergeAgg]].

@@ -1068,6 +1068,12 @@ object ScaleBench {
             max("endtime").as("last_end")))
         ((System.nanoTime() - s0) / 1e9, rows, sum)
       }
+      // the leg only COMPARES plans while the thin index actually fits
+      // the segment budget — past it wallSeg(thinRows) would silently
+      // run the same banded plan twice and record a meaningless ~1.0
+      val segBudget = spark.conf
+        .get("spark.graft.fetch.broadcastMaxSegments", "2000000").toLong
+      val segChosen = if (thinRows <= segBudget) "seg_broadcast" else "banded"
       val (segBcastS, gbRows, gbSum) = wallSeg(thinRows)
       val (segShufS, gsRows, gsSum) = wallSeg(Long.MaxValue)
       require(gbRows == gsRows && gbSum == gsSum,
@@ -1077,7 +1083,7 @@ object ScaleBench {
         s""""est":$est,"actual":$actual,"est_s":${fmt(estSecs)},""" +
         s""""budget":$budget,"chosen":"$chosen",$bcastLeg""" +
         s""""shuffled_s":${fmt(shufS)},"rows":$sRows,""" +
-        s""""thin_index_rows":$thinRows,""" +
+        s""""thin_index_rows":$thinRows,"seg_chosen":"$segChosen",""" +
         s""""seg_bcast_s":${fmt(segBcastS)},""" +
         s""""seg_banded_s":${fmt(segShufS)},"seg_rows":$gbRows}"""
     }.getOrElse("")

@@ -233,6 +233,24 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(viaFused == viaTwo)
   }
 
+  test("OPQ refuses a rank-deficient corpus loudly (zero-padded dim breaks the rotation identity)") {
+    // dim 7 is exactly 0 in every row: the second moment is rank 15,
+    // power stages can't span dim 7, and past rank the CGS2 residual
+    // is rounding noise — the orthonormality gate must catch it
+    val rows = (0 until 120).map { i =>
+      (i.toLong, (0 until 16).map { j =>
+        if (j == 7) 0.0f
+        else (((i * 53 + j * 29 + 3) % 2000) / 1000.0f) - 1.0f
+      })
+    }
+    val degenerate = rows.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantizer.fitOpq(degenerate, "vec_id", "embedding",
+        m = 4, k = 8, iters = 1, powerIters = 16)
+    }
+    assert(e.getMessage.contains("orthonormal"), e.getMessage)
+  }
+
   test("OPQ lifts reconstruction on an anisotropic corpus; ADC serving matches the rotated-space replay") {
     val c = skewedCorpus(300)
     val plain = ProductQuantizer.fit(c, "vec_id", "embedding",
