@@ -537,6 +537,24 @@ object ProductQuantizer {
         col("rank").cast("int").as("rank"))
   }
 
+  /** [[ivfAdcRerankTopK]] with the queries as a DATAFRAME — the
+    * bounded-gather contract of [[adcTopKBatch]] applied to the
+    * composed pipeline. Output bit-identical to the Seq form on the
+    * collected rows.
+    */
+  def ivfAdcRerankTopKBatch(store: DataFrame, idCol: String,
+                            vecCol: String,
+                            coarse: Seq[Seq[Float]], model: PQModel,
+                            queries: DataFrame, qIdCol: String,
+                            qVecCol: String, k: Int, nprobe: Int,
+                            candidates: Int,
+                            maxQueryRows: Int = 1 << 20): DataFrame = {
+    val qs = collectQueries(queries, qIdCol, qVecCol, maxQueryRows,
+      model.m * model.subDim, "ivfAdcRerankTopKBatch")
+    ivfAdcRerankTopK(store, idCol, vecCol, coarse, model,
+      qs.toSeq, k, nprobe, candidates)
+  }
+
   /** IVFADC top-k: each query ranks the coarse cells (first-min ties),
     * probes the nearest `nprobe`, and scores only rows in those cells
     * by the residual ADC distance ‖(q − centroid(cell)) − decode‖².

@@ -144,6 +144,14 @@ class ProductQuantizerSpec extends SparkSpec {
         qDf, "q_id", "qv", k = 5, maxQueryRows = 3)
     }
     assert(e.getMessage.contains("maxQueryRows"), e.getMessage)
+    // composed rerank batch form == Seq form
+    val store = ProductQuantizer.encodeIvfStore(
+      c, "vec_id", "embedding", coarse, pq)
+    assert(rows(ProductQuantizer.ivfAdcRerankTopKBatch(store, "vec_id",
+        "vec", coarse, pq, qDf, "q_id", "qv", k = 5, nprobe = 2,
+        candidates = 20)) ==
+      rows(ProductQuantizer.ivfAdcRerankTopK(store, "vec_id", "vec",
+        coarse, pq, qSeq, k = 5, nprobe = 2, candidates = 20)))
   }
 
   test("composed IVFADC -> rerank: exact at full probe width; probe scan never reads floats; float fetch partition-pruned") {
