@@ -616,6 +616,124 @@ object VectorQueries {
       FROM joined""")
     }),
 
+    // ---- OPQ-IVFADC (q159): the full production index — learned
+    //      rotation, coarse cells + residual PQ in ROTATED space,
+    //      probe, exact rerank (FAISS's "OPQ,IVF,PQ" factory string
+    //      as one composed query). Rotated-space distances equal
+    //      original-space distances (R orthonormal, Ge §3), so the
+    //      pipeline serves original-space neighbors while every stage
+    //      runs on rotated vectors. DuckDB replays rotation → coarse
+    //      k-means → residuals → m codebooks → probes → candidate cut
+    //      → exact rerank, end to end.
+    Q("q159_opq_ivfadc", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      val e = Tables.embeddings(s, dir)
+      val opq = ProductQuantizer.fitOpq(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, powerIters = 8)
+      val rotated = ProductQuantizer.rotateVectors(
+        e, "vec_id", "embedding", opq.rotation)
+      val (coarse, _) = KMeans.fit(rotated, "vec_id", "remb",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(rotated, "vec_id", "remb", coarse)
+        .withColumn("r", zip_with(col("remb"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val store = ProductQuantizer.encodeIvfStore(
+        rotated, "vec_id", "remb", coarse, pq)
+      val queries = rotated.filter(col("vec_id") < 6).orderBy("vec_id")
+        .collect().map(r =>
+          r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      ProductQuantizer.ivfAdcRerankTopK(store, "vec_id", "vec",
+          coarse, pq, queries, k = 3, nprobe = 2, candidates = 8)
+        .select(col("q_id"), col("nn_id"),
+          floor(col("dist") * 1e6).cast("long").as("dist_micro"),
+          col("rank"))
+    }, {
+      val coarseCtes = kmeansCtes("oq_", k = 4, iters = 2,
+        table = "opq_rotated", vecExpr = "remb")
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "oresid", vecExpr = "r"))
+        .mkString(",\n      ")
+      def qrSlice(sIdx: Int) = {
+        val lo = sIdx * 16 + 1
+        s"list_transform(range($lo, ${lo + 16}), i -> qr[i])"
+      }
+      val dtCtes = (0 until 4).map { sIdx =>
+        s"""oivfdt$sIdx AS (
+          SELECT p.q_id, p.cell AS pcell, pc.cell AS code,
+            list_sum(list_transform(range(1, 17),
+              i -> (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))
+                 * (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))))
+              AS ds
+          FROM (SELECT q_id, cell, ${qrSlice(sIdx)} AS qs FROM oprobes) p
+          CROSS JOIN pq${sIdx}_cent2 pc)"""
+      }.mkString(",\n      ")
+      Some(s"""
+      WITH RECURSIVE ${opqRotationCtes(8, 4, 16)},
+      $coarseCtes,
+      oresid AS (SELECT a.vec_id, a.cell,
+                   list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                 FROM oq_final_asgn a JOIN oq_cent2 c USING (cell)),
+      $subCtes,
+      oprobes AS (
+        SELECT q_id, cell, qr FROM (
+          SELECT q.vec_id AS q_id, c.cell,
+            list_transform(range(1, 65),
+              i -> CAST(q.remb[i] - c.c[i] AS FLOAT)) AS qr,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, 65),
+                i -> (CAST(q.remb[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE))
+                   * (CAST(q.remb[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE)))) ASC, c.cell ASC) AS pr
+          FROM (SELECT vec_id, remb FROM opq_rotated
+                WHERE vec_id < 6) q
+          CROSS JOIN oq_cent2 c)
+        WHERE pr <= 2),
+      $dtCtes,
+      oadist AS (
+        SELECT d0.q_id, c0.vec_id AS nn_id,
+               ((d0.ds + d1.ds) + d2.ds) + d3.ds AS dist
+        FROM pq0_codes c0
+        JOIN pq1_codes c1 USING (vec_id) JOIN pq2_codes c2 USING (vec_id)
+        JOIN pq3_codes c3 USING (vec_id)
+        JOIN (SELECT vec_id, cell FROM oresid) rc USING (vec_id)
+        JOIN oivfdt0 d0 ON d0.pcell = rc.cell AND d0.code = c0.code
+        JOIN oivfdt1 d1 ON d1.pcell = rc.cell AND d1.code = c1.code
+          AND d1.q_id = d0.q_id
+        JOIN oivfdt2 d2 ON d2.pcell = rc.cell AND d2.code = c2.code
+          AND d2.q_id = d0.q_id
+        JOIN oivfdt3 d3 ON d3.pcell = rc.cell AND d3.code = c3.code
+          AND d3.q_id = d0.q_id),
+      ocand AS (
+        SELECT q_id, nn_id FROM (
+          SELECT q_id, nn_id, row_number() OVER
+            (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS cr
+          FROM oadist)
+        WHERE cr <= 8),
+      orer AS (
+        SELECT c.q_id, c.nn_id,
+               list_sum(list_transform(range(1, 65),
+                 i -> (CAST(q.remb[i] AS DOUBLE)
+                       - CAST(x.remb[i] AS DOUBLE))
+                    * (CAST(q.remb[i] AS DOUBLE)
+                       - CAST(x.remb[i] AS DOUBLE)))) AS dist
+        FROM ocand c
+        JOIN opq_rotated x ON x.vec_id = c.nn_id
+        JOIN opq_rotated q ON q.vec_id = c.q_id)
+      SELECT q_id, nn_id,
+             CAST(FLOOR(dist * 1e6) AS BIGINT) AS dist_micro,
+             CAST(rank AS INT) AS rank
+      FROM (SELECT q_id, nn_id, dist, row_number() OVER
+              (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS rank
+            FROM orer)
+      WHERE rank <= 3""")
+    }),
+
     // ---- sampled PQ training (q157): codebooks train on the
     //      hash-sampled subset (md5 of "pqs:"+id under the fraction —
     //      the cross-engine hash device), everything still encodes —
@@ -1224,17 +1342,19 @@ object VectorQueries {
     * .. cent$iters`, prefix`final_asgn(vec_id, embedding, cell)`) —
     * the coarse-quantizer half of the q154 IVFADC replay.
     */
-  private def kmeansCtes(prefix: String, k: Int, iters: Int): String = {
+  private def kmeansCtes(prefix: String, k: Int, iters: Int,
+                         table: String = "embeddings",
+                         vecExpr: String = "embedding"): String = {
     def d2(e: String, c: String) =
       s"""list_sum(list_transform(range(1, 65),
          i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
             * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
     def asgn(cent: String) = s"""
       SELECT vec_id, embedding, cell FROM (
-        SELECT e.vec_id, e.embedding, c.cell,
+        SELECT e.vec_id, e.$vecExpr AS embedding, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${d2("e.embedding", "c.c")} ASC, c.cell ASC) AS rn
-        FROM embeddings e CROSS JOIN $cent c)
+                 ORDER BY ${d2(s"e.$vecExpr", "c.c")} ASC, c.cell ASC) AS rn
+        FROM $table e CROSS JOIN $cent c)
       WHERE rn = 1"""
     def nextCent(prev: String, asgnT: String) = s"""
       SELECT p.cell, COALESCE(m.c, p.c) AS c
@@ -1251,8 +1371,8 @@ object VectorQueries {
     }.mkString(",\n      ")
     s"""${prefix}cent0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-               embedding AS c
-        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+               $vecExpr AS c
+        FROM (SELECT * FROM $table ORDER BY vec_id LIMIT $k)),
       $iterCtes,
       ${prefix}final_asgn AS (${asgn(s"${prefix}cent$iters")})"""
   }
