@@ -1175,9 +1175,11 @@ object VectorQueries {
     * `fitOpq`'s allocation + `rotate` op for op (validated bit-exact
     * against the Scala arithmetic on the sf0.01 table): float32-cast
     * second moment (`opq_mom`), 64 power-iteration stages with
-    * per-iteration float casts, CGS2 (dots from the pass input, one
-    * accumulated projection subtraction), Rayleigh eigenvalue + defined
-    * -order deflation (`opq_pw`), round-robin eigen-rank allocation
+    * per-iteration float casts AND per-iteration classical-GS
+    * reorthogonalization against recorded stages (stages separate by
+    * PROJECTION, never deflation — deflating unconverged vectors on a
+    * closely-spaced spectrum compounds, see eigenBasis), CGS2 +
+    * Rayleigh at stage end (`opq_pw`), round-robin eigen-rank allocation
     * (`opq_rot(od, lam, rv)`), float32 rotated vectors
     * (`opq_rotated(vec_id, remb)`). list_sum over the ordered
     * list_transform is DuckDB's left fold — the exact shape of the
@@ -1211,10 +1213,7 @@ object VectorQueries {
           CASE WHEN t.iter + 1 < $powerIters THEN t.vnew
                ELSE list_transform(range(1,65),
                       i -> CAST(0.125 AS DOUBLE)) END,
-          CASE WHEN t.iter + 1 < $powerIters THEN t.a
-               ELSE list_transform(range(1,65), r ->
-                      list_transform(range(1,65), c ->
-                        t.a[r][c] - (t.lam * t.uf[r]) * t.uf[c])) END,
+          t.a,
           CASE WHEN t.iter + 1 < $powerIters THEN t.evs
                ELSE list_append(t.evs, t.uf) END,
           CASE WHEN t.iter + 1 < $powerIters THEN t.lams
@@ -1255,20 +1254,29 @@ object VectorQueries {
                     SELECT n0.*,
                            CASE WHEN nrm > 1e-30
                              THEN list_transform(range(1,65), i ->
-                                    CAST(CAST(w[i] / nrm AS FLOAT)
+                                    CAST(CAST(w2[i] / nrm AS FLOAT)
                                       AS DOUBLE))
                              ELSE v END AS vnew
                     FROM (
-                      SELECT m0.*,
-                             sqrt(list_sum(list_transform(w,
+                      SELECT p0.*,
+                             sqrt(list_sum(list_transform(w2,
                                x -> x * x))) AS nrm
                       FROM (
-                        SELECT opq_pw.*,
-                               list_transform(a, row ->
-                                 list_sum(list_transform(range(1,65),
-                                   i -> row[i] * v[i]))) AS w
-                        FROM opq_pw WHERE stage < 64) m0) n0) w0) s0)
-                  s1) s2) s3) t),
+                        SELECT m0.*,
+                               list_transform(range(1,65), i ->
+                                 w[i] - COALESCE(list_sum(list_transform(
+                                   range(1, len(evs) + 1),
+                                   e -> list_sum(list_transform(
+                                          range(1,65),
+                                          j -> w[j] * evs[e][j]))
+                                        * evs[e][i])), 0.0)) AS w2
+                        FROM (
+                          SELECT opq_pw.*,
+                                 list_transform(a, row ->
+                                   list_sum(list_transform(range(1,65),
+                                     i -> row[i] * v[i]))) AS w
+                          FROM opq_pw WHERE stage < 64) m0) p0) n0) w0)
+                  s0) s1) s2) s3) t),
       opq_final AS (
         SELECT evs, lams FROM opq_pw WHERE stage = 64 AND iter = 0),
       opq_ranked AS (

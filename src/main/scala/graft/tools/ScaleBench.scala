@@ -2364,5 +2364,10 @@ object ScaleBench {
 
     println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
+    // the scratch root holds multi-GB corpora/stores at decade scales —
+    // a chain of runs that leaves them behind fills the disk (measured:
+    // four stale 14 GB roots took / to 100% and killed the next run)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    ()
   }
 }
