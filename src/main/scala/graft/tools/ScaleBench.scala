@@ -266,10 +266,14 @@ object ScaleBench {
           (pmod(xxhash64(lit(seedTag + "ns" + j), col("id"), i),
             lit(2001L)) - lit(1000L)) / lit(1000.0))
           .reduce(_ + _) / lit(4.0)
-        val scale = when(lit(decay) === 1.0, lit(1.0))
-          .otherwise(pow(lit(decay), i.cast("double")))
-        ((centerOf(col("cid"), i, sep) + noi * lit(noise)) * scale)
-          .cast("float")
+        val base = centerOf(col("cid"), i, sep) + noi * lit(noise)
+        // branch in SCALA: a when(lit == lit) guard builds a
+        // trivially-true predicate Spark warns on (and the isotropic
+        // default shouldn't pay a pow() per element anyway)
+        val scaled =
+          if (decay == 1.0) base
+          else base * pow(lit(decay), i.cast("double"))
+        scaled.cast("float")
       }).as("embedding"))
   }
 
@@ -1050,12 +1054,17 @@ object ScaleBench {
           s""""broadcast_s":${fmt(bS)},"""
         } else s""""broadcast_s":null,"broadcast_skipped":"requests > 2e7: refusal is the point","""
       // SEGMENT-side flip (round 12): huge request estimate against a
-      // THIN index window — the shape where shuffling the big request
-      // table to meet a tiny index is the one wrong plan. Both-side
-      // estimates broadcast the index instead; both walls recorded,
-      // checksum-equal by require.
-      val thinIndex = index
-        .filter(col("seed_id").isin("NT.S0..BHZ", "NT.S1..BHZ"))
+      // THIN index TIME window (the "months of events, narrow archive
+      // slice" shape — all seeds present, so the broadcast hash join
+      // keeps balanced buckets; slicing by seed instead concentrates
+      // the build side on 2 keys and measures skew, not the plan).
+      // Both-side estimates broadcast the index instead of shuffling
+      // the big request table; both walls recorded, checksum-equal by
+      // require.
+      val tCut = ev.agg(
+        (min(col("ts")) + (max(col("ts")) - min(col("ts"))) / 50)
+          .cast("long").as("c")).head().getLong(0)
+      val thinIndex = index.filter(col("starttime") <= tCut)
       val thinRows = thinIndex.count()
       def wallSeg(segEstimate: Long): (Double, Long, Long) = {
         val s0 = System.nanoTime()
