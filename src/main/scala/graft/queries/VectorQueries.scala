@@ -545,7 +545,7 @@ object VectorQueries {
       import graft.operators.ProductQuantizer
       val e = Tables.embeddings(s, dir)
       val (evs, lams) = ProductQuantizer.eigenBasis(
-        e, "embedding", d = 64, powerIters = 8)
+        e, "embedding", d = 64, powerIters = 4)
       val ranked = lams.zipWithIndex
         .sortBy { case (lam, stg) => (-lam, stg) }.map(_._2)
       val rows = (0 until 64).map { j =>
@@ -560,7 +560,7 @@ object VectorQueries {
         .select(col("out_dim").cast("long").as("out_dim"),
           col("lam_nano"), col("v_csv"))
     }, Some(s"""
-      WITH RECURSIVE ${opqRotationCtes(8, 4, 16)}
+      WITH RECURSIVE ${opqRotationCtes(4, 4, 16)}
       SELECT CAST(od - 1 AS BIGINT) AS out_dim,
              CAST(FLOOR(lam * 1e9) AS BIGINT) AS lam_nano,
              array_to_string(list_transform(rv,
@@ -576,7 +576,7 @@ object VectorQueries {
       import graft.operators.ProductQuantizer
       val e = Tables.embeddings(s, dir)
       val opq = ProductQuantizer.fitOpq(e, "vec_id", "embedding",
-        m = 4, k = 4, iters = 2, powerIters = 8)
+        m = 4, k = 4, iters = 2, powerIters = 4)
       val rotated = ProductQuantizer.rotateVectors(
         e, "vec_id", "embedding", opq.rotation)
       rotated.withColumn("codes",
@@ -592,7 +592,7 @@ object VectorQueries {
         subDim = 16, table = "opq_rotated", vecExpr = "remb"))
         .mkString(",\n      ")
       Some(s"""
-      WITH RECURSIVE ${opqRotationCtes(8, 4, 16)},
+      WITH RECURSIVE ${opqRotationCtes(4, 4, 16)},
       $subCtes,
       joined AS (
         SELECT e.vec_id, e.remb,
@@ -629,7 +629,7 @@ object VectorQueries {
       import graft.operators.{KMeans, ProductQuantizer}
       val e = Tables.embeddings(s, dir)
       val opq = ProductQuantizer.fitOpq(e, "vec_id", "embedding",
-        m = 4, k = 4, iters = 2, powerIters = 8)
+        m = 4, k = 4, iters = 2, powerIters = 4)
       val rotated = ProductQuantizer.rotateVectors(
         e, "vec_id", "embedding", opq.rotation)
       val (coarse, _) = KMeans.fit(rotated, "vec_id", "remb",
@@ -672,7 +672,7 @@ object VectorQueries {
           CROSS JOIN pq${sIdx}_cent2 pc)"""
       }.mkString(",\n      ")
       Some(s"""
-      WITH RECURSIVE ${opqRotationCtes(8, 4, 16)},
+      WITH RECURSIVE ${opqRotationCtes(4, 4, 16)},
       $coarseCtes,
       oresid AS (SELECT a.vec_id, a.cell,
                    list_transform(range(1, 65),
@@ -1235,49 +1235,68 @@ object VectorQueries {
                      sqrt(list_sum(list_transform(u2, x -> x * x)))
                        AS nrm2
               FROM (
-                SELECT s0.*,
+                SELECT s0b.*,
                        list_transform(range(1,65), i ->
                          u1[i] - COALESCE(list_sum(list_transform(
                            range(1, len(evs) + 1),
-                           e -> list_sum(list_transform(range(1,65),
-                                  j -> u1[j] * evs[e][j])) * evs[e][i])),
-                           0.0)) AS u2
+                           e -> u1dots[e] * evs[e][i])), 0.0)) AS u2
                 FROM (
-                  SELECT w0.*,
-                         list_transform(range(1,65), i ->
-                           vnew[i] - COALESCE(list_sum(list_transform(
-                             range(1, len(evs) + 1),
-                             e -> list_sum(list_transform(range(1,65),
-                                    j -> vnew[j] * evs[e][j]))
-                                  * evs[e][i])), 0.0)) AS u1
+                  SELECT s0.*,
+                         list_transform(range(1, len(evs) + 1),
+                           e -> list_sum(list_transform(range(1,65),
+                                  j -> u1[j] * evs[e][j]))) AS u1dots
                   FROM (
-                    SELECT n0.*,
-                           CASE WHEN nrm > 1e-30
-                             THEN list_transform(range(1,65), i ->
-                                    CAST(CAST(w2[i] / nrm AS FLOAT)
-                                      AS DOUBLE))
-                             ELSE v END AS vnew
+                    SELECT w0b.*,
+                           list_transform(range(1,65), i ->
+                             vnew[i] - COALESCE(list_sum(list_transform(
+                               range(1, len(evs) + 1),
+                               e -> vdots[e] * evs[e][i])), 0.0)) AS u1
                     FROM (
-                      SELECT p0.*,
-                             sqrt(list_sum(list_transform(w2,
-                               x -> x * x))) AS nrm
+                      SELECT w0.*,
+                             list_transform(range(1, len(evs) + 1),
+                               e -> list_sum(list_transform(range(1,65),
+                                      j -> vnew[j] * evs[e][j])))
+                               AS vdots
                       FROM (
-                        SELECT m0.*,
-                               list_transform(range(1,65), i ->
-                                 w[i] - COALESCE(list_sum(list_transform(
-                                   range(1, len(evs) + 1),
-                                   e -> list_sum(list_transform(
-                                          range(1,65),
-                                          j -> w[j] * evs[e][j]))
-                                        * evs[e][i])), 0.0)) AS w2
+                        SELECT n0.*,
+                               CASE WHEN nrm > 1e-30
+                                 THEN list_transform(range(1,65), i ->
+                                        CAST(CAST(w2[i] / nrm AS FLOAT)
+                                          AS DOUBLE))
+                                 ELSE v END AS vnew
                         FROM (
-                          SELECT opq_pw.*,
-                                 list_transform(a, row ->
-                                   list_sum(list_transform(range(1,65),
-                                     i -> row[i] * v[i]))) AS w
-                          FROM opq_pw WHERE stage < 64) m0) p0) n0) w0)
-                  s0) s1) s2) s3) t),
-      opq_final AS (
+                          SELECT p0b.*,
+                                 sqrt(list_sum(list_transform(w2,
+                                   x -> x * x))) AS nrm
+                          FROM (
+                            SELECT p0.*,
+                                   list_transform(range(1,65), i ->
+                                     w[i] - COALESCE(list_sum(
+                                       list_transform(
+                                         range(1, len(evs) + 1),
+                                         e -> wdots[e] * evs[e][i])),
+                                       0.0)) AS w2
+                            FROM (
+                              SELECT m0.*,
+                                     list_transform(
+                                       range(1, len(evs) + 1),
+                                       e -> list_sum(list_transform(
+                                              range(1,65),
+                                              j -> w[j] * evs[e][j])))
+                                       AS wdots
+                              FROM (
+                                SELECT opq_pw.*,
+                                       list_transform(a, row ->
+                                         list_sum(list_transform(
+                                           range(1,65),
+                                           i -> row[i] * v[i]))) AS w
+                                FROM opq_pw WHERE stage < 64) m0) p0)
+                            p0b) n0) w0) w0b) s0) s0b) s1) s2) s3) t),
+      -- MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+      -- 512-step recursion (and the rotated table the Lloyd replays
+      -- re-read per subspace per iteration) would otherwise re-run
+      -- once per downstream mention — measured minutes per query
+      opq_final AS MATERIALIZED (
         SELECT evs, lams FROM opq_pw WHERE stage = 64 AND iter = 0),
       opq_ranked AS (
         SELECT stg, lam, ev,
@@ -1289,7 +1308,7 @@ object VectorQueries {
                  AS od,
                lam, ev AS rv
         FROM opq_ranked),
-      opq_rotated AS (
+      opq_rotated AS MATERIALIZED (
         SELECT vec_id, list(comp ORDER BY od) AS remb FROM (
           SELECT e.vec_id, r.od,
                  CAST(CAST(list_sum(list_transform(range(1,65),
