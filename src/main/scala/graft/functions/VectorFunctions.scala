@@ -72,7 +72,22 @@ object VectorFunctions {
     * probe set. Probes are distinct buckets, so a corpus row can
     * match at most one probe — no candidate dedup needed downstream.
     */
-  def probeBuckets(a: Column, bits: Int, nProbe: Int): Column = {
+  def probeBuckets(a: Column, bits: Int, nProbe: Int): Column =
+    // native kernel (graft.plans.ProbeBuckets) — the unrolled Column
+    // form below builds an O(bits·nProbe) concat/when/substr tree
+    // whose generated code trips a janino compile error inside
+    // whole-stage codegen (every multi-probe stage silently fell back
+    // to interpreted eval after ~96 logged attempts) and was
+    // planning-bound at large nProbe. Value-identical (spec-pinned
+    // differentially against probeBucketsColumnForm).
+    call_function("probe_buckets", a, lit(bits), lit(nProbe))
+
+  /** The original composed-Column derivation, kept as the differential
+    * reference for the native kernel (and the shape the q118 oracle
+    * was written against).
+    */
+  private[graft] def probeBucketsColumnForm(a: Column, bits: Int,
+                                            nProbe: Int): Column = {
     val b = signBucket(a, bits)
     def flip(i: Column): Column = concat(
       b.substr(lit(1), i - 1),

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.haversineDescriptor)
     e.injectFunction(GraftExtensions.vecDotDescriptor)
+    e.injectFunction(GraftExtensions.probeBucketsDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
     GraftExtensions.sketchAlgebraDescriptors.foreach(e.injectFunction)
@@ -55,6 +56,16 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       buildVecDot)
+
+  private def buildProbeBuckets(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "probe_buckets(vec, bits, nProbe)")
+    ProbeBuckets(exprs(0), exprs(1), exprs(2))
+  }
+
+  val probeBucketsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("probe_buckets"),
+      new ExpressionInfo(classOf[ProbeBuckets].getName, "probe_buckets"),
+      buildProbeBuckets)
 
   private def buildMd5Long60(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, "md5_long60(s)")
@@ -222,6 +233,12 @@ object GraftExtensions {
     // the sketch functions (older jar on the classpath) then falls
     // through and picks up the additions instead of silently missing
     // them.
+    // round-12 addition, probed separately (the newest-builder lesson:
+    // a session whose extensions predate it must still pick it up)
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("probe_buckets")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "probe_buckets", buildProbeBuckets, "built-in")
     if (spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("freq_union"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native fused dot product over two `array<float>` columns.
   *
@@ -43,6 +44,100 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(newLeft, newRight)
+}
+
+/** Native multi-probe LSH bucket set: `probe_buckets(vec, bits,
+  * nProbe)` — the vector's sign bucket over the first `bits` dims plus
+  * the nProbe−1 Hamming-1 neighbors flipped at the smallest-|component|
+  * dims (Lv et al., VLDB 2007), as ONE expression.
+  *
+  * Value-identical to the composed Column form (sign chars from
+  * `try_element_at(a,i) > 0` — null / missing / NaN / ≤0 all read '0';
+  * flip order by (|a_i| asc, dim asc) with a null |a_i| sorting first,
+  * matching array_sort's NULLS-FIRST struct compare) — spec-pinned
+  * differentially, so the q118 oracle is unchanged.
+  *
+  * Why it exists: the unrolled Column form builds an O(bits·nProbe)
+  * tree of concat/when/substr whose generated code trips a janino
+  * compile error ("isNull_X is not an rvalue") inside whole-stage
+  * codegen — every multi-probe stage was silently falling back to
+  * interpreted eval after ~96 logged compile attempts, and the plan
+  * itself was planning-bound at large nProbe. One primitive kernel
+  * removes the pathological tree and the O(nProbe²) expression blowup.
+  */
+case class ProbeBuckets(first: Expression, second: Expression,
+                        third: Expression)
+    extends TernaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // the Column form produces "00…0" buckets even for a NULL vector
+  // (when(null > 0).otherwise("0")); mirror that instead of null-out
+  override def nullable: Boolean = false
+
+  // CodegenFallback: generated stages call this eval through a
+  // reference — one tiny kernel per row instead of the O(bits·nProbe)
+  // inlined tree that janino refused to compile. The kernel cost is
+  // ~1 µs against a join + rank window per row.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vec = first.eval(input) // may be null — handled by the kernel
+    val bits = second.eval(input).asInstanceOf[Int]
+    val nProbe = third.eval(input).asInstanceOf[Int]
+    ProbeBuckets.compute(vec.asInstanceOf[ArrayData], bits, nProbe)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(newFirst, newSecond, newThird)
+}
+
+object ProbeBuckets {
+  /** '1'/'0' sign char exactly like `when(try_element_at(a,i) > 0,
+    * "1").otherwise("0")`: out-of-range, null element, NaN, and ≤ 0
+    * all give '0'.
+    */
+  private def signChar(a: ArrayData, i: Int): Char =
+    if (a == null || i >= a.numElements() || a.isNullAt(i)) '0'
+    else if (a.getFloat(i) > 0f) '1'
+    else '0'
+
+  def compute(a: ArrayData, bits: Int, nProbe: Int): ArrayData = {
+    val base = new Array[Char](bits)
+    var i = 0
+    while (i < bits) { base(i) = signChar(a, i); i += 1 }
+    val b = UTF8String.fromString(new String(base))
+    if (nProbe <= 1) return new GenericArrayData(Array[Any](b))
+    // dims 1..bits ranked by (|a_i| asc — null first, dim asc): the
+    // array_sort(struct(abs, i)) ordering of the Column form
+    val idx = (1 to bits).toArray
+    val absV = new Array[Double](bits + 1)
+    val isN = new Array[Boolean](bits + 1)
+    i = 1
+    while (i <= bits) {
+      val j = i - 1
+      if (a == null || j >= a.numElements() || a.isNullAt(j)) isN(i) = true
+      else absV(i) = math.abs(a.getFloat(j).toDouble)
+      i += 1
+    }
+    val sorted = idx.sortWith { (x, y) =>
+      if (isN(x) != isN(y)) isN(x) // null abs sorts first
+      else if (!isN(x) && absV(x) != absV(y)) absV(x) < absV(y)
+      else x < y
+    }
+    val out = new Array[Any](nProbe)
+    out(0) = b
+    var p = 1
+    while (p < nProbe) {
+      val flip = sorted(p - 1) - 1 // 0-based char to flip
+      val chars = base.clone()
+      chars(flip) = if (chars(flip) == '1') '0' else '1'
+      out(p) = UTF8String.fromString(new String(chars))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object VecDot {

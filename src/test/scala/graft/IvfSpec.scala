@@ -20,6 +20,35 @@ class IvfSpec extends SparkSpec {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("native probe_buckets == the composed Column form, incl. ties, negatives, short/null vectors") {
+    import graft.functions.VectorFunctions
+    graft.plans.GraftExtensions.register(spark)
+    // adversarial rows: duplicate |components| (tie-break by dim),
+    // zeros, negatives, a short vector, and an all-null-ish shape
+    val rows = (0 until 300).map { i =>
+      val v = Array.tabulate(16) { d =>
+        val u = ((i * 37 + d * 29 + 5) % 19) - 9
+        if (i % 7 == 0) math.abs(u).toFloat * 0.1f // many |ties|
+        else u * 0.1f
+      }
+      (i.toLong, (if (i % 11 == 0) v.take(9) else v).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    for (nProbe <- Seq(1, 2, 4, 8); bits <- Seq(8, 16)) {
+      val both = df.select(
+          VectorFunctions.probeBuckets(col("embedding"), bits, nProbe)
+            .as("native"),
+          VectorFunctions.probeBucketsColumnForm(col("embedding"), bits,
+            nProbe).as("column"))
+        .collect()
+      both.zipWithIndex.foreach { case (r, ri) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"row $ri bits=$bits nProbe=$nProbe: " +
+            s"${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("ivfTopK: full-probe IVF equals brute force; few-probe is a subset") {
     val queries = corpus.filter($"vec_id" < 8)
     val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3)
