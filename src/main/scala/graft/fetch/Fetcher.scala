@@ -126,7 +126,11 @@ class Fetcher(
     * shape, where shuffling a huge request table to meet a tiny index
     * is the one wrong plan. Request-side broadcast keeps priority
     * (requests are usually the small side); with neither estimate
-    * under budget the join runs un-hinted as before.
+    * under budget the join runs un-hinted as before. Before hinting
+    * the segment side the index is sliced to the requests' time hull
+    * (result-identical; pushed to the scan), so an estimate computed
+    * over a thin window can never broadcast a full archive the caller
+    * happened to pass.
     */
   def fetchEventSegments(index: DataFrame, reference: String,
                          beforeNs: Long, afterNs: Long,
@@ -139,7 +143,23 @@ class Fetcher(
       .get("spark.graft.fetch.broadcastMaxSegments", "2000000").toLong
     val bcastReqs = requestEstimate.forall(_ <= reqBudget)
     val bcastSegs = !bcastReqs && segmentEstimate.exists(_ <= segBudget)
-    streamProcessor(IntervalJoin.overlapping(index, reqs,
+    // the estimate covered a padded time WINDOW, but nothing ties that
+    // to the frame the caller passed: a full-archive index next to a
+    // thin-window estimate would broadcast the whole archive. Slice the
+    // index to the requests' true time hull first — result-identical
+    // by construction (a segment outside [min t1, max t2] overlaps no
+    // request), one narrow min/max agg over the request side (cheaper
+    // than the shuffle the broadcast replaces), and the filter pushes
+    // to the parquet scan. Only paid on the segment-broadcast path.
+    val idx =
+      if (!bcastSegs) index
+      else {
+        val hull = reqs.agg(min(col("t1")).as("lo"), max(col("t2")).as("hi")).head()
+        if (hull.isNullAt(0)) index // no requests: join is empty anyway
+        else index.filter(
+          col("endtime") >= hull.getLong(0) && col("starttime") <= hull.getLong(1))
+      }
+    streamProcessor(IntervalJoin.overlapping(idx, reqs,
       keyCols = Seq("seed_id"),
       broadcastRequests = bcastReqs,
       broadcastSegments = bcastSegs))

@@ -113,24 +113,47 @@ object ProductQuantizer {
     * (Jégou §V.A trains on a held-out subset), so a 10⁷-row train
     * pass is ~100× wasted scan. Seeding, iterations, and means all
     * run on the sample; [[encode]] is unaffected (everything encodes).
+    * If the sample is too thin to seed k centroids the whole train
+    * falls back to the unsampled corpus (deterministic in (corpus,
+    * fraction, k), so replays agree).
     */
+  /** The derandomized training sample: rows whose 60-bit md5 of
+    * `"pqs:" + id` falls under `fraction` — the cross-engine hash
+    * device shared by [[fit]] and [[fitOpq]] (both sample the SAME
+    * rows, so a DuckDB replay derives one train CTE for the whole
+    * pipeline). `fraction >= 1` is the identity.
+    */
+  private[graft] def sampleByHash(corpus: DataFrame, idCol: String,
+                                  fraction: Double): DataFrame =
+    if (fraction >= 1.0) corpus
+    else {
+      graft.plans.GraftExtensions.register(corpus.sparkSession)
+      corpus.filter(
+        expr(s"md5_long60(concat('pqs:', cast($idCol as string))) " +
+          s"% 1000000 < ${(fraction * 1e6).toLong}"))
+    }
+
   def fit(corpus: DataFrame, idCol: String, vecCol: String,
           m: Int, k: Int, iters: Int,
           sampleFraction: Double = 1.0): PQModel = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1]: $sampleFraction")
-    val train =
-      if (sampleFraction >= 1.0) corpus
-      else {
-        graft.plans.GraftExtensions.register(corpus.sparkSession)
-        corpus.filter(
-          expr(s"md5_long60(concat('pqs:', cast($idCol as string))) " +
-            s"% 1000000 < ${(sampleFraction * 1e6).toLong}")
-        )
-      }
-    val first = train.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
+    val sampled = sampleByHash(corpus, idCol, sampleFraction)
+    def firstK(df: DataFrame): Seq[Seq[Float]] =
+      df.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
+    // all-or-nothing fallback: a corpus small enough that the hash
+    // sample can't seed k centroids trains UNSAMPLED (seed AND
+    // iterations — mixing "seed from full, iterate on sample" would
+    // make the replay contract conditional mid-algorithm). Determined
+    // purely by (corpus, fraction, k), so an oracle replays the same
+    // branch. Before this, sampleFraction < 1 on a small-but->=k
+    // corpus threw where fraction = 1 succeeded.
+    val sampledFirst = firstK(sampled)
+    val (train, first) =
+      if (sampledFirst.length == k || sampleFraction >= 1.0) (sampled, sampledFirst)
+      else (corpus, firstK(corpus))
     require(first.length == k,
       s"PQ fit needs >= $k rows to seed k=$k codewords, got ${first.length}")
     val d = first.head.length
@@ -951,10 +974,24 @@ object ProductQuantizer {
     * (j mod m)·subDim + j div m) → rotate corpus (scan-local) → plain
     * [[fit]] on the rotated vectors. Same scan count as [[fit]] plus
     * one second-moment pass.
+    *
+    * `sampleFraction` < 1 trains the WHOLE pipeline — the second-
+    * moment pass AND the inner Lloyd's (seed + iterations) — on the
+    * same md5-hash sample [[fit]] uses (salt `"pqs:"`, so a replay
+    * derives ONE train relation for moment, rotation, and codebooks).
+    * The rotation estimate saturates even faster than the codebooks
+    * (d² moments from ≥10⁴ vectors), so this is where the d²-mults/row
+    * full-corpus scan actually hurt at decade scale. [[encodeOpq]]
+    * is unaffected (everything rotates + encodes). A sample too thin
+    * to seed k centroids falls back to the unsampled corpus, the
+    * [[fit]] contract.
     */
   def fitOpq(corpus: DataFrame, idCol: String, vecCol: String,
              m: Int, k: Int, iters: Int,
-             powerIters: Int = 32): OPQModel = {
+             powerIters: Int = 32,
+             sampleFraction: Double = 1.0): OPQModel = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1]: $sampleFraction")
     val d = corpus.select(col(vecCol)).limit(1).collect() match {
       case Array(row) => row.getAs[scala.collection.Seq[Float]](0).length
       case _ => throw new IllegalArgumentException(
@@ -962,7 +999,13 @@ object ProductQuantizer {
     }
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val subDim = d / m
-    val (evs, lams) = eigenBasis(corpus, vecCol, d, powerIters)
+    // all-or-nothing, like fit: moment + Lloyd's read the same rows
+    val sampled = sampleByHash(corpus, idCol, sampleFraction)
+    val train =
+      if (sampleFraction >= 1.0) corpus
+      else if (sampled.limit(k).count() == k) sampled // any k rows seed
+      else corpus
+    val (evs, lams) = eigenBasis(train, vecCol, d, powerIters)
     val ranked = lams.zipWithIndex
       .sortBy { case (lam, stg) => (-lam, stg) }.map(_._2)
     val rotation = new Array[Array[Float]](d)
@@ -999,7 +1042,10 @@ object ProductQuantizer {
       a += 1
     }
     val rotSeq: Seq[Seq[Float]] = rotation.map(_.toSeq).toSeq
-    val rotated = rotateVectors(corpus, idCol, vecCol, rotSeq)
+    // rotate only the train rows — the inner fit sees a pre-sampled
+    // frame (fraction 1 here: re-filtering after the typed rotation
+    // map would not push down, and the fallback already resolved)
+    val rotated = rotateVectors(train, idCol, vecCol, rotSeq)
     OPQModel(rotSeq, fit(rotated, idCol, "remb", m, k, iters))
   }
 

@@ -81,6 +81,9 @@ object Similarity {
                         idCol: String, vecCol: String, bits: Int,
                         nProbe: Int, k: Int): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
+    // only bits+1 distinct probes exist (base + one flip per dim):
+    // clamp to match the kernel instead of ANSI-failing element_at
+    val effProbe = math.min(nProbe, bits + 1)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
       normNative(col(vecCol)).as("n_norm"), signBucket(col(vecCol), bits).as("bucket"))
     // probe expansion as UNION legs, not explode: a Generate on the
@@ -90,10 +93,10 @@ object Similarity {
     // (one per probe) sidestep the Generate entirely; nProbe is a
     // plan-time Int, so the legs unroll. Probes are distinct buckets,
     // so candidates never duplicate across legs.
-    val q = (0 until nProbe).map { j =>
+    val q = (0 until effProbe).map { j =>
         queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
           normNative(col(vecCol)).as("q_norm"),
-          element_at(probeBuckets(col(vecCol), bits, nProbe),
+          element_at(probeBuckets(col(vecCol), bits, effProbe),
             lit(j + 1)).as("bucket"))
       }.reduce(_ unionByName _)
     val w = Window.partitionBy("q_id")

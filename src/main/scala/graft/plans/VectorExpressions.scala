@@ -52,10 +52,16 @@ case class VecDot(left: Expression, right: Expression)
   * dims (Lv et al., VLDB 2007), as ONE expression.
   *
   * Value-identical to the composed Column form (sign chars from
-  * `try_element_at(a,i) > 0` — null / missing / NaN / ≤0 all read '0';
+  * `try_element_at(a,i) > 0` — null / missing / ≤0 read '0', NaN reads
+  * '1' under Spark's NaN-greatest comparison semantics;
   * flip order by (|a_i| asc, dim asc) with a null |a_i| sorting first,
-  * matching array_sort's NULLS-FIRST struct compare) — spec-pinned
-  * differentially, so the q118 oracle is unchanged.
+  * matching array_sort's NULLS-FIRST struct compare; NaN |a_i| sorts
+  * LAST like Spark's double ordering) — spec-pinned differentially, so
+  * the q118 oracle is unchanged. One divergence by design: `nProbe >
+  * bits + 1` asks for more probes than distinct Hamming-1 neighbors
+  * exist, so the output clamps at `bits + 1` buckets (the Column form
+  * threw under ANSI `element_at` there — graceful beats mid-task
+  * crash; `Similarity.lshTopKMultiProbe` clamps symmetrically).
   *
   * Why it exists: the unrolled Column form builds an O(bits·nProbe)
   * tree of concat/when/substr whose generated code trips a janino
@@ -95,13 +101,17 @@ case class ProbeBuckets(first: Expression, second: Expression,
 
 object ProbeBuckets {
   /** '1'/'0' sign char exactly like `when(try_element_at(a,i) > 0,
-    * "1").otherwise("0")`: out-of-range, null element, NaN, and ≤ 0
-    * all give '0'.
+    * "1").otherwise("0")`: out-of-range, null element, and ≤ 0 give
+    * '0'; NaN gives '1' (Spark's comparison semantics order NaN above
+    * every value, so `NaN > 0` is TRUE — Scala's IEEE `>` is false,
+    * hence the explicit branch; differentially spec-pinned).
     */
   private def signChar(a: ArrayData, i: Int): Char =
     if (a == null || i >= a.numElements() || a.isNullAt(i)) '0'
-    else if (a.getFloat(i) > 0f) '1'
-    else '0'
+    else {
+      val v = a.getFloat(i)
+      if (v > 0f || java.lang.Float.isNaN(v)) '1' else '0'
+    }
 
   def compute(a: ArrayData, bits: Int, nProbe: Int): ArrayData = {
     val base = new Array[Char](bits)
@@ -121,15 +131,27 @@ object ProbeBuckets {
       else absV(i) = math.abs(a.getFloat(j).toDouble)
       i += 1
     }
-    val sorted = idx.sortWith { (x, y) =>
-      if (isN(x) != isN(y)) isN(x) // null abs sorts first
-      else if (!isN(x) && absV(x) != absV(y)) absV(x) < absV(y)
-      else x < y
-    }
-    val out = new Array[Any](nProbe)
+    // a TOTAL order (java.lang.Double.compare: NaN sorts last, exactly
+    // Spark's double ordering in array_sort) — `<` on raw doubles made
+    // NaN components incomparable, which both diverged from the Column
+    // form and could trip TimSort's contract check mid-task
+    val sorted = idx.sorted(new Ordering[Int] {
+      def compare(x: Int, y: Int): Int = {
+        if (isN(x) != isN(y)) { if (isN(x)) -1 else 1 } // null abs first
+        else {
+          val c = if (isN(x)) 0 else java.lang.Double.compare(absV(x), absV(y))
+          if (c != 0) c else Integer.compare(x, y)
+        }
+      }
+    })
+    // only `bits` single-dim flips exist: clamp rather than AIOOBE —
+    // callers asking for more probes than distinct Hamming-1 neighbors
+    // get the full bits+1 distinct set (call sites clamp symmetrically)
+    val total = math.min(nProbe, bits + 1)
+    val out = new Array[Any](total)
     out(0) = b
     var p = 1
-    while (p < nProbe) {
+    while (p < total) {
       val flip = sorted(p - 1) - 1 // 0-based char to flip
       val chars = base.clone()
       chars(flip) = if (chars(flip) == '1') '0' else '1'

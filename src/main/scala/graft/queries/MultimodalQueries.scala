@@ -448,6 +448,12 @@ object MultimodalQueries {
           javax.imageio.ImageIO.setUseCache(false)
           it.map(id => (id, renderMotionPng(id)))
         }.toDF("doc_id", "payload")
+      // exact mode (no maxFrameDf) is safe HERE by construction: every
+      // frame's pixel surface is unique except the planted (id−21, id)
+      // copies, so frame document-frequency is ≤ 2 and no group can
+      // expand quadratically. Corpus-scale callers with boilerplate
+      // frames must pass a finite maxFrameDf (the ScaleBench hot-frame
+      // row measures that regime).
       Multimodal.sharedFramePairs(s, vids, minShared = 2)
         .select(col("a"), col("b"), col("n_shared"))
     }, Some("""

@@ -536,8 +536,9 @@ object VectorQueries {
     // ---- OPQ rotation (round 12, Ge et al. CVPR 2013 §4.1): the
     //      learned pre-split rotation — float32-cast second moment,
     //      64 fixed-count power-iteration stages (per-iteration float
-    //      casts, CGS2 orthogonalization, Rayleigh + deflation in
-    //      defined op order), eigen-ranks dealt round-robin to
+    //      casts, CGS2 reorthogonalization against all earlier stages
+    //      — NOT deflation, which compounded error on close spectra —
+    //      Rayleigh quotient in defined op order), ranks dealt round-robin to
     //      subspaces. DuckDB replays the WHOLE derivation through one
     //      recursive CTE and pins every rotation-row component and
     //      eigenvalue.
@@ -1185,8 +1186,8 @@ object VectorQueries {
     * list_transform is DuckDB's left fold — the exact shape of the
     * Scala while-loops.
     */
-  private def opqRotationCtes(powerIters: Int, m: Int,
-                              subDim: Int): String = s"""
+  private def opqRotationCtes(powerIters: Int, m: Int, subDim: Int,
+                              momentTable: String = "embeddings"): String = s"""
       opq_mom AS (
         SELECT list(rowv ORDER BY rr) AS a FROM (
           SELECT rr, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY cc)
@@ -1195,8 +1196,8 @@ object VectorQueries {
             SELECT r2 AS rr, c2 AS cc,
                    SUM(CAST(embedding[r2] AS DOUBLE)
                      * CAST(embedding[c2] AS DOUBLE))
-                     / (SELECT count(*) FROM embeddings) AS mu
-            FROM embeddings,
+                     / (SELECT count(*) FROM $momentTable) AS mu
+            FROM $momentTable,
                  unnest(range(1,65)) t1(r2), unnest(range(1,65)) t2(c2)
             GROUP BY r2, c2)
           GROUP BY rr)),

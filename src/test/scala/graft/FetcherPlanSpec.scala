@@ -138,6 +138,48 @@ class FetcherPlanSpec extends SparkSpec {
     }
   }
 
+  test("segment-side broadcast slices the index to the requests' time hull first (full-archive safety)") {
+    val (quakes, channels, index) = corpus()
+    // a "full archive": the thin-window rows plus 20x decoy rows far
+    // outside any request window — the shape where a thin-window
+    // estimate next to an unsliced frame used to broadcast everything
+    val decoys = (0 until 40000).map { i =>
+      (s"NT.S${i % 10}..BHZ", T0 + 1000 * HourNs + i * HourNs,
+        T0 + 1000 * HourNs + i * HourNs + 600_000_000_000L)
+    }.toDF("seed_id", "starttime", "endtime")
+    // parquet-backed like a real archive, so the hull filter must show
+    // up as PushedFilters on the index scan (not constant-folded away
+    // as it is for a LocalRelation)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hull").toString
+    index.unionByName(decoys).write.mode("overwrite").parquet(dir)
+    val archive = spark.read.parquet(dir)
+    val fetcher = new Fetcher(spark, quakes, channels, picks = quakes)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def run(reqEst: Option[Long], segEst: Option[Long]) = {
+        val df = fetcher
+          .fetchEventSegments(archive, "origin", HourNs, HourNs, reqEst, segEst)
+          .groupBy("event_id", "seed_id").agg(count(lit(1)).as("n"))
+        (df.queryExecution.executedPlan.toString,
+          df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+            .sortBy(t => (t._1, t._2)))
+      }
+      val (segPlan, segRows) = run(Some(3_000_000L), Some(2000L))
+      assert(segPlan.contains("Broadcast"), s"index side must broadcast:\n$segPlan")
+      // the hull slice reaches the parquet scan as pushed predicates on
+      // (endtime, starttime) — the decoy row groups never leave disk
+      assert(segPlan.contains("GreaterThanOrEqual(endtime") // in PushedFilters
+          && """starttime#\d+L? <= \d+""".r.findFirstIn(segPlan).isDefined,
+        s"expected the time-hull filter pushed to the index scan:\n$segPlan")
+      // and the slice is result-identical to the un-hinted scale plan
+      val (_, noneRows) = run(Some(3_000_000L), Some(3_000_000L))
+      assert(segRows.sameElements(noneRows), "hull slice changed RESULTS")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("estimatedSegments: sidecar day counts over the padded window, no index scan needed") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-wplan").toString

@@ -24,16 +24,27 @@ class IvfSpec extends SparkSpec {
     import graft.functions.VectorFunctions
     graft.plans.GraftExtensions.register(spark)
     // adversarial rows: duplicate |components| (tie-break by dim),
-    // zeros, negatives, a short vector, and an all-null-ish shape
+    // zeros, negatives, a short vector, an all-null-ish shape, and NaN
+    // components (Spark sorts NaN LAST among doubles and NaN > 0 is
+    // TRUE under Spark's comparison semantics — both must match)
     val rows = (0 until 300).map { i =>
       val v = Array.tabulate(16) { d =>
         val u = ((i * 37 + d * 29 + 5) % 19) - 9
-        if (i % 7 == 0) math.abs(u).toFloat * 0.1f // many |ties|
+        if (i % 13 == 0 && d % 5 == 2) Float.NaN
+        else if (i % 7 == 0) math.abs(u).toFloat * 0.1f // many |ties|
         else u * 0.1f
       }
       (i.toLong, (if (i % 11 == 0) v.take(9) else v).toSeq)
     }
     val df = rows.toDF("vec_id", "embedding")
+    // nProbe > bits+1: the kernel clamps at the bits+1 distinct probes
+    // (the Column form ANSI-throws there — graceful beats crash)
+    val clamped = df.limit(4).select(
+      VectorFunctions.probeBuckets(col("embedding"), 4, 99).as("p")).collect()
+    clamped.foreach { r =>
+      val p = r.getSeq[String](0)
+      assert(p.length == 5 && p.distinct.length == 5, s"clamp broke: $p")
+    }
     for (nProbe <- Seq(1, 2, 4, 8); bits <- Seq(8, 16)) {
       val both = df.select(
           VectorFunctions.probeBuckets(col("embedding"), bits, nProbe)

@@ -37,6 +37,18 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(codes1.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 4)))
   }
 
+  test("fit with a too-thin sample falls back to the full corpus (seed AND iterations)") {
+    // 40 rows at 1% sample ~ 0 sampled rows: before the fallback this
+    // threw at seeding even though the unsampled corpus has >= k rows
+    val c = corpus(40)
+    val sampled = ProductQuantizer.fit(c, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, sampleFraction = 0.01)
+    val full = ProductQuantizer.fit(c, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2)
+    assert(sampled.codebooks == full.codebooks,
+      "thin-sample fallback must train exactly like sampleFraction = 1")
+  }
+
   test("reconstruction: decode(encode(v)) concatenates the assigned centroids; error is argmin-optimal per subspace") {
     val c = corpus(100)
     val model = ProductQuantizer.fit(c, "vec_id", "embedding", m = 4, k = 8, iters = 2)
@@ -239,6 +251,35 @@ class ProductQuantizerSpec extends SparkSpec {
         "vec_id", "remb", o1.pq)
       .collect().map(x => x.getLong(0) -> x.getSeq[Int](1)).toMap
     assert(viaFused == viaTwo)
+  }
+
+  test("fitOpq(sampleFraction): moment + Lloyd's read exactly the md5-sample rows; thin sample falls back") {
+    val c = skewedCorpus(600)
+    // the ground truth: manually pre-filter the SAME hash sample and
+    // train unsampled on it — rotation AND codebooks must be identical
+    graft.plans.GraftExtensions.register(spark)
+    val handSample = c.filter(expr(
+      "md5_long60(concat('pqs:', cast(vec_id as string))) % 1000000 < 500000"))
+    val viaParam = ProductQuantizer.fitOpq(c, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, powerIters = 24, sampleFraction = 0.5)
+    val viaFilter = ProductQuantizer.fitOpq(handSample, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, powerIters = 24)
+    assert(viaParam.rotation == viaFilter.rotation,
+      "sampled moment pass must see exactly the hash-sample rows")
+    assert(viaParam.pq.codebooks == viaFilter.pq.codebooks,
+      "sampled inner fit must train on exactly the hash-sample rows")
+    // and the sample genuinely moved the model (it's not a no-op)
+    val full = ProductQuantizer.fitOpq(c, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, powerIters = 24)
+    assert(full.rotation != viaParam.rotation)
+    // thin sample (40 rows at 1%): falls back to unsampled, like fit
+    val tiny = skewedCorpus(40)
+    val fb = ProductQuantizer.fitOpq(tiny, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, powerIters = 24, sampleFraction = 0.01)
+    val fullTiny = ProductQuantizer.fitOpq(tiny, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, powerIters = 24)
+    assert(fb.rotation == fullTiny.rotation
+      && fb.pq.codebooks == fullTiny.pq.codebooks)
   }
 
   test("OPQ refuses a rank-deficient corpus loudly (zero-padded dim breaks the rotation identity)") {
