@@ -68,7 +68,7 @@ object ProductQuantizer {
       s => slice(vec, s * subDim + 1, lit(subDim)))
 
   /** Primitive-array form of a codebook set for hot loops. */
-  private def toArrays(cbs: Seq[Seq[Seq[Float]]]): Array[Array[Array[Float]]] =
+  private[graft] def toArrays(cbs: Seq[Seq[Seq[Float]]]): Array[Array[Array[Float]]] =
     cbs.map(_.map(_.toArray).toArray).toArray
 
   /** Nearest-centroid index (first-min tie-break) for one subspace —
@@ -459,6 +459,23 @@ object ProductQuantizer {
                       coarseArr: Array[Array[Float]],
                       cbArr: Array[Array[Array[Float]]],
                       m: Int, subDim: Int): (Int, Array[Int]) = {
+    val (cell, codes, _) = ivfCodeErr(v, coarseArr, cbArr, m, subDim)
+    (cell, codes)
+  }
+
+  /** [[ivfCode]] plus the residual's PQ reconstruction error as
+    * floor(err·1e6) — the drift statistic the streaming store's
+    * quantile sidecar summarizes. Error accumulates per-dim in INDEX
+    * order (double, left-to-right across the whole vector — the SQL
+    * list_sum fold shape), residual and centroids float32, so an
+    * oracle replays it exactly. The extra ~d mult-adds are noise next
+    * to the k·d distance search, so [[ivfCode]] just drops the error —
+    * ONE arithmetic for all three store writers.
+    */
+  private[graft] def ivfCodeErr(v: scala.collection.Seq[Float],
+                                coarseArr: Array[Array[Float]],
+                                cbArr: Array[Array[Array[Float]]],
+                                m: Int, subDim: Int): (Int, Array[Int], Long) = {
     val cell = nearest(v, 0, coarseArr)
     val cent = coarseArr(cell)
     val r = new Array[Float](v.length)
@@ -466,12 +483,21 @@ object ProductQuantizer {
     while (i < r.length) { r(i) = v(i) - cent(i); i += 1 }
     val rw: scala.collection.Seq[Float] = r
     val codes = new Array[Int](m)
+    var err = 0.0
     var s = 0
     while (s < m) {
-      codes(s) = nearest(rw, s * subDim, cbArr(s))
+      val code = nearest(rw, s * subDim, cbArr(s))
+      codes(s) = code
+      val cb = cbArr(s)(code)
+      var j = 0
+      while (j < subDim) {
+        val d = r(s * subDim + j).toDouble - cb(j).toDouble
+        err += d * d
+        j += 1
+      }
       s += 1
     }
-    (cell, codes)
+    (cell, codes, math.floor(err * 1e6).toLong)
   }
 
   def encodeIvf(corpus: DataFrame, idCol: String, vecCol: String,

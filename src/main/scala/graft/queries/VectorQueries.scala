@@ -735,6 +735,265 @@ object VectorQueries {
       WHERE rank <= 3""")
     }),
 
+    // ---- sampled OPQ training (q160, round 13): the WHOLE OPQ
+    //      pipeline — second-moment pass, power-iteration rotation,
+    //      AND the inner Lloyd's — trains on the q157 hash sample
+    //      (md5 of "pqs:"+id under the fraction); everything still
+    //      rotates + encodes. This is the knob that brings the round-12
+    //      headline (OPQ recall at zero serving cost) inside the decade
+    //      training budget: the moment pass was the last full-corpus
+    //      scan without a sampled variant. The oracle replays the
+    //      sampled moment, the full rotation derivation, the sampled
+    //      Lloyd's, and the full-table codes + recon error.
+    Q("q160_opq_sampled_codes", (s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, dir)
+      val opq = ProductQuantizer.fitOpq(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, powerIters = 4, sampleFraction = 0.5)
+      val rotated = ProductQuantizer.rotateVectors(
+        e, "vec_id", "embedding", opq.rotation)
+      rotated.withColumn("codes",
+          ProductQuantizer.codesColumn(col("remb"), opq.pq))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes_csv"),
+          floor(ProductQuantizer.reconErrColumn(
+            col("remb"), col("codes"), opq.pq) * 1e6)
+            .cast("long").as("err_micro"))
+    }, {
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "opq_rotated", vecExpr = "remb",
+        trainTable = "opq_train")).mkString(",\n      ")
+      Some(s"""
+      WITH RECURSIVE opqtrain AS (
+        SELECT * FROM embeddings
+        WHERE ('0x' || substr(md5('pqs:' || CAST(vec_id AS VARCHAR)),
+                1, 15))::BIGINT % 1000000 < 500000),
+      ${opqRotationCtes(4, 4, 16, momentTable = "opqtrain")},
+      opq_train AS (
+        SELECT r.* FROM opq_rotated r
+        JOIN opqtrain t USING (vec_id)),
+      $subCtes,
+      joined AS (
+        SELECT e.vec_id, e.remb,
+               c0.code AS k0, c1.code AS k1, c2.code AS k2, c3.code AS k3,
+               cc0.c || cc1.c || cc2.c || cc3.c AS recon
+        FROM opq_rotated e
+        JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
+        JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)
+        JOIN pq0_cent2 cc0 ON cc0.cell = c0.code
+        JOIN pq1_cent2 cc1 ON cc1.cell = c1.code
+        JOIN pq2_cent2 cc2 ON cc2.cell = c2.code
+        JOIN pq3_cent2 cc3 ON cc3.cell = c3.code)
+      SELECT vec_id,
+             CAST(k0 AS VARCHAR) || ',' || CAST(k1 AS VARCHAR) || ','
+               || CAST(k2 AS VARCHAR) || ',' || CAST(k3 AS VARCHAR)
+               AS codes_csv,
+             CAST(FLOOR(list_sum(list_transform(range(1, 65),
+               i -> (CAST(remb[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))
+                  * (CAST(remb[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))))
+               * 1e6) AS BIGINT) AS err_micro
+      FROM joined""")
+    }),
+
+    // ---- STREAMING IVFADC store maintenance (q161, round 13): half
+    //      the corpus bulk-loads the TxTable store (bootstrap), the
+    //      other half arrives through the file source in two forced
+    //      micro-batches (maxFilesPerTrigger=1) and is coarse-assigned
+    //      + residual-PQ-encoded scan-locally, committed exactly-once
+    //      per batch (appendOnce batchId tags). Encode is a pure
+    //      per-row function, so the maintained store must equal a
+    //      from-scratch encodeIvfStore rebuild row for row — which is
+    //      exactly what DuckDB derives (the q154 coarse + residual-
+    //      codebook replay, per-row cell + codes over the WHOLE
+    //      table, knowing nothing about the batching).
+    Q("q161_stream_ivf_store", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingAnnIndex
+      import graft.bank.TxTable
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q161").toString
+      val storeTx = new TxTable(s, s"$root/store")
+      val driftTx = new TxTable(s, s"$root/drift")
+      StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", coarse, pq, storeTx, driftTx)
+      val rest = e.filter(col("vec_id") % 2 === 1)
+      val vecsDir = s"$root/vecs"
+      rest.filter(col("vec_id") < 250).coalesce(1)
+        .write.mode("append").parquet(vecsDir)
+      Thread.sleep(5) // distinct mtimes: stable file-source order
+      rest.filter(col("vec_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(vecsDir)
+      StreamingAnnIndex.run(s, vecsDir, coarse, pq, storeTx, driftTx,
+        s"$root/ckpt", maxFilesPerTrigger = 1).awaitTermination()
+      storeTx.read().select(col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("codes_csv"))
+    }, {
+      val coarseCtes = kmeansCtes("cq_", k = 4, iters = 2)
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "resid", vecExpr = "r"))
+        .mkString(",\n      ")
+      Some(s"""
+      WITH $coarseCtes,
+      resid AS (SELECT a.vec_id, a.cell,
+                  list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                FROM cq_final_asgn a JOIN cq_cent2 c USING (cell)),
+      $subCtes
+      SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+             CAST(c0.code AS VARCHAR) || ',' || CAST(c1.code AS VARCHAR)
+               || ',' || CAST(c2.code AS VARCHAR) || ','
+               || CAST(c3.code AS VARCHAR) AS codes_csv
+      FROM resid r
+      JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
+      JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)""")
+    }),
+
+    // ---- ANN-store DRIFT PROBE (q162, round 13): the maintained
+    //      store's per-cell quantile sidecar (residual reconstruction
+    //      error in micros) rolled up baseline-vs-streamed. The stream
+    //      is the SAME corpus shifted +3.0 on every dim — encoded
+    //      under the baseline's coarse/PQ models, its residuals leave
+    //      the trained neighborhoods and the error quantiles jump:
+    //      drift_permille ≫ 1000 is the retrain signal. Sketch
+    //      capacity 512 > any per-cell count at this SF, so the
+    //      summaries are in their EXACT regime and DuckDB replays the
+    //      p50s as plain rank statistics (rank = max(1, ceil(q·n)) —
+    //      the quantileEstimate convention).
+    Q("q162_ann_drift_probe", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingAnnIndex
+      import graft.bank.TxTable
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q162").toString
+      val storeTx = new TxTable(s, s"$root/store")
+      val driftTx = new TxTable(s, s"$root/drift")
+      StreamingAnnIndex.bootstrap(e, "vec_id", "embedding", coarse, pq,
+        storeTx, driftTx, errC = 512)
+      // the planted shift: double-add then float cast (IEEE-defined on
+      // both engines)
+      val shifted = e.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(3.0)).cast("float")).as("embedding"))
+      val vecsDir = s"$root/vecs"
+      shifted.coalesce(1).write.mode("overwrite").parquet(vecsDir)
+      StreamingAnnIndex.run(s, vecsDir, coarse, pq, storeTx, driftTx,
+        s"$root/ckpt", errC = 512).awaitTermination()
+      StreamingAnnIndex.driftReport(driftTx, errC = 512)
+        .select(col("cell").cast("long").as("cell"), col("n_base"),
+          col("p_base"), col("n_stream"), col("p_stream"),
+          col("drift_permille"))
+    }, {
+      val coarseCtes = kmeansCtes("cq_", k = 4, iters = 2)
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "resid", vecExpr = "r"))
+        .mkString(",\n      ")
+      // per-row err: residual vs its PQ reconstruction, ONE left fold
+      // over all 64 dims in index order (the ivfCodeErr loop shape)
+      def errSql(residTable: String, codeTable: Int => String) = s"""
+        SELECT r.vec_id, r.cell,
+               CAST(FLOOR(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(r.r[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))
+                    * (CAST(r.r[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))))
+                 * 1e6) AS BIGINT) AS err
+        FROM (
+          SELECT rr.vec_id, rr.cell, rr.r,
+                 cc0.c || cc1.c || cc2.c || cc3.c AS recon
+          FROM $residTable rr
+          JOIN ${codeTable(0)} k0 USING (vec_id)
+          JOIN ${codeTable(1)} k1 USING (vec_id)
+          JOIN ${codeTable(2)} k2 USING (vec_id)
+          JOIN ${codeTable(3)} k3 USING (vec_id)
+          JOIN pq0_cent2 cc0 ON cc0.cell = k0.code
+          JOIN pq1_cent2 cc1 ON cc1.cell = k1.code
+          JOIN pq2_cent2 cc2 ON cc2.cell = k2.code
+          JOIN pq3_cent2 cc3 ON cc3.cell = k3.code) r"""
+      // the shifted table re-ENCODES under the baseline models: coarse
+      // argmin against cq_cent2, per-subspace argmin against pqN_cent2
+      def sCodes(sIdx: Int) = {
+        val lo = sIdx * 16 + 1
+        s"""scode$sIdx AS (
+          SELECT vec_id, code FROM (
+            SELECT sr.vec_id, pc.cell AS code,
+                   row_number() OVER (PARTITION BY sr.vec_id ORDER BY
+                     list_sum(list_transform(range(1, 17),
+                       i -> (CAST(sub[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))
+                          * (CAST(sub[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))))
+                       ASC, pc.cell ASC) AS rn
+            FROM (SELECT vec_id,
+                    list_transform(range($lo, ${lo + 16}), i -> r[i]) AS sub
+                  FROM sresid) sr
+            CROSS JOIN pq${sIdx}_cent2 pc)
+          WHERE rn = 1)"""
+      }
+      Some(s"""
+      WITH $coarseCtes,
+      resid AS (SELECT a.vec_id, a.cell,
+                  list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                FROM cq_final_asgn a JOIN cq_cent2 c USING (cell)),
+      $subCtes,
+      shifted AS (
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding,
+                 x -> CAST(CAST(x AS DOUBLE) + 3.0 AS FLOAT)) AS embedding
+        FROM embeddings),
+      sasgn AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(range(1, 65),
+                     i -> (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(c.c[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE)
+                           - CAST(c.c[i] AS DOUBLE)))) ASC, c.cell ASC)
+                   AS rn
+          FROM shifted e CROSS JOIN cq_cent2 c)
+        WHERE rn = 1),
+      sresid AS (SELECT a.vec_id, a.cell,
+                   list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                 FROM sasgn a JOIN cq_cent2 c USING (cell)),
+      ${(0 until 4).map(sCodes).mkString(",\n      ")},
+      berr AS (${errSql("resid", i => s"pq${i}_codes")}),
+      serr AS (${errSql("sresid", i => s"scode$i")}),
+      bq AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base,
+                    list_sort(list(err))[CAST(GREATEST(1,
+                      CEIL(0.5 * COUNT(*))) AS INT)] AS p_base
+             FROM berr GROUP BY cell),
+      sq AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_stream,
+                    list_sort(list(err))[CAST(GREATEST(1,
+                      CEIL(0.5 * COUNT(*))) AS INT)] AS p_stream
+             FROM serr GROUP BY cell)
+      SELECT CAST(COALESCE(bq.cell, sq.cell) AS BIGINT) AS cell,
+             bq.n_base, bq.p_base, sq.n_stream, sq.p_stream,
+             CAST(FLOOR(CAST(sq.p_stream AS DOUBLE) * 1000.0
+               / CAST(bq.p_base AS DOUBLE)) AS BIGINT) AS drift_permille
+      FROM bq FULL OUTER JOIN sq ON bq.cell = sq.cell""")
+    }),
+
     // ---- sampled PQ training (q157): codebooks train on the
     //      hash-sampled subset (md5 of "pqs:"+id under the fraction —
     //      the cross-engine hash device), everything still encodes —

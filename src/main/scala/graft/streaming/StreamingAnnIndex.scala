@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.bank.TxTable
+import graft.operators.{ProductQuantizer, Sketches}
+import graft.operators.ProductQuantizer.PQModel
+
+/** Incremental maintenance for the IVFADC serving store — the q147
+  * exactly-once machinery applied to ANN (round-12 verdict item):
+  * arriving vectors are coarse-assigned + residual-PQ-encoded
+  * SCAN-LOCALLY (a pure per-row projection against the broadcast
+  * codebook literals — no shuffle, no streaming state) and committed
+  * to a [[graft.bank.TxTable]] once per micro-batch via `appendOnce`'s
+  * batchId tag, so `foreachBatch`'s at-least-once replays collapse to
+  * exactly-once rows. Because the encode is a pure function of
+  * (vector, coarse, model), the maintained store is row-identical to a
+  * from-scratch [[ProductQuantizer.encodeIvfStore]] rebuild under ANY
+  * batching — the property the q161 oracle pins.
+  *
+  * Layout: each batch is sorted by `cell` before the commit, so every
+  * data file carries tight (cell) min/max row-group stats and a probe's
+  * `cell IN (...)` filter skips non-probed row groups — the append-only
+  * analog of the bulk store's `partitionBy("cell")` pruning (an
+  * append-per-batch store cannot partition-by without rewriting
+  * history; periodic `TxTable.compact()` keeps file counts flat, the
+  * WaveBank contract).
+  *
+  * DRIFT PROBE: alongside the rows, each batch appends one per-cell
+  * quantile-sketch partial (capacity `errC`) of the residual's PQ
+  * reconstruction error (floor(err·1e6) — [[ProductQuantizer
+  * .ivfCodeErr]]'s exactly-replayable statistic) into a second
+  * TxTable, tagged with the same batchId. [[driftReport]] rolls the
+  * partials up per cell (kilobytes — no store scan) and compares the
+  * streamed error distribution against the `baseline` phase written at
+  * bulk-load time: codebooks quantize what they were trained on, so a
+  * distribution shift in arriving vectors shows up as the streamed
+  * error quantiles drifting above baseline — the "retrain now" signal.
+  * The partials are an OPERATIONAL estimate: a crash between the two
+  * commits can drop one batch's partial (the store row commit is the
+  * one that is exactly-once), and [[driftBackfill]] recomputes partials
+  * from the store itself when the probe must be exact — the
+  * lag-never-lie contract the WaveBank sidecar uses.
+  */
+object StreamingAnnIndex {
+
+  /** Vector-file schema expected on the stream. */
+  def vectorSchema: StructType =
+    StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+  /** Store rows + error: (id, cell, codes, vec, err_micro) — ONE
+    * primitive pass, [[ProductQuantizer.ivfCodeErr]]'s arithmetic
+    * (shared with the bulk store, so the two can never diverge).
+    */
+  private[graft] def encodeRows(df: DataFrame, idCol: String, vecCol: String,
+                                coarse: Seq[Seq[Float]],
+                                model: PQModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coarseArr = coarse.map(_.toArray).toArray
+    val cbArr = ProductQuantizer.toArrays(model.codebooks)
+    val m = model.m
+    val subDim = model.subDim
+    df.select(col(idCol), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(it => it.map { case (id, v) =>
+        val (cell, codes, err) =
+          ProductQuantizer.ivfCodeErr(v, coarseArr, cbArr, m, subDim)
+        (id, cell, codes, v, err)
+      }).toDF(idCol, "cell", "codes", "vec", "err_micro")
+  }
+
+  /** One quantile partial per cell over `rows`' err_micro, stamped
+    * with the phase ("baseline" | "stream") and the batch tag.
+    */
+  private def partials(rows: DataFrame, errC: Int, phase: String,
+                       tag: String): DataFrame =
+    rows.groupBy("cell")
+      .agg(Sketches.quantileSketch(col("err_micro"), errC).as("sk"))
+      .withColumn("phase", lit(phase))
+      .withColumn("src_tag", lit(tag))
+
+  /** Bulk-load the store (the train-time corpus) and stamp the
+    * BASELINE drift partials — the distribution the probe compares
+    * against. Both commits are tagged, so a re-run is a no-op.
+    */
+  def bootstrap(corpus: DataFrame, idCol: String, vecCol: String,
+                coarse: Seq[Seq[Float]], model: PQModel,
+                storeTx: TxTable, driftTx: TxTable,
+                errC: Int = 128): Unit = {
+    val rows = encodeRows(corpus, idCol, vecCol, coarse, model)
+      .sort("cell")
+    storeTx.appendOnce(rows.drop("err_micro"), tag = "ann-baseline")
+    driftTx.appendOnce(
+      partials(encodeRows(corpus, idCol, vecCol, coarse, model),
+        errC, "baseline", "ann-baseline"),
+      tag = "ann-drift-baseline")
+    ()
+  }
+
+  /** Start (by default drain) the incremental maintainer: parquet
+    * vector files under `vecsDir` → encoded store rows (exactly-once)
+    * + per-batch drift partials. Append-only dirs only — the file
+    * source keys processed files by path (the q147/runBank contract).
+    */
+  def run(spark: SparkSession, vecsDir: String,
+          coarse: Seq[Seq[Float]], model: PQModel,
+          storeTx: TxTable, driftTx: TxTable,
+          checkpointDir: String, idCol: String = "vec_id",
+          vecCol: String = "embedding", errC: Int = 128,
+          availableNow: Boolean = true,
+          maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(vectorSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(vecsDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = encodeRows(batch, idCol, vecCol, coarse, model)
+          .localCheckpoint(true) // one encode feeds both commits
+        storeTx.appendOnce(rows.drop("err_micro").sort("cell"),
+          tag = s"ann-batch-$batchId")
+        driftTx.appendOnce(partials(rows, errC, "stream", s"ann-batch-$batchId"),
+          tag = s"ann-drift-$batchId")
+        rows.unpersist()
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** The drift probe: per-cell rollup of the persisted partials
+    * (kilobytes in, one row per cell out — the store is never
+    * scanned), baseline vs streamed phases side by side. Emits, per
+    * cell: rows seen and the q-quantile of the error distribution for
+    * each phase, plus `drift_permille` = ⌊1000·p_stream/p_base⌋
+    * (1000 = parity; a planted distribution shift pushes it up — the
+    * retrain signal; see the spec + BASELINE drift row for where the
+    * bar belongs). Cells with no streamed rows yet carry nulls on the
+    * stream side, never a fabricated parity.
+    */
+  def driftReport(driftTx: TxTable, errC: Int = 128,
+                  q: Double = 0.5): DataFrame = {
+    val rolled = driftTx.read()
+      .groupBy("cell", "phase")
+      .agg(Sketches.quantileMerge(col("sk"), errC).as("rsk"))
+      .select(col("cell"), col("phase"),
+        Sketches.quantileN(col("rsk")).as("n"),
+        Sketches.quantileEstimate(col("rsk"), q).as("p"))
+    val base = rolled.filter(col("phase") === "baseline")
+      .select(col("cell"), col("n").as("n_base"), col("p").as("p_base"))
+    val stream = rolled.filter(col("phase") === "stream")
+      .select(col("cell"), col("n").as("n_stream"), col("p").as("p_stream"))
+    base.join(stream, Seq("cell"), "full_outer")
+      .select(col("cell"), col("n_base"), col("p_base"),
+        col("n_stream"), col("p_stream"),
+        floor(col("p_stream") * 1000.0 / col("p_base")).cast("long")
+          .as("drift_permille"))
+  }
+
+  /** Exact recomputation of ONE consolidated partial set from the
+    * store rows themselves (an O(store) scan — the backfill path when
+    * a crash between the two batch commits left the estimate short;
+    * results come from the store, the probe only ever lags).
+    * `phase` tags which side of [[driftReport]] the rebuilt partials
+    * feed. Vectors re-encode through the same [[ProductQuantizer
+    * .ivfCodeErr]] arithmetic, so the rebuilt statistic is identical
+    * to what the inline partials summarized.
+    */
+  def driftBackfill(storeTx: TxTable, coarse: Seq[Seq[Float]],
+                    model: PQModel, phase: String,
+                    idCol: String = "vec_id",
+                    errC: Int = 128): DataFrame = {
+    val rows = storeTx.read().select(col(idCol), col("vec"))
+    partials(encodeRows(rows, idCol, "vec", coarse, model),
+      errC, phase, "backfill")
+  }
+}

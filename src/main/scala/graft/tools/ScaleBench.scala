@@ -677,6 +677,13 @@ object ScaleBench {
       val (m, k) =
         if (parts.length >= 3) (parts(1).toInt, parts(2).toInt)
         else (8, 256)
+      // 4th field: train-sample fraction for a THIRD model — sampled
+      // OPQ (q160's regime: moment pass + rotation + Lloyd's all on
+      // the hash sample). The round-12 gap: plain PQ trained 60×
+      // faster sampled while fitOpq still paid two full-corpus scans
+      // (d² mults/row for the moment). Decade-up corpora want ~1e5/n.
+      val sampleFrac =
+        if (parts.length >= 4) parts(3).toDouble else 1.0
       val (corpus, corpusTag) = embCorpus(spark, n)
       val rawDir = s"$root/opq_raw_${corpusTag}_$n"
       corpus.write.mode("overwrite").parquet(rawDir)
@@ -732,6 +739,27 @@ object ScaleBench {
       val rrPlain = recallOf(ProductQuantizer.adcRerankTopK(
         plainCodes, e, "doc_id", "embedding", plain, queries,
         k = 10, candidates = 100))
+      // sampled OPQ: the same pipeline with moment + Lloyd's on the
+      // hash sample — wall vs full-scan train, recall on its own codes
+      val sampledJson = if (sampleFrac >= 1.0) "" else {
+        val t2 = System.nanoTime()
+        val opqS = ProductQuantizer.fitOpq(e, "doc_id", "embedding",
+          m = m, k = k, iters = 3, powerIters = 32,
+          sampleFraction = sampleFrac)
+        val trainSampledS = (System.nanoTime() - t2) / 1e9
+        val sCodes = ProductQuantizer.encodeOpq(
+          e, "doc_id", "embedding", opqS).persist()
+        val sRotated = ProductQuantizer.rotateVectors(
+          e, "doc_id", "embedding", opqS.rotation)
+        val errS = totErr(sCodes, sRotated, "remb", opqS.pq)
+        val rS = recallOf(ProductQuantizer.adcTopKOpq(
+          sCodes, "doc_id", opqS, queries, k = 10))
+        sCodes.unpersist()
+        s""","sample_fraction":$sampleFrac,""" +
+          s""""train_opq_sampled_s":${fmt(trainSampledS)},""" +
+          s""""recon_err_opq_sampled":${fmt(errS)},""" +
+          s""""recall_opq_sampled":${fmt(rS, 4)}"""
+      }
       plainCodes.unpersist(); opqCodes.unpersist()
       s""","opq":{"vecs":$n,"m":$m,"k":$k,"corpus":"$corpusTag",""" +
         s""""train_plain_s":${fmt(trainPlainS)},""" +
@@ -740,7 +768,7 @@ object ScaleBench {
         s""""recon_err_opq":${fmt(errOpq)},""" +
         s""""recall_plain":${fmt(rPlain, 4)},""" +
         s""""recall_opq":${fmt(rOpq, 4)},""" +
-        s""""recall_plain_rerank100":${fmt(rrPlain, 4)}}"""
+        s""""recall_plain_rerank100":${fmt(rrPlain, 4)}$sampledJson}"""
     }.getOrElse("")
 
     // DataFrame-batch ADC (env GRAFT_SCALE_PQBATCH=<vecs>:<queries>
@@ -1423,6 +1451,108 @@ object ScaleBench {
       s""","ann_stream":{"corpus":$nc,"queries":$nq,"s":${fmt(r.secs)},""" +
         s""""queries_per_sec":${fmt(nq / r.secs, 0)},"rows":${r.emitted},""" +
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
+    }.getOrElse("")
+
+    // Incremental IVFADC store maintenance (env GRAFT_SCALE_ANNSTORE=
+    // <vecs>[:cells:m:k]): the q161/q162 layer at scale — bootstrap
+    // the TxTable serving store, stream vecs/10 NEW in-distribution
+    // arrivals through StreamingAnnIndex in 8 forced micro-batches,
+    // then: (a) REQUIRE the maintained store checksum-equals a from-
+    // scratch encodeIvfStore rebuild (the exactly-once + pure-encode
+    // claim, at scale); (b) time the driftReport rollup — kilobyte
+    // partials, never a store scan, so the wall must stay flat in n;
+    // (c) record drift_permille for the in-distribution arrivals
+    // (parity band) and for a +3.0-shifted copy (the retrain signal).
+    val annStoreJson = sys.env.get("GRAFT_SCALE_ANNSTORE").map { spec =>
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingAnnIndex
+      import graft.bank.TxTable
+      val parts = spec.split(':')
+      val n = parts(0).trim.toLong
+      val (cells, m, k) =
+        if (parts.length >= 4) (parts(1).toInt, parts(2).toInt, parts(3).toInt)
+        else (64, 8, 256)
+      val (corpus, corpusTag) = embCorpus(spark, n)
+      val rawDir = s"$root/annstore_raw_$n"
+      corpus.write.mode("overwrite").parquet(rawDir)
+      val e = spark.read.parquet(rawDir)
+      // models train on the hash sample (the q157/q160 regime — train
+      // cost must not drown the maintenance walls this row is about)
+      val trainFrac = math.min(1.0, 2e5 / n)
+      val trainSet = ProductQuantizer.sampleByHash(e, "doc_id", trainFrac)
+      val (coarse, _) = KMeans.fit(trainSet, "doc_id", "embedding",
+        k = cells, iters = 2)
+      val resid = KMeans.assign(trainSet, "doc_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+        .select(col("doc_id"), col("r"))
+      val pq = ProductQuantizer.fit(resid, "doc_id", "r",
+        m = m, k = k, iters = 2)
+      val nArr = math.max(8L, n / 10)
+      // in-distribution arrivals: same generator regime, disjoint ids
+      val arrivals = embQueries(spark, nArr)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      def maintain(arr: DataFrame, tag: String)
+          : (TxTable, TxTable, Double, Double) = {
+        val storeTx = new TxTable(spark, s"$root/annstore_${tag}_$n/store")
+        val driftTx = new TxTable(spark, s"$root/annstore_${tag}_$n/drift")
+        val b0 = System.nanoTime()
+        StreamingAnnIndex.bootstrap(
+          e.select(col("doc_id").as("vec_id"), col("embedding")),
+          "vec_id", "embedding", coarse, pq, storeTx, driftTx)
+        val bootS = (System.nanoTime() - b0) / 1e9
+        val vecsDir = s"$root/annstore_${tag}_$n/vecs"
+        arr.withColumn("slice", pmod(col("vec_id"), lit(8L)))
+          .repartition(8, col("slice")).drop("slice")
+          .write.mode("overwrite").parquet(vecsDir)
+        val s0 = System.nanoTime()
+        StreamingAnnIndex.run(spark, vecsDir, coarse, pq, storeTx,
+          driftTx, s"$root/annstore_${tag}_$n/ckpt",
+          maxFilesPerTrigger = 1).awaitTermination()
+        (storeTx, driftTx, bootS, (System.nanoTime() - s0) / 1e9)
+      }
+      val (storeTx, driftTx, bootS, appendS) = maintain(arrivals, "indist")
+      // (a) the maintained store == from-scratch rebuild, by checksum
+      def chk(df: DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(col("vec_id"), col("cell"),
+            concat_ws(",", transform(col("codes"), _.cast("string"))))
+            .as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val maintained = chk(storeTx.read())
+      val rebuilt = chk(ProductQuantizer.encodeIvfStore(
+        e.select(col("doc_id").as("vec_id"), col("embedding"))
+          .unionByName(arrivals),
+        "vec_id", "embedding", coarse, pq))
+      require(maintained == rebuilt,
+        s"maintained store $maintained != rebuild $rebuilt")
+      // (b) + (c): probe wall and the two drift distributions
+      val d0 = System.nanoTime()
+      val inDist = StreamingAnnIndex.driftReport(driftTx)
+        .select("drift_permille").collect()
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).sorted
+      val driftS = (System.nanoTime() - d0) / 1e9
+      val shifted = arrivals.select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(3.0)).cast("float")).as("embedding"))
+      val (_, driftTx2, _, _) = maintain(shifted, "shift")
+      val shiftDrift = StreamingAnnIndex.driftReport(driftTx2)
+        .select("drift_permille").collect()
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).sorted
+      def med(xs: Array[Long]): Long =
+        if (xs.isEmpty) -1L else xs(xs.length / 2)
+      s""","ann_store":{"vecs":$n,"arrivals":$nArr,"cells":$cells,""" +
+        s""""m":$m,"k":$k,"corpus":"$corpusTag",""" +
+        s""""bootstrap_s":${fmt(bootS)},""" +
+        s""""append_s":${fmt(appendS)},""" +
+        s""""append_vecs_per_sec":${fmt(nArr / appendS, 0)},""" +
+        s""""store_rows":${maintained._1},"rebuild_match":1,""" +
+        s""""drift_report_s":${fmt(driftS)},""" +
+        s""""drift_indist_med":${med(inDist)},""" +
+        s""""drift_indist_max":${if (inDist.isEmpty) -1L else inDist.last},""" +
+        s""""drift_shift_med":${med(shiftDrift)},""" +
+        s""""drift_shift_min":${if (shiftDrift.isEmpty) -1L else shiftDrift.head}}"""
     }.getOrElse("")
 
     // MinHash banding sweep (env GRAFT_SCALE_MINHASH_SWEEP=<docs>):
@@ -2371,7 +2501,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:

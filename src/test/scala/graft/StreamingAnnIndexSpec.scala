@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.bank.TxTable
+import graft.operators.{KMeans, ProductQuantizer}
+import graft.streaming.StreamingAnnIndex
+
+/** Incremental IVFADC serving-store maintenance: the streamed store
+  * must be row-identical to a from-scratch rebuild under any batching
+  * (encode is a pure per-row function; appendOnce makes batches
+  * exactly-once), served results identical, and the drift probe must
+  * move under a planted distribution shift while staying at parity on
+  * an in-distribution stream.
+  */
+class StreamingAnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered corpus: 4 well-separated axis clusters + small noise. */
+  private def corpus(ids: Range, shift: Float = 0f) = {
+    val rows = ids.map { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(16)(d =>
+        (if (d == cluster * 4) 10f else 0f) +
+          ((i * 31 + d * 7) % 5) * 0.1f + shift)
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def trainedOn(df: org.apache.spark.sql.DataFrame) = {
+    val (coarse, _) = KMeans.fit(df, "vec_id", "embedding", k = 4, iters = 2)
+    val resid = KMeans.assign(df, "vec_id", "embedding", coarse)
+      .withColumn("r", zip_with(col("embedding"),
+        element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+      .select("vec_id", "r")
+    (coarse, ProductQuantizer.fit(resid, "vec_id", "r", m = 4, k = 4, iters = 2))
+  }
+
+  private def writeBatches(dir: String,
+                           dfs: Seq[org.apache.spark.sql.DataFrame]): Unit =
+    // distinct subfile per slice with increasing mtimes so the file
+    // source sees a stable order (the multi-batch replay contract)
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+
+  test("streamed store == from-scratch encodeIvfStore rebuild; serving identical") {
+    val base = corpus(0 until 120)
+    val (coarse, model) = trainedOn(base)
+    val root = Files.createTempDirectory("graft-annidx").toString
+    val storeTx = new TxTable(spark, s"$root/store")
+    val driftTx = new TxTable(spark, s"$root/drift")
+
+    StreamingAnnIndex.bootstrap(base, "vec_id", "embedding", coarse, model,
+      storeTx, driftTx)
+
+    // arrivals in 3 files -> forced multi-batch (maxFilesPerTrigger=1)
+    val arrivals = Seq(corpus(200 until 240), corpus(240 until 270),
+      corpus(270 until 300))
+    val vecsDir = s"$root/vecs"
+    writeBatches(vecsDir, arrivals)
+    val q = StreamingAnnIndex.run(spark, vecsDir, coarse, model,
+      storeTx, driftTx, s"$root/ckpt", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
+        r.getAs[scala.collection.Seq[Float]]("vec").toSeq)
+    val streamed = storeTx.read().collect().map(key).toSet
+    val full = base.unionByName(arrivals.reduce(_ unionByName _))
+    val rebuilt = ProductQuantizer.encodeIvfStore(
+      full, "vec_id", "embedding", coarse, model).collect().map(key).toSet
+    assert(streamed == rebuilt,
+      "maintained store must equal the from-scratch rebuild")
+
+    // and the composed serving pipeline reads the tx store unchanged
+    val queries = base.filter($"vec_id" < 4).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    def served(store: org.apache.spark.sql.DataFrame) =
+      ProductQuantizer.ivfAdcRerankTopK(store, "vec_id", "vec",
+        coarse, model, queries, k = 3, nprobe = 2, candidates = 8)
+        .collect().map(_.toSeq).toSet
+    assert(served(storeTx.read()) ==
+      served(ProductQuantizer.encodeIvfStore(
+        full, "vec_id", "embedding", coarse, model)))
+  }
+
+  test("drift probe: parity on in-distribution arrivals, moves under a planted shift") {
+    val base = corpus(0 until 160)
+    val (coarse, model) = trainedOn(base)
+    val root = Files.createTempDirectory("graft-anndrift").toString
+
+    def probe(stream: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long, Long)] = {
+      val storeTx = new TxTable(spark, s"$root/s${System.nanoTime()}")
+      val driftTx = new TxTable(spark, s"$root/d${System.nanoTime()}")
+      StreamingAnnIndex.bootstrap(base, "vec_id", "embedding", coarse, model,
+        storeTx, driftTx)
+      val vecsDir = s"$root/v${System.nanoTime()}"
+      stream.coalesce(1).write.mode("overwrite").parquet(vecsDir)
+      StreamingAnnIndex.run(spark, vecsDir, coarse, model, storeTx, driftTx,
+        s"$root/c${System.nanoTime()}").awaitTermination()
+      StreamingAnnIndex.driftReport(driftTx).collect().map(r =>
+        r.getAs[Int]("cell") -> ((r.getAs[Long]("p_base"),
+          r.getAs[Long]("p_stream"), r.getAs[Long]("drift_permille")))).toMap
+    }
+
+    // in-distribution arrivals: same generator, new ids -> parity-ish
+    val inDist = probe(corpus(1000 until 1160))
+    assert(inDist.nonEmpty)
+    inDist.foreach { case (cell, (pb, ps, permille)) =>
+      assert(permille > 500 && permille < 2000,
+        s"in-distribution cell $cell drifted: base $pb stream $ps ($permille)")
+    }
+    // planted shift: +3.0 on every dim — residuals leave the trained
+    // codebook's neighborhoods, error quantiles jump
+    val shifted = probe(corpus(1000 until 1160, shift = 3.0f))
+    assert(shifted.values.forall(_._3 > 2000),
+      s"planted shift must move the probe: $shifted")
+  }
+
+  test("driftBackfill from the store matches the inline stream partials") {
+    val base = corpus(0 until 120)
+    val (coarse, model) = trainedOn(base)
+    val root = Files.createTempDirectory("graft-annbf").toString
+    val storeTx = new TxTable(spark, s"$root/store")
+    val driftTx = new TxTable(spark, s"$root/drift")
+    StreamingAnnIndex.bootstrap(base, "vec_id", "embedding", coarse, model,
+      storeTx, driftTx)
+    import graft.operators.Sketches
+    def rolled(parts: org.apache.spark.sql.DataFrame) = parts
+      .groupBy("cell")
+      .agg(Sketches.quantileMerge(col("sk"), 128).as("rsk"))
+      .select(col("cell"), Sketches.quantileN(col("rsk")).as("n"),
+        Sketches.quantileEstimate(col("rsk"), 0.5).as("p50"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val inline = rolled(driftTx.read().filter(col("phase") === "baseline"))
+    val backfill = rolled(StreamingAnnIndex.driftBackfill(
+      storeTx, coarse, model, phase = "baseline"))
+    assert(inline == backfill,
+      "store-derived partials must reproduce the inline statistic")
+  }
+}
