@@ -110,8 +110,11 @@ class Fetcher(
     * hint is obeyed, not reconsidered). Pass `requestEstimate` (from
     * [[estimatedRequests]] — a kilobyte sidecar read, no catalog
     * scan) and the fetch broadcasts only while the estimate fits
-    * `spark.graft.fetch.broadcastMaxRequests` (default 2,000,000
-    * request rows); past it the join runs un-hinted, where the
+    * `spark.graft.fetch.broadcastMaxRequests` (default 1,000,000
+    * request rows — round 13 lowered it from 2M: at 1.6M requests the
+    * forced broadcast measured SLOWER than shuffled locally, so the
+    * old default sat past the crossover; see BASELINE's crossover
+    * sweep); past it the join runs un-hinted, where the
     * planner's own machinery (RangeJoinStrategy's packed broadcast of
     * whichever side fits, BandedRangeJoinRule's banded SMJ when
     * nothing does) picks the scale path. Estimate quality moves
@@ -122,7 +125,7 @@ class Fetcher(
     * sidecar twin) lets the planner broadcast the SEGMENT side when
     * the request side outgrew its budget but the time-windowed index
     * slice still fits `spark.graft.fetch.broadcastMaxSegments`
-    * (default 2,000,000) — the months-of-events × thin-index-window
+    * (default 1,000,000, lowered with the request budget) — the months-of-events × thin-index-window
     * shape, where shuffling a huge request table to meet a tiny index
     * is the one wrong plan. Request-side broadcast keeps priority
     * (requests are usually the small side); with neither estimate
@@ -138,9 +141,9 @@ class Fetcher(
                          segmentEstimate: Option[Long] = None): DataFrame = {
     val reqs = eventRequests(reference, beforeNs, afterNs)
     val reqBudget = spark.conf
-      .get("spark.graft.fetch.broadcastMaxRequests", "2000000").toLong
+      .get("spark.graft.fetch.broadcastMaxRequests", "1000000").toLong
     val segBudget = spark.conf
-      .get("spark.graft.fetch.broadcastMaxSegments", "2000000").toLong
+      .get("spark.graft.fetch.broadcastMaxSegments", "1000000").toLong
     val bcastReqs = requestEstimate.forall(_ <= reqBudget)
     val bcastSegs = !bcastReqs && segmentEstimate.exists(_ <= segBudget)
     // the estimate covered a padded time WINDOW, but nothing ties that

@@ -27,6 +27,12 @@ object VectorFunctions {
     */
   def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** Native squared-L2 distance (one fused primitive loop, codegen'd
+    * via `graft.plans.VecL2`) — the `adcTable`/`probeCells` fold as a
+    * Column, for distance-ranked serving plans.
+    */
+  def l2Native(a: Column, b: Column): Column = call_function("vec_l2", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity: dot / (|a|·|b|), op order fixed. */

@@ -381,7 +381,7 @@ object ProductQuantizer {
     */
   def adcTopKBatch(codes: DataFrame, idCol: String, model: PQModel,
                    queries: DataFrame, qIdCol: String, qVecCol: String,
-                   k: Int, maxQueryRows: Int = 1 << 20): DataFrame = {
+                   k: Int, maxQueryRows: Int = 100000): DataFrame = {
     val qs = collectQueries(queries, qIdCol, qVecCol, maxQueryRows,
       model.m * model.subDim, "adcTopKBatch")
     val cbArr = toArrays(model.codebooks)
@@ -419,7 +419,11 @@ object ProductQuantizer {
 
   /** Bounded gather of a query frame: at most `maxQueryRows` rows, each
     * dim-checked. The loud limit keeps the broadcast float block sized
-    * (maxQueryRows·d·4 bytes) instead of an opaque driver OOM.
+    * (maxQueryRows·d·4 bytes) instead of an opaque driver OOM. The
+    * default (10⁵ rows ≈ 25 MB at d = 64) is deliberately modest:
+    * bigger batches are legitimate — raise the bound CONSCIOUSLY and
+    * budget the per-executor broadcast copy — but a default measured
+    * in hundreds of MB would make the failure mode an accident.
     */
   private def collectQueries(queries: DataFrame, qIdCol: String,
                              qVecCol: String, maxQueryRows: Int,
@@ -597,7 +601,7 @@ object ProductQuantizer {
                             queries: DataFrame, qIdCol: String,
                             qVecCol: String, k: Int, nprobe: Int,
                             candidates: Int,
-                            maxQueryRows: Int = 1 << 20): DataFrame = {
+                            maxQueryRows: Int = 100000): DataFrame = {
     val qs = collectQueries(queries, qIdCol, qVecCol, maxQueryRows,
       model.m * model.subDim, "ivfAdcRerankTopKBatch")
     ivfAdcRerankTopK(store, idCol, vecCol, coarse, model,
@@ -740,7 +744,7 @@ object ProductQuantizer {
                       coarse: Seq[Seq[Float]], model: PQModel,
                       queries: DataFrame, qIdCol: String, qVecCol: String,
                       k: Int, nprobe: Int,
-                      maxQueryRows: Int = 1 << 20): DataFrame = {
+                      maxQueryRows: Int = 100000): DataFrame = {
     require(nprobe >= 1 && nprobe <= coarse.length,
       s"nprobe $nprobe out of [1, ${coarse.length}]")
     val coarseArr = coarse.map(_.toArray).toArray

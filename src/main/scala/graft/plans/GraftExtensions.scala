@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.haversineDescriptor)
     e.injectFunction(GraftExtensions.vecDotDescriptor)
+    e.injectFunction(GraftExtensions.vecL2Descriptor)
     e.injectFunction(GraftExtensions.probeBucketsDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
@@ -56,6 +57,16 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       buildVecDot)
+
+  private def buildVecL2(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "vec_l2(a, b)")
+    VecL2(exprs(0), exprs(1))
+  }
+
+  val vecL2Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vec_l2"),
+      new ExpressionInfo(classOf[VecL2].getName, "vec_l2"),
+      buildVecL2)
 
   private def buildProbeBuckets(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "probe_buckets(vec, bits, nProbe)")
@@ -239,6 +250,11 @@ object GraftExtensions {
         .functionExists(FunctionIdentifier("probe_buckets")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "probe_buckets", buildProbeBuckets, "built-in")
+    // round-13 addition, same newest-builder probe
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("vec_l2")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_l2", buildVecL2, "built-in")
     if (spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("freq_union"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

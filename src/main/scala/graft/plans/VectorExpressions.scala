@@ -162,6 +162,54 @@ object ProbeBuckets {
   }
 }
 
+/** Native squared-L2 distance over two `array<float>` columns —
+  * [[VecDot]]'s sibling for the distance-ranked ANN paths. Floats
+  * widen to double before the subtraction, squared differences
+  * accumulate left-to-right: exactly the `adcTable`/`probeCells` fold
+  * in `ProductQuantizer`, so a streaming serving plan built on this
+  * expression is bit-identical to the batch heaps (spec-pinned). Null
+  * on length mismatch or a null element, like VecDot.
+  */
+case class VecL2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecL2.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.plans.VecL2.compute($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
+object VecL2 {
+  /** Shared kernel for interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
 object VecDot {
   /** Shared kernel for interpreted eval and generated code. Returns
     * null (boxed) exactly when the zip_with/aggregate composition

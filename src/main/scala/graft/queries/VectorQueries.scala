@@ -994,6 +994,124 @@ object VectorQueries {
       FROM bq FULL OUTER JOIN sq ON bq.cell = sq.cell""")
     }),
 
+    // ---- STREAMING IVFADC serving (q163, round 13): the PQ family's
+    //      serving path joins q111 (LSH) and q113 (IVF floats) — the
+    //      q154 query set replays through the file source, probes the
+    //      code store scan-locally (probe selection, float32
+    //      residuals, and per-subspace ADC folds as native vec_l2
+    //      expressions — bit-identical to the batch heaps), and emits
+    //      the top-3 when the watermark closes the window: EXACTLY the
+    //      q154 result, window-stamped. The store's float tier is
+    //      never read.
+    Q("q163_stream_ivfadc", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingSimilarity
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val store = ProductQuantizer.encodeIvfStore(
+        e, "vec_id", "embedding", coarse, pq).persist()
+      store.count()
+      val t0 = 1_600_000_000_000_000_000L
+      val qs = e.filter(col("vec_id") < 6)
+        .select(col("vec_id"), col("embedding"),
+          (lit(t0) + col("vec_id") * lit(1_000_000L)).as("ts"))
+      val flushVec = e.orderBy("vec_id")
+        .select("embedding").head().getSeq[Float](0) // 1 row: flush payload
+      val flush = s.range(1).select(lit(999999999L).as("vec_id"),
+        typedLit(flushVec.toSeq).as("embedding"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q163").toString
+      qs.unionByName(flush).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
+      val changes = StreamingSimilarity.ivfAdcStream(stream, store,
+        "vec_id", "embedding", "ts", coarse, pq, nprobe = 2, k = 3)
+      val sink = "q163_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink).localCheckpoint(true) // eager: safe to unpersist
+      s.catalog.dropTempView(sink)
+      store.unpersist()
+      out
+    }, {
+      val coarseCtes = kmeansCtes("cq_", k = 4, iters = 2)
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "resid", vecExpr = "r"))
+        .mkString(",\n      ")
+      def qrSlice(sIdx: Int) = {
+        val lo = sIdx * 16 + 1
+        s"list_transform(range($lo, ${lo + 16}), i -> qr[i])"
+      }
+      val dtCtes = (0 until 4).map { sIdx =>
+        s"""ivfdt$sIdx AS (
+          SELECT p.q_id, p.cell AS pcell, pc.cell AS code,
+            list_sum(list_transform(range(1, 17),
+              i -> (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))
+                 * (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))))
+              AS ds
+          FROM (SELECT q_id, cell, ${qrSlice(sIdx)} AS qs FROM probes) p
+          CROSS JOIN pq${sIdx}_cent2 pc)"""
+      }.mkString(",\n      ")
+      Some(s"""
+      WITH $coarseCtes,
+      resid AS (SELECT a.vec_id, a.cell,
+                  list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                FROM cq_final_asgn a JOIN cq_cent2 c USING (cell)),
+      $subCtes,
+      probes AS (
+        SELECT q_id, cell, qr FROM (
+          SELECT q.vec_id AS q_id, c.cell,
+            list_transform(range(1, 65),
+              i -> CAST(q.embedding[i] - c.c[i] AS FLOAT)) AS qr,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, 65),
+                i -> (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE))
+                   * (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE)))) ASC, c.cell ASC) AS pr
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 6) q
+          CROSS JOIN cq_cent2 c)
+        WHERE pr <= 2),
+      $dtCtes,
+      adist AS (
+        SELECT d0.q_id, c0.vec_id AS nn_id,
+               ((d0.ds + d1.ds) + d2.ds) + d3.ds AS dist
+        FROM pq0_codes c0
+        JOIN pq1_codes c1 USING (vec_id) JOIN pq2_codes c2 USING (vec_id)
+        JOIN pq3_codes c3 USING (vec_id)
+        JOIN (SELECT vec_id, cell FROM resid) rc USING (vec_id)
+        JOIN ivfdt0 d0 ON d0.pcell = rc.cell AND d0.code = c0.code
+        JOIN ivfdt1 d1 ON d1.pcell = rc.cell AND d1.code = c1.code
+          AND d1.q_id = d0.q_id
+        JOIN ivfdt2 d2 ON d2.pcell = rc.cell AND d2.code = c2.code
+          AND d2.q_id = d0.q_id
+        JOIN ivfdt3 d3 ON d3.pcell = rc.cell AND d3.code = c3.code
+          AND d3.q_id = d0.q_id)
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             q_id, nn_id,
+             CAST(FLOOR(dist * 1e6) AS BIGINT) AS adc_micro,
+             CAST(rank AS INT) AS rank
+      FROM (SELECT q_id, nn_id, dist, row_number() OVER
+              (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS rank
+            FROM adist)
+      WHERE rank <= 3""")
+    }),
+
     // ---- sampled PQ training (q157): codebooks train on the
     //      hash-sampled subset (md5 of "pqs:"+id under the fraction —
     //      the cross-engine hash device), everything still encodes —

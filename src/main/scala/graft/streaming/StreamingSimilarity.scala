@@ -194,6 +194,85 @@ object StreamingSimilarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Append-mode streaming IVFADC — the PQ family's serving path
+    * beside [[ivfStream]] (cells + full floats) and [[annStream]]
+    * (sign-LSH): arriving queries probe the CODE store (the
+    * [[graft.operators.ProductQuantizer.encodeIvfStore]] /
+    * [[StreamingAnnIndex]] layout — only (id, cell, codes) is read,
+    * never the float tier) and rank candidates by asymmetric distance,
+    * bit-identical to the batch `ivfAdcTopK` heaps.
+    *
+    * Shape: the q113 stream-static join. Probe selection, float32
+    * residuals, and the per-subspace distance folds all run as
+    * SCAN-LOCAL expressions on the query side — the hot fold is the
+    * native `vec_l2` kernel (whole-stage codegen; the composed HOF
+    * form pays ~1 ms/row interpreted at production geometry), the
+    * codebook rides the plan as a literal (m·k·subDim floats — KBs),
+    * and per-candidate cost is m native folds of subDim (= d mult-adds
+    * — the same flops the batch table LOOKUP amortizes; a streaming
+    * batch cannot collect its queries driver-side, so the table trick
+    * does not apply and the direct fold is the honest scale path).
+    * State is the per-(window, query) candidate buffer: (dist, id)
+    * pairs only, never vectors or codes — O(window × Q · k) after the
+    * bounded top-k slice.
+    *
+    * Output (append changelog): `window_ns, q_id, nn_id, adc_micro,
+    * rank` — q154's batch columns, window-stamped.
+    */
+  def ivfAdcStream(queries: DataFrame, codeStore: DataFrame,
+                   idCol: String, vecCol: String, tsCol: String,
+                   coarse: Seq[Seq[Float]],
+                   model: graft.operators.ProductQuantizer.PQModel,
+                   nprobe: Int, k: Int,
+                   watermark: String = "10 seconds",
+                   windowDur: String = "6 hours"): DataFrame = {
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe out of [1, ${coarse.length}]")
+    val centLit = typedLit(coarse)
+    val cbLit = typedLit(model.codebooks)
+    val nCells = coarse.size
+    val m = model.m
+    val subDim = model.subDim
+    // probe selection: squared-L2 to every centroid (double, the
+    // probeCells fold), (dist asc, cell asc) — then the float32
+    // residual per probed cell (the encodeIvf arithmetic)
+    val probes = queries
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("q_id")
+      .withColumn("_d2", transform(centLit, c => l2Native(col("q_vec"), c)))
+      .select(col("q_id"), col("q_vec"), col("_ts"),
+        explode(slice(array_sort(zip_with(col("_d2"),
+          sequence(lit(0), lit(nCells - 1)),
+          (d, i) => struct(d.as("d2"), i.cast("int").as("cell")))),
+          1, nprobe)).as("p"))
+      .select(col("q_id"), col("_ts"), col("p.cell").as("cell"),
+        zip_with(col("q_vec"), element_at(centLit, col("p.cell") + 1),
+          (x, y) => x - y).as("qr"))
+    // per-candidate ADC distance: m native subspace folds summed in
+    // subspace order — the adcScan accumulation, expression-side
+    val dist = (0 until m).map { s =>
+      l2Native(slice(col("qr"), s * subDim + 1, subDim),
+        element_at(element_at(cbLit, s + 1),
+          element_at(col("codes"), s + 1) + 1))
+    }.reduce(_ + _)
+    probes
+      .join(codeStore.select(col(idCol).as("nn_id"), col("cell"),
+        col("codes")), Seq("cell"))
+      .withColumn("dist", dist)
+      .groupBy(window(col("_ts"), windowDur).as("w"), col("q_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        col("dist").as("d"), col("nn_id").as("id")))), 1, k).as("top"))
+      .select(col("w"), col("q_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+        col("q_id"), col("t.id").as("nn_id"),
+        floor(col("t.d") * 1e6).cast("long").as("adc_micro"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Append-mode streaming ANN: each query vector arriving on
     * `queries` (with an epoch-ns long event-time column) probes its
     * sign bucket of the STATIC `corpus` and emits its top-k neighbors

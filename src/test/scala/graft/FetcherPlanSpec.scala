@@ -69,6 +69,17 @@ class FetcherPlanSpec extends SparkSpec {
       val (bigPlan, bigRows) = planOf(Some(3_000_000L)) // > default budget
       assert(!requestsBroadcast(bigPlan),
         s"over-budget estimate must NOT force a request broadcast:\n$bigPlan")
+      // the round-13 default (1M, down from 2M): 1.6M — the point where
+      // the forced broadcast measured SLOWER than shuffled — now lands
+      // on the shuffled path by default, and 0.9M still broadcasts
+      val (xoverPlan, xoverRows) = planOf(Some(1_600_000L))
+      assert(!requestsBroadcast(xoverPlan),
+        s"1.6M (past the measured crossover) must not broadcast:\n$xoverPlan")
+      assert(xoverRows.sameElements(smallRows))
+      val (underPlan, underRows) = planOf(Some(900_000L))
+      assert(requestsBroadcast(underPlan),
+        s"0.9M (under the 1M default) must broadcast:\n$underPlan")
+      assert(underRows.sameElements(smallRows))
       assert(bigPlan.contains("SortMergeJoin")
           && bigPlan.contains("_graft_band"),
         s"over-budget fetch should land on the banded SMJ scale path:\n$bigPlan")

@@ -156,6 +156,16 @@ class ProductQuantizerSpec extends SparkSpec {
         qDf, "q_id", "qv", k = 5, maxQueryRows = 3)
     }
     assert(e.getMessage.contains("maxQueryRows"), e.getMessage)
+    // and the DEFAULT bound is the modest 10^5 (a ~25 MB float block
+    // at d=64): an over-sized batch fails loudly at the default too
+    val wide = spark.range(100001)
+      .select(col("id").as("q_id"),
+        typedlit(Seq.fill(16)(0.5f)).as("qv"))
+    val e2 = intercept[IllegalArgumentException] {
+      ProductQuantizer.adcTopKBatch(codes, "vec_id", model,
+        wide, "q_id", "qv", k = 5)
+    }
+    assert(e2.getMessage.contains("maxQueryRows=100000"), e2.getMessage)
     // composed rerank batch form == Seq form
     val store = ProductQuantizer.encodeIvfStore(
       c, "vec_id", "embedding", coarse, pq)

@@ -89,6 +89,51 @@ class StreamingAnnIndexSpec extends SparkSpec {
         full, "vec_id", "embedding", coarse, model)))
   }
 
+  test("ivfAdcStream emits exactly the batch ivfAdcTopK result, window-stamped") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingSimilarity
+    val base = corpus(0 until 150)
+    val (coarse, model) = trainedOn(base)
+    val store = ProductQuantizer.encodeIvfStore(
+      base, "vec_id", "embedding", coarse, model).persist()
+    store.count()
+    val t0 = 1_600_000_000_000_000_000L
+    val qs = base.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding",
+        (lit(t0) + $"vec_id" * lit(1_000_000L)).as("ts"))
+    val flushVec = base.orderBy("vec_id")
+      .select("embedding").head().getSeq[Float](0)
+    val flush = spark.range(1).select(lit(999999999L).as("vec_id"),
+      typedlit(flushVec.toSeq).as("embedding"),
+      lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+    val tmp = Files.createTempDirectory("graft-adcstream").toString
+    qs.unionByName(flush).repartition(4)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema).parquet(tmp)
+    val changes = StreamingSimilarity.ivfAdcStream(stream, store,
+      "vec_id", "embedding", "ts", coarse, model, nprobe = 2, k = 3)
+    val sink = "adcstream_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = changes.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(sink)
+      .select("q_id", "nn_id", "adc_micro", "rank")
+      .collect().map(_.toSeq).toSet
+    spark.catalog.dropTempView(sink)
+    val queries = base.filter($"vec_id" < 10).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val batch = ProductQuantizer.ivfAdcTopK(store, "vec_id", coarse,
+        model, queries, k = 3, nprobe = 2)
+      .select(col("q_id"), col("nn_id"),
+        floor(col("dist") * 1e6).cast("long").as("adc_micro"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    store.unpersist()
+    assert(streamed == batch,
+      s"stream ${streamed.size} rows vs batch ${batch.size}")
+  }
+
   test("drift probe: parity on in-distribution arrivals, moves under a planted shift") {
     val base = corpus(0 until 160)
     val (coarse, model) = trainedOn(base)

@@ -25,6 +25,23 @@ class VecDotSpec extends SparkSpec {
     assert(df.filter(col("hof").isNull).count() == 0)
   }
 
+  test("vec_l2 equals the zip_with/aggregate squared-difference composition bit-for-bit") {
+    graft.plans.GraftExtensions.register(spark)
+    val hofL2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val df = randVecs(500, 64, seed = 11)
+      .withColumn("hof", hofL2(col("a"), col("b")))
+      .withColumn("native", VectorFunctions.l2Native(col("a"), col("b")))
+    assert(df.filter(col("hof") =!= col("native")).count() == 0)
+    assert(df.filter(col("hof").isNull).count() == 0)
+    // null on length mismatch, like vec_dot
+    val mm = Seq((1L, Array(1f, 2f, 3f), Array(3f, 4f))).toDF("id", "a", "b")
+    assert(mm.select(VectorFunctions.l2Native(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("vec_dot null semantics match zip_with padding: length mismatch and null element") {
     graft.plans.GraftExtensions.register(spark)
     val df = Seq(
