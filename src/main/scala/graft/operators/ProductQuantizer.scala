@@ -879,16 +879,40 @@ object ProductQuantizer {
       m0(row.getAs[Int]("r"))(row.getAs[Int]("c")) =
         row.getAs[Double]("mu").toFloat.toDouble
     }
-    val a = m0 // constant: stages separate by REORTHOGONALIZATION,
-    // never deflation — deflating an UNCONVERGED (mixed) vector on a
-    // closely-spaced spectrum leaves indefinite residue that later
-    // stages re-extract (measured: negative Rayleigh values by stage
-    // ~50 and stage vectors re-converging onto recorded ones, dot 1.0,
-    // on the decay-0.94 clustered corpus). Projecting A·v off the
-    // recorded stages EVERY iteration keeps each stage inside the
-    // orthogonal complement, so errors never compound: R·Rᵀ−I lands at
-    // ~5e-8 and the Rayleigh values match the true spectrum to 4–5
-    // digits on the same corpus that broke deflation.
+    eigenStages(m0, d, powerIters)
+  }
+
+  /** The driver-side derandomized eigen loop over a constant symmetric
+    * matrix `a` — extracted from [[eigenBasis]] so the non-parametric
+    * OPQ's Procrustes SVD (power stages on M·Mᵀ) replays through the
+    * SAME arithmetic the q155 CTEs pin. Stages separate by
+    * REORTHOGONALIZATION, never deflation — deflating an UNCONVERGED
+    * (mixed) vector on a closely-spaced spectrum leaves indefinite
+    * residue that later stages re-extract (measured: negative Rayleigh
+    * values by stage ~50 and stage vectors re-converging onto recorded
+    * ones, dot 1.0, on the decay-0.94 clustered corpus). Projecting
+    * A·v off the recorded stages EVERY iteration keeps each stage
+    * inside the orthogonal complement, so errors never compound:
+    * R·Rᵀ−I lands at ~5e-8 and the Rayleigh values match the true
+    * spectrum to 4–5 digits on the same corpus that broke deflation.
+    */
+  /** @param completeDegenerate a stage whose CGS2 residual falls under
+    *   1e-6 (the iterate is unit-norm, so the floor is scale-free —
+    *   genuine residuals are O(1), degenerate ones sit at the float32
+    *   cast noise ~1e-8 and NORMALIZING one destroys orthogonality,
+    *   which then cascades through every later projection) is replaced
+    *   by the first standard basis vector whose CGS2 residual clears
+    *   0.25 — a deterministic orthonormal completion. OFF by default:
+    *   [[fitOpq]] WANTS the rank-deficiency to surface at its loud
+    *   orthonormality gate; the Procrustes solve turns it ON because
+    *   its input M = E[x·ŷᵀ] is rank ≤ k·m BY CONSTRUCTION at small
+    *   codebooks and the completed directions carry zero tr(R·M)
+    *   weight — any orthonormal completion is equally optimal.
+    */
+  private[graft] def eigenStages(a: Array[Array[Double]], d: Int,
+                                 powerIters: Int,
+                                 completeDegenerate: Boolean = false)
+      : (Array[Array[Float]], Array[Float]) = {
     val evs = new Array[Array[Float]](d)
     val lams = new Array[Float](d)
     val seed = 0.125 // = 1/sqrt(d) at d = 64, float-exact
@@ -974,12 +998,63 @@ object ProductQuantizer {
       var i = 0
       while (i < d) { nr2 += u(i) * u(i); i += 1 }
       val nrm2 = math.sqrt(nr2)
-      val uf = new Array[Float](d)
-      i = 0
-      while (i < d) {
-        uf(i) = if (nrm2 > 1e-30) (u(i) / nrm2).toFloat else u(i).toFloat
-        i += 1
-      }
+      val uf: Array[Float] =
+        if (completeDegenerate && nrm2 <= 1e-6) {
+          // degenerate stage: complete with the first basis vector
+          // whose CGS2 residual clears 0.25 (some e_j must — `stage`
+          // recorded vectors leave residual² ≥ (d−stage)/d ≥ 1/d for
+          // the best candidate). Deterministic, so replays take the
+          // same branch on the same matrix.
+          var picked: Array[Float] = null
+          var cand = 0
+          while (cand < d && picked == null) {
+            val wc = new Array[Double](d)
+            wc(cand) = 1.0
+            var pass = 0
+            while (pass < 2) {
+              val dots = new Array[Double](stage)
+              var e = 0
+              while (e < stage) {
+                val ev = evs(e)
+                var dot = 0.0
+                var x = 0
+                while (x < d) { dot += wc(x) * ev(x).toDouble; x += 1 }
+                dots(e) = dot
+                e += 1
+              }
+              var r2 = 0
+              while (r2 < d) {
+                var proj = 0.0
+                var e2 = 0
+                while (e2 < stage) {
+                  proj += dots(e2) * evs(e2)(r2).toDouble; e2 += 1
+                }
+                wc(r2) -= proj
+                r2 += 1
+              }
+              pass += 1
+            }
+            var n2 = 0.0
+            var x2 = 0
+            while (x2 < d) { n2 += wc(x2) * wc(x2); x2 += 1 }
+            val nrm = math.sqrt(n2)
+            if (nrm > 0.25)
+              picked = Array.tabulate(d)(rr => (wc(rr) / nrm).toFloat)
+            cand += 1
+          }
+          require(picked != null,
+            s"eigen stage $stage: no completion candidate cleared the " +
+              "residual bound — recorded stages are not orthonormal")
+          picked
+        } else {
+          val out = new Array[Float](d)
+          i = 0
+          while (i < d) {
+            out(i) = if (nrm2 > 1e-30) (u(i) / nrm2).toFloat else u(i).toFloat
+            i += 1
+          }
+          out
+        }
       // Rayleigh on the (constant) second moment, defined order — the
       // variance along this stage, feeding the allocation sort
       var lam = 0.0
@@ -1044,14 +1119,25 @@ object ProductQuantizer {
       rotation((j % m) * subDim + j / m) = evs(ranked(j))
       j += 1
     }
-    // the OPQ serving identity (rotated distances == original
-    // distances, Ge §3) holds ONLY for an orthonormal R. A
-    // rank-deficient second moment (an always-zero padding dim, exact
-    // duplicated dims) confines the power iterations to the data's
-    // span; once the recorded stages exhaust it, CGS2 reduces the next
-    // stage to renormalized rounding noise — neither orthogonal nor
-    // unit-independent. Verify R·Rᵀ ≈ I (d²·d flops on KBs) and fail
-    // LOUDLY instead of serving silently wrong neighbors.
+    requireOrthonormal(rotation, d)
+    val rotSeq: Seq[Seq[Float]] = rotation.map(_.toSeq).toSeq
+    // rotate only the train rows — the inner fit sees a pre-sampled
+    // frame (fraction 1 here: re-filtering after the typed rotation
+    // map would not push down, and the fallback already resolved)
+    val rotated = rotateVectors(train, idCol, vecCol, rotSeq)
+    OPQModel(rotSeq, fit(rotated, idCol, "remb", m, k, iters))
+  }
+
+  /** The OPQ serving identity (rotated distances == original
+    * distances, Ge §3) holds ONLY for an orthonormal R. A
+    * rank-deficient input (an always-zero padding dim, exact
+    * duplicated dims) confines the power iterations to the data's
+    * span; once the recorded stages exhaust it, CGS2 reduces the next
+    * stage to renormalized rounding noise — neither orthogonal nor
+    * unit-independent. Verify R·Rᵀ ≈ I (d²·d flops on KBs) and fail
+    * LOUDLY instead of serving silently wrong neighbors.
+    */
+  private def requireOrthonormal(rotation: Array[Array[Float]], d: Int): Unit = {
     var a = 0
     while (a < d) {
       var b = a
@@ -1065,18 +1151,254 @@ object ProductQuantizer {
         val want = if (a == b) 1.0 else 0.0
         require(math.abs(dot - want) < 1e-3,
           s"OPQ rotation is not orthonormal (row $a · row $b = $dot): " +
-            "the corpus second moment is rank-deficient (zero/duplicate " +
-            "dims) — drop degenerate dims or use plain PQ")
+            "the input is rank-deficient (zero/duplicate dims) — drop " +
+            "degenerate dims or use plain PQ")
         b += 1
       }
       a += 1
     }
-    val rotSeq: Seq[Seq[Float]] = rotation.map(_.toSeq).toSeq
-    // rotate only the train rows — the inner fit sees a pre-sampled
-    // frame (fraction 1 here: re-filtering after the typed rotation
-    // map would not push down, and the fallback already resolved)
-    val rotated = rotateVectors(train, idCol, vecCol, rotSeq)
-    OPQModel(rotSeq, fit(rotated, idCol, "remb", m, k, iters))
+  }
+
+  /** The cross-covariance the Procrustes step solves against:
+    * M = mean over the train rows of x·ŷᵀ, where x is the ORIGINAL
+    * vector and ŷ the PQ reconstruction of the codes of R·x (Ge §4.2's
+    * non-parametric objective min ||R·x − ŷ||²). One scan-local
+    * primitive pass emitting d² tiny partial rows (the [[eigenBasis]]
+    * moment-pass shape); entries mean-normalized and float32-cast so a
+    * replay absorbs partition-order sum noise.
+    */
+  private[graft] def debugCrossCov(train: DataFrame, idCol: String,
+                                   vecCol: String, opq: OPQModel,
+                                   d: Int): Array[Array[Double]] =
+    crossCovariance(train, idCol, vecCol, opq, d)
+
+  private def crossCovariance(train: DataFrame, idCol: String,
+                              vecCol: String, opq: OPQModel,
+                              d: Int): Array[Array[Double]] = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val rot = opq.rotation.map(_.toArray).toArray
+    val cbArr = toArrays(opq.pq.codebooks)
+    val m = opq.pq.m
+    val subDim = opq.pq.subDim
+    val rows = train.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { it =>
+        val sums = Array.ofDim[Double](d, d)
+        var n = 0L
+        it.foreach { v =>
+          val rv: scala.collection.Seq[Float] = rotate(v, rot)
+          val recon = new Array[Float](d)
+          var s = 0
+          while (s < m) {
+            val cb = cbArr(s)(nearest(rv, s * subDim, cbArr(s)))
+            var j = 0
+            while (j < subDim) { recon(s * subDim + j) = cb(j); j += 1 }
+            s += 1
+          }
+          var r = 0
+          while (r < d) {
+            val xr = v(r).toDouble
+            val row = sums(r)
+            var c = 0
+            while (c < d) { row(c) += xr * recon(c).toDouble; c += 1 }
+            r += 1
+          }
+          n += 1L
+        }
+        if (n == 0L) Iterator.empty
+        else (for (r <- (0 until d).iterator; c <- (0 until d).iterator)
+          yield (r, c, sums(r)(c), n)).iterator
+      }.toDF("r", "c", "ps", "n")
+      .groupBy("r", "c")
+      .agg((sum("ps") / sum("n")).as("mu"))
+      .collect()
+    val mm = Array.ofDim[Double](d, d)
+    rows.foreach { row =>
+      mm(row.getAs[Int]("r"))(row.getAs[Int]("c")) =
+        row.getAs[Double]("mu").toFloat.toDouble
+    }
+    mm
+  }
+
+  /** Deterministic orthogonal-Procrustes solve: R = V·Uᵀ from the SVD
+    * of M, derived WITHOUT a direct SVD routine — U = the q155 power-
+    * iteration eigen stages of the symmetric S = M·Mᵀ (the machinery
+    * the recursive-CTE replay already pins), σ·v_i = Mᵀ·u_i. Every
+    * product is a defined-order left fold and v/R entries float32-cast,
+    * so DuckDB replays the whole solve through the same CTE family.
+    */
+  private[graft] def procrustesRotation(mm: Array[Array[Double]], d: Int,
+                                        powerIters: Int)
+      : Array[Array[Float]] = {
+    // S = M·Mᵀ (driver-side, defined j-order folds)
+    val s = Array.tabulate(d, d) { (r, c) =>
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += mm(r)(j) * mm(c)(j); j += 1 }
+      acc
+    }
+    val (us, _) = eigenStages(s, d, powerIters, completeDegenerate = true)
+    // Frobenius norm of M — the scale the collapsed-stage floor is
+    // relative to (defined summation order)
+    val froNorm = {
+      var acc = 0.0
+      var r = 0
+      while (r < d) {
+        var c = 0
+        while (c < d) { acc += mm(r)(c) * mm(r)(c); c += 1 }
+        r += 1
+      }
+      math.sqrt(acc)
+    }
+    // v_i = Mᵀ·u_i / ||Mᵀ·u_i||, then CGS2 against the RECORDED v's in
+    // stage order: with finitely-converged u's a singular-value cluster
+    // mixes ACROSS σ levels, and the raw v's inherit σ-weighted
+    // mixtures that are no longer mutually orthogonal (measured: R row
+    // norms up to 2.3). Re-orthonormalizing V keeps R = V·Uᵀ orthogonal
+    // BY CONSTRUCTION — optimality then degrades only as much as the
+    // eigen solve itself did, never the serving identity. Same
+    // defined-order folds + float32 casts as the eigen stage ends, so
+    // the replay machinery covers it.
+    val vs = new Array[Array[Float]](d)
+    var i = 0
+    while (i < d) {
+      val u = us(i)
+      val w = new Array[Double](d)
+      var r = 0
+      while (r < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += mm(j)(r) * u(j).toDouble; j += 1 }
+        w(r) = acc
+        r += 1
+      }
+      var pass = 0
+      while (pass < 2) {
+        val dots = new Array[Double](i)
+        var e = 0
+        while (e < i) {
+          val ve = vs(e)
+          var dot = 0.0
+          var x = 0
+          while (x < d) { dot += w(x) * ve(x).toDouble; x += 1 }
+          dots(e) = dot
+          e += 1
+        }
+        r = 0
+        while (r < d) {
+          var proj = 0.0
+          e = 0
+          while (e < i) { proj += dots(e) * vs(e)(r).toDouble; e += 1 }
+          w(r) -= proj
+          r += 1
+        }
+        pass += 1
+      }
+      var nr = 0.0
+      r = 0
+      while (r < d) { nr += w(r) * w(r); r += 1 }
+      val sigma = math.sqrt(nr)
+      // a collapsed stage (σ under the float32-cast noise floor of M —
+      // the tail singular directions of a decaying spectrum drown in
+      // the cast) contributes ~nothing to tr(R·M), so ANY orthonormal
+      // completion is equally optimal: take the FIRST standard basis
+      // vector whose CGS2 residual against the recorded v's clears
+      // 0.25 (some e_j must — i recorded vectors leave residual² ≥
+      // (d−i)/d for the best candidate). Deterministic, so the replay
+      // takes the same branch on the same (hash-equal) M.
+      val floor = 1e-9 * froNorm
+      vs(i) =
+        if (sigma > floor) Array.tabulate(d)(rr => (w(rr) / sigma).toFloat)
+        else {
+          var picked: Array[Float] = null
+          var cand = 0
+          while (cand < d && picked == null) {
+            val wc = new Array[Double](d)
+            wc(cand) = 1.0
+            var pass = 0
+            while (pass < 2) {
+              val dots = new Array[Double](i)
+              var e = 0
+              while (e < i) {
+                val ve = vs(e)
+                var dot = 0.0
+                var x = 0
+                while (x < d) { dot += wc(x) * ve(x).toDouble; x += 1 }
+                dots(e) = dot
+                e += 1
+              }
+              r = 0
+              while (r < d) {
+                var proj = 0.0
+                var e2 = 0
+                while (e2 < i) { proj += dots(e2) * vs(e2)(r).toDouble; e2 += 1 }
+                wc(r) -= proj
+                r += 1
+              }
+              pass += 1
+            }
+            var n2 = 0.0
+            r = 0
+            while (r < d) { n2 += wc(r) * wc(r); r += 1 }
+            val nrm = math.sqrt(n2)
+            if (nrm > 0.25)
+              picked = Array.tabulate(d)(rr => (wc(rr) / nrm).toFloat)
+            cand += 1
+          }
+          require(picked != null,
+            s"Procrustes stage $i: no completion candidate cleared the " +
+              "residual bound — recorded stages are not orthonormal")
+          picked
+        }
+      i += 1
+    }
+    // R = V·Uᵀ: R_rc = Σ_i v_i(r)·u_i(c), stage-order fold, float cast
+    Array.tabulate(d, d) { (r, c) =>
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += vs(i)(r).toDouble * us(i)(c).toDouble; i += 1 }
+      acc.toFloat
+    }
+  }
+
+  /** Non-parametric OPQ (Ge §4.2): initialize with the parametric
+    * eigenbasis rotation, then alternate {fit codebooks on R·x, solve
+    * the orthogonal Procrustes R = argmin Σ||R·x − ŷ||²}. Each
+    * alternation costs one codebook train plus one d²-per-row
+    * cross-covariance pass; R converges toward the rotation that is
+    * optimal FOR THE CODEBOOKS rather than for the raw spectrum —
+    * the recall ceiling on non-Gaussian corpora where the parametric
+    * eigenbasis stops short. Fully derandomized: the SVD is power
+    * stages on M·Mᵀ (the q155 CTE machinery), so the whole alternation
+    * replays in DuckDB (q164). Sampling contract identical to
+    * [[fitOpq]].
+    */
+  def fitOpqNp(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int, iters: Int,
+               powerIters: Int = 32, alternations: Int = 1,
+               sampleFraction: Double = 1.0): OPQModel = {
+    require(alternations >= 1, s"alternations must be >= 1: $alternations")
+    val init = fitOpq(corpus, idCol, vecCol, m, k, iters, powerIters,
+      sampleFraction)
+    val d = m * init.pq.subDim
+    // the SAME resolved train set fitOpq used (all-or-nothing fallback)
+    val sampled = sampleByHash(corpus, idCol, sampleFraction)
+    val train =
+      if (sampleFraction >= 1.0) corpus
+      else if (sampled.limit(k).count() == k) sampled
+      else corpus
+    var opq = init
+    var a = 0
+    while (a < alternations) {
+      val mm = crossCovariance(train, idCol, vecCol, opq, d)
+      val rot = procrustesRotation(mm, d, powerIters)
+      requireOrthonormal(rot, d)
+      val rotSeq: Seq[Seq[Float]] = rot.map(_.toSeq).toSeq
+      val rotated = rotateVectors(train, idCol, vecCol, rotSeq)
+      opq = OPQModel(rotSeq, fit(rotated, idCol, "remb", m, k, iters))
+      a += 1
+    }
+    opq
   }
 
   /** Encode under OPQ: rotate + [[encode]], fused into one scan-local

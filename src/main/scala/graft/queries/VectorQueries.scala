@@ -1112,6 +1112,209 @@ object VectorQueries {
       WHERE rank <= 3""")
     }),
 
+    // ---- NON-PARAMETRIC OPQ (q164, round 13, Ge et al. CVPR 2013
+    //      §4.2): initialize with the parametric eigenbasis rotation,
+    //      train codebooks, then ONE alternation — cross-covariance
+    //      M = mean x·ŷᵀ (x original, ŷ the reconstruction of R·x),
+    //      orthogonal Procrustes R = V·Uᵀ with U = the q155 power
+    //      stages of S = M·Mᵀ and V = CGS2-reorthonormalized Mᵀu/σ —
+    //      and a codebook re-fit in the new rotation. DuckDB replays
+    //      the ENTIRE alternation: R₀ recursion, first Lloyd's, M, S,
+    //      a SECOND power-stage recursion, the sequential V recursion,
+    //      R₁ = V·Uᵀ, re-rotation, second Lloyd's, final codes + recon
+    //      error. At this geometry M = E[x·ŷᵀ] is rank ≤ k·m = 16 BY
+    //      CONSTRUCTION (ŷ spans the codebook products), so ~50 of the
+    //      64 U/V stages go through the deterministic basis-COMPLETION
+    //      branch (first e_j whose CGS2 residual clears 0.25 — zero
+    //      tr(R·M) weight, any orthonormal completion equally optimal)
+    //      — the replay pins the completion arithmetic too, not just
+    //      the converged stages.
+    Q("q164_opq_nonparametric", (s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, dir)
+      val opq = ProductQuantizer.fitOpqNp(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, powerIters = 4, alternations = 1)
+      val rotated = ProductQuantizer.rotateVectors(
+        e, "vec_id", "embedding", opq.rotation)
+      rotated.withColumn("codes",
+          ProductQuantizer.codesColumn(col("remb"), opq.pq))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes_csv"),
+          floor(ProductQuantizer.reconErrColumn(
+            col("remb"), col("codes"), opq.pq) * 1e6)
+            .cast("long").as("err_micro"))
+    }, {
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "opq_rotated", vecExpr = "remb"))
+        .mkString(",\n      ")
+      val nqCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "np_rotated", vecExpr = "remb",
+        namePrefix = "nq")).mkString(",\n      ")
+      Some(s"""
+      WITH RECURSIVE ${opqRotationCtes(4, 4, 16)},
+      $subCtes,
+      np_recon AS MATERIALIZED (
+        SELECT e.vec_id, cc0.c || cc1.c || cc2.c || cc3.c AS recon
+        FROM opq_rotated e
+        JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
+        JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)
+        JOIN pq0_cent2 cc0 ON cc0.cell = c0.code
+        JOIN pq1_cent2 cc1 ON cc1.cell = c1.code
+        JOIN pq2_cent2 cc2 ON cc2.cell = c2.code
+        JOIN pq3_cent2 cc3 ON cc3.cell = c3.code),
+      np_m AS MATERIALIZED (
+        SELECT list(rowv ORDER BY rr) AS mmv FROM (
+          SELECT rr, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY cc)
+                   AS rowv
+          FROM (
+            SELECT r2 AS rr, c2 AS cc,
+                   SUM(CAST(e.embedding[r2] AS DOUBLE)
+                     * CAST(rec.recon[c2] AS DOUBLE))
+                     / (SELECT count(*) FROM embeddings) AS mu
+            FROM embeddings e JOIN np_recon rec USING (vec_id),
+                 unnest(range(1,65)) t1(r2), unnest(range(1,65)) t2(c2)
+            GROUP BY r2, c2)
+          GROUP BY rr)),
+      np_s AS (
+        SELECT list(rowv ORDER BY rr) AS a FROM (
+          SELECT rr, list(sv ORDER BY cc) AS rowv FROM (
+            SELECT t1.rr AS rr, t2.cc AS cc,
+                   list_sum(list_transform(range(1,65),
+                     j -> mmv[rr][j] * mmv[cc][j])) AS sv
+            FROM np_m, unnest(range(1,65)) t1(rr),
+                 unnest(range(1,65)) t2(cc))
+          GROUP BY rr)),
+      ${powerStagesCtes("np_", "(SELECT a FROM np_s)", 4, complete = true)},
+      np_fro AS (
+        SELECT sqrt(list_sum(list_transform(flatten(mmv),
+          x -> x * x))) AS fro
+        FROM np_m),
+      np_vrec(i, vlist) AS (
+        SELECT 0, CAST([] AS DOUBLE[][])
+        UNION ALL
+        SELECT i + 1, list_append(vlist, vfin) FROM (
+          SELECT k5.*,
+                 CASE WHEN sig > 1e-9 * fro
+                   THEN list_transform(range(1,65), x ->
+                     CAST(CAST(w2b[x] / sig AS FLOAT) AS DOUBLE))
+                   ELSE list_transform(range(1,65), x ->
+                     CAST(CAST(kcands[kjp][x] / kcnorms[kjp] AS FLOAT)
+                       AS DOUBLE)) END AS vfin
+          FROM (
+            SELECT k4.*,
+                   CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                     list_filter(range(1,65),
+                       j -> kcnorms[j] > 0.25)[1] END AS kjp
+            FROM (
+              SELECT k3.*,
+                     CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                       list_transform(kcands, cr ->
+                         sqrt(list_sum(list_transform(cr, x -> x * x))))
+                       END AS kcnorms
+              FROM (
+                SELECT k2.*,
+                       CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                         list_transform(range(1,65), j ->
+                           list_transform(range(1,65), x ->
+                             kcands1[j][x] - COALESCE(list_sum(
+                               list_transform(range(1, len(vlist) + 1),
+                                 e -> kcdots[j][e] * vlist[e][x])), 0.0)))
+                         END AS kcands
+                FROM (
+                  SELECT k1.*,
+                         CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                           list_transform(kcands1, cr ->
+                             list_transform(range(1, len(vlist) + 1),
+                               e -> list_sum(list_transform(range(1,65),
+                                      x -> cr[x] * vlist[e][x]))))
+                           END AS kcdots
+                  FROM (
+                    SELECT s1.*,
+                           CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                             list_transform(range(1,65), j ->
+                               list_transform(range(1,65), x ->
+                                 (CASE WHEN x = j THEN 1.0 ELSE 0.0 END)
+                                   - COALESCE(list_sum(list_transform(
+                                       range(1, len(vlist) + 1),
+                                       e -> vlist[e][j] * vlist[e][x])),
+                                     0.0)))
+                             END AS kcands1
+                    FROM (
+            SELECT s1a.*,
+                   sqrt(list_sum(list_transform(w2b, x -> x * x))) AS sig
+            FROM (
+              SELECT s0b.*,
+                     list_transform(range(1,65), x ->
+                       w1b[x] - COALESCE(list_sum(list_transform(
+                         range(1, len(vlist) + 1),
+                         e -> d2[e] * vlist[e][x])), 0.0)) AS w2b
+              FROM (
+                SELECT s0.*,
+                       list_transform(range(1, len(vlist) + 1),
+                         e -> list_sum(list_transform(range(1,65),
+                                x -> w1b[x] * vlist[e][x]))) AS d2
+                FROM (
+                  SELECT w0b.*,
+                         list_transform(range(1,65), x ->
+                           w0[x] - COALESCE(list_sum(list_transform(
+                             range(1, len(vlist) + 1),
+                             e -> d1[e] * vlist[e][x])), 0.0)) AS w1b
+                  FROM (
+                    SELECT w00.*,
+                           list_transform(range(1, len(vlist) + 1),
+                             e -> list_sum(list_transform(range(1,65),
+                                    x -> w0[x] * vlist[e][x]))) AS d1
+                    FROM (
+                      SELECT np_vrec.i, np_vrec.vlist, nf.fro,
+                             list_transform(range(1,65), r ->
+                               list_sum(list_transform(range(1,65),
+                                 j -> m.mmv[j][r]
+                                   * f.evs[np_vrec.i + 1][j]))) AS w0
+                      FROM np_vrec, np_m m, np_final f, np_fro nf
+                      WHERE np_vrec.i < 64) w00) w0b) s0) s0b) s1a)
+                    s1) k1) k2) k3) k4) k5)),
+      np_rot AS MATERIALIZED (
+        SELECT rr, list(val ORDER BY cc) AS rv FROM (
+          SELECT t1.rr AS rr, t2.cc AS cc,
+                 CAST(CAST(list_sum(list_transform(range(1,65),
+                   i2 -> vl.vlist[i2][t1.rr] * f.evs[i2][t2.cc]))
+                   AS FLOAT) AS DOUBLE) AS val
+          FROM (SELECT vlist FROM np_vrec WHERE i = 64) vl,
+               np_final f,
+               unnest(range(1,65)) t1(rr), unnest(range(1,65)) t2(cc))
+        GROUP BY rr),
+      np_rotated AS MATERIALIZED (
+        SELECT vec_id, list(comp ORDER BY rr) AS remb FROM (
+          SELECT e.vec_id, r.rr,
+                 CAST(CAST(list_sum(list_transform(range(1,65),
+                   i -> r.rv[i] * CAST(e.embedding[i] AS DOUBLE)))
+                   AS FLOAT) AS DOUBLE) AS comp
+          FROM embeddings e CROSS JOIN np_rot r)
+        GROUP BY vec_id),
+      $nqCtes,
+      joined AS (
+        SELECT e.vec_id, e.remb,
+               c0.code AS k0, c1.code AS k1, c2.code AS k2, c3.code AS k3,
+               cc0.c || cc1.c || cc2.c || cc3.c AS recon
+        FROM np_rotated e
+        JOIN nq0_codes c0 USING (vec_id) JOIN nq1_codes c1 USING (vec_id)
+        JOIN nq2_codes c2 USING (vec_id) JOIN nq3_codes c3 USING (vec_id)
+        JOIN nq0_cent2 cc0 ON cc0.cell = c0.code
+        JOIN nq1_cent2 cc1 ON cc1.cell = c1.code
+        JOIN nq2_cent2 cc2 ON cc2.cell = c2.code
+        JOIN nq3_cent2 cc3 ON cc3.cell = c3.code)
+      SELECT vec_id,
+             CAST(k0 AS VARCHAR) || ',' || CAST(k1 AS VARCHAR) || ','
+               || CAST(k2 AS VARCHAR) || ',' || CAST(k3 AS VARCHAR)
+               AS codes_csv,
+             CAST(FLOOR(list_sum(list_transform(range(1, 65),
+               i -> (CAST(remb[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))
+                  * (CAST(remb[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))))
+               * 1e6) AS BIGINT) AS err_micro
+      FROM joined""")
+    }),
+
     // ---- sampled PQ training (q157): codebooks train on the
     //      hash-sampled subset (md5 of "pqs:"+id under the fraction —
     //      the cross-engine hash device), everything still encodes —
@@ -1563,25 +1766,84 @@ object VectorQueries {
     * list_transform is DuckDB's left fold — the exact shape of the
     * Scala while-loops.
     */
-  private def opqRotationCtes(powerIters: Int, m: Int, subDim: Int,
-                              momentTable: String = "embeddings"): String = s"""
-      opq_mom AS (
-        SELECT list(rowv ORDER BY rr) AS a FROM (
-          SELECT rr, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY cc)
-                   AS rowv
-          FROM (
-            SELECT r2 AS rr, c2 AS cc,
-                   SUM(CAST(embedding[r2] AS DOUBLE)
-                     * CAST(embedding[c2] AS DOUBLE))
-                     / (SELECT count(*) FROM $momentTable) AS mu
-            FROM $momentTable,
-                 unnest(range(1,65)) t1(r2), unnest(range(1,65)) t2(c2)
-            GROUP BY r2, c2)
-          GROUP BY rr)),
-      opq_pw(stage, iter, v, a, evs, lams) AS (
+  /** The q155 power-stage recursion as a reusable CTE pair
+    * `${prefix}pw` / `${prefix}final` over any 64×64 DOUBLE[][] matrix
+    * selector — [[graft.operators.ProductQuantizer.eigenStages]]'s
+    * derandomized loop (per-iteration float casts, per-iteration
+    * classical-GS reorthogonalization against recorded stages, CGS2 +
+    * Rayleigh at stage end). Round 13 extracted it so the
+    * non-parametric OPQ's Procrustes solve (stages on M·Mᵀ) replays
+    * through the same machinery.
+    */
+  private def powerStagesCtes(prefix: String, matrixSel: String,
+                              powerIters: Int,
+                              complete: Boolean = false): String = {
+    // eigenStages' completeDegenerate branch (complete = true): a stage
+    // whose CGS2 residual is <= 1e-6 is replaced by the first standard
+    // basis vector whose own CGS2 residual against recorded stages
+    // clears 0.25. Four layers build it: cands1[j] = first GS pass of
+    // e_j (the dot against evs[e] is just evs[e][j]); cdots[j][e] =
+    // second-pass dots; cands[j] = second-pass residual; cnorms + jp =
+    // norms and the first clearing index. All guarded NULL on
+    // non-degenerate stages so the cost is paid only when completing.
+    val completionLayers =
+      if (!complete) ""
+      else s"""
+              SELECT c4x.*,
+                     CASE WHEN nrm2 > 1e-6 THEN NULL ELSE
+                       list_filter(range(1,65),
+                         j -> cnorms[j] > 0.25)[1] END AS jp
+              FROM (
+              SELECT c3x.*,
+                     CASE WHEN nrm2 > 1e-6 THEN NULL ELSE
+                       list_transform(cands, cr ->
+                         sqrt(list_sum(list_transform(cr, x -> x * x))))
+                       END AS cnorms
+              FROM (
+              SELECT c2x.*,
+                     CASE WHEN nrm2 > 1e-6 THEN NULL ELSE
+                       list_transform(range(1,65), j ->
+                         list_transform(range(1,65), x ->
+                           cands1[j][x] - COALESCE(list_sum(
+                             list_transform(range(1, len(evs) + 1),
+                               e -> cdots[j][e] * evs[e][x])), 0.0)))
+                       END AS cands
+              FROM (
+              SELECT c1x.*,
+                     CASE WHEN nrm2 > 1e-6 THEN NULL ELSE
+                       list_transform(cands1, cr ->
+                         list_transform(range(1, len(evs) + 1),
+                           e -> list_sum(list_transform(range(1,65),
+                                  x -> cr[x] * evs[e][x]))))
+                       END AS cdots
+              FROM (
+              SELECT s1x.*,
+                     CASE WHEN nrm2 > 1e-6 THEN NULL ELSE
+                       list_transform(range(1,65), j ->
+                         list_transform(range(1,65), x ->
+                           (CASE WHEN x = j THEN 1.0 ELSE 0.0 END)
+                             - COALESCE(list_sum(list_transform(
+                                 range(1, len(evs) + 1),
+                                 e -> evs[e][j] * evs[e][x])), 0.0)))
+                       END AS cands1
+              FROM ("""
+    val completionClose = if (!complete) "" else ") s1x) c1x) c2x) c3x) c4x"
+    val ufExpr =
+      if (!complete) """list_transform(range(1,65), i ->
+                     CASE WHEN nrm2 > 1e-30
+                       THEN CAST(CAST(u2[i] / nrm2 AS FLOAT) AS DOUBLE)
+                       ELSE CAST(CAST(u2[i] AS FLOAT) AS DOUBLE) END)"""
+      else """CASE WHEN nrm2 > 1e-6
+                     THEN list_transform(range(1,65), i ->
+                       CAST(CAST(u2[i] / nrm2 AS FLOAT) AS DOUBLE))
+                     ELSE list_transform(range(1,65), x ->
+                       CAST(CAST(cands[jp][x] / cnorms[jp] AS FLOAT)
+                         AS DOUBLE)) END"""
+    s"""
+      ${prefix}pw(stage, iter, v, a, evs, lams) AS (
         SELECT 0, 0,
                list_transform(range(1,65), i -> CAST(0.125 AS DOUBLE)),
-               (SELECT a FROM opq_mom),
+               $matrixSel,
                CAST([] AS DOUBLE[][]), CAST([] AS DOUBLE[])
         UNION ALL
         SELECT
@@ -1603,12 +1865,9 @@ object VectorQueries {
                      a[r][c] * uf[c])))) AS FLOAT) AS lam
           FROM (
             SELECT s2.*,
-                   list_transform(range(1,65), i ->
-                     CASE WHEN nrm2 > 1e-30
-                       THEN CAST(CAST(u2[i] / nrm2 AS FLOAT) AS DOUBLE)
-                       ELSE CAST(CAST(u2[i] AS FLOAT) AS DOUBLE) END)
+                   $ufExpr
                      AS uf
-            FROM (
+            FROM ($completionLayers
               SELECT s1.*,
                      sqrt(list_sum(list_transform(u2, x -> x * x)))
                        AS nrm2
@@ -1663,19 +1922,37 @@ object VectorQueries {
                                               j -> w[j] * evs[e][j])))
                                        AS wdots
                               FROM (
-                                SELECT opq_pw.*,
+                                SELECT ${prefix}pw.*,
                                        list_transform(a, row ->
                                          list_sum(list_transform(
                                            range(1,65),
                                            i -> row[i] * v[i]))) AS w
-                                FROM opq_pw WHERE stage < 64) m0) p0)
-                            p0b) n0) w0) w0b) s0) s0b) s1) s2) s3) t),
+                                FROM ${prefix}pw WHERE stage < 64) m0) p0)
+                            p0b) n0) w0) w0b) s0) s0b) s1$completionClose) s2) s3) t),
       -- MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
       -- 512-step recursion (and the rotated table the Lloyd replays
       -- re-read per subspace per iteration) would otherwise re-run
       -- once per downstream mention — measured minutes per query
-      opq_final AS MATERIALIZED (
-        SELECT evs, lams FROM opq_pw WHERE stage = 64 AND iter = 0),
+      ${prefix}final AS MATERIALIZED (
+        SELECT evs, lams FROM ${prefix}pw WHERE stage = 64 AND iter = 0)"""
+  }
+
+  private def opqRotationCtes(powerIters: Int, m: Int, subDim: Int,
+                              momentTable: String = "embeddings"): String = s"""
+      opq_mom AS (
+        SELECT list(rowv ORDER BY rr) AS a FROM (
+          SELECT rr, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY cc)
+                   AS rowv
+          FROM (
+            SELECT r2 AS rr, c2 AS cc,
+                   SUM(CAST(embedding[r2] AS DOUBLE)
+                     * CAST(embedding[c2] AS DOUBLE))
+                     / (SELECT count(*) FROM $momentTable) AS mu
+            FROM $momentTable,
+                 unnest(range(1,65)) t1(r2), unnest(range(1,65)) t2(c2)
+            GROUP BY r2, c2)
+          GROUP BY rr)),
+      ${powerStagesCtes("opq_", "(SELECT a FROM opq_mom)", powerIters)},
       opq_ranked AS (
         SELECT stg, lam, ev,
                row_number() OVER (ORDER BY lam DESC, stg ASC) AS j
@@ -1704,7 +1981,8 @@ object VectorQueries {
   private def pqSubspaceCtes(s: Int, k: Int, iters: Int, subDim: Int,
                              table: String = "embeddings",
                              vecExpr: String = "embedding",
-                             trainTable: String = ""): String = {
+                             trainTable: String = "",
+                             namePrefix: String = "pq"): String = {
     val train = if (trainTable.isEmpty) table else trainTable
     val lo = s * subDim + 1
     def sub(e: String) =
@@ -1730,17 +2008,18 @@ object VectorQueries {
                        unnest(sub) AS v FROM $asgnT)
           GROUP BY cell, dim)
         GROUP BY cell) m USING (cell)"""
+    val p = namePrefix
     val iterCtes = (1 to iters).map { i =>
-      s"""pq${s}_asgn$i AS (${asgn(s"pq${s}_cent${i - 1}", train)}),
-      pq${s}_cent$i AS (${nextCent(s"pq${s}_cent${i - 1}", s"pq${s}_asgn$i")})"""
+      s"""$p${s}_asgn$i AS (${asgn(s"$p${s}_cent${i - 1}", train)}),
+      $p${s}_cent$i AS (${nextCent(s"$p${s}_cent${i - 1}", s"$p${s}_asgn$i")})"""
     }.mkString(",\n      ")
-    s"""pq${s}_cent0 AS (
+    s"""$p${s}_cent0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                ${sub(vecExpr)} AS c
         FROM (SELECT * FROM $train ORDER BY vec_id LIMIT $k)),
       $iterCtes,
-      pq${s}_codes AS (SELECT vec_id, cell AS code, sub
-                       FROM (${asgn(s"pq${s}_cent$iters", table)}))"""
+      $p${s}_codes AS (SELECT vec_id, cell AS code, sub
+                       FROM (${asgn(s"$p${s}_cent$iters", table)}))"""
   }
 
   /** The q61 full-vector k-means replay as reusable CTEs (prefix`cent0

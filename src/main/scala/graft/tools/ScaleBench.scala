@@ -1057,7 +1057,7 @@ object ScaleBench {
         .eventRequests("origin", 1_800_000_000_000L, 7_200_000_000_000L)
         .count()
       val budget = spark.conf
-        .get("spark.graft.fetch.broadcastMaxRequests", "2000000").toLong
+        .get("spark.graft.fetch.broadcastMaxRequests", "1000000").toLong
       val chosen = if (est <= budget) "broadcast" else "shuffled"
       def wall(estimate: Long): (Double, Long, Long) = {
         val s0 = System.nanoTime()
@@ -1109,7 +1109,7 @@ object ScaleBench {
       // the segment budget — past it wallSeg(thinRows) would silently
       // run the same banded plan twice and record a meaningless ~1.0
       val segBudget = spark.conf
-        .get("spark.graft.fetch.broadcastMaxSegments", "2000000").toLong
+        .get("spark.graft.fetch.broadcastMaxSegments", "1000000").toLong
       val segChosen = if (thinRows <= segBudget) "seg_broadcast" else "banded"
       val (segBcastS, gbRows, gbSum) = wallSeg(thinRows)
       val (segShufS, gsRows, gsSum) = wallSeg(Long.MaxValue)

@@ -292,6 +292,56 @@ class ProductQuantizerSpec extends SparkSpec {
       && fb.pq.codebooks == fullTiny.pq.codebooks)
   }
 
+  test("non-parametric OPQ: orthonormal, partitioning-invariant, lowers the objective vs parametric") {
+    // non-Gaussian corpus: two interleaved populations whose principal
+    // directions disagree — the eigenbasis (one global second moment)
+    // can't serve both, which is exactly the regime Ge §4.2 exists for
+    val rows = (0 until 400).map { i =>
+      val base = (0 until 16).map { j =>
+        val u = (((i * 37 + j * 23 + 11) % 2000) / 1000.0f) - 1.0f
+        u * math.pow(0.72, j).toFloat
+      }
+      val v = if (i % 2 == 0) base
+              else base.reverse.map(x => x * 0.9f + 0.05f)
+      (i.toLong, v)
+    }
+    val c = rows.toDF("vec_id", "embedding")
+    val np1 = ProductQuantizer.fitOpqNp(c.repartition(1), "vec_id",
+      "embedding", m = 4, k = 8, iters = 2, powerIters = 24,
+      alternations = 2)
+    val np5 = ProductQuantizer.fitOpqNp(c.repartition(5, col("vec_id")),
+      "vec_id", "embedding", m = 4, k = 8, iters = 2, powerIters = 24,
+      alternations = 2)
+    assert(np1.rotation == np5.rotation,
+      "non-parametric rotation must not depend on partitioning")
+    assert(np1.pq.codebooks == np5.pq.codebooks)
+    val r = np1.rotation.map(_.map(_.toDouble).toArray).toArray
+    for (a <- r.indices; b <- r.indices) {
+      val dot = r(a).zip(r(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"R row $a . row $b = $dot")
+    }
+    // the alternation minimizes total ROTATED-space recon error — the
+    // one objective both variants share; np must not lose to its own
+    // init, and on this corpus it strictly improves
+    def objective(model: ProductQuantizer.OPQModel): Double = {
+      val rotated = ProductQuantizer.rotateVectors(
+        c, "vec_id", "embedding", model.rotation)
+      rotated
+        .withColumn("codes",
+          ProductQuantizer.codesColumn(col("remb"), model.pq))
+        .select(sum(ProductQuantizer.reconErrColumn(
+          col("remb"), col("codes"), model.pq)))
+        .head().getDouble(0)
+    }
+    val param = ProductQuantizer.fitOpq(c, "vec_id", "embedding",
+      m = 4, k = 8, iters = 2, powerIters = 24)
+    val errParam = objective(param)
+    val errNp = objective(np1)
+    assert(errNp < errParam,
+      s"non-parametric must improve the objective here: $errNp vs $errParam")
+  }
+
   test("OPQ refuses a rank-deficient corpus loudly (zero-padded dim breaks the rotation identity)") {
     // dim 7 is exactly 0 in every row: the second moment is rank 15,
     // power stages can't span dim 7, and past rank the CGS2 residual
