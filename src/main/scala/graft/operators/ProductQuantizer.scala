@@ -549,6 +549,89 @@ object ProductQuantizer {
       }).toDF(idCol, "cell", "codes", "vec")
   }
 
+  /** Global max-abs scale for the int8 rerank tier: one aggregate over
+    * the corpus, no summation (max of |component| — exact in float on
+    * both engines, so the replay derives the identical scale).
+    */
+  def int8Scale(corpus: DataFrame, vecCol: String): Float =
+    corpus.agg(max(array_max(transform(col(vecCol), x => abs(x)))))
+      .head().getFloat(0)
+
+  /** One int8 component: clamp(⌊x/s·127 + 0.5⌋, ±127) — floor-based
+    * rounding (defined for negatives identically on both engines,
+    * unlike rint's tie-to-even vs half-up ambiguity).
+    */
+  private def quant8(x: Float, s: Double): Byte = {
+    val q = math.floor(x.toDouble / s * 127.0 + 0.5)
+    math.max(-127.0, math.min(127.0, q)).toByte
+  }
+
+  /** The serving store with a SCALAR-QUANTIZED rerank tier:
+    * (id, cell, codes, vec8) where vec8 is the max-abs-scaled int8
+    * image of the vector — d bytes/row instead of the float tier's
+    * d·4, cutting rerank I/O ~4× (measured on-disk in BASELINE; the
+    * codes tier is unchanged, so probe cost is identical). Rerank
+    * distances dequantize per component (q·s/127, double) against the
+    * float query — recall loss is bounded by the quantization noise
+    * s/254 per dim and measured, not assumed (BASELINE row). Same
+    * scan-local zero-shuffle encode as [[encodeIvfStore]].
+    */
+  def encodeIvfStoreInt8(corpus: DataFrame, idCol: String, vecCol: String,
+                         coarse: Seq[Seq[Float]], model: PQModel,
+                         scale: Float): DataFrame = {
+    require(scale > 0f && java.lang.Float.isFinite(scale),
+      s"int8 scale must be positive finite: $scale")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarseArr = coarse.map(_.toArray).toArray
+    val cbArr = toArrays(model.codebooks)
+    val m = model.m
+    val subDim = model.subDim
+    val s = scale.toDouble
+    corpus.select(col(idCol), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(it => it.map { case (id, v) =>
+        val (cell, codes) = ivfCode(v, coarseArr, cbArr, m, subDim)
+        val v8 = new Array[Byte](v.length)
+        var i = 0
+        while (i < v.length) { v8(i) = quant8(v(i), s); i += 1 }
+        (id, cell, codes, v8)
+      }).toDF(idCol, "cell", "codes", "vec8")
+  }
+
+  /** [[ivfAdcRerankTopK]] against the int8 tier: probe + candidates
+    * from the codes exactly as before, rerank by DEQUANTIZED distance
+    * (Σ (q_i − v8_i·s/127)², double fold) — the float tier is never
+    * stored, let alone read. Output columns match the float form.
+    */
+  def ivfAdcRerankTopK8(store8: DataFrame, idCol: String,
+                        coarse: Seq[Seq[Float]], model: PQModel,
+                        scale: Float,
+                        queries: Seq[(Long, Seq[Float])], k: Int,
+                        nprobe: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates $candidates < k $k")
+    val spark = store8.sparkSession
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val cand = ivfAdcTopK(store8, idCol, coarse, model, queries, candidates,
+      nprobe).select(col("q_id"), col("nn_id"))
+    val qdf = broadcast(queries.toDF("q_id", "qv"))
+    val inv = scale.toDouble / 127.0
+    // native fold (BINARY tier — zip_with doesn't apply to bytes, and
+    // the kernel is the codegen'd hot path anyway)
+    val d2 = call_function("vec_l2_q8", col("qv"), col("vec8"), lit(inv))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("dist").asc, col("nn_id").asc)
+    store8.join(broadcast(cand),
+        store8(idCol) === cand("nn_id"), "inner")
+      .join(qdf, "q_id")
+      .withColumn("dist", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), col("dist"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** The COMPOSED serving pipeline: IVFADC probe → `candidates` ADC
     * candidates per query → exact float rerank of ONLY those rows →
     * top-k. The float fetch prunes twice: `cell IN (probed)` reaches

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.haversineDescriptor)
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.vecL2Descriptor)
+    e.injectFunction(GraftExtensions.vecL2Q8Descriptor)
     e.injectFunction(GraftExtensions.probeBucketsDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
@@ -67,6 +68,16 @@ object GraftExtensions {
     (FunctionIdentifier("vec_l2"),
       new ExpressionInfo(classOf[VecL2].getName, "vec_l2"),
       buildVecL2)
+
+  private def buildVecL2Q8(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "vec_l2_q8(q, v8, inv)")
+    VecL2Q8(exprs(0), exprs(1), exprs(2))
+  }
+
+  val vecL2Q8Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vec_l2_q8"),
+      new ExpressionInfo(classOf[VecL2Q8].getName, "vec_l2_q8"),
+      buildVecL2Q8)
 
   private def buildProbeBuckets(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "probe_buckets(vec, bits, nProbe)")
@@ -255,6 +266,10 @@ object GraftExtensions {
         .functionExists(FunctionIdentifier("vec_l2")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "vec_l2", buildVecL2, "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("vec_l2_q8")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_l2_q8", buildVecL2Q8, "built-in")
     if (spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("freq_union"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native fused dot product over two `array<float>` columns.
@@ -203,6 +203,56 @@ object VecL2 {
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Native dequantized squared-L2: `vec_l2_q8(q, v8, inv)` — q an
+  * `array<float>` query, v8 the BINARY int8 tier (one signed byte per
+  * dim), inv the dequantization step s/127. Per dim:
+  * (q_i − byte_i·inv)² accumulated left-to-right in double — the int8
+  * rerank's reference arithmetic, codegen'd (BINARY is the layout that
+  * actually stores d bytes/row; array<byte> round-trips through
+  * parquet as annotated INT32). Null on length mismatch.
+  */
+case class VecL2Q8(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(q: Any, v8: Any, inv: Any): Any =
+    VecL2Q8.compute(q.asInstanceOf[ArrayData], v8.asInstanceOf[Array[Byte]],
+      inv.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, v8, inv) => s"""
+      java.lang.Double r = graft.plans.VecL2Q8.compute($q, $v8, $inv);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(newFirst, newSecond, newThird)
+}
+
+object VecL2Q8 {
+  /** Shared kernel for interpreted eval and generated code. */
+  def compute(q: ArrayData, v8: Array[Byte], inv: Double): java.lang.Double = {
+    val n = q.numElements()
+    if (n != v8.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i)) return null
+      val d = q.getFloat(i).toDouble - v8(i).toDouble * inv
       acc += d * d
       i += 1
     }

@@ -533,6 +533,132 @@ object VectorQueries {
       WHERE rank <= 3""")
     }),
 
+    // ---- int8 rerank tier (q165, round 13): the q158 pipeline with
+    //      the float tier replaced by max-abs-scaled int8 — d bytes/row
+    //      instead of d·4 for the rerank I/O. Scale = global max |x|
+    //      (exact on both engines, no summation); quantization =
+    //      clamp(⌊x/s·127 + 0.5⌋, ±127) (floor-based rounding, defined
+    //      identically for negatives); rerank distance dequantizes per
+    //      component (q_i − v8_i·s/127, double fold). DuckDB replays
+    //      scale, quantization, candidates, and the dequantized rerank.
+    Q("q165_ivfadc_rerank_int8", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val sc = ProductQuantizer.int8Scale(e, "embedding")
+      val store8 = ProductQuantizer.encodeIvfStoreInt8(
+        e, "vec_id", "embedding", coarse, pq, sc)
+      val queries = e.filter(col("vec_id") < 6).orderBy("vec_id")
+        .collect().map(r =>
+          r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      ProductQuantizer.ivfAdcRerankTopK8(store8, "vec_id",
+          coarse, pq, sc, queries, k = 3, nprobe = 2, candidates = 8)
+        .select(col("q_id"), col("nn_id"),
+          floor(col("dist") * 1e6).cast("long").as("dist_micro"),
+          col("rank"))
+    }, {
+      val coarseCtes = kmeansCtes("cq_", k = 4, iters = 2)
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "resid", vecExpr = "r"))
+        .mkString(",\n      ")
+      def qrSlice(sIdx: Int) = {
+        val lo = sIdx * 16 + 1
+        s"list_transform(range($lo, ${lo + 16}), i -> qr[i])"
+      }
+      val dtCtes = (0 until 4).map { sIdx =>
+        s"""ivfdt$sIdx AS (
+          SELECT p.q_id, p.cell AS pcell, pc.cell AS code,
+            list_sum(list_transform(range(1, 17),
+              i -> (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))
+                 * (CAST(qs[i] AS DOUBLE) - CAST(pc.c[i] AS DOUBLE))))
+              AS ds
+          FROM (SELECT q_id, cell, ${qrSlice(sIdx)} AS qs FROM probes) p
+          CROSS JOIN pq${sIdx}_cent2 pc)"""
+      }.mkString(",\n      ")
+      Some(s"""
+      WITH $coarseCtes,
+      resid AS (SELECT a.vec_id, a.cell,
+                  list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                FROM cq_final_asgn a JOIN cq_cent2 c USING (cell)),
+      $subCtes,
+      q8scale AS (
+        SELECT MAX(list_max(list_transform(embedding, x -> abs(x))))
+                 AS sc
+        FROM embeddings),
+      q8inv AS (SELECT CAST(sc AS DOUBLE) AS scd,
+                       CAST(sc AS DOUBLE) / 127.0 AS inv
+                FROM q8scale),
+      q8 AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 GREATEST(-127.0, LEAST(127.0,
+                   FLOOR(CAST(x AS DOUBLE) / i.scd * 127.0 + 0.5))))
+                 AS v8
+        FROM embeddings, q8inv i),
+      probes AS (
+        SELECT q_id, cell, qr FROM (
+          SELECT q.vec_id AS q_id, c.cell,
+            list_transform(range(1, 65),
+              i -> CAST(q.embedding[i] - c.c[i] AS FLOAT)) AS qr,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_sum(list_transform(range(1, 65),
+                i -> (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE))
+                   * (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.c[i] AS DOUBLE)))) ASC, c.cell ASC) AS pr
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 6) q
+          CROSS JOIN cq_cent2 c)
+        WHERE pr <= 2),
+      $dtCtes,
+      adist AS (
+        SELECT d0.q_id, c0.vec_id AS nn_id,
+               ((d0.ds + d1.ds) + d2.ds) + d3.ds AS dist
+        FROM pq0_codes c0
+        JOIN pq1_codes c1 USING (vec_id) JOIN pq2_codes c2 USING (vec_id)
+        JOIN pq3_codes c3 USING (vec_id)
+        JOIN (SELECT vec_id, cell FROM resid) rc USING (vec_id)
+        JOIN ivfdt0 d0 ON d0.pcell = rc.cell AND d0.code = c0.code
+        JOIN ivfdt1 d1 ON d1.pcell = rc.cell AND d1.code = c1.code
+          AND d1.q_id = d0.q_id
+        JOIN ivfdt2 d2 ON d2.pcell = rc.cell AND d2.code = c2.code
+          AND d2.q_id = d0.q_id
+        JOIN ivfdt3 d3 ON d3.pcell = rc.cell AND d3.code = c3.code
+          AND d3.q_id = d0.q_id),
+      cand AS (
+        SELECT q_id, nn_id FROM (
+          SELECT q_id, nn_id, row_number() OVER
+            (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS cr
+          FROM adist)
+        WHERE cr <= 8),
+      rer AS (
+        SELECT c.q_id, c.nn_id,
+               list_sum(list_transform(range(1, 65),
+                 i -> (CAST(q.embedding[i] AS DOUBLE) - x.v8[i] * iv.inv)
+                    * (CAST(q.embedding[i] AS DOUBLE) - x.v8[i] * iv.inv)))
+                 AS dist
+        FROM cand c
+        JOIN q8 x ON x.vec_id = c.nn_id
+        JOIN embeddings q ON q.vec_id = c.q_id
+        CROSS JOIN q8inv iv)
+      SELECT q_id, nn_id,
+             CAST(FLOOR(dist * 1e6) AS BIGINT) AS dist_micro,
+             CAST(rank AS INT) AS rank
+      FROM (SELECT q_id, nn_id, dist, row_number() OVER
+              (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS rank
+            FROM rer)
+      WHERE rank <= 3""")
+    }),
+
     // ---- OPQ rotation (round 12, Ge et al. CVPR 2013 §4.1): the
     //      learned pre-split rotation — float32-cast second moment,
     //      64 fixed-count power-iteration stages (per-iteration float

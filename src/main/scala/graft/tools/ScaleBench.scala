@@ -903,6 +903,27 @@ object ScaleBench {
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       val rerankS = (System.nanoTime() - t2) / 1e9
       val rerankRecall = reranked.intersect(exact).size.toDouble / exact.size
+      // int8 rerank tier (q165): the same composed pipeline against
+      // the scalar-quantized store — rerank tier d bytes/row instead
+      // of d·4; measured on-disk bytes, wall, and recall delta
+      val sc8 = ProductQuantizer.int8Scale(e, "embedding")
+      val idx8Dir = s"$root/ivfpq_idx8_$n"
+      ProductQuantizer.encodeIvfStoreInt8(e, "doc_id", "embedding",
+          coarse, pq, sc8)
+        .write.mode("overwrite").partitionBy("cell").parquet(idx8Dir)
+      val stored8 = spark.read.parquet(idx8Dir)
+      def dirBytes8(p: String): Long = {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      }
+      val t3 = System.nanoTime()
+      val reranked8 = ProductQuantizer.ivfAdcRerankTopK8(stored8,
+          "doc_id", coarse, pq, sc8, queries, k = 10, nprobe = nprobe,
+          candidates = 100)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val rerank8S = (System.nanoTime() - t3) / 1e9
+      val rerank8Recall = reranked8.intersect(exact).size.toDouble / exact.size
       s""","ivfpq":{"vecs":$n,"cells":$cells,"nprobe":$nprobe,""" +
         s""""corpus":"$corpusTag",""" +
         s""""train_s":${fmt(trainS)},"encode_s":${fmt(encodeS)},""" +
@@ -911,6 +932,10 @@ object ScaleBench {
         s""""full_recall_at_10":${fmt(fullRecall)},""" +
         s""""rerank100_s":${fmt(rerankS)},""" +
         s""""rerank100_recall_at_10":${fmt(rerankRecall)},""" +
+        s""""store_mb":${fmt(dirBytes8(idxDir) / 1048576.0)},""" +
+        s""""store8_mb":${fmt(dirBytes8(idx8Dir) / 1048576.0)},""" +
+        s""""rerank100_int8_s":${fmt(rerank8S)},""" +
+        s""""rerank100_int8_recall_at_10":${fmt(rerank8Recall)},""" +
         s""""scan_fraction":${fmt(nprobe.toDouble / cells)}}"""
     }.getOrElse("")
 

@@ -453,6 +453,64 @@ class ProductQuantizerSpec extends SparkSpec {
       s"probe filter must reach the partition scan:\n$plan")
   }
 
+  test("int8 tier: quantization bounded by s/254 per dim; rerank ranks within quantization noise of float") {
+    import graft.operators.KMeans
+    val c = corpus(200)
+    val (coarse, _) = KMeans.fit(c, "vec_id", "embedding", k = 4, iters = 2)
+    val resid = KMeans.assign(c, "vec_id", "embedding", coarse)
+      .withColumn("r", zip_with(col("embedding"),
+        element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+      .select("vec_id", "r")
+    val pq = ProductQuantizer.fit(resid, "vec_id", "r", m = 4, k = 8, iters = 2)
+    val s = ProductQuantizer.int8Scale(c, "embedding")
+    assert(s > 0f)
+    val store8 = ProductQuantizer.encodeIvfStoreInt8(
+      c, "vec_id", "embedding", coarse, pq, s)
+    // every dequantized component within half an int8 step of the float
+    // (collect: 200 rows — checked driver-side since the tier is BINARY)
+    val inv = s.toDouble / 127.0
+    val worst = store8.join(c, "vec_id")
+      .select(col("embedding"), col("vec8")).collect().map { r =>
+        val v = r.getSeq[Float](0)
+        val v8 = r.getAs[Array[Byte]](1)
+        v.zip(v8).map { case (x, b) =>
+          math.abs(x.toDouble - b.toDouble * inv) }.max
+      }.max
+    assert(worst <= s / 254.0 + 1e-9, s"dequant error $worst > ${s / 254.0}")
+    // int8 rerank with candidates = corpus: each returned neighbor's
+    // TRUE float distance is within the quantization noise bound of
+    // the float-rerank winner at the same rank (rank flips are allowed
+    // only inside the noise band — the honest int8 contract)
+    val queries = c.filter(col("vec_id") < 4).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val store = ProductQuantizer.encodeIvfStore(
+      c, "vec_id", "embedding", coarse, pq)
+    def trueDist(q: Seq[Float], id: Long): Double = {
+      val v = c.filter(col("vec_id") === id).head().getSeq[Float](1)
+      q.zip(v).map { case (a, b) =>
+        val d = a.toDouble - b.toDouble; d * d }.sum
+    }
+    val f = ProductQuantizer.ivfAdcRerankTopK(store, "vec_id", "vec",
+        coarse, pq, queries, k = 3, nprobe = 4, candidates = 200)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val i8 = ProductQuantizer.ivfAdcRerankTopK8(store8, "vec_id",
+        coarse, pq, s, queries, k = 3, nprobe = 4, candidates = 200)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // 64 dims, each |err| <= s/254 -> dist error <= 2*|q-v|*err + err^2
+    // per dim; bound loosely via measured distances
+    val qm = queries.toMap
+    i8.foreach { case ((qid, rank), nnId) =>
+      val fNn = f((qid, rank))
+      if (fNn != nnId) {
+        val dI8 = trueDist(qm(qid), nnId)
+        val dF = trueDist(qm(qid), fNn)
+        // a flip is legitimate only between near-tied neighbors
+        assert(math.abs(dI8 - dF) < 0.05 * (dF + 1e-9),
+          s"q$qid rank $rank: int8 picked $nnId (d=$dI8) vs float $fNn (d=$dF)")
+      }
+    }
+  }
+
   test("adcRerankTopK with candidates = corpus recovers the EXACT float top-k") {
     val c = corpus(120)
     val model = ProductQuantizer.fit(c, "vec_id", "embedding", m = 4, k = 8, iters = 2)
