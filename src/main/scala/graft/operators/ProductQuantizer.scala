@@ -887,6 +887,13 @@ object ProductQuantizer {
     * each component float32-cast — the one rotation arithmetic for
     * train, encode, and query paths (and the SQL replay).
     */
+  /** [[rotate]] under its package-visible name — the streaming
+    * maintainer fuses rotation into its encode pass through this.
+    */
+  private[graft] def rotateArr(v: scala.collection.Seq[Float],
+                               rot: Array[Array[Float]]): Array[Float] =
+    rotate(v, rot)
+
   private def rotate(v: scala.collection.Seq[Float],
                      rot: Array[Array[Float]]): Array[Float] = {
     val out = new Array[Float](rot.length)

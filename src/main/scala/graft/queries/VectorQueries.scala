@@ -987,6 +987,74 @@ object VectorQueries {
       JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)""")
     }),
 
+    // ---- STREAMING OPQ store maintenance (q166, round 13): q161 with
+    //      the rotation FUSED into the streamed encode — arrivals
+    //      rotate + coarse-assign + residual-PQ-encode in ONE
+    //      scan-local pass, exactly-once per batch. DuckDB derives the
+    //      rotation (q155's recursion), the rotated-space coarse cells
+    //      and residual codebooks (q159's composition), and the
+    //      per-row store content batch-agnostically.
+    Q("q166_stream_opq_store", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingAnnIndex
+      import graft.bank.TxTable
+      val e = Tables.embeddings(s, dir)
+      val opq = ProductQuantizer.fitOpq(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, powerIters = 4)
+      val rotated = ProductQuantizer.rotateVectors(
+        e, "vec_id", "embedding", opq.rotation)
+      val (coarse, _) = KMeans.fit(rotated, "vec_id", "remb",
+        k = 4, iters = 2)
+      val resid = KMeans.assign(rotated, "vec_id", "remb", coarse)
+        .withColumn("r", zip_with(col("remb"),
+          element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q166").toString
+      val storeTx = new TxTable(s, s"$root/store")
+      val driftTx = new TxTable(s, s"$root/drift")
+      StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", coarse, pq, storeTx, driftTx,
+        rotation = Some(opq.rotation))
+      val rest = e.filter(col("vec_id") % 2 === 1)
+      val vecsDir = s"$root/vecs"
+      rest.filter(col("vec_id") < 250).coalesce(1)
+        .write.mode("append").parquet(vecsDir)
+      Thread.sleep(5) // distinct mtimes: stable file-source order
+      rest.filter(col("vec_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(vecsDir)
+      StreamingAnnIndex.run(s, vecsDir, coarse, pq, storeTx, driftTx,
+        s"$root/ckpt", maxFilesPerTrigger = 1,
+        rotation = Some(opq.rotation)).awaitTermination()
+      storeTx.read().select(col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("codes_csv"))
+    }, {
+      val coarseCtes = kmeansCtes("oq_", k = 4, iters = 2,
+        table = "opq_rotated", vecExpr = "remb")
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "oresid", vecExpr = "r"))
+        .mkString(",\n      ")
+      Some(s"""
+      WITH RECURSIVE ${opqRotationCtes(4, 4, 16)},
+      $coarseCtes,
+      oresid AS (SELECT a.vec_id, a.cell,
+                   list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                 FROM oq_final_asgn a JOIN oq_cent2 c USING (cell)),
+      $subCtes
+      SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+             CAST(c0.code AS VARCHAR) || ',' || CAST(c1.code AS VARCHAR)
+               || ',' || CAST(c2.code AS VARCHAR) || ','
+               || CAST(c3.code AS VARCHAR) AS codes_csv
+      FROM oresid r
+      JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
+      JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)""")
+    }),
+
     // ---- ANN-store DRIFT PROBE (q162, round 13): the maintained
     //      store's per-cell quantile sidecar (residual reconstruction
     //      error in micros) rolled up baseline-vs-streamed. The stream

@@ -54,19 +54,31 @@ object StreamingAnnIndex {
   /** Store rows + error: (id, cell, codes, vec, err_micro) — ONE
     * primitive pass, [[ProductQuantizer.ivfCodeErr]]'s arithmetic
     * (shared with the bulk store, so the two can never diverge).
+    * With a `rotation` (the OPQ serving shape) each vector rotates
+    * FIRST, fused into the same pass — the stored `vec` is the
+    * ROTATED vector, matching `encodeIvfStore(rotateVectors(...))`
+    * row for row, so probe, rerank, and the drift statistic all live
+    * in rotated space where the Ge §3 identity makes them exact.
     */
   private[graft] def encodeRows(df: DataFrame, idCol: String, vecCol: String,
                                 coarse: Seq[Seq[Float]],
-                                model: PQModel): DataFrame = {
+                                model: PQModel,
+                                rotation: Option[Seq[Seq[Float]]] = None)
+      : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val coarseArr = coarse.map(_.toArray).toArray
     val cbArr = ProductQuantizer.toArrays(model.codebooks)
     val m = model.m
     val subDim = model.subDim
+    val rot = rotation.map(_.map(_.toArray).toArray)
     df.select(col(idCol), col(vecCol))
       .as[(Long, Seq[Float])]
-      .mapPartitions(it => it.map { case (id, v) =>
+      .mapPartitions(it => it.map { case (id, v0) =>
+        val v: Seq[Float] = rot match {
+          case Some(r) => ProductQuantizer.rotateArr(v0, r).toSeq
+          case None => v0
+        }
         val (cell, codes, err) =
           ProductQuantizer.ivfCodeErr(v, coarseArr, cbArr, m, subDim)
         (id, cell, codes, v, err)
@@ -90,12 +102,13 @@ object StreamingAnnIndex {
   def bootstrap(corpus: DataFrame, idCol: String, vecCol: String,
                 coarse: Seq[Seq[Float]], model: PQModel,
                 storeTx: TxTable, driftTx: TxTable,
-                errC: Int = 128): Unit = {
-    val rows = encodeRows(corpus, idCol, vecCol, coarse, model)
+                errC: Int = 128,
+                rotation: Option[Seq[Seq[Float]]] = None): Unit = {
+    val rows = encodeRows(corpus, idCol, vecCol, coarse, model, rotation)
       .sort("cell")
     storeTx.appendOnce(rows.drop("err_micro"), tag = "ann-baseline")
     driftTx.appendOnce(
-      partials(encodeRows(corpus, idCol, vecCol, coarse, model),
+      partials(encodeRows(corpus, idCol, vecCol, coarse, model, rotation),
         errC, "baseline", "ann-baseline"),
       tag = "ann-drift-baseline")
     ()
@@ -112,7 +125,8 @@ object StreamingAnnIndex {
           checkpointDir: String, idCol: String = "vec_id",
           vecCol: String = "embedding", errC: Int = 128,
           availableNow: Boolean = true,
-          maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+          maxFilesPerTrigger: Int = 1000,
+          rotation: Option[Seq[Seq[Float]]] = None): StreamingQuery = {
     val stream = spark.readStream
       .schema(vectorSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -120,7 +134,7 @@ object StreamingAnnIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rows = encodeRows(batch, idCol, vecCol, coarse, model)
+        val rows = encodeRows(batch, idCol, vecCol, coarse, model, rotation)
           .localCheckpoint(true) // one encode feeds both commits
         storeTx.appendOnce(rows.drop("err_micro").sort("cell"),
           tag = s"ann-batch-$batchId")
@@ -169,7 +183,9 @@ object StreamingAnnIndex {
     * `phase` tags which side of [[driftReport]] the rebuilt partials
     * feed. Vectors re-encode through the same [[ProductQuantizer
     * .ivfCodeErr]] arithmetic, so the rebuilt statistic is identical
-    * to what the inline partials summarized.
+    * to what the inline partials summarized. No rotation parameter:
+    * an OPQ store's `vec` column is ALREADY rotated (encode fuses the
+    * rotation), so the backfill re-encodes it directly.
     */
   def driftBackfill(storeTx: TxTable, coarse: Seq[Seq[Float]],
                     model: PQModel, phase: String,

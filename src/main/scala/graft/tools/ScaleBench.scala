@@ -1580,6 +1580,67 @@ object ScaleBench {
         s""""drift_shift_min":${if (shiftDrift.isEmpty) -1L else shiftDrift.head}}"""
     }.getOrElse("")
 
+    // STREAMING IVFADC serving (env GRAFT_SCALE_ADCSTREAM=
+    // <corpus>,<queries>): q163's path at scale — arriving queries
+    // probe the persisted CODE store (floats never stored or read),
+    // ADC distances via the native vec_l2_q8-family folds, emitted on
+    // watermark close. Measures queries/sec, state rows (the bounded
+    // (dist, id) top-k buffers), and row-count equality with the batch
+    // ivfAdcTopK derivation.
+    val adcStreamJson = sys.env.get("GRAFT_SCALE_ADCSTREAM").map { sN =>
+      import graft.operators.{KMeans, ProductQuantizer}
+      val parts = sN.split(",").map(_.trim.toLong)
+      val (nc, nq) = (parts(0), parts(1))
+      val cells = if (parts.length > 2) parts(2).toInt else 1024
+      val nprobe = if (parts.length > 3) parts(3).toInt else 8
+      val (corpus, corpusTag) = embCorpus(spark, nc)
+      val rawDir = s"$root/adcstream_raw_$nc"
+      corpus.write.mode("overwrite").parquet(rawDir)
+      val e = spark.read.parquet(rawDir)
+      val trainFrac = math.min(1.0, 2e5 / nc)
+      val trainSet = ProductQuantizer.sampleByHash(e, "doc_id", trainFrac)
+      val (coarse, _) = KMeans.fit(trainSet, "doc_id", "embedding",
+        k = cells, iters = 2)
+      val resid = KMeans.assign(trainSet, "doc_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+        .select(col("doc_id"), col("r"))
+      val pq = ProductQuantizer.fit(resid, "doc_id", "r",
+        m = 8, k = 256, iters = 2)
+      val store = ProductQuantizer.encodeIvf(
+        e, "doc_id", "embedding", coarse, pq)
+        .repartition(col("cell")).sortWithinPartitions("cell")
+        .persist()
+      store.count() // materialize before the clock
+      val t0 = 1_600_000_000_000_000_000L
+      val qs = embQueries(spark, nq)
+        .withColumn("ts", lit(t0) + (col("doc_id") - 2_000_000_000L)
+          * lit(1_000_000L))
+      val flush = embQueries(spark, 1)
+        .select(lit(999999999L).as("doc_id"), col("embedding"),
+          lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val r = replayBench(spark, s"$root/adcstream_${nc}_$nq", qs, flush,
+        "ts",
+        st => graft.streaming.StreamingSimilarity.ivfAdcStream(
+          st, store, "doc_id", "embedding", "ts", coarse, pq,
+          nprobe = nprobe, k = 10))
+      val b0 = System.nanoTime()
+      val batchRows = ProductQuantizer.ivfAdcTopKBatch(store, "doc_id",
+        coarse, pq, embQueries(spark, nq).select(
+          col("doc_id").as("q_id"), col("embedding").as("qv")),
+        "q_id", "qv", k = 10, nprobe = nprobe).count()
+      val batchS = (System.nanoTime() - b0) / 1e9
+      require(r.emitted == batchRows,
+        s"stream emitted ${r.emitted} rows, batch derives $batchRows")
+      store.unpersist()
+      s""","adc_stream":{"corpus":$nc,"queries":$nq,"cells":$cells,""" +
+        s""""nprobe":$nprobe,"corpus_tag":"$corpusTag",""" +
+        s""""s":${fmt(r.secs)},""" +
+        s""""queries_per_sec":${fmt(nq / r.secs, 0)},"rows":${r.emitted},""" +
+        s""""batch_s":${fmt(batchS)},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
+    }.getOrElse("")
+
     // MinHash banding sweep (env GRAFT_SCALE_MINHASH_SWEEP=<docs>):
     // the q67 band-width-sweep methodology applied to the LSH
     // blocking — the SAME k=8 signature sliced as 8×1 / 4×2 / 2×4 /
@@ -2526,7 +2587,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:

@@ -89,6 +89,59 @@ class StreamingAnnIndexSpec extends SparkSpec {
         full, "vec_id", "embedding", coarse, model)))
   }
 
+  /** Full-rank corpus for the OPQ leg (the clustered one above is
+    * near-rank-deficient at d=16 and trips fitOpq's loud gate — by
+    * design; OPQ wants a full-rank second moment).
+    */
+  private def denseCorpus(ids: Range) = {
+    val rows = ids.map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        (((i * 31 + j * 17 + 7) % 2000) / 1000.0f) - 1.0f))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("OPQ store maintenance: rotation fused into the streamed encode == bulk rotate-then-encode") {
+    val base = denseCorpus(0 until 120)
+    val opq = ProductQuantizer.fitOpq(base, "vec_id", "embedding",
+      m = 4, k = 4, iters = 2, powerIters = 16)
+    val rotated = ProductQuantizer.rotateVectors(
+      base, "vec_id", "embedding", opq.rotation)
+    val (coarse, _) = graft.operators.KMeans.fit(
+      rotated, "vec_id", "remb", k = 4, iters = 2)
+    val resid = graft.operators.KMeans
+      .assign(rotated, "vec_id", "remb", coarse)
+      .withColumn("r", zip_with(col("remb"),
+        element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+      .select("vec_id", "r")
+    val pq = ProductQuantizer.fit(resid, "vec_id", "r", m = 4, k = 4, iters = 2)
+    val root = Files.createTempDirectory("graft-annopq").toString
+    val storeTx = new TxTable(spark, s"$root/store")
+    val driftTx = new TxTable(spark, s"$root/drift")
+    StreamingAnnIndex.bootstrap(base.filter($"vec_id" < 60),
+      "vec_id", "embedding", coarse, pq, storeTx, driftTx,
+      rotation = Some(opq.rotation))
+    val vecsDir = s"$root/vecs"
+    writeBatches(vecsDir,
+      Seq(denseCorpus(200 until 230), denseCorpus(230 until 260)))
+    StreamingAnnIndex.run(spark, vecsDir, coarse, pq, storeTx, driftTx,
+      s"$root/ckpt", maxFilesPerTrigger = 1,
+      rotation = Some(opq.rotation)).awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
+        r.getAs[scala.collection.Seq[Float]]("vec").toSeq)
+    val full = base.filter($"vec_id" < 60)
+      .unionByName(denseCorpus(200 until 260))
+    val rebuilt = ProductQuantizer.encodeIvfStore(
+        ProductQuantizer.rotateVectors(full, "vec_id", "embedding",
+          opq.rotation),
+        "vec_id", "remb", coarse, pq)
+      .collect().map(key).toSet
+    assert(storeTx.read().collect().map(key).toSet == rebuilt,
+      "OPQ maintained store must equal bulk rotate-then-encode")
+  }
+
   test("ivfAdcStream emits exactly the batch ivfAdcTopK result, window-stamped") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamingSimilarity
