@@ -559,9 +559,14 @@ object ProductQuantizer {
 
   /** One int8 component: clamp(⌊x/s·127 + 0.5⌋, ±127) — floor-based
     * rounding (defined for negatives identically on both engines,
-    * unlike rint's tie-to-even vs half-up ambiguity).
+    * unlike rint's tie-to-even vs half-up ambiguity). NaN reads 0
+    * EXPLICITLY: JVM NaN.toByte is 0 while DuckDB's GREATEST/LEAST
+    * would pin 127 — the ProbeBuckets NaN-semantics lesson, decided
+    * up front (a garbage component contributes nothing rather than a
+    * max-positive spike) and mirrored in the q165 replay.
     */
   private def quant8(x: Float, s: Double): Byte = {
+    if (java.lang.Float.isNaN(x)) return 0
     val q = math.floor(x.toDouble / s * 127.0 + 0.5)
     math.max(-127.0, math.min(127.0, q)).toByte
   }
@@ -602,7 +607,11 @@ object ProductQuantizer {
   /** [[ivfAdcRerankTopK]] against the int8 tier: probe + candidates
     * from the codes exactly as before, rerank by DEQUANTIZED distance
     * (Σ (q_i − v8_i·s/127)², double fold) — the float tier is never
-    * stored, let alone read. Output columns match the float form.
+    * stored, let alone read. The rerank fetch prunes exactly like the
+    * float twin: `cell IN (probed)` reaches a partitioned store as
+    * PartitionFilters (candidates only come from probed cells, so the
+    * slice is result-identical), then the candidate broadcast cuts to
+    * Q·candidates rows. Output columns match the float form.
     */
   def ivfAdcRerankTopK8(store8: DataFrame, idCol: String,
                         coarse: Seq[Seq[Float]], model: PQModel,
@@ -617,12 +626,16 @@ object ProductQuantizer {
       nprobe).select(col("q_id"), col("nn_id"))
     val qdf = broadcast(queries.toDF("q_id", "qv"))
     val inv = scale.toDouble / 127.0
+    val coarseArr = coarse.map(_.toArray).toArray
+    val allCells = queries.flatMap { case (_, q) =>
+      probeCells(q, coarseArr, nprobe) }.distinct
     // native fold (BINARY tier — zip_with doesn't apply to bytes, and
     // the kernel is the codegen'd hot path anyway)
     val d2 = call_function("vec_l2_q8", col("qv"), col("vec8"), lit(inv))
     val w = Window.partitionBy("q_id")
       .orderBy(col("dist").asc, col("nn_id").asc)
-    store8.join(broadcast(cand),
+    store8.filter(col("cell").isin(allCells: _*))
+      .join(broadcast(cand),
         store8(idCol) === cand("nn_id"), "inner")
       .join(qdf, "q_id")
       .withColumn("dist", d2)
@@ -986,6 +999,60 @@ object ProductQuantizer {
     * R·Rᵀ−I lands at ~5e-8 and the Rayleigh values match the true
     * spectrum to 4–5 digits on the same corpus that broke deflation.
     */
+  /** Deterministic degenerate-stage completion: the first standard
+    * basis vector whose CGS2 residual against the first `count`
+    * recorded vectors clears 0.25, normalized (some e_j must —
+    * `count` recorded vectors leave residual² ≥ (d−count)/d ≥ 1/d for
+    * the best candidate). ONE implementation shared by [[eigenStages]]
+    * and [[procrustesRotation]]'s V loop — the twin of the SQL
+    * completion layers in VectorQueries, which must stay in numeric
+    * lockstep with exactly this.
+    */
+  private def completeStage(recorded: Array[Array[Float]], count: Int,
+                            d: Int, who: String): Array[Float] = {
+    var picked: Array[Float] = null
+    var cand = 0
+    while (cand < d && picked == null) {
+      val wc = new Array[Double](d)
+      wc(cand) = 1.0
+      var pass = 0
+      while (pass < 2) {
+        val dots = new Array[Double](count)
+        var e = 0
+        while (e < count) {
+          val ev = recorded(e)
+          var dot = 0.0
+          var x = 0
+          while (x < d) { dot += wc(x) * ev(x).toDouble; x += 1 }
+          dots(e) = dot
+          e += 1
+        }
+        var r = 0
+        while (r < d) {
+          var proj = 0.0
+          var e2 = 0
+          while (e2 < count) {
+            proj += dots(e2) * recorded(e2)(r).toDouble; e2 += 1
+          }
+          wc(r) -= proj
+          r += 1
+        }
+        pass += 1
+      }
+      var n2 = 0.0
+      var x2 = 0
+      while (x2 < d) { n2 += wc(x2) * wc(x2); x2 += 1 }
+      val nrm = math.sqrt(n2)
+      if (nrm > 0.25)
+        picked = Array.tabulate(d)(rr => (wc(rr) / nrm).toFloat)
+      cand += 1
+    }
+    require(picked != null,
+      s"$who: no completion candidate cleared the residual bound — " +
+        "recorded stages are not orthonormal")
+    picked
+  }
+
   /** @param completeDegenerate a stage whose CGS2 residual falls under
     *   1e-6 (the iterate is unit-norm, so the floor is scale-free —
     *   genuine residuals are O(1), degenerate ones sit at the float32
@@ -1089,54 +1156,9 @@ object ProductQuantizer {
       while (i < d) { nr2 += u(i) * u(i); i += 1 }
       val nrm2 = math.sqrt(nr2)
       val uf: Array[Float] =
-        if (completeDegenerate && nrm2 <= 1e-6) {
-          // degenerate stage: complete with the first basis vector
-          // whose CGS2 residual clears 0.25 (some e_j must — `stage`
-          // recorded vectors leave residual² ≥ (d−stage)/d ≥ 1/d for
-          // the best candidate). Deterministic, so replays take the
-          // same branch on the same matrix.
-          var picked: Array[Float] = null
-          var cand = 0
-          while (cand < d && picked == null) {
-            val wc = new Array[Double](d)
-            wc(cand) = 1.0
-            var pass = 0
-            while (pass < 2) {
-              val dots = new Array[Double](stage)
-              var e = 0
-              while (e < stage) {
-                val ev = evs(e)
-                var dot = 0.0
-                var x = 0
-                while (x < d) { dot += wc(x) * ev(x).toDouble; x += 1 }
-                dots(e) = dot
-                e += 1
-              }
-              var r2 = 0
-              while (r2 < d) {
-                var proj = 0.0
-                var e2 = 0
-                while (e2 < stage) {
-                  proj += dots(e2) * evs(e2)(r2).toDouble; e2 += 1
-                }
-                wc(r2) -= proj
-                r2 += 1
-              }
-              pass += 1
-            }
-            var n2 = 0.0
-            var x2 = 0
-            while (x2 < d) { n2 += wc(x2) * wc(x2); x2 += 1 }
-            val nrm = math.sqrt(n2)
-            if (nrm > 0.25)
-              picked = Array.tabulate(d)(rr => (wc(rr) / nrm).toFloat)
-            cand += 1
-          }
-          require(picked != null,
-            s"eigen stage $stage: no completion candidate cleared the " +
-              "residual bound — recorded stages are not orthonormal")
-          picked
-        } else {
+        if (completeDegenerate && nrm2 <= 1e-6)
+          completeStage(evs, stage, d, s"eigen stage $stage")
+        else {
           val out = new Array[Float](d)
           i = 0
           while (i < d) {
@@ -1187,19 +1209,33 @@ object ProductQuantizer {
              sampleFraction: Double = 1.0): OPQModel = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1]: $sampleFraction")
-    val d = corpus.select(col(vecCol)).limit(1).collect() match {
+    val train = resolveTrain(corpus, idCol, k, sampleFraction)
+    fitOpqOn(train, idCol, vecCol, m, k, iters, powerIters)
+  }
+
+  /** The all-or-nothing sampled-train resolution shared by [[fitOpq]]
+    * and [[fitOpqNp]]: the md5-hash sample when it can seed k
+    * centroids, the unsampled corpus otherwise — resolved ONCE so the
+    * two never drift and the fallback probe job runs once.
+    */
+  private def resolveTrain(corpus: DataFrame, idCol: String, k: Int,
+                           sampleFraction: Double): DataFrame = {
+    if (sampleFraction >= 1.0) return corpus
+    val sampled = sampleByHash(corpus, idCol, sampleFraction)
+    if (sampled.limit(k).count() == k) sampled else corpus
+  }
+
+  /** [[fitOpq]]'s body over an ALREADY-RESOLVED train frame. */
+  private def fitOpqOn(train: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, iters: Int,
+                       powerIters: Int): OPQModel = {
+    val d = train.select(col(vecCol)).limit(1).collect() match {
       case Array(row) => row.getAs[scala.collection.Seq[Float]](0).length
       case _ => throw new IllegalArgumentException(
         "OPQ fit needs a non-empty corpus")
     }
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val subDim = d / m
-    // all-or-nothing, like fit: moment + Lloyd's read the same rows
-    val sampled = sampleByHash(corpus, idCol, sampleFraction)
-    val train =
-      if (sampleFraction >= 1.0) corpus
-      else if (sampled.limit(k).count() == k) sampled // any k rows seed
-      else corpus
     val (evs, lams) = eigenBasis(train, vecCol, d, powerIters)
     val ranked = lams.zipWithIndex
       .sortBy { case (lam, stg) => (-lam, stg) }.map(_._2)
@@ -1399,47 +1435,7 @@ object ProductQuantizer {
       val floor = 1e-9 * froNorm
       vs(i) =
         if (sigma > floor) Array.tabulate(d)(rr => (w(rr) / sigma).toFloat)
-        else {
-          var picked: Array[Float] = null
-          var cand = 0
-          while (cand < d && picked == null) {
-            val wc = new Array[Double](d)
-            wc(cand) = 1.0
-            var pass = 0
-            while (pass < 2) {
-              val dots = new Array[Double](i)
-              var e = 0
-              while (e < i) {
-                val ve = vs(e)
-                var dot = 0.0
-                var x = 0
-                while (x < d) { dot += wc(x) * ve(x).toDouble; x += 1 }
-                dots(e) = dot
-                e += 1
-              }
-              r = 0
-              while (r < d) {
-                var proj = 0.0
-                var e2 = 0
-                while (e2 < i) { proj += dots(e2) * vs(e2)(r).toDouble; e2 += 1 }
-                wc(r) -= proj
-                r += 1
-              }
-              pass += 1
-            }
-            var n2 = 0.0
-            r = 0
-            while (r < d) { n2 += wc(r) * wc(r); r += 1 }
-            val nrm = math.sqrt(n2)
-            if (nrm > 0.25)
-              picked = Array.tabulate(d)(rr => (wc(rr) / nrm).toFloat)
-            cand += 1
-          }
-          require(picked != null,
-            s"Procrustes stage $i: no completion candidate cleared the " +
-              "residual bound — recorded stages are not orthonormal")
-          picked
-        }
+        else completeStage(vs, i, d, s"Procrustes stage $i")
       i += 1
     }
     // R = V·Uᵀ: R_rc = Σ_i v_i(r)·u_i(c), stage-order fold, float cast
@@ -1468,15 +1464,13 @@ object ProductQuantizer {
                powerIters: Int = 32, alternations: Int = 1,
                sampleFraction: Double = 1.0): OPQModel = {
     require(alternations >= 1, s"alternations must be >= 1: $alternations")
-    val init = fitOpq(corpus, idCol, vecCol, m, k, iters, powerIters,
-      sampleFraction)
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1]: $sampleFraction")
+    // resolved ONCE; the parametric init and every alternation read
+    // the same rows
+    val train = resolveTrain(corpus, idCol, k, sampleFraction)
+    val init = fitOpqOn(train, idCol, vecCol, m, k, iters, powerIters)
     val d = m * init.pq.subDim
-    // the SAME resolved train set fitOpq used (all-or-nothing fallback)
-    val sampled = sampleByHash(corpus, idCol, sampleFraction)
-    val train =
-      if (sampleFraction >= 1.0) corpus
-      else if (sampled.limit(k).count() == k) sampled
-      else corpus
     var opq = init
     var a = 0
     while (a < alternations) {

@@ -600,9 +600,10 @@ object VectorQueries {
       q8 AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding, x ->
-                 GREATEST(-127.0, LEAST(127.0,
-                   FLOOR(CAST(x AS DOUBLE) / i.scd * 127.0 + 0.5))))
-                 AS v8
+                 CASE WHEN isnan(x) THEN 0.0 ELSE
+                   GREATEST(-127.0, LEAST(127.0,
+                     FLOOR(CAST(x AS DOUBLE) / i.scd * 127.0 + 0.5)))
+                 END) AS v8
         FROM embeddings, q8inv i),
       probes AS (
         SELECT q_id, cell, qr FROM (
@@ -1183,8 +1184,10 @@ object VectorQueries {
              FROM serr GROUP BY cell)
       SELECT CAST(COALESCE(bq.cell, sq.cell) AS BIGINT) AS cell,
              bq.n_base, bq.p_base, sq.n_stream, sq.p_stream,
-             CAST(FLOOR(CAST(sq.p_stream AS DOUBLE) * 1000.0
-               / CAST(bq.p_base AS DOUBLE)) AS BIGINT) AS drift_permille
+             CASE WHEN bq.p_base > 0 THEN
+               CAST(FLOOR(CAST(sq.p_stream AS DOUBLE) * 1000.0
+                 / CAST(bq.p_base AS DOUBLE)) AS BIGINT)
+             ELSE NULL END AS drift_permille
       FROM bq FULL OUTER JOIN sq ON bq.cell = sq.cell""")
     }),
 

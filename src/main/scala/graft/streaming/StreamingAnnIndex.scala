@@ -47,9 +47,13 @@ import graft.operators.ProductQuantizer.PQModel
   */
 object StreamingAnnIndex {
 
-  /** Vector-file schema expected on the stream. */
-  def vectorSchema: StructType =
-    StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+  /** Vector-file schema expected on the stream (under the caller's
+    * column names — [[run]] builds it from its idCol/vecCol, so
+    * non-default names actually work).
+    */
+  def vectorSchema(idCol: String = "vec_id",
+                   vecCol: String = "embedding"): StructType =
+    StructType.fromDDL(s"$idCol BIGINT, $vecCol ARRAY<FLOAT>")
 
   /** Store rows + error: (id, cell, codes, vec, err_micro) — ONE
     * primitive pass, [[ProductQuantizer.ivfCodeErr]]'s arithmetic
@@ -104,13 +108,16 @@ object StreamingAnnIndex {
                 storeTx: TxTable, driftTx: TxTable,
                 errC: Int = 128,
                 rotation: Option[Seq[Seq[Float]]] = None): Unit = {
+    // one encode feeds both commits (the run() device — a second full
+    // encode pass at bulk-load size is real money at 10^6+)
     val rows = encodeRows(corpus, idCol, vecCol, coarse, model, rotation)
-      .sort("cell")
-    storeTx.appendOnce(rows.drop("err_micro"), tag = "ann-baseline")
+      .localCheckpoint(true)
+    storeTx.appendOnce(rows.drop("err_micro").sort("cell"),
+      tag = "ann-baseline")
     driftTx.appendOnce(
-      partials(encodeRows(corpus, idCol, vecCol, coarse, model, rotation),
-        errC, "baseline", "ann-baseline"),
+      partials(rows, errC, "baseline", "ann-baseline"),
       tag = "ann-drift-baseline")
+    rows.unpersist()
     ()
   }
 
@@ -128,7 +135,7 @@ object StreamingAnnIndex {
           maxFilesPerTrigger: Int = 1000,
           rotation: Option[Seq[Seq[Float]]] = None): StreamingQuery = {
     val stream = spark.readStream
-      .schema(vectorSchema)
+      .schema(vectorSchema(idCol, vecCol))
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(vecsDir)
     val writer = stream.writeStream
@@ -172,7 +179,12 @@ object StreamingAnnIndex {
     base.join(stream, Seq("cell"), "full_outer")
       .select(col("cell"), col("n_base"), col("p_base"),
         col("n_stream"), col("p_stream"),
-        floor(col("p_stream") * 1000.0 / col("p_base")).cast("long")
+        // a zero-error baseline cell (tiny cell PQ-reconstructing
+        // exactly) makes the ratio undefined — null, never
+        // Infinity→Long.MaxValue (and the replay's CAST would error)
+        when(col("p_base") > 0L,
+          floor(col("p_stream") * 1000.0 / col("p_base")).cast("long"))
+          .otherwise(lit(null).cast("long"))
           .as("drift_permille"))
   }
 
