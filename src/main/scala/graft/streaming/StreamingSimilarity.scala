@@ -216,6 +216,13 @@ object StreamingSimilarity {
     * pairs only, never vectors or codes — O(window × Q · k) after the
     * bounded top-k slice.
     *
+    * At serving scale pass the code store pre-laid-out on the join
+    * key — `repartition(col("cell")).sortWithinPartitions("cell")`,
+    * persisted (the [[bucketCorpus]] cache-layout trick) — so every
+    * micro-batch plans against the cached layout instead of
+    * re-exchanging the corpus per trigger; the GRAFT_SCALE_ADCSTREAM
+    * row measures that shape at batch-wall parity.
+    *
     * Output (append changelog): `window_ns, q_id, nn_id, adc_micro,
     * rank` — q154's batch columns, window-stamped.
     */

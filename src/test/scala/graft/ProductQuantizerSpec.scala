@@ -511,6 +511,34 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("int8 rerank fetch prunes to probed cells (PartitionFilters on a partitioned store)") {
+    import graft.operators.KMeans
+    val c = corpus(200)
+    val (coarse, _) = KMeans.fit(c, "vec_id", "embedding", k = 4, iters = 2)
+    val resid = KMeans.assign(c, "vec_id", "embedding", coarse)
+      .withColumn("r", zip_with(col("embedding"),
+        element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+      .select("vec_id", "r")
+    val pq = ProductQuantizer.fit(resid, "vec_id", "r", m = 4, k = 8, iters = 2)
+    val s = ProductQuantizer.int8Scale(c, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-i8store").toString
+    ProductQuantizer.encodeIvfStoreInt8(c, "vec_id", "embedding",
+        coarse, pq, s)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val store8 = spark.read.parquet(dir)
+    val queries = c.filter(col("vec_id") < 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val df = ProductQuantizer.ivfAdcRerankTopK8(store8, "vec_id",
+      coarse, pq, s, queries, k = 3, nprobe = 1, candidates = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the rerank fetch (the scan reading vec8) must carry the probed-
+    // cell partition filter — at nprobe 1 with 2 queries that is at
+    // most 2 of the 4 cell partitions
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected cell PartitionFilters on the int8 store scan:\n$plan")
+  }
+
   test("adcRerankTopK with candidates = corpus recovers the EXACT float top-k") {
     val c = corpus(120)
     val model = ProductQuantizer.fit(c, "vec_id", "embedding", m = 4, k = 8, iters = 2)
