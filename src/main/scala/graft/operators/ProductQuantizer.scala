@@ -565,6 +565,17 @@ object ProductQuantizer {
     * up front (a garbage component contributes nothing rather than a
     * max-positive spike) and mirrored in the q165 replay.
     */
+  /** int8 image of a whole vector — the streaming maintainer's hook
+    * into the one quantization arithmetic.
+    */
+  private[graft] def quant8Arr(v: scala.collection.Seq[Float],
+                               scale: Double): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = quant8(v(i), scale); i += 1 }
+    out
+  }
+
   private def quant8(x: Float, s: Double): Byte = {
     if (java.lang.Float.isNaN(x)) return 0
     val q = math.floor(x.toDouble / s * 127.0 + 0.5)
@@ -597,10 +608,7 @@ object ProductQuantizer {
       .as[(Long, Seq[Float])]
       .mapPartitions(it => it.map { case (id, v) =>
         val (cell, codes) = ivfCode(v, coarseArr, cbArr, m, subDim)
-        val v8 = new Array[Byte](v.length)
-        var i = 0
-        while (i < v.length) { v8(i) = quant8(v(i), s); i += 1 }
-        (id, cell, codes, v8)
+        (id, cell, codes, quant8Arr(v, s))
       }).toDF(idCol, "cell", "codes", "vec8")
   }
 

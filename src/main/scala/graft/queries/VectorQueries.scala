@@ -1056,6 +1056,164 @@ object VectorQueries {
       JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)""")
     }),
 
+    // ---- STREAMING int8 store maintenance (q167, round 13): q161's
+    //      exactly-once maintenance with the q165 rerank tier — vec8
+    //      (max-abs int8, scale fixed at bootstrap) maintained live
+    //      in the same scan-local pass as cell + codes. DuckDB derives
+    //      the scale, the quantization, and the codes batch-
+    //      agnostically; the oracle pins every byte of the tier.
+    Q("q167_stream_int8_store", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingAnnIndex
+      import graft.bank.TxTable
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val sc = ProductQuantizer.int8Scale(e, "embedding")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q167").toString
+      val storeTx = new TxTable(s, s"$root/store")
+      val driftTx = new TxTable(s, s"$root/drift")
+      StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", coarse, pq, storeTx, driftTx,
+        int8Scale = Some(sc))
+      val rest = e.filter(col("vec_id") % 2 === 1)
+      val vecsDir = s"$root/vecs"
+      rest.filter(col("vec_id") < 250).coalesce(1)
+        .write.mode("append").parquet(vecsDir)
+      Thread.sleep(5) // distinct mtimes: stable file-source order
+      rest.filter(col("vec_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(vecsDir)
+      StreamingAnnIndex.run(s, vecsDir, coarse, pq, storeTx, driftTx,
+        s"$root/ckpt", maxFilesPerTrigger = 1,
+        int8Scale = Some(sc)).awaitTermination()
+      val toInts = udf((b: Array[Byte]) => b.map(_.toInt))
+      storeTx.read().select(col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("codes_csv"),
+        concat_ws(",", transform(toInts(col("vec8")), _.cast("string")))
+          .as("v8_csv"))
+    }, {
+      val coarseCtes = kmeansCtes("cq_", k = 4, iters = 2)
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "resid", vecExpr = "r"))
+        .mkString(",\n      ")
+      Some(s"""
+      WITH $coarseCtes,
+      resid AS (SELECT a.vec_id, a.cell,
+                  list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                FROM cq_final_asgn a JOIN cq_cent2 c USING (cell)),
+      $subCtes,
+      q8scale AS (
+        SELECT MAX(list_max(list_transform(embedding, x -> abs(x))))
+                 AS sc
+        FROM embeddings),
+      q8inv AS (SELECT CAST(sc AS DOUBLE) AS scd FROM q8scale),
+      q8 AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 CASE WHEN isnan(x) THEN 0 ELSE
+                   CAST(GREATEST(-127.0, LEAST(127.0,
+                     FLOOR(CAST(x AS DOUBLE) / i.scd * 127.0 + 0.5)))
+                     AS INT)
+                 END) AS v8
+        FROM embeddings, q8inv i)
+      SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+             CAST(c0.code AS VARCHAR) || ',' || CAST(c1.code AS VARCHAR)
+               || ',' || CAST(c2.code AS VARCHAR) || ','
+               || CAST(c3.code AS VARCHAR) AS codes_csv,
+             array_to_string(list_transform(q8.v8,
+               x -> CAST(x AS VARCHAR)), ',') AS v8_csv
+      FROM resid r
+      JOIN q8 USING (vec_id)
+      JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
+      JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)""")
+    }),
+
+    // ---- DRIFT-TRIGGERED RETRAIN (q168, round 13): the loop closed —
+    //      bootstrap on half the corpus, stream the other half SHIFTED
+    //      (+3.0/dim), the probe fires (median drift ≫ the 2000‰ bar),
+    //      `retrainIfDrifted` retrains coarse cells + residual
+    //      codebooks on the store's vectors (originals ∪ shifted) and
+    //      bulk-loads the fresh store. DuckDB derives the union
+    //      corpus, the retrained k-means + codebooks, and every
+    //      (cell, codes) row of the NEW store — knowing nothing about
+    //      the maintenance history that produced it.
+    Q("q168_drift_retrain", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingAnnIndex
+      import graft.bank.TxTable
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q168").toString
+      val storeTx = new TxTable(s, s"$root/store")
+      val driftTx = new TxTable(s, s"$root/drift")
+      StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", coarse, pq, storeTx, driftTx, errC = 512)
+      val shifted = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => (x.cast("double") + lit(3.0)).cast("float"))
+          .as("embedding"))
+      val vecsDir = s"$root/vecs"
+      shifted.coalesce(1).write.mode("overwrite").parquet(vecsDir)
+      StreamingAnnIndex.run(s, vecsDir, coarse, pq, storeTx, driftTx,
+        s"$root/ckpt", errC = 512).awaitTermination()
+      val newStore = new TxTable(s, s"$root/nstore")
+      val newDrift = new TxTable(s, s"$root/ndrift")
+      val fired = StreamingAnnIndex.retrainIfDrifted(storeTx, driftTx,
+        newStore, newDrift, cells = 4, m = 4, k = 4, iters = 2,
+        errC = 512)
+      require(fired.isDefined, "q168 plants a shift — the loop must fire")
+      newStore.read().select(col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("codes_csv"))
+    }, {
+      val coarseCtes = kmeansCtes("rq_", k = 4, iters = 2,
+        table = "ucorp")
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "rresid", vecExpr = "r",
+        namePrefix = "rp")).mkString(",\n      ")
+      Some(s"""
+      WITH ucorp AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+        UNION ALL
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(CAST(x AS DOUBLE) + 3.0 AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 2 = 1),
+      $coarseCtes,
+      rresid AS (SELECT a.vec_id, a.cell,
+                   list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                 FROM rq_final_asgn a JOIN rq_cent2 c USING (cell)),
+      $subCtes
+      SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+             CAST(c0.code AS VARCHAR) || ',' || CAST(c1.code AS VARCHAR)
+               || ',' || CAST(c2.code AS VARCHAR) || ','
+               || CAST(c3.code AS VARCHAR) AS codes_csv
+      FROM rresid r
+      JOIN rp0_codes c0 USING (vec_id) JOIN rp1_codes c1 USING (vec_id)
+      JOIN rp2_codes c2 USING (vec_id) JOIN rp3_codes c3 USING (vec_id)""")
+    }),
+
     // ---- ANN-store DRIFT PROBE (q162, round 13): the maintained
     //      store's per-cell quantile sidecar (residual reconstruction
     //      error in micros) rolled up baseline-vs-streamed. The stream

@@ -63,11 +63,17 @@ object StreamingAnnIndex {
     * ROTATED vector, matching `encodeIvfStore(rotateVectors(...))`
     * row for row, so probe, rerank, and the drift statistic all live
     * in rotated space where the Ge §3 identity makes them exact.
+    * With an `int8Scale` the rerank tier is stored SCALAR-QUANTIZED
+    * (`vec8` BINARY, d bytes/row — the q165 tier maintained live,
+    * matching `encodeIvfStoreInt8` row for row); the drift statistic
+    * still comes from the full-precision residual, so probe quality
+    * is independent of the storage tier.
     */
   private[graft] def encodeRows(df: DataFrame, idCol: String, vecCol: String,
                                 coarse: Seq[Seq[Float]],
                                 model: PQModel,
-                                rotation: Option[Seq[Seq[Float]]] = None)
+                                rotation: Option[Seq[Seq[Float]]] = None,
+                                int8Scale: Option[Float] = None)
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -76,17 +82,33 @@ object StreamingAnnIndex {
     val m = model.m
     val subDim = model.subDim
     val rot = rotation.map(_.map(_.toArray).toArray)
-    df.select(col(idCol), col(vecCol))
-      .as[(Long, Seq[Float])]
-      .mapPartitions(it => it.map { case (id, v0) =>
-        val v: Seq[Float] = rot match {
-          case Some(r) => ProductQuantizer.rotateArr(v0, r).toSeq
-          case None => v0
-        }
-        val (cell, codes, err) =
-          ProductQuantizer.ivfCodeErr(v, coarseArr, cbArr, m, subDim)
-        (id, cell, codes, v, err)
-      }).toDF(idCol, "cell", "codes", "vec", "err_micro")
+    val typed = df.select(col(idCol), col(vecCol)).as[(Long, Seq[Float])]
+    def enc(v0: Seq[Float]): (Int, Array[Int], Long, Seq[Float]) = {
+      val v: Seq[Float] = rot match {
+        case Some(r) => ProductQuantizer.rotateArr(v0, r).toSeq
+        case None => v0
+      }
+      val (cell, codes, err) =
+        ProductQuantizer.ivfCodeErr(v, coarseArr, cbArr, m, subDim)
+      (cell, codes, err, v)
+    }
+    int8Scale match {
+      case None =>
+        typed.mapPartitions(it => it.map { case (id, v0) =>
+          val (cell, codes, err, v) = enc(v0)
+          (id, cell, codes, v, err)
+        }).toDF(idCol, "cell", "codes", "vec", "err_micro")
+      case Some(sc) =>
+        // the int8 serving tier maintained live: same quantization
+        // arithmetic as encodeIvfStoreInt8, scale FIXED at bootstrap
+        // (arrivals past the baseline max-abs clamp at ±127 — the
+        // documented int8 contract; re-scale at retrain time)
+        val scD = sc.toDouble
+        typed.mapPartitions(it => it.map { case (id, v0) =>
+          val (cell, codes, err, v) = enc(v0)
+          (id, cell, codes, ProductQuantizer.quant8Arr(v, scD), err)
+        }).toDF(idCol, "cell", "codes", "vec8", "err_micro")
+    }
   }
 
   /** One quantile partial per cell over `rows`' err_micro, stamped
@@ -107,11 +129,12 @@ object StreamingAnnIndex {
                 coarse: Seq[Seq[Float]], model: PQModel,
                 storeTx: TxTable, driftTx: TxTable,
                 errC: Int = 128,
-                rotation: Option[Seq[Seq[Float]]] = None): Unit = {
+                rotation: Option[Seq[Seq[Float]]] = None,
+                int8Scale: Option[Float] = None): Unit = {
     // one encode feeds both commits (the run() device — a second full
     // encode pass at bulk-load size is real money at 10^6+)
-    val rows = encodeRows(corpus, idCol, vecCol, coarse, model, rotation)
-      .localCheckpoint(true)
+    val rows = encodeRows(corpus, idCol, vecCol, coarse, model, rotation,
+      int8Scale).localCheckpoint(true)
     storeTx.appendOnce(rows.drop("err_micro").sort("cell"),
       tag = "ann-baseline")
     driftTx.appendOnce(
@@ -133,7 +156,8 @@ object StreamingAnnIndex {
           vecCol: String = "embedding", errC: Int = 128,
           availableNow: Boolean = true,
           maxFilesPerTrigger: Int = 1000,
-          rotation: Option[Seq[Seq[Float]]] = None): StreamingQuery = {
+          rotation: Option[Seq[Seq[Float]]] = None,
+          int8Scale: Option[Float] = None): StreamingQuery = {
     val stream = spark.readStream
       .schema(vectorSchema(idCol, vecCol))
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -141,7 +165,8 @@ object StreamingAnnIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rows = encodeRows(batch, idCol, vecCol, coarse, model, rotation)
+        val rows = encodeRows(batch, idCol, vecCol, coarse, model,
+          rotation, int8Scale)
           .localCheckpoint(true) // one encode feeds both commits
         storeTx.appendOnce(rows.drop("err_micro").sort("cell"),
           tag = s"ann-batch-$batchId")
@@ -188,6 +213,54 @@ object StreamingAnnIndex {
           .as("drift_permille"))
   }
 
+  /** The retrain decision CLOSED INTO A LOOP: read the drift probe;
+    * when the median per-cell drift exceeds `thresholdPermille`,
+    * retrain the coarse cells + residual codebooks on the CURRENT
+    * store's vectors (baseline ∪ arrivals — optionally hash-sampled,
+    * the fit/fitOpq device) and bulk-load a FRESH store + baseline
+    * partials into the new TxTables; the caller swaps serving to the
+    * new tables at its convenience (the EventBank time-travel refresh
+    * contract) and the probe starts over at parity. Returns the new
+    * models, or None when drift is under the bar (nothing written).
+    *
+    * The threshold is a permille ratio of error medians — 2000 means
+    * "the streamed median reconstruction error is 2× baseline", far
+    * above the in-distribution parity band (~1000 ± a few %,
+    * BASELINE's ann_store row) and far below a real shift (1.5M‰
+    * measured) — the decision is not a judgment call on this
+    * separation. Float-tier stores only (retraining needs vectors).
+    */
+  def retrainIfDrifted(storeTx: TxTable, driftTx: TxTable,
+                       newStoreTx: TxTable, newDriftTx: TxTable,
+                       cells: Int, m: Int, k: Int, iters: Int,
+                       thresholdPermille: Long = 2000L,
+                       sampleFraction: Double = 1.0,
+                       errC: Int = 128)
+      : Option[(Seq[Seq[Float]], PQModel)] = {
+    import org.apache.spark.sql.functions.{col => c}
+    val drifts = driftReport(driftTx, errC)
+      .select(c("drift_permille")).collect()
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).sorted
+    if (drifts.isEmpty || drifts(drifts.length / 2) <= thresholdPermille)
+      return None
+    val all = storeTx.read()
+    require(all.columns.contains("vec"),
+      "retrainIfDrifted needs the float tier ('vec') to retrain on")
+    val vecs = all.select(c("vec_id"), c("vec").as("embedding"))
+    val train = ProductQuantizer.sampleByHash(vecs, "vec_id", sampleFraction)
+    val (coarse, _) = graft.operators.KMeans.fit(
+      train, "vec_id", "embedding", cells, iters)
+    val resid = graft.operators.KMeans
+      .assign(train, "vec_id", "embedding", coarse)
+      .withColumn("r", zip_with(c("embedding"),
+        element_at(typedlit(coarse), c("cell") + 1), (x, y) => x - y))
+      .select(c("vec_id"), c("r"))
+    val pq = ProductQuantizer.fit(resid, "vec_id", "r", m, k, iters)
+    bootstrap(vecs, "vec_id", "embedding", coarse, pq,
+      newStoreTx, newDriftTx, errC)
+    Some((coarse, pq))
+  }
+
   /** Exact recomputation of ONE consolidated partial set from the
     * store rows themselves (an O(store) scan — the backfill path when
     * a crash between the two batch commits left the estimate short;
@@ -197,13 +270,21 @@ object StreamingAnnIndex {
     * .ivfCodeErr]] arithmetic, so the rebuilt statistic is identical
     * to what the inline partials summarized. No rotation parameter:
     * an OPQ store's `vec` column is ALREADY rotated (encode fuses the
-    * rotation), so the backfill re-encodes it directly.
+    * rotation), so the backfill re-encodes it directly. Float-tier
+    * stores only: an int8 store's dequantized vectors would yield a
+    * DIFFERENT error statistic than the inline partials summarized —
+    * refused loudly rather than silently biased.
     */
   def driftBackfill(storeTx: TxTable, coarse: Seq[Seq[Float]],
                     model: PQModel, phase: String,
                     idCol: String = "vec_id",
                     errC: Int = 128): DataFrame = {
-    val rows = storeTx.read().select(col(idCol), col("vec"))
+    val all = storeTx.read()
+    require(all.columns.contains("vec"),
+      "driftBackfill needs the float tier ('vec'): an int8 store's " +
+        "dequantized vectors would bias the error statistic — keep the " +
+        "inline partials or rebuild from source vectors")
+    val rows = all.select(col(idCol), col("vec"))
     partials(encodeRows(rows, idCol, "vec", coarse, model),
       errC, phase, "backfill")
   }

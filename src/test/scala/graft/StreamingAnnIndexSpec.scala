@@ -142,6 +142,49 @@ class StreamingAnnIndexSpec extends SparkSpec {
       "OPQ maintained store must equal bulk rotate-then-encode")
   }
 
+  test("int8 tier maintenance: streamed vec8 store == encodeIvfStoreInt8 rebuild; serving identical; backfill refuses") {
+    val base = corpus(0 until 120)
+    val (coarse, model) = trainedOn(base)
+    val sc = ProductQuantizer.int8Scale(base, "embedding")
+    val root = Files.createTempDirectory("graft-anni8").toString
+    val storeTx = new TxTable(spark, s"$root/store")
+    val driftTx = new TxTable(spark, s"$root/drift")
+    StreamingAnnIndex.bootstrap(base, "vec_id", "embedding", coarse, model,
+      storeTx, driftTx, int8Scale = Some(sc))
+    val vecsDir = s"$root/vecs"
+    writeBatches(vecsDir, Seq(corpus(200 until 240), corpus(240 until 280)))
+    StreamingAnnIndex.run(spark, vecsDir, coarse, model, storeTx, driftTx,
+      s"$root/ckpt", maxFilesPerTrigger = 1,
+      int8Scale = Some(sc)).awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq,
+        r.getAs[Array[Byte]]("vec8").toSeq)
+    val full = base.unionByName(corpus(200 until 280))
+    val rebuilt = ProductQuantizer.encodeIvfStoreInt8(
+      full, "vec_id", "embedding", coarse, model, sc)
+      .collect().map(key).toSet
+    assert(storeTx.read().collect().map(key).toSet == rebuilt,
+      "maintained int8 store must equal the bulk rebuild")
+    // serving through the int8 rerank reads the maintained store as-is
+    val queries = base.filter($"vec_id" < 4).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val served = ProductQuantizer.ivfAdcRerankTopK8(storeTx.read(),
+        "vec_id", coarse, model, sc, queries, k = 3, nprobe = 2,
+        candidates = 8).collect().map(_.toSeq).toSet
+    val servedBulk = ProductQuantizer.ivfAdcRerankTopK8(
+      ProductQuantizer.encodeIvfStoreInt8(full, "vec_id", "embedding",
+        coarse, model, sc),
+      "vec_id", coarse, model, sc, queries, k = 3, nprobe = 2,
+      candidates = 8).collect().map(_.toSeq).toSet
+    assert(served == servedBulk)
+    // the exact-backfill path refuses the tier it cannot honestly serve
+    val e = intercept[IllegalArgumentException] {
+      StreamingAnnIndex.driftBackfill(storeTx, coarse, model, "baseline")
+    }
+    assert(e.getMessage.contains("float tier"), e.getMessage)
+  }
+
   test("ivfAdcStream emits exactly the batch ivfAdcTopK result, window-stamped") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamingSimilarity
@@ -218,6 +261,50 @@ class StreamingAnnIndexSpec extends SparkSpec {
     val shifted = probe(corpus(1000 until 1160, shift = 3.0f))
     assert(shifted.values.forall(_._3 > 2000),
       s"planted shift must move the probe: $shifted")
+  }
+
+  test("retrain loop: under-bar drift is a no-op; planted shift fires, new store resets the probe to parity") {
+    val base = corpus(0 until 160)
+    val (coarse, model) = trainedOn(base)
+    val root = Files.createTempDirectory("graft-annrt").toString
+    def maintain(stream: org.apache.spark.sql.DataFrame, tag: String) = {
+      val storeTx = new TxTable(spark, s"$root/$tag/store")
+      val driftTx = new TxTable(spark, s"$root/$tag/drift")
+      StreamingAnnIndex.bootstrap(base, "vec_id", "embedding", coarse,
+        model, storeTx, driftTx)
+      val vecsDir = s"$root/$tag/vecs"
+      stream.coalesce(1).write.mode("overwrite").parquet(vecsDir)
+      StreamingAnnIndex.run(spark, vecsDir, coarse, model, storeTx,
+        driftTx, s"$root/$tag/ckpt").awaitTermination()
+      (storeTx, driftTx)
+    }
+    // in-distribution arrivals: the loop must NOT fire
+    val (s1, d1) = maintain(corpus(1000 until 1100), "indist")
+    val quiet = StreamingAnnIndex.retrainIfDrifted(s1, d1,
+      new TxTable(spark, s"$root/q/store"), new TxTable(spark, s"$root/q/drift"),
+      cells = 4, m = 4, k = 4, iters = 2)
+    assert(quiet.isEmpty, "parity drift must not trigger a retrain")
+    // planted shift: fires, and the REBUILT store's own baseline
+    // absorbs the shifted population — re-streaming the same shifted
+    // arrivals against the new models reads parity, not drift
+    val shifted = corpus(1000 until 1100, shift = 3.0f)
+    val (s2, d2) = maintain(shifted, "shift")
+    val newStore = new TxTable(spark, s"$root/n/store")
+    val newDrift = new TxTable(spark, s"$root/n/drift")
+    val fired = StreamingAnnIndex.retrainIfDrifted(s2, d2,
+      newStore, newDrift, cells = 4, m = 4, k = 4, iters = 2)
+    assert(fired.isDefined, "planted shift must trigger the retrain")
+    val (c2, pq2) = fired.get
+    // probe the new store with the SAME shifted arrivals
+    val vecsDir2 = s"$root/n/vecs"
+    shifted.select($"vec_id" + 500000L as "vec_id", $"embedding")
+      .coalesce(1).write.mode("overwrite").parquet(vecsDir2)
+    StreamingAnnIndex.run(spark, vecsDir2, c2, pq2, newStore, newDrift,
+      s"$root/n/ckpt").awaitTermination()
+    val rep = StreamingAnnIndex.driftReport(newDrift).collect()
+      .flatMap(r => Option(r.get(5)).map(_.asInstanceOf[Long]))
+    assert(rep.nonEmpty && rep.forall(p => p > 300 && p < 3000),
+      s"retrained store must read the shifted population near parity: ${rep.toSeq}")
   }
 
   test("driftBackfill from the store matches the inline stream partials") {
