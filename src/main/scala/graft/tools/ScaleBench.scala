@@ -1561,12 +1561,36 @@ object ScaleBench {
       val shifted = arrivals.select(col("vec_id"),
         transform(col("embedding"),
           x => (x.cast("double") + lit(3.0)).cast("float")).as("embedding"))
-      val (_, driftTx2, _, _) = maintain(shifted, "shift")
+      val (storeTx2, driftTx2, _, _) = maintain(shifted, "shift")
       val shiftDrift = StreamingAnnIndex.driftReport(driftTx2)
         .select("drift_permille").collect()
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).sorted
       def med(xs: Array[Long]): Long =
         if (xs.isEmpty) -1L else xs(xs.length / 2)
+      // close the loop: the drifted store retrains (hash-sampled, the
+      // q160 regime) and the REBUILT store must read the same shifted
+      // population at parity — wall + post-retrain median recorded
+      val rt0 = System.nanoTime()
+      val newStore = new TxTable(spark, s"$root/annstore_rt_$n/store")
+      val newDrift = new TxTable(spark, s"$root/annstore_rt_$n/drift")
+      val fired = StreamingAnnIndex.retrainIfDrifted(storeTx2, driftTx2,
+        newStore, newDrift, cells = cells, m = m, k = k, iters = 2,
+        sampleFraction = trainFrac)
+      val retrainS = (System.nanoTime() - rt0) / 1e9
+      require(fired.isDefined, "planted shift must fire the retrain")
+      val (c2, pq2) = fired.get
+      val reDir = s"$root/annstore_rt_$n/vecs"
+      shifted.select((col("vec_id") + 500_000_000L).as("vec_id"),
+          col("embedding"))
+        .withColumn("slice", pmod(col("vec_id"), lit(8L)))
+        .repartition(8, col("slice")).drop("slice")
+        .write.mode("overwrite").parquet(reDir)
+      StreamingAnnIndex.run(spark, reDir, c2, pq2, newStore, newDrift,
+        s"$root/annstore_rt_$n/ckpt",
+        maxFilesPerTrigger = 1).awaitTermination()
+      val postDrift = StreamingAnnIndex.driftReport(newDrift)
+        .select("drift_permille").collect()
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).sorted
       s""","ann_store":{"vecs":$n,"arrivals":$nArr,"cells":$cells,""" +
         s""""m":$m,"k":$k,"corpus":"$corpusTag",""" +
         s""""bootstrap_s":${fmt(bootS)},""" +
@@ -1577,7 +1601,9 @@ object ScaleBench {
         s""""drift_indist_med":${med(inDist)},""" +
         s""""drift_indist_max":${if (inDist.isEmpty) -1L else inDist.last},""" +
         s""""drift_shift_med":${med(shiftDrift)},""" +
-        s""""drift_shift_min":${if (shiftDrift.isEmpty) -1L else shiftDrift.head}}"""
+        s""""drift_shift_min":${if (shiftDrift.isEmpty) -1L else shiftDrift.head},""" +
+        s""""retrain_s":${fmt(retrainS)},""" +
+        s""""post_retrain_drift_med":${med(postDrift)}}"""
     }.getOrElse("")
 
     // STREAMING IVFADC serving (env GRAFT_SCALE_ADCSTREAM=
