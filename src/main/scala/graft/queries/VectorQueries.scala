@@ -1257,7 +1257,7 @@ object VectorQueries {
       StreamingAnnIndex.driftReport(driftTx, errC = 512)
         .select(col("cell").cast("long").as("cell"), col("n_base"),
           col("p_base"), col("n_stream"), col("p_stream"),
-          col("drift_permille"))
+          col("drift_permille"), col("pop_permille"))
     }, {
       val coarseCtes = kmeansCtes("cq_", k = 4, iters = 2)
       val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
@@ -1345,7 +1345,16 @@ object VectorQueries {
              CASE WHEN bq.p_base > 0 THEN
                CAST(FLOOR(CAST(sq.p_stream AS DOUBLE) * 1000.0
                  / CAST(bq.p_base AS DOUBLE)) AS BIGINT)
-             ELSE NULL END AS drift_permille
+             ELSE NULL END AS drift_permille,
+             CASE WHEN bq.n_base > 0
+                    AND (SELECT SUM(n_stream) FROM sq) > 0 THEN
+               CAST(FLOOR(CAST(sq.n_stream AS DOUBLE) * 1000.0
+                 * CAST((SELECT SUM(COALESCE(n_base, 0))
+                         FROM bq) AS DOUBLE)
+                 / (CAST((SELECT SUM(COALESCE(n_stream, 0))
+                          FROM sq) AS DOUBLE)
+                    * CAST(bq.n_base AS DOUBLE))) AS BIGINT)
+             ELSE NULL END AS pop_permille
       FROM bq FULL OUTER JOIN sq ON bq.cell = sq.cell""")
     }),
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -201,7 +202,16 @@ object StreamingAnnIndex {
       .select(col("cell"), col("n").as("n_base"), col("p").as("p_base"))
     val stream = rolled.filter(col("phase") === "stream")
       .select(col("cell"), col("n").as("n_stream"), col("p").as("p_stream"))
-    base.join(stream, Seq("cell"), "full_outer")
+    val joined = base.join(stream, Seq("cell"), "full_outer")
+    // the SECOND drift axis, free from the same partials: population
+    // share per cell, stream vs baseline — arrivals CONCENTRATING in
+    // few cells skew probe cost and starve the others' codebooks even
+    // when per-vector error stays at parity. Totals via a window over
+    // the per-cell frame (≤ cells rows — no extra scan of anything).
+    val wAll = Window.partitionBy()
+    joined
+      .withColumn("_tb", sum(coalesce(col("n_base"), lit(0L))).over(wAll))
+      .withColumn("_ts", sum(coalesce(col("n_stream"), lit(0L))).over(wAll))
       .select(col("cell"), col("n_base"), col("p_base"),
         col("n_stream"), col("p_stream"),
         // a zero-error baseline cell (tiny cell PQ-reconstructing
@@ -210,7 +220,15 @@ object StreamingAnnIndex {
         when(col("p_base") > 0L,
           floor(col("p_stream") * 1000.0 / col("p_base")).cast("long"))
           .otherwise(lit(null).cast("long"))
-          .as("drift_permille"))
+          .as("drift_permille"),
+        // share-of-stream over share-of-baseline, permille: 1000 =
+        // the cell receives arrivals in proportion to its baseline
+        // population; same null-not-Infinity contract
+        when(col("n_base") > 0L && col("_ts") > 0L,
+          floor(col("n_stream") * 1000.0 * col("_tb")
+            / (col("_ts").cast("double") * col("n_base"))).cast("long"))
+          .otherwise(lit(null).cast("long"))
+          .as("pop_permille"))
   }
 
   /** The retrain decision CLOSED INTO A LOOP: read the drift probe;

@@ -263,6 +263,36 @@ class StreamingAnnIndexSpec extends SparkSpec {
       s"planted shift must move the probe: $shifted")
   }
 
+  test("population drift: arrivals concentrated in one cluster move pop_permille, error stays at parity") {
+    val base = corpus(0 until 160)
+    val (coarse, model) = trainedOn(base)
+    val root = Files.createTempDirectory("graft-annpop").toString
+    val storeTx = new TxTable(spark, s"$root/store")
+    val driftTx = new TxTable(spark, s"$root/drift")
+    StreamingAnnIndex.bootstrap(base, "vec_id", "embedding", coarse, model,
+      storeTx, driftTx)
+    // arrivals from cluster 0 ONLY (ids ≡ 0 mod 4), in-distribution
+    // vectors — per-vector error is parity, population share is not
+    val hot = corpus(1000 until 1640).filter($"vec_id" % 4 === 0)
+    val vecsDir = s"$root/vecs"
+    hot.coalesce(1).write.mode("overwrite").parquet(vecsDir)
+    StreamingAnnIndex.run(spark, vecsDir, coarse, model, storeTx, driftTx,
+      s"$root/ckpt").awaitTermination()
+    val rep = StreamingAnnIndex.driftReport(driftTx).collect().map(r =>
+      r.getAs[Int]("cell") ->
+        ((Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    val hotCells = rep.filter(_._2._2.exists(_ > 2000))
+    assert(hotCells.nonEmpty,
+      s"the concentrated cluster's cell must show population drift: $rep")
+    // and the error axis stays quiet on those same cells (the two
+    // axes are independent signals)
+    hotCells.foreach { case (cell, (err, _)) =>
+      err.foreach(e => assert(e > 500 && e < 2000,
+        s"cell $cell error drifted ($e) on in-distribution arrivals"))
+    }
+  }
+
   test("retrain loop: under-bar drift is a no-op; planted shift fires, new store resets the probe to parity") {
     val base = corpus(0 until 160)
     val (coarse, model) = trainedOn(base)
