@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.vecL2Descriptor)
     e.injectFunction(GraftExtensions.vecL2Q8Descriptor)
+    e.injectFunction(GraftExtensions.adcDistDescriptor)
     e.injectFunction(GraftExtensions.probeBucketsDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
@@ -78,6 +79,16 @@ object GraftExtensions {
     (FunctionIdentifier("vec_l2_q8"),
       new ExpressionInfo(classOf[VecL2Q8].getName, "vec_l2_q8"),
       buildVecL2Q8)
+
+  private def buildAdcDist(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "adc_dist(qr, codes, cb)")
+    AdcDist(exprs(0), exprs(1), exprs(2))
+  }
+
+  val adcDistDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("adc_dist"),
+      new ExpressionInfo(classOf[AdcDist].getName, "adc_dist"),
+      buildAdcDist)
 
   private def buildProbeBuckets(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "probe_buckets(vec, bits, nProbe)")
@@ -270,6 +281,10 @@ object GraftExtensions {
         .functionExists(FunctionIdentifier("vec_l2_q8")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "vec_l2_q8", buildVecL2Q8, "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("adc_dist")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "adc_dist", buildAdcDist, "built-in")
     if (spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("freq_union"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

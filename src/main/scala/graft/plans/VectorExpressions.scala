@@ -260,6 +260,81 @@ object VecL2Q8 {
   }
 }
 
+/** Native fused ADC distance: `adc_dist(qr, codes, cb)` — qr the
+  * (residual) query `array<float>`, codes the row's `array<int>` PQ
+  * codes, cb the `[m][k][subDim]` codebook literal. One pass, no
+  * intermediate slices: per subspace an inner left fold of
+  * (qr_i − cb_i)² in double, the subspace sums added in s order —
+  * EXACTLY the batch heap accumulation (`acc += dt(s)(cs(s))` over
+  * per-subspace table entries), so a streaming plan built on this is
+  * bit-identical to `ivfAdcTopK` (spec-pinned). Replaces the composed
+  * `m × vec_l2(slice(...), element_at(element_at(...)))` form, which
+  * paid a slice allocation and two nested array lookups per subspace
+  * per candidate. Null on null/ragged inputs.
+  */
+case class AdcDist(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(IntegerType),
+      ArrayType(ArrayType(ArrayType(FloatType))))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(qr: Any, codes: Any, cb: Any): Any =
+    AdcDist.compute(qr.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qr, codes, cb) => s"""
+      java.lang.Double r = graft.plans.AdcDist.compute($qr, $codes, $cb);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(newFirst, newSecond, newThird)
+}
+
+object AdcDist {
+  /** Shared kernel for interpreted eval and generated code. Null on
+    * any shape violation (ragged codebook, code out of range, qr
+    * length != m·subDim) — a misconfigured plan surfaces as null
+    * rows, never an executor crash.
+    */
+  def compute(qr: ArrayData, codes: ArrayData, cb: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    if (cb.numElements() != m || m == 0) return null
+    var acc = 0.0
+    var s = 0
+    var off = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val code = codes.getInt(s)
+      val cbs = cb.getArray(s)
+      if (code < 0 || code >= cbs.numElements()) return null
+      val cent = cbs.getArray(code)
+      val subDim = cent.numElements()
+      if (off + subDim > qr.numElements()) return null
+      var sub = 0.0
+      var j = 0
+      while (j < subDim) {
+        if (qr.isNullAt(off + j)) return null
+        val d = qr.getFloat(off + j).toDouble - cent.getFloat(j).toDouble
+        sub += d * d
+        j += 1
+      }
+      acc += sub // subspace sums added in s order — the heap fold
+      off += subDim
+      s += 1
+    }
+    if (off != qr.numElements()) return null
+    java.lang.Double.valueOf(acc)
+  }
+}
+
 object VecDot {
   /** Shared kernel for interpreted eval and generated code. Returns
     * null (boxed) exactly when the zip_with/aggregate composition

@@ -239,8 +239,6 @@ object StreamingSimilarity {
     val centLit = typedLit(coarse)
     val cbLit = typedLit(model.codebooks)
     val nCells = coarse.size
-    val m = model.m
-    val subDim = model.subDim
     // probe selection: squared-L2 to every centroid (double, the
     // probeCells fold), (dist asc, cell asc) — then the float32
     // residual per probed cell (the encodeIvf arithmetic)
@@ -258,13 +256,12 @@ object StreamingSimilarity {
       .select(col("q_id"), col("_ts"), col("p.cell").as("cell"),
         zip_with(col("q_vec"), element_at(centLit, col("p.cell") + 1),
           (x, y) => x - y).as("qr"))
-    // per-candidate ADC distance: m native subspace folds summed in
-    // subspace order — the adcScan accumulation, expression-side
-    val dist = (0 until m).map { s =>
-      l2Native(slice(col("qr"), s * subDim + 1, subDim),
-        element_at(element_at(cbLit, s + 1),
-          element_at(col("codes"), s + 1) + 1))
-    }.reduce(_ + _)
+    // per-candidate ADC distance: ONE fused native pass (per-subspace
+    // inner folds added in s order — the adcScan heap accumulation,
+    // bit-identical); the composed m × vec_l2(slice, element_at²) form
+    // paid a slice alloc + two nested lookups per subspace per
+    // candidate, and candidates are the volume axis here
+    val dist = call_function("adc_dist", col("qr"), col("codes"), cbLit)
     probes
       .join(codeStore.select(col(idCol).as("nn_id"), col("cell"),
         col("codes")), Seq("cell"))
