@@ -42,6 +42,40 @@ class VecDotSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("adc_dist equals the composed per-subspace vec_l2 sum bit-for-bit; null on shape violations") {
+    graft.plans.GraftExtensions.register(spark)
+    val m = 4; val subDim = 4; val k = 3
+    val rnd = new scala.util.Random(19)
+    val cb: Seq[Seq[Seq[Float]]] = Seq.fill(m)(Seq.fill(k)(
+      Seq.fill(subDim)(rnd.nextFloat() * 2f - 1f)))
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(m * subDim)(rnd.nextFloat() * 2f - 1f).toSeq,
+        Seq.fill(m)(rnd.nextInt(k)))
+    }
+    val df = rows.toDF("id", "qr", "codes")
+    val cbLit = typedlit(cb)
+    val composed = (0 until m).map { s =>
+      VectorFunctions.l2Native(slice(col("qr"), s * subDim + 1, subDim),
+        element_at(element_at(cbLit, s + 1),
+          element_at(col("codes"), s + 1) + 1))
+    }.reduce(_ + _)
+    val out = df.select(
+      composed.as("c"),
+      call_function("adc_dist", col("qr"), col("codes"), cbLit).as("n"))
+    assert(out.filter(col("c") =!= col("n")).count() == 0)
+    assert(out.filter(col("c").isNull).count() == 0)
+    // shape violations are null, never a crash: out-of-range code and
+    // a qr length that doesn't match m*subDim
+    val bad = Seq(
+      (1L, Seq.fill(m * subDim)(0.5f), Seq(0, 1, 2, 99)), // code 99 >= k
+      (2L, Seq.fill(m * subDim - 1)(0.5f), Seq.fill(m)(0)) // short qr
+    ).toDF("id", "qr", "codes")
+    val badOut = bad.select(
+      call_function("adc_dist", col("qr"), col("codes"), cbLit).as("n"))
+      .collect()
+    assert(badOut.forall(_.isNullAt(0)))
+  }
+
   test("vec_dot null semantics match zip_with padding: length mismatch and null element") {
     graft.plans.GraftExtensions.register(spark)
     val df = Seq(
