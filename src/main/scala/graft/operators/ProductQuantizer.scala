@@ -1007,20 +1007,25 @@ object ProductQuantizer {
     * R·Rᵀ−I lands at ~5e-8 and the Rayleigh values match the true
     * spectrum to 4–5 digits on the same corpus that broke deflation.
     */
-  /** Deterministic degenerate-stage completion: the first standard
-    * basis vector whose CGS2 residual against the first `count`
-    * recorded vectors clears 0.25, normalized (some e_j must —
-    * `count` recorded vectors leave residual² ≥ (d−count)/d ≥ 1/d for
-    * the best candidate). ONE implementation shared by [[eigenStages]]
-    * and [[procrustesRotation]]'s V loop — the twin of the SQL
-    * completion layers in VectorQueries, which must stay in numeric
+  /** Deterministic degenerate-stage completion: the standard basis
+    * vector with the LARGEST CGS2 residual against the first `count`
+    * recorded vectors (first-max tie-break), normalized. The argmax is
+    * guaranteed residual² ≥ (d−count)/d ≥ 1/d — a first-above-a-fixed-
+    * bar pick (the pre-round-14 form used 0.25) can find NO candidate
+    * when the complement direction is delocalized (all |w_j| ~ 1/√d,
+    * e.g. a Hadamard-like basis: max residual is exactly 1/√d = 0.125
+    * at d=64), crashing on legitimate input. ONE implementation shared
+    * by [[eigenStages]] and [[procrustesRotation]]'s V loop — the twin
+    * of the SQL completion layers in VectorQueries
+    * (`cnorms[j] >= list_max(cnorms)`), which must stay in numeric
     * lockstep with exactly this.
     */
-  private def completeStage(recorded: Array[Array[Float]], count: Int,
-                            d: Int, who: String): Array[Float] = {
-    var picked: Array[Float] = null
+  private[graft] def completeStage(recorded: Array[Array[Float]], count: Int,
+                                   d: Int, who: String): Array[Float] = {
+    var best: Array[Double] = null
+    var bestNrm = -1.0
     var cand = 0
-    while (cand < d && picked == null) {
+    while (cand < d) {
       val wc = new Array[Double](d)
       wc(cand) = 1.0
       var pass = 0
@@ -1051,14 +1056,15 @@ object ProductQuantizer {
       var x2 = 0
       while (x2 < d) { n2 += wc(x2) * wc(x2); x2 += 1 }
       val nrm = math.sqrt(n2)
-      if (nrm > 0.25)
-        picked = Array.tabulate(d)(rr => (wc(rr) / nrm).toFloat)
+      if (nrm > bestNrm) { bestNrm = nrm; best = wc } // strict >: first max
       cand += 1
     }
-    require(picked != null,
-      s"$who: no completion candidate cleared the residual bound — " +
+    // the 1/sqrt(d) floor holds only while count < d; a residual this
+    // small means the recorded stages already span (or exceed) the space
+    require(bestNrm > 1e-6,
+      s"$who: best completion residual $bestNrm is degenerate — " +
         "recorded stages are not orthonormal")
-    picked
+    Array.tabulate(d)(rr => (best(rr) / bestNrm).toFloat)
   }
 
   /** @param completeDegenerate a stage whose CGS2 residual falls under
@@ -1066,8 +1072,8 @@ object ProductQuantizer {
     *   genuine residuals are O(1), degenerate ones sit at the float32
     *   cast noise ~1e-8 and NORMALIZING one destroys orthogonality,
     *   which then cascades through every later projection) is replaced
-    *   by the first standard basis vector whose CGS2 residual clears
-    *   0.25 — a deterministic orthonormal completion. OFF by default:
+    *   by the argmax-residual standard basis vector (guaranteed ≥
+    *   1/√d) — a deterministic orthonormal completion. OFF by default:
     *   [[fitOpq]] WANTS the rank-deficiency to surface at its loud
     *   orthonormality gate; the Procrustes solve turns it ON because
     *   its input M = E[x·ŷᵀ] is rank ≤ k·m BY CONSTRUCTION at small
@@ -1435,11 +1441,12 @@ object ProductQuantizer {
       // a collapsed stage (σ under the float32-cast noise floor of M —
       // the tail singular directions of a decaying spectrum drown in
       // the cast) contributes ~nothing to tr(R·M), so ANY orthonormal
-      // completion is equally optimal: take the FIRST standard basis
-      // vector whose CGS2 residual against the recorded v's clears
-      // 0.25 (some e_j must — i recorded vectors leave residual² ≥
-      // (d−i)/d for the best candidate). Deterministic, so the replay
-      // takes the same branch on the same (hash-equal) M.
+      // completion is equally optimal: take the ARGMAX-residual
+      // standard basis vector (i recorded vectors leave residual² ≥
+      // (d−i)/d for the best candidate — the argmax always clears
+      // 1/√d; a fixed bar cannot promise that on a delocalized
+      // complement). Deterministic, so the replay takes the same
+      // branch on the same (hash-equal) M.
       val floor = 1e-9 * froNorm
       vs(i) =
         if (sigma > floor) Array.tabulate(d)(rr => (w(rr) / sigma).toFloat)

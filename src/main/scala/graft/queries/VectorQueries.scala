@@ -1489,10 +1489,10 @@ object VectorQueries {
     //      error. At this geometry M = E[x·ŷᵀ] is rank ≤ k·m = 16 BY
     //      CONSTRUCTION (ŷ spans the codebook products), so ~50 of the
     //      64 U/V stages go through the deterministic basis-COMPLETION
-    //      branch (first e_j whose CGS2 residual clears 0.25 — zero
-    //      tr(R·M) weight, any orthonormal completion equally optimal)
-    //      — the replay pins the completion arithmetic too, not just
-    //      the converged stages.
+    //      branch (the argmax-CGS2-residual e_j, guaranteed ≥ 1/√d —
+    //      zero tr(R·M) weight, any orthonormal completion equally
+    //      optimal) — the replay pins the completion arithmetic too,
+    //      not just the converged stages.
     Q("q164_opq_nonparametric", (s, dir) => {
       import graft.operators.ProductQuantizer
       val e = Tables.embeddings(s, dir)
@@ -1569,7 +1569,7 @@ object VectorQueries {
             SELECT k4.*,
                    CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
                      list_filter(range(1,65),
-                       j -> kcnorms[j] > 0.25)[1] END AS kjp
+                       j -> kcnorms[j] >= list_max(kcnorms))[1] END AS kjp
             FROM (
               SELECT k3.*,
                      CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
@@ -2143,20 +2143,22 @@ object VectorQueries {
                               powerIters: Int,
                               complete: Boolean = false): String = {
     // eigenStages' completeDegenerate branch (complete = true): a stage
-    // whose CGS2 residual is <= 1e-6 is replaced by the first standard
-    // basis vector whose own CGS2 residual against recorded stages
-    // clears 0.25. Four layers build it: cands1[j] = first GS pass of
-    // e_j (the dot against evs[e] is just evs[e][j]); cdots[j][e] =
-    // second-pass dots; cands[j] = second-pass residual; cnorms + jp =
-    // norms and the first clearing index. All guarded NULL on
-    // non-degenerate stages so the cost is paid only when completing.
+    // whose CGS2 residual is <= 1e-6 is replaced by the standard basis
+    // vector with the LARGEST CGS2 residual against recorded stages
+    // (first-max tie-break — the argmax always clears 1/sqrt(d), where
+    // a fixed 0.25 bar crashed on delocalized complements). Four layers
+    // build it: cands1[j] = first GS pass of e_j (the dot against
+    // evs[e] is just evs[e][j]); cdots[j][e] = second-pass dots;
+    // cands[j] = second-pass residual; cnorms + jp = norms and the
+    // first argmax index. All guarded NULL on non-degenerate stages so
+    // the cost is paid only when completing.
     val completionLayers =
       if (!complete) ""
       else s"""
               SELECT c4x.*,
                      CASE WHEN nrm2 > 1e-6 THEN NULL ELSE
                        list_filter(range(1,65),
-                         j -> cnorms[j] > 0.25)[1] END AS jp
+                         j -> cnorms[j] >= list_max(cnorms))[1] END AS jp
               FROM (
               SELECT c3x.*,
                      CASE WHEN nrm2 > 1e-6 THEN NULL ELSE

@@ -558,4 +558,35 @@ class ProductQuantizerSpec extends SparkSpec {
       assert(got == expect, s"q$qid rerank: $got vs $expect")
     }
   }
+
+  test("completeStage picks the argmax residual — a delocalized complement (all |w_j| = 1/8) completes instead of crashing") {
+    // 63 recorded rows of the order-64 Sylvester-Hadamard basis
+    // (H[i][j] = (-1)^popcount(i&j), normalized by 1/8): the orthogonal
+    // complement is row 0 = (1/8, ..., 1/8) — every standard basis
+    // vector's CGS2 residual norm is exactly 1/8 = 0.125, UNDER the old
+    // fixed 0.25 bar (the round-13 advisory crash input) but exactly the
+    // 1/sqrt(d) floor the argmax pick is guaranteed
+    val d = 64
+    def had(i: Int, j: Int): Float =
+      (if (java.lang.Integer.bitCount(i & j) % 2 == 0) 0.125f else -0.125f)
+    val recorded = Array.tabulate(d - 1, d)((i, j) => had(i + 1, j))
+    val w = ProductQuantizer.completeStage(recorded, d - 1, d, "spec")
+    val n2 = w.map(x => x.toDouble * x.toDouble).sum
+    assert(math.abs(n2 - 1.0) < 1e-6, s"completion must be unit norm: $n2")
+    recorded.zipWithIndex.foreach { case (ev, i) =>
+      val dot = w.zip(ev).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      assert(math.abs(dot) < 1e-5, s"completion not orthogonal to row $i: $dot")
+    }
+    // deterministic: the complement is ±row0/|row0| up to sign; every
+    // component must be ±0.125
+    assert(w.forall(x => math.abs(math.abs(x) - 0.125f) < 1e-6f),
+      s"expected the delocalized complement, got ${w.take(8).toSeq}...")
+    // and a genuinely exhausted space still fails loudly: all 64 rows
+    // recorded leaves residuals at rounding noise
+    val full = Array.tabulate(d, d)((i, j) => had(i, j))
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantizer.completeStage(full, d, d, "spec-full")
+    }
+    assert(e.getMessage.contains("degenerate"), e.getMessage)
+  }
 }
