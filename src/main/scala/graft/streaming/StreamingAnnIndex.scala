@@ -149,6 +149,21 @@ object StreamingAnnIndex {
     * vector files under `vecsDir` → encoded store rows (exactly-once)
     * + per-batch drift partials. Append-only dirs only — the file
     * source keys processed files by path (the q147/runBank contract).
+    *
+    * COMPACTION POLICY (`compactEvery` > 0, round 14): every N-th
+    * micro-batch, after its commits land, the store is compacted with
+    * a GLOBAL cell sort ([[graft.bank.TxTable.compact]]) and the drift
+    * sidecar with a plain file-merge. A long-lived maintained store
+    * otherwise accumulates one file set per batch whose cell ranges
+    * all overlap (each batch is cell-sorted WITHIN itself), so a
+    * probe's `cell IN (...)` touches every batch's files; the sorted
+    * compact restores store-wide disjoint cell slices — file-level
+    * pruning at partitionBy grade (BASELINE's ann_store row measures
+    * the probe wall against batch count before/after). Content-neutral
+    * and commit-atomic, so the maintained-≡-rebuilt invariant and the
+    * appendOnce exactly-once tags are untouched; it runs INSIDE
+    * foreachBatch (the single-writer seat), so no concurrent append
+    * can land in the generation being replaced.
     */
   def run(spark: SparkSession, vecsDir: String,
           coarse: Seq[Seq[Float]], model: PQModel,
@@ -158,7 +173,8 @@ object StreamingAnnIndex {
           availableNow: Boolean = true,
           maxFilesPerTrigger: Int = 1000,
           rotation: Option[Seq[Seq[Float]]] = None,
-          int8Scale: Option[Float] = None): StreamingQuery = {
+          int8Scale: Option[Float] = None,
+          compactEvery: Int = 0): StreamingQuery = {
     val stream = spark.readStream
       .schema(vectorSchema(idCol, vecCol))
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -174,7 +190,11 @@ object StreamingAnnIndex {
         driftTx.appendOnce(partials(rows, errC, "stream", s"ann-batch-$batchId"),
           tag = s"ann-drift-$batchId")
         rows.unpersist()
-        ()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          storeTx.compact(Seq("cell"))
+          driftTx.compact()
+          ()
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -231,52 +251,195 @@ object StreamingAnnIndex {
           .as("pop_permille"))
   }
 
-  /** The retrain decision CLOSED INTO A LOOP: read the drift probe;
-    * when the median per-cell drift exceeds `thresholdPermille`,
-    * retrain the coarse cells + residual codebooks on the CURRENT
-    * store's vectors (baseline ∪ arrivals — optionally hash-sampled,
-    * the fit/fitOpq device) and bulk-load a FRESH store + baseline
-    * partials into the new TxTables; the caller swaps serving to the
-    * new tables at its convenience (the EventBank time-travel refresh
-    * contract) and the probe starts over at parity. Returns the new
-    * models, or None when drift is under the bar (nothing written).
+  /** A fired retrain's result: the retrained models PLUS the tier
+    * configuration the fresh store was bootstrapped with. Returning
+    * the rotation / scale makes the serving contract EXPLICIT (the
+    * round-13 advisory: a rotated-space model with no rotation
+    * attached invites raw-space queries with no error): future
+    * arrivals maintain the new store via [[run]] with exactly these
+    * `rotation` / `int8Scale` values, and serving queries rotate by
+    * `rotation` (when set) before probing.
+    */
+  final case class RetrainedModels(coarse: Seq[Seq[Float]], pq: PQModel,
+                                   rotation: Option[Seq[Seq[Float]]] = None,
+                                   int8Scale: Option[Float] = None)
+
+  /** The retrain decision CLOSED INTO A LOOP, across the full tier
+    * matrix (plain float, OPQ-rotated, int8, and their composition):
+    * read the drift probe; when it fires, rebuild every model the
+    * store serves with — rotation (OPQ stores), coarse cells, residual
+    * codebooks, and int8 scale — from the CURRENT store's rows alone
+    * (baseline ∪ arrivals), and bulk-load a FRESH store + baseline
+    * partials into the new TxTables. The caller swaps serving to the
+    * new tables at its convenience ([[AnnGenerations]] makes that swap
+    * a crash-safe pointer publish) and the probe starts over at
+    * parity. Returns the new models + tier config, or None when drift
+    * is under both bars (nothing written).
     *
-    * The threshold is a permille ratio of error medians — 2000 means
-    * "the streamed median reconstruction error is 2× baseline", far
-    * above the in-distribution parity band (~1000 ± a few %,
-    * BASELINE's ann_store row) and far below a real shift (1.5M‰
-    * measured) — the decision is not a judgment call on this
-    * separation. Float-tier stores only (retraining needs vectors).
+    * DECISION — two axes from the same kilobyte partials:
+    *   - error: fire when the MEDIAN across cells of `drift_permille`
+    *     at per-cell error quantile `decisionQuantile` exceeds
+    *     `thresholdPermille`. 2000 means "streamed reconstruction
+    *     error is 2× baseline at that quantile", far above the parity
+    *     band (~1000 ± a few %, BASELINE's ann_store row) and far
+    *     below a real shift (1.5M‰ measured). The DEFAULT quantile is
+    *     the median; pass 0.95 to catch a drifted SUBPOPULATION — a
+    *     20% slice of arrivals off-distribution leaves every cell's
+    *     p50 at parity while its p95 sits in the shifted tail
+    *     (spec-pinned: p50 misses it, p95 fires).
+    *   - population: fire when ANY cell's `pop_permille` exceeds
+    *     `popBarPermille` (default 4000 = a cell receiving 4× its
+    *     proportional share) — arrival concentration starves the other
+    *     cells' codebooks and skews probe cost even at error parity.
+    *     None disables the axis. Tiny cells make the ratio noisy; the
+    *     bar is per-store tuning, not a universal constant.
+    *
+    * TIERS — the store is the only input, so each tier reconstructs
+    * its training corpus from what the store holds:
+    *   - float (`vec`): used as-is.
+    *   - int8 (`vec8`, pass the store's `int8Scale`): DEQUANTIZED
+    *     (v8·s/127 per component, float32) — carries ≤ s/254-per-dim
+    *     quantization noise into training, orders under codebook cell
+    *     radii (recall parity measured in BASELINE); the new scale is
+    *     recomputed from the dequantized corpus (the documented
+    *     "re-scale at retrain time" contract) and the fresh tier is
+    *     quantized with it.
+    *   - OPQ (pass the store's `rotation`): stored vectors live in
+    *     rotated space, so they are UNROTATED through Rᵀ (orthonormal
+    *     inverse; float32 round-trip noise ~1e-7), the rotation is
+    *     REFIT with the non-parametric alternation
+    *     ([[ProductQuantizer.fitOpqNp]] — Ge §4.2, exactly replayable)
+    *     on the recovered corpus, and coarse + residual codebooks
+    *     train in the NEW rotated space (the q166 composition).
+    * Every step is a deterministic defined-order fold, so a DuckDB
+    * oracle replays both retrained stores from the union corpus alone
+    * (q169/q170) exactly as q168 replays the float tier.
     */
   def retrainIfDrifted(storeTx: TxTable, driftTx: TxTable,
                        newStoreTx: TxTable, newDriftTx: TxTable,
                        cells: Int, m: Int, k: Int, iters: Int,
                        thresholdPermille: Long = 2000L,
                        sampleFraction: Double = 1.0,
-                       errC: Int = 128)
-      : Option[(Seq[Seq[Float]], PQModel)] = {
+                       errC: Int = 128,
+                       idCol: String = "vec_id",
+                       decisionQuantile: Double = 0.5,
+                       popBarPermille: Option[Long] = Some(4000L),
+                       rotation: Option[Seq[Seq[Float]]] = None,
+                       int8Scale: Option[Float] = None,
+                       opqPowerIters: Int = 32,
+                       opqAlternations: Int = 1)
+      : Option[RetrainedModels] = {
     import org.apache.spark.sql.functions.{col => c}
-    val drifts = driftReport(driftTx, errC)
-      .select(c("drift_permille")).collect()
-      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).sorted
-    if (drifts.isEmpty || drifts(drifts.length / 2) <= thresholdPermille)
-      return None
+    val spark = storeTx.read().sparkSession
+    import spark.implicits._
+    val rep = driftReport(driftTx, errC, q = decisionQuantile)
+      .select(c("drift_permille"), c("pop_permille")).collect()
+    val drifts = rep.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .sorted
+    val pops = rep.flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Long]))
+    val errFired = drifts.nonEmpty &&
+      drifts(drifts.length / 2) > thresholdPermille
+    val popFired = popBarPermille.exists(bar => pops.exists(_ > bar))
+    if (!errFired && !popFired) return None
+
     val all = storeTx.read()
-    require(all.columns.contains("vec"),
-      "retrainIfDrifted needs the float tier ('vec') to retrain on")
-    val vecs = all.select(c("vec_id"), c("vec").as("embedding"))
-    val train = ProductQuantizer.sampleByHash(vecs, "vec_id", sampleFraction)
+    // 1. reconstruct a float corpus from the store's own tier
+    val floats: DataFrame = int8Scale match {
+      case None =>
+        require(all.columns.contains("vec"),
+          "retrainIfDrifted: store has no float tier ('vec') — an int8 " +
+            "store needs its int8Scale passed so the tier can dequantize")
+        all.select(c(idCol), c("vec").as("embedding"))
+      case Some(sc) =>
+        require(all.columns.contains("vec8"),
+          "retrainIfDrifted: int8Scale passed but the store has no 'vec8' " +
+            "tier")
+        val inv = sc.toDouble / 127.0
+        all.select(c(idCol), c("vec8")).as[(Long, Array[Byte])]
+          .mapPartitions(it => it.map { case (id, b) =>
+            val out = new Array[Float](b.length)
+            var i = 0
+            while (i < b.length) { out(i) = (b(i) * inv).toFloat; i += 1 }
+            (id, out.toSeq)
+          }).toDF(idCol, "embedding")
+    }
+    // 2. back to ORIGINAL space when the store is rotation-fused
+    //    (orthonormal R: inverse = transpose; same rotate arithmetic)
+    val vecs = rotation match {
+      case None => floats
+      case Some(rot) =>
+        ProductQuantizer.rotateVectors(floats, idCol, "embedding",
+            rot.transpose.map(_.toSeq).toSeq)
+          .withColumnRenamed("remb", "embedding")
+    }
+    // 3. refit the rotation (OPQ stores) on the recovered corpus
+    val newRot: Option[Seq[Seq[Float]]] = rotation.map { _ =>
+      ProductQuantizer.fitOpqNp(vecs, idCol, "embedding", m,
+        k = k, iters = iters, powerIters = opqPowerIters,
+        alternations = opqAlternations,
+        sampleFraction = sampleFraction).rotation
+    }
+    val work = newRot match {
+      case None => vecs
+      case Some(r2) =>
+        ProductQuantizer.rotateVectors(vecs, idCol, "embedding", r2)
+          .withColumnRenamed("remb", "embedding")
+    }
+    // 4. coarse cells + residual codebooks in the (new) serving space
+    val train = ProductQuantizer.sampleByHash(work, idCol, sampleFraction)
     val (coarse, _) = graft.operators.KMeans.fit(
-      train, "vec_id", "embedding", cells, iters)
+      train, idCol, "embedding", cells, iters)
     val resid = graft.operators.KMeans
-      .assign(train, "vec_id", "embedding", coarse)
+      .assign(train, idCol, "embedding", coarse)
       .withColumn("r", zip_with(c("embedding"),
         element_at(typedlit(coarse), c("cell") + 1), (x, y) => x - y))
-      .select(c("vec_id"), c("r"))
-    val pq = ProductQuantizer.fit(resid, "vec_id", "r", m, k, iters)
-    bootstrap(vecs, "vec_id", "embedding", coarse, pq,
-      newStoreTx, newDriftTx, errC)
-    Some((coarse, pq))
+      .select(c(idCol), c("r"))
+    val pq = ProductQuantizer.fit(resid, idCol, "r", m, k, iters)
+    // 5. re-scale at retrain time (int8 stores): max-abs of the vectors
+    //    as STORED (post-rotation), the quantity the tier clamps against
+    val newScale = int8Scale.map(_ =>
+      ProductQuantizer.int8Scale(work, "embedding"))
+    bootstrap(vecs, idCol, "embedding", coarse, pq,
+      newStoreTx, newDriftTx, errC, rotation = newRot,
+      int8Scale = newScale)
+    Some(RetrainedModels(coarse, pq, newRot, newScale))
+  }
+
+  /** The loop composed end to end over a generation pointer
+    * ([[AnnGenerations]]): resolve the CURRENT generation, retrain
+    * into a fresh UNPUBLISHED one, and swap the pointer only when the
+    * retrain fired — the crash-safe serving swap q168 left to "the
+    * caller's convenience". A crash before publish leaves serving on
+    * the old generation with the new one as invisible garbage; a crash
+    * after publish leaves the swap complete — there is no torn state.
+    * Returns (published generation, models) when fired; None (nothing
+    * written, pointer untouched) under parity.
+    */
+  def retrainAndSwap(gens: AnnGenerations,
+                     cells: Int, m: Int, k: Int, iters: Int,
+                     thresholdPermille: Long = 2000L,
+                     sampleFraction: Double = 1.0,
+                     errC: Int = 128,
+                     idCol: String = "vec_id",
+                     decisionQuantile: Double = 0.5,
+                     popBarPermille: Option[Long] = Some(4000L),
+                     rotation: Option[Seq[Seq[Float]]] = None,
+                     int8Scale: Option[Float] = None,
+                     opqPowerIters: Int = 32,
+                     opqAlternations: Int = 1)
+      : Option[(Long, RetrainedModels)] = {
+    val (_, storeTx, driftTx) = gens.current().getOrElse(
+      throw new IllegalArgumentException(
+        "retrainAndSwap needs a published generation — bootstrap into " +
+          "gens.next() and publish it first"))
+    val (gen2, newStore, newDrift) = gens.next()
+    retrainIfDrifted(storeTx, driftTx, newStore, newDrift,
+      cells, m, k, iters, thresholdPermille, sampleFraction, errC,
+      idCol, decisionQuantile, popBarPermille, rotation, int8Scale,
+      opqPowerIters, opqAlternations).map { rm =>
+      gens.publish(gen2)
+      (gen2, rm)
+    }
   }
 
   /** Exact recomputation of ONE consolidated partial set from the

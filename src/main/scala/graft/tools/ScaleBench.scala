@@ -771,6 +771,79 @@ object ScaleBench {
         s""""recall_plain_rerank100":${fmt(rrPlain, 4)}$sampledJson}"""
     }.getOrElse("")
 
+    // Non-parametric OPQ sampled training (env GRAFT_SCALE_OPQNP=
+    // <vecs>[:m:k[:fraction]]): fitOpqNp — the Ge §4.2 alternating
+    // Procrustes variant — trained full-scan vs on the q160 hash
+    // sample. One alternation pays TWO d²-per-row corpus passes
+    // (second moment + cross-covariance) plus two codebook fits, so
+    // the sample buys roughly the q160 factor twice over; recon error
+    // and recall@10 against the exact float top-10 guard the parity
+    // claim (the q171 oracle pins sampled-regime correctness exactly).
+    val opqNpJson = sys.env.get("GRAFT_SCALE_OPQNP").map { spec =>
+      import graft.operators.ProductQuantizer
+      val parts = spec.split(':')
+      val n = parts(0).trim.toLong
+      val (m, k) =
+        if (parts.length >= 3) (parts(1).toInt, parts(2).toInt)
+        else (8, 256)
+      val frac =
+        if (parts.length >= 4) parts(3).toDouble
+        else math.min(1.0, 2e5 / n)
+      val (corpus, corpusTag) = embCorpus(spark, n)
+      val rawDir = s"$root/opqnp_raw_${corpusTag}_$n"
+      corpus.write.mode("overwrite").parquet(rawDir)
+      val e = spark.read.parquet(rawDir)
+      import spark.implicits._
+      val qMod = math.max(1L, n / 32)
+      val queries = e.filter(col("doc_id") % qMod === 3L % qMod)
+        .orderBy("doc_id").limit(32).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      val qdf = broadcast(queries.toDF("q_id", "qv"))
+      val d2 = aggregate(
+        zip_with(col("qv"), col("embedding"), (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("xd").asc, col("doc_id").asc)
+      val exact = e.crossJoin(qdf).withColumn("xd", d2)
+        .withColumn("xr",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("xr") <= 10)
+        .select("q_id", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def leg(fraction: Double): (Double, Double, Double) = {
+        val t0 = System.nanoTime()
+        val opq = ProductQuantizer.fitOpqNp(e, "doc_id", "embedding",
+          m = m, k = k, iters = 3, powerIters = 32, alternations = 1,
+          sampleFraction = fraction)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val codes = ProductQuantizer.encodeOpq(
+          e, "doc_id", "embedding", opq).persist()
+        val rotated = ProductQuantizer.rotateVectors(
+          e, "doc_id", "embedding", opq.rotation)
+        val err = rotated.join(codes, "doc_id")
+          .select(sum(ProductQuantizer.reconErrColumn(
+            col("remb"), col("codes"), opq.pq)))
+          .collect()(0).getDouble(0)
+        val recall = ProductQuantizer.adcTopKOpq(
+            codes, "doc_id", opq, queries, k = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          .intersect(exact).size.toDouble / exact.size
+        codes.unpersist()
+        (wall, err, recall)
+      }
+      val (fullS, fullErr, fullR) = leg(1.0)
+      val (sampS, sampErr, sampR) = leg(frac)
+      s""","opq_np":{"vecs":$n,"m":$m,"k":$k,"corpus":"$corpusTag",""" +
+        s""""sample_fraction":$frac,""" +
+        s""""train_full_s":${fmt(fullS)},""" +
+        s""""train_sampled_s":${fmt(sampS)},""" +
+        s""""recon_err_full":${fmt(fullErr)},""" +
+        s""""recon_err_sampled":${fmt(sampErr)},""" +
+        s""""recall_full":${fmt(fullR, 4)},""" +
+        s""""recall_sampled":${fmt(sampR, 4)}}"""
+    }.getOrElse("")
+
     // DataFrame-batch ADC (env GRAFT_SCALE_PQBATCH=<vecs>:<queries>
     // [:m:k]): the 10⁴-query shape the Seq API was the wrong size for.
     // The batch path broadcasts the float query block and each task
@@ -1552,6 +1625,30 @@ object ScaleBench {
         "vec_id", "embedding", coarse, pq))
       require(maintained == rebuilt,
         s"maintained store $maintained != rebuild $rebuilt")
+      // (a2) COMPACTION POLICY (round 14): the append store carries one
+      // file set per commit, each cell-sorted WITHIN its batch but
+      // range-overlapping ACROSS batches; one globally cell-sorted
+      // compact restores store-wide disjoint slices. Probe wall + live
+      // file count both sides (warm-up probe first — the round-12
+      // measurement-order lesson), content-neutral by the same checksum.
+      val probeQs = embQueries(spark, 200)
+        .select(col("doc_id").as("q_id"), col("embedding").as("qv"))
+      def probeWall(): Double = {
+        val p0 = System.nanoTime()
+        ProductQuantizer.ivfAdcTopKBatch(storeTx.read(), "vec_id",
+          coarse, pq, probeQs, "q_id", "qv", k = 10, nprobe = 8).count()
+        (System.nanoTime() - p0) / 1e9
+      }
+      val filesPre = storeTx.snapshot().length
+      probeWall() // warm-up
+      val probePreS = probeWall()
+      val c0 = System.nanoTime()
+      storeTx.compact(Seq("cell"))
+      val compactS = (System.nanoTime() - c0) / 1e9
+      val filesPost = storeTx.snapshot().length
+      require(chk(storeTx.read()) == maintained,
+        "sorted compact must be content-neutral")
+      val probePostS = probeWall()
       // (b) + (c): probe wall and the two drift distributions
       val d0 = System.nanoTime()
       val inDist = StreamingAnnIndex.driftReport(driftTx)
@@ -1578,7 +1675,7 @@ object ScaleBench {
         sampleFraction = trainFrac)
       val retrainS = (System.nanoTime() - rt0) / 1e9
       require(fired.isDefined, "planted shift must fire the retrain")
-      val (c2, pq2) = fired.get
+      val (c2, pq2) = (fired.get.coarse, fired.get.pq)
       val reDir = s"$root/annstore_rt_$n/vecs"
       shifted.select((col("vec_id") + 500_000_000L).as("vec_id"),
           col("embedding"))
@@ -1597,6 +1694,10 @@ object ScaleBench {
         s""""append_s":${fmt(appendS)},""" +
         s""""append_vecs_per_sec":${fmt(nArr / appendS, 0)},""" +
         s""""store_rows":${maintained._1},"rebuild_match":1,""" +
+        s""""files_pre_compact":$filesPre,"files_post_compact":$filesPost,""" +
+        s""""compact_s":${fmt(compactS)},""" +
+        s""""probe_pre_compact_s":${fmt(probePreS)},""" +
+        s""""probe_post_compact_s":${fmt(probePostS)},""" +
         s""""drift_report_s":${fmt(driftS)},""" +
         s""""drift_indist_med":${med(inDist)},""" +
         s""""drift_indist_max":${if (inDist.isEmpty) -1L else inDist.last},""" +
@@ -2613,7 +2714,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:

@@ -174,6 +174,22 @@ class ProductQuantizerSpec extends SparkSpec {
         candidates = 20)) ==
       rows(ProductQuantizer.ivfAdcRerankTopK(store, "vec_id", "vec",
         coarse, pq, qSeq, k = 5, nprobe = 2, candidates = 20)))
+    // int8 tier batch twin (round 14) == Seq form, and the same loud
+    // bounded-gather contract
+    val sc8 = ProductQuantizer.int8Scale(c, "embedding")
+    val store8 = ProductQuantizer.encodeIvfStoreInt8(
+      c, "vec_id", "embedding", coarse, pq, sc8)
+    assert(rows(ProductQuantizer.ivfAdcRerankTopK8Batch(store8, "vec_id",
+        coarse, pq, sc8, qDf, "q_id", "qv", k = 5, nprobe = 2,
+        candidates = 20)) ==
+      rows(ProductQuantizer.ivfAdcRerankTopK8(store8, "vec_id",
+        coarse, pq, sc8, qSeq, k = 5, nprobe = 2, candidates = 20)))
+    val e8 = intercept[IllegalArgumentException] {
+      ProductQuantizer.ivfAdcRerankTopK8Batch(store8, "vec_id",
+        coarse, pq, sc8, qDf, "q_id", "qv", k = 5, nprobe = 2,
+        candidates = 20, maxQueryRows = 3)
+    }
+    assert(e8.getMessage.contains("maxQueryRows"), e8.getMessage)
   }
 
   test("composed IVFADC -> rerank: exact at full probe width; probe scan never reads floats; float fetch partition-pruned") {
