@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical (sparse / inverted-index) retrieval — the BM25 tier of the
+  * retrieval surface, complementing the dense ANN family
+  * ([[Similarity]], [[ProductQuantizer]]): exact keyword top-k over an
+  * inverted-postings layout, the standard first stage of hybrid
+  * retrieval and of retrieval-based decontamination at corpus scale.
+  * The reference has no retrieval surface at all (its query layer is
+  * index SQL — obsplus `bank/wavebank.py` / `bank/eventbank.py`);
+  * this is beyond-reference LLM-pipeline capability, per Robertson &
+  * Zaragoza 2009 (Okapi BM25) with the positive "+1" idf variant
+  * ln(1 + (N − df + 0.5)/(df + 0.5)) so every term contribution is
+  * ≥ 0 and the additive top-k bound holds for any df.
+  *
+  * SCALE SHAPE (the 100 TB story): the corpus is touched exactly once
+  * — the postings build is one explode + one map-side-combined
+  * groupBy keyed (term, doc). Everything query-side is kilobytes: the
+  * document-frequency table is first SEMI-JOINED down to the query's
+  * terms (never broadcast at vocabulary size — web-scale vocabularies
+  * are corpus-sized), and the resulting (q_id, term, df) frame
+  * broadcasts into the postings join, so candidate generation is a
+  * broadcast hash join against the postings scan with the
+  * term-equality pushed down. Per-(query, doc) accumulation folds a
+  * ≤|query-terms| array; the final per-query top-k rides the bounded
+  * [[TopK]] aggregate — map-side partials, shuffled partials, and the
+  * result all clamp at k entries. Nothing corpus-sized ever crosses
+  * the driver or a broadcast.
+  *
+  * DETERMINISM: per-(query, doc) score contributions fold in term-asc
+  * order (sorted-array aggregate, never a shuffle-order SUM over
+  * doubles), ranks order by the ROUNDED score with a doc-id tiebreak,
+  * and the one libm call (ln) only reaches output through ROUND(_, 6)
+  * — the q32 cross-engine contract.
+  */
+object Lexical {
+
+  /** Inverted postings: one row per (term, doc) — `term`, `doc_id`,
+    * `tf` (occurrences of term in doc), `dl` (doc token length).
+    * One explode + one map-side-combined groupBy; at scale, persist
+    * partitioned/bucketed by `term` so query joins prune.
+    */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document frequency per term (rows of [[postings]] are distinct
+    * (term, doc) pairs, so a plain count is the df).
+    */
+  def docFreq(post: DataFrame): DataFrame =
+    post.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Corpus stats the BM25 denominator needs: one row,
+    * (`n_docs` long, `avgdl` double). Integer sum / integer count —
+    * both exact, the division one correctly-rounded op.
+    */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+
+  /** Positive BM25 idf (the Lucene "+1" form):
+    * ln(1 + (n − df + 0.5)/(df + 0.5)). libm-dependent — outputs
+    * derived from it must round before leaving the operator.
+    */
+  def bm25Idf(nDocs: Column, df: Column): Column =
+    log(lit(1.0) + (nDocs.cast("double") - df.cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5)))
+
+  /** BM25 top-k retrieval: for each query row, the k highest-scoring
+    * documents. Output: `q_id`, `doc_id`, `score` (ROUND 6 double),
+    * `rank` (int, 1-based; ties on the rounded score break doc-id
+    * ascending). Queries scoring zero documents emit nothing (no
+    * shared terms ⇒ no candidate rows — standard retrieval semantics).
+    *
+    * `post`, `dfreq`, `stats` default to being derived from `corpus`
+    * but accept precomputed frames (the persisted-store serving path —
+    * build once with [[postings]]/[[docFreq]]/[[corpusStats]], serve
+    * many query batches).
+    */
+  def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
+               queries: DataFrame, qTextCol: String, qIdCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(corpus, textCol, idCol)
+    bm25TopKFromStore(post, docFreq(post), corpusStats(corpus, textCol),
+      queries, qTextCol, qIdCol, k, k1, b)
+  }
+
+  /** [[bm25TopK]] against a prebuilt postings store (the serving
+    * shape: postings/df/stats persisted once, query frames arrive).
+    */
+  def bm25TopKFromStore(post: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                        queries: DataFrame, qTextCol: String, qIdCol: String,
+                        k: Int, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // query terms: distinct per query — BM25's standard bag-of-terms
+    // query treats repeats as one term (qtf weighting is a variant;
+    // distinct keeps the score a set function of the query)
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
+        .as("term"))
+    // df sliced to the query's terms FIRST (vocabulary-sized df never
+    // broadcasts), then the query-sized (q_id, term, df, stats) frame
+    // broadcasts into the postings join
+    val qDf = dfreq.join(broadcast(qTerms.select("term").distinct()),
+      Seq("term"))
+    val qSide = broadcast(qTerms.join(qDf, Seq("term")).crossJoin(stats))
+    val cand = post.join(qSide, Seq("term"))
+      .withColumn("contrib",
+        bm25Idf(col("n_docs"), col("df")) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // per-(query, doc) fold in term-asc order — ≤ |query terms|
+    // entries, float sum order pinned cross-engine
+    val scored = cand
+      .groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .withColumn("score",
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")), 6))
+    // bounded top-k: d = −score ascending ≡ score descending, ties on
+    // doc_id ascending — partials clamp at k (TopK)
+    val topk = TopK.topK(k)
+    scored
+      .groupBy("q_id")
+      .agg(topk(negate(col("score")), col("doc_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke SIGIR'09): fuse N ranked
+    * lists into one, score(d) = Σ_r 1/(c + rank_r(d)). Each input
+    * frame carries (`q_id`, `doc_id`, `rank`); frames contribute in
+    * the order given (the fold is position-pinned — contributions
+    * sort by the frame's index, so the float sum is order-
+    * deterministic cross-engine). Output: `q_id`, `doc_id`,
+    * `rrf` (ROUND 9 double), `rank` (int, ties on rounded rrf break
+    * doc-id ascending), top-k per query via the bounded [[TopK]]
+    * aggregate.
+    *
+    * The scale story is the inputs': each ranked frame is already
+    * ≤ Q·k rows, so fusion is query-sized everywhere — union, one
+    * small groupBy, one bounded top-k.
+    */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked frame")
+    require(k >= 1, s"k must be >= 1: $k")
+    val tagged = ranked.zipWithIndex.map { case (r, i) =>
+      r.select(col("q_id"), col("doc_id"),
+        lit(i).as("src"), col("rank").cast("long").as("r"))
+    }.reduce(_ unionByName _)
+    val scored = tagged
+      .groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("src"),
+        (lit(1.0) / (lit(c).cast("double") + col("r").cast("double")))
+          .as("contrib")))).as("cs"))
+      .withColumn("rrf",
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")), 9))
+    val topk = TopK.topK(k)
+    scored
+      .groupBy("q_id")
+      .agg(topk(negate(col("rrf")), col("doc_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as("rrf"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Lexical
+
+/** BM25 lexical retrieval + reciprocal-rank fusion: scoring pinned
+  * against hand-computed values, retrieval semantics (no shared terms
+  * ⇒ no rows; self-retrieval ranks first on a distinctive term), the
+  * prebuilt-store path bit-equal to the direct path, and fusion math
+  * pinned with asymmetric lists.
+  */
+class LexicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "apple banana apple"),
+    (1L, "banana cherry"),
+    (2L, "cherry cherry cherry durian"),
+    (3L, "elderberry fig"),
+    (4L, "apple durian")
+  ).toDF("doc_id", "text")
+
+  // hand BM25 (k1 = 1.2, b = 0.75, Lucene idf), mirroring the
+  // operator's fold order (terms ascending)
+  private def idf(n: Long, df: Long): Double =
+    math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+  private def tfSat(tf: Long, dl: Long, avgdl: Double): Double =
+    (tf.toDouble * 2.2) /
+      (tf.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * dl.toDouble / avgdl))
+
+  test("postings: (term, doc, tf, dl) with dl the doc token length") {
+    val p = Lexical.postings(docs, "text", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(p.contains(("apple", 0L, 3L, 2L)))   // tf 2, dl 3
+    assert(p.contains(("cherry", 2L, 4L, 3L)))  // tf 3, dl 4
+    assert(p.count(_._1 == "banana") == 2)
+  }
+
+  test("bm25TopK matches hand-computed scores and rank order") {
+    val qs = Seq((100L, "apple cherry")).toDF("q_id", "qtext")
+    val got = Lexical.bm25TopK(docs, "text", "doc_id",
+        qs, "qtext", "q_id", k = 5)
+      .orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect()
+
+    val n = 5L
+    val avgdl = (3.0 + 2.0 + 4.0 + 2.0 + 2.0) / 5.0
+    // df: apple 2, cherry 2
+    def score(parts: Seq[(String, Long, Long, Long)]): Double = {
+      val s = parts.sortBy(_._1).map { case (_, df, tf, dl) =>
+        idf(n, df) * tfSat(tf, dl, avgdl)
+      }.foldLeft(0.0)(_ + _)
+      math.rint(s * 1e6) / 1e6
+    }
+    val expect = Map(
+      0L -> score(Seq(("apple", 2L, 2L, 3L))),
+      1L -> score(Seq(("cherry", 2L, 1L, 2L))),
+      2L -> score(Seq(("cherry", 2L, 3L, 4L))),
+      4L -> score(Seq(("apple", 2L, 1L, 2L))))
+    assert(got.map(_._2).toSet == expect.keySet) // doc 3 shares nothing
+    got.foreach { case (q, d, s, _) =>
+      assert(q == 100L)
+      assert(math.abs(s - expect(d)) < 1e-9, s"doc $d: $s vs ${expect(d)}")
+    }
+    // ranks strictly follow score desc, doc asc
+    val sorted = got.sortBy(r => (-r._3, r._2)).map(_._2).toSeq
+    assert(got.sortBy(_._4).map(_._2).toSeq == sorted)
+  }
+
+  test("no shared terms emits nothing; k clamps the list") {
+    val qs = Seq((7L, "grape kiwi")).toDF("q_id", "qtext")
+    assert(Lexical.bm25TopK(docs, "text", "doc_id",
+      qs, "qtext", "q_id", k = 3).count() == 0)
+
+    val q2 = Seq((8L, "cherry")).toDF("q_id", "qtext")
+    val r = Lexical.bm25TopK(docs, "text", "doc_id",
+      q2, "qtext", "q_id", k = 1).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("doc_id") == 2L) // tf 3 beats tf 1
+  }
+
+  test("prebuilt-store path ≡ direct path") {
+    val post = Lexical.postings(docs, "text", "doc_id").persist()
+    val qs = Seq((1L, "banana durian"), (2L, "apple")).toDF("q_id", "qtext")
+    val direct = Lexical.bm25TopK(docs, "text", "doc_id",
+      qs, "qtext", "q_id", k = 4).as[(Long, Long, Double, Int)]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+    val stored = Lexical.bm25TopKFromStore(post, Lexical.docFreq(post),
+      Lexical.corpusStats(docs, "text"),
+      qs, "qtext", "q_id", k = 4).as[(Long, Long, Double, Int)]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(direct == stored)
+    post.unpersist()
+  }
+
+  test("rrfFuse: asymmetric lists, c = 60, rank ties break doc asc") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q_id", "doc_id", "rank")
+    val got = Lexical.rrfFuse(Seq(a, b), k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    // doc 11: 1/62 + 1/61; doc 10: 1/61; doc 12: 1/62
+    assert(got.map(_._2) == Seq(11L, 10L, 12L))
+    assert(got(0)._3 == r9(1.0 / 62 + 1.0 / 61))
+    assert(got(1)._3 == r9(1.0 / 61))
+    assert(got(2)._3 == r9(1.0 / 62))
+    assert(got.map(_._4) == Seq(1, 2, 3))
+  }
+
+  test("rrfFuse k bound holds and exact rrf ties order by doc id") {
+    val a = Seq((5L, 1L, 1), (5L, 2L, 1)).toDF("q_id", "doc_id", "rank")
+      .filter(col("doc_id") === 1L)
+    val b = Seq((5L, 2L, 1)).toDF("q_id", "doc_id", "rank")
+    val got = Lexical.rrfFuse(Seq(a, b), k = 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("doc_id") == 1L) // tie 1/61 each → doc asc
+  }
+}
