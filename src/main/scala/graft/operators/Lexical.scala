@@ -78,6 +78,99 @@ object Lexical {
     log(lit(1.0) + (nDocs.cast("double") - df.cast("double") + lit(0.5)) /
       (df.cast("double") + lit(0.5)))
 
+  /** One term's BM25 contribution — idf × tf-saturation. Static per
+    * (term, doc) given the corpus stats, which is what makes the
+    * precomputed serving store ([[bm25Store]]) possible.
+    */
+  private def contribCol(tf: Column, dl: Column, df: Column,
+                         nDocs: Column, avgdl: Column,
+                         k1: Double, b: Double): Column =
+    bm25Idf(nDocs, df) *
+      (tf.cast("double") * lit(k1 + 1.0)) /
+      (tf.cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * dl.cast("double") / avgdl))
+
+  /** Serving store: (`term`, `doc_id`, `contrib`) with the BM25
+    * contribution fully precomputed — serving (batch or streaming)
+    * is then join + term-ordered fold + bounded top-k, zero per-query
+    * arithmetic beyond the additive fold. Build once per corpus
+    * snapshot; persist laid out on the join key
+    * (`repartition(col("term")).sortWithinPartitions("term")` — the
+    * bucketCorpus cache-layout trick) so every query batch or
+    * micro-batch probes the cached layout instead of re-exchanging
+    * the postings.
+    */
+  def bm25Store(corpus: DataFrame, textCol: String, idCol: String,
+                k1: Double = 1.2, b: Double = 0.75,
+                maxPostingsPerTerm: Int = Int.MaxValue): DataFrame = {
+    val post = postings(corpus, textCol, idCol)
+    val full = post.join(docFreq(post), Seq("term"))
+      .crossJoin(broadcast(corpusStats(corpus, textCol)))
+      .select(col("term"), col("doc_id"),
+        contribCol(col("tf"), col("dl"), col("df"),
+          col("n_docs"), col("avgdl"), k1, b).as("contrib"))
+    if (maxPostingsPerTerm == Int.MaxValue) full
+    else truncateByImpact(full, maxPostingsPerTerm)
+  }
+
+  /** Impact-ordered postings truncation (Persin et al. '96): keep only
+    * each term's `m` highest-contribution documents (ties doc asc).
+    * THE candidate-volume knob for serving: a query's postings
+    * traversal is then ≤ |query terms| · m rows — bounded state for
+    * the streaming path, bounded shuffle for the batch path —
+    * regardless of how common its terms are. EXACT while every term's
+    * df ≤ m (the oracle regime); above m this is the standard
+    * early-termination trade — a document outside every query term's
+    * impact list cannot surface, and BASELINE records measured recall
+    * vs the exact traversal at the bench geometry. One extra
+    * build-time shuffle keyed `term` with bounded [[TopK]] partials
+    * (≤ m entries map-side and reduce-side both).
+    */
+  def truncateByImpact(store: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"maxPostingsPerTerm must be >= 1: $m")
+    val topm = TopK.topK(m)
+    store
+      .groupBy("term")
+      .agg(topm(negate(col("contrib")), col("doc_id")).as("top"))
+      .select(col("term"), explode(col("top")).as("t"))
+      .select(col("term"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as("contrib"))
+  }
+
+  /** Batch top-k straight off a precomputed contribution store (the
+    * [[bm25Store]] shape — truncated or not): broadcast the query
+    * terms into the store join, fold per (query, doc) in term-asc
+    * order, bounded top-k. The serving twin of [[bm25TopKFromStore]]
+    * with zero per-query arithmetic; against a truncated store this is
+    * the batch side of the impact-bounded serving contract (parity
+    * with [[graft.streaming.StreamingLexical.bm25Stream]] over the
+    * SAME store, whatever the truncation).
+    */
+  def bm25TopKFromContribStore(store: DataFrame, queries: DataFrame,
+                               qTextCol: String, qIdCol: String,
+                               k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val qTerms = broadcast(queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
+        .as("term")))
+    val scored = store.join(qTerms, Seq("term"))
+      .groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .withColumn("score",
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")), 6))
+    val topk = TopK.topK(k)
+    scored
+      .groupBy("q_id")
+      .agg(topk(negate(col("score")), col("doc_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** BM25 top-k retrieval: for each query row, the k highest-scoring
     * documents. Output: `q_id`, `doc_id`, `score` (ROUND 6 double),
     * `rank` (int, 1-based; ties on the rounded score break doc-id
@@ -119,11 +212,8 @@ object Lexical {
     val qSide = broadcast(qTerms.join(qDf, Seq("term")).crossJoin(stats))
     val cand = post.join(qSide, Seq("term"))
       .withColumn("contrib",
-        bm25Idf(col("n_docs"), col("df")) *
-          (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0) - lit(b) +
-              lit(b) * col("dl").cast("double") / col("avgdl"))))
+        contribCol(col("tf"), col("dl"), col("df"),
+          col("n_docs"), col("avgdl"), k1, b))
     // per-(query, doc) fold in term-asc order — ≤ |query terms|
     // entries, float sum order pinned cross-engine
     val scored = cand

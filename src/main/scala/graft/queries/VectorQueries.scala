@@ -2363,8 +2363,81 @@ object VectorQueries {
                AS window_ns,
              q_id, neighbor_id, ROUND(cos, 6) AS cosine,
              CAST(rank AS INT) AS rank
-      FROM r WHERE rank <= 3"""))
+      FROM r WHERE rank <= 3""")),
+
+    // ---- k-center coreset selection (round 14): greedy farthest-point
+    //      traversal (Gonzalez 1985) over the embedding corpus — the
+    //      diversity-curation complement of the dedup family. The
+    //      oracle UNROLLS the whole traversal in DuckDB (seed = min id,
+    //      then 7× argmax-of-running-min with id tiebreak) and re-
+    //      derives the final assignment; radii are raw doubles — the
+    //      distance fold is rational arithmetic in pinned order, so the
+    //      replay is exact with NO rounding.
+    Q("q177_kcenter_coreset", (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val picks = graft.operators.Coreset.kCenter(
+        e, "vec_id", "embedding", k = 8)
+      val sel = picks.map(c => (c.iter, c.id, c.radiusSq))
+        .toDF("iter", "center_id", "radius_sq")
+      val counts = graft.operators.Coreset
+        .assign(e, "vec_id", "embedding", picks)
+        .groupBy("iter").agg(count(lit(1)).as("n_assigned"))
+      sel.join(counts, Seq("iter"))
+        .select(col("iter").cast("int").as("iter"), col("center_id"),
+          col("radius_sq"), col("n_assigned"))
+    }, Some(kCenterOracleSql(k = 8)))
   )
+
+  /** DuckDB replay of [[graft.operators.Coreset.kCenter]]: the greedy
+    * traversal unrolled — c1 = min id; m_i = running min squared-L2 to
+    * the picks so far; c_{i+1} = argmax m_i (ties id asc); final
+    * assignment by (d2 asc, iter asc). Distances are the same
+    * diff²-fold both engines compute in the same order — exact, no
+    * rounding anywhere.
+    */
+  private def kCenterOracleSql(k: Int): String = {
+    def d2(e: String, c: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+            * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
+    val steps = (2 to k).map { i =>
+      val upd =
+        if (i == 2)
+          s"""m1 AS (SELECT e.vec_id, e.embedding,
+                 ${d2("e.embedding", "c.embedding")} AS mind
+               FROM embeddings e CROSS JOIN c1 c)"""
+        else
+          s"""m${i - 1} AS (SELECT m.vec_id, m.embedding,
+                 LEAST(m.mind, ${d2("m.embedding", "c.embedding")}) AS mind
+               FROM m${i - 2} m CROSS JOIN c${i - 1} c)"""
+      s"""$upd,
+      c$i AS (SELECT vec_id, embedding, mind FROM m${i - 1}
+              ORDER BY mind DESC, vec_id ASC LIMIT 1)"""
+    }.mkString(",\n      ")
+    val sel = (1 to k).map { i =>
+      if (i == 1)
+        s"SELECT 1 AS iter, vec_id, embedding, CAST(0.0 AS DOUBLE) AS radius_sq FROM c1"
+      else
+        s"SELECT $i AS iter, vec_id, embedding, mind AS radius_sq FROM c$i"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH c1 AS (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 1),
+      $steps,
+      sel AS ($sel),
+      asg AS (SELECT vec_id, iter FROM (
+                SELECT e.vec_id, s.iter,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${d2("e.embedding", "s.embedding")} ASC,
+                                  s.iter ASC) AS rn
+                FROM embeddings e CROSS JOIN sel s)
+              WHERE rn = 1)
+      SELECT CAST(s.iter AS INT) AS iter, s.vec_id AS center_id,
+             s.radius_sq, COUNT(*) AS n_assigned
+      FROM sel s JOIN asg a ON s.iter = a.iter
+      GROUP BY 1, 2, 3"""
+  }
 
   /** DuckDB replay of [[graft.operators.KMeans.fit]]'s derandomized
     * Lloyd's loop: seed = first k vectors by id, each iteration

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TopK
+
+/** Streaming BM25 serving — a live query stream against a static
+  * precomputed postings store ([[graft.operators.Lexical.bm25Store]]):
+  * the lexical twin of [[StreamingSimilarity.ivfAdcStream]]. Arriving
+  * queries tokenize scan-local, stream-static equi-join the store on
+  * `term` (the corpus never streams, never shuffles per trigger), and
+  * emit their top-k when the watermark closes the window.
+  *
+  * Two chained windowed aggregations (legal append-mode stateful
+  * chaining): the first folds a query's per-document score from its
+  * matched term contributions — state is the per-(window, query, doc)
+  * contribution buffer, ≤ |query terms| entries per row, bounded by
+  * the candidate count (Σ df over the query's terms — the classic
+  * postings-traversal cost, same shape [[StreamingSimilarity]]'s
+  * annStream documents); the second is the bounded [[TopK]] heap, so
+  * everything after the per-doc fold clamps at k entries per query in
+  * every partial, every shuffle, and the state row.
+  *
+  * Scores are the batch [[graft.operators.Lexical.bm25TopK]] values
+  * bit for bit: contributions fold in term-asc order, rank orders by
+  * the ROUND-6 score with a doc-id tiebreak.
+  *
+  * Output (append changelog): `window_ns, q_id, doc_id, score, rank`.
+  */
+object StreamingLexical {
+
+  def bm25Stream(queries: DataFrame, store: DataFrame,
+                 qIdCol: String, qTextCol: String, tsCol: String,
+                 k: Int,
+                 watermark: String = "10 seconds",
+                 windowDur: String = "6 hours"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val qTerms = queries
+      .select(col(qIdCol).cast("long").as("q_id"),
+        col(qTextCol).as("qtext"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("q_id")
+      .select(col("q_id"), col("_ts"),
+        explode(array_distinct(TextFunctions.tokens(col("qtext"))))
+          .as("term"))
+    val perDoc = qTerms
+      .join(store.select(col("term"), col("doc_id"), col("contrib")),
+        Seq("term"))
+      .groupBy(window(col("_ts"), windowDur).as("w"),
+        col("q_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .withColumn("score",
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")), 6))
+    val topk = TopK.topK(k)
+    perDoc
+      .groupBy(window(col("w"), windowDur).as("w2"), col("q_id"))
+      .agg(topk(negate(col("score")), col("doc_id")).as("top"))
+      .select(col("w2"), col("q_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(expr("unix_micros(w2.start) * 1000").as("window_ns"),
+        col("q_id"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}

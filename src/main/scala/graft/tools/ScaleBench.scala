@@ -1768,6 +1768,90 @@ object ScaleBench {
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
+    // BM25 lexical retrieval (env GRAFT_SCALE_BM25=
+    // <docs>,<queries>[,<k>[,<maxPostings>]]): the q174/q176 surface
+    // at scale. Common terms make the exact postings traversal the
+    // cost axis (Σ df over query terms — hundreds of thousands of
+    // candidates per query on a web-ish term distribution; the exact
+    // streaming state OOMs an 8 GB heap at 10⁶ docs — measured), so
+    // the serving store is IMPACT-TRUNCATED (top-maxPostings contribs
+    // per term): batch and stream both serve the SAME truncated store
+    // and must agree row-for-row; the exact batch traversal over the
+    // full postings is also timed, and truncated-vs-exact top-k
+    // overlap is recorded as the trade's recall axis.
+    val bm25Json = sys.env.get("GRAFT_SCALE_BM25").map { sN =>
+      import graft.operators.Lexical
+      val parts = sN.split(",").map(_.trim.toLong)
+      val (nd, nq) = (parts(0), parts(1))
+      val k = if (parts.length > 2) parts(2).toInt else 10
+      val maxPost = if (parts.length > 3) parts(3).toInt else 2048
+      val docs = synthDocs(spark, nd)
+      val rawDir = s"$root/bm25_docs_$nd"
+      docs.write.mode("overwrite").parquet(rawDir)
+      val d = spark.read.parquet(rawDir)
+      val b0 = System.nanoTime()
+      val store = Lexical.bm25Store(d, "text", "doc_id",
+          maxPostingsPerTerm = maxPost)
+        .repartition(col("term")).sortWithinPartitions("term")
+        .persist()
+      val storeRows = store.count()
+      val buildS = (System.nanoTime() - b0) / 1e9
+      val every = math.max(1L, nd / nq)
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(
+            graft.functions.TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+        .persist()
+      val nQs = qs.count()
+      // exact candidate volume: Σ df over the query term multiset —
+      // what the truncation bounds away
+      val post = Lexical.postings(d, "text", "doc_id").persist()
+      val dfreq = Lexical.docFreq(post).persist()
+      val qt = qs.select(col("q_id"), explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("qtext")))).as("term"))
+      val cands = qt.join(dfreq, Seq("term"))
+        .agg(sum(col("df")).as("c")).head().getLong(0)
+      // exact batch traversal (full postings)
+      val t1 = System.nanoTime()
+      val exact = Lexical.bm25TopKFromStore(post, dfreq,
+        Lexical.corpusStats(d, "text"),
+        qs, "qtext", "q_id", k = k).persist()
+      val exactRows = exact.count()
+      val exactS = (System.nanoTime() - t1) / 1e9
+      // truncated batch serving off the contrib store
+      val t2 = System.nanoTime()
+      val trunc = Lexical.bm25TopKFromContribStore(store,
+        qs, "qtext", "q_id", k = k).persist()
+      val truncRows = trunc.count()
+      val truncS = (System.nanoTime() - t2) / 1e9
+      val overlap = trunc.select("q_id", "doc_id")
+        .intersect(exact.select("q_id", "doc_id")).count()
+      val t0ns = 1_600_000_000_000_000_000L
+      val sq = qs.withColumn("ts",
+        lit(t0ns) + col("q_id") * lit(1_000_000L))
+      val flush = spark.range(1).select(lit(999999999L).as("q_id"),
+        lit("zzflushzz").as("qtext"),
+        lit(t0ns + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val r = replayBench(spark, s"$root/bm25_stream_${nd}_$nq", sq, flush,
+        "ts",
+        st => graft.streaming.StreamingLexical.bm25Stream(
+          st, store, "q_id", "qtext", "ts", k = k))
+      require(r.emitted == truncRows,
+        s"stream emitted ${r.emitted} rows, truncated batch $truncRows")
+      store.unpersist(); post.unpersist(); dfreq.unpersist()
+      exact.unpersist(); trunc.unpersist(); qs.unpersist()
+      s""","bm25":{"docs":$nd,"queries":$nQs,"k":$k,""" +
+        s""""max_postings":$maxPost,""" +
+        s""""store_rows":$storeRows,"build_s":${fmt(buildS)},""" +
+        s""""candidates_exact":$cands,""" +
+        s""""exact_batch_s":${fmt(exactS)},"exact_rows":$exactRows,""" +
+        s""""trunc_batch_s":${fmt(truncS)},"trunc_rows":$truncRows,""" +
+        s""""overlap":$overlap,""" +
+        s""""stream_s":${fmt(r.secs)},""" +
+        s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
+    }.getOrElse("")
+
     // MinHash banding sweep (env GRAFT_SCALE_MINHASH_SWEEP=<docs>):
     // the q67 band-width-sweep methodology applied to the LSH
     // blocking — the SAME k=8 signature sliced as 8×1 / 4×2 / 2×4 /
@@ -2714,7 +2798,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:

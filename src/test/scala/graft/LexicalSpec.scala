@@ -108,6 +108,38 @@ class LexicalSpec extends SparkSpec {
     assert(got.map(_._4) == Seq(1, 2, 3))
   }
 
+  test("contrib store: untruncated serving ≡ direct bm25TopK; " +
+       "impact truncation keeps each term's top-m and stays exact at m ≥ max df") {
+    val qs = Seq((1L, "cherry banana"), (2L, "apple fig")).toDF("q_id", "qtext")
+    val direct = Lexical.bm25TopK(docs, "text", "doc_id",
+      qs, "qtext", "q_id", k = 4).as[(Long, Long, Double, Int)]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+
+    val full = Lexical.bm25Store(docs, "text", "doc_id")
+    val viaStore = Lexical.bm25TopKFromContribStore(full,
+      qs, "qtext", "q_id", k = 4).as[(Long, Long, Double, Int)]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(viaStore == direct)
+
+    // m = 3 ≥ every df in this corpus → still exact
+    val t3 = Lexical.bm25Store(docs, "text", "doc_id",
+      maxPostingsPerTerm = 3)
+    val viaT3 = Lexical.bm25TopKFromContribStore(t3,
+      qs, "qtext", "q_id", k = 4).as[(Long, Long, Double, Int)]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(viaT3 == direct)
+
+    // m = 1 keeps exactly one (highest-contrib, doc-asc tie) posting
+    // per term
+    val t1 = Lexical.bm25Store(docs, "text", "doc_id",
+      maxPostingsPerTerm = 1)
+    val perTerm = t1.groupBy("term").count().collect()
+    assert(perTerm.forall(_.getLong(1) == 1L))
+    // cherry's survivor is doc 2 (tf 3 dominates contrib)
+    val cherry = t1.filter(col("term") === "cherry").collect()
+    assert(cherry.head.getAs[Long]("doc_id") == 2L)
+  }
+
   test("rrfFuse k bound holds and exact rrf ties order by doc id") {
     val a = Seq((5L, 1L, 1), (5L, 2L, 1)).toDF("q_id", "doc_id", "rank")
       .filter(col("doc_id") === 1L)
