@@ -44,14 +44,28 @@ object Lexical {
     * One explode + one map-side-combined groupBy; at scale, persist
     * partitioned/bucketed by `term` so query joins prune.
     */
-  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // SCAN-LOCAL: a document's (term → tf) map is row-local state, so
+    // the postings build needs NO shuffle (the explode + groupBy form
+    // paid one exchange over every token to combine counts a per-row
+    // hash map combines for free). Also the streaming maintenance
+    // encode — pure per-row, so the maintained store is row-set-equal
+    // to a rebuild under any batching.
     docs
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol).cast("long"), TextFunctions.tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.flatMap { case (id, toks) =>
+        val dl = toks.length.toLong
+        val m = new java.util.LinkedHashMap[String, Long]()
+        toks.foreach(t => m.merge(t, 1L, (a, b) => a + b))
+        val out = Vector.newBuilder[(String, Long, Long, Long)]
+        m.forEach((t, c) => out += ((t, id, dl, c)))
+        out.result()
+      })
+      .toDF("term", "doc_id", "dl", "tf")
+  }
 
   /** Document frequency per term (rows of [[postings]] are distinct
     * (term, doc) pairs, so a plain count is the df).
@@ -110,6 +124,26 @@ object Lexical {
       .select(col("term"), col("doc_id"),
         contribCol(col("tf"), col("dl"), col("df"),
           col("n_docs"), col("avgdl"), k1, b).as("contrib"))
+    if (maxPostingsPerTerm == Int.MaxValue) full
+    else truncateByImpact(full, maxPostingsPerTerm)
+  }
+
+  /** [[bm25Store]] from an ALREADY-MAINTAINED raw postings frame plus
+    * the sidecar-rollup corpus stats — the generation-rebuild path of
+    * [[graft.streaming.StreamingLexicalIndex]]: contrib depends on
+    * GLOBAL stats (N, avgdl, df), so a precomputed serving store goes
+    * stale as the corpus grows; regenerating from the maintained
+    * postings + current stats is one join + one projection (+ the
+    * optional impact truncation).
+    */
+  def bm25StoreFromPostings(post: DataFrame, nDocs: Long, avgdl: Double,
+                            k1: Double = 1.2, b: Double = 0.75,
+                            maxPostingsPerTerm: Int = Int.MaxValue)
+      : DataFrame = {
+    val full = post.join(docFreq(post), Seq("term"))
+      .select(col("term"), col("doc_id"),
+        contribCol(col("tf"), col("dl"), col("df"),
+          lit(nDocs), lit(avgdl), k1, b).as("contrib"))
     if (maxPostingsPerTerm == Int.MaxValue) full
     else truncateByImpact(full, maxPostingsPerTerm)
   }
@@ -233,6 +267,36 @@ object Lexical {
       .select(col("q_id"), col("t.id").as("doc_id"),
         negate(col("t.d")).as("score"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Serving off a MAINTAINED raw postings store
+    * ([[graft.streaming.StreamingLexicalIndex]]): always EXACT — tf/dl
+    * never go stale (per-doc facts), and df is computed LIVE from a
+    * term-pruned slice of the store (the query's distinct terms
+    * collect driver-side behind a loud bound and push into the scan as
+    * an IN filter, so term-sorted store files prune to the matched row
+    * groups — no corpus-wide df pass per query batch). Corpus stats
+    * arrive as scalars from the maintenance sidecar rollup
+    * (exact, kilobytes).
+    */
+  def bm25TopKLive(post: DataFrame, nDocs: Long, avgdl: Double,
+                   queries: DataFrame, qTextCol: String, qIdCol: String,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75,
+                   maxQueryTerms: Int = 100000): DataFrame = {
+    val spark = post.sparkSession
+    val terms = queries
+      .select(explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
+        .as("term"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    require(terms.length <= maxQueryTerms,
+      s"${terms.length} distinct query terms exceed maxQueryTerms " +
+        s"$maxQueryTerms — split the query batch or raise the bound")
+    val slice = post.filter(col("term").isInCollection(terms))
+    val dfreq = slice.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = spark.range(1).select(lit(nDocs).as("n_docs"),
+      lit(avgdl).as("avgdl"))
+    bm25TopKFromStore(slice, dfreq, stats, queries, qTextCol, qIdCol,
+      k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack & Clarke SIGIR'09): fuse N ranked

@@ -905,6 +905,175 @@ object TextQueries {
       SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
                AS window_ns,
              q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // ---- lexical store maintenance (round 14): raw postings are
+    //      per-document facts, so the maintained store must be row-SET
+    //      equal to a from-scratch build under ANY batching — bootstrap
+    //      on 80% of the corpus, stream the rest through exactly-once
+    //      appendOnce batches, read the TxTable back. The oracle is
+    //      the batch postings derivation over the FULL corpus.
+    Q("q178_lex_store_maintained", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q178").toString
+      val postTx = new graft.bank.TxTable(s, s"$root/post")
+      val statsTx = new graft.bank.TxTable(s, s"$root/stats")
+      graft.streaming.StreamingLexicalIndex.bootstrap(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        postTx, statsTx)
+      val arrivals = s"$root/arrivals"
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .repartition(4).write.parquet(arrivals)
+      graft.streaming.StreamingLexicalIndex.run(s, arrivals,
+        postTx, statsTx, s"$root/cp", maxFilesPerTrigger = 1)
+        .awaitTermination()
+      postTx.read().select("term", "doc_id", "dl", "tf")
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      p0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term FROM tk),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3)
+      SELECT term, doc_id, dl, tf FROM p""")),
+
+    // ---- serving off the maintained store (round 14): df computed
+    //      LIVE from the term-pruned slice, stats from the exact
+    //      sidecar rollup — the maintained-raw path is NEVER stale, so
+    //      the oracle is the same full BM25 derivation as q174.
+    Q("q179_lex_serve_maintained", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q179").toString
+      val postTx = new graft.bank.TxTable(s, s"$root/post")
+      val statsTx = new graft.bank.TxTable(s, s"$root/stats")
+      graft.streaming.StreamingLexicalIndex.bootstrap(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        postTx, statsTx)
+      val arrivals = s"$root/arrivals"
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .repartition(2).write.parquet(arrivals)
+      graft.streaming.StreamingLexicalIndex.run(s, arrivals,
+        postTx, statsTx, s"$root/cp", maxFilesPerTrigger = 1)
+        .awaitTermination()
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      graft.streaming.StreamingLexicalIndex.serve(
+        postTx, statsTx, qs, "qtext", "q_id", k = 5)
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      p0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term FROM tk),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      cand AS (SELECT qt.q_id, p.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)) AS contrib
+               FROM p JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN st),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // ---- lexical generation loop (round 14): the precomputed contrib
+    //      store bakes in (N, avgdl, df), so arriving documents make a
+    //      published generation STALE — the probe compares the
+    //      generation's baked stats to the sidecar rollup (two exact
+    //      scalars), the regenerate rebuilds from the maintained
+    //      postings + current stats, and serving swaps through the
+    //      atomic generation pointer. 20% planted growth → nPermille
+    //      1250, the loop fires; the query reads THROUGH the pointer
+    //      and must match the from-scratch derivation over the union.
+    Q("q180_lex_generation_loop", (s, dir) => {
+      import graft.streaming.{AnnGenerations, StreamingLexicalIndex => Idx}
+      val docs = Tables.documents(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q180").toString
+      val postTx = new graft.bank.TxTable(s, s"$root/post")
+      val statsTx = new graft.bank.TxTable(s, s"$root/stats")
+      val gens = new AnnGenerations(s, s"$root/gens")
+      Idx.bootstrap(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", postTx, statsTx)
+      val g0 = Idx.buildGeneration(gens, postTx, statsTx)
+      require(g0 == 0L && Idx.regenerateIfStale(gens, postTx,
+        statsTx).isEmpty, "gen0 must publish and read at parity")
+      val arrivals = s"$root/arrivals"
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .repartition(2).write.parquet(arrivals)
+      Idx.run(s, arrivals, postTx, statsTx, s"$root/cp",
+        maxFilesPerTrigger = 1).awaitTermination()
+      val fired = Idx.regenerateIfStale(gens, postTx, statsTx,
+        thresholdPermille = 100)
+      require(fired.contains(1L), s"growth must fire the loop: $fired")
+      val (gen, storeTx, _) = gens.current().get
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      operators.Lexical.bm25TopKFromContribStore(
+          storeTx.read(), qs, "qtext", "q_id", k = 5)
+        .withColumn("gen", lit(gen))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      p0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term FROM tk),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      cand AS (SELECT qt.q_id, p.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)) AS contrib
+               FROM p JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN st),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank,
+             CAST(1 AS BIGINT) AS gen
       FROM r WHERE rank <= 5"""))
   )
 }

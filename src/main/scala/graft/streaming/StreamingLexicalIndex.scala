@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.bank.TxTable
+import graft.functions.TextFunctions
+import graft.operators.Lexical
+
+/** Incremental maintenance for the BM25 lexical store — the
+  * [[StreamingAnnIndex]] loop applied to text retrieval. The split of
+  * what stays fresh and what goes stale is different from ANN, and the
+  * design follows it:
+  *
+  *   - RAW POSTINGS (term, doc, tf, dl) are PER-DOCUMENT facts — they
+  *     never go stale. Arriving documents encode scan-locally
+  *     ([[Lexical.postings]] is a per-row hash count, no shuffle, no
+  *     state) and commit exactly-once per micro-batch (`appendOnce`
+  *     batch tags), term-sorted per batch so a query's `term IN (...)`
+  *     prunes row groups. The maintained postings store is row-SET
+  *     equal to a from-scratch build under any batching — the q178
+  *     oracle.
+  *   - CORPUS STATS (N, Σdl) are pure sums: each batch appends one
+  *     kilobyte partial; the rollup is exact, never an estimate, and
+  *     the served avgdl is the same single division the batch
+  *     [[Lexical.corpusStats]] computes.
+  *   - df/idf are computed LIVE at query time from a term-pruned slice
+  *     ([[Lexical.bm25TopKLive]]) — so the maintained-raw serving path
+  *     is ALWAYS exact (q179). What DOES go stale is the PRECOMPUTED
+  *     contribution store the streaming serving tier reads
+  *     ([[StreamingLexical.bm25Stream]]): contrib bakes in (N, avgdl,
+  *     df) at build time, and every arriving document shifts all
+  *     three. That store is managed as GENERATIONS ([[AnnGenerations]]
+  *     — store = contrib table, sidecar = the build-time stats row),
+  *     with [[staleReport]] comparing the generation's baked stats to
+  *     the sidecar rollup (two scalars — kilobytes, no store scan) and
+  *     [[regenerateIfStale]] rebuilding from the maintained postings +
+  *     current stats and publishing through the atomic pointer swap
+  *     (q180 reads the retrained generation through the pointer).
+  */
+object StreamingLexicalIndex {
+
+  def docSchema(idCol: String = "doc_id",
+                textCol: String = "text"): StructType =
+    StructType.fromDDL(s"$idCol BIGINT, $textCol STRING")
+
+  /** One exact stats partial: (n_docs, sum_dl) of this batch. */
+  private def statsPartial(batch: DataFrame, textCol: String,
+                           tag: String): DataFrame =
+    batch
+      .select(size(TextFunctions.tokens(col(textCol))).cast("long")
+        .as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("src_tag", lit(tag))
+
+  /** Bulk-load the postings store + the baseline stats partial. Both
+    * commits are tagged — a re-run is a no-op.
+    */
+  def bootstrap(corpus: DataFrame, idCol: String, textCol: String,
+                postTx: TxTable, statsTx: TxTable): Unit = {
+    postTx.appendOnce(
+      Lexical.postings(corpus, textCol, idCol).sort("term"),
+      tag = "lex-baseline")
+    statsTx.appendOnce(statsPartial(corpus, textCol, "lex-baseline"),
+      tag = "lex-stats-baseline")
+    ()
+  }
+
+  /** Start (by default drain) the incremental maintainer: parquet doc
+    * files under `docsDir` → postings rows (exactly-once) + one stats
+    * partial per batch. `compactEvery` > 0 re-sorts the whole store by
+    * term every N batches (the [[StreamingAnnIndex.run]] policy — a
+    * long-lived store otherwise overlaps every batch's term range and
+    * query pruning degrades to file count).
+    */
+  def run(spark: SparkSession, docsDir: String,
+          postTx: TxTable, statsTx: TxTable,
+          checkpointDir: String, idCol: String = "doc_id",
+          textCol: String = "text",
+          availableNow: Boolean = true,
+          maxFilesPerTrigger: Int = 1000,
+          compactEvery: Int = 0): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(docSchema(idCol, textCol))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(docsDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true) // one scan feeds both commits
+        postTx.appendOnce(
+          Lexical.postings(b, textCol, idCol).sort("term"),
+          tag = s"lex-batch-$batchId")
+        statsTx.appendOnce(
+          statsPartial(b, textCol, s"lex-batch-$batchId"),
+          tag = s"lex-stats-$batchId")
+        b.unpersist()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          postTx.compact(Seq("term"))
+          statsTx.compact()
+          ()
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Exact corpus stats from the sidecar rollup: (N, Σdl, avgdl). The
+    * division is the [[Lexical.corpusStats]] arithmetic on exact
+    * integer sums — bit-equal to a from-scratch pass.
+    */
+  def stats(statsTx: TxTable): (Long, Long, Double) = {
+    val r = statsTx.read()
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .head()
+    val n = r.getLong(0)
+    val s = r.getLong(1)
+    (n, s, s.toDouble / n.toDouble)
+  }
+
+  /** Exact serving straight off the maintained store (df live from the
+    * term-pruned slice, stats from the rollup) — never stale.
+    */
+  def serve(postTx: TxTable, statsTx: TxTable, queries: DataFrame,
+            qTextCol: String, qIdCol: String, k: Int,
+            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (n, _, avgdl) = stats(statsTx)
+    Lexical.bm25TopKLive(postTx.read(), n, avgdl, queries,
+      qTextCol, qIdCol, k, k1, b)
+  }
+
+  /** Build + PUBLISH a contrib-store generation from the maintained
+    * postings and the current stats rollup. The generation's sidecar
+    * records the baked (n_docs, sum_dl) so staleness is two exact
+    * scalar comparisons later. Returns the published generation.
+    */
+  def buildGeneration(gens: AnnGenerations, postTx: TxTable,
+                      statsTx: TxTable,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      maxPostingsPerTerm: Int = Int.MaxValue): Long = {
+    val (n, sumDl, avgdl) = stats(statsTx)
+    val (g, storeTx, genStatsTx) = gens.next()
+    storeTx.appendOnce(
+      Lexical.bm25StoreFromPostings(postTx.read(), n, avgdl, k1, b,
+        maxPostingsPerTerm).sort("term"),
+      tag = s"lex-gen-$g")
+    genStatsTx.appendOnce(
+      statsTx.read().sparkSession.range(1)
+        .select(lit(n).as("n_docs"), lit(sumDl).as("sum_dl")),
+      tag = s"lex-gen-stats-$g")
+    gens.publish(g)
+    g
+  }
+
+  /** Staleness of the published contrib generation vs the live rollup:
+    * permille ratios of N and avgdl (1000 = parity — the drift_permille
+    * convention). None before any generation exists.
+    */
+  final case class StaleReport(gen: Long, nGen: Long, nNow: Long,
+                               avgdlGen: Double, avgdlNow: Double,
+                               nPermille: Long, avgdlPermille: Long)
+
+  def staleReport(gens: AnnGenerations, statsTx: TxTable)
+      : Option[StaleReport] =
+    gens.current().map { case (g, _, genStatsTx) =>
+      val r = genStatsTx.read()
+        .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+        .head()
+      val nGen = r.getLong(0)
+      val sGen = r.getLong(1)
+      val avgdlGen = sGen.toDouble / nGen.toDouble
+      val (nNow, _, avgdlNow) = stats(statsTx)
+      StaleReport(g, nGen, nNow, avgdlGen, avgdlNow,
+        math.round(1000.0 * nNow.toDouble / nGen.toDouble),
+        math.round(1000.0 * avgdlNow / avgdlGen))
+    }
+
+  /** The closed loop: probe → rebuild from the maintained postings →
+    * atomic pointer swap. Fires when EITHER axis leaves the parity
+    * band by more than `thresholdPermille`; no-op (None) at parity or
+    * before any generation. Readers resolved mid-swap stay on their
+    * complete generation (the [[AnnGenerations]] contract).
+    */
+  def regenerateIfStale(gens: AnnGenerations, postTx: TxTable,
+                        statsTx: TxTable,
+                        thresholdPermille: Long = 100,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        maxPostingsPerTerm: Int = Int.MaxValue)
+      : Option[Long] =
+    staleReport(gens, statsTx).flatMap { rep =>
+      val fire = math.abs(rep.nPermille - 1000) > thresholdPermille ||
+        math.abs(rep.avgdlPermille - 1000) > thresholdPermille
+      if (!fire) None
+      else Some(buildGeneration(gens, postTx, statsTx, k1, b,
+        maxPostingsPerTerm))
+    }
+}

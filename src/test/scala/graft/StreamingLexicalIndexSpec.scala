@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.bank.TxTable
+import graft.operators.Lexical
+import graft.streaming.{AnnGenerations, StreamingLexicalIndex => Idx}
+
+/** Lexical store maintenance: maintained postings ≡ from-scratch under
+  * batching and replay, exact stats rollup, live serving ≡ direct
+  * batch, and the staleness loop (no-op at parity, fires on growth,
+  * post-regen parity, generation pointer monotonic).
+  */
+class StreamingLexicalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def corpus(n: Int, off: Int = 0) =
+    (0 until n).map { i =>
+      val id = (i + off).toLong
+      val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+      val text = (0 to (id % 4).toInt)
+        .map(j => words(((id + j) % words.size).toInt)).mkString(" ")
+      (id, text)
+    }.toDF("doc_id", "text")
+
+  test("maintained postings ≡ from-scratch; replayed batch is a no-op; " +
+       "stats rollup exact") {
+    val root = tmp("graft-lexidx")
+    val postTx = new TxTable(spark, s"$root/post")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    val base = corpus(40)
+    val more = corpus(20, off = 40)
+    Idx.bootstrap(base, "doc_id", "text", postTx, statsTx)
+
+    val docsDir = s"$root/docs"
+    more.repartition(3).write.mode("overwrite").parquet(docsDir)
+    Idx.run(spark, docsDir, postTx, statsTx, s"$root/cp",
+      maxFilesPerTrigger = 1).awaitTermination()
+    // replay: a second drain over the same files must add nothing
+    val v = postTx.latestVersion()
+    Idx.run(spark, docsDir, postTx, statsTx, s"$root/cp2",
+      maxFilesPerTrigger = 1).awaitTermination()
+    // new checkpoint reprocesses the files; appendOnce tags must
+    // swallow every duplicate commit
+    assert(postTx.read().count() ==
+      Lexical.postings(base.unionByName(more), "text", "doc_id").count())
+
+    val union = base.unionByName(more)
+    val expect = Lexical.postings(union, "text", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val got = postTx.read().select("term", "doc_id", "dl", "tf")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+
+    val (n, _, avgdl) = Idx.stats(statsTx)
+    assert(n == 60L)
+    val direct = Lexical.corpusStats(union, "text").head()
+    assert(avgdl == direct.getDouble(1))
+    assert(v == postTx.latestVersion() ||
+      postTx.read().count() == expect.size)
+  }
+
+  test("live serving off the maintained store ≡ direct bm25TopK") {
+    val root = tmp("graft-lexserve")
+    val postTx = new TxTable(spark, s"$root/post")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    val docs = corpus(50)
+    Idx.bootstrap(docs, "doc_id", "text", postTx, statsTx)
+    val qs = Seq((1L, "alpha gamma"), (2L, "beta")).toDF("q_id", "qtext")
+    val live = Idx.serve(postTx, statsTx, qs, "qtext", "q_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      .toSeq
+    val direct = Lexical.bm25TopK(docs, "text", "doc_id",
+        qs, "qtext", "q_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      .toSeq
+    assert(live == direct)
+  }
+
+  test("staleness loop: no-op at parity, fires on growth, post-regen " +
+       "parity, pointer advances monotonically") {
+    val root = tmp("graft-lexgen")
+    val postTx = new TxTable(spark, s"$root/post")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    val gens = new AnnGenerations(spark, s"$root/gens")
+    val base = corpus(40)
+    Idx.bootstrap(base, "doc_id", "text", postTx, statsTx)
+    assert(Idx.staleReport(gens, statsTx).isEmpty) // no generation yet
+
+    val g0 = Idx.buildGeneration(gens, postTx, statsTx)
+    assert(g0 == 0L)
+    val atParity = Idx.staleReport(gens, statsTx).get
+    assert(atParity.nPermille == 1000L)
+    assert(atParity.avgdlPermille == 1000L)
+    assert(Idx.regenerateIfStale(gens, postTx, statsTx).isEmpty)
+
+    // +50% documents → N permille 1500, loop fires
+    val more = corpus(20, off = 40)
+    postTx.appendOnce(
+      Lexical.postings(more, "text", "doc_id").sort("term"),
+      tag = "lex-batch-x")
+    statsTx.appendOnce(
+      more.select(size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("src_tag", lit("lex-batch-x")),
+      tag = "lex-stats-x")
+    val stale = Idx.staleReport(gens, statsTx).get
+    assert(stale.nPermille == 1500L)
+    val g1 = Idx.regenerateIfStale(gens, postTx, statsTx)
+    assert(g1.contains(1L))
+    assert(gens.currentGen().contains(1L))
+
+    // the new generation serves the union exactly: contrib store ≡
+    // bm25Store over the union corpus
+    val union = base.unionByName(more)
+    val (_, storeTx, _) = gens.current().get
+    val got = storeTx.read().select("term", "doc_id", "contrib")
+      .as[(String, Long, Double)].collect().toSet
+    val expect = Lexical.bm25Store(union, "text", "doc_id")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expect)
+
+    val after = Idx.staleReport(gens, statsTx).get
+    assert(after.nPermille == 1000L)
+    assert(Idx.regenerateIfStale(gens, postTx, statsTx).isEmpty)
+  }
+}
