@@ -1852,6 +1852,39 @@ object ScaleBench {
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
+    // k-center coreset (env GRAFT_SCALE_KCENTER=<vecs>,<k>): greedy
+    // farthest-point selection at scale — k narrow passes, each a
+    // cached-projection scan + TakeOrderedAndProject top-1; the row
+    // records per-pass wall (linear in n, flat in k), the coverage
+    // radius trajectory (non-increasing), and the final assignment
+    // balance.
+    val kcenterJson = sys.env.get("GRAFT_SCALE_KCENTER").map { sN =>
+      import graft.operators.Coreset
+      val parts = sN.split(",").map(_.trim.toLong)
+      val (nv, kk) = (parts(0), parts(1).toInt)
+      val (corpus, corpusTag) = embCorpus(spark, nv)
+      val rawDir = s"$root/kcenter_$nv"
+      corpus.write.mode("overwrite").parquet(rawDir)
+      val e = spark.read.parquet(rawDir)
+      val t0 = System.nanoTime()
+      val picks = Coreset.kCenter(e, "doc_id", "embedding", kk)
+      val pickS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val bal = Coreset.assign(e, "doc_id", "embedding", picks)
+        .groupBy("iter").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("mn"), max("n").as("mx")).head()
+      val asgS = (System.nanoTime() - t1) / 1e9
+      val radii = picks.drop(1).map(_.radiusSq)
+      require(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+        "k-center radii must be non-increasing")
+      s""","kcenter":{"vecs":$nv,"k":$kk,"corpus_tag":"$corpusTag",""" +
+        s""""select_s":${fmt(pickS)},"per_pass_s":${fmt(pickS / kk)},""" +
+        s""""assign_s":${fmt(asgS)},""" +
+        s""""radius_first":${fmt(radii.head)},""" +
+        s""""radius_last":${fmt(radii.last)},""" +
+        s""""min_assigned":${bal.getLong(0)},"max_assigned":${bal.getLong(1)}}"""
+    }.getOrElse("")
+
     // MinHash banding sweep (env GRAFT_SCALE_MINHASH_SWEEP=<docs>):
     // the q67 band-width-sweep methodology applied to the LSH
     // blocking — the SAME k=8 signature sliced as 8×1 / 4×2 / 2×4 /
@@ -2798,7 +2831,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:
