@@ -163,10 +163,11 @@ object Lexical {
     */
   def truncateByImpact(store: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"maxPostingsPerTerm must be >= 1: $m")
-    val topm = TopK.topK(m)
+    graft.plans.GraftExtensions.register(store.sparkSession)
     store
       .groupBy("term")
-      .agg(topm(negate(col("contrib")), col("doc_id")).as("top"))
+      .agg(TopK.topKNative(m, negate(col("contrib")), col("doc_id"))
+        .as("top"))
       .select(col("term"), explode(col("top")).as("t"))
       .select(col("term"), col("t.id").as("doc_id"),
         negate(col("t.d")).as("contrib"))
@@ -185,6 +186,7 @@ object Lexical {
                                qTextCol: String, qIdCol: String,
                                k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(store.sparkSession)
     val qTerms = broadcast(queries.select(col(qIdCol).as("q_id"),
       explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
         .as("term")))
@@ -195,10 +197,10 @@ object Lexical {
       .withColumn("score",
         round(aggregate(col("cs"), lit(0.0),
           (acc, x) => acc + x.getField("contrib")), 6))
-    val topk = TopK.topK(k)
     scored
       .groupBy("q_id")
-      .agg(topk(negate(col("score")), col("doc_id")).as("top"))
+      .agg(TopK.topKNative(k, negate(col("score")), col("doc_id"))
+        .as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), col("t.id").as("doc_id"),
         negate(col("t.d")).as("score"),
@@ -232,6 +234,7 @@ object Lexical {
                         k: Int, k1: Double = 1.2,
                         b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(post.sparkSession)
     // query terms: distinct per query — BM25's standard bag-of-terms
     // query treats repeats as one term (qtf weighting is a variant;
     // distinct keeps the score a set function of the query)
@@ -259,10 +262,10 @@ object Lexical {
           (acc, x) => acc + x.getField("contrib")), 6))
     // bounded top-k: d = −score ascending ≡ score descending, ties on
     // doc_id ascending — partials clamp at k (TopK)
-    val topk = TopK.topK(k)
     scored
       .groupBy("q_id")
-      .agg(topk(negate(col("score")), col("doc_id")).as("top"))
+      .agg(TopK.topKNative(k, negate(col("score")), col("doc_id"))
+        .as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), col("t.id").as("doc_id"),
         negate(col("t.d")).as("score"),
@@ -316,6 +319,7 @@ object Lexical {
   def rrfFuse(ranked: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(ranked.nonEmpty, "rrfFuse needs at least one ranked frame")
     require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(ranked.head.sparkSession)
     val tagged = ranked.zipWithIndex.map { case (r, i) =>
       r.select(col("q_id"), col("doc_id"),
         lit(i).as("src"), col("rank").cast("long").as("r"))
@@ -328,10 +332,10 @@ object Lexical {
       .withColumn("rrf",
         round(aggregate(col("cs"), lit(0.0),
           (acc, x) => acc + x.getField("contrib")), 9))
-    val topk = TopK.topK(k)
     scored
       .groupBy("q_id")
-      .agg(topk(negate(col("rrf")), col("doc_id")).as("top"))
+      .agg(TopK.topKNative(k, negate(col("rrf")), col("doc_id"))
+        .as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), col("t.id").as("doc_id"),
         negate(col("t.d")).as("rrf"),

@@ -89,4 +89,17 @@ object TopK {
     */
   def topK(k: Int): UserDefinedFunction =
     udaf(new TopKAgg(k), ExpressionEncoder[Cand]())
+
+  /** The NATIVE form ([[graft.plans.BoundedTopK]]) — same total order,
+    * same bounded partials, same output array bit for bit
+    * (differential-spec-pinned), but the per-candidate update is a
+    * primitive compare/insert instead of an encoder round-trip + Cand
+    * allocation + Vector copy. Use this on candidate-volume hot paths;
+    * requires [[graft.plans.GraftExtensions]] registered (callers'
+    * session setup already does).
+    */
+  def topKNative(k: Int, d: org.apache.spark.sql.Column,
+                 id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("bounded_topk",
+      org.apache.spark.sql.functions.lit(k), d, id)
 }

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecL2Q8Descriptor)
     e.injectFunction(GraftExtensions.adcDistDescriptor)
     e.injectFunction(GraftExtensions.probeBucketsDescriptor)
+    e.injectFunction(GraftExtensions.boundedTopKDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
     GraftExtensions.sketchAlgebraDescriptors.foreach(e.injectFunction)
@@ -99,6 +100,24 @@ object GraftExtensions {
     (FunctionIdentifier("probe_buckets"),
       new ExpressionInfo(classOf[ProbeBuckets].getName, "probe_buckets"),
       buildProbeBuckets)
+
+  private def buildBoundedTopK(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "bounded_topk(k, d, id)")
+    require(exprs.head.foldable,
+      "bounded_topk: k must be a literal (buffer geometry)")
+    val k = exprs.head.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"bounded_topk: integer k required, got $other")
+    }
+    BoundedTopK(k, exprs(1), exprs(2))
+  }
+
+  val boundedTopKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bounded_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_topk"),
+      buildBoundedTopK)
 
   private def buildMd5Long60(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, "md5_long60(s)")
@@ -285,6 +304,11 @@ object GraftExtensions {
         .functionExists(FunctionIdentifier("adc_dist")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "adc_dist", buildAdcDist, "built-in")
+    // round-14 addition, same newest-builder probe
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("bounded_topk")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bounded_topk", buildBoundedTopK, "built-in")
     if (spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("freq_union"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

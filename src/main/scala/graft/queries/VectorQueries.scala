@@ -2386,7 +2386,30 @@ object VectorQueries {
       sel.join(counts, Seq("iter"))
         .select(col("iter").cast("int").as("iter"), col("center_id"),
           col("radius_sq"), col("n_assigned"))
-    }, Some(kCenterOracleSql(k = 8)))
+    }, Some(kCenterOracleSql(k = 8))),
+
+    // ---- coreset-seeded k-means (round 14): farthest-point picks are
+    //      the classic derandomized k-means++ init — feed the q177
+    //      traversal's centers to Lloyd's as seeds. The oracle
+    //      composes the ENTIRE kCenter unroll with the full kmeans
+    //      replay seeded from it (cent0 = the picks instead of
+    //      first-k) — two derivations chained in one DuckDB query.
+    Q("q181_kcenter_seeded_kmeans", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val picks = graft.operators.Coreset.kCenter(
+        e, "vec_id", "embedding", k = 8)
+      val (_, asgn) = graft.operators.KMeans.fit(
+        e, "vec_id", "embedding", k = 8, iters = 3,
+        init = picks.map(_.vec))
+      asgn.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_id"))
+    }, Some(s"""
+      WITH ${kCenterCtes(8)},
+      ${kmeansCtes("ks", 8, 3, cent0Sql =
+        "SELECT CAST(iter - 1 AS INT) AS cell, embedding AS c FROM sel")}
+      SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n_vecs,
+             MIN(vec_id) AS min_id
+      FROM ksfinal_asgn GROUP BY cell"""))
   )
 
   /** DuckDB replay of [[graft.operators.Coreset.kCenter]]: the greedy
@@ -2396,7 +2419,11 @@ object VectorQueries {
     * diff²-fold both engines compute in the same order — exact, no
     * rounding anywhere.
     */
-  private def kCenterOracleSql(k: Int): String = {
+  /** The greedy traversal CTE chain alone (ends with `sel` = (iter,
+    * vec_id, embedding, radius_sq)) — composable under further CTEs
+    * (q181 seeds a k-means replay from it).
+    */
+  private def kCenterCtes(k: Int): String = {
     def d2(e: String, c: String) =
       s"""list_sum(list_transform(range(1, 65),
          i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
@@ -2421,11 +2448,19 @@ object VectorQueries {
       else
         s"SELECT $i AS iter, vec_id, embedding, mind AS radius_sq FROM c$i"
     }.mkString("\n        UNION ALL ")
-    s"""
-      WITH c1 AS (SELECT vec_id, embedding FROM embeddings
+    s"""c1 AS (SELECT vec_id, embedding FROM embeddings
                   ORDER BY vec_id LIMIT 1),
       $steps,
-      sel AS ($sel),
+      sel AS ($sel)"""
+  }
+
+  private def kCenterOracleSql(k: Int): String = {
+    def d2(e: String, c: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+            * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
+    s"""
+      WITH ${kCenterCtes(k)},
       asg AS (SELECT vec_id, iter FROM (
                 SELECT e.vec_id, s.iter,
                        row_number() OVER (PARTITION BY e.vec_id
@@ -2940,7 +2975,8 @@ object VectorQueries {
     */
   private def kmeansCtes(prefix: String, k: Int, iters: Int,
                          table: String = "embeddings",
-                         vecExpr: String = "embedding"): String = {
+                         vecExpr: String = "embedding",
+                         cent0Sql: String = ""): String = {
     def d2(e: String, c: String) =
       s"""list_sum(list_transform(range(1, 65),
          i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
@@ -2965,10 +3001,13 @@ object VectorQueries {
       s"""${prefix}asgn$i AS (${asgn(s"${prefix}cent${i - 1}")}),
       ${prefix}cent$i AS (${nextCent(s"${prefix}cent${i - 1}", s"${prefix}asgn$i")})"""
     }.mkString(",\n      ")
-    s"""${prefix}cent0 AS (
+    val cent0 =
+      if (cent0Sql.nonEmpty) cent0Sql
+      else s"""
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                $vecExpr AS c
-        FROM (SELECT * FROM $table ORDER BY vec_id LIMIT $k)),
+        FROM (SELECT * FROM $table ORDER BY vec_id LIMIT $k)"""
+    s"""${prefix}cent0 AS ($cent0),
       $iterCtes,
       ${prefix}final_asgn AS (${asgn(s"${prefix}cent$iters")})"""
   }

@@ -37,6 +37,7 @@ object StreamingLexical {
                  watermark: String = "10 seconds",
                  windowDur: String = "6 hours"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
     val qTerms = queries
       .select(col(qIdCol).cast("long").as("q_id"),
         col(qTextCol).as("qtext"),
@@ -56,10 +57,10 @@ object StreamingLexical {
       .withColumn("score",
         round(aggregate(col("cs"), lit(0.0),
           (acc, x) => acc + x.getField("contrib")), 6))
-    val topk = TopK.topK(k)
     perDoc
       .groupBy(window(col("w"), windowDur).as("w2"), col("q_id"))
-      .agg(topk(negate(col("score")), col("doc_id")).as("top"))
+      .agg(TopK.topKNative(k, negate(col("score")), col("doc_id"))
+        .as("top"))
       .select(col("w2"), col("q_id"),
         posexplode(col("top")).as(Seq("pos", "t")))
       .select(expr("unix_micros(w2.start) * 1000").as("window_ns"),

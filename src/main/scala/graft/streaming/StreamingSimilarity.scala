@@ -182,13 +182,13 @@ object StreamingSimilarity {
     // instead of buffering every probed candidate; the output cosine
     // derives from the sort key (negation is IEEE-exact), so the
     // emitted rows are bit-identical to the collect_list form
-    val topk = graft.operators.TopK.topK(k)
     probes.join(index.cells, Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("q_id"))
       .withColumn("cos", cosineWithNormsNative(
         col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")))
       .groupBy(window(col("_ts"), windowDur).as("w"), col("q_id"))
-      .agg(topk(negate(col("cos")), col("neighbor_id")).as("top"))
+      .agg(graft.operators.TopK.topKNative(k, negate(col("cos")),
+        col("neighbor_id")).as("top"))
       .select(col("w"), col("q_id"),
         posexplode(col("top")).as(Seq("pos", "m")))
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
@@ -272,13 +272,13 @@ object StreamingSimilarity {
     // paid a slice alloc + two nested lookups per subspace per
     // candidate, and candidates are the volume axis here
     val dist = call_function("adc_dist", col("qr"), col("codes"), cbLit)
-    val topk = graft.operators.TopK.topK(k)
     probes
       .join(codeStore.select(col(idCol).as("nn_id"), col("cell"),
         col("codes")), Seq("cell"))
       .withColumn("dist", dist)
       .groupBy(window(col("_ts"), windowDur).as("w"), col("q_id"))
-      .agg(topk(col("dist"), col("nn_id")).as("top"))
+      .agg(graft.operators.TopK.topKNative(k, col("dist"), col("nn_id"))
+        .as("top"))
       .select(col("w"), col("q_id"),
         posexplode(col("top")).as(Seq("pos", "t")))
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
