@@ -45,7 +45,10 @@ object Coreset {
       lit(0.0), (acc, x) => acc + x)
 
   /** Greedy k-center selection. Seed: the minimum id (deterministic).
-    * Returns the picks in traversal order.
+    * Returns the picks in traversal order — FEWER than k when the
+    * corpus has fewer than k distinct vectors (the traversal stops
+    * when the coverage radius hits zero rather than emitting
+    * duplicate centers).
     */
   def kCenter(corpus: DataFrame, idCol: String, vecCol: String,
               k: Int): Seq[Center] = {
@@ -65,20 +68,28 @@ object Coreset {
     cur.count()
     var prev = cur
     var i = 2
-    while (i <= k) {
+    var exhausted = false
+    while (i <= k && !exhausted) {
       val top = cur.orderBy(col("_mind").desc, col("_id").asc).limit(1)
         .collect().head
-      val c = Center(i, top.getLong(0), top.getSeq[Float](1),
-        top.getDouble(2))
-      picks = picks :+ c
-      if (i < k) {
-        cur = cur.withColumn("_mind",
-          least(col("_mind"), d2(col("_v"), c.vec))).persist()
-        cur.count()
-        prev.unpersist()
-        prev = cur
+      // max min-distance 0 ⇒ every remaining vector IS a center
+      // already — further picks would be silent duplicates (and
+      // downstream k-means seeds would collapse cells). Return the
+      // distinct prefix instead.
+      if (top.getDouble(2) == 0.0) exhausted = true
+      else {
+        val c = Center(i, top.getLong(0), top.getSeq[Float](1),
+          top.getDouble(2))
+        picks = picks :+ c
+        if (i < k) {
+          cur = cur.withColumn("_mind",
+            least(col("_mind"), d2(col("_v"), c.vec))).persist()
+          cur.count()
+          prev.unpersist()
+          prev = cur
+        }
+        i += 1
       }
-      i += 1
     }
     prev.unpersist()
     picks

@@ -84,6 +84,21 @@ object Lexical {
         (sum(col("dl")).cast("double") /
           count(lit(1)).cast("double")).as("avgdl"))
 
+  /** [[corpusStats]] derived from a postings frame instead of a second
+    * tokenization pass over the corpus: (doc_id, dl) is distinct per
+    * document inside postings (dl is a per-doc constant and every doc
+    * emits ≥ 1 posting — even the empty-text doc tokenizes to [""]),
+    * so the exact same integer sums fall out of a narrow distinct.
+    * Every derivation in [[bm25Store]]/[[bm25TopK]] then reads the ONE
+    * postings plan — a caller-side persist of the postings frame
+    * de-duplicates all of the build's corpus passes at once.
+    */
+  def corpusStatsFromPostings(post: DataFrame): DataFrame =
+    post.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+
   /** Positive BM25 idf (the Lucene "+1" form):
     * ln(1 + (n − df + 0.5)/(df + 0.5)). libm-dependent — outputs
     * derived from it must round before leaving the operator.
@@ -120,7 +135,7 @@ object Lexical {
                 maxPostingsPerTerm: Int = Int.MaxValue): DataFrame = {
     val post = postings(corpus, textCol, idCol)
     val full = post.join(docFreq(post), Seq("term"))
-      .crossJoin(broadcast(corpusStats(corpus, textCol)))
+      .crossJoin(broadcast(corpusStatsFromPostings(post)))
       .select(col("term"), col("doc_id"),
         contribCol(col("tf"), col("dl"), col("df"),
           col("n_docs"), col("avgdl"), k1, b).as("contrib"))
@@ -197,14 +212,7 @@ object Lexical {
       .withColumn("score",
         round(aggregate(col("cs"), lit(0.0),
           (acc, x) => acc + x.getField("contrib")), 6))
-    scored
-      .groupBy("q_id")
-      .agg(TopK.topKNative(k, negate(col("score")), col("doc_id"))
-        .as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("q_id"), col("t.id").as("doc_id"),
-        negate(col("t.d")).as("score"),
-        (col("pos") + 1).cast("int").as("rank"))
+    rankTail(scored, "score", k)
   }
 
   /** BM25 top-k retrieval: for each query row, the k highest-scoring
@@ -222,7 +230,7 @@ object Lexical {
                queries: DataFrame, qTextCol: String, qIdCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val post = postings(corpus, textCol, idCol)
-    bm25TopKFromStore(post, docFreq(post), corpusStats(corpus, textCol),
+    bm25TopKFromStore(post, docFreq(post), corpusStatsFromPostings(post),
       queries, qTextCol, qIdCol, k, k1, b)
   }
 
@@ -260,16 +268,7 @@ object Lexical {
       .withColumn("score",
         round(aggregate(col("cs"), lit(0.0),
           (acc, x) => acc + x.getField("contrib")), 6))
-    // bounded top-k: d = −score ascending ≡ score descending, ties on
-    // doc_id ascending — partials clamp at k (TopK)
-    scored
-      .groupBy("q_id")
-      .agg(TopK.topKNative(k, negate(col("score")), col("doc_id"))
-        .as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("q_id"), col("t.id").as("doc_id"),
-        negate(col("t.d")).as("score"),
-        (col("pos") + 1).cast("int").as("rank"))
+    rankTail(scored, "score", k)
   }
 
   /** Serving off a MAINTAINED raw postings store
@@ -287,13 +286,17 @@ object Lexical {
                    k: Int, k1: Double = 1.2, b: Double = 0.75,
                    maxQueryTerms: Int = 100000): DataFrame = {
     val spark = post.sparkSession
+    // limit-probe BEFORE collecting (the collectQueries device): the
+    // bound must trip before the driver materializes an unbounded
+    // term set, not after
     val terms = queries
       .select(explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
         .as("term"))
-      .distinct().collect().map(_.getString(0)).toSeq
+      .distinct().limit(maxQueryTerms + 1)
+      .collect().map(_.getString(0)).toSeq
     require(terms.length <= maxQueryTerms,
-      s"${terms.length} distinct query terms exceed maxQueryTerms " +
-        s"$maxQueryTerms — split the query batch or raise the bound")
+      s"over $maxQueryTerms distinct query terms (maxQueryTerms) — " +
+        "split the query batch or raise the bound")
     val slice = post.filter(col("term").isInCollection(terms))
     val dfreq = slice.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = spark.range(1).select(lit(nDocs).as("n_docs"),
@@ -301,6 +304,24 @@ object Lexical {
     bm25TopKFromStore(slice, dfreq, stats, queries, qTextCol, qIdCol,
       k, k1, b)
   }
+
+  /** The determinism-critical rank tail every batch top-k surface
+    * shares: bounded top-k on the (already-rounded) score — d = −score
+    * ascending ≡ score descending, ties doc-id ascending, partials
+    * clamp at k — then posexplode to (q_id, doc_id, <score>, rank).
+    * ONE implementation so the batch surfaces and their oracles cannot
+    * drift apart on the tiebreak/rounding contract.
+    */
+  private def rankTail(scored: DataFrame, scoreCol: String,
+                       k: Int): DataFrame =
+    scored
+      .groupBy("q_id")
+      .agg(TopK.topKNative(k, negate(col(scoreCol)), col("doc_id"))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as(scoreCol),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Reciprocal-rank fusion (Cormack & Clarke SIGIR'09): fuse N ranked
     * lists into one, score(d) = Σ_r 1/(c + rank_r(d)). Each input
@@ -332,13 +353,6 @@ object Lexical {
       .withColumn("rrf",
         round(aggregate(col("cs"), lit(0.0),
           (acc, x) => acc + x.getField("contrib")), 9))
-    scored
-      .groupBy("q_id")
-      .agg(TopK.topKNative(k, negate(col("rrf")), col("doc_id"))
-        .as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("q_id"), col("t.id").as("doc_id"),
-        negate(col("t.d")).as("rrf"),
-        (col("pos") + 1).cast("int").as("rank"))
+    rankTail(scored, "rrf", k)
   }
 }

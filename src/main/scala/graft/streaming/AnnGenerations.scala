@@ -86,13 +86,31 @@ class AnnGenerations(spark: SparkSession, root: String) {
       (g, s, d)
     }
 
-  /** Fresh UNPUBLISHED generation (current + 1): the retrain's target
-    * tables. Nothing references it until [[publish]]; a crash leaves
-    * it as invisible garbage the next retrain overwrites or a manual
-    * sweep removes.
+  /** Fresh UNPUBLISHED generation: one past BOTH the pointer and any
+    * generation directory already on disk. The on-disk probe is the
+    * crash-safety half: a retrain that committed into gen-N and died
+    * before [[publish]] leaves gen-N's appendOnce tags behind, and a
+    * rebuild that REUSED gen-N would silently no-op against them and
+    * then publish the crashed run's stale rows as if they were the
+    * fresh build. Skipping every existing directory makes crashed
+    * half-built generations permanent invisible garbage (a manual
+    * sweep can remove anything above the pointer) and every build's
+    * target genuinely empty.
     */
   def next(): (Long, TxTable, TxTable) = {
-    val g = currentGen().map(_ + 1).getOrElse(0L)
+    val f = fs
+    val base = new Path(root)
+    val onDisk =
+      if (!f.exists(base)) -1L
+      else
+        f.listStatus(base).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("gen-") =>
+            scala.util.Try(n.stripPrefix("gen-").toLong).toOption
+          }
+          .flatten
+          .foldLeft(-1L)(math.max)
+    val g = math.max(currentGen().getOrElse(-1L), onDisk) + 1L
     val (s, d) = tables(g)
     (g, s, d)
   }

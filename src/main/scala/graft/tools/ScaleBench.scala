@@ -1878,10 +1878,11 @@ object ScaleBench {
       require(radii.zip(radii.tail).forall { case (a, b) => b <= a },
         "k-center radii must be non-increasing")
       s""","kcenter":{"vecs":$nv,"k":$kk,"corpus_tag":"$corpusTag",""" +
+        s""""picks":${picks.length},""" +
         s""""select_s":${fmt(pickS)},"per_pass_s":${fmt(pickS / kk)},""" +
         s""""assign_s":${fmt(asgS)},""" +
-        s""""radius_first":${fmt(radii.head)},""" +
-        s""""radius_last":${fmt(radii.last)},""" +
+        s""""radius_first":${fmt(radii.headOption.getOrElse(-1.0))},""" +
+        s""""radius_last":${fmt(radii.lastOption.getOrElse(-1.0))},""" +
         s""""min_assigned":${bal.getLong(0)},"max_assigned":${bal.getLong(1)}}"""
     }.getOrElse("")
 

@@ -44,6 +44,16 @@ class CoresetSpec extends SparkSpec {
     assert(maxD2 <= radii.last + 1e-12)
   }
 
+  test("fewer distinct vectors than k → distinct prefix, no duplicate centers") {
+    val docs = Seq(
+      (0L, vec(0f, 0f)), (1L, vec(0f, 0f)), (2L, vec(3f, 0f)),
+      (3L, vec(3f, 0f)), (4L, vec(0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val picks = Coreset.kCenter(docs, "vec_id", "embedding", k = 5)
+    assert(picks.map(_.id) == Seq(0L, 2L)) // only 2 distinct vectors
+    assert(picks.map(_.iter) == Seq(1, 2))
+  }
+
   test("assignment ties break by traversal order; duplicates legal") {
     val docs = Seq(
       (0L, vec(0f, 0f)), (1L, vec(0f, 0f)), // dup of seed

@@ -571,6 +571,17 @@ class StreamingAnnIndexSpec extends SparkSpec {
     assert(gens.currentGen().isEmpty)
     val (g0, s0, d0) = gens.next()
     assert(g0 == 0L)
+    // a crashed build that COMMITTED into its generation but never
+    // published must not have its directory reused: appendOnce tags in
+    // the leftover would silently swallow the fresh build's commits
+    // and publish() would then serve the crashed run's stale rows
+    s0.append(corpus(0 until 4))
+    val (gRetry, _, _) = gens.next()
+    assert(gRetry == 1L, "next() must skip the crashed unpublished gen-0")
+    val rootFs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rootFs.delete(new org.apache.hadoop.fs.Path(s"$root/gen-0"), true)
+    assert(gens.next()._1 == 0L) // clean slate again for the rest
     // publishing an empty generation is refused — publish AFTER commits
     val eEarly = intercept[IllegalArgumentException] { gens.publish(g0) }
     assert(eEarly.getMessage.contains("no committed store"), eEarly.getMessage)
