@@ -177,6 +177,39 @@ object StreamingLexicalIndex {
         math.round(1000.0 * avgdlNow / avgdlGen))
     }
 
+  /** Generation-following streaming serving: each micro-batch of
+    * arriving queries re-resolves the generation pointer ONCE (the
+    * [[AnnGenerations]] reader contract — a batch binds to a complete
+    * generation; the pointer file is only ever atomically renamed) and
+    * serves against that generation's contrib store, so a
+    * [[regenerateIfStale]] swap takes effect on the NEXT micro-batch
+    * with no stream restart. Contrast [[StreamingLexical.bm25Stream]],
+    * which plans one fixed store for the stream's lifetime (the
+    * windowed, watermark-exact form); this is the foreachBatch form —
+    * per-batch batch-exact serving, results tagged with the serving
+    * generation, delivery semantics those of the sink callback.
+    * Batches before any published generation are skipped.
+    */
+  def bm25ServeStream(queries: DataFrame, gens: AnnGenerations,
+                      qTextCol: String, qIdCol: String, k: Int,
+                      checkpointDir: String,
+                      availableNow: Boolean = true)
+                     (sink: DataFrame => Unit): StreamingQuery = {
+    val writer = queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        gens.current() match {
+          case Some((g, storeTx, _)) if !batch.isEmpty =>
+            sink(Lexical.bm25TopKFromContribStore(storeTx.read(),
+                batch, qTextCol, qIdCol, k)
+              .withColumn("gen", lit(g)))
+          case _ => ()
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** The closed loop: probe → rebuild from the maintained postings →
     * atomic pointer swap. Fires when EITHER axis leaves the parity
     * band by more than `thresholdPermille`; no-op (None) at parity or

@@ -165,6 +165,36 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Topically-separated corpus for the BM25 truncation-recall
+    * experiment: each doc draws ~90 % of its tokens from its topic's
+    * private 400-word slice (per-term df ≈ in-topic docs × 9 % — a few
+    * thousand at 10⁶/64 topics, INSIDE a 2048-postings impact list)
+    * and ~10 % from the shared 256-word head (df ≈ 10⁵ — far outside
+    * any list, but low-idf). Scores then SEPARATE instead of tying in
+    * thousands, which is the regime where impact truncation holds
+    * top-k recall — synthDocs' flat-tie draw is the adversarial
+    * counterpart. Same length distribution as synthDocs.
+    */
+  def synthTopicalDocs(spark: SparkSession, n: Long,
+                       topics: Int = 64): DataFrame = {
+    val vArr = array(Vocab.map(lit): _*)
+    val d = spark.range(n)
+      .withColumn("topic", pmod(xxhash64(lit("t"), col("id")), lit(topics.toLong)))
+      .withColumn("nw",
+        (pmod(xxhash64(lit("len"), col("id")), lit(30L)) + 30L).cast("int"))
+    val word: Column => Column = { i =>
+      val h = xxhash64(lit("w"), col("id"), i)
+      when(pmod(h, lit(10L)) === 0L,
+        element_at(vArr, (pmod(h, lit(256L)) + 1L).cast("int")))
+        .otherwise(concat(lit("t"), col("topic"), lit("w"),
+          pmod(h, lit(400L))))
+    }
+    d.select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        transform(sequence(lit(0), col("nw") - 1), word)).as("text"))
+  }
+
   /** Adversarial substring-dedup corpus: every doc carries the SAME
     * 8-token run between a few unique filler tokens, so ONE span hash
     * occurs once per document — the whole corpus funnels through a
@@ -1781,12 +1811,15 @@ object ScaleBench {
     // overlap is recorded as the trade's recall axis.
     val bm25Json = sys.env.get("GRAFT_SCALE_BM25").map { sN =>
       import graft.operators.Lexical
-      val parts = sN.split(",").map(_.trim.toLong)
+      val fields = sN.split(",").map(_.trim)
+      val parts = fields.takeWhile(f => f.forall(_.isDigit)).map(_.toLong)
+      val topical = fields.exists(_ == "topical")
       val (nd, nq) = (parts(0), parts(1))
       val k = if (parts.length > 2) parts(2).toInt else 10
       val maxPost = if (parts.length > 3) parts(3).toInt else 2048
-      val docs = synthDocs(spark, nd)
-      val rawDir = s"$root/bm25_docs_$nd"
+      val docs =
+        if (topical) synthTopicalDocs(spark, nd) else synthDocs(spark, nd)
+      val rawDir = s"$root/bm25_docs_${nd}_$topical"
       docs.write.mode("overwrite").parquet(rawDir)
       val d = spark.read.parquet(rawDir)
       val b0 = System.nanoTime()
@@ -1842,6 +1875,7 @@ object ScaleBench {
       store.unpersist(); post.unpersist(); dfreq.unpersist()
       exact.unpersist(); trunc.unpersist(); qs.unpersist()
       s""","bm25":{"docs":$nd,"queries":$nQs,"k":$k,""" +
+        s""""corpus":"${if (topical) "topical" else "flat"}",""" +
         s""""max_postings":$maxPost,""" +
         s""""store_rows":$storeRows,"build_s":${fmt(buildS)},""" +
         s""""candidates_exact":$cands,""" +

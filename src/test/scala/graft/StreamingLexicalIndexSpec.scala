@@ -80,6 +80,54 @@ class StreamingLexicalIndexSpec extends SparkSpec {
     assert(live == direct)
   }
 
+  test("generation-following serving: a mid-stream swap takes effect " +
+       "on the next batch without a restart") {
+    val root = tmp("graft-lexfollow")
+    val postTx = new graft.bank.TxTable(spark, s"$root/post")
+    val statsTx = new graft.bank.TxTable(spark, s"$root/stats")
+    val gens = new AnnGenerations(spark, s"$root/gens")
+    val base = corpus(40)
+    Idx.bootstrap(base, "doc_id", "text", postTx, statsTx)
+    Idx.buildGeneration(gens, postTx, statsTx)
+
+    val qDir = s"$root/queries"
+    val served = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def drain(): Unit =
+      Idx.bm25ServeStream(
+        spark.readStream
+          .schema(Idx.docSchema("q_id", "qtext")).parquet(qDir),
+        gens, "qtext", "q_id", k = 2, s"$root/cp") { out =>
+        served ++= out.select("q_id", "gen")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.awaitTermination()
+
+    Seq((1L, "alpha")).toDF("q_id", "qtext")
+      .write.mode("append").parquet(qDir)
+    drain()
+    assert(served.toSet == Set((1L, 0L))) // served by gen 0
+
+    // grow the corpus, regenerate → gen 1; SAME checkpoint, new files
+    val more = corpus(20, off = 40)
+    postTx.appendOnce(
+      Lexical.postings(more, "text", "doc_id").sort("term"),
+      tag = "lex-batch-follow")
+    statsTx.appendOnce(
+      more.select(size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("src_tag", lit("lex-batch-follow")),
+      tag = "lex-stats-follow")
+    assert(Idx.regenerateIfStale(gens, postTx, statsTx).contains(1L))
+
+    served.clear()
+    Seq((2L, "alpha")).toDF("q_id", "qtext")
+      .write.mode("append").parquet(qDir)
+    drain()
+    assert(served.nonEmpty && served.forall(_._2 == 1L),
+      s"post-swap batch must serve from gen 1: $served")
+  }
+
   test("staleness loop: no-op at parity, fires on growth, post-regen " +
        "parity, pointer advances monotonically") {
     val root = tmp("graft-lexgen")
