@@ -188,6 +188,35 @@ object Lexical {
         negate(col("t.d")).as("contrib"))
   }
 
+  /** Per-term ADAPTIVE impact truncation: keep each term's
+    * highest-contribution postings until they cover `massFraction` of
+    * the term's total contribution mass (the boundary posting
+    * included). Where [[truncateByImpact]]'s fixed m is a global
+    * compromise — too small for flat-scoring terms (ties in
+    * thousands), wastefully large for peaked ones — the mass rule
+    * adapts: flat terms keep ≈ massFraction·df postings, peaked terms
+    * only the head that actually decides rankings. One build-time
+    * shuffle keyed `term` + one in-partition sort (spillable); the
+    * kept-order is (contrib desc, doc asc) — deterministic, so the
+    * truncated store is reproducible run to run.
+    */
+  def truncateByMass(store: DataFrame, massFraction: Double): DataFrame = {
+    require(massFraction > 0.0 && massFraction <= 1.0,
+      s"massFraction must be in (0, 1]: $massFraction")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("term")
+      .orderBy(col("contrib").desc, col("doc_id").asc)
+    val all = Window.partitionBy("term")
+    store
+      .withColumn("_cum", sum(col("contrib")).over(ord))
+      .withColumn("_tot", sum(col("contrib")).over(all))
+      // keep while the mass BEFORE this posting is under the target —
+      // the first posting crossing the threshold stays (coverage is
+      // ≥ massFraction, never under)
+      .filter(col("_cum") - col("contrib") < col("_tot") * massFraction)
+      .drop("_cum", "_tot")
+  }
+
   /** Batch top-k straight off a precomputed contribution store (the
     * [[bm25Store]] shape — truncated or not): broadcast the query
     * terms into the store join, fold per (query, doc) in term-asc

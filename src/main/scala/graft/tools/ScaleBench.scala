@@ -1814,6 +1814,10 @@ object ScaleBench {
       val fields = sN.split(",").map(_.trim)
       val parts = fields.takeWhile(f => f.forall(_.isDigit)).map(_.toLong)
       val topical = fields.exists(_ == "topical")
+      // "massX.Y" switches the store to per-term ADAPTIVE truncation
+      // (truncateByMass) instead of the fixed top-maxPostings lists
+      val massOpt = fields.find(_.startsWith("mass"))
+        .map(_.stripPrefix("mass").toDouble)
       val (nd, nq) = (parts(0), parts(1))
       val k = if (parts.length > 2) parts(2).toInt else 10
       val maxPost = if (parts.length > 3) parts(3).toInt else 2048
@@ -1823,8 +1827,18 @@ object ScaleBench {
       docs.write.mode("overwrite").parquet(rawDir)
       val d = spark.read.parquet(rawDir)
       val b0 = System.nanoTime()
-      val store = Lexical.bm25Store(d, "text", "doc_id",
-          maxPostingsPerTerm = maxPost)
+      val store = (massOpt match {
+        case Some(x) =>
+          // mass rule UNDER a hard per-term cap: pure mass degenerates
+          // on flat-tie terms (keeps mass·df — the 8 GB OOM, measured),
+          // so the composition keeps top-min(massCount, maxPost)
+          Lexical.truncateByImpact(
+            Lexical.truncateByMass(
+              Lexical.bm25Store(d, "text", "doc_id"), x), maxPost)
+        case None =>
+          Lexical.bm25Store(d, "text", "doc_id",
+            maxPostingsPerTerm = maxPost)
+      })
         .repartition(col("term")).sortWithinPartitions("term")
         .persist()
       val storeRows = store.count()
@@ -1876,7 +1890,8 @@ object ScaleBench {
       exact.unpersist(); trunc.unpersist(); qs.unpersist()
       s""","bm25":{"docs":$nd,"queries":$nQs,"k":$k,""" +
         s""""corpus":"${if (topical) "topical" else "flat"}",""" +
-        s""""max_postings":$maxPost,""" +
+        massOpt.map(x => s""""mass":$x,""").getOrElse(
+          s""""max_postings":$maxPost,""") +
         s""""store_rows":$storeRows,"build_s":${fmt(buildS)},""" +
         s""""candidates_exact":$cands,""" +
         s""""exact_batch_s":${fmt(exactS)},"exact_rows":$exactRows,""" +
@@ -1911,13 +1926,31 @@ object ScaleBench {
       val radii = picks.drop(1).map(_.radiusSq)
       require(radii.zip(radii.tail).forall { case (a, b) => b <= a },
         "k-center radii must be non-increasing")
+      // seeding-quality comparison (the NEXT.md candidate): WCSS after
+      // 3 Lloyd iterations from each init — farthest-point picks
+      // (derandomized k-means++), the default first-k, and k-means||
+      import graft.operators.KMeans
+      def wcssOf(init: Seq[Seq[Float]]): Double = {
+        val (c, _) = KMeans.fit(e, "doc_id", "embedding",
+          k = kk, iters = 3, init = init)
+        KMeans.wcss(e, "embedding", c)
+      }
+      val w0 = System.nanoTime()
+      val wKc = wcssOf(picks.map(_.vec))
+      val wFirst = wcssOf(Nil)
+      val wPar = wcssOf(KMeans.seedParallel(e, "doc_id", "embedding", kk))
+      val wcssS = (System.nanoTime() - w0) / 1e9
       s""","kcenter":{"vecs":$nv,"k":$kk,"corpus_tag":"$corpusTag",""" +
         s""""picks":${picks.length},""" +
         s""""select_s":${fmt(pickS)},"per_pass_s":${fmt(pickS / kk)},""" +
         s""""assign_s":${fmt(asgS)},""" +
         s""""radius_first":${fmt(radii.headOption.getOrElse(-1.0))},""" +
         s""""radius_last":${fmt(radii.lastOption.getOrElse(-1.0))},""" +
-        s""""min_assigned":${bal.getLong(0)},"max_assigned":${bal.getLong(1)}}"""
+        s""""min_assigned":${bal.getLong(0)},"max_assigned":${bal.getLong(1)},""" +
+        s""""wcss_kcenter_seed":${fmt(wKc)},""" +
+        s""""wcss_firstk_seed":${fmt(wFirst)},""" +
+        s""""wcss_parallel_seed":${fmt(wPar)},""" +
+        s""""wcss_compare_s":${fmt(wcssS)}}"""
     }.getOrElse("")
 
     // MinHash banding sweep (env GRAFT_SCALE_MINHASH_SWEEP=<docs>):

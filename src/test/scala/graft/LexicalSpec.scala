@@ -94,6 +94,41 @@ class LexicalSpec extends SparkSpec {
     post.unpersist()
   }
 
+  test("truncateByMass: full mass keeps everything; flat terms keep " +
+       "~mass·df; peaked terms keep the deciding head") {
+    val full = Lexical.bm25Store(docs, "text", "doc_id")
+    val everything = Lexical.truncateByMass(full, 1.0)
+      .as[(String, Long, Double)].collect().toSet
+    assert(everything == full.as[(String, Long, Double)].collect().toSet)
+
+    // cherry: doc2 (tf 3, dl 4) dominates doc1 (tf 1, dl 2) — at a
+    // low mass fraction only the dominant posting survives
+    val peaked = Lexical.truncateByMass(full, 0.5)
+      .filter(col("term") === "cherry").collect()
+    assert(peaked.length == 1)
+    assert(peaked.head.getAs[Long]("doc_id") == 2L)
+
+    // a flat two-posting term at mass 0.5 keeps exactly the first
+    // (ordered contrib desc, doc asc); coverage is >= the target
+    val banana = Lexical.truncateByMass(full, 0.5)
+      .filter(col("term") === "banana").collect()
+    assert(banana.length >= 1)
+    val bananaFull = full.filter(col("term") === "banana")
+      .agg(sum("contrib")).head().getDouble(0)
+    assert(banana.map(_.getAs[Double]("contrib")).sum >= 0.5 * bananaFull)
+
+    // mass-truncated serving stays exact at mass = 1.0
+    val qs = Seq((1L, "cherry banana")).toDF("q_id", "qtext")
+    val viaMass = Lexical.bm25TopKFromContribStore(everything.toSeq
+        .toDF("term", "doc_id", "contrib"),
+      qs, "qtext", "q_id", k = 4).as[(Long, Long, Double, Int)]
+      .collect().sortBy(_._4).toSeq
+    val direct = Lexical.bm25TopK(docs, "text", "doc_id",
+        qs, "qtext", "q_id", k = 4).as[(Long, Long, Double, Int)]
+      .collect().sortBy(_._4).toSeq
+    assert(viaMass == direct)
+  }
+
   test("rrfFuse: asymmetric lists, c = 60, rank ties break doc asc") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "doc_id", "rank")
     val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q_id", "doc_id", "rank")
