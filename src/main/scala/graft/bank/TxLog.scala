@@ -480,6 +480,45 @@ class TxTable(spark: SparkSession, root: String,
     res
   }
 
+  /** True iff every commit in (`from`, `to`] is a pure append (no
+    * RemoveFile action) — the precondition for [[readAppendedSince]]
+    * to be an exact row delta.
+    */
+  def isAppendPure(from: Long, to: Long): Boolean = {
+    val (commits, _) = listLog()
+    commits.filter(v => v > from && v <= to).forall { v =>
+      !readLines(versionFile(v)).flatMap(decode)
+        .exists(_.isInstanceOf[RemoveFile])
+    }
+  }
+
+  /** The rows APPENDED in (`from`, `to`] — the files those commits
+    * added, read directly (the incremental-maintenance delta read:
+    * versions pin snapshots, so "what arrived since the generation was
+    * built" is a log-level file-list diff, never a corpus-sized
+    * anti-join). EXACT only over an append-pure range: a compaction or
+    * overwrite in between rewrites surviving rows into fresh files,
+    * which a file-level delta would double-count — refused loudly;
+    * callers fall back to a full read (the incremental builders'
+    * documented fallback).
+    */
+  def readAppendedSince(from: Long, to: Option[Long] = None): DataFrame = {
+    val target = to.getOrElse(latestVersion())
+    if (target <= from) return read(Some(math.max(from, 0L))).limit(0)
+    require(isAppendPure(from, target),
+      s"readAppendedSince($from, $target): range contains a remove " +
+        "(compact/overwrite) — a file-level delta would double-count " +
+        "rewritten rows; read the full table instead")
+    val (commits, _) = listLog()
+    val paths = commits.filter(v => v > from && v <= target).flatMap { v =>
+      readLines(versionFile(v)).flatMap(decode).collect {
+        case AddFile(p, _) => p
+      }
+    }
+    if (paths.isEmpty) read(Some(target)).limit(0)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Data files no longer referenced by any version ≥ `retainFrom` —
     * candidates for physical deletion once readers of older snapshots
     * are gone (the vacuum contract). `olderThanMs` is the in-flight

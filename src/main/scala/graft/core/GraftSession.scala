@@ -28,6 +28,22 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // ObjectHashAggregate (the operator every TypedImperativeAggregate
+    // — bounded_topk, the sketches — plans into) falls back to
+    // SORT-based aggregation once a task sees >128 distinct groups
+    // (Spark's default): the partial agg then externally sorts every
+    // CANDIDATE row by group key before updating, which is exactly
+    // backwards for bounded_topk, whose per-group state is ≤ k
+    // primitive entries (16 B each) no matter how many rows feed it.
+    // Serving streams group by (window, query) — thousands of groups,
+    // millions of candidate rows — and the BM25 impact-truncation build
+    // groups by term (vocabulary-sized). 64Ki groups × a k=10 buffer
+    // (~200 B with headers) ≈ 13 MB per task — far under executor
+    // memory; beyond that (web-scale vocabularies, unbounded sketch
+    // cardinalities) the sort fallback engages as designed, since
+    // ObjectHashAggregate does not meter its buffer map's heap.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 16).toString)
 
   /** Local session for tests / CLI mains. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -120,6 +120,209 @@ object Lexical {
         lit(k1) * (lit(1.0) - lit(b) +
           lit(b) * dl.cast("double") / avgdl))
 
+  /** The tf-saturation HALF of the contribution — everything that is a
+    * per-document fact once `avgdl` is baked: sat = tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)). The factored serving stores
+    * ([[bm25SatFromPostings]]) keep sat separate from idf so that
+    * corpus growth (which moves N and every df, hence every idf)
+    * invalidates only the VOCABULARY-sized idf side — sat rows never
+    * go stale until avgdl itself drifts out of band.
+    *
+    * NOTE the association: the factored score is idf × (num/den),
+    * where the monolithic [[contribCol]] computes (idf × num)/den —
+    * same reals, different float rounding. The factored surfaces carry
+    * their own oracles replaying idf × sat; they are NOT bit-compared
+    * against the monolithic store.
+    */
+  private def satCol(tf: Column, dl: Column, avgdl: Column,
+                     k1: Double, b: Double): Column =
+    (tf.cast("double") * lit(k1 + 1.0)) /
+      (tf.cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * dl.cast("double") / avgdl))
+
+  /** Factored serving store, sat side: (`term`, `doc_id`, `sat`) from a
+    * raw postings frame with `avgdl` BAKED. Pure per-row projection —
+    * an appended postings delta produces exactly its own sat delta,
+    * which is what makes the incremental generation build
+    * ([[graft.streaming.StreamingLexicalIndex.refreshFactored]])
+    * arrival-sized.
+    */
+  def bm25SatFromPostings(post: DataFrame, avgdl: Double,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    post.select(col("term"), col("doc_id"),
+      satCol(col("tf"), col("dl"), lit(avgdl), k1, b).as("sat"))
+
+  /** Batch top-k off a FACTORED store: sat rows (corpus-sized,
+    * avgdl-baked) × a vocabulary-sized df table × the live doc count.
+    * idf is computed on the QUERY side (≤ |query terms| rows) and rides
+    * the broadcast into the sat join, so a df/N refresh never touches
+    * the corpus-sized half. contrib = idf × sat (one multiply per
+    * candidate); fold and rank exactly as the monolithic paths.
+    */
+  def bm25TopKFromFactoredStore(sat: DataFrame, dfreq: DataFrame,
+                                nDocs: Long, queries: DataFrame,
+                                qTextCol: String, qIdCol: String,
+                                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(sat.sparkSession)
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
+        .as("term"))
+    val qDf = dfreq.join(broadcast(qTerms.select("term").distinct()),
+      Seq("term"))
+    val qSide = broadcast(qTerms.join(qDf, Seq("term"))
+      .select(col("q_id"), col("term"),
+        bm25Idf(lit(nDocs), col("df")).as("idf")))
+    val scored = sat.join(qSide, Seq("term"))
+      .withColumn("contrib", col("idf") * col("sat"))
+      .groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .withColumn("score",
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")), 6))
+    rankTail(scored, "score", k)
+  }
+
+  // ---- BM25F: weighted multi-field scoring (Robertson, Zaragoza &
+  // Taylor, CIKM'04 — "Simple BM25 extension to multiple weighted
+  // fields"). Field tfs fold into ONE pseudo-frequency per (term, doc)
+  // BEFORE saturation: tf̃ = Σ_f w_f · tf_f / B_f with the per-field
+  // length norm B_f = 1 − b_f + b_f · dl_f / avgdl_f, then
+  // score = Σ_t idf(t) · tf̃ / (k1 + tf̃). Saturating the combined
+  // pseudo-frequency (not each field separately) is the paper's point:
+  // a term in both title and body is evidence about ONE document, not
+  // two independent ones.
+
+  /** One scored field: its text column, its weight w_f, and its length
+    * normalization b_f.
+    */
+  final case class FieldSpec(textCol: String, weight: Double,
+                             b: Double = 0.75)
+
+  /** Multi-field inverted postings: (`field` int — the index into
+    * `fields`, `term`, `doc_id`, `dl` — THAT field's token length,
+    * `tf`). ONE corpus scan for all fields (the per-row hash-count
+    * device of [[postings]], run per field inside the same pass) — no
+    * shuffle.
+    */
+  def postingsFields(docs: DataFrame, fields: Seq[FieldSpec],
+                     idCol: String): DataFrame = {
+    require(fields.nonEmpty, "postingsFields: no fields")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"),
+        array(fields.map(f => TextFunctions.tokens(col(f.textCol))): _*))
+      .as[(Long, Seq[Seq[String]])]
+      .mapPartitions(_.flatMap { case (id, fieldToks) =>
+        fieldToks.iterator.zipWithIndex.flatMap { case (toks, fi) =>
+          val dl = toks.length.toLong
+          val m = new java.util.LinkedHashMap[String, Long]()
+          toks.foreach(t => m.merge(t, 1L, (a, b) => a + b))
+          val out = Vector.newBuilder[(Int, String, Long, Long, Long)]
+          m.forEach((t, c) => out += ((fi, t, id, dl, c)))
+          out.result()
+        }
+      })
+      .toDF("field", "term", "doc_id", "dl", "tf")
+  }
+
+  /** Per-field corpus stats: (`field`, `n_docs`, `avgdl`) — one narrow
+    * aggregation pass (every doc contributes one length per field; the
+    * integer sums are exact, the division correctly rounded — the
+    * [[corpusStats]] arithmetic per field).
+    */
+  def fieldStats(docs: DataFrame, fields: Seq[FieldSpec]): DataFrame = {
+    require(fields.nonEmpty, "fieldStats: no fields")
+    val perField = fields.zipWithIndex.map { case (f, i) =>
+      docs.select(lit(i).as("field"),
+        size(TextFunctions.tokens(col(f.textCol))).cast("long").as("dl"))
+    }.reduce(_ unionByName _)
+    perField.groupBy("field")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+  }
+
+  /** Per-field stats derived from a [[postingsFields]] frame instead
+    * of a second tokenization pass — (field, doc_id, dl) is distinct
+    * per (field, doc) inside the postings and every doc emits ≥ 1
+    * posting per field (empty text tokenizes to [""]), so the exact
+    * integer sums fall out of a narrow distinct, the
+    * [[corpusStatsFromPostings]] argument field-wise.
+    */
+  def fieldStatsFromPostings(postF: DataFrame): DataFrame =
+    postF.select(col("field"), col("doc_id"), col("dl")).distinct()
+      .groupBy("field")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+
+  /** The BM25F pseudo-frequency fold + saturation over a multi-field
+    * postings frame: tf̃ = Σ_f w_f·tf_f/B_f folded in FIELD-asc order
+    * (pinned — the float sum replays cross-engine), then
+    * sat = tf̃/(k1 + tf̃). One candidate-volume shuffle keyed
+    * (term, doc).
+    */
+  private def satFromPostF(postF: DataFrame, statsF: DataFrame,
+                           fields: Seq[FieldSpec],
+                           k1: Double): DataFrame = {
+    val weights = typedLit(fields.map(_.weight))
+    val bs = typedLit(fields.map(_.b))
+    postF.join(broadcast(statsF.select(col("field"), col("avgdl"))),
+        Seq("field"))
+      .withColumn("fc",
+        element_at(weights, col("field") + 1) * col("tf").cast("double") /
+          (lit(1.0) - element_at(bs, col("field") + 1) +
+            element_at(bs, col("field") + 1) *
+              col("dl").cast("double") / col("avgdl")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(struct(col("field"), col("fc"))))
+        .as("fcs"))
+      .withColumn("tfl",
+        aggregate(col("fcs"), lit(0.0),
+          (acc, x) => acc + x.getField("fc")))
+      .select(col("term"), col("doc_id"),
+        (col("tfl") / (lit(k1) + col("tfl"))).as("sat"))
+  }
+
+  /** BM25F factored serving store: (`term`, `doc_id`, `sat`) with
+    * sat = tf̃/(k1 + tf̃). Serve through [[bm25TopKFromFactoredStore]]
+    * with [[docFreqAnyField]] and the document count.
+    */
+  def bm25fSatStore(docs: DataFrame, fields: Seq[FieldSpec], idCol: String,
+                    k1: Double = 1.2): DataFrame = {
+    val post = postingsFields(docs, fields, idCol)
+    satFromPostF(post, fieldStatsFromPostings(post), fields, k1)
+  }
+
+  /** BM25F document frequency: a document contains a term if ANY field
+    * does — distinct (term, doc) over the multi-field postings.
+    */
+  def docFreqAnyField(postF: DataFrame): DataFrame =
+    postF.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** BM25F top-k: build the factored store + any-field df + the doc
+    * count, then serve through the shared factored path. Output
+    * contract identical to [[bm25TopK]] (`q_id, doc_id, score` ROUND 6,
+    * `rank`). One tokenization of the corpus feeds sat, stats, df, and
+    * n (the bm25TopK single-pass contract, factored-form).
+    */
+  def bm25fTopK(docs: DataFrame, fields: Seq[FieldSpec], idCol: String,
+                queries: DataFrame, qTextCol: String, qIdCol: String,
+                k: Int, k1: Double = 1.2): DataFrame = {
+    val post = postingsFields(docs, fields, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statsF = fieldStatsFromPostings(post)
+    val sat = satFromPostF(post, statsF, fields, k1)
+    val n = statsF.filter(col("field") === 0).head().getLong(1)
+    bm25TopKFromFactoredStore(sat, docFreqAnyField(post), n,
+      queries, qTextCol, qIdCol, k)
+  }
+
   /** Serving store: (`term`, `doc_id`, `contrib`) with the BM25
     * contribution fully precomputed — serving (batch or streaming)
     * is then join + term-ordered fold + bounded top-k, zero per-query
@@ -199,6 +402,14 @@ object Lexical {
     * shuffle keyed `term` + one in-partition sort (spillable); the
     * kept-order is (contrib desc, doc asc) — deterministic, so the
     * truncated store is reproducible run to run.
+    *
+    * COMPOSITION ORDER: the per-term windows here see the UNCAPPED
+    * store, so a web-scale common term (df 10⁶+) lands in one task's
+    * (spillable) sort. Always compose the fixed cap OUTSIDE —
+    * `truncateByImpact(truncateByMass(s, x), m)`, the BASELINE shape —
+    * never inside, which would cap before the mass rule can see the
+    * distribution it adapts to while leaving this window uncapped
+    * anyway.
     */
   def truncateByMass(store: DataFrame, massFraction: Double): DataFrame = {
     require(massFraction > 0.0 && massFraction <= 1.0,
@@ -258,7 +469,14 @@ object Lexical {
   def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, qTextCol: String, qIdCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // ONE tokenization pass: df, corpus stats, and the candidate join
+    // all read the same cached postings (without the persist each of
+    // the three subtrees re-tokenizes the corpus — at 100 TB that is
+    // two avoidable full-corpus scans). MEMORY_AND_DISK, LRU-evictable;
+    // repeated serving should use bm25TopKFromStore with caller-managed
+    // persistence instead of re-entering this convenience form.
     val post = postings(corpus, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bm25TopKFromStore(post, docFreq(post), corpusStatsFromPostings(post),
       queries, qTextCol, qIdCol, k, k1, b)
   }

@@ -113,11 +113,27 @@ case class BoundedTopK(k: Int,
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
+  // Codegen'd input projection for the per-candidate update path:
+  // ObjectAggregation evaluates a TypedImperativeAggregate's children
+  // with interpreted `eval`, and the optimizer collapses the child
+  // Project INTO the aggregate — so a candidate-volume child like the
+  // native adc_dist fold ran INTERPRETED per candidate row (the
+  // measured 23 s-vs-batch-5.7 s residual on the candidate-heavy
+  // streaming geometry after the buffer itself went primitive). One
+  // generated projection restores the codegen path the batch plan's
+  // WholeStageCodegen span gives the same expression for free.
+  // Lazily built on first update: by then the function instance is the
+  // BOUND copy (children are BoundReferences), which is what
+  // UnsafeProjection.create requires; falls back to the interpreted
+  // projection under codegen-factory fallback, same semantics.
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(Seq(left, right))
+
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
-    val dv = left.eval(input)
-    val iv = right.eval(input)
-    if (dv != null && iv != null)
-      buf.insert(dv.asInstanceOf[Double], iv.asInstanceOf[Long])
+    val row = inputProj(input)
+    if (!row.isNullAt(0) && !row.isNullAt(1))
+      buf.insert(row.getDouble(0), row.getLong(1))
     buf
   }
 

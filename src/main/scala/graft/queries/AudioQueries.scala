@@ -235,8 +235,8 @@ object AudioQueries {
       val flush = s.range(1).select(lit(999999999L).as("doc_id"),
         lit(renderWav(999999999L)).as("payload"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q121").toString
+      val tmp = Scratch
+        .tempDir("graft-q121").toString
       wavs.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -293,8 +293,8 @@ object AudioQueries {
       val traces = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(it => it.map(id => (id, renderTraceWav(id))))
         .toDF("doc_id", "payload")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q132").toString
+      val tmp = Scratch
+        .tempDir("graft-q132").toString
       traces.repartition(8).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema)
         .option("maxFilesPerTrigger", "3").parquet(tmp)

@@ -467,7 +467,7 @@ object CatalogQueries {
     * (same shape as q66).
     */
   private def replay(s: SparkSession, df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val dir = Scratch.tempDir("graft-replay").toString
     df.write.mode("overwrite").parquet(dir)
     s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
   }

@@ -315,7 +315,7 @@ object DedupQueries {
         lit(999999999L).as("doc_id"),
         lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q82").toString
+      val tmp = Scratch.tempDir("graft-q82").toString
       c.unionByName(flush).repartition(8).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
       val changes = graft.streaming.StreamingDedup.duplicateSpanStream(
@@ -377,8 +377,8 @@ object DedupQueries {
         lit(999999999L).as("doc_id"),
         lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
         lit(t0 + 20L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q117").toString
+      val tmp = Scratch
+        .tempDir("graft-q117").toString
       c.unionByName(flush).repartitionByRange(8, col("ts"))
         .write.mode("overwrite").parquet(tmp)
       val base = System.currentTimeMillis()
@@ -505,7 +505,7 @@ object DedupQueries {
         lit(999999999L).as("doc_id"),
         lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q88").toString
+      val tmp = Scratch.tempDir("graft-q88").toString
       c.unionByName(flush).repartition(8).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
       val changes = graft.streaming.StreamingDedup.nearDupStream(
@@ -554,8 +554,8 @@ object DedupQueries {
         lit(999999999L).as("doc_id"),
         lit((1 to 8).map(i => s"zzflush$i").mkString(" ")).as("text"),
         lit(t0 + 20L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q116").toString
+      val tmp = Scratch
+        .tempDir("graft-q116").toString
       c.unionByName(flush).repartitionByRange(8, col("ts"))
         .write.mode("overwrite").parquet(tmp)
       val base = System.currentTimeMillis()

@@ -128,8 +128,8 @@ object DomainQueries {
         .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
         .select(col("event_id").cast("string").as("event_id"),
           col("ts").as("time"), col("event_id").cast("long").as("updated"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q149").toString
+      val root = Scratch
+        .tempDir("graft-q149").toString
       val bank = new EventBank(s, root)
       bank.putEvents(quakes0)
       val quakes = bank.readIndex().select(col("event_id"), col("time"))

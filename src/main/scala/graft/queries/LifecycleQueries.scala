@@ -38,8 +38,8 @@ object LifecycleQueries {
           lit(1_000_000_000L).as("sampling_period"), // 1 Hz
           transform(sequence(lit(0L), col("v0") + lit(9L)),
             i => ((col("v0") + i) % 32).cast("double")).as("samples"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q91").toString
+      val root = Scratch
+        .tempDir("graft-q91").toString
       val bank = new WaveBank(s, root)
       bank.putWaveforms(segs)
       val out = s"$root/sds"
@@ -143,8 +143,8 @@ object LifecycleQueries {
           end_date = if (chan == 2) None
                      else Some(T0 + (v0 + 86400) * 1_000_000_000L))
       }
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q93").toString
+      val out = Scratch
+        .tempDir("graft-q93").toString
       rows.groupBy(_.network).foreach { case (net, chans) =>
         val w = new java.io.FileWriter(new java.io.File(out, s"$net.xml"))
         try w.write(StationXml.toStationXml(chans.toSeq)) finally w.close()
@@ -187,8 +187,8 @@ object LifecycleQueries {
     Q("q94_csv_fallback", (s, dir) => {
       import graft.core.Schemas
       import org.apache.spark.sql.types._
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q94").toString + "/events.csv"
+      val out = Scratch
+        .tempDir("graft-q94").toString + "/events.csv"
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .coalesce(1)
@@ -254,8 +254,8 @@ object LifecycleQueries {
         lit(5000.0).as("depth"),
         (pmod(col("event_id"), lit(50)).cast("double") / 10.0).as("magnitude"),
         lit(1000L).as("updated"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q96").toString
+      val root = Scratch
+        .tempDir("graft-q96").toString
       val bank = new EventBank(s, root)
       bank.putEvents(cat)
       val ids = (0 until 40).map(k => s"smi:local/event/${97 * k + 13}")
@@ -295,8 +295,8 @@ object LifecycleQueries {
           lit(1_000_000_000L).as("sampling_period"),
           transform(sequence(lit(0L), col("v0") + lit(4L)),
             i => i.cast("double")).as("samples"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q97").toString
+      val root = Scratch
+        .tempDir("graft-q97").toString
       val bank = new WaveBank(s, root)
       val split = T0 + 30L * 3_600_000_000_000L
       bank.putWaveforms(segs.filter(col("starttime") < lit(split)))
@@ -374,8 +374,8 @@ object LifecycleQueries {
           lit(1_000_000_000L).as("sampling_period"),
           transform(sequence(lit(0L), col("v0") + lit(4L)),
             i => i.cast("double")).as("samples"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q99").toString
+      val root = Scratch
+        .tempDir("graft-q99").toString
       val bank = new WaveBank(s, root, indexCacheSize = 2)
       bank.putWaveforms(segs)
       val h = 3_600_000_000_000L
@@ -455,8 +455,8 @@ object LifecycleQueries {
           lit(1_000_000_000L).as("sampling_period"),
           transform(sequence(lit(0L), col("v0") + lit(4L)),
             i => i.cast("double")).as("samples"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q108").toString
+      val root = Scratch
+        .tempDir("graft-q108").toString
       val bank = new WaveBank(s, root)
       val split = T0 + 30L * 3_600_000_000_000L
       bank.putWaveforms(segs.filter(col("starttime") < lit(split)))
@@ -508,8 +508,8 @@ object LifecycleQueries {
           (col("event_id") % 30).as("slot"), col("event_id"))
         .groupBy("sid", "slot").agg((min("event_id") % 20).as("v0"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q109").toString
+      val root = Scratch
+        .tempDir("graft-q109").toString
       val segDir = java.nio.file.Paths.get(s"$root/segments")
       java.nio.file.Files.createDirectories(segDir)
       def write(sid: Long, slot: Long, n: Long): java.nio.file.Path = {

@@ -355,8 +355,8 @@ object MiscQueries {
         (pmod(col("event_id"), lit(50)).cast("double") / 10.0 + magShift)
           .as("magnitude"),
         lit(updated).as("updated"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q87").toString
+      val root = Scratch
+        .tempDir("graft-q87").toString
       val bank = new EventBank(s, root)
       bank.putEvents(synth(e, updated = 1000L, magShift = 0.0))
       bank.putEvents(synth(e.filter(col("event_id") % 7 === 0),
@@ -410,8 +410,8 @@ object MiscQueries {
     Q("q89_dataset_bundle", (s, dir) => {
       import graft.bank.{DataBundle, Datasets, EventQuery}
       Datasets.registerAll(s)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-q89-bundles").toString
+      val base = Scratch
+        .tempDir("graft-q89-bundles").toString
       DataBundle.load(s, "bingham_test", Some(base)) // fetch
       val bundle = DataBundle.load(s, "bingham_test", Some(base)) // cache hit
       val ev = bundle.eventBank.get

@@ -272,8 +272,8 @@ object MultimodalQueries {
       val flush = s.range(1).select(lit(999999999L).as("doc_id"),
         lit(renderPng(999999999L)).as("payload"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q106").toString
+      val tmp = Scratch
+        .tempDir("graft-q106").toString
       imgs.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -480,8 +480,8 @@ object MultimodalQueries {
       val flush = s.range(1).select(lit(999999999L).as("doc_id"),
         lit(renderMotionPng(999999999L)).as("payload"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q144").toString
+      val tmp = Scratch
+        .tempDir("graft-q144").toString
       vids.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)

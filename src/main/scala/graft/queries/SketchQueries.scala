@@ -297,8 +297,8 @@ object SketchQueries {
         .select(col("user_id"), col("ts"))
       val flush = s.range(1).select(lit(-1L).as("user_id"),
         lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q124").toString
+      val tmp = Scratch
+        .tempDir("graft-q124").toString
       ev.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -367,8 +367,8 @@ object SketchQueries {
         .select(col("user_id"), col("ts"))
       val flush = s.range(1).select(lit(-1L).as("user_id"),
         lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q126").toString
+      val tmp = Scratch
+        .tempDir("graft-q126").toString
       ev.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -437,8 +437,8 @@ object SketchQueries {
       val h2 = shingleHashesByLang(s, dir)
       val daily = h2.groupBy("source", "lang")
         .agg(Sketches.kmvSketch(col("h"), K).as("sk"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q125").toString
+      val tmp = Scratch
+        .tempDir("graft-q125").toString
       daily.write.mode("overwrite").parquet(tmp)
       val rolled = s.read.parquet(tmp)
         .select(col("source"), explode(col("sk")).as("h"))
@@ -563,8 +563,8 @@ object SketchQueries {
           floor(col("value") * 100).cast("long").as("w"))
       val flush = s.range(1).select(lit(-1L).as("event_id"),
         lit(1707091200000000000L).as("ts"), lit(0L).as("w"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q128").toString
+      val tmp = Scratch
+        .tempDir("graft-q128").toString
       ev.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -766,8 +766,8 @@ object SketchQueries {
       val flush = s.range(1).select(lit(-1L).as("user_id"),
         lit("flush").as("event_type"),
         lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q134").toString
+      val tmp = Scratch
+        .tempDir("graft-q134").toString
       ev.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -848,8 +848,8 @@ object SketchQueries {
         .select(col("source"), col("lang"), col("n_chars"))
       val daily = docs.groupBy("source", "lang")
         .agg(Sketches.quantileSketch(col("n_chars"), cO).as("sk"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q135").toString
+      val tmp = Scratch
+        .tempDir("graft-q135").toString
       daily.write.mode("overwrite").parquet(tmp)
       val rolled = s.read.parquet(tmp).groupBy("source")
         .agg(Sketches.quantileMerge(col("sk"), cO).as("rsk"))
@@ -909,8 +909,8 @@ object SketchQueries {
     Q("q136_bank_sketch_stats", (s, dir) => {
       import graft.bank.WaveBank
       val segs = bankStatsSegs(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q136").toString
+      val root = Scratch
+        .tempDir("graft-q136").toString
       val bank = new WaveBank(s, root)
       bank.putWaveforms(segs.filter(col("slot") < 24).drop("slot"))
       bank.putWaveforms(segs.filter(col("slot") >= 24).drop("slot"))
@@ -931,8 +931,8 @@ object SketchQueries {
     Q("q147_bank_stream_sidecar", (s, dir) => {
       import graft.bank.WaveBank
       val segs = bankStatsSegs(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q147").toString
+      val root = Scratch
+        .tempDir("graft-q147").toString
       val segDir = s"$root/stream_segments"
       val bank = new WaveBank(s, root, txIndex = true)
       def drain(): Unit =
@@ -978,8 +978,8 @@ object SketchQueries {
             .as("magnitude"),
           concat(lit("auth"), col("event_id") % 5).as("author"),
           col("event_id").cast("long").as("updated"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q148").toString
+      val root = Scratch
+        .tempDir("graft-q148").toString
       val bank = new EventBank(s, root)
       bank.putEvents(base.filter((col("id") / 97) % 2 === 0).drop("id"))
       bank.putEvents(base.filter((col("id") / 97) % 2 === 1).drop("id"))
@@ -1107,8 +1107,8 @@ object SketchQueries {
         .select(floor(col("value") * 1000).cast("long").as("v"), col("ts"))
       val flush = s.range(1).select(lit(0L).as("v"),
         lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q138").toString
+      val tmp = Scratch
+        .tempDir("graft-q138").toString
       ev.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -1175,8 +1175,8 @@ object SketchQueries {
         .select(col("event_type"), col("ts"))
       val flush = s.range(1).select(lit("flush").as("event_type"),
         lit(1707091200000000000L).as("ts")) // 2024-02-05T00:00Z
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q139").toString
+      val tmp = Scratch
+        .tempDir("graft-q139").toString
       ev.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -1242,8 +1242,8 @@ object SketchQueries {
         .select(floor(col("value") * 1000).cast("long").as("v"), col("ts"))
       val flush = s.range(1).select(lit(0L).as("v"),
         lit(1707091200000000000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q141").toString
+      val tmp = Scratch
+        .tempDir("graft-q141").toString
       ev.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -1308,8 +1308,8 @@ object SketchQueries {
           floor(col("value") * 100).cast("long").as("w"))
       val flush = s.range(1).select(lit(-1L).as("event_id"),
         lit(1707091200000000000L).as("ts"), lit(0L).as("w"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q142").toString
+      val tmp = Scratch
+        .tempDir("graft-q142").toString
       ev.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)

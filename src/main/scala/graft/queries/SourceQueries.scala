@@ -117,8 +117,8 @@ object SourceQueries {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       // per-run temp dir: a fixed shared path would race concurrent
       // executions (one deleting the other's records mid-write)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q90-mseed").toFile
+      val out = Scratch
+        .tempDir("graft-q90-mseed").toFile
       specs.groupBy(_._1).foreach { case (fam, rs) =>
         val fos = new java.io.FileOutputStream(
           new java.io.File(out, s"fam$fam.mseed"))

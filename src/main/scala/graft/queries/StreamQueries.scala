@@ -75,8 +75,8 @@ object StreamQueries {
       val flushTs = maxTs + 8L * 3600L * 1_000_000_000L
       val flush = s.range(1).select(lit(999999999L).as("user_id"),
         lit(flushTs).as("starttime"), lit(flushTs + 1000L).as("endtime"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q100").toString
+      val tmp = Scratch
+        .tempDir("graft-q100").toString
       iv.unionByName(flush)
         .repartitionByRange(8, col("starttime"))
         .write.mode("overwrite").parquet(tmp)
@@ -131,8 +131,8 @@ object StreamQueries {
       val maxTs = pts.agg(max("ts")).collect()(0).getLong(0)
       val flush = pts.select("key").distinct()
         .withColumn("ts", lit(maxTs + 10L * 86400L * 1_000_000_000L))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q101").toString
+      val tmp = Scratch
+        .tempDir("graft-q101").toString
       pts.unionByName(flush)
         .repartitionByRange(8, col("ts"))
         .write.mode("overwrite").parquet(tmp)
@@ -185,8 +185,8 @@ object StreamQueries {
       val flushTs = maxTs + 10L * 86400L * 1_000_000_000L
       val flush = s.range(1).select(lit(999999999L).as("user_id"),
         lit(flushTs).as("starttime"), lit(flushTs + 1000L).as("endtime"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q105").toString
+      val tmp = Scratch
+        .tempDir("graft-q105").toString
       iv.unionByName(flush)
         .repartitionByRange(8, col("starttime"))
         .write.mode("overwrite").parquet(tmp)

@@ -649,8 +649,8 @@ object TextQueries {
       val flush = s.range(1).select(lit(999999999L).as("doc_id"),
         lit("zz flush doc").as("text"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q112").toString
+      val tmp = Scratch
+        .tempDir("graft-q112").toString
       train.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -850,8 +850,8 @@ object TextQueries {
       val flush = s.range(1).select(lit(999999999L).as("q_id"),
         lit("zzflushzz").as("qtext"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q176").toString
+      val tmp = Scratch
+        .tempDir("graft-q176").toString
       qs.unionByName(flush).repartition(4)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema)
@@ -915,8 +915,8 @@ object TextQueries {
     //      the batch postings derivation over the FULL corpus.
     Q("q178_lex_store_maintained", (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q178").toString
+      val root = Scratch
+        .tempDir("graft-q178").toString
       val postTx = new graft.bank.TxTable(s, s"$root/post")
       val statsTx = new graft.bank.TxTable(s, s"$root/stats")
       graft.streaming.StreamingLexicalIndex.bootstrap(
@@ -942,8 +942,8 @@ object TextQueries {
     //      the oracle is the same full BM25 derivation as q174.
     Q("q179_lex_serve_maintained", (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q179").toString
+      val root = Scratch
+        .tempDir("graft-q179").toString
       val postTx = new graft.bank.TxTable(s, s"$root/post")
       val statsTx = new graft.bank.TxTable(s, s"$root/stats")
       graft.streaming.StreamingLexicalIndex.bootstrap(
@@ -1011,8 +1011,8 @@ object TextQueries {
     Q("q180_lex_generation_loop", (s, dir) => {
       import graft.streaming.{AnnGenerations, StreamingLexicalIndex => Idx}
       val docs = Tables.documents(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q180").toString
+      val root = Scratch
+        .tempDir("graft-q180").toString
       val postTx = new graft.bank.TxTable(s, s"$root/post")
       val statsTx = new graft.bank.TxTable(s, s"$root/stats")
       val gens = new AnnGenerations(s, s"$root/gens")

@@ -948,8 +948,8 @@ object VectorQueries {
         .select("vec_id", "r")
       val pq = ProductQuantizer.fit(resid, "vec_id", "r",
         m = 4, k = 4, iters = 2)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q161").toString
+      val root = Scratch
+        .tempDir("graft-q161").toString
       val storeTx = new TxTable(s, s"$root/store")
       val driftTx = new TxTable(s, s"$root/drift")
       StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
@@ -1012,8 +1012,8 @@ object VectorQueries {
         .select("vec_id", "r")
       val pq = ProductQuantizer.fit(resid, "vec_id", "r",
         m = 4, k = 4, iters = 2)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q166").toString
+      val root = Scratch
+        .tempDir("graft-q166").toString
       val storeTx = new TxTable(s, s"$root/store")
       val driftTx = new TxTable(s, s"$root/drift")
       StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
@@ -1077,8 +1077,8 @@ object VectorQueries {
       val pq = ProductQuantizer.fit(resid, "vec_id", "r",
         m = 4, k = 4, iters = 2)
       val sc = ProductQuantizer.int8Scale(e, "embedding")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q167").toString
+      val root = Scratch
+        .tempDir("graft-q167").toString
       val storeTx = new TxTable(s, s"$root/store")
       val driftTx = new TxTable(s, s"$root/drift")
       StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
@@ -1162,8 +1162,8 @@ object VectorQueries {
         .select("vec_id", "r")
       val pq = ProductQuantizer.fit(resid, "vec_id", "r",
         m = 4, k = 4, iters = 2)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q168").toString
+      val root = Scratch
+        .tempDir("graft-q168").toString
       val storeTx = new TxTable(s, s"$root/store")
       val driftTx = new TxTable(s, s"$root/drift")
       StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
@@ -1246,8 +1246,8 @@ object VectorQueries {
         .select("vec_id", "r")
       val pq = ProductQuantizer.fit(resid, "vec_id", "r",
         m = 4, k = 4, iters = 2)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q169").toString
+      val root = Scratch
+        .tempDir("graft-q169").toString
       val storeTx = new TxTable(s, s"$root/store")
       val driftTx = new TxTable(s, s"$root/drift")
       StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
@@ -1342,8 +1342,8 @@ object VectorQueries {
       val pq = ProductQuantizer.fit(resid, "vec_id", "r",
         m = 4, k = 4, iters = 2)
       val sc = ProductQuantizer.int8Scale(e, "embedding")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q170").toString
+      val root = Scratch
+        .tempDir("graft-q170").toString
       val storeTx = new TxTable(s, s"$root/store")
       val driftTx = new TxTable(s, s"$root/drift")
       StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
@@ -1452,8 +1452,8 @@ object VectorQueries {
         .select("vec_id", "r")
       val pq = ProductQuantizer.fit(resid, "vec_id", "r",
         m = 4, k = 4, iters = 2)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q172").toString
+      val root = Scratch
+        .tempDir("graft-q172").toString
       val storeTx = new TxTable(s, s"$root/store")
       val driftTx = new TxTable(s, s"$root/drift")
       StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
@@ -1515,8 +1515,8 @@ object VectorQueries {
         .select("vec_id", "r")
       val pq = ProductQuantizer.fit(resid, "vec_id", "r",
         m = 4, k = 4, iters = 2)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q173").toString
+      val root = Scratch
+        .tempDir("graft-q173").toString
       val gens = new AnnGenerations(s, root)
       val (g0, storeTx, driftTx) = gens.next()
       StreamingAnnIndex.bootstrap(e.filter(col("vec_id") % 2 === 0),
@@ -1593,8 +1593,8 @@ object VectorQueries {
         .select("vec_id", "r")
       val pq = ProductQuantizer.fit(resid, "vec_id", "r",
         m = 4, k = 4, iters = 2)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q162").toString
+      val root = Scratch
+        .tempDir("graft-q162").toString
       val storeTx = new TxTable(s, s"$root/store")
       val driftTx = new TxTable(s, s"$root/drift")
       StreamingAnnIndex.bootstrap(e, "vec_id", "embedding", coarse, pq,
@@ -1747,8 +1747,8 @@ object VectorQueries {
       val flush = s.range(1).select(lit(999999999L).as("vec_id"),
         typedLit(flushVec.toSeq).as("embedding"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q163").toString
+      val tmp = Scratch
+        .tempDir("graft-q163").toString
       qs.unionByName(flush).repartition(4)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -2030,8 +2030,8 @@ object VectorQueries {
       val flush = s.range(1).select(lit(999999999L).as("vec_id"),
         typedLit(flushVec).as("embedding"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q110").toString
+      val tmp = Scratch
+        .tempDir("graft-q110").toString
       corpus.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -2128,8 +2128,8 @@ object VectorQueries {
       val flush = s.range(1).select(lit(999999999L).as("vec_id"),
         typedLit(flushVec).as("embedding"),
         lit(t0 + 20L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q114").toString
+      val tmp = Scratch
+        .tempDir("graft-q114").toString
       // mtime-ordered ranges so window 0 arrives before window 1 and
       // neither is watermark-dropped (the multi-batch replay rule)
       corpus.unionByName(flush).repartitionByRange(8, col("ts"))
@@ -2198,8 +2198,8 @@ object VectorQueries {
       val flush = s.range(1).select(lit(999999999L).as("vec_id"),
         typedLit(flushVec).as("embedding"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q111").toString
+      val tmp = Scratch
+        .tempDir("graft-q111").toString
       qs.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -2240,12 +2240,12 @@ object VectorQueries {
       import graft.streaming.StreamingSimilarity
       val t0 = 1_600_000_000_000_000_000L
       val e = Tables.embeddings(s, dir)
-      val feedDir = java.nio.file.Files
-        .createTempDirectory("graft-q115-feed").toString
+      val feedDir = Scratch
+        .tempDir("graft-q115-feed").toString
       e.select("vec_id", "embedding").repartition(8)
         .write.mode("overwrite").parquet(feedDir)
-      val txRoot = java.nio.file.Files
-        .createTempDirectory("graft-q115-tx").toString
+      val txRoot = Scratch
+        .tempDir("graft-q115-tx").toString
       val tx = new graft.bank.TxTable(s, txRoot)
       val ingest = StreamingSimilarity.corpusIngest(
         s.readStream.schema(s.read.parquet(feedDir).schema)
@@ -2262,8 +2262,8 @@ object VectorQueries {
       val flush = s.range(1).select(lit(999999999L).as("vec_id"),
         typedLit(flushVec).as("embedding"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q115").toString
+      val tmp = Scratch
+        .tempDir("graft-q115").toString
       qs.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)
@@ -2315,8 +2315,8 @@ object VectorQueries {
       val flush = s.range(1).select(lit(999999999L).as("vec_id"),
         typedLit(flushVec).as("embedding"),
         lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q113").toString
+      val tmp = Scratch
+        .tempDir("graft-q113").toString
       qs.unionByName(flush).repartition(8)
         .write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema).parquet(tmp)

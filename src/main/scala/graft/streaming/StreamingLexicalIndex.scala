@@ -115,6 +115,11 @@ object StreamingLexicalIndex {
     val r = statsTx.read()
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
       .head()
+    // sum over an empty store is NULL — serve() before bootstrap()
+    // must fail with a diagnosis, not a bare NPE on getLong
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"stats store is empty (${statsTx.logDir}) — bootstrap() or run() " +
+        "must commit at least one stats partial before serving")
     val n = r.getLong(0)
     val s = r.getLong(1)
     (n, s, s.toDouble / n.toDouble)
@@ -229,4 +234,168 @@ object StreamingLexicalIndex {
       else Some(buildGeneration(gens, postTx, statsTx, k1, b,
         maxPostingsPerTerm))
     }
+
+  // ---- FACTORED generations (round 15): arrival-sized refreshes. ----
+  //
+  // The monolithic contrib store above must rebuild CORPUS-sized on
+  // every staleness fire, because contrib bakes all three globals
+  // (N, df, avgdl) into one float. The factored store splits them by
+  // WHAT actually invalidates them:
+  //
+  //   - sat = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl₀)) — a per-document
+  //     fact once avgdl₀ is baked. Lives in ONE long-lived TxTable;
+  //     arriving postings append exactly their own sat rows
+  //     (arrival-sized), and a generation pins the sat VERSION it
+  //     serves (TxTable time travel = snapshot isolation between
+  //     generations for free).
+  //   - idf(N, df) — moves with EVERY arrival, but is only
+  //     VOCABULARY-sized. Each generation carries a full df table; the
+  //     incremental build derives it as old-df ⊕ delta-term-counts
+  //     (a vocab-sized merge — never a corpus-sized docFreq pass).
+  //   - avgdl₀ — the one baked scalar. While the live avgdl stays
+  //     inside `avgdlBandPermille`, refreshes take the DELTA path;
+  //     once it drifts out, the loop re-bakes sat for the whole corpus
+  //     (a full build, the documented floor) via a versioned OVERWRITE
+  //     of the sat table — old generations keep reading their pinned
+  //     pre-overwrite snapshots.
+  //
+  // Serving a factored generation is exact BM25 at (N_live, df_live,
+  // avgdl₀): idf computes on the query side from the generation's df
+  // table, contrib = idf × sat (one multiply per candidate). A served
+  // top-k is BIT-IDENTICAL to a from-scratch factored rebuild at the
+  // same (N, avgdl₀) — spec-pinned — because df merge arithmetic is
+  // integer-exact and sat/idf/fold expressions are shared.
+
+  /** Generation sidecar row: the baked scalars + the pinned versions.
+    */
+  private def sidecarRow(spark: org.apache.spark.sql.SparkSession,
+                         n: Long, sumDl: Long, avgdl0: Double,
+                         postV: Long, satV: Long): DataFrame =
+    spark.range(1).select(lit(n).as("n_docs"), lit(sumDl).as("sum_dl"),
+      lit(avgdl0).as("avgdl0"), lit(postV).as("post_version"),
+      lit(satV).as("sat_version"))
+
+  private def readSidecar(sideTx: TxTable): (Long, Long, Double, Long, Long) = {
+    val r = sideTx.read()
+      .select("n_docs", "sum_dl", "avgdl0", "post_version", "sat_version")
+      .head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+  }
+
+  /** Full factored build + publish: bake avgdl from the current
+    * rollup, OVERWRITE the sat table (a fresh avgdl₀ epoch — prior
+    * generations keep their pinned versions), write the df table into
+    * a fresh generation, publish. Returns the generation.
+    */
+  def buildFactoredGeneration(gens: AnnGenerations, postTx: TxTable,
+                              statsTx: TxTable, satTx: TxTable,
+                              k1: Double = 1.2, b: Double = 0.75): Long = {
+    val (n, sumDl, avgdl0) = stats(statsTx)
+    val postV = postTx.latestVersion()
+    val post = postTx.read(Some(postV))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val satV = satTx.overwrite(
+      Lexical.bm25SatFromPostings(post, avgdl0, k1, b).sort("term"))
+    val (g, dfTx, sideTx) = gens.next()
+    dfTx.appendOnce(Lexical.docFreq(post).sort("term"),
+      tag = s"flex-df-$g")
+    post.unpersist()
+    sideTx.appendOnce(
+      sidecarRow(statsTx.read().sparkSession, n, sumDl, avgdl0, postV, satV),
+      tag = s"flex-side-$g")
+    gens.publish(g)
+    g
+  }
+
+  /** How a [[refreshFactored]] run regenerated — or why it didn't. */
+  sealed trait FactoredRefresh
+  /** Parity: both axes inside their bands, nothing rebuilt. */
+  case object FactoredFresh extends FactoredRefresh
+  /** Arrival-sized delta build published as `gen`. */
+  final case class FactoredDelta(gen: Long) extends FactoredRefresh
+  /** Corpus-sized re-bake (avgdl left its band, or the postings range
+    * since the last build was not append-pure) published as `gen`.
+    */
+  final case class FactoredFull(gen: Long) extends FactoredRefresh
+
+  /** The incremental refresh loop. N outside `nThresholdPermille` with
+    * avgdl still inside `avgdlBandPermille` → DELTA build: sat rows
+    * for the postings appended since the generation's pinned version
+    * (read via the log-level file diff — never a corpus scan), df =
+    * old df ⊕ delta term counts (vocab-sized merge), fresh generation,
+    * atomic swap. avgdl out of band → full re-bake. Both axes in band
+    * → [[FactoredFresh]].
+    */
+  def refreshFactored(gens: AnnGenerations, postTx: TxTable,
+                      statsTx: TxTable, satTx: TxTable,
+                      nThresholdPermille: Long = 100,
+                      avgdlBandPermille: Long = 100,
+                      k1: Double = 1.2, b: Double = 0.75)
+      : FactoredRefresh = {
+    val cur = gens.current().getOrElse(throw new IllegalStateException(
+      "refreshFactored before any factored generation — " +
+        "buildFactoredGeneration first"))
+    val (_, _, sideTx) = cur
+    val (n0, _, avgdl0, postV0, _) = readSidecar(sideTx)
+    val (nNow, sumNow, avgdlNow) = stats(statsTx)
+    val nPermille = math.round(1000.0 * nNow.toDouble / n0.toDouble)
+    val avgdlPermille = math.round(1000.0 * avgdlNow / avgdl0)
+    val nStale = math.abs(nPermille - 1000) > nThresholdPermille
+    val avgdlStale = math.abs(avgdlPermille - 1000) > avgdlBandPermille
+    if (!nStale && !avgdlStale) FactoredFresh
+    else if (avgdlStale)
+      FactoredFull(buildFactoredGeneration(gens, postTx, statsTx, satTx,
+        k1, b))
+    else {
+      val postVNow = postTx.latestVersion()
+      if (!postTx.isAppendPure(postV0, postVNow))
+        // a compaction rewrote the range: the file-level delta would
+        // double-count — take the corpus-sized path, honestly
+        FactoredFull(buildFactoredGeneration(gens, postTx, statsTx, satTx,
+          k1, b))
+      else {
+        val delta = postTx.readAppendedSince(postV0, Some(postVNow))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // content-range tag: a crashed run that already committed this
+        // exact delta range no-ops here, and the pinned version below
+        // still covers its rows exactly once
+        satTx.appendOnce(
+          Lexical.bm25SatFromPostings(delta, avgdl0, k1, b).sort("term"),
+          tag = s"flex-sat-$postV0-$postVNow")
+        val satV = satTx.latestVersion()
+        val (g, dfTx, sideTxNew) = gens.next()
+        val (_, dfTxOld, _) = cur
+        val deltaDf = Lexical.docFreq(delta)
+        val merged = dfTxOld.read().select(col("term"), col("df").as("df0"))
+          .join(deltaDf.select(col("term"), col("df").as("df1")),
+            Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df0"), lit(0L)) + coalesce(col("df1"), lit(0L)))
+              .as("df"))
+        dfTx.appendOnce(merged.sort("term"), tag = s"flex-df-$g")
+        delta.unpersist()
+        sideTxNew.appendOnce(
+          sidecarRow(statsTx.read().sparkSession, nNow, sumNow, avgdl0,
+            postVNow, satV),
+          tag = s"flex-side-$g")
+        gens.publish(g)
+        FactoredDelta(g)
+      }
+    }
+  }
+
+  /** Serve the published factored generation: sat at its pinned
+    * version × the generation's df table × the baked doc count —
+    * exact BM25 at (N, df, avgdl₀) as of the generation build.
+    */
+  def serveFactored(gens: AnnGenerations, satTx: TxTable,
+                    queries: DataFrame, qTextCol: String, qIdCol: String,
+                    k: Int): DataFrame = {
+    val (_, dfTx, sideTx) = gens.current().getOrElse(
+      throw new IllegalStateException(
+        "serveFactored before any factored generation"))
+    val (n, _, _, _, satV) = readSidecar(sideTx)
+    Lexical.bm25TopKFromFactoredStore(satTx.read(Some(satV)),
+      dfTx.read(), n, queries, qTextCol, qIdCol, k)
+  }
 }

@@ -183,11 +183,17 @@ object ScaleBench {
       .withColumn("nw",
         (pmod(xxhash64(lit("len"), col("id")), lit(30L)) + 30L).cast("int"))
     val word: Column => Column = { i =>
-      val h = xxhash64(lit("w"), col("id"), i)
-      when(pmod(h, lit(10L)) === 0L,
-        element_at(vArr, (pmod(h, lit(256L)) + 1L).cast("int")))
+      // branch and word picks from INDEPENDENTLY salted hashes: a
+      // shared h correlates them (h%10==0 forces h even, halving the
+      // reachable head indices; h%10!=0 bars the 40 topic residues
+      // divisible by 10), silently shrinking the stated vocabularies
+      val hb = xxhash64(lit("b"), col("id"), i)
+      val hh = xxhash64(lit("h"), col("id"), i)
+      val ht = xxhash64(lit("w"), col("id"), i)
+      when(pmod(hb, lit(10L)) === 0L,
+        element_at(vArr, (pmod(hh, lit(256L)) + 1L).cast("int")))
         .otherwise(concat(lit("t"), col("topic"), lit("w"),
-          pmod(h, lit(400L))))
+          pmod(ht, lit(400L))))
     }
     d.select(
       col("id").as("doc_id"),
@@ -1813,6 +1819,10 @@ object ScaleBench {
       import graft.operators.Lexical
       val fields = sN.split(",").map(_.trim)
       val parts = fields.takeWhile(f => f.forall(_.isDigit)).map(_.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_BM25='$sN' — expected " +
+          "'<docs>,<queries>[,<k>[,<maxPostings>]][,topical|skew][,massX.Y]' " +
+          "(the numeric fields come first; flags after)")
       val topical = fields.exists(_ == "topical")
       // "massX.Y" switches the store to per-term ADAPTIVE truncation
       // (truncateByMass) instead of the fixed top-maxPostings lists
@@ -1877,9 +1887,14 @@ object ScaleBench {
       val t0ns = 1_600_000_000_000_000_000L
       val sq = qs.withColumn("ts",
         lit(t0ns) + col("q_id") * lit(1_000_000L))
+      // flush row scaled FROM the max query timestamp: a fixed t0+8h
+      // sits below query timestamps once q_id*1ms crosses 8h (~2.9e7
+      // docs), so windows never close and the parity require aborts
+      val maxQTsNs = t0ns + nd * 1_000_000L
+      val flushTsNs = maxQTsNs + 7L * 3600L * 1_000_000_000L
       val flush = spark.range(1).select(lit(999999999L).as("q_id"),
         lit("zzflushzz").as("qtext"),
-        lit(t0ns + 8L * 3600L * 1_000_000_000L).as("ts"))
+        lit(flushTsNs).as("ts"))
       val r = replayBench(spark, s"$root/bm25_stream_${nd}_$nq", sq, flush,
         "ts",
         st => graft.streaming.StreamingLexical.bm25Stream(

@@ -37,6 +37,29 @@ class LexicalSpec extends SparkSpec {
     assert(p.count(_._1 == "banana") == 2)
   }
 
+  test("bm25TopK tokenizes the corpus ONCE: df/stats/candidates all " +
+       "read the cached postings (no file re-scan in the plan)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex1p").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val qs = Seq((100L, "apple cherry")).toDF("q_id", "qtext")
+    val res = Lexical.bm25TopK(corpus, "text", "doc_id",
+      qs, "qtext", "q_id", k = 5)
+    val nodes = graft.tools.PlanIntrospect.nodes(
+      res.queryExecution.executedPlan)
+    val fileScans = nodes.count(_.isInstanceOf[FileSourceScanExec])
+    val memScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+    // all three postings consumers sit behind the cache: the corpus
+    // file is not scanned at the top level at all, and at least the
+    // df + stats + candidate subtrees read the InMemoryRelation
+    assert(fileScans == 0, s"expected 0 corpus file scans, got $fileScans")
+    assert(memScans >= 3, s"expected >= 3 cached-postings scans, got $memScans")
+    // and the cached plan still computes the right answer
+    assert(res.count() > 0)
+  }
+
   test("bm25TopK matches hand-computed scores and rank order") {
     val qs = Seq((100L, "apple cherry")).toDF("q_id", "qtext")
     val got = Lexical.bm25TopK(docs, "text", "doc_id",

@@ -26,6 +26,19 @@ class StreamingLexicalIndexSpec extends SparkSpec {
       (id, text)
     }.toDF("doc_id", "text")
 
+  test("stats on an EMPTY store fails loudly with a bootstrap-first " +
+       "diagnosis, not a bare NPE") {
+    val root = tmp("graft-lexidx-empty")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    // commit a schema-only empty frame so read() resolves columns but
+    // the sum aggregates to NULL — the exact serve-before-bootstrap shape
+    statsTx.append(corpus(1).limit(0)
+      .select(lit(0L).as("n_docs"), lit(0L).as("sum_dl"),
+        lit("x").as("src_tag")))
+    val e = intercept[IllegalArgumentException](Idx.stats(statsTx))
+    assert(e.getMessage.contains("bootstrap"))
+  }
+
   test("maintained postings ≡ from-scratch; replayed batch is a no-op; " +
        "stats rollup exact") {
     val root = tmp("graft-lexidx")
