@@ -91,6 +91,26 @@ object GraftExtensions {
       new ExpressionInfo(classOf[AdcDist].getName, "adc_dist"),
       buildAdcDist)
 
+  private def buildAdcTable(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "adc_table(qr, cb)")
+    AdcTable(exprs(0), exprs(1))
+  }
+
+  val adcTableDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("adc_table"),
+      new ExpressionInfo(classOf[AdcTable].getName, "adc_table"),
+      buildAdcTable)
+
+  private def buildAdcDistTbl(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "adc_dist_tbl(tbl, codes)")
+    AdcDistTbl(exprs(0), exprs(1))
+  }
+
+  val adcDistTblDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("adc_dist_tbl"),
+      new ExpressionInfo(classOf[AdcDistTbl].getName, "adc_dist_tbl"),
+      buildAdcDistTbl)
+
   private def buildProbeBuckets(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "probe_buckets(vec, bits, nProbe)")
     ProbeBuckets(exprs(0), exprs(1), exprs(2))
@@ -309,6 +329,15 @@ object GraftExtensions {
         .functionExists(FunctionIdentifier("bounded_topk")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bounded_topk", buildBoundedTopK, "built-in")
+    // round-15 additions, same newest-builder probe
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("adc_table")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "adc_table", buildAdcTable, "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("adc_dist_tbl")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "adc_dist_tbl", buildAdcDistTbl, "built-in")
     if (spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("freq_union"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

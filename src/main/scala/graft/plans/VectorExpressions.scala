@@ -335,6 +335,154 @@ object AdcDist {
   }
 }
 
+/** Per-query ADC lookup table: `adc_table(qr, cb)` →
+  * `array<array<double>>` of shape [m][k], entry [s][j] = the subspace-s
+  * squared L2 between qr's s-th slice and codebook entry cb[s][j] —
+  * EXACTLY the `sub` values [[AdcDist]]'s fused fold computes, produced
+  * once per (query, probe) row instead of once per candidate. The batch
+  * `ivfAdcTopK` heaps amortize per-candidate work to m table lookups by
+  * collecting queries driver-side; a stream cannot collect, but it CAN
+  * build the same table scan-locally as a column and carry it through
+  * the stream-static join — the streaming half of the amortization.
+  * Paired with [[AdcDistTbl]] the scores are bit-identical to
+  * [[AdcDist]] (same subspace folds, same s-order accumulation) —
+  * differential-spec-pinned. Null on ragged/null inputs (the AdcDist
+  * contract).
+  */
+case class AdcTable(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(ArrayType(FloatType))))
+  // FLAT [m·k] layout, entry s·k+j — a nested array<array<double>> costs
+  // one UnsafeArrayData wrapper allocation per getArray(s) PER CANDIDATE
+  // in the hot lookup (measured 137 s CPU at the 64-cell geometry vs
+  // ~60 s flat); the flat buffer is one primitive region read with
+  // getDouble(s·k + code)
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(qr: Any, cb: Any): Any =
+    AdcTable.compute(qr.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qr, cb) => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r =
+        graft.plans.AdcTable.compute($qr, $cb);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
+object AdcTable {
+  /** [m][k] table of per-subspace squared L2s — each entry computed by
+    * the same inner fold as [[AdcDist.compute]]'s `sub`, so sums of
+    * entries reproduce its accumulations bit for bit. Null on any
+    * shape violation (ragged codebook, qr length != Σ subDim).
+    */
+  def compute(qr: ArrayData, cb: ArrayData): ArrayData = {
+    val m = cb.numElements()
+    if (m == 0) return null
+    val k0 = cb.getArray(0).numElements()
+    if (k0 == 0) return null
+    val flat = new Array[Double](m * k0)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cbs = cb.getArray(s)
+      if (cbs.numElements() != k0) return null // ragged codebook
+      var subDim = -1
+      var j = 0
+      while (j < k0) {
+        val cent = cbs.getArray(j)
+        if (subDim < 0) {
+          subDim = cent.numElements()
+          if (off + subDim > qr.numElements()) return null
+        } else if (cent.numElements() != subDim) return null
+        var sub = 0.0
+        var i = 0
+        while (i < subDim) {
+          if (qr.isNullAt(off + i)) return null
+          val d = qr.getFloat(off + i).toDouble - cent.getFloat(i).toDouble
+          sub += d * d
+          i += 1
+        }
+        flat(s * k0 + j) = sub
+        j += 1
+      }
+      off += subDim
+      s += 1
+    }
+    if (off != qr.numElements()) return null
+    ArrayData.toArrayData(flat)
+  }
+}
+
+/** Table-based ADC distance: `adc_dist_tbl(tbl, codes)` — tbl the
+  * [[AdcTable]] flat [m·k] column, codes the candidate's `array<int>`
+  * PQ codes (k derived as tbl.length / codes.length). Per candidate:
+  * m primitive getDouble reads accumulated in s order — bit-identical
+  * to [[AdcDist]] over the same inputs (the table entries ARE its
+  * subspace sums) at ~subDim× less arithmetic and zero per-candidate
+  * allocation. The candidate-volume hot path of the streaming IVFADC
+  * serving plan.
+  */
+case class AdcDistTbl(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(tbl: Any, codes: Any): Any =
+    AdcDistTbl.compute(tbl.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tbl, codes) => s"""
+      java.lang.Double r = graft.plans.AdcDistTbl.compute($tbl, $codes);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
+object AdcDistTbl {
+  /** Σ_s tbl[s·k + codes[s]] in s order — [[AdcDist.compute]]'s outer
+    * accumulation over precomputed subspace sums. Null on a length
+    * mismatch (tbl not a multiple of m) or an out-of-range code (the
+    * AdcDist contract for bad codes).
+    */
+  def compute(tbl: ArrayData, codes: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    if (m == 0) return null
+    val total = tbl.numElements()
+    val k = total / m
+    if (k * m != total || k == 0) return null
+    var acc = 0.0
+    var s = 0
+    var base = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val code = codes.getInt(s)
+      if (code < 0 || code >= k) return null
+      acc += tbl.getDouble(base + code)
+      s += 1
+      base += k
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
 object VecDot {
   /** Shared kernel for interpreted eval and generated code. Returns
     * null (boxed) exactly when the zip_with/aggregate composition

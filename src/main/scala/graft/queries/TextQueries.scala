@@ -1074,6 +1074,168 @@ object TextQueries {
             FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank,
              CAST(1 AS BIGINT) AS gen
-      FROM r WHERE rank <= 5"""))
+      FROM r WHERE rank <= 5""")),
+
+    // ---- factored-generation delta refresh (round 15): the contrib
+    //      store split into sat (per-doc, avgdl-baked — one long-lived
+    //      versioned table) × df (vocab-sized, per generation) so a
+    //      20% append regenerates ARRIVAL-sized: sat rows only for the
+    //      delta postings (log-level file diff, never a corpus scan),
+    //      df = old ⊕ delta counts. The body REQUIRES the delta path
+    //      fired; serving is exact BM25 at (N_live, df_live, avgdl₀) —
+    //      the oracle bakes avgdl over the 80% bootstrap subset and
+    //      computes N/df over the full corpus, contribs in the
+    //      factored idf×(num/den) association.
+    Q("q182_lex_factored_delta", (s, dir) => {
+      import graft.streaming.{AnnGenerations, StreamingLexicalIndex => Idx}
+      val docs = Tables.documents(s, dir)
+      val root = Scratch.tempDir("graft-q182").toString
+      val postTx = new graft.bank.TxTable(s, s"$root/post")
+      val statsTx = new graft.bank.TxTable(s, s"$root/stats")
+      val satTx = new graft.bank.TxTable(s, s"$root/sat")
+      val gens = new AnnGenerations(s, s"$root/fgens")
+      Idx.bootstrap(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", postTx, statsTx)
+      require(Idx.buildFactoredGeneration(gens, postTx, statsTx, satTx)
+        == 0L, "gen0 must publish")
+      require(Idx.refreshFactored(gens, postTx, statsTx, satTx)
+        == Idx.FactoredFresh, "parity must be a no-op")
+      val arrivals = s"$root/arrivals"
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .repartition(2).write.parquet(arrivals)
+      Idx.run(s, arrivals, postTx, statsTx, s"$root/cp",
+        maxFilesPerTrigger = 1).awaitTermination()
+      val satBefore = satTx.read().count()
+      val r = Idx.refreshFactored(gens, postTx, statsTx, satTx)
+      require(r == Idx.FactoredDelta(1L),
+        s"20% growth at stable avgdl must take the DELTA path: $r")
+      // arrival-sized pin: sat grew by exactly the delta postings
+      val deltaRows = operators.Lexical.postings(
+        docs.filter(col("doc_id") % 5 === 0), "text", "doc_id").count()
+      require(satTx.read().count() == satBefore + deltaRows,
+        "sat table must grow by exactly the arrival postings")
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      Idx.serveFactored(gens, satTx, qs, "qtext", "q_id", k = 5)
+        .withColumn("gen", lit(1L))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      p0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term FROM tk),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      st0 AS (SELECT CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl0
+              FROM tk WHERE doc_id % 5 <> 0),
+      stn AS (SELECT COUNT(*) AS n_docs FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      cand AS (SELECT qt.q_id, p.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(stn.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * ((CAST(p.tf AS DOUBLE)
+                     * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(p.tf AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                          - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                            / st0.avgdl0))) AS contrib
+               FROM p JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN st0 CROSS JOIN stn),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank,
+             CAST(1 AS BIGINT) AS gen
+      FROM r WHERE rank <= 5""")),
+
+    // ---- BM25F weighted-field retrieval (round 15): title = the
+    //      first three tokens (weight 2.0), body = the rest (weight
+    //      1.0), both b = 0.75 — the standard multi-field shape
+    //      (Robertson, Zaragoza & Taylor CIKM'04). Field tfs fold into
+    //      ONE pseudo-frequency per (term, doc) BEFORE saturation
+    //      (field-asc order), df counts a doc once if ANY field has
+    //      the term, per-field length norms use per-field avgdl. The
+    //      oracle replays the whole field-weighted fold.
+    Q("q183_bm25f_topk", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fd = docs.select(col("doc_id"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+          .as("title"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 4,
+          Int.MaxValue)).as("body"))
+      val fields = Seq(
+        operators.Lexical.FieldSpec("title", weight = 2.0, b = 0.75),
+        operators.Lexical.FieldSpec("body", weight = 1.0, b = 0.75))
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      operators.Lexical.bm25fTopK(fd, fields, "doc_id",
+        qs, "qtext", "q_id", k = 5)
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      fld AS (SELECT doc_id,
+                regexp_split_to_array(trim(array_to_string(toks[1:3], ' ')),
+                  '\\s+') AS ttoks,
+                regexp_split_to_array(trim(array_to_string(
+                  toks[4:len(toks)], ' ')), '\\s+') AS btoks
+              FROM tk),
+      p0 AS (SELECT doc_id, 0 AS field, CAST(len(ttoks) AS BIGINT) AS dl,
+               unnest(ttoks) AS term FROM fld
+             UNION ALL
+             SELECT doc_id, 1 AS field, CAST(len(btoks) AS BIGINT) AS dl,
+               unnest(btoks) AS term FROM fld),
+      p AS (SELECT field, term, doc_id, dl, COUNT(*) AS tf
+            FROM p0 GROUP BY 1, 2, 3, 4),
+      stf AS (SELECT field,
+                CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM (SELECT DISTINCT field, doc_id, dl FROM p)
+              GROUP BY 1),
+      stn AS (SELECT COUNT(*) AS n_docs FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM
+                (SELECT DISTINCT term, doc_id FROM p) GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      fc AS (SELECT p.term, p.doc_id, p.field,
+               (CASE WHEN p.field = 0 THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END
+                * CAST(p.tf AS DOUBLE))
+               / (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                    / stf.avgdl) AS fcv
+             FROM p JOIN stf USING (field)),
+      tfl AS (SELECT term, doc_id,
+                list_aggregate(list(fcv ORDER BY field), 'sum') AS tflv
+              FROM fc GROUP BY 1, 2),
+      cand AS (SELECT qt.q_id, tfl.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(stn.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (tfl.tflv / (CAST(1.2 AS DOUBLE) + tfl.tflv)) AS contrib
+               FROM tfl JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN stn),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5"""), headline = true)
   )
 }

@@ -266,16 +266,35 @@ object StreamingSimilarity {
       .select(col("q_id"), col("_ts"), col("p.cell").as("cell"),
         zip_with(col("q_vec"), element_at(centLit, col("p.cell") + 1),
           (x, y) => x - y).as("qr"))
-    // per-candidate ADC distance: ONE fused native pass (per-subspace
-    // inner folds added in s order — the adcScan heap accumulation,
-    // bit-identical); the composed m × vec_l2(slice, element_at²) form
-    // paid a slice alloc + two nested lookups per subspace per
-    // candidate, and candidates are the volume axis here
-    val dist = call_function("adc_dist", col("qr"), col("codes"), cbLit)
-    probes
+    // per-candidate ADC distance through the LOOKUP TABLE (round 15):
+    // the batch heaps amortize the m×subDim fold to m table lookups by
+    // precomputing per-query distance tables; the stream builds the
+    // SAME table scan-locally as a column — once per (query, probe)
+    // row, 16 KB at m=8/k=256 — and carries it through the
+    // stream-static join, so the candidate-volume hot path is m array
+    // lookups per row (`adc_dist_tbl`), bit-identical to the fused
+    // `adc_dist` fold (the table entries ARE its subspace sums;
+    // differential-spec-pinned, q163 stays hash-green). The table is
+    // FLAT [m·k] (a nested array<array> paid one UnsafeArrayData
+    // wrapper alloc per subspace PER CANDIDATE — profiled at 137 s CPU
+    // vs ~55 s flat at the 64-cell geometry), and the explicit
+    // repartition pins the table PROJECTION after the exchange the
+    // join needs anyway, so the shuffle ships the 256 B residual, not
+    // the 16 KB table. Measured (64-cell ADCSTREAM, same run): stream
+    // 36.3 → 19.5 s against batch 5.2 s — the gap fell 7.0× → 3.8×,
+    // and the AdcStreamDebug stage profile shows the remaining wall is
+    // micro-batch machinery (state-store commits and serial sub-1 s
+    // stages with CPU ≪ wall), not per-candidate compute: the
+    // join+score stage runs at CPU parity with the batch heaps.
+    val probesT = probes
+      .repartition(col("cell"))
+      .withColumn("tbl", call_function("adc_table", col("qr"), cbLit))
+      .drop("qr")
+    probesT
       .join(codeStore.select(col(idCol).as("nn_id"), col("cell"),
         col("codes")), Seq("cell"))
-      .withColumn("dist", dist)
+      .withColumn("dist", call_function("adc_dist_tbl",
+        col("tbl"), col("codes")))
       .groupBy(window(col("_ts"), windowDur).as("w"), col("q_id"))
       .agg(graft.operators.TopK.topKNative(k, col("dist"), col("nn_id"))
         .as("top"))

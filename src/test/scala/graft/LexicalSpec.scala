@@ -91,6 +91,106 @@ class LexicalSpec extends SparkSpec {
     assert(got.sortBy(_._4).map(_._2).toSeq == sorted)
   }
 
+  test("factored store (sat × idf) matches hand-computed BM25 with the " +
+       "idf×(num/den) association") {
+    val qs = Seq((100L, "apple cherry")).toDF("q_id", "qtext")
+    val post = Lexical.postings(docs, "text", "doc_id")
+    val n = 5L
+    val avgdl = (3.0 + 2.0 + 4.0 + 2.0 + 2.0) / 5.0
+    val got = Lexical.bm25TopKFromFactoredStore(
+        Lexical.bm25SatFromPostings(post, avgdl),
+        Lexical.docFreq(post), n, qs, "qtext", "q_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    def score(parts: Seq[(String, Long, Long, Long)]): Double = {
+      val s = parts.sortBy(_._1).map { case (_, df, tf, dl) =>
+        idf(n, df) * tfSat(tf, dl, avgdl) // idf × (num/den) — factored
+      }.foldLeft(0.0)(_ + _)
+      math.rint(s * 1e6) / 1e6
+    }
+    val expect = Map(
+      0L -> score(Seq(("apple", 2L, 2L, 3L))),
+      1L -> score(Seq(("cherry", 2L, 1L, 2L))),
+      2L -> score(Seq(("cherry", 2L, 3L, 4L))),
+      4L -> score(Seq(("apple", 2L, 1L, 2L))))
+    assert(got.map(_._2).toSet == expect.keySet)
+    got.foreach { case (_, d, s, _) =>
+      assert(math.abs(s - expect(d)) < 1e-9, s"doc $d: $s vs ${expect(d)}")
+    }
+  }
+
+  private val fieldDocs = Seq(
+    (0L, "apple pie", "apple banana apple banana cherry"),
+    (1L, "banana split", "cherry cherry banana"),
+    (2L, "cherry tart", "apple durian")
+  ).toDF("doc_id", "title", "body")
+  private val fields = Seq(
+    Lexical.FieldSpec("title", weight = 2.0, b = 0.75),
+    Lexical.FieldSpec("body", weight = 1.0, b = 0.75))
+
+  test("bm25fTopK matches the hand-computed weighted-field fold") {
+    val qs = Seq((7L, "apple cherry")).toDF("q_id", "qtext")
+    val got = Lexical.bm25fTopK(fieldDocs, fields, "doc_id",
+        qs, "qtext", "q_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+
+    val n = 3L
+    val avgT = (2.0 + 2.0 + 2.0) / 3.0
+    val avgB = (5.0 + 3.0 + 2.0) / 3.0
+    // fc = (w * tf) / (1 − b + b·dl/avgdl), folded field-asc; then
+    // sat = tf̃/(k1 + tf̃), contrib = idf·sat, folded term-asc, round 6
+    def fc(w: Double, tf: Long, dl: Long, avg: Double): Double =
+      w * tf.toDouble / (1.0 - 0.75 + 0.75 * dl.toDouble / avg)
+    def score(terms: Seq[(String, Long, Double)]): Double = {
+      val s = terms.sortBy(_._1).map { case (_, df, tfl) =>
+        idf(n, df) * (tfl / (1.2 + tfl))
+      }.foldLeft(0.0)(_ + _)
+      math.rint(s * 1e6) / 1e6
+    }
+    // df any-field: apple {0,2}=2, cherry {0,1,2}=3
+    val expect = Map(
+      0L -> score(Seq(
+        ("apple", 2L, 0.0 + fc(2.0, 1L, 2L, avgT) + fc(1.0, 2L, 5L, avgB)),
+        ("cherry", 3L, 0.0 + fc(1.0, 1L, 5L, avgB)))),
+      1L -> score(Seq(
+        ("cherry", 3L, 0.0 + fc(1.0, 2L, 3L, avgB)))),
+      2L -> score(Seq(
+        ("apple", 2L, 0.0 + fc(1.0, 1L, 2L, avgB)),
+        ("cherry", 3L, 0.0 + fc(2.0, 1L, 2L, avgT)))))
+    assert(got.map(_._2).toSet == expect.keySet)
+    got.foreach { case (_, d, s, _) =>
+      assert(math.abs(s - expect(d)) < 1e-9, s"doc $d: $s vs ${expect(d)}")
+    }
+  }
+
+  test("bm25f: the field weight decides — a title match outranks the " +
+       "same match in the body; store path ≡ direct path") {
+    // identical bodies except where the term sits; equal field lengths
+    val d2 = Seq(
+      (0L, "target filler", "pad pad pad"),
+      (1L, "filler filler", "target pad pad")
+    ).toDF("doc_id", "title", "body")
+    val qs = Seq((9L, "target")).toDF("q_id", "qtext")
+    val r = Lexical.bm25fTopK(d2, fields, "doc_id",
+      qs, "qtext", "q_id", k = 2).orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(r.map(_._2).toSeq == Seq(0L, 1L),
+      s"title match must rank first: ${r.toSeq}")
+    assert(r(0)._3 > r(1)._3)
+
+    val postF = Lexical.postingsFields(fieldDocs, fields, "doc_id")
+    val stored = Lexical.bm25TopKFromFactoredStore(
+        Lexical.bm25fSatStore(fieldDocs, fields, "doc_id"),
+        Lexical.docFreqAnyField(postF), 3L,
+        Seq((7L, "apple cherry")).toDF("q_id", "qtext"),
+        "qtext", "q_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    val direct = Lexical.bm25fTopK(fieldDocs, fields, "doc_id",
+        Seq((7L, "apple cherry")).toDF("q_id", "qtext"),
+        "qtext", "q_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    assert(stored == direct)
+  }
+
   test("no shared terms emits nothing; k clamps the list") {
     val qs = Seq((7L, "grape kiwi")).toDF("q_id", "qtext")
     assert(Lexical.bm25TopK(docs, "text", "doc_id",

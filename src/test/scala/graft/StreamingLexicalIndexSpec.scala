@@ -141,6 +141,124 @@ class StreamingLexicalIndexSpec extends SparkSpec {
       s"post-swap batch must serve from gen 1: $served")
   }
 
+  private def appendArrivals(postTx: TxTable, statsTx: TxTable,
+                             more: org.apache.spark.sql.DataFrame,
+                             tag: String): Unit = {
+    postTx.appendOnce(
+      Lexical.postings(more, "text", "doc_id").sort("term"),
+      tag = s"lex-batch-$tag")
+    statsTx.appendOnce(
+      more.select(size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("src_tag", lit(tag)),
+      tag = s"lex-stats-$tag")
+    ()
+  }
+
+  test("factored loop: delta refresh is arrival-sized and serves " +
+       "bit-identical to a full factored rebuild at the baked avgdl") {
+    val root = tmp("graft-flex-delta")
+    val postTx = new TxTable(spark, s"$root/post")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    val satTx = new TxTable(spark, s"$root/sat")
+    val gens = new AnnGenerations(spark, s"$root/fgens")
+    val base = corpus(40)
+    Idx.bootstrap(base, "doc_id", "text", postTx, statsTx)
+    assert(Idx.buildFactoredGeneration(gens, postTx, statsTx, satTx) == 0L)
+    assert(Idx.refreshFactored(gens, postTx, statsTx, satTx)
+      == Idx.FactoredFresh)
+
+    // +50% documents, same length distribution: N leaves the band,
+    // avgdl stays inside → the DELTA path must fire
+    val more = corpus(20, off = 40)
+    appendArrivals(postTx, statsTx, more, "flex1")
+    val satRowsBefore = satTx.read().count()
+    val r = Idx.refreshFactored(gens, postTx, statsTx, satTx)
+    assert(r == Idx.FactoredDelta(1L), s"expected delta path: $r")
+    // arrival-sized: the sat table grew by EXACTLY the delta postings
+    val deltaPost = Lexical.postings(more, "text", "doc_id").count()
+    assert(satTx.read().count() == satRowsBefore + deltaPost)
+
+    // served top-k ≡ a from-scratch factored rebuild at the SAME
+    // (N_now, avgdl0) — bit for bit, scores included
+    val union = base.unionByName(more)
+    val qs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "eps delta"))
+      .toDF("q_id", "qtext")
+    val served = Idx.serveFactored(gens, satTx, qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val avgdl0 = Lexical.corpusStats(base, "text").head().getDouble(1)
+    val unionPost = Lexical.postings(union, "text", "doc_id")
+    val full = Lexical.bm25TopKFromFactoredStore(
+        Lexical.bm25SatFromPostings(unionPost, avgdl0),
+        Lexical.docFreq(unionPost), nDocs = 60L,
+        qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == full)
+    // and the merged df table is row-set-equal to a full docFreq pass
+    val (_, dfTx, _) = gens.current().get
+    val gotDf = dfTx.read().as[(String, Long)].collect().toSet
+    val expDf = Lexical.docFreq(unionPost).as[(String, Long)].collect().toSet
+    assert(gotDf == expDf)
+    // at parity again
+    assert(Idx.refreshFactored(gens, postTx, statsTx, satTx)
+      == Idx.FactoredFresh)
+  }
+
+  test("factored loop: avgdl drift out of band re-bakes the sat epoch; " +
+       "the old generation's pinned snapshot survives the overwrite") {
+    val root = tmp("graft-flex-rebake")
+    val postTx = new TxTable(spark, s"$root/post")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    val satTx = new TxTable(spark, s"$root/sat")
+    val gens = new AnnGenerations(spark, s"$root/fgens")
+    val base = corpus(40) // avgdl 2.5
+    Idx.bootstrap(base, "doc_id", "text", postTx, statsTx)
+    Idx.buildFactoredGeneration(gens, postTx, statsTx, satTx)
+    val satV0 = satTx.latestVersion()
+    val c0 = satTx.read(Some(satV0)).count()
+
+    // 20 ten-token docs: union avgdl 2.5 → 5.0 (2000‰) — out of band
+    val long = (0 until 20).map(i =>
+      ((40 + i).toLong, Seq.fill(10)("alpha").mkString(" ")))
+      .toDF("doc_id", "text")
+    appendArrivals(postTx, statsTx, long, "flex2")
+    val r = Idx.refreshFactored(gens, postTx, statsTx, satTx)
+    assert(r == Idx.FactoredFull(1L), s"expected full re-bake: $r")
+
+    // serving reflects the NEW baked avgdl (exact vs rebuild)
+    val union = base.unionByName(long)
+    val qs = Seq((1L, "alpha")).toDF("q_id", "qtext")
+    val served = Idx.serveFactored(gens, satTx, qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val unionPost = Lexical.postings(union, "text", "doc_id")
+    val avgdlNew = Lexical.corpusStats(union, "text").head().getDouble(1)
+    val full = Lexical.bm25TopKFromFactoredStore(
+        Lexical.bm25SatFromPostings(unionPost, avgdlNew),
+        Lexical.docFreq(unionPost), nDocs = 60L,
+        qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == full)
+    // time travel across the overwrite: gen 0's pinned sat version
+    // still reads its complete pre-overwrite snapshot
+    assert(satTx.read(Some(satV0)).count() == c0)
+  }
+
+  test("factored loop: a compacted postings range refuses the file-level " +
+       "delta and takes the full path") {
+    val root = tmp("graft-flex-compact")
+    val postTx = new TxTable(spark, s"$root/post")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    val satTx = new TxTable(spark, s"$root/sat")
+    val gens = new AnnGenerations(spark, s"$root/fgens")
+    Idx.bootstrap(corpus(40), "doc_id", "text", postTx, statsTx)
+    Idx.buildFactoredGeneration(gens, postTx, statsTx, satTx)
+    appendArrivals(postTx, statsTx, corpus(20, off = 40), "flex3")
+    postTx.compact(Seq("term")) // rewrites the whole range
+    val r = Idx.refreshFactored(gens, postTx, statsTx, satTx)
+    assert(r == Idx.FactoredFull(1L), s"expected full fallback: $r")
+  }
+
   test("staleness loop: no-op at parity, fires on growth, post-regen " +
        "parity, pointer advances monotonically") {
     val root = tmp("graft-lexgen")

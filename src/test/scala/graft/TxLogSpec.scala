@@ -34,6 +34,29 @@ class TxLogSpec extends SparkSpec {
     assert(v >= 0L && t.tags().contains("marker"))
   }
 
+  test("readAppendedSince: exact row delta over an append-pure range; " +
+       "refuses a range containing a remove") {
+    val t = new TxTable(spark, tmp())
+    val v0 = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    val v2 = t.append(Seq((4L, "d")).toDF("id", "s"))
+    assert(t.isAppendPure(v0, v2))
+    val delta = t.readAppendedSince(v0)
+    assert(delta.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // delta reads ONLY the appended files, never the base snapshot
+    val basePaths = t.snapshot(Some(v0)).map(_.path).toSet
+    assert(delta.inputFiles.forall(f => !basePaths.contains(f)))
+    // empty range → empty frame with the table's schema
+    assert(t.readAppendedSince(v2).isEmpty)
+    // a compaction rewrites survivors into fresh files: a file-level
+    // delta across it would double-count — refused loudly
+    t.compact()
+    val vc = t.latestVersion()
+    assert(!t.isAppendPure(v0, vc))
+    val e = intercept[IllegalArgumentException](t.readAppendedSince(v0))
+    assert(e.getMessage.contains("remove"))
+  }
+
   test("overwrite replaces all live rows; old snapshots still readable") {
     val t = new TxTable(spark, tmp())
     t.append(Seq((1L, "a")).toDF("id", "s"))

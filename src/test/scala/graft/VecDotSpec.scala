@@ -76,6 +76,41 @@ class VecDotSpec extends SparkSpec {
     assert(badOut.forall(_.isNullAt(0)))
   }
 
+  test("adc_table + adc_dist_tbl ≡ adc_dist bit-for-bit; shape " +
+       "violations null through the table path too") {
+    graft.plans.GraftExtensions.register(spark)
+    val m = 4; val subDim = 4; val k = 3
+    val rnd = new scala.util.Random(23)
+    val cb: Seq[Seq[Seq[Float]]] = Seq.fill(m)(Seq.fill(k)(
+      Seq.fill(subDim)(rnd.nextFloat() * 2f - 1f)))
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(m * subDim)(rnd.nextFloat() * 2f - 1f).toSeq,
+        Seq.fill(m)(rnd.nextInt(k)))
+    }
+    val df = rows.toDF("id", "qr", "codes")
+    val cbLit = typedlit(cb)
+    val out = df
+      .withColumn("tbl", call_function("adc_table", col("qr"), cbLit))
+      .select(
+        call_function("adc_dist", col("qr"), col("codes"), cbLit).as("f"),
+        call_function("adc_dist_tbl", col("tbl"), col("codes")).as("t"))
+    assert(out.filter(col("f") =!= col("t")).count() == 0)
+    assert(out.filter(col("f").isNull || col("t").isNull).count() == 0)
+    // shape violations: out-of-range code nulls the lookup; a short qr
+    // nulls the table itself
+    val bad = Seq(
+      (1L, Seq.fill(m * subDim)(0.5f), Seq(0, 1, 2, 99)),
+      (2L, Seq.fill(m * subDim - 1)(0.5f), Seq.fill(m)(0))
+    ).toDF("id", "qr", "codes")
+    val badOut = bad
+      .withColumn("tbl", call_function("adc_table", col("qr"), cbLit))
+      .select(col("id"), col("tbl"),
+        call_function("adc_dist_tbl", col("tbl"), col("codes")).as("t"))
+      .orderBy("id").collect()
+    assert(badOut(0).isNullAt(2)) // code 99 >= k
+    assert(badOut(1).isNullAt(1) && badOut(1).isNullAt(2)) // short qr
+  }
+
   test("vec_dot null semantics match zip_with padding: length mismatch and null element") {
     graft.plans.GraftExtensions.register(spark)
     val df = Seq(
