@@ -294,7 +294,10 @@ object Lexical {
     */
   def bm25fSatStore(docs: DataFrame, fields: Seq[FieldSpec], idCol: String,
                     k1: Double = 1.2): DataFrame = {
+    // one tokenization: the stats subtree and the fold both read the
+    // cached postings (the bm25TopK single-pass contract)
     val post = postingsFields(docs, fields, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     satFromPostF(post, fieldStatsFromPostings(post), fields, k1)
   }
 
@@ -304,6 +307,27 @@ object Lexical {
   def docFreqAnyField(postF: DataFrame): DataFrame =
     postF.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Monolithic BM25F contribution store: (`term`, `doc_id`,
+    * `contrib`) with contrib = idf × sat fully baked — the [[bm25Store]]
+    * SHAPE for multi-field scoring, so every existing contrib-store
+    * consumer serves BM25F unchanged: [[bm25TopKFromContribStore]] for
+    * batch, [[graft.streaming.StreamingLexical.bm25Stream]] for
+    * streaming, [[truncateByImpact]]/[[truncateByMass]] for the
+    * serving-store truncations. Same staleness story as the
+    * single-field store (bakes N/df/avgdl_f).
+    */
+  def bm25fStore(docs: DataFrame, fields: Seq[FieldSpec], idCol: String,
+                 k1: Double = 1.2): DataFrame = {
+    val post = postingsFields(docs, fields, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statsF = fieldStatsFromPostings(post)
+    val sat = satFromPostF(post, statsF, fields, k1)
+    val n = statsF.filter(col("field") === 0).head().getLong(1)
+    sat.join(docFreqAnyField(post), Seq("term"))
+      .select(col("term"), col("doc_id"),
+        (bm25Idf(lit(n), col("df")) * col("sat")).as("contrib"))
+  }
 
   /** BM25F top-k: build the factored store + any-field df + the doc
     * count, then serve through the shared factored path. Output

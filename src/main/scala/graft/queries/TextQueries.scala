@@ -1236,6 +1236,108 @@ object TextQueries {
                 ORDER BY score DESC, doc_id ASC) AS rank
             FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
-      FROM r WHERE rank <= 5"""), headline = true)
+      FROM r WHERE rank <= 5"""), headline = true),
+
+    // ---- streaming BM25F serving (round 15): the MONOLITHIC bm25f
+    //      store (idf × sat fully baked) is the bm25Store SHAPE, so
+    //      the existing chained-stateful streaming serving plan
+    //      (StreamingLexical.bm25Stream) serves weighted multi-field
+    //      scoring UNCHANGED — composition, not new machinery. Oracle:
+    //      the q183 batch derivation, window-stamped (stream ≡ batch).
+    Q("q184_stream_bm25f", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val docs = Tables.documents(s, dir)
+      val fd = docs.select(col("doc_id"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+          .as("title"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 4,
+          Int.MaxValue)).as("body"))
+      val fields = Seq(
+        operators.Lexical.FieldSpec("title", weight = 2.0, b = 0.75),
+        operators.Lexical.FieldSpec("body", weight = 1.0, b = 0.75))
+      val store = operators.Lexical.bm25fStore(fd, fields, "doc_id")
+        .persist()
+      store.count()
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"),
+          (lit(t0) + col("doc_id") * lit(1_000_000L)).as("ts"))
+      val flush = s.range(1).select(lit(999999999L).as("q_id"),
+        lit("zzflushzz").as("qtext"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = Scratch.tempDir("graft-q184").toString
+      qs.unionByName(flush).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .parquet(tmp)
+      val out = graft.streaming.StreamingLexical.bm25Stream(
+        stream, store, "q_id", "qtext", "ts", k = 5)
+      val sink = "q184_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(sink).localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      store.unpersist()
+      res
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      fld AS (SELECT doc_id,
+                regexp_split_to_array(trim(array_to_string(toks[1:3], ' ')),
+                  '\\s+') AS ttoks,
+                regexp_split_to_array(trim(array_to_string(
+                  toks[4:len(toks)], ' ')), '\\s+') AS btoks
+              FROM tk),
+      p0 AS (SELECT doc_id, 0 AS field, CAST(len(ttoks) AS BIGINT) AS dl,
+               unnest(ttoks) AS term FROM fld
+             UNION ALL
+             SELECT doc_id, 1 AS field, CAST(len(btoks) AS BIGINT) AS dl,
+               unnest(btoks) AS term FROM fld),
+      p AS (SELECT field, term, doc_id, dl, COUNT(*) AS tf
+            FROM p0 GROUP BY 1, 2, 3, 4),
+      stf AS (SELECT field,
+                CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM (SELECT DISTINCT field, doc_id, dl FROM p)
+              GROUP BY 1),
+      stn AS (SELECT COUNT(*) AS n_docs FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM
+                (SELECT DISTINCT term, doc_id FROM p) GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      fc AS (SELECT p.term, p.doc_id, p.field,
+               (CASE WHEN p.field = 0 THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END
+                * CAST(p.tf AS DOUBLE))
+               / (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                    / stf.avgdl) AS fcv
+             FROM p JOIN stf USING (field)),
+      tfl AS (SELECT term, doc_id,
+                list_aggregate(list(fcv ORDER BY field), 'sum') AS tflv
+              FROM fc GROUP BY 1, 2),
+      cand AS (SELECT qt.q_id, tfl.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(stn.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (tfl.tflv / (CAST(1.2 AS DOUBLE) + tfl.tflv)) AS contrib
+               FROM tfl JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN stn),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5"""))
   )
 }

@@ -201,6 +201,40 @@ object ScaleBench {
         transform(sequence(lit(0), col("nw") - 1), word)).as("text"))
   }
 
+  /** Skewed-score corpus for the truncation family (round 15 — the
+    * regime the flat-tie and topical synthetics both miss): per-term
+    * SCORE distributions are genuinely skewed because tf varies with a
+    * heavy tail. Each doc draws 10 word slots from a 2000-word
+    * vocabulary with a pow-1.5-uniform (Zipf-ish head) pick, and each
+    * slot repeats its word 1–3× normally but 2–13× for a hash-chosen
+    * 10% burst (tf-varying real text's shape: a term is usually
+    * mentioned once, occasionally central to the document). Combined
+    * with the doc-length spread, a term's per-doc BM25 contributions
+    * spread ~6× between a drive-by mention and a burst in a short doc
+    * — the distribution [[graft.operators.Lexical.truncateByMass]]'s
+    * adaptive rule is supposed to exploit (keep the deciding head,
+    * drop the long flat tail) and a fixed per-term m cannot see.
+    */
+  def synthSkewDocs(spark: SparkSession, n: Long): DataFrame = {
+    val slots = 10
+    val d = spark.range(n)
+    val word: Column => Column = { j =>
+      val u = pmod(xxhash64(lit("sw"), col("id"), j), lit(1000000L))
+        .cast("double") / lit(1000000.0)
+      concat(lit("s"),
+        floor(pow(u, lit(1.5)) * lit(2000.0)).cast("long"))
+    }
+    val rep: Column => Column = { j =>
+      val h = pmod(xxhash64(lit("sr"), col("id"), j), lit(100L))
+      when(h < 10,
+        pmod(xxhash64(lit("sb"), col("id"), j), lit(12L)) + 2L)
+        .otherwise(pmod(h, lit(3L)) + 1L)
+    }
+    d.select(col("id").as("doc_id"),
+      concat_ws(" ", flatten(transform(sequence(lit(0), lit(slots - 1)),
+        j => array_repeat(word(j), rep(j).cast("int"))))).as("text"))
+  }
+
   /** Adversarial substring-dedup corpus: every doc carries the SAME
     * 8-token run between a few unique filler tokens, so ONE span hash
     * occurs once per document — the whole corpus funnels through a
@@ -1824,6 +1858,7 @@ object ScaleBench {
           "'<docs>,<queries>[,<k>[,<maxPostings>]][,topical|skew][,massX.Y]' " +
           "(the numeric fields come first; flags after)")
       val topical = fields.exists(_ == "topical")
+      val skew = fields.exists(_ == "skew")
       // "massX.Y" switches the store to per-term ADAPTIVE truncation
       // (truncateByMass) instead of the fixed top-maxPostings lists
       val massOpt = fields.find(_.startsWith("mass"))
@@ -1832,8 +1867,12 @@ object ScaleBench {
       val k = if (parts.length > 2) parts(2).toInt else 10
       val maxPost = if (parts.length > 3) parts(3).toInt else 2048
       val docs =
-        if (topical) synthTopicalDocs(spark, nd) else synthDocs(spark, nd)
-      val rawDir = s"$root/bm25_docs_${nd}_$topical"
+        if (skew) synthSkewDocs(spark, nd)
+        else if (topical) synthTopicalDocs(spark, nd)
+        else synthDocs(spark, nd)
+      val corpusTag =
+        if (skew) "skew" else if (topical) "topical" else "flat"
+      val rawDir = s"$root/bm25_docs_${nd}_$corpusTag"
       docs.write.mode("overwrite").parquet(rawDir)
       val d = spark.read.parquet(rawDir)
       val b0 = System.nanoTime()
@@ -1904,7 +1943,7 @@ object ScaleBench {
       store.unpersist(); post.unpersist(); dfreq.unpersist()
       exact.unpersist(); trunc.unpersist(); qs.unpersist()
       s""","bm25":{"docs":$nd,"queries":$nQs,"k":$k,""" +
-        s""""corpus":"${if (topical) "topical" else "flat"}",""" +
+        s""""corpus":"$corpusTag",""" +
         massOpt.map(x => s""""mass":$x,""").getOrElse(
           s""""max_postings":$maxPost,""") +
         s""""store_rows":$storeRows,"build_s":${fmt(buildS)},""" +
@@ -1914,6 +1953,188 @@ object ScaleBench {
         s""""overlap":$overlap,""" +
         s""""stream_s":${fmt(r.secs)},""" +
         s""""batches":${r.batches},"peak_state_rows":${r.peakStateRows}}"""
+    }.getOrElse("")
+
+    // BM25F weighted-field retrieval (env GRAFT_SCALE_BM25F=
+    // <docs>,<queries>[,<k>]): the q183 surface at scale — title =
+    // first 3 tokens (w 2.0), body = the rest (w 1.0). One corpus
+    // tokenization feeds multi-field postings, per-field stats,
+    // any-field df, and the factored serving join.
+    val bm25fJson = sys.env.get("GRAFT_SCALE_BM25F").map { sN =>
+      import graft.functions.TextFunctions
+      import graft.operators.Lexical
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_BM25F='$sN' — expected '<docs>,<queries>[,<k>]'")
+      val (nd, nq) = (parts(0), parts(1))
+      val k = if (parts.length > 2) parts(2).toInt else 10
+      val rawDir = s"$root/bm25f_docs_$nd"
+      synthDocs(spark, nd).write.mode("overwrite").parquet(rawDir)
+      val d = spark.read.parquet(rawDir)
+      val fd = d.select(col("doc_id"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+          .as("title"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 4,
+          Int.MaxValue)).as("body"))
+      val fields = Seq(Lexical.FieldSpec("title", 2.0, 0.75),
+        Lexical.FieldSpec("body", 1.0, 0.75))
+      val every = math.max(1L, nd / nq)
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext")).persist()
+      val nQs = qs.count()
+      val t0 = System.nanoTime()
+      val rows = Lexical.bm25fTopK(fd, fields, "doc_id",
+        qs, "qtext", "q_id", k = k).count()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      // single-field BM25 on the same corpus/queries — the field
+      // machinery's overhead vs the flat fold. Drop the bm25f run's
+      // cached postings first: leaving an ~80M-row cache resident
+      // starves the control's sort buffers and read 350 s where a
+      // clean run reads ~80 s (measured, Bm25Debug — the caches
+      // themselves are at parity with the uncached form)
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      val rows1 = Lexical.bm25TopK(d, "text", "doc_id",
+        qs, "qtext", "q_id", k = k).count()
+      val flatS = (System.nanoTime() - t1) / 1e9
+      qs.unpersist()
+      s""","bm25f":{"docs":$nd,"queries":$nQs,"k":$k,""" +
+        s""""s":${fmt(wallS)},"rows":$rows,""" +
+        s""""flat_s":${fmt(flatS)},"flat_rows":$rows1}"""
+    }.getOrElse("")
+
+    // Factored lexical generation refresh (env GRAFT_SCALE_LEXGEN=
+    // <docs>,<arrivalPermille>): the q182 loop at scale — the claim
+    // under test is that the DELTA path's wall is ARRIVAL-sized where
+    // the monolithic rebuild is corpus-sized. Bootstrap, full factored
+    // build (timed), append arrivals, delta refresh (timed), plus the
+    // monolithic buildGeneration wall on the same store for reference.
+    val lexGenJson = sys.env.get("GRAFT_SCALE_LEXGEN").map { sN =>
+      import graft.bank.TxTable
+      import graft.streaming.{AnnGenerations, StreamingLexicalIndex => Idx}
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_LEXGEN='$sN' — expected '<docs>,<arrivalPermille>'")
+      val (nd, permille) = (parts(0), parts(1))
+      val rawDir = s"$root/lexgen_docs_$nd"
+      synthDocs(spark, nd).write.mode("overwrite").parquet(rawDir)
+      val d = spark.read.parquet(rawDir)
+      val base = d.filter(pmod(col("doc_id"), lit(1000L)) >= permille)
+      val arrivals = d.filter(pmod(col("doc_id"), lit(1000L)) < permille)
+      val root2 = s"$root/lexgen_store_$nd"
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration).delete(
+        new org.apache.hadoop.fs.Path(root2), true)
+      val postTx = new TxTable(spark, s"$root2/post")
+      val statsTx = new TxTable(spark, s"$root2/stats")
+      val satTx = new TxTable(spark, s"$root2/sat")
+      val gens = new AnnGenerations(spark, s"$root2/fgens")
+      Idx.bootstrap(base, "doc_id", "text", postTx, statsTx)
+      val b0 = System.nanoTime()
+      Idx.buildFactoredGeneration(gens, postTx, statsTx, satTx)
+      val fullS = (System.nanoTime() - b0) / 1e9
+      // arrivals land through the maintainer contract (one commit here)
+      postTx.appendOnce(graft.operators.Lexical
+        .postings(arrivals, "text", "doc_id").sort("term"), "lexgen-arr")
+      statsTx.appendOnce(
+        arrivals.select(size(split(trim(col("text")), "\\s+"))
+            .cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .withColumn("src_tag", lit("lexgen-arr")),
+        "lexgen-arr-stats")
+      val r0 = System.nanoTime()
+      val refreshed = Idx.refreshFactored(gens, postTx, statsTx, satTx,
+        nThresholdPermille = math.max(1L, permille / 2))
+      val deltaS = (System.nanoTime() - r0) / 1e9
+      require(refreshed.isInstanceOf[Idx.FactoredDelta],
+        s"expected the delta path: $refreshed")
+      // reference: the monolithic corpus-sized rebuild on the same
+      // maintained postings
+      val mgens = new AnnGenerations(spark, s"$root2/mgens")
+      val m0 = System.nanoTime()
+      Idx.buildGeneration(mgens, postTx, statsTx)
+      val monoS = (System.nanoTime() - m0) / 1e9
+      s""","lexgen":{"docs":$nd,"arrival_permille":$permille,""" +
+        s""""full_factored_build_s":${fmt(fullS)},""" +
+        s""""delta_refresh_s":${fmt(deltaS)},""" +
+        s""""monolithic_rebuild_s":${fmt(monoS)},""" +
+        s""""speedup_vs_monolithic":${fmt(monoS / deltaS, 1)}}"""
+    }.getOrElse("")
+
+    // Lexical store compaction (env GRAFT_SCALE_LEXCOMPACT=
+    // <docs>,<batches>): the q172 ANN contract applied to the postings
+    // store — a long-lived store accumulates one term-sorted file set
+    // PER BATCH, so every batch overlaps every term range and a
+    // query's `term IN (...)` prunes nothing at the FILE level (only
+    // row groups); compact(sort by term) restores store-wide disjoint
+    // term slices. Measures serve wall + file count before/after.
+    val lexCompactJson = sys.env.get("GRAFT_SCALE_LEXCOMPACT").map { sN =>
+      import graft.bank.TxTable
+      import graft.functions.TextFunctions
+      import graft.streaming.{StreamingLexicalIndex => Idx}
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_LEXCOMPACT='$sN' — expected '<docs>,<batches>'")
+      val (nd, nb) = (parts(0), parts(1).toInt)
+      val rawDir = s"$root/lexcompact_docs_$nd"
+      synthDocs(spark, nd).select("doc_id", "text")
+        .repartition(nb).write.mode("overwrite").parquet(rawDir)
+      val root2 = s"$root/lexcompact_store_$nd"
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration).delete(
+        new org.apache.hadoop.fs.Path(root2), true)
+      val postTx = new TxTable(spark, s"$root2/post")
+      val statsTx = new TxTable(spark, s"$root2/stats")
+      Idx.run(spark, rawDir, postTx, statsTx, s"$root2/cp",
+        maxFilesPerTrigger = 1).awaitTermination()
+      val d = spark.read.parquet(rawDir)
+      val every = math.max(1L, nd / 200)
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext")).persist()
+      qs.count()
+      val filesPre = postTx.snapshot().size
+      val rowsPre = postTx.read().count()
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        Idx.serve(postTx, statsTx, qs, "qtext", "q_id", k = 10).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // the FILE-prune contract needs a NARROW term set (a broad
+      // multi-term query batch spans the vocabulary and defeats
+      // min/max pruning at any layout): one term's postings scan is
+      // the q172-style probe — pre-compact every batch file overlaps
+      // every term range, post-compact the term lives in one slice
+      def scanProbe(): Double = {
+        val t0 = System.nanoTime()
+        postTx.read().filter(col("term") === "scan0").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      probe() // warm
+      val probePre = probe()
+      scanProbe()
+      val scanPre = scanProbe()
+      val c0 = System.nanoTime()
+      postTx.compact(Seq("term"))
+      val compactS = (System.nanoTime() - c0) / 1e9
+      val filesPost = postTx.snapshot().size
+      require(postTx.read().count() == rowsPre,
+        "compact must be content-neutral")
+      probe() // warm
+      val probePost = probe()
+      scanProbe()
+      val scanPost = scanProbe()
+      qs.unpersist()
+      s""","lexcompact":{"docs":$nd,"batches":$nb,""" +
+        s""""files_pre":$filesPre,"files_post":$filesPost,""" +
+        s""""compact_s":${fmt(compactS)},""" +
+        s""""probe_pre_s":${fmt(probePre)},""" +
+        s""""probe_post_s":${fmt(probePost)},""" +
+        s""""scan_pre_s":${fmt(scanPre)},""" +
+        s""""scan_post_s":${fmt(scanPost)}}"""
     }.getOrElse("")
 
     // k-center coreset (env GRAFT_SCALE_KCENTER=<vecs>,<k>): greedy
@@ -2050,6 +2271,24 @@ object ScaleBench {
       val (trained, trainS) = timed(
         KMeans.fit(corpus, "doc_id", "embedding", nCells, iters = 3)._1)
       val (rTrained, wTrained) = recall(trained)
+      // k-center-seeded coarse quantizer (round 15 — the q181 WCSS win
+      // wired into IVF): greedy farthest-point picks as Lloyd's init,
+      // same iteration budget, recall on the same ground truth
+      val (kcTrained, kcTrainS) = timed {
+        val seeds = graft.operators.Coreset
+          .kCenter(corpus, "doc_id", "embedding", nCells).map(_.vec)
+        KMeans.fit(corpus, "doc_id", "embedding", nCells, iters = 3,
+          init = seeds)._1
+      }
+      val (rKc, wKc) = recall(kcTrained)
+      // k-means|| seeding at the same budget, the third seeding arm
+      val (parTrained, parTrainS) = timed {
+        val seeds = KMeans.seedParallel(corpus, "doc_id", "embedding",
+          nCells)
+        KMeans.fit(corpus, "doc_id", "embedding", nCells, iters = 3,
+          init = seeds)._1
+      }
+      val (rPar, wPar) = recall(parTrained)
       // sign-LSH recall on the same ground truth: bits=16 single
       // bucket vs Lv-style multi-probe at nProbe=4 — the classic
       // small-probe regime (the union-leg expansion's plan size grows
@@ -2079,6 +2318,10 @@ object ScaleBench {
         s""""recall_firstk":${fmt(rFirst, 4)},"s_firstk":${fmt(wFirst)},""" +
         s""""recall_trained":${fmt(rTrained, 4)},"s_trained":${fmt(wTrained)},""" +
         s""""train_s":${fmt(trainS)},""" +
+        s""""recall_kcseed":${fmt(rKc, 4)},"s_kcseed":${fmt(wKc)},""" +
+        s""""kcseed_train_s":${fmt(kcTrainS)},""" +
+        s""""recall_parseed":${fmt(rPar, 4)},"s_parseed":${fmt(wPar)},""" +
+        s""""parseed_train_s":${fmt(parTrainS)},""" +
         s""""recall_lsh1":${fmt(rLsh1, 4)},"s_lsh1":${fmt(wLsh1)},""" +
         s""""recall_lsh_mp$lshProbe":${fmt(rLshP, 4)},"s_lsh_mp":${fmt(wLshP)}}"""
     }.getOrElse("")
@@ -2914,7 +3157,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:

@@ -189,6 +189,14 @@ class LexicalSpec extends SparkSpec {
         "qtext", "q_id", k = 5)
       .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
     assert(stored == direct)
+    // the MONOLITHIC bm25f store (idf baked in) through the shared
+    // contrib-store serving path — same rows bit for bit again
+    val mono = Lexical.bm25TopKFromContribStore(
+        Lexical.bm25fStore(fieldDocs, fields, "doc_id"),
+        Seq((7L, "apple cherry")).toDF("q_id", "qtext"),
+        "qtext", "q_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    assert(mono == direct)
   }
 
   test("no shared terms emits nothing; k clamps the list") {

@@ -156,6 +156,37 @@ class StreamingLexicalIndexSpec extends SparkSpec {
     ()
   }
 
+  test("compactEvery: the maintained store re-sorts globally on " +
+       "schedule — content-neutral, fewer files, serving unchanged") {
+    val root = tmp("graft-lexcompact")
+    val postTx = new TxTable(spark, s"$root/post")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    val all = corpus(40)
+    val docsDir = s"$root/docs"
+    all.repartition(4).write.mode("overwrite").parquet(docsDir)
+    Idx.run(spark, docsDir, postTx, statsTx, s"$root/cp",
+      maxFilesPerTrigger = 1, compactEvery = 2).awaitTermination()
+    // 4 batches with compactEvery=2 → at least two global re-sorts;
+    // the live file set is the last compaction's output (+ ≤1 batch)
+    val files = postTx.snapshot().size
+    assert(files <= spark.sparkContext.defaultParallelism + 4,
+      s"store must be compacted, got $files files")
+    // content-neutral: row-set equal to a from-scratch build
+    val got = postTx.read().select("term", "doc_id", "dl", "tf")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val expect = Lexical.postings(all, "text", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // and serving off the compacted store ≡ direct batch
+    val qs = Seq((1L, "alpha beta")).toDF("q_id", "qtext")
+    val served = Idx.serve(postTx, statsTx, qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Lexical.bm25TopK(all, "text", "doc_id",
+        qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == direct)
+  }
+
   test("factored loop: delta refresh is arrival-sized and serves " +
        "bit-identical to a full factored rebuild at the baked avgdl") {
     val root = tmp("graft-flex-delta")
