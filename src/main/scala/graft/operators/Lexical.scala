@@ -308,6 +308,26 @@ object Lexical {
     postF.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** BM25F sat store from a maintained multi-field postings frame with
+    * the per-field avgdl vector BAKED — the field-aware twin of
+    * [[bm25SatFromPostings]], and the delta-build primitive of the
+    * BM25F factored generation loop: a document's postings arrive
+    * together (per-doc facts across all fields), so the (term, doc)
+    * field fold never spans batches and an appended postings delta
+    * produces exactly its own sat delta.
+    */
+  def bm25fSatFromPostings(postF: DataFrame, avgdls: Seq[Double],
+                           fields: Seq[FieldSpec],
+                           k1: Double = 1.2): DataFrame = {
+    require(avgdls.length == fields.length,
+      s"avgdls (${avgdls.length}) must match fields (${fields.length})")
+    val spark = postF.sparkSession
+    val statsF = avgdls.zipWithIndex.map { case (a, i) =>
+      spark.range(1).select(lit(i).as("field"), lit(a).as("avgdl"))
+    }.reduce(_ unionByName _)
+    satFromPostF(postF, statsF, fields, k1)
+  }
+
   /** Monolithic BM25F contribution store: (`term`, `doc_id`,
     * `contrib`) with contrib = idf × sat fully baked — the [[bm25Store]]
     * SHAPE for multi-field scoring, so every existing contrib-store

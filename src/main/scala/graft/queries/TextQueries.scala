@@ -1338,6 +1338,115 @@ object TextQueries {
       SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
                AS window_ns,
              q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // ---- BM25F factored maintenance (round 15): the q182 loop,
+    //      field-aware — multi-field postings are still per-document
+    //      facts, the baked scalar becomes the per-FIELD avgdl vector,
+    //      any-field df merges as old ⊕ delta-distinct. 20% arrivals
+    //      at stable per-field avgdl must take the DELTA path; serving
+    //      is exact BM25F at (N_live, df_live, avgdl₀ vector) through
+    //      the shared factored path. The oracle bakes each field's
+    //      avgdl over the 80% bootstrap subset, N/df over the full
+    //      corpus.
+    Q("q185_bm25f_factored_delta", (s, dir) => {
+      import graft.streaming.{AnnGenerations, StreamingLexicalIndex => Idx}
+      val docs = Tables.documents(s, dir)
+      def fieldify(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("doc_id"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+          .as("title"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 4,
+          Int.MaxValue)).as("body"))
+      val fields = Seq(
+        operators.Lexical.FieldSpec("title", weight = 2.0, b = 0.75),
+        operators.Lexical.FieldSpec("body", weight = 1.0, b = 0.75))
+      val root = Scratch.tempDir("graft-q185").toString
+      val postTx = new graft.bank.TxTable(s, s"$root/post")
+      val statsTx = new graft.bank.TxTable(s, s"$root/stats")
+      val satTx = new graft.bank.TxTable(s, s"$root/sat")
+      val gens = new AnnGenerations(s, s"$root/fgens")
+      Idx.bootstrapF(fieldify(docs.filter(col("doc_id") % 5 =!= 0)),
+        fields, "doc_id", postTx, statsTx)
+      require(Idx.buildFactoredGenerationF(gens, postTx, statsTx, satTx,
+        fields) == 0L, "gen0 must publish")
+      require(Idx.refreshFactoredF(gens, postTx, statsTx, satTx, fields)
+        == Idx.FactoredFresh, "parity must be a no-op")
+      val arrivals = s"$root/arrivals"
+      val arrivalDocs = fieldify(docs.filter(col("doc_id") % 5 === 0))
+      arrivalDocs.repartition(2).write.parquet(arrivals)
+      Idx.runF(s, arrivals, fields, postTx, statsTx, s"$root/cp",
+        s.read.parquet(arrivals).schema, maxFilesPerTrigger = 1)
+        .awaitTermination()
+      val satBefore = satTx.read().count()
+      val r = Idx.refreshFactoredF(gens, postTx, statsTx, satTx, fields)
+      require(r == Idx.FactoredDelta(1L),
+        s"20% growth at stable avgdl must take the DELTA path: $r")
+      val deltaRows = operators.Lexical.bm25fSatStore(
+        arrivalDocs, fields, "doc_id").count()
+      require(satTx.read().count() == satBefore + deltaRows,
+        "sat table must grow by exactly the arrival (term, doc) folds")
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      Idx.serveFactoredF(gens, satTx, qs, "qtext", "q_id", k = 5)
+        .withColumn("gen", lit(1L))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      fld AS (SELECT doc_id,
+                regexp_split_to_array(trim(array_to_string(toks[1:3], ' ')),
+                  '\\s+') AS ttoks,
+                regexp_split_to_array(trim(array_to_string(
+                  toks[4:len(toks)], ' ')), '\\s+') AS btoks
+              FROM tk),
+      p0 AS (SELECT doc_id, 0 AS field, CAST(len(ttoks) AS BIGINT) AS dl,
+               unnest(ttoks) AS term FROM fld
+             UNION ALL
+             SELECT doc_id, 1 AS field, CAST(len(btoks) AS BIGINT) AS dl,
+               unnest(btoks) AS term FROM fld),
+      p AS (SELECT field, term, doc_id, dl, COUNT(*) AS tf
+            FROM p0 GROUP BY 1, 2, 3, 4),
+      stf0 AS (SELECT field,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl0
+               FROM (SELECT DISTINCT field, doc_id, dl FROM p
+                     WHERE doc_id % 5 <> 0)
+               GROUP BY 1),
+      stn AS (SELECT COUNT(*) AS n_docs FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM
+                (SELECT DISTINCT term, doc_id FROM p) GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      fc AS (SELECT p.term, p.doc_id, p.field,
+               (CASE WHEN p.field = 0 THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END
+                * CAST(p.tf AS DOUBLE))
+               / (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                    / stf0.avgdl0) AS fcv
+             FROM p JOIN stf0 USING (field)),
+      tfl AS (SELECT term, doc_id,
+                list_aggregate(list(fcv ORDER BY field), 'sum') AS tflv
+              FROM fc GROUP BY 1, 2),
+      cand AS (SELECT qt.q_id, tfl.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(stn.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (tfl.tflv / (CAST(1.2 AS DOUBLE) + tfl.tflv)) AS contrib
+               FROM tfl JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN stn),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank,
+             CAST(1 AS BIGINT) AS gen
       FROM r WHERE rank <= 5"""))
   )
 }

@@ -398,4 +398,194 @@ object StreamingLexicalIndex {
     Lexical.bm25TopKFromFactoredStore(satTx.read(Some(satV)),
       dfTx.read(), n, queries, qTextCol, qIdCol, k)
   }
+
+  // ---- BM25F factored generations (round 15): the same loop,
+  // field-aware. Multi-field postings are STILL per-document facts
+  // (a doc's rows across all fields arrive in its batch, so the
+  // (term, doc) field fold never spans batches), the baked scalar is
+  // now the per-FIELD avgdl vector, and df is any-field (distinct
+  // (term, doc) — a delta doc is NEW, so old-df ⊕ delta-distinct
+  // counts stays integer-exact). Serving reuses the shared factored
+  // path unchanged.
+
+  private def statsPartialF(batch: DataFrame, fields: Seq[Lexical.FieldSpec],
+                            tag: String): DataFrame =
+    fields.zipWithIndex.map { case (f, i) =>
+      batch.select(lit(i).as("field"),
+        size(TextFunctions.tokens(col(f.textCol))).cast("long").as("dl"))
+    }.reduce(_ unionByName _)
+      .groupBy("field")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("src_tag", lit(tag))
+
+  /** Bulk-load the multi-field postings store + per-field stats
+    * partials. Tagged — a re-run is a no-op.
+    */
+  def bootstrapF(corpus: DataFrame, fields: Seq[Lexical.FieldSpec],
+                 idCol: String, postTx: TxTable, statsTx: TxTable): Unit = {
+    postTx.appendOnce(
+      Lexical.postingsFields(corpus, fields, idCol).sort("term"),
+      tag = "flexf-baseline")
+    statsTx.appendOnce(statsPartialF(corpus, fields, "flexf-baseline"),
+      tag = "flexf-stats-baseline")
+    ()
+  }
+
+  /** Incremental multi-field maintainer: doc files → field postings
+    * (exactly-once) + one per-field stats partial per batch.
+    */
+  def runF(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+           fields: Seq[Lexical.FieldSpec], postTx: TxTable,
+           statsTx: TxTable, checkpointDir: String,
+           schema: StructType, idCol: String = "doc_id",
+           maxFilesPerTrigger: Int = 1000): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(docsDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        postTx.appendOnce(
+          Lexical.postingsFields(b, fields, idCol).sort("term"),
+          tag = s"flexf-batch-$batchId")
+        statsTx.appendOnce(statsPartialF(b, fields, s"flexf-batch-$batchId"),
+          tag = s"flexf-stats-$batchId")
+        b.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Exact per-field rollup: Seq over field index of (n_docs, sum_dl,
+    * avgdl).
+    */
+  def statsF(statsTx: TxTable, nFields: Int): Seq[(Long, Long, Double)] = {
+    val rows = statsTx.read()
+      .groupBy("field")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(rows.size == nFields,
+      s"stats store has ${rows.size} fields, expected $nFields — " +
+        "bootstrapF first")
+    (0 until nFields).map { i =>
+      val (n, s) = rows(i)
+      (n, s, s.toDouble / n.toDouble)
+    }
+  }
+
+  private def sidecarRowsF(spark: org.apache.spark.sql.SparkSession,
+                           st: Seq[(Long, Long, Double)],
+                           postV: Long, satV: Long): DataFrame =
+    st.zipWithIndex.map { case ((n, s, a), i) =>
+      spark.range(1).select(lit(i).as("field"), lit(n).as("n_docs"),
+        lit(s).as("sum_dl"), lit(a).as("avgdl0"),
+        lit(postV).as("post_version"), lit(satV).as("sat_version"))
+    }.reduce(_ unionByName _)
+
+  private def readSidecarF(sideTx: TxTable)
+      : (Seq[(Long, Long, Double)], Long, Long) = {
+    val rows = sideTx.read()
+      .select("field", "n_docs", "sum_dl", "avgdl0", "post_version",
+        "sat_version")
+      .collect().sortBy(_.getInt(0))
+    (rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq,
+      rows.head.getLong(4), rows.head.getLong(5))
+  }
+
+  /** Full BM25F factored build + publish (the [[buildFactoredGeneration]]
+    * shape with the per-field avgdl vector baked).
+    */
+  def buildFactoredGenerationF(gens: AnnGenerations, postTx: TxTable,
+                               statsTx: TxTable, satTx: TxTable,
+                               fields: Seq[Lexical.FieldSpec],
+                               k1: Double = 1.2): Long = {
+    val st = statsF(statsTx, fields.length)
+    val postV = postTx.latestVersion()
+    val post = postTx.read(Some(postV))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val satV = satTx.overwrite(
+      Lexical.bm25fSatFromPostings(post, st.map(_._3), fields, k1)
+        .sort("term"))
+    val (g, dfTx, sideTx) = gens.next()
+    dfTx.appendOnce(Lexical.docFreqAnyField(post).sort("term"),
+      tag = s"flexf-df-$g")
+    post.unpersist()
+    sideTx.appendOnce(
+      sidecarRowsF(statsTx.read().sparkSession, st, postV, satV),
+      tag = s"flexf-side-$g")
+    gens.publish(g)
+    g
+  }
+
+  /** BM25F refresh loop: N outside its band with EVERY field's avgdl
+    * inside its band → DELTA build (sat rows for the appended postings
+    * at the baked avgdl vector; any-field df = old ⊕ delta distinct
+    * counts); any avgdl out of band, or a non-append-pure range →
+    * full re-bake.
+    */
+  def refreshFactoredF(gens: AnnGenerations, postTx: TxTable,
+                       statsTx: TxTable, satTx: TxTable,
+                       fields: Seq[Lexical.FieldSpec],
+                       nThresholdPermille: Long = 100,
+                       avgdlBandPermille: Long = 100,
+                       k1: Double = 1.2): FactoredRefresh = {
+    val cur = gens.current().getOrElse(throw new IllegalStateException(
+      "refreshFactoredF before any factored generation — " +
+        "buildFactoredGenerationF first"))
+    val (_, dfTxOld, sideTx) = cur
+    val (st0, postV0, _) = readSidecarF(sideTx)
+    val stNow = statsF(statsTx, fields.length)
+    val nPermille =
+      math.round(1000.0 * stNow.head._1.toDouble / st0.head._1.toDouble)
+    val nStale = math.abs(nPermille - 1000) > nThresholdPermille
+    val avgdlStale = st0.zip(stNow).exists { case ((_, _, a0), (_, _, a1)) =>
+      math.abs(math.round(1000.0 * a1 / a0) - 1000) > avgdlBandPermille
+    }
+    if (!nStale && !avgdlStale) FactoredFresh
+    else if (avgdlStale || !postTx.isAppendPure(postV0, postTx.latestVersion()))
+      FactoredFull(buildFactoredGenerationF(gens, postTx, statsTx, satTx,
+        fields, k1))
+    else {
+      val postVNow = postTx.latestVersion()
+      val delta = postTx.readAppendedSince(postV0, Some(postVNow))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      satTx.appendOnce(
+        Lexical.bm25fSatFromPostings(delta, st0.map(_._3), fields, k1)
+          .sort("term"),
+        tag = s"flexf-sat-$postV0-$postVNow")
+      val satV = satTx.latestVersion()
+      val (g, dfTx, sideTxNew) = gens.next()
+      val merged = dfTxOld.read().select(col("term"), col("df").as("df0"))
+        .join(Lexical.docFreqAnyField(delta)
+          .select(col("term"), col("df").as("df1")),
+          Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df0"), lit(0L)) + coalesce(col("df1"), lit(0L)))
+            .as("df"))
+      dfTx.appendOnce(merged.sort("term"), tag = s"flexf-df-$g")
+      delta.unpersist()
+      sideTxNew.appendOnce(
+        sidecarRowsF(statsTx.read().sparkSession,
+          stNow.zip(st0).map { case ((n, s, _), (_, _, a0)) => (n, s, a0) },
+          postVNow, satV),
+        tag = s"flexf-side-$g")
+      gens.publish(g)
+      FactoredDelta(g)
+    }
+  }
+
+  /** Serve the published BM25F factored generation — the SAME shared
+    * factored path as single-field serving (idf on the query side ×
+    * the pinned sat snapshot).
+    */
+  def serveFactoredF(gens: AnnGenerations, satTx: TxTable,
+                     queries: DataFrame, qTextCol: String, qIdCol: String,
+                     k: Int): DataFrame = {
+    val (_, dfTx, sideTx) = gens.current().getOrElse(
+      throw new IllegalStateException(
+        "serveFactoredF before any factored generation"))
+    val (st, _, satV) = readSidecarF(sideTx)
+    Lexical.bm25TopKFromFactoredStore(satTx.read(Some(satV)),
+      dfTx.read(), st.head._1, queries, qTextCol, qIdCol, k)
+  }
 }

@@ -20,6 +20,13 @@ object AdcStreamDebug {
     val nprobe = if (args.length > 3) args(3).toInt else 8
     val filesPerTrigger = if (args.length > 4) args(4).toInt else 8
     val spark = graft.core.GraftSession.local()
+    // arg 6 "rocksdb": swap the state store provider — the stage
+    // profile attributes the candidate-heavy residual to per-trigger
+    // HDFS-backed state commits (CPU ≪ wall), which RocksDB's
+    // changelog-free local commits should cut
+    if (args.length > 5 && args(5) == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import graft.operators.{KMeans, ProductQuantizer}
     val root = java.nio.file.Files
       .createTempDirectory("adcstream-debug").toString

@@ -275,6 +275,83 @@ class StreamingLexicalIndexSpec extends SparkSpec {
     assert(satTx.read(Some(satV0)).count() == c0)
   }
 
+  test("BM25F factored loop: delta refresh at a stable per-field avgdl, " +
+       "served bit-identical to a full field-aware rebuild; a drifted " +
+       "field re-bakes") {
+    val fields = Seq(Lexical.FieldSpec("title", 2.0, 0.75),
+      Lexical.FieldSpec("body", 1.0, 0.75))
+    def fieldify(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 2))
+        .as("title"),
+      col("text").as("body"))
+    val root = tmp("graft-flexf")
+    val postTx = new TxTable(spark, s"$root/post")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    val satTx = new TxTable(spark, s"$root/sat")
+    val gens = new AnnGenerations(spark, s"$root/fgens")
+    val base = fieldify(corpus(40))
+    Idx.bootstrapF(base, fields, "doc_id", postTx, statsTx)
+    assert(Idx.buildFactoredGenerationF(gens, postTx, statsTx, satTx,
+      fields) == 0L)
+    assert(Idx.refreshFactoredF(gens, postTx, statsTx, satTx, fields)
+      == Idx.FactoredFresh)
+
+    val more = fieldify(corpus(20, off = 40))
+    postTx.appendOnce(
+      Lexical.postingsFields(more, fields, "doc_id").sort("term"),
+      tag = "flexf-arr")
+    statsTx.appendOnce(
+      fields.zipWithIndex.map { case (f, i) =>
+        more.select(lit(i).as("field"),
+          size(split(trim(col(f.textCol)), "\\s+")).cast("long").as("dl"))
+      }.reduce(_ unionByName _)
+        .groupBy("field")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("src_tag", lit("flexf-arr")),
+      tag = "flexf-arr-stats")
+    val r = Idx.refreshFactoredF(gens, postTx, statsTx, satTx, fields)
+    assert(r == Idx.FactoredDelta(1L), s"expected delta path: $r")
+
+    // served ≡ full factored rebuild at the SAME (N, avgdl0 vector)
+    val union = base.unionByName(more)
+    val qs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("q_id", "qtext")
+    val served = Idx.serveFactoredF(gens, satTx, qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val avgdl0 = fields.zipWithIndex.map { case (f, i) =>
+      val r0 = base.select(
+        size(split(trim(col(f.textCol)), "\\s+")).cast("long").as("dl"))
+        .agg(sum(col("dl")), count(lit(1))).head()
+      r0.getLong(0).toDouble / r0.getLong(1).toDouble
+    }
+    val unionPost = Lexical.postingsFields(union, fields, "doc_id")
+    val full = Lexical.bm25TopKFromFactoredStore(
+        Lexical.bm25fSatFromPostings(unionPost, avgdl0, fields),
+        Lexical.docFreqAnyField(unionPost), nDocs = 60L,
+        qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == full)
+
+    // one field's avgdl drifting out of band re-bakes (body 10× longer)
+    val long = (0 until 30).map(i => ((60 + i).toLong,
+      "alpha beta", Seq.fill(30)("alpha").mkString(" ")))
+      .toDF("doc_id", "title", "body")
+    postTx.appendOnce(
+      Lexical.postingsFields(long, fields, "doc_id").sort("term"),
+      tag = "flexf-long")
+    statsTx.appendOnce(
+      fields.zipWithIndex.map { case (f, i) =>
+        long.select(lit(i).as("field"),
+          size(split(trim(col(f.textCol)), "\\s+")).cast("long").as("dl"))
+      }.reduce(_ unionByName _)
+        .groupBy("field")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("src_tag", lit("flexf-long")),
+      tag = "flexf-long-stats")
+    val r2 = Idx.refreshFactoredF(gens, postTx, statsTx, satTx, fields)
+    assert(r2 == Idx.FactoredFull(2L), s"expected full re-bake: $r2")
+  }
+
   test("factored loop: a compacted postings range refuses the file-level " +
        "delta and takes the full path") {
     val root = tmp("graft-flex-compact")
