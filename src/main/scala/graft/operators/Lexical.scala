@@ -107,14 +107,25 @@ object Lexical {
     log(lit(1.0) + (nDocs.cast("double") - df.cast("double") + lit(0.5)) /
       (df.cast("double") + lit(0.5)))
 
-  /** One term's BM25 contribution — idf × tf-saturation. Static per
-    * (term, doc) given the corpus stats, which is what makes the
-    * precomputed serving store ([[bm25Store]]) possible.
+  /** One term's BM25 contribution — idf × tf-saturation, associated
+    * (idf × num) / den. `idf` arrives as a COLUMN precomputed on the
+    * vocabulary- or query-sized side of the join (round 15): idf is a
+    * per-(term) constant, but evaluated inline it cost one `ln()` per
+    * CANDIDATE row — 234M libm calls at the 10⁶ flat geometry.
+    * Hoisting the ln to the small side is VALUE-identical (the same
+    * double multiplies in the same order), so every oracle hash is
+    * unchanged. Honest measurement (Bm25Debug, same day): the exact
+    * traversal's LOCAL wall does not move (77–88 s either way — the
+    * per-(query, doc) collect_list fold and its shuffle dominate);
+    * the hoist is kept for what it provably removes at scale, 10⁸+
+    * libm calls per 10⁶-doc query batch on the candidate hot path.
+    * Static per (term, doc) given the corpus stats, which is what
+    * makes the precomputed serving store ([[bm25Store]]) possible.
     */
-  private def contribCol(tf: Column, dl: Column, df: Column,
-                         nDocs: Column, avgdl: Column,
+  private def contribCol(tf: Column, dl: Column, idf: Column,
+                         avgdl: Column,
                          k1: Double, b: Double): Column =
-    bm25Idf(nDocs, df) *
+    idf *
       (tf.cast("double") * lit(k1 + 1.0)) /
       (tf.cast("double") +
         lit(k1) * (lit(1.0) - lit(b) +
@@ -381,11 +392,17 @@ object Lexical {
                 k1: Double = 1.2, b: Double = 0.75,
                 maxPostingsPerTerm: Int = Int.MaxValue): DataFrame = {
     val post = postings(corpus, textCol, idCol)
-    val full = post.join(docFreq(post), Seq("term"))
+    // idf evaluated on the VOCAB-sized frame (one ln per term), the
+    // corpus-sized join then multiplies the hoisted column — same
+    // (idf × num)/den association, identical doubles
+    val dfq = docFreq(post)
       .crossJoin(broadcast(corpusStatsFromPostings(post)))
+      .select(col("term"), bm25Idf(col("n_docs"), col("df")).as("idf"),
+        col("avgdl"))
+    val full = post.join(dfq, Seq("term"))
       .select(col("term"), col("doc_id"),
-        contribCol(col("tf"), col("dl"), col("df"),
-          col("n_docs"), col("avgdl"), k1, b).as("contrib"))
+        contribCol(col("tf"), col("dl"), col("idf"),
+          col("avgdl"), k1, b).as("contrib"))
     if (maxPostingsPerTerm == Int.MaxValue) full
     else truncateByImpact(full, maxPostingsPerTerm)
   }
@@ -402,10 +419,12 @@ object Lexical {
                             k1: Double = 1.2, b: Double = 0.75,
                             maxPostingsPerTerm: Int = Int.MaxValue)
       : DataFrame = {
-    val full = post.join(docFreq(post), Seq("term"))
+    val dfq = docFreq(post).select(col("term"),
+      bm25Idf(lit(nDocs), col("df")).as("idf"))
+    val full = post.join(dfq, Seq("term"))
       .select(col("term"), col("doc_id"),
-        contribCol(col("tf"), col("dl"), col("df"),
-          lit(nDocs), lit(avgdl), k1, b).as("contrib"))
+        contribCol(col("tf"), col("dl"), col("idf"),
+          lit(avgdl), k1, b).as("contrib"))
     if (maxPostingsPerTerm == Int.MaxValue) full
     else truncateByImpact(full, maxPostingsPerTerm)
   }
@@ -545,11 +564,12 @@ object Lexical {
     // broadcasts into the postings join
     val qDf = dfreq.join(broadcast(qTerms.select("term").distinct()),
       Seq("term"))
-    val qSide = broadcast(qTerms.join(qDf, Seq("term")).crossJoin(stats))
+    val qSide = broadcast(qTerms.join(qDf, Seq("term")).crossJoin(stats)
+      .withColumn("idf", bm25Idf(col("n_docs"), col("df"))))
     val cand = post.join(qSide, Seq("term"))
       .withColumn("contrib",
-        contribCol(col("tf"), col("dl"), col("df"),
-          col("n_docs"), col("avgdl"), k1, b))
+        contribCol(col("tf"), col("dl"), col("idf"),
+          col("avgdl"), k1, b))
     // per-(query, doc) fold in term-asc order — ≤ |query terms|
     // entries, float sum order pinned cross-engine
     val scored = cand
