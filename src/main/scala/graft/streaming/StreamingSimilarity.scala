@@ -247,7 +247,15 @@ object StreamingSimilarity {
     * persisted (the [[bucketCorpus]] cache-layout trick) — so every
     * micro-batch plans against the cached layout instead of
     * re-exchanging the corpus per trigger; the GRAFT_SCALE_ADCSTREAM
-    * row measures that shape at batch-wall parity.
+    * row measures that shape at batch-wall parity. AND size
+    * `spark.sql.shuffle.partitions` (which fixes the STATE partition
+    * count at checkpoint creation) to the state, not the data: state
+    * here is ≤ Q·k rows, so default-width stateful operators pay
+    * dozens of near-empty state-store commits per trigger — at 4
+    * stream partitions (store layout untouched — set the conf AFTER
+    * persisting the store) the measured wall fell 20.7 → 12.3 s
+    * candidate-heavy and 23.3 → 13.95 s at the serving geometry,
+    * putting the stream at 0.6× batch there (BASELINE, round 15).
     *
     * Output (append changelog): `window_ns, q_id, nn_id, adc_micro,
     * rank` — q154's batch columns, window-stamped.

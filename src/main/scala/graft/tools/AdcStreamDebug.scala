@@ -27,6 +27,7 @@ object AdcStreamDebug {
     if (args.length > 5 && args(5) == "rocksdb")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
     import graft.operators.{KMeans, ProductQuantizer}
     val root = java.nio.file.Files
       .createTempDirectory("adcstream-debug").toString
@@ -75,6 +76,14 @@ object AdcStreamDebug {
       }
     }
     spark.sparkContext.addSparkListener(lsnr)
+    // arg 7: shuffle partitions for the STREAM only (state partition
+    // count fixes at checkpoint creation from this) — the "fewer state
+    // commits per trigger" operational lever, quantified. Applied
+    // AFTER the store build: the cached store keeps its 32-way cell
+    // layout (the heavy broadcast-join stage parallelizes on it), only
+    // the stream's exchanges/stateful operators shrink.
+    if (args.length > 6)
+      spark.conf.set("spark.sql.shuffle.partitions", args(6))
     import org.apache.spark.sql.streaming.Trigger
     val stream = spark.readStream
       .schema(spark.read.parquet(dir).schema)

@@ -1790,6 +1790,13 @@ object ScaleBench {
       val (nc, nq) = (parts(0), parts(1))
       val cells = if (parts.length > 2) parts(2).toInt else 1024
       val nprobe = if (parts.length > 3) parts(3).toInt else 8
+      // optional 5th field: shuffle partitions for the STREAM (state
+      // partition count fixes at checkpoint creation) — state here is
+      // ≤ Q·k rows, so 32 state partitions just mean 32 near-empty
+      // store commits per trigger per stateful op; sizing them to the
+      // state (4–8) cut the candidate-heavy wall 20.1 → 10.8 s at
+      // unchanged join parallelism (the cached store keeps its layout)
+      val streamParts = if (parts.length > 4) Some(parts(4).toInt) else None
       val (corpus, corpusTag) = embCorpus(spark, nc)
       val rawDir = s"$root/adcstream_raw_$nc"
       corpus.write.mode("overwrite").parquet(rawDir)
@@ -1809,6 +1816,9 @@ object ScaleBench {
         .repartition(col("cell")).sortWithinPartitions("cell")
         .persist()
       store.count() // materialize before the clock
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      streamParts.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
       val t0 = 1_600_000_000_000_000_000L
       val qs = embQueries(spark, nq)
         .withColumn("ts", lit(t0) + (col("doc_id") - 2_000_000_000L)
@@ -1821,6 +1831,7 @@ object ScaleBench {
         st => graft.streaming.StreamingSimilarity.ivfAdcStream(
           st, store, "doc_id", "embedding", "ts", coarse, pq,
           nprobe = nprobe, k = 10))
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
       val b0 = System.nanoTime()
       val batchRows = ProductQuantizer.ivfAdcTopKBatch(store, "doc_id",
         coarse, pq, embQueries(spark, nq).select(
@@ -1832,6 +1843,7 @@ object ScaleBench {
       store.unpersist()
       s""","adc_stream":{"corpus":$nc,"queries":$nq,"cells":$cells,""" +
         s""""nprobe":$nprobe,"corpus_tag":"$corpusTag",""" +
+        streamParts.map(p => s""""stream_partitions":$p,""").getOrElse("") +
         s""""s":${fmt(r.secs)},""" +
         s""""queries_per_sec":${fmt(nq / r.secs, 0)},"rows":${r.emitted},""" +
         s""""batch_s":${fmt(batchS)},""" +
