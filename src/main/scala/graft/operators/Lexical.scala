@@ -648,6 +648,51 @@ object Lexical {
     * ≤ Q·k rows, so fusion is query-sized everywhere — union, one
     * small groupBy, one bounded top-k.
     */
+  /** Score-based fusion (Fox & Shaw SIGIR'94: CombSUM / CombMNZ, with
+    * Lee SIGIR'97 min–max normalization) — the score-space complement
+    * of rank-space [[rrfFuse]]. Each input frame carries (`q_id`,
+    * `doc_id`, `score`); scores min–max normalize PER (list, query)
+    * (a degenerate single-valued list normalizes to 1.0 — pinned),
+    * normalized contributions fold in list-index order (the rrfFuse
+    * determinism device), CombMNZ further multiplies by the number of
+    * lists containing the doc. Output: `q_id, doc_id, comb` (ROUND 6),
+    * `rank` — ties on the rounded score break doc-id ascending.
+    *
+    * Determinism: inputs are the round-6 scores our rank tails emit;
+    * min/max over exact doubles, the normalization one
+    * fixed-order rational expression, the list count an exact
+    * integer — everything before the final ROUND replays bit-for-bit
+    * cross-engine. Scale: inputs are already ≤ Q·k rows, so the
+    * per-(list, query) window and the fold are query-sized everywhere.
+    */
+  def combFuse(ranked: Seq[DataFrame], k: Int,
+               mnz: Boolean = false): DataFrame = {
+    require(ranked.nonEmpty, "combFuse needs at least one ranked frame")
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(ranked.head.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val tagged = ranked.zipWithIndex.map { case (r, i) =>
+      r.select(col("q_id"), col("doc_id"),
+        lit(i).as("src"), col("score").cast("double").as("s"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("src", "q_id")
+    val normed = tagged
+      .withColumn("mn", min(col("s")).over(w))
+      .withColumn("mx", max(col("s")).over(w))
+      .withColumn("norm", when(col("mx") === col("mn"), lit(1.0))
+        .otherwise((col("s") - col("mn")) / (col("mx") - col("mn"))))
+    val base = normed
+      .groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("src"), col("norm"))))
+        .as("cs"))
+      .withColumn("fsum", aggregate(col("cs"), lit(0.0),
+        (acc, x) => acc + x.getField("norm")))
+    val scored = base.withColumn("comb",
+      round(if (mnz) col("fsum") * size(col("cs")).cast("double")
+            else col("fsum"), 6))
+    rankTail(scored, "comb", k)
+  }
+
   def rrfFuse(ranked: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(ranked.nonEmpty, "rrfFuse needs at least one ranked frame")
     require(k >= 1, s"k must be >= 1: $k")

@@ -1447,6 +1447,101 @@ object TextQueries {
             FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank,
              CAST(1 AS BIGINT) AS gen
-      FROM r WHERE rank <= 5"""))
+      FROM r WHERE rank <= 5""")),
+
+    // ---- score-based hybrid fusion (round 15): CombMNZ (Fox & Shaw
+    //      SIGIR'94) over the q175 pair — per-(list, query) min–max
+    //      normalized scores summed in list order, times the number of
+    //      lists containing the doc; the score-space complement of
+    //      q175's rank-space RRF. Every float step before the final
+    //      ROUND is rational over the lists' already-rounded scores,
+    //      so the whole fusion replays bit-for-bit.
+    Q("q186_hybrid_combmnz", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      val lexical = operators.Lexical.bm25TopK(docs, "text", "doc_id",
+          qs, "qtext", "q_id", k = 10)
+        .select("q_id", "doc_id", "score")
+      val dense = operators.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 10)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"),
+          col("cosine").as("score"))
+      operators.Lexical.combFuse(Seq(lexical, dense), k = 10, mnz = true)
+    }, {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      val cos = s"(${dot("q_vec", "e.embedding")} / (SQRT(${dot("q_vec", "q_vec")}) * SQRT(${dot("e.embedding", "e.embedding")})))"
+      Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      p0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term FROM tk),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      cand AS (SELECT qt.q_id, p.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)) AS contrib
+               FROM p JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN st),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      lexr0 AS (SELECT q_id, doc_id, score,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, doc_id ASC) AS rank
+                FROM sc),
+      lexr AS (SELECT q_id, doc_id, score FROM lexr0 WHERE rank <= 10),
+      q2 AS (SELECT vec_id AS q_id, embedding AS q_vec
+             FROM embeddings WHERE vec_id % 100 = 0),
+      pd AS (SELECT q_id, e.vec_id AS doc_id, $cos AS cos
+             FROM q2 CROSS JOIN embeddings e WHERE e.vec_id <> q2.q_id),
+      denr0 AS (SELECT q_id, doc_id, ROUND(cos, 6) AS score,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos DESC, doc_id ASC) AS rank
+                FROM pd),
+      denr AS (SELECT q_id, doc_id, score FROM denr0 WHERE rank <= 10),
+      u AS (SELECT q_id, doc_id, 0 AS src, score AS s FROM lexr
+            UNION ALL
+            SELECT q_id, doc_id, 1 AS src, score AS s FROM denr),
+      nm AS (SELECT q_id, doc_id, src, s,
+               min(s) OVER (PARTITION BY src, q_id) AS mn,
+               max(s) OVER (PARTITION BY src, q_id) AS mx
+             FROM u),
+      nn AS (SELECT q_id, doc_id, src,
+               CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+                    ELSE (s - mn) / (mx - mn) END AS norm
+             FROM nm),
+      f AS (SELECT q_id, doc_id,
+              ROUND(list_aggregate(list(norm ORDER BY src), 'sum')
+                    * CAST(COUNT(*) AS DOUBLE), 6) AS comb
+            FROM nn GROUP BY 1, 2),
+      fr AS (SELECT q_id, doc_id, comb,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY comb DESC, doc_id ASC) AS rank
+             FROM f)
+      SELECT q_id, doc_id, comb, CAST(rank AS INT) AS rank
+      FROM fr WHERE rank <= 10""")
+    })
   )
 }

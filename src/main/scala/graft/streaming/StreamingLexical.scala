@@ -28,6 +28,14 @@ import graft.operators.TopK
   * the ROUND-6 score with a doc-id tiebreak.
   *
   * Output (append changelog): `window_ns, q_id, doc_id, score, rank`.
+  *
+  * OPERATIONAL NOTE (round 15, measured on the ADC twin): size
+  * `spark.sql.shuffle.partitions` — which fixes the state partition
+  * count at checkpoint creation — to the STATE (per-query top-k rows),
+  * not the data, and set it AFTER persisting the store so the cached
+  * term layout keeps the join's scan parallelism; default-width
+  * stateful operators otherwise pay dozens of near-empty state-store
+  * commits per trigger (BASELINE's stream-partitions table).
   */
 object StreamingLexical {
 

@@ -199,6 +199,33 @@ class LexicalSpec extends SparkSpec {
     assert(mono == direct)
   }
 
+  test("combFuse: min-max normalization per (list, query), degenerate " +
+       "list pins to 1.0, CombMNZ multiplies by the list count") {
+    val a = Seq( // list 0: scores 2.0 .. 10.0
+      (1L, 100L, 10.0), (1L, 101L, 6.0), (1L, 102L, 2.0)
+    ).toDF("q_id", "doc_id", "score")
+    val b = Seq( // list 1: single entry → degenerate norm = 1.0
+      (1L, 101L, 0.5)
+    ).toDF("q_id", "doc_id", "score")
+    val sum = Lexical.combFuse(Seq(a, b), k = 4)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._2 -> r._3).toMap
+    // norms list 0: 100 → 1.0, 101 → 0.5, 102 → 0.0; list 1: 101 → 1.0
+    assert(sum(100L) == 1.0)
+    assert(sum(101L) == 1.5)
+    assert(sum(102L) == 0.0)
+    val mnz = Lexical.combFuse(Seq(a, b), k = 4, mnz = true)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(mnz(100L) == 1.0)  // one list × 1.0
+    assert(mnz(101L) == 3.0)  // two lists × 1.5
+    assert(mnz(102L) == 0.0)
+    // rank: ties on rounded comb break doc asc
+    val ranks = Lexical.combFuse(Seq(a, b), k = 4, mnz = true)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().map(_._2)
+    assert(ranks.toSeq == Seq(101L, 100L, 102L))
+  }
+
   test("no shared terms emits nothing; k clamps the list") {
     val qs = Seq((7L, "grape kiwi")).toDF("q_id", "qtext")
     assert(Lexical.bm25TopK(docs, "text", "doc_id",
