@@ -39,6 +39,31 @@ import graft.functions.TextFunctions
   */
 object Lexical {
 
+  /** The convenience builders ([[bm25TopK]], [[bm25fTopK]],
+    * [[bm25fStore]], [[bm25fSatStore]]) persist their postings frame so
+    * the build's several consumers (stats, df, the candidate join) share
+    * ONE tokenization — but they return LAZY frames, so they cannot
+    * unpersist it themselves. To bound block-manager growth across
+    * repeated one-shot calls in a long-lived session, each builder SITE
+    * rotates: persisting this call's postings releases the frame the
+    * site's previous call persisted (per session). Unpersisting a frame
+    * another plan still references is safe — Spark recomputes — so the
+    * only cost of acting on an OLDER builder result after a newer call
+    * is that recompute. Repeated serving should use the FromStore /
+    * FromFactoredStore forms with caller-managed persistence instead.
+    */
+  private val lastPersisted =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def persistRotating(site: String, df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val key = site + "@" +
+      System.identityHashCode(p.sparkSession).toHexString
+    val prev = lastPersisted.put(key, p)
+    if (prev != null && (prev ne p)) prev.unpersist(blocking = false)
+    p
+  }
+
   /** Inverted postings: one row per (term, doc) — `term`, `doc_id`,
     * `tf` (occurrences of term in doc), `dl` (doc token length).
     * One explode + one map-side-combined groupBy; at scale, persist
@@ -66,6 +91,22 @@ object Lexical {
       })
       .toDF("term", "doc_id", "dl", "tf")
   }
+
+  /** Query-side term extraction — distinct tokens with the EMPTY token
+    * dropped. The convention (round 16, pinned): empty text tokenizes
+    * to `[""]` (split-on-whitespace over a trimmed empty string), and
+    * postings KEEP that row — it is the dl carrier that makes every doc
+    * visible to [[corpusStatsFromPostings]]. But `""` is never a
+    * SERVABLE term: without this filter an all-whitespace query would
+    * equi-join the `""` postings row of every empty document and
+    * "retrieve" them all. A whitespace-only query therefore has no
+    * terms, generates no candidates, and emits nothing — standard
+    * retrieval semantics. Oracles replay the same convention with
+    * `term <> ''` on their query-term derivation.
+    */
+  private[graft] def queryTerms(qtext: Column): Column =
+    array_distinct(filter(TextFunctions.tokens(qtext),
+      t => t =!= lit("")))
 
   /** Document frequency per term (rows of [[postings]] are distinct
     * (term, doc) pairs, so a plain count is the df).
@@ -174,17 +215,34 @@ object Lexical {
   def bm25TopKFromFactoredStore(sat: DataFrame, dfreq: DataFrame,
                                 nDocs: Long, queries: DataFrame,
                                 qTextCol: String, qIdCol: String,
+                                k: Int): DataFrame =
+    bm25TopKFromFactoredStore(sat, dfreq,
+      sat.sparkSession.range(1).select(lit(nDocs).as("n_docs")),
+      queries, qTextCol, qIdCol, k)
+
+  /** [[bm25TopKFromFactoredStore]] with the doc count threaded as a
+    * ONE-ROW (`n_docs` long) FRAME instead of a collected scalar — the
+    * lazy form: the count rides the query-sized broadcast as a column
+    * (same doubles — [[bm25Idf]] on a column vs a literal is the same
+    * arithmetic), so building the returned plan runs NO job. The
+    * builders that derive n from a stats subtree ([[bm25fTopK]]) use
+    * this to stay lazy end to end.
+    */
+  def bm25TopKFromFactoredStore(sat: DataFrame, dfreq: DataFrame,
+                                nDocs: DataFrame, queries: DataFrame,
+                                qTextCol: String, qIdCol: String,
                                 k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(sat.sparkSession)
     val qTerms = queries.select(col(qIdCol).as("q_id"),
-      explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
+      explode(queryTerms(col(qTextCol)))
         .as("term"))
     val qDf = dfreq.join(broadcast(qTerms.select("term").distinct()),
       Seq("term"))
     val qSide = broadcast(qTerms.join(qDf, Seq("term"))
+      .crossJoin(broadcast(nDocs.select(col("n_docs"))))
       .select(col("q_id"), col("term"),
-        bm25Idf(lit(nDocs), col("df")).as("idf")))
+        bm25Idf(col("n_docs"), col("df")).as("idf")))
     val scored = sat.join(qSide, Seq("term"))
       .withColumn("contrib", col("idf") * col("sat"))
       .groupBy("q_id", "doc_id")
@@ -306,9 +364,10 @@ object Lexical {
   def bm25fSatStore(docs: DataFrame, fields: Seq[FieldSpec], idCol: String,
                     k1: Double = 1.2): DataFrame = {
     // one tokenization: the stats subtree and the fold both read the
-    // cached postings (the bm25TopK single-pass contract)
-    val post = postingsFields(docs, fields, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached postings (the bm25TopK single-pass contract); rotating
+    // persist — see [[persistRotating]] for the lifecycle contract
+    val post = persistRotating("bm25fSatStore",
+      postingsFields(docs, fields, idCol))
     satFromPostF(post, fieldStatsFromPostings(post), fields, k1)
   }
 
@@ -350,14 +409,20 @@ object Lexical {
     */
   def bm25fStore(docs: DataFrame, fields: Seq[FieldSpec], idCol: String,
                  k1: Double = 1.2): DataFrame = {
-    val post = postingsFields(docs, fields, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = persistRotating("bm25fStore",
+      postingsFields(docs, fields, idCol))
     val statsF = fieldStatsFromPostings(post)
     val sat = satFromPostF(post, statsF, fields, k1)
-    val n = statsF.filter(col("field") === 0).head().getLong(1)
+    // n_docs threads through as a broadcast one-row frame (round 16):
+    // the earlier `.head()` here ran a corpus-scanning JOB at
+    // plan-BUILD time — surprising in a library; the column form is
+    // value-identical (bm25Idf over a column is the same arithmetic)
+    // and keeps the builder lazy end to end
     sat.join(docFreqAnyField(post), Seq("term"))
+      .crossJoin(broadcast(statsF.filter(col("field") === 0)
+        .select(col("n_docs"))))
       .select(col("term"), col("doc_id"),
-        (bm25Idf(lit(n), col("df")) * col("sat")).as("contrib"))
+        (bm25Idf(col("n_docs"), col("df")) * col("sat")).as("contrib"))
   }
 
   /** BM25F top-k: build the factored store + any-field df + the doc
@@ -369,12 +434,12 @@ object Lexical {
   def bm25fTopK(docs: DataFrame, fields: Seq[FieldSpec], idCol: String,
                 queries: DataFrame, qTextCol: String, qIdCol: String,
                 k: Int, k1: Double = 1.2): DataFrame = {
-    val post = postingsFields(docs, fields, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = persistRotating("bm25fTopK",
+      postingsFields(docs, fields, idCol))
     val statsF = fieldStatsFromPostings(post)
     val sat = satFromPostF(post, statsF, fields, k1)
-    val n = statsF.filter(col("field") === 0).head().getLong(1)
-    bm25TopKFromFactoredStore(sat, docFreqAnyField(post), n,
+    bm25TopKFromFactoredStore(sat, docFreqAnyField(post),
+      statsF.filter(col("field") === 0).select(col("n_docs")),
       queries, qTextCol, qIdCol, k)
   }
 
@@ -506,7 +571,7 @@ object Lexical {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(store.sparkSession)
     val qTerms = broadcast(queries.select(col(qIdCol).as("q_id"),
-      explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
+      explode(queryTerms(col(qTextCol)))
         .as("term")))
     val scored = store.join(qTerms, Seq("term"))
       .groupBy("q_id", "doc_id")
@@ -535,11 +600,12 @@ object Lexical {
     // ONE tokenization pass: df, corpus stats, and the candidate join
     // all read the same cached postings (without the persist each of
     // the three subtrees re-tokenizes the corpus — at 100 TB that is
-    // two avoidable full-corpus scans). MEMORY_AND_DISK, LRU-evictable;
-    // repeated serving should use bm25TopKFromStore with caller-managed
-    // persistence instead of re-entering this convenience form.
-    val post = postings(corpus, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two avoidable full-corpus scans). Rotating persist (see
+    // [[persistRotating]]): repeated one-shot calls hold at most one
+    // cached postings frame; repeated serving should use
+    // bm25TopKFromStore with caller-managed persistence instead.
+    val post = persistRotating("bm25TopK",
+      postings(corpus, textCol, idCol))
     bm25TopKFromStore(post, docFreq(post), corpusStatsFromPostings(post),
       queries, qTextCol, qIdCol, k, k1, b)
   }
@@ -557,7 +623,7 @@ object Lexical {
     // query treats repeats as one term (qtf weighting is a variant;
     // distinct keeps the score a set function of the query)
     val qTerms = queries.select(col(qIdCol).as("q_id"),
-      explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
+      explode(queryTerms(col(qTextCol)))
         .as("term"))
     // df sliced to the query's terms FIRST (vocabulary-sized df never
     // broadcasts), then the query-sized (q_id, term, df, stats) frame
@@ -601,7 +667,7 @@ object Lexical {
     // bound must trip before the driver materializes an unbounded
     // term set, not after
     val terms = queries
-      .select(explode(array_distinct(TextFunctions.tokens(col(qTextCol))))
+      .select(explode(queryTerms(col(qTextCol)))
         .as("term"))
       .distinct().limit(maxQueryTerms + 1)
       .collect().map(_.getString(0)).toSeq

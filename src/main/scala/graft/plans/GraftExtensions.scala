@@ -102,8 +102,8 @@ object GraftExtensions {
       buildAdcTable)
 
   private def buildAdcDistTbl(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 2, "adc_dist_tbl(tbl, codes)")
-    AdcDistTbl(exprs(0), exprs(1))
+    require(exprs.length == 3, "adc_dist_tbl(tbl, codes, m)")
+    AdcDistTbl(exprs(0), exprs(1), exprs(2))
   }
 
   val adcDistTblDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

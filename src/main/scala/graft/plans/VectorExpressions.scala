@@ -423,48 +423,59 @@ object AdcTable {
   }
 }
 
-/** Table-based ADC distance: `adc_dist_tbl(tbl, codes)` — tbl the
+/** Table-based ADC distance: `adc_dist_tbl(tbl, codes, m)` — tbl the
   * [[AdcTable]] flat [m·k] column, codes the candidate's `array<int>`
-  * PQ codes (k derived as tbl.length / codes.length). Per candidate:
-  * m primitive getDouble reads accumulated in s order — bit-identical
-  * to [[AdcDist]] over the same inputs (the table entries ARE its
-  * subspace sums) at ~subDim× less arithmetic and zero per-candidate
-  * allocation. The candidate-volume hot path of the streaming IVFADC
-  * serving plan.
+  * PQ codes, m the EXPLICIT subspace count (a literal the caller knows
+  * from the PQ geometry; k then derives as tbl.length / m). Per
+  * candidate: m primitive getDouble reads accumulated in s order —
+  * bit-identical to [[AdcDist]] over the same inputs (the table entries
+  * ARE its subspace sums) at ~subDim× less arithmetic and zero
+  * per-candidate allocation. The candidate-volume hot path of the
+  * streaming IVFADC serving plan.
+  *
+  * m is explicit (round 16, advisory): deriving it from `codes.length`
+  * let a codes array of the WRONG m that still divides the table size
+  * (m=4 codes against an m=8,k=256 table ⇒ k=512) return a plausible
+  * wrong distance; with m pinned, any codes-length mismatch nulls —
+  * the "misconfigured plan surfaces as null rows" contract [[AdcDist]]
+  * keeps via the codebook shape.
   */
-case class AdcDistTbl(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+case class AdcDistTbl(first: Expression, second: Expression,
+                      third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType), IntegerType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(tbl: Any, codes: Any): Any =
+  override protected def nullSafeEval(tbl: Any, codes: Any, m: Any): Any =
     AdcDistTbl.compute(tbl.asInstanceOf[ArrayData],
-      codes.asInstanceOf[ArrayData])
+      codes.asInstanceOf[ArrayData], m.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (tbl, codes) => s"""
-      java.lang.Double r = graft.plans.AdcDistTbl.compute($tbl, $codes);
+    nullSafeCodeGen(ctx, ev, (tbl, codes, m) => s"""
+      java.lang.Double r = graft.plans.AdcDistTbl.compute($tbl, $codes, $m);
       if (r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = r.doubleValue(); }
     """)
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(newLeft, newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(newFirst, newSecond, newThird)
 }
 
 object AdcDistTbl {
   /** Σ_s tbl[s·k + codes[s]] in s order — [[AdcDist.compute]]'s outer
-    * accumulation over precomputed subspace sums. Null on a length
-    * mismatch (tbl not a multiple of m) or an out-of-range code (the
-    * AdcDist contract for bad codes).
+    * accumulation over precomputed subspace sums. Null on any geometry
+    * mismatch: codes.length != m, tbl not a multiple of m, or an
+    * out-of-range code (the AdcDist contract for bad codes).
     */
-  def compute(tbl: ArrayData, codes: ArrayData): java.lang.Double = {
+  def compute(tbl: ArrayData, codes: ArrayData,
+              mExpected: Int): java.lang.Double = {
     val m = codes.numElements()
-    if (m == 0) return null
+    if (m == 0 || m != mExpected) return null
     val total = tbl.numElements()
     val k = total / m
     if (k * m != total || k == 0) return null

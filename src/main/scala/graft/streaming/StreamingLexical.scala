@@ -53,7 +53,7 @@ object StreamingLexical {
       .withWatermark("_ts", watermark)
       .dropDuplicatesWithinWatermark("q_id")
       .select(col("q_id"), col("_ts"),
-        explode(array_distinct(TextFunctions.tokens(col("qtext"))))
+        explode(graft.operators.Lexical.queryTerms(col("qtext")))
           .as("term"))
     val perDoc = qTerms
       .join(store.select(col("term"), col("doc_id"), col("contrib")),

@@ -336,7 +336,7 @@ object StreamingLexicalIndex {
       "refreshFactored before any factored generation — " +
         "buildFactoredGeneration first"))
     val (_, _, sideTx) = cur
-    val (n0, _, avgdl0, postV0, _) = readSidecar(sideTx)
+    val (n0, _, avgdl0, postV0, satV0) = readSidecar(sideTx)
     val (nNow, sumNow, avgdlNow) = stats(statsTx)
     val nPermille = math.round(1000.0 * nNow.toDouble / n0.toDouble)
     val avgdlPermille = math.round(1000.0 * avgdlNow / avgdl0)
@@ -348,9 +348,16 @@ object StreamingLexicalIndex {
         k1, b))
     else {
       val postVNow = postTx.latestVersion()
-      if (!postTx.isAppendPure(postV0, postVNow))
-        // a compaction rewrote the range: the file-level delta would
-        // double-count — take the corpus-sized path, honestly
+      if (!postTx.isAppendPure(postV0, postVNow) ||
+          satTx.latestVersion() != satV0)
+        // compaction rewrote the range (the file-level delta would
+        // double-count), OR the sat log is ahead of the published
+        // generation's pin — a crashed run committed sat rows for some
+        // (postV0, postV'] and died before publishing, so a delta append
+        // here would OVERLAP that orphan range and the new pin would
+        // serve duplicate (term, doc) sat rows, silently inflating every
+        // fold. The full build's versioned OVERWRITE clears the orphans;
+        // take it, honestly.
         FactoredFull(buildFactoredGeneration(gens, postTx, statsTx, satTx,
           k1, b))
       else {
@@ -533,7 +540,7 @@ object StreamingLexicalIndex {
       "refreshFactoredF before any factored generation — " +
         "buildFactoredGenerationF first"))
     val (_, dfTxOld, sideTx) = cur
-    val (st0, postV0, _) = readSidecarF(sideTx)
+    val (st0, postV0, satV0) = readSidecarF(sideTx)
     val stNow = statsF(statsTx, fields.length)
     val nPermille =
       math.round(1000.0 * stNow.head._1.toDouble / st0.head._1.toDouble)
@@ -541,12 +548,21 @@ object StreamingLexicalIndex {
     val avgdlStale = st0.zip(stNow).exists { case ((_, _, a0), (_, _, a1)) =>
       math.abs(math.round(1000.0 * a1 / a0) - 1000) > avgdlBandPermille
     }
+    // capture the postings head ONCE: the guard and the delta read must
+    // see the same version — a commit landing between two latestVersion()
+    // calls would pass the guard at one version and abort the range read
+    // at another (the single-field path's device)
+    val postVNow = postTx.latestVersion()
     if (!nStale && !avgdlStale) FactoredFresh
-    else if (avgdlStale || !postTx.isAppendPure(postV0, postTx.latestVersion()))
+    else if (avgdlStale || !postTx.isAppendPure(postV0, postVNow) ||
+        satTx.latestVersion() != satV0)
+      // avgdl out of band, a compacted/overwritten postings range, or a
+      // sat log ahead of the published pin (a crashed run's orphan
+      // commit — a delta append would overlap it and serve duplicate
+      // sat rows): the full build's versioned overwrite resets all three
       FactoredFull(buildFactoredGenerationF(gens, postTx, statsTx, satTx,
         fields, k1))
     else {
-      val postVNow = postTx.latestVersion()
       val delta = postTx.readAppendedSince(postV0, Some(postVNow))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       satTx.appendOnce(

@@ -318,7 +318,7 @@ object StreamingSimilarity {
       .join(codeStore.select(col(idCol).as("nn_id"), col("cell"),
         col("codes")), Seq("cell"))
       .withColumn("dist", call_function("adc_dist_tbl",
-        col("tbl"), col("codes")))
+        col("tbl"), col("codes"), lit(model.codebooks.length)))
       .groupBy(window(col("_ts"), windowDur).as("w"), col("q_id"))
       .agg(graft.operators.TopK.topKNative(k, col("dist"), col("nn_id"))
         .as("top"))

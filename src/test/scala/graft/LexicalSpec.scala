@@ -341,4 +341,79 @@ class LexicalSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got.head.getAs[Long]("doc_id") == 1L) // tie 1/61 each → doc asc
   }
+
+  test("empty-token convention: \"\" is a dl-carrier in postings but " +
+       "never a servable query term — a whitespace query emits nothing") {
+    val withEmpty = docs.unionByName(
+      Seq((9L, "   ")).toDF("doc_id", "text"))
+    // postings keep the empty doc's [""] row (dl carrier)...
+    val p = Lexical.postings(withEmpty, "text", "doc_id")
+    assert(p.filter(col("doc_id") === 9L && col("term") === "").count() == 1)
+    // ...so the stats derivations still see every document
+    val st = Lexical.corpusStatsFromPostings(p).head()
+    assert(st.getLong(0) == 6L)
+    // a whitespace-only query has no terms → no candidates → no rows,
+    // on every batch serving surface
+    val wsQ = Seq((1L, "   "), (2L, "")).toDF("q_id", "qtext")
+    assert(Lexical.bm25TopK(withEmpty, "text", "doc_id",
+      wsQ, "qtext", "q_id", k = 5).count() == 0)
+    assert(Lexical.bm25TopKFromContribStore(
+      Lexical.bm25Store(withEmpty, "text", "doc_id"),
+      wsQ, "qtext", "q_id", k = 5).count() == 0)
+    assert(Lexical.bm25TopKLive(p, nDocs = 6L, avgdl = 2.5,
+      wsQ, "qtext", "q_id", k = 5).count() == 0)
+    // a REAL query against the corpus containing the empty doc is
+    // unchanged: the empty doc can never surface
+    val qs = Seq((1L, "apple")).toDF("q_id", "qtext")
+    val got = Lexical.bm25TopK(withEmpty, "text", "doc_id",
+      qs, "qtext", "q_id", k = 5).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(0L, 4L))
+  }
+
+  test("builders are lazy: bm25fStore / bm25fTopK run NO job at " +
+       "plan-build time") {
+    val fields = Seq(Lexical.FieldSpec("title", 2.0),
+      Lexical.FieldSpec("body", 1.0))
+    val fdocs = docs.select(col("doc_id"), col("text").as("title"),
+      col("text").as("body"))
+    val qs = Seq((1L, "apple")).toDF("q_id", "qtext")
+    def jobsDuring(group: String)(body: => Unit): Array[Int] = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      Thread.sleep(300) // listener drain; lag can only hide a FAILURE
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    }
+    // positive control: the probe actually sees jobs
+    val ctl = jobsDuring("graft-lex-ctl") {
+      docs.count(); ()
+    }
+    assert(ctl.nonEmpty, "job probe is blind — control action missing")
+    var store: org.apache.spark.sql.DataFrame = null
+    var topk: org.apache.spark.sql.DataFrame = null
+    val built = jobsDuring("graft-lex-lazy") {
+      store = Lexical.bm25fStore(fdocs, fields, "doc_id")
+      topk = Lexical.bm25fTopK(fdocs, fields, "doc_id",
+        qs, "qtext", "q_id", k = 3)
+    }
+    assert(built.isEmpty,
+      s"plan-build ran ${built.length} job(s) — builders must be lazy")
+    // and the lazy plans still answer
+    assert(store.count() > 0 && topk.count() > 0)
+  }
+
+  test("rotating persist: repeated one-shot builder calls hold a " +
+       "bounded cache footprint") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (0 until 4).foreach { i =>
+      val qs = Seq((i.toLong, "apple cherry")).toDF("q_id", "qtext")
+      Lexical.bm25TopK(docs, "text", "doc_id",
+        qs, "qtext", "q_id", k = 3).count()
+      ()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"cache grew by ${after - before} over 4 one-shot calls — " +
+        "rotation must release the previous postings")
+  }
 }

@@ -367,6 +367,58 @@ class StreamingLexicalIndexSpec extends SparkSpec {
     assert(r == Idx.FactoredFull(1L), s"expected full fallback: $r")
   }
 
+  test("factored loop: an ORPHANED sat commit (a refresh crashed between " +
+       "its sat append and publish) forces the full path — duplicate " +
+       "sat rows never serve") {
+    val root = tmp("graft-flex-orphan")
+    val postTx = new TxTable(spark, s"$root/post")
+    val statsTx = new TxTable(spark, s"$root/stats")
+    val satTx = new TxTable(spark, s"$root/sat")
+    val gens = new AnnGenerations(spark, s"$root/fgens")
+    val base = corpus(40)
+    Idx.bootstrap(base, "doc_id", "text", postTx, statsTx)
+    val postV0 = postTx.latestVersion()
+    assert(Idx.buildFactoredGeneration(gens, postTx, statsTx, satTx) == 0L)
+    val avgdl0 = Lexical.corpusStats(base, "text").head().getDouble(1)
+
+    // arrivals land; a refresh starts, commits its sat delta for
+    // (postV0, v1]... and dies before gens.publish — the orphan
+    val more1 = corpus(20, off = 40)
+    appendArrivals(postTx, statsTx, more1, "orph1")
+    val v1 = postTx.latestVersion()
+    satTx.appendOnce(
+      Lexical.bm25SatFromPostings(
+        postTx.readAppendedSince(postV0, Some(v1)), avgdl0).sort("term"),
+      tag = s"flex-sat-$postV0-$v1")
+
+    // MORE arrivals: the next refresh's delta range (postV0, v2] would
+    // OVERLAP the orphan's (postV0, v1] — appending it would serve
+    // every more1 (term, doc) sat row twice
+    val more2 = corpus(20, off = 60)
+    appendArrivals(postTx, statsTx, more2, "orph2")
+    val r = Idx.refreshFactored(gens, postTx, statsTx, satTx)
+    assert(r == Idx.FactoredFull(1L),
+      s"unaccounted sat commits must force the full rebake: $r")
+
+    // the published generation's pinned snapshot has NO duplicate
+    // (term, doc) rows, and serving ≡ a from-scratch factored build
+    val union = base.unionByName(more1).unionByName(more2)
+    val satNow = satTx.read() // full build overwrote: latest IS the pin
+    assert(satNow.count() ==
+      satNow.select("term", "doc_id").distinct().count())
+    val qs = Seq((1L, "alpha beta"), (2L, "gamma eps")).toDF("q_id", "qtext")
+    val served = Idx.serveFactored(gens, satTx, qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val avgdlNow = Lexical.corpusStats(union, "text").head().getDouble(1)
+    val unionPost = Lexical.postings(union, "text", "doc_id")
+    val full = Lexical.bm25TopKFromFactoredStore(
+        Lexical.bm25SatFromPostings(unionPost, avgdlNow),
+        Lexical.docFreq(unionPost), nDocs = 80L,
+        qs, "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == full)
+  }
+
   test("staleness loop: no-op at parity, fires on growth, post-regen " +
        "parity, pointer advances monotonically") {
     val root = tmp("graft-lexgen")

@@ -93,22 +93,29 @@ class VecDotSpec extends SparkSpec {
       .withColumn("tbl", call_function("adc_table", col("qr"), cbLit))
       .select(
         call_function("adc_dist", col("qr"), col("codes"), cbLit).as("f"),
-        call_function("adc_dist_tbl", col("tbl"), col("codes")).as("t"))
+        call_function("adc_dist_tbl", col("tbl"), col("codes"),
+          lit(m)).as("t"))
     assert(out.filter(col("f") =!= col("t")).count() == 0)
     assert(out.filter(col("f").isNull || col("t").isNull).count() == 0)
     // shape violations: out-of-range code nulls the lookup; a short qr
     // nulls the table itself
     val bad = Seq(
       (1L, Seq.fill(m * subDim)(0.5f), Seq(0, 1, 2, 99)),
-      (2L, Seq.fill(m * subDim - 1)(0.5f), Seq.fill(m)(0))
+      (2L, Seq.fill(m * subDim - 1)(0.5f), Seq.fill(m)(0)),
+      // wrong m that still divides the table (m/2 codes vs an [m·k]
+      // table) — the round-16 advisory case: must null, not return a
+      // plausible k'=2k lookup
+      (3L, Seq.fill(m * subDim)(0.5f), Seq.fill(m / 2)(0))
     ).toDF("id", "qr", "codes")
     val badOut = bad
       .withColumn("tbl", call_function("adc_table", col("qr"), cbLit))
       .select(col("id"), col("tbl"),
-        call_function("adc_dist_tbl", col("tbl"), col("codes")).as("t"))
+        call_function("adc_dist_tbl", col("tbl"), col("codes"),
+          lit(m)).as("t"))
       .orderBy("id").collect()
     assert(badOut(0).isNullAt(2)) // code 99 >= k
     assert(badOut(1).isNullAt(1) && badOut(1).isNullAt(2)) // short qr
+    assert(!badOut(2).isNullAt(1) && badOut(2).isNullAt(2)) // wrong m
   }
 
   test("vec_dot null semantics match zip_with padding: length mismatch and null element") {
