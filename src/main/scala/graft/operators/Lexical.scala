@@ -583,6 +583,126 @@ object Lexical {
     rankTail(scored, "score", k)
   }
 
+  /** EXACT top-k with MaxScore dynamic pruning (Turtle & Flood, IPM'95;
+    * the distributed re-expression): identical output to
+    * [[bm25TopKFromContribStore]] over the same untruncated `store` —
+    * rows, scores, ranks, hashes — while the expensive per-(query, doc)
+    * fold shuffle sees a FRACTION of the postings. The full traversal's
+    * dominant cost (measured: the collect_list fold + its shuffle over
+    * EVERY posting of every query term) falls to the rare-term slice.
+    *
+    * How: `truncated` (any per-term impact truncation of `store` —
+    * [[truncateByImpact]] / [[truncateByMass]]; both keep each term's
+    * max-contrib posting) supplies two bounds, kilobytes each at query
+    * scale:
+    *
+    *  1. θ(q) = the k-th ROUNDED score of the truncated store's top-k.
+    *     Truncated partial scores underestimate true scores and ROUND-6
+    *     is monotone, so ≥ k documents have rounded true score ≥ θ —
+    *     a certified lower bound on the final k-th rounded score.
+    *  2. ub(t) = max contrib of term t (exact — truncation keeps the
+    *     head). Sort the query's terms by (ub asc, term asc); the
+    *     maximal prefix with cumulative Σub < θ − 1e-6 is NON-ESSENTIAL:
+    *     a doc containing ONLY those terms scores < θ − 1e-6, rounds to
+    *     < θ (ROUND-6 moves a value < 5·10⁻⁷), and cannot enter the
+    *     top-k under any doc-id tiebreak. (The 1e-6 margin also dwarfs
+    *     the ~1e-14 float error of the prefix sum itself.) Everything
+    *     past the prefix is ESSENTIAL. Queries with < k truncated
+    *     results get no θ and prune nothing — exactness never depends
+    *     on the truncation being any good.
+    *
+    * Candidates = docs holding ≥ 1 essential posting. Their scores fold
+    * over ALL their query-term contribs from the exact store — the same
+    * doubles in the same term-asc order as the full traversal — so the
+    * emitted rows are bit-identical.
+    *
+    * SCALE SHAPE: essential terms are by construction the high-impact
+    * (rare) ones, so the candidate set is Σ_essential df — small — and
+    * is BROADCAST into the non-essential postings scan: the common
+    * terms' postings (the bulk at web scale) are filtered scan-side and
+    * never shuffle; only essential postings and candidate-matched rows
+    * reach the fold exchange. [[maxScoreFoldStats]] measures exactly
+    * that reduction.
+    */
+  def bm25TopKMaxScore(store: DataFrame, truncated: DataFrame,
+                       queries: DataFrame, qTextCol: String,
+                       qIdCol: String, k: Int): DataFrame = {
+    val parts = maxScoreFoldInput(store, truncated, queries,
+      qTextCol, qIdCol, k)
+    val scored = parts
+      .groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .withColumn("score",
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")), 6))
+    rankTail(scored, "score", k)
+  }
+
+  /** The pruned fold input of [[bm25TopKMaxScore]]: (q_id, term,
+    * doc_id, contrib) — essential-term postings plus the
+    * candidate-matched non-essential rows. Exposed so the fold-volume
+    * reduction is measurable (specs, ScaleBench) on the exact frame the
+    * top-k folds.
+    */
+  private[graft] def maxScoreFoldInput(store: DataFrame,
+                                       truncated: DataFrame,
+                                       queries: DataFrame, qTextCol: String,
+                                       qIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(store.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+      explode(queryTerms(col(qTextCol))).as("term"))
+    // θ per query: the truncated store's k-th rounded score (absent →
+    // no pruning bound for that query). Query-sized.
+    val theta = bm25TopKFromContribStore(truncated, queries,
+        qTextCol, qIdCol, k)
+      .filter(col("rank") === k)
+      .select(col("q_id"), col("score").as("theta"))
+    // per-term upper bounds, semi-joined to the query's terms first
+    // (vocabulary-sized ub never broadcasts — the df discipline)
+    val ub = truncated
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(max(col("contrib")).as("ub"))
+    // essential = past the maximal (ub asc, term asc) prefix whose
+    // cumulative bound stays under θ − margin
+    val cum = Window.partitionBy("q_id")
+      .orderBy(col("ub").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = qTerms.join(broadcast(ub), Seq("term"))
+      .join(broadcast(theta), Seq("q_id"), "left")
+      .withColumn("_cum", sum(col("ub")).over(cum))
+      .withColumn("_ess", col("theta").isNull ||
+        (col("_cum") >= col("theta") - lit(1e-6)))
+    val essential = broadcast(flagged.filter(col("_ess"))
+      .select("q_id", "term"))
+    val nonEssential = broadcast(flagged.filter(!col("_ess"))
+      .select("q_id", "term"))
+    val essRows = store.join(essential, Seq("term"))
+      .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))
+    val cand = broadcast(essRows.select("q_id", "doc_id").distinct())
+    val neRows = store.join(nonEssential, Seq("term"))
+      .join(cand, Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))
+    essRows.unionByName(neRows)
+  }
+
+  /** Fold-volume accounting for [[bm25TopKMaxScore]] vs the full
+    * traversal: (pruned fold-input rows, full fold-input rows =
+    * Σ df over the queries' store terms). The bounded-reads metric pin.
+    */
+  def maxScoreFoldStats(store: DataFrame, truncated: DataFrame,
+                        queries: DataFrame, qTextCol: String,
+                        qIdCol: String, k: Int): (Long, Long) = {
+    val pruned = maxScoreFoldInput(store, truncated, queries,
+      qTextCol, qIdCol, k).count()
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+      explode(queryTerms(col(qTextCol))).as("term"))
+    val full = store.join(broadcast(qTerms), Seq("term")).count()
+    (pruned, full)
+  }
+
   /** BM25 top-k retrieval: for each query row, the k highest-scoring
     * documents. Output: `q_id`, `doc_id`, `score` (ROUND 6 double),
     * `rank` (int, 1-based; ties on the rounded score break doc-id

@@ -1542,6 +1542,150 @@ object TextQueries {
              FROM f)
       SELECT q_id, doc_id, comb, CAST(rank AS INT) AS rank
       FROM fr WHERE rank <= 10""")
-    })
+    }),
+
+    // ---- MaxScore dynamic pruning (round 16): EXACT top-k with
+    //      bounded postings reads. The truncated store supplies θ (the
+    //      k-th truncated score — a certified lower bound on the final
+    //      k-th) and per-term upper bounds; terms whose ascending-ub
+    //      prefix sum stays under θ − 1e-6 are non-essential, and their
+    //      postings only enter the fold via a broadcast candidate
+    //      match. The ORACLE IS THE FULL TRAVERSAL — the q174
+    //      derivation verbatim: pruning must change nothing, not one
+    //      hash bit. MaxScoreSpec pins the fold-volume reduction and
+    //      the all-broadcast plan; ScaleBench records it at decade
+    //      scale.
+    Q("q187_bm25_maxscore", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = operators.Lexical.bm25Store(docs, "text", "doc_id")
+        .persist()
+      store.count()
+      val trunc = operators.Lexical.truncateByImpact(store, 10)
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      val out = operators.Lexical.bm25TopKMaxScore(store, trunc,
+        qs, "qtext", "q_id", k = 5).localCheckpoint(true)
+      store.unpersist()
+      out
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      p0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term FROM tk),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      cand AS (SELECT qt.q_id, p.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)) AS contrib
+               FROM p JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN st),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5"""), headline = true),
+
+    // ---- BM25F through MaxScore (round 16): the multi-field contrib
+    //      store is the bm25Store SHAPE, so the pruned serving path
+    //      composes unchanged — one implementation, both scorers. The
+    //      oracle is the q183 full field-weighted derivation verbatim.
+    Q("q188_bm25f_maxscore", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fd = docs.select(col("doc_id"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+          .as("title"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 4,
+          Int.MaxValue)).as("body"))
+      val fields = Seq(
+        operators.Lexical.FieldSpec("title", weight = 2.0, b = 0.75),
+        operators.Lexical.FieldSpec("body", weight = 1.0, b = 0.75))
+      val store = operators.Lexical.bm25fStore(fd, fields, "doc_id")
+        .persist()
+      store.count()
+      val trunc = operators.Lexical.truncateByImpact(store, 10)
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      val out = operators.Lexical.bm25TopKMaxScore(store, trunc,
+        qs, "qtext", "q_id", k = 5).localCheckpoint(true)
+      store.unpersist()
+      out
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      fld AS (SELECT doc_id,
+                regexp_split_to_array(trim(array_to_string(toks[1:3], ' ')),
+                  '\\s+') AS ttoks,
+                regexp_split_to_array(trim(array_to_string(
+                  toks[4:len(toks)], ' ')), '\\s+') AS btoks
+              FROM tk),
+      p0 AS (SELECT doc_id, 0 AS field, CAST(len(ttoks) AS BIGINT) AS dl,
+               unnest(ttoks) AS term FROM fld
+             UNION ALL
+             SELECT doc_id, 1 AS field, CAST(len(btoks) AS BIGINT) AS dl,
+               unnest(btoks) AS term FROM fld),
+      p AS (SELECT field, term, doc_id, dl, COUNT(*) AS tf
+            FROM p0 GROUP BY 1, 2, 3, 4),
+      stf AS (SELECT field,
+                CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM (SELECT DISTINCT field, doc_id, dl FROM p)
+              GROUP BY 1),
+      stn AS (SELECT COUNT(*) AS n_docs FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM
+                (SELECT DISTINCT term, doc_id FROM p) GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      fc AS (SELECT p.term, p.doc_id, p.field,
+               (CASE WHEN p.field = 0 THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END
+                * CAST(p.tf AS DOUBLE))
+               / (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                    / stf.avgdl) AS fcv
+             FROM p JOIN stf USING (field)),
+      tfl AS (SELECT term, doc_id,
+                list_aggregate(list(fcv ORDER BY field), 'sum') AS tflv
+              FROM fc GROUP BY 1, 2),
+      cand AS (SELECT qt.q_id, tfl.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(stn.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (tfl.tflv / (CAST(1.2 AS DOUBLE) + tfl.tflv)) AS contrib
+               FROM tfl JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN stn),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5"""))
   )
 }

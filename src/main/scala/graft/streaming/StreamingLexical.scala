@@ -39,13 +39,21 @@ import graft.operators.TopK
   */
 object StreamingLexical {
 
+  /** `statePartitions`: size the stream's state partition count to the
+    * state (per-query top-k rows) instead of the session default —
+    * requires `store` persisted; see [[StatePartitions.pin]] for the
+    * ordering guarantee this option enforces (cached store layout is
+    * materialized under the wide conf BEFORE the conf narrows).
+    */
   def bm25Stream(queries: DataFrame, store: DataFrame,
                  qIdCol: String, qTextCol: String, tsCol: String,
                  k: Int,
                  watermark: String = "10 seconds",
-                 windowDur: String = "6 hours"): DataFrame = {
+                 windowDur: String = "6 hours",
+                 statePartitions: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(queries.sparkSession)
+    statePartitions.foreach(StatePartitions.pin(store, _))
     val qTerms = queries
       .select(col(qIdCol).cast("long").as("q_id"),
         col(qTextCol).as("qtext"),

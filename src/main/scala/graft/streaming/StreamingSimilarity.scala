@@ -173,9 +173,11 @@ object StreamingSimilarity {
   def ivfStream(queries: DataFrame, index: IvfIndex, idCol: String,
                 vecCol: String, tsCol: String, nProbe: Int, k: Int,
                 watermark: String = "10 seconds",
-                windowDur: String = "6 hours"): DataFrame = {
+                windowDur: String = "6 hours",
+                statePartitions: Option[Int] = None): DataFrame = {
     import graft.operators.Similarity
     graft.plans.GraftExtensions.register(queries.sparkSession)
+    statePartitions.foreach(StatePartitions.pin(index.cells, _))
     val centArr = typedLit(index.centroids)
     val centNorm = typedLit(Similarity.centroidNorms(index.centroids))
     val nCells = index.centroids.size
@@ -266,10 +268,15 @@ object StreamingSimilarity {
                    model: graft.operators.ProductQuantizer.PQModel,
                    nprobe: Int, k: Int,
                    watermark: String = "10 seconds",
-                   windowDur: String = "6 hours"): DataFrame = {
+                   windowDur: String = "6 hours",
+                   statePartitions: Option[Int] = None): DataFrame = {
     graft.plans.GraftExtensions.register(queries.sparkSession)
     require(nprobe >= 1 && nprobe <= coarse.length,
       s"nprobe $nprobe out of [1, ${coarse.length}]")
+    // size the stream's state partitions to the state, not the data —
+    // the ordering-safe form of round 15's manual conf dance (the
+    // cached code-store layout is pinned before the conf narrows)
+    statePartitions.foreach(StatePartitions.pin(codeStore, _))
     val centLit = typedLit(coarse)
     val cbLit = typedLit(model.codebooks)
     val nCells = coarse.size
@@ -349,8 +356,10 @@ object StreamingSimilarity {
                 vecCol: String, tsCol: String, bits: Int, k: Int,
                 watermark: String = "10 seconds",
                 windowDur: String = "6 hours",
-                nProbe: Int = 1): DataFrame = {
+                nProbe: Int = 1,
+                statePartitions: Option[Int] = None): DataFrame = {
     graft.plans.GraftExtensions.register(queries.sparkSession)
+    statePartitions.foreach(StatePartitions.pin(corpus, _))
     // nProbe > 1: each query probes its Hamming-1 neighbor buckets
     // too (multi-probe LSH — the batch `lshTopKMultiProbe` lever);
     // only the QUERY side replicates, the cached corpus layout is

@@ -1816,9 +1816,11 @@ object ScaleBench {
         .repartition(col("cell")).sortWithinPartitions("cell")
         .persist()
       store.count() // materialize before the clock
+      // statePartitions is the builder option now (round 16): the
+      // builder pins the cached store layout itself, so there is no
+      // conf-ordering dance left to get wrong — only the restore for
+      // the batch comparison below
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-      streamParts.foreach(p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
       val t0 = 1_600_000_000_000_000_000L
       val qs = embQueries(spark, nq)
         .withColumn("ts", lit(t0) + (col("doc_id") - 2_000_000_000L)
@@ -1830,7 +1832,7 @@ object ScaleBench {
         "ts",
         st => graft.streaming.StreamingSimilarity.ivfAdcStream(
           st, store, "doc_id", "embedding", "ts", coarse, pq,
-          nprobe = nprobe, k = 10))
+          nprobe = nprobe, k = 10, statePartitions = streamParts))
       spark.conf.set("spark.sql.shuffle.partitions", savedParts)
       val b0 = System.nanoTime()
       val batchRows = ProductQuantizer.ivfAdcTopKBatch(store, "doc_id",
@@ -2015,6 +2017,82 @@ object ScaleBench {
       s""","bm25f":{"docs":$nd,"queries":$nQs,"k":$k,""" +
         s""""s":${fmt(wallS)},"rows":$rows,""" +
         s""""flat_s":${fmt(flatS)},"flat_rows":$rows1}"""
+    }.getOrElse("")
+
+    // MaxScore dynamic pruning (env GRAFT_SCALE_MAXSCORE=
+    // <docs>,<queries>[,<k>[,<m>]]): the q187 surface at scale on a
+    // WEB-SHAPED corpus — the tf-skewed synthetic with a stopword
+    // layer on top ("the" in ~95% of docs, "of" in ~60%), so a
+    // first-tokens query carries stopword-df terms and the exact
+    // traversal's fold input is dominated by them (Σ df ≈ 1.5 M rows
+    // per query at 10⁶ docs — the geometry dynamic pruning exists
+    // for; the plain skew corpus tops out at df ≈ 6 % of N and showed
+    // only 2× fold reduction with the θ-phase overhead eating it).
+    // Claims under test: (1) the pruned top-k is IDENTICAL to the
+    // full traversal (asserted row-for-row), and (2) the fold input
+    // collapses to the essential (rare-term) slice, with the wall
+    // following it.
+    val maxScoreJson = sys.env.get("GRAFT_SCALE_MAXSCORE").map { sN =>
+      import graft.operators.Lexical
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_MAXSCORE='$sN' — expected '<docs>,<queries>[,<k>[,<m>]]'")
+      val (nd, nq) = (parts(0), parts(1))
+      val k = if (parts.length > 2) parts(2).toInt else 10
+      val m = if (parts.length > 3) parts(3).toInt else 64
+      val rawDir = s"$root/maxscore_docs_$nd"
+      synthSkewDocs(spark, nd).select(col("doc_id"),
+        concat_ws(" ",
+          when(pmod(xxhash64(lit("st1"), col("doc_id")), lit(100L)) < 95,
+            lit("the")),
+          when(pmod(xxhash64(lit("st2"), col("doc_id")), lit(100L)) < 60,
+            lit("of")),
+          col("text")).as("text"))
+        .write.mode("overwrite").parquet(rawDir)
+      val d = spark.read.parquet(rawDir)
+      val b0 = System.nanoTime()
+      val store = Lexical.bm25Store(d, "text", "doc_id")
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      val storeRows = store.count()
+      val trunc = Lexical.truncateByImpact(store, m)
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      val truncRows = trunc.count()
+      val buildS = (System.nanoTime() - b0) / 1e9
+      val every = math.max(1L, nd / nq)
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(
+            graft.functions.TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext")).persist()
+      val nQs = qs.count()
+      // full traversal off the same exact store
+      val t1 = System.nanoTime()
+      val exact = Lexical.bm25TopKFromContribStore(store,
+        qs, "qtext", "q_id", k = k).persist()
+      val exactRows = exact.count()
+      val exactS = (System.nanoTime() - t1) / 1e9
+      // pruned
+      val t2 = System.nanoTime()
+      val pruned = Lexical.bm25TopKMaxScore(store, trunc,
+        qs, "qtext", "q_id", k = k).persist()
+      val prunedRows = pruned.count()
+      val prunedS = (System.nanoTime() - t2) / 1e9
+      // EXACTNESS IS THE CONTRACT: identical row sets, scores included
+      val agree = pruned.intersect(exact).count()
+      require(agree == exactRows && prunedRows == exactRows,
+        s"MaxScore diverged from the exact traversal: " +
+          s"$agree/$exactRows/$prunedRows")
+      val (foldPruned, foldFull) = Lexical.maxScoreFoldStats(store, trunc,
+        qs, "qtext", "q_id", k = k)
+      store.unpersist(); trunc.unpersist()
+      exact.unpersist(); pruned.unpersist(); qs.unpersist()
+      s""","maxscore":{"docs":$nd,"queries":$nQs,"k":$k,"m":$m,""" +
+        s""""store_rows":$storeRows,"trunc_rows":$truncRows,""" +
+        s""""build_s":${fmt(buildS)},""" +
+        s""""exact_s":${fmt(exactS)},"pruned_s":${fmt(prunedS)},""" +
+        s""""fold_rows_full":$foldFull,"fold_rows_pruned":$foldPruned,""" +
+        s""""fold_reduction_x":${fmt(foldFull.toDouble /
+          math.max(1L, foldPruned).toDouble)}}"""
     }.getOrElse("")
 
     // Factored lexical generation refresh (env GRAFT_SCALE_LEXGEN=
@@ -3169,7 +3247,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:

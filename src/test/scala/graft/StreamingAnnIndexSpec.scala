@@ -230,6 +230,79 @@ class StreamingAnnIndexSpec extends SparkSpec {
       s"stream ${streamed.size} rows vs batch ${batch.size}")
   }
 
+  test("statePartitions option: the cached store layout survives, the " +
+       "state partition count matches the option, output ≡ batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingSimilarity
+    val savedConf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val base = corpus(0 until 150)
+      val (coarse, model) = trainedOn(base)
+      val store = ProductQuantizer.encodeIvfStore(
+        base, "vec_id", "embedding", coarse, model).persist()
+      store.count()
+      val storeParts = store.rdd.getNumPartitions
+      assert(storeParts > 2, s"test needs a wide store layout: $storeParts")
+
+      // an UNPERSISTED store must be refused loudly (the 65 s footgun)
+      val bare = ProductQuantizer.encodeIvfStore(
+        base, "vec_id", "embedding", coarse, model)
+      val e = intercept[IllegalArgumentException] {
+        StreamingSimilarity.ivfAdcStream(
+          spark.readStream.schema(base.schema.add("ts", "long"))
+            .parquet(Files.createTempDirectory("graft-sp-x").toString),
+          bare, "vec_id", "embedding", "ts", coarse, model,
+          nprobe = 2, k = 3, statePartitions = Some(2))
+      }
+      assert(e.getMessage.contains("persisted"))
+
+      val t0 = 1_600_000_000_000_000_000L
+      val qs = base.filter($"vec_id" < 10)
+        .select($"vec_id", $"embedding",
+          (lit(t0) + $"vec_id" * lit(1_000_000L)).as("ts"))
+      val flushVec = base.orderBy("vec_id")
+        .select("embedding").head().getSeq[Float](0)
+      val flush = spark.range(1).select(lit(999999999L).as("vec_id"),
+        typedlit(flushVec.toSeq).as("embedding"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = Files.createTempDirectory("graft-sp").toString
+      qs.unionByName(flush).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(tmp).schema).parquet(tmp)
+      val changes = StreamingSimilarity.ivfAdcStream(stream, store,
+        "vec_id", "embedding", "ts", coarse, model, nprobe = 2, k = 3,
+        statePartitions = Some(3))
+      val sink = "sp_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = changes.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the state width is the option's value, not the session default
+      val stateParts = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numShufflePartitions)
+      assert(stateParts.nonEmpty && stateParts.forall(_ == 3L),
+        s"state partitions ${stateParts.toSeq} != 3")
+      // the cached store layout survived the narrowed conf
+      assert(store.rdd.getNumPartitions == storeParts,
+        s"store layout collapsed: ${store.rdd.getNumPartitions}")
+      // and the served rows are the batch derivation's
+      val streamed = spark.table(sink)
+        .select("q_id", "nn_id", "adc_micro", "rank")
+        .collect().map(_.toSeq).toSet
+      spark.catalog.dropTempView(sink)
+      val queries = base.filter($"vec_id" < 10).orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      val batch = ProductQuantizer.ivfAdcTopK(store, "vec_id", coarse,
+          model, queries, k = 3, nprobe = 2)
+        .select(col("q_id"), col("nn_id"),
+          floor(col("dist") * 1e6).cast("long").as("adc_micro"), col("rank"))
+        .collect().map(_.toSeq).toSet
+      store.unpersist()
+      assert(streamed == batch)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedConf)
+  }
+
   test("drift probe: parity on in-distribution arrivals, moves under a planted shift") {
     val base = corpus(0 until 160)
     val (coarse, model) = trainedOn(base)
