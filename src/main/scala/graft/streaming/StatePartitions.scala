@@ -25,18 +25,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object StatePartitions {
 
-  private[streaming] def pin(staticSide: DataFrame, n: Int): Unit = {
+  private[streaming] def pin(staticSide: DataFrame, n: Int): Unit =
+    pinAll(Seq(staticSide), n)
+
+  /** Multi-store form for streams serving from SEVERAL static sides
+    * (the hybrid stream joins a lexical store AND an IVF cell index):
+    * ALL static sides must materialize under the wide conf BEFORE the
+    * conf narrows — pinning them one at a time through [[pin]] would
+    * materialize the second store inside the already-narrowed conf and
+    * collapse its layout, the exact footgun this exists to close.
+    */
+  private[streaming] def pinAll(staticSides: Seq[DataFrame], n: Int): Unit = {
     require(n >= 1, s"statePartitions must be >= 1: $n")
-    require(staticSide.storageLevel != StorageLevel.NONE,
-      "statePartitions requires the static serving store to be " +
-        "persisted first — an unpersisted store would re-plan its " +
-        "cache layout inside the narrowed stream conf and collapse " +
-        "the probe's scan parallelism to the state width")
+    staticSides.foreach { s =>
+      require(s.storageLevel != StorageLevel.NONE,
+        "statePartitions requires the static serving store to be " +
+          "persisted first — an unpersisted store would re-plan its " +
+          "cache layout inside the narrowed stream conf and collapse " +
+          "the probe's scan parallelism to the state width")
+    }
     // materialize NOW, under the current conf: the cached layout's
     // partitioning is fixed at first materialization and survives any
     // later conf change
-    staticSide.count()
-    staticSide.sparkSession.conf
+    staticSides.foreach(_.count())
+    staticSides.head.sparkSession.conf
       .set("spark.sql.shuffle.partitions", n.toString)
     ()
   }

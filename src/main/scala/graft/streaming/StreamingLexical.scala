@@ -50,7 +50,23 @@ object StreamingLexical {
                  k: Int,
                  watermark: String = "10 seconds",
                  windowDur: String = "6 hours",
-                 statePartitions: Option[Int] = None): DataFrame = {
+                 statePartitions: Option[Int] = None): DataFrame =
+    bm25RankedW(queries, store, qIdCol, qTextCol, tsCol, k,
+      watermark, windowDur, statePartitions)
+      .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+        col("q_id"), col("doc_id"), col("score"), col("rank"))
+
+  /** [[bm25Stream]] up to the ranked tier output, KEEPING the window
+    * struct (`w, q_id, doc_id, score, rank`) so a downstream stateful
+    * fusion stage ([[StreamingHybrid]]) can chain another windowed
+    * aggregation on the same event time — the window attribute carries
+    * the event-time tag through the projection.
+    */
+  private[streaming] def bm25RankedW(
+      queries: DataFrame, store: DataFrame,
+      qIdCol: String, qTextCol: String, tsCol: String,
+      k: Int, watermark: String, windowDur: String,
+      statePartitions: Option[Int]): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(queries.sparkSession)
     statePartitions.foreach(StatePartitions.pin(store, _))
@@ -79,7 +95,7 @@ object StreamingLexical {
         .as("top"))
       .select(col("w2"), col("q_id"),
         posexplode(col("top")).as(Seq("pos", "t")))
-      .select(expr("unix_micros(w2.start) * 1000").as("window_ns"),
+      .select(col("w2").as("w"),
         col("q_id"), col("t.id").as("doc_id"),
         negate(col("t.d")).as("score"),
         (col("pos") + 1).cast("int").as("rank"))

@@ -174,7 +174,22 @@ object StreamingSimilarity {
                 vecCol: String, tsCol: String, nProbe: Int, k: Int,
                 watermark: String = "10 seconds",
                 windowDur: String = "6 hours",
-                statePartitions: Option[Int] = None): DataFrame = {
+                statePartitions: Option[Int] = None): DataFrame =
+    ivfRankedW(queries, index, idCol, vecCol, tsCol, nProbe, k,
+      watermark, windowDur, statePartitions)
+      .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+        col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
+
+  /** [[ivfStream]] up to the ranked tier output, KEEPING the window
+    * struct (`w, q_id, neighbor_id, cosine, rank`) so a downstream
+    * stateful fusion stage ([[StreamingHybrid]]) can chain another
+    * windowed aggregation on the same event time.
+    */
+  private[streaming] def ivfRankedW(
+      queries: DataFrame, index: IvfIndex, idCol: String,
+      vecCol: String, tsCol: String, nProbe: Int, k: Int,
+      watermark: String, windowDur: String,
+      statePartitions: Option[Int]): DataFrame = {
     import graft.operators.Similarity
     graft.plans.GraftExtensions.register(queries.sparkSession)
     statePartitions.foreach(StatePartitions.pin(index.cells, _))
@@ -209,7 +224,7 @@ object StreamingSimilarity {
         col("neighbor_id")).as("top"))
       .select(col("w"), col("q_id"),
         posexplode(col("top")).as(Seq("pos", "m")))
-      .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+      .select(col("w"),
         col("q_id"), col("m.id").as("neighbor_id"),
         round(negate(col("m.d")), 6).as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
