@@ -802,6 +802,172 @@ object Lexical {
       k, k1, b)
   }
 
+  // ──────────────────── positional postings / phrase tier ────────────────────
+
+  /** Positional inverted postings: the [[postings]] layout plus
+    * `positions` — the term's 1-based token offsets within the doc,
+    * ascending (`tf` = size(positions), kept as a column so the frame
+    * stays stats-compatible with [[corpusStatsFromPostings]]). Same
+    * SCAN-LOCAL build: a document's (term → positions) map is row-local
+    * state, so the build needs NO shuffle; the empty-text `""` row
+    * stays the dl carrier with positions [1].
+    *
+    * At scale the positions arrays grow the store by Σ tf − Σ distinct
+    * (term, doc) ints — the standard positional-index overhead; persist
+    * partitioned/bucketed by `term` exactly like the non-positional
+    * store so query joins prune.
+    */
+  def postingsPositional(docs: DataFrame, textCol: String,
+                         idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), TextFunctions.tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.flatMap { case (id, toks) =>
+        val dl = toks.length.toLong
+        val m = new java.util.LinkedHashMap[
+          String, scala.collection.mutable.ArrayBuffer[Int]]()
+        var i = 0
+        while (i < toks.length) {
+          m.computeIfAbsent(toks(i),
+            _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += (i + 1)
+          i += 1
+        }
+        val out = Vector.newBuilder[(String, Long, Long, Long, Seq[Int])]
+        m.forEach((t, ps) => out += ((t, id, dl, ps.length.toLong, ps.toSeq)))
+        out.result()
+      })
+      .toDF("term", "doc_id", "dl", "tf", "positions")
+  }
+
+  /** Field-aware positional postings: each field's tokens take
+    * consecutive positions and a `gap` (≥ 1 — Lucene's position-
+    * increment-gap) separates consecutive fields, so a phrase can never
+    * match ACROSS a field boundary: the last token of one field and the
+    * first of the next sit `gap + 1` apart, never adjacent. Fields
+    * tokenize through the SAME [[graft.functions.TextFunctions.tokens]]
+    * column expression as every other lexical surface (no tokenizer
+    * drift); empty tokens are dropped per field, and a document whose
+    * fields are ALL empty keeps a single `""` dl-carrier row
+    * (dl 1, positions [1]) mirroring the single-field convention.
+    * `dl` is the total token count across fields, gaps excluded.
+    */
+  def postingsPositionalFields(docs: DataFrame, fieldCols: Seq[String],
+                               idCol: String, gap: Int = 1): DataFrame = {
+    require(fieldCols.nonEmpty, "postingsPositionalFields needs >= 1 field")
+    require(gap >= 1, s"gap must be >= 1: $gap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"),
+        array(fieldCols.map(f =>
+          filter(TextFunctions.tokens(col(f)), t => t =!= lit(""))): _*))
+      .as[(Long, Seq[Seq[String]])]
+      .mapPartitions(_.map { case (id, fields) =>
+        val m = new java.util.LinkedHashMap[
+          String, scala.collection.mutable.ArrayBuffer[Int]]()
+        var offset = 0
+        var dl = 0L
+        fields.foreach { toks =>
+          var i = 0
+          while (i < toks.length) {
+            m.computeIfAbsent(toks(i),
+              _ => scala.collection.mutable.ArrayBuffer.empty[Int]) +=
+              (offset + i + 1)
+            i += 1
+          }
+          dl += toks.length
+          offset += toks.length + gap
+        }
+        (id, dl, m)
+      }.flatMap { case (id, dl, m) =>
+        if (m.isEmpty) Vector(("", id, 1L, 1L, Seq(1)))
+        else {
+          val out = Vector.newBuilder[(String, Long, Long, Long, Seq[Int])]
+          m.forEach((t, ps) =>
+            out += ((t, id, dl, ps.length.toLong, ps.toSeq)))
+          out.result()
+        }
+      })
+      .toDF("term", "doc_id", "dl", "tf", "positions")
+  }
+
+  /** Exact phrase top-k over a positional postings frame
+    * ([[postingsPositional]] / [[postingsPositionalFields]]): the query
+    * text IS the phrase — its token sequence (empty tokens dropped)
+    * must appear contiguously, in order. Candidates filter by adjacency
+    * BEFORE any scoring: each matched (phrase position j, doc position
+    * pos) pair votes for anchor = pos − j + 1, and a doc position run
+    * exists iff some anchor collects ALL m phrase positions. The phrase
+    * then scores as a pseudo-term — BM25 with tf = the number of
+    * anchors (multi-occurrence counts) and df = the number of docs with
+    * ≥ 1 anchor — through the shared [[rankTail]].
+    *
+    * SCALE SHAPE: the phrase-position frame is query-sized and
+    * broadcasts into the postings join, so only the phrase's terms'
+    * postings ever explode their positions (candidate volume =
+    * Σ tf over those terms — the positional-traversal cost); the anchor
+    * fold and tf count shuffle on candidate keys; df and stats are
+    * query-sized / one row. Nothing corpus-sized crosses the driver or
+    * a broadcast.
+    *
+    * DETERMINISM: anchors/tf/dl/df are exact integers; the one ln
+    * reaches output only through ROUND(_, 6); ranks tie-break doc-id
+    * ascending. A whitespace-only query has no phrase and emits
+    * nothing ([[queryTerms]]'s convention).
+    */
+  def phraseTopKFromPostings(post: DataFrame, queries: DataFrame,
+                             qTextCol: String, qIdCol: String, k: Int,
+                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(post.sparkSession)
+    val stats = corpusStatsFromPostings(post)
+    val ph = queries
+      .select(col(qIdCol).cast("long").as("q_id"),
+        filter(TextFunctions.tokens(col(qTextCol)),
+          t => t =!= lit("")).as("ph"))
+      .filter(size(col("ph")) >= 1)
+    val qpe = ph
+      .select(col("q_id"), size(col("ph")).cast("long").as("m"),
+        posexplode(col("ph")).as(Seq("j0", "term")))
+      .select(col("q_id"), col("m"),
+        (col("j0") + 1).cast("long").as("j"), col("term"))
+    val cand = post.join(broadcast(qpe), Seq("term"))
+      .select(col("q_id"), col("m"), col("doc_id"), col("dl"), col("j"),
+        explode(col("positions")).as("pos"))
+      .withColumn("anchor", col("pos").cast("long") - col("j") + 1)
+    val occ = cand
+      .groupBy("q_id", "doc_id", "dl", "m", "anchor")
+      .agg(count_distinct(col("j")).as("nj"))
+      .filter(col("nj") === col("m"))
+    val ptf = occ.groupBy("q_id", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val pdf = ptf.groupBy("q_id").agg(count(lit(1)).as("df"))
+    val scored = ptf.join(broadcast(pdf), Seq("q_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(
+        bm25Idf(col("n_docs"), col("df")) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))), 6))
+    rankTail(scored, "score", k)
+  }
+
+  /** One-shot convenience: positional postings built inline (persisted
+    * via the rotating site cache — repeated serving should build
+    * [[postingsPositional]] once with caller-managed persistence and
+    * use [[phraseTopKFromPostings]]).
+    */
+  def phraseTopK(docs: DataFrame, textCol: String, idCol: String,
+                 queries: DataFrame, qTextCol: String, qIdCol: String,
+                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = persistRotating("phraseTopK",
+      postingsPositional(docs, textCol, idCol))
+    phraseTopKFromPostings(post, queries, qTextCol, qIdCol, k, k1, b)
+  }
+
   /** The determinism-critical rank tail every batch top-k surface
     * shares: bounded top-k on the (already-rounded) score — d = −score
     * ascending ≡ score descending, ties doc-id ascending, partials

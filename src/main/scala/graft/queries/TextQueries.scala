@@ -1828,6 +1828,74 @@ object TextQueries {
                AS window_ns,
              q_id, doc_id, rrf, CAST(rank AS INT) AS rank
       FROM fr WHERE rank <= 10""")
-    })
+    }),
+
+    // ---- phrase top-k over positional postings (round 16): the query
+    //      text is a PHRASE — its token sequence must appear
+    //      contiguously, in order. Adjacency filters candidates before
+    //      scoring (anchor votes: each (phrase pos j, doc pos) match
+    //      votes pos−j+1; an occurrence is an anchor holding all m
+    //      votes), then the phrase scores as a BM25 pseudo-term (tf =
+    //      anchors, df = matching docs). The oracle replays the ENTIRE
+    //      positional derivation in DuckDB — positions, anchor
+    //      arithmetic, the distinct-j fold, tf/df, the scoring — over
+    //      the same parquet. Queries: the first-2-token bigram of every
+    //      100th document.
+    Q("q190_phrase_topk", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 2))
+            .as("qtext"))
+      operators.Lexical.phraseTopK(docs, "text", "doc_id",
+        qs, "qtext", "q_id", k = 5)
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      pp0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(list_transform(range(1, len(toks) + 1),
+                 i -> struct_pack(pos := i, term := toks[i]))) AS u
+             FROM tk),
+      pp AS (SELECT doc_id, dl, CAST(u.pos AS BIGINT) AS pos, u.term AS term
+             FROM pp0),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      qp0 AS (SELECT doc_id AS q_id, list_filter(toks[1:2], t -> t <> '') AS ph
+              FROM tk WHERE doc_id % 100 = 0),
+      qp1 AS (SELECT q_id, CAST(len(ph) AS BIGINT) AS m,
+                unnest(list_transform(range(1, len(ph) + 1),
+                  j -> struct_pack(j := j, term := ph[j]))) AS u
+              FROM qp0 WHERE len(ph) >= 1),
+      qpe AS (SELECT q_id, m, CAST(u.j AS BIGINT) AS j, u.term AS term
+              FROM qp1),
+      an AS (SELECT qpe.q_id, qpe.m, pp.doc_id, pp.dl,
+               pp.pos - qpe.j + 1 AS anchor, qpe.j
+             FROM pp JOIN qpe USING (term)),
+      occ AS (SELECT q_id, doc_id, dl, anchor
+              FROM an GROUP BY q_id, doc_id, dl, m, anchor
+              HAVING COUNT(DISTINCT j) = m),
+      ptf AS (SELECT q_id, doc_id, dl, COUNT(*) AS tf
+              FROM occ GROUP BY 1, 2, 3),
+      pdf AS (SELECT q_id, COUNT(*) AS df FROM ptf GROUP BY 1),
+      sc AS (SELECT p.q_id, p.doc_id,
+               ROUND(ln(CAST(1.0 AS DOUBLE)
+                   + (CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE))
+                     / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)), 6) AS score
+             FROM ptf p JOIN pdf d USING (q_id) CROSS JOIN st),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5"""))
   )
 }
