@@ -1830,6 +1830,151 @@ object TextQueries {
       FROM fr WHERE rank <= 10""")
     }),
 
+    // ---- streaming hybrid CombMNZ (round 16): q189's two live tiers
+    //      fused in SCORE space — min–max normalization per (tier,
+    //      query, window) derives from one extra windowed collect
+    //      (rank windows don't exist on streams; the extrema read off
+    //      the ≤ kTier array scan-locally), then the q186 CombMNZ fold
+    //      and bounded top-k. Oracle: the q189 tier replays composed
+    //      with the q186 fusion, window-stamped.
+    Q("q191_stream_hybrid_comb", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val store = operators.Lexical.bm25Store(docs, "text", "doc_id")
+        .persist()
+      store.count()
+      val index = graft.streaming.StreamingSimilarity.ivfIndex(
+        emb, "vec_id", "embedding", nCells = 16)
+      index.cells.persist().count()
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+        .join(emb.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_vec")), Seq("q_id"))
+        .select(col("q_id"), col("qtext"), col("q_vec"),
+          (lit(t0) + col("q_id") * lit(1_000_000L)).as("ts"))
+      val flushVec = emb.orderBy("vec_id")
+        .select("embedding").head().getSeq[Float](0) // 1 row: flush payload
+      val flush = s.range(1).select(lit(999999999L).as("q_id"),
+        lit("zzflushzz").as("qtext"), typedLit(flushVec).as("q_vec"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = Scratch.tempDir("graft-q191").toString
+      qs.unionByName(flush).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .parquet(tmp)
+      val out = graft.streaming.StreamingHybrid.combStream(
+        stream, store, index, "q_id", "qtext", "q_vec", "ts",
+        nProbe = 3, kTier = 10, k = 10, mnz = true)
+      val sink = "q191_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(sink).filter(col("q_id") < 999999999L)
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      store.unpersist()
+      index.cells.unpersist()
+      res
+    }, {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def cosSql(a: String, b: String) =
+        s"(${dot(a, b)} / (SQRT(${dot(a, a)}) * SQRT(${dot(b, b)})))"
+      Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      p0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term FROM tk),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      lcand AS (SELECT qt.q_id, p.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)) AS contrib
+               FROM p JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN st),
+      lsc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM lcand GROUP BY 1, 2),
+      lexr0 AS (SELECT q_id, doc_id, score,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, doc_id ASC) AS rank
+                FROM lsc),
+      lexr AS (SELECT q_id, doc_id, score FROM lexr0 WHERE rank <= 10),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+               embedding AS c_vec
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      asgn AS (
+        SELECT vec_id, embedding, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cell_id ASC) AS rn
+        FROM (SELECT e.vec_id, e.embedding, c.cell_id,
+                     ${cosSql("c.c_vec", "e.embedding")} AS cos
+              FROM embeddings e CROSS JOIN cent c)),
+      cells AS (SELECT vec_id, embedding, cell_id FROM asgn WHERE rn = 1),
+      probes AS (
+        SELECT q_id, q_vec, cell_id FROM (
+          SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${cosSql("c.c_vec", "q.embedding")} DESC, c.cell_id ASC) AS rn
+          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 100 = 0)
+        WHERE rn <= 3),
+      dcand AS (
+        SELECT p.q_id, p.q_vec, n.vec_id AS neighbor_id, n.embedding AS n_vec
+        FROM probes p JOIN cells n USING (cell_id) WHERE n.vec_id <> p.q_id),
+      denr0 AS (
+        SELECT q_id, neighbor_id AS doc_id, ROUND(cos, 6) AS score,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM (SELECT q_id, neighbor_id, ${cosSql("q_vec", "n_vec")} AS cos
+              FROM dcand)),
+      denr AS (SELECT q_id, doc_id, score FROM denr0 WHERE rank <= 10),
+      u AS (SELECT q_id, doc_id, 0 AS src, score AS s FROM lexr
+            UNION ALL
+            SELECT q_id, doc_id, 1 AS src, score AS s FROM denr),
+      nm AS (SELECT q_id, doc_id, src, s,
+               min(s) OVER (PARTITION BY src, q_id) AS mn,
+               max(s) OVER (PARTITION BY src, q_id) AS mx
+             FROM u),
+      nn AS (SELECT q_id, doc_id, src,
+               CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+                    ELSE (s - mn) / (mx - mn) END AS norm
+             FROM nm),
+      f AS (SELECT q_id, doc_id,
+              ROUND(list_aggregate(list(norm ORDER BY src), 'sum')
+                    * CAST(COUNT(*) AS DOUBLE), 6) AS comb
+            FROM nn GROUP BY 1, 2),
+      fr AS (SELECT q_id, doc_id, comb,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY comb DESC, doc_id ASC) AS rank
+             FROM f)
+      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+               AS window_ns,
+             q_id, doc_id, comb, CAST(rank AS INT) AS rank
+      FROM fr WHERE rank <= 10""")
+    }),
+
     // ---- phrase top-k over positional postings (round 16): the query
     //      text is a PHRASE — its token sequence must appear
     //      contiguously, in order. Adjacency filters candidates before
@@ -1896,6 +2041,6 @@ object TextQueries {
                 ORDER BY score DESC, doc_id ASC) AS rank
             FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
-      FROM r WHERE rank <= 5"""))
+      FROM r WHERE rank <= 5"""), headline = true)
   )
 }

@@ -91,4 +91,75 @@ object StreamingHybrid {
         negate(col("t.d")).as("rrf"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** Score-space streaming fusion — the [[graft.operators.Lexical.combFuse]]
+    * semantics (Fox & Shaw SIGIR'94 CombSUM / CombMNZ with Lee SIGIR'97
+    * min–max normalization) on the same two live tiers. Rank windows
+    * don't exist on streams, so the per-(tier, query, window) min–max
+    * derives from ONE more windowed aggregation: each tier's ranked
+    * rows collect into a ≤ kTier array per (window, query, tier), the
+    * extrema read off the array scan-locally, and the normalized rows
+    * explode back out — bit-identical to the batch window form (same
+    * extrema, same one fixed-order rational normalization per row).
+    * The fold and top-k then mirror [[rrfStream]]. State stays
+    * query-sized: ≤ kTier entries per (window, query, tier) in the
+    * collect stage, ≤ k after.
+    *
+    * Output (append changelog): `window_ns, q_id, doc_id, comb, rank`.
+    */
+  def combStream(queries: DataFrame, store: DataFrame,
+                 index: StreamingSimilarity.IvfIndex,
+                 qIdCol: String, qTextCol: String, qVecCol: String,
+                 tsCol: String, nProbe: Int, kTier: Int, k: Int,
+                 mnz: Boolean = false,
+                 watermark: String = "10 seconds",
+                 windowDur: String = "6 hours",
+                 statePartitions: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(kTier >= 1, s"kTier must be >= 1: $kTier")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    statePartitions.foreach(n =>
+      StatePartitions.pinAll(Seq(store, index.cells), n))
+    val lex = StreamingLexical.bm25RankedW(queries, store,
+        qIdCol, qTextCol, tsCol, kTier, watermark, windowDur, None)
+      .select(col("w"), col("q_id"), col("doc_id"),
+        lit(0).as("src"), col("score").cast("double").as("s"))
+    val den = StreamingSimilarity.ivfRankedW(queries, index,
+        qIdCol, qVecCol, tsCol, nProbe, kTier, watermark, windowDur, None)
+      .select(col("w"), col("q_id"), col("neighbor_id").as("doc_id"),
+        lit(1).as("src"), col("cosine").cast("double").as("s"))
+    val normed = lex.unionByName(den)
+      .groupBy(window(col("w"), windowDur).as("w2"),
+        col("q_id"), col("src"))
+      .agg(collect_list(struct(col("doc_id"), col("s"))).as("rs"))
+      .withColumn("mn", array_min(transform(col("rs"), r => r.getField("s"))))
+      .withColumn("mx", array_max(transform(col("rs"), r => r.getField("s"))))
+      .select(col("w2"), col("q_id"), col("src"), col("mn"), col("mx"),
+        explode(col("rs")).as("r"))
+      .select(col("w2"), col("q_id"), col("src"),
+        col("r.doc_id").as("doc_id"),
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col("r.s") - col("mn")) / (col("mx") - col("mn")))
+          .as("norm"))
+    val fused = normed
+      .groupBy(window(col("w2"), windowDur).as("w3"),
+        col("q_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("src"), col("norm"))))
+        .as("cs"))
+      .withColumn("fsum",
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("norm")))
+      .withColumn("comb",
+        round(if (mnz) col("fsum") * size(col("cs")).cast("double")
+              else col("fsum"), 6))
+    fused
+      .groupBy(window(col("w3"), windowDur).as("w4"), col("q_id"))
+      .agg(TopK.topKNative(k, negate(col("comb")), col("doc_id")).as("top"))
+      .select(col("w4"), col("q_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(expr("unix_micros(w4.start) * 1000").as("window_ns"),
+        col("q_id"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as("comb"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

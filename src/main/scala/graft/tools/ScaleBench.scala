@@ -2095,6 +2095,114 @@ object ScaleBench {
           math.max(1L, foldPruned).toDouble)}}"""
     }.getOrElse("")
 
+    // BM25F with field-SKEWED lengths (env GRAFT_SCALE_BM25FSKEW=
+    // <docs>,<queries>[,<k>]): the q183 surface under the realistic
+    // title≪body regime — title length VARIES per doc (1–5 tokens,
+    // hash-drawn; avg 3) and body is the remainder (~27–56), so the
+    // per-field avgdl normalization actually decides scores (a short
+    // title hit saturates far faster than the same tf in the body).
+    // Recorded per scale: the field-fold's input volume (multi-field
+    // postings rows — the one candidate-volume shuffle) and both
+    // fields' avgdl; the decade claim is fold input ×10 with the wall
+    // following it (shuffle COUNT is fixed by the plan, so linear
+    // volume growth is the whole story).
+    val bm25fSkewJson = sys.env.get("GRAFT_SCALE_BM25FSKEW").map { sN =>
+      import graft.functions.TextFunctions
+      import graft.operators.Lexical
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_BM25FSKEW='$sN' — expected '<docs>,<queries>[,<k>]'")
+      val (nd, nq) = (parts(0), parts(1))
+      val k = if (parts.length > 2) parts(2).toInt else 10
+      val rawDir = s"$root/bm25fskew_docs_$nd"
+      synthDocs(spark, nd).write.mode("overwrite").parquet(rawDir)
+      val d = spark.read.parquet(rawDir)
+      val fd = d
+        .select(col("doc_id"),
+          (pmod(xxhash64(lit("tl"), col("doc_id")), lit(5L)) + 1L)
+            .cast("int").as("_tl"),
+          TextFunctions.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("_toks"), lit(1), col("_tl")))
+            .as("title"),
+          concat_ws(" ", slice(col("_toks"), col("_tl") + 1,
+            size(col("_toks")))).as("body"))
+      val fields = Seq(Lexical.FieldSpec("title", 2.0, 0.75),
+        Lexical.FieldSpec("body", 1.0, 0.75))
+      val every = math.max(1L, nd / nq)
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext")).persist()
+      val nQs = qs.count()
+      val t0 = System.nanoTime()
+      val rows = Lexical.bm25fTopK(fd, fields, "doc_id",
+        qs, "qtext", "q_id", k = k).count()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      // fold input volume + the skew itself, off one postings build
+      val pf = Lexical.postingsFields(fd, fields, "doc_id").persist()
+      val foldRows = pf.count()
+      val avg = Lexical.fieldStatsFromPostings(pf)
+        .orderBy("field").collect()
+      pf.unpersist()
+      qs.unpersist()
+      spark.catalog.clearCache()
+      s""","bm25fskew":{"docs":$nd,"queries":$nQs,"k":$k,""" +
+        s""""s":${fmt(wallS)},"rows":$rows,"fold_rows":$foldRows,""" +
+        s""""title_avgdl":${fmt(avg(0).getDouble(2))},""" +
+        s""""body_avgdl":${fmt(avg(1).getDouble(2))}}"""
+    }.getOrElse("")
+
+    // Phrase top-k over positional postings (env GRAFT_SCALE_PHRASE=
+    // <docs>,<queries>[,<k>]): the q190 surface at scale — bigram
+    // phrases (tokens 1–2 of every nd/nq-th doc) against the
+    // positional store. Recorded: the positional store build (the
+    // positions arrays are the standard index overhead — row count
+    // matches the flat store, each row fatter by tf ints), the
+    // adjacency candidate volume (positions exploded across the
+    // phrase's terms' postings — the positional-traversal cost and the
+    // anchor fold's shuffle input), and the serve wall.
+    val phraseJson = sys.env.get("GRAFT_SCALE_PHRASE").map { sN =>
+      import graft.functions.TextFunctions
+      import graft.operators.Lexical
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_PHRASE='$sN' — expected '<docs>,<queries>[,<k>]'")
+      val (nd, nq) = (parts(0), parts(1))
+      val k = if (parts.length > 2) parts(2).toInt else 10
+      val rawDir = s"$root/phrase_docs_$nd"
+      synthDocs(spark, nd).write.mode("overwrite").parquet(rawDir)
+      val d = spark.read.parquet(rawDir)
+      val b0 = System.nanoTime()
+      val post = Lexical.postingsPositional(d, "text", "doc_id")
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      val postRows = post.count()
+      val buildS = (System.nanoTime() - b0) / 1e9
+      val every = math.max(1L, nd / nq)
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 2))
+            .as("qtext")).persist()
+      val nQs = qs.count()
+      val t1 = System.nanoTime()
+      val rows = Lexical.phraseTopKFromPostings(post,
+        qs, "qtext", "q_id", k = k).count()
+      val serveS = (System.nanoTime() - t1) / 1e9
+      // adjacency candidate volume: positions exploded over the
+      // phrase terms' postings — the anchor fold's exchange input
+      val qpe = qs.select(col("q_id"),
+        explode(TextFunctions.tokens(col("qtext"))).as("term"))
+      val candRows = post.join(broadcast(qpe), Seq("term"))
+        .select(col("q_id"), col("doc_id"),
+          explode(col("positions")).as("pos"))
+        .count()
+      post.unpersist(); qs.unpersist()
+      s""","phrase":{"docs":$nd,"queries":$nQs,"k":$k,""" +
+        s""""post_rows":$postRows,"build_s":${fmt(buildS)},""" +
+        s""""cand_rows":$candRows,"serve_s":${fmt(serveS)},""" +
+        s""""rows":$rows}"""
+    }.getOrElse("")
+
     // Factored lexical generation refresh (env GRAFT_SCALE_LEXGEN=
     // <docs>,<arrivalPermille>): the q182 loop at scale — the claim
     // under test is that the DELTA path's wall is ARRIVAL-sized where
@@ -3247,7 +3355,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bm25fSkewJson$phraseJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:

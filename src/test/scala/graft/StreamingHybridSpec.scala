@@ -92,6 +92,42 @@ class StreamingHybridSpec extends SparkSpec {
       batch.map(r => (r._1, r._2, r._3, r._4)))
     // q102 shares no lexical term: its fused rows are dense-only
     assert(got.exists(_._2 == 102L))
+
+    // score-space fusion over the same tiers: combStream ≡ batch
+    // combFuse (CombMNZ — normalization extrema per (tier, query,
+    // window) must match the batch window form bit for bit)
+    val outC = StreamingHybrid.combStream(
+      spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp),
+      store, index, "q_id", "qtext", "q_vec", "ts",
+      nProbe = 2, kTier = 3, k = 3, mnz = true)
+    val sinkC = "hybridcomb_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val qc = outC.writeStream.format("memory").queryName(sinkC)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination()
+    val gotC = spark.table(sinkC)
+      .filter(col("q_id") < 999_999_999L)
+      .select("window_ns", "q_id", "doc_id", "comb", "rank")
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+      .sortBy(r => (r._2, r._5))
+    spark.catalog.dropTempView(sinkC)
+
+    val lexS = Lexical.bm25TopK(docs, "text", "doc_id",
+        batchQs, "qtext", "q_id", k = 3)
+      .select("q_id", "doc_id", "score")
+    val denS = Similarity.ivfTopKWith(vecs,
+        batchQs.select(col("q_id").as("doc_id"), col("vec")),
+        "doc_id", "vec", index.centroids, nProbe = 2, k = 3)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("cosine").as("score"))
+    val batchC = Lexical.combFuse(Seq(lexS, denS), k = 3, mnz = true)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+      .sortBy(r => (r._1, r._4))
+
+    assert(gotC.nonEmpty)
+    assert(gotC.forall(_._1 == windowNs))
+    assert(gotC.map(r => (r._2, r._3, r._4, r._5)) ==
+      batchC.map(r => (r._1, r._2, r._3, r._4)))
     store.unpersist()
     index.cells.unpersist()
   }
