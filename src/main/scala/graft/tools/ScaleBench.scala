@@ -2188,19 +2188,132 @@ object ScaleBench {
       val rows = Lexical.phraseTopKFromPostings(post,
         qs, "qtext", "q_id", k = k).count()
       val serveS = (System.nanoTime() - t1) / 1e9
-      // adjacency candidate volume: positions exploded over the
-      // phrase terms' postings — the anchor fold's exchange input
+      // adjacency candidate volume: positions exploded over the phrase
+      // terms' postings — the NAIVE anchor-fold input (cand_rows_all) —
+      // vs the document-at-a-time intersected slice the operator
+      // actually explodes (cand_rows: docs containing every phrase
+      // position's term)
       val qpe = qs.select(col("q_id"),
-        explode(TextFunctions.tokens(col("qtext"))).as("term"))
-      val candRows = post.join(broadcast(qpe), Seq("term"))
+        posexplode(TextFunctions.tokens(col("qtext")))
+          .as(Seq("j0", "term")))
+      val matched = post.join(broadcast(qpe), Seq("term")).persist()
+      val candAll = matched
         .select(col("q_id"), col("doc_id"),
           explode(col("positions")).as("pos"))
         .count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id", "doc_id")
+      val candPruned = matched
+        .withColumn("nterms", size(collect_set(col("j0")).over(w)))
+        .filter(col("nterms") === 2)
+        .select(col("q_id"), col("doc_id"),
+          explode(col("positions")).as("pos"))
+        .count()
+      matched.unpersist()
       post.unpersist(); qs.unpersist()
       s""","phrase":{"docs":$nd,"queries":$nQs,"k":$k,""" +
         s""""post_rows":$postRows,"build_s":${fmt(buildS)},""" +
-        s""""cand_rows":$candRows,"serve_s":${fmt(serveS)},""" +
-        s""""rows":$rows}"""
+        s""""cand_rows_all":$candAll,"cand_rows":$candPruned,""" +
+        s""""serve_s":${fmt(serveS)},"rows":$rows}"""
+    }.getOrElse("")
+
+    // Streaming hybrid fusion (env GRAFT_SCALE_HYBRIDSTREAM=
+    // <docs>,<queries>[,<k>]): ONE query stream against BOTH serving
+    // stores — the BM25 contribution store and the IVF cell index —
+    // fused per window with RRF inside one streaming query (q189's
+    // four-deep stateful chain), vs the batch fusion of the batch
+    // tiers over the SAME stores. Row-identity is asserted (stream ≡
+    // batch is the contract, not a sample); the recorded gap is the
+    // micro-batch machinery cost on top of two tier probes whose
+    // plans the stream shares with batch.
+    val hybridStreamJson = sys.env.get("GRAFT_SCALE_HYBRIDSTREAM").map { sN =>
+      import graft.functions.TextFunctions
+      import graft.operators.{Lexical, Similarity}
+      import graft.streaming.{StreamingHybrid, StreamingSimilarity}
+      import org.apache.spark.sql.streaming.Trigger
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_HYBRIDSTREAM='$sN' — expected '<docs>,<queries>[,<k>]'")
+      val (nd, nq) = (parts(0), parts(1))
+      val k = if (parts.length > 2) parts(2).toInt else 10
+      val nCells = 64
+      val nProbe = 4
+      val docsDir = s"$root/hybrid_docs_$nd"
+      val vecsDir = s"$root/hybrid_vecs_$nd"
+      synthDocs(spark, nd).write.mode("overwrite").parquet(docsDir)
+      val (vraw, corpusTag) = embCorpus(spark, nd)
+      vraw.write.mode("overwrite").parquet(vecsDir)
+      val d = spark.read.parquet(docsDir)
+      val v = spark.read.parquet(vecsDir)
+      val b0 = System.nanoTime()
+      val store = Lexical.bm25Store(d, "text", "doc_id")
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      store.count()
+      val index = StreamingSimilarity.ivfIndex(
+        v, "doc_id", "embedding", nCells)
+      index.cells.persist().count()
+      val buildS = (System.nanoTime() - b0) / 1e9
+      val every = math.max(1L, nd / nq)
+      val t0ns = 1_600_000_000_000_000_000L
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+        .join(v.select(col("doc_id").as("q_id"),
+          col("embedding").as("q_vec")), Seq("q_id"))
+        .select(col("q_id"), col("qtext"), col("q_vec"),
+          (lit(t0ns) + col("q_id")).as("ts")).persist()
+      val nQs = qs.count()
+      // batch control: fusion of the batch tiers off the same stores
+      val t1 = System.nanoTime()
+      val lex = Lexical.bm25TopKFromContribStore(store,
+          qs, "qtext", "q_id", k = k)
+        .select("q_id", "doc_id", "rank")
+      val den = Similarity.ivfTopKWith(v,
+          qs.select(col("q_id").as("doc_id"), col("q_vec").as("embedding")),
+          "doc_id", "embedding", index.centroids, nProbe, k)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val batch = Lexical.rrfFuse(Seq(lex, den), k = k).persist()
+      val batchRows = batch.count()
+      val batchS = (System.nanoTime() - t1) / 1e9
+      // stream: same queries arrive as files, AvailableNow to drain
+      val flushVec = v.orderBy("doc_id")
+        .select("embedding").head().getSeq[Float](0)
+      val flush = spark.range(1).select(lit(3_000_000_000L).as("q_id"),
+        lit("zzflushzz").as("qtext"), typedLit(flushVec).as("q_vec"),
+        lit(t0ns + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val qDir = s"$root/hybrid_qs_$nd"
+      qs.unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(qDir)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val t2 = System.nanoTime()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(qDir).schema).parquet(qDir)
+      val out = StreamingHybrid.rrfStream(stream, store, index,
+        "q_id", "qtext", "q_vec", "ts", nProbe, kTier = k, k = k,
+        statePartitions = Some(4))
+      val sink = "hybridscale_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamS = (System.nanoTime() - t2) / 1e9
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val got = spark.table(sink)
+        .filter(col("q_id") < 3_000_000_000L)
+        .select("q_id", "doc_id", "rrf", "rank").persist()
+      val gotRows = got.count()
+      val agree = got.intersect(batch).count()
+      require(agree == batchRows && gotRows == batchRows,
+        s"hybrid stream diverged from batch fusion: " +
+          s"$agree/$batchRows/$gotRows")
+      spark.catalog.dropTempView(sink)
+      got.unpersist(); batch.unpersist()
+      store.unpersist(); index.cells.unpersist(); qs.unpersist()
+      s""","hybridstream":{"docs":$nd,"queries":$nQs,"k":$k,""" +
+        s""""cells":$nCells,"nprobe":$nProbe,"corpus_tag":"$corpusTag",""" +
+        s""""build_s":${fmt(buildS)},"batch_s":${fmt(batchS)},""" +
+        s""""stream_s":${fmt(streamS)},"rows":$gotRows}"""
     }.getOrElse("")
 
     // Factored lexical generation refresh (env GRAFT_SCALE_LEXGEN=
@@ -3355,7 +3468,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bm25fSkewJson$phraseJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bm25fSkewJson$phraseJson$hybridStreamJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:
