@@ -984,6 +984,174 @@ object Lexical {
     phraseTopKFromPostings(post, queries, qTextCol, qIdCol, k, k1, b)
   }
 
+  /** Sequential-dependence proximity ranking (Metzler & Croft,
+    * SIGIR'05 — the MRF sequential-dependence model), with BM25
+    * feature weighting over a positional postings frame
+    * ([[postingsPositional]] / [[postingsPositionalFields]]):
+    *
+    *   score(q, d) = λT · Σ_j idf(df_j)   · sat(tf_j,  dl)    unigrams
+    *              + λO · Σ_i idf(df_o_i) · sat(tf_o_i, dl)    ordered
+    *              + λU · Σ_i idf(df_u_i) · sat(tf_u_i, dl)    unordered
+    *
+    * j walks the query's token positions IN ORDER (a duplicated query
+    * term scores once per position — the model's Σ over query terms),
+    * i walks adjacent pairs (w_i, w_i+1). Feature frequencies are the
+    * classic Indri operators: tf_o = #1(w_i w_i+1) (exact ordered
+    * adjacency count), tf_u = #uwN(w_i, w_i+1) (co-occurrence PAIRS at
+    * distinct positions within `window` N, i.e. |p1 − p2| < N, any
+    * order). Where the paper weights features with Dirichlet language
+    * models, this surface weights every feature with the engine's BM25
+    * form — idf × sat in the FACTORED association (the
+    * [[bm25TopKFromFactoredStore]] convention): unigram dfs come from
+    * the store's document frequencies; pair-feature dfs are the count
+    * of docs with the feature present, discovered on the candidate set
+    * the pair computation already builds (a pair df is only defined
+    * against docs holding both terms — exactly the candidates).
+    *
+    * SCALE SHAPE: query side (terms × per-term df × idf, then
+    * per-(query, pair) feature idfs) is vocabulary-semi-joined down to
+    * query size BEFORE any broadcast; the one candidate-volume shuffle
+    * is the packed per-(query, doc) fold (Σ df over the query's terms,
+    * positions packed — never exploded); pair features compute
+    * scan-locally from the ≤ m packed entries (O(m²) array probes per
+    * candidate, m = query length); pair dfs are a query-sized
+    * aggregate; the final scoring join broadcasts the query-sized idf
+    * table back onto the packed frame. Nothing corpus-sized crosses
+    * the driver or a broadcast.
+    *
+    * DETERMINISM: tf/df are exact integers; unigram contributions fold
+    * in query-position order, pair contributions in pair-index order
+    * (zero-valued entries add +0.0 — exact identity, so the oracle may
+    * fold only the present features); the three sums combine in the
+    * λT + λO + λU written order and ROUND(_, 6) before ranking; ranks
+    * tie-break doc-id ascending. Whitespace-only queries emit nothing.
+    *
+    * The packed fold persists via the rotating site cache (its two
+    * consumers — pair-df discovery and scoring — must not recompute
+    * the candidate shuffle); repeated serving should persist the
+    * positional postings with caller-managed persistence and call this
+    * form directly.
+    */
+  def sdmTopKFromPostings(post: DataFrame, queries: DataFrame,
+                          qTextCol: String, qIdCol: String, k: Int,
+                          lambdaT: Double = 0.85, lambdaO: Double = 0.1,
+                          lambdaU: Double = 0.05, window: Int = 8,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(window >= 2, s"unordered window must be >= 2: $window")
+    graft.plans.GraftExtensions.register(post.sparkSession)
+    val stats = corpusStatsFromPostings(post)
+    val dfreq = docFreq(post)
+    val ph = queries
+      .select(col(qIdCol).cast("long").as("q_id"),
+        filter(TextFunctions.tokens(col(qTextCol)),
+          t => t =!= lit("")).as("ph"))
+      .filter(size(col("ph")) >= 1)
+    val qpe = ph
+      .select(col("q_id"), size(col("ph")).cast("long").as("m"),
+        posexplode(col("ph")).as(Seq("j0", "term")))
+      .select(col("q_id"), col("m"),
+        (col("j0") + 1).cast("long").as("j"), col("term"))
+    // unigram idf rides the query side (vocab df semi-joined down to
+    // the query's terms, ln computed once per (query, position) —
+    // never per candidate); a term absent from the corpus drops here,
+    // which IS its score: tf = 0 in every doc.
+    val qT = qpe.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_t", bm25Idf(col("n_docs"), col("df")))
+      .select(col("term"), col("q_id"), col("m"), col("j"),
+        col("idf_t"), col("n_docs"), col("avgdl"))
+    val packed = persistRotating("sdmTopKFromPostings",
+      post.join(broadcast(qT), Seq("term"))
+        .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+          col("n_docs"), col("avgdl"))
+        .agg(sort_array(collect_list(struct(col("j"), col("tf"),
+          col("idf_t"), col("positions")))).as("es"))
+        // pair features scan-local off the packed entries: for i in
+        // 1..m−1 (computed over 1..m, then sliced — sequence() cannot
+        // express an empty 1..0 range type-stably), look up entries
+        // j = i and j = i+1 and count ordered / windowed co-occurrence
+        // position pairs.
+        .withColumn("pairs", slice(transform(
+          sequence(lit(1L), col("m")),
+          i => {
+            val e1 = get(filter(col("es"),
+              e => e.getField("j") === i), lit(0))
+            val e2 = get(filter(col("es"),
+              e => e.getField("j") === i + 1), lit(0))
+            val tfO = size(filter(e1.getField("positions"),
+              p => array_contains(e2.getField("positions"), p + 1)))
+            val tfU = aggregate(e1.getField("positions"), lit(0),
+              (acc, p1) => acc + size(filter(e2.getField("positions"),
+                p2 => p2 =!= p1 && abs(p2 - p1) < lit(window))))
+            struct(i.as("i"),
+              coalesce(tfO.cast("long"), lit(0L)).as("tfo"),
+              coalesce(tfU.cast("long"), lit(0L)).as("tfu"))
+          }), lit(1), (col("m") - 1).cast("int"))))
+    // pair-feature dfs: query-sized aggregate over the candidates that
+    // hold the feature, idfs computed HERE (once per (query, pair)),
+    // folded into a per-query lookup array for the broadcast back.
+    val dfs = packed
+      .select(col("q_id"), explode(col("pairs")).as("pr"))
+      .select(col("q_id"), col("pr.i").as("i"),
+        col("pr.tfo").as("tfo"), col("pr.tfu").as("tfu"))
+      .filter(col("tfo") > 0 || col("tfu") > 0)
+      .groupBy("q_id", "i")
+      .agg(sum(when(col("tfo") > 0, 1L).otherwise(0L)).as("df_o"),
+        sum(when(col("tfu") > 0, 1L).otherwise(0L)).as("df_u"))
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .select(col("q_id"), col("i"),
+        bm25Idf(col("n_docs"), col("df_o")).as("idf_o"),
+        bm25Idf(col("n_docs"), col("df_u")).as("idf_u"))
+      .groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("i"), col("idf_o"),
+        col("idf_u")))).as("ids"))
+    val scored = packed
+      .join(broadcast(dfs), Seq("q_id"), "left")
+      .withColumn("s_t", aggregate(col("es"), lit(0.0),
+        (acc, e) => acc + e.getField("idf_t") *
+          satCol(e.getField("tf"), col("dl"), col("avgdl"), k1, b)))
+      .withColumn("s_o", aggregate(col("pairs"), lit(0.0),
+        (acc, pr) => {
+          val idf = get(filter(col("ids"),
+            x => x.getField("i") === pr.getField("i")), lit(0))
+            .getField("idf_o")
+          acc + when(pr.getField("tfo") > 0,
+            idf * satCol(pr.getField("tfo"), col("dl"), col("avgdl"),
+              k1, b)).otherwise(lit(0.0))
+        }))
+      .withColumn("s_u", aggregate(col("pairs"), lit(0.0),
+        (acc, pr) => {
+          val idf = get(filter(col("ids"),
+            x => x.getField("i") === pr.getField("i")), lit(0))
+            .getField("idf_u")
+          acc + when(pr.getField("tfu") > 0,
+            idf * satCol(pr.getField("tfu"), col("dl"), col("avgdl"),
+              k1, b)).otherwise(lit(0.0))
+        }))
+      .withColumn("score", round(
+        lit(lambdaT) * col("s_t") + lit(lambdaO) * col("s_o") +
+          lit(lambdaU) * col("s_u"), 6))
+    rankTail(scored, "score", k)
+  }
+
+  /** One-shot convenience: positional postings built inline (persisted
+    * via the rotating site cache — repeated serving should build
+    * [[postingsPositional]] once with caller-managed persistence and
+    * use [[sdmTopKFromPostings]]).
+    */
+  def sdmTopK(docs: DataFrame, textCol: String, idCol: String,
+              queries: DataFrame, qTextCol: String, qIdCol: String,
+              k: Int,
+              lambdaT: Double = 0.85, lambdaO: Double = 0.1,
+              lambdaU: Double = 0.05, window: Int = 8,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = persistRotating("sdmTopK",
+      postingsPositional(docs, textCol, idCol))
+    sdmTopKFromPostings(post, queries, qTextCol, qIdCol, k,
+      lambdaT, lambdaO, lambdaU, window, k1, b)
+  }
+
   /** The determinism-critical rank tail every batch top-k surface
     * shares: bounded top-k on the (already-rounded) score — d = −score
     * ascending ≡ score descending, ties doc-id ascending, partials

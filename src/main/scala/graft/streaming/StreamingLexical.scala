@@ -100,4 +100,112 @@ object StreamingLexical {
         negate(col("t.d")).as("score"),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** Streaming exact-phrase serving — a live query stream against a
+    * static positional postings store
+    * ([[graft.operators.Lexical.postingsPositional]] /
+    * `postingsPositionalFields`): the phrase twin of [[bm25Stream]].
+    * Each arriving query IS a phrase; its top-k (the batch
+    * [[graft.operators.Lexical.phraseTopKFromPostings]] rows bit for
+    * bit — same packed adjacency fold, same pseudo-term BM25, same
+    * ROUND-6 + doc-id tiebreak) emits when the watermark closes the
+    * window.
+    *
+    * Two chained windowed aggregations: the first is the packed
+    * per-(query, doc) fold — state is ≤ m (phrase length) packed
+    * (j, positions) entries per candidate doc, the candidate set
+    * bounded by Σ df over the phrase's terms (the positional-
+    * traversal cost every exact phrase matcher pays). The second
+    * collects the SURVIVING matches per query — state is df(phrase)
+    * entries of three longs each, which is intrinsic: the phrase's
+    * document frequency decides the idf, so no exact scorer can rank
+    * any doc before the window has seen every match. (Contrast
+    * [[bm25Stream]], whose per-term dfs are store-precomputed and the
+    * second agg clamps at k.) Exact-phrase dfs are tiny in practice;
+    * a phrase matching a large fraction of the corpus degenerates to
+    * corpus-sized state — the same degenerate input makes the batch
+    * fold's final shuffle corpus-sized too.
+    *
+    * Corpus stats ride the STATIC side: `stats` (one row) cross-joins
+    * the store before the stream-static term join, so no streaming
+    * cross-join is ever planned and the constants reach the fold as
+    * ordinary grouping keys.
+    *
+    * Output (append changelog): `window_ns, q_id, doc_id, score,
+    * rank`. Whitespace-only queries carry no phrase and emit nothing
+    * (the batch convention).
+    */
+  def phraseStream(queries: DataFrame, post: DataFrame,
+                   qIdCol: String, qTextCol: String, tsCol: String,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75,
+                   watermark: String = "10 seconds",
+                   windowDur: String = "6 hours",
+                   statePartitions: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    statePartitions.foreach(StatePartitions.pin(post, _))
+    val stats = graft.operators.Lexical.corpusStatsFromPostings(post)
+    val postW = post
+      .select(col("term"), col("doc_id"), col("dl"), col("positions"))
+      .crossJoin(broadcast(stats))
+    val qpe = queries
+      .select(col(qIdCol).cast("long").as("q_id"),
+        col(qTextCol).as("qtext"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("q_id")
+      .select(col("q_id"), col("_ts"),
+        filter(TextFunctions.tokens(col("qtext")),
+          t => t =!= lit("")).as("ph"))
+      .filter(size(col("ph")) >= 1)
+      .select(col("q_id"), col("_ts"),
+        size(col("ph")).cast("long").as("m"),
+        posexplode(col("ph")).as(Seq("j0", "term")))
+      .select(col("q_id"), col("_ts"), col("m"),
+        (col("j0") + 1).cast("long").as("j"), col("term"))
+    // packed per-(query, doc) adjacency fold — the batch expressions
+    // verbatim (tf = |{p in positions(j=1) : forall entries,
+    // p + j - 1 in positions(j)}|), keyed by the event-time window.
+    val ptf = qpe
+      .join(postW, Seq("term"))
+      .groupBy(window(col("_ts"), windowDur).as("w"),
+        col("q_id"), col("doc_id"), col("dl"), col("m"),
+        col("n_docs"), col("avgdl"))
+      .agg(collect_list(struct(col("j"), col("positions"))).as("es"))
+      .filter(size(array_distinct(transform(col("es"),
+        e => e.getField("j")))) === col("m"))
+      .withColumn("tf", size(filter(
+        flatten(filter(col("es"), e => e.getField("j") === 1)
+          .getField("positions")),
+        p => forall(col("es"),
+          e => array_contains(e.getField("positions"),
+            p + e.getField("j").cast("int") - 1)))).cast("long"))
+      .filter(col("tf") >= 1)
+    // per-query match collection: df = the list's size, scores the
+    // batch pseudo-term BM25 per entry, rank = sort by (-score, doc)
+    // and slice k. Chained windowed agg, append-legal.
+    ptf
+      .groupBy(window(col("w"), windowDur).as("w2"), col("q_id"),
+        col("n_docs"), col("avgdl"))
+      .agg(collect_list(struct(col("doc_id"), col("dl"), col("tf")))
+        .as("cands"))
+      .withColumn("df", size(col("cands")).cast("long"))
+      .withColumn("ranked", slice(sort_array(transform(col("cands"),
+        c => {
+          val score = round(
+            graft.operators.Lexical.bm25Idf(col("n_docs"), col("df")) *
+              (c.getField("tf").cast("double") * lit(k1 + 1.0)) /
+              (c.getField("tf").cast("double") +
+                lit(k1) * (lit(1.0) - lit(b) +
+                  lit(b) * c.getField("dl").cast("double") /
+                    col("avgdl"))), 6)
+          struct(negate(score).as("d"), c.getField("doc_id").as("id"))
+        })), 1, k))
+      .select(col("w2"), col("q_id"),
+        posexplode(col("ranked")).as(Seq("pos", "t")))
+      .select(expr("unix_micros(w2.start) * 1000").as("window_ns"),
+        col("q_id"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Lexical
+import graft.streaming.StreamingLexical
+
+/** Streaming phrase serving must emit the batch
+  * [[Lexical.phraseTopKFromPostings]] derivation bit for bit (scores,
+  * ranks, the candidate set — multi-occurrence tf included),
+  * window-stamped, through the chained packed-fold → per-query
+  * collection plan; bag-of-words co-occurrence without adjacency and
+  * whitespace-only queries stay silent.
+  */
+class PhraseStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1_600_000_000_000_000_000L
+
+  private val docs = Seq(
+    (0L, "new york city new york"),       // phrase twice (tf 2)
+    (1L, "york new haven"),               // both terms, wrong order
+    (2L, "new york"),                     // shortest match (dl 2)
+    (3L, "the new and the york separate"),// bag hit, never adjacent
+    (4L, "fig elderberry"),
+    (5L, "new york minute")
+  ).toDF("doc_id", "text")
+
+  private def runStream(statePartitions: Option[Int]): Seq[(Long, Long, Long, Double, Int)] = {
+    val post = Lexical.postingsPositional(docs, "text", "doc_id").persist()
+    post.count()
+    val qs = Seq(
+      (100L, "new york", t0 + 1_000_000L),
+      (101L, "york new", t0 + 2_000_000L),   // reversed phrase
+      (102L, "   ", t0 + 3_000_000L),        // whitespace-only: silent
+      (103L, "absent phrase", t0 + 4_000_000L),
+      (999L, "zz flush", t0 + 8L * 3600L * 1_000_000_000L)
+    ).toDF("q_id", "qtext", "ts")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-phrasestream").toString
+    qs.repartition(2).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmp).schema).parquet(tmp)
+    val out = StreamingLexical.phraseStream(stream, post,
+      "q_id", "qtext", "ts", k = 3, statePartitions = statePartitions)
+    val sink = "phrasestream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(sink)
+      .select("window_ns", "q_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+      .sortBy(r => (r._2, r._5))
+    spark.catalog.dropTempView(sink)
+    post.unpersist()
+    got
+  }
+
+  private def batchRows(): Seq[(Long, Long, Double, Int)] = {
+    val post = Lexical.postingsPositional(docs, "text", "doc_id")
+    Lexical.phraseTopKFromPostings(post,
+        Seq((100L, "new york"), (101L, "york new"), (102L, "   "),
+          (103L, "absent phrase")).toDF("q_id", "qtext"),
+        "qtext", "q_id", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+      .sortBy(r => (r._1, r._4))
+  }
+
+  test("stream ≡ batch phrase top-k per window; adjacency decides") {
+    val got = runStream(statePartitions = None)
+    val batch = batchRows()
+    val windowNs = t0 - t0 % 21_600_000_000_000L
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 == windowNs))
+    assert(got.map(r => (r._2, r._3, r._4, r._5)) ==
+      batch.map(r => (r._1, r._2, r._3, r._4)))
+    // q100 matched docs: adjacency holds in 0, 2, 5 — never 1 or 3.
+    val q100 = got.filter(_._2 == 100L).map(_._3).toSet
+    assert(q100 == Set(0L, 2L, 5L))
+    // multi-occurrence tf: doc 0 carries the phrase twice, so among
+    // equal-idf candidates its saturation (and the batch oracle) must
+    // agree with the stream — already pinned by the bit-equality above;
+    // here pin the reversed phrase sees ONLY doc 1's "york new".
+    assert(got.filter(_._2 == 101L).map(_._3) == Seq(1L))
+    assert(!got.exists(_._2 == 102L)) // whitespace-only: silent
+    assert(!got.exists(_._2 == 103L)) // no matching doc: silent
+  }
+
+  test("statePartitions pins the state width and changes nothing else") {
+    val got = runStream(statePartitions = Some(2))
+    val batch = batchRows()
+    assert(got.map(r => (r._2, r._3, r._4, r._5)) ==
+      batch.map(r => (r._1, r._2, r._3, r._4)))
+  }
+}
