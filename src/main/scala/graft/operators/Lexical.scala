@@ -1031,13 +1031,26 @@ object Lexical {
     * the candidate shuffle); repeated serving should persist the
     * positional postings with caller-managed persistence and call this
     * form directly.
+    *
+    * RERANK MODE (`rerank = Some(n)`): the deployment shape the
+    * proximity literature assumes — a first pass ranks every candidate
+    * by the unigram sum alone (ROUND-6, doc-id tiebreak, bounded
+    * top-n), and the pair features (the expensive positional probes —
+    * measured 6.3× the flat traversal when run on EVERY candidate)
+    * price only the surviving Q×n rows. Pair dfs then count over the
+    * rerank set, not the full candidate set — scores are a function of
+    * n (documented, and pinned by the oracle); with n ≥ the per-query
+    * candidate count the mode degenerates to the exact full traversal.
     */
   def sdmTopKFromPostings(post: DataFrame, queries: DataFrame,
                           qTextCol: String, qIdCol: String, k: Int,
                           lambdaT: Double = 0.85, lambdaO: Double = 0.1,
                           lambdaU: Double = 0.05, window: Int = 8,
-                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                          k1: Double = 1.2, b: Double = 0.75,
+                          rerank: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    require(rerank.forall(_ >= k),
+      s"rerank depth must be >= k: $rerank < $k")
     require(window >= 2, s"unordered window must be >= 2: $window")
     graft.plans.GraftExtensions.register(post.sparkSession)
     val stats = corpusStatsFromPostings(post)
@@ -1061,12 +1074,34 @@ object Lexical {
       .withColumn("idf_t", bm25Idf(col("n_docs"), col("df")))
       .select(col("term"), col("q_id"), col("m"), col("j"),
         col("idf_t"), col("n_docs"), col("avgdl"))
+    val sTFold = (es: Column, dl: Column, avgdl: Column) =>
+      aggregate(es, lit(0.0), (acc: Column, e: Column) =>
+        acc + e.getField("idf_t") *
+          satCol(e.getField("tf"), dl, avgdl, k1, b))
+    val es0 = post.join(broadcast(qT), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+        col("n_docs"), col("avgdl"))
+      .agg(sort_array(collect_list(struct(col("j"), col("tf"),
+        col("idf_t"), col("positions")))).as("es"))
+    // rerank mode: unigram-only first pass (same fold the final score
+    // uses), bounded top-n, then the survivors' ids broadcast back —
+    // the positional pair probes below never see the losers.
+    val kept = rerank match {
+      case Some(n) =>
+        val base = persistRotating("sdmTopKFromPostings.base", es0)
+        val sel = base
+          .withColumn("st_r", round(sTFold(col("es"), col("dl"),
+            col("avgdl")), 6))
+          .groupBy("q_id")
+          .agg(TopK.topKNative(n, negate(col("st_r")), col("doc_id"))
+            .as("top"))
+          .select(col("q_id"), explode(col("top")).as("t"))
+          .select(col("q_id"), col("t.id").as("doc_id"))
+        base.join(broadcast(sel), Seq("q_id", "doc_id"))
+      case None => es0
+    }
     val packed = persistRotating("sdmTopKFromPostings",
-      post.join(broadcast(qT), Seq("term"))
-        .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
-          col("n_docs"), col("avgdl"))
-        .agg(sort_array(collect_list(struct(col("j"), col("tf"),
-          col("idf_t"), col("positions")))).as("es"))
+      kept
         // pair features scan-local off the packed entries: for i in
         // 1..m−1 (computed over 1..m, then sliced — sequence() cannot
         // express an empty 1..0 range type-stably), look up entries
@@ -1108,9 +1143,7 @@ object Lexical {
         col("idf_u")))).as("ids"))
     val scored = packed
       .join(broadcast(dfs), Seq("q_id"), "left")
-      .withColumn("s_t", aggregate(col("es"), lit(0.0),
-        (acc, e) => acc + e.getField("idf_t") *
-          satCol(e.getField("tf"), col("dl"), col("avgdl"), k1, b)))
+      .withColumn("s_t", sTFold(col("es"), col("dl"), col("avgdl")))
       .withColumn("s_o", aggregate(col("pairs"), lit(0.0),
         (acc, pr) => {
           val idf = get(filter(col("ids"),
@@ -1145,11 +1178,12 @@ object Lexical {
               k: Int,
               lambdaT: Double = 0.85, lambdaO: Double = 0.1,
               lambdaU: Double = 0.05, window: Int = 8,
-              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+              k1: Double = 1.2, b: Double = 0.75,
+              rerank: Option[Int] = None): DataFrame = {
     val post = persistRotating("sdmTopK",
       postingsPositional(docs, textCol, idCol))
     sdmTopKFromPostings(post, queries, qTextCol, qIdCol, k,
-      lambdaT, lambdaO, lambdaU, window, k1, b)
+      lambdaT, lambdaO, lambdaU, window, k1, b, rerank)
   }
 
   /** The determinism-critical rank tail every batch top-k surface

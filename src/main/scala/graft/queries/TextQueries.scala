@@ -2253,6 +2253,132 @@ object TextQueries {
                 ORDER BY score DESC, doc_id ASC) AS rank
             FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // ---- SDM rerank mode (round 16): the deployment shape — a
+    //      unigram-only first pass bounds the candidates (ROUND-6
+    //      tiebroken top-20 per query), and the positional pair probes
+    //      price only the survivors; pair dfs count over the RERANK
+    //      SET (a function of n — that semantic is exactly what this
+    //      oracle pins). Measured motivation: full-traversal SDM costs
+    //      6.3× the flat unigram serve at the 10⁵ bench geometry.
+    Q("q194_sdm_rerank", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      operators.Lexical.sdmTopK(docs, "text", "doc_id",
+        qs, "qtext", "q_id", k = 5, rerank = Some(20))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      pp0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(list_transform(range(1, len(toks) + 1),
+                 i -> struct_pack(pos := i, term := toks[i]))) AS u
+             FROM tk),
+      pp AS (SELECT doc_id, dl, CAST(u.pos AS BIGINT) AS pos, u.term AS term
+             FROM pp0),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM pp GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qp0 AS (SELECT doc_id AS q_id, list_filter(toks[1:3], t -> t <> '') AS ph
+              FROM tk WHERE doc_id % 100 = 0),
+      qp1 AS (SELECT q_id, CAST(len(ph) AS BIGINT) AS m,
+                unnest(list_transform(range(1, len(ph) + 1),
+                  j -> struct_pack(j := j, term := ph[j]))) AS u
+              FROM qp0 WHERE len(ph) >= 1),
+      qpe AS (SELECT q_id, m, CAST(u.j AS BIGINT) AS j, u.term AS term
+              FROM qp1),
+      uc AS (SELECT qpe.q_id, qpe.j, p.doc_id, p.dl,
+               ln(CAST(1.0 AS DOUBLE)
+                  + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE))
+                    / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * ((CAST(p.tf AS DOUBLE)
+                   * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (CAST(p.tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                        - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                          / st.avgdl))) AS c
+             FROM qpe JOIN dfr USING (term) JOIN p USING (term)
+             CROSS JOIN st),
+      base AS (SELECT q_id, doc_id,
+                 list_aggregate(list(c ORDER BY j), 'sum') AS s_t
+               FROM uc GROUP BY 1, 2),
+      sel AS (SELECT q_id, doc_id, s_t FROM (
+                SELECT q_id, doc_id, s_t,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY ROUND(s_t, 6) DESC, doc_id ASC) AS rn
+                FROM base) WHERE rn <= 20),
+      qpair AS (SELECT a.q_id, a.j AS i, a.term AS t1, b.term AS t2
+                FROM qpe a JOIN qpe b
+                  ON a.q_id = b.q_id AND b.j = a.j + 1),
+      po AS (SELECT qp.q_id, qp.i, p1.doc_id, p1.dl, COUNT(*) AS tfo
+             FROM qpair qp
+             JOIN pp p1 ON p1.term = qp.t1
+             JOIN sel ON sel.q_id = qp.q_id AND sel.doc_id = p1.doc_id
+             JOIN pp p2 ON p2.term = qp.t2 AND p2.doc_id = p1.doc_id
+               AND p2.pos = p1.pos + 1
+             GROUP BY 1, 2, 3, 4),
+      pu AS (SELECT qp.q_id, qp.i, p1.doc_id, p1.dl, COUNT(*) AS tfu
+             FROM qpair qp
+             JOIN pp p1 ON p1.term = qp.t1
+             JOIN sel ON sel.q_id = qp.q_id AND sel.doc_id = p1.doc_id
+             JOIN pp p2 ON p2.term = qp.t2 AND p2.doc_id = p1.doc_id
+               AND p2.pos <> p1.pos AND abs(p2.pos - p1.pos) < 8
+             GROUP BY 1, 2, 3, 4),
+      dfo AS (SELECT q_id, i, COUNT(*) AS df_o FROM po GROUP BY 1, 2),
+      dfu AS (SELECT q_id, i, COUNT(*) AS df_u FROM pu GROUP BY 1, 2),
+      so AS (SELECT po.q_id, po.doc_id,
+               list_aggregate(list(
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfo.df_o AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfo.df_o AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * ((CAST(po.tfo AS DOUBLE)
+                     * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(po.tfo AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                          - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(po.dl AS DOUBLE)
+                            / st.avgdl))) ORDER BY po.i), 'sum') AS s_o
+             FROM po JOIN dfo USING (q_id, i) CROSS JOIN st
+             GROUP BY 1, 2),
+      su AS (SELECT pu.q_id, pu.doc_id,
+               list_aggregate(list(
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfu.df_u AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfu.df_u AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * ((CAST(pu.tfu AS DOUBLE)
+                     * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(pu.tfu AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                          - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(pu.dl AS DOUBLE)
+                            / st.avgdl))) ORDER BY pu.i), 'sum') AS s_u
+             FROM pu JOIN dfu USING (q_id, i) CROSS JOIN st
+             GROUP BY 1, 2),
+      sc AS (SELECT sel.q_id, sel.doc_id,
+               ROUND(CAST(0.85 AS DOUBLE) * sel.s_t
+                 + CAST(0.1 AS DOUBLE)
+                   * COALESCE(so.s_o, CAST(0.0 AS DOUBLE))
+                 + CAST(0.05 AS DOUBLE)
+                   * COALESCE(su.s_u, CAST(0.0 AS DOUBLE)), 6) AS score
+             FROM sel
+             LEFT JOIN so ON sel.q_id = so.q_id
+               AND sel.doc_id = so.doc_id
+             LEFT JOIN su ON sel.q_id = su.q_id
+               AND sel.doc_id = su.doc_id),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 5"""))
   )
 }

@@ -2217,6 +2217,75 @@ object ScaleBench {
         s""""serve_s":${fmt(serveS)},"rows":$rows}"""
     }.getOrElse("")
 
+    // SDM proximity ranking (env GRAFT_SCALE_SDM=
+    // <docs>,<queries>[,<k>]): the q193 surface at scale — trigram
+    // queries (tokens 1–3 of every nd/nq-th doc, two adjacent pairs)
+    // against the positional store, vs the plain unigram BM25
+    // traversal of the SAME store over the SAME queries as the
+    // control. The claim: the pair features (ordered + unordered-8)
+    // price in as a bounded multiple of the unigram traversal — the
+    // candidate fold carries packed positions instead of tf alone and
+    // the pair-df pass adds one query-sized aggregate, but candidate
+    // ROW volume is identical (same Σ df), so the wall should track
+    // the control, not explode.
+    val sdmJson = sys.env.get("GRAFT_SCALE_SDM").map { sN =>
+      import graft.functions.TextFunctions
+      import graft.operators.Lexical
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_SDM='$sN' — expected '<docs>,<queries>[,<k>[,<n>]]'")
+      val (nd, nq) = (parts(0), parts(1))
+      val k = if (parts.length > 2) parts(2).toInt else 10
+      val rrN = if (parts.length > 3) parts(3).toInt else 100
+      val rawDir = s"$root/sdm_docs_$nd"
+      synthDocs(spark, nd).write.mode("overwrite").parquet(rawDir)
+      val d = spark.read.parquet(rawDir)
+      val b0 = System.nanoTime()
+      val post = Lexical.postingsPositional(d, "text", "doc_id")
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      val postRows = post.count()
+      val buildS = (System.nanoTime() - b0) / 1e9
+      val every = math.max(1L, nd / nq)
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext")).persist()
+      val nQs = qs.count()
+      val t1 = System.nanoTime()
+      val sdmRows = Lexical.sdmTopKFromPostings(post,
+        qs, "qtext", "q_id", k = k).count()
+      val sdmS = (System.nanoTime() - t1) / 1e9
+      // rerank arm: pair probes priced only on the unigram top-n
+      val tr = System.nanoTime()
+      val rrRows = Lexical.sdmTopKFromPostings(post,
+        qs, "qtext", "q_id", k = k, rerank = Some(rrN)).count()
+      val rrS = (System.nanoTime() - tr) / 1e9
+      // unigram control: the flat BM25 traversal over the same store
+      // (the positional frame carries tf/dl, so the flat path reads it
+      // directly), same queries, same k
+      val dfreq = Lexical.docFreq(post).persist()
+      dfreq.count()
+      val stats = Lexical.corpusStatsFromPostings(post).persist()
+      stats.count()
+      val t2 = System.nanoTime()
+      val uniRows = Lexical.bm25TopKFromStore(post, dfreq, stats,
+        qs, "qtext", "q_id", k = k).count()
+      val uniS = (System.nanoTime() - t2) / 1e9
+      // candidate volume: Σ df over the query's terms — the packed
+      // fold's input rows (identical for SDM and the control)
+      val qpe = qs.select(col("q_id"),
+        explode(TextFunctions.tokens(col("qtext"))).as("term"))
+      val candRows = post.join(broadcast(qpe), Seq("term")).count()
+      post.unpersist(); qs.unpersist()
+      dfreq.unpersist(); stats.unpersist()
+      s""","sdm":{"docs":$nd,"queries":$nQs,"k":$k,"rerank_n":$rrN,""" +
+        s""""post_rows":$postRows,"build_s":${fmt(buildS)},""" +
+        s""""cand_rows":$candRows,"sdm_s":${fmt(sdmS)},""" +
+        s""""sdm_rows":$sdmRows,"rerank_s":${fmt(rrS)},""" +
+        s""""rerank_rows":$rrRows,"uni_s":${fmt(uniS)},""" +
+        s""""uni_rows":$uniRows}"""
+    }.getOrElse("")
+
     // Streaming hybrid fusion (env GRAFT_SCALE_HYBRIDSTREAM=
     // <docs>,<queries>[,<k>]): ONE query stream against BOTH serving
     // stores — the BM25 contribution store and the IVF cell index —
@@ -3468,7 +3537,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bm25fSkewJson$phraseJson$hybridStreamJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bm25fSkewJson$phraseJson$sdmJson$hybridStreamJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:

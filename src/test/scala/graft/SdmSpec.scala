@@ -103,4 +103,26 @@ class SdmSpec extends SparkSpec {
 
     assert(run("   ").isEmpty) // whitespace-only: silent
   }
+
+  private def runRerank(q: String, n: Int, k: Int = 10) =
+    Lexical.sdmTopK(docs, "text", "doc_id",
+        Seq((1L, q)).toDF("q_id", "qtext"), "qtext", "q_id", k,
+        rerank = Some(n))
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._4)
+
+  test("rerank with n >= candidate count equals the full traversal") {
+    assert(runRerank("a b", n = 10) == run("a b"))
+    assert(runRerank("a a", n = 10) == run("a a"))
+  }
+
+  test("rerank n=2 keeps the unigram top-2 and reranks only those") {
+    val got = runRerank("a b", n = 2, k = 2)
+    // unigram s_t order: d0 (tf 2+2, dl 5) > d1 (2+1, dl 6) > d2 —
+    // the rerank set is {d0, d1}; d2 never receives pair probes and
+    // never ranks. Here d2 carries no pair feature, so the subset pair
+    // dfs equal the full ones and the surviving scores are unchanged.
+    assert(got.map(_._2) == Seq(0L, 1L))
+    val full = run("a b").filter(r => r._2 == 0L || r._2 == 1L)
+    assert(got.map(r => (r._2, r._3)) == full.map(r => (r._2, r._3)))
+  }
 }
