@@ -1036,7 +1036,7 @@ object Lexical {
     * proximity literature assumes — a first pass ranks every candidate
     * by the unigram sum alone (ROUND-6, doc-id tiebreak, bounded
     * top-n), and the pair features (the expensive positional probes —
-    * measured 6.3× the flat traversal when run on EVERY candidate)
+    * measured 2.1–3.4× the flat traversal when run on EVERY candidate)
     * price only the surviving Q×n rows. Pair dfs then count over the
     * rerank set, not the full candidate set — scores are a function of
     * n (documented, and pinned by the oracle); with n ≥ the per-query

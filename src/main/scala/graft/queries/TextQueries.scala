@@ -2261,7 +2261,9 @@ object TextQueries {
     //      price only the survivors; pair dfs count over the RERANK
     //      SET (a function of n — that semantic is exactly what this
     //      oracle pins). Measured motivation: full-traversal SDM costs
-    //      6.3× the flat unigram serve at the 10⁵ bench geometry.
+    //      2.1–3.4× the flat unigram serve (10⁶/10⁵ bench geometries),
+    //      a multiple that grows with Σ df; the rerank probe tier is
+    //      Q×n — constant in corpus size.
     Q("q194_sdm_rerank", (s, dir) => {
       val docs = Tables.documents(s, dir)
       val qs = docs.filter(col("doc_id") % 100 === 0)

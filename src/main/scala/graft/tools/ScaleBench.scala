@@ -2167,9 +2167,15 @@ object ScaleBench {
       import graft.operators.Lexical
       val parts = sN.split(",").map(_.trim.toLong)
       require(parts.length >= 2,
-        s"GRAFT_SCALE_PHRASE='$sN' — expected '<docs>,<queries>[,<k>]'")
+        s"GRAFT_SCALE_PHRASE='$sN' — expected '<docs>,<queries>[,<k>[,<diag01>]]'")
       val (nd, nq) = (parts(0), parts(1))
       val k = if (parts.length > 2) parts(2).toInt else 10
+      // the candidate-volume diagnostics persist the matched frame and
+      // run a window over it — at 10⁷ docs that DIAGNOSTIC (1.7 B
+      // exploded rows, a 260 M-row window sort) filled the scratch disk
+      // while the serve itself fit; skippable where only the serve row
+      // is wanted (volumes are Σ df — provably linear in docs)
+      val diag = parts.length <= 3 || parts(3) == 1L
       val rawDir = s"$root/phrase_docs_$nd"
       synthDocs(spark, nd).write.mode("overwrite").parquet(rawDir)
       val d = spark.read.parquet(rawDir)
@@ -2193,23 +2199,26 @@ object ScaleBench {
       // vs the document-at-a-time intersected slice the operator
       // actually explodes (cand_rows: docs containing every phrase
       // position's term)
-      val qpe = qs.select(col("q_id"),
-        posexplode(TextFunctions.tokens(col("qtext")))
-          .as(Seq("j0", "term")))
-      val matched = post.join(broadcast(qpe), Seq("term")).persist()
-      val candAll = matched
-        .select(col("q_id"), col("doc_id"),
-          explode(col("positions")).as("pos"))
-        .count()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id", "doc_id")
-      val candPruned = matched
-        .withColumn("nterms", size(collect_set(col("j0")).over(w)))
-        .filter(col("nterms") === 2)
-        .select(col("q_id"), col("doc_id"),
-          explode(col("positions")).as("pos"))
-        .count()
-      matched.unpersist()
+      val (candAll, candPruned) = if (diag) {
+        val qpe = qs.select(col("q_id"),
+          posexplode(TextFunctions.tokens(col("qtext")))
+            .as(Seq("j0", "term")))
+        val matched = post.join(broadcast(qpe), Seq("term")).persist()
+        val all = matched
+          .select(col("q_id"), col("doc_id"),
+            explode(col("positions")).as("pos"))
+          .count()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id", "doc_id")
+        val pruned = matched
+          .withColumn("nterms", size(collect_set(col("j0")).over(w)))
+          .filter(col("nterms") === 2)
+          .select(col("q_id"), col("doc_id"),
+            explode(col("positions")).as("pos"))
+          .count()
+        matched.unpersist()
+        (all, pruned)
+      } else (-1L, -1L)
       post.unpersist(); qs.unpersist()
       s""","phrase":{"docs":$nd,"queries":$nQs,"k":$k,""" +
         s""""post_rows":$postRows,"build_s":${fmt(buildS)},""" +
@@ -2233,10 +2242,15 @@ object ScaleBench {
       import graft.operators.Lexical
       val parts = sN.split(",").map(_.trim.toLong)
       require(parts.length >= 2,
-        s"GRAFT_SCALE_SDM='$sN' — expected '<docs>,<queries>[,<k>[,<n>]]'")
+        s"GRAFT_SCALE_SDM='$sN' — " +
+          "expected '<docs>,<queries>[,<k>[,<n>[,<full01>]]]'")
       val (nd, nq) = (parts(0), parts(1))
       val k = if (parts.length > 2) parts(2).toInt else 10
       val rrN = if (parts.length > 3) parts(3).toInt else 100
+      // the full-traversal arm prices pair probes on EVERY candidate —
+      // O(Σ df) positional work; skippable at the top scale where the
+      // decade claim rides the serving (rerank) arm
+      val runFull = parts.length <= 4 || parts(4) == 1L
       val rawDir = s"$root/sdm_docs_$nd"
       synthDocs(spark, nd).write.mode("overwrite").parquet(rawDir)
       val d = spark.read.parquet(rawDir)
@@ -2252,9 +2266,9 @@ object ScaleBench {
             .as("qtext")).persist()
       val nQs = qs.count()
       val t1 = System.nanoTime()
-      val sdmRows = Lexical.sdmTopKFromPostings(post,
-        qs, "qtext", "q_id", k = k).count()
-      val sdmS = (System.nanoTime() - t1) / 1e9
+      val sdmRows = if (runFull) Lexical.sdmTopKFromPostings(post,
+        qs, "qtext", "q_id", k = k).count() else -1L
+      val sdmS = if (runFull) (System.nanoTime() - t1) / 1e9 else -1.0
       // rerank arm: pair probes priced only on the unigram top-n
       val tr = System.nanoTime()
       val rrRows = Lexical.sdmTopKFromPostings(post,
