@@ -626,9 +626,11 @@ object Lexical {
     */
   def bm25TopKMaxScore(store: DataFrame, truncated: DataFrame,
                        queries: DataFrame, qTextCol: String,
-                       qIdCol: String, k: Int): DataFrame = {
+                       qIdCol: String, k: Int,
+                       dfreq: Option[DataFrame] = None,
+                       candBroadcastMaxRows: Long = 4L << 20): DataFrame = {
     val parts = maxScoreFoldInput(store, truncated, queries,
-      qTextCol, qIdCol, k)
+      qTextCol, qIdCol, k, dfreq, candBroadcastMaxRows)
     val scored = parts
       .groupBy("q_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
@@ -644,11 +646,37 @@ object Lexical {
     * candidate-matched non-essential rows. Exposed so the fold-volume
     * reduction is measurable (specs, ScaleBench) on the exact frame the
     * top-k folds.
+    *
+    * DEGENERATE-REGIME GUARDS (round 17): the candidate set is
+    * Σ_essential-df-sized, which is small exactly when the truncation
+    * is doing its job (web-shaped df skew, θ present). When θ is absent
+    * or the corpus is df-flat, EVERY term tends essential and `cand`
+    * approaches the full candidate set — a corpus-sized broadcast, i.e.
+    * a driver OOM at 10⁷+ docs. Two guards, both decided from
+    * QUERY-SIZED frames before the plan ships:
+    *
+    *  1. If NO query has a non-essential term, the candidate semi-join
+    *     leg is dropped entirely — the essential rows already ARE the
+    *     full fold input (one tiny count over the persisted query-sized
+    *     flag frame; the θ pass it forces is the same θ pass the plan
+    *     needs, served from that cache).
+    *  2. The candidate join strategy is sized from Σ_essential df: with
+    *     `dfreq` supplied (the store's document-frequency table — the
+    *     builders have it), the bound costs one vocabulary-scan
+    *     aggregate against a broadcast query-term slice; `cand`
+    *     broadcasts only under `candBroadcastMaxRows`, else it joins as
+    *     a shuffle (sort-merge) semi-join — slower, never a driver OOM.
+    *     Without `dfreq` the join is UNHINTED: AQE sizes the exchange at
+    *     runtime and auto-broadcasts only under the session threshold —
+    *     the Spark-first default for an unknown size.
     */
   private[graft] def maxScoreFoldInput(store: DataFrame,
                                        truncated: DataFrame,
                                        queries: DataFrame, qTextCol: String,
-                                       qIdCol: String, k: Int): DataFrame = {
+                                       qIdCol: String, k: Int,
+                                       dfreq: Option[DataFrame] = None,
+                                       candBroadcastMaxRows: Long = 4L << 20)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(store.sparkSession)
     import org.apache.spark.sql.expressions.Window
@@ -666,22 +694,39 @@ object Lexical {
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(max(col("contrib")).as("ub"))
     // essential = past the maximal (ub asc, term asc) prefix whose
-    // cumulative bound stays under θ − margin
+    // cumulative bound stays under θ − margin. Persisted (query-sized):
+    // the leg/strategy decisions below count it, and the main plan
+    // then reuses the cached θ pass instead of re-running it.
     val cum = Window.partitionBy("q_id")
       .orderBy(col("ub").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val flagged = qTerms.join(broadcast(ub), Seq("term"))
-      .join(broadcast(theta), Seq("q_id"), "left")
-      .withColumn("_cum", sum(col("ub")).over(cum))
-      .withColumn("_ess", col("theta").isNull ||
-        (col("_cum") >= col("theta") - lit(1e-6)))
+    val flagged = persistRotating("maxScoreFoldInput.flagged",
+      qTerms.join(broadcast(ub), Seq("term"))
+        .join(broadcast(theta), Seq("q_id"), "left")
+        .withColumn("_cum", sum(col("ub")).over(cum))
+        .withColumn("_ess", col("theta").isNull ||
+          (col("_cum") >= col("theta") - lit(1e-6))))
     val essential = broadcast(flagged.filter(col("_ess"))
-      .select("q_id", "term"))
-    val nonEssential = broadcast(flagged.filter(!col("_ess"))
       .select("q_id", "term"))
     val essRows = store.join(essential, Seq("term"))
       .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))
-    val cand = broadcast(essRows.select("q_id", "doc_id").distinct())
+    val neCount = flagged.filter(!col("_ess")).count()
+    if (neCount == 0L) return essRows
+    val nonEssential = broadcast(flagged.filter(!col("_ess"))
+      .select("q_id", "term"))
+    val candBare = essRows.select("q_id", "doc_id").distinct()
+    // Σ_essential df bounds |cand| from above — kilobyte-side when the
+    // df table is supplied, one Row collect either way
+    val cand = dfreq match {
+      case Some(d) =>
+        val essDf = d.join(broadcast(flagged.filter(col("_ess"))
+            .select("q_id", "term")), Seq("term"))
+          .agg(coalesce(sum(col("df")), lit(0L)))
+          .head().getLong(0)
+        if (essDf <= candBroadcastMaxRows) broadcast(candBare)
+        else candBare.hint("merge")
+      case None => candBare
+    }
     val neRows = store.join(nonEssential, Seq("term"))
       .join(cand, Seq("q_id", "doc_id"))
       .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))
@@ -694,9 +739,10 @@ object Lexical {
     */
   def maxScoreFoldStats(store: DataFrame, truncated: DataFrame,
                         queries: DataFrame, qTextCol: String,
-                        qIdCol: String, k: Int): (Long, Long) = {
+                        qIdCol: String, k: Int,
+                        dfreq: Option[DataFrame] = None): (Long, Long) = {
     val pruned = maxScoreFoldInput(store, truncated, queries,
-      qTextCol, qIdCol, k).count()
+      qTextCol, qIdCol, k, dfreq).count()
     val qTerms = queries.select(col(qIdCol).as("q_id"),
       explode(queryTerms(col(qTextCol))).as("term"))
     val full = store.join(broadcast(qTerms), Seq("term")).count()

@@ -2128,7 +2128,8 @@ object TextQueries {
               row_number() OVER (PARTITION BY q_id
                 ORDER BY score DESC, doc_id ASC) AS rank
             FROM sc)
-      SELECT 1600000000000000000 - 1600000000000000000 % 21600000000000
+      SELECT (1600000000000000000 + q_id * 1000000)
+               - (1600000000000000000 + q_id * 1000000) % 21600000000000
                AS window_ns,
              q_id, doc_id, score, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 5""")),
@@ -2381,6 +2382,88 @@ object TextQueries {
                 ORDER BY score DESC, doc_id ASC) AS rank
             FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // ---- MaxScore-pruned STREAMING lexical serving (round 17): q187's
+    //      83–94× candidate reduction ported into the live tier —
+    //      per-trigger state is bounded by the truncation (θ pass) plus
+    //      the PRUNED candidate volume instead of Σ df (the measured
+    //      28 GiB OOM geometry at 10³ queries/trigger). The oracle is
+    //      the FULL-traversal batch replay (q187's derivation verbatim),
+    //      window-stamped per query: pruning must change nothing.
+    Q("q195_stream_bm25_maxscore", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val docs = Tables.documents(s, dir)
+      val store = operators.Lexical.bm25Store(docs, "text", "doc_id")
+        .persist()
+      store.count()
+      val trunc = operators.Lexical.truncateByImpact(store, 10).persist()
+      trunc.count()
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"),
+          (lit(t0) + col("doc_id") * lit(1_000_000L)).as("ts"))
+      val flush = s.range(1).select(lit(999999999L).as("q_id"),
+        lit("zzflushzz").as("qtext"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = Scratch.tempDir("graft-q195").toString
+      qs.unionByName(flush).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .parquet(tmp)
+      val out = graft.streaming.StreamingLexical.bm25StreamMaxScore(
+        stream, store, trunc, "q_id", "qtext", "ts", k = 5)
+      val sink = "q195_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(sink).filter(col("q_id") < 999999999L)
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      store.unpersist(); trunc.unpersist()
+      res
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      p0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term FROM tk),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      cand AS (SELECT qt.q_id, p.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)) AS contrib
+               FROM p JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN st),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT (1600000000000000000 + q_id * 1000000)
+               - (1600000000000000000 + q_id * 1000000) % 21600000000000
+               AS window_ns,
+             q_id, doc_id, score, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 5"""))
   )
 }

@@ -101,6 +101,146 @@ object StreamingLexical {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** MaxScore-pruned streaming BM25 serving (round 17): the live twin
+    * of [[graft.operators.Lexical.bm25TopKMaxScore]] — EXACT top-k,
+    * bit-identical to [[bm25Stream]] over the same untruncated store,
+    * with per-trigger state bounded by the PRUNED candidate volume
+    * instead of Σ df. [[bm25Stream]]'s first fold holds one state row
+    * per (window, query, candidate doc) — Σ df over the query's terms —
+    * which is the measured 28 GiB OOM at 10³ stopword-laden queries per
+    * trigger (BASELINE "Streaming hybrid fusion"); batch MaxScore
+    * proved an 83–94× candidate reduction with bit-identical rows.
+    * This surface ports that reduction into the trigger.
+    *
+    * Four chained windowed stateful aggregations (the
+    * [[StreamingHybrid]] append-chaining device), with the θ/bound
+    * machinery PACKED so it never adds corpus-sized state:
+    *
+    *  1. BOUNDS: arriving query terms stream-static join the TRUNCATED
+    *     store and collect per (window, query) into one packed row —
+    *     state ≤ Σ_t min(df_t, m), the truncation bound. θ (the k-th
+    *     rounded truncated score), per-term upper bounds, and the
+    *     essential/non-essential split all derive SCAN-LOCALLY from
+    *     that array (same margin arithmetic as the batch split; the
+    *     O(|entries|·|docs|) per-query probe is why serving truncations
+    *     keep m modest). Queries with < k truncated results get no θ
+    *     and prune nothing — exactness never depends on the truncation.
+    *  2. ESSENTIAL FOLD: essential terms explode, stream-static join
+    *     the FULL store, and fold per (window, query, doc) — state is
+    *     Σ_essential df, the pruned volume (the docs holding ≥ 1
+    *     essential posting are exactly the batch candidate set).
+    *  3. NON-ESSENTIAL COMPLETION: each candidate's non-essential terms
+    *     (carried as a packed query-sized array — never a second
+    *     stream) explode and LEFT-join the store on (term, doc); the
+    *     matched contributions merge with the essential ones and the
+    *     full sorted term-asc fold reproduces the batch doubles bit for
+    *     bit. A doc holding ONLY non-essential terms scores
+    *     < θ − 1e-6 by the prefix bound, rounds below θ, and cannot
+    *     enter the top-k — the exactness argument of the batch split.
+    *  4. The bounded [[TopK]] heap per (window, query).
+    *
+    * Output (append changelog): `window_ns, q_id, doc_id, score, rank`
+    * — [[bm25Stream]]'s contract, hash-identical rows.
+    */
+  def bm25StreamMaxScore(queries: DataFrame, store: DataFrame,
+                         truncated: DataFrame,
+                         qIdCol: String, qTextCol: String, tsCol: String,
+                         k: Int,
+                         watermark: String = "10 seconds",
+                         windowDur: String = "6 hours",
+                         statePartitions: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    statePartitions.foreach(n =>
+      StatePartitions.pinAll(Seq(store, truncated), n))
+    val qTerms = queries
+      .select(col(qIdCol).cast("long").as("q_id"),
+        col(qTextCol).as("qtext"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("q_id")
+      .select(col("q_id"), col("_ts"),
+        explode(graft.operators.Lexical.queryTerms(col("qtext")))
+          .as("term"))
+    // 1. bounds: packed truncated probe, θ/ub/split scan-local
+    val bounds = qTerms
+      .join(truncated.select(col("term"), col("doc_id"), col("contrib")),
+        Seq("term"))
+      .groupBy(window(col("_ts"), windowDur).as("w"), col("q_id"))
+      .agg(collect_list(struct(col("term"), col("doc_id"), col("contrib")))
+        .as("tr"))
+      // per-doc truncated scores: sorted (term, contrib) fold, ROUND 6 —
+      // the batch θ pass verbatim, replayed over the packed array
+      .withColumn("scored", sort_array(transform(
+        array_distinct(transform(col("tr"), x => x.getField("doc_id"))),
+        d => struct(
+          negate(round(aggregate(
+            sort_array(filter(col("tr"), x => x.getField("doc_id") === d)),
+            lit(0.0), (acc, x) => acc + x.getField("contrib")), 6)).as("d"),
+          d.as("id")))))
+      .withColumn("theta", when(size(col("scored")) >= k,
+        negate(element_at(col("scored"), k).getField("d"))))
+      // (ub asc, term asc) with the inclusive prefix-sum margin rule —
+      // the batch essential split's arithmetic, scan-local
+      .withColumn("ubs", sort_array(transform(
+        array_distinct(transform(col("tr"), x => x.getField("term"))),
+        t => struct(
+          array_max(transform(
+            filter(col("tr"), x => x.getField("term") === t),
+            x => x.getField("contrib"))).as("ub"),
+          t.as("term")))))
+      .withColumn("ne_terms", transform(
+        filter(col("ubs"), (x, i) =>
+          aggregate(slice(col("ubs"), lit(1), i + 1), lit(0.0),
+            (acc, y) => acc + y.getField("ub")) <
+            col("theta") - lit(1e-6)),
+        x => x.getField("term")))
+      .withColumn("ess_terms", array_except(
+        transform(col("ubs"), x => x.getField("term")), col("ne_terms")))
+      .select(col("w"), col("q_id"), col("ess_terms"), col("ne_terms"))
+    // 2. essential fold: the pruned candidate volume is the only
+    //    candidate-sized state in the pipeline
+    val perDoc = bounds
+      .select(col("w"), col("q_id"), col("ne_terms"),
+        explode(col("ess_terms")).as("term"))
+      .join(store.select(col("term"), col("doc_id"), col("contrib")),
+        Seq("term"))
+      .groupBy(window(col("w"), windowDur).as("w2"), col("q_id"),
+        col("doc_id"), col("ne_terms"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("ess_cs"))
+    // 3. non-essential completion: candidate-keyed (term, doc) lookups,
+    //    then the full batch fold over the merged sorted contributions
+    val neSide = store.select(col("term").as("ne_t"),
+      col("doc_id").as("ne_d"), col("contrib").as("ne_contrib"))
+    val withNe = perDoc
+      .select(col("w2"), col("q_id"), col("doc_id"), col("ess_cs"),
+        explode_outer(col("ne_terms")).as("ne_term"))
+    val scored = withNe
+      .join(neSide, withNe("ne_term") === neSide("ne_t") &&
+        withNe("doc_id") === neSide("ne_d"), "left")
+      .groupBy(window(col("w2"), windowDur).as("w3"), col("q_id"),
+        col("doc_id"), col("ess_cs"))
+      .agg(collect_list(when(col("ne_contrib").isNotNull,
+        struct(col("ne_t").as("term"), col("ne_contrib").as("contrib"))))
+        .as("ne_cs"))
+      .withColumn("cs", sort_array(concat(col("ess_cs"), col("ne_cs"))))
+      .withColumn("score",
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")), 6))
+    // 4. bounded top-k heap, the bm25Stream output contract
+    scored
+      .groupBy(window(col("w3"), windowDur).as("w4"), col("q_id"))
+      .agg(TopK.topKNative(k, negate(col("score")), col("doc_id"))
+        .as("top"))
+      .select(col("w4"), col("q_id"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(expr("unix_micros(w4.start) * 1000").as("window_ns"),
+        col("q_id"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Streaming exact-phrase serving — a live query stream against a
     * static positional postings store
     * ([[graft.operators.Lexical.postingsPositional]] /

@@ -109,6 +109,66 @@ class MaxScoreSpec extends SparkSpec {
     ()
   }
 
+  test("degenerate regimes: the no-θ batch drops the candidate leg " +
+       "entirely; an over-threshold Σ-essential-df estimate joins the " +
+       "candidates as sort-merge, never broadcast — results exact both " +
+       "ways") {
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val docs = skewed(400)
+    val store = Lexical.bm25Store(docs, "text", "doc_id").persist()
+    store.count()
+    val dfreq = store.groupBy("term").agg(count(lit(1)).as("df"))
+    // m = 1 and k = 10: no query reaches k truncated results ⇒ no θ
+    // anywhere ⇒ every term essential ⇒ the non-essential leg (and its
+    // candidate broadcast) must not exist in the plan at all
+    val trunc1 = Lexical.truncateByImpact(store, 1).persist()
+    trunc1.count()
+    val noTheta = Lexical.maxScoreFoldInput(store, trunc1,
+      queries, "qtext", "q_id", k = 10)
+    noTheta.count()
+    val nodes1 = graft.tools.PlanIntrospect.nodes(
+      noTheta.queryExecution.executedPlan)
+    assert(!nodes1.exists(_.isInstanceOf[UnionExec]),
+      "no-θ regime still built the candidate union leg")
+    // over-threshold: Σ_essential df > 0-row budget ⇒ the candidate
+    // join must be sort-merge with no broadcast exchange feeding it
+    val trunc10 = Lexical.truncateByImpact(store, 10).persist()
+    trunc10.count()
+    val sheared = Lexical.maxScoreFoldInput(store, trunc10,
+      queries, "qtext", "q_id", k = 3,
+      dfreq = Some(dfreq), candBroadcastMaxRows = 0L)
+    sheared.count()
+    val nodes2 = graft.tools.PlanIntrospect.nodes(
+      sheared.queryExecution.executedPlan)
+    // the candidate join — keyed (q_id, doc_id) — must be sort-merge;
+    // no (q_id, doc_id)-keyed broadcast join may exist anywhere
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def candKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(_.toString.contains("q_id")) &&
+        keys.exists(_.toString.contains("doc_id"))
+    val smj = nodes2.collect {
+      case j: SortMergeJoinExec if candKeyed(j.leftKeys) => j
+    }
+    assert(smj.nonEmpty, "over-threshold candidate join was not sort-merge")
+    assert(!nodes2.exists {
+        case j: BroadcastHashJoinExec => candKeyed(j.leftKeys)
+        case _ => false
+      }, "the sheared candidate set still broadcasts")
+    // and both degenerate paths stay exact
+    for ((trunc, k) <- Seq((trunc1, 10), (trunc10, 3))) {
+      val got = asRows(Lexical.bm25TopKMaxScore(store, trunc,
+        queries, "qtext", "q_id", k,
+        dfreq = Some(dfreq), candBroadcastMaxRows = 0L))
+      val full = asRows(Lexical.bm25TopKFromContribStore(store,
+        queries, "qtext", "q_id", k))
+      assert(got == full, s"mismatch at k=$k")
+    }
+    store.unpersist(); trunc1.unpersist(); trunc10.unpersist()
+    ()
+  }
+
   test("plan: every join in the pruned fold input is broadcast — the " +
        "non-essential (common-term) postings never shuffle") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
