@@ -58,17 +58,25 @@ object StreamingHybrid {
                 c: Int = 60,
                 watermark: String = "10 seconds",
                 windowDur: String = "6 hours",
-                statePartitions: Option[Int] = None): DataFrame = {
+                statePartitions: Option[Int] = None,
+                maxQueriesPerTrigger: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(kTier >= 1, s"kTier must be >= 1: $kTier")
     graft.plans.GraftExtensions.register(queries.sparkSession)
     statePartitions.foreach(n =>
       StatePartitions.pinAll(Seq(store, index.cells), n))
-    val lex = StreamingLexical.bm25RankedW(queries, store,
+    // ONE admission gate feeds both tiers, so a window's lexical and
+    // dense lists always see the same admitted query set
+    val q = maxQueriesPerTrigger match {
+      case Some(n) => AdmissionGate.perTrigger(queries, n,
+        qIdCol, qTextCol, tsCol, vecCol = Some(qVecCol))
+      case None => queries
+    }
+    val lex = StreamingLexical.bm25RankedW(q, store,
         qIdCol, qTextCol, tsCol, kTier, watermark, windowDur, None)
       .select(col("w"), col("q_id"), col("doc_id"),
         lit(0).as("src"), col("rank").cast("long").as("r"))
-    val den = StreamingSimilarity.ivfRankedW(queries, index,
+    val den = StreamingSimilarity.ivfRankedW(q, index,
         qIdCol, qVecCol, tsCol, nProbe, kTier, watermark, windowDur, None)
       .select(col("w"), col("q_id"), col("neighbor_id").as("doc_id"),
         lit(1).as("src"), col("rank").cast("long").as("r"))
@@ -114,17 +122,23 @@ object StreamingHybrid {
                  mnz: Boolean = false,
                  watermark: String = "10 seconds",
                  windowDur: String = "6 hours",
-                 statePartitions: Option[Int] = None): DataFrame = {
+                 statePartitions: Option[Int] = None,
+                 maxQueriesPerTrigger: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(kTier >= 1, s"kTier must be >= 1: $kTier")
     graft.plans.GraftExtensions.register(queries.sparkSession)
     statePartitions.foreach(n =>
       StatePartitions.pinAll(Seq(store, index.cells), n))
-    val lex = StreamingLexical.bm25RankedW(queries, store,
+    val q = maxQueriesPerTrigger match {
+      case Some(n) => AdmissionGate.perTrigger(queries, n,
+        qIdCol, qTextCol, tsCol, vecCol = Some(qVecCol))
+      case None => queries
+    }
+    val lex = StreamingLexical.bm25RankedW(q, store,
         qIdCol, qTextCol, tsCol, kTier, watermark, windowDur, None)
       .select(col("w"), col("q_id"), col("doc_id"),
         lit(0).as("src"), col("score").cast("double").as("s"))
-    val den = StreamingSimilarity.ivfRankedW(queries, index,
+    val den = StreamingSimilarity.ivfRankedW(q, index,
         qIdCol, qVecCol, tsCol, nProbe, kTier, watermark, windowDur, None)
       .select(col("w"), col("q_id"), col("neighbor_id").as("doc_id"),
         lit(1).as("src"), col("cosine").cast("double").as("s"))

@@ -50,11 +50,28 @@ object StreamingLexical {
                  k: Int,
                  watermark: String = "10 seconds",
                  windowDur: String = "6 hours",
-                 statePartitions: Option[Int] = None): DataFrame =
-    bm25RankedW(queries, store, qIdCol, qTextCol, tsCol, k,
+                 statePartitions: Option[Int] = None,
+                 maxQueriesPerTrigger: Option[Int] = None): DataFrame =
+    bm25RankedW(gated(queries, maxQueriesPerTrigger, qIdCol, qTextCol,
+        tsCol),
+      store, qIdCol, qTextCol, tsCol, k,
       watermark, windowDur, statePartitions)
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
         col("q_id"), col("doc_id"), col("score"), col("rank"))
+
+  /** `maxQueriesPerTrigger`: per-trigger admission bounding
+    * ([[AdmissionGate.perTrigger]]) — the serving fold's state is
+    * candidate-volume-sized per ADMITTED query, so bounding admission
+    * bounds trigger memory whatever the source's batching.
+    */
+  private def gated(queries: DataFrame, maxQueriesPerTrigger: Option[Int],
+                    qIdCol: String, qTextCol: String,
+                    tsCol: String): DataFrame =
+    maxQueriesPerTrigger match {
+      case Some(n) =>
+        AdmissionGate.perTrigger(queries, n, qIdCol, qTextCol, tsCol)
+      case None => queries
+    }
 
   /** [[bm25Stream]] up to the ranked tier output, KEEPING the window
     * struct (`w, q_id, doc_id, score, rank`) so a downstream stateful
@@ -148,12 +165,15 @@ object StreamingLexical {
                          k: Int,
                          watermark: String = "10 seconds",
                          windowDur: String = "6 hours",
-                         statePartitions: Option[Int] = None): DataFrame = {
+                         statePartitions: Option[Int] = None,
+                         maxQueriesPerTrigger: Option[Int] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(queries.sparkSession)
     statePartitions.foreach(n =>
       StatePartitions.pinAll(Seq(store, truncated), n))
-    val qTerms = queries
+    val qTerms = gated(queries, maxQueriesPerTrigger, qIdCol, qTextCol,
+        tsCol)
       .select(col(qIdCol).cast("long").as("q_id"),
         col(qTextCol).as("qtext"),
         timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
@@ -280,7 +300,8 @@ object StreamingLexical {
                    k: Int, k1: Double = 1.2, b: Double = 0.75,
                    watermark: String = "10 seconds",
                    windowDur: String = "6 hours",
-                   statePartitions: Option[Int] = None): DataFrame = {
+                   statePartitions: Option[Int] = None,
+                   maxQueriesPerTrigger: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(queries.sparkSession)
     statePartitions.foreach(StatePartitions.pin(post, _))
@@ -288,7 +309,7 @@ object StreamingLexical {
     val postW = post
       .select(col("term"), col("doc_id"), col("dl"), col("positions"))
       .crossJoin(broadcast(stats))
-    val qpe = queries
+    val qpe = gated(queries, maxQueriesPerTrigger, qIdCol, qTextCol, tsCol)
       .select(col(qIdCol).cast("long").as("q_id"),
         col(qTextCol).as("qtext"),
         timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
