@@ -1124,18 +1124,23 @@ object Lexical {
       aggregate(es, lit(0.0), (acc: Column, e: Column) =>
         acc + e.getField("idf_t") *
           satCol(e.getField("tf"), dl, avgdl, k1, b))
-    val es0 = post.join(broadcast(qT), Seq("term"))
-      .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
-        col("n_docs"), col("avgdl"))
-      .agg(sort_array(collect_list(struct(col("j"), col("tf"),
-        col("idf_t"), col("positions")))).as("es"))
-    // rerank mode: unigram-only first pass (same fold the final score
-    // uses), bounded top-n, then the survivors' ids broadcast back —
-    // the positional pair probes below never see the losers.
+    // rerank mode: unigram-only first pass over a POSITIONS-FREE fold
+    // (the positions column prunes out of the scan — the unigram score
+    // never needs it; j is unique per (query, doc), so the sorted fold
+    // order is unchanged), bounded top-n, then the survivors' ids
+    // broadcast back UNDER the positional re-pack: only Q×n rows ever
+    // fold (or cache) their positions arrays. Round 16 cached the full
+    // positional fold and read its 35 GB disk-resident frame twice at
+    // the 10⁷ geometry (BASELINE SDM row); this shape replaces that
+    // with a cheap position-free pass plus a survivor-sized re-pack.
     val kept = rerank match {
       case Some(n) =>
-        val base = persistRotating("sdmTopKFromPostings.base", es0)
-        val sel = base
+        val esLight = post.join(broadcast(qT), Seq("term"))
+          .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+            col("n_docs"), col("avgdl"))
+          .agg(sort_array(collect_list(struct(col("j"), col("tf"),
+            col("idf_t")))).as("es"))
+        val sel = esLight
           .withColumn("st_r", round(sTFold(col("es"), col("dl"),
             col("avgdl")), 6))
           .groupBy("q_id")
@@ -1143,8 +1148,18 @@ object Lexical {
             .as("top"))
           .select(col("q_id"), explode(col("top")).as("t"))
           .select(col("q_id"), col("t.id").as("doc_id"))
-        base.join(broadcast(sel), Seq("q_id", "doc_id"))
-      case None => es0
+        post.join(broadcast(qT), Seq("term"))
+          .join(broadcast(sel), Seq("q_id", "doc_id"))
+          .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+            col("n_docs"), col("avgdl"))
+          .agg(sort_array(collect_list(struct(col("j"), col("tf"),
+            col("idf_t"), col("positions")))).as("es"))
+      case None =>
+        post.join(broadcast(qT), Seq("term"))
+          .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+            col("n_docs"), col("avgdl"))
+          .agg(sort_array(collect_list(struct(col("j"), col("tf"),
+            col("idf_t"), col("positions")))).as("es"))
     }
     val packed = persistRotating("sdmTopKFromPostings",
       kept

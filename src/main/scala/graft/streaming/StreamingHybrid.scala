@@ -81,7 +81,7 @@ object StreamingHybrid {
       .select(col("w"), col("q_id"), col("neighbor_id").as("doc_id"),
         lit(1).as("src"), col("rank").cast("long").as("r"))
     val fused = lex.unionByName(den)
-      .groupBy(window(col("w"), windowDur).as("w2"),
+      .groupBy(col("w").as("w2"),
         col("q_id"), col("doc_id"))
       .agg(sort_array(collect_list(struct(col("src"),
         (lit(1.0) / (lit(c).cast("double") + col("r").cast("double")))
@@ -90,7 +90,7 @@ object StreamingHybrid {
         round(aggregate(col("cs"), lit(0.0),
           (acc, x) => acc + x.getField("contrib")), 9))
     fused
-      .groupBy(window(col("w2"), windowDur).as("w3"), col("q_id"))
+      .groupBy(col("w2").as("w3"), col("q_id"))
       .agg(TopK.topKNative(k, negate(col("rrf")), col("doc_id")).as("top"))
       .select(col("w3"), col("q_id"),
         posexplode(col("top")).as(Seq("pos", "t")))
@@ -143,7 +143,7 @@ object StreamingHybrid {
       .select(col("w"), col("q_id"), col("neighbor_id").as("doc_id"),
         lit(1).as("src"), col("cosine").cast("double").as("s"))
     val normed = lex.unionByName(den)
-      .groupBy(window(col("w"), windowDur).as("w2"),
+      .groupBy(col("w").as("w2"),
         col("q_id"), col("src"))
       .agg(collect_list(struct(col("doc_id"), col("s"))).as("rs"))
       .withColumn("mn", array_min(transform(col("rs"), r => r.getField("s"))))
@@ -156,7 +156,7 @@ object StreamingHybrid {
           .otherwise((col("r.s") - col("mn")) / (col("mx") - col("mn")))
           .as("norm"))
     val fused = normed
-      .groupBy(window(col("w2"), windowDur).as("w3"),
+      .groupBy(col("w2").as("w3"),
         col("q_id"), col("doc_id"))
       .agg(sort_array(collect_list(struct(col("src"), col("norm"))))
         .as("cs"))
@@ -167,7 +167,7 @@ object StreamingHybrid {
         round(if (mnz) col("fsum") * size(col("cs")).cast("double")
               else col("fsum"), 6))
     fused
-      .groupBy(window(col("w3"), windowDur).as("w4"), col("q_id"))
+      .groupBy(col("w3").as("w4"), col("q_id"))
       .agg(TopK.topKNative(k, negate(col("comb")), col("doc_id")).as("top"))
       .select(col("w4"), col("q_id"),
         posexplode(col("top")).as(Seq("pos", "t")))

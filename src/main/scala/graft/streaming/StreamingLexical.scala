@@ -107,7 +107,7 @@ object StreamingLexical {
         round(aggregate(col("cs"), lit(0.0),
           (acc, x) => acc + x.getField("contrib")), 6))
     perDoc
-      .groupBy(window(col("w"), windowDur).as("w2"), col("q_id"))
+      .groupBy(col("w").as("w2"), col("q_id"))
       .agg(TopK.topKNative(k, negate(col("score")), col("doc_id"))
         .as("top"))
       .select(col("w2"), col("q_id"),
@@ -225,7 +225,7 @@ object StreamingLexical {
         explode(col("ess_terms")).as("term"))
       .join(store.select(col("term"), col("doc_id"), col("contrib")),
         Seq("term"))
-      .groupBy(window(col("w"), windowDur).as("w2"), col("q_id"),
+      .groupBy(col("w").as("w2"), col("q_id"),
         col("doc_id"), col("ne_terms"))
       .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
         .as("ess_cs"))
@@ -239,7 +239,7 @@ object StreamingLexical {
     val scored = withNe
       .join(neSide, withNe("ne_term") === neSide("ne_t") &&
         withNe("doc_id") === neSide("ne_d"), "left")
-      .groupBy(window(col("w2"), windowDur).as("w3"), col("q_id"),
+      .groupBy(col("w2").as("w3"), col("q_id"),
         col("doc_id"), col("ess_cs"))
       .agg(collect_list(when(col("ne_contrib").isNotNull,
         struct(col("ne_t").as("term"), col("ne_contrib").as("contrib"))))
@@ -250,7 +250,7 @@ object StreamingLexical {
           (acc, x) => acc + x.getField("contrib")), 6))
     // 4. bounded top-k heap, the bm25Stream output contract
     scored
-      .groupBy(window(col("w3"), windowDur).as("w4"), col("q_id"))
+      .groupBy(col("w3").as("w4"), col("q_id"))
       .agg(TopK.topKNative(k, negate(col("score")), col("doc_id"))
         .as("top"))
       .select(col("w4"), col("q_id"),
@@ -346,7 +346,7 @@ object StreamingLexical {
     // batch pseudo-term BM25 per entry, rank = sort by (-score, doc)
     // and slice k. Chained windowed agg, append-legal.
     ptf
-      .groupBy(window(col("w"), windowDur).as("w2"), col("q_id"),
+      .groupBy(col("w").as("w2"), col("q_id"),
         col("n_docs"), col("avgdl"))
       .agg(collect_list(struct(col("doc_id"), col("dl"), col("tf")))
         .as("cands"))

@@ -16,7 +16,41 @@ class StreamingHybridSpec extends SparkSpec {
 
   private val t0 = 1_600_000_000_000_000_000L
 
+  /** Round 17: the four-deep window chain groups by the WINDOW COLUMN
+    * directly instead of re-windowing (`window(col("w"), dur)` inlined
+    * the full event-time derivation once per chaining level —
+    * exponential growth that overflowed JVM codegen's 64 KB method
+    * limit and dropped the fused stage to interpreted execution).
+    * This appender pins the fix: any CodeGenerator compile failure
+    * during the hybrid run fails the test.
+    */
+  private val codegenErrors =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private class CodegenErrorTrap extends
+      org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-trap", null,
+        org.apache.logging.log4j.core.layout.PatternLayout
+          .createDefaultLayout(),
+        false, org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+    override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+      val m = e.getMessage.getFormattedMessage
+      if (e.getLoggerName.contains("CodeGenerator") &&
+          m.contains("Failed to compile")) {
+        codegenErrors.incrementAndGet()
+      }
+      ()
+    }
+  }
+
   test("hybrid stream ≡ batch rrfFuse(bm25TopK, ivfTopKWith) per window") {
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val trap = new CodegenErrorTrap
+    trap.start()
+    ctx.getConfiguration.getRootLogger.addAppender(trap,
+      org.apache.logging.log4j.Level.ERROR, null)
+    ctx.updateLoggers()
     val docs = Seq(
       (0L, "apple banana apple"),
       (1L, "banana cherry"),
@@ -130,5 +164,11 @@ class StreamingHybridSpec extends SparkSpec {
       batchC.map(r => (r._1, r._2, r._3, r._4)))
     store.unpersist()
     index.cells.unpersist()
+    ctx.getConfiguration.getRootLogger.removeAppender("graft-codegen-trap")
+    ctx.updateLoggers()
+    assert(codegenErrors.get() == 0,
+      s"${codegenErrors.get()} whole-stage codegen compile failures " +
+        "during the hybrid run — the fused stage fell back to " +
+        "interpreted execution")
   }
 }
