@@ -733,6 +733,159 @@ object Lexical {
     essRows.unionByName(neRows)
   }
 
+  // ──────────────────── block-max pruning (BMW) ────────────────────
+  //
+  // Ding & Suel, SIGIR'11 ("Faster top-k document retrieval using
+  // block-max indexes"), re-expressed for a partitioned store: where
+  // MaxScore prunes with one GLOBAL upper bound per term — which wins
+  // 83–94× on stopword-shaped dfs but only ~2× on df-flat corpora —
+  // block-max keeps bounds per (term, doc-block) and skips whole
+  // blocks whose bound cannot reach θ. Blocks here are doc-id ranges
+  // of `blockSize` documents (the classic layout transposed to a doc
+  // partition so "skip" becomes a relational anti-filter); a block's
+  // bound for query q folds TWO certificates, both sound because
+  // every contribution is ≥ 0 (the positive "+1" idf):
+  //
+  //   1. Σ_{t ∈ q} bmax(t, b) — with bmax ABSENT counting 0, so a
+  //      block missing any query term loses that term's whole bound:
+  //      at fine granularity the absence of one decisive term kills
+  //      most blocks, which is exactly the alignment effect DAAT
+  //      block-skipping exploits.
+  //   2. The block's mass ceiling max_d Σ_all-terms contrib(t, d):
+  //      score(q, d) ≤ mass(d) for ANY query, so a block of weak
+  //      documents dies regardless of which terms the query holds.
+  //
+  // Granularity trades sidecar size for pruning: per-term sidecar
+  // entries ≈ min(df, N/blockSize).
+
+  /** Augment a contribution store with its doc-range `block` column
+    * (block = doc_id div blockSize — deterministic, no build-time
+    * sort; sparse doc-id spaces just leave some blocks small).
+    */
+  def blockMaxAugment(store: DataFrame, blockSize: Int = 64): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1: $blockSize")
+    store.select(col("term"), col("doc_id"), col("contrib"),
+      floor(col("doc_id").cast("long") / blockSize).cast("long")
+        .as("block"))
+  }
+
+  /** Per-(term, block) contribution upper bounds off an augmented
+    * store — the serving sidecar. Σ_t min(df_t, N/blockSize) rows;
+    * always SEMI-JOIN to the query's terms before any broadcast (the
+    * df discipline).
+    */
+  def blockMaxSidecar(storeB: DataFrame): DataFrame =
+    storeB.groupBy("term", "block").agg(max(col("contrib")).as("bmax"))
+
+  /** Per-block mass ceilings off an augmented store: (`block`,
+    * `mass_max` = max over the block's docs of the doc's total
+    * contribution mass). N/blockSize rows; one doc-keyed build
+    * shuffle.
+    */
+  def blockMaxStats(storeB: DataFrame): DataFrame =
+    storeB.groupBy("block", "doc_id").agg(sum(col("contrib")).as("_m"))
+      .groupBy("block").agg(max(col("_m")).as("mass_max"))
+
+  /** EXACT top-k with block-max pruning: identical output to
+    * [[bm25TopKFromContribStore]] over the same untruncated store.
+    * θ(q) comes from the truncated store exactly as in
+    * [[bm25TopKMaxScore]]; a block b stays ALIVE for query q iff
+    * min(Σ_{t∈q} bmax(t, b), mass_max(b)) ≥ θ − 1e-6 — both legs
+    * certify score(d) < θ − 1e-6 for every doc in a dead block
+    * (term-wise block bounds; the mass ceiling), so dead-block docs
+    * round below θ and cannot enter the top-k under any tiebreak, and
+    * every doc with rounded score ≥ θ sits in an alive block (its own
+    * score is under both certificates). Candidates (query-term
+    * postings in alive blocks) fold over the exact store rows in
+    * term-asc order — the same doubles in the same order as the full
+    * traversal, bit-identical rows out.
+    *
+    * SCALE SHAPE: the bound computation is the QUERY-SLICED sidecar
+    * (Σ_t min(df_t, N/blockSize) rows for the query's terms) — one
+    * small groupBy keyed (q, block), never corpus-sized; the
+    * alive-block filter (≤ Q · N/blockSize rows, usually a small
+    * fraction after pruning) broadcasts under `aliveBroadcastMaxRows`
+    * — counted, not guessed — else joins as sort-merge, so dead-block
+    * postings are dropped before the fold exchange either way.
+    * [[blockMaxFoldStats]] measures the reduction.
+    */
+  def bm25TopKBlockMax(storeB: DataFrame, truncated: DataFrame,
+                       sidecar: DataFrame, stats: DataFrame,
+                       queries: DataFrame,
+                       qTextCol: String, qIdCol: String, k: Int,
+                       aliveBroadcastMaxRows: Long = 4L << 20): DataFrame = {
+    val parts = blockMaxFoldInput(storeB, truncated, sidecar, stats,
+      queries, qTextCol, qIdCol, k, aliveBroadcastMaxRows)
+    val scored = parts
+      .groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .withColumn("score",
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")), 6))
+    rankTail(scored, "score", k)
+  }
+
+  /** The pruned fold input of [[bm25TopKBlockMax]] — exposed for the
+    * fold-volume pins (specs, ScaleBench).
+    */
+  private[graft] def blockMaxFoldInput(storeB: DataFrame,
+                                       truncated: DataFrame,
+                                       sidecar: DataFrame,
+                                       stats: DataFrame,
+                                       queries: DataFrame, qTextCol: String,
+                                       qIdCol: String, k: Int,
+                                       aliveBroadcastMaxRows: Long = 4L << 20)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(storeB.sparkSession)
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+      explode(queryTerms(col(qTextCol))).as("term"))
+    val theta = bm25TopKFromContribStore(truncated, queries,
+        qTextCol, qIdCol, k)
+      .filter(col("rank") === k)
+      .select(col("q_id"), col("score").as("theta"))
+    // per-(query, block) bound: Σ bmax over the query's terms present
+    // in the block (absent terms bound 0), capped by the block's mass
+    // ceiling. Query-sliced sidecar — the df discipline.
+    val qb = sidecar.join(broadcast(qTerms.select("term").distinct()),
+      Seq("term"))
+    val bounds = qTerms.join(qb, Seq("term"))
+      .groupBy("q_id", "block")
+      .agg(sum(col("bmax")).as("_sb"))
+      .join(stats, Seq("block"))
+      .withColumn("bound", least(col("_sb"), col("mass_max")))
+    // persisted (≤ Q · N/blockSize): the alive count below decides the
+    // candidate-filter join strategy, and the plan reuses the cache
+    val alive = persistRotating("blockMaxFoldInput.alive", bounds
+      .join(broadcast(theta), Seq("q_id"), "left")
+      .filter(col("theta").isNull ||
+        col("bound") >= col("theta") - lit(1e-6))
+      .select("q_id", "block"))
+    val aliveFilter =
+      if (alive.count() <= aliveBroadcastMaxRows) broadcast(alive)
+      else alive.hint("merge")
+    storeB.join(broadcast(qTerms), Seq("term"))
+      .join(aliveFilter, Seq("q_id", "block"))
+      .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))
+  }
+
+  /** Fold-volume accounting for [[bm25TopKBlockMax]] vs the full
+    * traversal: (pruned fold-input rows, full fold-input rows).
+    */
+  def blockMaxFoldStats(storeB: DataFrame, truncated: DataFrame,
+                        sidecar: DataFrame, stats: DataFrame,
+                        queries: DataFrame,
+                        qTextCol: String, qIdCol: String, k: Int)
+      : (Long, Long) = {
+    val pruned = blockMaxFoldInput(storeB, truncated, sidecar, stats,
+      queries, qTextCol, qIdCol, k).count()
+    val qTerms = queries.select(col(qIdCol).as("q_id"),
+      explode(queryTerms(col(qTextCol))).as("term"))
+    val full = storeB.join(broadcast(qTerms), Seq("term")).count()
+    (pruned, full)
+  }
+
   /** Fold-volume accounting for [[bm25TopKMaxScore]] vs the full
     * traversal: (pruned fold-input rows, full fold-input rows =
     * Σ df over the queries' store terms). The bounded-reads metric pin.

@@ -2464,6 +2464,70 @@ object TextQueries {
                - (1600000000000000000 + q_id * 1000000) % 21600000000000
                AS window_ns,
              q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // ---- block-max (BMW) pruning (round 17, Ding & Suel SIGIR'11):
+    //      EXACT top-k via per-(term, doc-block) bounds + per-block
+    //      mass ceilings — the pruning rung for the df-flat regime
+    //      where MaxScore's global term bounds only managed ~2×. The
+    //      ORACLE IS THE FULL TRAVERSAL (q187's derivation verbatim):
+    //      block skipping must change nothing. BlockMaxSpec pins the
+    //      fold reduction and exactness across block granularities;
+    //      ScaleBench records the plain-skew decade row.
+    Q("q196_bm25_blockmax", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = operators.Lexical.bm25Store(docs, "text", "doc_id")
+        .persist()
+      store.count()
+      val storeB = operators.Lexical.blockMaxAugment(store, 64).persist()
+      storeB.count()
+      val sidecar = operators.Lexical.blockMaxSidecar(storeB)
+      val stats = operators.Lexical.blockMaxStats(storeB)
+      val trunc = operators.Lexical.truncateByImpact(store, 10)
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      val out = operators.Lexical.bm25TopKBlockMax(storeB, trunc,
+        sidecar, stats, qs, "qtext", "q_id", k = 5).localCheckpoint(true)
+      store.unpersist(); storeB.unpersist()
+      out
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      p0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term FROM tk),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM p0 GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qt AS (SELECT DISTINCT q_id, term FROM
+               (SELECT doc_id AS q_id, unnest(toks[1:3]) AS term
+                FROM tk WHERE doc_id % 100 = 0)),
+      cand AS (SELECT qt.q_id, p.doc_id, qt.term,
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)) AS contrib
+               FROM p JOIN qt USING (term) JOIN dfr USING (term)
+               CROSS JOIN st),
+      sc AS (SELECT q_id, doc_id,
+               ROUND(list_aggregate(list(contrib ORDER BY term), 'sum'), 6)
+                 AS score
+             FROM cand GROUP BY 1, 2),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 5"""))
   )
 }

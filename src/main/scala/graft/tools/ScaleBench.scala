@@ -2095,6 +2095,85 @@ object ScaleBench {
           math.max(1L, foldPruned).toDouble)}}"""
     }.getOrElse("")
 
+    // Block-max (BMW) pruning (env GRAFT_SCALE_BMW=
+    // <docs>,<queries>[,<k>[,<m>[,<blockSize>]]]): the q196 surface at
+    // scale on the PLAIN tf-skew corpus — the regime where MaxScore's
+    // GLOBAL per-term bounds only bought ~2× (df tops out at ~6 % of
+    // N; no stopword layer, so no essential/non-essential cliff).
+    // Block-level bounds discriminate where global ones can't: a
+    // doc-range block missing one decisive query term loses that
+    // term's whole bound, and a block of weak docs dies under its mass
+    // ceiling. Claims under test: (1) the pruned top-k is IDENTICAL to
+    // the full traversal (asserted row-for-row), (2) the block-level
+    // fold reduction beats the MaxScore fold reduction on this corpus.
+    val bmwJson = sys.env.get("GRAFT_SCALE_BMW").map { sN =>
+      import graft.operators.Lexical
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_BMW='$sN' — expected " +
+          "'<docs>,<queries>[,<k>[,<m>[,<blockSize>]]]'")
+      val (nd, nq) = (parts(0), parts(1))
+      val k = if (parts.length > 2) parts(2).toInt else 10
+      val m = if (parts.length > 3) parts(3).toInt else 64
+      val bs = if (parts.length > 4) parts(4).toInt else 64
+      val rawDir = s"$root/bmw_docs_$nd"
+      synthSkewDocs(spark, nd).write.mode("overwrite").parquet(rawDir)
+      val d = spark.read.parquet(rawDir)
+      val b0 = System.nanoTime()
+      val store = Lexical.bm25Store(d, "text", "doc_id")
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      val storeRows = store.count()
+      val storeB = Lexical.blockMaxAugment(store, bs)
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      storeB.count()
+      val sidecar = Lexical.blockMaxSidecar(storeB).persist()
+      val sidecarRows = sidecar.count()
+      val stats = Lexical.blockMaxStats(storeB).persist()
+      stats.count()
+      val trunc = Lexical.truncateByImpact(store, m)
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      trunc.count()
+      val buildS = (System.nanoTime() - b0) / 1e9
+      val every = math.max(1L, nd / nq)
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(
+            graft.functions.TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext")).persist()
+      val nQs = qs.count()
+      val t1 = System.nanoTime()
+      val exact = Lexical.bm25TopKFromContribStore(store,
+        qs, "qtext", "q_id", k = k).persist()
+      val exactRows = exact.count()
+      val exactS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val pruned = Lexical.bm25TopKBlockMax(storeB, trunc, sidecar,
+        stats, qs, "qtext", "q_id", k = k).persist()
+      val prunedRows = pruned.count()
+      val prunedS = (System.nanoTime() - t2) / 1e9
+      val agree = pruned.intersect(exact).count()
+      require(agree == exactRows && prunedRows == exactRows,
+        s"BMW diverged from the exact traversal: " +
+          s"$agree/$exactRows/$prunedRows")
+      val (foldBmw, foldFull) = Lexical.blockMaxFoldStats(storeB, trunc,
+        sidecar, stats, qs, "qtext", "q_id", k = k)
+      val (foldMs, _) = Lexical.maxScoreFoldStats(store, trunc,
+        qs, "qtext", "q_id", k = k)
+      store.unpersist(); storeB.unpersist(); sidecar.unpersist()
+      stats.unpersist(); trunc.unpersist()
+      exact.unpersist(); pruned.unpersist(); qs.unpersist()
+      s""","bmw":{"docs":$nd,"queries":$nQs,"k":$k,"m":$m,""" +
+        s""""block_size":$bs,"store_rows":$storeRows,""" +
+        s""""sidecar_rows":$sidecarRows,"build_s":${fmt(buildS)},""" +
+        s""""exact_s":${fmt(exactS)},"pruned_s":${fmt(prunedS)},""" +
+        s""""fold_rows_full":$foldFull,"fold_rows_bmw":$foldBmw,""" +
+        s""""fold_rows_maxscore":$foldMs,""" +
+        s""""fold_reduction_bmw_x":${fmt(foldFull.toDouble /
+          math.max(1L, foldBmw).toDouble)},""" +
+        s""""fold_reduction_maxscore_x":${fmt(foldFull.toDouble /
+          math.max(1L, foldMs).toDouble)}}"""
+    }.getOrElse("")
+
     // BM25F with field-SKEWED lengths (env GRAFT_SCALE_BM25FSKEW=
     // <docs>,<queries>[,<k>]): the q183 surface under the realistic
     // title≪body regime — title length VARIES per doc (1–5 tokens,
@@ -3551,7 +3630,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bm25fSkewJson$phraseJson$sdmJson$hybridStreamJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bmwJson$bm25fSkewJson$phraseJson$sdmJson$hybridStreamJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:
