@@ -1118,10 +1118,16 @@ object Lexical {
     */
   def phraseTopKFromPostings(post: DataFrame, queries: DataFrame,
                              qTextCol: String, qIdCol: String, k: Int,
-                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                             k1: Double = 1.2, b: Double = 0.75,
+                             statsOverride: Option[DataFrame] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(post.sparkSession)
-    val stats = corpusStatsFromPostings(post)
+    // statsOverride: a one-row (n_docs, avgdl) frame from the exact
+    // maintenance sidecar rollup — lets the maintained-store serving
+    // path slice `post` down to the phrase's terms without losing the
+    // corpus-wide stats (the bm25TopKLive device)
+    val stats = statsOverride.getOrElse(corpusStatsFromPostings(post))
     val ph = queries
       .select(col(qIdCol).cast("long").as("q_id"),
         filter(TextFunctions.tokens(col(qTextCol)),
@@ -1246,13 +1252,19 @@ object Lexical {
                           lambdaT: Double = 0.85, lambdaO: Double = 0.1,
                           lambdaU: Double = 0.05, window: Int = 8,
                           k1: Double = 1.2, b: Double = 0.75,
-                          rerank: Option[Int] = None): DataFrame = {
+                          rerank: Option[Int] = None,
+                          statsOverride: Option[DataFrame] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rerank.forall(_ >= k),
       s"rerank depth must be >= k: $rerank < $k")
     require(window >= 2, s"unordered window must be >= 2: $window")
     graft.plans.GraftExtensions.register(post.sparkSession)
-    val stats = corpusStatsFromPostings(post)
+    // statsOverride: exact sidecar-rollup (n_docs, avgdl) — the
+    // maintained-store serving path ([[graft.streaming
+    // .StreamingLexicalIndex.serveSdm]]) slices `post` to the query's
+    // terms and threads corpus stats here
+    val stats = statsOverride.getOrElse(corpusStatsFromPostings(post))
     val dfreq = docFreq(post)
     val ph = queries
       .select(col(qIdCol).cast("long").as("q_id"),

@@ -2528,6 +2528,305 @@ object TextQueries {
                 ORDER BY score DESC, doc_id ASC) AS rank
             FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // ---- maintained positional store (round 17): positional postings
+    //      are per-document facts — the flat store's bootstrap /
+    //      exactly-once-append / compact lifecycle applies verbatim,
+    //      closing the ad-hoc 288 s / 50 GB-spill per-call rebuild at
+    //      10⁷ (BASELINE phrase row). Two ingest passes (80% bootstrap,
+    //      20% streamed with per-file triggers + mid-stream compaction),
+    //      then EXACT phrase serving off the term-pruned slice with
+    //      rollup stats. The oracle is q190's from-scratch positional
+    //      replay verbatim: maintenance must change nothing.
+    Q("q197_phrase_maintained", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = Scratch.tempDir("graft-q197").toString
+      val postTx = new graft.bank.TxTable(s, s"$root/post")
+      val statsTx = new graft.bank.TxTable(s, s"$root/stats")
+      graft.streaming.StreamingLexicalIndex.bootstrapP(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        postTx, statsTx)
+      val arrivals = s"$root/arrivals"
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .repartition(4).write.parquet(arrivals)
+      graft.streaming.StreamingLexicalIndex.runP(s, arrivals,
+        postTx, statsTx, s"$root/cp", maxFilesPerTrigger = 1,
+        compactEvery = 2)
+        .awaitTermination()
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 2))
+            .as("qtext"))
+      graft.streaming.StreamingLexicalIndex.servePhrase(
+        postTx, statsTx, qs, "qtext", "q_id", k = 5)
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      pp0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(list_transform(range(1, len(toks) + 1),
+                 i -> struct_pack(pos := i, term := toks[i]))) AS u
+             FROM tk),
+      pp AS (SELECT doc_id, dl, CAST(u.pos AS BIGINT) AS pos, u.term AS term
+             FROM pp0),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      qp0 AS (SELECT doc_id AS q_id, list_filter(toks[1:2], t -> t <> '') AS ph
+              FROM tk WHERE doc_id % 100 = 0),
+      qp1 AS (SELECT q_id, CAST(len(ph) AS BIGINT) AS m,
+                unnest(list_transform(range(1, len(ph) + 1),
+                  j -> struct_pack(j := j, term := ph[j]))) AS u
+              FROM qp0 WHERE len(ph) >= 1),
+      qpe AS (SELECT q_id, m, CAST(u.j AS BIGINT) AS j, u.term AS term
+              FROM qp1),
+      an AS (SELECT qpe.q_id, qpe.m, pp.doc_id, pp.dl,
+               pp.pos - qpe.j + 1 AS anchor, qpe.j
+             FROM pp JOIN qpe USING (term)),
+      occ AS (SELECT q_id, doc_id, dl, anchor
+              FROM an GROUP BY q_id, doc_id, dl, m, anchor
+              HAVING COUNT(DISTINCT j) = m),
+      ptf AS (SELECT q_id, doc_id, dl, COUNT(*) AS tf
+              FROM occ GROUP BY 1, 2, 3),
+      pdf AS (SELECT q_id, COUNT(*) AS df FROM ptf GROUP BY 1),
+      sc AS (SELECT p.q_id, p.doc_id,
+               ROUND(ln(CAST(1.0 AS DOUBLE)
+                   + (CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE))
+                     / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)), 6) AS score
+             FROM ptf p JOIN pdf d USING (q_id) CROSS JOIN st),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5"""), headline = true),
+
+    // ---- streaming phrase serving (round 16): q190's exact-phrase
+    //      top-k as a LIVE tier — a query stream against the static
+    //      positional store, the packed adjacency fold keyed by the
+    //      event-time window, then one per-query match collection
+    //      (df decides idf, so the window must see every match before
+    //      any rank exists — intrinsic to exact phrase scoring).
+    //      Oracle: q190's full positional DuckDB replay, window-stamped.
+    Q("q192_stream_phrase", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val docs = Tables.documents(s, dir)
+      val post = operators.Lexical.postingsPositional(
+        docs, "text", "doc_id").persist()
+      post.count()
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 2))
+            .as("qtext"),
+          (lit(t0) + col("doc_id") * lit(1_000_000L)).as("ts"))
+      val flush = s.range(1).select(lit(999999999L).as("q_id"),
+        lit("zzflushzz").as("qtext"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = Scratch.tempDir("graft-q192").toString
+      qs.unionByName(flush).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .parquet(tmp)
+      val out = graft.streaming.StreamingLexical.phraseStream(
+        stream, post, "q_id", "qtext", "ts", k = 5)
+      val sink = "q192_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(sink).filter(col("q_id") < 999999999L)
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      post.unpersist()
+      res
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      pp0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(list_transform(range(1, len(toks) + 1),
+                 i -> struct_pack(pos := i, term := toks[i]))) AS u
+             FROM tk),
+      pp AS (SELECT doc_id, dl, CAST(u.pos AS BIGINT) AS pos, u.term AS term
+             FROM pp0),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      qp0 AS (SELECT doc_id AS q_id, list_filter(toks[1:2], t -> t <> '') AS ph
+              FROM tk WHERE doc_id % 100 = 0),
+      qp1 AS (SELECT q_id, CAST(len(ph) AS BIGINT) AS m,
+                unnest(list_transform(range(1, len(ph) + 1),
+                  j -> struct_pack(j := j, term := ph[j]))) AS u
+              FROM qp0 WHERE len(ph) >= 1),
+      qpe AS (SELECT q_id, m, CAST(u.j AS BIGINT) AS j, u.term AS term
+              FROM qp1),
+      an AS (SELECT qpe.q_id, qpe.m, pp.doc_id, pp.dl,
+               pp.pos - qpe.j + 1 AS anchor, qpe.j
+             FROM pp JOIN qpe USING (term)),
+      occ AS (SELECT q_id, doc_id, dl, anchor
+              FROM an GROUP BY q_id, doc_id, dl, m, anchor
+              HAVING COUNT(DISTINCT j) = m),
+      ptf AS (SELECT q_id, doc_id, dl, COUNT(*) AS tf
+              FROM occ GROUP BY 1, 2, 3),
+      pdf AS (SELECT q_id, COUNT(*) AS df FROM ptf GROUP BY 1),
+      sc AS (SELECT p.q_id, p.doc_id,
+               ROUND(ln(CAST(1.0 AS DOUBLE)
+                   + (CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE))
+                     / (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * (CAST(p.tf AS DOUBLE)
+                    * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                 / (CAST(p.tf AS DOUBLE)
+                    + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                       - CAST(0.75 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                         / st.avgdl)), 6) AS score
+             FROM ptf p JOIN pdf d USING (q_id) CROSS JOIN st),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT (1600000000000000000 + q_id * 1000000)
+               - (1600000000000000000 + q_id * 1000000) % 21600000000000
+               AS window_ns,
+             q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // ---- SDM off the maintained positional store (round 17): rerank
+    //      passthrough included upstream, but this row pins the FULL
+    //      three-feature traversal (q193's oracle verbatim) served from
+    //      the maintained slice — unigram dfs live from the slice,
+    //      stats from the exact rollup.
+    Q("q198_sdm_maintained", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = Scratch.tempDir("graft-q198").toString
+      val postTx = new graft.bank.TxTable(s, s"$root/post")
+      val statsTx = new graft.bank.TxTable(s, s"$root/stats")
+      graft.streaming.StreamingLexicalIndex.bootstrapP(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        postTx, statsTx)
+      val arrivals = s"$root/arrivals"
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+        .repartition(2).write.parquet(arrivals)
+      graft.streaming.StreamingLexicalIndex.runP(s, arrivals,
+        postTx, statsTx, s"$root/cp", maxFilesPerTrigger = 1)
+        .awaitTermination()
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"))
+      graft.streaming.StreamingLexicalIndex.serveSdm(
+        postTx, statsTx, qs, "qtext", "q_id", k = 5)
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      pp0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(list_transform(range(1, len(toks) + 1),
+                 i -> struct_pack(pos := i, term := toks[i]))) AS u
+             FROM tk),
+      pp AS (SELECT doc_id, dl, CAST(u.pos AS BIGINT) AS pos, u.term AS term
+             FROM pp0),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM pp GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qp0 AS (SELECT doc_id AS q_id, list_filter(toks[1:3], t -> t <> '') AS ph
+              FROM tk WHERE doc_id % 100 = 0),
+      qp1 AS (SELECT q_id, CAST(len(ph) AS BIGINT) AS m,
+                unnest(list_transform(range(1, len(ph) + 1),
+                  j -> struct_pack(j := j, term := ph[j]))) AS u
+              FROM qp0 WHERE len(ph) >= 1),
+      qpe AS (SELECT q_id, m, CAST(u.j AS BIGINT) AS j, u.term AS term
+              FROM qp1),
+      uc AS (SELECT qpe.q_id, qpe.j, p.doc_id, p.dl,
+               ln(CAST(1.0 AS DOUBLE)
+                  + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE))
+                    / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * ((CAST(p.tf AS DOUBLE)
+                   * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (CAST(p.tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                        - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                          / st.avgdl))) AS c
+             FROM qpe JOIN dfr USING (term) JOIN p USING (term)
+             CROSS JOIN st),
+      base AS (SELECT q_id, doc_id,
+                 list_aggregate(list(c ORDER BY j), 'sum') AS s_t
+               FROM uc GROUP BY 1, 2),
+      qpair AS (SELECT a.q_id, a.j AS i, a.term AS t1, b.term AS t2
+                FROM qpe a JOIN qpe b
+                  ON a.q_id = b.q_id AND b.j = a.j + 1),
+      po AS (SELECT qp.q_id, qp.i, p1.doc_id, p1.dl, COUNT(*) AS tfo
+             FROM qpair qp
+             JOIN pp p1 ON p1.term = qp.t1
+             JOIN pp p2 ON p2.term = qp.t2 AND p2.doc_id = p1.doc_id
+               AND p2.pos = p1.pos + 1
+             GROUP BY 1, 2, 3, 4),
+      pu AS (SELECT qp.q_id, qp.i, p1.doc_id, p1.dl, COUNT(*) AS tfu
+             FROM qpair qp
+             JOIN pp p1 ON p1.term = qp.t1
+             JOIN pp p2 ON p2.term = qp.t2 AND p2.doc_id = p1.doc_id
+               AND p2.pos <> p1.pos AND abs(p2.pos - p1.pos) < 8
+             GROUP BY 1, 2, 3, 4),
+      dfo AS (SELECT q_id, i, COUNT(*) AS df_o FROM po GROUP BY 1, 2),
+      dfu AS (SELECT q_id, i, COUNT(*) AS df_u FROM pu GROUP BY 1, 2),
+      so AS (SELECT po.q_id, po.doc_id,
+               list_aggregate(list(
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfo.df_o AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfo.df_o AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * ((CAST(po.tfo AS DOUBLE)
+                     * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(po.tfo AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                          - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(po.dl AS DOUBLE)
+                            / st.avgdl))) ORDER BY po.i), 'sum') AS s_o
+             FROM po JOIN dfo USING (q_id, i) CROSS JOIN st
+             GROUP BY 1, 2),
+      su AS (SELECT pu.q_id, pu.doc_id,
+               list_aggregate(list(
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfu.df_u AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfu.df_u AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * ((CAST(pu.tfu AS DOUBLE)
+                     * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(pu.tfu AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                          - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(pu.dl AS DOUBLE)
+                            / st.avgdl))) ORDER BY pu.i), 'sum') AS s_u
+             FROM pu JOIN dfu USING (q_id, i) CROSS JOIN st
+             GROUP BY 1, 2),
+      sc AS (SELECT base.q_id, base.doc_id,
+               ROUND(CAST(0.85 AS DOUBLE) * base.s_t
+                 + CAST(0.1 AS DOUBLE)
+                   * COALESCE(so.s_o, CAST(0.0 AS DOUBLE))
+                 + CAST(0.05 AS DOUBLE)
+                   * COALESCE(su.s_u, CAST(0.0 AS DOUBLE)), 6) AS score
+             FROM base
+             LEFT JOIN so ON base.q_id = so.q_id
+               AND base.doc_id = so.doc_id
+             LEFT JOIN su ON base.q_id = su.q_id
+               AND base.doc_id = su.doc_id),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 5"""))
   )
 }

@@ -107,6 +107,128 @@ object StreamingLexicalIndex {
       .start()
   }
 
+  // ──────────── maintained POSITIONAL store (round 17) ────────────
+  //
+  // Positional postings are per-document facts exactly like the flat
+  // layout — a document's (term → positions) map never goes stale and
+  // encodes scan-locally — so the same bootstrap/append/compact/serve
+  // lifecycle applies verbatim. What this closes: phrase/SDM serving
+  // previously rebuilt the positional store AD HOC per call
+  // (persistRotating), a 288 s / ~50 GB-spill build at 10⁷ docs
+  // (BASELINE phrase row). Serving slices the term-sorted store to
+  // the query's terms (the bm25TopKLive IN-pushdown device — row
+  // groups prune) and threads the exact sidecar-rollup stats, so the
+  // served rows are hash-equal to a from-scratch build.
+
+  /** Bulk-load the POSITIONAL postings store + the baseline stats
+    * partial (tagged — a re-run is a no-op).
+    */
+  def bootstrapP(corpus: DataFrame, idCol: String, textCol: String,
+                 postTx: TxTable, statsTx: TxTable): Unit = {
+    postTx.appendOnce(
+      Lexical.postingsPositional(corpus, textCol, idCol).sort("term"),
+      tag = "lexpos-baseline")
+    statsTx.appendOnce(statsPartial(corpus, textCol, "lexpos-baseline"),
+      tag = "lexpos-stats-baseline")
+    ()
+  }
+
+  /** Incremental positional maintainer — [[run]] with the positional
+    * encode (per-row, no shuffle; an appended doc batch produces
+    * exactly its own positional rows, so the maintained store is
+    * row-set equal to a rebuild under any batching).
+    */
+  def runP(spark: SparkSession, docsDir: String,
+           postTx: TxTable, statsTx: TxTable,
+           checkpointDir: String, idCol: String = "doc_id",
+           textCol: String = "text",
+           availableNow: Boolean = true,
+           maxFilesPerTrigger: Int = 1000,
+           compactEvery: Int = 0): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(docSchema(idCol, textCol))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(docsDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        postTx.appendOnce(
+          Lexical.postingsPositional(b, textCol, idCol).sort("term"),
+          tag = s"lexpos-batch-$batchId")
+        statsTx.appendOnce(
+          statsPartial(b, textCol, s"lexpos-stats-src-$batchId"),
+          tag = s"lexpos-stats-$batchId")
+        b.unpersist()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          postTx.compact(Seq("term"))
+          statsTx.compact()
+          ()
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** The term-pruned slice + stats-row pair every maintained
+    * positional server shares: the query's distinct terms collect
+    * driver-side behind a loud bound and push into the store scan as
+    * an IN filter (term-sorted files prune to matched row groups);
+    * corpus stats ride a one-row frame from the exact rollup.
+    */
+  private def slicedWithStats(postTx: TxTable, statsTx: TxTable,
+                              queries: DataFrame, qTextCol: String,
+                              maxQueryTerms: Int)
+      : (DataFrame, DataFrame) = {
+    val spark = queries.sparkSession
+    val terms = queries
+      .select(explode(Lexical.queryTerms(col(qTextCol))).as("term"))
+      .distinct().limit(maxQueryTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(terms.length <= maxQueryTerms,
+      s"over $maxQueryTerms distinct query terms (maxQueryTerms) — " +
+        "split the query batch or raise the bound")
+    val (n, _, avgdl) = stats(statsTx)
+    val slice = postTx.read().filter(col("term").isInCollection(terms))
+    val statsRow = spark.range(1).select(lit(n).as("n_docs"),
+      lit(avgdl).as("avgdl"))
+    (slice, statsRow)
+  }
+
+  /** Exact phrase serving off the maintained positional store —
+    * [[graft.operators.Lexical.phraseTopKFromPostings]] over the
+    * term-pruned slice with rollup stats; hash-equal to a
+    * from-scratch build (phrase df counts matched docs, a slice
+    * invariant).
+    */
+  def servePhrase(postTx: TxTable, statsTx: TxTable, queries: DataFrame,
+                  qTextCol: String, qIdCol: String, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  maxQueryTerms: Int = 100000): DataFrame = {
+    val (slice, statsRow) = slicedWithStats(postTx, statsTx, queries,
+      qTextCol, maxQueryTerms)
+    Lexical.phraseTopKFromPostings(slice, queries, qTextCol, qIdCol,
+      k, k1, b, statsOverride = Some(statsRow))
+  }
+
+  /** SDM serving off the maintained positional store — unigram dfs
+    * live from the term-pruned slice (exact for the query's terms),
+    * stats from the rollup, rerank mode passed through.
+    */
+  def serveSdm(postTx: TxTable, statsTx: TxTable, queries: DataFrame,
+               qTextCol: String, qIdCol: String, k: Int,
+               lambdaT: Double = 0.85, lambdaO: Double = 0.1,
+               lambdaU: Double = 0.05, window: Int = 8,
+               k1: Double = 1.2, b: Double = 0.75,
+               rerank: Option[Int] = None,
+               maxQueryTerms: Int = 100000): DataFrame = {
+    val (slice, statsRow) = slicedWithStats(postTx, statsTx, queries,
+      qTextCol, maxQueryTerms)
+    Lexical.sdmTopKFromPostings(slice, queries, qTextCol, qIdCol, k,
+      lambdaT, lambdaO, lambdaU, window, k1, b, rerank,
+      statsOverride = Some(statsRow))
+  }
+
   /** Exact corpus stats from the sidecar rollup: (N, Σdl, avgdl). The
     * division is the [[Lexical.corpusStats]] arithmetic on exact
     * integer sums — bit-equal to a from-scratch pass.

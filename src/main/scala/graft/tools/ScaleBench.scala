@@ -2543,6 +2543,74 @@ object ScaleBench {
     // query's `term IN (...)` prunes nothing at the FILE level (only
     // row groups); compact(sort by term) restores store-wide disjoint
     // term slices. Measures serve wall + file count before/after.
+
+    // Maintained POSITIONAL store lifecycle (env GRAFT_SCALE_POSGEN=
+    // <docs>,<batches>): the q197 surface at scale — ingest the corpus
+    // through the positional maintainer (exactly-once appendOnce
+    // batches), serve exact phrase top-k off the maintained store
+    // (term-pruned slice + rollup stats), then compact and re-serve.
+    // What this row replaces: the ad-hoc per-call positional build —
+    // 288 s with ~50 GB of term-sort spill at 10⁷ docs (BASELINE
+    // phrase row) — with a maintained store whose serve cost is the
+    // slice, not the build.
+    val posGenJson = sys.env.get("GRAFT_SCALE_POSGEN").map { sN =>
+      import graft.bank.TxTable
+      import graft.functions.TextFunctions
+      import graft.streaming.{StreamingLexicalIndex => Idx}
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_POSGEN='$sN' — expected '<docs>,<batches>'")
+      val (nd, nb) = (parts(0), parts(1).toInt)
+      val rawDir = s"$root/posgen_docs_$nd"
+      synthSkewDocs(spark, nd).select("doc_id", "text")
+        .repartition(nb).write.mode("overwrite").parquet(rawDir)
+      val root2 = s"$root/posgen_store_$nd"
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration).delete(
+        new org.apache.hadoop.fs.Path(root2), true)
+      val postTx = new TxTable(spark, s"$root2/post")
+      val statsTx = new TxTable(spark, s"$root2/stats")
+      val i0 = System.nanoTime()
+      Idx.runP(spark, rawDir, postTx, statsTx, s"$root2/cp",
+        maxFilesPerTrigger = 1).awaitTermination()
+      val ingestS = (System.nanoTime() - i0) / 1e9
+      val storeRows = postTx.read().count()
+      val d = spark.read.parquet(rawDir)
+      val every = math.max(1L, nd / 500)
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 2))
+            .as("qtext")).persist()
+      val nQs = qs.count()
+      def probe(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = Idx.servePhrase(postTx, statsTx, qs, "qtext", "q_id",
+          k = 10).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      probe() // warm
+      val (servePre, rowsPre) = probe()
+      val filesPre = postTx.snapshot().size
+      val c0 = System.nanoTime()
+      postTx.compact(Seq("term"))
+      val compactS = (System.nanoTime() - c0) / 1e9
+      val filesPost = postTx.snapshot().size
+      require(postTx.read().count() == storeRows,
+        "compact must be content-neutral")
+      probe() // warm
+      val (servePost, rowsPost) = probe()
+      require(rowsPre == rowsPost,
+        s"compaction changed served rows: $rowsPre vs $rowsPost")
+      qs.unpersist()
+      s""","posgen":{"docs":$nd,"batches":$nb,"queries":$nQs,""" +
+        s""""store_rows":$storeRows,"ingest_s":${fmt(ingestS)},""" +
+        s""""files_pre":$filesPre,"files_post":$filesPost,""" +
+        s""""compact_s":${fmt(compactS)},""" +
+        s""""serve_pre_s":${fmt(servePre)},""" +
+        s""""serve_post_s":${fmt(servePost)},""" +
+        s""""serve_rows":$rowsPre}"""
+    }.getOrElse("")
+
     val lexCompactJson = sys.env.get("GRAFT_SCALE_LEXCOMPACT").map { sN =>
       import graft.bank.TxTable
       import graft.functions.TextFunctions
@@ -3630,7 +3698,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bmwJson$bm25fSkewJson$phraseJson$sdmJson$hybridStreamJson$lexGenJson$lexCompactJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bmwJson$bm25fSkewJson$phraseJson$sdmJson$hybridStreamJson$lexGenJson$lexCompactJson$posGenJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:
