@@ -2827,6 +2827,158 @@ object TextQueries {
                 ORDER BY score DESC, doc_id ASC) AS rank
             FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+      FROM r WHERE rank <= 5""")),
+
+    // ---- streaming SDM rerank serving (round 17): q194's rerank-mode
+    //      SDM as a live tier riding the positions-free unigram stream
+    //      — pair probes priced only on the windowed top-n, pair dfs
+    //      over the rerank set (q194's subset-df semantics). Oracle:
+    //      q194's full rerank replay verbatim, window-stamped per
+    //      query.
+    Q("q199_stream_sdm_rerank", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val t0 = 1_600_000_000_000_000_000L
+      val docs = Tables.documents(s, dir)
+      val post = operators.Lexical.postingsPositional(
+        docs, "text", "doc_id").persist()
+      post.count()
+      val qs = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext"),
+          (lit(t0) + col("doc_id") * lit(1_000_000L)).as("ts"))
+      val flush = s.range(1).select(lit(999999999L).as("q_id"),
+        lit("zzflushzz").as("qtext"),
+        lit(t0 + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val tmp = Scratch.tempDir("graft-q199").toString
+      qs.unionByName(flush).repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .parquet(tmp)
+      val out = graft.streaming.StreamingLexical.sdmRerankStream(
+        stream, post, "q_id", "qtext", "ts", k = 5, n = 20)
+      val sink = "q199_sink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(sink).filter(col("q_id") < 999999999L)
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      post.unpersist()
+      res
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      pp0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(list_transform(range(1, len(toks) + 1),
+                 i -> struct_pack(pos := i, term := toks[i]))) AS u
+             FROM tk),
+      pp AS (SELECT doc_id, dl, CAST(u.pos AS BIGINT) AS pos, u.term AS term
+             FROM pp0),
+      p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM pp GROUP BY 1, 2, 3),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(toks) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM tk),
+      dfr AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      qp0 AS (SELECT doc_id AS q_id, list_filter(toks[1:3], t -> t <> '') AS ph
+              FROM tk WHERE doc_id % 100 = 0),
+      qp1 AS (SELECT q_id, CAST(len(ph) AS BIGINT) AS m,
+                unnest(list_transform(range(1, len(ph) + 1),
+                  j -> struct_pack(j := j, term := ph[j]))) AS u
+              FROM qp0 WHERE len(ph) >= 1),
+      qpe AS (SELECT q_id, m, CAST(u.j AS BIGINT) AS j, u.term AS term
+              FROM qp1),
+      uc AS (SELECT qpe.q_id, qpe.j, p.doc_id, p.dl,
+               ln(CAST(1.0 AS DOUBLE)
+                  + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE))
+                    / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * ((CAST(p.tf AS DOUBLE)
+                   * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                  / (CAST(p.tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                        - CAST(0.75 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)
+                          / st.avgdl))) AS c
+             FROM qpe JOIN dfr USING (term) JOIN p USING (term)
+             CROSS JOIN st),
+      base AS (SELECT q_id, doc_id,
+                 list_aggregate(list(c ORDER BY j), 'sum') AS s_t
+               FROM uc GROUP BY 1, 2),
+      sel AS (SELECT q_id, doc_id, s_t FROM (
+                SELECT q_id, doc_id, s_t,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY ROUND(s_t, 6) DESC, doc_id ASC) AS rn
+                FROM base) WHERE rn <= 20),
+      qpair AS (SELECT a.q_id, a.j AS i, a.term AS t1, b.term AS t2
+                FROM qpe a JOIN qpe b
+                  ON a.q_id = b.q_id AND b.j = a.j + 1),
+      po AS (SELECT qp.q_id, qp.i, p1.doc_id, p1.dl, COUNT(*) AS tfo
+             FROM qpair qp
+             JOIN pp p1 ON p1.term = qp.t1
+             JOIN sel ON sel.q_id = qp.q_id AND sel.doc_id = p1.doc_id
+             JOIN pp p2 ON p2.term = qp.t2 AND p2.doc_id = p1.doc_id
+               AND p2.pos = p1.pos + 1
+             GROUP BY 1, 2, 3, 4),
+      pu AS (SELECT qp.q_id, qp.i, p1.doc_id, p1.dl, COUNT(*) AS tfu
+             FROM qpair qp
+             JOIN pp p1 ON p1.term = qp.t1
+             JOIN sel ON sel.q_id = qp.q_id AND sel.doc_id = p1.doc_id
+             JOIN pp p2 ON p2.term = qp.t2 AND p2.doc_id = p1.doc_id
+               AND p2.pos <> p1.pos AND abs(p2.pos - p1.pos) < 8
+             GROUP BY 1, 2, 3, 4),
+      dfo AS (SELECT q_id, i, COUNT(*) AS df_o FROM po GROUP BY 1, 2),
+      dfu AS (SELECT q_id, i, COUNT(*) AS df_u FROM pu GROUP BY 1, 2),
+      so AS (SELECT po.q_id, po.doc_id,
+               list_aggregate(list(
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfo.df_o AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfo.df_o AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * ((CAST(po.tfo AS DOUBLE)
+                     * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(po.tfo AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                          - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(po.dl AS DOUBLE)
+                            / st.avgdl))) ORDER BY po.i), 'sum') AS s_o
+             FROM po JOIN dfo USING (q_id, i) CROSS JOIN st
+             GROUP BY 1, 2),
+      su AS (SELECT pu.q_id, pu.doc_id,
+               list_aggregate(list(
+                 ln(CAST(1.0 AS DOUBLE)
+                    + (CAST(st.n_docs AS DOUBLE) - CAST(dfu.df_u AS DOUBLE)
+                       + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfu.df_u AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                 * ((CAST(pu.tfu AS DOUBLE)
+                     * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(pu.tfu AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                          - CAST(0.75 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(pu.dl AS DOUBLE)
+                            / st.avgdl))) ORDER BY pu.i), 'sum') AS s_u
+             FROM pu JOIN dfu USING (q_id, i) CROSS JOIN st
+             GROUP BY 1, 2),
+      sc AS (SELECT sel.q_id, sel.doc_id,
+               ROUND(CAST(0.85 AS DOUBLE) * sel.s_t
+                 + CAST(0.1 AS DOUBLE)
+                   * COALESCE(so.s_o, CAST(0.0 AS DOUBLE))
+                 + CAST(0.05 AS DOUBLE)
+                   * COALESCE(su.s_u, CAST(0.0 AS DOUBLE)), 6) AS score
+             FROM sel
+             LEFT JOIN so ON sel.q_id = so.q_id
+               AND sel.doc_id = so.doc_id
+             LEFT JOIN su ON sel.q_id = su.q_id
+               AND sel.doc_id = su.doc_id),
+      r AS (SELECT q_id, doc_id, score,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT (1600000000000000000 + q_id * 1000000)
+               - (1600000000000000000 + q_id * 1000000) % 21600000000000
+               AS window_ns,
+             q_id, doc_id, score, CAST(rank AS INT) AS rank
       FROM r WHERE rank <= 5"""))
   )
 }

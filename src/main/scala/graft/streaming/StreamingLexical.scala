@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -365,6 +365,198 @@ object StreamingLexical {
       .select(col("w2"), col("q_id"),
         posexplode(col("ranked")).as(Seq("pos", "t")))
       .select(expr("unix_micros(w2.start) * 1000").as("window_ns"),
+        col("q_id"), col("t.id").as("doc_id"),
+        negate(col("t.d")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Streaming SDM serving in RERANK mode (round 17) — the live twin
+    * of [[graft.operators.Lexical.sdmTopKFromPostings]] with
+    * `rerank = Some(n)`: Metzler–Croft sequential dependence as a
+    * serving tier, with the expensive positional pair probes priced
+    * only on the windowed unigram top-n (the deployment shape the
+    * proximity literature assumes; pair dfs count over the rerank set
+    * — the q194 subset-df semantics, oracle-pinned).
+    *
+    * Three chained windowed aggregations:
+    *
+    *  1. UNIGRAM FOLD per (window, query, doc) over a POSITIONS-FREE
+    *     entry struct (the rerank-mode batch shape — positions prune
+    *     out of the store scan): state is the candidate volume Σ df of
+    *     narrow rows. idf is hoisted to a vocabulary-sized static
+    *     frame (one ln per term, never per candidate).
+    *  2. Bounded top-n heap per (window, query) — everything after
+    *     clamps at n.
+    *  3. Survivors re-join the positional store (Q×n×m probe rows),
+    *     collect into ONE packed row per (window, query), and the
+    *     whole rerank tier — j-ordered unigram folds, ordered/windowed
+    *     pair counts, subset dfs, i-ordered pair folds, the λ-weighted
+    *     ROUND-6 combination, rank with doc-id tiebreak — computes
+    *     SCAN-LOCALLY from that array, exactly the batch expressions.
+    *     State is Q×n×m packed entries: query-sized, corpus-free.
+    *
+    * Output (append changelog): `window_ns, q_id, doc_id, score,
+    * rank` — the batch rerank rows bit for bit, window-stamped.
+    */
+  def sdmRerankStream(queries: DataFrame, post: DataFrame,
+                      qIdCol: String, qTextCol: String, tsCol: String,
+                      k: Int, n: Int,
+                      lambdaT: Double = 0.85, lambdaO: Double = 0.1,
+                      lambdaU: Double = 0.05, window: Int = 8,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      watermark: String = "10 seconds",
+                      windowDur: String = "6 hours",
+                      statePartitions: Option[Int] = None,
+                      maxQueriesPerTrigger: Option[Int] = None)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(n >= k, s"rerank depth must be >= k: $n < $k")
+    require(window >= 2, s"unordered window must be >= 2: $window")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    statePartitions.foreach(StatePartitions.pin(post, _))
+    val Lx = graft.operators.Lexical
+    val stats = Lx.corpusStatsFromPostings(post)
+    // vocabulary-sized idf table: one ln per term, static side
+    val idfT = Lx.docFreq(post).crossJoin(broadcast(stats))
+      .select(col("term"),
+        Lx.bm25Idf(col("n_docs"), col("df")).as("idf_t"),
+        col("n_docs"), col("avgdl"))
+    val postLight = post.select(col("term"), col("doc_id"), col("dl"),
+      col("tf")).join(idfT, Seq("term"))
+    val postPos = post.select(col("term"), col("doc_id"),
+      col("positions")).join(idfT.select("term", "idf_t"), Seq("term"))
+    val sat = (tf: Column, dl: Column, avgdl: Column) =>
+      (tf.cast("double") * lit(k1 + 1.0)) /
+        (tf.cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * dl.cast("double") / avgdl))
+    val qps0 = gated(queries, maxQueriesPerTrigger, qIdCol, qTextCol,
+        tsCol)
+      .select(col(qIdCol).cast("long").as("q_id"),
+        col(qTextCol).as("qtext"),
+        timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
+      .withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("q_id")
+      .select(col("q_id"), col("_ts"),
+        filter(TextFunctions.tokens(col("qtext")),
+          t => t =!= lit("")).as("ph"))
+      .filter(size(col("ph")) >= 1)
+      .select(col("q_id"), col("_ts"),
+        transform(col("ph"), (t, i) =>
+          struct((i + 1).cast("long").as("j"), t.as("term"))).as("qps"))
+    // 1. positions-free unigram fold (the rerank batch first pass)
+    val uni = qps0
+      .select(col("q_id"), col("_ts"), col("qps"),
+        explode(col("qps")).as("e"))
+      .select(col("q_id"), col("_ts"), col("qps"),
+        col("e.j").as("j"), col("e.term").as("term"))
+      .join(postLight, Seq("term"))
+      .groupBy(org.apache.spark.sql.functions
+        .window(col("_ts"), windowDur).as("w"), col("q_id"),
+        col("doc_id"), col("dl"), col("qps"),
+        col("n_docs"), col("avgdl"))
+      .agg(sort_array(collect_list(struct(col("j"), col("tf"),
+        col("idf_t")))).as("es"))
+      .withColumn("st_r", round(aggregate(col("es"), lit(0.0),
+        (acc, e) => acc + e.getField("idf_t") *
+          sat(e.getField("tf"), col("dl"), col("avgdl"))), 6))
+    // 2. bounded top-n select
+    val sel = uni
+      .groupBy(col("w").as("w2"), col("q_id"), col("qps"),
+        col("n_docs"), col("avgdl"))
+      .agg(TopK.topKNative(n, negate(col("st_r")), col("doc_id"))
+        .as("top"))
+      .select(col("w2"), col("q_id"), col("qps"), col("n_docs"),
+        col("avgdl"), explode(col("top")).as("t"))
+      .select(col("w2"), col("q_id"), col("qps"), col("n_docs"),
+        col("avgdl"), col("t.id").as("doc_id"))
+    // 3. survivors re-join the positional store (Q×n×m rows), pack per
+    //    (window, query), rerank scan-locally with the batch math.
+    //    dl rides postLight once more via the (term, doc) probe rows.
+    val probes = sel
+      .select(col("w2"), col("q_id"), col("qps"), col("n_docs"),
+        col("avgdl"), col("doc_id"), explode(col("qps")).as("e"))
+      .select(col("w2"), col("q_id"), col("qps"), col("n_docs"),
+        col("avgdl"), col("doc_id"),
+        col("e.j").as("j"), col("e.term").as("term"))
+      .join(post.select(col("term"), col("doc_id"), col("dl"),
+        col("tf"), col("positions"))
+        .join(idfT.select("term", "idf_t"), Seq("term")),
+        Seq("term", "doc_id"))
+    val m = size(col("qps"))
+    val packed = probes
+      .groupBy(col("w2").as("w3"), col("q_id"), col("qps"),
+        col("n_docs"), col("avgdl"))
+      .agg(collect_list(struct(col("doc_id"), col("dl"), col("j"),
+        col("tf"), col("idf_t"), col("positions"))).as("ents"))
+      .withColumn("docs", sort_array(array_distinct(
+        transform(col("ents"), e => e.getField("doc_id")))))
+      .withColumn("per", transform(col("docs"), d => {
+        val des = sort_array(filter(col("ents"),
+          e => e.getField("doc_id") === d))
+        val dl = element_at(des, 1).getField("dl")
+        val st = aggregate(des, lit(0.0), (acc, e) =>
+          acc + e.getField("idf_t") *
+            sat(e.getField("tf"), dl, col("avgdl")))
+        val prs = slice(transform(sequence(lit(1L), m.cast("long")),
+          i => {
+            val e1 = get(filter(des, e => e.getField("j") === i), lit(0))
+            val e2 = get(filter(des, e => e.getField("j") === i + 1),
+              lit(0))
+            val tfO = size(filter(e1.getField("positions"),
+              p => array_contains(e2.getField("positions"), p + 1)))
+            val tfU = aggregate(e1.getField("positions"), lit(0),
+              (acc, p1) => acc + size(filter(e2.getField("positions"),
+                p2 => p2 =!= p1 && abs(p2 - p1) < lit(window))))
+            struct(i.as("i"),
+              coalesce(tfO.cast("long"), lit(0L)).as("tfo"),
+              coalesce(tfU.cast("long"), lit(0L)).as("tfu"))
+          }), lit(1), (m - 1).cast("int"))
+        struct(d.as("doc_id"), dl.as("dl"), st.as("st"), prs.as("prs"))
+      }))
+      // subset dfs over the packed rerank set, one (df_o, df_u) per
+      // adjacent pair index — the q194 semantics
+      .withColumn("dfs", transform(
+        sequence(lit(1L), greatest(m.cast("long") - 1, lit(1L))),
+        i => struct(i.as("i"),
+          size(filter(col("per"), x => size(filter(x.getField("prs"),
+            pr => pr.getField("i") === i && pr.getField("tfo") > 0))
+            > 0)).cast("long").as("df_o"),
+          size(filter(col("per"), x => size(filter(x.getField("prs"),
+            pr => pr.getField("i") === i && pr.getField("tfu") > 0))
+            > 0)).cast("long").as("df_u"))))
+      .withColumn("ranked", slice(sort_array(transform(col("per"),
+        x => {
+          val so = aggregate(x.getField("prs"), lit(0.0),
+            (acc: Column, pr: Column) => {
+              val dfo = get(filter(col("dfs"),
+                y => y.getField("i") === pr.getField("i")), lit(0))
+                .getField("df_o")
+              acc + when(pr.getField("tfo") > 0,
+                Lx.bm25Idf(col("n_docs"), dfo) *
+                  sat(pr.getField("tfo"), x.getField("dl"),
+                    col("avgdl")))
+                .otherwise(lit(0.0))
+            })
+          val su = aggregate(x.getField("prs"), lit(0.0),
+            (acc: Column, pr: Column) => {
+              val dfu = get(filter(col("dfs"),
+                y => y.getField("i") === pr.getField("i")), lit(0))
+                .getField("df_u")
+              acc + when(pr.getField("tfu") > 0,
+                Lx.bm25Idf(col("n_docs"), dfu) *
+                  sat(pr.getField("tfu"), x.getField("dl"),
+                    col("avgdl")))
+                .otherwise(lit(0.0))
+            })
+          val score = round(lit(lambdaT) * x.getField("st") +
+            lit(lambdaO) * so + lit(lambdaU) * su, 6)
+          struct(negate(score).as("d"), x.getField("doc_id").as("id"))
+        })), 1, k))
+    packed
+      .select(col("w3"), col("q_id"),
+        posexplode(col("ranked")).as(Seq("pos", "t")))
+      .select(expr("unix_micros(w3.start) * 1000").as("window_ns"),
         col("q_id"), col("t.id").as("doc_id"),
         negate(col("t.d")).as("score"),
         (col("pos") + 1).cast("int").as("rank"))
