@@ -1202,9 +1202,12 @@ object Lexical {
     * term scores once per position — the model's Σ over query terms),
     * i walks adjacent pairs (w_i, w_i+1). Feature frequencies are the
     * classic Indri operators: tf_o = #1(w_i w_i+1) (exact ordered
-    * adjacency count), tf_u = #uwN(w_i, w_i+1) (co-occurrence PAIRS at
-    * distinct positions within `window` N, i.e. |p1 − p2| < N, any
-    * order). Where the paper weights features with Dirichlet language
+    * adjacency count), tf_u = #uwN(w_i, w_i+1), counted as ORDERED position
+    * pairs (p1 from w_i, p2 from w_i+1, p1 ≠ p2, |p1 − p2| < N) — so
+    * when the two pair terms are IDENTICAL (query "a a"), each
+    * co-occurring position pair counts twice ({1, 4} → tf_u = 2),
+    * a deliberate, oracle-pinned divergence from Indri's unordered-set
+    * #uwN for the duplicated-term corner. Where the paper weights features with Dirichlet language
     * models, this surface weights every feature with the engine's BM25
     * form — idf × sat in the FACTORED association (the
     * [[bm25TopKFromFactoredStore]] convention): unigram dfs come from

@@ -2299,9 +2299,12 @@ object ScaleBench {
         (all, pruned)
       } else (-1L, -1L)
       post.unpersist(); qs.unpersist()
+      // diag-off runs OMIT the candidate keys (no -1 sentinels)
+      val diagKeys = if (diag)
+        s""""cand_rows_all":$candAll,"cand_rows":$candPruned,""" else ""
       s""","phrase":{"docs":$nd,"queries":$nQs,"k":$k,""" +
         s""""post_rows":$postRows,"build_s":${fmt(buildS)},""" +
-        s""""cand_rows_all":$candAll,"cand_rows":$candPruned,""" +
+        diagKeys +
         s""""serve_s":${fmt(serveS)},"rows":$rows}"""
     }.getOrElse("")
 
@@ -2371,10 +2374,14 @@ object ScaleBench {
       val candRows = post.join(broadcast(qpe), Seq("term")).count()
       post.unpersist(); qs.unpersist()
       dfreq.unpersist(); stats.unpersist()
+      // skipped arms OMIT their keys (no -1 sentinels a ratio/plot
+      // reader could mistake for measurements)
+      val fullKeys = if (runFull)
+        s""""sdm_s":${fmt(sdmS)},"sdm_rows":$sdmRows,""" else ""
       s""","sdm":{"docs":$nd,"queries":$nQs,"k":$k,"rerank_n":$rrN,""" +
         s""""post_rows":$postRows,"build_s":${fmt(buildS)},""" +
-        s""""cand_rows":$candRows,"sdm_s":${fmt(sdmS)},""" +
-        s""""sdm_rows":$sdmRows,"rerank_s":${fmt(rrS)},""" +
+        s""""cand_rows":$candRows,""" + fullKeys +
+        s""""rerank_s":${fmt(rrS)},""" +
         s""""rerank_rows":$rrRows,"uni_s":${fmt(uniS)},""" +
         s""""uni_rows":$uniRows}"""
     }.getOrElse("")

@@ -36,8 +36,10 @@ class PhraseStreamSpec extends SparkSpec {
       (103L, "absent phrase", t0 + 4_000_000L),
       (999L, "zz flush", t0 + 8L * 3600L * 1_000_000_000L)
     ).toDF("q_id", "qtext", "ts")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-phrasestream").toString
+    val tmpF = java.nio.file.Files
+      .createTempDirectory("graft-phrasestream").toFile
+    tmpF.deleteOnExit()
+    val tmp = tmpF.toString
     qs.repartition(2).write.mode("overwrite").parquet(tmp)
     val stream = spark.readStream
       .schema(spark.read.parquet(tmp).schema).parquet(tmp)

@@ -21,6 +21,7 @@ class SdmPlanSpec extends SparkSpec {
 
   private lazy val corpora: Map[Long, DataFrame] = {
     val root = java.nio.file.Files.createTempDirectory("graft-sdmplan")
+    root.toFile.deleteOnExit()
     Seq(small, large).map { n =>
       val dir = root.resolve(s"docs_$n").toString
       ScaleBench.synthDocs(spark, n).write.parquet(dir)
