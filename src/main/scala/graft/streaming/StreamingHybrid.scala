@@ -59,12 +59,13 @@ object StreamingHybrid {
                 watermark: String = "10 seconds",
                 windowDur: String = "6 hours",
                 statePartitions: Option[Int] = None,
-                maxQueriesPerTrigger: Option[Int] = None): DataFrame = {
+                maxQueriesPerTrigger: Option[Int] = None,
+                truncated: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(kTier >= 1, s"kTier must be >= 1: $kTier")
     graft.plans.GraftExtensions.register(queries.sparkSession)
     statePartitions.foreach(n =>
-      StatePartitions.pinAll(Seq(store, index.cells), n))
+      StatePartitions.pinAll(Seq(store, index.cells) ++ truncated, n))
     // ONE admission gate feeds both tiers, so a window's lexical and
     // dense lists always see the same admitted query set
     val q = maxQueriesPerTrigger match {
@@ -72,8 +73,17 @@ object StreamingHybrid {
         qIdCol, qTextCol, tsCol, vecCol = Some(qVecCol))
       case None => queries
     }
-    val lex = StreamingLexical.bm25RankedW(q, store,
+    // `truncated` switches the lexical tier to MaxScore-pruned serving
+    // (bit-identical rows, per-trigger state Σ_essential df) — the
+    // pruned tier is how the 10³-queries/trigger geometry that OOM'd
+    // the unpruned fold serves inside one trigger
+    val lexRanked = truncated match {
+      case Some(t) => StreamingLexical.bm25MaxScoreRankedW(q, store, t,
+        qIdCol, qTextCol, tsCol, kTier, watermark, windowDur)
+      case None => StreamingLexical.bm25RankedW(q, store,
         qIdCol, qTextCol, tsCol, kTier, watermark, windowDur, None)
+    }
+    val lex = lexRanked
       .select(col("w"), col("q_id"), col("doc_id"),
         lit(0).as("src"), col("rank").cast("long").as("r"))
     val den = StreamingSimilarity.ivfRankedW(q, index,

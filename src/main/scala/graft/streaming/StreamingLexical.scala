@@ -168,12 +168,27 @@ object StreamingLexical {
                          statePartitions: Option[Int] = None,
                          maxQueriesPerTrigger: Option[Int] = None)
       : DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    graft.plans.GraftExtensions.register(queries.sparkSession)
     statePartitions.foreach(n =>
       StatePartitions.pinAll(Seq(store, truncated), n))
-    val qTerms = gated(queries, maxQueriesPerTrigger, qIdCol, qTextCol,
-        tsCol)
+    bm25MaxScoreRankedW(
+      gated(queries, maxQueriesPerTrigger, qIdCol, qTextCol, tsCol),
+      store, truncated, qIdCol, qTextCol, tsCol, k, watermark, windowDur)
+      .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
+        col("q_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** [[bm25StreamMaxScore]] up to the ranked tier, KEEPING the window
+    * struct — the [[bm25RankedW]] contract, so [[StreamingHybrid]] can
+    * ride the PRUNED lexical tier (per-trigger state Σ_essential df
+    * instead of Σ df) by passing its truncated store through.
+    */
+  private[streaming] def bm25MaxScoreRankedW(
+      queries: DataFrame, store: DataFrame, truncated: DataFrame,
+      qIdCol: String, qTextCol: String, tsCol: String,
+      k: Int, watermark: String, windowDur: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val qTerms = queries
       .select(col(qIdCol).cast("long").as("q_id"),
         col(qTextCol).as("qtext"),
         timestamp_micros(expr(s"$tsCol div 1000")).as("_ts"))
@@ -255,7 +270,7 @@ object StreamingLexical {
         .as("top"))
       .select(col("w4"), col("q_id"),
         posexplode(col("top")).as(Seq("pos", "t")))
-      .select(expr("unix_micros(w4.start) * 1000").as("window_ns"),
+      .select(col("w4").as("w"),
         col("q_id"), col("t.id").as("doc_id"),
         negate(col("t.d")).as("score"),
         (col("pos") + 1).cast("int").as("rank"))

@@ -2095,6 +2095,190 @@ object ScaleBench {
           math.max(1L, foldPruned).toDouble)}}"""
     }.getOrElse("")
 
+    // Reference-shaped WaveBank workloads (env GRAFT_SCALE_WAVEBANK=
+    // <hours>[,<chans>[,<hz>[,<mseed01>]]]): the reference's OWN
+    // profiling workloads (profile_wavebank.ipynb — all its %timeit
+    // outputs are cleared, so these are the first recorded numbers for
+    // the workload DEFINITIONS it ships):
+    //   1. archive write (putWaveforms: segments + index),
+    //   2. index rebuild from files (update_index on a cold index —
+    //      the "4000 files × 3 traces" cell; mseed01=1 runs it over
+    //      real mseed segments with the header-only V2 scan),
+    //   3. chunked delivery (yield_waveforms duration=3600 s,
+    //      overlap=2 s over 96 h),
+    //   4. windowed read latency (get_waveforms of a 2 h window),
+    //   5. the sparse sweep (one 15 s request per hour across the
+    //      whole archive, as ONE bulk interval join — the set-based
+    //      answer to the notebook's scalar get_waveforms loop).
+    val waveBankJson = sys.env.get("GRAFT_SCALE_WAVEBANK").map { sN =>
+      import graft.bank.WaveBank
+      val parts = sN.split(",").map(_.trim.toLong)
+      val hours = parts(0)
+      val chans = if (parts.length > 1) parts(1).toInt else 3
+      val hz = if (parts.length > 2) parts(2).toInt else 10
+      val segFmt = if (parts.length > 3 && parts(3) == 1L) "mseed"
+                   else "parquet"
+      val spNs = 1_000_000_000L / hz
+      val nSamp = 3600 * hz
+      val bankRoot = s"$root/wavebank_${hours}_$segFmt"
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration).delete(
+        new org.apache.hadoop.fs.Path(bankRoot), true)
+      val segs = spark.range(hours).select(col("id").as("h"))
+        .crossJoin(spark.range(chans).select(col("id").as("c")))
+        .select(lit("N1").as("network"), lit("S1").as("station"),
+          lit("").as("location"),
+          concat(lit("HH"), col("c")).as("channel"),
+          (col("h") * lit(3_600_000_000_000L)).as("starttime"),
+          lit(spNs).as("sampling_period"),
+          transform(sequence(lit(1), lit(nSamp)),
+            i => (i % 100).cast("double")).as("samples"))
+      val bank = new WaveBank(spark, bankRoot, segmentFormat = segFmt)
+      val t0 = System.nanoTime()
+      bank.putWaveforms(segs)
+      val putS = (System.nanoTime() - t0) / 1e9
+      val idxRows = bank.readIndex().count()
+      // cold index rebuild from the archived files (update_index)
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration).delete(
+        new org.apache.hadoop.fs.Path(bank.indexPath), true)
+      val bank2 = new WaveBank(spark, bankRoot, segmentFormat = segFmt)
+      val t1 = System.nanoTime()
+      bank2.updateIndex()
+      val indexS = (System.nanoTime() - t1) / 1e9
+      require(bank2.readIndex().count() == idxRows,
+        "cold index rebuild changed row count")
+      // chunked delivery over 96 h (duration 3600 s, overlap 2 s):
+      // chunk × index join, then the bulk read + trim + stitch
+      val h96 = math.min(96L, hours) * 3_600_000_000_000L
+      val t2 = System.nanoTime()
+      val chunks = bank2.yieldWaveforms(0L, h96,
+        3_600_000_000_000L, 2_000_000_000L)
+      val chunkRows = chunks.count()
+      val yieldS = (System.nanoTime() - t2) / 1e9
+      // windowed read: one 2 h get_waveforms (stitched samples out)
+      val t3 = System.nanoTime()
+      val winSamples = bank2.getWaveforms("N1", "S1", "", "HH0",
+          0L, 7_200_000_000_000L)
+        .agg(coalesce(sum(size(col("samples"))), lit(0))).head().getLong(0)
+      val windowS = (System.nanoTime() - t3) / 1e9
+      // sparse sweep: one 15 s request per hour, whole archive, as ONE
+      // bulk interval join + read
+      import spark.implicits._
+      val reqs = spark.range(hours).select(
+        lit("N1.S1..HH0").as("seed_id"),
+        (col("id") * lit(3_600_000_000_000L)).as("t1"),
+        (col("id") * lit(3_600_000_000_000L) + lit(15_000_000_000L))
+          .as("t2"))
+      val t4 = System.nanoTime()
+      val sweepRows = bank2.getWaveformsBulk(reqs).count()
+      val sweepS = (System.nanoTime() - t4) / 1e9
+      s""","wavebank":{"hours":$hours,"chans":$chans,"hz":$hz,""" +
+        s""""format":"$segFmt","index_rows":$idxRows,""" +
+        s""""put_s":${fmt(putS)},"index_build_s":${fmt(indexS)},""" +
+        s""""yield_chunk_rows":$chunkRows,"yield_s":${fmt(yieldS)},""" +
+        s""""window_read_s":${fmt(windowS)},""" +
+        s""""window_samples":$winSamples,""" +
+        s""""sweep_requests":$hours,"sweep_rows":$sweepRows,""" +
+        s""""sweep_s":${fmt(sweepS)}}"""
+    }.getOrElse("")
+
+    // MaxScore-pruned STREAMING lexical serving (env
+    // GRAFT_SCALE_MSSTREAM=<docs>,<queries>[,<k>[,<m>]]): the q195
+    // surface at the geometry that OOM'd the UNPRUNED stream — 10³
+    // stopword-laden queries landing in ONE AvailableNow trigger blew
+    // a 28 GiB heap in round 16 because bm25Stream's first fold holds
+    // Σ df state rows (BASELINE "Streaming hybrid fusion"). The pruned
+    // stream's state is the truncation probe (m-bounded) plus
+    // Σ_essential df. Claims under test: (1) stream rows ≡ the batch
+    // full traversal (asserted), (2) the max stateful-operator row
+    // count is a fraction of Σ df, recorded alongside the wall.
+    val msStreamJson = sys.env.get("GRAFT_SCALE_MSSTREAM").map { sN =>
+      import graft.functions.TextFunctions
+      import graft.operators.Lexical
+      import graft.streaming.StreamingLexical
+      import org.apache.spark.sql.streaming.Trigger
+      val parts = sN.split(",").map(_.trim.toLong)
+      require(parts.length >= 2,
+        s"GRAFT_SCALE_MSSTREAM='$sN' — expected '<docs>,<queries>[,<k>[,<m>]]'")
+      val (nd, nq) = (parts(0), parts(1))
+      val k = if (parts.length > 2) parts(2).toInt else 10
+      val m = if (parts.length > 3) parts(3).toInt else 64
+      val rawDir = s"$root/msstream_docs_$nd"
+      synthSkewDocs(spark, nd).select(col("doc_id"),
+        concat_ws(" ",
+          when(pmod(xxhash64(lit("st1"), col("doc_id")), lit(100L)) < 95,
+            lit("the")),
+          when(pmod(xxhash64(lit("st2"), col("doc_id")), lit(100L)) < 60,
+            lit("of")),
+          col("text")).as("text"))
+        .write.mode("overwrite").parquet(rawDir)
+      val d = spark.read.parquet(rawDir)
+      val store = Lexical.bm25Store(d, "text", "doc_id")
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      store.count()
+      val trunc = Lexical.truncateByImpact(store, m)
+        .repartition(col("term")).sortWithinPartitions("term").persist()
+      trunc.count()
+      val every = math.max(1L, nd / nq)
+      val t0ns = 1_600_000_000_000_000_000L
+      val qs = d.filter(col("doc_id") % every === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as("qtext")).persist()
+      val nQs = qs.count()
+      // the full candidate volume the unpruned fold would hold as state
+      val qpe = qs.select(col("q_id"),
+        explode(TextFunctions.tokens(col("qtext"))).as("term")).distinct()
+      val fullVolume = store.join(broadcast(qpe), Seq("term")).count()
+      // batch control off the same store
+      val t1 = System.nanoTime()
+      val batch = Lexical.bm25TopKFromContribStore(store,
+        qs, "qtext", "q_id", k = k).persist()
+      val batchRows = batch.count()
+      val batchS = (System.nanoTime() - t1) / 1e9
+      // pruned stream: ALL queries arrive in one drained trigger
+      val flush = spark.range(1).select(lit(3_000_000_000L).as("q_id"),
+        lit("zzflushzz").as("qtext"),
+        lit(t0ns + 8L * 3600L * 1_000_000_000L).as("ts"))
+      val qDir = s"$root/msstream_qs_$nd"
+      qs.select(col("q_id"), col("qtext"),
+          (lit(t0ns) + col("q_id")).as("ts"))
+        .unionByName(flush).repartition(8)
+        .write.mode("overwrite").parquet(qDir)
+      val t2 = System.nanoTime()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(qDir).schema).parquet(qDir)
+      val out = StreamingLexical.bm25StreamMaxScore(stream, store, trunc,
+        "q_id", "qtext", "ts", k = k, statePartitions = Some(8))
+      val sink = "msstreamscale_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamS = (System.nanoTime() - t2) / 1e9
+      val maxState = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+        .foldLeft(0L)(_ max _)
+      val got = spark.table(sink)
+        .filter(col("q_id") < 3_000_000_000L)
+        .select("q_id", "doc_id", "score", "rank").persist()
+      val gotRows = got.count()
+      val agree = got.intersect(
+        batch.select("q_id", "doc_id", "score", "rank")).count()
+      require(agree == batchRows && gotRows == batchRows,
+        s"pruned stream diverged from the batch traversal: " +
+          s"$agree/$batchRows/$gotRows")
+      spark.catalog.dropTempView(sink)
+      got.unpersist(); batch.unpersist()
+      store.unpersist(); trunc.unpersist(); qs.unpersist()
+      s""","msstream":{"docs":$nd,"queries":$nQs,"k":$k,"m":$m,""" +
+        s""""full_candidate_rows":$fullVolume,""" +
+        s""""max_state_rows":$maxState,""" +
+        s""""batch_s":${fmt(batchS)},"stream_s":${fmt(streamS)},""" +
+        s""""rows":$gotRows}"""
+    }.getOrElse("")
+
     // Block-max (BMW) pruning (env GRAFT_SCALE_BMW=
     // <docs>,<queries>[,<k>[,<m>[,<blockSize>]]]): the q196 surface at
     // scale on the PLAIN tf-skew corpus — the regime where MaxScore's
@@ -2402,9 +2586,15 @@ object ScaleBench {
       import org.apache.spark.sql.streaming.Trigger
       val parts = sN.split(",").map(_.trim.toLong)
       require(parts.length >= 2,
-        s"GRAFT_SCALE_HYBRIDSTREAM='$sN' — expected '<docs>,<queries>[,<k>]'")
+        s"GRAFT_SCALE_HYBRIDSTREAM='$sN' — expected " +
+          "'<docs>,<queries>[,<k>[,<pruned01>[,<m>]]]'")
       val (nd, nq) = (parts(0), parts(1))
       val k = if (parts.length > 2) parts(2).toInt else 10
+      // pruned01=1: the lexical tier rides MaxScore pruning (truncated
+      // store passed through) — per-trigger state Σ_essential df, the
+      // closure of round 16's 28 GiB OOM at 10³ queries/trigger
+      val pruned = parts.length > 3 && parts(3) == 1L
+      val m = if (parts.length > 4) parts(4).toInt else 64
       val nCells = 64
       val nProbe = 4
       val docsDir = s"$root/hybrid_docs_$nd"
@@ -2418,6 +2608,11 @@ object ScaleBench {
       val store = Lexical.bm25Store(d, "text", "doc_id")
         .repartition(col("term")).sortWithinPartitions("term").persist()
       store.count()
+      val trunc = if (pruned) {
+        val t = Lexical.truncateByImpact(store, m)
+          .repartition(col("term")).sortWithinPartitions("term").persist()
+        t.count(); Some(t)
+      } else None
       val index = StreamingSimilarity.ivfIndex(
         v, "doc_id", "embedding", nCells)
       index.cells.persist().count()
@@ -2460,7 +2655,7 @@ object ScaleBench {
         .schema(spark.read.parquet(qDir).schema).parquet(qDir)
       val out = StreamingHybrid.rrfStream(stream, store, index,
         "q_id", "qtext", "q_vec", "ts", nProbe, kTier = k, k = k,
-        statePartitions = Some(4))
+        statePartitions = Some(4), truncated = trunc)
       val sink = "hybridscale_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = out.writeStream.format("memory").queryName(sink)
@@ -2478,9 +2673,11 @@ object ScaleBench {
           s"$agree/$batchRows/$gotRows")
       spark.catalog.dropTempView(sink)
       got.unpersist(); batch.unpersist()
-      store.unpersist(); index.cells.unpersist(); qs.unpersist()
+      store.unpersist(); trunc.foreach(_.unpersist())
+      index.cells.unpersist(); qs.unpersist()
       s""","hybridstream":{"docs":$nd,"queries":$nQs,"k":$k,""" +
         s""""cells":$nCells,"nprobe":$nProbe,"corpus_tag":"$corpusTag",""" +
+        s""""pruned":${if (pruned) 1 else 0},""" +
         s""""build_s":${fmt(buildS)},"batch_s":${fmt(batchS)},""" +
         s""""stream_s":${fmt(streamS)},"rows":$gotRows}"""
     }.getOrElse("")
@@ -3705,7 +3902,7 @@ object ScaleBench {
         s""""peak_state_rows":${r.peakStateRows}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$bmwJson$bm25fSkewJson$phraseJson$sdmJson$hybridStreamJson$lexGenJson$lexCompactJson$posGenJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
+    println(s"""{"metric":"scale_bench","scales":[$scaleJson]$ratios$hotJson$fetchPlanJson$textFreqJson$pqJson$opqJson$opqNpJson$pqBatchJson$ivfpqJson$bandJson$streamJson$gapsJson$segsJson$phashJson$imgStreamJson$embStreamJson$annStreamJson$annStoreJson$adcStreamJson$bm25Json$bm25fJson$maxScoreJson$msStreamJson$waveBankJson$bmwJson$bm25fSkewJson$phraseJson$sdmJson$hybridStreamJson$lexGenJson$lexCompactJson$posGenJson$kcenterJson$annRecallJson$minhashSweepJson$deconStreamJson$audioJson$videoJson$hotFrameJson$audioStreamJson$videoStreamJson$detectJson$kmvJson$kmvStreamJson$priorityJson$freqJson$qsketchJson$priorityStreamJson$freqStreamJson$bankStatsJson}""")
     spark.stop()
     // the scratch root holds multi-GB corpora/stores at decade scales —
     // a chain of runs that leaves them behind fills the disk (measured:

@@ -127,6 +127,29 @@ class StreamingHybridSpec extends SparkSpec {
     // q102 shares no lexical term: its fused rows are dense-only
     assert(got.exists(_._2 == 102L))
 
+    // MaxScore-pruned lexical tier (round 17): passing the truncated
+    // store switches bm25RankedW → bm25MaxScoreRankedW — rows must be
+    // bit-identical to the unpruned hybrid (and hence to batch)
+    val trunc = Lexical.truncateByImpact(store, 2).persist()
+    trunc.count()
+    val outP = StreamingHybrid.rrfStream(
+      spark.readStream.schema(spark.read.parquet(tmp).schema).parquet(tmp),
+      store, index, "q_id", "qtext", "q_vec", "ts",
+      nProbe = 2, kTier = 3, k = 3, truncated = Some(trunc))
+    val sinkP = "hybridstreamp_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val qP = outP.writeStream.format("memory").queryName(sinkP)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    qP.awaitTermination()
+    val gotP = spark.table(sinkP)
+      .filter(col("q_id") < 999_999_999L)
+      .select("window_ns", "q_id", "doc_id", "rrf", "rank")
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+      .sortBy(r => (r._2, r._5))
+    spark.catalog.dropTempView(sinkP)
+    assert(gotP == got, "pruned lexical tier diverged from unpruned")
+    trunc.unpersist()
+
     // score-space fusion over the same tiers: combStream ≡ batch
     // combFuse (CombMNZ — normalization extrema per (tier, query,
     // window) must match the batch window form bit for bit)
