@@ -26,6 +26,19 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Respect the advisory partition size when coalescing instead of
+    // first preserving cluster parallelism (round 17, guide §2.2
+    // "fewer, larger reduce partitions"): parallelismFirst=true (the
+    // default) deliberately ignores the advisory size and keeps one
+    // tiny partition per core, which Spark's own config doc recommends
+    // turning off in production. With it off, AQE sizes every
+    // post-shuffle stage by bytes — kilobyte stages collapse to one
+    // task instead of |cores| no-op tasks, and at cluster scale the
+    // reduce-side block count stops growing with core count. The
+    // advisory size stays at Spark's 64 MB default; callers override
+    // per deployment.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "false")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     // ObjectHashAggregate (the operator every TypedImperativeAggregate

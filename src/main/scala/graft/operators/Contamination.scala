@@ -82,14 +82,28 @@ object Contamination {
             x => x.cast("string")))).as("bucket"))
     val evalBanded = banded(eval)
       .withColumnRenamed(idCol, "eval_id").withColumnRenamed("sig", "eval_sig")
+    // ONE exchange (round 17, guide §2.4): `sim` is a pure function of
+    // the (train, eval) PAIR — identical on every band the pair
+    // collides in — so the per-pair de-dup the old
+    // `.distinct().groupBy(id)` pipeline paid a second shuffle for
+    // folds into the same aggregate: n_eval_hits = |collect_set(
+    // eval_id)| and max_sim = MAX(sim) are both insensitive to band
+    // multiplicity. collect_set partially aggregates map-side, so the
+    // band duplicates combine before the single id-keyed exchange;
+    // per-group state is the doc's distinct eval hits (≤ |eval| —
+    // eval corpora are thousands of docs, and the object-hash
+    // fallback threshold is raised session-wide for exactly these
+    // bounded-state aggregates). A COUNT(DISTINCT) form would plan
+    // the same two exchanges the old pipeline paid.
     banded(train)
       .join(broadcast(evalBanded), Seq("band", "bucket"))
       .select(col(idCol), col("eval_id"),
         (aggregate(zip_with(col("sig"), col("eval_sig"),
             (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / k).as("sim"))
-      .distinct()
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_eval_hits"), max(col("sim")).as("max_sim"))
+      .agg(size(collect_set(col("eval_id"))).cast("long")
+          .as("n_eval_hits"),
+        max(col("sim")).as("max_sim"))
   }
 }

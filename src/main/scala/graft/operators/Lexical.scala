@@ -315,6 +315,121 @@ object Lexical {
           count(lit(1)).cast("double")).as("avgdl"))
   }
 
+  /** PACKED multi-field postings (round 17, guide §2.4): ONE row per
+    * (term, doc) — `term`, `doc_id`, `dls` (every field's token length
+    * for this doc, field-indexed), `entries`
+    * (array<struct<field:int, tf:long>>, FIELD-ASCENDING, only fields
+    * where the term occurs). Same scan-local build as
+    * [[postingsFields]] (a document's per-field term→tf maps are
+    * row-local state), but the BM25F pseudo-frequency fold that
+    * [[satFromPostF]] pays one candidate-volume exchange for — the
+    * ENTIRE multi-field postings volume, 42.98 M rows at the 10⁶-doc
+    * BASELINE bm25fskew geometry, 429.65 M at 10⁷ — becomes a pure
+    * projection: the (term, doc) row already holds every field's tf in
+    * fold order. Rows are distinct (term, doc), so any-field df is a
+    * plain count (the [[docFreqAnyField]] distinct disappears too);
+    * (doc_id, dls) is distinct per doc, so field stats fall out of a
+    * narrow distinct exactly like [[corpusStatsFromPostings]].
+    * The FLAT layout stays the maintained-store format
+    * ([[graft.streaming.StreamingLexicalIndex]] — its generation
+    * parquet and delta algebra are keyed on it); this one feeds the
+    * one-shot batch builders.
+    */
+  def postingsFieldsPacked(docs: DataFrame, fields: Seq[FieldSpec],
+                           idCol: String): DataFrame = {
+    require(fields.nonEmpty, "postingsFieldsPacked: no fields")
+    val nf = fields.length
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"),
+        array(fields.map(f => TextFunctions.tokens(col(f.textCol))): _*))
+      .as[(Long, Seq[Seq[String]])]
+      .mapPartitions(_.map { case (id, fieldToks) =>
+        val m = new java.util.LinkedHashMap[String, Array[Long]]()
+        val dls = new Array[Long](nf)
+        var fi = 0
+        fieldToks.foreach { toks =>
+          dls(fi) = toks.length.toLong
+          toks.foreach { t =>
+            m.computeIfAbsent(t, _ => new Array[Long](nf))(fi) += 1L
+          }
+          fi += 1
+        }
+        val out = Vector.newBuilder[(String, Seq[(Int, Long)])]
+        m.forEach { (t, tfs) =>
+          val es = Vector.newBuilder[(Int, Long)]
+          var f = 0
+          while (f < nf) { // field-asc — the satFromPostF fold order
+            if (tfs(f) > 0L) es += ((f, tfs(f)))
+            f += 1
+          }
+          out += ((t, es.result()))
+        }
+        (id, dls.toSeq, out.result())
+      })
+      .toDF("doc_id", "dls", "tes")
+      .select(col("doc_id"), col("dls"), explode(col("tes")).as("te"))
+      .select(col("te._1").as("term"), col("doc_id"), col("dls"),
+        transform(col("te._2"), e =>
+          struct(e.getField("_1").as("field"), e.getField("_2").as("tf")))
+          .as("entries"))
+  }
+
+  /** [[fieldStatsFromPostings]] off the PACKED layout: (doc_id, dls)
+    * is distinct per doc and dls holds every field's length, so the
+    * same exact integer sums fall out of one narrow distinct +
+    * posexplode (position IS the field index).
+    */
+  def fieldStatsFromPacked(packed: DataFrame): DataFrame =
+    packed.select(col("doc_id"), col("dls")).distinct()
+      .select(posexplode(col("dls")).as(Seq("field", "dl")))
+      .groupBy("field")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+
+  /** [[docFreqAnyField]] off the PACKED layout — rows are already
+    * distinct (term, doc), so df is a plain map-side-combined count
+    * (the flat layout's distinct exchange disappears).
+    */
+  def docFreqPacked(packed: DataFrame): DataFrame =
+    packed.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** [[satFromPostF]] off the PACKED layout: tf̃ folds SCAN-LOCALLY
+    * over the field-asc `entries` array — the same fc doubles in the
+    * same field-asc order as the flat fold (pinned by LexicalSpec's
+    * flat-vs-packed equality), with ZERO exchange where the flat form
+    * shuffled the entire multi-field postings volume. The per-field
+    * avgdl vector rides a one-row broadcast (lazy — no job at
+    * plan-build).
+    */
+  private def satFromPacked(packed: DataFrame, statsF: DataFrame,
+                            fields: Seq[FieldSpec],
+                            k1: Double): DataFrame = {
+    val weights = typedLit(fields.map(_.weight))
+    val bs = typedLit(fields.map(_.b))
+    val statsArr = broadcast(statsF
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("field"), col("avgdl"))))
+        .as("sf"))
+      .select(transform(col("sf"), s => s.getField("avgdl"))
+        .as("avgdls")))
+    packed.crossJoin(statsArr)
+      .withColumn("tfl",
+        aggregate(col("entries"), lit(0.0), (acc, e) => {
+          val f = e.getField("field")
+          acc + element_at(weights, f + 1) *
+            e.getField("tf").cast("double") /
+            (lit(1.0) - element_at(bs, f + 1) +
+              element_at(bs, f + 1) *
+                element_at(col("dls"), f + 1).cast("double") /
+                element_at(col("avgdls"), f + 1))
+        }))
+      .select(col("term"), col("doc_id"),
+        (col("tfl") / (lit(k1) + col("tfl"))).as("sat"))
+  }
+
   /** Per-field stats derived from a [[postingsFields]] frame instead
     * of a second tokenization pass — (field, doc_id, dl) is distinct
     * per (field, doc) inside the postings and every doc emits ≥ 1
@@ -365,10 +480,13 @@ object Lexical {
                     k1: Double = 1.2): DataFrame = {
     // one tokenization: the stats subtree and the fold both read the
     // cached postings (the bm25TopK single-pass contract); rotating
-    // persist — see [[persistRotating]] for the lifecycle contract
-    val post = persistRotating("bm25fSatStore",
-      postingsFields(docs, fields, idCol))
-    satFromPostF(post, fieldStatsFromPostings(post), fields, k1)
+    // persist — see [[persistRotating]] for the lifecycle contract.
+    // PACKED layout (round 17): the field fold is scan-local — zero
+    // corpus-sized exchange in the sat build (was the full multi-field
+    // postings volume); sat doubles bit-identical to the flat fold.
+    val packed = persistRotating("bm25fSatStore",
+      postingsFieldsPacked(docs, fields, idCol))
+    satFromPacked(packed, fieldStatsFromPacked(packed), fields, k1)
   }
 
   /** BM25F document frequency: a document contains a term if ANY field
@@ -409,16 +527,19 @@ object Lexical {
     */
   def bm25fStore(docs: DataFrame, fields: Seq[FieldSpec], idCol: String,
                  k1: Double = 1.2): DataFrame = {
-    val post = persistRotating("bm25fStore",
-      postingsFields(docs, fields, idCol))
-    val statsF = fieldStatsFromPostings(post)
-    val sat = satFromPostF(post, statsF, fields, k1)
+    // PACKED layout (round 17): scan-local field fold — see
+    // [[postingsFieldsPacked]]; the build's one remaining corpus-sized
+    // exchange is the df attach below
+    val packed = persistRotating("bm25fStore",
+      postingsFieldsPacked(docs, fields, idCol))
+    val statsF = fieldStatsFromPacked(packed)
+    val sat = satFromPacked(packed, statsF, fields, k1)
     // n_docs threads through as a broadcast one-row frame (round 16):
     // the earlier `.head()` here ran a corpus-scanning JOB at
     // plan-BUILD time — surprising in a library; the column form is
     // value-identical (bm25Idf over a column is the same arithmetic)
     // and keeps the builder lazy end to end
-    sat.join(docFreqAnyField(post), Seq("term"))
+    sat.join(docFreqPacked(packed), Seq("term"))
       .crossJoin(broadcast(statsF.filter(col("field") === 0)
         .select(col("n_docs"))))
       .select(col("term"), col("doc_id"),
@@ -434,11 +555,14 @@ object Lexical {
   def bm25fTopK(docs: DataFrame, fields: Seq[FieldSpec], idCol: String,
                 queries: DataFrame, qTextCol: String, qIdCol: String,
                 k: Int, k1: Double = 1.2): DataFrame = {
-    val post = persistRotating("bm25fTopK",
-      postingsFields(docs, fields, idCol))
-    val statsF = fieldStatsFromPostings(post)
-    val sat = satFromPostF(post, statsF, fields, k1)
-    bm25TopKFromFactoredStore(sat, docFreqAnyField(post),
+    // PACKED layout (round 17): the sat side reaches the candidate
+    // join with zero corpus-sized exchange (the flat form shuffled the
+    // whole multi-field postings volume through the field fold first)
+    val packed = persistRotating("bm25fTopK",
+      postingsFieldsPacked(docs, fields, idCol))
+    val statsF = fieldStatsFromPacked(packed)
+    val sat = satFromPacked(packed, statsF, fields, k1)
+    bm25TopKFromFactoredStore(sat, docFreqPacked(packed),
       statsF.filter(col("field") === 0).select(col("n_docs")),
       queries, qTextCol, qIdCol, k)
   }
@@ -678,49 +802,81 @@ object Lexical {
                                        candBroadcastMaxRows: Long = 4L << 20)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    graft.plans.GraftExtensions.register(store.sparkSession)
+    val spark = store.sparkSession
+    graft.plans.GraftExtensions.register(spark)
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // the θ pass and the ub table BOTH traverse the truncation — when
+    // the caller hands a lazy truncation subtree (the one-shot q187
+    // shape), each leg would re-run the store-wide truncation build;
+    // persist it here unless the caller already did (the serving shape
+    // — q201's session-cached sidecar — must NOT be re-persisted, or
+    // this site's rotation would evict the caller's cache)
+    val trunc =
+      if (truncated.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        persistRotating("maxScoreFoldInput.truncated", truncated)
+      else truncated
     val qTerms = queries.select(col(qIdCol).as("q_id"),
       explode(queryTerms(col(qTextCol))).as("term"))
     // θ per query: the truncated store's k-th rounded score (absent →
     // no pruning bound for that query). Query-sized.
-    val theta = bm25TopKFromContribStore(truncated, queries,
+    val theta = bm25TopKFromContribStore(trunc, queries,
         qTextCol, qIdCol, k)
       .filter(col("rank") === k)
       .select(col("q_id"), col("score").as("theta"))
     // per-term upper bounds, semi-joined to the query's terms first
     // (vocabulary-sized ub never broadcasts — the df discipline)
-    val ub = truncated
+    val ub = trunc
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(max(col("contrib")).as("ub"))
     // essential = past the maximal (ub asc, term asc) prefix whose
-    // cumulative bound stays under θ − margin. Persisted (query-sized):
-    // the leg/strategy decisions below count it, and the main plan
-    // then reuses the cached θ pass instead of re-running it.
+    // cumulative bound stays under θ − margin.
     val cum = Window.partitionBy("q_id")
       .orderBy(col("ub").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val flagged = persistRotating("maxScoreFoldInput.flagged",
+    val flagged =
       qTerms.join(broadcast(ub), Seq("term"))
         .join(broadcast(theta), Seq("q_id"), "left")
         .withColumn("_cum", sum(col("ub")).over(cum))
         .withColumn("_ess", col("theta").isNull ||
-          (col("_cum") >= col("theta") - lit(1e-6))))
-    val essential = broadcast(flagged.filter(col("_ess"))
-      .select("q_id", "term"))
-    val essRows = store.join(essential, Seq("term"))
+          (col("_cum") >= col("theta") - lit(1e-6)))
+    // ONE bounded driver action replaces the old persist + count job +
+    // two broadcast-subtree builds (round 17, guide §1.2/§5): the
+    // essential/non-essential split is QUERY-sized (one row per
+    // (query, distinct term) — the frame the old code broadcast twice
+    // anyway), so collect it once behind a loud bound (the
+    // bm25TopKLive device) and re-broadcast it as local frames. The
+    // driver never sees anything corpus-sized.
+    val maxSplitRows = 1 << 20
+    val split = flagged.select(col("q_id"), col("term"), col("_ess"))
+      .limit(maxSplitRows + 1)
+      .collect()
+    require(split.length <= maxSplitRows,
+      s"over $maxSplitRows (query, term) rows in the MaxScore split — " +
+        "split the query batch")
+    val essLocal = split.filter(_.getBoolean(2))
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val neLocal = split.filterNot(_.getBoolean(2))
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val essential = broadcast(essLocal.toDF("q_id", "term"))
+    val essBare = store.join(essential, Seq("term"))
       .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))
-    val neCount = flagged.filter(!col("_ess")).count()
-    if (neCount == 0L) return essRows
-    val nonEssential = broadcast(flagged.filter(!col("_ess"))
-      .select("q_id", "term"))
+    if (neLocal.isEmpty) return essBare
+    // the essential-postings slice feeds BOTH the candidate set and the
+    // fold union — persist it (round 17, guide §2.4/§5) so the full
+    // store is scanned twice per serve, not three times; in the
+    // designed regime this frame is the PRUNED volume (Σ_essential df,
+    // the 83–94× reduction), so the materialization is small exactly
+    // when the operator is doing its job, and MEMORY_AND_DISK spills
+    // in the degenerate regime instead of re-scanning
+    val essRows = persistRotating("maxScoreFoldInput.essRows", essBare)
+    val nonEssential = broadcast(neLocal.toDF("q_id", "term"))
     val candBare = essRows.select("q_id", "doc_id").distinct()
     // Σ_essential df bounds |cand| from above — kilobyte-side when the
     // df table is supplied, one Row collect either way
     val cand = dfreq match {
       case Some(d) =>
-        val essDf = d.join(broadcast(flagged.filter(col("_ess"))
-            .select("q_id", "term")), Seq("term"))
+        val essDf = d.join(essential, Seq("term"))
           .agg(coalesce(sum(col("df")), lit(0L)))
           .head().getLong(0)
         if (essDf <= candBroadcastMaxRows) broadcast(candBare)
@@ -1155,7 +1311,14 @@ object Lexical {
       .agg(collect_list(struct(col("j"), col("positions"))).as("es"))
       .filter(size(array_distinct(transform(col("es"),
         e => e.getField("j")))) === col("m"))
-    val ptf = packed
+    // ptf feeds TWO consumers — the per-query df aggregate and the
+    // scoring join — so without a persist the candidate-volume
+    // postings join + packed adjacency fold run TWICE per serve
+    // (round 17, guide §2.4; the sdmTopKFromPostings packed fold
+    // already persists for exactly this reason). ptf itself is
+    // match-sized (docs with ≥ 1 anchor — df(phrase) rows), far below
+    // candidate volume.
+    val ptf = persistRotating("phraseTopKFromPostings.ptf", packed
       .withColumn("tf", size(filter(
         flatten(filter(col("es"), e => e.getField("j") === 1)
           .getField("positions")),
@@ -1163,7 +1326,7 @@ object Lexical {
           e => array_contains(e.getField("positions"),
             p + e.getField("j").cast("int") - 1)))).cast("long"))
       .filter(col("tf") >= 1)
-      .select(col("q_id"), col("doc_id"), col("dl"), col("tf"))
+      .select(col("q_id"), col("doc_id"), col("dl"), col("tf")))
     val pdf = ptf.groupBy("q_id").agg(count(lit(1)).as("df"))
     val scored = ptf.join(broadcast(pdf), Seq("q_id"))
       .crossJoin(broadcast(stats))

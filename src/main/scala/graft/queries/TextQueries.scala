@@ -1605,7 +1605,7 @@ object TextQueries {
                 ORDER BY score DESC, doc_id ASC) AS rank
             FROM sc)
       SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
-      FROM r WHERE rank <= 5"""), headline = false),
+      FROM r WHERE rank <= 5"""), headline = true),
 
     // ---- BM25F through MaxScore (round 16): the multi-field contrib
     //      store is the bm25Store SHAPE, so the pruned serving path

@@ -416,4 +416,46 @@ class LexicalSpec extends SparkSpec {
       s"cache grew by ${after - before} over 4 one-shot calls — " +
         "rotation must release the previous postings")
   }
+
+  test("packed multi-field postings (round 17): df/stats/sat " +
+       "bit-identical to the flat layout, and the packed sat build " +
+       "plans NO (term, doc)-keyed exchange — the field fold is " +
+       "scan-local") {
+    val packed = Lexical.postingsFieldsPacked(fieldDocs, fields, "doc_id")
+    val flat = Lexical.postingsFields(fieldDocs, fields, "doc_id")
+    // any-field document frequency — identical pairs
+    val dfP = Lexical.docFreqPacked(packed)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val dfF = Lexical.docFreqAnyField(flat)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(dfP == dfF)
+    // per-field stats — identical exact integers and divisions
+    val stP = Lexical.fieldStatsFromPacked(packed)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    val stF = Lexical.fieldStatsFromPostings(flat)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(stP == stF)
+    // sat: the packed SCAN-LOCAL fold vs the flat exchange fold over
+    // the same avgdls — the same fc doubles in the same field-asc
+    // order, so equality is exact (==), not approximate
+    val avgdls = stF.sortBy(_._1).map(_._3)
+    val satP = Lexical.bm25fSatStore(fieldDocs, fields, "doc_id")
+    val satF = Lexical.bm25fSatFromPostings(flat, avgdls, fields)
+    val rowsP = satP.as[(String, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val rowsF = satF.as[(String, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(rowsP == rowsF)
+    // plan: the packed sat subtree must not exchange on (term, doc) —
+    // the flat fold's candidate-volume shuffle is gone
+    satP.count() // finalize AQE
+    val shuffles = graft.tools.PlanIntrospect.nodes(
+        satP.queryExecution.executedPlan)
+      .collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning.toString
+      }
+    assert(!shuffles.exists(p => p.contains("term") && p.contains("doc_id")),
+      s"packed sat build still shuffles on (term, doc): $shuffles")
+  }
 }

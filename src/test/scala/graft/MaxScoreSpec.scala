@@ -186,7 +186,12 @@ class MaxScoreSpec extends SparkSpec {
     val smj = nodes.count(n => n.isInstanceOf[SortMergeJoinExec] ||
       n.isInstanceOf[ShuffledHashJoinExec])
     assert(smj == 0, s"found $smj shuffled joins in the pruned pipeline")
-    assert(bhj >= 4, s"expected >= 4 broadcast joins, got $bhj")
+    // round 17: the essential-postings slice is persisted (it feeds
+    // both the candidate set and the fold union), so its broadcast
+    // join runs once inside the CACHE build and the live plan keeps
+    // the non-essential and candidate joins — 2 broadcasts, and the
+    // smj == 0 assertion above pins that nothing else joins by shuffle
+    assert(bhj >= 2, s"expected >= 2 broadcast joins, got $bhj")
     store.unpersist(); trunc.unpersist()
     ()
   }
