@@ -246,11 +246,11 @@ object Lexical {
     val scored = sat.join(qSide, Seq("term"))
       .withColumn("contrib", col("idf") * col("sat"))
       .groupBy("q_id", "doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
-        .as("cs"))
-      .withColumn("score",
-        round(aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")), 6))
+      // native ordered fold (round 17): one TypedImperativeAggregate
+      // replaces collect_list + sort_array + lambda fold — identical
+      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
+      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      .withColumn("score", round(col("s"), 6))
     rankTail(scored, "score", k)
   }
 
@@ -699,11 +699,11 @@ object Lexical {
         .as("term")))
     val scored = store.join(qTerms, Seq("term"))
       .groupBy("q_id", "doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
-        .as("cs"))
-      .withColumn("score",
-        round(aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")), 6))
+      // native ordered fold (round 17): one TypedImperativeAggregate
+      // replaces collect_list + sort_array + lambda fold — identical
+      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
+      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      .withColumn("score", round(col("s"), 6))
     rankTail(scored, "score", k)
   }
 
@@ -757,11 +757,11 @@ object Lexical {
       qTextCol, qIdCol, k, dfreq, candBroadcastMaxRows)
     val scored = parts
       .groupBy("q_id", "doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
-        .as("cs"))
-      .withColumn("score",
-        round(aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")), 6))
+      // native ordered fold (round 17): one TypedImperativeAggregate
+      // replaces collect_list + sort_array + lambda fold — identical
+      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
+      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      .withColumn("score", round(col("s"), 6))
     rankTail(scored, "score", k)
   }
 
@@ -974,11 +974,11 @@ object Lexical {
       queries, qTextCol, qIdCol, k, aliveBroadcastMaxRows)
     val scored = parts
       .groupBy("q_id", "doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
-        .as("cs"))
-      .withColumn("score",
-        round(aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")), 6))
+      // native ordered fold (round 17): one TypedImperativeAggregate
+      // replaces collect_list + sort_array + lambda fold — identical
+      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
+      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      .withColumn("score", round(col("s"), 6))
     rankTail(scored, "score", k)
   }
 
@@ -1115,11 +1115,11 @@ object Lexical {
     // entries, float sum order pinned cross-engine
     val scored = cand
       .groupBy("q_id", "doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
-        .as("cs"))
-      .withColumn("score",
-        round(aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")), 6))
+      // native ordered fold (round 17): one TypedImperativeAggregate
+      // replaces collect_list + sort_array + lambda fold — identical
+      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
+      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      .withColumn("score", round(col("s"), 6))
     rankTail(scored, "score", k)
   }
 

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.adcDistDescriptor)
     e.injectFunction(GraftExtensions.probeBucketsDescriptor)
     e.injectFunction(GraftExtensions.boundedTopKDescriptor)
+    e.injectFunction(GraftExtensions.orderedFoldSumDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
     GraftExtensions.sketchAlgebraDescriptors.foreach(e.injectFunction)
@@ -138,6 +139,17 @@ object GraftExtensions {
     (FunctionIdentifier("bounded_topk"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_topk"),
       buildBoundedTopK)
+
+  private def buildOrderedFoldSum(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "ordered_fold_sum(key, contrib)")
+    OrderedFoldSum(exprs.head, exprs(1))
+  }
+
+  val orderedFoldSumDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("ordered_fold_sum"),
+      new ExpressionInfo(classOf[OrderedFoldSum].getName,
+        "ordered_fold_sum"),
+      buildOrderedFoldSum)
 
   private def buildMd5Long60(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, "md5_long60(s)")
