@@ -231,7 +231,15 @@ object Lexical {
   def bm25TopKFromFactoredStore(sat: DataFrame, dfreq: DataFrame,
                                 nDocs: DataFrame, queries: DataFrame,
                                 qTextCol: String, qIdCol: String,
-                                k: Int): DataFrame = {
+                                k: Int): DataFrame =
+    bm25TopKFromFactoredStoreImpl(sat, dfreq, nDocs, queries,
+      qTextCol, qIdCol, k, localFold = false)
+
+  private[operators] def bm25TopKFromFactoredStoreImpl(
+      sat: DataFrame, dfreq: DataFrame,
+      nDocs: DataFrame, queries: DataFrame,
+      qTextCol: String, qIdCol: String,
+      k: Int, localFold: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(sat.sparkSession)
     val qTerms = queries.select(col(qIdCol).as("q_id"),
@@ -243,15 +251,9 @@ object Lexical {
       .crossJoin(broadcast(nDocs.select(col("n_docs"))))
       .select(col("q_id"), col("term"),
         bm25Idf(col("n_docs"), col("df")).as("idf")))
-    val scored = sat.join(qSide, Seq("term"))
+    val cand = sat.join(qSide, Seq("term"))
       .withColumn("contrib", col("idf") * col("sat"))
-      .groupBy("q_id", "doc_id")
-      // native ordered fold (round 17): one TypedImperativeAggregate
-      // replaces collect_list + sort_array + lambda fold — identical
-      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
-      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
-      .withColumn("score", round(col("s"), 6))
-    rankTail(scored, "score", k)
+    foldAndRank(cand, k, localFold)
   }
 
   // ---- BM25F: weighted multi-field scoring (Robertson, Zaragoza &
@@ -562,9 +564,12 @@ object Lexical {
       postingsFieldsPacked(docs, fields, idCol))
     val statsF = fieldStatsFromPacked(packed)
     val sat = satFromPacked(packed, statsF, fields, k1)
-    bm25TopKFromFactoredStore(sat, docFreqPacked(packed),
+    // in-plan scan-local build ⇒ the fold completes scan-side with no
+    // candidate exchange (foldScanLocal's partition-completeness
+    // argument)
+    bm25TopKFromFactoredStoreImpl(sat, docFreqPacked(packed),
       statsF.filter(col("field") === 0).select(col("n_docs")),
-      queries, qTextCol, qIdCol, k)
+      queries, qTextCol, qIdCol, k, localFold = true)
   }
 
   /** Serving store: (`term`, `doc_id`, `contrib`) with the BM25
@@ -1081,8 +1086,12 @@ object Lexical {
     // bm25TopKFromStore with caller-managed persistence instead.
     val post = persistRotating("bm25TopK",
       postings(corpus, textCol, idCol))
-    bm25TopKFromStore(post, docFreq(post), corpusStatsFromPostings(post),
-      queries, qTextCol, qIdCol, k, k1, b)
+    // in-plan scan-local build ⇒ the fold completes scan-side with no
+    // candidate exchange (foldScanLocal's partition-completeness
+    // argument)
+    bm25TopKFromStoreImpl(post, docFreq(post),
+      corpusStatsFromPostings(post),
+      queries, qTextCol, qIdCol, k, k1, b, localFold = true)
   }
 
   /** [[bm25TopK]] against a prebuilt postings store (the serving
@@ -1091,7 +1100,16 @@ object Lexical {
   def bm25TopKFromStore(post: DataFrame, dfreq: DataFrame, stats: DataFrame,
                         queries: DataFrame, qTextCol: String, qIdCol: String,
                         k: Int, k1: Double = 1.2,
-                        b: Double = 0.75): DataFrame = {
+                        b: Double = 0.75): DataFrame =
+    bm25TopKFromStoreImpl(post, dfreq, stats, queries, qTextCol, qIdCol,
+      k, k1, b, localFold = false)
+
+  private def bm25TopKFromStoreImpl(post: DataFrame, dfreq: DataFrame,
+                                    stats: DataFrame,
+                                    queries: DataFrame, qTextCol: String,
+                                    qIdCol: String,
+                                    k: Int, k1: Double, b: Double,
+                                    localFold: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(post.sparkSession)
     // query terms: distinct per query — BM25's standard bag-of-terms
@@ -1113,14 +1131,7 @@ object Lexical {
           col("avgdl"), k1, b))
     // per-(query, doc) fold in term-asc order — ≤ |query terms|
     // entries, float sum order pinned cross-engine
-    val scored = cand
-      .groupBy("q_id", "doc_id")
-      // native ordered fold (round 17): one TypedImperativeAggregate
-      // replaces collect_list + sort_array + lambda fold — identical
-      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
-      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
-      .withColumn("score", round(col("s"), 6))
-    rankTail(scored, "score", k)
+    foldAndRank(cand, k, localFold)
   }
 
   /** Serving off a MAINTAINED raw postings store
@@ -1576,6 +1587,67 @@ object Lexical {
       postingsPositional(docs, textCol, idCol))
     sdmTopKFromPostings(post, queries, qTextCol, qIdCol, k,
       lambdaT, lambdaO, lambdaU, window, k1, b, rerank)
+  }
+
+  /** SCAN-LOCAL per-(query, doc) fold (round 17, guide §2.4/§8) —
+    * valid ONLY when every (q_id, doc_id) group is partition-complete:
+    * the candidate frame derives from an IN-PLAN scan-local postings
+    * build (one document = one input row, so all its postings stay in
+    * its scan partition) joined against broadcast-only query sides.
+    * The one-shot builders ([[bm25TopK]], [[bm25fTopK]]) satisfy this
+    * by construction; serving paths over persisted/maintained stores
+    * (term-sorted files — a doc's postings scattered) do NOT and keep
+    * the exchange fold. Removing the exchange removes the serve
+    * pipeline's only candidate-volume shuffle: what crosses the wire
+    * afterwards is the bounded rank-tail partials (≤ k per query per
+    * partition).
+    *
+    * EQUIVALENCE: per group, contributions append into the same
+    * [[graft.plans.FoldBuffer]] the native aggregate uses and sum via
+    * the same key-asc `orderedSum` — the same doubles in the same
+    * order as the exchange fold. Terms here round-trip through String
+    * exactly like the postings build itself does (`.as[...Seq[String]]`),
+    * so no new encoding assumption is introduced.
+    *
+    * MEMORY: per partition, one buffer per live candidate group — the
+    * same working set the exchange fold's map-side partial aggregation
+    * held (its groups were already partition-complete, so partials
+    * never combined across partitions; the exchange only moved them).
+    */
+  private def foldScanLocal(cand: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    cand.select(col("q_id"), col("doc_id"), col("term"), col("contrib"))
+      .as[(Long, Long, String, Double)]
+      .mapPartitions { it =>
+        val m = new java.util.LinkedHashMap[(Long, Long),
+          graft.plans.FoldBuffer]()
+        it.foreach { case (q, d, t, c) =>
+          m.computeIfAbsent((q, d), _ => new graft.plans.FoldBuffer())
+            .append(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+              c)
+        }
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        m.forEach { (k, buf) => out += ((k._1, k._2, buf.orderedSum())) }
+        out.result().iterator
+      }
+      .toDF("q_id", "doc_id", "s")
+  }
+
+  /** Shared fold + rank tail: the exchange fold (ordered_fold_sum
+    * behind one groupBy) or, for partition-complete candidate frames,
+    * the scan-local fold — identical scores either way.
+    */
+  private def foldAndRank(cand: DataFrame, k: Int,
+                          localFold: Boolean): DataFrame = {
+    val scored =
+      if (localFold)
+        foldScanLocal(cand).withColumn("score", round(col("s"), 6))
+      else
+        cand.groupBy("q_id", "doc_id")
+          .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+          .withColumn("score", round(col("s"), 6))
+    rankTail(scored, "score", k)
   }
 
   /** The determinism-critical rank tail every batch top-k surface

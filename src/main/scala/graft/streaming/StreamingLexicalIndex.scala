@@ -89,14 +89,25 @@ object StreamingLexicalIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint(true) // one scan feeds both commits
+        // round 17: the old localCheckpoint(true) here bought nothing —
+        // both commits tokenize for themselves either way; it only
+        // avoided re-READING the (arrival-sized) batch files at the
+        // cost of an extra eager materialization job per trigger plus
+        // a block-manager copy of the raw text payload. foreachBatch
+        // re-executes over the trigger's pinned file list, so the two
+        // reads are deterministic.
+        // Delta appends sort WITHIN partitions (term-clustered files
+        // for row-group pruning) instead of globally: a global sort of
+        // an arrival-sized delta paid a range-sampling job + exchange
+        // per trigger; the scheduled compaction below is what restores
+        // store-wide disjoint term ranges — its job, on its cadence.
         postTx.appendOnce(
-          Lexical.postings(b, textCol, idCol).sort("term"),
+          Lexical.postings(batch, textCol, idCol)
+            .sortWithinPartitions("term"),
           tag = s"lex-batch-$batchId")
         statsTx.appendOnce(
-          statsPartial(b, textCol, s"lex-batch-$batchId"),
+          statsPartial(batch, textCol, s"lex-batch-$batchId"),
           tag = s"lex-stats-$batchId")
-        b.unpersist()
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           postTx.compact(Seq("term"))
           statsTx.compact()
@@ -152,14 +163,15 @@ object StreamingLexicalIndex {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint(true)
+        // no localCheckpoint, delta sorted within partitions — the
+        // run() rationale verbatim (round 17)
         postTx.appendOnce(
-          Lexical.postingsPositional(b, textCol, idCol).sort("term"),
+          Lexical.postingsPositional(batch, textCol, idCol)
+            .sortWithinPartitions("term"),
           tag = s"lexpos-batch-$batchId")
         statsTx.appendOnce(
-          statsPartial(b, textCol, s"lexpos-stats-src-$batchId"),
+          statsPartial(batch, textCol, s"lexpos-stats-src-$batchId"),
           tag = s"lexpos-stats-$batchId")
-        b.unpersist()
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           postTx.compact(Seq("term"))
           statsTx.compact()

@@ -417,6 +417,39 @@ class LexicalSpec extends SparkSpec {
         "rotation must release the previous postings")
   }
 
+  test("one-shot bm25TopK / bm25fTopK fold scan-locally (round 17): " +
+       "no (q_id, doc_id)-keyed exchange anywhere in the executed " +
+       "plan, results identical to the exchange-fold store path") {
+    val qs = Seq((7L, "apple cherry")).toDF("q_id", "qtext")
+    def shuffleKeys(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.count() // finalize AQE
+      graft.tools.PlanIntrospect.nodes(df.queryExecution.executedPlan)
+        .collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.outputPartitioning.toString
+        }
+    }
+    val direct = Lexical.bm25TopK(docs, "text", "doc_id",
+      qs, "qtext", "q_id", k = 5)
+    assert(!shuffleKeys(direct).exists(p =>
+        p.contains("q_id") && p.contains("doc_id")),
+      "one-shot bm25TopK still exchanges the candidate fold")
+    // bit-identical to the serving (exchange-fold) path over the same
+    // postings
+    val post = Lexical.postings(docs, "text", "doc_id")
+    val stored = Lexical.bm25TopKFromStore(post, Lexical.docFreq(post),
+        Lexical.corpusStatsFromPostings(post), qs, "qtext", "q_id", k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    val got = direct.as[(Long, Long, Double, Int)].collect()
+      .sortBy(_._4).toSeq
+    assert(got == stored)
+    val directF = Lexical.bm25fTopK(fieldDocs, fields, "doc_id",
+      qs, "qtext", "q_id", k = 5)
+    assert(!shuffleKeys(directF).exists(p =>
+        p.contains("q_id") && p.contains("doc_id")),
+      "one-shot bm25fTopK still exchanges the candidate fold")
+  }
+
   test("packed multi-field postings (round 17): df/stats/sat " +
        "bit-identical to the flat layout, and the packed sat build " +
        "plans NO (term, doc)-keyed exchange — the field fold is " +
