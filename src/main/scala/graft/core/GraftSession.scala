@@ -39,6 +39,15 @@ object GraftSession {
     // per deployment.
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
       "false")
+    // Let AQE size CACHED plans too (round 17): by default Spark pins
+    // a persisted frame's output partitioning to the pre-AQE shuffle
+    // count for compatibility, so every serving-store cache kept one
+    // tiny partition per core and every cache scan paid |cores| task
+    // launches per pass. With the flag on, caches coalesce by the same
+    // advisory size as live stages (explicit repartition() layouts are
+    // never coalesced, so pinned state layouts are unaffected).
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     // ObjectHashAggregate (the operator every TypedImperativeAggregate

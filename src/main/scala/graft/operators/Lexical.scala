@@ -878,16 +878,24 @@ object Lexical {
     val nonEssential = broadcast(neLocal.toDF("q_id", "term"))
     val candBare = essRows.select("q_id", "doc_id").distinct()
     // Σ_essential df bounds |cand| from above — kilobyte-side when the
-    // df table is supplied, one Row collect either way
-    val cand = dfreq match {
+    // df table is supplied; without it, COUNT the persisted essential
+    // slice (round 17): the count both fills the cache the two
+    // downstream consumers need AND is exactly Σ_essential df, so the
+    // candidate-join strategy is decided deterministically instead of
+    // left to AQE size estimates, which the plan audit caught planning
+    // the non-essential leg as a (q_id, doc_id)-keyed sort-merge — a
+    // candidate-volume exchange of the COMMON terms' postings, the one
+    // thing this operator exists to avoid.
+    val essDf = dfreq match {
       case Some(d) =>
-        val essDf = d.join(essential, Seq("term"))
+        d.join(essential, Seq("term"))
           .agg(coalesce(sum(col("df")), lit(0L)))
           .head().getLong(0)
-        if (essDf <= candBroadcastMaxRows) broadcast(candBare)
-        else candBare.hint("merge")
-      case None => candBare
+      case None => essRows.count()
     }
+    val cand =
+      if (essDf <= candBroadcastMaxRows) broadcast(candBare)
+      else candBare.hint("merge")
     val neRows = store.join(nonEssential, Seq("term"))
       .join(cand, Seq("q_id", "doc_id"))
       .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))

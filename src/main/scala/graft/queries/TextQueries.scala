@@ -1557,9 +1557,12 @@ object TextQueries {
     //      scale.
     Q("q187_bm25_maxscore", (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // lazy persist (round 17): the MaxScore split's bounded collect
+      // is the first action and fills this cache while computing the
+      // theta pass — the old eager store.count() here was one whole
+      // extra job per run
       val store = operators.Lexical.bm25Store(docs, "text", "doc_id")
         .persist()
-      store.count()
       val trunc = operators.Lexical.truncateByImpact(store, 10)
       val qs = docs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("q_id"),
