@@ -101,11 +101,14 @@ object StreamingLexical {
         Seq("term"))
       .groupBy(window(col("_ts"), windowDur).as("w"),
         col("q_id"), col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
-        .as("cs"))
-      .withColumn("score",
-        round(aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")), 6))
+      // native ordered fold (round 17): the per-(window, query, doc)
+      // state row becomes one serialized primitive buffer instead of a
+      // sorted struct-array column — same key-asc float sum from +0.0
+      // (OrderedFoldSum's contract), so the emitted scores are
+      // bit-identical to the batch fold (the stream ≡ batch specs and
+      // the window-stamped oracles pin it)
+      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      .withColumn("score", round(col("s"), 6))
     perDoc
       .groupBy(col("w").as("w2"), col("q_id"))
       .agg(TopK.topKNative(k, negate(col("score")), col("doc_id"))
