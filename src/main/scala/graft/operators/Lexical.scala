@@ -1598,46 +1598,89 @@ object Lexical {
   }
 
   /** SCAN-LOCAL per-(query, doc) fold (round 17, guide §2.4/§8) —
-    * valid ONLY when every (q_id, doc_id) group is partition-complete:
-    * the candidate frame derives from an IN-PLAN scan-local postings
-    * build (one document = one input row, so all its postings stay in
-    * its scan partition) joined against broadcast-only query sides.
-    * The one-shot builders ([[bm25TopK]], [[bm25fTopK]]) satisfy this
-    * by construction; serving paths over persisted/maintained stores
-    * (term-sorted files — a doc's postings scattered) do NOT and keep
-    * the exchange fold. Removing the exchange removes the serve
-    * pipeline's only candidate-volume shuffle: what crosses the wire
-    * afterwards is the bounded rank-tail partials (≤ k per query per
-    * partition).
+    * valid ONLY when every (q_id, doc_id) group is partition-complete
+    * AND doc-contiguous: the candidate frame derives from an IN-PLAN
+    * scan-local postings build (one document = one input row, so all
+    * its postings are emitted consecutively and stay in its scan
+    * partition) joined against broadcast-only query sides (columnar
+    * cache and broadcast-hash probe both preserve within-partition row
+    * order). The one-shot builders ([[bm25TopK]], [[bm25fTopK]])
+    * satisfy this by construction; serving paths over
+    * persisted/maintained stores (term-sorted files — a doc's postings
+    * scattered) do NOT and keep the exchange fold. Removing the
+    * exchange removes the serve pipeline's only candidate-volume
+    * shuffle: what crosses the wire afterwards is the bounded
+    * rank-tail partials (≤ k per query per partition).
     *
     * EQUIVALENCE: per group, contributions append into the same
     * [[graft.plans.FoldBuffer]] the native aggregate uses and sum via
     * the same key-asc `orderedSum` — the same doubles in the same
     * order as the exchange fold. Terms here round-trip through String
     * exactly like the postings build itself does (`.as[...Seq[String]]`),
-    * so no new encoding assumption is introduced.
+    * so no new encoding assumption is introduced. A contiguity
+    * violation fails LOUDLY (per-partition revisit guard), never
+    * splits a group silently.
     *
-    * MEMORY: per partition, one buffer per live candidate group — the
-    * same working set the exchange fold's map-side partial aggregation
-    * held (its groups were already partition-complete, so partials
-    * never combined across partitions; the exchange only moved them).
+    * MEMORY: live state is one document's matched-query buffers at a
+    * time (≤ |query batch|), plus one Long per distinct doc for the
+    * guard — bounded regardless of candidate volume. (The first cut
+    * accumulated every candidate group per partition and OOM'd a
+    * 28 GiB heap at the 10⁶-doc BM25F-skew geometry; the exchange fold
+    * never has that hazard because ObjectHashAggregate falls back to
+    * sort-based spilling.)
     */
   private def foldScanLocal(cand: DataFrame): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
+    // STREAMING per-DOC fold, not per-partition accumulation: the
+    // candidate stream is DOC-CONTIGUOUS (the postings builders emit a
+    // document's rows consecutively; the columnar cache and the
+    // broadcast-hash probe both preserve within-partition row order),
+    // so all of one doc's (query, term) matches arrive as one run.
+    // Folding a run at a time bounds live state at ≤ |matching
+    // queries| buffers for ONE document — the first cut of this fold
+    // accumulated EVERY candidate group in the partition and OOM'd a
+    // 28 GiB heap at the 10⁶-doc BM25F-skew geometry, exactly the
+    // spill-less-closure hazard the exchange fold's sort-fallback
+    // never has.
     cand.select(col("q_id"), col("doc_id"), col("term"), col("contrib"))
       .as[(Long, Long, String, Double)]
       .mapPartitions { it =>
-        val m = new java.util.LinkedHashMap[(Long, Long),
-          graft.plans.FoldBuffer]()
-        it.foreach { case (q, d, t, c) =>
-          m.computeIfAbsent((q, d), _ => new graft.plans.FoldBuffer())
-            .append(org.apache.spark.unsafe.types.UTF8String.fromString(t),
-              c)
+        new Iterator[(Long, Long, Double)] {
+          private var cur: (Long, Long, String, Double) =
+            if (it.hasNext) it.next() else null
+          private var out: Iterator[(Long, Long, Double)] =
+            Iterator.empty
+          // loud contiguity guard: a revisited doc would silently
+          // split its fold into two partial rows (duplicate doc_id in
+          // the rank tail with partial scores) — fail instead. Costs
+          // one Long per distinct doc in the partition.
+          private val seen = new java.util.HashSet[java.lang.Long]()
+          private def refill(): Unit = {
+            while (!out.hasNext && cur != null) {
+              val d = cur._2
+              require(seen.add(d),
+                s"foldScanLocal: doc $d revisited within a partition — " +
+                  "the candidate stream is not doc-contiguous; use the " +
+                  "exchange fold for this input")
+              val m = new java.util.LinkedHashMap[java.lang.Long,
+                graft.plans.FoldBuffer]()
+              while (cur != null && cur._2 == d) {
+                m.computeIfAbsent(cur._1, _ => new graft.plans.FoldBuffer())
+                  .append(org.apache.spark.unsafe.types.UTF8String
+                    .fromString(cur._3), cur._4)
+                cur = if (it.hasNext) it.next() else null
+              }
+              val res = Vector.newBuilder[(Long, Long, Double)]
+              m.forEach { (q, buf) => res += ((q, d, buf.orderedSum())) }
+              out = res.result().iterator
+            }
+          }
+          override def hasNext: Boolean = { refill(); out.hasNext }
+          override def next(): (Long, Long, Double) = {
+            refill(); out.next()
+          }
         }
-        val out = Vector.newBuilder[(Long, Long, Double)]
-        m.forEach { (k, buf) => out += ((k._1, k._2, buf.orderedSum())) }
-        out.result().iterator
       }
       .toDF("q_id", "doc_id", "s")
   }
