@@ -136,11 +136,13 @@ object StreamingAnnIndex {
     // encode pass at bulk-load size is real money at 10^6+)
     val rows = encodeRows(corpus, idCol, vecCol, coarse, model, rotation,
       int8Scale).localCheckpoint(true)
-    storeTx.appendOnce(rows.drop("err_micro").sort("cell"),
-      tag = "ann-baseline")
-    driftTx.appendOnce(
-      partials(rows, errC, "baseline", "ann-baseline"),
-      tag = "ann-drift-baseline")
+    // disjoint tables: the two commits' jobs overlap (guide §2.6)
+    ParallelCommits.inParallel(
+      storeTx.appendOnce(rows.drop("err_micro").sort("cell"),
+        tag = "ann-baseline"),
+      driftTx.appendOnce(
+        partials(rows, errC, "baseline", "ann-baseline"),
+        tag = "ann-drift-baseline"))
     rows.unpersist()
     ()
   }
@@ -185,14 +187,16 @@ object StreamingAnnIndex {
         val rows = encodeRows(batch, idCol, vecCol, coarse, model,
           rotation, int8Scale)
           .localCheckpoint(true) // one encode feeds both commits
-        storeTx.appendOnce(rows.drop("err_micro").sort("cell"),
-          tag = s"ann-batch-$batchId")
-        driftTx.appendOnce(partials(rows, errC, "stream", s"ann-batch-$batchId"),
-          tag = s"ann-drift-$batchId")
+        ParallelCommits.inParallel(
+          storeTx.appendOnce(rows.drop("err_micro").sort("cell"),
+            tag = s"ann-batch-$batchId"),
+          driftTx.appendOnce(
+            partials(rows, errC, "stream", s"ann-batch-$batchId"),
+            tag = s"ann-drift-$batchId"))
         rows.unpersist()
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          storeTx.compact(Seq("cell"))
-          driftTx.compact()
+          ParallelCommits.inParallel(
+            storeTx.compact(Seq("cell")), driftTx.compact())
           ()
         }
       }

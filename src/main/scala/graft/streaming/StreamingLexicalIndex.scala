@@ -46,6 +46,8 @@ object StreamingLexicalIndex {
                 textCol: String = "text"): StructType =
     StructType.fromDDL(s"$idCol BIGINT, $textCol STRING")
 
+  import ParallelCommits.inParallel
+
   /** One exact stats partial: (n_docs, sum_dl) of this batch. */
   private def statsPartial(batch: DataFrame, textCol: String,
                            tag: String): DataFrame =
@@ -60,11 +62,12 @@ object StreamingLexicalIndex {
     */
   def bootstrap(corpus: DataFrame, idCol: String, textCol: String,
                 postTx: TxTable, statsTx: TxTable): Unit = {
-    postTx.appendOnce(
-      Lexical.postings(corpus, textCol, idCol).sort("term"),
-      tag = "lex-baseline")
-    statsTx.appendOnce(statsPartial(corpus, textCol, "lex-baseline"),
-      tag = "lex-stats-baseline")
+    inParallel(
+      postTx.appendOnce(
+        Lexical.postings(corpus, textCol, idCol).sort("term"),
+        tag = "lex-baseline"),
+      statsTx.appendOnce(statsPartial(corpus, textCol, "lex-baseline"),
+        tag = "lex-stats-baseline"))
     ()
   }
 
@@ -101,16 +104,16 @@ object StreamingLexicalIndex {
         // an arrival-sized delta paid a range-sampling job + exchange
         // per trigger; the scheduled compaction below is what restores
         // store-wide disjoint term ranges — its job, on its cadence.
-        postTx.appendOnce(
-          Lexical.postings(batch, textCol, idCol)
-            .sortWithinPartitions("term"),
-          tag = s"lex-batch-$batchId")
-        statsTx.appendOnce(
-          statsPartial(batch, textCol, s"lex-batch-$batchId"),
-          tag = s"lex-stats-$batchId")
+        inParallel(
+          postTx.appendOnce(
+            Lexical.postings(batch, textCol, idCol)
+              .sortWithinPartitions("term"),
+            tag = s"lex-batch-$batchId"),
+          statsTx.appendOnce(
+            statsPartial(batch, textCol, s"lex-batch-$batchId"),
+            tag = s"lex-stats-$batchId"))
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          postTx.compact(Seq("term"))
-          statsTx.compact()
+          inParallel(postTx.compact(Seq("term")), statsTx.compact())
           ()
         }
       }
@@ -136,11 +139,12 @@ object StreamingLexicalIndex {
     */
   def bootstrapP(corpus: DataFrame, idCol: String, textCol: String,
                  postTx: TxTable, statsTx: TxTable): Unit = {
-    postTx.appendOnce(
-      Lexical.postingsPositional(corpus, textCol, idCol).sort("term"),
-      tag = "lexpos-baseline")
-    statsTx.appendOnce(statsPartial(corpus, textCol, "lexpos-baseline"),
-      tag = "lexpos-stats-baseline")
+    inParallel(
+      postTx.appendOnce(
+        Lexical.postingsPositional(corpus, textCol, idCol).sort("term"),
+        tag = "lexpos-baseline"),
+      statsTx.appendOnce(statsPartial(corpus, textCol, "lexpos-baseline"),
+        tag = "lexpos-stats-baseline"))
     ()
   }
 
@@ -165,16 +169,16 @@ object StreamingLexicalIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // no localCheckpoint, delta sorted within partitions — the
         // run() rationale verbatim (round 17)
-        postTx.appendOnce(
-          Lexical.postingsPositional(batch, textCol, idCol)
-            .sortWithinPartitions("term"),
-          tag = s"lexpos-batch-$batchId")
-        statsTx.appendOnce(
-          statsPartial(batch, textCol, s"lexpos-stats-src-$batchId"),
-          tag = s"lexpos-stats-$batchId")
+        inParallel(
+          postTx.appendOnce(
+            Lexical.postingsPositional(batch, textCol, idCol)
+              .sortWithinPartitions("term"),
+            tag = s"lexpos-batch-$batchId"),
+          statsTx.appendOnce(
+            statsPartial(batch, textCol, s"lexpos-stats-src-$batchId"),
+            tag = s"lexpos-stats-$batchId"))
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          postTx.compact(Seq("term"))
-          statsTx.compact()
+          inParallel(postTx.compact(Seq("term")), statsTx.compact())
           ()
         }
       }
