@@ -1295,7 +1295,15 @@ object Lexical {
                              qTextCol: String, qIdCol: String, k: Int,
                              k1: Double = 1.2, b: Double = 0.75,
                              statsOverride: Option[DataFrame] = None)
-      : DataFrame = {
+      : DataFrame =
+    phraseTopKImpl(post, queries, qTextCol, qIdCol, k, k1, b,
+      statsOverride, scanLocalFold = false)
+
+  private def phraseTopKImpl(post: DataFrame, queries: DataFrame,
+                             qTextCol: String, qIdCol: String, k: Int,
+                             k1: Double, b: Double,
+                             statsOverride: Option[DataFrame],
+                             scanLocalFold: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(post.sparkSession)
     // statsOverride: a one-row (n_docs, avgdl) frame from the exact
@@ -1314,22 +1322,22 @@ object Lexical {
       .select(col("q_id"), col("m"),
         (col("j0") + 1).cast("long").as("j"), col("term"))
     // ONE packed fold, positions never explode: collect the doc's ≤ m
-    // matched (j, positions) entries per (query, doc) and compute the
-    // adjacency intersection SCAN-LOCALLY — tf = |{p ∈ positions(j=1) :
-    // ∀ entry, p + j − 1 ∈ positions(j)}|. Identical anchor semantics
-    // (an anchor is a j=1 position every other phrase position
-    // confirms), but the only shuffle is Σ df matched postings rows
-    // with their positions arrays PACKED — the per-position anchor
-    // explode (169 M rows at the 10⁶-doc bench geometry, 13.2 M after
-    // a doc-at-a-time pre-filter) never exists. A doc missing any
-    // phrase position's term can't collect all m entries and drops
-    // before the intersection runs.
+    // matched (j, positions) entries per (query, doc) and count the
+    // anchors — tf = |{p ∈ positions(j=1) : ∀ entry,
+    // p + j − 1 ∈ positions(j)}| — in ONE native aggregate
+    // ([[graft.plans.PhraseTf]], round 17 guide §1.2: the
+    // collect_list → completeness filter → flatten/forall/
+    // array_contains pipeline built a struct-array column per group
+    // and ran three higher-order expression trees over every
+    // candidate; the aggregate is an append per row and one counting
+    // pass per group at eval, incomplete groups returning 0). The only
+    // shuffle is Σ df matched postings rows with their positions
+    // arrays PACKED — the per-position anchor explode (169 M rows at
+    // the 10⁶-doc bench geometry) never exists. For IN-PLAN builds
+    // ([[phraseTopK]]) even that exchange disappears: the candidate
+    // stream is doc-contiguous and partition-complete (the
+    // [[foldScanLocal]] contract), so the fold finishes map-side.
     val matched = post.join(broadcast(qpe), Seq("term"))
-    val packed = matched
-      .groupBy("q_id", "doc_id", "dl", "m")
-      .agg(collect_list(struct(col("j"), col("positions"))).as("es"))
-      .filter(size(array_distinct(transform(col("es"),
-        e => e.getField("j")))) === col("m"))
     // ptf feeds TWO consumers — the per-query df aggregate and the
     // scoring join — so without a persist the candidate-volume
     // postings join + packed adjacency fold run TWICE per serve
@@ -1337,15 +1345,15 @@ object Lexical {
     // already persists for exactly this reason). ptf itself is
     // match-sized (docs with ≥ 1 anchor — df(phrase) rows), far below
     // candidate volume.
-    val ptf = persistRotating("phraseTopKFromPostings.ptf", packed
-      .withColumn("tf", size(filter(
-        flatten(filter(col("es"), e => e.getField("j") === 1)
-          .getField("positions")),
-        p => forall(col("es"),
-          e => array_contains(e.getField("positions"),
-            p + e.getField("j").cast("int") - 1)))).cast("long"))
-      .filter(col("tf") >= 1)
-      .select(col("q_id"), col("doc_id"), col("dl"), col("tf")))
+    val folded =
+      if (scanLocalFold) phraseFoldScanLocal(matched)
+      else matched
+        .groupBy("q_id", "doc_id", "dl", "m")
+        .agg(TopK.phraseTf(col("j"), col("positions"), col("m"))
+          .as("tf"))
+        .filter(col("tf") >= 1)
+        .select(col("q_id"), col("doc_id"), col("dl"), col("tf"))
+    val ptf = persistRotating("phraseTopKFromPostings.ptf", folded)
     val pdf = ptf.groupBy("q_id").agg(count(lit(1)).as("df"))
     val scored = ptf.join(broadcast(pdf), Seq("q_id"))
       .crossJoin(broadcast(stats))
@@ -1358,17 +1366,92 @@ object Lexical {
     rankTail(scored, "score", k)
   }
 
+  /** SCAN-LOCAL phrase fold (round 17, guide §2.4/§8) — the
+    * [[foldScanLocal]] device for the packed phrase aggregation: valid
+    * ONLY when every (q_id, doc_id) group is partition-complete AND
+    * doc-contiguous (the candidate frame derives from an IN-PLAN
+    * [[postingsPositional]] build — one document = one input row, its
+    * postings emitted consecutively — joined against a broadcast-only
+    * query side). The one-shot [[phraseTopK]] satisfies this by
+    * construction; store-serving paths (term-sorted files — a doc's
+    * postings scattered) keep the exchange fold. What crosses the wire
+    * afterwards is the match-sized (q_id, doc_id, dl, tf) rows — the
+    * candidate-volume positions exchange disappears.
+    *
+    * EQUIVALENCE: per (doc, query) run the entries append in stream
+    * order and tf comes from the SAME [[graft.plans.PhraseTf]]
+    * `countAnchors` the exchange-fold aggregate calls — identical
+    * integer counting, order-insensitive. A contiguity violation fails
+    * LOUDLY (per-partition revisit guard), never splits a group.
+    * MEMORY: live state is one document's matched-query entries plus
+    * one Long per distinct doc for the guard — bounded regardless of
+    * candidate volume (the bounded-doc-run lesson of [[foldScanLocal]]).
+    */
+  private def phraseFoldScanLocal(matched: DataFrame): DataFrame = {
+    val spark = matched.sparkSession
+    import spark.implicits._
+    matched
+      .select(col("q_id"), col("doc_id"), col("dl"), col("m"),
+        col("j"), col("positions"))
+      .as[(Long, Long, Long, Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long)] {
+          private var cur: (Long, Long, Long, Long, Long, Seq[Int]) =
+            if (it.hasNext) it.next() else null
+          private var out: Iterator[(Long, Long, Long, Long)] =
+            Iterator.empty
+          private val seen = new java.util.HashSet[java.lang.Long]()
+          private def refill(): Unit = {
+            while (!out.hasNext && cur != null) {
+              val d = cur._2
+              require(seen.add(d),
+                s"phraseFoldScanLocal: doc $d revisited within a " +
+                  "partition — the candidate stream is not " +
+                  "doc-contiguous; use the exchange fold for this input")
+              val m = new java.util.LinkedHashMap[java.lang.Long,
+                graft.plans.PhraseTfBuffer]()
+              val meta = new java.util.HashMap[java.lang.Long,
+                (Long, Long)]() // q_id -> (dl, m)
+              while (cur != null && cur._2 == d) {
+                m.computeIfAbsent(cur._1,
+                  _ => new graft.plans.PhraseTfBuffer())
+                  .append(cur._5, cur._6.toArray)
+                meta.putIfAbsent(cur._1, (cur._3, cur._4))
+                cur = if (it.hasNext) it.next() else null
+              }
+              val res = Vector.newBuilder[(Long, Long, Long, Long)]
+              m.forEach { (q, buf) =>
+                val (dl, mm) = meta.get(q)
+                val tf = graft.plans.PhraseTf.countAnchors(
+                  buf.js, buf.pos, buf.size, mm)
+                if (tf >= 1L) res += ((q, d, dl, tf))
+              }
+              out = res.result().iterator
+            }
+          }
+          override def hasNext: Boolean = { refill(); out.hasNext }
+          override def next(): (Long, Long, Long, Long) = {
+            refill(); out.next()
+          }
+        }
+      }
+      .toDF("q_id", "doc_id", "dl", "tf")
+  }
+
   /** One-shot convenience: positional postings built inline (persisted
     * via the rotating site cache — repeated serving should build
     * [[postingsPositional]] once with caller-managed persistence and
-    * use [[phraseTopKFromPostings]]).
+    * use [[phraseTopKFromPostings]]). The in-plan build satisfies the
+    * scan-local fold's contiguity contract, so the candidate-volume
+    * positions exchange is elided (round 17).
     */
   def phraseTopK(docs: DataFrame, textCol: String, idCol: String,
                  queries: DataFrame, qTextCol: String, qIdCol: String,
                  k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val post = persistRotating("phraseTopK",
       postingsPositional(docs, textCol, idCol))
-    phraseTopKFromPostings(post, queries, qTextCol, qIdCol, k, k1, b)
+    phraseTopKImpl(post, queries, qTextCol, qIdCol, k, k1, b,
+      statsOverride = None, scanLocalFold = true)
   }
 
   /** Sequential-dependence proximity ranking (Metzler & Croft,

@@ -114,4 +114,20 @@ object TopK {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("ordered_fold_sum",
       key, contrib)
+
+  /** Native phrase anchor count ([[graft.plans.PhraseTf]]): per
+    * (query, doc) group, the number of j = 1 positions every matched
+    * phrase-position entry confirms at offset j − 1 (0 when any of the
+    * m phrase positions is unmatched) — result-identical to the
+    * `collect_list` → completeness filter → flatten/forall/
+    * array_contains expression pipeline in one aggregate, no per-group
+    * struct-array column. Same registration requirement as
+    * [[topKNative]].
+    */
+  def phraseTf(j: org.apache.spark.sql.Column,
+               positions: org.apache.spark.sql.Column,
+               m: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("phrase_tf",
+      j, positions, m)
 }

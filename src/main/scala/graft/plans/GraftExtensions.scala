@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.probeBucketsDescriptor)
     e.injectFunction(GraftExtensions.boundedTopKDescriptor)
     e.injectFunction(GraftExtensions.orderedFoldSumDescriptor)
+    e.injectFunction(GraftExtensions.phraseTfDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
     GraftExtensions.sketchAlgebraDescriptors.foreach(e.injectFunction)
@@ -150,6 +151,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[OrderedFoldSum].getName,
         "ordered_fold_sum"),
       buildOrderedFoldSum)
+
+  private def buildPhraseTf(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "phrase_tf(j, positions, m)")
+    PhraseTf(exprs.head, exprs(1), exprs(2))
+  }
+
+  val phraseTfDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("phrase_tf"),
+      new ExpressionInfo(classOf[PhraseTf].getName, "phrase_tf"),
+      buildPhraseTf)
 
   private def buildMd5Long60(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, "md5_long60(s)")

@@ -342,23 +342,22 @@ object StreamingLexical {
         posexplode(col("ph")).as(Seq("j0", "term")))
       .select(col("q_id"), col("_ts"), col("m"),
         (col("j0") + 1).cast("long").as("j"), col("term"))
-    // packed per-(query, doc) adjacency fold — the batch expressions
+    // packed per-(query, doc) adjacency fold — the batch semantics
     // verbatim (tf = |{p in positions(j=1) : forall entries,
-    // p + j - 1 in positions(j)}|), keyed by the event-time window.
+    // p + j - 1 in positions(j)}|), keyed by the event-time window,
+    // through the native [[graft.plans.PhraseTf]] aggregate (round
+    // 17): the per-(window, query, doc) state row becomes one
+    // serialized primitive buffer instead of a struct-array column,
+    // and incomplete groups return 0 — the same rows the old
+    // array_distinct === m pre-filter removed (stream ≡ batch specs
+    // and the window-stamped q192 oracle pin the equality).
     val ptf = qpe
       .join(postW, Seq("term"))
       .groupBy(window(col("_ts"), windowDur).as("w"),
         col("q_id"), col("doc_id"), col("dl"), col("m"),
         col("n_docs"), col("avgdl"))
-      .agg(collect_list(struct(col("j"), col("positions"))).as("es"))
-      .filter(size(array_distinct(transform(col("es"),
-        e => e.getField("j")))) === col("m"))
-      .withColumn("tf", size(filter(
-        flatten(filter(col("es"), e => e.getField("j") === 1)
-          .getField("positions")),
-        p => forall(col("es"),
-          e => array_contains(e.getField("positions"),
-            p + e.getField("j").cast("int") - 1)))).cast("long"))
+      .agg(TopK.phraseTf(col("j"), col("positions"), col("m"))
+        .as("tf"))
       .filter(col("tf") >= 1)
     // per-query match collection: df = the list's size, scores the
     // batch pseudo-term BM25 per entry, rank = sort by (-score, doc)

@@ -97,4 +97,69 @@ class PhraseSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._4)
     assert(got.map(_._2) == Seq(0L, 1L)) // tf 2 beats tf 1 (dl also smaller)
   }
+
+  test("native phrase_tf ≡ expression pipeline; scan-local ≡ store fold " +
+      "(round-17 differential)") {
+    graft.plans.GraftExtensions.register(spark)
+    // randomized small-vocab corpus: repeated tokens force
+    // multi-occurrence anchors, duplicated-term phrases, and partial
+    // (incomplete-j) matches — every branch of the counting logic
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0L until 300L).map { id =>
+      val n = 3 + rnd.nextInt(15)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = Seq((0L, "a b"), (1L, "b b"), (2L, "a b c"), (3L, "c"),
+      (4L, "e d e"), (5L, "a a a"), (6L, "zz miss")).toDF("q_id", "qtext")
+    val post = Lexical.postingsPositional(docs, "text", "doc_id")
+      .persist()
+    post.count()
+    try {
+      val qpe = qs
+        .select(col("q_id"),
+          filter(graft.functions.TextFunctions.tokens(col("qtext")),
+            t => t =!= lit("")).as("ph"))
+        .filter(size(col("ph")) >= 1)
+        .select(col("q_id"), size(col("ph")).cast("long").as("m"),
+          posexplode(col("ph")).as(Seq("j0", "term")))
+        .select(col("q_id"), col("m"),
+          (col("j0") + 1).cast("long").as("j"), col("term"))
+      val matched = post.join(broadcast(qpe), Seq("term"))
+      // the pre-round-17 expression pipeline, verbatim — the reference
+      val ref = matched
+        .groupBy("q_id", "doc_id", "dl", "m")
+        .agg(collect_list(struct(col("j"), col("positions"))).as("es"))
+        .filter(size(array_distinct(transform(col("es"),
+          e => e.getField("j")))) === col("m"))
+        .withColumn("tf", size(filter(
+          flatten(filter(col("es"), e => e.getField("j") === 1)
+            .getField("positions")),
+          p => forall(col("es"),
+            e => array_contains(e.getField("positions"),
+              p + e.getField("j").cast("int") - 1)))).cast("long"))
+        .filter(col("tf") >= 1)
+        .select("q_id", "doc_id", "dl", "tf")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val native = matched
+        .groupBy("q_id", "doc_id", "dl", "m")
+        .agg(graft.operators.TopK.phraseTf(col("j"), col("positions"),
+          col("m")).as("tf"))
+        .filter(col("tf") >= 1)
+        .select("q_id", "doc_id", "dl", "tf")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(native == ref)
+      assert(ref.nonEmpty) // the corpus actually exercises matches
+      // end-to-end: one-shot (scan-local fold) ≡ store path (exchange
+      // fold) — identical rows, scores, ranks
+      val oneShot = Lexical.phraseTopK(docs, "text", "doc_id",
+          qs, "qtext", "q_id", k = 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val fromStore = Lexical.phraseTopKFromPostings(post,
+          qs, "qtext", "q_id", k = 5)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(oneShot == fromStore)
+      assert(oneShot.nonEmpty)
+    } finally { post.unpersist(); () }
+  }
 }
