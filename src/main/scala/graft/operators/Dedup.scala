@@ -180,7 +180,10 @@ object Dedup {
                 bits: Int = 60): DataFrame = {
     val tok = df.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+      // native 60-bit md5 prefix (round 17): bit-identical to
+      // conv(substring(md5(t), 1, 15), 16, 10) — Md5Long60's contract —
+      // with no hex encode / radix parse per token
+      .withColumn("h", call_function("md5_long60", col("t")))
     val sums = (0 until bits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"_b$j"))
@@ -438,16 +441,20 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
                      width: Int, stride: Int, minDocs: Long): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    // fused span hashing (round 17, guide §1.2 per-task work): one
+    // native expression per doc replaces the explode(sequence) →
+    // slice → concat_ws → md5 → conv(substring) chain — bit-identical
+    // keys (SpanHashes' contract; the DuckDB oracle fragment is
+    // unchanged), no per-span string materialization or hex
+    // encode/parse on the corpus-volume path.
     val spans = docs
       .withColumn("toks", TextFunctions.tokens(col(textCol)))
       .filter(size(col("toks")) >= width)
-      .select(col(idCol), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - lit(width) + 1,
-          lit(stride))).as("start"))
       .select(col(idCol),
-        conv(substring(md5(
-          concat_ws(" ", slice(col("toks"), col("start"), lit(width)))), 1, 15),
-          16, 10).cast("long").as("span_h"))
+        explode(call_function("span_hashes", col("toks"),
+          lit(width), lit(stride), lit(15), lit(15))).as("sp"))
+      .select(col(idCol), col("sp.h1").as("span_h"))
     spans.groupBy("span_h")
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
@@ -499,20 +506,20 @@ object Dedup {
       primaryHexChars: Int, secondaryHexChars: Int): DataFrame = {
     require(primaryHexChars >= 1 && primaryHexChars <= 15, "primaryHexChars in [1,15]")
     require(secondaryHexChars >= 1 && secondaryHexChars <= 15, "secondaryHexChars in [1,15]")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val toks = docs.withColumn("toks", TextFunctions.tokens(col(textCol)))
+    // fused span hashing (round 17 — the duplicateSpans rationale): one
+    // md5 per position feeds BOTH 60-bit keys straight from the digest
+    // bytes; the key widths stay parameters, so the collision-seam
+    // specs exercise the production expression.
     val spans = toks
       .filter(size(col("toks")) >= width)
-      .select(col(idCol), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - lit(width) + 1,
-          lit(1))).as("start"))
-      .select(col(idCol), col("start"),
-        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(width))))
-          .as("mh"))
-      .select(col(idCol), col("start"),
-        conv(substring(col("mh"), 1, primaryHexChars), 16, 10)
-          .cast("long").as("span_h"),
-        conv(substring(col("mh"), 18, secondaryHexChars), 16, 10)
-          .cast("long").as("span_h2"))
+      .select(col(idCol),
+        explode(call_function("span_hashes", col("toks"),
+          lit(width), lit(1), lit(primaryHexChars),
+          lit(secondaryHexChars))).as("sp"))
+      .select(col(idCol), col("sp.start").as("start"),
+        col("sp.h1").as("span_h"), col("sp.h2").as("span_h2"))
     // canonical occurrence per duplicated span: lexicographic min of
     // (doc, start) — one combined aggregation, skew-safe
     val dup = spans.groupBy("span_h", "span_h2")

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.phraseTfDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
+    e.injectFunction(GraftExtensions.spanHashesDescriptor)
     GraftExtensions.sketchAlgebraDescriptors.foreach(e.injectFunction)
     // udafs (kmv_sketch256/64) cannot ride injectFunction — it carries
     // Expression builders only. The check-rule builder runs once per
@@ -181,6 +182,28 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_hash60"),
       new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
       buildShingleHash60)
+
+  private def buildSpanHashes(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 5,
+      "span_hashes(tokens, width, stride, p, s)")
+    def intLit(e: Expression, name: String): Int = {
+      require(e.foldable, s"span_hashes: $name must be a literal")
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"span_hashes: integer $name required, got $other")
+      }
+    }
+    SpanHashes(exprs.head, intLit(exprs(1), "width"),
+      intLit(exprs(2), "stride"), intLit(exprs(3), "p"),
+      intLit(exprs(4), "s"))
+  }
+
+  val spanHashesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("span_hashes"),
+      new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
+      buildSpanHashes)
 
   /** Sketch-ALGEBRA SQL functions: each builder expands to the same
     * composite Expression tree the [[graft.operators.Sketches]] column
@@ -352,6 +375,19 @@ object GraftExtensions {
         .functionExists(FunctionIdentifier("bounded_topk")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bounded_topk", buildBoundedTopK, "built-in")
+    // round-17 additions, same newest-builder probe
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("ordered_fold_sum")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "ordered_fold_sum", buildOrderedFoldSum, "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("phrase_tf")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "phrase_tf", buildPhraseTf, "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("span_hashes")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "span_hashes", buildSpanHashes, "built-in")
     // round-15 additions, same newest-builder probe
     if (!spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("adc_table")))

@@ -124,3 +124,98 @@ object ShingleHash60 {
     new GenericArrayData(out)
   }
 }
+
+/** `span_hashes(tokens, width, stride, p, s)`: fused sliding-window
+  * span hashing for the Lee et al. span-dedup family. For a token
+  * array of n elements it emits one struct per FULL `width`-token
+  * window starting at 1-based positions 1, 1+stride, 2·stride+1, …
+  * (nothing when n < width):
+  *
+  *   `start` — the window's 1-based token offset;
+  *   `h1`    — the value of `conv(substring(md5(span), 1, p), 16, 10)`
+  *             (the first p hex nibbles of the digest);
+  *   `h2`    — the value of `conv(substring(md5(span), 18, s), 16, 10)`
+  *             (s nibbles from hex position 18 — the removal pass's
+  *             independent second key);
+  *
+  * where span = the window's tokens joined by one space exactly like
+  * `concat_ws(" ", slice(toks, start, width))` (null tokens skipped).
+  * Bit-identical to the composed explode(sequence) → slice → concat_ws
+  * → md5 → conv(substring) chain it replaces — the DuckDB oracle
+  * fragments are unchanged — but with no per-span string
+  * materialization, no hex encode / radix parse, and one MessageDigest
+  * per thread ([[ShingleHash60]]'s rationale at stride-1 span-dedup
+  * volume: one md5 per token position over the whole corpus).
+  */
+case class SpanHashes(child: Expression, width: Int, stride: Int,
+                      p: Int, s: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = SpanHashes.resultType
+
+  override protected def nullSafeEval(toks: Any): Any =
+    SpanHashes.compute(toks.asInstanceOf[ArrayData], width, stride, p, s)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.SpanHashes.compute($t, $width, $stride, $p, $s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SpanHashes {
+  private val Space = ' '.toByte
+
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+
+  /** Digest nibbles [from, from+count) (0-indexed hex positions) as a
+    * non-negative long — the value `conv(substring(hex, from+1, count),
+    * 16, 10)` yields. count ≤ 15 keeps it under 60 bits.
+    */
+  private def nibbles(d: Array[Byte], from: Int, count: Int): Long = {
+    var acc = 0L
+    var i = from
+    val end = from + count
+    while (i < end) {
+      val b = d(i >> 1) & 0xFF
+      val nib = if ((i & 1) == 0) (b >>> 4) & 0xF else b & 0xF
+      acc = (acc << 4) | nib
+      i += 1
+    }
+    acc
+  }
+
+  def compute(toks: ArrayData, width: Int, stride: Int,
+              p: Int, s: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < width) return new GenericArrayData(Array.empty[Any])
+    val m = (n - width) / stride + 1 // full windows only
+    val out = new Array[Any](m)
+    var w = 0
+    while (w < m) {
+      val i = w * stride
+      val md = Md5Long60.digest()
+      var wrote = false
+      var j = 0
+      while (j < width) {
+        val idx = i + j
+        if (!toks.isNullAt(idx)) {
+          if (wrote) md.update(Space)
+          md.update(toks.getUTF8String(idx).getBytes)
+          wrote = true
+        }
+        j += 1
+      }
+      val d = md.digest()
+      out(w) = org.apache.spark.sql.catalyst.InternalRow(
+        (i + 1).toLong, nibbles(d, 0, p), nibbles(d, 17, s))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}

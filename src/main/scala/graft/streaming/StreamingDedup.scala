@@ -64,17 +64,17 @@ object StreamingDedup {
   def duplicateSpanStream(stream: DataFrame, textCol: String, idCol: String,
                           tsCol: String, width: Int, stride: Int,
                           minDocs: Long, watermark: String,
-                          windowDur: String): DataFrame =
+                          windowDur: String): DataFrame = {
+    graft.plans.GraftExtensions.register(stream.sparkSession)
     stream
       .withColumn("toks", TextFunctions.tokens(col(textCol)))
       .filter(size(col("toks")) >= width)
-      .select(col(idCol).as("doc_id"), col("toks"), col(tsCol).as("_tsns"),
-        explode(sequence(lit(1), size(col("toks")) - lit(width) + 1,
-          lit(stride))).as("start"))
-      .select(col("doc_id"),
-        conv(substring(md5(
-          concat_ws(" ", slice(col("toks"), col("start"), lit(width)))), 1, 15),
-          16, 10).cast("long").as("span_h"),
+      // fused span hashing (round 17) — bit-identical keys to the
+      // batch operator, same oracle fragments
+      .select(col(idCol).as("doc_id"), col(tsCol).as("_tsns"),
+        explode(call_function("span_hashes", col("toks"),
+          lit(width), lit(stride), lit(15), lit(15))).as("sp"))
+      .select(col("doc_id"), col("sp.h1").as("span_h"),
         timestamp_micros(expr("_tsns div 1000")).as("_ts"))
       .withWatermark("_ts", watermark)
       .dropDuplicatesWithinWatermark("span_h", "doc_id")
@@ -83,6 +83,7 @@ object StreamingDedup {
       .filter(col("n_docs") >= minDocs)
       .select(expr("unix_micros(w.start) * 1000").as("window_ns"),
         col("span_h"), col("n_docs"))
+  }
 
   /** Streaming MinHash-LSH near-duplicate candidate pairs — the
     * continuous complement of the batch MinHash pipeline (q26: same

@@ -48,6 +48,40 @@ class HashExprSpec extends SparkSpec {
     assert(nullArr.head.isNullAt(0))
   }
 
+  test("span_hashes equals the explode+slice+concat_ws+md5+conv chain " +
+      "exactly (both keys, every width/stride/key-width combo)") {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = ((0 until 60).map(i =>
+        (i.toLong, (0 until (i % 17)).map(t => s"w${(i + t) % 11}")
+          .mkString(" "))) ++
+      Seq((100L, ""), (101L, "   "), (102L, "a")))
+      .toDF("id", "text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    for ((w, st, p, s) <- Seq((8, 4, 15, 15), (8, 1, 15, 15),
+        (3, 2, 15, 15), (2, 1, 4, 7), (1, 1, 15, 1))) {
+      val composed = docs
+        .filter(size(col("toks")) >= w)
+        .select(col("id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - lit(w) + 1,
+            lit(st))).as("start"))
+        .select(col("id"), col("start").cast("long").as("start"),
+          md5(concat_ws(" ", slice(col("toks"), col("start"), lit(w))))
+            .as("mh"))
+        .select(col("id"), col("start"),
+          conv(substring(col("mh"), 1, p), 16, 10).cast("long").as("h1"),
+          conv(substring(col("mh"), 18, s), 16, 10).cast("long").as("h2"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val native = docs
+        .select(col("id"),
+          explode(call_function("span_hashes", col("toks"),
+            lit(w), lit(st), lit(p), lit(s))).as("sp"))
+        .select(col("id"), col("sp.start"), col("sp.h1"), col("sp.h2"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(native == composed, s"(w=$w, stride=$st, p=$p, s=$s)")
+      assert(composed.nonEmpty, s"(w=$w) corpus exercises no spans")
+    }
+  }
+
   test("md5_long60 equals conv(substring(md5,1,15),16,10) and stays in codegen") {
     graft.plans.GraftExtensions.register(spark)
     val df = (0 until 100).map(i => (i.toLong, s"token-$i payload"))
