@@ -70,6 +70,26 @@ object Dedup {
     * ('0x' || substr(md5(s),1,15))::BIGINT and the same arithmetic.
     */
   def intMinhashSignature(baseHashes: Column, k: Int): Column =
+    // fused native form (round 17, guide §1.2): ONE pass computes all
+    // k salt minima — bit-identical to the composed
+    // array(array_min(transform(…))) form (IntMinhash's contract, the
+    // salt schedule pinned by HashExprSpec's differential), which
+    // materialized k transformed arrays per row. The null branch
+    // mirrors the composed form exactly: a NULL base array yields an
+    // array of k nulls (array() never returns null), not a null
+    // signature. Requires the graft extensions
+    // (GraftSession.configure installs; operators register
+    // defensively).
+    when(baseHashes.isNull,
+      array((0 until k).map(_ => lit(null).cast("long")): _*))
+      .otherwise(call_function("int_minhash", baseHashes, lit(k)))
+
+  /** The composed Column form of [[intMinhashSignature]] — the
+    * spec-side reference the native expression is pinned against
+    * (and the shape [[intMinhashSql]] mirrors in DuckDB).
+    */
+  private[graft] def intMinhashSignatureComposed(baseHashes: Column,
+                                                 k: Int): Column =
     array(salts(k).map { case (a, b) =>
       array_min(transform(baseHashes, h => (h * lit(a) + lit(b)) % lit(MinhashP)))
     }: _*)

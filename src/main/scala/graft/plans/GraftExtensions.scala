@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
     e.injectFunction(GraftExtensions.spanHashesDescriptor)
+    e.injectFunction(GraftExtensions.intMinhashDescriptor)
     GraftExtensions.sketchAlgebraDescriptors.foreach(e.injectFunction)
     // udafs (kmv_sketch256/64) cannot ride injectFunction — it carries
     // Expression builders only. The check-rule builder runs once per
@@ -204,6 +205,23 @@ object GraftExtensions {
     (FunctionIdentifier("span_hashes"),
       new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
       buildSpanHashes)
+
+  private def buildIntMinhash(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "int_minhash(baseHashes, k)")
+    require(exprs(1).foldable, "int_minhash: k must be a literal")
+    val k = exprs(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"int_minhash: integer k required, got $other")
+    }
+    IntMinhash(exprs.head, k)
+  }
+
+  val intMinhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("int_minhash"),
+      new ExpressionInfo(classOf[IntMinhash].getName, "int_minhash"),
+      buildIntMinhash)
 
   /** Sketch-ALGEBRA SQL functions: each builder expands to the same
     * composite Expression tree the [[graft.operators.Sketches]] column
@@ -388,6 +406,10 @@ object GraftExtensions {
         .functionExists(FunctionIdentifier("span_hashes")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "span_hashes", buildSpanHashes, "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("int_minhash")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "int_minhash", buildIntMinhash, "built-in")
     // round-15 additions, same newest-builder probe
     if (!spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("adc_table")))

@@ -125,6 +125,66 @@ object ShingleHash60 {
   }
 }
 
+/** `int_minhash(baseHashes, k)`: the k-salt integer MinHash signature
+  * in ONE pass over the base-hash array. Element i is
+  * `min_h ((h · a_i + b_i) mod P)` with the
+  * [[graft.operators.Dedup]] salt schedule a_i = 2i + 3,
+  * b_i = 104729 · (i + 1), P = 1000000007 — bit-identical to the
+  * composed `array(array_min(transform(bh, h -> (h·a+b) % P)), …)`
+  * form (h < P and a ≤ 2k+1+3 keep h·a+b ≪ 2⁶³: the Long arithmetic
+  * is exact in both), so the DuckDB oracle fragments
+  * ([[graft.operators.Dedup.intMinhashSql]]) are unchanged. The
+  * composed form materializes k transformed arrays per row and
+  * evaluates k interpreted lambda trees; this is one primitive loop.
+  */
+case class IntMinhash(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // containsNull mirrors the composed form: array_min over an empty
+  // (or all-null) base array is null — can't happen off shingle_hash60
+  // (≥ 1 element always), but the corner keeps strict parity
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override protected def nullSafeEval(bh: Any): Any =
+    IntMinhash.compute(bh.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.plans.IntMinhash.compute($b, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IntMinhash {
+  private val P = 1000000007L
+
+  def compute(bh: ArrayData, k: Int): ArrayData = {
+    val n = bh.numElements()
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var any = false
+    var j = 0
+    while (j < n) {
+      if (!bh.isNullAt(j)) {
+        any = true
+        val h = bh.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = (h * (2L * i + 3L) + 104729L * (i + 1)) % P
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) // array_min over empty/all-null input is null per salt
+      new GenericArrayData(Array.fill[Any](k)(null))
+    else new GenericArrayData(out)
+  }
+}
+
 /** `span_hashes(tokens, width, stride, p, s)`: fused sliding-window
   * span hashing for the Lee et al. span-dedup family. For a token
   * array of n elements it emits one struct per FULL `width`-token

@@ -82,6 +82,31 @@ class HashExprSpec extends SparkSpec {
     }
   }
 
+  test("int_minhash equals the composed array(array_min(transform)) " +
+      "signature exactly") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = (0 until 300).map(i =>
+        (i.toLong, s"w${i % 5} w${(i + 1) % 7} w${(i + 2) % 11} " +
+          s"w${(i * 3) % 13} tail${i % 3}"))
+      .toDF("id", "text")
+      .withColumn("bh",
+        Dedup.tokenShingleHashes(TextFunctions.tokens(col("text"))))
+    for (k <- Seq(1, 8, 64)) {
+      val bad = df
+        .withColumn("composed", Dedup.intMinhashSignatureComposed(col("bh"), k))
+        .withColumn("native", Dedup.intMinhashSignature(col("bh"), k))
+        .filter(not(col("composed") <=> col("native")))
+      assert(bad.count() == 0, s"k=$k")
+    }
+    // null base array -> array of k nulls, exactly like the composed
+    // form (array() never returns null; each array_min is null)
+    val nullRows = Seq(Tuple1(null: Seq[Long])).toDF("bh")
+      .select(Dedup.intMinhashSignatureComposed(col("bh"), 4).as("composed"),
+        Dedup.intMinhashSignature(col("bh"), 4).as("native"))
+      .filter(not(col("composed") <=> col("native")))
+    assert(nullRows.count() == 0)
+  }
+
   test("md5_long60 equals conv(substring(md5,1,15),16,10) and stays in codegen") {
     graft.plans.GraftExtensions.register(spark)
     val df = (0 until 100).map(i => (i.toLong, s"token-$i payload"))
