@@ -2547,12 +2547,16 @@ object TextQueries {
       val root = Scratch.tempDir("graft-q197").toString
       val postTx = new graft.bank.TxTable(s, s"$root/post")
       val statsTx = new graft.bank.TxTable(s, s"$root/stats")
-      graft.streaming.StreamingLexicalIndex.bootstrapP(
-        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
-        postTx, statsTx)
       val arrivals = s"$root/arrivals"
-      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
-        .repartition(4).write.parquet(arrivals)
+      // bootstrap and the arrival staging are independent jobs (guide
+      // §2.6) — overlap them; the maintainer starts only after both
+      // (the join), so the maintained store is unchanged
+      graft.streaming.ParallelCommits.inParallel(
+        graft.streaming.StreamingLexicalIndex.bootstrapP(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          postTx, statsTx),
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+          .repartition(4).write.parquet(arrivals))
       graft.streaming.StreamingLexicalIndex.runP(s, arrivals,
         postTx, statsTx, s"$root/cp", maxFilesPerTrigger = 1,
         compactEvery = 2)

@@ -12,7 +12,7 @@ package graft.streaming
   * window — a crash between the two serial commits already left one
   * landed and one not).
   */
-private[streaming] object ParallelCommits {
+private[graft] object ParallelCommits {
   def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
     try {

@@ -197,14 +197,18 @@ object StreamingLexicalIndex {
                               maxQueryTerms: Int)
       : (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
-    val terms = queries
-      .select(explode(Lexical.queryTerms(col(qTextCol))).as("term"))
-      .distinct().limit(maxQueryTerms + 1)
-      .collect().map(_.getString(0)).toSeq
+    // the query-term collect and the stats rollup are independent
+    // driver actions (guide §2.6) — overlap them
+    val (terms, statsTriple) = inParallel(
+      queries
+        .select(explode(Lexical.queryTerms(col(qTextCol))).as("term"))
+        .distinct().limit(maxQueryTerms + 1)
+        .collect().map(_.getString(0)).toSeq,
+      stats(statsTx))
     require(terms.length <= maxQueryTerms,
       s"over $maxQueryTerms distinct query terms (maxQueryTerms) — " +
         "split the query batch or raise the bound")
-    val (n, _, avgdl) = stats(statsTx)
+    val (n, _, avgdl) = statsTriple
     val slice = postTx.read().filter(col("term").isInCollection(terms))
     val statsRow = spark.range(1).select(lit(n).as("n_docs"),
       lit(avgdl).as("avgdl"))
