@@ -247,10 +247,12 @@ class TextStatsSpec extends SparkSpec {
       assert(hits == 1L && sim > 0.5 && sim < 1.0)
     }
     // plan shape: eval side broadcasts, the train side never shuffles —
-    // the only exchanges carry candidate-pair-sized data (distinct +
-    // per-doc rollup), and nothing degrades to a nested-loop join
+    // ONE exchange total (round 17: the per-pair distinct + per-doc
+    // rollup fused into a single map-side-combined aggregate, so the
+    // old second exchange is gone), and nothing degrades to a
+    // nested-loop join
     val c = graft.tools.PlanIntrospect.counts(df)
-    assert(c.broadcasts == 1 && c.shuffles == 2 && c.bnlj == 0 && c.cartesian == 0)
+    assert(c.broadcasts == 1 && c.shuffles == 1 && c.bnlj == 0 && c.cartesian == 0)
   }
 
   test("chunkTokens tiles with the configured overlap and covers every token") {
