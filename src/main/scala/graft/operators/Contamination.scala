@@ -63,6 +63,15 @@ object Contamination {
     * (idCol, n_eval_hits, max_sim) where n_eval_hits counts distinct
     * eval docs LSH-colliding with it and max_sim is the best
     * signature-agreement estimate in [0, 1]. Clean docs don't appear.
+    *
+    * CONTRACT — `eval` is an EVALUATION corpus (thousands of docs,
+    * never corpus-sized): per-group aggregation state is the doc's
+    * distinct eval hits (`collect_set(eval_id)`, ≤ |eval| entries),
+    * and the banded eval side is BROADCAST — Spark's 8 GB / 512 M-row
+    * broadcast-relation cap is the physical ceiling that rejects a
+    * corpus-sized `eval` loudly rather than silently degrading. For
+    * train-vs-train near-dup at corpus scale use the LSH pair surface
+    * ([[Dedup.lshBuckets]]), which never holds a per-doc hit set.
     */
   def fuzzyContaminatedDocs(train: DataFrame, eval: DataFrame,
                             textCol: String, idCol: String,

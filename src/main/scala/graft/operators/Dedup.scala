@@ -198,6 +198,10 @@ object Dedup {
     */
   def mdSimhash(df: DataFrame, textCol: String, idCol: String,
                 bits: Int = 60): DataFrame = {
+    // defensive registration (round 18, advisor item): this entry
+    // point rides the native md5_long60 — on a session not built via
+    // GraftSession the function would otherwise be undefined
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val tok = df.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
       // native 60-bit md5 prefix (round 17): bit-identical to
@@ -472,8 +476,12 @@ object Dedup {
       .withColumn("toks", TextFunctions.tokens(col(textCol)))
       .filter(size(col("toks")) >= width)
       .select(col(idCol),
+        // detection consumes ONLY h1 — secondary width 1 (round 18,
+        // advisor item) skips 14 wasted nibble extractions per span
+        // on the corpus-volume stride path; h1 is unaffected (disjoint
+        // digest slices), so keys and oracle fragments are unchanged
         explode(call_function("span_hashes", col("toks"),
-          lit(width), lit(stride), lit(15), lit(15))).as("sp"))
+          lit(width), lit(stride), lit(15), lit(1))).as("sp"))
       .select(col(idCol), col("sp.h1").as("span_h"))
     spans.groupBy("span_h")
       .agg(countDistinct(col(idCol)).as("n_docs"),

@@ -70,10 +70,11 @@ object StreamingDedup {
       .withColumn("toks", TextFunctions.tokens(col(textCol)))
       .filter(size(col("toks")) >= width)
       // fused span hashing (round 17) — bit-identical keys to the
-      // batch operator, same oracle fragments
+      // batch operator, same oracle fragments; secondary width 1
+      // (round 18): only h1 is consumed, h1 unaffected
       .select(col(idCol).as("doc_id"), col(tsCol).as("_tsns"),
         explode(call_function("span_hashes", col("toks"),
-          lit(width), lit(stride), lit(15), lit(15))).as("sp"))
+          lit(width), lit(stride), lit(15), lit(1))).as("sp"))
       .select(col("doc_id"), col("sp.h1").as("span_h"),
         timestamp_micros(expr("_tsns div 1000")).as("_ts"))
       .withWatermark("_ts", watermark)
@@ -120,6 +121,10 @@ object StreamingDedup {
                     rowsPerBand: Int = 2, watermark: String = "10 seconds",
                     windowDur: String = "6 hours"): DataFrame = {
     import graft.operators.Dedup
+    // defensive registration (round 18, advisor item): the signature
+    // rides native shingle_hash60/int_minhash — external sessions not
+    // built via GraftSession would otherwise see undefined functions
+    graft.plans.GraftExtensions.register(stream.sparkSession)
     val sigs = stream
       .withColumn("toks", TextFunctions.tokens(col(textCol)))
       .select(col(idCol).as("doc_id"),
