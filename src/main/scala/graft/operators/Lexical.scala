@@ -823,17 +823,32 @@ object Lexical {
       else truncated
     val qTerms = queries.select(col(qIdCol).as("q_id"),
       explode(queryTerms(col(qTextCol))).as("term"))
+    // FUSED θ+split traversal (round 18, guide §2.4): the θ pass and
+    // the per-term ub table previously each traversed the truncated
+    // store (two store-wide cache scans + broadcast probes per serve);
+    // both now read ONE query-sliced traversal, persisted at
+    // query-term × m volume (≤ Σ_q-terms min(df, m) rows — kilobytes
+    // in the designed regime). θ is bit-identical: truncQ is exactly
+    // the store ⋈ broadcast(q_id, term) frame
+    // bm25TopKFromContribStore built internally, and the fold/rank
+    // tail below is the same orderedFoldSum → ROUND 6 → rankTail
+    // chain. ub is identical: grouping the q-duplicated rows by term
+    // leaves max(contrib) and the matched-term set unchanged.
+    val truncQ = persistRotating("maxScoreFoldInput.truncSlice",
+      trunc.join(broadcast(qTerms), Seq("term"))
+        .select(col("q_id"), col("doc_id"), col("term"), col("contrib")))
     // θ per query: the truncated store's k-th rounded score (absent →
     // no pruning bound for that query). Query-sized.
-    val theta = bm25TopKFromContribStore(trunc, queries,
-        qTextCol, qIdCol, k)
+    val theta = rankTail(
+        truncQ.groupBy("q_id", "doc_id")
+          .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+          .withColumn("score", round(col("s"), 6)),
+        "score", k)
       .filter(col("rank") === k)
       .select(col("q_id"), col("score").as("theta"))
-    // per-term upper bounds, semi-joined to the query's terms first
-    // (vocabulary-sized ub never broadcasts — the df discipline)
-    val ub = trunc
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(max(col("contrib")).as("ub"))
+    // per-term upper bounds (already query-sliced — the df discipline:
+    // vocabulary-sized ub never broadcasts)
+    val ub = truncQ.groupBy("term").agg(max(col("contrib")).as("ub"))
     // essential = past the maximal (ub asc, term asc) prefix whose
     // cumulative bound stays under θ − margin.
     val cum = Window.partitionBy("q_id")
