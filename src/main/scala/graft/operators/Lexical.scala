@@ -518,6 +518,30 @@ object Lexical {
     satFromPostF(postF, statsF, fields, k1)
   }
 
+  /** [[bm25fSatFromPostings]] off the PACKED layout
+    * ([[postingsFieldsPacked]] rows) — round 18: the maintained BM25F
+    * store switched to the packed format, so its generation builds
+    * fold the per-field pseudo-frequency SCAN-LOCALLY over the
+    * field-asc `entries` (zero (term, doc) exchange — the flat form
+    * shuffled the whole multi-field postings volume per refresh) with
+    * the avgdl vector BAKED. Same fc doubles in the same field-asc
+    * order as the flat fold (LexicalSpec's flat-vs-packed equality);
+    * a packed delta batch produces exactly its own sat delta (one row
+    * per (term, doc) — per-doc facts), so the arrival-sized refresh
+    * algebra is unchanged.
+    */
+  def bm25fSatFromPackedPostings(packed: DataFrame, avgdls: Seq[Double],
+                                 fields: Seq[FieldSpec],
+                                 k1: Double = 1.2): DataFrame = {
+    require(avgdls.length == fields.length,
+      s"avgdls (${avgdls.length}) must match fields (${fields.length})")
+    val spark = packed.sparkSession
+    val statsF = avgdls.zipWithIndex.map { case (a, i) =>
+      spark.range(1).select(lit(i).as("field"), lit(a).as("avgdl"))
+    }.reduce(_ unionByName _)
+    satFromPacked(packed, statsF, fields, k1)
+  }
+
   /** Monolithic BM25F contribution store: (`term`, `doc_id`,
     * `contrib`) with contrib = idf × sat fully baked — the [[bm25Store]]
     * SHAPE for multi-field scoring, so every existing contrib-store
@@ -1100,6 +1124,9 @@ object Lexical {
   def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, qTextCol: String, qIdCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // PRECONDITION: corpus ids unique (the phraseTopK contract note —
+    // round 18); a candidate plan with a shuffle/sort falls back to
+    // the exchange fold automatically (orderBreakerInPlan).
     // ONE tokenization pass: df, corpus stats, and the candidate join
     // all read the same cached postings (without the persist each of
     // the three subtrees re-tokenizes the corpus — at 100 TB that is
@@ -1127,7 +1154,7 @@ object Lexical {
     bm25TopKFromStoreImpl(post, dfreq, stats, queries, qTextCol, qIdCol,
       k, k1, b, localFold = false)
 
-  private def bm25TopKFromStoreImpl(post: DataFrame, dfreq: DataFrame,
+  private[graft] def bm25TopKFromStoreImpl(post: DataFrame, dfreq: DataFrame,
                                     stats: DataFrame,
                                     queries: DataFrame, qTextCol: String,
                                     qIdCol: String,
@@ -1314,7 +1341,7 @@ object Lexical {
     phraseTopKImpl(post, queries, qTextCol, qIdCol, k, k1, b,
       statsOverride, scanLocalFold = false)
 
-  private def phraseTopKImpl(post: DataFrame, queries: DataFrame,
+  private[graft] def phraseTopKImpl(post: DataFrame, queries: DataFrame,
                              qTextCol: String, qIdCol: String, k: Int,
                              k1: Double, b: Double,
                              statsOverride: Option[DataFrame],
@@ -1361,7 +1388,8 @@ object Lexical {
     // match-sized (docs with ≥ 1 anchor — df(phrase) rows), far below
     // candidate volume.
     val folded =
-      if (scanLocalFold) phraseFoldScanLocal(matched)
+      if (scanLocalFold && !orderBreakerInPlan(matched))
+        phraseFoldScanLocal(matched)
       else matched
         .groupBy("q_id", "doc_id", "dl", "m")
         .agg(TopK.phraseTf(col("j"), col("positions"), col("m"))
@@ -1458,7 +1486,17 @@ object Lexical {
     * [[postingsPositional]] once with caller-managed persistence and
     * use [[phraseTopKFromPostings]]). The in-plan build satisfies the
     * scan-local fold's contiguity contract, so the candidate-volume
-    * positions exchange is elided (round 17).
+    * positions exchange is elided (round 17); a candidate plan that
+    * acquires a shuffle/sort falls back to the exchange fold
+    * automatically ([[orderBreakerInPlan]], round 18).
+    *
+    * PRECONDITION (round 18, advisor item): `docs` ids must be UNIQUE
+    * — the corpus contract every surface already assumes (stats count
+    * duplicate ids as separate documents while keyed folds merge
+    * them). On the scan-local path a duplicate id in one scan
+    * partition fails LOUDLY (the revisit guard); duplicate ids in
+    * different partitions are emitted as independent rows — supply
+    * de-duplicated corpora.
     */
   def phraseTopK(docs: DataFrame, textCol: String, idCol: String,
                  queries: DataFrame, qTextCol: String, qIdCol: String,
@@ -1568,70 +1606,59 @@ object Lexical {
       .withColumn("idf_t", bm25Idf(col("n_docs"), col("df")))
       .select(col("term"), col("q_id"), col("m"), col("j"),
         col("idf_t"), col("n_docs"), col("avgdl"))
-    val sTFold = (es: Column, dl: Column, avgdl: Column) =>
-      aggregate(es, lit(0.0), (acc: Column, e: Column) =>
-        acc + e.getField("idf_t") *
-          satCol(e.getField("tf"), dl, avgdl, k1, b))
+    // NATIVE candidate fold (round 18, guide §1.2 — the PhraseTf
+    // template applied to the last hot interpreted fold): the unigram
+    // contribution idf_t · sat(tf) is precomputed per candidate row by
+    // the SAME codegen'd expression the old interpreted fold evaluated
+    // per element (identical doubles), and ONE sdm_features aggregate
+    // replaces sort_array(collect_list(struct(j, tf, idf_t,
+    // positions))) + the interpreted j-asc unigram fold + the per-pair
+    // get(filter(...)) positions-probing chain: s_t sums in the same
+    // j-asc order from +0.0 (j unique per group — struct sort order ≡
+    // j order), pairs(i) = (tfo, tfu) of the j = i / j = i + 1 entries
+    // with absent entries counting (0, 0), exactly the rows the
+    // coalesced expression chain emitted (SdmSpec's differential).
+    // The persisted fold also SHRINKS: (s_t, pairs) per candidate
+    // instead of the full packed entry structs with positions arrays.
+    val contribC = col("idf_t") *
+      satCol(col("tf"), col("dl"), col("avgdl"), k1, b)
+    def foldNative(base: DataFrame): DataFrame = base
+      .withColumn("_c", contribC)
+      .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+        col("n_docs"), col("avgdl"))
+      .agg(TopK.sdmFeatures(col("j"), col("_c"), col("positions"),
+        col("m"), window).as("f"))
+      .select(col("q_id"), col("doc_id"), col("dl"), col("m"),
+        col("n_docs"), col("avgdl"),
+        col("f.s_t").as("s_t"), col("f.pairs").as("pairs"))
     // rerank mode: unigram-only first pass over a POSITIONS-FREE fold
     // (the positions column prunes out of the scan — the unigram score
-    // never needs it; j is unique per (query, doc), so the sorted fold
-    // order is unchanged), bounded top-n, then the survivors' ids
-    // broadcast back UNDER the positional re-pack: only Q×n rows ever
-    // fold (or cache) their positions arrays. Round 16 cached the full
-    // positional fold and read its 35 GB disk-resident frame twice at
-    // the 10⁷ geometry (BASELINE SDM row); this shape replaces that
-    // with a cheap position-free pass plus a survivor-sized re-pack.
-    val kept = rerank match {
+    // never needs it; j is unique per (query, doc), so the long-key
+    // ordered fold replays the sorted fold order), bounded top-n, then
+    // the survivors' ids broadcast back UNDER the positional re-pack:
+    // only Q×n rows ever fold their positions arrays. Round 16 cached
+    // the full positional fold and read its 35 GB disk-resident frame
+    // twice at the 10⁷ geometry (BASELINE SDM row); this shape
+    // replaces that with a cheap position-free pass plus a
+    // survivor-sized re-pack.
+    val packed = persistRotating("sdmTopKFromPostings", rerank match {
       case Some(n) =>
-        val esLight = post.join(broadcast(qT), Seq("term"))
+        val sel = post.join(broadcast(qT), Seq("term"))
+          .withColumn("_c", contribC)
           .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
             col("n_docs"), col("avgdl"))
-          .agg(sort_array(collect_list(struct(col("j"), col("tf"),
-            col("idf_t")))).as("es"))
-        val sel = esLight
-          .withColumn("st_r", round(sTFold(col("es"), col("dl"),
-            col("avgdl")), 6))
+          .agg(TopK.orderedFoldSumLong(col("j"), col("_c")).as("s"))
+          .withColumn("st_r", round(col("s"), 6))
           .groupBy("q_id")
           .agg(TopK.topKNative(n, negate(col("st_r")), col("doc_id"))
             .as("top"))
           .select(col("q_id"), explode(col("top")).as("t"))
           .select(col("q_id"), col("t.id").as("doc_id"))
-        post.join(broadcast(qT), Seq("term"))
-          .join(broadcast(sel), Seq("q_id", "doc_id"))
-          .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
-            col("n_docs"), col("avgdl"))
-          .agg(sort_array(collect_list(struct(col("j"), col("tf"),
-            col("idf_t"), col("positions")))).as("es"))
+        foldNative(post.join(broadcast(qT), Seq("term"))
+          .join(broadcast(sel), Seq("q_id", "doc_id")))
       case None =>
-        post.join(broadcast(qT), Seq("term"))
-          .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
-            col("n_docs"), col("avgdl"))
-          .agg(sort_array(collect_list(struct(col("j"), col("tf"),
-            col("idf_t"), col("positions")))).as("es"))
-    }
-    val packed = persistRotating("sdmTopKFromPostings",
-      kept
-        // pair features scan-local off the packed entries: for i in
-        // 1..m−1 (computed over 1..m, then sliced — sequence() cannot
-        // express an empty 1..0 range type-stably), look up entries
-        // j = i and j = i+1 and count ordered / windowed co-occurrence
-        // position pairs.
-        .withColumn("pairs", slice(transform(
-          sequence(lit(1L), col("m")),
-          i => {
-            val e1 = get(filter(col("es"),
-              e => e.getField("j") === i), lit(0))
-            val e2 = get(filter(col("es"),
-              e => e.getField("j") === i + 1), lit(0))
-            val tfO = size(filter(e1.getField("positions"),
-              p => array_contains(e2.getField("positions"), p + 1)))
-            val tfU = aggregate(e1.getField("positions"), lit(0),
-              (acc, p1) => acc + size(filter(e2.getField("positions"),
-                p2 => p2 =!= p1 && abs(p2 - p1) < lit(window))))
-            struct(i.as("i"),
-              coalesce(tfO.cast("long"), lit(0L)).as("tfo"),
-              coalesce(tfU.cast("long"), lit(0L)).as("tfu"))
-          }), lit(1), (col("m") - 1).cast("int"))))
+        foldNative(post.join(broadcast(qT), Seq("term")))
+    })
     // pair-feature dfs: query-sized aggregate over the candidates that
     // hold the feature, idfs computed HERE (once per (query, pair)),
     // folded into a per-query lookup array for the broadcast back.
@@ -1650,9 +1677,11 @@ object Lexical {
       .groupBy("q_id")
       .agg(sort_array(collect_list(struct(col("i"), col("idf_o"),
         col("idf_u")))).as("ids"))
+    // s_t comes straight from the native fold; the s_o/s_u folds stay
+    // expression-form — ≤ m−1 pairs per candidate against a query-sized
+    // ids array, not a hot path
     val scored = packed
       .join(broadcast(dfs), Seq("q_id"), "left")
-      .withColumn("s_t", sTFold(col("es"), col("dl"), col("avgdl")))
       .withColumn("s_o", aggregate(col("pairs"), lit(0.0),
         (acc, pr) => {
           val idf = get(filter(col("ids"),
@@ -1783,14 +1812,40 @@ object Lexical {
       .toDF("q_id", "doc_id", "s")
   }
 
+  /** PLAN-SHAPE precondition for the scan-local folds (round 18,
+    * verdict item: fallback instead of crash): the doc-contiguity
+    * contract rests on the candidate subtree being shuffle-free —
+    * scan → (columnar cache) → broadcast-hash probes, all of which
+    * preserve within-partition row order. Any ShuffleExchange or Sort
+    * in the candidate's physical plan (a future plan change — e.g. a
+    * non-broadcast join strategy, an explicit repartition upstream)
+    * can scatter or reorder a document's run, which the in-task
+    * revisit guard would turn into a CRASH at scale. Detect it at
+    * plan time and take the exchange fold instead — identical scores,
+    * no candidate-volume surprise (the shuffle is already in the plan;
+    * the fold exchange is one more keyed pass). AQE never introduces
+    * new shuffles (it only resizes or rewrites existing ones), so the
+    * pre-AQE sparkPlan is the sound thing to probe.
+    */
+  private[graft] def orderBreakerInPlan(df: DataFrame): Boolean =
+    df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        true
+      case _: org.apache.spark.sql.execution.SortExec => true
+      case _ => false
+    }
+
   /** Shared fold + rank tail: the exchange fold (ordered_fold_sum
     * behind one groupBy) or, for partition-complete candidate frames,
-    * the scan-local fold — identical scores either way.
+    * the scan-local fold — identical scores either way. localFold is
+    * a REQUEST: the plan-shape precondition above can veto it
+    * (falling back to the exchange fold), so callers never crash on a
+    * candidate frame that stopped being doc-contiguous.
     */
   private def foldAndRank(cand: DataFrame, k: Int,
                           localFold: Boolean): DataFrame = {
     val scored =
-      if (localFold)
+      if (localFold && !orderBreakerInPlan(cand))
         foldScanLocal(cand).withColumn("score", round(col("s"), 6))
       else
         cand.groupBy("q_id", "doc_id")

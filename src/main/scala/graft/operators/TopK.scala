@@ -115,6 +115,34 @@ object TopK {
     org.apache.spark.sql.functions.call_function("ordered_fold_sum",
       key, contrib)
 
+  /** [[orderedFoldSum]] with a primitive BIGINT key
+    * ([[graft.plans.OrderedFoldSumLong]]): bit-identical to
+    * `aggregate(sort_array(collect_list(struct(key, ...))), 0.0,
+    * acc + contrib)` when the key is unique per group. Same
+    * registration requirement as [[topKNative]].
+    */
+  def orderedFoldSumLong(key: org.apache.spark.sql.Column,
+                         contrib: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("ordered_fold_sum_long",
+      key, contrib)
+
+  /** Native SDM candidate fold ([[graft.plans.SdmFeatures]]): per
+    * (query, doc) group, the j-asc unigram contribution sum plus the
+    * ordered/windowed co-occurrence pair counts for every adjacent
+    * query position — result-identical to the
+    * `sort_array(collect_list(...))` → interpreted fold → per-pair
+    * positions-probing expression chain in one aggregate. Same
+    * registration requirement as [[topKNative]].
+    */
+  def sdmFeatures(j: org.apache.spark.sql.Column,
+                  contrib: org.apache.spark.sql.Column,
+                  positions: org.apache.spark.sql.Column,
+                  m: org.apache.spark.sql.Column,
+                  window: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("sdm_features",
+      j, contrib, positions, m, org.apache.spark.sql.functions.lit(window))
+
   /** Native phrase anchor count ([[graft.plans.PhraseTf]]): per
     * (query, doc) group, the number of j = 1 positions every matched
     * phrase-position entry confirms at offset j − 1 (0 when any of the

@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.probeBucketsDescriptor)
     e.injectFunction(GraftExtensions.boundedTopKDescriptor)
     e.injectFunction(GraftExtensions.orderedFoldSumDescriptor)
+    e.injectFunction(GraftExtensions.orderedFoldSumLongDescriptor)
+    e.injectFunction(GraftExtensions.sdmFeaturesDescriptor)
     e.injectFunction(GraftExtensions.phraseTfDescriptor)
     e.injectFunction(GraftExtensions.md5Long60Descriptor)
     e.injectFunction(GraftExtensions.shingleHash60Descriptor)
@@ -153,6 +155,35 @@ object GraftExtensions {
       new ExpressionInfo(classOf[OrderedFoldSum].getName,
         "ordered_fold_sum"),
       buildOrderedFoldSum)
+
+  private def buildOrderedFoldSumLong(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "ordered_fold_sum_long(key, contrib)")
+    OrderedFoldSumLong(exprs.head, exprs(1))
+  }
+
+  val orderedFoldSumLongDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("ordered_fold_sum_long"),
+      new ExpressionInfo(classOf[OrderedFoldSumLong].getName,
+        "ordered_fold_sum_long"),
+      buildOrderedFoldSumLong)
+
+  private def buildSdmFeatures(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 5,
+      "sdm_features(j, contrib, positions, m, window)")
+    require(exprs(4).foldable, "sdm_features: window must be a literal")
+    val w = exprs(4).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"sdm_features: integer window required, got $other")
+    }
+    SdmFeatures(exprs.head, exprs(1), exprs(2), exprs(3), w)
+  }
+
+  val sdmFeaturesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sdm_features"),
+      new ExpressionInfo(classOf[SdmFeatures].getName, "sdm_features"),
+      buildSdmFeatures)
 
   private def buildPhraseTf(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "phrase_tf(j, positions, m)")
@@ -402,6 +433,15 @@ object GraftExtensions {
         .functionExists(FunctionIdentifier("phrase_tf")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "phrase_tf", buildPhraseTf, "built-in")
+    // round-18 additions, same newest-builder probe
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("ordered_fold_sum_long")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "ordered_fold_sum_long", buildOrderedFoldSumLong, "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("sdm_features")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "sdm_features", buildSdmFeatures, "built-in")
     if (!spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("span_hashes")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

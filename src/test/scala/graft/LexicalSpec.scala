@@ -450,6 +450,45 @@ class LexicalSpec extends SparkSpec {
       "one-shot bm25fTopK still exchanges the candidate fold")
   }
 
+  test("scan-local fold falls back to the exchange fold on a " +
+       "non-contiguous candidate plan (round 18): a shuffled postings " +
+       "frame yields the exchange-fold result, not a require-failure") {
+    val qs = Seq((7L, "apple cherry"), (8L, "banana")).toDF("q_id", "qtext")
+    // a REPARTITIONED store scatters a doc's postings across
+    // partitions — the exact hazard the revisit guard would crash on;
+    // the plan-shape precondition must veto the local fold instead
+    val post = Lexical.postings(docs, "text", "doc_id")
+      .repartition(4, col("term"))
+    val dfreq = Lexical.docFreq(post)
+    val stats = Lexical.corpusStatsFromPostings(post)
+    val viaLocalRequest = Lexical.bm25TopKFromStoreImpl(post, dfreq,
+        stats, qs, "qtext", "q_id", k = 5, k1 = 1.2, b = 0.75,
+        localFold = true)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      .toSeq
+    val viaExchange = Lexical.bm25TopKFromStoreImpl(post, dfreq,
+        stats, qs, "qtext", "q_id", k = 5, k1 = 1.2, b = 0.75,
+        localFold = false)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      .toSeq
+    assert(viaLocalRequest == viaExchange)
+    assert(viaLocalRequest.nonEmpty)
+    // the phrase twin: scan-local requested on a shuffled positional
+    // store must also degrade to the exchange fold, result-identical
+    val posPost = Lexical.postingsPositional(docs, "text", "doc_id")
+      .repartition(4, col("term"))
+    val phq = Seq((9L, "apple cherry")).toDF("q_id", "qtext")
+    val phLocal = Lexical.phraseTopKImpl(posPost, phq, "qtext", "q_id",
+        k = 5, k1 = 1.2, b = 0.75, statsOverride = None,
+        scanLocalFold = true)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    val phExchange = Lexical.phraseTopKImpl(posPost, phq, "qtext", "q_id",
+        k = 5, k1 = 1.2, b = 0.75, statsOverride = None,
+        scanLocalFold = false)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    assert(phLocal == phExchange)
+  }
+
   test("packed multi-field postings (round 17): df/stats/sat " +
        "bit-identical to the flat layout, and the packed sat build " +
        "plans NO (term, doc)-keyed exchange — the field fold is " +

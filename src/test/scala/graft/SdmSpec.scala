@@ -125,4 +125,119 @@ class SdmSpec extends SparkSpec {
     val full = run("a b").filter(r => r._2 == 0L || r._2 == 1L)
     assert(got.map(r => (r._2, r._3)) == full.map(r => (r._2, r._3)))
   }
+
+  test("native sdm_features ≡ expression pipeline; ordered_fold_sum_long " +
+      "≡ sorted-struct fold (round-18 differential)") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    // randomized small-vocab corpus: repeated tokens force duplicated-
+    // term pairs, window-boundary distances, partial (missing-j)
+    // matches, and m = 1 / m = 3 query shapes — every branch of the
+    // feature counting and of the j-asc unigram fold
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rdocs = (0L until 300L).map { id =>
+      val n = 3 + rnd.nextInt(15)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = Seq((0L, "a b"), (1L, "b b"), (2L, "a b c"), (3L, "c"),
+      (4L, "e d e"), (5L, "a a a"), (6L, "zz miss")).toDF("q_id", "qtext")
+    val window = 8
+    val k1 = 1.2
+    val b = 0.75
+    val post = Lexical.postingsPositional(rdocs, "text", "doc_id")
+      .persist()
+    post.count()
+    try {
+      val stats = Lexical.corpusStatsFromPostings(post)
+      val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+      val qpe = qs
+        .select(col("q_id"),
+          filter(graft.functions.TextFunctions.tokens(col("qtext")),
+            t => t =!= lit("")).as("ph"))
+        .filter(size(col("ph")) >= 1)
+        .select(col("q_id"), size(col("ph")).cast("long").as("m"),
+          posexplode(col("ph")).as(Seq("j0", "term")))
+        .select(col("q_id"), col("m"),
+          (col("j0") + 1).cast("long").as("j"), col("term"))
+      val qT = qpe.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_t", Lexical.bm25Idf(col("n_docs"), col("df")))
+        .select(col("term"), col("q_id"), col("m"), col("j"),
+          col("idf_t"), col("n_docs"), col("avgdl"))
+      val cand = post.join(broadcast(qT), Seq("term"))
+      val satC = (tf: org.apache.spark.sql.Column,
+                  dl: org.apache.spark.sql.Column,
+                  avgdl: org.apache.spark.sql.Column) =>
+        (tf.cast("double") * lit(k1 + 1.0)) /
+          (tf.cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * dl.cast("double") / avgdl))
+      // the pre-round-18 expression pipeline, verbatim — the reference
+      val ref = cand
+        .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+          col("n_docs"), col("avgdl"))
+        .agg(sort_array(collect_list(struct(col("j"), col("tf"),
+          col("idf_t"), col("positions")))).as("es"))
+        .withColumn("pairs", slice(transform(
+          sequence(lit(1L), col("m")),
+          i => {
+            val e1 = get(filter(col("es"),
+              e => e.getField("j") === i), lit(0))
+            val e2 = get(filter(col("es"),
+              e => e.getField("j") === i + 1), lit(0))
+            val tfO = size(filter(e1.getField("positions"),
+              p => array_contains(e2.getField("positions"), p + 1)))
+            val tfU = aggregate(e1.getField("positions"), lit(0),
+              (acc, p1) => acc + size(filter(e2.getField("positions"),
+                p2 => p2 =!= p1 && abs(p2 - p1) < lit(window))))
+            struct(i.as("i"),
+              coalesce(tfO.cast("long"), lit(0L)).as("tfo"),
+              coalesce(tfU.cast("long"), lit(0L)).as("tfu"))
+          }), lit(1), (col("m") - 1).cast("int")))
+        .withColumn("s_t", aggregate(col("es"), lit(0.0),
+          (acc, e) => acc + e.getField("idf_t") *
+            satC(e.getField("tf"), col("dl"), col("avgdl"))))
+        .select(col("q_id"), col("doc_id"), col("s_t"),
+          col("pairs").cast("string").as("prs"))
+        .as[(Long, Long, Double, String)].collect().toSet
+      val contribC = col("idf_t") *
+        satC(col("tf"), col("dl"), col("avgdl"))
+      val native = cand
+        .withColumn("_c", contribC)
+        .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+          col("n_docs"), col("avgdl"))
+        .agg(graft.operators.TopK.sdmFeatures(col("j"), col("_c"),
+          col("positions"), col("m"), window).as("f"))
+        .select(col("q_id"), col("doc_id"), col("f.s_t").as("s_t"),
+          col("f.pairs").cast("string").as("prs"))
+        .as[(Long, Long, Double, String)].collect().toSet
+      // BITWISE s_t equality rides the Set equality on raw doubles;
+      // pairs compare exactly through the canonical string form
+      assert(native == ref)
+      assert(ref.exists(_._4.contains("tfo")) || ref.nonEmpty)
+      assert(ref.exists(r => r._4 != "[]")) // pairs actually exercised
+      // long-key ordered fold ≡ the sorted-struct interpreted fold
+      val refFold = cand
+        .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+          col("n_docs"), col("avgdl"))
+        .agg(sort_array(collect_list(struct(col("j"), col("tf"),
+          col("idf_t")))).as("es"))
+        .withColumn("s_t", aggregate(col("es"), lit(0.0),
+          (acc, e) => acc + e.getField("idf_t") *
+            satC(e.getField("tf"), col("dl"), col("avgdl"))))
+        .select(col("q_id"), col("doc_id"), col("s_t"))
+        .as[(Long, Long, Double)].collect().toSet
+      val nativeFold = cand
+        .withColumn("_c", contribC)
+        .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+          col("n_docs"), col("avgdl"))
+        .agg(graft.operators.TopK.orderedFoldSumLong(col("j"), col("_c"))
+          .as("s_t"))
+        .select(col("q_id"), col("doc_id"), col("s_t"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(nativeFold == refFold)
+      assert(refFold.nonEmpty)
+    } finally { post.unpersist(); () }
+  }
 }
