@@ -919,12 +919,16 @@ object TextQueries {
         .tempDir("graft-q178").toString
       val postTx = new graft.bank.TxTable(s, s"$root/post")
       val statsTx = new graft.bank.TxTable(s, s"$root/stats")
-      graft.streaming.StreamingLexicalIndex.bootstrap(
-        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
-        postTx, statsTx)
       val arrivals = s"$root/arrivals"
-      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
-        .repartition(4).write.parquet(arrivals)
+      // bootstrap ∥ arrival staging (round 18 — the q197 overlap,
+      // guide §2.6): independent jobs, joined before the maintainer
+      // starts, so the maintained store is unchanged
+      graft.streaming.ParallelCommits.inParallel(
+        graft.streaming.StreamingLexicalIndex.bootstrap(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          postTx, statsTx),
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+          .repartition(4).write.parquet(arrivals))
       graft.streaming.StreamingLexicalIndex.run(s, arrivals,
         postTx, statsTx, s"$root/cp", maxFilesPerTrigger = 1)
         .awaitTermination()
@@ -946,12 +950,14 @@ object TextQueries {
         .tempDir("graft-q179").toString
       val postTx = new graft.bank.TxTable(s, s"$root/post")
       val statsTx = new graft.bank.TxTable(s, s"$root/stats")
-      graft.streaming.StreamingLexicalIndex.bootstrap(
-        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
-        postTx, statsTx)
       val arrivals = s"$root/arrivals"
-      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
-        .repartition(2).write.parquet(arrivals)
+      // bootstrap ∥ arrival staging (round 18 — the q197 overlap)
+      graft.streaming.ParallelCommits.inParallel(
+        graft.streaming.StreamingLexicalIndex.bootstrap(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          postTx, statsTx),
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+          .repartition(2).write.parquet(arrivals))
       graft.streaming.StreamingLexicalIndex.run(s, arrivals,
         postTx, statsTx, s"$root/cp", maxFilesPerTrigger = 1)
         .awaitTermination()
@@ -1016,14 +1022,20 @@ object TextQueries {
       val postTx = new graft.bank.TxTable(s, s"$root/post")
       val statsTx = new graft.bank.TxTable(s, s"$root/stats")
       val gens = new AnnGenerations(s, s"$root/gens")
-      Idx.bootstrap(docs.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", postTx, statsTx)
-      val g0 = Idx.buildGeneration(gens, postTx, statsTx)
-      require(g0 == 0L && Idx.regenerateIfStale(gens, postTx,
-        statsTx).isEmpty, "gen0 must publish and read at parity")
       val arrivals = s"$root/arrivals"
-      docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
-        .repartition(2).write.parquet(arrivals)
+      // the bootstrap → gen0 chain and the arrival staging are
+      // independent (round 18 — the q197 overlap); join before the
+      // maintainer starts
+      graft.streaming.ParallelCommits.inParallel(
+        {
+          Idx.bootstrap(docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", postTx, statsTx)
+          val g0 = Idx.buildGeneration(gens, postTx, statsTx)
+          require(g0 == 0L && Idx.regenerateIfStale(gens, postTx,
+            statsTx).isEmpty, "gen0 must publish and read at parity")
+        },
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+          .repartition(2).write.parquet(arrivals))
       Idx.run(s, arrivals, postTx, statsTx, s"$root/cp",
         maxFilesPerTrigger = 1).awaitTermination()
       val fired = Idx.regenerateIfStale(gens, postTx, statsTx,

@@ -556,6 +556,20 @@ object StreamingLexicalIndex {
   // (term, doc) — a delta doc is NEW, so old-df ⊕ delta-distinct
   // counts stays integer-exact). Serving reuses the shared factored
   // path unchanged.
+  //
+  // PACKED maintained layout (round 18, guide §2.3/§2.4 — the r17
+  // batch win ported): the store holds [[Lexical.postingsFieldsPacked]]
+  // rows — ONE row per (term, doc) with the field-asc (field, tf)
+  // entries and the per-doc dls vector — so every generation build
+  // (full AND delta) folds the BM25F pseudo-frequency SCAN-LOCALLY
+  // instead of paying the (term, doc)-keyed exchange over the whole
+  // multi-field postings volume per refresh, and any-field df is a
+  // plain count (the distinct exchange is gone too). Rows stay
+  // distinct (term, doc) per-doc facts, so the delta algebra —
+  // arrival-sized sat appends, old-df ⊕ delta-count merges, pinned
+  // versions — is unchanged; sat doubles are bit-identical to the
+  // flat fold (LexicalSpec flat-vs-packed pins + the
+  // StreamingLexicalIndexSpec served ≡ flat-rebuild differential).
 
   private def statsPartialF(batch: DataFrame, fields: Seq[Lexical.FieldSpec],
                             tag: String): DataFrame =
@@ -572,11 +586,14 @@ object StreamingLexicalIndex {
     */
   def bootstrapF(corpus: DataFrame, fields: Seq[Lexical.FieldSpec],
                  idCol: String, postTx: TxTable, statsTx: TxTable): Unit = {
-    postTx.appendOnce(
-      Lexical.postingsFields(corpus, fields, idCol).sort("term"),
-      tag = "flexf-baseline")
-    statsTx.appendOnce(statsPartialF(corpus, fields, "flexf-baseline"),
-      tag = "flexf-stats-baseline")
+    // packed rows (round 18) + overlapped commits (the bootstrap/
+    // bootstrapP shape, guide §2.6)
+    inParallel(
+      postTx.appendOnce(
+        Lexical.postingsFieldsPacked(corpus, fields, idCol).sort("term"),
+        tag = "flexf-baseline"),
+      statsTx.appendOnce(statsPartialF(corpus, fields, "flexf-baseline"),
+        tag = "flexf-stats-baseline"))
     ()
   }
 
@@ -593,13 +610,21 @@ object StreamingLexicalIndex {
       .parquet(docsDir)
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint(true)
-        postTx.appendOnce(
-          Lexical.postingsFields(b, fields, idCol).sort("term"),
-          tag = s"flexf-batch-$batchId")
-        statsTx.appendOnce(statsPartialF(b, fields, s"flexf-batch-$batchId"),
-          tag = s"flexf-stats-$batchId")
-        b.unpersist()
+        // round 18 — the run()/runP() rationale ported: no
+        // localCheckpoint (both commits tokenize for themselves; the
+        // eager materialization was one extra job per trigger), delta
+        // sorted WITHIN partitions (the factored loop's consumers read
+        // the store whole — full/delta generation builds — so the
+        // per-trigger global-sort range-sampling job bought nothing),
+        // and the two disjoint-table commits overlap (guide §2.6)
+        inParallel(
+          postTx.appendOnce(
+            Lexical.postingsFieldsPacked(batch, fields, idCol)
+              .sortWithinPartitions("term"),
+            tag = s"flexf-batch-$batchId"),
+          statsTx.appendOnce(
+            statsPartialF(batch, fields, s"flexf-batch-$batchId"),
+            tag = s"flexf-stats-$batchId"))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -653,10 +678,10 @@ object StreamingLexicalIndex {
     val post = postTx.read(Some(postV))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val satV = satTx.overwrite(
-      Lexical.bm25fSatFromPostings(post, st.map(_._3), fields, k1)
+      Lexical.bm25fSatFromPackedPostings(post, st.map(_._3), fields, k1)
         .sort("term"))
     val (g, dfTx, sideTx) = gens.next()
-    dfTx.appendOnce(Lexical.docFreqAnyField(post).sort("term"),
+    dfTx.appendOnce(Lexical.docFreqPacked(post).sort("term"),
       tag = s"flexf-df-$g")
     post.unpersist()
     sideTx.appendOnce(
@@ -708,13 +733,13 @@ object StreamingLexicalIndex {
       val delta = postTx.readAppendedSince(postV0, Some(postVNow))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       satTx.appendOnce(
-        Lexical.bm25fSatFromPostings(delta, st0.map(_._3), fields, k1)
+        Lexical.bm25fSatFromPackedPostings(delta, st0.map(_._3), fields, k1)
           .sort("term"),
         tag = s"flexf-sat-$postV0-$postVNow")
       val satV = satTx.latestVersion()
       val (g, dfTx, sideTxNew) = gens.next()
       val merged = dfTxOld.read().select(col("term"), col("df").as("df0"))
-        .join(Lexical.docFreqAnyField(delta)
+        .join(Lexical.docFreqPacked(delta)
           .select(col("term"), col("df").as("df1")),
           Seq("term"), "full_outer")
         .select(col("term"),

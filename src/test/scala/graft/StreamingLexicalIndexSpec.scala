@@ -299,7 +299,7 @@ class StreamingLexicalIndexSpec extends SparkSpec {
 
     val more = fieldify(corpus(20, off = 40))
     postTx.appendOnce(
-      Lexical.postingsFields(more, fields, "doc_id").sort("term"),
+      Lexical.postingsFieldsPacked(more, fields, "doc_id").sort("term"),
       tag = "flexf-arr")
     statsTx.appendOnce(
       fields.zipWithIndex.map { case (f, i) =>
@@ -337,7 +337,7 @@ class StreamingLexicalIndexSpec extends SparkSpec {
       "alpha beta", Seq.fill(30)("alpha").mkString(" ")))
       .toDF("doc_id", "title", "body")
     postTx.appendOnce(
-      Lexical.postingsFields(long, fields, "doc_id").sort("term"),
+      Lexical.postingsFieldsPacked(long, fields, "doc_id").sort("term"),
       tag = "flexf-long")
     statsTx.appendOnce(
       fields.zipWithIndex.map { case (f, i) =>
