@@ -114,6 +114,26 @@ object Lexical {
   def docFreq(post: DataFrame): DataFrame =
     post.groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Query-side (q_id, tr, term) with `tr` = the 1-based rank of the
+    * term within ITS query's SORTED distinct terms — the fold-key
+    * surrogate of round 18 (guide §2.3 "narrower types" applied to the
+    * fold exchange): the per-(query, doc) score fold only uses its key
+    * for ORDERING (key-asc float sum), and rank-asc ≡ term-asc within
+    * a query (`array_sort` orders strings by the same binary UTF8
+    * comparison as `sort_array` / `UTF8String.compareTo` — the
+    * OrderedFoldSum contract), so folds keyed by `tr` sum the same
+    * doubles in the same order with one primitive long per candidate
+    * instead of a cloned term string (buffer allocation + shuffle
+    * bytes on the hottest exchange of the lexical tier).
+    */
+  private[graft] def queryTermsRanked(queries: DataFrame, qTextCol: String,
+                                      qIdCol: String): DataFrame =
+    queries.select(col(qIdCol).as("q_id"),
+        posexplode(array_sort(queryTerms(col(qTextCol))))
+          .as(Seq("r0", "term")))
+      .select(col("q_id"), (col("r0") + 1).cast("long").as("tr"),
+        col("term"))
+
   /** Corpus stats the BM25 denominator needs: one row,
     * (`n_docs` long, `avgdl` double). Integer sum / integer count —
     * both exact, the division one correctly-rounded op.
@@ -242,14 +262,14 @@ object Lexical {
       k: Int, localFold: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(sat.sparkSession)
-    val qTerms = queries.select(col(qIdCol).as("q_id"),
-      explode(queryTerms(col(qTextCol)))
-        .as("term"))
+    // (q_id, tr, term) — tr is the fold-key surrogate
+    // ([[queryTermsRanked]], round 18)
+    val qTerms = queryTermsRanked(queries, qTextCol, qIdCol)
     val qDf = dfreq.join(broadcast(qTerms.select("term").distinct()),
       Seq("term"))
     val qSide = broadcast(qTerms.join(qDf, Seq("term"))
       .crossJoin(broadcast(nDocs.select(col("n_docs"))))
-      .select(col("q_id"), col("term"),
+      .select(col("q_id"), col("term"), col("tr"),
         bm25Idf(col("n_docs"), col("df")).as("idf")))
     val cand = sat.join(qSide, Seq("term"))
       .withColumn("contrib", col("idf") * col("sat"))
@@ -723,15 +743,14 @@ object Lexical {
                                k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(store.sparkSession)
-    val qTerms = broadcast(queries.select(col(qIdCol).as("q_id"),
-      explode(queryTerms(col(qTextCol)))
-        .as("term")))
+    val qTerms = broadcast(queryTermsRanked(queries, qTextCol, qIdCol))
     val scored = store.join(qTerms, Seq("term"))
       .groupBy("q_id", "doc_id")
-      // native ordered fold (round 17): one TypedImperativeAggregate
-      // replaces collect_list + sort_array + lambda fold — identical
-      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
-      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      // native ordered fold keyed by the per-query term RANK
+      // (round 18, [[queryTermsRanked]]): rank-asc ≡ term-asc, so the
+      // float sum is bit-identical to the term-keyed fold with an
+      // 8-byte primitive key per candidate instead of a cloned string
+      .agg(TopK.orderedFoldSumLong(col("tr"), col("contrib")).as("s"))
       .withColumn("score", round(col("s"), 6))
     rankTail(scored, "score", k)
   }
@@ -786,10 +805,9 @@ object Lexical {
       qTextCol, qIdCol, k, dfreq, candBroadcastMaxRows)
     val scored = parts
       .groupBy("q_id", "doc_id")
-      // native ordered fold (round 17): one TypedImperativeAggregate
-      // replaces collect_list + sort_array + lambda fold — identical
-      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
-      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      // native ordered fold keyed by the per-query term RANK
+      // (round 18, [[queryTermsRanked]]) — bit-identical sum
+      .agg(TopK.orderedFoldSumLong(col("tr"), col("contrib")).as("s"))
       .withColumn("score", round(col("s"), 6))
     rankTail(scored, "score", k)
   }
@@ -845,8 +863,9 @@ object Lexical {
       if (truncated.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         persistRotating("maxScoreFoldInput.truncated", truncated)
       else truncated
-    val qTerms = queries.select(col(qIdCol).as("q_id"),
-      explode(queryTerms(col(qTextCol))).as("term"))
+    // (q_id, tr, term) — tr is the fold-key surrogate
+    // ([[queryTermsRanked]], round 18)
+    val qTerms = queryTermsRanked(queries, qTextCol, qIdCol)
     // FUSED θ+split traversal (round 18, guide §2.4): the θ pass and
     // the per-term ub table previously each traversed the truncated
     // store (two store-wide cache scans + broadcast probes per serve);
@@ -855,17 +874,18 @@ object Lexical {
     // in the designed regime). θ is bit-identical: truncQ is exactly
     // the store ⋈ broadcast(q_id, term) frame
     // bm25TopKFromContribStore built internally, and the fold/rank
-    // tail below is the same orderedFoldSum → ROUND 6 → rankTail
+    // tail below is the same ordered fold → ROUND 6 → rankTail
     // chain. ub is identical: grouping the q-duplicated rows by term
     // leaves max(contrib) and the matched-term set unchanged.
     val truncQ = persistRotating("maxScoreFoldInput.truncSlice",
       trunc.join(broadcast(qTerms), Seq("term"))
-        .select(col("q_id"), col("doc_id"), col("term"), col("contrib")))
+        .select(col("q_id"), col("doc_id"), col("term"), col("tr"),
+          col("contrib")))
     // θ per query: the truncated store's k-th rounded score (absent →
     // no pruning bound for that query). Query-sized.
     val theta = rankTail(
         truncQ.groupBy("q_id", "doc_id")
-          .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+          .agg(TopK.orderedFoldSumLong(col("tr"), col("contrib")).as("s"))
           .withColumn("score", round(col("s"), 6)),
         "score", k)
       .filter(col("rank") === k)
@@ -892,19 +912,21 @@ object Lexical {
     // bm25TopKLive device) and re-broadcast it as local frames. The
     // driver never sees anything corpus-sized.
     val maxSplitRows = 1 << 20
-    val split = flagged.select(col("q_id"), col("term"), col("_ess"))
+    val split = flagged
+      .select(col("q_id"), col("term"), col("tr"), col("_ess"))
       .limit(maxSplitRows + 1)
       .collect()
     require(split.length <= maxSplitRows,
       s"over $maxSplitRows (query, term) rows in the MaxScore split — " +
         "split the query batch")
-    val essLocal = split.filter(_.getBoolean(2))
-      .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val neLocal = split.filterNot(_.getBoolean(2))
-      .map(r => (r.getLong(0), r.getString(1))).toSeq
-    val essential = broadcast(essLocal.toDF("q_id", "term"))
+    val essLocal = split.filter(_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val neLocal = split.filterNot(_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val essential = broadcast(essLocal.toDF("q_id", "term", "tr"))
     val essBare = store.join(essential, Seq("term"))
-      .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))
+      .select(col("q_id"), col("term"), col("tr"), col("doc_id"),
+        col("contrib"))
     if (neLocal.isEmpty) return essBare
     // the essential-postings slice feeds BOTH the candidate set and the
     // fold union — persist it (round 17, guide §2.4/§5) so the full
@@ -914,7 +936,7 @@ object Lexical {
     // when the operator is doing its job, and MEMORY_AND_DISK spills
     // in the degenerate regime instead of re-scanning
     val essRows = persistRotating("maxScoreFoldInput.essRows", essBare)
-    val nonEssential = broadcast(neLocal.toDF("q_id", "term"))
+    val nonEssential = broadcast(neLocal.toDF("q_id", "term", "tr"))
     val candBare = essRows.select("q_id", "doc_id").distinct()
     // Σ_essential df bounds |cand| from above — kilobyte-side when the
     // df table is supplied; without it, COUNT the persisted essential
@@ -937,7 +959,8 @@ object Lexical {
       else candBare.hint("merge")
     val neRows = store.join(nonEssential, Seq("term"))
       .join(cand, Seq("q_id", "doc_id"))
-      .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))
+      .select(col("q_id"), col("term"), col("tr"), col("doc_id"),
+        col("contrib"))
     essRows.unionByName(neRows)
   }
 
@@ -1026,10 +1049,9 @@ object Lexical {
       queries, qTextCol, qIdCol, k, aliveBroadcastMaxRows)
     val scored = parts
       .groupBy("q_id", "doc_id")
-      // native ordered fold (round 17): one TypedImperativeAggregate
-      // replaces collect_list + sort_array + lambda fold — identical
-      // key-asc float sum from +0.0 (OrderedFoldSum's contract)
-      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      // native ordered fold keyed by the per-query term RANK
+      // (round 18, [[queryTermsRanked]]) — bit-identical sum
+      .agg(TopK.orderedFoldSumLong(col("tr"), col("contrib")).as("s"))
       .withColumn("score", round(col("s"), 6))
     rankTail(scored, "score", k)
   }
@@ -1047,8 +1069,7 @@ object Lexical {
       : DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     graft.plans.GraftExtensions.register(storeB.sparkSession)
-    val qTerms = queries.select(col(qIdCol).as("q_id"),
-      explode(queryTerms(col(qTextCol))).as("term"))
+    val qTerms = queryTermsRanked(queries, qTextCol, qIdCol)
     val theta = bm25TopKFromContribStore(truncated, queries,
         qTextCol, qIdCol, k)
       .filter(col("rank") === k)
@@ -1075,7 +1096,8 @@ object Lexical {
       else alive.hint("merge")
     storeB.join(broadcast(qTerms), Seq("term"))
       .join(aliveFilter, Seq("q_id", "block"))
-      .select(col("q_id"), col("term"), col("doc_id"), col("contrib"))
+      .select(col("q_id"), col("term"), col("tr"), col("doc_id"),
+        col("contrib"))
   }
 
   /** Fold-volume accounting for [[bm25TopKBlockMax]] vs the full
@@ -1164,10 +1186,9 @@ object Lexical {
     graft.plans.GraftExtensions.register(post.sparkSession)
     // query terms: distinct per query — BM25's standard bag-of-terms
     // query treats repeats as one term (qtf weighting is a variant;
-    // distinct keeps the score a set function of the query)
-    val qTerms = queries.select(col(qIdCol).as("q_id"),
-      explode(queryTerms(col(qTextCol)))
-        .as("term"))
+    // distinct keeps the score a set function of the query); `tr` is
+    // the fold-key surrogate ([[queryTermsRanked]], round 18)
+    val qTerms = queryTermsRanked(queries, qTextCol, qIdCol)
     // df sliced to the query's terms FIRST (vocabulary-sized df never
     // broadcasts), then the query-sized (q_id, term, df, stats) frame
     // broadcasts into the postings join
@@ -1585,8 +1606,14 @@ object Lexical {
     // maintained-store serving path ([[graft.streaming
     // .StreamingLexicalIndex.serveSdm]]) slices `post` to the query's
     // terms and threads corpus stats here
-    val stats = statsOverride.getOrElse(corpusStatsFromPostings(post))
-    val dfreq = docFreq(post)
+    // corpus stats: ONE row, but the subtree behind it is a
+    // corpus-wide distinct — and it used to be referenced by THREE
+    // separate broadcast builds per rerank serve (qT twice, the
+    // pair-df pass once), each re-running the full-store pass.
+    // Persist the one-row result (round 18, guide §5): every
+    // broadcast build now reads the cache.
+    val stats = persistRotating("sdmTopKFromPostings.stats",
+      statsOverride.getOrElse(corpusStatsFromPostings(post)))
     val ph = queries
       .select(col(qIdCol).cast("long").as("q_id"),
         filter(TextFunctions.tokens(col(qTextCol)),
@@ -1597,15 +1624,30 @@ object Lexical {
         posexplode(col("ph")).as(Seq("j0", "term")))
       .select(col("q_id"), col("m"),
         (col("j0") + 1).cast("long").as("j"), col("term"))
-    // unigram idf rides the query side (vocab df semi-joined down to
-    // the query's terms, ln computed once per (query, position) —
-    // never per candidate); a term absent from the corpus drops here,
-    // which IS its score: tf = 0 in every doc.
-    val qT = qpe.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_t", bm25Idf(col("n_docs"), col("df")))
-      .select(col("term"), col("q_id"), col("m"), col("j"),
-        col("idf_t"), col("n_docs"), col("avgdl"))
+    // query-term document frequencies: SLICE FIRST, then aggregate
+    // (round 18, guide §2.3) — the old docFreq(post) ⋈ qpe ran a
+    // VOCABULARY-wide aggregation exchange over the whole store and
+    // threw away every non-query term; counting the broadcast-sliced
+    // rows groups at query-term cardinality with map-side combine and
+    // no vocab-wide exchange. df values identical (filtering on the
+    // group key commutes with the count); corpus-absent terms drop
+    // either way (inner join / empty slice).
+    val dfq = post
+      .join(broadcast(qpe.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // unigram idf rides the query side (ln computed once per
+    // (query, position) — never per candidate); a term absent from
+    // the corpus drops here, which IS its score: tf = 0 in every doc.
+    // PERSISTED (round 18): qT is query-sized but its subtree costs a
+    // full-store df pass — and the rerank mode broadcasts qT TWICE
+    // (first pass + re-pack), which re-ran that pass per broadcast
+    // build. The cache makes the second build free.
+    val qT = persistRotating("sdmTopKFromPostings.qT",
+      qpe.join(dfq, Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_t", bm25Idf(col("n_docs"), col("df")))
+        .select(col("term"), col("q_id"), col("m"), col("j"),
+          col("idf_t"), col("n_docs"), col("avgdl")))
     // NATIVE candidate fold (round 18, guide §1.2 — the PhraseTf
     // template applied to the last hot interpreted fold): the unigram
     // contribution idf_t · sat(tf) is precomputed per candidate row by
@@ -1740,13 +1782,12 @@ object Lexical {
     * rank-tail partials (≤ k per query per partition).
     *
     * EQUIVALENCE: per group, contributions append into the same
-    * [[graft.plans.FoldBuffer]] the native aggregate uses and sum via
-    * the same key-asc `orderedSum` — the same doubles in the same
-    * order as the exchange fold. Terms here round-trip through String
-    * exactly like the postings build itself does (`.as[...Seq[String]]`),
-    * so no new encoding assumption is introduced. A contiguity
-    * violation fails LOUDLY (per-partition revisit guard), never
-    * splits a group silently.
+    * [[graft.plans.LongFoldBuffer]] the native aggregate uses — keyed
+    * by the per-query term RANK ([[queryTermsRanked]], round 18:
+    * rank-asc ≡ term-asc) — and sum via the same key-asc `orderedSum`:
+    * the same doubles in the same order as the exchange fold. A
+    * contiguity violation fails LOUDLY (per-partition revisit guard),
+    * never splits a group silently.
     *
     * MEMORY: live state is one document's matched-query buffers at a
     * time (≤ |query batch|), plus one Long per distinct doc for the
@@ -1770,11 +1811,11 @@ object Lexical {
     // 28 GiB heap at the 10⁶-doc BM25F-skew geometry, exactly the
     // spill-less-closure hazard the exchange fold's sort-fallback
     // never has.
-    cand.select(col("q_id"), col("doc_id"), col("term"), col("contrib"))
-      .as[(Long, Long, String, Double)]
+    cand.select(col("q_id"), col("doc_id"), col("tr"), col("contrib"))
+      .as[(Long, Long, Long, Double)]
       .mapPartitions { it =>
         new Iterator[(Long, Long, Double)] {
-          private var cur: (Long, Long, String, Double) =
+          private var cur: (Long, Long, Long, Double) =
             if (it.hasNext) it.next() else null
           private var out: Iterator[(Long, Long, Double)] =
             Iterator.empty
@@ -1791,11 +1832,11 @@ object Lexical {
                   "the candidate stream is not doc-contiguous; use the " +
                   "exchange fold for this input")
               val m = new java.util.LinkedHashMap[java.lang.Long,
-                graft.plans.FoldBuffer]()
+                graft.plans.LongFoldBuffer]()
               while (cur != null && cur._2 == d) {
-                m.computeIfAbsent(cur._1, _ => new graft.plans.FoldBuffer())
-                  .append(org.apache.spark.unsafe.types.UTF8String
-                    .fromString(cur._3), cur._4)
+                m.computeIfAbsent(cur._1,
+                  _ => new graft.plans.LongFoldBuffer())
+                  .append(cur._3, cur._4)
                 cur = if (it.hasNext) it.next() else null
               }
               val res = Vector.newBuilder[(Long, Long, Double)]
@@ -1849,7 +1890,9 @@ object Lexical {
         foldScanLocal(cand).withColumn("score", round(col("s"), 6))
       else
         cand.groupBy("q_id", "doc_id")
-          .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+          // rank-keyed fold ([[queryTermsRanked]], round 18) — same
+          // doubles in the same order, primitive keys
+          .agg(TopK.orderedFoldSumLong(col("tr"), col("contrib")).as("s"))
           .withColumn("score", round(col("s"), 6))
     rankTail(scored, "score", k)
   }

@@ -94,8 +94,11 @@ object StreamingLexical {
       .withWatermark("_ts", watermark)
       .dropDuplicatesWithinWatermark("q_id")
       .select(col("q_id"), col("_ts"),
-        explode(graft.operators.Lexical.queryTerms(col("qtext")))
-          .as("term"))
+        posexplode(array_sort(
+          graft.operators.Lexical.queryTerms(col("qtext"))))
+          .as(Seq("r0", "term")))
+      .select(col("q_id"), col("_ts"),
+        (col("r0") + 1).cast("long").as("tr"), col("term"))
     val perDoc = qTerms
       .join(store.select(col("term"), col("doc_id"), col("contrib")),
         Seq("term"))
@@ -103,11 +106,13 @@ object StreamingLexical {
         col("q_id"), col("doc_id"))
       // native ordered fold (round 17): the per-(window, query, doc)
       // state row becomes one serialized primitive buffer instead of a
-      // sorted struct-array column — same key-asc float sum from +0.0
-      // (OrderedFoldSum's contract), so the emitted scores are
-      // bit-identical to the batch fold (the stream ≡ batch specs and
-      // the window-stamped oracles pin it)
-      .agg(TopK.orderedFoldSum(col("term"), col("contrib")).as("s"))
+      // sorted struct-array column — same key-asc float sum from +0.0.
+      // Round 18: keyed by the per-query term RANK (rank-asc ≡
+      // term-asc — the queryTermsRanked surrogate), so state rows hold
+      // one long per entry instead of the term string; scores stay
+      // bit-identical to the batch fold (stream ≡ batch specs and the
+      // window-stamped oracles pin it)
+      .agg(TopK.orderedFoldSumLong(col("tr"), col("contrib")).as("s"))
       .withColumn("score", round(col("s"), 6))
     perDoc
       .groupBy(col("w").as("w2"), col("q_id"))

@@ -107,10 +107,62 @@ object SdmAb {
       .withColumn("_c", col("idf_t") * satC(col("tf"), col("dl"), col("avgdl")))
       .select(col("q_id"), col("doc_id"), col("dl"), col("m"),
         col("j"), col("_c"), col("positions"))
+    // rerank FIRST-PASS arms (positions-free unigram fold + top-n):
+    // OLD collect_list+sorted-struct fold vs NEW long-key ordered fold
+    val n = 100
+    val oldFp = cand
+      .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+        col("n_docs"), col("avgdl"))
+      .agg(sort_array(collect_list(struct(col("j"), col("tf"),
+        col("idf_t")))).as("es"))
+      .withColumn("st_r", round(aggregate(col("es"), lit(0.0),
+        (acc, e) => acc + e.getField("idf_t") *
+          satC(e.getField("tf"), col("dl"), col("avgdl"))), 6))
+      .groupBy("q_id")
+      .agg(graft.operators.TopK.topKNative(n, negate(col("st_r")),
+        col("doc_id")).as("top"))
+    val newFp = cand
+      .withColumn("_c", col("idf_t") * satC(col("tf"), col("dl"), col("avgdl")))
+      .groupBy(col("q_id"), col("doc_id"), col("dl"), col("m"),
+        col("n_docs"), col("avgdl"))
+      .agg(graft.operators.TopK.orderedFoldSumLong(col("j"), col("_c"))
+        .as("s"))
+      .withColumn("st_r", round(col("s"), 6))
+      .groupBy("q_id")
+      .agg(graft.operators.TopK.topKNative(n, negate(col("st_r")),
+        col("doc_id")).as("top"))
+    def timeCount(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val c = df.count()
+      println(f"$tag rows=$c wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     (1 to reps).foreach { r =>
       timeNoop(s"CTL[$r]", control)
       timeNoop(s"OLD[$r]", oldFold)
       timeNoop(s"NEW[$r]", newFold)
+      timeCount(s"OLDFP[$r]", oldFp)
+      timeCount(s"NEWFP[$r]", newFp)
+      // the REAL operators end to end (current code only — the
+      // pipeline-level wall the ScaleBench arm reads)
+      timeCount(s"SDMFULL[$r]", Lexical.sdmTopKFromPostings(post,
+        qs, "qtext", "q_id", k = 10))
+      timeCount(s"SDMRR[$r]", Lexical.sdmTopKFromPostings(post,
+        qs, "qtext", "q_id", k = 10, rerank = Some(n)))
+      // BM25 fold-key A/B on the SAME candidate frame: string term key
+      // (the pre-round-18 shape) vs the per-query term-rank surrogate
+      val candU = cand.withColumn("contrib",
+        col("idf_t") * satC(col("tf"), col("dl"), col("avgdl")))
+      def rank5(scored: org.apache.spark.sql.DataFrame) = scored
+        .withColumn("score", round(col("s"), 6))
+        .groupBy("q_id")
+        .agg(graft.operators.TopK.topKNative(10, negate(col("score")),
+          col("doc_id")).as("top"))
+      timeCount(s"UNISTR[$r]", rank5(candU.groupBy("q_id", "doc_id")
+        .agg(graft.operators.TopK.orderedFoldSum(col("term"),
+          col("contrib")).as("s"))))
+      timeCount(s"UNILONG[$r]", rank5(candU.groupBy("q_id", "doc_id")
+        .agg(graft.operators.TopK.orderedFoldSumLong(col("j"),
+          col("contrib")).as("s"))))
     }
     // row-identity checksum: same groups, same s_t bits, same pairs
     def sig(df: org.apache.spark.sql.DataFrame) = df
