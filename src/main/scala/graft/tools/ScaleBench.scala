@@ -582,7 +582,13 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val scales = sys.env.getOrElse("GRAFT_SCALE_DOCS", "1000000,10000000")
       .split(",").map(_.trim.toLong).toSeq
-    val spark = graft.core.GraftSession.local()
+    // honor SPARK_GRAFT_CPUS (round 18 — the Bench contract applied to
+    // the scale harness): core-scaling claims ride these decade
+    // geometries, not the fixed-cost-bound sf0.1 board, so the arm
+    // must be runnable at a reduced core count
+    val spark = graft.core.GraftSession.local(
+      sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors()))
     // the 100 TB shape: size-triggered broadcasts off, explicit hints live
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val root = Files.createTempDirectory("graft-scale").toString
